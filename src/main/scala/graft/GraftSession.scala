@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession builder for Verify/Bench/tests.
+  *
+  * Tuned for the driver's local[N] harness but with settings that hold on a
+  * real cluster: AQE on (runtime re-plan, skew-join handling, partition
+  * coalescing), shuffle partitions sized to the parallelism at hand instead
+  * of the 200 default, UTC session timezone for oracle parity.
+  */
+object GraftSession {
+  def build(appName: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // Parquet scans: vectorized reader + pushdown are defaults; pin them
+      // so a driver-side conf change can't silently regress scan perf.
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.enableVectorizedReader", "true")
+      // testdata events.parquet stores TIMESTAMP(NANOS); read as long and
+      // convert in Tables (Spark has no nanosecond timestamp type).
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

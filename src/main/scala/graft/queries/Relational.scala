@@ -1,0 +1,556 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+
+/** Relational-core operator battery: scans, predicates, joins, aggregation,
+  * sort/limit/offset, set ops — SURVEY.md §2.1–§2.7.
+  *
+  * Oracle-exactness policy: DOUBLE aggregation is order-dependent, so every
+  * SUM/AVG over a double column casts to DECIMAL first (exact, associative),
+  * and AVG is expressed as cast(sum(decimal) as double)/count so both
+  * engines perform the identical IEEE division. Top-k queries always carry a
+  * unique tie-break key so results are total-ordered and deterministic.
+  *
+  * Reference behaviors mirrored from apache/phoenix (see SURVEY.md §2 for
+  * file:line citations per operator).
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  // exact decimal views of the double measure columns
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def fac(c: Column): Column = c.cast(DecimalType(4, 2))
+
+  val queries: Map[String, Q] = Map(
+    // §2.4 grouped aggregation, partial+final (Phoenix
+    // GroupedAggregateRegionObserver + client merge) — TPC-H Q1 shape.
+    "q1_agg" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .filter($"l_shipdate" <= lit("1998-09-02").cast(TimestampType))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          sum(dec($"l_quantity")).as("sum_qty"),
+          sum(dec($"l_extendedprice")).as("sum_base_price"),
+          sum(dec($"l_extendedprice") * (fac(lit(1)) - fac($"l_discount")))
+            .as("sum_disc_price"),
+          sum(dec($"l_extendedprice") * (fac(lit(1)) - fac($"l_discount"))
+            * (fac(lit(1)) + fac($"l_tax"))).as("sum_charge"),
+          (sum(dec($"l_quantity")).cast(DoubleType) / count(lit(1)))
+            .as("avg_qty"),
+          (sum(dec($"l_discount")).cast(DoubleType) / count(lit(1)))
+            .as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // §2.1 full scan + projection + filter pushed to parquet.
+    "q_scan_filter" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .filter($"l_shipdate" < lit("1996-01-01").cast(TimestampType))
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    },
+
+    // §2.1 point lookup: PK equality (Phoenix ScanRanges.createPointLookup).
+    "q_point_lookup" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "orders")
+        .filter($"o_orderkey" === 42L)
+        .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice")
+    },
+
+    // §2.1 range scan over PK prefix.
+    "q_range_scan" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .filter($"l_orderkey".between(100L, 300L))
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey")
+    },
+
+    // §2.1 skip scan: composite-key IN combos (Phoenix SkipScanFilter) —
+    // in Spark these are just pushed-down predicates on the sorted layout.
+    "q_skip_scan" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .filter($"l_orderkey".isin(11L, 42L, 77L, 101L, 555L) &&
+          $"l_linenumber".isin(1, 3))
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    },
+
+    // §2.1 TABLESAMPLE — deterministic by-key sampling (Phoenix
+    // TableSamplerPredicate hashes the rowkey vs the rate); portable
+    // multiplicative hash so the DuckDB oracle reproduces it bit-for-bit.
+    "q_tablesample" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "orders")
+        .filter(pmod($"o_orderkey" * 2654435761L, lit(4294967296L)) <
+          lit((0.05 * 4294967296L).toLong))
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    },
+
+    // §2.6 top-k: ORDER BY + LIMIT → TakeOrderedAndProject (per-partition
+    // top-k + driver merge; Phoenix MergeSortTopNResultIterator).
+    "q_topk" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey".asc,
+          $"l_linenumber".asc)
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+        .limit(100)
+    },
+
+    // §2.6 LIMIT + OFFSET paging.
+    "q_limit_offset" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "orders")
+        .orderBy($"o_orderkey")
+        .select($"o_orderkey", $"o_orderstatus")
+        .offset(20).limit(50)
+    },
+
+    // §2.6 RVC OFFSET keyset pagination (Phoenix RVCOffsetCompiler):
+    // OFFSET (pk1,pk2)=(v1,v2) → row-value-constructor filter rewrite.
+    "q_rvc_offset" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .filter(struct($"l_orderkey", $"l_linenumber") >
+          struct(lit(1000L), lit(2)))
+        .orderBy($"l_orderkey", $"l_linenumber")
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+        .limit(100)
+    },
+
+    // §2.2 predicate surface: LIKE / ILIKE / BETWEEN / IN / NOT.
+    "q_predicates" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "part")
+        .filter($"p_name".like("%e%") &&
+          !lower($"p_type").like("%promo%") &&
+          $"p_size".between(1, 40) &&
+          $"p_brand".isin("Brand#1", "Brand#9", "Brand#13", "Brand#20"))
+        .select($"p_partkey", $"p_name", $"p_brand", $"p_size")
+    },
+
+    // §2.2 IS NULL / CASE WHEN / COALESCE / NULLIF null-handling semantics.
+    "q_null_case" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber",
+          nullif($"l_returnflag", lit("N")).as("rf_nulled"))
+        .select($"l_orderkey", $"l_linenumber",
+          $"rf_nulled".isNull.as("is_open"),
+          coalesce($"rf_nulled", lit("OPEN")).as("rf_filled"),
+          when($"rf_nulled" === "A", "accepted")
+            .when($"rf_nulled" === "R", "returned")
+            .otherwise("other").as("rf_class"))
+        .orderBy($"l_orderkey", $"l_linenumber").limit(500)
+    },
+
+    // §2.3 inner equi-join + group (broadcast dim at scale).
+    "q_join_inner" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.t(s, dir, "orders")
+      val c = Tables.t(s, dir, "customer")
+      o.join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec($"o_totalprice")).as("sum_price"))
+        .orderBy($"c_mktsegment")
+    },
+
+    // §2.3 left outer join, null-extension checked via count of right key.
+    "q_join_left" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables.t(s, dir, "customer")
+      val o = Tables.t(s, dir, "orders")
+      c.join(o, $"c_custkey" === $"o_custkey", "left")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("n_orders"))
+        .orderBy($"c_custkey")
+    },
+
+    // §2.3 right outer join (Phoenix flips to left internally).
+    "q_join_right" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.t(s, dir, "orders")
+      val c = Tables.t(s, dir, "customer")
+      o.join(c, $"o_custkey" === $"c_custkey", "right")
+        .groupBy($"c_nationkey")
+        .agg(count($"o_orderkey").as("n_orders"),
+          count(lit(1)).as("n_rows"))
+        .orderBy($"c_nationkey")
+    },
+
+    // §2.3 full outer join.
+    "q_join_full" -> { (s, dir) =>
+      import s.implicits._
+      val n = Tables.t(s, dir, "nation").select($"n_nationkey", $"n_name")
+      val c = Tables.t(s, dir, "customer")
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+      n.join(c, $"n_nationkey" === $"c_nationkey", "full")
+        .select($"n_nationkey", $"n_name", $"n_cust")
+        .orderBy($"n_nationkey")
+    },
+
+    // §2.3 semi join (EXISTS subquery rewrite — Phoenix SubqueryRewriter).
+    "q_join_semi" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables.t(s, dir, "customer")
+      val big = Tables.t(s, dir, "orders").filter($"o_totalprice" > 100000.0)
+      c.join(big, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+        .orderBy($"c_custkey")
+    },
+
+    // §2.3 anti join (NOT EXISTS).
+    "q_join_anti" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables.t(s, dir, "customer")
+      val huge = Tables.t(s, dir, "orders").filter($"o_totalprice" > 400000.0)
+      c.join(huge, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    },
+
+    // §2.3 star join: fact + three broadcast dims in one pass
+    // (Phoenix QueryCompiler star-join batching).
+    "q_star_join" -> { (s, dir) =>
+      import s.implicits._
+      val l = Tables.t(s, dir, "lineitem")
+      val p = Tables.t(s, dir, "part")
+      val sup = Tables.t(s, dir, "supplier")
+      val o = Tables.t(s, dir, "orders")
+      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .join(broadcast(sup), $"l_suppkey" === $"s_suppkey")
+        .join(o, $"l_orderkey" === $"o_orderkey")
+        .filter($"o_orderstatus" === "F")
+        .groupBy($"p_brand")
+        .agg(
+          sum(dec($"l_extendedprice") * (fac(lit(1)) - fac($"l_discount")))
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy($"p_brand")
+    },
+
+    // §2.3/§4 correlated scalar subquery → decorrelated join.
+    "q_scalar_subquery" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        FROM orders o
+        WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+                              FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
+    },
+
+    // §2.4 ungrouped aggregation (one partial row per partition,
+    // final merge on driver — Phoenix UngroupedAggregateRegionObserver).
+    "q_agg_ungrouped" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n"),
+        sum(dec($"l_quantity")).as("sum_qty"),
+        min($"l_shipdate").as("min_ship"),
+        max($"l_shipdate").as("max_ship"),
+        min($"l_extendedprice").as("min_price"),
+        max($"l_extendedprice").as("max_price"))
+    },
+
+    // §2.4 COUNT(DISTINCT) (Phoenix DistinctCountAggregateFunction).
+    "q_count_distinct" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_suppkey", $"l_partkey").as("n_supp_part"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+
+    // §2.4 SELECT DISTINCT (distinct-as-group-by).
+    "q_distinct" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_linestatus").distinct()
+        .orderBy($"l_returnflag", $"l_linestatus")
+    },
+
+    // §2.4 HAVING (post-aggregation filter).
+    "q_having" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec($"o_totalprice")).as("total"))
+        .where($"n_orders" >= 8)
+        .orderBy($"o_custkey")
+    },
+
+    // §2.4 FIRST_VALUE / LAST_VALUE as *ordered aggregates* (Phoenix
+    // FirstValueFunction — aggregate with ORDER BY arg, not a window fn):
+    // value of the measure at the min/max of a unique ordering key.
+    "q_first_last_value" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .withColumn("ord", $"l_orderkey" * 10 + $"l_linenumber")
+        .groupBy($"l_returnflag")
+        .agg(min_by($"l_extendedprice", $"ord").as("first_price"),
+          max_by($"l_extendedprice", $"ord").as("last_price"),
+          count(lit(1)).as("n"))
+        .orderBy($"l_returnflag")
+    },
+
+    // §2.7 UNION ALL with type reconciliation (Phoenix UnionCompiler) +
+    // outer ORDER BY/LIMIT applied over the union.
+    "q_union_all" -> { (s, dir) =>
+      import s.implicits._
+      val hi = Tables.t(s, dir, "orders")
+        .filter($"o_totalprice" > 250000.0)
+        .select($"o_orderkey".as("k"), lit("hi").as("bucket"))
+      val lo = Tables.t(s, dir, "orders")
+        .filter($"o_totalprice" < 1000.0)
+        .select($"o_orderkey".as("k"), lit("lo").as("bucket"))
+      hi.unionAll(lo).orderBy($"k", $"bucket").limit(500)
+    },
+
+    // §2.6 ORDER BY with NULLS FIRST/LAST + DESC and unique tie-break.
+    "q_orderby_nulls" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "orders")
+        .select($"o_orderkey",
+          nullif($"o_orderpriority", lit("3-MEDIUM")).as("prio"))
+        .orderBy($"prio".desc_nulls_first, $"o_orderkey".asc)
+        .limit(300)
+    },
+
+    // §1.1 UPSERT snapshot semantics: last-write-wins per PK — the PK-dedup
+    // read view every Phoenix table sits on (SURVEY §7 step 1). Key =
+    // l_orderkey, "version" = l_linenumber: latest line's values win.
+    "q_upsert_snapshot" -> { (s, dir) =>
+      import s.implicits._
+      // Treat each line as an upsert of row-key l_orderkey with version
+      // (l_linenumber, l_partkey, l_suppkey, l_extendedprice) — the full
+      // tie-break makes last-write-wins deterministic. Window is
+      // partitioned by the key → scales (no global sort).
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_orderkey")
+        .orderBy($"l_linenumber".desc, $"l_partkey".desc,
+          $"l_suppkey".desc, $"l_extendedprice".desc)
+      Tables.t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"l_orderkey", $"l_extendedprice".as("price"),
+          $"l_quantity".as("qty"), $"l_linenumber".as("version"))
+        .orderBy($"l_orderkey")
+    },
+
+    // Sequences (§1.1): NEXT VALUE FOR over a batch → dense row_number
+    // assignment in PK order (documented semantics: batch-monotonic).
+    "q_sequence" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderkey,
+               row_number() OVER (ORDER BY o_orderkey) AS seq
+        FROM orders ORDER BY o_orderkey LIMIT 1000""")
+    },
+
+    // Grouped agg on time bucket (PTSDB fixture shape: TRUNC(date) GROUP BY).
+    "q_time_bucket" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"), sum(dec($"value")).as("sum_value"))
+        .orderBy($"hour", $"event_type")
+    }
+  )
+
+  private val DEC = "CAST(%s AS DECIMAL(12,2))"
+  private def d(c: String) = DEC.format(c)
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" -> """
+      SELECT l_returnflag, l_linestatus,
+        sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+        sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
+        sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
+        sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+        CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
+        count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q_scan_filter" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1996-01-01'""",
+
+    "q_point_lookup" -> """
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey = 42""",
+
+    "q_range_scan" -> """
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+      WHERE l_orderkey BETWEEN 100 AND 300""",
+
+    "q_skip_scan" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE l_orderkey IN (11, 42, 77, 101, 555)
+        AND l_linenumber IN (1, 3)""",
+
+    "q_tablesample" -> """
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE (o_orderkey * 2654435761) % 4294967296 < 214748364""",
+
+    "q_topk" -> """
+      SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+      ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+      LIMIT 100""",
+
+    "q_limit_offset" -> """
+      SELECT o_orderkey, o_orderstatus FROM orders
+      ORDER BY o_orderkey LIMIT 50 OFFSET 20""",
+
+    "q_rvc_offset" -> """
+      SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+      WHERE (l_orderkey, l_linenumber) > (1000, 2)
+      ORDER BY l_orderkey, l_linenumber LIMIT 100""",
+
+    "q_predicates" -> """
+      SELECT p_partkey, p_name, p_brand, p_size FROM part
+      WHERE p_name LIKE '%e%'
+        AND NOT (lower(p_type) LIKE '%promo%')
+        AND p_size BETWEEN 1 AND 40
+        AND p_brand IN ('Brand#1','Brand#9','Brand#13','Brand#20')""",
+
+    "q_null_case" -> """
+      SELECT l_orderkey, l_linenumber,
+             nullif(l_returnflag, 'N') IS NULL AS is_open,
+             coalesce(nullif(l_returnflag, 'N'), 'OPEN') AS rf_filled,
+             CASE nullif(l_returnflag, 'N')
+               WHEN 'A' THEN 'accepted' WHEN 'R' THEN 'returned'
+               ELSE 'other' END AS rf_class
+      FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 500""",
+
+    "q_join_inner" -> """
+      SELECT c_mktsegment, count(*) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_price
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q_join_left" -> """
+      SELECT c_custkey, count(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""",
+
+    "q_join_right" -> """
+      SELECT c_nationkey, count(o_orderkey) AS n_orders, count(*) AS n_rows
+      FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey ORDER BY c_nationkey""",
+
+    "q_join_full" -> """
+      SELECT n_nationkey, n_name, n_cust
+      FROM nation FULL JOIN
+        (SELECT c_nationkey, count(*) AS n_cust FROM customer
+         GROUP BY c_nationkey) c
+        ON n_nationkey = c_nationkey
+      ORDER BY n_nationkey""",
+
+    "q_join_semi" -> """
+      SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
+      ORDER BY c_custkey""",
+
+    "q_join_anti" -> """
+      SELECT c_custkey, c_name FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                        AND o_totalprice > 400000.0)
+      ORDER BY c_custkey""",
+
+    "q_star_join" -> """
+      SELECT p_brand,
+        sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+        count(*) AS n_lines
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_scalar_subquery" -> """
+      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      FROM orders o
+      WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+                            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      ORDER BY o_orderkey""",
+
+    "q_agg_ungrouped" -> """
+      SELECT count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+             min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
+             min(l_extendedprice) AS min_price,
+             max(l_extendedprice) AS max_price
+      FROM lineitem""",
+
+    "q_count_distinct" -> """
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT (l_suppkey, l_partkey)) AS n_supp_part,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_distinct" -> """
+      SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      ORDER BY l_returnflag, l_linestatus""",
+
+    "q_having" -> """
+      SELECT o_custkey, count(*) AS n_orders,
+             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+      FROM orders GROUP BY o_custkey
+      HAVING count(*) >= 8 ORDER BY o_custkey""",
+
+    "q_first_last_value" -> """
+      SELECT l_returnflag,
+             arg_min(l_extendedprice, l_orderkey * 10 + l_linenumber) AS first_price,
+             arg_max(l_extendedprice, l_orderkey * 10 + l_linenumber) AS last_price,
+             count(*) AS n
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+
+    "q_union_all" -> """
+      SELECT o_orderkey AS k, 'hi' AS bucket FROM orders
+      WHERE o_totalprice > 250000.0
+      UNION ALL
+      SELECT o_orderkey AS k, 'lo' AS bucket FROM orders
+      WHERE o_totalprice < 1000.0
+      ORDER BY k, bucket LIMIT 500""",
+
+    "q_orderby_nulls" -> """
+      SELECT o_orderkey, nullif(o_orderpriority, '3-MEDIUM') AS prio
+      FROM orders
+      ORDER BY prio DESC NULLS FIRST, o_orderkey ASC LIMIT 300""",
+
+    "q_upsert_snapshot" -> """
+      SELECT l_orderkey, l_extendedprice AS price, l_quantity AS qty,
+             l_linenumber AS version
+      FROM (SELECT *, row_number() OVER (PARTITION BY l_orderkey
+              ORDER BY l_linenumber DESC, l_partkey DESC, l_suppkey DESC,
+                       l_extendedprice DESC) AS rn
+            FROM lineitem) WHERE rn = 1
+      ORDER BY l_orderkey""",
+
+    "q_sequence" -> """
+      SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS seq
+      FROM orders ORDER BY o_orderkey LIMIT 1000""",
+
+    "q_time_bucket" -> """
+      SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+             sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+      FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+  )
+}
