@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.types._
+
+/** Registers the Phoenix gap-filler functions into a session's function
+  * registry so they are callable from SQL and via
+  * `functions.call_function(name, cols...)`. Idempotent.
+  *
+  * Builders coerce argument types explicitly (Spark's AbstractDataType /
+  * ImplicitCastInputTypes machinery is private[sql], so e.g. a SQL literal
+  * `-0.5` arriving as DECIMAL must be cast to the expected input type here).
+  */
+object GraftFunctions {
+  private def asLong(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+  private def asInt(e: Expression): Expression =
+    if (e.dataType == IntegerType) e else Cast(e, IntegerType)
+  private def asDouble(e: Expression): Expression =
+    if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+  private def asString(e: Expression): Expression =
+    if (e.dataType == StringType) e else Cast(e, StringType)
+  private def asTimestamp(e: Expression): Expression =
+    if (e.dataType == TimestampType) e else Cast(e, TimestampType)
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "base62_encode", e => Base62Encode(asLong(e.head)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "base62_decode", e => Base62Decode(asString(e.head)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "regexp_substr",
+      e => RegexpSubstr(asString(e(0)), asString(e(1)), asInt(e(2))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "to_char", e => ToChar(asTimestamp(e(0)), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "date_plus_days",
+      e => DatePlusDays(asTimestamp(e(0)), asDouble(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "first_values",
+      e => OrderedValuesAgg(asDouble(e(0)), asLong(e(1)), asInt(e(2)),
+        last = false).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "last_values",
+      e => OrderedValuesAgg(asDouble(e(0)), asLong(e(1)), asInt(e(2)),
+        last = true).toAggregateExpression(), "built-in")
+  }
+}

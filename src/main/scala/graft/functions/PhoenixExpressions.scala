@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Scalar gap-filler expressions for Phoenix functions Spark lacks exactly
+  * (SURVEY.md §2.8 "custom" list). All are NULL-propagating scalar
+  * expressions; hot-path-rare, so CodegenFallback is acceptable here.
+  */
+
+/** REGEXP_SUBSTR(str, pattern, offset) — returns the first match of pattern
+  * searching from 1-based char offset; NULL when no match (reference:
+  * phoenix-core-client .../expression/function/RegexpSubstrFunction.java).
+  */
+case class RegexpSubstr(str: Expression, pattern: Expression, offset: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def first: Expression = str
+  override def second: Expression = pattern
+  override def third: Expression = offset
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private var cachedPat: (String, java.util.regex.Pattern) = _
+  private def compiled(p: String): java.util.regex.Pattern = {
+    if (cachedPat == null || cachedPat._1 != p)
+      cachedPat = (p, java.util.regex.Pattern.compile(p))
+    cachedPat._2
+  }
+
+  override def nullSafeEval(s: Any, p: Any, o: Any): Any = {
+    val text = s.asInstanceOf[UTF8String].toString
+    val off = math.max(o.asInstanceOf[Int], 1) - 1
+    if (off >= text.length) return null
+    val m = compiled(p.asInstanceOf[UTF8String].toString).matcher(text)
+    if (m.find(off)) UTF8String.fromString(m.group()) else null
+  }
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): RegexpSubstr =
+    copy(str = f, pattern = s, offset = t)
+  override def prettyName: String = "regexp_substr"
+}
+
+/** TO_CHAR(timestamp, javaPattern) with Java SimpleDateFormat-style patterns
+  * (Phoenix formats with Java patterns, not SQL ones — reference:
+  * .../expression/function/ToCharFunction.java). Timestamps are UTC micros.
+  */
+case class ToChar(ts: Expression, fmt: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = ts
+  override def right: Expression = fmt
+  override def dataType: DataType = StringType
+
+  @transient private var cachedFmt:
+      (String, java.time.format.DateTimeFormatter) = _
+  private def formatter(p: String): java.time.format.DateTimeFormatter = {
+    if (cachedFmt == null || cachedFmt._1 != p)
+      cachedFmt = (p, java.time.format.DateTimeFormatter.ofPattern(p))
+    cachedFmt._2
+  }
+
+  override def nullSafeEval(t: Any, f: Any): Any = {
+    val micros = t.asInstanceOf[Long]
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(micros, 1000000L),
+      (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    UTF8String.fromString(formatter(f.asInstanceOf[UTF8String].toString)
+      .format(ldt))
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ToChar = copy(ts = l, fmt = r)
+  override def prettyName: String = "to_char"
+}
+
+/** Phoenix fractional-day date arithmetic: `date + 1.5` adds 1.5 days
+  * (reference: .../expression/DateAddExpression.java — the numeric operand
+  * is DAYS, fractions allowed). Result = ts + round(days*86400e6) micros.
+  */
+case class DatePlusDays(ts: Expression, days: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = ts
+  override def right: Expression = days
+  override def dataType: DataType = TimestampType
+  override def nullSafeEval(t: Any, d: Any): Any =
+    t.asInstanceOf[Long] +
+      Math.round(d.asInstanceOf[Double] * 86400000000.0)
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DatePlusDays = copy(ts = l, days = r)
+  override def prettyName: String = "date_plus_days"
+}

@@ -1,0 +1,345 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.Tables
+import graft.functions.GraftFunctions
+
+/** Scalar/aggregate function battery — SURVEY.md §2.8 + §2.4 gap-fillers.
+  * Custom Catalyst expressions (base62, regexp_substr, to_char,
+  * date_plus_days, first/last_values bounded-heap aggregates) are
+  * registered per-session and invoked via call_function.
+  */
+object Functions {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+
+  val queries: Map[String, Q] = Map(
+    // §2.8 string functions (SUBSTR/INSTR/LENGTH/UPPER/LOWER/TRIM/LPAD/
+    // REVERSE/MD5/|| — Phoenix SubstrFunction.java etc.)
+    "q_string_funcs" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "part").select(
+        $"p_partkey",
+        substring($"p_name", 1, 5).as("sub5"),
+        instr($"p_name", "e").as("pos_e"),
+        length($"p_name").as("len"),
+        octet_length($"p_name").as("olen"),
+        upper($"p_name").as("up"),
+        lower($"p_brand").as("lo"),
+        trim(concat(lit("  "), $"p_name", lit("  "))).as("trimmed"),
+        lpad($"p_brand", 12, "*").as("padded"),
+        reverse($"p_name").as("rev"),
+        md5($"p_name").as("digest"),
+        concat($"p_name", lit("|"), $"p_brand").as("joined"))
+    },
+
+    // §2.8 regex family (REGEXP_REPLACE/REGEXP_SUBSTR/REGEXP_LIKE/SPLIT).
+    "q_regexp_funcs" -> { (s, dir) =>
+      import s.implicits._
+      GraftFunctions.register(s)
+      Tables.t(s, dir, "documents")
+        .filter($"text".rlike("data"))
+        .select(
+          $"doc_id",
+          length(regexp_replace($"text", "[aeiou]", "")).as("devoweled_len"),
+          nullif(regexp_extract($"text", "[a-z]{7,}", 0), lit(""))
+            .as("first_long_word"),
+          call_function("regexp_substr", $"text", lit("[a-z]{5}"), lit(3))
+            .as("sub_from3"),
+          size(split($"text", " ")).as("n_tok"))
+    },
+
+    // §2.8 date/time extract + format + Phoenix fractional-day arithmetic.
+    "q_date_funcs" -> { (s, dir) =>
+      import s.implicits._
+      GraftFunctions.register(s)
+      Tables.t(s, dir, "events").select(
+        $"event_id",
+        year($"ts").as("y"), quarter($"ts").as("q"), month($"ts").as("m"),
+        dayofmonth($"ts").as("dom"), dayofweek($"ts").as("dow"),
+        dayofyear($"ts").as("doy"), weekofyear($"ts").as("woy"),
+        hour($"ts").as("h"), minute($"ts").as("mi"), second($"ts").as("sec"),
+        date_trunc("month", $"ts").as("mon_start"),
+        date_format($"ts", "yyyy-MM-dd HH:mm:ss").as("fmt"),
+        call_function("to_char", $"ts", lit("yyyy/MM/dd HH:mm")).as("tochar"),
+        ($"ts" + expr("INTERVAL 30 DAYS")).as("plus30d"),
+        call_function("date_plus_days", $"ts", lit(1.5)).as("plus_1_5d"))
+    },
+
+    // §2.8 math functions (all exact-match vs DuckDB per cross-engine probe).
+    "q_math_funcs" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "part").select(
+        $"p_partkey",
+        abs($"p_size" - 25).as("a"),
+        sqrt($"p_size".cast(DoubleType)).as("sq"),
+        round(cbrt($"p_size".cast(DoubleType)), 8).as("cb"),
+        round(exp($"p_size" / lit(50.0)), 8).as("ex"),
+        round(log($"p_size" + lit(1.0)), 8).as("ln_"),
+        round(log10($"p_size".cast(DoubleType)), 8).as("l10"),
+        pow($"p_size", 2).as("p2"),
+        signum($"p_size" - 25).as("sg"),
+        pmod($"p_size", lit(7)).as("md"),
+        sin($"p_size".cast(DoubleType)).as("sn"),
+        cos($"p_size".cast(DoubleType)).as("cs"),
+        floor($"p_retailprice").as("fl"),
+        ceil($"p_retailprice").as("ce"),
+        round($"p_retailprice", 1).as("rd"),
+        (floor($"p_retailprice" * 10) / 10).as("tr"))
+    },
+
+    // §2.4 statistical aggregates: STDDEV_POP/SAMP, exact PERCENTILE_CONT
+    // (Phoenix BaseStddevAggregator, PercentileContAggregateFunction).
+    "q_stats_agg" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "part")
+        .groupBy($"p_brand")
+        .agg(
+          round(stddev_samp($"p_size"), 8).as("sd_samp"),
+          round(stddev_pop($"p_size"), 8).as("sd_pop"),
+          round(var_samp($"p_size"), 8).as("v_samp"),
+          round(var_pop($"p_size"), 8).as("v_pop"),
+          expr("percentile(p_size, 0.25)").as("p25"),
+          expr("percentile(p_size, 0.5)").as("p50"),
+          count(lit(1)).as("n"))
+        .orderBy($"p_brand")
+    },
+
+    // §2.4 FIRST_VALUES/LAST_VALUES/NTH_VALUE ordered aggregates via the
+    // bounded-heap TypedImperativeAggregate (O(k) memory per group).
+    "q_first_values" -> { (s, dir) =>
+      import s.implicits._
+      GraftFunctions.register(s)
+      Tables.t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          call_function("first_values", $"o_totalprice", $"o_orderkey",
+            lit(5)).as("first5"),
+          call_function("last_values", $"o_totalprice", $"o_orderkey",
+            lit(5)).as("last5"),
+          element_at(call_function("first_values", $"o_totalprice",
+            $"o_orderkey", lit(3)), 3).as("nth3"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // §2.8 ENCODE/DECODE base-62 (custom Catalyst expression w/ codegen).
+    "q_encode_b62" -> { (s, dir) =>
+      import s.implicits._
+      GraftFunctions.register(s)
+      Tables.t(s, dir, "orders").select(
+        $"o_orderkey",
+        call_function("base62_encode", $"o_orderkey").as("b62"),
+        call_function("base62_decode",
+          call_function("base62_encode", $"o_orderkey")).as("roundtrip"))
+    },
+
+    // §2.8 CAST/COERCE — Phoenix CAST truncates double→int (java semantics);
+    // DuckDB rounds, so the oracle mirrors with trunc().
+    "q_cast_coerce" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "orders").select(
+        $"o_orderkey",
+        $"o_totalprice".cast(LongType).as("price_int"),
+        $"o_totalprice".cast(DecimalType(12, 2)).as("price_dec"),
+        substring($"o_orderpriority", 1, 1).cast(IntegerType).as("prio_num"),
+        $"o_custkey".cast(StringType).as("cust_str"),
+        $"o_orderdate".cast(DateType).as("od_date"))
+    },
+
+    // §2.8 JSON_VALUE over the events props column (Phoenix PJson +
+    // JsonValueFunction → get_json_object).
+    "q_json_funcs" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "events").select(
+        $"event_id",
+        get_json_object($"props", "$.k").as("k_str"),
+        get_json_object($"props", "$.k").cast(IntegerType).as("k_int"))
+    },
+
+    // §2.8 array functions over a real ARRAY column (embeddings.embedding).
+    "q_array_funcs" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "embeddings").select(
+        $"vec_id",
+        size($"embedding").as("sz"),
+        element_at($"embedding", 1).as("e1"), // 1-based, Phoenix ARRAY_ELEM
+        slice($"embedding", 1, 3).as("first3"),
+        array_max($"embedding").as("mx"),
+        array_min($"embedding").as("mn"),
+        reverse($"embedding").as("rev"))
+    },
+
+    // §2.8 array construction/manipulation from split text
+    // (STRING_TO_ARRAY / ARRAY_TO_STRING / ARRAY_APPEND / ANY-style contains).
+    "q_words_funcs" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "documents").select(
+        $"doc_id",
+        size(split($"text", " ")).as("n_tok"),
+        element_at(split($"text", " "), 1).as("first_tok"),
+        array_join(slice(array_sort(split($"text", " ")), 1, 3), ",")
+          .as("top3"),
+        array_contains(split($"text", " "), "data").as("has_data"),
+        size(array_remove(split($"text", " "), "the")).as("n_no_the"))
+    },
+
+    // §2.7-surplus ROLLUP (absent in Phoenix grammar; Spark/DuckDB both
+    // support it — included as declared surplus capability).
+    "q_rollup" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n"), sum(dec($"l_quantity")).as("qty"))
+        .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
+          coalesce($"l_linestatus", lit("ALL")).as("ls"), $"n", $"qty")
+        .orderBy($"rf", $"ls")
+    },
+
+    // §2.4 APPROX_COUNT_DISTINCT (HLL++). No oracle: DuckDB's HLL sketch
+    // differs — correctness asserted in ScalaTest vs exact counts (±5%).
+    "q_approx_distinct" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(approx_count_distinct($"l_partkey").as("apx_parts"),
+          approx_count_distinct($"l_orderkey").as("apx_orders"))
+        .orderBy($"l_returnflag")
+    }
+  )
+
+  private val B62 =
+    "'0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz'"
+
+  val oracle: Map[String, String] = Map(
+    "q_string_funcs" -> """
+      SELECT p_partkey,
+        substr(p_name, 1, 5) AS sub5,
+        instr(p_name, 'e') AS pos_e,
+        length(p_name) AS len,
+        strlen(p_name) AS olen,
+        upper(p_name) AS up,
+        lower(p_brand) AS lo,
+        trim(concat('  ', p_name, '  ')) AS trimmed,
+        lpad(p_brand, 12, '*') AS padded,
+        reverse(p_name) AS rev,
+        md5(p_name) AS digest,
+        concat(p_name, '|', p_brand) AS joined
+      FROM part""",
+
+    "q_regexp_funcs" -> """
+      SELECT doc_id,
+        length(regexp_replace(text, '[aeiou]', '', 'g')) AS devoweled_len,
+        nullif(regexp_extract(text, '[a-z]{7,}'), '') AS first_long_word,
+        nullif(regexp_extract(substr(text, 3), '[a-z]{5}'), '') AS sub_from3,
+        len(string_split(text, ' ')) AS n_tok
+      FROM documents WHERE regexp_matches(text, 'data')""",
+
+    "q_date_funcs" -> """
+      SELECT event_id,
+        year(ts) AS y, quarter(ts) AS q, month(ts) AS m,
+        dayofmonth(ts) AS dom, dayofweek(ts) + 1 AS dow,
+        dayofyear(ts) AS doy, weekofyear(ts) AS woy,
+        hour(ts) AS h, minute(ts) AS mi, second(ts) AS sec,
+        CAST(date_trunc('month', ts) AS TIMESTAMP) AS mon_start,
+        strftime(ts, '%Y-%m-%d %H:%M:%S') AS fmt,
+        strftime(ts, '%Y/%m/%d %H:%M') AS tochar,
+        ts + INTERVAL 30 DAY AS plus30d,
+        ts + to_microseconds(129600000000) AS plus_1_5d
+      FROM events""",
+
+    "q_math_funcs" -> """
+      SELECT p_partkey,
+        abs(p_size - 25) AS a,
+        sqrt(CAST(p_size AS DOUBLE)) AS sq,
+        round(cbrt(CAST(p_size AS DOUBLE)), 8) AS cb,
+        round(exp(p_size / 50.0), 8) AS ex,
+        round(ln(p_size + 1.0), 8) AS ln_,
+        round(log10(CAST(p_size AS DOUBLE)), 8) AS l10,
+        CAST(pow(p_size, 2) AS DOUBLE) AS p2,
+        CAST(sign(p_size - 25) AS DOUBLE) AS sg,
+        p_size % 7 AS md,
+        sin(CAST(p_size AS DOUBLE)) AS sn,
+        cos(CAST(p_size AS DOUBLE)) AS cs,
+        CAST(floor(p_retailprice) AS BIGINT) AS fl,
+        CAST(ceil(p_retailprice) AS BIGINT) AS ce,
+        round(p_retailprice, 1) AS rd,
+        floor(p_retailprice * 10) / 10 AS tr
+      FROM part""",
+
+    "q_stats_agg" -> """
+      SELECT p_brand,
+        round(stddev_samp(p_size), 8) AS sd_samp, round(stddev_pop(p_size), 8) AS sd_pop,
+        round(var_samp(p_size), 8) AS v_samp, round(var_pop(p_size), 8) AS v_pop,
+        quantile_cont(p_size, 0.25) AS p25,
+        quantile_cont(p_size, 0.5) AS p50,
+        count(*) AS n
+      FROM part GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_first_values" -> """
+      SELECT o_orderpriority,
+        (list(o_totalprice ORDER BY o_orderkey ASC))[1:5] AS first5,
+        (list(o_totalprice ORDER BY o_orderkey DESC))[1:5] AS last5,
+        (list(o_totalprice ORDER BY o_orderkey ASC))[3] AS nth3,
+        count(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_encode_b62" -> s"""
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey = 0 THEN '0' ELSE ltrim(
+          substr($B62, CAST((o_orderkey // 916132832) % 62 AS INT) + 1, 1) ||
+          substr($B62, CAST((o_orderkey // 14776336) % 62 AS INT) + 1, 1) ||
+          substr($B62, CAST((o_orderkey // 238328) % 62 AS INT) + 1, 1) ||
+          substr($B62, CAST((o_orderkey // 3844) % 62 AS INT) + 1, 1) ||
+          substr($B62, CAST((o_orderkey // 62) % 62 AS INT) + 1, 1) ||
+          substr($B62, CAST(o_orderkey % 62 AS INT) + 1, 1), '0') END AS b62,
+        o_orderkey AS roundtrip
+      FROM orders""",
+
+    "q_cast_coerce" -> """
+      SELECT o_orderkey,
+        CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
+        CAST(o_totalprice AS DECIMAL(12,2)) AS price_dec,
+        CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
+        CAST(o_custkey AS VARCHAR) AS cust_str,
+        CAST(o_orderdate AS DATE) AS od_date
+      FROM orders""",
+
+    "q_json_funcs" -> """
+      SELECT event_id,
+        json_extract_string(props, '$.k') AS k_str,
+        CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+      FROM events""",
+
+    "q_array_funcs" -> """
+      SELECT vec_id,
+        len(embedding) AS sz,
+        embedding[1] AS e1,
+        embedding[1:3] AS first3,
+        list_max(embedding) AS mx,
+        list_min(embedding) AS mn,
+        list_reverse(embedding) AS rev
+      FROM embeddings""",
+
+    "q_words_funcs" -> """
+      SELECT doc_id,
+        len(string_split(text, ' ')) AS n_tok,
+        (string_split(text, ' '))[1] AS first_tok,
+        array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS top3,
+        list_contains(string_split(text, ' '), 'data') AS has_data,
+        len(list_filter(string_split(text, ' '), x -> x != 'the'))
+          AS n_no_the
+      FROM documents""",
+
+    "q_rollup" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      ORDER BY rf, ls"""
+  )
+}
