@@ -1,0 +1,171 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * Four tiers, all expressed as declarative column transforms + joins so
+  * Catalyst/Tungsten own the execution:
+  *
+  *  - exact:      hash-groupBy on the full text (one shuffle on a digest)
+  *  - fingerprint: normalized-text digest (near-exact, whitespace/punct
+  *                 insensitive)
+  *  - MinHash+LSH: shingle → minhash signature → banded bucket join →
+  *                 verify candidates with exact Jaccard (the 100 TB path:
+  *                 candidate generation is linear + one shuffle per table,
+  *                 verification touches only candidate pairs)
+  *  - SimHash:     64-bit signature, near-dups = small Hamming distance
+  *
+  * The signature computation is pure Spark SQL expressions (codegen'd, no
+  * UDFs): shingles via transform/sequence, per-permutation min-hash via
+  * array_min over an affine transform of xxhash64.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a text column (lowercased, whitespace split).
+    * Guards the short-text case: Spark's sequence(1, 0) would count DOWN,
+    * so texts with fewer than n words yield an empty set explicitly. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(lower(text), "\\s+")
+    if (n <= 1) array_distinct(words)
+    else when(size(words) < n, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(
+        transform(
+          sequence(lit(1), size(words) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j)): _*))))
+  }
+
+  /** Exact duplicate groups: one survivor (min id) per identical text. */
+  def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"), md5(col(textCol)).as("fp"))
+
+  /** Normalized-text fingerprint (document-level rolling-hash analog —
+    * md5 over lowercased alphanumeric+space text, portable across engines). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
+
+  /** Mersenne prime 2^31-1: universal-hash modulus. Base hashes and seeds
+    * stay below 2^31 so a*h+b never overflows a signed long (ANSI mode). */
+  private val P = 2147483647L
+
+  /** Deterministic affine-permutation seeds for minhash (fixed RNG seed so
+    * plans are reproducible across runs/executors). */
+  private[graft] def seeds(numHashes: Int): Seq[(Long, Long)] = {
+    val rng = new java.util.Random(0x5EED5EEDL)
+    Seq.fill(numHashes)(
+      (1L + rng.nextInt(Int.MaxValue - 1), rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature (array<long>, length numHashes) over a shingle set.
+    * h_i(S) = min over s in S of ((a_i * h(s) + b_i) mod P), with
+    * h(s) = xxhash64(s) mod P — the classic universal-hash permutation. */
+  def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
+    val base = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
+    array(seeds(numHashes).map { case (a, b) =>
+      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(P))))
+    }: _*)
+  }
+
+  /** LSH candidate pairs: ids whose signatures agree on all rows of at
+    * least one band. bands*rowsPerBand must equal numHashes. Output:
+    * (id_a, id_b) with id_a < id_b, distinct. */
+  def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 2, numHashes: Int = 32, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val sig = docs.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), shingleSize), numHashes)
+        .as("sig"))
+    // one (band, bucket-key) row per band; bucket key = the band's slice
+    val buckets = sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
+      .toDF("id", "band", "bucket")
+    val l = buckets.toDF("id_a", "band", "bucket")
+    val rhs = buckets.toDF("id_b", "band", "bucket")
+    l.join(rhs, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard similarity between two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast(DoubleType)
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+
+  /** MinHash-LSH near-duplicate pairs, verified with exact Jaccard ≥
+    * threshold. The scale path: LSH prunes the pair space, the exact check
+    * runs only on candidates. */
+  def nearDupPairs(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleSize: Int = 2, numHashes: Int = 32,
+      bands: Int = 16): DataFrame = {
+    val cands = minhashCandidates(docs, textCol, idCol, shingleSize,
+      numHashes, bands)
+    val sh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+    cands
+      .join(sh.toDF("id_a", "sh_a"), "id_a")
+      .join(sh.toDF("id_b", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** Brute-force all-pairs exact Jaccard (oracle/test path; O(n²) — only
+    * for bounded inputs). */
+  def exactJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      threshold: Double, shingleSize: Int = 2): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleSize).as("sh"))
+    val a = sh.toDF("id_a", "sh_a")
+    val b = sh.toDF("id_b", "sh_b")
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+      .where(col("jac") >= threshold)
+  }
+
+  /** 64-bit SimHash over word tokens — pure expression: bit j of the
+    * signature is set iff more than half the token hashes have bit j set.
+    * No shuffle, no UDF; one pass over the token array per bit. */
+  def simhash64(text: Column): Column = {
+    val hashes = transform(split(lower(text), "\\s+"), w => xxhash64(w))
+    val n = size(hashes)
+    val bits = (0 until 64).map { j =>
+      val setCnt = size(filter(hashes,
+        h => shiftright(h, j).bitwiseAND(lit(1L)) === lit(1L)))
+      when(setCnt * 2 > n, shiftleft(lit(1L), j)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup candidates: block on 16-bit chunks (pairs within
+    * Hamming distance 3 share at least one of 4 chunks), verify distance. */
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"),
+      simhash64(col(textCol)).as("sig"))
+    val chunked = sig.select(col("id"), col("sig"), posexplode(
+      array((0 until 4).map(c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+      .toDF("id", "sig", "chunk_idx", "chunk")
+    val l = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"),
+      col("chunk_idx"), col("chunk"))
+    val rhs = chunked.select(col("id").as("id_b"), col("sig").as("sig_b"),
+      col("chunk_idx"), col("chunk"))
+    l.join(rhs, Seq("chunk_idx", "chunk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming64(col("sig_a"), col("sig_b")).as("dist"))
+      .distinct()
+      .where(col("dist") <= maxHamming)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Baseline: brute-force cosine top-k — a single scan + TakeOrderedAndProject
+  * (per-partition top-k, driver merge), which is the right shape even at
+  * scale when k is small. Scale path: sign-random-projection LSH bucketing
+  * so only one bucket (plus optional neighbor probes) is scanned per query.
+  *
+  * All arithmetic is double-precision column expressions (codegen'd; no
+  * UDFs), left-fold order so results are deterministic.
+  */
+object Similarity {
+
+  /** Dot product of two array<float|double> columns, computed in double
+    * with sequential left-fold (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0).cast(DoubleType), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0).cast(DoubleType), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k against a query vector taken from the table
+    * itself (queryId row). Tie-break on id for determinism. */
+  def cosineTopK(emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    val q = emb.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"))
+    emb.crossJoin(broadcast(q))
+      .select(col(idCol), cosine(col(vecCol), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Deterministic pseudo-random hyperplanes for sign-LSH (fixed seed). */
+  private[graft] def hyperplanes(dim: Int, m: Int): Seq[Seq[Double]] = {
+    val rng = new java.util.Random(0x9E3779B9L)
+    Seq.fill(m)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** Sign-random-projection bucket id (m-bit) for each vector: bit i =
+    * sign(v · h_i). Vectors in the same bucket are likely similar. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val planeArr = array(p.map(lit): _*)
+      when(dot(vec, planeArr) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce(_.bitwiseOR(_))
+  }
+
+  /** ANN top-k: restrict the scan to the query's LSH bucket plus all
+    * buckets at Hamming distance 1 (multi-probe — recovers most of the
+    * recall sign-LSH loses at bucket boundaries), then exact cosine within
+    * the probed set. Scan cost ~ (mBits+1)/2^mBits of the table. */
+  def annTopK(emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, dim: Int = 64, mBits: Int = 4): DataFrame = {
+    val planes = hyperplanes(dim, mBits)
+    val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), planes))
+    // query row exploded into its mBits+1 probe buckets
+    val probes = bucketed.where(col(idCol) === queryId)
+      .select(col(vecCol).as("qv"), explode(array(
+        col("bucket") +:
+          (0 until mBits).map(i =>
+            col("bucket").bitwiseXOR(shiftleft(lit(1L), i))): _*))
+        .as("bucket"))
+    bucketed.join(broadcast(probes), "bucket")
+      .select(col(idCol), cosine(col(vecCol), col("qv")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Batch k-NN self-join via LSH buckets: per-id top-k neighbors within
+    * the same bucket (the all-pairs scale path — shuffle on bucket, no
+    * full cross join). */
+  def knnJoin(emb: DataFrame, vecCol: String, idCol: String, k: Int,
+      dim: Int = 64, mBits: Int = 8): DataFrame = {
+    val planes = hyperplanes(dim, mBits)
+    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", lshBucket(col("v"), planes))
+    val l = b.toDF("id_a", "v_a", "bucket")
+    val r = b.toDF("id_b", "v_b", "bucket")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a"))
+      .orderBy(col("sim").desc, col("id_b").asc)
+    l.join(r, "bucket").where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .drop("rn")
+  }
+}

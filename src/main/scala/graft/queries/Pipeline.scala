@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operator battery: dedup, similarity search,
+  * text analysis, multimodal feature extraction. Oracle SQL mirrors the
+  * exact double-precision fold order so results are bit-stable; the
+  * probabilistic operators (MinHash-LSH, SimHash, ANN) have no SQL oracle
+  * — their quality is asserted in ScalaTest against exact baselines. */
+object Pipeline {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Exact dedup: hash-groupBy on full text, one survivor per group.
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exactDedup(Tables.t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("keep_id"))
+    },
+
+    // Near-exact dedup on normalized-text fingerprint.
+    "q_dedup_fingerprint" -> { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .groupBy(Dedup.fingerprint(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    // Exact n-gram Jaccard near-dup pairs (bounded brute-force: the
+    // correctness baseline the LSH path is tested against).
+    "q_jaccard_pairs" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents").where(col("doc_id") < 300)
+      Dedup.exactJaccardPairs(docs, "text", "doc_id", 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // MinHash+LSH near-dup pairs verified with exact Jaccard — the 100 TB
+    // path (linear signatures + banded bucket join). No SQL oracle
+    // (probabilistic recall); recall vs q_jaccard_pairs is ScalaTested.
+    "q_dedup_minhash" -> { (s, dir) =>
+      Dedup.nearDupPairs(Tables.t(s, dir, "documents"), "text", "doc_id",
+        threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // SimHash-64 signatures + banded near-dup candidates (no oracle:
+    // xxhash64-based; Hamming-distance behavior ScalaTested).
+    "q_dedup_simhash" -> { (s, dir) =>
+      Dedup.simhashNearDups(Tables.t(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Text quality metrics for corpus filtering.
+    "q_text_quality" -> { (s, dir) =>
+      TextAnalysis.qualityMetrics(
+          Tables.t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("n_tok"), col("mean_wlen"),
+          col("stopword_ratio"), col("symbol_ratio"), col("digit_ratio"),
+          TextAnalysis.subwordCountEstimate(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Stopword-heuristic language ID (argmax over per-language scores).
+    "q_lang_id" -> { (s, dir) =>
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Brute-force cosine top-k against the vec_id=0 embedding — exact
+    // double-precision oracle (TakeOrderedAndProject at scale).
+    "q_knn_cosine" -> { (s, dir) =>
+      Similarity.cosineTopK(Tables.t(s, dir, "embeddings"),
+        "embedding", "vec_id", queryId = 0L, k = 20)
+    },
+
+    // ANN via sign-random-projection bucket (scale path; recall vs the
+    // brute-force baseline is ScalaTested — no SQL oracle).
+    "q_ann_lsh" -> { (s, dir) =>
+      Similarity.annTopK(Tables.t(s, dir, "embeddings"),
+        "embedding", "vec_id", queryId = 0L, k = 10)
+    },
+
+    // Multimodal: binary payload + stubbed decoder via mapPartitions.
+    // The stub is deterministic, so this DOES have a SQL oracle.
+    "q_multimodal_features" -> { (s, dir) =>
+      Multimodal.extractFeatures(
+          Multimodal.mediaTable(Tables.t(s, dir, "documents")))
+        .toDF()
+        .orderBy(col("media_id"))
+    }
+  )
+
+  private val WORDS = raw"string_split_regex(lower(text), '\s+')"
+  private val SHING =
+    s"list_distinct(list_transform(range(1, len($WORDS)), " +
+      s"i -> $WORDS[i] || ' ' || $WORDS[i+1]))"
+
+  val oracle: Map[String, String] = Map(
+    "q_dedup_exact" -> """
+      SELECT min(doc_id) AS keep_id, count(*) AS n_copies, md5(text) AS fp
+      FROM documents GROUP BY text ORDER BY keep_id""",
+
+    "q_dedup_fingerprint" -> """
+      SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
+             min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    "q_jaccard_pairs" -> s"""
+      WITH sh AS (
+        SELECT doc_id AS id, $SHING AS s
+        FROM documents WHERE doc_id < 300)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+      FROM sh a, sh b WHERE a.id < b.id
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+      ORDER BY id_a, id_b""",
+
+    "q_text_quality" -> raw"""
+      SELECT doc_id,
+        len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+        CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+          len(string_split_regex(lower(trim(text)), '\s+')) AS mean_wlen,
+        CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+          w -> w IN ('the','and','of','to','in','is','for','with')))
+          AS DOUBLE) /
+          len(string_split_regex(lower(trim(text)), '\s+'))
+          AS stopword_ratio,
+        CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))
+          AS DOUBLE) / length(text) AS symbol_ratio,
+        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) /
+          length(text) AS digit_ratio,
+        len(string_split_regex(trim(text), '\s+')) +
+          CAST(length(regexp_replace(text, '[^0-9.,;:!?]', '', 'g')) AS INT)
+          AS n_subwords
+      FROM documents ORDER BY doc_id""",
+
+    "q_lang_id" -> raw"""
+      WITH w AS (SELECT doc_id,
+          string_split_regex(lower(text), '\s+') AS ws FROM documents),
+      sc AS (SELECT doc_id,
+        len(list_filter(ws, x -> x IN ('the','and','of','to','in','is','for','with'))) AS en,
+        len(list_filter(ws, x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) AS de,
+        len(list_filter(ws, x -> x IN ('le','la','les','et','est','pour','dans','une'))) AS fr,
+        len(list_filter(ws, x -> x IN ('el','la','los','que','y','es','para','con'))) AS es
+        FROM w)
+      SELECT doc_id,
+        CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+             WHEN en = greatest(en, de, fr, es) THEN 'en'
+             WHEN de = greatest(en, de, fr, es) THEN 'de'
+             WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+             ELSE 'es' END AS lang_pred
+      FROM sc ORDER BY doc_id""",
+
+    "q_knn_cosine" -> """
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        list_sum(list_transform(range(1, 65),
+          i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(qv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM embeddings, q
+      ORDER BY sim DESC, vec_id ASC LIMIT 20""",
+
+    "q_multimodal_features" -> """
+      SELECT doc_id AS media_id,
+        octet_length(encode(text)) AS n_bytes,
+        CASE WHEN ascii(substr(text,1,1)) % 3 = 0 THEN 'png'
+             WHEN ascii(substr(text,1,1)) % 3 = 1 THEN 'jpeg'
+             ELSE 'webp' END AS format,
+        CAST(16 * (1 + ascii(substr(text,1,1)) % 64) AS INT) AS width,
+        CAST(16 * (1 + octet_length(encode(text)) % 64) AS INT) AS height,
+        md5(text) AS digest
+      FROM documents ORDER BY media_id"""
+  )
+}

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Multimodal, Similarity}
+
+/** Quality assertions for the probabilistic pipeline operators (the ones
+  * without a SQL oracle): MinHash-LSH recall vs exact Jaccard, SimHash
+  * behavior on near-identical texts, ANN recall vs brute-force cosine,
+  * HLL error bounds. Runs on sf0.001. */
+class PipelineSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-test").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  test("minhash LSH recall >= 0.9 vs exact jaccard pairs at t=0.3") {
+    val docs = Tables.t(spark, dir, "documents")
+    val exact = Dedup.exactJaccardPairs(docs, "text", "doc_id", 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val lsh = Dedup.nearDupPairs(docs, "text", "doc_id", 0.3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(exact.nonEmpty, "fixture should contain near-dup pairs")
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"LSH recall $recall too low (${lsh.size} found, " +
+      s"${exact.size} exact)")
+    // verified pairs are a subset of exact pairs (no false positives after
+    // the exact-jaccard verification step)
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("simhash: identical texts collide, perturbed texts stay close") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base.replace("dog", "cat")
+    val far = "completely different content about spark query engines at scale"
+    val df = Seq((1L, base), (2L, base), (3L, near), (4L, far))
+      .toDF("id", "text")
+      .select($"id", Dedup.simhash64($"text").as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(sigs(1L) == sigs(2L), "identical text must give identical simhash")
+    assert(ham(sigs(1L), sigs(3L)) <= 16,
+      s"one-word change moved ${ham(sigs(1L), sigs(3L))} bits")
+    assert(ham(sigs(1L), sigs(4L)) > ham(sigs(1L), sigs(3L)),
+      "unrelated text should be farther than a near-duplicate")
+  }
+
+  test("ANN multi-probe: finds self first, results enriched in similarity") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val brute = Similarity.cosineTopK(emb, "embedding", "vec_id", 0L,
+      emb.count().toInt).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = Similarity.annTopK(emb, "embedding", "vec_id", 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ann.head._1 == 0L, "query vector must rank itself first")
+    // ANN sims must equal the exact cosine for the same ids
+    for ((id, sim) <- ann) assert(math.abs(brute(id) - sim) < 1e-12)
+    // candidates from probed buckets must be similarity-enriched vs the
+    // population mean (sign-LSH correlates with cosine)
+    val annMean = ann.filter(_._1 != 0L).map(_._2).sum /
+      math.max(ann.length - 1, 1)
+    val popMean = brute.filter(_._1 != 0L).values.sum / (brute.size - 1)
+    assert(annMean > popMean,
+      s"ANN mean sim $annMean not above population mean $popMean")
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val li = Tables.t(spark, dir, "lineitem")
+    val exact = li.select(countDistinct(col("l_partkey"))).collect()(0)
+      .getLong(0)
+    val approx = li.select(approx_count_distinct(col("l_partkey")))
+      .collect()(0).getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+
+  test("first_values/last_values bounded-heap agg matches sort+slice") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq((1L, 10.0, "a"), (3L, 30.0, "a"), (2L, 20.0, "a"),
+      (5L, 50.0, "b"), (4L, 40.0, "b"))
+      .toDF("ord", "v", "g")
+    val got = df.groupBy($"g").agg(
+      call_function("first_values", $"v", $"ord", lit(2)).as("f2"),
+      call_function("last_values", $"v", $"ord", lit(2)).as("l2"))
+      .orderBy($"g").collect()
+    assert(got(0).getSeq[Double](1) == Seq(10.0, 20.0))
+    assert(got(0).getSeq[Double](2) == Seq(30.0, 20.0))
+    assert(got(1).getSeq[Double](1) == Seq(40.0, 50.0))
+    assert(got(1).getSeq[Double](2) == Seq(50.0, 40.0))
+  }
+
+  test("base62 roundtrip across edge values") {
+    import graft.functions.Base62
+    for (v <- Seq(0L, 1L, 61L, 62L, 3843L, -1L, -62L, Long.MaxValue,
+        Long.MinValue + 1, 123456789012L))
+      assert(Base62.decode(Base62.encode(v)) == v, s"roundtrip failed for $v")
+  }
+
+  test("shingles of short texts are empty, not an error") {
+    import spark.implicits._
+    val df = Seq((1L, "oneword"), (2L, "two words here")).toDF("id", "text")
+    val got = df.select($"id", Dedup.shingles($"text", 2).as("sh"))
+      .orderBy($"id").collect()
+    assert(got(0).getSeq[String](1).isEmpty)
+    assert(got(1).getSeq[String](1) == Seq("two words", "words here"))
+  }
+
+  test("multimodal stub features match their declared derivation") {
+    val docs = Tables.t(spark, dir, "documents").limit(20)
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(docs))
+      .collect()
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    for (f <- feats) {
+      val t = texts(f.media_id)
+      assert(f.n_bytes == t.getBytes("UTF-8").length)
+      assert(f.width == 16 * (1 + (t.getBytes("UTF-8")(0) & 0xFF) % 64))
+      assert(Set("png", "jpeg", "webp").contains(f.format))
+    }
+  }
+
+  test("upsert snapshot keeps exactly one row per key") {
+    val q = SparkEntry.queries("q_upsert_snapshot")(spark, dir)
+    val n = q.count()
+    val keys = q.select("l_orderkey").distinct().count()
+    assert(n == keys, "snapshot must be unique per PK")
+  }
+}
