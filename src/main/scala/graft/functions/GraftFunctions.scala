@@ -47,5 +47,13 @@ object GraftFunctions {
       "last_values",
       e => OrderedValuesAgg(asDouble(e(0)), asLong(e(1)), asInt(e(2)),
         last = true).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_signature",
+      e => MinHashSignature(e(0), e(1).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"numHashes must be a foldable integer literal, got $other")
+      }), "built-in")
   }
 }

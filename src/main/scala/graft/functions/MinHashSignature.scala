@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MinHash signature as ONE fused expression: for an array<string> of
+  * shingles, computes all `numHashes` permutation minima in a single tight
+  * loop (hash each shingle once, update every permutation's running min).
+  *
+  * The composed-builtins version (numHashes × array_min(transform(...)))
+  * allocates numHashes intermediate arrays per row and re-hashes each
+  * shingle per permutation — this expression is O(|shingles| × numHashes)
+  * arithmetic with zero allocation beyond the output. Permutations are
+  * (a·h + b) mod P universal hashes, P = 2^31−1, h = xxHash64(shingle)
+  * mod P, seeds fixed per `seedTag` so plans are deterministic.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int,
+    seedTag: Long = 0x5EED5EEDL)
+    extends UnaryExpression with CodegenFallback {
+
+  private val P = 2147483647L
+
+  // deterministic seeds; must stay in sync with Dedup.seeds for tests
+  @transient private lazy val ab: (Array[Long], Array[Long]) = {
+    val rng = new java.util.Random(seedTag)
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      as(i) = 1L + rng.nextInt(Int.MaxValue - 1)
+      bs(i) = rng.nextInt(Int.MaxValue).toLong
+      i += 1
+    }
+    (as, bs)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val (as, bs) = ab
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        // xxHash64 with the same seed Spark's xxhash64() uses (42)
+        val raw = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        val h = java.lang.Math.floorMod(raw, P)
+        var k = 0
+        while (k < numHashes) {
+          val p = (as(k) * h + bs(k)) % P
+          if (p < mins(k)) mins(k) = p
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}

@@ -24,18 +24,38 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
-  /** Word n-gram shingles of a text column (lowercased, whitespace split).
+  /** Shingles from an ALREADY-MATERIALIZED word-array column. The lambda
+    * references the column per element, so callers must project the word
+    * array into the DataFrame first — passing `split(...)` directly here
+    * would re-split the text once per shingle position.
     * Guards the short-text case: Spark's sequence(1, 0) would count DOWN,
     * so texts with fewer than n words yield an empty set explicitly. */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(lower(text), "\\s+")
+  def shinglesFromWords(words: Column, n: Int): Column =
     if (n <= 1) array_distinct(words)
     else when(size(words) < n, array().cast(ArrayType(StringType)))
       .otherwise(array_distinct(
         transform(
           sequence(lit(1), size(words) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j)): _*))))
-  }
+
+  /** Word n-gram shingles of a text column (lowercased, whitespace split).
+    * Convenience form; for hot paths project the word array first and use
+    * [[shinglesFromWords]]. */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromWords(split(lower(text), "\\s+"), n)
+
+  /** docs → (id, sh, sz): one projection per stage so the tokenizer and
+    * shingler each run exactly once per row. Repartitions first: document
+    * corpora often arrive as few large files, and the per-row signature
+    * work downstream needs every core (a 1-partition scan would serialize
+    * it regardless of cluster size). */
+  private def shingleTable(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+        split(lower(col(textCol)), "\\s+").as("w"))
+      .repartition(col("id"))
+      .select(col("id"), shinglesFromWords(col("w"), n).as("sh"))
+      .withColumn("sz", size(col("sh")))
 
   /** Exact duplicate groups: one survivor (min id) per identical text. */
   def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -62,12 +82,22 @@ object Dedup {
 
   /** MinHash signature (array<long>, length numHashes) over a shingle set.
     * h_i(S) = min over s in S of ((a_i * h(s) + b_i) mod P), with
-    * h(s) = xxhash64(s) mod P — the classic universal-hash permutation. */
+    * h(s) = xxhash64(s) mod P — the classic universal-hash permutation.
+    * Composed-builtins form; the hot path uses the fused
+    * [[graft.functions.MinHashSignature]] expression (same seeds, same
+    * output, one pass, no per-permutation array allocation). */
   def minhashSignature(shingleCol: Column, numHashes: Int): Column = {
     val base = transform(shingleCol, s => pmod(xxhash64(s), lit(P)))
     array(seeds(numHashes).map { case (a, b) =>
       array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(P))))
     }: _*)
+  }
+
+  /** Fused single-pass minhash signature (custom Catalyst expression). */
+  private def fastSignature(df: DataFrame, shCol: String,
+      numHashes: Int): Column = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    call_function("minhash_signature", col(shCol), lit(numHashes))
   }
 
   /** LSH candidate pairs: ids whose signatures agree on all rows of at
@@ -77,9 +107,9 @@ object Dedup {
       shingleSize: Int = 2, numHashes: Int = 32, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val sig = docs.select(col(idCol).as("id"),
-      minhashSignature(shingles(col(textCol), shingleSize), numHashes)
-        .as("sig"))
+    val shT = shingleTable(docs, textCol, idCol, shingleSize)
+    val sig = shT.select(col("id"),
+      fastSignature(shT, "sh", numHashes).as("sig"))
     // one (band, bucket-key) row per band; bucket key = the band's slice
     val buckets = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
@@ -99,20 +129,57 @@ object Dedup {
   }
 
   /** MinHash-LSH near-duplicate pairs, verified with exact Jaccard ≥
-    * threshold. The scale path: LSH prunes the pair space, the exact check
-    * runs only on candidates. */
+    * threshold. Three-stage scale path:
+    *  1. banded LSH join → candidate pairs (linear + bucket shuffle);
+    *  2. signature-agreement estimate (O(numHashes) per pair) prunes
+    *     candidates to est ≥ threshold − 2σ — essential when the corpus
+    *     vocabulary is small and random pairs collide in some band;
+    *  3. exact Jaccard (O(|shingle set|) per pair) only on survivors.
+    */
   def nearDupPairs(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleSize: Int = 2, numHashes: Int = 32,
       bands: Int = 16): DataFrame = {
-    val cands = minhashCandidates(docs, textCol, idCol, shingleSize,
-      numHashes, bands)
-    val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("sh"))
-    cands
-      .join(sh.toDF("id_a", "sh_a"), "id_a")
-      .join(sh.toDF("id_b", "sh_b"), "id_b")
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    // materialized once and reused by the bucket, estimate, and verify
+    // stages (each is a separate plan branch; without persist the whole
+    // tokenize+shingle+sign pipeline would re-run per branch)
+    val shT = shingleTable(docs, textCol, idCol, shingleSize)
+    val sig = shT
+      .withColumn("sig", fastSignature(shT, "sh", numHashes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = sig.select(col("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
+      .toDF("id", "band", "bucket")
+    val cands = buckets.toDF("id_a", "band", "bucket")
+      .join(buckets.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    // 2σ slack for the minhash estimator at the threshold
+    val margin = 2 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    // estimate stage ships only the 32-long signatures, NOT the shingle
+    // arrays — the candidate set can be large, the survivor set is small
+    val sigOnly = sig.select(col("id"), col("sig"))
+    val survivors = cands
+      .join(sigOnly.toDF("id_a", "sig_a"), "id_a")
+      .join(sigOnly.toDF("id_b", "sig_b"), "id_b")
+      .withColumn("est",
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes)
+      .where(col("est") >= threshold - margin)
+      .select("id_a", "id_b")
+    // exact verification only for survivors — big arrays join a small set
+    val shOnly = sig.select(col("id"), col("sh"), col("sz"))
+    survivors
+      .join(shOnly.toDF("id_a", "sh_a", "sz_a"), "id_a")
+      .join(shOnly.toDF("id_b", "sh_b", "sz_b"), "id_b")
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        (col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+          .as("jac"))
       .where(col("jac") >= threshold)
   }
 
@@ -120,29 +187,38 @@ object Dedup {
     * for bounded inputs). */
   def exactJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleSize: Int = 2): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleSize).as("sh"))
-    val a = sh.toDF("id_a", "sh_a")
-    val b = sh.toDF("id_b", "sh_b")
+    val sh = shingleTable(docs, textCol, idCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sh.toDF("id_a", "sh_a", "sz_a")
+    val b = sh.toDF("id_b", "sh_b", "sz_b")
     a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .select(col("id_a"), col("id_b"),
-        jaccard(col("sh_a"), col("sh_b")).as("jac"))
+        (col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
+          .as("jac"))
       .where(col("jac") >= threshold)
   }
 
-  /** 64-bit SimHash over word tokens — pure expression: bit j of the
+  /** 64-bit SimHash from a precomputed token-hash array: bit j of the
     * signature is set iff more than half the token hashes have bit j set.
-    * No shuffle, no UDF; one pass over the token array per bit. */
-  def simhash64(text: Column): Column = {
-    val hashes = transform(split(lower(text), "\\s+"), w => xxhash64(w))
+    * Per-bit folds (no intermediate array allocation), no shuffle/UDF. */
+  def simhash64FromHashes(hashes: Column): Column = {
     val n = size(hashes)
     val bits = (0 until 64).map { j =>
-      val setCnt = size(filter(hashes,
-        h => shiftright(h, j).bitwiseAND(lit(1L)) === lit(1L)))
+      val setCnt = aggregate(hashes, lit(0L),
+        (acc, h) => acc + shiftright(h, j).bitwiseAND(lit(1L)))
       when(setCnt * 2 > n, shiftleft(lit(1L), j)).otherwise(lit(0L))
     }
     bits.reduce(_.bitwiseOR(_))
   }
+
+  /** 64-bit SimHash over word tokens. Prefer materializing the token-hash
+    * array once (withColumn) and calling [[simhash64FromHashes]] when the
+    * plan reuses it. */
+  def simhash64(text: Column): Column =
+    simhash64FromHashes(transform(split(lower(text), "\\s+"),
+      w => xxhash64(w)))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
@@ -151,8 +227,12 @@ object Dedup {
     * Hamming distance 3 share at least one of 4 chunks), verify distance. */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
-    val sig = docs.select(col(idCol).as("id"),
-      simhash64(col(textCol)).as("sig"))
+    val sig = docs
+      .select(col(idCol).as("id"),
+        transform(split(lower(col(textCol)), "\\s+"), w => xxhash64(w))
+          .as("hs"))
+      .repartition(col("id"))
+      .select(col("id"), simhash64FromHashes(col("hs")).as("sig"))
     val chunked = sig.select(col("id"), col("sig"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
