@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Table catalog with Phoenix-style PK semantics on Parquet.
+  *
+  * Reference model (SURVEY.md §1.1): Phoenix tables are HBase rowkey
+  * spaces — UPSERT overwrites by primary key, DELETE writes tombstones,
+  * SELECT sees the latest version of each row. This catalog reproduces
+  * those *read* semantics with batch writes:
+  *
+  *  - every write is an append-only batch stamped with a monotonically
+  *    increasing `_version` (the change log — also the CDC source, §2.9);
+  *  - `snapshot` collapses the log to latest-write-wins per PK and drops
+  *    tombstones — a window partitioned BY THE KEY, so the collapse
+  *    shuffles once on the PK and scales horizontally;
+  *  - `SALT_BUCKETS` & co. are accepted and ignored (Spark's shuffle
+  *    subsumes salting; reference cc/schema/SaltingUtil.java).
+  *
+  * Batches with duplicate PKs keep the lexicographically greatest payload
+  * (deterministic; Phoenix's "last statement wins" has no meaning for an
+  * unordered DataFrame).
+  */
+class GraftCatalog(spark: SparkSession, warehouse: String) {
+
+  case class TableSpec(name: String, schema: StructType, pk: Seq[String],
+      props: Map[String, String] = Map.empty)
+
+  private val specs = scala.collection.mutable.Map[String, TableSpec]()
+
+  private def dir(name: String) = s"$warehouse/$name"
+  private def versionFile(name: String) =
+    new java.io.File(s"${dir(name)}/_latest_version")
+
+  def createTable(name: String, schema: StructType, pk: Seq[String],
+      props: Map[String, String] = Map.empty): TableSpec = {
+    require(pk.nonEmpty, "primary key required")
+    require(pk.forall(c => schema.fieldNames.contains(c)),
+      s"pk columns $pk must exist in schema")
+    val spec = TableSpec(name, schema, pk, props)
+    specs(name) = spec
+    new java.io.File(dir(name)).mkdirs()
+    spec
+  }
+
+  def spec(name: String): TableSpec = specs(name)
+
+  private def nextVersion(name: String): Long = {
+    val f = versionFile(name)
+    val v = if (f.exists()) new String(
+      java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong + 1 else 0L
+    java.nio.file.Files.write(f.toPath, v.toString.getBytes)
+    v
+  }
+
+  /** UPSERT a batch: append rows stamped with the next version. */
+  def upsert(name: String, df: DataFrame): Long = {
+    val s = specs(name)
+    val v = nextVersion(name)
+    df.select(s.schema.fieldNames.map(col): _*)
+      .withColumn("_version", lit(v))
+      .withColumn("_deleted", lit(false))
+      .write.mode(SaveMode.Append).parquet(s"${dir(name)}/data")
+    v
+  }
+
+  /** DELETE by predicate: tombstone the matching PKs as of now. */
+  def delete(name: String, predicate: org.apache.spark.sql.Column): Long = {
+    val s = specs(name)
+    val v = nextVersion(name)
+    snapshot(name).where(predicate)
+      .select(s.schema.fieldNames.map(col): _*)
+      .withColumn("_version", lit(v))
+      .withColumn("_deleted", lit(true))
+      .write.mode(SaveMode.Append).parquet(s"${dir(name)}/data")
+    v
+  }
+
+  /** Full change log (the CDC source): every write of every version. */
+  def changeLog(name: String): DataFrame =
+    spark.read.schema(logSchema(name)).parquet(s"${dir(name)}/data")
+
+  private def logSchema(name: String): StructType = {
+    val s = specs(name)
+    StructType(s.schema.fields :+
+      StructField("_version", LongType, nullable = false) :+
+      StructField("_deleted", BooleanType, nullable = false))
+  }
+
+  /** Snapshot read: latest write per PK, tombstones dropped. One shuffle,
+    * partitioned by the key. */
+  def snapshot(name: String): DataFrame = {
+    val s = specs(name)
+    val nonPk = s.schema.fieldNames.filterNot(s.pk.contains)
+    val w = Window.partitionBy(s.pk.map(col): _*)
+      .orderBy(col("_version").desc +:
+        nonPk.map(c => col(c).desc): _*)
+    changeLog(name)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") === 1 && !col("_deleted"))
+      .select(s.schema.fieldNames.map(col): _*)
+  }
+
+  /** CDC view (reference: Phoenix CREATE CDC, CDCChangeScope CHANGE/PRE/
+    * POST — cs/coprocessor/CDCGlobalIndexRegionScanner.java): one JSON
+    * change record per write, with the post image for upserts. */
+  def cdc(name: String, sinceVersion: Long = -1L): DataFrame = {
+    val s = specs(name)
+    val cols = col("_version").as("cdc_version") +: (s.pk.map(col) :+
+      when(col("_deleted"), lit("delete")).otherwise(lit("upsert"))
+        .as("cdc_op") :+
+      to_json(struct(s.schema.fieldNames.map(col): _*))
+        .as("cdc_post_image"))
+    changeLog(name)
+      .where(col("_version") > sinceVersion)
+      .select(cols: _*)
+  }
+
+  /** Streaming CDC: the same change log as a Structured Streaming source
+    * (consumers get each batch's changes incrementally). */
+  def cdcStream(name: String): DataFrame = {
+    val s = specs(name)
+    val cols = col("_version").as("cdc_version") +: (s.pk.map(col) :+
+      when(col("_deleted"), lit("delete")).otherwise(lit("upsert"))
+        .as("cdc_op") :+
+      to_json(struct(s.schema.fieldNames.map(col): _*))
+        .as("cdc_post_image"))
+    spark.readStream.schema(logSchema(name))
+      .parquet(s"${dir(name)}/data")
+      .select(cols: _*)
+  }
+}

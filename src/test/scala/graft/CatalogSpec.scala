@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.GraftCatalog
+import graft.streaming.EventStreams
+
+/** Engine-machinery tests: PK upsert snapshot semantics, delete
+  * tombstones, CDC batch + streaming views, streaming windowed aggs.
+  * Mirrors the reference's WEB_STAT end-to-end slice (FIXTURES.md #10). */
+class CatalogSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-catalog-test").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def freshCatalog(): GraftCatalog = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    new GraftCatalog(spark, wh)
+  }
+
+  private val webStatSchema = StructType(Seq(
+    StructField("host", StringType), StructField("domain", StringType),
+    StructField("feature", StringType), StructField("date", StringType),
+    StructField("core", LongType), StructField("db", LongType)))
+
+  test("upsert snapshot: later batch wins per PK, earlier rows survive") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("web_stat", webStatSchema,
+      pk = Seq("host", "domain", "feature", "date"),
+      props = Map("SALT_BUCKETS" -> "4")) // accepted & ignored
+    cat.upsert("web_stat", Seq(
+      ("NA", "a.com", "login", "d1", 10L, 1L),
+      ("NA", "a.com", "login", "d2", 20L, 2L),
+      ("EU", "b.com", "search", "d1", 30L, 3L)).toDF(
+      "host", "domain", "feature", "date", "core", "db"))
+    cat.upsert("web_stat", Seq(
+      ("NA", "a.com", "login", "d1", 99L, 9L)).toDF( // overwrites d1
+      "host", "domain", "feature", "date", "core", "db"))
+    val snap = cat.snapshot("web_stat").orderBy("host", "date")
+      .collect().map(r => (r.getString(0), r.getString(3), r.getLong(4)))
+    assert(snap.toSeq == Seq(("EU", "d1", 30L), ("NA", "d1", 99L),
+      ("NA", "d2", 20L)))
+  }
+
+  test("delete writes tombstones; snapshot drops them, log keeps them") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("t", webStatSchema, pk = Seq("host", "domain",
+      "feature", "date"))
+    cat.upsert("t", Seq(
+      ("NA", "a.com", "login", "d1", 1L, 1L),
+      ("NA", "a.com", "login", "d2", 2L, 2L)).toDF(
+      "host", "domain", "feature", "date", "core", "db"))
+    cat.delete("t", col("date") === "d1")
+    assert(cat.snapshot("t").count() == 1)
+    assert(cat.snapshot("t").collect()(0).getString(3) == "d2")
+    assert(cat.changeLog("t").count() == 3) // 2 upserts + 1 tombstone
+  }
+
+  test("re-upsert after delete resurrects the row") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("t", webStatSchema, pk = Seq("host", "domain",
+      "feature", "date"))
+    cat.upsert("t", Seq(("NA", "a.com", "x", "d1", 1L, 1L)).toDF(
+      "host", "domain", "feature", "date", "core", "db"))
+    cat.delete("t", lit(true))
+    assert(cat.snapshot("t").count() == 0)
+    cat.upsert("t", Seq(("NA", "a.com", "x", "d1", 7L, 7L)).toDF(
+      "host", "domain", "feature", "date", "core", "db"))
+    val r = cat.snapshot("t").collect()
+    assert(r.length == 1 && r(0).getLong(4) == 7L)
+  }
+
+  test("CDC batch view exposes versioned ops with post images") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("t", webStatSchema, pk = Seq("host", "domain",
+      "feature", "date"))
+    val v0 = cat.upsert("t", Seq(("NA", "a.com", "x", "d1", 1L, 1L)).toDF(
+      "host", "domain", "feature", "date", "core", "db"))
+    val v1 = cat.delete("t", lit(true))
+    val cdc = cat.cdc("t").orderBy("cdc_version").collect()
+    assert(cdc.length == 2)
+    assert(cdc(0).getAs[Long]("cdc_version") == v0)
+    assert(cdc(0).getAs[String]("cdc_op") == "upsert")
+    assert(cdc(1).getAs[String]("cdc_op") == "delete")
+    assert(cdc(0).getAs[String]("cdc_post_image").contains("\"core\":1"))
+    // incremental consumption: only changes after v0
+    assert(cat.cdc("t", sinceVersion = v0).count() == 1)
+  }
+
+  test("CDC stream delivers the change log incrementally") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("t", webStatSchema, pk = Seq("host", "domain",
+      "feature", "date"))
+    cat.upsert("t", Seq(("NA", "a.com", "x", "d1", 1L, 1L)).toDF(
+      "host", "domain", "feature", "date", "core", "db"))
+    val q = cat.cdcStream("t").writeStream
+      .format("memory").queryName("cdc_out").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM cdc_out").count() == 1)
+      cat.upsert("t", Seq(("NA", "a.com", "x", "d2", 2L, 2L)).toDF(
+        "host", "domain", "feature", "date", "core", "db"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT cdc_op, cdc_post_image FROM cdc_out").collect()
+      assert(rows.length == 2)
+      assert(rows.forall(_.getString(0) == "upsert"))
+    } finally q.stop()
+  }
+
+  test("streaming windowed agg with watermark over events parquet") {
+    // the streaming file source needs a directory, not a single file
+    val evDir = java.nio.file.Files.createTempDirectory("graft_events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      evDir.resolve("events.parquet"))
+    // fixture stores TIMESTAMP(NANOS) → read as long, truncate to micros
+    val rawSchema = StructType(EventStreams.eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    val ev = spark.readStream.schema(rawSchema).parquet(evDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.windowedAgg(ev, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits closed windows; with a finite file the last
+      // watermark leaves the final windows open, so compare against the
+      // batch computation restricted to emitted windows
+      val got = spark.sql("SELECT * FROM win_out")
+      val batch = Tables.t(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("event_type"),
+          col("n"))
+      val g = got.select("win_start", "event_type", "n").collect()
+        .map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+      val b = batch.collect()
+        .map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(g.nonEmpty, "stream emitted no closed windows")
+      assert(g.subsetOf(b), "streamed window results must match batch")
+    } finally q.stop()
+  }
+}
