@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{Functions, Pipeline, Relational}
+import graft.queries.{Extras, Functions, Pipeline, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,9 +18,11 @@ object SparkEntry {
     Relational.queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Functions.queries ++ Pipeline.queries
+    Relational.queries ++ Functions.queries ++ Pipeline.queries ++
+      Extras.queries
 
   def oracleSql: Map[String, String] =
-    (Relational.oracle ++ Functions.oracle ++ Pipeline.oracle).view
+    (Relational.oracle ++ Functions.oracle ++ Pipeline.oracle ++
+      Extras.oracle).view
       .mapValues(_.stripMargin.trim).toMap
 }
