@@ -48,6 +48,8 @@ object GraftFunctions {
       e => OrderedValuesAgg(asDouble(e(0)), asLong(e(1)), asInt(e(2)),
         last = true).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(
+      "simhash64", e => SimHash64(e.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "minhash_signature",
       e => MinHashSignature(e(0), e(1).eval() match {
         case i: Int => i

@@ -227,12 +227,13 @@ object Dedup {
     * Hamming distance 3 share at least one of 4 chunks), verify distance. */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sig = docs
       .select(col(idCol).as("id"),
         transform(split(lower(col(textCol)), "\\s+"), w => xxhash64(w))
           .as("hs"))
       .repartition(col("id"))
-      .select(col("id"), simhash64FromHashes(col("hs")).as("sig"))
+      .select(col("id"), call_function("simhash64", col("hs")).as("sig"))
     val chunked = sig.select(col("id"), col("sig"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))

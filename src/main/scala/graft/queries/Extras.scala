@@ -71,6 +71,21 @@ object Extras {
         date_trunc("day", $"ts").as("floor_d"))
     },
 
+    // Sessionization: gap-based session windows per user (time-series
+    // pipeline op; Spark session_window — the oracle derives the same
+    // sessions via lag + cumulative-sum, semantics verified identical).
+    "q_sessionize" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "events")
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast(DecimalType(12, 2))).as("sum_value"))
+        .select($"session_window.start".as("sess_start"),
+          $"session_window.end".as("sess_end"),
+          $"user_id", $"n", $"sum_value")
+        .orderBy($"user_id", $"sess_start")
+    },
+
     // ANY / ALL comparisons over arrays (Phoenix ArrayAnyComparisonNode /
     // ArrayAllComparisonNode) via exists/forall.
     "q_array_any_all" -> { (s, dir) =>
@@ -122,6 +137,19 @@ object Extras {
                + INTERVAL 1 HOUR END AS ceil_h,
         CAST(date_trunc('day', ts) AS TIMESTAMP) AS floor_d
       FROM events""",
+
+    "q_sessionize" -> """
+      WITH m AS (SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+               OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+               THEN 1 ELSE 0 END AS ns
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      s AS (SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+      SELECT min(ts) AS sess_start, max(ts) + INTERVAL 30 MINUTE AS sess_end,
+             user_id, count(*) AS n,
+             sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+      FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""",
 
     "q_array_any_all" -> raw"""
       SELECT doc_id,

@@ -101,6 +101,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1).getSeq[Double](2) == Seq(50.0, 40.0))
   }
 
+  test("fused SimHash64 expression matches the composed-builtins form") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.t(spark, dir, "documents").limit(50)
+      .select($"doc_id",
+        transform(split(lower($"text"), "\\s+"), w => xxhash64(w)).as("hs"))
+    val both = docs.select($"doc_id",
+      Dedup.simhash64FromHashes($"hs").as("composed"),
+      call_function("simhash64", $"hs").as("fused")).collect()
+    both.foreach(r => assert(r.getLong(1) == r.getLong(2),
+      s"mismatch for doc ${r.getLong(0)}"))
+  }
+
+  test("fused MinHashSignature matches the composed-builtins form") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.t(spark, dir, "documents").limit(50)
+      .select($"doc_id", Dedup.shingles($"text", 2).as("sh"))
+    val both = docs.select($"doc_id",
+      Dedup.minhashSignature($"sh", 32).as("composed"),
+      call_function("minhash_signature", $"sh", lit(32)).as("fused"))
+      .collect()
+    both.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+      s"mismatch for doc ${r.getLong(0)}"))
+  }
+
   test("base62 roundtrip across edge values") {
     import graft.functions.Base62
     for (v <- Seq(0L, 1L, 61L, 62L, 3843L, -1L, -62L, Long.MaxValue,
