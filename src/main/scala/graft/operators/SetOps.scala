@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** UNION ALL with Phoenix-style type reconciliation (reference:
+  * cc/compile/UnionCompiler.java — the n-ary UNION ALL coerces each
+  * branch's column i to a common type; Spark's unionAll requires exact
+  * schema match, so we compute the widened type per position and cast
+  * every branch before unioning). Column names follow the first branch. */
+object SetOps {
+
+  private val widenOrder: Seq[DataType] = Seq(ByteType, ShortType,
+    IntegerType, LongType, FloatType, DoubleType)
+
+  private[graft] def widen(a: DataType, b: DataType): DataType = (a, b) match {
+    case (x, y) if x == y => x
+    case (d1: DecimalType, d2: DecimalType) =>
+      DecimalType(math.max(d1.precision - d1.scale, d2.precision - d2.scale)
+        + math.max(d1.scale, d2.scale), math.max(d1.scale, d2.scale))
+    case (d: DecimalType, n) if widenOrder.contains(n) => DoubleType
+    case (n, d: DecimalType) if widenOrder.contains(n) => DoubleType
+    case (x, y) if widenOrder.contains(x) && widenOrder.contains(y) =>
+      widenOrder(math.max(widenOrder.indexOf(x), widenOrder.indexOf(y)))
+    case (StringType, _) | (_, StringType) => StringType
+    case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
+    case (x, y) => throw new IllegalArgumentException(
+      s"cannot reconcile UNION column types $x and $y")
+  }
+
+  def unionAllReconciled(branches: Seq[DataFrame]): DataFrame = {
+    require(branches.nonEmpty)
+    val n = branches.head.schema.length
+    require(branches.forall(_.schema.length == n),
+      "UNION branches must have the same column count")
+    val types = branches.map(_.schema.fields.map(_.dataType))
+      .reduce((a, b) => a.zip(b).map { case (x, y) => widen(x, y) })
+    val names = branches.head.schema.fieldNames
+    branches.map { df =>
+      df.select(df.schema.fieldNames.zipWithIndex.map { case (c, i) =>
+        col(c).cast(types(i)).as(names(i))
+      }: _*)
+    }.reduce(_ unionAll _)
+  }
+}

@@ -71,6 +71,35 @@ object Extras {
         date_trunc("day", $"ts").as("floor_d"))
     },
 
+    // Explicit sort-merge join (Phoenix SORT_MERGE strategy / hint —
+    // JoinCompiler.getApplicableJoinStrategies).
+    "q_join_sortmerge" -> { (s, dir) =>
+      import s.implicits._
+      val l = Tables.t(s, dir, "lineitem")
+      val o = Tables.t(s, dir, "orders").hint("merge")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast(DecimalType(12, 2))).as("qty"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // UNION ALL type reconciliation (Phoenix UnionCompiler): INT vs
+    // BIGINT vs DOUBLE branches coerced to a common type.
+    "q_union_types" -> { (s, dir) =>
+      import s.implicits._
+      val a = Tables.t(s, dir, "part")
+        .select($"p_size".as("v"), lit("int").as("src"))         // int
+      val b = Tables.t(s, dir, "orders").orderBy($"o_orderkey").limit(100)
+        .select($"o_orderkey".as("v"), lit("long").as("src"))     // bigint
+      val c = Tables.t(s, dir, "lineitem")
+        .orderBy($"l_orderkey", $"l_linenumber", $"l_partkey", $"l_suppkey",
+          $"l_extendedprice").limit(100)
+        .select($"l_quantity".as("v"), lit("double").as("src"))   // double
+      graft.operators.SetOps.unionAllReconciled(Seq(a, b, c))
+        .orderBy($"src", $"v").limit(500)
+    },
+
     // Sessionization: gap-based session windows per user (time-series
     // pipeline op; Spark session_window — the oracle derives the same
     // sessions via lag + cumulative-sum, semantics verified identical).
@@ -137,6 +166,24 @@ object Extras {
                + INTERVAL 1 HOUR END AS ceil_h,
         CAST(date_trunc('day', ts) AS TIMESTAMP) AS floor_d
       FROM events""",
+
+    "q_join_sortmerge" -> """
+      SELECT o_orderpriority, count(*) AS n,
+             sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_union_types" -> """
+      SELECT * FROM (
+        SELECT CAST(p_size AS DOUBLE) AS v, 'int' AS src FROM part
+        UNION ALL
+        SELECT CAST(o_orderkey AS DOUBLE) AS v, 'long' AS src FROM
+          (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 100)
+        UNION ALL
+        SELECT l_quantity AS v, 'double' AS src FROM
+          (SELECT l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber,
+           l_partkey, l_suppkey, l_extendedprice LIMIT 100))
+      ORDER BY src, v LIMIT 500""",
 
     "q_sessionize" -> """
       WITH m AS (SELECT user_id, ts, value,
