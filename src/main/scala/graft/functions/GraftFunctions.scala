@@ -48,6 +48,11 @@ object GraftFunctions {
       e => OrderedValuesAgg(asDouble(e(0)), asLong(e(1)), asInt(e(2)),
         last = true).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction(
+      "to_number", e => ToNumber(asString(e(0)), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "timezone_offset",
+      e => TimezoneOffset(asString(e(0)), asTimestamp(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
       "simhash64", e => SimHash64(e.head), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_signature",

@@ -75,6 +75,56 @@ case class ToChar(ts: Expression, fmt: Expression)
   override def prettyName: String = "to_char"
 }
 
+/** TO_NUMBER(varchar[, format]) with Java DecimalFormat patterns
+  * (reference: .../expression/function/ToNumberFunction.java — Phoenix
+  * parses with Java patterns like '#,##0.00'). Returns DOUBLE; NULL on
+  * unparseable input (Phoenix returns null, not an error). */
+case class ToNumber(str: Expression, fmt: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = str
+  override def right: Expression = fmt
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private var cachedFmt: (String, java.text.DecimalFormat) = _
+  private def formatter(p: String): java.text.DecimalFormat = {
+    if (cachedFmt == null || cachedFmt._1 != p)
+      cachedFmt = (p, new java.text.DecimalFormat(p))
+    cachedFmt._2
+  }
+
+  override def nullSafeEval(s: Any, f: Any): Any =
+    try {
+      val n = formatter(f.asInstanceOf[UTF8String].toString)
+        .parse(s.asInstanceOf[UTF8String].toString.trim)
+      java.lang.Double.valueOf(n.doubleValue())
+    } catch { case _: java.text.ParseException => null }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ToNumber = copy(str = l, fmt = r)
+  override def prettyName: String = "to_number"
+}
+
+/** TIMEZONE_OFFSET(tz, ts) → offset from UTC in minutes at that instant
+  * (reference: .../expression/function/TimezoneOffsetFunction.java). */
+case class TimezoneOffset(tz: Expression, ts: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = tz
+  override def right: Expression = ts
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(z: Any, t: Any): Any = {
+    val zone = java.time.ZoneId.of(z.asInstanceOf[UTF8String].toString)
+    val instant = java.time.Instant.ofEpochSecond(
+      Math.floorDiv(t.asInstanceOf[Long], 1000000L))
+    java.lang.Integer.valueOf(
+      zone.getRules.getOffset(instant).getTotalSeconds / 60)
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): TimezoneOffset = copy(tz = l, ts = r)
+  override def prettyName: String = "timezone_offset"
+}
+
 /** Phoenix fractional-day date arithmetic: `date + 1.5` adds 1.5 days
   * (reference: .../expression/DateAddExpression.java — the numeric operand
   * is DAYS, fractions allowed). Result = ts + round(days*86400e6) micros.

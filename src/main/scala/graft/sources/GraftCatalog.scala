@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, Row, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** Table catalog with Phoenix-style PK semantics on Parquet.
   *
@@ -118,6 +119,43 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .where(col("_version") > sinceVersion)
       .select(cols: _*)
   }
+
+  /** Updatable-filter views over a base table (reference: Phoenix VIEW
+    * hierarchies, PTable.ViewType — a view is a predicate over the base
+    * rowkey space; SURVEY.md §1.1). Views stack: a view of a view ANDs
+    * the predicates. Multi-tenant tables are this with a leading
+    * tenant-id equality. */
+  private val views =
+    scala.collection.mutable.Map[String, (String, org.apache.spark.sql.Column)]()
+
+  def createView(name: String, base: String,
+      predicate: org.apache.spark.sql.Column): Unit = {
+    require(specs.contains(base) || views.contains(base),
+      s"unknown base table/view $base")
+    views(name) = (base, predicate)
+  }
+
+  def view(name: String): DataFrame = views.get(name) match {
+    case Some((base, pred)) =>
+      (if (views.contains(base)) view(base) else snapshot(base)).where(pred)
+    case None => snapshot(name)
+  }
+
+  /** Dynamic columns (reference: per-query extra columns, g:832-846,
+    * DynamicColumnIT): extend a read with typed columns the base schema
+    * doesn't declare — absent values are NULL of the declared type. */
+  def withDynamicColumns(df: DataFrame, dynamic: StructType): DataFrame =
+    dynamic.fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+
+  /** Cursor (reference: DECLARE/OPEN/FETCH, CursorFetchPlan →
+    * toLocalIterator paging on the driver): fetch-size batches without
+    * collecting the whole result. */
+  def cursor(df: DataFrame, fetchSize: Int): Iterator[Seq[Row]] =
+    df.toLocalIterator().asScala.grouped(fetchSize)
+      .map(_.toSeq)
 
   /** Streaming CDC: the same change log as a Structured Streaming source
     * (consumers get each batch's changes incrementally). */

@@ -122,6 +122,68 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("views: stacked predicates, multi-tenant shape") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("t", webStatSchema, pk = Seq("host", "domain",
+      "feature", "date"))
+    cat.upsert("t", Seq(
+      ("NA", "a.com", "login", "d1", 1L, 1L),
+      ("NA", "a.com", "search", "d1", 2L, 2L),
+      ("EU", "b.com", "login", "d1", 3L, 3L)).toDF(
+      "host", "domain", "feature", "date", "core", "db"))
+    cat.createView("t_na", "t", col("host") === "NA") // tenant view
+    cat.createView("t_na_login", "t_na", col("feature") === "login")
+    assert(cat.view("t_na").count() == 2)
+    val r = cat.view("t_na_login").collect()
+    assert(r.length == 1 && r(0).getString(1) == "a.com")
+  }
+
+  test("dynamic columns: per-query extras materialize as typed nulls") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("t", webStatSchema, pk = Seq("host", "domain",
+      "feature", "date"))
+    cat.upsert("t", Seq(("NA", "a.com", "x", "d1", 1L, 1L)).toDF(
+      "host", "domain", "feature", "date", "core", "db"))
+    val dyn = StructType(Seq(StructField("extra_score", DoubleType),
+      StructField("core", LongType))) // existing col must NOT be clobbered
+    val df = cat.withDynamicColumns(cat.snapshot("t"), dyn)
+    assert(df.schema("extra_score").dataType == DoubleType)
+    val row = df.collect()(0)
+    assert(row.isNullAt(df.columns.indexOf("extra_score")))
+    assert(row.getLong(df.columns.indexOf("core")) == 1L)
+  }
+
+  test("cursor pages through results without collect") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val df = spark.range(10).toDF("id")
+    val pages = cat.cursor(df.orderBy("id"), fetchSize = 4).toSeq
+    assert(pages.map(_.length) == Seq(4, 4, 2))
+    assert(pages.flatten.map(_.getLong(0)) == (0L until 10L))
+  }
+
+  test("to_number / timezone_offset / convert_timezone") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT to_number('1,234.50', '#,##0.00') AS n,
+             to_number('garbage', '#,##0.00') AS bad,
+             timezone_offset('America/New_York',
+               timestamp'2024-07-01 12:00:00') AS summer,
+             timezone_offset('America/New_York',
+               timestamp'2024-01-15 12:00:00') AS winter,
+             convert_timezone('UTC', 'Asia/Tokyo',
+               timestamp'2024-01-01 00:00:00') AS tokyo
+      """).collect()(0)
+    assert(r.getDouble(0) == 1234.5)
+    assert(r.isNullAt(1))
+    assert(r.getInt(2) == -240) // EDT
+    assert(r.getInt(3) == -300) // EST
+    // convert_timezone yields TIMESTAMP_NTZ (LocalDateTime)
+    assert(r.get(4).toString.startsWith("2024-01-01T09:00"))
+  }
+
   test("streaming windowed agg with watermark over events parquet") {
     // the streaming file source needs a directory, not a single file
     val evDir = java.nio.file.Files.createTempDirectory("graft_events")
