@@ -84,6 +84,30 @@ object Pipeline {
         "embedding", "vec_id", queryId = 0L, k = 10)
     },
 
+    // End-to-end corpus curation: quality-filter → language gate →
+    // fingerprint-dedup (keep lowest doc_id) → survivors with metrics.
+    // The composition stays one scan + one digest-keyed shuffle.
+    "q_curation_pipeline" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.t(s, dir, "documents")
+      val scored = docs
+        .withColumn("w", split(lower(trim($"text")), "\\s+"))
+        .withColumn("n_tok", size($"w"))
+        .withColumn("stop_ratio",
+          TextAnalysis.stopwordHits($"w", "en").cast("double") / size($"w"))
+        .withColumn("lang_pred", TextAnalysis.langId($"text"))
+        .withColumn("fp", Dedup.fingerprint($"text"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"fp").orderBy($"doc_id".asc)
+      scored
+        .where($"n_tok" >= 20 && $"stop_ratio" >= 0.05 &&
+          $"lang_pred" === "en")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+        .select($"doc_id", $"n_tok", $"stop_ratio", $"fp")
+        .orderBy($"doc_id")
+    },
+
     // Multimodal: binary payload + stubbed decoder via mapPartitions.
     // The stub is deterministic, so this DOES have a SQL oracle.
     "q_multimodal_features" -> { (s, dir) =>
@@ -168,6 +192,36 @@ object Pipeline {
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
       FROM embeddings, q
       ORDER BY sim DESC, vec_id ASC LIMIT 20""",
+
+    "q_curation_pipeline" -> raw"""
+      WITH scored AS (
+        SELECT doc_id, text,
+          len(string_split_regex(lower(trim(text)), '\s+')) AS n_tok,
+          CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+            w -> w IN ('the','and','of','to','in','is','for','with')))
+            AS DOUBLE) /
+            len(string_split_regex(lower(trim(text)), '\s+')) AS stop_ratio,
+          md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+        FROM documents),
+      langed AS (
+        SELECT s.*, CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
+               WHEN en = greatest(en, de, fr, es) THEN 'en'
+               WHEN de = greatest(en, de, fr, es) THEN 'de'
+               WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+               ELSE 'es' END AS lang_pred
+        FROM (SELECT doc_id,
+          len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ('the','and','of','to','in','is','for','with'))) AS en,
+          len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) AS de,
+          len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ('le','la','les','et','est','pour','dans','une'))) AS fr,
+          len(list_filter(string_split_regex(lower(text), '\s+'), x -> x IN ('el','la','los','que','y','es','para','con'))) AS es
+          FROM documents) l JOIN scored s USING (doc_id)),
+      filtered AS (
+        SELECT doc_id, n_tok, stop_ratio, fp,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM langed
+        WHERE n_tok >= 20 AND stop_ratio >= 0.05 AND lang_pred = 'en')
+      SELECT doc_id, n_tok, stop_ratio, fp FROM filtered WHERE rn = 1
+      ORDER BY doc_id""",
 
     "q_multimodal_features" -> """
       SELECT doc_id AS media_id,

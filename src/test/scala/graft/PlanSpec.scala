@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: the properties that make these operators
+  * scale (pushdown, pruning, broadcast, partial aggregation, top-k
+  * pushdown) asserted on the optimized physical plans, so a refactor that
+  * silently loses one fails the build. */
+class PlanSpec extends AnyFunSuite {
+  private val dir = "/root/testdata/sf0.001"
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-plan-test").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def plan(q: String): String = {
+    val df = SparkEntry.queries(q)(spark, dir)
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
+
+  test("scan filter is pushed to parquet and columns are pruned") {
+    val p = plan("q_scan_filter")
+    assert(p.contains("PushedFilters:") && p.contains("LessThan(l_shipdate"),
+      "shipdate filter must reach the parquet scan")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint," +
+      "l_linenumber:int,l_quantity:double,l_shipdate"),
+      "scan must read only the projected+filter columns")
+  }
+
+  test("star join broadcasts all three dimension tables") {
+    val p = plan("q_star_join")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3, s"expected >=3 broadcast joins, got $broadcasts")
+    assert(!p.contains("SortMergeJoin"),
+      "no dimension should fall back to sort-merge")
+  }
+
+  test("grouped aggregation is partial+final") {
+    val p = plan("q1_agg")
+    val hashAggs = "HashAggregate".r.findAllIn(p).length
+    assert(hashAggs >= 2, "expected partial and final HashAggregate")
+    assert(p.contains("PushedFilters:") &&
+      p.contains("LessThanOrEqual(l_shipdate"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("sort-merge join hint is honored") {
+    val p = plan("q_join_sortmerge")
+    assert(p.contains("SortMergeJoin"))
+  }
+
+  test("semi/anti joins stay semi/anti (no materialized subquery)") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("point lookup pushes the PK equality into the scan") {
+    val p = plan("q_point_lookup")
+    assert(p.contains("EqualTo(o_orderkey,42)"))
+  }
+
+  test("bucketed layout: co-located join plans with no shuffle exchange") {
+    import graft.operators.Layout
+    val li = Tables.t(spark, dir, "lineitem")
+    val o = Tables.t(spark, dir, "orders")
+    Layout.writeBucketed(li, "li_b", 8, Seq("l_orderkey"))
+    Layout.writeBucketed(o, "o_b", 8, Seq("o_orderkey"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Layout.readBucketed(spark, "li_b")
+        .join(Layout.readBucketed(spark, "o_b"),
+          spark.table("li_b")("l_orderkey") ===
+            spark.table("o_b")("o_orderkey"))
+      val p = joined.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("SortMergeJoin"))
+      assert(!p.contains("Exchange"),
+        "bucketed-by-key join must not shuffle:\n" + p)
+      // and the result is still correct
+      assert(joined.count() ==
+        li.join(o, li("l_orderkey") === o("o_orderkey")).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS o_b")
+    }
+  }
+}
