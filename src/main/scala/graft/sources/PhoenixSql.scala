@@ -1,0 +1,209 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Phoenix-dialect SQL front-end over [[GraftCatalog]].
+  *
+  * Accepts the reference's statement surface (grammar:
+  * phoenix-core-client/src/main/antlr3/PhoenixSQL.g) for the analytics
+  * subset this engine supports and routes it onto Spark:
+  *
+  *  - CREATE TABLE [IF NOT EXISTS] name (cols..., CONSTRAINT pk PRIMARY
+  *    KEY (c1 [ASC|DESC], ...)) [props] — column-family prefixes
+  *    (`USAGE.CORE`) are flattened (families are an HBase storage detail),
+  *    SALT_BUCKETS etc. accepted and ignored
+  *  - CREATE VIEW name AS SELECT * FROM base WHERE pred
+  *  - UPSERT INTO t [(cols)] VALUES (...)
+  *  - DELETE FROM t WHERE pred
+  *  - CREATE SEQUENCE / NEXT VALUE FOR seq (batch-monotonic semantics)
+  *  - SELECT ... — resolved over the current PK-snapshots of every
+  *    catalog table (+ views), executed by Spark SQL
+  *
+  * The type surface maps per SURVEY.md §1.2 (UNSIGNED_* → signed,
+  * CHAR(n)/VARCHAR(n) → STRING, Phoenix DATE/TIME carry time → TIMESTAMP,
+  * scalar ARRAY types → ArrayType). This is a deliberately small
+  * hand-rolled parser for the DDL/DML shapes in the reference's fixtures
+  * (FIXTURES.md) — SELECT text passes through to Spark SQL, whose ANSI
+  * grammar is a superset of Phoenix's query grammar for this subset.
+  */
+class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
+
+  private val sequences = scala.collection.mutable.Map[String, Long]()
+  private val viewNames = scala.collection.mutable.Set[String]()
+  private val tableNames = scala.collection.mutable.Set[String]()
+
+  def execute(sql: String): DataFrame = {
+    val s = sql.trim.stripSuffix(";").trim
+    val up = s.toUpperCase
+    if (up.startsWith("CREATE TABLE")) createTable(s)
+    else if (up.startsWith("CREATE VIEW")) createView(s)
+    else if (up.startsWith("CREATE SEQUENCE")) createSequence(s)
+    else if (up.startsWith("UPSERT INTO")) upsert(s)
+    else if (up.startsWith("DELETE FROM")) delete(s)
+    else select(s)
+  }
+
+  // ---- types ------------------------------------------------------------
+
+  private[sources] def parseType(t: String): DataType = {
+    val norm = t.trim.toUpperCase.replaceAll("\\s+", " ")
+    val arr = norm.endsWith(" ARRAY") || norm.endsWith(" ARRAY[]")
+    val base = norm.replaceAll(" ARRAY(\\[\\])?$", "")
+    val elem = base.replaceAll("\\(.*\\)", "").trim match {
+      case "INTEGER" | "UNSIGNED_INT" => IntegerType
+      case "BIGINT" | "UNSIGNED_LONG" => LongType
+      case "SMALLINT" | "UNSIGNED_SMALLINT" => ShortType
+      case "TINYINT" | "UNSIGNED_TINYINT" => ByteType
+      case "FLOAT" | "UNSIGNED_FLOAT" => FloatType
+      case "DOUBLE" | "UNSIGNED_DOUBLE" => DoubleType
+      case "DECIMAL" =>
+        val m = "DECIMAL\\s*\\(\\s*(\\d+)\\s*,\\s*(\\d+)\\s*\\)".r
+          .findFirstMatchIn(base)
+        m.map(g => DecimalType(g.group(1).toInt, g.group(2).toInt))
+          .getOrElse(DecimalType(38, 18))
+      case "BOOLEAN" => BooleanType
+      case "CHAR" | "VARCHAR" => StringType
+      case "BINARY" | "VARBINARY" | "VARBINARY_ENCODED" => BinaryType
+      case "DATE" | "TIME" | "TIMESTAMP" | "UNSIGNED_DATE" | "UNSIGNED_TIME"
+           | "UNSIGNED_TIMESTAMP" => TimestampType // Phoenix DATE carries ms
+      case "JSON" => StringType
+      case "BSON" => BinaryType
+      case other => throw new IllegalArgumentException(s"unknown type $other")
+    }
+    if (arr) ArrayType(elem) else elem
+  }
+
+  // ---- DDL --------------------------------------------------------------
+
+  private def splitTopLevel(s: String, sep: Char): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var depth = 0; val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case c if c == sep && depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def createTable(s: String): DataFrame = {
+    val m = ("(?is)CREATE TABLE (?:IF NOT EXISTS )?([\\w.\"]+)\\s*" +
+      "\\((.*)\\)\\s*([\\w =,]*)$").r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val name = cleanIdent(m.group(1))
+    // Phoenix's grammar allows the CONSTRAINT clause to follow the last
+    // column without a comma (see examples/WEB_STAT.sql) — normalize.
+    val body = m.group(2).replaceAll("(?i)\\s+CONSTRAINT\\s+", ", CONSTRAINT ")
+    val items = splitTopLevel(body, ',')
+    val (pkItems, colItems) = items.partition(
+      _.toUpperCase.matches("(?s)CONSTRAINT\\s+\\S+\\s+PRIMARY KEY.*"))
+    val fields = colItems.map { c =>
+      val parts = c.trim.split("\\s+", 2)
+      // flatten column-family prefix (USAGE.CORE → CORE)
+      val colName = cleanIdent(parts(0)).split("\\.").last
+      val typeAndCons = parts(1)
+      val notNull = typeAndCons.toUpperCase.contains("NOT NULL")
+      val t = typeAndCons.replaceAll("(?i)\\s+NOT\\s+NULL", "")
+        .replaceAll("(?i)\\s+NULL$", "")
+        .replaceAll("(?i)\\s+PRIMARY\\s+KEY.*", "")
+      StructField(colName.toLowerCase, parseType(t), nullable = !notNull)
+    }
+    // PK: either a CONSTRAINT clause or an inline "col type PRIMARY KEY"
+    val pk: Seq[String] = pkItems.headOption match {
+      case Some(c) =>
+        val inner = "\\(([^)]*)\\)".r.findFirstMatchIn(c).get.group(1)
+        splitTopLevel(inner, ',').map(f =>
+          cleanIdent(f.trim.split("\\s+")(0)).toLowerCase)
+      case None =>
+        colItems.filter(_.toUpperCase.contains("PRIMARY KEY"))
+          .map(c => cleanIdent(c.trim.split("\\s+")(0)).toLowerCase)
+    }
+    val props = m.group(3).split(",").map(_.trim).filter(_.contains("="))
+      .map { p => val Array(k, v) = p.split("=", 2); k.trim -> v.trim }
+      .toMap
+    catalog.createTable(name, StructType(fields), pk, props)
+    tableNames += name
+    spark.emptyDataFrame
+  }
+
+  private def createView(s: String): DataFrame = {
+    val m = ("(?is)CREATE VIEW (?:IF NOT EXISTS )?([\\w.\"]+)\\s+AS\\s+" +
+      "SELECT \\* FROM ([\\w.\"]+)(?:\\s+WHERE\\s+(.*))?$").r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val name = cleanIdent(m.group(1))
+    val base = cleanIdent(m.group(2))
+    val pred = Option(m.group(3)).map(expr).getOrElse(lit(true))
+    catalog.createView(name, base, pred)
+    viewNames += name
+    spark.emptyDataFrame
+  }
+
+  private def createSequence(s: String): DataFrame = {
+    val m = ("(?is)CREATE SEQUENCE (?:IF NOT EXISTS )?([\\w.\"]+)" +
+      "(?:\\s+START\\s+WITH\\s+(\\d+))?.*").r.findFirstMatchIn(s).get
+    sequences(cleanIdent(m.group(1))) =
+      Option(m.group(2)).map(_.toLong).getOrElse(1L) - 1L
+    spark.emptyDataFrame
+  }
+
+  def nextValueFor(seq: String): Long = {
+    val v = sequences(seq) + 1L
+    sequences(seq) = v
+    v
+  }
+
+  // ---- DML --------------------------------------------------------------
+
+  private def upsert(s: String): DataFrame = {
+    val m = ("(?is)UPSERT INTO ([\\w.\"]+)\\s*(?:\\(([^)]*)\\))?\\s*" +
+      "VALUES\\s*\\((.*)\\)$").r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val table = cleanIdent(m.group(1))
+    val spec = catalog.spec(table)
+    val cols = Option(m.group(2))
+      .map(splitTopLevel(_, ',').map(c =>
+        cleanIdent(c).split("\\.").last.toLowerCase))
+      .getOrElse(spec.schema.fieldNames.toSeq)
+    // NEXT VALUE FOR seq → driver-side sequence increment
+    val values = splitTopLevel(m.group(3), ',').map { v =>
+      val nv = "(?i)NEXT VALUE FOR ([\\w.\"]+)".r.findFirstMatchIn(v)
+      nv.map(g => nextValueFor(cleanIdent(g.group(1))).toString)
+        .getOrElse(v)
+    }
+    val row = spark.sql(s"SELECT ${values.zip(cols)
+      .map { case (v, c) => s"$v AS $c" }.mkString(", ")}")
+    val full = spec.schema.fieldNames.foldLeft(row) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null))
+    }.select(spec.schema.fieldNames.map(c =>
+      col(c).cast(spec.schema(c).dataType)): _*)
+    catalog.upsert(table, full)
+    spark.emptyDataFrame
+  }
+
+  private def delete(s: String): DataFrame = {
+    val m = "(?is)DELETE FROM ([\\w.\"]+)(?:\\s+WHERE\\s+(.*))?$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    catalog.delete(cleanIdent(m.group(1)),
+      Option(m.group(2)).map(expr).getOrElse(lit(true)))
+    spark.emptyDataFrame
+  }
+
+  // ---- queries ----------------------------------------------------------
+
+  private def select(s: String): DataFrame = {
+    tableNames.foreach(t =>
+      catalog.snapshot(t).createOrReplaceTempView(t))
+    viewNames.foreach(v => catalog.view(v).createOrReplaceTempView(v))
+    spark.sql(s)
+  }
+
+  private def cleanIdent(s: String): String =
+    s.trim.replaceAll("\"", "").toLowerCase
+}

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.{GraftCatalog, PhoenixSql}
+
+/** Replays the reference's fixture DDL/DML shapes (FIXTURES.md) through
+  * the Phoenix-dialect front-end: WEB_STAT end-to-end (examples/
+  * WEB_STAT.sql + WEB_STAT_QUERIES.sql), ATABLE's type surface
+  * (BaseTest.java:230-239), sequences, views, deletes. */
+class PhoenixSqlSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-sql-test").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def fresh(): PhoenixSql = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_sql_wh").toString
+    new PhoenixSql(spark, new GraftCatalog(spark, wh))
+  }
+
+  test("WEB_STAT end-to-end: DDL with column families, upserts, agg query") {
+    val px = fresh()
+    px.execute("""
+      CREATE TABLE IF NOT EXISTS WEB_STAT (
+        HOST CHAR(2) NOT NULL, DOMAIN VARCHAR NOT NULL,
+        FEATURE VARCHAR NOT NULL, DATE DATE NOT NULL,
+        USAGE.CORE BIGINT, USAGE.DB BIGINT, STATS.ACTIVE_VISITOR INTEGER
+        CONSTRAINT PK PRIMARY KEY (HOST, DOMAIN, FEATURE, DATE))
+        SALT_BUCKETS=4""")
+    px.execute("UPSERT INTO WEB_STAT VALUES ('NA','apache.org','Login'," +
+      "TIMESTAMP'2013-01-01 01:01:01', 35, 42, 10)")
+    px.execute("UPSERT INTO WEB_STAT VALUES ('NA','apache.org','Login'," +
+      "TIMESTAMP'2013-01-02 01:01:01', 10, 8, 5)")
+    px.execute("UPSERT INTO WEB_STAT VALUES ('EU','salesforce.com','Search'," +
+      "TIMESTAMP'2013-01-01 01:01:01', 7, 1, 1)")
+    // PK overwrite (same HOST,DOMAIN,FEATURE,DATE)
+    px.execute("UPSERT INTO WEB_STAT VALUES ('NA','apache.org','Login'," +
+      "TIMESTAMP'2013-01-01 01:01:01', 100, 50, 20)")
+    // the reference example query (WEB_STAT_QUERIES.sql:1-4)
+    val r = px.execute("""
+      SELECT DOMAIN, AVG(CORE) AS avg_core, AVG(DB) AS avg_db
+      FROM WEB_STAT GROUP BY DOMAIN ORDER BY DOMAIN DESC""").collect()
+    assert(r.length == 2)
+    assert(r(0).getString(0) == "salesforce.com")
+    assert(r(1).getString(0) == "apache.org")
+    assert(r(1).getDouble(1) == 55.0) // (100 + 10) / 2 after overwrite
+  }
+
+  test("ATABLE type surface parses (unsigned, decimal, char, dates)") {
+    val px = fresh()
+    px.execute("""
+      CREATE TABLE ATABLE (
+        organization_id CHAR(15) NOT NULL, entity_id CHAR(15) NOT NULL,
+        a_string VARCHAR(100), b_string VARCHAR(100),
+        a_integer INTEGER, a_date DATE, a_time TIME, a_timestamp TIMESTAMP,
+        x_decimal DECIMAL(31,10), x_long BIGINT, x_integer INTEGER,
+        a_byte TINYINT, a_short SMALLINT, a_float FLOAT, a_double DOUBLE,
+        a_unsigned_float UNSIGNED_FLOAT, a_unsigned_double UNSIGNED_DOUBLE
+        CONSTRAINT pk PRIMARY KEY (organization_id, entity_id))""")
+    val sc = px.catalog.spec("atable").schema
+    assert(sc("x_decimal").dataType == DecimalType(31, 10))
+    assert(sc("a_date").dataType == TimestampType) // Phoenix DATE carries ms
+    assert(sc("a_unsigned_float").dataType == FloatType)
+    assert(sc("a_byte").dataType == ByteType)
+    assert(px.catalog.spec("atable").pk ==
+      Seq("organization_id", "entity_id"))
+  }
+
+  test("array types and inline primary key") {
+    val px = fresh()
+    px.execute("""CREATE TABLE arr_t (
+      id BIGINT NOT NULL PRIMARY KEY,
+      tags VARCHAR ARRAY, scores DOUBLE ARRAY[])""")
+    val sc = px.catalog.spec("arr_t").schema
+    assert(sc("tags").dataType == ArrayType(StringType))
+    assert(sc("scores").dataType == ArrayType(DoubleType))
+    assert(px.catalog.spec("arr_t").pk == Seq("id"))
+  }
+
+  test("sequences: NEXT VALUE FOR in upserts") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR)")
+    px.execute("CREATE SEQUENCE my_seq START WITH 100")
+    px.execute("UPSERT INTO t VALUES (NEXT VALUE FOR my_seq, 'a')")
+    px.execute("UPSERT INTO t VALUES (NEXT VALUE FOR my_seq, 'b')")
+    val ids = px.execute("SELECT id FROM t ORDER BY id").collect()
+      .map(_.getLong(0)).toSeq
+    assert(ids == Seq(100L, 101L))
+  }
+
+  test("DELETE FROM with predicate + view query") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY," +
+      " region VARCHAR, v BIGINT)")
+    px.execute("UPSERT INTO t VALUES (1, 'NA', 10)")
+    px.execute("UPSERT INTO t VALUES (2, 'EU', 20)")
+    px.execute("UPSERT INTO t VALUES (3, 'NA', 30)")
+    px.execute("CREATE VIEW t_na AS SELECT * FROM t WHERE region = 'NA'")
+    assert(px.execute("SELECT count(*) AS n FROM t_na").collect()(0)
+      .getLong(0) == 2)
+    px.execute("DELETE FROM t WHERE v >= 30")
+    assert(px.execute("SELECT count(*) AS n FROM t").collect()(0)
+      .getLong(0) == 2)
+    assert(px.execute("SELECT count(*) AS n FROM t_na").collect()(0)
+      .getLong(0) == 1)
+  }
+
+  test("partial-column upsert fills unnamed columns with NULL") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY," +
+      " a VARCHAR, b BIGINT)")
+    px.execute("UPSERT INTO t (id, a) VALUES (1, 'x')")
+    val r = px.execute("SELECT id, a, b FROM t").collect()(0)
+    assert(r.getLong(0) == 1L && r.getString(1) == "x" && r.isNullAt(2))
+  }
+}
