@@ -120,6 +120,29 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .select(cols: _*)
   }
 
+  /** Compaction: rewrite the change log as a single batch holding the
+    * current snapshot (same version counter, history discarded). At scale
+    * this is the periodic job that keeps snapshot reads from re-collapsing
+    * an ever-growing log; CDC consumers must be past sinceVersion before
+    * compacting (compaction drops the per-version history). */
+  def compact(name: String): Unit = {
+    val s = specs(name)
+    val v = nextVersion(name)
+    val snap = snapshot(name)
+      .withColumn("_version", lit(v))
+      .withColumn("_deleted", lit(false))
+      .select(logSchema(name).fieldNames.map(col): _*)
+    val tmp = s"${dir(name)}/data_compacting"
+    snap.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val dataDir = new java.io.File(s"${dir(name)}/data")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(dataDir)
+    new java.io.File(tmp).renameTo(dataDir)
+  }
+
   /** Updatable-filter views over a base table (reference: Phoenix VIEW
     * hierarchies, PTable.ViewType — a view is a predicate over the base
     * rowkey space; SURVEY.md §1.1). Views stack: a view of a view ANDs

@@ -122,6 +122,46 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("compaction collapses the log, preserves the snapshot") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("t", webStatSchema, pk = Seq("host", "domain",
+      "feature", "date"))
+    cat.upsert("t", Seq(("NA", "a.com", "x", "d1", 1L, 1L),
+      ("NA", "a.com", "x", "d2", 2L, 2L)).toDF(
+      "host", "domain", "feature", "date", "core", "db"))
+    cat.upsert("t", Seq(("NA", "a.com", "x", "d1", 9L, 9L)).toDF(
+      "host", "domain", "feature", "date", "core", "db"))
+    cat.delete("t", col("date") === "d2")
+    val before = cat.snapshot("t").orderBy("date").collect()
+      .map(r => (r.getString(3), r.getLong(4))).toSeq
+    assert(cat.changeLog("t").count() == 4)
+    cat.compact("t")
+    assert(cat.changeLog("t").count() == 1, "log must hold only survivors")
+    val after = cat.snapshot("t").orderBy("date").collect()
+      .map(r => (r.getString(3), r.getLong(4))).toSeq
+    assert(after == before && after == Seq(("d1", 9L)))
+    // writes after compaction still version correctly
+    cat.upsert("t", Seq(("NA", "a.com", "x", "d3", 3L, 3L)).toDF(
+      "host", "domain", "feature", "date", "core", "db"))
+    assert(cat.snapshot("t").count() == 2)
+  }
+
+  test("salted aggregate equals plain groupBy (skew path)") {
+    import graft.operators.Skew
+    val li = Tables.t(spark, "/root/testdata/sf0.001", "lineitem")
+    val got = Skew.saltedCountSum(li, Seq("l_returnflag"),
+      Map("qty" -> col("l_quantity").cast(DecimalType(12, 2))), 8)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    val exp = li.groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(12, 2))).as("qty"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDecimal(2)))
+    assert(got.toSeq == exp.toSeq)
+  }
+
   test("views: stacked predicates, multi-tenant shape") {
     import spark.implicits._
     val cat = freshCatalog()
