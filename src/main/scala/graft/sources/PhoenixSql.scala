@@ -90,21 +90,46 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     out.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
+  /** Contents of the first balanced (...) group + the trailing text —
+    * a greedy regex would swallow later parenthesized clauses like
+    * SPLIT ON ('a','b') into the column body. */
+  private def firstBalancedGroup(s: String): (String, String) = {
+    val open = s.indexOf('(')
+    require(open >= 0, s"expected ( in: $s")
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0)
+            return (s.substring(open + 1, i), s.substring(i + 1))
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(s"unbalanced parens in: $s")
+  }
+
   private def createTable(s: String): DataFrame = {
-    val m = ("(?is)CREATE TABLE (?:IF NOT EXISTS )?([\\w.\"]+)\\s*" +
-      "\\((.*)\\)\\s*([\\w =,]*)$").r.findFirstMatchIn(s)
+    val m = "(?is)CREATE TABLE (?:IF NOT EXISTS )?([\\w.\"]+)\\s*(\\(.*)$".r
+      .findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
     val name = cleanIdent(m.group(1))
+    val (rawBody, tail) = firstBalancedGroup(m.group(2))
     // Phoenix's grammar allows the CONSTRAINT clause to follow the last
     // column without a comma (see examples/WEB_STAT.sql) — normalize.
-    val body = m.group(2).replaceAll("(?i)\\s+CONSTRAINT\\s+", ", CONSTRAINT ")
+    val body = rawBody.replaceAll("(?i)\\s+CONSTRAINT\\s+", ", CONSTRAINT ")
     val items = splitTopLevel(body, ',')
     val (pkItems, colItems) = items.partition(
       _.toUpperCase.matches("(?s)CONSTRAINT\\s+\\S+\\s+PRIMARY KEY.*"))
     val fields = colItems.map { c =>
       val parts = c.trim.split("\\s+", 2)
-      // flatten column-family prefix (USAGE.CORE → CORE)
-      val colName = cleanIdent(parts(0)).split("\\.").last
+      // flatten column-family prefix (USAGE.CORE → CORE) BEFORE general
+      // identifier cleaning (which would flatten the dot into the name)
+      val colName = parts(0).split("\\.").last
+        .replaceAll("\"", "").toLowerCase
       val typeAndCons = parts(1)
       val notNull = typeAndCons.toUpperCase.contains("NOT NULL")
       val t = typeAndCons.replaceAll("(?i)\\s+NOT\\s+NULL", "")
@@ -122,7 +147,10 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
         colItems.filter(_.toUpperCase.contains("PRIMARY KEY"))
           .map(c => cleanIdent(c.trim.split("\\s+")(0)).toLowerCase)
     }
-    val props = m.group(3).split(",").map(_.trim).filter(_.contains("="))
+    // trailing table options: k=v props kept (and ignored downstream);
+    // physical clauses like SPLIT ON (...) are HBase details — dropped
+    val props = tail.replaceAll("(?is)SPLIT\\s+ON\\s*\\([^)]*\\)", "")
+      .split(",").map(_.trim).filter(_.contains("="))
       .map { p => val Array(k, v) = p.split("=", 2); k.trim -> v.trim }
       .toMap
     catalog.createTable(name, StructType(fields), pk, props)
@@ -201,9 +229,32 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     tableNames.foreach(t =>
       catalog.snapshot(t).createOrReplaceTempView(t))
     viewNames.foreach(v => catalog.view(v).createOrReplaceTempView(v))
-    spark.sql(s)
+    // rewrite schema-qualified spellings to the flattened view names
+    val rewritten = dottedNames.foldLeft(s) { case (acc, (dotted, flat)) =>
+      acc.replaceAll("(?i)" + java.util.regex.Pattern.quote(dotted), flat)
+    }
+    spark.sql(rewritten)
   }
 
-  private def cleanIdent(s: String): String =
-    s.trim.replaceAll("\"", "").toLowerCase
+  /** Identifiers: strip quotes, lowercase, flatten schema qualification
+    * (Phoenix SCHEMA.TABLE → one flat name; Spark temp views can't be
+    * schema-qualified). Original dotted spellings are remembered so
+    * SELECT text can be rewritten. */
+  private val dottedNames = scala.collection.mutable.Map[String, String]()
+
+  private def cleanIdent(s: String): String = {
+    val base = s.trim.replaceAll("\"", "").toLowerCase
+    if (base.contains(".")) {
+      val flat = base.replace(".", "_")
+      dottedNames(base) = flat
+      flat
+    } else base
+  }
+
+  /** Execute a multi-statement script (block comments stripped,
+    * ';'-separated). Returns the result of the last statement. */
+  def executeScript(script: String): Seq[DataFrame] = {
+    val clean = script.replaceAll("(?s)/\\*.*?\\*/", "")
+    clean.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map(execute)
+  }
 }
