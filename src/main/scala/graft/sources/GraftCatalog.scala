@@ -48,6 +48,36 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   }
 
   def spec(name: String): TableSpec = specs(name)
+  def hasTable(name: String): Boolean = specs.contains(name)
+
+  /** View-added columns (reference: Phoenix views may declare columns the
+    * base table doesn't have — they live in the same physical table but
+    * are only projected through the view). Stored per base table; base
+    * SELECT * never shows them. */
+  private val extensions =
+    scala.collection.mutable.Map[String, Seq[StructField]]()
+
+  def extendTable(name: String, fields: Seq[StructField]): Unit = {
+    require(specs.contains(name), s"unknown table $name")
+    val cur = extensions.getOrElse(name, Seq.empty)
+    val newOnes = fields.filterNot(f =>
+      cur.exists(_.name == f.name) || specs(name).schema.fieldNames
+        .contains(f.name))
+    extensions(name) = cur ++ newOnes.map(_.copy(nullable = true))
+  }
+
+  private def allFields(name: String): Seq[StructField] =
+    specs(name).schema.fields.toSeq ++ extensions.getOrElse(name, Seq.empty)
+
+  def dropTable(name: String): Unit = {
+    specs.remove(name)
+    extensions.remove(name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    rm(new java.io.File(dir(name)))
+  }
 
   private def nextVersion(name: String): Long = {
     val f = versionFile(name)
@@ -57,11 +87,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     v
   }
 
-  /** UPSERT a batch: append rows stamped with the next version. */
+  /** UPSERT a batch: append rows stamped with the next version. Missing
+    * view-extension columns are padded with NULL. */
   def upsert(name: String, df: DataFrame): Long = {
-    val s = specs(name)
     val v = nextVersion(name)
-    df.select(s.schema.fieldNames.map(col): _*)
+    val fields = allFields(name)
+    val padded = fields.foldLeft(df) { (d, f) =>
+      if (d.columns.contains(f.name)) d
+      else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    padded.select(fields.map(f => col(f.name).cast(f.dataType)): _*)
       .withColumn("_version", lit(v))
       .withColumn("_deleted", lit(false))
       .write.mode(SaveMode.Append).parquet(s"${dir(name)}/data")
@@ -70,10 +105,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
 
   /** DELETE by predicate: tombstone the matching PKs as of now. */
   def delete(name: String, predicate: org.apache.spark.sql.Column): Long = {
-    val s = specs(name)
     val v = nextVersion(name)
-    snapshot(name).where(predicate)
-      .select(s.schema.fieldNames.map(col): _*)
+    val fields = allFields(name)
+    snapshotFull(name).where(predicate)
+      .select(fields.map(f => col(f.name)): _*)
       .withColumn("_version", lit(v))
       .withColumn("_deleted", lit(true))
       .write.mode(SaveMode.Append).parquet(s"${dir(name)}/data")
@@ -84,26 +119,30 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def changeLog(name: String): DataFrame =
     spark.read.schema(logSchema(name)).parquet(s"${dir(name)}/data")
 
-  private def logSchema(name: String): StructType = {
-    val s = specs(name)
-    StructType(s.schema.fields :+
+  private def logSchema(name: String): StructType =
+    StructType(allFields(name) :+
       StructField("_version", LongType, nullable = false) :+
       StructField("_deleted", BooleanType, nullable = false))
-  }
 
-  /** Snapshot read: latest write per PK, tombstones dropped. One shuffle,
-    * partitioned by the key. */
-  def snapshot(name: String): DataFrame = {
+  /** Snapshot with view-extension columns included (what views read). */
+  def snapshotFull(name: String): DataFrame = {
     val s = specs(name)
-    val nonPk = s.schema.fieldNames.filterNot(s.pk.contains)
+    val fields = allFields(name)
+    val nonPk = fields.map(_.name).filterNot(s.pk.contains)
     val w = Window.partitionBy(s.pk.map(col): _*)
       .orderBy(col("_version").desc +:
         nonPk.map(c => col(c).desc): _*)
     changeLog(name)
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") === 1 && !col("_deleted"))
-      .select(s.schema.fieldNames.map(col): _*)
+      .select(fields.map(f => col(f.name)): _*)
   }
+
+  /** Snapshot read: latest write per PK, tombstones dropped. One shuffle,
+    * partitioned by the key. Projects the DECLARED schema only — columns
+    * added by views are visible only through the view. */
+  def snapshot(name: String): DataFrame =
+    snapshotFull(name).select(specs(name).schema.fieldNames.map(col): _*)
 
   /** CDC view (reference: Phoenix CREATE CDC, CDCChangeScope CHANGE/PRE/
     * POST — cs/coprocessor/CDCGlobalIndexRegionScanner.java): one JSON
@@ -128,7 +167,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def compact(name: String): Unit = {
     val s = specs(name)
     val v = nextVersion(name)
-    val snap = snapshot(name)
+    val snap = snapshotFull(name) // full: keep view-extension columns
       .withColumn("_version", lit(v))
       .withColumn("_deleted", lit(false))
       .select(logSchema(name).fieldNames.map(col): _*)
@@ -160,9 +199,17 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
 
   def view(name: String): DataFrame = views.get(name) match {
     case Some((base, pred)) =>
-      (if (views.contains(base)) view(base) else snapshot(base)).where(pred)
+      (if (views.contains(base)) view(base) else snapshotFull(base))
+        .where(pred)
     case None => snapshot(name)
   }
+
+  /** Base table a (possibly stacked) view resolves to. */
+  def viewBase(name: String): String = views.get(name) match {
+    case Some((base, _)) => viewBase(base)
+    case None => name
+  }
+  def isView(name: String): Boolean = views.contains(name)
 
   /** Dynamic columns (reference: per-query extra columns, g:832-846,
     * DynamicColumnIT): extend a read with typed columns the base schema

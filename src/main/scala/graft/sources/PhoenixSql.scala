@@ -42,6 +42,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     else if (up.startsWith("CREATE SEQUENCE")) createSequence(s)
     else if (up.startsWith("UPSERT INTO")) upsert(s)
     else if (up.startsWith("DELETE FROM")) delete(s)
+    else if (up.startsWith("DROP TABLE")) dropTable(s)
     else select(s)
   }
 
@@ -158,16 +159,57 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     spark.emptyDataFrame
   }
 
+  /** view name → (equality defaults from the predicate, raw predicate).
+    * Phoenix updatable views: UPSERT through a view writes the base row
+    * with the view's WHERE-equality columns set to the compared values
+    * (so the row is visible through the view). */
+  private val viewDefaults =
+    scala.collection.mutable.Map[String, Map[String, String]]()
+
   private def createView(s: String): DataFrame = {
-    val m = ("(?is)CREATE VIEW (?:IF NOT EXISTS )?([\\w.\"]+)\\s+AS\\s+" +
-      "SELECT \\* FROM ([\\w.\"]+)(?:\\s+WHERE\\s+(.*))?$").r
+    val m = ("(?is)CREATE VIEW (?:IF NOT EXISTS )?([\\w.\"]+)\\s*" +
+      "(\\([^)]*\\))?\\s*AS\\s+" +
+      "SELECT \\* FROM\\s+([\\w.\"]+)(?:\\s+WHERE\\s+(.*))?$").r
       .findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
     val name = cleanIdent(m.group(1))
-    val base = cleanIdent(m.group(2))
-    val pred = Option(m.group(3)).map(expr).getOrElse(lit(true))
+    val base = cleanIdent(m.group(3))
+    // view-added columns extend the base table's physical storage
+    Option(m.group(2)).foreach { colGroup =>
+      val inner = colGroup.stripPrefix("(").stripSuffix(")")
+      val fields = splitTopLevel(inner, ',').map { c =>
+        val parts = c.trim.split("\\s+", 2)
+        StructField(parts(0).replaceAll("\"", "").toLowerCase,
+          parseType(parts(1)), nullable = true)
+      }
+      catalog.extendTable(catalog.viewBase(base), fields)
+    }
+    val predText = Option(m.group(4))
+    val pred = predText.map(expr).getOrElse(lit(true))
+    // equality conjuncts become write-through defaults
+    val eqs = predText.toSeq.flatMap(_.split("(?i)\\s+AND\\s+").toSeq)
+      .flatMap { c =>
+        "^\\s*([\\w\"]+)\\s*=\\s*('[^']*'|[\\d.]+)\\s*$".r
+          .findFirstMatchIn(c)
+          .map(g => g.group(1).replaceAll("\"", "").toLowerCase -> g.group(2))
+      }.toMap
+    viewDefaults(name) = eqs
     catalog.createView(name, base, pred)
     viewNames += name
+    spark.emptyDataFrame
+  }
+
+  private def dropTable(s: String): DataFrame = {
+    val m = "(?is)DROP TABLE (?:IF EXISTS )?([\\w.\"]+)\\s*$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val name = cleanIdent(m.group(1))
+    if (catalog.hasTable(name)) {
+      catalog.dropTable(name)
+      tableNames -= name
+      spark.catalog.dropTempView(name)
+    } else if (!s.toUpperCase.contains("IF EXISTS"))
+      throw new IllegalArgumentException(s"unknown table $name")
     spark.emptyDataFrame
   }
 
@@ -191,7 +233,13 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val m = ("(?is)UPSERT INTO ([\\w.\"]+)\\s*(?:\\(([^)]*)\\))?\\s*" +
       "VALUES\\s*\\((.*)\\)$").r.findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
-    val table = cleanIdent(m.group(1))
+    val target = cleanIdent(m.group(1))
+    // upsert through a view: write the base row with the view's equality
+    // defaults for columns the statement doesn't set
+    val (table, defaults) =
+      if (catalog.isView(target))
+        (catalog.viewBase(target), viewDefaults.getOrElse(target, Map.empty))
+      else (target, Map.empty[String, String])
     val spec = catalog.spec(table)
     val cols = Option(m.group(2))
       .map(splitTopLevel(_, ',').map(c =>
@@ -203,7 +251,10 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       nv.map(g => nextValueFor(cleanIdent(g.group(1))).toString)
         .getOrElse(v)
     }
-    val row = spark.sql(s"SELECT ${values.zip(cols)
+    val withDefaults = values.zip(cols) ++
+      defaults.filterNot { case (c, _) => cols.contains(c) }
+        .map { case (c, v) => (v, c) }
+    val row = spark.sql(s"SELECT ${withDefaults
       .map { case (v, c) => s"$v AS $c" }.mkString(", ")}")
     val full = spec.schema.fieldNames.foldLeft(row) { (df, c) =>
       if (df.columns.contains(c)) df

@@ -54,32 +54,55 @@ class GoldenReplaySpec extends AnyFunSuite {
     stripComments(read(s"$res/gold_files/gold_query_$name.txt"))
       .split("\n").map(_.trim).filter(_.nonEmpty).toSeq
 
+  /** Phoenix scans return rows in PK order implicitly; Spark has no
+    * implicit ordering. For replay, bare multi-row SELECTs get the PK of
+    * the referenced table appended as an explicit ORDER BY. */
+  private def withImplicitOrder(q: String,
+      pkOrder: Map[String, String]): String = {
+    val up = q.toUpperCase
+    if (up.contains("ORDER BY")) q
+    else if (up.contains("OFFSET"))
+      q.replaceAll("(?i)\\s+OFFSET\\s+",
+        s" ORDER BY ${pkOrder.values.head} OFFSET ")
+    else if (Seq("COUNT(", "SUM(", "MAX(", "MIN(", "AVG(", "GROUP BY")
+        .exists(up.contains)) q
+    else pkOrder.find { case (t, _) => up.contains(t.toUpperCase) }
+      .map { case (_, pk) => s"$q ORDER BY $pk" }.getOrElse(q)
+  }
+
+  private def runQueries(px: PhoenixSql, file: String,
+      pkOrder: Map[String, String]): Seq[String] =
+    stripComments(read(s"$res/sql_files/$file.sql"))
+      .split(";").map(_.trim).filter(_.nonEmpty).toSeq
+      .flatMap { q =>
+        val q2 = if (q.toUpperCase.startsWith("SELECT DISTINCT ID1, MAX")) {
+          // Phoenix's order-preserving DISTINCT sorted by a non-projected
+          // group key (ORDER BY ID1, ID2) — Spark rejects the construct;
+          // equivalent: first occurrence per (ID1, max) pair in sort order.
+          """SELECT ID1, max_c AS `MAX(COL2)` FROM
+               (SELECT ID1, ID2, MAX(COL2) AS max_c FROM schema_0001.table_0001
+                GROUP BY ID1, ID2)
+             GROUP BY ID1, max_c ORDER BY ID1, MIN(ID2)"""
+        } else if (q.toUpperCase.startsWith("SELECT"))
+          withImplicitOrder(q, pkOrder)
+        else q
+        val df = px.execute(q2)
+        if (q.toUpperCase.startsWith("SELECT")) goldFormat(df) else Seq.empty
+      }
+
+  private def check(px: PhoenixSql, queryFile: String, goldName: String,
+      pkOrder: Map[String, String]): Unit = {
+    val got = runQueries(px, queryFile, pkOrder)
+    val expected = goldLines(goldName)
+    assert(got == expected,
+      s"\n-- got --\n${got.mkString("\n")}\n-- gold --\n${expected.mkString("\n")}")
+  }
+
   private def replay(chain: String, pkOrder: Map[String, String]): Unit = {
     val wh = java.nio.file.Files.createTempDirectory(s"gold_$chain").toString
     val px = new PhoenixSql(spark, new GraftCatalog(spark, wh))
     px.executeScript(read(s"$res/sql_files/create_$chain.sql"))
-    val queries = stripComments(read(s"$res/sql_files/query_$chain.sql"))
-      .split(";").map(_.trim).filter(_.nonEmpty)
-    val got = queries.flatMap { q =>
-      // Phoenix's implicit PK scan order → explicit ORDER BY for OFFSET
-      val q2 = if (q.toUpperCase.contains("OFFSET") &&
-          !q.toUpperCase.contains("ORDER BY")) {
-        val pk = pkOrder.values.head
-        q.replaceAll("(?i)\\s+OFFSET\\s+", s" ORDER BY $pk OFFSET ")
-      } else if (q.toUpperCase.startsWith("SELECT DISTINCT ID1, MAX")) {
-        // Phoenix's order-preserving DISTINCT sorted by a non-projected
-        // group key (ORDER BY ID1, ID2) — Spark rejects the construct;
-        // equivalent: first occurrence per (ID1, max) pair in sort order.
-        """SELECT ID1, max_c AS `MAX(COL2)` FROM
-             (SELECT ID1, ID2, MAX(COL2) AS max_c FROM schema_0001.table_0001
-              GROUP BY ID1, ID2)
-           GROUP BY ID1, max_c ORDER BY ID1, MIN(ID2)"""
-      } else q
-      goldFormat(px.execute(q2))
-    }.toSeq
-    val expected = goldLines(chain)
-    assert(got == expected,
-      s"\n-- got --\n${got.mkString("\n")}\n-- gold --\n${expected.mkString("\n")}")
+    check(px, s"query_$chain", chain, pkOrder)
   }
 
   test("gold replay: distinct") {
@@ -96,5 +119,29 @@ class GoldenReplaySpec extends AnyFunSuite {
   }
   test("gold replay: unorder_groupby") {
     replay("unorder_groupby", Map("schema_0000.table_0000" -> "ID"))
+  }
+
+  private val viewChainOrder = Map(
+    "my_schema.my_table" -> "id",
+    "my_schema.my_table_immutable" -> "id",
+    "my_table_second_view" -> "id",
+    "my_table_view" -> "id",
+    "my_schema.my_table_delete" -> "id")
+
+  test("gold replay: updatable-view chain (create_add → add_data)") {
+    val wh = java.nio.file.Files.createTempDirectory("gold_views").toString
+    val px = new PhoenixSql(spark, new GraftCatalog(spark, wh))
+    px.executeScript(read(s"$res/sql_files/create_add.sql"))
+    check(px, "query_create_add", "create_add", viewChainOrder)
+    px.executeScript(read(s"$res/sql_files/add_data.sql"))
+    check(px, "query_add_data", "add_data", viewChainOrder)
+  }
+
+  test("gold replay: delete chain (create_add → add_delete)") {
+    val wh = java.nio.file.Files.createTempDirectory("gold_del").toString
+    val px = new PhoenixSql(spark, new GraftCatalog(spark, wh))
+    px.executeScript(read(s"$res/sql_files/create_add.sql"))
+    px.executeScript(read(s"$res/sql_files/add_delete.sql"))
+    check(px, "query_add_delete", "add_delete", viewChainOrder)
   }
 }
