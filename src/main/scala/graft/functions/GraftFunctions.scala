@@ -53,6 +53,13 @@ object GraftFunctions {
       "timezone_offset",
       e => TimezoneOffset(asString(e(0)), asTimestamp(e(1))), "built-in")
     reg.createOrReplaceTempFunction(
+      "collation_key",
+      e => CollationKey(asString(e(0)), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "json_modify",
+      e => JsonModify(asString(e(0)), asString(e(1)), asString(e(2))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "simhash64", e => SimHash64(e.head), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_signature",

@@ -65,4 +65,43 @@ object Multimodal {
     media.select("media_id", "payload").as[(Long, Array[Byte])]
       .mapPartitions { it => it.map { case (id, p) => decoder.decode(id, p) } }
   }
+
+  /** One sampled video frame: parent id, frame index, the frame's byte
+    * slice (STUB: a real decoder would emit decoded image tensors), and a
+    * per-frame digest. */
+  case class Frame(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte],
+      frame_digest: String)
+
+  /** Frame sampling: explode each payload into ~`frames` evenly spaced
+    * frame rows (1 row → N rows via flatMap; the real-codec version swaps
+    * the byte-slicing stub for an ffmpeg-style keyframe reader). Output
+    * row count scales with frames-per-doc, so the stage repartitions
+    * afterwards at real scale — left to the caller, who knows the target
+    * parallelism. */
+  def sampleFrames(media: DataFrame, frames: Int = 4): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val n = math.max(1, math.min(frames, p.length))
+        val step = math.max(1, p.length / n)
+        (0 until n).map { i =>
+          val start = i * step
+          val slice = p.slice(start, math.min(start + step, p.length))
+          val md = java.security.MessageDigest.getInstance("MD5")
+            .digest(slice).map("%02x".format(_)).mkString
+          Frame(id, i, slice, md)
+        }
+      }
+  }
+
+  /** Resize stub: deterministic downsample of the payload bytes to
+    * `targetBytes` by stride sampling (stands in for image resize). */
+  def resizeStub(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+    if (payload.length <= targetBytes) payload
+    else {
+      val stride = payload.length.toDouble / targetBytes
+      Array.tabulate(targetBytes)(i => payload((i * stride).toInt))
+    }
+  }
 }

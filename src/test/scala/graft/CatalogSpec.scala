@@ -224,6 +224,29 @@ class CatalogSpec extends AnyFunSuite {
     assert(r.get(4).toString.startsWith("2024-01-01T09:00"))
   }
 
+  test("collation_key orders accented strings per locale; json_modify") {
+    graft.functions.GraftFunctions.register(spark)
+    // collation: in French collation 'côte' sorts between 'cote' and 'coté'
+    val r = spark.sql("""
+      SELECT word FROM VALUES ('cote'), ('coté'), ('côte'), ('côté')
+        AS t(word)
+      ORDER BY collation_key(word, 'fr')""").collect().map(_.getString(0))
+    assert(r.head == "cote" && r.last == "côté",
+      s"unexpected collation order: ${r.mkString(",")}")
+    // binary keys compare differently from raw UTF-8 bytes
+    val raw = spark.sql("""
+      SELECT word FROM VALUES ('cote'), ('coté'), ('côte'), ('côté')
+        AS t(word) ORDER BY word""").collect().map(_.getString(0))
+    assert(!r.sameElements(raw), "collation must differ from byte order")
+    val j = spark.sql("""
+      SELECT json_modify('{"k": 1, "x": "a"}', '$.k', '42') AS a,
+             json_modify('{"k": 1}', '$.new', '"hi"') AS b,
+             json_modify('[1,2]', '$.k', '1') AS arr""").collect()(0)
+    assert(j.getString(0) == """{"k":42,"x":"a"}""")
+    assert(j.getString(1) == """{"k":1,"new":"hi"}""")
+    assert(j.isNullAt(2), "non-object json → NULL")
+  }
+
   test("streaming windowed agg with watermark over events parquet") {
     // the streaming file source needs a directory, not a single file
     val evDir = java.nio.file.Files.createTempDirectory("graft_events")

@@ -157,6 +157,25 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("frame sampling explodes payloads into deterministic frame rows") {
+    val docs = Tables.t(spark, dir, "documents").limit(10)
+    val media = Multimodal.mediaTable(docs)
+    val frames = Multimodal.sampleFrames(media, frames = 4).collect()
+    assert(frames.length == 40, s"10 docs × 4 frames, got ${frames.length}")
+    val byDoc = frames.groupBy(_.media_id)
+    byDoc.values.foreach { fs =>
+      assert(fs.map(_.frame_idx).sorted.sameElements(0 until 4))
+      assert(fs.forall(_.frame_bytes.nonEmpty))
+    }
+    // deterministic: second run produces identical digests
+    val again = Multimodal.sampleFrames(media, frames = 4).collect()
+    assert(frames.map(f => (f.media_id, f.frame_idx, f.frame_digest)).toSet ==
+      again.map(f => (f.media_id, f.frame_idx, f.frame_digest)).toSet)
+    // resize stub bounds
+    val rs = Multimodal.resizeStub(Array.tabulate(1000)(_.toByte), 64)
+    assert(rs.length == 64)
+  }
+
   test("upsert snapshot keeps exactly one row per key") {
     val q = SparkEntry.queries("q_upsert_snapshot")(spark, dir)
     val n = q.count()
