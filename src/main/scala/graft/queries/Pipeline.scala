@@ -115,6 +115,16 @@ object Pipeline {
           Multimodal.mediaTable(Tables.t(s, dir, "documents")))
         .toDF()
         .orderBy(col("media_id"))
+    },
+
+    // Multimodal frame sampling: payload → 4 evenly spaced frame rows
+    // (typed flatMap; deterministic stub slicing → exact oracle).
+    "q_multimodal_frames" -> { (s, dir) =>
+      Multimodal.sampleFrames(
+          Multimodal.mediaTable(Tables.t(s, dir, "documents")), frames = 4)
+        .toDF()
+        .select(col("media_id"), col("frame_idx"), col("frame_digest"))
+        .orderBy(col("media_id"), col("frame_idx"))
     }
   )
 
@@ -222,6 +232,14 @@ object Pipeline {
         WHERE n_tok >= 20 AND stop_ratio >= 0.05 AND lang_pred = 'en')
       SELECT doc_id, n_tok, stop_ratio, fp FROM filtered WHERE rn = 1
       ORDER BY doc_id""",
+
+    "q_multimodal_frames" -> """
+      SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,
+             md5(substr(text,
+               CAST(i * (strlen(text) // 4) AS INT) + 1,
+               strlen(text) // 4)) AS frame_digest
+      FROM documents, (SELECT unnest(range(4)) AS i)
+      ORDER BY media_id, frame_idx""",
 
     "q_multimodal_features" -> """
       SELECT doc_id AS media_id,
