@@ -197,10 +197,22 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     views(name) = (base, predicate)
   }
 
+  /** Columns a view has dropped (reference: diverged views — ALTER VIEW
+    * DROP COLUMN detaches the view's projection from the base; the base
+    * keeps the column). */
+  private val viewDropped =
+    scala.collection.mutable.Map[String, Set[String]]()
+
+  def viewDropColumn(name: String, column: String): Unit = {
+    require(views.contains(name), s"unknown view $name")
+    viewDropped(name) = viewDropped.getOrElse(name, Set.empty) + column
+  }
+
   def view(name: String): DataFrame = views.get(name) match {
     case Some((base, pred)) =>
-      (if (views.contains(base)) view(base) else snapshotFull(base))
+      val df = (if (views.contains(base)) view(base) else snapshotFull(base))
         .where(pred)
+      viewDropped.getOrElse(name, Set.empty).foldLeft(df)(_ drop _)
     case None => snapshot(name)
   }
 

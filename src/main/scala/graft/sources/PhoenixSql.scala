@@ -43,6 +43,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     else if (up.startsWith("UPSERT INTO")) upsert(s)
     else if (up.startsWith("DELETE FROM")) delete(s)
     else if (up.startsWith("DROP TABLE")) dropTable(s)
+    else if (up.startsWith("ALTER VIEW")) alterView(s)
     else select(s)
   }
 
@@ -199,6 +200,18 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     spark.emptyDataFrame
   }
 
+  /** ALTER VIEW v DROP COLUMN c — diverged views (reference:
+    * create_diverged_view.sql): the view stops projecting the column,
+    * the base table keeps it. */
+  private def alterView(s: String): DataFrame = {
+    val m = "(?is)ALTER VIEW ([\\w.\"]+)\\s+DROP COLUMN\\s+([\\w\"]+)\\s*$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    catalog.viewDropColumn(cleanIdent(m.group(1)),
+      m.group(2).replaceAll("\"", "").toLowerCase)
+    spark.emptyDataFrame
+  }
+
   private def dropTable(s: String): DataFrame = {
     val m = "(?is)DROP TABLE (?:IF EXISTS )?([\\w.\"]+)\\s*$".r
       .findFirstMatchIn(s)
@@ -256,12 +269,9 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
         .map { case (c, v) => (v, c) }
     val row = spark.sql(s"SELECT ${withDefaults
       .map { case (v, c) => s"$v AS $c" }.mkString(", ")}")
-    val full = spec.schema.fieldNames.foldLeft(row) { (df, c) =>
-      if (df.columns.contains(c)) df
-      else df.withColumn(c, lit(null))
-    }.select(spec.schema.fieldNames.map(c =>
-      col(c).cast(spec.schema(c).dataType)): _*)
-    catalog.upsert(table, full)
+    // catalog.upsert pads missing columns (incl. view extensions) with
+    // NULL and casts everything to the declared types
+    catalog.upsert(table, row)
     spark.emptyDataFrame
   }
 

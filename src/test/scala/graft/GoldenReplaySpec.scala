@@ -137,6 +137,28 @@ class GoldenReplaySpec extends AnyFunSuite {
     check(px, "query_add_data", "add_data", viewChainOrder)
   }
 
+  test("gold replay: standalone delete chain") {
+    val wh = java.nio.file.Files.createTempDirectory("gold_del2").toString
+    val px = new PhoenixSql(spark, new GraftCatalog(spark, wh))
+    check(px, "query_delete", "delete", viewChainOrder)
+  }
+
+  test("gold replay: select-and-drop chain (create_tmp_table)") {
+    val wh = java.nio.file.Files.createTempDirectory("gold_drop").toString
+    val px = new PhoenixSql(spark, new GraftCatalog(spark, wh))
+    px.executeScript(read(s"$res/sql_files/create_tmp_table.sql"))
+    check(px, "query_select_and_drop_table", "select_and_drop_table",
+      Map("my_schema.my_table_delete2" -> "id"))
+  }
+
+  test("gold replay: diverged-view chain (ALTER VIEW DROP COLUMN)") {
+    val wh = java.nio.file.Files.createTempDirectory("gold_div").toString
+    val px = new PhoenixSql(spark, new GraftCatalog(spark, wh))
+    px.executeScript(read(s"$res/sql_files/create_diverged_view.sql"))
+    check(px, "query_create_diverged_view", "create_diverged_view",
+      Map("s.t" -> "a", "s.v" -> "a"))
+  }
+
   test("gold replay: delete chain (create_add → add_delete)") {
     val wh = java.nio.file.Files.createTempDirectory("gold_del").toString
     val px = new PhoenixSql(spark, new GraftCatalog(spark, wh))
