@@ -18,6 +18,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // pin runtime skew-join splitting (hot keys at 100 TB); salted
+      // aggregation for skewed groupBys lives in operators.Skew
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Parquet scans: vectorized reader + pushdown are defaults; pin them

@@ -47,7 +47,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     spec
   }
 
-  def spec(name: String): TableSpec = specs(name)
+  def spec(name: String): TableSpec = specs.getOrElse(name,
+    throw new IllegalArgumentException(
+      s"unknown table '$name' (known: ${specs.keys.toSeq.sorted.mkString(", ")})"))
   def hasTable(name: String): Boolean = specs.contains(name)
 
   /** View-added columns (reference: Phoenix views may declare columns the
