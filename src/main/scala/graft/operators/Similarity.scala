@@ -78,6 +78,19 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact bounded form (the
+    * correctness baseline — O(n²); the scale path is [[knnJoin]]'s
+    * LSH-bucketed self-join followed by the same threshold). */
+  def cosineNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
+      threshold: Double): DataFrame = {
+    val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("sim"))
+      .where(col("sim") >= threshold)
+  }
+
   /** Batch k-NN self-join via LSH buckets: per-id top-k neighbors within
     * the same bucket (the all-pairs scale path — shuffle on bucket, no
     * full cross join). */

@@ -77,6 +77,15 @@ object Pipeline {
         "embedding", "vec_id", queryId = 0L, k = 20)
     },
 
+    // Embedding-cosine near-dup pairs (bounded exact baseline; the scale
+    // path is the LSH-bucketed knnJoin + threshold).
+    "q_dedup_embedding" -> { (s, dir) =>
+      Similarity.cosineNearDupPairs(
+          Tables.t(s, dir, "embeddings").where(col("vec_id") < 200),
+          "embedding", "vec_id", threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // ANN via sign-random-projection bucket (scale path; recall vs the
     // brute-force baseline is ScalaTested — no SQL oracle).
     "q_ann_lsh" -> { (s, dir) =>
@@ -190,6 +199,24 @@ object Pipeline {
              WHEN fr = greatest(en, de, fr, es) THEN 'fr'
              ELSE 'es' END AS lang_pred
       FROM sc ORDER BY doc_id""",
+
+    "q_dedup_embedding" -> """
+      WITH e AS (SELECT * FROM embeddings WHERE vec_id < 200)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_sum(list_transform(range(1, 65),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(a.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(b.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM e a, e b WHERE a.vec_id < b.vec_id
+        AND list_sum(list_transform(range(1, 65),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(a.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(b.embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3
+      ORDER BY id_a, id_b""",
 
     "q_knn_cosine" -> """
       WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
