@@ -1,18 +1,29 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
-  * prints one JSON line {"metric":"total","value":...,"queries":{...}}. */
+  * prints one JSON line {"metric":"total","value":...,"queries":{...}}.
+  *
+  * Timing executes the FULL physical plan via queryExecution.toRdd.count()
+  * — a plain df.count() lets Spark drop the final projection for
+  * project-only queries and understates scan/expression cost. The JSON
+  * line is also written to bench_out.json so a log-scraping failure
+  * (e.g. an sbt prefix) can't lose the round's numbers.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
-    // one warm-up of the session (JIT + codegen caches) on the smallest query
-    SparkEntry.queries.headOption.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    def execute(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
+    // one warm-up of the session (JIT + codegen caches) on the first query
+    SparkEntry.queries.keys.headOption.foreach { n =>
+      try execute(n) catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+      try execute(name) catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -20,7 +31,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()
   }
 }

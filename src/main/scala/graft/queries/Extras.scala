@@ -47,12 +47,14 @@ object Extras {
         (shiftright($"o_orderkey", 5).bitwiseAND(1L)).as("bit5"))
     },
 
-    // SUB_BINARY over a binary payload (Phoenix SubBinaryFunction).
+    // SUB_BINARY over a binary payload (Phoenix SubBinaryFunction). The
+    // binary result is hex-serialized in the final projection — the
+    // driver's compare can't sort/hash raw bytes (r1 harness crash).
     "q_sub_binary" -> { (s, dir) =>
       import s.implicits._
       Tables.t(s, dir, "part").select(
         $"p_partkey",
-        substring($"p_name".cast(BinaryType), 1, 3).as("bin3"),
+        hex(substring($"p_name".cast(BinaryType), 1, 3)).as("bin3_hex"),
         octet_length($"p_name".cast(BinaryType)).as("nbytes"))
     },
 
@@ -80,7 +82,8 @@ object Extras {
       l.join(o, $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          sum($"l_quantity".cast(DecimalType(12, 2))).as("qty"))
+          round(sum($"l_quantity".cast(DecimalType(12, 2))), 2)
+            .cast(DoubleType).as("qty"))
         .orderBy($"o_orderpriority")
     },
 
@@ -108,7 +111,8 @@ object Extras {
       Tables.t(s, dir, "events")
         .groupBy(session_window($"ts", "30 minutes"), $"user_id")
         .agg(count(lit(1)).as("n"),
-          sum($"value".cast(DecimalType(12, 2))).as("sum_value"))
+          round(sum($"value".cast(DecimalType(12, 2))), 2)
+            .cast(DoubleType).as("sum_value"))
         .select($"session_window.start".as("sess_start"),
           $"session_window.end".as("sess_end"),
           $"user_id", $"n", $"sum_value")
@@ -152,7 +156,7 @@ object Extras {
       FROM orders""",
 
     "q_sub_binary" -> """
-      SELECT p_partkey, encode(substr(p_name, 1, 3)) AS bin3,
+      SELECT p_partkey, hex(encode(substr(p_name, 1, 3))) AS bin3_hex,
              octet_length(encode(p_name)) AS nbytes
       FROM part""",
 
@@ -169,7 +173,7 @@ object Extras {
 
     "q_join_sortmerge" -> """
       SELECT o_orderpriority, count(*) AS n,
-             sum(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
@@ -195,7 +199,7 @@ object Extras {
               ROWS UNBOUNDED PRECEDING) AS sid FROM m)
       SELECT min(ts) AS sess_start, max(ts) + INTERVAL 30 MINUTE AS sess_end,
              user_id, count(*) AS n,
-             sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+             CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
       FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""",
 
     "q_array_any_all" -> raw"""

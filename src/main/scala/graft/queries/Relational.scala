@@ -23,6 +23,13 @@ object Relational {
   // exact decimal views of the double measure columns
   private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
   private def fac(c: Column): Column = c.cast(DecimalType(4, 2))
+  // Wire-format rule (round-1 driver root cause): the driver string-compares
+  // fetched values, and Spark DECIMAL stringifies as '506627.00' while the
+  // DuckDB oracle fetch yields '506627.0'. So aggregates SUM in exact
+  // decimal but the FINAL projection emits DOUBLE. round(_,2) first keeps
+  // the unscaled value < 2^53 so decimal→double is correctly rounded (and
+  // identical) in both engines.
+  private def outd(c: Column): Column = round(c, 2).cast(DoubleType)
 
   val queries: Map[String, Q] = Map(
     // §2.4 grouped aggregation, partial+final (Phoenix
@@ -33,12 +40,12 @@ object Relational {
         .filter($"l_shipdate" <= lit("1998-09-02").cast(TimestampType))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          sum(dec($"l_quantity")).as("sum_qty"),
-          sum(dec($"l_extendedprice")).as("sum_base_price"),
-          sum(dec($"l_extendedprice") * (fac(lit(1)) - fac($"l_discount")))
+          outd(sum(dec($"l_quantity"))).as("sum_qty"),
+          outd(sum(dec($"l_extendedprice"))).as("sum_base_price"),
+          outd(sum(dec($"l_extendedprice") * (fac(lit(1)) - fac($"l_discount"))))
             .as("sum_disc_price"),
-          sum(dec($"l_extendedprice") * (fac(lit(1)) - fac($"l_discount"))
-            * (fac(lit(1)) + fac($"l_tax"))).as("sum_charge"),
+          outd(sum(dec($"l_extendedprice") * (fac(lit(1)) - fac($"l_discount"))
+            * (fac(lit(1)) + fac($"l_tax")))).as("sum_charge"),
           (sum(dec($"l_quantity")).cast(DoubleType) / count(lit(1)))
             .as("avg_qty"),
           (sum(dec($"l_discount")).cast(DoubleType) / count(lit(1)))
@@ -158,7 +165,7 @@ object Relational {
       o.join(broadcast(c), $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment")
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec($"o_totalprice")).as("sum_price"))
+          outd(sum(dec($"o_totalprice"))).as("sum_price"))
         .orderBy($"c_mktsegment")
     },
 
@@ -230,7 +237,7 @@ object Relational {
         .filter($"o_orderstatus" === "F")
         .groupBy($"p_brand")
         .agg(
-          sum(dec($"l_extendedprice") * (fac(lit(1)) - fac($"l_discount")))
+          outd(sum(dec($"l_extendedprice") * (fac(lit(1)) - fac($"l_discount"))))
             .as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy($"p_brand")
@@ -240,7 +247,7 @@ object Relational {
     "q_scalar_subquery" -> { (s, dir) =>
       Tables.registerAll(s, dir)
       s.sql("""
-        SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+        SELECT o_orderkey, o_custkey, o_totalprice AS price
         FROM orders o
         WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
                               FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
@@ -253,7 +260,7 @@ object Relational {
       import s.implicits._
       Tables.t(s, dir, "lineitem").agg(
         count(lit(1)).as("n"),
-        sum(dec($"l_quantity")).as("sum_qty"),
+        outd(sum(dec($"l_quantity"))).as("sum_qty"),
         min($"l_shipdate").as("min_ship"),
         max($"l_shipdate").as("max_ship"),
         min($"l_extendedprice").as("min_price"),
@@ -285,7 +292,7 @@ object Relational {
       Tables.t(s, dir, "orders")
         .groupBy($"o_custkey")
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec($"o_totalprice")).as("total"))
+          outd(sum(dec($"o_totalprice"))).as("total"))
         .where($"n_orders" >= 8)
         .orderBy($"o_custkey")
     },
@@ -363,7 +370,7 @@ object Relational {
       import s.implicits._
       Tables.t(s, dir, "events")
         .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
-        .agg(count(lit(1)).as("n"), sum(dec($"value")).as("sum_value"))
+        .agg(count(lit(1)).as("n"), outd(sum(dec($"value"))).as("sum_value"))
         .orderBy($"hour", $"event_type")
     }
   )
@@ -374,10 +381,10 @@ object Relational {
   val oracle: Map[String, String] = Map(
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
-        sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-        sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-        sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS sum_disc_price,
-        sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS sum_charge,
+        CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
         CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
         count(*) AS count_order
@@ -439,7 +446,7 @@ object Relational {
 
     "q_join_inner" -> """
       SELECT c_mktsegment, count(*) AS n_orders,
-             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_price
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
@@ -475,7 +482,7 @@ object Relational {
 
     "q_star_join" -> """
       SELECT p_brand,
-        sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS revenue,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
         count(*) AS n_lines
       FROM lineitem
         JOIN part ON l_partkey = p_partkey
@@ -485,7 +492,7 @@ object Relational {
       GROUP BY p_brand ORDER BY p_brand""",
 
     "q_scalar_subquery" -> """
-      SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS price
+      SELECT o_orderkey, o_custkey, o_totalprice AS price
       FROM orders o
       WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
                             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
@@ -493,7 +500,7 @@ object Relational {
 
     "q_agg_ungrouped" -> """
       SELECT count(*) AS n,
-             sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
              min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
              min(l_extendedprice) AS min_price,
              max(l_extendedprice) AS max_price
@@ -511,7 +518,7 @@ object Relational {
 
     "q_having" -> """
       SELECT o_custkey, count(*) AS n_orders,
-             sum(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
       FROM orders GROUP BY o_custkey
       HAVING count(*) >= 8 ORDER BY o_custkey""",
 
@@ -550,7 +557,7 @@ object Relational {
 
     "q_time_bucket" -> """
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-             sum(CAST(value AS DECIMAL(12,2))) AS sum_value
+             CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
   )
 }
