@@ -16,9 +16,12 @@ object Base62 {
   def encode(n: Long): UTF8String = {
     if (n == 0L) return UTF8String.fromString("0")
     val neg = n < 0
-    var v = math.abs(n)
+    // negate via unsigned-safe loop domain: math.abs(Long.MinValue) is
+    // still negative, which would index the alphabet with v % 62 < 0.
+    // Divide as unsigned instead so every Long round-trips.
+    var v = if (neg) n else -n // work in negative domain (no overflow)
     val sb = new java.lang.StringBuilder
-    while (v != 0) { sb.append(alphabet.charAt((v % 62).toInt)); v /= 62 }
+    while (v != 0) { sb.append(alphabet.charAt((-(v % 62)).toInt)); v /= 62 }
     if (neg) sb.append('-')
     UTF8String.fromString(sb.reverse.toString)
   }
@@ -27,16 +30,24 @@ object Base62 {
     val str = s.toString
     if (str.isEmpty) return 0L
     val neg = str.charAt(0) == '-'
+    // accumulate in the negative domain (|Long.MinValue| > Long.MaxValue,
+    // so "-AzL8n0Y58m8" must not pass through +9223372036854775808) with
+    // exact arithmetic so past-Long inputs error instead of wrapping
     var v = 0L
     var i = if (neg) 1 else 0
-    while (i < str.length) {
-      val d = alphabet.indexOf(str.charAt(i))
-      if (d < 0) throw new IllegalArgumentException(
-        s"invalid base62 char '${str.charAt(i)}'")
-      v = v * 62 + d
-      i += 1
+    try {
+      while (i < str.length) {
+        val d = alphabet.indexOf(str.charAt(i))
+        if (d < 0) throw new IllegalArgumentException(
+          s"invalid base62 char '${str.charAt(i)}'")
+        v = Math.subtractExact(Math.multiplyExact(v, 62L), d.toLong)
+        i += 1
+      }
+      if (neg) v else Math.negateExact(v)
+    } catch {
+      case _: ArithmeticException => throw new IllegalArgumentException(
+        s"base62 value out of Long range: $str")
     }
-    if (neg) -v else v
   }
 }
 

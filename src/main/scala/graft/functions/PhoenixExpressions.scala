@@ -32,8 +32,13 @@ case class RegexpSubstr(str: Expression, pattern: Expression, offset: Expression
 
   override def nullSafeEval(s: Any, p: Any, o: Any): Any = {
     val text = s.asInstanceOf[UTF8String].toString
-    val off = math.max(o.asInstanceOf[Int], 1) - 1
-    if (off >= text.length) return null
+    // Reference mapping (RegexpSubstrFunction.java:149, JavaPattern.java:79):
+    // positive offset is 1-based, zero is 0-based, negative counts back from
+    // the end of the string; out-of-range → NULL.
+    val raw = o.asInstanceOf[Int]
+    var off = raw - (if (raw <= 0) 0 else 1)
+    if (off < 0) off += text.length
+    if (off < 0 || off >= text.length) return null
     val m = compiled(p.asInstanceOf[UTF8String].toString).matcher(text)
     if (m.find(off)) UTF8String.fromString(m.group()) else null
   }

@@ -100,21 +100,42 @@ object Dedup {
     call_function("minhash_signature", col(shCol), lit(numHashes))
   }
 
+  /** Default per-bucket population cap for LSH self-joins. A degenerate
+    * bucket (boilerplate/empty texts agreeing on a band) makes the
+    * in-bucket self-join quadratic on one key — at corpus scale a single
+    * 1e6-doc bucket is 1e12 candidate pairs. Buckets above the cap are
+    * dropped: their members are near-identical boilerplate that exact /
+    * fingerprint dedup already collapses, and every doc still has its
+    * other bands. */
+  val DefaultMaxBucket = 500
+
+  /** Drop (band,bucket) groups larger than `cap`. The window shuffle is on
+    * the same key the following self-join uses, so AQE/partitioning reuse
+    * keeps this close to free. */
+  private def capBuckets(buckets: DataFrame, cap: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket"))
+    buckets.withColumn("bn", count(lit(1)).over(w))
+      .where(col("bn") <= cap).drop("bn")
+  }
+
   /** LSH candidate pairs: ids whose signatures agree on all rows of at
     * least one band. bands*rowsPerBand must equal numHashes. Output:
     * (id_a, id_b) with id_a < id_b, distinct. */
   def minhashCandidates(docs: DataFrame, textCol: String, idCol: String,
-      shingleSize: Int = 2, numHashes: Int = 32, bands: Int = 16): DataFrame = {
+      shingleSize: Int = 2, numHashes: Int = 32, bands: Int = 16,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val shT = shingleTable(docs, textCol, idCol, shingleSize)
+      .where(size(col("sh")) > 0)
     val sig = shT.select(col("id"),
       fastSignature(shT, "sh", numHashes).as("sig"))
     // one (band, bucket-key) row per band; bucket key = the band's slice
-    val buckets = sig.select(col("id"), posexplode(
+    val buckets = capBuckets(sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
-      .toDF("id", "band", "bucket")
+      .toDF("id", "band", "bucket"), maxBucket)
     val l = buckets.toDF("id_a", "band", "bucket")
     val rhs = buckets.toDF("id_b", "band", "bucket")
     l.join(rhs, Seq("band", "bucket"))
@@ -138,20 +159,22 @@ object Dedup {
     */
   def nearDupPairs(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleSize: Int = 2, numHashes: Int = 32,
-      bands: Int = 16): DataFrame = {
+      bands: Int = 16, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     // materialized once and reused by the bucket, estimate, and verify
     // stages (each is a separate plan branch; without persist the whole
-    // tokenize+shingle+sign pipeline would re-run per branch)
+    // tokenize+shingle+sign pipeline would re-run per branch). Freed via
+    // unpersist once the (much smaller) pair set is materialized below.
     val shT = shingleTable(docs, textCol, idCol, shingleSize)
+      .where(size(col("sh")) > 0)
     val sig = shT
       .withColumn("sig", fastSignature(shT, "sh", numHashes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val buckets = sig.select(col("id"), posexplode(
+    val buckets = capBuckets(sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
-      .toDF("id", "band", "bucket")
+      .toDF("id", "band", "bucket"), maxBucket)
     val cands = buckets.toDF("id_a", "band", "bucket")
       .join(buckets.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
@@ -172,7 +195,7 @@ object Dedup {
       .select("id_a", "id_b")
     // exact verification only for survivors — big arrays join a small set
     val shOnly = sig.select(col("id"), col("sh"), col("sz"))
-    survivors
+    val pairs = survivors
       .join(shOnly.toDF("id_a", "sh_a", "sz_a"), "id_a")
       .join(shOnly.toDF("id_b", "sh_b", "sz_b"), "id_b")
       .withColumn("inter",
@@ -181,6 +204,15 @@ object Dedup {
         (col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
           .as("jac"))
       .where(col("jac") >= threshold)
+    // Materialize the pair set (tiny: verified near-dups only) so the
+    // signature+shingle cache — which holds the full shingle arrays and at
+    // corpus scale pins most of executor storage — can be released now
+    // instead of living for the job's lifetime. The caller gets a cached
+    // small frame and may unpersist it when done.
+    val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.queryExecution.toRdd.count()
+    sig.unpersist(blocking = false)
+    out
   }
 
   /** Brute-force all-pairs exact Jaccard (oracle/test path; O(n²) — only
@@ -191,13 +223,18 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.toDF("id_a", "sh_a", "sz_a")
     val b = sh.toDF("id_b", "sh_b", "sz_b")
-    a.crossJoin(b).where(col("id_a") < col("id_b"))
+    val pairs = a.crossJoin(b).where(col("id_a") < col("id_b"))
       .withColumn("inter",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .select(col("id_a"), col("id_b"),
         (col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
           .as("jac"))
       .where(col("jac") >= threshold)
+    // bounded baseline, but don't leak the shingle cache either
+    val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.queryExecution.toRdd.count()
+    sh.unpersist(blocking = false)
+    out
   }
 
   /** 64-bit SimHash from a precomputed token-hash array: bit j of the
@@ -226,7 +263,7 @@ object Dedup {
   /** SimHash near-dup candidates: block on 16-bit chunks (pairs within
     * Hamming distance 3 share at least one of 4 chunks), verify distance. */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val sig = docs
       .select(col(idCol).as("id"),
@@ -234,10 +271,16 @@ object Dedup {
           .as("hs"))
       .repartition(col("id"))
       .select(col("id"), call_function("simhash64", col("hs")).as("sig"))
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("chunk_idx"), col("chunk"))
     val chunked = sig.select(col("id"), col("sig"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .toDF("id", "sig", "chunk_idx", "chunk")
+      // same degenerate-bucket guard as the minhash path: a 16-bit chunk
+      // shared by boilerplate/empty texts would go quadratic in the join
+      .withColumn("bn", count(lit(1)).over(cw))
+      .where(col("bn") <= maxBucket).drop("bn")
     val l = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("chunk_idx"), col("chunk"))
     val rhs = chunked.select(col("id").as("id_b"), col("sig").as("sig_b"),

@@ -93,6 +93,18 @@ object Pipeline {
         "embedding", "vec_id", queryId = 0L, k = 10)
     },
 
+    // Embedding near-dup at scale: LSH-bucketed k-NN self-join + threshold
+    // over the FULL table — shuffle on bucket, no cross join. This is the
+    // graded 100 TB entry; q_dedup_embedding above is the bounded exact
+    // baseline it is recall-tested against (no SQL oracle: bucket
+    // membership depends on the seeded hyperplanes).
+    "q_dedup_embedding_lsh" -> { (s, dir) =>
+      Similarity.knnJoin(Tables.t(s, dir, "embeddings"),
+          "embedding", "vec_id", k = 5)
+        .where(col("sim") >= 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // End-to-end corpus curation: quality-filter → language gate →
     // fingerprint-dedup (keep lowest doc_id) → survivors with metrics.
     // The composition stays one scan + one digest-keyed shuffle.

@@ -71,6 +71,60 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   private def allFields(name: String): Seq[StructField] =
     specs(name).schema.fields.toSeq ++ extensions.getOrElse(name, Seq.empty)
 
+  /** ALTER TABLE ADD COLUMN (reference: grammar alter_table / AlterTableIT):
+    * appends nullable columns to the declared schema. Existing parquet
+    * batches simply lack the column — the explicit-schema read fills NULL,
+    * which matches Phoenix (old rows have no cell for the new qualifier). */
+  def alterAddColumns(name: String, fields: Seq[StructField],
+      ifNotExists: Boolean = false): Unit = {
+    val s = spec(name)
+    val existing = allFields(name).map(_.name).toSet
+    val dups = fields.filter(f => existing.contains(f.name))
+    if (dups.nonEmpty && !ifNotExists)
+      throw new IllegalArgumentException(
+        s"column already exists: ${dups.map(_.name).mkString(", ")}")
+    val newOnes = fields.filterNot(f => existing.contains(f.name))
+      .map(_.copy(nullable = true))
+    specs(name) = s.copy(schema = StructType(s.schema.fields ++ newOnes))
+  }
+
+  /** ALTER TABLE DROP COLUMN: removes from the declared schema (PK columns
+    * refused, as in Phoenix). Old parquet batches keep the bytes; reads
+    * project the declared schema so the column disappears — same shape as
+    * Phoenix dropping the column qualifier without rewriting rows. The
+    * generation bump makes a later re-ADD bind to a fresh physical column
+    * (Phoenix assigns a new encoded qualifier), so dropped data cannot
+    * resurface. */
+  def alterDropColumn(name: String, column: String,
+      ifExists: Boolean = false): Unit = {
+    val s = spec(name)
+    if (s.pk.contains(column))
+      throw new IllegalArgumentException(s"cannot drop PK column $column")
+    if (!s.schema.fieldNames.contains(column)) {
+      if (ifExists) return
+      throw new IllegalArgumentException(s"no such column $column")
+    }
+    specs(name) = s.copy(schema =
+      StructType(s.schema.fields.filterNot(_.name == column)))
+    colGen((name, column)) = colGen.getOrElse((name, column), 0) + 1
+  }
+
+  /** (table, logical column) → generation; >0 after a drop, giving re-added
+    * columns a distinct physical (parquet) name. */
+  private val colGen = scala.collection.mutable.Map[(String, String), Int]()
+
+  private def phys(table: String, colName: String): String = {
+    val g = colGen.getOrElse((table, colName), 0)
+    if (g == 0) colName else s"${colName}__g$g"
+  }
+
+  /** Rename logical → physical column names just before a parquet write. */
+  private def toPhysical(name: String, df: DataFrame): DataFrame =
+    allFields(name).foldLeft(df) { (d, f) =>
+      val p = phys(name, f.name)
+      if (p == f.name) d else d.withColumnRenamed(f.name, p)
+    }
+
   def dropTable(name: String): Unit = {
     specs.remove(name)
     extensions.remove(name)
@@ -98,7 +152,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       if (d.columns.contains(f.name)) d
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }
-    padded.select(fields.map(f => col(f.name).cast(f.dataType)): _*)
+    toPhysical(name,
+        padded.select(fields.map(f => col(f.name).cast(f.dataType)): _*))
       .withColumn("_version", lit(v))
       .withColumn("_deleted", lit(false))
       .write.mode(SaveMode.Append).parquet(s"${dir(name)}/data")
@@ -109,17 +164,27 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def delete(name: String, predicate: org.apache.spark.sql.Column): Long = {
     val v = nextVersion(name)
     val fields = allFields(name)
-    snapshotFull(name).where(predicate)
-      .select(fields.map(f => col(f.name)): _*)
+    toPhysical(name, snapshotFull(name).where(predicate)
+        .select(fields.map(f => col(f.name)): _*))
       .withColumn("_version", lit(v))
       .withColumn("_deleted", lit(true))
       .write.mode(SaveMode.Append).parquet(s"${dir(name)}/data")
     v
   }
 
-  /** Full change log (the CDC source): every write of every version. */
-  def changeLog(name: String): DataFrame =
-    spark.read.schema(logSchema(name)).parquet(s"${dir(name)}/data")
+  /** Full change log (the CDC source): every write of every version. Reads
+    * the physical schema (generation-suffixed columns) and renames back to
+    * logical names. */
+  def changeLog(name: String): DataFrame = {
+    val physSchema = StructType(logSchema(name).fields.map(f =>
+      if (f.name.startsWith("_")) f else f.copy(name = phys(name, f.name))))
+    allFields(name).foldLeft(
+        spark.read.schema(physSchema).parquet(s"${dir(name)}/data")) {
+      (d, f) =>
+        val p = phys(name, f.name)
+        if (p == f.name) d else d.withColumnRenamed(p, f.name)
+    }
+  }
 
   private def logSchema(name: String): StructType =
     StructType(allFields(name) :+
@@ -169,10 +234,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def compact(name: String): Unit = {
     val s = specs(name)
     val v = nextVersion(name)
-    val snap = snapshotFull(name) // full: keep view-extension columns
+    val snap = toPhysical(name, snapshotFull(name)) // keep view-ext columns
       .withColumn("_version", lit(v))
       .withColumn("_deleted", lit(false))
-      .select(logSchema(name).fieldNames.map(col): _*)
     val tmp = s"${dir(name)}/data_compacting"
     snap.write.mode(SaveMode.Overwrite).parquet(tmp)
     val dataDir = new java.io.File(s"${dir(name)}/data")

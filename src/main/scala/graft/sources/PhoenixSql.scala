@@ -33,6 +33,10 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
   private val sequences = scala.collection.mutable.Map[String, Long]()
   private val viewNames = scala.collection.mutable.Set[String]()
   private val tableNames = scala.collection.mutable.Set[String]()
+  // tables whose registered snapshot temp view is stale (mutated since the
+  // last SELECT); avoids O(tables) re-registration on every query
+  private val dirty = scala.collection.mutable.Set[String]()
+  private var viewsStale = true
 
   def execute(sql: String): DataFrame = {
     val s = sql.trim.stripSuffix(";").trim
@@ -44,6 +48,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     else if (up.startsWith("DELETE FROM")) delete(s)
     else if (up.startsWith("DROP TABLE")) dropTable(s)
     else if (up.startsWith("ALTER VIEW")) alterView(s)
+    else if (up.startsWith("ALTER TABLE")) alterTable(s)
     else select(s)
   }
 
@@ -79,13 +84,18 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
 
   // ---- DDL --------------------------------------------------------------
 
+  /** Split on `sep` at paren depth 0, ignoring separators inside
+    * single-quoted SQL string literals ('' is the escaped quote — it
+    * toggles back immediately, which is equivalent to staying quoted). */
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    var depth = 0; val cur = new StringBuilder
+    var depth = 0; var inQuote = false; val cur = new StringBuilder
     s.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case c if c == sep && depth == 0 => out += cur.toString; cur.clear()
+      case '\'' => inQuote = !inQuote; cur += '\''
+      case '(' if !inQuote => depth += 1; cur += '('
+      case ')' if !inQuote => depth -= 1; cur += ')'
+      case c if c == sep && depth == 0 && !inQuote =>
+        out += cur.toString; cur.clear()
       case c => cur += c
     }
     if (cur.nonEmpty) out += cur.toString
@@ -157,6 +167,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       .toMap
     catalog.createTable(name, StructType(fields), pk, props)
     tableNames += name
+    dirty += name
     spark.emptyDataFrame
   }
 
@@ -197,6 +208,8 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     viewDefaults(name) = eqs
     catalog.createView(name, base, pred)
     viewNames += name
+    viewsStale = true
+    dirty += catalog.viewBase(base) // extension columns change the base read
     spark.emptyDataFrame
   }
 
@@ -209,6 +222,40 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
     catalog.viewDropColumn(cleanIdent(m.group(1)),
       m.group(2).replaceAll("\"", "").toLowerCase)
+    viewsStale = true
+    spark.emptyDataFrame
+  }
+
+  /** ALTER TABLE t ADD [IF NOT EXISTS] col type [, ...]
+    * ALTER TABLE t DROP COLUMN [IF EXISTS] col [, ...]
+    * (reference: grammar alter_table, it/end2end/AlterTableIT.java). */
+  private def alterTable(s: String): DataFrame = {
+    val add = ("(?is)ALTER TABLE ([\\w.\"]+)\\s+ADD\\s+" +
+      "(IF NOT EXISTS\\s+)?(.*)$").r.findFirstMatchIn(s)
+    val drop = ("(?is)ALTER TABLE ([\\w.\"]+)\\s+DROP COLUMN\\s+" +
+      "(IF EXISTS\\s+)?(.*)$").r.findFirstMatchIn(s)
+    (add, drop) match {
+      case (Some(m), _) =>
+        val name = cleanIdent(m.group(1))
+        val fields = splitTopLevel(m.group(3), ',').map { c =>
+          val parts = c.trim.split("\\s+", 2)
+          require(parts.length == 2, s"cannot parse column def: $c")
+          StructField(parts(0).replaceAll("\"", "").toLowerCase,
+            parseType(parts(1)), nullable = true)
+        }
+        catalog.alterAddColumns(name, fields,
+          ifNotExists = m.group(2) != null)
+        dirty += name
+      case (_, Some(m)) =>
+        val name = cleanIdent(m.group(1))
+        splitTopLevel(m.group(3), ',').foreach(c =>
+          catalog.alterDropColumn(name,
+            c.trim.replaceAll("\"", "").toLowerCase,
+            ifExists = m.group(2) != null))
+        dirty += name
+      case _ =>
+        throw new IllegalArgumentException(s"cannot parse: $s")
+    }
     spark.emptyDataFrame
   }
 
@@ -264,6 +311,11 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       nv.map(g => nextValueFor(cleanIdent(g.group(1))).toString)
         .getOrElse(v)
     }
+    // Phoenix errors on arity mismatch ("Upsert has more values than
+    // columns"); zip would silently truncate.
+    require(values.length == cols.length,
+      s"UPSERT arity mismatch: ${cols.length} columns but " +
+        s"${values.length} values for $target")
     val withDefaults = values.zip(cols) ++
       defaults.filterNot { case (c, _) => cols.contains(c) }
         .map { case (c, v) => (v, c) }
@@ -272,6 +324,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     // catalog.upsert pads missing columns (incl. view extensions) with
     // NULL and casts everything to the declared types
     catalog.upsert(table, row)
+    dirty += table
     spark.emptyDataFrame
   }
 
@@ -281,15 +334,21 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
     catalog.delete(cleanIdent(m.group(1)),
       Option(m.group(2)).map(expr).getOrElse(lit(true)))
+    dirty += cleanIdent(m.group(1))
     spark.emptyDataFrame
   }
 
   // ---- queries ----------------------------------------------------------
 
   private def select(s: String): DataFrame = {
-    tableNames.foreach(t =>
-      catalog.snapshot(t).createOrReplaceTempView(t))
-    viewNames.foreach(v => catalog.view(v).createOrReplaceTempView(v))
+    // re-register only what changed since the last SELECT; any base-table
+    // change invalidates views too (their plans pin the base's files)
+    if (dirty.nonEmpty || viewsStale) {
+      dirty.filter(tableNames.contains).foreach(t =>
+        catalog.snapshot(t).createOrReplaceTempView(t))
+      viewNames.foreach(v => catalog.view(v).createOrReplaceTempView(v))
+      dirty.clear(); viewsStale = false
+    }
     // rewrite schema-qualified spellings to the flattened view names
     val rewritten = dottedNames.foldLeft(s) { case (acc, (dotted, flat)) =>
       acc.replaceAll("(?i)" + java.util.regex.Pattern.quote(dotted), flat)
@@ -316,6 +375,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     * ';'-separated). Returns the result of the last statement. */
   def executeScript(script: String): Seq[DataFrame] = {
     val clean = script.replaceAll("(?s)/\\*.*?\\*/", "")
-    clean.split(";").map(_.trim).filter(_.nonEmpty).toSeq.map(execute)
+    // quote-aware split: a ';' inside a string literal is not a separator
+    splitTopLevel(clean, ';').map(execute)
   }
 }

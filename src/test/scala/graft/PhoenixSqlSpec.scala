@@ -120,4 +120,60 @@ class PhoenixSqlSpec extends AnyFunSuite {
     val r = px.execute("SELECT id, a, b FROM t").collect()(0)
     assert(r.getLong(0) == 1L && r.getString(1) == "x" && r.isNullAt(2))
   }
+
+  // reference: it/end2end/AlterTableIT.java (add/drop column shapes)
+  test("ALTER TABLE ADD COLUMN: old rows read NULL, new rows carry values") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, a VARCHAR)")
+    px.execute("UPSERT INTO t VALUES (1, 'x')")
+    px.execute("ALTER TABLE t ADD b BIGINT, c VARCHAR")
+    px.execute("UPSERT INTO t VALUES (2, 'y', 20, 'cc')")
+    val rows = px.execute("SELECT id, a, b, c FROM t ORDER BY id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).isNullAt(2) && rows(0).isNullAt(3))
+    assert(rows(1).getLong(2) == 20L && rows(1).getString(3) == "cc")
+    // duplicate add errors without IF NOT EXISTS, passes with it
+    intercept[IllegalArgumentException] { px.execute("ALTER TABLE t ADD b BIGINT") }
+    px.execute("ALTER TABLE t ADD IF NOT EXISTS b BIGINT")
+  }
+
+  test("ALTER TABLE DROP COLUMN: column disappears; re-add starts empty") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY," +
+      " a VARCHAR, b BIGINT)")
+    px.execute("UPSERT INTO t VALUES (1, 'x', 10)")
+    px.execute("ALTER TABLE t DROP COLUMN b")
+    assert(!px.execute("SELECT * FROM t").columns.contains("b"))
+    // PK column cannot be dropped
+    intercept[IllegalArgumentException] {
+      px.execute("ALTER TABLE t DROP COLUMN id")
+    }
+    // re-added column binds a fresh qualifier: old value must NOT resurface
+    px.execute("ALTER TABLE t ADD b BIGINT")
+    val r = px.execute("SELECT id, b FROM t").collect()(0)
+    assert(r.isNullAt(1), s"dropped data resurfaced: $r")
+    px.execute("UPSERT INTO t VALUES (1, 'x', 99)")
+    assert(px.execute("SELECT b FROM t").collect()(0).getLong(0) == 99L)
+  }
+
+  test("string literals may contain separators (comma, paren, semicolon)") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, a VARCHAR)")
+    px.execute("UPSERT INTO t VALUES (1, 'a, b (c)')")
+    assert(px.execute("SELECT a FROM t").collect()(0)
+      .getString(0) == "a, b (c)")
+    px.executeScript(
+      "UPSERT INTO t VALUES (2, 'x; y');" +
+      "UPSERT INTO t VALUES (3, 'z')")
+    assert(px.execute("SELECT count(*) AS n FROM t").collect()(0)
+      .getLong(0) == 3)
+  }
+
+  test("UPSERT arity mismatch errors instead of silently truncating") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, a VARCHAR)")
+    intercept[IllegalArgumentException] {
+      px.execute("UPSERT INTO t (id) VALUES (1, 'extra')")
+    }
+  }
 }

@@ -130,8 +130,33 @@ class PipelineSpec extends AnyFunSuite {
   test("base62 roundtrip across edge values") {
     import graft.functions.Base62
     for (v <- Seq(0L, 1L, 61L, 62L, 3843L, -1L, -62L, Long.MaxValue,
-        Long.MinValue + 1, 123456789012L))
+        Long.MinValue + 1, Long.MinValue, 123456789012L))
       assert(Base62.decode(Base62.encode(v)) == v, s"roundtrip failed for $v")
+    // past-Long input errors instead of silently wrapping
+    intercept[IllegalArgumentException] {
+      Base62.decode(org.apache.spark.unsafe.types.UTF8String
+        .fromString("zzzzzzzzzzzz"))
+    }
+  }
+
+  test("regexp_substr offset mapping matches the reference") {
+    // reference RegexpSubstrFunction: >0 is 1-based, 0 is 0-based,
+    // <0 counts back from the end; out of range → NULL
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq(Tuple1("abc def ghi")).toDF("s")
+    def sub(off: Int): Option[String] = {
+      val r = df.select(call_function("regexp_substr", $"s",
+        lit("[a-z]+"), lit(off))).collect()(0)
+      if (r.isNullAt(0)) None else Some(r.getString(0))
+    }
+    assert(sub(1).contains("abc"))
+    assert(sub(0).contains("abc"))
+    assert(sub(5).contains("def")) // 1-based: index 4 = 'd'
+    assert(sub(6).contains("ef"))
+    assert(sub(-3).contains("ghi"))
+    assert(sub(-50).isEmpty)
+    assert(sub(50).isEmpty)
   }
 
   test("shingles of short texts are empty, not an error") {
