@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Phoenix date ROUND / CEIL / FLOOR to a time unit.
+  *
+  * Reference semantics (phoenix-core-client
+  * .../expression/function/RoundDateExpression.java:147 — fixed-width
+  * units; RoundWeekExpression.java:40 / RoundMonthExpression.java:40 /
+  * RoundYearExpression — Joda-field units):
+  *
+  *  - SECOND..DAY are fixed-width: ROUND is half-UP in epoch space
+  *    ((t + unit/2) / unit * unit), CEIL snaps up unless already exact,
+  *    FLOOR truncates.
+  *  - WEEK / MONTH / YEAR are calendar-width: candidates are the unit
+  *    start at-or-before t (L) and the next start (U); ROUND picks the
+  *    nearer, resolving an exact midpoint tie to the candidate whose
+  *    field value (ISO week number / month / year) is EVEN — Joda's
+  *    roundHalfEvenCopy, which Phoenix inherits. WEEK starts Monday.
+  *
+  * Everything is composed from built-in expressions over integer epoch
+  * micros (pmod for floor-to-multiple), so the whole family stays inside
+  * whole-stage codegen — no UDFs, no CodegenFallback.
+  */
+object DateRound {
+
+  private val MICROS: Map[String, Long] = Map(
+    "SECOND" -> 1000000L,
+    "MINUTE" -> 60L * 1000000L,
+    "HOUR" -> 3600L * 1000000L,
+    "DAY" -> 86400L * 1000000L)
+
+  private def isCalendarUnit(u: String) =
+    u == "WEEK" || u == "MONTH" || u == "YEAR"
+
+  private def truncName(u: String): String = u.toLowerCase
+
+  /** Unit start at-or-before ts (DAY → 00:00, WEEK → Monday, …). */
+  def floorDate(ts: Column, unit: String): Column = {
+    val u = unit.toUpperCase
+    require(MICROS.contains(u) || isCalendarUnit(u), s"unknown unit $unit")
+    date_trunc(truncName(u), ts)
+  }
+
+  /** Next unit start strictly after ts unless ts is already exact. */
+  def ceilDate(ts: Column, unit: String): Column = {
+    val u = unit.toUpperCase
+    MICROS.get(u) match {
+      case Some(m) =>
+        // floor(t + unit - 1µs) to a multiple of unit
+        val t = unix_micros(ts) + lit(m - 1)
+        timestamp_micros(t - pmod(t, lit(m)))
+      case None =>
+        require(isCalendarUnit(u), s"unknown unit $unit")
+        val l = date_trunc(truncName(u), ts)
+        when(l === ts, ts).otherwise(nextStart(l, u))
+    }
+  }
+
+  /** Nearest unit boundary; fixed units half-up, calendar units half-even
+    * (see object doc). */
+  def roundDate(ts: Column, unit: String): Column = {
+    val u = unit.toUpperCase
+    MICROS.get(u) match {
+      case Some(m) =>
+        val t = unix_micros(ts) + lit(m / 2)
+        timestamp_micros(t - pmod(t, lit(m)))
+      case None =>
+        require(isCalendarUnit(u), s"unknown unit $unit")
+        val l = date_trunc(truncName(u), ts)
+        val up = nextStart(l, u)
+        val dLo = unix_micros(ts) - unix_micros(l)
+        val dHi = unix_micros(up) - unix_micros(ts)
+        val loFieldEven = pmod(fieldOf(l, u), lit(2)) === 0
+        when(dLo < dHi, l)
+          .when(dLo > dHi, up)
+          .otherwise(when(loFieldEven, l).otherwise(up))
+    }
+  }
+
+  private def nextStart(unitStart: Column, u: String): Column = u match {
+    case "WEEK" => unitStart + expr("INTERVAL 7 DAYS")
+    case "MONTH" => add_months(unitStart.cast(DateType), 1)
+      .cast(TimestampType)
+    case "YEAR" => add_months(unitStart.cast(DateType), 12)
+      .cast(TimestampType)
+  }
+
+  private def fieldOf(boundary: Column, u: String): Column = u match {
+    case "WEEK" => weekofyear(boundary) // ISO week, matches Joda weekOfWeekyear
+    case "MONTH" => month(boundary)
+    case "YEAR" => year(boundary)
+  }
+}

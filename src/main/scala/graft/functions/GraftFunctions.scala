@@ -60,6 +60,18 @@ object GraftFunctions {
       e => JsonModify(asString(e(0)), asString(e(1)), asString(e(2))),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "json_query",
+      e => JsonQuery(asString(e(0)), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "json_exists",
+      e => JsonExists(asString(e(0)), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "encode_binary",
+      e => EncodeBinary(e(0), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "decode_binary",
+      e => DecodeBinary(asString(e(0)), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
       "simhash64", e => SimHash64(e.head), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_signature",

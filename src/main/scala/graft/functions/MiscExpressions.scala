@@ -36,13 +36,48 @@ case class CollationKey(str: Expression, locale: Expression)
   override def prettyName: String = "collation_key"
 }
 
-/** JSON_MODIFY(json, '$.key', newValueJson) → json with the top-level key
-  * replaced/inserted (reference: .../expression/function/JsonModifyFunction
-  * .java; this covers the single-level $.key path — the dominant usage in
-  * the reference's tests). The new value is parsed as JSON (so '"str"',
-  * '42', '[1,2]' all work). */
+/** Shared JSONPath-subset navigation for the JSON function family: paths
+  * of the form `$`, `$.a.b`, `$.a[2].c`, `$[0]` (dot keys + bracket array
+  * indices — the shapes the reference's Json*IT tests exercise). */
+private[functions] object JsonPathWalk {
+  import com.fasterxml.jackson.databind.JsonNode
+
+  sealed trait Seg
+  case class Key(k: String) extends Seg
+  case class Idx(i: Int) extends Seg
+
+  def parse(path: String): Seq[Seg] = {
+    require(path.startsWith("$"), s"JSON path must start with $$: $path")
+    val segRe = "\\.([^.\\[\\]]+)|\\[(\\d+)\\]".r
+    val rest = path.drop(1)
+    val segs = segRe.findAllMatchIn(rest).map { m =>
+      if (m.group(1) != null) Key(m.group(1)) else Idx(m.group(2).toInt)
+    }.toSeq
+    val consumed = segRe.findAllMatchIn(rest).map(_.matched.length).sum
+    require(consumed == rest.length, s"cannot parse JSON path: $path")
+    segs
+  }
+
+  /** Node at path, or null when any step is missing/mismatched. */
+  def navigate(root: JsonNode, segs: Seq[Seg]): JsonNode =
+    segs.foldLeft(root) { (n, s) =>
+      if (n == null) null
+      else s match {
+        case Key(k) => if (n.isObject && n.has(k)) n.get(k) else null
+        case Idx(i) => if (n.isArray && i < n.size()) n.get(i) else null
+      }
+    }
+}
+
+/** JSON_MODIFY(json, path, newValueJson) → json with the node at the path
+  * replaced (or inserted, for a missing final object key) — reference:
+  * .../expression/function/JsonModifyFunction.java:45. Supports nested
+  * dot/array paths; the new value is parsed as JSON (so '"str"', '42',
+  * '[1,2]' all work). Structural mismatch (missing intermediate, index
+  * past end) → NULL, as is malformed input JSON. */
 case class JsonModify(json: Expression, path: Expression, value: Expression)
     extends TernaryExpression with CodegenFallback {
+  import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   override def first: Expression = json
   override def second: Expression = path
   override def third: Expression = value
@@ -53,17 +88,19 @@ case class JsonModify(json: Expression, path: Expression, value: Expression)
     new com.fasterxml.jackson.databind.ObjectMapper()
 
   override def nullSafeEval(j: Any, p: Any, v: Any): Any = {
-    val pathStr = p.asInstanceOf[UTF8String].toString
-    if (!pathStr.startsWith("$.") || pathStr.drop(2).contains("."))
-      throw new IllegalArgumentException(
-        s"JSON_MODIFY supports single-level $$.key paths, got $pathStr")
-    val key = pathStr.drop(2)
+    val segs = JsonPathWalk.parse(p.asInstanceOf[UTF8String].toString)
+    require(segs.nonEmpty, "JSON_MODIFY needs a non-root path")
     try {
       val root = mapper.readTree(j.asInstanceOf[UTF8String].toString)
-      root match {
-        case obj: com.fasterxml.jackson.databind.node.ObjectNode =>
-          obj.set(key, mapper.readTree(v.asInstanceOf[UTF8String].toString))
-          UTF8String.fromString(mapper.writeValueAsString(obj))
+      val parent = JsonPathWalk.navigate(root, segs.init)
+      val newNode = mapper.readTree(v.asInstanceOf[UTF8String].toString)
+      (parent, segs.last) match {
+        case (obj: ObjectNode, JsonPathWalk.Key(k)) =>
+          obj.set(k, newNode)
+          UTF8String.fromString(mapper.writeValueAsString(root))
+        case (arr: ArrayNode, JsonPathWalk.Idx(i)) if i < arr.size() =>
+          arr.set(i, newNode)
+          UTF8String.fromString(mapper.writeValueAsString(root))
         case _ => null
       }
     } catch {
@@ -76,4 +113,64 @@ case class JsonModify(json: Expression, path: Expression, value: Expression)
       f: Expression, s: Expression, t: Expression): JsonModify =
     copy(json = f, path = s, value = t)
   override def prettyName: String = "json_modify"
+}
+
+/** JSON_QUERY(json, path) → the JSON fragment at the path, serialized
+  * (objects/arrays compact, scalars in JSON form — reference:
+  * .../expression/function/JsonQueryFunction.java:44). Missing path or
+  * malformed input → NULL. */
+case class JsonQuery(json: Expression, path: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = json
+  override def right: Expression = path
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def nullSafeEval(j: Any, p: Any): Any = {
+    try {
+      val root = mapper.readTree(j.asInstanceOf[UTF8String].toString)
+      val node = JsonPathWalk.navigate(root,
+        JsonPathWalk.parse(p.asInstanceOf[UTF8String].toString))
+      if (node == null) null
+      else UTF8String.fromString(mapper.writeValueAsString(node))
+    } catch {
+      case _: com.fasterxml.jackson.core.JacksonException => null
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): JsonQuery = copy(json = l, path = r)
+  override def prettyName: String = "json_query"
+}
+
+/** JSON_EXISTS(json, path) → true iff the path resolves to a node (an
+  * explicit JSON null counts as existing — reference:
+  * .../expression/function/JsonExistsFunction.java:44). Malformed input
+  * → NULL. */
+case class JsonExists(json: Expression, path: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = json
+  override def right: Expression = path
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = true
+
+  @transient private lazy val mapper =
+    new com.fasterxml.jackson.databind.ObjectMapper()
+
+  override def nullSafeEval(j: Any, p: Any): Any = {
+    try {
+      val root = mapper.readTree(j.asInstanceOf[UTF8String].toString)
+      JsonPathWalk.navigate(root,
+        JsonPathWalk.parse(p.asInstanceOf[UTF8String].toString)) != null
+    } catch {
+      case _: com.fasterxml.jackson.core.JacksonException => null
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): JsonExists = copy(json = l, path = r)
+  override def prettyName: String = "json_exists"
 }

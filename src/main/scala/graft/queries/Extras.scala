@@ -58,19 +58,29 @@ object Extras {
         octet_length($"p_name".cast(BinaryType)).as("nbytes"))
     },
 
-    // Phoenix ROUND/CEIL/FLOOR of dates to a unit (RoundDateExpression:
-    // ROUND is half-up to the unit, CEIL is next boundary unless exact).
+    // Phoenix ROUND/CEIL/FLOOR of dates to a unit — all units incl.
+    // WEEK/MONTH/YEAR (RoundDateExpression half-up for fixed units;
+    // Round{Week,Month,Year}Expression half-even calendar rounding).
     "q_date_round" -> { (s, dir) =>
       import s.implicits._
+      import graft.functions.DateRound._
       Tables.t(s, dir, "events").select(
         $"event_id",
-        date_trunc("hour", $"ts").as("floor_h"),
-        date_trunc("hour", $"ts" + expr("INTERVAL 30 MINUTES"))
-          .as("round_h"),
-        when(date_trunc("hour", $"ts") === $"ts", $"ts")
-          .otherwise(date_trunc("hour", $"ts") + expr("INTERVAL 1 HOUR"))
-          .as("ceil_h"),
-        date_trunc("day", $"ts").as("floor_d"))
+        floorDate($"ts", "HOUR").as("floor_h"),
+        roundDate($"ts", "HOUR").as("round_h"),
+        ceilDate($"ts", "HOUR").as("ceil_h"),
+        roundDate($"ts", "MINUTE").as("round_min"),
+        floorDate($"ts", "DAY").as("floor_d"),
+        roundDate($"ts", "DAY").as("round_d"),
+        ceilDate($"ts", "DAY").as("ceil_d"),
+        floorDate($"ts", "WEEK").as("floor_w"),
+        roundDate($"ts", "WEEK").as("round_w"),
+        ceilDate($"ts", "WEEK").as("ceil_w"),
+        floorDate($"ts", "MONTH").as("floor_mo"),
+        roundDate($"ts", "MONTH").as("round_mo"),
+        ceilDate($"ts", "MONTH").as("ceil_mo"),
+        floorDate($"ts", "YEAR").as("floor_y"),
+        roundDate($"ts", "YEAR").as("round_y"))
     },
 
     // Explicit sort-merge join (Phoenix SORT_MERGE strategy / hint —
@@ -161,15 +171,44 @@ object Extras {
       FROM part""",
 
     "q_date_round" -> """
+      WITH b AS (
+        SELECT event_id, ts, epoch_us(ts) AS eus,
+          CAST(date_trunc('week', ts) AS TIMESTAMP) AS lw,
+          CAST(date_trunc('month', ts) AS TIMESTAMP) AS lmo,
+          CAST(date_trunc('year', ts) AS TIMESTAMP) AS ly
+        FROM events),
+      b2 AS (
+        SELECT *, lw + INTERVAL 7 DAY AS uw,
+          lmo + INTERVAL 1 MONTH AS umo, ly + INTERVAL 1 YEAR AS uy
+        FROM b)
       SELECT event_id,
-        CAST(date_trunc('hour', ts) AS TIMESTAMP) AS floor_h,
-        CAST(date_trunc('hour', ts + INTERVAL 30 MINUTE) AS TIMESTAMP)
+        make_timestamp(eus - eus % 3600000000) AS floor_h,
+        make_timestamp((eus + 1800000000) - (eus + 1800000000) % 3600000000)
           AS round_h,
-        CASE WHEN CAST(date_trunc('hour', ts) AS TIMESTAMP) = ts THEN ts
-             ELSE CAST(date_trunc('hour', ts) AS TIMESTAMP)
-               + INTERVAL 1 HOUR END AS ceil_h,
-        CAST(date_trunc('day', ts) AS TIMESTAMP) AS floor_d
-      FROM events""",
+        make_timestamp((eus + 3599999999) - (eus + 3599999999) % 3600000000)
+          AS ceil_h,
+        make_timestamp((eus + 30000000) - (eus + 30000000) % 60000000)
+          AS round_min,
+        make_timestamp(eus - eus % 86400000000) AS floor_d,
+        make_timestamp((eus + 43200000000) - (eus + 43200000000) % 86400000000)
+          AS round_d,
+        make_timestamp((eus + 86399999999) - (eus + 86399999999) % 86400000000)
+          AS ceil_d,
+        lw AS floor_w,
+        CASE WHEN eus - epoch_us(lw) < epoch_us(uw) - eus THEN lw
+             WHEN eus - epoch_us(lw) > epoch_us(uw) - eus THEN uw
+             WHEN weekofyear(lw) % 2 = 0 THEN lw ELSE uw END AS round_w,
+        CASE WHEN lw = ts THEN ts ELSE uw END AS ceil_w,
+        lmo AS floor_mo,
+        CASE WHEN eus - epoch_us(lmo) < epoch_us(umo) - eus THEN lmo
+             WHEN eus - epoch_us(lmo) > epoch_us(umo) - eus THEN umo
+             WHEN month(lmo) % 2 = 0 THEN lmo ELSE umo END AS round_mo,
+        CASE WHEN lmo = ts THEN ts ELSE umo END AS ceil_mo,
+        ly AS floor_y,
+        CASE WHEN eus - epoch_us(ly) < epoch_us(uy) - eus THEN ly
+             WHEN eus - epoch_us(ly) > epoch_us(uy) - eus THEN uy
+             WHEN year(ly) % 2 = 0 THEN ly ELSE uy END AS round_y
+      FROM b2""",
 
     "q_join_sortmerge" -> """
       SELECT o_orderpriority, count(*) AS n,

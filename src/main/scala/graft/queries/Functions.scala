@@ -147,6 +147,28 @@ object Functions {
           call_function("base62_encode", $"o_orderkey")).as("roundtrip"))
     },
 
+    // §2.8 ENCODE_BINARY/DECODE_BINARY in the reference's three formats
+    // (EncodeBinaryFunction.java: HEX lowercase, BASE64, HBASE escape).
+    // The HBASE escape is exercised on raw md5 bytes (non-printables) via
+    // a decode(encode(x)) == x roundtrip; hex/base64 compare directly.
+    "q_encode_binary" -> { (s, dir) =>
+      import s.implicits._
+      GraftFunctions.register(s)
+      val payload = unhex(md5($"p_name")) // 16 raw bytes, non-printable
+      Tables.t(s, dir, "part").select(
+        $"p_partkey",
+        call_function("encode_binary", $"p_name".cast(BinaryType),
+          lit("HEX")).as("enc_hex"),
+        call_function("encode_binary", $"p_name".cast(BinaryType),
+          lit("BASE64")).as("enc_b64"),
+        (call_function("decode_binary",
+          call_function("encode_binary", payload, lit("HBASE")),
+          lit("HBASE")) === payload).as("hbase_roundtrip"),
+        call_function("decode_binary",
+          call_function("encode_binary", $"p_name".cast(BinaryType),
+            lit("BASE64")), lit("BASE64")).cast(StringType).as("b64_rt"))
+    },
+
     // §2.8 CAST/COERCE — Phoenix CAST truncates double→int (java semantics);
     // DuckDB rounds, so the oracle mirrors with trunc().
     "q_cast_coerce" -> { (s, dir) =>
@@ -163,14 +185,31 @@ object Functions {
         $"o_orderdate".cast(DateType).as("od_date"))
     },
 
-    // §2.8 JSON_VALUE over the events props column (Phoenix PJson +
-    // JsonValueFunction → get_json_object).
+    // §2.8 JSON family: JSON_VALUE (→ get_json_object), JSON_QUERY,
+    // JSON_EXISTS, nested-path JSON_MODIFY. A nested document is built
+    // from typed columns so the oracle can construct the expected strings
+    // deterministically (jackson preserves key order + compact form).
     "q_json_funcs" -> { (s, dir) =>
       import s.implicits._
-      Tables.t(s, dir, "events").select(
-        $"event_id",
-        get_json_object($"props", "$.k").as("k_str"),
-        get_json_object($"props", "$.k").cast(IntegerType).as("k_int"))
+      GraftFunctions.register(s)
+      Tables.t(s, dir, "events")
+        .withColumn("j", concat(lit("{\"a\":{\"b\":"),
+          $"event_id".cast(StringType),
+          lit(",\"c\":[\""), $"event_type", lit("\",\"x\"]},\"d\":null}")))
+        .select(
+          $"event_id",
+          get_json_object($"props", "$.k").as("k_str"),
+          get_json_object($"props", "$.k").cast(IntegerType).as("k_int"),
+          call_function("json_query", $"j", lit("$.a")).as("jq_obj"),
+          call_function("json_query", $"j", lit("$.a.c")).as("jq_arr"),
+          call_function("json_query", $"j", lit("$.a.c[0]")).as("jq_idx"),
+          call_function("json_exists", $"j", lit("$.a.b")).as("je_hit"),
+          call_function("json_exists", $"j", lit("$.a.z")).as("je_miss"),
+          call_function("json_exists", $"j", lit("$.d")).as("je_null"),
+          call_function("json_modify", $"j", lit("$.a.b"), lit("99"))
+            .as("jm_replace"),
+          call_function("json_modify", $"j", lit("$.a.z"), lit("\"w\""))
+            .as("jm_insert"))
     },
 
     // §2.8 array functions over a real ARRAY column (embeddings.embedding).
@@ -217,6 +256,44 @@ object Functions {
         .select(coalesce($"l_returnflag", lit("ALL")).as("rf"),
           coalesce($"l_linestatus", lit("ALL")).as("ls"), $"n", $"qty")
         .orderBy($"rf", $"ls")
+    },
+
+    // §2.4 PERCENTILE_DISC(p) WITHIN GROUP (ORDER BY c ASC|DESC) —
+    // smallest value in the given order whose cume_dist >= p (reference:
+    // PercentileDiscClientAggregator.java:…cum_dist >= p loop). Spark 4's
+    // percentile_disc implements the same SQL-standard rule.
+    "q_percentile_disc" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "part")
+        .groupBy($"p_brand")
+        .agg(
+          expr("percentile_disc(0.25) WITHIN GROUP (ORDER BY p_size)")
+            .cast(DoubleType).as("pd25"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY p_size)")
+            .cast(DoubleType).as("pd50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY p_size)")
+            .cast(DoubleType).as("pd90"),
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY p_size DESC)")
+            .cast(DoubleType).as("pd50_desc"),
+          count(lit(1)).as("n"))
+        .orderBy($"p_brand")
+    },
+
+    // §2.4 PERCENT_RANK(v) WITHIN GROUP (ORDER BY c ASC|DESC) —
+    // hypothetical rank of a literal in the ordered multiset (reference:
+    // PercentRankClientAggregator.java: ASC accumulates counts while
+    // colValue <= v, DESC while colValue > v; result = sum/total).
+    "q_percent_rank" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .agg(
+          (sum(when($"o_totalprice" <= 150000.0, 1).otherwise(0))
+            .cast(DoubleType) / count(lit(1))).as("pr_asc"),
+          (sum(when($"o_totalprice" > 150000.0, 1).otherwise(0))
+            .cast(DoubleType) / count(lit(1))).as("pr_desc"),
+          count(lit(1)).as("n"))
+        .orderBy($"o_orderpriority")
     },
 
     // §2.4 APPROX_COUNT_DISTINCT (HLL++). No oracle: DuckDB's HLL sketch
@@ -322,6 +399,14 @@ object Functions {
         o_orderkey AS roundtrip
       FROM orders""",
 
+    "q_encode_binary" -> """
+      SELECT p_partkey,
+        lower(hex(encode(p_name))) AS enc_hex,
+        to_base64(encode(p_name)) AS enc_b64,
+        TRUE AS hbase_roundtrip,
+        p_name AS b64_rt
+      FROM part""",
+
     "q_cast_coerce" -> """
       SELECT o_orderkey,
         CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
@@ -332,10 +417,22 @@ object Functions {
       FROM orders""",
 
     "q_json_funcs" -> """
+      WITH j AS (SELECT event_id, props, event_type,
+        CAST(event_id AS VARCHAR) AS eid FROM events)
       SELECT event_id,
         json_extract_string(props, '$.k') AS k_str,
-        CAST(json_extract_string(props, '$.k') AS INT) AS k_int
-      FROM events""",
+        CAST(json_extract_string(props, '$.k') AS INT) AS k_int,
+        '{"b":' || eid || ',"c":["' || event_type || '","x"]}' AS jq_obj,
+        '["' || event_type || '","x"]' AS jq_arr,
+        '"' || event_type || '"' AS jq_idx,
+        TRUE AS je_hit,
+        FALSE AS je_miss,
+        TRUE AS je_null,
+        '{"a":{"b":99,"c":["' || event_type || '","x"]},"d":null}'
+          AS jm_replace,
+        '{"a":{"b":' || eid || ',"c":["' || event_type ||
+          '","x"],"z":"w"},"d":null}' AS jm_insert
+      FROM j""",
 
     "q_array_funcs" -> """
       SELECT vec_id,
@@ -356,6 +453,29 @@ object Functions {
         len(list_filter(string_split(text, ' '), x -> x != 'the'))
           AS n_no_the
       FROM documents""",
+
+    "q_percentile_disc" -> """
+      WITH cd AS (
+        SELECT p_brand, p_size,
+          cume_dist() OVER (PARTITION BY p_brand ORDER BY p_size) AS cda,
+          cume_dist() OVER (PARTITION BY p_brand ORDER BY p_size DESC) AS cdd
+        FROM part)
+      SELECT p_brand,
+        CAST(min(CASE WHEN cda >= 0.25 THEN p_size END) AS DOUBLE) AS pd25,
+        CAST(min(CASE WHEN cda >= 0.5 THEN p_size END) AS DOUBLE) AS pd50,
+        CAST(min(CASE WHEN cda >= 0.9 THEN p_size END) AS DOUBLE) AS pd90,
+        CAST(max(CASE WHEN cdd >= 0.5 THEN p_size END) AS DOUBLE) AS pd50_desc,
+        count(*) AS n
+      FROM cd GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_percent_rank" -> """
+      SELECT o_orderpriority,
+        CAST(sum(CASE WHEN o_totalprice <= 150000.0 THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*) AS pr_asc,
+        CAST(sum(CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END)
+          AS DOUBLE) / count(*) AS pr_desc,
+        count(*) AS n
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
     "q_rollup" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS rf,

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{BinaryCodec, DateRound, GraftFunctions}
+
+/** Unit coverage for the round-2 expression additions: date ROUND/CEIL/
+  * FLOOR units (reference RoundDateExpression + Joda-field variants),
+  * ENCODE_BINARY/DECODE_BINARY formats, JSON_QUERY/EXISTS/MODIFY paths. */
+class FunctionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-fn-test").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def ts1(expr: org.apache.spark.sql.Column, in: String): String = {
+    import spark.implicits._
+    Seq(Tuple1(java.sql.Timestamp.valueOf(in))).toDF("ts")
+      .select(expr.cast("string")).collect()(0).getString(0)
+  }
+
+  test("date round/ceil/floor: fixed units are half-up in epoch space") {
+    import spark.implicits._
+    // RoundDateExpression.roundTime: (t + unit/2) / unit * unit
+    assert(ts1(DateRound.roundDate($"ts", "HOUR"), "2024-03-15 10:29:59.999")
+      == "2024-03-15 10:00:00")
+    assert(ts1(DateRound.roundDate($"ts", "HOUR"), "2024-03-15 10:30:00")
+      == "2024-03-15 11:00:00") // exact midpoint rounds UP
+    assert(ts1(DateRound.ceilDate($"ts", "DAY"), "2024-03-15 00:00:00")
+      == "2024-03-15 00:00:00") // exact boundary stays
+    assert(ts1(DateRound.ceilDate($"ts", "DAY"), "2024-03-15 00:00:00.001")
+      == "2024-03-16 00:00:00")
+    assert(ts1(DateRound.floorDate($"ts", "MINUTE"), "2024-03-15 10:29:59")
+      == "2024-03-15 10:29:00")
+  }
+
+  test("date round: calendar units pick nearer boundary, half-even ties") {
+    import spark.implicits._
+    // week starts Monday (2024-03-11 and 2024-03-18)
+    assert(ts1(DateRound.floorDate($"ts", "WEEK"), "2024-03-15 10:00:00")
+      == "2024-03-11 00:00:00")
+    assert(ts1(DateRound.ceilDate($"ts", "WEEK"), "2024-03-15 10:00:00")
+      == "2024-03-18 00:00:00")
+    assert(ts1(DateRound.roundDate($"ts", "WEEK"), "2024-03-12 00:00:00")
+      == "2024-03-11 00:00:00")
+    assert(ts1(DateRound.roundDate($"ts", "WEEK"), "2024-03-17 00:00:00")
+      == "2024-03-18 00:00:00")
+    // exact week midpoint (Thursday 12:00) → even ISO week number wins:
+    // weeks 11 (starts 03-11) vs 12; midpoint 2024-03-14 12:00 → week 12
+    assert(ts1(DateRound.roundDate($"ts", "WEEK"), "2024-03-14 12:00:00")
+      == "2024-03-18 00:00:00")
+    // months: April (30 days) midpoint = 04-16 00:00; April (4) is even
+    assert(ts1(DateRound.roundDate($"ts", "MONTH"), "2024-04-16 00:00:00")
+      == "2024-04-01 00:00:00")
+    assert(ts1(DateRound.roundDate($"ts", "MONTH"), "2024-04-16 00:00:00.001")
+      == "2024-05-01 00:00:00")
+    assert(ts1(DateRound.roundDate($"ts", "YEAR"), "2024-11-30 00:00:00")
+      == "2025-01-01 00:00:00")
+  }
+
+  test("binary codec formats match the reference escaping") {
+    val bytes = Array[Byte](0x00, 0x41, 0x5c, 0x7f.toByte, 0xff.toByte)
+    // HEX is lowercase (HBase Bytes.toHex)
+    assert(BinaryCodec.encode(bytes, "HEX").toString == "00415c7fff")
+    // HBASE: printable ASCII except backslash literal, else \xHH uppercase
+    assert(BinaryCodec.encode(bytes, "HBASE").toString ==
+      "\\x00A\\x5C\\x7F\\xFF")
+    for (fmt <- Seq("HEX", "BASE64", "HBASE"))
+      assert(BinaryCodec.decode(
+        BinaryCodec.encode(bytes, fmt).toString, fmt).sameElements(bytes),
+        s"roundtrip failed for $fmt")
+    intercept[IllegalArgumentException] { BinaryCodec.encode(bytes, "NOPE") }
+  }
+
+  test("json query/exists/modify navigate nested and array paths") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val j = """{"a":{"b":[1,2,{"c":"x"}]},"d":null}"""
+    val df = Seq(Tuple1(j)).toDF("j")
+    def f(name: String, args: org.apache.spark.sql.Column*) =
+      df.select(call_function(name, args: _*)).collect()(0)
+    assert(f("json_query", $"j", lit("$.a.b")).getString(0) ==
+      """[1,2,{"c":"x"}]""")
+    assert(f("json_query", $"j", lit("$.a.b[2].c")).getString(0) == "\"x\"")
+    assert(f("json_query", $"j", lit("$.a.z")).isNullAt(0))
+    assert(f("json_exists", $"j", lit("$.a.b[1]")).getBoolean(0))
+    assert(!f("json_exists", $"j", lit("$.a.b[9]")).getBoolean(0))
+    assert(f("json_exists", $"j", lit("$.d")).getBoolean(0)) // null exists
+    assert(f("json_modify", $"j", lit("$.a.b[1]"), lit("42")).getString(0)
+      == """{"a":{"b":[1,42,{"c":"x"}]},"d":null}""")
+    assert(f("json_modify", $"j", lit("$.a.b[2].c"), lit("\"y\""))
+      .getString(0) == """{"a":{"b":[1,2,{"c":"y"}]},"d":null}""")
+    // structural mismatch → NULL
+    assert(f("json_modify", $"j", lit("$.z.q"), lit("1")).isNullAt(0))
+    // malformed input → NULL
+    assert(Seq(Tuple1("{oops")).toDF("j")
+      .select(call_function("json_query", $"j", lit("$.a")))
+      .collect()(0).isNullAt(0))
+  }
+}
