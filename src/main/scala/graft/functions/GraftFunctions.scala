@@ -72,6 +72,18 @@ object GraftFunctions {
       "decode_binary",
       e => DecodeBinary(asString(e(0)), asString(e(1))), "built-in")
     reg.createOrReplaceTempFunction(
+      "word_shingles",
+      e => WordShingles(e(0), e(1).eval() match {
+        case i: Int => i
+        case l: Long => l.toInt
+        case other => throw new IllegalArgumentException(
+          s"shingle size must be a foldable integer literal, got $other")
+      }), "built-in")
+    reg.createOrReplaceTempFunction(
+      "sig_agreement", e => SigAgreement(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "jaccard_sim", e => JaccardSim(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "simhash64", e => SimHash64(e.head), "built-in")
     reg.createOrReplaceTempFunction(
       "minhash_signature",

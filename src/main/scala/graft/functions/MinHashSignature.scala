@@ -68,3 +68,51 @@ case class MinHashSignature(child: Expression, numHashes: Int,
     copy(child = c)
   override def prettyName: String = "minhash_signature"
 }
+
+/** Word n-gram shingles as ONE fused expression over a word array.
+  *
+  * Output is identical to the composed form
+  * `array_distinct(transform(sequence(...), concat_ws(" ", w[i..i+n-1])))`
+  * (first-occurrence order, empty array when fewer than n words) — but the
+  * composed form is a stack of interpreted higher-order lambdas evaluated
+  * per ELEMENT, which dominates the whole LSH pipeline. This is a single
+  * tight loop per row.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val words = v.asInstanceOf[ArrayData]
+    val nw = words.numElements()
+    if (n > 1 && nw < n) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    if (n <= 1) {
+      var i = 0
+      while (i < nw) { seen.add(words.getUTF8String(i)); i += 1 }
+    } else {
+      val sep = UTF8String.fromString(" ")
+      var i = 0
+      while (i <= nw - n) {
+        var s = words.getUTF8String(i)
+        var j = 1
+        while (j < n) {
+          s = UTF8String.concat(s, sep, words.getUTF8String(i + j))
+          j += 1
+        }
+        seen.add(s)
+        i += 1
+      }
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+  override def prettyName: String = "word_shingles"
+}

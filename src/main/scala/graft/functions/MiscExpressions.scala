@@ -42,6 +42,35 @@ case class CollationKey(str: Expression, locale: Expression)
 private[functions] object JsonPathWalk {
   import com.fasterxml.jackson.databind.JsonNode
 
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  // A query typically applies several JSON expressions to the SAME row's
+  // document (each expression is an independent Catalyst node); this
+  // single-entry per-thread memo collapses those to one parse. READ-ONLY:
+  // callers that mutate the tree (JSON_MODIFY) must parse fresh.
+  private val lastParse = new ThreadLocal[(String, JsonNode)]
+
+  /** Parse for read-only navigation, memoized per thread on the last
+    * input. Throws JacksonException on malformed input like readTree. */
+  def parseCached(json: String): JsonNode = {
+    val memo = lastParse.get()
+    if (memo != null && memo._1 == json) memo._2
+    else {
+      val node = mapper.readTree(json)
+      lastParse.set((json, node))
+      node
+    }
+  }
+
+  /** Per-expression path memo — paths are almost always literals, so this
+    * caches the parsed segment list across rows. */
+  final class PathCache {
+    private var last: (String, Seq[Seg]) = _
+    def get(path: String): Seq[Seg] = {
+      if (last == null || last._1 != path) last = (path, parse(path))
+      last._2
+    }
+  }
+
   sealed trait Seg
   case class Key(k: String) extends Seg
   case class Idx(i: Int) extends Seg
@@ -86,9 +115,10 @@ case class JsonModify(json: Expression, path: Expression, value: Expression)
 
   @transient private lazy val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
+  @transient private lazy val pathCache = new JsonPathWalk.PathCache
 
   override def nullSafeEval(j: Any, p: Any, v: Any): Any = {
-    val segs = JsonPathWalk.parse(p.asInstanceOf[UTF8String].toString)
+    val segs = pathCache.get(p.asInstanceOf[UTF8String].toString)
     require(segs.nonEmpty, "JSON_MODIFY needs a non-root path")
     try {
       val root = mapper.readTree(j.asInstanceOf[UTF8String].toString)
@@ -128,12 +158,13 @@ case class JsonQuery(json: Expression, path: Expression)
 
   @transient private lazy val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
+  @transient private lazy val pathCache = new JsonPathWalk.PathCache
 
   override def nullSafeEval(j: Any, p: Any): Any = {
     try {
-      val root = mapper.readTree(j.asInstanceOf[UTF8String].toString)
+      val root = JsonPathWalk.parseCached(j.asInstanceOf[UTF8String].toString)
       val node = JsonPathWalk.navigate(root,
-        JsonPathWalk.parse(p.asInstanceOf[UTF8String].toString))
+        pathCache.get(p.asInstanceOf[UTF8String].toString))
       if (node == null) null
       else UTF8String.fromString(mapper.writeValueAsString(node))
     } catch {
@@ -159,12 +190,13 @@ case class JsonExists(json: Expression, path: Expression)
 
   @transient private lazy val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
+  @transient private lazy val pathCache = new JsonPathWalk.PathCache
 
   override def nullSafeEval(j: Any, p: Any): Any = {
     try {
-      val root = mapper.readTree(j.asInstanceOf[UTF8String].toString)
+      val root = JsonPathWalk.parseCached(j.asInstanceOf[UTF8String].toString)
       JsonPathWalk.navigate(root,
-        JsonPathWalk.parse(p.asInstanceOf[UTF8String].toString)) != null
+        pathCache.get(p.asInstanceOf[UTF8String].toString)) != null
     } catch {
       case _: com.fasterxml.jackson.core.JacksonException => null
     }

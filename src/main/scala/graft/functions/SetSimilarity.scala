@@ -1,0 +1,78 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Fused pair-similarity kernels for the LSH verify stage.
+  *
+  * The composed-builtins forms (aggregate(zip_with(...)) for signature
+  * agreement, array_intersect for exact Jaccard) are higher-order
+  * expressions that Spark evaluates INTERPRETED (CodegenFallback) — at
+  * ~200k candidate pairs per LSH block that per-row overhead dominates the
+  * whole dedup pipeline. These are single static-call kernels that stay
+  * inside whole-stage codegen.
+  */
+object SetSimilarity {
+
+  /** Count of positions where two long arrays agree (minhash signature
+    * agreement; the Jaccard estimator is agreement/numHashes). */
+  def agreement(a: ArrayData, b: ArrayData): Int = {
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var c = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Exact Jaccard similarity of two string arrays treated as sets (inputs
+    * are already distinct shingle sets). */
+  def jaccard(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements(); val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    // probe the smaller side's hash set with the larger side
+    val (small, ns, large, nl) = if (na <= nb) (a, na, b, nb) else (b, nb, a, na)
+    val set = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      ns * 2)
+    var i = 0
+    while (i < ns) { set.add(small.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < nl) {
+      if (set.contains(large.getUTF8String(i))) inter += 1
+      i += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+}
+
+/** SIG_AGREEMENT(array<long>, array<long>) → int. */
+case class SigAgreement(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetSimilarity.agreement(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SetSimilarity.agreement($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SigAgreement = copy(left = l, right = r)
+  override def prettyName: String = "sig_agreement"
+}
+
+/** JACCARD_SIM(array<string>, array<string>) → double. */
+case class JaccardSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SetSimilarity.jaccard(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SetSimilarity.jaccard($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): JaccardSim = copy(left = l, right = r)
+  override def prettyName: String = "jaccard_sim"
+}

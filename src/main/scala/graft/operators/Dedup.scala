@@ -44,18 +44,21 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     shinglesFromWords(split(lower(text), "\\s+"), n)
 
-  /** docs → (id, sh, sz): one projection per stage so the tokenizer and
-    * shingler each run exactly once per row. Repartitions first: document
-    * corpora often arrive as few large files, and the per-row signature
-    * work downstream needs every core (a 1-partition scan would serialize
-    * it regardless of cluster size). */
+  /** docs → (id, sh, sz): tokenize + fused shingle expression (identical
+    * output to [[shinglesFromWords]], one tight loop per row). Repartitions
+    * first: document corpora often arrive as few large files, and the
+    * per-row signature work downstream needs every core (a 1-partition
+    * scan would serialize it regardless of cluster size). */
   private def shingleTable(docs: DataFrame, textCol: String, idCol: String,
-      n: Int): DataFrame =
+      n: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col(idCol).as("id"),
         split(lower(col(textCol)), "\\s+").as("w"))
       .repartition(col("id"))
-      .select(col("id"), shinglesFromWords(col("w"), n).as("sh"))
+      .select(col("id"),
+        call_function("word_shingles", col("w"), lit(n)).as("sh"))
       .withColumn("sz", size(col("sh")))
+  }
 
   /** Exact duplicate groups: one survivor (min id) per identical text. */
   def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
@@ -162,15 +165,17 @@ object Dedup {
       bands: Int = 16, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    // materialized once and reused by the bucket, estimate, and verify
-    // stages (each is a separate plan branch; without persist the whole
-    // tokenize+shingle+sign pipeline would re-run per branch). Freed via
-    // unpersist once the (much smaller) pair set is materialized below.
+    // The shingle table sits on a hash-exchange on id (inside
+    // shingleTable): the bucket branch and both join builds below
+    // reference the identical subplan, so ReuseExchange shares the
+    // scan+tokenize shuffle and only the cheap fused shingle+sign
+    // expressions re-run per branch. No persist — columnar-caching the
+    // shingle arrays costs more than the recompute it saves, and pins
+    // executor storage for the job's lifetime.
     val shT = shingleTable(docs, textCol, idCol, shingleSize)
       .where(size(col("sh")) > 0)
     val sig = shT
       .withColumn("sig", fastSignature(shT, "sh", numHashes))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val buckets = capBuckets(sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
@@ -181,60 +186,38 @@ object Dedup {
       .select("id_a", "id_b").distinct()
     // 2σ slack for the minhash estimator at the threshold
     val margin = 2 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    // estimate stage ships only the 32-long signatures, NOT the shingle
-    // arrays — the candidate set can be large, the survivor set is small
-    val sigOnly = sig.select(col("id"), col("sig"))
-    val survivors = cands
-      .join(sigOnly.toDF("id_a", "sig_a"), "id_a")
-      .join(sigOnly.toDF("id_b", "sig_b"), "id_b")
-      .withColumn("est",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast(DoubleType) / numHashes)
-      .where(col("est") >= threshold - margin)
-      .select("id_a", "id_b")
-    // exact verification only for survivors — big arrays join a small set
-    val shOnly = sig.select(col("id"), col("sh"), col("sz"))
-    val pairs = survivors
-      .join(shOnly.toDF("id_a", "sh_a", "sz_a"), "id_a")
-      .join(shOnly.toDF("id_b", "sh_b", "sz_b"), "id_b")
-      .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
-      .select(col("id_a"), col("id_b"),
-        (col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-          .as("jac"))
-      .where(col("jac") >= threshold)
-    // Materialize the pair set (tiny: verified near-dups only) so the
-    // signature+shingle cache — which holds the full shingle arrays and at
-    // corpus scale pins most of executor storage — can be released now
-    // instead of living for the job's lifetime. The caller gets a cached
-    // small frame and may unpersist it when done.
-    val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.queryExecution.toRdd.count()
-    sig.unpersist(blocking = false)
-    out
+    val minAgree = math.ceil((threshold - margin) * numHashes).toInt
+    // One join pass with fused codegen'd kernels: the signature-agreement
+    // estimate (O(numHashes) per pair) gates the exact Jaccard — the CASE
+    // WHEN keeps the O(|shingle set|) kernel unevaluated for pruned pairs.
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val full = sig.select(col("id"), col("sh"), col("sig"))
+    cands
+      .join(full.toDF("id_a", "sh_a", "sig_a"), "id_a")
+      .join(full.toDF("id_b", "sh_b", "sig_b"), "id_b")
+      .withColumn("jac",
+        when(call_function("sig_agreement", col("sig_a"), col("sig_b"))
+            >= minAgree,
+          call_function("jaccard_sim", col("sh_a"), col("sh_b"))))
+      .where(col("jac") >= threshold) // NULL (estimate-pruned) fails here
+      .select("id_a", "id_b", "jac")
   }
 
   /** Brute-force all-pairs exact Jaccard (oracle/test path; O(n²) — only
     * for bounded inputs). */
   def exactJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       threshold: Double, shingleSize: Int = 2): DataFrame = {
+    // Bounded baseline: both cross-join sides reference the same
+    // repartitioned subplan, so the shingle pipeline is computed once via
+    // exchange reuse (no cache to leak).
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val sh = shingleTable(docs, textCol, idCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = sh.toDF("id_a", "sh_a", "sz_a")
     val b = sh.toDF("id_b", "sh_b", "sz_b")
-    val pairs = a.crossJoin(b).where(col("id_a") < col("id_b"))
-      .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        (col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
-          .as("jac"))
+        call_function("jaccard_sim", col("sh_a"), col("sh_b")).as("jac"))
       .where(col("jac") >= threshold)
-    // bounded baseline, but don't leak the shingle cache either
-    val out = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.queryExecution.toRdd.count()
-    sh.unpersist(blocking = false)
-    out
   }
 
   /** 64-bit SimHash from a precomputed token-hash array: bit j of the

@@ -159,6 +159,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(sub(50).isEmpty)
   }
 
+  test("fused word_shingles matches the composed builtin form") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val docs = Tables.t(spark, dir, "documents").limit(100)
+      .select($"doc_id", split(lower($"text"), "\\s+").as("w"))
+    val both = docs.select($"doc_id",
+      Dedup.shinglesFromWords($"w", 2).as("composed"),
+      call_function("word_shingles", $"w", lit(2)).as("fused")).collect()
+    both.foreach(r => assert(r.getSeq[String](1) == r.getSeq[String](2),
+      s"mismatch for doc ${r.getLong(0)}"))
+    // short-text and unigram cases
+    val edge = Seq((1L, "one"), (2L, "a b a")).toDF("id", "t")
+      .select($"id", split(lower($"t"), "\\s+").as("w"))
+    val e = edge.select($"id",
+      Dedup.shinglesFromWords($"w", 2).as("c"),
+      call_function("word_shingles", $"w", lit(2)).as("f"),
+      Dedup.shinglesFromWords($"w", 1).as("c1"),
+      call_function("word_shingles", $"w", lit(1)).as("f1"))
+      .orderBy($"id").collect()
+    e.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2))
+      assert(r.getSeq[String](3) == r.getSeq[String](4))
+    }
+  }
+
   test("shingles of short texts are empty, not an error") {
     import spark.implicits._
     val df = Seq((1L, "oneword"), (2L, "two words here")).toDF("id", "text")
