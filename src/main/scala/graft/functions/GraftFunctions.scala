@@ -66,6 +66,11 @@ object GraftFunctions {
       "json_exists",
       e => JsonExists(asString(e(0)), asString(e(1))), "built-in")
     reg.createOrReplaceTempFunction(
+      "to_bson", e => ToBson(asString(e.head)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bson_value",
+      e => BsonValue(e(0), asString(e(1)), asString(e(2))), "built-in")
+    reg.createOrReplaceTempFunction(
       "encode_binary",
       e => EncodeBinary(e(0), asString(e(1))), "built-in")
     reg.createOrReplaceTempFunction(

@@ -147,6 +147,31 @@ object Functions {
           call_function("base62_encode", $"o_orderkey")).as("roundtrip"))
     },
 
+    // §2.8 BSON family (minimal): TO_BSON + BSON_VALUE with the
+    // reference's dot/[n] field keys and typed returns. The oracle
+    // round-trips events.props (JSON) through the BSON codec and compares
+    // to direct JSON extraction — plus a nested constructed document.
+    "q_bson_value" -> { (s, dir) =>
+      import s.implicits._
+      GraftFunctions.register(s)
+      Tables.t(s, dir, "events")
+        .withColumn("b", call_function("to_bson", $"props"))
+        .withColumn("nested", call_function("to_bson",
+          concat(lit("{\"a\":{\"xs\":[\""), $"event_type",
+            lit("\",\"x\"],\"n\":"), $"event_id".cast(StringType),
+            lit("}}"))))
+        .select(
+          $"event_id",
+          call_function("bson_value", $"b", lit("k"), lit("VARCHAR"))
+            .as("k_str"),
+          call_function("bson_value", $"nested", lit("a.xs[0]"),
+            lit("VARCHAR")).as("xs0"),
+          call_function("bson_value", $"nested", lit("a.n"),
+            lit("BIGINT")).as("n_long"),
+          call_function("bson_value", $"nested", lit("a.missing"),
+            lit("VARCHAR")).as("missing"))
+    },
+
     // §2.8 ENCODE_BINARY/DECODE_BINARY in the reference's three formats
     // (EncodeBinaryFunction.java: HEX lowercase, BASE64, HBASE escape).
     // The HBASE escape is exercised on raw md5 bytes (non-printables) via
@@ -398,6 +423,14 @@ object Functions {
           substr($B62, CAST(o_orderkey % 62 AS INT) + 1, 1), '0') END AS b62,
         o_orderkey AS roundtrip
       FROM orders""",
+
+    "q_bson_value" -> """
+      SELECT event_id,
+        json_extract_string(props, '$.k') AS k_str,
+        event_type AS xs0,
+        event_id AS n_long,
+        CAST(NULL AS VARCHAR) AS missing
+      FROM events""",
 
     "q_encode_binary" -> """
       SELECT p_partkey,

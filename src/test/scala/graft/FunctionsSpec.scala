@@ -78,6 +78,33 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { BinaryCodec.encode(bytes, "NOPE") }
   }
 
+  test("bson codec roundtrips and navigates with typed returns") {
+    import spark.implicits._
+    import graft.functions.BsonLite
+    GraftFunctions.register(spark)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val json = """{"s":"hi","i":42,"l":9999999999,"d":1.5,"b":true,
+      "nul":null,"o":{"xs":[1,"two",{"deep":"v"}]}}""".replace("\n      ", "")
+    // roundtrip through the wire format preserves the tree
+    assert(BsonLite.decode(BsonLite.encode(mapper.readTree(json)))
+      == mapper.readTree(json))
+    val df = Seq(Tuple1(json)).toDF("j")
+      .select(call_function("to_bson", col("j")).as("b"))
+    def bv(path: String, t: String) =
+      df.select(call_function("bson_value", col("b"), lit(path), lit(t)))
+        .collect()(0)
+    assert(bv("s", "VARCHAR").getString(0) == "hi")
+    assert(bv("i", "INTEGER").getInt(0) == 42)
+    assert(bv("l", "BIGINT").getLong(0) == 9999999999L)
+    assert(bv("d", "DOUBLE").getDouble(0) == 1.5)
+    assert(bv("b", "BOOLEAN").getBoolean(0))
+    assert(bv("nul", "VARCHAR").isNullAt(0))
+    assert(bv("o.xs[1]", "VARCHAR").getString(0) == "two")
+    assert(bv("o.xs[2].deep", "VARCHAR").getString(0) == "v")
+    assert(bv("o.xs", "VARCHAR").getString(0) == """[1,"two",{"deep":"v"}]""")
+    assert(bv("nope.nope", "VARCHAR").isNullAt(0))
+  }
+
   test("json query/exists/modify navigate nested and array paths") {
     import spark.implicits._
     GraftFunctions.register(spark)
