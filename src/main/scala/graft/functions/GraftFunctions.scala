@@ -37,6 +37,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "to_char", e => ToChar(asTimestamp(e(0)), asString(e(1))), "built-in")
     reg.createOrReplaceTempFunction(
+      "to_date_java",
+      e => ToDateJava(asString(e(0)), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
       "date_plus_days",
       e => DatePlusDays(asTimestamp(e(0)), asDouble(e(1))), "built-in")
     reg.createOrReplaceTempFunction(

@@ -80,6 +80,52 @@ case class ToChar(ts: Expression, fmt: Expression)
   override def prettyName: String = "to_char"
 }
 
+/** TO_DATE / TO_TIMESTAMP(varchar, javaPattern) → timestamp, the inverse
+  * of [[ToChar]] with the same Java-style patterns (reference:
+  * .../expression/function/ToDateFunction.java:51 — Phoenix parses with
+  * Java date formats, not SQL ones; DATE carries full time). Patterns
+  * without time fields parse to midnight UTC; unparseable input → NULL
+  * (matching Phoenix's IllegalDataException-on-read being the SQL NULL
+  * path for bad rows is deliberately relaxed here: analytics over dirty
+  * text wants NULL, and the strict path is a trivial wrapper). */
+case class ToDateJava(str: Expression, fmt: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = str
+  override def right: Expression = fmt
+  override def dataType: DataType = TimestampType
+  override def nullable: Boolean = true
+
+  @transient private var cachedFmt:
+      (String, java.time.format.DateTimeFormatter) = _
+  private def formatter(p: String): java.time.format.DateTimeFormatter = {
+    if (cachedFmt == null || cachedFmt._1 != p)
+      cachedFmt = (p, new java.time.format.DateTimeFormatterBuilder()
+        .appendPattern(p)
+        .parseDefaulting(java.time.temporal.ChronoField.HOUR_OF_DAY, 0)
+        .parseDefaulting(java.time.temporal.ChronoField.MINUTE_OF_HOUR, 0)
+        .parseDefaulting(java.time.temporal.ChronoField.SECOND_OF_MINUTE, 0)
+        .parseDefaulting(java.time.temporal.ChronoField.NANO_OF_SECOND, 0)
+        .toFormatter())
+    cachedFmt._2
+  }
+
+  override def nullSafeEval(s: Any, f: Any): Any = {
+    try {
+      val ldt = java.time.LocalDateTime.parse(
+        s.asInstanceOf[UTF8String].toString,
+        formatter(f.asInstanceOf[UTF8String].toString))
+      val inst = ldt.toInstant(java.time.ZoneOffset.UTC)
+      Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+        inst.getNano / 1000L)
+    } catch {
+      case _: java.time.format.DateTimeParseException => null
+    }
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ToDateJava = copy(str = l, fmt = r)
+  override def prettyName: String = "to_date_java"
+}
+
 /** TO_NUMBER(varchar[, format]) with Java DecimalFormat patterns
   * (reference: .../expression/function/ToNumberFunction.java — Phoenix
   * parses with Java patterns like '#,##0.00'). Returns DOUBLE; NULL on

@@ -69,6 +69,25 @@ object Functions {
         call_function("date_plus_days", $"ts", lit(1.5)).as("plus_1_5d"))
     },
 
+    // §2.8 TO_DATE/TO_TIMESTAMP with Java patterns — the parse direction
+    // of to_char (reference ToDateFunction.java:51). Round-trips through
+    // to_char so string construction and parsing are both exercised;
+    // date-only patterns land on midnight UTC; bad input → NULL.
+    "q_to_date" -> { (s, dir) =>
+      import s.implicits._
+      GraftFunctions.register(s)
+      Tables.t(s, dir, "events").select(
+        $"event_id",
+        call_function("to_date_java",
+          call_function("to_char", $"ts", lit("yyyy/MM/dd HH:mm:ss")),
+          lit("yyyy/MM/dd HH:mm:ss")).as("rt_sec"),
+        call_function("to_date_java",
+          call_function("to_char", $"ts", lit("yyyy-MM-dd")),
+          lit("yyyy-MM-dd")).as("rt_day"),
+        call_function("to_date_java", lit("not a date"),
+          lit("yyyy-MM-dd")).as("bad"))
+    },
+
     // §2.8 math functions (all exact-match vs DuckDB per cross-engine probe).
     "q_math_funcs" -> { (s, dir) =>
       import s.implicits._
@@ -371,6 +390,13 @@ object Functions {
         strftime(ts, '%Y/%m/%d %H:%M') AS tochar,
         ts + INTERVAL 30 DAY AS plus30d,
         ts + to_microseconds(129600000000) AS plus_1_5d
+      FROM events""",
+
+    "q_to_date" -> """
+      SELECT event_id,
+        CAST(date_trunc('second', ts) AS TIMESTAMP) AS rt_sec,
+        CAST(date_trunc('day', ts) AS TIMESTAMP) AS rt_day,
+        CAST(NULL AS TIMESTAMP) AS bad
       FROM events""",
 
     "q_math_funcs" -> """
