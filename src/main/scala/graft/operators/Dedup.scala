@@ -112,16 +112,6 @@ object Dedup {
     * other bands. */
   val DefaultMaxBucket = 500
 
-  /** Drop (band,bucket) groups larger than `cap`. The window shuffle is on
-    * the same key the following self-join uses, so AQE/partitioning reuse
-    * keeps this close to free. */
-  private def capBuckets(buckets: DataFrame, cap: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bucket"))
-    buckets.withColumn("bn", count(lit(1)).over(w))
-      .where(col("bn") <= cap).drop("bn")
-  }
-
   /** LSH candidate pairs: ids whose signatures agree on all rows of at
     * least one band. bands*rowsPerBand must equal numHashes. Output:
     * (id_a, id_b) with id_a < id_b, distinct. */
@@ -134,16 +124,28 @@ object Dedup {
       .where(size(col("sh")) > 0)
     val sig = shT.select(col("id"),
       fastSignature(shT, "sh", numHashes).as("sig"))
-    // one (band, bucket-key) row per band; bucket key = the band's slice
-    val buckets = capBuckets(sig.select(col("id"), posexplode(
+    bandedPairs(sig, bands, r, maxBucket)
+  }
+
+  /** (band, bucket) grouping → in-bucket id pairs. ONE shuffle (the
+    * groupBy): each bucket's sorted id list explodes into its pairs via
+    * nested transforms over small arrays — cheaper than a two-sided
+    * self-join shuffle, and the maxBucket cap is a free size() filter on
+    * the collected list instead of a window. */
+  private def bandedPairs(sig: DataFrame, bands: Int, r: Int,
+      maxBucket: Int): DataFrame = {
+    val buckets = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
-      .toDF("id", "band", "bucket"), maxBucket)
-    val l = buckets.toDF("id_a", "band", "bucket")
-    val rhs = buckets.toDF("id_b", "band", "bucket")
-    l.join(rhs, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .toDF("id", "band", "bucket")
+    buckets.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(col("id"))).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("ids"), (a, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
   }
 
   /** Exact Jaccard similarity between two shingle-set columns. */
@@ -176,14 +178,7 @@ object Dedup {
       .where(size(col("sh")) > 0)
     val sig = shT
       .withColumn("sig", fastSignature(shT, "sh", numHashes))
-    val buckets = capBuckets(sig.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
-      .toDF("id", "band", "bucket"), maxBucket)
-    val cands = buckets.toDF("id_a", "band", "bucket")
-      .join(buckets.toDF("id_b", "band", "bucket"), Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    val cands = bandedPairs(sig, bands, r, maxBucket)
     // 2σ slack for the minhash estimator at the threshold
     val margin = 2 * math.sqrt(threshold * (1 - threshold) / numHashes)
     val minAgree = math.ceil((threshold - margin) * numHashes).toInt
