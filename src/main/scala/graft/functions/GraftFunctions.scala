@@ -69,6 +69,9 @@ object GraftFunctions {
       "json_exists",
       e => JsonExists(asString(e(0)), asString(e(1))), "built-in")
     reg.createOrReplaceTempFunction(
+      "phoenix_decimal_div",
+      e => PhoenixDecimalDivide(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "to_bson", e => ToBson(asString(e.head)), "built-in")
     reg.createOrReplaceTempFunction(
       "bson_value",

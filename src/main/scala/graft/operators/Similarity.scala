@@ -78,6 +78,58 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into `nlist` cells; a query scans only its `nprobe` nearest
+    * cells with exact cosine. The scale path beside sign-LSH: cells adapt
+    * to the data distribution, so recall at equal scan fraction is higher
+    * on clustered corpora. Centroids are trained once (deterministic
+    * seed) and broadcast; the assignment pass is one scan + one narrow
+    * shuffle-free projection per row.
+    *
+    * Returns (cells, assigned): the centroid table (cell, centroid) and
+    * the corpus with its cell id — callers reuse `assigned` across
+    * queries via [[ivfTopK]]. */
+  def ivfIndex(emb: DataFrame, vecCol: String, idCol: String,
+      nlist: Int = 16): (Array[(Int, Array[Double])], DataFrame) = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = emb.select(col(idCol).as("id"),
+      col(vecCol).as("v"),
+      array_to_vector(transform(col(vecCol), x => x.cast(DoubleType)))
+        .as("features"))
+    val model = new KMeans().setK(nlist).setSeed(0x1F1F1F1FL)
+      .setMaxIter(10).fit(feat)
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray) }
+    val assigned = model.transform(feat)
+      .select(col("id"), col("v"), col("prediction").as("cell"))
+    (centroids, assigned)
+  }
+
+  /** ANN top-k over an IVF index: pick the query's `nprobe` nearest cells
+    * (tiny driver-side centroid compare), scan only those cells with
+    * exact cosine. Scan cost ~ nprobe/nlist of the table. */
+  def ivfTopK(centroids: Array[(Int, Array[Double])], assigned: DataFrame,
+      queryId: Long, k: Int, nprobe: Int = 4): DataFrame = {
+    val qv = assigned.where(col("id") === queryId)
+      .select(col("v")).head().getSeq[Float](0).map(_.toDouble).toArray
+    def cos(c: Array[Double]): Double = {
+      var dp = 0.0; var n1 = 0.0; var n2 = 0.0
+      var i = 0
+      while (i < c.length) {
+        dp += c(i) * qv(i); n1 += c(i) * c(i); n2 += qv(i) * qv(i); i += 1
+      }
+      dp / (math.sqrt(n1) * math.sqrt(n2))
+    }
+    val probeCells = centroids.sortBy { case (_, c) => -cos(c) }
+      .take(nprobe).map(_._1)
+    val qvCol = array(qv.map(lit): _*)
+    assigned.where(col("cell").isin(probeCells.map(Integer.valueOf): _*))
+      .select(col("id"), cosine(col("v"), qvCol).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact bounded form (the
     * correctness baseline — O(n²); the scale path is [[knnJoin]]'s
     * LSH-bucketed self-join followed by the same threshold). */

@@ -93,6 +93,15 @@ object Pipeline {
         "embedding", "vec_id", queryId = 0L, k = 10)
     },
 
+    // IVF ANN: k-means coarse quantizer + nprobe cell scan (the second
+    // scale path beside sign-LSH; recall vs brute force is ScalaTested —
+    // no SQL oracle, the quantizer is iterative).
+    "q_ann_ivf" -> { (s, dir) =>
+      val (centroids, assigned) = Similarity.ivfIndex(
+        Tables.t(s, dir, "embeddings"), "embedding", "vec_id")
+      Similarity.ivfTopK(centroids, assigned, queryId = 0L, k = 10)
+    },
+
     // Embedding near-dup at scale: LSH-bucketed k-NN self-join + threshold
     // over the FULL table — shuffle on bucket, no cross join. This is the
     // graded 100 TB entry; q_dedup_embedding above is the bounded exact

@@ -78,6 +78,33 @@ class FunctionsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { BinaryCodec.encode(bytes, "NOPE") }
   }
 
+  test("phoenix decimal division derives reference precision/scale") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // DECIMAL(5,2) / DECIMAL(4,1): scale = max(38-5+2-1, 0)=34,
+    // precision = min(38, 34+5-2+4)=38; quotient truncated to scale 34
+    val df = Seq(("123.45", "2.5"), ("10.00", "3.0")).toDF("a", "b")
+      .select($"a".cast("decimal(5,2)").as("a"),
+        $"b".cast("decimal(4,1)").as("b"))
+    val out = df.select(call_function("phoenix_decimal_div", $"a", $"b"))
+    assert(out.schema.head.dataType == org.apache.spark.sql.types
+      .DecimalType(38, 34))
+    val vals = out.collect().map(_.getDecimal(0).toPlainString)
+    assert(vals(0) == "49.3800000000000000000000000000000000")
+    // 10/3 truncates (ROUND_DOWN) at the derived scale, Phoenix-style
+    assert(vals(1) == "3.3333333333333333333333333333333333")
+    // overflow of the derived width errors like DataExceedsCapacityException:
+    // DECIMAL(38,0)/DECIMAL(12,12) derives (38,0); 38 nines / 1e-12 has 50
+    // integer digits
+    val wide = Seq(("9" * 38, "0.000000000001"))
+      .toDF("a", "b")
+      .select($"a".cast("decimal(38,0)").as("a"),
+        $"b".cast("decimal(12,12)").as("b"))
+    intercept[ArithmeticException] {
+      wide.select(call_function("phoenix_decimal_div", $"a", $"b")).collect()
+    }
+  }
+
   test("bson codec roundtrips and navigates with typed returns") {
     import spark.implicits._
     import graft.functions.BsonLite

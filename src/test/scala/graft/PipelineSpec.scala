@@ -75,6 +75,24 @@ class PipelineSpec extends AnyFunSuite {
       s"ANN mean sim $annMean not above population mean $popMean")
   }
 
+  test("IVF ANN returns exact sims from probed cells, enriched recall") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val brute = Similarity.cosineTopK(emb, "embedding", "vec_id", 0L,
+      emb.count().toInt).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (centroids, assigned) =
+      Similarity.ivfIndex(emb, "embedding", "vec_id", nlist = 8)
+    val ivf = Similarity.ivfTopK(centroids, assigned, 0L, 10, nprobe = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ivf.head._1 == 0L, "query vector must rank itself first")
+    for ((id, sim) <- ivf) assert(math.abs(brute(id) - sim) < 1e-9)
+    // recall@10 vs brute force: probed-cell top-k must recover most of
+    // the true top-k (cells adapt to the distribution)
+    val trueTop = brute.toSeq.sortBy(-_._2).take(10).map(_._1).toSet
+    val recall = ivf.map(_._1).count(trueTop.contains) / 10.0
+    assert(recall >= 0.5, s"IVF recall@10 $recall too low")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val li = Tables.t(spark, dir, "lineitem")
     val exact = li.select(countDistinct(col("l_partkey"))).collect()(0)
