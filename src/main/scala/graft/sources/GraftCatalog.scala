@@ -178,11 +178,15 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def changeLog(name: String): DataFrame = {
     val physSchema = StructType(logSchema(name).fields.map(f =>
       if (f.name.startsWith("_")) f else f.copy(name = phys(name, f.name))))
-    allFields(name).foldLeft(
-        spark.read.schema(physSchema).parquet(s"${dir(name)}/data")) {
-      (d, f) =>
-        val p = phys(name, f.name)
-        if (p == f.name) d else d.withColumnRenamed(p, f.name)
+    // a created-but-never-written table has no data dir yet → empty log
+    val base =
+      if (new java.io.File(s"${dir(name)}/data").exists())
+        spark.read.schema(physSchema).parquet(s"${dir(name)}/data")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physSchema)
+    allFields(name).foldLeft(base) { (d, f) =>
+      val p = phys(name, f.name)
+      if (p == f.name) d else d.withColumnRenamed(p, f.name)
     }
   }
 

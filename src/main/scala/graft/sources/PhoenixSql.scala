@@ -290,6 +290,29 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
   // ---- DML --------------------------------------------------------------
 
   private def upsert(s: String): DataFrame = {
+    // UPSERT INTO t [(cols)] SELECT ... (reference g: upsert_node SELECT
+    // form) — the SELECT runs through the normal query path and the
+    // result batch is upserted.
+    val sel = ("(?is)UPSERT INTO ([\\w.\"]+)\\s*(?:\\(([^)]*)\\))?\\s*" +
+      "(SELECT\\s.*)$").r.findFirstMatchIn(s)
+    if (sel.isDefined) {
+      val m = sel.get
+      val target = cleanIdent(m.group(1))
+      val table = if (catalog.isView(target)) catalog.viewBase(target)
+        else target
+      var df = select(m.group(3))
+      Option(m.group(2)).foreach { colGroup =>
+        val names = splitTopLevel(colGroup, ',').map(c =>
+          cleanIdent(c).split("\\.").last.toLowerCase)
+        require(names.length == df.columns.length,
+          s"UPSERT SELECT arity mismatch: ${names.length} columns but " +
+            s"${df.columns.length} select outputs for $target")
+        df = df.toDF(names: _*)
+      }
+      catalog.upsert(table, df)
+      dirty += table
+      return spark.emptyDataFrame
+    }
     val m = ("(?is)UPSERT INTO ([\\w.\"]+)\\s*(?:\\(([^)]*)\\))?\\s*" +
       "VALUES\\s*\\((.*)\\)$").r.findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))

@@ -169,6 +169,25 @@ class PhoenixSqlSpec extends AnyFunSuite {
       .getLong(0) == 3)
   }
 
+  test("UPSERT INTO ... SELECT copies between tables") {
+    val px = fresh()
+    px.execute("CREATE TABLE src (id BIGINT NOT NULL PRIMARY KEY," +
+      " a VARCHAR, v BIGINT)")
+    px.execute("CREATE TABLE dst (id BIGINT NOT NULL PRIMARY KEY," +
+      " a VARCHAR, v BIGINT)")
+    px.execute("UPSERT INTO src VALUES (1, 'x', 10)")
+    px.execute("UPSERT INTO src VALUES (2, 'y', 20)")
+    px.execute("UPSERT INTO dst SELECT id, a, v FROM src WHERE v >= 20")
+    val r = px.execute("SELECT id, a, v FROM dst ORDER BY id").collect()
+    assert(r.length == 1 && r(0).getLong(0) == 2L)
+    // column-list form with doubled values
+    px.execute("UPSERT INTO dst (id, a, v) SELECT id + 100, a, v * 2 FROM src")
+    assert(px.execute("SELECT count(*) AS n FROM dst").collect()(0)
+      .getLong(0) == 3)
+    assert(px.execute("SELECT v FROM dst WHERE id = 102").collect()(0)
+      .getLong(0) == 40L)
+  }
+
   test("UPSERT arity mismatch errors instead of silently truncating") {
     val px = fresh()
     px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, a VARCHAR)")
