@@ -16,6 +16,9 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // covered-index rewrite (graft.plans.IndexRewriteRule); inert until
+      // an index is registered via GraftIndexes.register
+      .withExtensions(new graft.plans.GraftSparkExtensions()(_))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -1,0 +1,110 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import graft.sources.{GraftPk, GraftPkTable}
+
+/** Secondary-index-as-materialized-projection rewrite — the Spark-native
+  * analog of Phoenix's covered-index selection (reference:
+  * cc/optimize/QueryOptimizer.java:103,652 — when a query's references
+  * are covered by an index table and its predicate leads with the index
+  * key, Phoenix swaps the scan to the index and never touches the base
+  * table).
+  *
+  * Here an "index" is a PK-sorted parquet projection of the base table
+  * (same rows, column subset, re-sorted by the indexed key — written by
+  * `Layout`-style jobs). The optimizer rule rewrites
+  * `Project(..., [Filter(...),] graftpk(base))` to the same plan over
+  * `graftpk(index)` when every referenced column exists in the index and
+  * the filter references the index's leading key — which then gets the
+  * V2 source's key-range file pruning and sort-order reporting on the
+  * indexed column for free. Output attribute ids are preserved via
+  * aliases, so the surrounding plan is untouched.
+  */
+object GraftIndexes {
+  /** @param indexPath sorted-projection location
+    * @param indexPk   index key columns (leading column drives pruning) */
+  case class IndexDef(indexPath: String, indexPk: Seq[String]) {
+    lazy val schema: org.apache.spark.sql.types.StructType =
+      GraftPk.inferSchema(indexPath)
+  }
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexDef]()
+
+  def register(basePath: String, index: IndexDef): Unit =
+    registry.put(norm(basePath), index)
+  def drop(basePath: String): Unit = registry.remove(norm(basePath))
+  def lookup(basePath: String): Option[IndexDef] =
+    Option(registry.get(norm(basePath)))
+
+  private def norm(p: String) =
+    p.stripPrefix("file:").stripSuffix("/")
+}
+
+case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(list, Filter(cond, rel: DataSourceV2Relation)) =>
+      rewrite(rel, list, Some(cond)).getOrElse(p)
+    case p @ Project(list, rel: DataSourceV2Relation) =>
+      rewrite(rel, list, None).getOrElse(p)
+  }
+
+  private def basePathOf(rel: DataSourceV2Relation): Option[String] =
+    rel.table match {
+      case t: GraftPkTable => Some(t.name().stripPrefix("graftpk:"))
+      case _ => None
+    }
+
+  private def rewrite(rel: DataSourceV2Relation,
+      list: Seq[NamedExpression], cond: Option[Expression])
+      : Option[LogicalPlan] = {
+    for {
+      base <- basePathOf(rel)
+      idx <- GraftIndexes.lookup(base)
+      refs = (list.flatMap(_.references) ++
+        cond.toSeq.flatMap(_.references)).map(_.name).toSet
+      // covered: every referenced column exists in the index projection
+      if refs.subsetOf(idx.schema.fieldNames.toSet)
+      // worthwhile: the predicate drives the index's leading key (a
+      // filterless covered projection also qualifies — thinner scan)
+      if cond.forall(_.references.map(_.name).toSet
+        .contains(idx.indexPk.head))
+    } yield {
+      val idxTable = new GraftPkTable(idx.schema, idx.indexPath,
+        idx.indexPk.toArray)
+      val newRel = DataSourceV2Relation.create(idxTable, None, None)
+      val byName: Map[String, Attribute] =
+        newRel.output.map(a => a.name -> a).toMap
+      def remap(e: Expression): Expression = e.transformUp {
+        case a: AttributeReference => byName(a.name)
+      }
+      // preserve the original output exprIds so the parent plan resolves
+      val newList = list.map {
+        case ar: AttributeReference =>
+          Alias(byName(ar.name), ar.name)(exprId = ar.exprId)
+        case al: Alias =>
+          Alias(remap(al.child), al.name)(exprId = al.exprId,
+            qualifier = al.qualifier,
+            explicitMetadata = al.explicitMetadata)
+        case other => remap(other).asInstanceOf[NamedExpression]
+      }
+      cond match {
+        case Some(c) => Project(newList, Filter(remap(c), newRel))
+        case None => Project(newList, newRel)
+      }
+    }
+  }
+}
+
+/** SparkSessionExtensions hook: `.withExtensions(GraftExtensions.install)`
+  * or `spark.sql.extensions=graft.plans.GraftSparkExtensions`. */
+class GraftSparkExtensions
+    extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(IndexRewriteRule)
+}

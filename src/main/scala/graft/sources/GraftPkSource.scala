@@ -54,7 +54,7 @@ class GraftPkSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 }
 
-private[sources] object GraftPk {
+private[graft] object GraftPk {
   def listFiles(dir: String): Seq[Path] = {
     val p = new Path(dir)
     val fs = p.getFileSystem(new Configuration())
@@ -129,7 +129,7 @@ private[sources] object GraftPk {
   }
 }
 
-private[sources] class GraftPkTable(tableSchema: StructType, path: String,
+private[graft] class GraftPkTable(tableSchema: StructType, path: String,
     pk: Array[String]) extends Table with SupportsRead {
   override def name(): String = s"graftpk:$path"
   override def schema(): StructType = tableSchema

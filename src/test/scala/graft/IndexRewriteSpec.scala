@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.plans.{GraftIndexes, GraftSparkExtensions}
+
+/** Covered-index rewrite (reference QueryOptimizer.java:103,652): a query
+  * whose references are covered by a registered PK-sorted projection and
+  * whose predicate leads with the index key scans the INDEX, never the
+  * base table — and inherits the index's file pruning on that key. */
+class IndexRewriteSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftSparkExtensions()(_))
+      .appName("graft-idx-test").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private lazy val (baseDir, idxDir): (String, String) = {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_idx_base").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_idx_idx").toString
+    val df = (0L until 1000L)
+      .map(i => (i, s"name_$i", (i * 7) % 1000, s"extra_$i"))
+      .toDF("k", "name", "v", "extra")
+    df.repartitionByRange(4, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(base)
+    // the "index": projection re-sorted by v, covering (v, k, name)
+    df.select($"v", $"k", $"name")
+      .repartitionByRange(4, $"v").sortWithinPartitions($"v")
+      .write.mode("overwrite").parquet(idx)
+    (base, idx)
+  }
+
+  private def base = spark.read.format("graftpk").option("pk", "k")
+    .load(baseDir)
+
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }
+
+  test("covered query with index-key predicate scans the index") {
+    import spark.implicits._
+    GraftIndexes.register(baseDir,
+      GraftIndexes.IndexDef(idxDir, Seq("v")))
+    try {
+      val q = base.where($"v" === 441L).select($"k", $"name")
+      val ds = scans(q)
+      assert(ds.nonEmpty && ds.forall(_.contains(idxDir)),
+        s"expected index scan, got $ds")
+      // correct rows, and only matching files opened (pruning on v)
+      val rows = q.orderBy($"k").collect()
+      val exp = (0L until 1000L).filter(i => (i * 7) % 1000 == 441)
+      assert(rows.map(_.getLong(0)).toSeq == exp)
+      assert(q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.inputRDD.getNumPartitions
+      }.sum == 1, "index key range should prune to one file")
+    } finally GraftIndexes.drop(baseDir)
+  }
+
+  test("non-covered or keyless queries stay on the base table") {
+    import spark.implicits._
+    GraftIndexes.register(baseDir,
+      GraftIndexes.IndexDef(idxDir, Seq("v")))
+    try {
+      // references 'extra' which the index does not cover
+      val notCovered = base.where($"v" === 441L).select($"k", $"extra")
+      assert(scans(notCovered).forall(_.contains(baseDir)))
+      assert(notCovered.collect().length == 1)
+      // covered columns but no predicate on the index key
+      val noKey = base.where($"k" < 10L).select($"k", $"name")
+      assert(scans(noKey).forall(_.contains(baseDir)))
+      assert(noKey.count() == 10)
+    } finally GraftIndexes.drop(baseDir)
+  }
+
+  test("unregistered base is untouched") {
+    import spark.implicits._
+    val q = base.where($"v" === 441L).select($"k", $"name")
+    assert(scans(q).forall(_.contains(baseDir)))
+  }
+}
