@@ -97,4 +97,18 @@ class PlanSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS o_b")
     }
   }
+
+  test("no cartesian products in any scale-path pipeline entry") {
+    // the two bounded oracle baselines (q_jaccard_pairs,
+    // q_dedup_embedding) are the ONLY entries allowed a cross join
+    val scalePaths = Seq("q_dedup_minhash", "q_dedup_simhash",
+      "q_dedup_embedding_lsh", "q_dedup_exact", "q_dedup_fingerprint",
+      "q_curation_pipeline", "q_ann_lsh")
+    for (q <- scalePaths) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must not contain a cartesian join:\n$p")
+    }
+  }
 }
