@@ -135,6 +135,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     rm(new java.io.File(dir(name)))
   }
 
+  // Single-writer assumption: the version counter is a driver-side file,
+  // fine for one writing session (this sandbox, or one Spark driver per
+  // table). Concurrent writers would need a coordination service —
+  // Phoenix delegates the same problem to HBase's row-level atomicity.
   private def nextVersion(name: String): Long = {
     val f = versionFile(name)
     val v = if (f.exists()) new String(
