@@ -3,6 +3,7 @@ package graft.sources
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import scala.jdk.CollectionConverters._
 
 /** Phoenix-dialect SQL front-end over [[GraftCatalog]].
   *
@@ -49,7 +50,62 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     else if (up.startsWith("DROP TABLE")) dropTable(s)
     else if (up.startsWith("ALTER VIEW")) alterView(s)
     else if (up.startsWith("ALTER TABLE")) alterTable(s)
+    else if (up.startsWith("DECLARE")) declareCursor(s)
+    else if (up.startsWith("OPEN")) openCursor(s)
+    else if (up.startsWith("FETCH")) fetchCursor(s)
+    else if (up.startsWith("CLOSE")) closeCursor(s)
     else select(s)
+  }
+
+  // ---- cursors (reference: PhoenixSQL.g declare_cursor_node /
+  // cursor_open_node / cursor_fetch_node / cursor_close_node;
+  // CursorFetchPlan pages via the driver — here toLocalIterator) --------
+
+  private case class CursorState(query: String,
+      var rows: Iterator[org.apache.spark.sql.Row] = null,
+      var schema: StructType = null)
+  private val cursors = scala.collection.mutable.Map[String, CursorState]()
+
+  private def declareCursor(s: String): DataFrame = {
+    val m = "(?is)DECLARE\\s+([\\w\"]+)\\s+CURSOR\\s+FOR\\s+(.*)$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    cursors(cleanIdent(m.group(1))) = CursorState(m.group(2))
+    spark.emptyDataFrame
+  }
+
+  private def cursorOf(name: String): CursorState =
+    cursors.getOrElse(name,
+      throw new IllegalArgumentException(s"cursor $name not declared"))
+
+  private def openCursor(s: String): DataFrame = {
+    val m = "(?is)OPEN\\s+([\\w\"]+)\\s*$".r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val c = cursorOf(cleanIdent(m.group(1)))
+    val df = select(c.query)
+    c.schema = df.schema
+    c.rows = df.toLocalIterator().asScala
+    spark.emptyDataFrame
+  }
+
+  private def fetchCursor(s: String): DataFrame = {
+    val m = ("(?is)FETCH\\s+NEXT\\s+(?:(\\d+)\\s+)?(?:ROWS?\\s+)?FROM\\s+" +
+      "([\\w\"]+)\\s*$").r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val c = cursorOf(cleanIdent(m.group(2)))
+    require(c.rows != null, s"cursor ${m.group(2)} is not open")
+    val n = Option(m.group(1)).map(_.toInt).getOrElse(1)
+    val batch = c.rows.take(n).toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(batch, math.max(1, batch.length)),
+      c.schema)
+  }
+
+  private def closeCursor(s: String): DataFrame = {
+    val m = "(?is)CLOSE\\s+([\\w\"]+)\\s*$".r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    cursors.remove(cleanIdent(m.group(1)))
+    spark.emptyDataFrame
   }
 
   // ---- types ------------------------------------------------------------

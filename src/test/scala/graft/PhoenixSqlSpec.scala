@@ -169,6 +169,24 @@ class PhoenixSqlSpec extends AnyFunSuite {
       .getLong(0) == 3)
   }
 
+  // reference: PhoenixSQL.g cursor nodes, it/end2end CursorIT shapes
+  test("DECLARE/OPEN/FETCH/CLOSE cursor pages through a query") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v BIGINT)")
+    (1 to 7).foreach(i => px.execute(s"UPSERT INTO t VALUES ($i, ${i * 10})"))
+    px.execute("DECLARE c CURSOR FOR SELECT id, v FROM t ORDER BY id")
+    px.execute("OPEN c")
+    val b1 = px.execute("FETCH NEXT 3 ROWS FROM c").collect()
+    assert(b1.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val b2 = px.execute("FETCH NEXT FROM c").collect() // default 1 row
+    assert(b2.map(_.getLong(0)).toSeq == Seq(4L))
+    val b3 = px.execute("FETCH NEXT 10 ROWS FROM c").collect()
+    assert(b3.map(_.getLong(0)).toSeq == Seq(5L, 6L, 7L)) // drained
+    assert(px.execute("FETCH NEXT 5 ROWS FROM c").collect().isEmpty)
+    px.execute("CLOSE c")
+    intercept[IllegalArgumentException] { px.execute("FETCH NEXT FROM c") }
+  }
+
   test("UPSERT INTO ... SELECT copies between tables") {
     val px = fresh()
     px.execute("CREATE TABLE src (id BIGINT NOT NULL PRIMARY KEY," +
