@@ -33,6 +33,17 @@ object EventStreams {
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Streaming exact dedup for ingest pipelines: one surviving row per
+    * content fingerprint, with bounded state — the watermark lets Spark
+    * drop fingerprint state older than the lateness horizon, so this
+    * holds on an unbounded stream (the batch analog is
+    * [[graft.operators.Dedup.exactDedup]]). */
+  def dedupStream(events: DataFrame, keyCols: Seq[String],
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols.toArray)
+
   /** Per-user running behavior via flatMapGroupsWithState-free windowed
     * dedup: last event per user per window (bounded state via watermark). */
   def lastEventPerUserWindow(events: DataFrame,

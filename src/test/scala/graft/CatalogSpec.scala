@@ -282,4 +282,31 @@ class CatalogSpec extends AnyFunSuite {
       assert(g.subsetOf(b), "streamed window results must match batch")
     } finally q.stop()
   }
+
+  test("streaming dedup with bounded state matches batch exact dedup") {
+    val evDir = java.nio.file.Files.createTempDirectory("graft_events_dd")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      evDir.resolve("events.parquet"))
+    val rawSchema = StructType(EventStreams.eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    val ev = spark.readStream.schema(rawSchema).parquet(evDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.dedupStream(ev, Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT user_id, event_type) AS d" +
+          " FROM dedup_out").collect()(0)
+      val exact = Tables.t(spark, "/root/testdata/sf0.001", "events")
+        .select("user_id", "event_type").distinct().count()
+      // every (user,type) key survives exactly once
+      assert(got.getLong(0) == exact, "one survivor per key")
+      assert(got.getLong(1) == exact)
+    } finally q.stop()
+  }
 }
