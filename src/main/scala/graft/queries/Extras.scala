@@ -113,6 +113,26 @@ object Extras {
         .orderBy($"src", $"v").limit(500)
     },
 
+    // §2.7 INTERSECT / EXCEPT (surplus beyond Phoenix's UNION ALL —
+    // declared set-op completeness; both are distinct-semantics).
+    "q_intersect" -> { (s, dir) =>
+      import s.implicits._
+      val early = Tables.t(s, dir, "lineitem")
+        .filter($"l_shipdate" < lit("1994-01-01").cast(TimestampType))
+        .select($"l_orderkey")
+      val flagged = Tables.t(s, dir, "lineitem")
+        .filter($"l_returnflag" === "R").select($"l_orderkey")
+      early.intersect(flagged).orderBy($"l_orderkey")
+    },
+
+    "q_except" -> { (s, dir) =>
+      import s.implicits._
+      val all = Tables.t(s, dir, "customer").select($"c_nationkey")
+      val big = Tables.t(s, dir, "customer")
+        .filter($"c_acctbal" > 9000.0).select($"c_nationkey")
+      all.except(big).orderBy($"c_nationkey")
+    },
+
     // Sessionization: gap-based session windows per user (time-series
     // pipeline op; Spark session_window — the oracle derives the same
     // sessions via lag + cumulative-sum, semantics verified identical).
@@ -227,6 +247,19 @@ object Extras {
           (SELECT l_quantity FROM lineitem ORDER BY l_orderkey, l_linenumber,
            l_partkey, l_suppkey, l_extendedprice LIMIT 100))
       ORDER BY src, v LIMIT 500""",
+
+    "q_intersect" -> """
+      SELECT l_orderkey FROM lineitem
+      WHERE l_shipdate < TIMESTAMP '1994-01-01'
+      INTERSECT
+      SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+      ORDER BY l_orderkey""",
+
+    "q_except" -> """
+      SELECT c_nationkey FROM customer
+      EXCEPT
+      SELECT c_nationkey FROM customer WHERE c_acctbal > 9000.0
+      ORDER BY c_nationkey""",
 
     "q_sessionize" -> """
       WITH m AS (SELECT user_id, ts, value,

@@ -88,6 +88,7 @@ private[graft] object GraftPk {
           if lt.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
         TimestampType
       case PrimitiveTypeName.INT64 => LongType
+      case PrimitiveTypeName.INT96 => TimestampType // legacy Hive/Spark
       case PrimitiveTypeName.INT32 => IntegerType
       case PrimitiveTypeName.DOUBLE => DoubleType
       case PrimitiveTypeName.FLOAT => FloatType
@@ -268,15 +269,22 @@ private[sources] class GraftPkReaderFactory(
       (n, org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t))
     }
     val conf = new Configuration()
-    // project only the required columns at the parquet level
+    // project only the required columns at the parquet level; remember
+    // which timestamp columns use the legacy INT96 physical encoding
+    var int96: Set[String] = Set.empty
     if (fields.nonEmpty) {
       val full = GraftPk.footer(file)
       val b = Types.buildMessage()
       fields.foreach { case (n, _) =>
-        b.addField(full.getType(Seq(n): _*)) }
+        val t = full.getType(Seq(n): _*)
+        if (t.isPrimitive && t.asPrimitiveType().getPrimitiveTypeName ==
+            PrimitiveTypeName.INT96) int96 += n
+        b.addField(t)
+      }
       conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
         b.named(full.getName).toString)
     }
+    val isInt96 = int96
     val reader = ParquetReader.builder(new GroupReadSupport(), file)
       .withConf(conf).build()
 
@@ -294,6 +302,15 @@ private[sources] class GraftPkReaderFactory(
           val idx = current.getType.getFieldIndex(name)
           if (current.getFieldRepetitionCount(idx) == 0) row.setNullAt(i)
           else dt match {
+            case TimestampType if isInt96.contains(name) =>
+              // INT96: 8-byte nanos-of-day + 4-byte julian day, LE
+              val buf = java.nio.ByteBuffer
+                .wrap(current.getInt96(idx, 0).getBytes)
+                .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+              val nanosOfDay = buf.getLong
+              val julianDay = buf.getInt
+              row.setLong(i,
+                (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L)
             case LongType | TimestampType => row.setLong(i, current.getLong(idx, 0))
             case IntegerType => row.setInt(i, current.getInteger(idx, 0))
             case DoubleType => row.setDouble(i, current.getDouble(idx, 0))

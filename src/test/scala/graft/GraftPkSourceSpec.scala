@@ -69,6 +69,21 @@ class GraftPkSourceSpec extends AnyFunSuite {
     assert(point.select("name").collect()(0).getString(0) == "name_42")
   }
 
+  test("timestamp and boolean columns roundtrip through the reader") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_pk_ts").toString
+    (0L until 100L)
+      .map(i => (i, java.sql.Timestamp.valueOf(s"2024-01-01 00:0${i % 6}:00"),
+        i % 2 == 0))
+      .toDF("k", "ts", "flag")
+      .repartitionByRange(2, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(d)
+    val got = spark.read.format("graftpk").option("pk", "k").load(d)
+      .orderBy("k").collect()
+    val exp = spark.read.parquet(d).orderBy("k").collect()
+    assert(got.toSeq == exp.toSeq)
+  }
+
   test("column pruning reaches the parquet reader") {
     val plan = pkRead.select("name").queryExecution.executedPlan
     val scans = plan.collect { case b: BatchScanExec => b }
