@@ -340,6 +340,46 @@ object Functions {
         .orderBy($"o_orderpriority")
     },
 
+    // §2.7-surplus explicit GROUPING SETS with GROUPING() disambiguation
+    // (ROLLUP's general form; Spark and DuckDB share the SQL semantics).
+    "q_grouping_sets" -> { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               grouping(l_returnflag) AS g_rf,
+               grouping(l_linestatus) AS g_ls,
+               count(*) AS n
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        ORDER BY rf, ls, g_rf, g_ls""")
+    },
+
+    // §2.5 window-function family (surplus vs Phoenix, which has no
+    // window clause — SURVEY §2.5): ranking, offset, and frame aggregates
+    // over a PK-ordered partition.
+    "q_window_funcs" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"o_orderpriority").orderBy($"o_orderkey")
+      Tables.t(s, dir, "orders")
+        .where($"o_orderkey" <= 2000L)
+        .select(
+          $"o_orderkey", $"o_orderpriority",
+          row_number().over(w).as("rn"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          lag($"o_orderkey", 1).over(w).as("prev_key"),
+          lead($"o_orderkey", 1).over(w).as("next_key"),
+          round(sum(dec($"o_totalprice")).over(
+            w.rowsBetween(Long.MinValue, 0)), 2).cast(DoubleType)
+            .as("running_total"),
+          first($"o_orderkey").over(w).as("first_key"))
+        .orderBy($"o_orderpriority", $"o_orderkey")
+    },
+
     // §2.4 APPROX_COUNT_DISTINCT (HLL++). No oracle: DuckDB's HLL sketch
     // differs — correctness asserted in ScalaTest vs exact counts (±5%).
     "q_approx_distinct" -> { (s, dir) =>
@@ -535,6 +575,33 @@ object Functions {
           AS DOUBLE) / count(*) AS pr_desc,
         count(*) AS n
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+
+    "q_grouping_sets" -> """
+      SELECT coalesce(l_returnflag, 'ALL') AS rf,
+             coalesce(l_linestatus, 'ALL') AS ls,
+             CAST(grouping(l_returnflag) AS TINYINT) AS g_rf,
+             CAST(grouping(l_linestatus) AS TINYINT) AS g_ls,
+             count(*) AS n
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                              (l_returnflag, l_linestatus))
+      ORDER BY rf, ls, g_rf, g_ls""",
+
+    "q_window_funcs" -> """
+      SELECT o_orderkey, o_orderpriority,
+        row_number() OVER w AS rn,
+        rank() OVER w AS rnk,
+        dense_rank() OVER w AS drnk,
+        ntile(4) OVER w AS quartile,
+        lag(o_orderkey, 1) OVER w AS prev_key,
+        lead(o_orderkey, 1) OVER w AS next_key,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+          (PARTITION BY o_orderpriority ORDER BY o_orderkey
+           ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_total,
+        first_value(o_orderkey) OVER w AS first_key
+      FROM orders WHERE o_orderkey <= 2000
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+      ORDER BY o_orderpriority, o_orderkey""",
 
     "q_rollup" -> """
       SELECT coalesce(l_returnflag, 'ALL') AS rf,
