@@ -279,14 +279,24 @@ object Functions {
     // (STRING_TO_ARRAY / ARRAY_TO_STRING / ARRAY_APPEND / ANY-style contains).
     "q_words_funcs" -> { (s, dir) =>
       import s.implicits._
-      Tables.t(s, dir, "documents").select(
-        $"doc_id",
-        size(split($"text", " ")).as("n_tok"),
-        element_at(split($"text", " "), 1).as("first_tok"),
-        array_join(slice(array_sort(split($"text", " ")), 1, 3), ",")
-          .as("top3"),
-        array_contains(split($"text", " "), "data").as("has_data"),
-        size(array_remove(split($"text", " "), "the")).as("n_no_the"))
+      Tables.t(s, dir, "documents")
+        .withColumn("w", split($"text", " "))
+        .select(
+          $"doc_id",
+          size($"w").as("n_tok"),
+          element_at($"w", 1).as("first_tok"),
+          array_join(slice(array_sort($"w"), 1, 3), ",").as("top3"),
+          array_contains($"w", "data").as("has_data"),
+          size(array_remove($"w", "the")).as("n_no_the"),
+          // ARRAY_APPEND / ARRAY_PREPEND / ARRAY_CAT / ARRAY_FILL
+          array_join(array_append(slice($"w", 1, 2), lit("zz")), ",")
+            .as("appended"),
+          array_join(array_prepend(slice($"w", 1, 2), lit("aa")), ",")
+            .as("prepended"),
+          array_join(concat(slice($"w", 1, 2), slice($"w", 3, 1)), ",")
+            .as("catted"),
+          array_join(array_repeat(element_at($"w", 1), 3), ",")
+            .as("filled"))
     },
 
     // §2.7-surplus ROLLUP (absent in Phoenix grammar; Spark/DuckDB both
@@ -544,14 +554,18 @@ object Functions {
       FROM embeddings""",
 
     "q_words_funcs" -> """
+      WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
       SELECT doc_id,
-        len(string_split(text, ' ')) AS n_tok,
-        (string_split(text, ' '))[1] AS first_tok,
-        array_to_string(list_sort(string_split(text, ' '))[1:3], ',') AS top3,
-        list_contains(string_split(text, ' '), 'data') AS has_data,
-        len(list_filter(string_split(text, ' '), x -> x != 'the'))
-          AS n_no_the
-      FROM documents""",
+        len(w) AS n_tok,
+        w[1] AS first_tok,
+        array_to_string(list_sort(w)[1:3], ',') AS top3,
+        list_contains(w, 'data') AS has_data,
+        len(list_filter(w, x -> x != 'the')) AS n_no_the,
+        array_to_string(list_append(w[1:2], 'zz'), ',') AS appended,
+        array_to_string(list_prepend('aa', w[1:2]), ',') AS prepended,
+        array_to_string(list_concat(w[1:2], w[3:3]), ',') AS catted,
+        array_to_string(list_transform(range(3), i -> w[1]), ',') AS filled
+      FROM d""",
 
     "q_percentile_disc" -> """
       WITH cd AS (
