@@ -92,7 +92,8 @@ object BsonLite {
         case 0x03 => decodeDoc(buf, asArray = false)
         case 0x04 => decodeDoc(buf, asArray = true)
         case 0x08 => F.booleanNode(buf.get() != 0)
-        case 0x09 => F.numberNode(buf.getLong) // UTC ms since epoch
+        case 0x09 => // UTC datetime: keep the type distinguishable
+          F.pojoNode(new java.util.Date(buf.getLong))
         case 0x0A => F.nullNode()
         case 0x10 => F.numberNode(buf.getInt)
         case 0x12 => F.numberNode(buf.getLong)
@@ -139,6 +140,42 @@ case class ToBson(child: Expression)
   override protected def withNewChildInternal(c: Expression): ToBson =
     copy(child = c)
   override def prettyName: String = "to_bson"
+}
+
+/** BSON_VALUE_TYPE(bson, fieldKey) → the Phoenix SQL type name of the
+  * field's BSON type (reference BsonValueTypeFunction.java:121-143:
+  * string→VARCHAR, int32→INTEGER, int64→BIGINT, double→DOUBLE,
+  * boolean→BOOLEAN, datetime→DATE, document/array→BSON, null or missing
+  * field→'NULL'). */
+case class BsonValueType(doc: Expression, path: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = doc
+  override def right: Expression = path
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private lazy val pathCache = new JsonPathWalk.PathCache
+
+  override def nullSafeEval(d: Any, p: Any): Any = {
+    val root = BsonLite.decode(d.asInstanceOf[Array[Byte]])
+    val node = JsonPathWalk.navigate(root,
+      pathCache.get("$." + p.asInstanceOf[UTF8String].toString))
+    val name =
+      if (node == null || node.isNull) "NULL"
+      else if (node.isTextual) "VARCHAR"
+      else if (node.isInt) "INTEGER"
+      else if (node.isLong) "BIGINT"
+      else if (node.isDouble || node.isBigDecimal) "DOUBLE"
+      else if (node.isBoolean) "BOOLEAN"
+      else if (node.isPojo) "DATE"
+      else if (node.isObject || node.isArray) "BSON"
+      else "VARCHAR"
+    UTF8String.fromString(name)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): BsonValueType = copy(doc = l, path = r)
+  override def prettyName: String = "bson_value_type"
 }
 
 /** BSON_VALUE(bson, fieldKey, sqlType) — fieldKey uses the reference's

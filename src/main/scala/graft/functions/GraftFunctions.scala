@@ -77,6 +77,9 @@ object GraftFunctions {
       "bson_value",
       e => BsonValue(e(0), asString(e(1)), asString(e(2))), "built-in")
     reg.createOrReplaceTempFunction(
+      "bson_value_type",
+      e => BsonValueType(e(0), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
       "encode_binary",
       e => EncodeBinary(e(0), asString(e(1))), "built-in")
     reg.createOrReplaceTempFunction(

@@ -188,7 +188,15 @@ object Functions {
           call_function("bson_value", $"nested", lit("a.n"),
             lit("BIGINT")).as("n_long"),
           call_function("bson_value", $"nested", lit("a.missing"),
-            lit("VARCHAR")).as("missing"))
+            lit("VARCHAR")).as("missing"),
+          call_function("bson_value_type", $"nested", lit("a.xs"))
+            .as("tp_arr"),
+          call_function("bson_value_type", $"nested", lit("a.n"))
+            .as("tp_num"),
+          call_function("bson_value_type", $"nested", lit("a.xs[0]"))
+            .as("tp_str"),
+          call_function("bson_value_type", $"nested", lit("a.missing"))
+            .as("tp_missing"))
     },
 
     // §2.8 ENCODE_BINARY/DECODE_BINARY in the reference's three formats
@@ -505,7 +513,11 @@ object Functions {
         json_extract_string(props, '$.k') AS k_str,
         event_type AS xs0,
         event_id AS n_long,
-        CAST(NULL AS VARCHAR) AS missing
+        CAST(NULL AS VARCHAR) AS missing,
+        'BSON' AS tp_arr,
+        'INTEGER' AS tp_num,
+        'VARCHAR' AS tp_str,
+        'NULL' AS tp_missing
       FROM events""",
 
     "q_encode_binary" -> """

@@ -130,6 +130,14 @@ class FunctionsSpec extends AnyFunSuite {
     assert(bv("o.xs[2].deep", "VARCHAR").getString(0) == "v")
     assert(bv("o.xs", "VARCHAR").getString(0) == """[1,"two",{"deep":"v"}]""")
     assert(bv("nope.nope", "VARCHAR").isNullAt(0))
+    // BSON_VALUE_TYPE → Phoenix SQL type names (BsonValueTypeFunction)
+    def tp(path: String): String =
+      df.select(call_function("bson_value_type", col("b"), lit(path)))
+        .collect()(0).getString(0)
+    assert(tp("s") == "VARCHAR" && tp("i") == "INTEGER" &&
+      tp("l") == "BIGINT" && tp("d") == "DOUBLE" && tp("b") == "BOOLEAN" &&
+      tp("o") == "BSON" && tp("o.xs") == "BSON" && tp("nul") == "NULL" &&
+      tp("nope") == "NULL")
   }
 
   test("json query/exists/modify navigate nested and array paths") {
