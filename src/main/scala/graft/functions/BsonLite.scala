@@ -135,7 +135,12 @@ case class ToBson(child: Expression)
     new com.fasterxml.jackson.databind.ObjectMapper()
   override def nullSafeEval(v: Any): Any = {
     try BsonLite.encode(mapper.readTree(v.asInstanceOf[UTF8String].toString))
-    catch { case _: com.fasterxml.jackson.core.JacksonException => null }
+    catch {
+      case _: com.fasterxml.jackson.core.JacksonException => null
+      // valid JSON whose root is not an object ('42', '[1]', 'null') —
+      // a BSON document must be an object; NULL per row, not a task crash
+      case _: IllegalArgumentException => null
+    }
   }
   override protected def withNewChildInternal(c: Expression): ToBson =
     copy(child = c)

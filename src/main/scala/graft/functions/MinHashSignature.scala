@@ -81,7 +81,11 @@ case class MinHashSignature(child: Expression, numHashes: Int,
 case class WordShingles(child: Expression, n: Int)
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  // n<=1 passes input elements through distinct, which may include null
+  // (matching array_distinct); n>1 joins with concat_ws semantics (null
+  // words skipped), so shingles themselves are never null
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = n <= 1)
 
   override def nullSafeEval(v: Any): Any = {
     val words = v.asInstanceOf[ArrayData]
@@ -95,13 +99,15 @@ case class WordShingles(child: Expression, n: Int)
       val sep = UTF8String.fromString(" ")
       var i = 0
       while (i <= nw - n) {
-        var s = words.getUTF8String(i)
-        var j = 1
+        // concat_ws semantics: null parts are skipped, never propagated
+        var s: UTF8String = null
+        var j = 0
         while (j < n) {
-          s = UTF8String.concat(s, sep, words.getUTF8String(i + j))
+          val w = words.getUTF8String(i + j)
+          if (w != null) s = if (s == null) w else UTF8String.concat(s, sep, w)
           j += 1
         }
-        seen.add(s)
+        seen.add(if (s == null) UTF8String.EMPTY_UTF8 else s)
         i += 1
       }
     }

@@ -197,10 +197,14 @@ private[sources] class GraftPkScan(schema: StructType, required: StructType,
         SortDirection.ASCENDING))
     else Array.empty
 
-  /** [lo, hi] bound implied by the pushed leading-PK filters (numeric). */
+  /** [lo, hi] bound implied by the pushed leading-PK filters (numeric).
+    * Every leaf checks the attribute — an And can mix PK and non-PK
+    * conjuncts, and a non-PK constant must never tighten the PK range
+    * (that would prune files that DO contain matching rows). */
   private def bounds: (Long, Long) = {
     var lo = Long.MinValue
     var hi = Long.MaxValue
+    val key = pk.headOption.orNull
     def num(v: Any): Option[Long] = v match {
       case l: Long => Some(l)
       case i: Int => Some(i.toLong)
@@ -209,16 +213,18 @@ private[sources] class GraftPkScan(schema: StructType, required: StructType,
       case _ => None
     }
     def visit(f: Filter): Unit = f match {
-      case EqualTo(_, v) => num(v).foreach { n =>
+      case EqualTo(a, v) if a == key => num(v).foreach { n =>
         lo = math.max(lo, n); hi = math.min(hi, n)
       }
-      case GreaterThan(_, v) => num(v).foreach(n =>
+      case GreaterThan(a, v) if a == key => num(v).foreach(n =>
         lo = math.max(lo, if (n < Long.MaxValue) n + 1 else n))
-      case GreaterThanOrEqual(_, v) => num(v).foreach(n => lo = math.max(lo, n))
-      case LessThan(_, v) => num(v).foreach(n =>
+      case GreaterThanOrEqual(a, v) if a == key =>
+        num(v).foreach(n => lo = math.max(lo, n))
+      case LessThan(a, v) if a == key => num(v).foreach(n =>
         hi = math.min(hi, n - (if (n > Long.MinValue) 1 else 0)))
-      case LessThanOrEqual(_, v) => num(v).foreach(n => hi = math.min(hi, n))
-      case In(_, vs) =>
+      case LessThanOrEqual(a, v) if a == key =>
+        num(v).foreach(n => hi = math.min(hi, n))
+      case In(a, vs) if a == key =>
         val ns = vs.flatMap(num)
         if (ns.nonEmpty && ns.length == vs.length) {
           lo = math.max(lo, ns.min); hi = math.min(hi, ns.max)
@@ -233,9 +239,13 @@ private[sources] class GraftPkScan(schema: StructType, required: StructType,
   override def planInputPartitions(): Array[InputPartition] = {
     val (lo, hi) = bounds
     val files = GraftPk.listFiles(path)
+    // one footer read per file, shared by the prune and the sort
+    val ranges: Map[Path, Option[(Long, Long)]] =
+      if (pk.isEmpty) Map.empty
+      else files.map(f => f -> GraftPk.pkRange(f, pk.head)).toMap
     val kept = files.filter { f =>
       if (pk.isEmpty || (lo == Long.MinValue && hi == Long.MaxValue)) true
-      else GraftPk.pkRange(f, pk.head) match {
+      else ranges(f) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi // ranges intersect
         case None => true // no stats → must read
       }
@@ -243,8 +253,7 @@ private[sources] class GraftPkScan(schema: StructType, required: StructType,
     // order partitions by file min so a merge-consume sees global PK order
     val ordered =
       if (pk.isEmpty) kept
-      else kept.sortBy(f =>
-        GraftPk.pkRange(f, pk.head).map(_._1).getOrElse(Long.MinValue))
+      else kept.sortBy(f => ranges(f).map(_._1).getOrElse(Long.MinValue))
     ordered.map(f =>
       GraftPkPartition(f.toString): InputPartition).toArray
   }

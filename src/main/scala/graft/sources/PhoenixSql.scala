@@ -354,8 +354,13 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     if (sel.isDefined) {
       val m = sel.get
       val target = cleanIdent(m.group(1))
-      val table = if (catalog.isView(target)) catalog.viewBase(target)
-        else target
+      // same view write-through as the VALUES path: rows written through a
+      // view carry the view's equality defaults for unset columns, so
+      // they remain visible through the view
+      val (table, defaults) =
+        if (catalog.isView(target))
+          (catalog.viewBase(target), viewDefaults.getOrElse(target, Map.empty))
+        else (target, Map.empty[String, String])
       var df = select(m.group(3))
       Option(m.group(2)).foreach { colGroup =>
         val names = splitTopLevel(colGroup, ',').map(c =>
@@ -365,6 +370,8 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
             s"${df.columns.length} select outputs for $target")
         df = df.toDF(names: _*)
       }
+      defaults.filterNot { case (c, _) => df.columns.contains(c) }
+        .foreach { case (c, v) => df = df.withColumn(c, expr(v)) }
       catalog.upsert(table, df)
       dirty += table
       return spark.emptyDataFrame

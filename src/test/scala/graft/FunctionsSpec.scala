@@ -138,6 +138,23 @@ class FunctionsSpec extends AnyFunSuite {
       tp("l") == "BIGINT" && tp("d") == "DOUBLE" && tp("b") == "BOOLEAN" &&
       tp("o") == "BSON" && tp("o.xs") == "BSON" && tp("nul") == "NULL" &&
       tp("nope") == "NULL")
+    // valid JSON with a non-object root → NULL, not a task crash
+    for (bad <- Seq("42", "[1,2]", "null", "\"str\""))
+      assert(Seq(Tuple1(bad)).toDF("j")
+        .select(call_function("to_bson", col("j"))).collect()(0).isNullAt(0),
+        s"to_bson('$bad') must be NULL")
+  }
+
+  test("word_shingles skips null words like concat_ws") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = spark.sql("SELECT array('a', CAST(NULL AS STRING), 'b') AS w")
+    val r = df.select(
+      call_function("word_shingles", col("w"), lit(2)).as("f"),
+      graft.operators.Dedup.shinglesFromWords(col("w"), 2).as("c"))
+      .collect()(0)
+    assert(r.getSeq[String](0) == r.getSeq[String](1),
+      s"fused ${r.getSeq[String](0)} != composed ${r.getSeq[String](1)}")
   }
 
   test("json query/exists/modify navigate nested and array paths") {

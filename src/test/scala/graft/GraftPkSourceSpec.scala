@@ -67,6 +67,11 @@ class GraftPkSourceSpec extends AnyFunSuite {
     val point = pkRead.where($"k" === 42L)
     assert(partitions(point) == 1)
     assert(point.select("name").collect()(0).getString(0) == "name_42")
+    // a non-PK conjunct must not tighten the PK range (its constant is
+    // meaningless as a key bound — pruning on it would drop real rows)
+    val mixed = pkRead.where($"k" >= 500L && $"name" === "name_777")
+    assert(mixed.count() == 1)
+    assert(mixed.select("k").collect()(0).getLong(0) == 777L)
   }
 
   test("timestamp and boolean columns roundtrip through the reader") {

@@ -204,6 +204,14 @@ class PhoenixSqlSpec extends AnyFunSuite {
       .getLong(0) == 3)
     assert(px.execute("SELECT v FROM dst WHERE id = 102").collect()(0)
       .getLong(0) == 40L)
+    // UPSERT SELECT through a view carries the view's equality defaults
+    // (same write-through as the VALUES path) → rows stay visible
+    px.execute("CREATE TABLE t3 (id BIGINT NOT NULL PRIMARY KEY," +
+      " kind VARCHAR, v BIGINT)")
+    px.execute("CREATE VIEW t3_x AS SELECT * FROM t3 WHERE kind = 'x'")
+    px.execute("UPSERT INTO t3_x (id, v) SELECT id, v FROM src")
+    assert(px.execute("SELECT count(*) AS n FROM t3_x").collect()(0)
+      .getLong(0) == 2, "rows written through the view must satisfy it")
   }
 
   test("UPSERT arity mismatch errors instead of silently truncating") {
