@@ -17,8 +17,9 @@ object Bench {
     val spark = GraftSession.build("graft-bench")
     def execute(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir).queryExecution.toRdd.count()
-    // one warm-up of the session (JIT + codegen caches) on the first query
-    SparkEntry.queries.keys.headOption.foreach { n =>
+    // one warm-up of the session (JIT + codegen caches) on a fixed query
+    // so run-to-run numbers are comparable
+    SparkEntry.queries.keys.toSeq.sorted.headOption.foreach { n =>
       try execute(n) catch { case _: Throwable => () }
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
