@@ -44,6 +44,17 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     shinglesFromWords(split(lower(text), "\\s+"), n)
 
+  /** Character n-gram shingles from an ALREADY-PROJECTED lowercased text
+    * column (pass a materialized column — an inline expression would
+    * re-evaluate per element): the standard representation for short/
+    * noisy text where word tokenization is unreliable. Empty when the
+    * text is shorter than n. */
+  def charShingles(t: Column, n: Int): Column =
+    when(length(t) < n, array().cast(ArrayType(StringType)))
+      .otherwise(array_distinct(
+        transform(sequence(lit(1), length(t) - (n - 1)),
+          i => t.substr(i, lit(n)))))
+
   /** docs → (id, sh, sz): tokenize + fused shingle expression (identical
     * output to [[shinglesFromWords]], one tight loop per row). Repartitions
     * first: document corpora often arrive as few large files, and the

@@ -36,6 +36,24 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Character 4-gram Jaccard pairs (bounded exact baseline): the
+    // shingle representation for short/noisy text where word tokens are
+    // unreliable.
+    "q_jaccard_char" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val sh = Tables.t(s, dir, "documents").where($"doc_id" < 200)
+        .select($"doc_id".as("id"), lower($"text").as("t"))
+        .select($"id", Dedup.charShingles($"t", 4).as("sh"))
+      val a = sh.toDF("id_a", "sh_a")
+      val b = sh.toDF("id_b", "sh_b")
+      a.crossJoin(b).where($"id_a" < $"id_b")
+        .select($"id_a", $"id_b",
+          call_function("jaccard_sim", $"sh_a", $"sh_b").as("jac"))
+        .where($"jac" >= 0.3)
+        .orderBy($"id_a", $"id_b")
+    },
+
     // MinHash+LSH near-dup pairs verified with exact Jaccard — the 100 TB
     // path (linear signatures + banded bucket join). No SQL oracle
     // (probabilistic recall); recall vs q_jaccard_pairs is ScalaTested.
@@ -183,6 +201,20 @@ object Pipeline {
       FROM sh a, sh b WHERE a.id < b.id
         AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2
+      ORDER BY id_a, id_b""",
+
+    "q_jaccard_char" -> """
+      WITH sh AS (
+        SELECT doc_id AS id,
+          list_distinct(list_transform(range(1, length(lower(text)) - 2),
+            i -> lower(text)[i:i+3])) AS s
+        FROM documents WHERE doc_id < 200)
+      SELECT a.id AS id_a, b.id AS id_b,
+             CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS jac
+      FROM sh a, sh b WHERE a.id < b.id
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+               (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.3
       ORDER BY id_a, id_b""",
 
     "q_text_quality" -> raw"""
