@@ -29,11 +29,15 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Compact timings to 3 decimals: the driver captures only a ~4 KB tail
+    // of the run log, and a full-precision 70-query line overflows it, so
+    // the line's start (and hence the parse) is lost.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(json)
     Files.writeString(Paths.get("bench_out.json"), json + "\n")
     spark.stop()

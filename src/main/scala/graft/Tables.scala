@@ -14,17 +14,25 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong=true it
-    // arrives as LongType nanos — truncate to microsecond timestamp (same
-    // truncation DuckDB applies when reading ns into its us TIMESTAMP).
-    df.schema.find(f => f.name == "ts" && f.dataType == types.LongType) match {
-      case Some(_) =>
-        df.withColumn("ts", functions.timestamp_micros(functions.expr("ts div 1000")))
-      case None => df
-    }
-  }
+  // The testdata files are immutable, so the resolved DataFrame (schema +
+  // file listing, both read from parquet footers on the driver) is cached
+  // per (session, dir, table) — a 70-query batch otherwise re-lists and
+  // re-reads footers on every query. Plays the role of a table catalog.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, sfDir, name), {
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      // events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong=true it
+      // arrives as LongType nanos — truncate to microsecond timestamp (same
+      // truncation DuckDB applies when reading ns into its us TIMESTAMP).
+      df.schema.find(f => f.name == "ts" && f.dataType == types.LongType) match {
+        case Some(_) =>
+          df.withColumn("ts", functions.timestamp_micros(functions.expr("ts div 1000")))
+        case None => df
+      }
+    })
 
   /** Register every table as a temp view so spark.sql(...) queries can use
     * bare table names — the same names the DuckDB oracle sees. */

@@ -48,8 +48,15 @@ object BsonLite {
           body.write(le32(b.length + 1)); body.write(b, 0, b.length)
           body.write(0)
         case _ if v.isInt => header(0x10); body.write(le32(v.intValue()))
-        case _ if v.isLong || v.isBigInteger =>
+        case _ if v.isLong =>
           header(0x12); body.write(le64(v.longValue()))
+        case _ if v.isBigInteger =>
+          // beyond int64 range longValue() would silently wrap — widen to
+          // double (lossy but ordered) instead of corrupting the value
+          val bi = v.bigIntegerValue()
+          if (bi.bitLength() < 64) { header(0x12); body.write(le64(bi.longValue())) }
+          else { header(0x01)
+            body.write(le64(java.lang.Double.doubleToLongBits(bi.doubleValue()))) }
         case _ if v.isNumber => header(0x01)
           body.write(le64(java.lang.Double.doubleToLongBits(v.doubleValue())))
         case _ if v.isBoolean =>
@@ -73,6 +80,30 @@ object BsonLite {
   def decode(bytes: Array[Byte]): ObjectNode = {
     val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
     decodeDoc(buf, asArray = false).asInstanceOf[ObjectNode]
+  }
+
+  // A projection typically applies several BSON expressions to the SAME
+  // row's document(s) (q_bson_value: ~6 per row over 2 docs); this small
+  // per-thread memo collapses those to one decode each. Content equality,
+  // not identity — UnsafeRow.getBinary returns a fresh copy per access.
+  // Decoded trees are navigated read-only by all callers.
+  private val lastDecode =
+    new ThreadLocal[Array[(Array[Byte], ObjectNode)]] {
+      override def initialValue() = new Array[(Array[Byte], ObjectNode)](2)
+    }
+
+  def decodeCached(bytes: Array[Byte]): ObjectNode = {
+    val slots = lastDecode.get()
+    var i = 0
+    while (i < slots.length) {
+      val s = slots(i)
+      if (s != null && java.util.Arrays.equals(s._1, bytes)) return s._2
+      i += 1
+    }
+    val node = decode(bytes)
+    slots(1) = slots(0)
+    slots(0) = (bytes, node)
+    node
   }
 
   private def decodeDoc(buf: ByteBuffer, asArray: Boolean): JsonNode = {
@@ -162,7 +193,7 @@ case class BsonValueType(doc: Expression, path: Expression)
   @transient private lazy val pathCache = new JsonPathWalk.PathCache
 
   override def nullSafeEval(d: Any, p: Any): Any = {
-    val root = BsonLite.decode(d.asInstanceOf[Array[Byte]])
+    val root = BsonLite.decodeCached(d.asInstanceOf[Array[Byte]])
     val node = JsonPathWalk.navigate(root,
       pathCache.get("$." + p.asInstanceOf[UTF8String].toString))
     val name =
@@ -216,19 +247,26 @@ case class BsonValue(doc: Expression, path: Expression, sqlType: Expression)
   @transient private lazy val pathCache = new JsonPathWalk.PathCache
 
   override def nullSafeEval(d: Any, p: Any, t: Any): Any = {
-    val root = BsonLite.decode(d.asInstanceOf[Array[Byte]])
+    val root = BsonLite.decodeCached(d.asInstanceOf[Array[Byte]])
     val segs = pathCache.get("$." + p.asInstanceOf[UTF8String].toString)
     val node = JsonPathWalk.navigate(root, segs)
     if (node == null || node.isNull) return null
+    // Typed returns are strict like the reference (BsonValueFunction.java
+    // throws "function data type does not match" on a mismatched node;
+    // here: NULL per row). jackson's intValue()/booleanValue() would
+    // otherwise silently return 0/false for textual or document nodes.
     returnType match {
       case "VARCHAR" | "CHAR" =>
         UTF8String.fromString(
           if (node.isTextual) node.textValue()
+          // numeric → String.valueOf(doubleValue()) per the reference
+          // ("42" serializes as "42.0", not as its JSON text)
+          else if (node.isNumber) String.valueOf(node.doubleValue())
           else mapper.writeValueAsString(node))
-      case "INTEGER" => node.intValue()
-      case "BIGINT" => node.longValue()
-      case "DOUBLE" => node.doubleValue()
-      case "BOOLEAN" => node.booleanValue()
+      case "INTEGER" => if (node.isNumber) node.intValue() else null
+      case "BIGINT" => if (node.isNumber) node.longValue() else null
+      case "DOUBLE" => if (node.isNumber) node.doubleValue() else null
+      case "BOOLEAN" => if (node.isBoolean) node.booleanValue() else null
     }
   }
 

@@ -510,7 +510,10 @@ object Functions {
 
     "q_bson_value" -> """
       SELECT event_id,
-        json_extract_string(props, '$.k') AS k_str,
+        -- BSON_VALUE(..., 'VARCHAR') over a numeric node returns
+        -- String.valueOf(doubleValue()) like the reference ('69.0' not '69')
+        CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS VARCHAR)
+          AS k_str,
         event_type AS xs0,
         event_id AS n_long,
         CAST(NULL AS VARCHAR) AS missing,

@@ -180,19 +180,26 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * the physical schema (generation-suffixed columns) and renames back to
     * logical names. */
   def changeLog(name: String): DataFrame = {
-    val physSchema = StructType(logSchema(name).fields.map(f =>
-      if (f.name.startsWith("_")) f else f.copy(name = phys(name, f.name))))
     // a created-but-never-written table has no data dir yet → empty log
     val base =
       if (new java.io.File(s"${dir(name)}/data").exists())
-        spark.read.schema(physSchema).parquet(s"${dir(name)}/data")
+        spark.read.schema(physSchema(name)).parquet(s"${dir(name)}/data")
       else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physSchema)
-    allFields(name).foldLeft(base) { (d, f) =>
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physSchema(name))
+    toLogical(name, base)
+  }
+
+  /** Physical (generation-suffixed) counterpart of [[logSchema]]. */
+  private def physSchema(name: String): StructType =
+    StructType(logSchema(name).fields.map(f =>
+      if (f.name.startsWith("_")) f else f.copy(name = phys(name, f.name))))
+
+  /** Rename physical → logical column names after a parquet read. */
+  private def toLogical(name: String, df: DataFrame): DataFrame =
+    allFields(name).foldLeft(df) { (d, f) =>
       val p = phys(name, f.name)
       if (p == f.name) d else d.withColumnRenamed(p, f.name)
     }
-  }
 
   private def logSchema(name: String): StructType =
     StructType(allFields(name) :+
@@ -314,7 +321,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .map(_.toSeq)
 
   /** Streaming CDC: the same change log as a Structured Streaming source
-    * (consumers get each batch's changes incrementally). */
+    * (consumers get each batch's changes incrementally). Reads the physical
+    * (generation-suffixed) schema and renames back, like [[changeLog]] —
+    * otherwise a DROP + re-ADD column would resurface dropped data. */
   def cdcStream(name: String): DataFrame = {
     val s = specs(name)
     val cols = col("_version").as("cdc_version") +: (s.pk.map(col) :+
@@ -322,8 +331,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         .as("cdc_op") :+
       to_json(struct(s.schema.fieldNames.map(col): _*))
         .as("cdc_post_image"))
-    spark.readStream.schema(logSchema(name))
-      .parquet(s"${dir(name)}/data")
+    toLogical(name,
+        spark.readStream.schema(physSchema(name))
+          .parquet(s"${dir(name)}/data"))
       .select(cols: _*)
   }
 }

@@ -52,9 +52,14 @@ def main(out_dir, sf_dir):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             n_fail += 1
             continue
-        # driver dies on unhashable/unsortable cells (arrays, bytearrays)
-        unsortable = [c for c, v in zip(gcols, got[0] if got else [])
-                      if isinstance(v, (list, tuple, bytes, bytearray, dict))]
+        # driver dies on unhashable/unsortable cells (arrays, bytearrays);
+        # check the first NON-NULL value per column — a NULL in row 0
+        # would let an unsortable column slip through
+        def first_nonnull(i):
+            return next((r[i] for r in got if r[i] is not None), None)
+        unsortable = [c for i, c in enumerate(gcols)
+                      if isinstance(first_nonnull(i),
+                                    (list, tuple, bytes, bytearray, dict))]
         if unsortable:
             print(f"FAIL {name}: UNSORTABLE columns {unsortable} "
                   f"(driver pandas sort would crash — serialize them)")
