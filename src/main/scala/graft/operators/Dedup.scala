@@ -226,6 +226,51 @@ object Dedup {
       .where(col("jac") >= threshold)
   }
 
+  /** Connected components over a near-dup pair set — the canonical step
+    * after pair generation: pairs merge transitively into clusters, and
+    * every document gets `cluster_id` = the minimum reachable id (so the
+    * cluster representative is the survivor a dedup keeps).
+    *
+    * Iterative min-label propagation: each round every vertex takes the
+    * min label among itself and its neighbors — one shuffle per round on
+    * the vertex id, nothing driver-side but a convergence count.
+    * Converges in O(component diameter) rounds; near-dup clusters are
+    * short-diameter in practice (dup groups are dense), and `maxIter`
+    * guards pathological chains. Each round localCheckpoints the label
+    * table: iterative self-joins otherwise double the lineage per round,
+    * and superseded checkpoint blocks are GC'd by the ContextCleaner. At
+    * cluster scale the same loop runs with reliable checkpointing; the
+    * alternating large-star/small-star variant drops the round count to
+    * O(log n) if diameters ever get long.
+    *
+    * @param vertices one column `id`
+    * @param edges    columns `id_a`, `id_b` (undirected, any order)
+    * @return (id, cluster_id)
+    */
+  def connectedComponents(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = vertices.select(col("id"), col("id").as("cluster_id"))
+      .localCheckpoint()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      val viaNeighbor = sym
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("cluster_id"))
+      val next = labels.union(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "prev"), "id")
+        .where(col("cluster_id") < col("prev")).isEmpty
+      labels = next
+      it += 1
+    }
+    labels
+  }
+
   /** 64-bit SimHash from a precomputed token-hash array: bit j of the
     * signature is set iff more than half the token hashes have bit j set.
     * Per-bit folds (no intermediate array allocation), no shuffle/UDF. */

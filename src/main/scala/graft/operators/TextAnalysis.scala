@@ -64,4 +64,43 @@ object TextAnalysis {
 
   /** Document fingerprint: digest of normalized text (see Dedup). */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)
+
+  // PII patterns, RE2-compatible (no lookaround) so the identical rules
+  // run under Java regex and RE2-family engines alike.
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^\\s]+"
+  val Ipv4Re = "\\b(\\d{1,3}\\.){3}\\d{1,3}\\b"
+  // phones require the international '+' prefix — a bare digit-run rule
+  // would scrub serial numbers and ids (e.g. 'Customer#000000001')
+  val PhoneRe = "\\+\\d[\\d\\-() ]{6,}\\d"
+
+  /** PII scrubbing for corpus curation: emails, URLs, IPv4 addresses and
+    * phone-like number runs become typed placeholder tokens. A scan-local
+    * regexp_replace chain (codegen'd, no shuffle, no UDF); order matters —
+    * emails before URLs before IPs before phones, so a broader pattern
+    * never eats a narrower one's remainder. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
+  /** Per-pattern match count (for scrub audits / PII density metrics). */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
+  /** Corpus term statistics: term frequency and document frequency per
+    * token — the vocabulary/IDF building block. One explode + one groupBy:
+    * partial aggregation combines map-side, so the shuffle is
+    * vocabulary-sized, not corpus-sized; count_distinct(doc) expands to
+    * a two-level partial aggregate the same way. */
+  def termFrequencies(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.select(col(idCol).as("doc"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("tf"), count_distinct(col("doc")).as("df"))
 }

@@ -156,6 +156,51 @@ object Pipeline {
         .orderBy($"doc_id")
     },
 
+    // Near-dup cluster assignment: connected components over the verified
+    // pair set — every doc gets the min reachable id as its cluster
+    // representative. The edge set here is the bounded exact baseline so
+    // the oracle (recursive CTE) can verify the clustering itself; at
+    // scale the same operator consumes the LSH pair set (linear edges).
+    "q_dedup_cluster" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents").where(col("doc_id") < 300)
+      val edges = Dedup.exactJaccardPairs(docs, "text", "doc_id", 0.2)
+        .select(col("id_a"), col("id_b"))
+      Dedup.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+        .orderBy(col("id"))
+    },
+
+    // PII scrubbing: emails/URLs/IPs/phone runs → typed placeholders,
+    // plus per-pattern match counts for scrub audits. The PII-bearing
+    // text is derived deterministically from customer fields (the
+    // documents corpus is synthetic word salad with nothing to scrub).
+    "q_pii_scrub" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "customer")
+        .withColumn("raw", concat(
+          $"c_name", lit(" at user"), $"c_custkey".cast("string"),
+          lit("@example.com or +1-555-"),
+          lpad(($"c_custkey" % 10000).cast("string"), 4, "0"),
+          lit(" see https://ex.com/c/"), $"c_custkey".cast("string"),
+          lit(" from 10.0.0."), ($"c_custkey" % 250).cast("string")))
+        .select($"c_custkey",
+          TextAnalysis.scrubPii($"raw").as("clean"),
+          TextAnalysis.piiCount($"raw", TextAnalysis.EmailRe).as("n_email"),
+          TextAnalysis.piiCount($"raw", TextAnalysis.UrlRe).as("n_url"),
+          TextAnalysis.piiCount($"raw", TextAnalysis.Ipv4Re).as("n_ip"),
+          TextAnalysis.piiCount($"raw", TextAnalysis.PhoneRe).as("n_phone"))
+        .orderBy($"c_custkey")
+    },
+
+    // Corpus term statistics (vocabulary/IDF building block): term + doc
+    // frequency, top-100 by frequency. Explode → partial-agg groupBy →
+    // TakeOrderedAndProject; the shuffle is vocabulary-sized.
+    "q_term_freq" -> { (s, dir) =>
+      TextAnalysis.termFrequencies(
+          Tables.t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(desc("tf"), asc("term"))
+        .limit(100)
+    },
+
     // Multimodal: binary payload + stubbed decoder via mapPartitions.
     // The stub is deterministic, so this DOES have a SQL oracle.
     "q_multimodal_features" -> { (s, dir) =>
@@ -312,6 +357,53 @@ object Pipeline {
         WHERE n_tok >= 20 AND stop_ratio >= 0.05 AND lang_pred = 'en')
       SELECT doc_id, n_tok, stop_ratio, fp FROM filtered WHERE rn = 1
       ORDER BY doc_id""",
+
+    "q_dedup_cluster" -> s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id AS id, $SHING AS s
+        FROM documents WHERE doc_id < 300),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM sh a, sh b WHERE a.id < b.id
+          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src)
+      SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
+      ORDER BY id""",
+
+    "q_pii_scrub" -> raw"""
+      WITH t AS (SELECT c_custkey,
+        c_name || ' at user' || CAST(c_custkey AS VARCHAR) ||
+        '@example.com or +1-555-' ||
+        lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+        ' see https://ex.com/c/' || CAST(c_custkey AS VARCHAR) ||
+        ' from 10.0.0.' || CAST(c_custkey % 250 AS VARCHAR) AS raw
+        FROM customer)
+      SELECT c_custkey,
+        regexp_replace(regexp_replace(regexp_replace(regexp_replace(raw,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          'https?://[^\s]+', '<URL>', 'g'),
+          '\b(\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+          '\+\d[\d\-() ]{6,}\d', '<PHONE>', 'g') AS clean,
+        len(regexp_extract_all(raw,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        len(regexp_extract_all(raw, 'https?://[^\s]+')) AS n_url,
+        len(regexp_extract_all(raw, '\b(\d{1,3}\.){3}\d{1,3}\b')) AS n_ip,
+        len(regexp_extract_all(raw, '\+\d[\d\-() ]{6,}\d')) AS n_phone
+      FROM t ORDER BY c_custkey""",
+
+    "q_term_freq" -> raw"""
+      SELECT term, count(*) AS tf, count(DISTINCT doc) AS df
+      FROM (SELECT doc_id AS doc,
+              unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+            FROM documents)
+      GROUP BY term ORDER BY tf DESC, term LIMIT 100""",
 
     "q_multimodal_frames" -> """
       SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,

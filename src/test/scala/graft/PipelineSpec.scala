@@ -250,4 +250,57 @@ class PipelineSpec extends AnyFunSuite {
     val keys = q.select("l_orderkey").distinct().count()
     assert(n == keys, "snapshot must be unique per PK")
   }
+
+  test("connected components: chains, singletons, min-label representative") {
+    import spark.implicits._
+    // component {1,2,3,4} as a chain (diameter 3 — needs >1 round),
+    // component {10,11}, singletons 20, 21
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L, 21L).toDF("id")
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("connected components over LSH pairs matches exact-pair clusters") {
+    val docs = Tables.t(spark, dir, "documents")
+    val ids = docs.select(col("doc_id").as("id"))
+    def clusters(edges: org.apache.spark.sql.DataFrame) =
+      Dedup.connectedComponents(ids, edges)
+        .where(col("id") =!= col("cluster_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = clusters(
+      Dedup.exactJaccardPairs(docs, "text", "doc_id", 0.3)
+        .select("id_a", "id_b"))
+    val lsh = clusters(
+      Dedup.nearDupPairs(docs, "text", "doc_id", 0.3)
+        .select("id_a", "id_b"))
+    assert(exact.nonEmpty)
+    // LSH pairs are a verified subset of exact pairs, so its nontrivial
+    // cluster assignments must be a subset too — and near-complete
+    assert(lsh.subsetOf(exact))
+    assert(lsh.size.toDouble / exact.size >= 0.9)
+  }
+
+  test("PII scrub replaces every pattern and leaves clean text alone") {
+    import spark.implicits._
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "visit https://a.b/c?d=e#f then",
+      "host 192.168.0.1 up",
+      "call +44 20 7946 0958 today",
+      "Customer#000000001 has no pii",
+      "plain text stays put").toDF("t")
+      .select(operators.TextAnalysis.scrubPii($"t").as("c"))
+    val got = df.collect().map(_.getString(0))
+    assert(got.sameElements(Array(
+      "mail <EMAIL> now",
+      "visit <URL> then",
+      "host <IP> up",
+      "call <PHONE> today",
+      "Customer#000000001 has no pii",
+      "plain text stays put")))
+  }
 }
