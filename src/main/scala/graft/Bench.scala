@@ -22,7 +22,11 @@ object Bench {
     SparkEntry.queries.keys.toSeq.sorted.headOption.foreach { n =>
       try execute(n) catch { case _: Throwable => () }
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // optional args = subset of query names (local iteration); the driver
+    // passes none and gets the full battery
+    val names =
+      if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq
+    val results = names.sorted.map { name =>
       val t0 = System.nanoTime()
       try execute(name) catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")

@@ -100,6 +100,12 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "simhash64", e => SimHash64(e.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "cosine_sim", e => CosineSim(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "lsh_bucket", e => LshBucket(e(0), e(1), e(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "ivf_cell", e => IvfCell(e(0), e(1), e(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       "minhash_signature",
       e => MinHashSignature(e(0), e(1).eval() match {
         case i: Int => i

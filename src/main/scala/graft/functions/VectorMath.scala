@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Fused embedding-similarity kernel.
+  *
+  * The composed form — aggregate(zip_with(a,b,*)) for the dot product plus
+  * two aggregate(transform(x,sq)) norms — is three higher-order expressions
+  * that Spark evaluates INTERPRETED (CodegenFallback): per-element lambda
+  * dispatch dominates any >100k-pair similarity stage. This kernel is one
+  * tight loop per pair that stays inside whole-stage codegen, and it
+  * accumulates each of (dot, |a|², |b|²) in index order — the SAME
+  * left-fold the composed form uses — so results are bit-identical (the
+  * oracle SQL mirrors that fold, see Pipeline.oracle).
+  */
+object VectorMath {
+
+  /** Cosine similarity; aF/bF say whether the array's elements are float
+    * (true) or double (false) — floats widen per element exactly like the
+    * composed form's cast(DoubleType). */
+  def cosine(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dp = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
+      dp += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dp / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** IVF cell assignment: index of the L2-nearest centroid, centroids
+    * flattened row-major (nlist = centroids.length / dim). Ties keep the
+    * lowest index (strict <). */
+  def ivfCell(v: ArrayData, vF: Boolean, cents: ArrayData, dim: Int): Int = {
+    val nlist = cents.numElements() / dim
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < nlist) {
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = if (vF) v.getFloat(i).toDouble else v.getDouble(i)
+        val diff = x - cents.getDouble(c * dim + i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Sign-LSH bucket id: bit i = sign(v · planes[i]) with the planes
+    * flattened row-major into one array (mBits = planes.length / dim).
+    * One pass per plane, same dot-product fold order as [[cosine]]. */
+  def lshBucket(v: ArrayData, vF: Boolean, planes: ArrayData,
+      dim: Int): Long = {
+    val mBits = planes.numElements() / dim
+    var bucket = 0L
+    var p = 0
+    while (p < mBits) {
+      var dp = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = if (vF) v.getFloat(i).toDouble else v.getDouble(i)
+        dp += x * planes.getDouble(p * dim + i)
+        i += 1
+      }
+      if (dp >= 0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** COSINE_SIM(array<float|double>, array<float|double>) → double. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  @transient private lazy val lF = isFloat(left)
+  @transient private lazy val rF = isFloat(right)
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.cosine(a.asInstanceOf[ArrayData], lF,
+      b.asInstanceOf[ArrayData], rF)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorMath.cosine($a, ${isFloat(left)}, $b, ${isFloat(right)})")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
+  override def prettyName: String = "cosine_sim"
+}
+
+/** IVF_CELL(vec, flatCentroids, dim) → int (L2-nearest centroid index). */
+case class IvfCell(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = IntegerType
+
+  private def vecIsFloat: Boolean = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any, c: Any, d: Any): Any =
+    VectorMath.ivfCell(v.asInstanceOf[ArrayData], vecIsFloat,
+      c.asInstanceOf[ArrayData], d.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c, d) =>
+      s"graft.functions.VectorMath.ivfCell($v, $vecIsFloat, $c, $d)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): IvfCell =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "ivf_cell"
+}
+
+/** LSH_BUCKET(vec, flatPlanes, dim) → long (sign-random-projection). */
+case class LshBucket(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+
+  private def vecIsFloat: Boolean = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any, p: Any, d: Any): Any =
+    VectorMath.lshBucket(v.asInstanceOf[ArrayData], vecIsFloat,
+      p.asInstanceOf[ArrayData], d.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, p, d) =>
+      s"graft.functions.VectorMath.lshBucket($v, $vecIsFloat, $p, $d)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): LshBucket =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "lsh_bucket"
+}

@@ -17,7 +17,9 @@ import org.apache.spark.sql.types._
 object Similarity {
 
   /** Dot product of two array<float|double> columns, computed in double
-    * with sequential left-fold (deterministic). */
+    * with sequential left-fold (deterministic). Composed-builtins REFERENCE
+    * form — higher-order expressions run interpreted, so hot paths use the
+    * fused [[graft.functions.CosineSim]] kernel (bit-identical fold). */
   def dot(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
@@ -27,12 +29,17 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0).cast(DoubleType), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity via the fused single-pass kernel: same per-index
+    * accumulation order as dot/norm above, so bit-identical — but one
+    * codegen'd static call instead of three interpreted HOF folds. */
+  def cosine(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 
   /** Brute-force cosine top-k against a query vector taken from the table
     * itself (queryId row). Tie-break on id for determinism. */
   def cosineTopK(emb: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val q = emb.where(col(idCol) === queryId)
       .select(col(vecCol).as("qv"))
     emb.crossJoin(broadcast(q))
@@ -48,14 +55,12 @@ object Similarity {
   }
 
   /** Sign-random-projection bucket id (m-bit) for each vector: bit i =
-    * sign(v · h_i). Vectors in the same bucket are likely similar. */
-  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column = {
-    val bits = planes.zipWithIndex.map { case (p, i) =>
-      val planeArr = array(p.map(lit): _*)
-      when(dot(vec, planeArr) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    bits.reduce(_.bitwiseOR(_))
-  }
+    * sign(v · h_i). Vectors in the same bucket are likely similar. Fused
+    * kernel (one pass per plane) — the composed per-plane dot form runs
+    * interpreted; same fold order, same signs, same buckets. */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    call_function("lsh_bucket", vec,
+      typedlit(planes.flatten), lit(planes.head.size))
 
   /** ANN top-k: restrict the scan to the query's LSH bucket plus all
     * buckets at Hamming distance 1 (multi-probe — recovers most of the
@@ -63,6 +68,7 @@ object Similarity {
     * the probed set. Scan cost ~ (mBits+1)/2^mBits of the table. */
   def annTopK(emb: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int, dim: Int = 64, mBits: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val planes = hyperplanes(dim, mBits)
     val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), planes))
     // query row exploded into its mBits+1 probe buckets
@@ -90,22 +96,47 @@ object Similarity {
     * the corpus with its cell id — callers reuse `assigned` across
     * queries via [[ivfTopK]]. */
   def ivfIndex(emb: DataFrame, vecCol: String, idCol: String,
-      nlist: Int = 16): (Array[(Int, Array[Double])], DataFrame) = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val feat = emb.select(col(idCol).as("id"),
-      col(vecCol).as("v"),
-      array_to_vector(transform(col(vecCol), x => x.cast(DoubleType)))
-        .as("features"))
-    // a coarse quantizer doesn't need convergence — 5 Lloyd iterations
-    // place cells well enough for nprobe recall, at half the train cost
-    val model = new KMeans().setK(nlist).setSeed(0x1F1F1F1FL)
-      .setMaxIter(5).fit(feat)
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray) }
-    val assigned = model.transform(feat)
-      .select(col("id"), col("v"), col("prediction").as("cell"))
-    (centroids, assigned)
+      nlist: Int = 16, trainSample: Int = 2048): (Array[(Int, Array[Double])],
+      DataFrame) = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    // IVF quantizers train on a bounded driver-side sample (FAISS-style):
+    // at corpus scale the distributed work is the ASSIGNMENT scan, not the
+    // training — a cluster k-means over all rows buys nothing for a coarse
+    // quantizer and costs a multi-job iteration loop.
+    val sample = emb.select(col(vecCol)).limit(trainSample).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    require(sample.length >= nlist, s"need >= $nlist training vectors")
+    val dim = sample.head.length
+    // deterministic stride init + 5 local Lloyd iterations (a coarse
+    // quantizer doesn't need convergence; empty cells keep their centroid)
+    var centroids = Array.tabulate(nlist)(c =>
+      sample((c.toLong * sample.length / nlist).toInt).clone())
+    for (_ <- 0 until 5) {
+      val sums = Array.fill(nlist)(new Array[Double](dim))
+      val counts = new Array[Long](nlist)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        for (c <- 0 until nlist) {
+          var d = 0.0; var i = 0
+          while (i < dim) {
+            val diff = v(i) - centroids(c)(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      centroids = Array.tabulate(nlist)(c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c)))
+    }
+    // assignment: one distributed scan with the fused argmin kernel
+    val flat = centroids.flatten.toSeq
+    val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      call_function("ivf_cell", col(vecCol), typedlit(flat), lit(dim))
+        .as("cell"))
+    (centroids.zipWithIndex.map { case (c, i) => (i, c) }, assigned)
   }
 
   /** ANN top-k over an IVF index: pick the query's `nprobe` nearest cells
@@ -113,6 +144,7 @@ object Similarity {
     * exact cosine. Scan cost ~ nprobe/nlist of the table. */
   def ivfTopK(centroids: Array[(Int, Array[Double])], assigned: DataFrame,
       queryId: Long, k: Int, nprobe: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(assigned.sparkSession)
     val qv = assigned.where(col("id") === queryId)
       .select(col("v")).head().getSeq[Float](0).map(_.toDouble).toArray
     def cos(c: Array[Double]): Double = {
@@ -137,6 +169,7 @@ object Similarity {
     * LSH-bucketed self-join followed by the same threshold). */
   def cosineNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
@@ -150,6 +183,7 @@ object Similarity {
     * full cross join). */
   def knnJoin(emb: DataFrame, vecCol: String, idCol: String, k: Int,
       dim: Int = 64, mBits: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     val planes = hyperplanes(dim, mBits)
     val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))

@@ -309,4 +309,40 @@ class CatalogSpec extends AnyFunSuite {
       assert(got.getLong(1) == exact)
     } finally q.stop()
   }
+
+  test("stateful sessionization closes sessions on gap and on timeout") {
+    import spark.implicits._
+    val evDir = java.nio.file.Files.createTempDirectory("graft_sessions")
+    def hours(h: Double) = new java.sql.Timestamp((h * 3600000L).toLong)
+    def write(name: String, rows: Seq[(Long, java.sql.Timestamp, Double)]) =
+      rows.toDF("user_id", "ts", "value").repartition(1)
+        .write.parquet(s"$evDir/$name")
+    // user 1: two sessions (10:00–10:10, then 11:30); user 2: one event
+    write("b1", Seq(
+      (1L, hours(10.0), 1.0), (1L, hours(10.167), 2.0),
+      (1L, hours(11.5), 4.0), (2L, hours(10.0), 8.0)))
+    val src = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(s"$evDir/*")
+    val q = EventStreams.sessionize(src, gapMinutes = 30, watermark = "1 hour")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // in-batch gap close: user 1's first session closes when the 11:30
+      // event arrives, before any watermark movement
+      val early = spark.sql("SELECT * FROM sess_out").as[EventStreams.ClosedSession]
+        .collect()
+      assert(early.map(s => (s.user_id, s.n_events, s.sum_value)).toSet ==
+        Set((1L, 2L, 3.0)))
+      // a later file pushes the watermark (20:00 − 1h = 19:00) past every
+      // open session's end + gap → event-time timeouts flush them
+      write("b2", Seq((99L, hours(20.0), 0.0)))
+      q.processAllAvailable()
+      val all = spark.sql("SELECT * FROM sess_out").as[EventStreams.ClosedSession]
+        .collect()
+      assert(all.map(s => (s.user_id, s.n_events, s.sum_value)).toSet ==
+        Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+    } finally q.stop()
+  }
 }
