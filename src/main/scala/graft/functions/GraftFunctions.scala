@@ -106,6 +106,17 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "ivf_cell", e => IvfCell(e(0), e(1), e(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "max_strlen", e => MaxStrLen(e.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "stopword_hits",
+      e => StopwordHits(e(0), e(1).eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.toSeq[org.apache.spark.unsafe.types.UTF8String](
+            org.apache.spark.sql.types.StringType).map(_.toString)
+        case other => throw new IllegalArgumentException(
+          s"stopword list must be a foldable array literal, got $other")
+      }), "built-in")
+    reg.createOrReplaceTempFunction(
       "minhash_signature",
       e => MinHashSignature(e(0), e(1).eval() match {
         case i: Int => i

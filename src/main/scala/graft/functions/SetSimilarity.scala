@@ -47,6 +47,78 @@ object SetSimilarity {
     }
     inter.toDouble / (na + nb - inter)
   }
+
+  /** Count of elements contained in a fixed set (stopword hits). */
+  def countIn(a: ArrayData,
+      set: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]): Int = {
+    val n = a.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (set.contains(a.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+
+  /** Longest element length in characters (UTF8String.numChars, matching
+    * the length() builtin); 0 for an empty array. */
+  def maxStrLen(a: ArrayData): Int = {
+    val n = a.numElements()
+    var mx = 0
+    var i = 0
+    while (i < n) {
+      val len = a.getUTF8String(i).numChars()
+      if (len > mx) mx = len
+      i += 1
+    }
+    mx
+  }
+}
+
+/** MAX_STRLEN(array<string>) → int: longest element's length (0 when
+  * empty). Fused form of the ANY/ALL length-predicate folds — exists(ws,
+  * length(w) > k) ⇔ max_strlen(ws) > k and forall(ws, length(w) <= k) ⇔
+  * max_strlen(ws) <= k, without the interpreted per-element lambda
+  * dispatch of exists/forall. */
+case class MaxStrLen(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any): Any =
+    SetSimilarity.maxStrLen(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.SetSimilarity.maxStrLen($a)")
+  override protected def withNewChildInternal(c: Expression): MaxStrLen =
+    copy(child = c)
+  override def prettyName: String = "max_strlen"
+}
+
+/** STOPWORD_HITS(array<string>; fixed word list) → int: how many elements
+  * are in the list. Fused form of size(filter(ws, isin(...))) — the HOF
+  * runs interpreted with an O(list) isin per element; this is one hash
+  * probe per element inside whole-stage codegen. */
+case class StopwordHits(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val set = {
+    val s = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String](
+      words.size * 2)
+    words.foreach(w =>
+      s.add(org.apache.spark.unsafe.types.UTF8String.fromString(w)))
+    s
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    SetSimilarity.countIn(a.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopwords", set, "java.util.HashSet")
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.SetSimilarity.countIn($a, $setRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): StopwordHits =
+    copy(child = c)
+  override def prettyName: String = "stopword_hits"
 }
 
 /** SIG_AGREEMENT(array<long>, array<long>) → int. */

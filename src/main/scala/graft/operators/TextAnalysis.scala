@@ -24,14 +24,17 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "pour", "dans", "une"),
     "es" -> Seq("el", "la", "los", "que", "y", "es", "para", "con"))
 
-  /** Count of tokens that appear in a fixed stopword list. */
+  /** Count of tokens that appear in a fixed stopword list. Fused set-probe
+    * kernel (size(filter(_, isin…)) is an interpreted HOF with an O(list)
+    * isin per token); callers need GraftFunctions.register on the session. */
   def stopwordHits(words: Column, lang: String): Column =
-    size(filter(words, w => w.isin(stop(lang).map(lit): _*)))
+    call_function("stopword_hits", words, array(stop(lang).map(lit): _*))
 
   /** Quality metrics: token count, mean word length, stopword ratio,
     * non-alphanumeric ratio, digit ratio — the usual cheap filters for
     * corpus curation. */
   def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val words = split(lower(trim(col(textCol))), "\\s+")
     df.withColumn("n_tok", size(words))
       .withColumn("mean_wlen",
@@ -47,11 +50,13 @@ object TextAnalysis {
           .cast(DoubleType) / length(col(textCol)))
   }
 
-  /** Stopword-heuristic language ID: score each language by stopword hits,
-    * pick the argmax with deterministic tie-break order en>de>fr>es;
-    * 'und' when nothing matches. */
-  def langId(text: Column): Column = {
-    val words = split(lower(text), "\\s+")
+  /** Stopword-heuristic language ID from an ALREADY-PROJECTED word array:
+    * score each language by stopword hits, pick the argmax with
+    * deterministic tie-break order en>de>fr>es; 'und' when nothing
+    * matches. The when-chain references each score several times — pass a
+    * materialized column, not an inline split, so the tokenization isn't
+    * duplicated per reference. */
+  def langIdFromWords(words: Column): Column = {
     val en = stopwordHits(words, "en")
     val de = stopwordHits(words, "de")
     val fr = stopwordHits(words, "fr")
@@ -61,6 +66,11 @@ object TextAnalysis {
       .when(en === mx, "en").when(de === mx, "de")
       .when(fr === mx, "fr").otherwise("es")
   }
+
+  /** Language ID of a text column (convenience form; hot paths should
+    * project the word array and use [[langIdFromWords]]). */
+  def langId(text: Column): Column =
+    langIdFromWords(split(lower(text), "\\s+"))
 
   /** Document fingerprint: digest of normalized text (see Dedup). */
   def fingerprint(text: Column): Column = Dedup.fingerprint(text)

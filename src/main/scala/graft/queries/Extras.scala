@@ -150,16 +150,21 @@ object Extras {
     },
 
     // ANY / ALL comparisons over arrays (Phoenix ArrayAnyComparisonNode /
-    // ArrayAllComparisonNode) via exists/forall.
+    // ArrayAllComparisonNode). exists/forall are interpreted HOFs, so the
+    // length predicates fold through the fused max_strlen kernel
+    // (exists(len>k) ⇔ max>k, forall(len<=k) ⇔ max<=k) and the equality
+    // ANY is the codegen'd array_contains builtin — same semantics, whole
+    // query stays inside whole-stage codegen.
     "q_array_any_all" -> { (s, dir) =>
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       Tables.t(s, dir, "documents")
         .select($"doc_id", split(lower($"text"), "\\s+").as("ws"))
         .select(
           $"doc_id",
-          exists($"ws", w => length(w) > 6).as("any_long"),
-          forall($"ws", w => length(w) <= 12).as("all_le12"),
-          exists($"ws", w => w === "data").as("any_data"))
+          (call_function("max_strlen", $"ws") > 6).as("any_long"),
+          (call_function("max_strlen", $"ws") <= 12).as("all_le12"),
+          array_contains($"ws", "data").as("any_data"))
         .orderBy($"doc_id")
     }
   )

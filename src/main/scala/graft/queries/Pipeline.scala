@@ -83,6 +83,7 @@ object Pipeline {
 
     // Stopword-heuristic language ID (argmax over per-language scores).
     "q_lang_id" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       Tables.t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
         .orderBy(col("doc_id"))
@@ -137,13 +138,16 @@ object Pipeline {
     // The composition stays one scan + one digest-keyed shuffle.
     "q_curation_pipeline" -> { (s, dir) =>
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val docs = Tables.t(s, dir, "documents")
       val scored = docs
         .withColumn("w", split(lower(trim($"text")), "\\s+"))
         .withColumn("n_tok", size($"w"))
         .withColumn("stop_ratio",
           TextAnalysis.stopwordHits($"w", "en").cast("double") / size($"w"))
-        .withColumn("lang_pred", TextAnalysis.langId($"text"))
+        // same scores as langId(text): the extra trim only drops empty
+        // tokens, which are never stopwords
+        .withColumn("lang_pred", TextAnalysis.langIdFromWords($"w"))
         .withColumn("fp", Dedup.fingerprint($"text"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy($"fp").orderBy($"doc_id".asc)
