@@ -21,7 +21,12 @@ object Tables {
   private val cache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  def t(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // entries for stopped sessions would otherwise pin the session (and
+    // its analyzed plans) for the JVM's lifetime
+    cache.keys.foreach { k =>
+      if (k._1.sparkContext.isStopped) cache.remove(k)
+    }
     cache.getOrElseUpdate((spark, sfDir, name), {
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
       // events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong=true it
@@ -33,6 +38,7 @@ object Tables {
         case None => df
       }
     })
+  }
 
   /** Register every table as a temp view so spark.sql(...) queries can use
     * bare table names — the same names the DuckDB oracle sees. */

@@ -62,14 +62,18 @@ object SetSimilarity {
   }
 
   /** Longest element length in characters (UTF8String.numChars, matching
-    * the length() builtin); 0 for an empty array. */
+    * the length() builtin); 0 for an empty array. Null elements are
+    * skipped — length(NULL) is NULL, which can never be the max. */
   def maxStrLen(a: ArrayData): Int = {
     val n = a.numElements()
     var mx = 0
     var i = 0
     while (i < n) {
-      val len = a.getUTF8String(i).numChars()
-      if (len > mx) mx = len
+      val s = a.getUTF8String(i)
+      if (s != null) {
+        val len = s.numChars()
+        if (len > mx) mx = len
+      }
       i += 1
     }
     mx

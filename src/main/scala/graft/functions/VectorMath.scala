@@ -20,9 +20,13 @@ object VectorMath {
 
   /** Cosine similarity; aF/bF say whether the array's elements are float
     * (true) or double (false) — floats widen per element exactly like the
-    * composed form's cast(DoubleType). */
+    * composed form's cast(DoubleType). Mismatched lengths yield NaN (the
+    * composed zip_with form yields NULL there; a malformed embedding must
+    * not get a plausible score). Null elements are not supported — the
+    * embedding columns this serves carry containsNull=false arrays. */
   def cosine(a: ArrayData, aF: Boolean, b: ArrayData, bF: Boolean): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return Double.NaN
     var dp = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

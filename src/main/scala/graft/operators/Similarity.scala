@@ -48,6 +48,16 @@ object Similarity {
       .limit(k)
   }
 
+  /** Driver-side vector extraction that accepts float or double element
+    * types (both are legal embedding columns for the fused kernels). */
+  private def toDoubles(xs: Seq[Any]): Array[Double] =
+    xs.map {
+      case f: java.lang.Float => f.toDouble
+      case d: java.lang.Double => d.doubleValue
+      case other => throw new IllegalArgumentException(
+        s"embedding elements must be float or double, got $other")
+    }.toArray
+
   /** Deterministic pseudo-random hyperplanes for sign-LSH (fixed seed). */
   private[graft] def hyperplanes(dim: Int, m: Int): Seq[Seq[Double]] = {
     val rng = new java.util.Random(0x9E3779B9L)
@@ -102,9 +112,16 @@ object Similarity {
     // IVF quantizers train on a bounded driver-side sample (FAISS-style):
     // at corpus scale the distributed work is the ASSIGNMENT scan, not the
     // training — a cluster k-means over all rows buys nothing for a coarse
-    // quantizer and costs a multi-job iteration loop.
-    val sample = emb.select(col(vecCol)).limit(trainSample).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    // quantizer and costs a multi-job iteration loop. The sample is the
+    // top-N by id hash (a seeded pseudo-random, deterministic spread via
+    // per-partition top-k merge) — a bare limit() would take a partition-
+    // order prefix, which is biased when the corpus is clustered by id.
+    val sample = emb
+      .select(col(vecCol))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(trainSample)
+      .collect()
+      .map(r => toDoubles(r.getSeq[Any](0)))
     require(sample.length >= nlist, s"need >= $nlist training vectors")
     val dim = sample.head.length
     // deterministic stride init + 5 local Lloyd iterations (a coarse
@@ -145,8 +162,8 @@ object Similarity {
   def ivfTopK(centroids: Array[(Int, Array[Double])], assigned: DataFrame,
       queryId: Long, k: Int, nprobe: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(assigned.sparkSession)
-    val qv = assigned.where(col("id") === queryId)
-      .select(col("v")).head().getSeq[Float](0).map(_.toDouble).toArray
+    val qv = toDoubles(assigned.where(col("id") === queryId)
+      .select(col("v")).head().getSeq[Any](0))
     def cos(c: Array[Double]): Double = {
       var dp = 0.0; var n1 = 0.0; var n2 = 0.0
       var i = 0

@@ -45,27 +45,30 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.toArray)
 
-  /** Open-session accumulator held in the state store (one per user). */
+  /** Open-session accumulator held in the state store. */
   case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
 
   /** A gap-closed session, emitted once. */
   case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
       session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
-  /** Stateful gap sessionization via flatMapGroupsWithState: one open
-    * session per user in the state store; an event within `gapMinutes` of
-    * the open session extends it, a later event closes-and-emits it, and
-    * the event-time timeout (watermark passing session end + gap) flushes
-    * sessions no on-time event can extend — so state is bounded by the
-    * active-user count, not the stream length. The batch analog is
-    * `q_sessionize` (session_window); this is the custom-state form for
-    * semantics session_window can't express (per-event merge logic,
-    * value accumulation on the open session).
+  /** Stateful gap sessionization via flatMapGroupsWithState. Each user's
+    * state holds the set of gap-separated session intervals the watermark
+    * has not yet sealed; an event merges every interval it touches (so an
+    * out-of-order but on-time event can BRIDGE two sessions), and a
+    * session is emitted only once the watermark passes its end + gap —
+    * the point after which no on-time event can extend it. Emission is
+    * therefore watermark-gated, not eager: closing a session the moment a
+    * later event arrives would mis-assign on-time out-of-order events
+    * from the next trigger. State stays bounded by the active-user count
+    * (sealed intervals leave the store; the event-time timeout, clamped
+    * above the current watermark as Spark requires, flushes idle users).
     *
-    * Late events below the watermark are NOT pre-filtered for
+    * The batch analog is `q_sessionize` (session_window); this is the
+    * custom-state form for semantics session_window can't express. Late
+    * events below the watermark are NOT pre-filtered for
     * flatMapGroupsWithState (unlike windowed aggs); ones that slip in
-    * merge into whatever session is open — acceptable for pipeline
-    * metrics, noted for exactness. */
+    * merge like any other event — acceptable for pipeline metrics. */
   def sessionize(events: DataFrame, gapMinutes: Int = 30,
       watermark: String = "2 hours"): Dataset[ClosedSession] = {
     val spark = events.sparkSession
@@ -76,36 +79,40 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[List[OpenSession], ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
-         state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(ClosedSession(user, ts(s.start), ts(s.end), s.n, s.sum))
-          } else {
-            // a trigger's per-group rows are unordered; sort by event time
-            // (bounded by the per-user-per-trigger volume)
-            val evs = rows.map(r => (r._2.getTime, r._3)).toArray.sortBy(_._1)
-            val closed = List.newBuilder[ClosedSession]
-            var open = state.getOption
-            for ((t, v) <- evs) open match {
-              case Some(s) if t - s.end <= gapMs =>
-                open = Some(OpenSession(s.start, math.max(s.end, t),
-                  s.n + 1, s.sum + v))
-              case Some(s) =>
-                closed += ClosedSession(user, ts(s.start), ts(s.end), s.n, s.sum)
-                open = Some(OpenSession(t, t, 1L, v))
-              case None =>
-                open = Some(OpenSession(t, t, 1L, v))
-            }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.end + gapMs)
-            }
-            closed.result().iterator
+         state: GroupState[List[OpenSession]]) =>
+          // a trigger's per-group rows are unordered; sort by event time
+          // (bounded by the per-user-per-trigger volume)
+          val evs = rows.map(r => (r._2.getTime, r._3)).toArray.sortBy(_._1)
+          var sessions = state.getOption.getOrElse(Nil)
+          for ((t, v) <- evs) {
+            val (touching, rest) = sessions.partition(s =>
+              t >= s.start - gapMs && t <= s.end + gapMs)
+            val sorted = touching.sortBy(_.start)
+            val merged =
+              if (sorted.isEmpty) OpenSession(t, t, 1L, v)
+              else OpenSession(
+                math.min(sorted.head.start, t),
+                math.max(sorted.last.end, t),
+                sorted.map(_.n).sum + 1,
+                sorted.map(_.sum).sum + v)
+            sessions = merged :: rest
           }
+          val wm = state.getCurrentWatermarkMs()
+          val (closed, live) = sessions.partition(_.end + gapMs < wm)
+          if (live.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(live.sortBy(_.start))
+            // fire when the watermark passes the earliest live seal point;
+            // Spark requires the timeout to sit above the current watermark
+            state.setTimeoutTimestamp(
+              math.max(live.map(_.end).min + gapMs, wm + 1))
+          }
+          closed.sortBy(_.start).map(s =>
+            ClosedSession(user, ts(s.start), ts(s.end), s.n, s.sum)).iterator
       }
   }
 

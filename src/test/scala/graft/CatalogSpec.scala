@@ -310,17 +310,20 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("stateful sessionization closes sessions on gap and on timeout") {
+  test("stateful sessionization: watermark-gated close, bridging, timeout") {
     import spark.implicits._
     val evDir = java.nio.file.Files.createTempDirectory("graft_sessions")
     def hours(h: Double) = new java.sql.Timestamp((h * 3600000L).toLong)
     def write(name: String, rows: Seq[(Long, java.sql.Timestamp, Double)]) =
       rows.toDF("user_id", "ts", "value").repartition(1)
         .write.parquet(s"$evDir/$name")
-    // user 1: two sessions (10:00–10:10, then 11:30); user 2: one event
+    // user 1: two sessions (10:00–10:10, then 11:30); user 2: one event;
+    // user 3: two provisional sessions (12:00, 13:00) a later on-time
+    // out-of-order event will bridge
     write("b1", Seq(
       (1L, hours(10.0), 1.0), (1L, hours(10.167), 2.0),
-      (1L, hours(11.5), 4.0), (2L, hours(10.0), 8.0)))
+      (1L, hours(11.5), 4.0), (2L, hours(10.0), 8.0),
+      (3L, hours(12.0), 1.0), (3L, hours(13.0), 2.0)))
     val src = spark.readStream
       .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
       .option("maxFilesPerTrigger", "1").parquet(s"$evDir/*")
@@ -329,20 +332,26 @@ class CatalogSpec extends AnyFunSuite {
       .outputMode("append").start()
     try {
       q.processAllAvailable()
-      // in-batch gap close: user 1's first session closes when the 11:30
-      // event arrives, before any watermark movement
+      // emission is watermark-gated: batch 1's own watermark (13:00 − 1h
+      // = 12:00) seals user 1's first session and user 2's, but NOT the
+      // 11:30 / 12:00 / 13:00 sessions an on-time out-of-order event
+      // could still extend (their end + gap is >= the watermark)
       val early = spark.sql("SELECT * FROM sess_out").as[EventStreams.ClosedSession]
         .collect()
       assert(early.map(s => (s.user_id, s.n_events, s.sum_value)).toSet ==
-        Set((1L, 2L, 3.0)))
-      // a later file pushes the watermark (20:00 − 1h = 19:00) past every
-      // open session's end + gap → event-time timeouts flush them
-      write("b2", Seq((99L, hours(20.0), 0.0)))
+        Set((1L, 2L, 3.0), (2L, 1L, 8.0)))
+      // batch 2: user 3's 12:30 event is on-time (watermark is 10:30) and
+      // BRIDGES the 12:00 and 13:00 sessions; 20:00 then pushes the
+      // watermark to 19:00, sealing every earlier session via timeout
+      write("b2", Seq((3L, hours(12.5), 4.0), (99L, hours(20.0), 0.0)))
       q.processAllAvailable()
       val all = spark.sql("SELECT * FROM sess_out").as[EventStreams.ClosedSession]
         .collect()
       assert(all.map(s => (s.user_id, s.n_events, s.sum_value)).toSet ==
-        Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0)))
+        Set((1L, 2L, 3.0), (1L, 1L, 4.0), (2L, 1L, 8.0), (3L, 3L, 7.0)))
+      val bridged = all.find(s => s.user_id == 3L).get
+      assert(bridged.session_start == hours(12.0) &&
+        bridged.session_end == hours(13.0))
     } finally q.stop()
   }
 }
