@@ -108,6 +108,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "max_strlen", e => MaxStrLen(e.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "get_byte", e => GetByteExpr(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "get_bit", e => GetBitExpr(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "set_byte", e => SetByteExpr(e(0), e(1), e(2)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "set_bit", e => SetBitExpr(e(0), e(1), e(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       "stopword_hits",
       e => StopwordHits(e(0), e(1).eval() match {
         case a: org.apache.spark.sql.catalyst.util.ArrayData =>

@@ -47,6 +47,34 @@ object Extras {
         (shiftright($"o_orderkey", 5).bitwiseAND(1L)).as("bit5"))
     },
 
+    // GET_BYTE / GET_BIT / SET_BYTE / SET_BIT over BINARY (Phoenix
+    // GetByteFunction family, PBinaryBase semantics: offsets wrap modulo
+    // length, signed bytes, LSB-first bits). Binary outputs hex-serialized
+    // for the driver compare.
+    "q_byte_ops" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val bin = $"p_name".cast(BinaryType)
+      Tables.t(s, dir, "part").select(
+        $"p_partkey",
+        call_function("get_byte", bin, lit(2)).as("b2"),
+        call_function("get_byte", bin, lit(-1)).as("b_last"),
+        call_function("get_bit", bin, lit(13)).as("bit13"),
+        hex(call_function("set_byte", bin, lit(0), lit(65))).as("sb_hex"),
+        hex(call_function("set_bit", bin, lit(3), lit(1))).as("st_hex"))
+    },
+
+    // CONVERT_TIMEZONE (Phoenix ConvertTimezoneFunction): shift a UTC
+    // instant to a zone's wall-clock time, IANA rules on both engines.
+    "q_convert_tz" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "events").select(
+        $"event_id",
+        convert_timezone(lit("UTC"), lit("America/New_York"), $"ts").as("ny"),
+        convert_timezone(lit("UTC"), lit("Asia/Tokyo"), $"ts").as("tokyo"),
+        convert_timezone(lit("UTC"), lit("Europe/Paris"), $"ts").as("paris"))
+    },
+
     // SUB_BINARY over a binary payload (Phoenix SubBinaryFunction). The
     // binary result is hex-serialized in the final projection — the
     // driver's compare can't sort/hash raw bytes (r1 harness crash).
@@ -189,6 +217,26 @@ object Extras {
         CAST(bit_count(o_orderkey) AS INT) AS nbits,
         (o_orderkey >> 5) & 1 AS bit5
       FROM orders""",
+
+    "q_byte_ops" -> """
+      SELECT p_partkey,
+        ascii(substr(p_name, 3, 1)) AS b2,
+        ascii(substr(p_name, length(p_name), 1)) AS b_last,
+        (ascii(substr(p_name, 2, 1)) // 32) % 2 AS bit13,
+        '41' || hex(encode(substr(p_name, 2))) AS sb_hex,
+        upper(lpad(to_hex(ascii(substr(p_name, 1, 1)) | 8), 2, '0')) ||
+          hex(encode(substr(p_name, 2))) AS st_hex
+      FROM part""",
+
+    "q_convert_tz" -> """
+      SELECT event_id,
+        timezone('America/New_York', timezone('UTC', CAST(ts AS TIMESTAMP)))
+          AS ny,
+        timezone('Asia/Tokyo', timezone('UTC', CAST(ts AS TIMESTAMP)))
+          AS tokyo,
+        timezone('Europe/Paris', timezone('UTC', CAST(ts AS TIMESTAMP)))
+          AS paris
+      FROM events""",
 
     "q_sub_binary" -> """
       SELECT p_partkey, hex(encode(substr(p_name, 1, 3))) AS bin3_hex,

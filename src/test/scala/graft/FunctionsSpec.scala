@@ -182,4 +182,32 @@ class FunctionsSpec extends AnyFunSuite {
       .select(call_function("json_query", $"j", lit("$.a")))
       .collect()(0).isNullAt(0))
   }
+
+  test("GET/SET_BYTE and GET/SET_BIT follow PBinaryBase semantics") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // 0x80 reads back signed (-128); offsets wrap modulo length
+    val df = Seq(Tuple1(Array[Byte](1, -128, 7))).toDF("b")
+    def f(name: String, args: org.apache.spark.sql.Column*) =
+      df.select(call_function(name, args: _*)).collect()(0)
+    assert(f("get_byte", $"b", lit(1)).getInt(0) == -128)
+    assert(f("get_byte", $"b", lit(-1)).getInt(0) == 7)
+    assert(f("get_byte", $"b", lit(4)).getInt(0) == -128) // 4 % 3
+    // bits are LSB-first: byte 0 = 0x01 → bit 0 set, bit 1 clear;
+    // offset 24 wraps to bit 0
+    assert(f("get_bit", $"b", lit(0)).getInt(0) == 1)
+    assert(f("get_bit", $"b", lit(1)).getInt(0) == 0)
+    assert(f("get_bit", $"b", lit(15)).getInt(0) == 1) // sign bit of 0x80
+    assert(f("get_bit", $"b", lit(24)).getInt(0) == 1)
+    assert(f("set_byte", $"b", lit(1), lit(65)).getAs[Array[Byte]](0)
+      .sameElements(Array[Byte](1, 65, 7)))
+    assert(f("set_bit", $"b", lit(1), lit(1)).getAs[Array[Byte]](0)
+      .sameElements(Array[Byte](3, -128, 7)))
+    assert(f("set_bit", $"b", lit(0), lit(0)).getAs[Array[Byte]](0)
+      .sameElements(Array[Byte](0, -128, 7)))
+    // empty binary → NULL (reference returns the empty pointer)
+    assert(Seq(Tuple1(Array.empty[Byte])).toDF("b")
+      .select(call_function("get_byte", $"b", lit(0)))
+      .collect()(0).isNullAt(0))
+  }
 }
