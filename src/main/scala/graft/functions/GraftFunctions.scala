@@ -106,6 +106,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "ivf_cell", e => IvfCell(e(0), e(1), e(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "vec_maxabs", e => VecMaxAbs(e.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "int8_quantize", e => Int8Quantize(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "max_strlen", e => MaxStrLen(e.head), "built-in")
     reg.createOrReplaceTempFunction(
       "get_byte", e => GetByteExpr(e(0), e(1)), "built-in")

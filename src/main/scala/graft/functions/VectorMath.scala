@@ -38,6 +38,36 @@ object VectorMath {
     dp / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** Max absolute element value (the int8 quantization scale basis). */
+  def maxAbs(v: ArrayData, vF: Boolean): Double = {
+    val n = v.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val x = math.abs(if (vF) v.getFloat(i).toDouble else v.getDouble(i))
+      if (x > mx) mx = x
+      i += 1
+    }
+    mx
+  }
+
+  /** Symmetric int8 quantization: q_i = floor(x_i/scale + 0.5) per
+    * element (explicit half-up — engines disagree on round()'s tie
+    * rule), packed into signed bytes. scale <= 0 → all zeros. */
+  def int8Quantize(v: ArrayData, vF: Boolean, scale: Double): Array[Byte] = {
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    if (scale > 0) {
+      var i = 0
+      while (i < n) {
+        val x = if (vF) v.getFloat(i).toDouble else v.getDouble(i)
+        out(i) = math.floor(x / scale + 0.5).toByte
+        i += 1
+      }
+    }
+    out
+  }
+
   /** IVF cell assignment: index of the L2-nearest centroid, centroids
     * flattened row-major (nlist = centroids.length / dim). Ties keep the
     * lowest index (strict <). */
@@ -105,6 +135,42 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
+}
+
+/** VEC_MAXABS(vec) → double. */
+case class VecMaxAbs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  private def vecIsFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(v: Any): Any =
+    VectorMath.maxAbs(v.asInstanceOf[ArrayData], vecIsFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.VectorMath.maxAbs($v, $vecIsFloat)")
+  override protected def withNewChildInternal(c: Expression): VecMaxAbs =
+    copy(child = c)
+  override def prettyName: String = "vec_maxabs"
+}
+
+/** INT8_QUANTIZE(vec, scale) → binary (one signed byte per element). */
+case class Int8Quantize(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  private def vecIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(v: Any, s: Any): Any =
+    VectorMath.int8Quantize(v.asInstanceOf[ArrayData], vecIsFloat,
+      s.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, s) =>
+      s"graft.functions.VectorMath.int8Quantize($v, $vecIsFloat, $s)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Int8Quantize = copy(left = l, right = r)
+  override def prettyName: String = "int8_quantize"
 }
 
 /** IVF_CELL(vec, flatCentroids, dim) → int (L2-nearest centroid index). */

@@ -181,6 +181,19 @@ object Similarity {
       .limit(k)
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * path at corpus scale (4× smaller than float32). Per-vector scale =
+    * maxabs/127; q_i = floor(x_i/scale + 0.5), explicit half-up so the
+    * rule is engine-portable. One scan, two fused kernels, no shuffle;
+    * all-zero vectors quantize to zeros. */
+  def quantizeInt8(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("scale", call_function("vec_maxabs", col("v")) / 127.0)
+      .select(col("id"), col("scale"),
+        call_function("int8_quantize", col("v"), col("scale")).as("q"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact bounded form (the
     * correctness baseline — O(n²); the scale path is [[knnJoin]]'s
     * LSH-bucketed self-join followed by the same threshold). */

@@ -205,6 +205,16 @@ object Pipeline {
         .limit(100)
     },
 
+    // Int8 embedding quantization (storage path at corpus scale): scale +
+    // quantized bytes, hex-serialized for the driver compare — the full
+    // quantized content is oracle-checked, not a sample.
+    "q_embed_quantize" -> { (s, dir) =>
+      Similarity.quantizeInt8(Tables.t(s, dir, "embeddings"),
+          "embedding", "vec_id")
+        .select(col("id"), col("scale"), hex(col("q")).as("q_hex"))
+        .orderBy(col("id"))
+    },
+
     // Multimodal: binary payload + stubbed decoder via mapPartitions.
     // The stub is deterministic, so this DOES have a SQL oracle.
     "q_multimodal_features" -> { (s, dir) =>
@@ -408,6 +418,19 @@ object Pipeline {
               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
             FROM documents)
       GROUP BY term ORDER BY tf DESC, term LIMIT 100""",
+
+    "q_embed_quantize" -> """
+      WITH t AS (SELECT vec_id, embedding,
+        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+          / 127 AS scale
+        FROM embeddings)
+      SELECT vec_id AS id, scale,
+        CASE WHEN scale > 0 THEN
+          array_to_string(list_transform(embedding, x ->
+            lpad(upper(to_hex((CAST(floor(CAST(x AS DOUBLE) / scale + 0.5)
+              AS INT) + 256) % 256)), 2, '0')), '')
+        ELSE repeat('00', len(embedding)) END AS q_hex
+      FROM t ORDER BY id""",
 
     "q_multimodal_frames" -> """
       SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,

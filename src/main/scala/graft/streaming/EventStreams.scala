@@ -116,6 +116,25 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream inner join with watermarks and a time-range condition
+    * (e.g. attribute each right-side event to the left-side event it
+    * follows within `window`). The range bound plus the watermarks let
+    * Spark expire join state on BOTH sides, so state stays bounded on
+    * unbounded streams — without the range condition a stream-stream
+    * join would buffer forever. */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+      watermark: String = "2 hours", window: String = "1 hour"): DataFrame = {
+    val l = left.select(col("user_id"), col("ts").as("l_ts"),
+        col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = right.select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r, expr(
+        s"user_id = r_user AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL $window"))
+      .select(col("user_id"), col("l_ts"), col("r_ts"), col("r_value"))
+  }
+
   /** Per-user running behavior via flatMapGroupsWithState-free windowed
     * dedup: last event per user per window (bounded state via watermark). */
   def lastEventPerUserWindow(events: DataFrame,

@@ -310,6 +310,32 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches within the window only") {
+    import spark.implicits._
+    val evDir = java.nio.file.Files.createTempDirectory("graft_ssj")
+    def hours(h: Double) = new java.sql.Timestamp((h * 3600000L).toLong)
+    def write(sub: String, rows: Seq[(Long, java.sql.Timestamp, Double)]) =
+      rows.toDF("user_id", "ts", "value").repartition(1)
+        .write.parquet(s"$evDir/$sub")
+    write("l/b1", Seq((1L, hours(10.0), 1.0), (2L, hours(10.0), 2.0)))
+    write("r/b1", Seq(
+      (1L, hours(10.5), 7.0),  // within 1h of user 1's left event
+      (1L, hours(12.0), 8.0),  // beyond the window — no match
+      (2L, hours(10.1), 9.0))) // within 1h of user 2's
+    def src(sub: String) = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .parquet(s"$evDir/$sub/*")
+    val q = EventStreams.intervalJoin(src("l"), src("r"))
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT user_id, r_value FROM ssj_out").collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == Set((1L, 7.0), (2L, 9.0)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization: watermark-gated close, bridging, timeout") {
     import spark.implicits._
     val evDir = java.nio.file.Files.createTempDirectory("graft_sessions")
