@@ -98,12 +98,36 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("scan-local text/embedding operators shuffle only for their sort") {
+    // PII scrub and quantization are per-row transforms: the only
+    // exchange allowed is the final orderBy's range partitioning — a
+    // hash-partitioned shuffle would mean an accidental aggregation/join
+    for (q <- Seq("q_pii_scrub", "q_embed_quantize")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"),
+        s"$q must stay scan-local (range exchange for the sort only):\n$p")
+    }
+  }
+
+  test("term frequency aggregates map-side before the shuffle") {
+    val p = plan("q_term_freq")
+    val hashAggs = "HashAggregate".r.findAllIn(p).length
+    // count + count_distinct expand to >= 2 partial/final pairs
+    assert(hashAggs >= 2,
+      s"expected partial+final aggregation for term counts:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must be per-partition top-k, not a global sort")
+  }
+
   test("no cartesian products in any scale-path pipeline entry") {
-    // the two bounded oracle baselines (q_jaccard_pairs,
-    // q_dedup_embedding) are the ONLY entries allowed a cross join
+    // the bounded oracle baselines (q_jaccard_pairs, q_jaccard_char,
+    // q_dedup_embedding, q_dedup_cluster's edge generator) are the ONLY
+    // entries allowed a cross join
     val scalePaths = Seq("q_dedup_minhash", "q_dedup_simhash",
       "q_dedup_embedding_lsh", "q_dedup_exact", "q_dedup_fingerprint",
-      "q_curation_pipeline", "q_ann_lsh")
+      "q_curation_pipeline", "q_ann_lsh",
+      "q_pii_scrub", "q_term_freq", "q_embed_quantize",
+      "q_lang_id", "q_text_quality")
     for (q <- scalePaths) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
