@@ -102,6 +102,33 @@ object TextAnalysis {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** Top-k characteristic terms per document by TF-IDF. Shape at scale:
+    * the document-frequency table and the corpus count are
+    * vocabulary-sized / scalar → BROADCAST joins (no shuffle of the
+    * term-doc table for them); the only real shuffles are the term-doc
+    * aggregation and the per-doc top-k window, both keyed sensibly.
+    * Scores round to 8 decimals so ln()'s last-ulp divergence across
+    * engines can't flip the ranking (tie-break on term). */
+  def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val terms = df.select(col(idCol).as("doc"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val tf = terms.groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = terms.groupBy(col("term"))
+      .agg(count_distinct(col("doc")).as("df"))
+    val n = df.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("tfidf").desc, col("term").asc)
+    tf.join(broadcast(docFreq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 8))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("doc"), col("term"), col("tfidf"))
+  }
+
   /** Corpus term statistics: term frequency and document frequency per
     * token — the vocabulary/IDF building block. One explode + one groupBy:
     * partial aggregation combines map-side, so the shuffle is

@@ -205,6 +205,15 @@ object Pipeline {
         .limit(100)
     },
 
+    // Top-3 characteristic terms per doc by TF-IDF: broadcast the
+    // vocabulary-sized DF table + corpus count, shuffle only the
+    // term-doc agg and the per-doc top-k window.
+    "q_tfidf_terms" -> { (s, dir) =>
+      TextAnalysis.tfIdfTopTerms(
+          Tables.t(s, dir, "documents"), "text", "doc_id", k = 3)
+        .orderBy(col("doc"), col("term"))
+    },
+
     // Int8 embedding quantization (storage path at corpus scale): scale +
     // quantized bytes, hex-serialized for the driver compare — the full
     // quantized content is oracle-checked, not a sample.
@@ -418,6 +427,21 @@ object Pipeline {
               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
             FROM documents)
       GROUP BY term ORDER BY tf DESC, term LIMIT 100""",
+
+    "q_tfidf_terms" -> raw"""
+      WITH t AS (SELECT doc_id AS doc,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT doc, term, count(*) AS tf FROM t GROUP BY 1, 2),
+      dfreq AS (SELECT term, count(DISTINCT doc) AS df FROM t GROUP BY 1),
+      n AS (SELECT count(*) AS n_docs FROM documents),
+      s AS (SELECT tf.doc, tf.term,
+          round(tf.tf * ln(CAST(n_docs AS DOUBLE) / dfreq.df), 8) AS tfidf
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc
+              ORDER BY tfidf DESC, term) AS rn FROM s)
+      SELECT doc, term, tfidf FROM r WHERE rn <= 3
+      ORDER BY doc, term""",
 
     "q_embed_quantize" -> """
       WITH t AS (SELECT vec_id, embedding,
