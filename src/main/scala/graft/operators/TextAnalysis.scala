@@ -24,6 +24,9 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "pour", "dans", "une"),
     "es" -> Seq("el", "la", "los", "que", "y", "es", "para", "con"))
 
+  /** The fixed stopword list for a language (verification surface). */
+  def stopwordsFor(lang: String): Seq[String] = stop(lang)
+
   /** Count of tokens that appear in a fixed stopword list. Fused set-probe
     * kernel (size(filter(_, isin…)) is an interpreted HOF with an O(list)
     * isin per token); callers need GraftFunctions.register on the session. */

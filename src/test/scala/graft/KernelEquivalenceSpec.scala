@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions
+import graft.operators.{Similarity, TextAnalysis}
+
+/** Property tests: every fused codegen kernel must be BIT-IDENTICAL (or
+  * exactly boolean-equivalent) to the composed-builtins form it replaced
+  * — the fusions are performance rewrites, never semantic ones. Seeded
+  * random inputs run through BOTH forms as columns of one DataFrame and
+  * every row must agree exactly (no tolerance).
+  */
+class KernelEquivalenceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-kernel-test").getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(s)
+    s
+  }
+
+  private val rng = new scala.util.Random(0xC0FFEE)
+  private def randVec(n: Int): List[Float] =
+    List.fill(n)((rng.nextFloat() - 0.5f) * 20f)
+  private val vocab = Array("the", "and", "der", "und", "le", "data",
+    "spark", "scan", "xylophone", "a", "abcdefghijklm", "", "que", "est")
+  private def randWords(): List[String] =
+    List.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.length)))
+
+  test("cosine_sim == composed dot/norm fold, bit-exact; NaN on mismatch") {
+    import spark.implicits._
+    val cases = List.fill(200)((randVec(16), randVec(16)))
+    val rows = cases.toDF("a", "b").select(
+      call_function("cosine_sim", $"a", $"b").as("fused"),
+      (Similarity.dot($"a", $"b") /
+        (Similarity.norm($"a") * Similarity.norm($"b"))).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)),
+        s"${r.getDouble(0)} != ${r.getDouble(1)}")
+    }
+    // length mismatch → NaN, never a plausible score
+    assert(Seq((randVec(16), randVec(8))).toDF("a", "b")
+      .select(call_function("cosine_sim", $"a", $"b"))
+      .head().getDouble(0).isNaN)
+    // zero-norm vector → NaN; here the fused kernel intentionally
+    // DIVERGES from the composed form, which throws DIVIDE_BY_ZERO under
+    // ANSI mode — a zero embedding must not kill a corpus-wide job
+    assert(Seq((List.fill(16)(0f), randVec(16))).toDF("a", "b")
+      .select(call_function("cosine_sim", $"a", $"b"))
+      .head().getDouble(0).isNaN)
+  }
+
+  test("stopword_hits == size(filter(isin)) for every language") {
+    import spark.implicits._
+    val df = List.fill(300)(Tuple1(randWords())).toDF("ws")
+    for (lang <- Seq("en", "de", "fr", "es")) {
+      val rows = df.select(
+        TextAnalysis.stopwordHits($"ws", lang).as("fused"),
+        size(filter($"ws", w =>
+          w.isin(TextAnalysis.stopwordsFor(lang).map(lit): _*)))
+          .as("composed")).collect()
+      rows.foreach(r => assert(r.getInt(0) == r.getInt(1), s"$lang differs"))
+    }
+  }
+
+  test("max_strlen reproduces exists/forall length predicates") {
+    import spark.implicits._
+    val df = List.fill(300)(Tuple1(randWords())).toDF("ws")
+    val rows = df.select(
+      (call_function("max_strlen", $"ws") > 6).as("fa"),
+      exists($"ws", w => length(w) > 6).as("ha"),
+      (call_function("max_strlen", $"ws") <= 12).as("fl"),
+      forall($"ws", w => length(w) <= 12).as("hl")).collect()
+    rows.foreach { r =>
+      // empty arrays: exists → false, forall → true; max_strlen(empty)=0
+      assert(r.getBoolean(0) == r.getBoolean(1), "exists differs")
+      assert(r.getBoolean(2) == r.getBoolean(3), "forall differs")
+    }
+  }
+
+  test("lsh_bucket == composed per-plane sign fold") {
+    import spark.implicits._
+    val planes = Similarity.hyperplanes(16, 4)
+    val composed = planes.zipWithIndex.map { case (p, i) =>
+      val arr = array(p.map(lit): _*)
+      when(Similarity.dot($"v", arr) >= 0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+    val rows = List.fill(200)(Tuple1(randVec(16))).toDF("v")
+      .select(Similarity.lshBucket($"v", planes).as("fused"),
+        composed.as("composed")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("int8_quantize matches per-element floor(x/scale + 0.5)") {
+    import spark.implicits._
+    val cases = List.fill(200)(Tuple1(randVec(16))) :+
+      Tuple1(List.fill(16)(0f)) // all-zero → scale 0 → zero bytes
+    val rows = cases.toDF("v")
+      .withColumn("scale", call_function("vec_maxabs", $"v") / 127.0)
+      .select($"v", $"scale",
+        call_function("int8_quantize", $"v", $"scale").as("q"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val scale = r.getDouble(1)
+      val q = r.getAs[Array[Byte]](2)
+      val expect = v.map(x =>
+        if (scale > 0) math.floor(x.toDouble / scale + 0.5).toByte
+        else 0.toByte)
+      assert(q.toSeq == expect, s"quantization differs on $v")
+      assert(scale == v.map(x => math.abs(x.toDouble)).max / 127.0)
+    }
+  }
+
+  test("binary bit/byte kernels match the reference wrap formula") {
+    for (_ <- 0 until 500) {
+      val bytes = Array.fill(1 + rng.nextInt(12))(rng.nextInt(256).toByte)
+      val off = rng.nextInt(601) - 300
+      val len = bytes.length
+      val wrapB = ((off % len) + len) % len
+      assert(graft.functions.BinaryBits.getByte(bytes, off) ==
+        bytes(wrapB).toInt)
+      val bitLen = len * 8
+      val wrapBit = ((off % bitLen) + bitLen) % bitLen
+      assert(graft.functions.BinaryBits.getBit(bytes, off) ==
+        ((bytes(wrapBit / 8) >> (wrapBit % 8)) & 1))
+      // set then get roundtrips
+      val v = rng.nextInt(256) - 128
+      assert(graft.functions.BinaryBits.getByte(
+        graft.functions.BinaryBits.setByte(bytes, off, v), off) == v.toByte.toInt)
+      val bit = rng.nextInt(2)
+      assert(graft.functions.BinaryBits.getBit(
+        graft.functions.BinaryBits.setBit(bytes, off, bit), off) == bit)
+    }
+  }
+}
