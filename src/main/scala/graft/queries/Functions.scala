@@ -511,7 +511,11 @@ object Functions {
     "q_bson_value" -> """
       SELECT event_id,
         -- BSON_VALUE(..., 'VARCHAR') over a numeric node returns
-        -- String.valueOf(doubleValue()) like the reference ('69.0' not '69')
+        -- String.valueOf(doubleValue()) like the reference ('69.0' not
+        -- '69'). NOTE: this DuckDB cast matches Java's Double.toString
+        -- only on the fixture domain (|x| in [1e-3, 1e7)) — beyond it
+        -- Java switches to scientific notation; the ENGINE follows the
+        -- reference, the oracle covers the fixture.
         CAST(CAST(json_extract_string(props, '$.k') AS DOUBLE) AS VARCHAR)
           AS k_str,
         event_type AS xs0,

@@ -50,11 +50,25 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     else if (up.startsWith("DROP TABLE")) dropTable(s)
     else if (up.startsWith("ALTER VIEW")) alterView(s)
     else if (up.startsWith("ALTER TABLE")) alterTable(s)
+    else if (up.startsWith("EXPLAIN")) explainPlan(s)
     else if (up.startsWith("DECLARE")) declareCursor(s)
     else if (up.startsWith("OPEN")) openCursor(s)
     else if (up.startsWith("FETCH")) fetchCursor(s)
     else if (up.startsWith("CLOSE")) closeCursor(s)
     else select(s)
+  }
+
+  // ---- EXPLAIN (reference: PhoenixSQL.g explain_node → ExplainPlan rows;
+  // here: the Spark physical plan, one line per row in a PLAN column —
+  // the same single-column row shape Phoenix's EXPLAIN result set has) --
+  private def explainPlan(s: String): DataFrame = {
+    import spark.implicits._
+    val inner = s.trim.replaceFirst("(?is)^EXPLAIN\\s+", "")
+    val df = execute(inner)
+    df.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("simple"))
+      .linesIterator.toSeq.toDF("PLAN")
   }
 
   // ---- cursors (reference: PhoenixSQL.g declare_cursor_node /

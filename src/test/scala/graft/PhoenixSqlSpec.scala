@@ -221,4 +221,16 @@ class PhoenixSqlSpec extends AnyFunSuite {
       px.execute("UPSERT INTO t (id) VALUES (1, 'extra')")
     }
   }
+
+  test("EXPLAIN returns the physical plan as PLAN rows") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, a VARCHAR)")
+    px.execute("UPSERT INTO t VALUES (1, 'x')")
+    val plan = px.execute("EXPLAIN SELECT * FROM t WHERE id = 1")
+    assert(plan.schema.fieldNames.sameElements(Array("PLAN")))
+    val text = plan.collect().map(_.getString(0)).mkString("\n")
+    assert(text.contains("Physical Plan"))
+    assert(text.toLowerCase.contains("filter") ||
+      text.contains("PushedFilters"), s"expected a filter in:\n$text")
+  }
 }
