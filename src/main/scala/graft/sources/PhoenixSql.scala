@@ -51,6 +51,16 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     else if (up.startsWith("ALTER VIEW")) alterView(s)
     else if (up.startsWith("ALTER TABLE")) alterTable(s)
     else if (up.startsWith("EXPLAIN")) explainPlan(s)
+    // UPDATE STATISTICS collected HBase guideposts for scan chunking;
+    // Spark's AQE runtime statistics replace them — accepted as a no-op
+    // so reference clients run unmodified (like SALT_BUCKETS).
+    else if (up.startsWith("UPDATE STATISTICS")) spark.emptyDataFrame
+    else if (up.startsWith("CREATE INDEX") || up.startsWith("DROP INDEX") ||
+        up.startsWith("CREATE LOCAL INDEX"))
+      throw new IllegalArgumentException(
+        "secondary indexes are out of scope (OLTP write-path maintenance); " +
+          "model covered indexes as materialized sorted projections — " +
+          "see graft.operators.Layout and graft.plans.IndexRewriteRule")
     else if (up.startsWith("DECLARE")) declareCursor(s)
     else if (up.startsWith("OPEN")) openCursor(s)
     else if (up.startsWith("FETCH")) fetchCursor(s)

@@ -222,6 +222,16 @@ class PhoenixSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("UPDATE STATISTICS is a no-op; CREATE INDEX errors with guidance") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, a VARCHAR)")
+    assert(px.execute("UPDATE STATISTICS t").isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      px.execute("CREATE INDEX i ON t (a)")
+    }
+    assert(e.getMessage.contains("IndexRewriteRule"))
+  }
+
   test("EXPLAIN returns the physical plan as PLAN rows") {
     val px = fresh()
     px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, a VARCHAR)")
