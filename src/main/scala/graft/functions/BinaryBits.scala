@@ -43,6 +43,7 @@ object BinaryBits {
 case class GetByteExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true // empty binary → NULL
   override def nullSafeEval(b: Any, o: Any): Any = {
     val bytes = b.asInstanceOf[Array[Byte]]
     if (bytes.isEmpty) null
@@ -62,6 +63,7 @@ case class GetByteExpr(left: Expression, right: Expression)
 case class GetBitExpr(left: Expression, right: Expression)
     extends BinaryExpression {
   override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true // empty binary → NULL
   override def nullSafeEval(b: Any, o: Any): Any = {
     val bytes = b.asInstanceOf[Array[Byte]]
     if (bytes.isEmpty) null
@@ -81,6 +83,7 @@ case class GetBitExpr(left: Expression, right: Expression)
 case class SetByteExpr(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
   override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // empty binary → NULL
   override def nullSafeEval(b: Any, o: Any, v: Any): Any = {
     val bytes = b.asInstanceOf[Array[Byte]]
     if (bytes.isEmpty) null
@@ -101,6 +104,7 @@ case class SetByteExpr(first: Expression, second: Expression,
 case class SetBitExpr(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
   override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true // empty binary → NULL
   override def nullSafeEval(b: Any, o: Any, v: Any): Any = {
     val bytes = b.asInstanceOf[Array[Byte]]
     if (bytes.isEmpty) null

@@ -118,8 +118,10 @@ object TextAnalysis {
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
     val tf = terms.groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val docFreq = terms.groupBy(col("term"))
-      .agg(count_distinct(col("doc")).as("df"))
+    // df from the tf table (one row per (doc, term) already): no second
+    // explode/scan of the corpus, no distinct-aggregate expansion
+    val docFreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("tfidf").desc, col("term").asc)

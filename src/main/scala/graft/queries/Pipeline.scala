@@ -445,8 +445,10 @@ object Pipeline {
 
     "q_embed_quantize" -> """
       WITH t AS (SELECT vec_id, embedding,
-        list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
-          / 127 AS scale
+        -- coalesce: list_max of an EMPTY list is NULL in DuckDB, while
+        -- the engine's one-pass maxabs yields 0.0 → align on 0.0
+        coalesce(list_max(list_transform(embedding,
+          x -> abs(CAST(x AS DOUBLE)))), 0) / 127 AS scale
         FROM embeddings)
       SELECT vec_id AS id, scale,
         CASE WHEN scale > 0 THEN

@@ -70,15 +70,40 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
 
   // ---- EXPLAIN (reference: PhoenixSQL.g explain_node → ExplainPlan rows;
   // here: the Spark physical plan, one line per row in a PLAN column —
-  // the same single-column row shape Phoenix's EXPLAIN result set has) --
+  // the same single-column row shape Phoenix's EXPLAIN result set has).
+  // EXPLAIN must NEVER execute the statement: DML is planned via its
+  // read side only (the rows a DELETE would match / an UPSERT..SELECT
+  // would write), with a header naming the mutation. ------------------
   private def explainPlan(s: String): DataFrame = {
     import spark.implicits._
     val inner = s.trim.replaceFirst("(?is)^EXPLAIN\\s+", "")
-    val df = execute(inner)
-    df.queryExecution
-      .explainString(org.apache.spark.sql.execution.ExplainMode
-        .fromString("simple"))
-      .linesIterator.toSeq.toDF("PLAN")
+    val up = inner.toUpperCase
+    def planLines(df: DataFrame): Seq[String] =
+      df.queryExecution
+        .explainString(org.apache.spark.sql.execution.ExplainMode
+          .fromString("simple"))
+        .linesIterator.toSeq
+    val lines: Seq[String] =
+      if (up.startsWith("DELETE FROM")) {
+        val m = "(?is)DELETE FROM ([\\w.\"]+)(?:\\s+WHERE\\s+(.*))?$".r
+          .findFirstMatchIn(inner)
+          .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+        val t = cleanIdent(m.group(1))
+        val read = select(s"SELECT * FROM $t" +
+          Option(m.group(2)).map(w => s" WHERE $w").getOrElse(""))
+        s"DELETE (tombstone) FROM $t rows matching:" +: planLines(read)
+      } else if (up.startsWith("UPSERT INTO")) {
+        val sel = ("(?is)UPSERT INTO ([\\w.\"]+)\\s*(?:\\(([^)]*)\\))?\\s*" +
+          "(SELECT\\s.*)$").r.findFirstMatchIn(inner)
+        sel match {
+          case Some(m) =>
+            s"UPSERT INTO ${cleanIdent(m.group(1))} rows from:" +:
+              planLines(select(m.group(3)))
+          case None =>
+            Seq(s"UPSERT VALUES batch append")
+        }
+      } else planLines(execute(inner)) // SELECT and other read-only forms
+    lines.toDF("PLAN")
   }
 
   // ---- cursors (reference: PhoenixSQL.g declare_cursor_node /

@@ -120,25 +120,28 @@ class KernelEquivalenceSpec extends AnyFunSuite {
     }
   }
 
-  test("binary bit/byte kernels match the reference wrap formula") {
+  test("binary bit/byte kernels: wrap invariance and set/get roundtrips") {
+    // concrete reference-anchored cases (hand-derived from PBinaryBase
+    // semantics, NOT the implementation's formula) live in FunctionsSpec;
+    // here: properties a wrong implementation would break — offset
+    // translation by ±len is an identity, in-bounds offsets index
+    // directly, and every set is observable at the same offset
+    import graft.functions.BinaryBits._
     for (_ <- 0 until 500) {
       val bytes = Array.fill(1 + rng.nextInt(12))(rng.nextInt(256).toByte)
       val off = rng.nextInt(601) - 300
       val len = bytes.length
-      val wrapB = ((off % len) + len) % len
-      assert(graft.functions.BinaryBits.getByte(bytes, off) ==
-        bytes(wrapB).toInt)
-      val bitLen = len * 8
-      val wrapBit = ((off % bitLen) + bitLen) % bitLen
-      assert(graft.functions.BinaryBits.getBit(bytes, off) ==
-        ((bytes(wrapBit / 8) >> (wrapBit % 8)) & 1))
+      assert(getByte(bytes, off) == getByte(bytes, off + len))
+      assert(getByte(bytes, off) == getByte(bytes, off - len))
+      assert(getBit(bytes, off) == getBit(bytes, off + len * 8))
+      val in = rng.nextInt(len)
+      assert(getByte(bytes, in) == bytes(in).toInt)
+      assert(getBit(bytes, in * 8) == (bytes(in) & 1))
       // set then get roundtrips
       val v = rng.nextInt(256) - 128
-      assert(graft.functions.BinaryBits.getByte(
-        graft.functions.BinaryBits.setByte(bytes, off, v), off) == v.toByte.toInt)
+      assert(getByte(setByte(bytes, off, v), off) == v.toByte.toInt)
       val bit = rng.nextInt(2)
-      assert(graft.functions.BinaryBits.getBit(
-        graft.functions.BinaryBits.setBit(bytes, off, bit), off) == bit)
+      assert(getBit(setBit(bytes, off, bit), off) == bit)
     }
   }
 }

@@ -243,4 +243,20 @@ class PhoenixSqlSpec extends AnyFunSuite {
     assert(text.toLowerCase.contains("filter") ||
       text.contains("PushedFilters"), s"expected a filter in:\n$text")
   }
+
+  test("EXPLAIN of DML plans the read side and does NOT mutate") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, a VARCHAR)")
+    px.execute("UPSERT INTO t VALUES (1, 'x')")
+    px.execute("UPSERT INTO t VALUES (2, 'y')")
+    val del = px.execute("EXPLAIN DELETE FROM t WHERE id = 1")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(del.contains("DELETE") && del.contains("Physical Plan"))
+    assert(px.execute("SELECT count(*) AS n FROM t").collect()(0)
+      .getLong(0) == 2, "EXPLAIN DELETE must not delete")
+    px.execute("CREATE TABLE t2 (id BIGINT NOT NULL PRIMARY KEY, a VARCHAR)")
+    px.execute("EXPLAIN UPSERT INTO t2 SELECT id, a FROM t")
+    assert(px.execute("SELECT count(*) AS n FROM t2").collect()(0)
+      .getLong(0) == 0, "EXPLAIN UPSERT must not write")
+  }
 }
