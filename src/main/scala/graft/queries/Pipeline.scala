@@ -173,6 +173,28 @@ object Pipeline {
         .orderBy(col("id"))
     },
 
+    // Canonical-document selection per near-dup cluster (the dedup
+    // endgame): clusters from connected components, survivor = highest
+    // quality (token count), ties to the lowest id. One window over the
+    // cluster key after the cluster join.
+    "q_dedup_canonical" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents").where(col("doc_id") < 300)
+      val edges = Dedup.exactJaccardPairs(docs, "text", "doc_id", 0.2)
+        .select(col("id_a"), col("id_b"))
+      val clusters = Dedup.connectedComponents(
+        docs.select(col("doc_id").as("id")), edges)
+      val scored = docs.select(col("doc_id").as("id"),
+        size(split(lower(trim(col("text"))), "\\s+")).as("n_tok"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster_id"))
+        .orderBy(col("n_tok").desc, col("id").asc)
+      clusters.join(scored, "id")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("id").as("keep_id"), col("n_tok"))
+        .orderBy(col("cluster_id"))
+    },
+
     // PII scrubbing: emails/URLs/IPs/phone runs → typed placeholders,
     // plus per-pattern match counts for scrub audits. The PII-bearing
     // text is derived deterministically from customer fields (the
@@ -399,6 +421,36 @@ object Pipeline {
         SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src)
       SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id
       ORDER BY id""",
+
+    "q_dedup_canonical" -> s"""
+      WITH RECURSIVE sh AS (
+        SELECT doc_id AS id, $SHING AS s
+        FROM documents WHERE doc_id < 300),
+      pairs AS (
+        SELECT a.id AS id_a, b.id AS id_b
+        FROM sh a, sh b WHERE a.id < b.id
+          AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+              (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.2),
+      edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+      reach(id, lbl) AS (
+        SELECT doc_id, doc_id FROM documents WHERE doc_id < 300
+        UNION
+        SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src),
+      clusters AS (
+        SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+      scored AS (
+        SELECT doc_id AS id,
+          len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+        FROM documents WHERE doc_id < 300),
+      ranked AS (
+        SELECT c.cluster_id, c.id, s.n_tok,
+          row_number() OVER (PARTITION BY c.cluster_id
+            ORDER BY s.n_tok DESC, c.id) AS rn
+        FROM clusters c JOIN scored s USING (id))
+      SELECT cluster_id, id AS keep_id, n_tok FROM ranked WHERE rn = 1
+      ORDER BY cluster_id""",
 
     "q_pii_scrub" -> raw"""
       WITH t AS (SELECT c_custkey,
