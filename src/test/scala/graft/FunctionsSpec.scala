@@ -183,6 +183,18 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0).isNullAt(0))
   }
 
+  test("Spark `div` matches Phoenix integer `/` (truncation toward zero)") {
+    // documented divergence (COVERAGE §2.8): Phoenix LongDivideExpression
+    // is Java long division; Spark's `/` is true division but `div` is
+    // the exact Phoenix equivalent, including negative operands
+    val r = spark.sql(
+      "SELECT 5 div 2, -5 div 2, 5 div -2, CAST(5 / 2 AS DOUBLE)").collect()(0)
+    assert(r.getLong(0) == 5L / 2L)
+    assert(r.getLong(1) == -5L / 2L) // -2: toward zero, like Java
+    assert(r.getLong(2) == 5L / -2L)
+    assert(r.getDouble(3) == 2.5)
+  }
+
   test("GET/SET_BYTE and GET/SET_BIT follow PBinaryBase semantics") {
     import spark.implicits._
     GraftFunctions.register(spark)
