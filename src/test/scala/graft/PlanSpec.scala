@@ -119,6 +119,16 @@ class PlanSpec extends AnyFunSuite {
       "top-100 must be per-partition top-k, not a global sort")
   }
 
+  test("tf-idf broadcasts the vocabulary join and pushes the top-k limit") {
+    val p = plan("q_tfidf_terms")
+    assert(p.contains("BroadcastHashJoin"),
+      "document-frequency join must broadcast (vocabulary-sized build)")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join should appear for the vocabulary-sized sides")
+    assert(p.contains("WindowGroupLimit"),
+      "per-doc top-k must push a group limit below the window shuffle")
+  }
+
   test("no cartesian products in any scale-path pipeline entry") {
     // the bounded oracle baselines (q_jaccard_pairs, q_jaccard_char,
     // q_dedup_embedding, q_dedup_cluster's edge generator) are the ONLY
