@@ -157,7 +157,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }
     toPhysical(name,
-        padded.select(fields.map(f => col(f.name).cast(f.dataType)): _*))
+        padded.select(fields.map { f =>
+          val c = col(f.name).cast(f.dataType)
+          // UNSIGNED_* CHECK ≥ 0 (Phoenix throws IllegalDataException on
+          // a negative write): validated inside the write projection, so
+          // it costs nothing beyond the pass that writes the rows
+          if (f.metadata.contains(GraftCatalog.UnsignedKey))
+            when(c < 0, raise_error(concat(
+                lit(s"unsigned column ${f.name} cannot store negative value "),
+                c.cast(StringType))))
+              .otherwise(c).as(f.name)
+          else c
+        }: _*))
       .withColumn("_version", lit(v))
       .withColumn("_deleted", lit(false))
       .write.mode(SaveMode.Append).parquet(s"${dir(name)}/data")
@@ -336,4 +347,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           .parquet(s"${dir(name)}/data"))
       .select(cols: _*)
   }
+}
+
+object GraftCatalog {
+  /** StructField metadata key marking a numeric UNSIGNED_* column whose
+    * CHECK ≥ 0 is enforced on write (SURVEY §1.2). */
+  val UnsignedKey = "graft.unsigned"
 }

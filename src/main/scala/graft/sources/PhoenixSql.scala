@@ -252,7 +252,18 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       val t = typeAndCons.replaceAll("(?i)\\s+NOT\\s+NULL", "")
         .replaceAll("(?i)\\s+NULL$", "")
         .replaceAll("(?i)\\s+PRIMARY\\s+KEY.*", "")
-      StructField(colName.toLowerCase, parseType(t), nullable = !notNull)
+      // numeric UNSIGNED_* → signed Spark type + a CHECK ≥ 0 enforced on
+      // write (SURVEY §1.2; Phoenix throws IllegalDataException there).
+      // Date/time unsigned variants differ only in storage encoding.
+      val tUp = t.trim.toUpperCase
+      val meta =
+        if (tUp.startsWith("UNSIGNED") && !tUp.contains("DATE") &&
+            !tUp.contains("TIME"))
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putBoolean(GraftCatalog.UnsignedKey, true).build()
+        else org.apache.spark.sql.types.Metadata.empty
+      StructField(colName.toLowerCase, parseType(t), nullable = !notNull,
+        metadata = meta)
     }
     // PK: either a CONSTRAINT clause or an inline "col type PRIMARY KEY"
     val pk: Seq[String] = pkItems.headOption match {

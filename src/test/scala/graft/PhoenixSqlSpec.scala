@@ -222,6 +222,21 @@ class PhoenixSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("UNSIGNED columns reject negative writes like the reference") {
+    val px = fresh()
+    px.execute("CREATE TABLE u (id BIGINT NOT NULL PRIMARY KEY," +
+      " n UNSIGNED_INT, d UNSIGNED_DOUBLE)")
+    px.execute("UPSERT INTO u VALUES (1, 5, 1.5)")
+    assert(px.execute("SELECT n FROM u").collect()(0).getInt(0) == 5)
+    val e = intercept[Exception] {
+      px.execute("UPSERT INTO u VALUES (2, -3, 1.0)")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("unsigned")),
+      s"expected the unsigned check to fire, got: $e")
+  }
+
   test("UPDATE STATISTICS is a no-op; CREATE INDEX errors with guidance") {
     val px = fresh()
     px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, a VARCHAR)")
