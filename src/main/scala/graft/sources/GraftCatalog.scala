@@ -167,7 +167,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
                 lit(s"unsigned column ${f.name} cannot store negative value "),
                 c.cast(StringType))))
               .otherwise(c).as(f.name)
-          else c
+          else if (f.metadata.contains(GraftCatalog.CharWidthKey)) {
+            // CHAR(n): pad to n on store (PChar.pad), error beyond n
+            // (DataExceedsCapacityException analog)
+            val n = f.metadata.getLong(GraftCatalog.CharWidthKey).toInt
+            when(length(c) > n, raise_error(concat(
+                lit(s"CHAR(${n}) column ${f.name} exceeds capacity: "), c)))
+              .otherwise(rpad(c, n, " ")).as(f.name)
+          } else c
         }: _*))
       .withColumn("_version", lit(v))
       .withColumn("_deleted", lit(false))
@@ -353,4 +360,8 @@ object GraftCatalog {
   /** StructField metadata key marking a numeric UNSIGNED_* column whose
     * CHECK ≥ 0 is enforced on write (SURVEY §1.2). */
   val UnsignedKey = "graft.unsigned"
+
+  /** StructField metadata key carrying CHAR(n)'s fixed width: values pad
+    * to n on store, wider values error (PChar.pad semantics). */
+  val CharWidthKey = "graft.char.width"
 }

@@ -255,15 +255,18 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       // numeric UNSIGNED_* → signed Spark type + a CHECK ≥ 0 enforced on
       // write (SURVEY §1.2; Phoenix throws IllegalDataException there).
       // Date/time unsigned variants differ only in storage encoding.
+      // CHAR(n) → StringType + pad-to-n on write (PChar.pad) with a
+      // capacity error beyond n (DataExceedsCapacityException analog).
       val tUp = t.trim.toUpperCase
-      val meta =
-        if (tUp.startsWith("UNSIGNED") && !tUp.contains("DATE") &&
-            !tUp.contains("TIME"))
-          new org.apache.spark.sql.types.MetadataBuilder()
-            .putBoolean(GraftCatalog.UnsignedKey, true).build()
-        else org.apache.spark.sql.types.Metadata.empty
+      val metaB = new org.apache.spark.sql.types.MetadataBuilder()
+      if (tUp.startsWith("UNSIGNED") && !tUp.contains("DATE") &&
+          !tUp.contains("TIME"))
+        metaB.putBoolean(GraftCatalog.UnsignedKey, true)
+      "^CHAR\\s*\\(\\s*(\\d+)\\s*\\)".r.findFirstMatchIn(tUp)
+        .foreach(m => metaB.putLong(GraftCatalog.CharWidthKey,
+          m.group(1).toLong))
       StructField(colName.toLowerCase, parseType(t), nullable = !notNull,
-        metadata = meta)
+        metadata = metaB.build())
     }
     // PK: either a CONSTRAINT clause or an inline "col type PRIMARY KEY"
     val pk: Seq[String] = pkItems.headOption match {

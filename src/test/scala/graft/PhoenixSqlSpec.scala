@@ -222,6 +222,20 @@ class PhoenixSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("CHAR(n) pads on store and errors beyond capacity") {
+    val px = fresh()
+    px.execute("CREATE TABLE c (id BIGINT NOT NULL PRIMARY KEY, k CHAR(5))")
+    px.execute("UPSERT INTO c VALUES (1, 'ab')")
+    assert(px.execute("SELECT k FROM c").collect()(0).getString(0) == "ab   ",
+      "CHAR(5) must store space-padded like PChar.pad")
+    val e = intercept[Exception] {
+      px.execute("UPSERT INTO c VALUES (2, 'toolong')")
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("capacity")))
+  }
+
   test("UNSIGNED columns reject negative writes like the reference") {
     val px = fresh()
     px.execute("CREATE TABLE u (id BIGINT NOT NULL PRIMARY KEY," +
