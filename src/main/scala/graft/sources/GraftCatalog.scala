@@ -174,6 +174,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             when(length(c) > n, raise_error(concat(
                 lit(s"CHAR(${n}) column ${f.name} exceeds capacity: "), c)))
               .otherwise(rpad(c, n, " ")).as(f.name)
+          } else if (f.metadata.contains(GraftCatalog.VarcharWidthKey)) {
+            // VARCHAR(n): max length, no padding
+            val n = f.metadata.getLong(GraftCatalog.VarcharWidthKey).toInt
+            when(length(c) > n, raise_error(concat(
+                lit(s"VARCHAR(${n}) column ${f.name} exceeds capacity: "), c)))
+              .otherwise(c).as(f.name)
           } else c
         }: _*))
       .withColumn("_version", lit(v))
@@ -364,4 +370,8 @@ object GraftCatalog {
   /** StructField metadata key carrying CHAR(n)'s fixed width: values pad
     * to n on store, wider values error (PChar.pad semantics). */
   val CharWidthKey = "graft.char.width"
+
+  /** StructField metadata key carrying VARCHAR(n)'s max length: wider
+    * values error on write, no padding (PVarchar maxLength). */
+  val VarcharWidthKey = "graft.varchar.width"
 }

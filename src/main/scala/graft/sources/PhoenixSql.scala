@@ -265,6 +265,10 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       "^CHAR\\s*\\(\\s*(\\d+)\\s*\\)".r.findFirstMatchIn(tUp)
         .foreach(m => metaB.putLong(GraftCatalog.CharWidthKey,
           m.group(1).toLong))
+      // VARCHAR(n): max length only (no padding), same capacity error
+      "^VARCHAR\\s*\\(\\s*(\\d+)\\s*\\)".r.findFirstMatchIn(tUp)
+        .foreach(m => metaB.putLong(GraftCatalog.VarcharWidthKey,
+          m.group(1).toLong))
       StructField(colName.toLowerCase, parseType(t), nullable = !notNull,
         metadata = metaB.build())
     }

@@ -236,6 +236,20 @@ class PhoenixSqlSpec extends AnyFunSuite {
     assert(msgs(e).exists(m => m != null && m.contains("capacity")))
   }
 
+  test("VARCHAR(n) enforces max length without padding") {
+    val px = fresh()
+    px.execute("CREATE TABLE v (id BIGINT NOT NULL PRIMARY KEY, k VARCHAR(4))")
+    px.execute("UPSERT INTO v VALUES (1, 'ab')")
+    assert(px.execute("SELECT k FROM v").collect()(0).getString(0) == "ab",
+      "VARCHAR must not pad")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    val e = intercept[Exception] {
+      px.execute("UPSERT INTO v VALUES (2, 'toolong')")
+    }
+    assert(msgs(e).exists(m => m != null && m.contains("capacity")))
+  }
+
   test("UNSIGNED columns reject negative writes like the reference") {
     val px = fresh()
     px.execute("CREATE TABLE u (id BIGINT NOT NULL PRIMARY KEY," +
