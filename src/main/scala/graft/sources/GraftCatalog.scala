@@ -168,12 +168,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
                 c.cast(StringType))))
               .otherwise(c).as(f.name)
           else if (f.metadata.contains(GraftCatalog.CharWidthKey)) {
-            // CHAR(n): pad to n on store (PChar.pad), error beyond n
-            // (DataExceedsCapacityException analog)
+            // CHAR(n): capacity error beyond n (DataExceedsCapacityException
+            // analog). NOT padded on store: PChar's byte padding is a
+            // storage encoding detail its toObject strips on read, and
+            // storing padded here would break `col = 'literal'` compares
             val n = f.metadata.getLong(GraftCatalog.CharWidthKey).toInt
             when(length(c) > n, raise_error(concat(
                 lit(s"CHAR(${n}) column ${f.name} exceeds capacity: "), c)))
-              .otherwise(rpad(c, n, " ")).as(f.name)
+              .otherwise(c).as(f.name)
           } else if (f.metadata.contains(GraftCatalog.VarcharWidthKey)) {
             // VARCHAR(n): max length, no padding
             val n = f.metadata.getLong(GraftCatalog.VarcharWidthKey).toInt
@@ -367,8 +369,10 @@ object GraftCatalog {
     * CHECK ≥ 0 is enforced on write (SURVEY §1.2). */
   val UnsignedKey = "graft.unsigned"
 
-  /** StructField metadata key carrying CHAR(n)'s fixed width: values pad
-    * to n on store, wider values error (PChar.pad semantics). */
+  /** StructField metadata key carrying CHAR(n)'s declared width: wider
+    * values error on write. The reference's byte padding is a storage
+    * encoding detail (PChar.toObject strips it on read), so values are
+    * NOT stored padded. */
   val CharWidthKey = "graft.char.width"
 
   /** StructField metadata key carrying VARCHAR(n)'s max length: wider

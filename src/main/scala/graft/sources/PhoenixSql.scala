@@ -159,6 +159,50 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
 
   // ---- types ------------------------------------------------------------
 
+  /** Parse one column definition ("[FAM.]name TYPE [NOT NULL] [PRIMARY
+    * KEY]") into a StructField — the ONE place column constraints become
+    * field metadata, shared by CREATE TABLE, CREATE VIEW added columns,
+    * and ALTER TABLE ADD so enforcement is uniform:
+    *  - numeric UNSIGNED_* → signed Spark type + CHECK ≥ 0 on write
+    *    (Phoenix IllegalDataException analog; date/time unsigned variants
+    *    differ only in storage encoding);
+    *  - CHAR(n)/VARCHAR(n) → StringType + max-length check on write
+    *    (DataExceedsCapacityException analog). CHAR's byte-padding is a
+    *    storage encoding detail — PChar.toObject strips it on read, so
+    *    the user-visible value is unpadded and comparisons against
+    *    unpadded literals must keep working;
+    *  - ARRAY types skip the scalar constraints (element-level checks
+    *    would need a different shape than a column comparison). */
+  private def columnField(c: String): StructField = {
+    val parts = c.trim.split("\\s+", 2)
+    require(parts.length == 2, s"cannot parse column def: $c")
+    // flatten column-family prefix (USAGE.CORE → CORE) BEFORE general
+    // identifier cleaning (which would flatten the dot into the name)
+    val colName = parts(0).split("\\.").last
+      .replaceAll("\"", "").toLowerCase
+    val typeAndCons = parts(1)
+    val notNull = typeAndCons.toUpperCase.contains("NOT NULL")
+    val t = typeAndCons.replaceAll("(?i)\\s+NOT\\s+NULL", "")
+      .replaceAll("(?i)\\s+NULL$", "")
+      .replaceAll("(?i)\\s+PRIMARY\\s+KEY.*", "")
+    val tUp = t.trim.toUpperCase
+    val isArray = tUp.matches(".*\\sARRAY(\\[\\])?$")
+    val metaB = new org.apache.spark.sql.types.MetadataBuilder()
+    if (!isArray) {
+      if (tUp.startsWith("UNSIGNED") && !tUp.contains("DATE") &&
+          !tUp.contains("TIME"))
+        metaB.putBoolean(GraftCatalog.UnsignedKey, true)
+      "^CHAR\\s*\\(\\s*(\\d+)\\s*\\)".r.findFirstMatchIn(tUp)
+        .foreach(m => metaB.putLong(GraftCatalog.CharWidthKey,
+          m.group(1).toLong))
+      "^VARCHAR\\s*\\(\\s*(\\d+)\\s*\\)".r.findFirstMatchIn(tUp)
+        .foreach(m => metaB.putLong(GraftCatalog.VarcharWidthKey,
+          m.group(1).toLong))
+    }
+    StructField(colName, parseType(t), nullable = !notNull,
+      metadata = metaB.build())
+  }
+
   private[sources] def parseType(t: String): DataType = {
     val norm = t.trim.toUpperCase.replaceAll("\\s+", " ")
     val arr = norm.endsWith(" ARRAY") || norm.endsWith(" ARRAY[]")
@@ -189,7 +233,8 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
 
   // ---- DDL --------------------------------------------------------------
 
-  /** Split on `sep` at paren depth 0, ignoring separators inside
+  /** Split on `sep` at paren/bracket depth 0 (brackets carry Phoenix's
+    * ARRAY['a','b'] literal syntax), ignoring separators inside
     * single-quoted SQL string literals ('' is the escaped quote — it
     * toggles back immediately, which is equivalent to staying quoted). */
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
@@ -197,8 +242,8 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     var depth = 0; var inQuote = false; val cur = new StringBuilder
     s.foreach {
       case '\'' => inQuote = !inQuote; cur += '\''
-      case '(' if !inQuote => depth += 1; cur += '('
-      case ')' if !inQuote => depth -= 1; cur += ')'
+      case c @ ('(' | '[') if !inQuote => depth += 1; cur += c
+      case c @ (')' | ']') if !inQuote => depth -= 1; cur += c
       case c if c == sep && depth == 0 && !inQuote =>
         out += cur.toString; cur.clear()
       case c => cur += c
@@ -241,37 +286,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val items = splitTopLevel(body, ',')
     val (pkItems, colItems) = items.partition(
       _.toUpperCase.matches("(?s)CONSTRAINT\\s+\\S+\\s+PRIMARY KEY.*"))
-    val fields = colItems.map { c =>
-      val parts = c.trim.split("\\s+", 2)
-      // flatten column-family prefix (USAGE.CORE → CORE) BEFORE general
-      // identifier cleaning (which would flatten the dot into the name)
-      val colName = parts(0).split("\\.").last
-        .replaceAll("\"", "").toLowerCase
-      val typeAndCons = parts(1)
-      val notNull = typeAndCons.toUpperCase.contains("NOT NULL")
-      val t = typeAndCons.replaceAll("(?i)\\s+NOT\\s+NULL", "")
-        .replaceAll("(?i)\\s+NULL$", "")
-        .replaceAll("(?i)\\s+PRIMARY\\s+KEY.*", "")
-      // numeric UNSIGNED_* → signed Spark type + a CHECK ≥ 0 enforced on
-      // write (SURVEY §1.2; Phoenix throws IllegalDataException there).
-      // Date/time unsigned variants differ only in storage encoding.
-      // CHAR(n) → StringType + pad-to-n on write (PChar.pad) with a
-      // capacity error beyond n (DataExceedsCapacityException analog).
-      val tUp = t.trim.toUpperCase
-      val metaB = new org.apache.spark.sql.types.MetadataBuilder()
-      if (tUp.startsWith("UNSIGNED") && !tUp.contains("DATE") &&
-          !tUp.contains("TIME"))
-        metaB.putBoolean(GraftCatalog.UnsignedKey, true)
-      "^CHAR\\s*\\(\\s*(\\d+)\\s*\\)".r.findFirstMatchIn(tUp)
-        .foreach(m => metaB.putLong(GraftCatalog.CharWidthKey,
-          m.group(1).toLong))
-      // VARCHAR(n): max length only (no padding), same capacity error
-      "^VARCHAR\\s*\\(\\s*(\\d+)\\s*\\)".r.findFirstMatchIn(tUp)
-        .foreach(m => metaB.putLong(GraftCatalog.VarcharWidthKey,
-          m.group(1).toLong))
-      StructField(colName.toLowerCase, parseType(t), nullable = !notNull,
-        metadata = metaB.build())
-    }
+    val fields = colItems.map(columnField)
     // PK: either a CONSTRAINT clause or an inline "col type PRIMARY KEY"
     val pk: Seq[String] = pkItems.headOption match {
       case Some(c) =>
@@ -312,11 +327,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     // view-added columns extend the base table's physical storage
     Option(m.group(2)).foreach { colGroup =>
       val inner = colGroup.stripPrefix("(").stripSuffix(")")
-      val fields = splitTopLevel(inner, ',').map { c =>
-        val parts = c.trim.split("\\s+", 2)
-        StructField(parts(0).replaceAll("\"", "").toLowerCase,
-          parseType(parts(1)), nullable = true)
-      }
+      val fields = splitTopLevel(inner, ',').map(columnField)
       catalog.extendTable(catalog.viewBase(base), fields)
     }
     val predText = Option(m.group(4))
@@ -360,12 +371,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     (add, drop) match {
       case (Some(m), _) =>
         val name = cleanIdent(m.group(1))
-        val fields = splitTopLevel(m.group(3), ',').map { c =>
-          val parts = c.trim.split("\\s+", 2)
-          require(parts.length == 2, s"cannot parse column def: $c")
-          StructField(parts(0).replaceAll("\"", "").toLowerCase,
-            parseType(parts(1)), nullable = true)
-        }
+        val fields = splitTopLevel(m.group(3), ',').map(columnField)
         catalog.alterAddColumns(name, fields,
           ifNotExists = m.group(2) != null)
         dirty += name
@@ -458,11 +464,14 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       .map(splitTopLevel(_, ',').map(c =>
         cleanIdent(c).split("\\.").last.toLowerCase))
       .getOrElse(spec.schema.fieldNames.toSeq)
-    // NEXT VALUE FOR seq → driver-side sequence increment
+    // NEXT VALUE FOR seq → driver-side sequence increment;
+    // Phoenix ARRAY['a','b'] literal → Spark array('a','b')
     val values = splitTopLevel(m.group(3), ',').map { v =>
       val nv = "(?i)NEXT VALUE FOR ([\\w.\"]+)".r.findFirstMatchIn(v)
       nv.map(g => nextValueFor(cleanIdent(g.group(1))).toString)
-        .getOrElse(v)
+        .getOrElse(
+          "(?is)^ARRAY\\s*\\[(.*)\\]$".r.findFirstMatchIn(v.trim)
+            .map(g => s"array(${g.group(1)})").getOrElse(v))
     }
     // Phoenix errors on arity mismatch ("Upsert has more values than
     // columns"); zip would silently truncate.

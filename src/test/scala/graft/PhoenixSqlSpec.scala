@@ -222,32 +222,44 @@ class PhoenixSqlSpec extends AnyFunSuite {
     }
   }
 
-  test("CHAR(n) pads on store and errors beyond capacity") {
+  // cause-chain messages (write-path errors surface wrapped by Spark)
+  private def msgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+
+  test("CHAR(n)/VARCHAR(n) round-trip unpadded, error beyond capacity") {
     val px = fresh()
-    px.execute("CREATE TABLE c (id BIGINT NOT NULL PRIMARY KEY, k CHAR(5))")
-    px.execute("UPSERT INTO c VALUES (1, 'ab')")
-    assert(px.execute("SELECT k FROM c").collect()(0).getString(0) == "ab   ",
-      "CHAR(5) must store space-padded like PChar.pad")
-    val e = intercept[Exception] {
-      px.execute("UPSERT INTO c VALUES (2, 'toolong')")
+    px.execute("CREATE TABLE c (id BIGINT NOT NULL PRIMARY KEY," +
+      " k CHAR(5), v VARCHAR(4))")
+    px.execute("UPSERT INTO c VALUES (1, 'ab', 'cd')")
+    // the reference's CHAR byte padding is storage-only — PChar.toObject
+    // strips it, so getString returns 'ab' and `k = 'ab'` matches
+    val r = px.execute("SELECT k, v FROM c WHERE k = 'ab'").collect()(0)
+    assert(r.getString(0) == "ab" && r.getString(1) == "cd")
+    val e1 = intercept[Exception] {
+      px.execute("UPSERT INTO c VALUES (2, 'toolong', 'x')")
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
-    assert(msgs(e).exists(m => m != null && m.contains("capacity")))
+    assert(msgs(e1).exists(m => m != null && m.contains("capacity")))
+    val e2 = intercept[Exception] {
+      px.execute("UPSERT INTO c VALUES (3, 'ok', 'toolong')")
+    }
+    assert(msgs(e2).exists(m => m != null && m.contains("capacity")))
   }
 
-  test("VARCHAR(n) enforces max length without padding") {
+  test("width/unsigned checks skip ARRAY columns and cover ALTER/VIEW adds") {
     val px = fresh()
-    px.execute("CREATE TABLE v (id BIGINT NOT NULL PRIMARY KEY, k VARCHAR(4))")
-    px.execute("UPSERT INTO v VALUES (1, 'ab')")
-    assert(px.execute("SELECT k FROM v").collect()(0).getString(0) == "ab",
-      "VARCHAR must not pad")
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    px.execute("CREATE TABLE arr (id BIGINT NOT NULL PRIMARY KEY," +
+      " vs VARCHAR(3) ARRAY)")
+    // an array column must not get a scalar length comparison
+    px.execute("UPSERT INTO arr VALUES (1, ARRAY['aa','bb'])")
+    assert(px.execute("SELECT vs FROM arr").count() == 1)
+    // ALTER TABLE ADD goes through the same column parser → enforced
+    px.execute("CREATE TABLE t4 (id BIGINT NOT NULL PRIMARY KEY)")
+    px.execute("ALTER TABLE t4 ADD n UNSIGNED_INT")
+    px.execute("UPSERT INTO t4 VALUES (1, 7)")
     val e = intercept[Exception] {
-      px.execute("UPSERT INTO v VALUES (2, 'toolong')")
+      px.execute("UPSERT INTO t4 VALUES (2, -1)")
     }
-    assert(msgs(e).exists(m => m != null && m.contains("capacity")))
+    assert(msgs(e).exists(m => m != null && m.contains("unsigned")))
   }
 
   test("UNSIGNED columns reject negative writes like the reference") {
@@ -259,8 +271,6 @@ class PhoenixSqlSpec extends AnyFunSuite {
     val e = intercept[Exception] {
       px.execute("UPSERT INTO u VALUES (2, -3, 1.0)")
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
     assert(msgs(e).exists(m => m != null && m.contains("unsigned")),
       s"expected the unsigned check to fire, got: $e")
   }
