@@ -49,7 +49,11 @@ object Functions {
             .as("first_long_word"),
           call_function("regexp_substr", $"text", lit("[a-z]{5}"), lit(3))
             .as("sub_from3"),
-          size(split($"text", " ")).as("n_tok"))
+          size(split($"text", " ")).as("n_tok"),
+          // REGEXP_SPLIT (RegexpSplitFunction): serialized — raw array
+          // output would crash the driver's compare
+          array_join(slice(split($"text", "a|e"), 1, 5), "|")
+            .as("resplit5"))
     },
 
     // §2.8 date/time extract + format + Phoenix fractional-day arithmetic.
@@ -434,7 +438,9 @@ object Functions {
         length(regexp_replace(text, '[aeiou]', '', 'g')) AS devoweled_len,
         nullif(regexp_extract(text, '[a-z]{7,}'), '') AS first_long_word,
         nullif(regexp_extract(substr(text, 3), '[a-z]{5}'), '') AS sub_from3,
-        len(string_split(text, ' ')) AS n_tok
+        len(string_split(text, ' ')) AS n_tok,
+        array_to_string(string_split_regex(text, 'a|e')[1:5], '|')
+          AS resplit5
       FROM documents WHERE regexp_matches(text, 'data')""",
 
     "q_date_funcs" -> """
