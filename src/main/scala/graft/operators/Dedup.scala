@@ -253,6 +253,15 @@ object Dedup {
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = vertices.select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint()
+    // labels only ever DECREASE (min-propagation), so the exact sum of
+    // labels is strictly monotone until the fixpoint — an unchanged sum
+    // IS convergence. One cheap aggregate per round instead of a
+    // labels-to-labels join; DECIMAL(38,0) so corpus-scale id sums
+    // cannot overflow or lose precision.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -262,9 +271,9 @@ object Dedup {
       val next = labels.union(viaNeighbor)
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      converged = next
-        .join(labels.withColumnRenamed("cluster_id", "prev"), "id")
-        .where(col("cluster_id") < col("prev")).isEmpty
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels = next
       it += 1
     }
