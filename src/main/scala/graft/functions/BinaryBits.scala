@@ -33,8 +33,10 @@ object BinaryBits {
     val ret = bytes.clone()
     val o = wrap(off, bytes.length * 8)
     val mask = 1 << (o % 8)
+    // reference SetBitFunction masks the new value with 0x1, so only the
+    // low bit matters: SET_BIT(b, off, 2) clears the bit (2 & 1 == 0)
     ret(o / 8) =
-      ((ret(o / 8) & ~mask) | (if (bit != 0) mask else 0)).toByte
+      ((ret(o / 8) & ~mask) | (if ((bit & 1) != 0) mask else 0)).toByte
     ret
   }
 }

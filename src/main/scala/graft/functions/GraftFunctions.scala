@@ -109,6 +109,9 @@ object GraftFunctions {
       "vec_maxabs", e => VecMaxAbs(e.head), "built-in")
     reg.createOrReplaceTempFunction(
       "int8_quantize", e => Int8Quantize(e(0), e(1)), "built-in")
+    // max_strlen assumes containsNull=false arrays (tokenizer outputs);
+    // see the MaxStrLen contract note for the null-element divergence
+    // from exists/forall three-valued logic
     reg.createOrReplaceTempFunction(
       "max_strlen", e => MaxStrLen(e.head), "built-in")
     reg.createOrReplaceTempFunction(

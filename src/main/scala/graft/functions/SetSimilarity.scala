@@ -84,7 +84,17 @@ object SetSimilarity {
   * empty). Fused form of the ANY/ALL length-predicate folds — exists(ws,
   * length(w) > k) ⇔ max_strlen(ws) > k and forall(ws, length(w) <= k) ⇔
   * max_strlen(ws) <= k, without the interpreted per-element lambda
-  * dispatch of exists/forall. */
+  * dispatch of exists/forall.
+  *
+  * CONTRACT: assumes containsNull = false (split()/tokenizer outputs,
+  * which is every engine call site). On arrays WITH null elements the
+  * equivalence above diverges from HOF three-valued logic in one corner:
+  * when no non-null element satisfies the predicate, exists yields NULL
+  * (unknown because of the nulls) while max_strlen's comparison yields
+  * false. Returning NULL whenever nulls are present would diverge on the
+  * opposite (and more common) corner — exists = TRUE with a long element
+  * alongside a null — so the fused kernel keeps skip-null max semantics
+  * and documents the assumption instead. */
 case class MaxStrLen(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def nullSafeEval(a: Any): Any =

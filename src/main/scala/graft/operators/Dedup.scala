@@ -258,9 +258,13 @@ object Dedup {
     // IS convergence. One cheap aggregate per round instead of a
     // labels-to-labels join; DECIMAL(38,0) so corpus-scale id sums
     // cannot overflow or lose precision.
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
+      // sum() over zero rows is NULL — an empty vertex set is already
+      // converged at sum 0, not an NPE
+      val s = df.agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
         .head().getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s
+    }
     var prevSum = labelSum(labels)
     var converged = false
     var it = 0
@@ -277,6 +281,14 @@ object Dedup {
       labels = next
       it += 1
     }
+    // a silent non-converged return would hand back WRONG cluster labels
+    // (long chains split into several clusters) and surface only as an
+    // opaque oracle mismatch downstream — fail loudly instead
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds maxIter; raise maxIter or switch " +
+          "to the large-star/small-star O(log n) variant")
     labels
   }
 

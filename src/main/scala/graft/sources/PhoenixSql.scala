@@ -102,7 +102,15 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
           case None =>
             Seq(s"UPSERT VALUES batch append")
         }
-      } else planLines(execute(inner)) // SELECT and other read-only forms
+      } else if (up.startsWith("SELECT") || up.startsWith("WITH")) {
+        planLines(select(inner))
+      } else {
+        // reference grammar only accepts EXPLAIN of select/upsert/delete
+        // (PhoenixSQL.g explain_node); anything else is a parse error —
+        // never fall through to execute(), which would mutate the catalog
+        throw new IllegalArgumentException(
+          s"EXPLAIN supports SELECT/UPSERT/DELETE only: $inner")
+      }
     lines.toDF("PLAN")
   }
 

@@ -217,6 +217,12 @@ class FunctionsSpec extends AnyFunSuite {
       .sameElements(Array[Byte](3, -128, 7)))
     assert(f("set_bit", $"b", lit(0), lit(0)).getAs[Array[Byte]](0)
       .sameElements(Array[Byte](0, -128, 7)))
+    // reference SetBitFunction masks the value with 0x1: SET_BIT(b,0,2)
+    // CLEARS bit 0 (2 & 1 == 0), it does not set it
+    assert(f("set_bit", $"b", lit(0), lit(2)).getAs[Array[Byte]](0)
+      .sameElements(Array[Byte](0, -128, 7)))
+    assert(f("set_bit", $"b", lit(1), lit(3)).getAs[Array[Byte]](0)
+      .sameElements(Array[Byte](3, -128, 7)))
     // empty binary → NULL (reference returns the empty pointer)
     assert(Seq(Tuple1(Array.empty[Byte])).toDF("b")
       .select(call_function("get_byte", $"b", lit(0)))

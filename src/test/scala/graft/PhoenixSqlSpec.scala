@@ -312,4 +312,20 @@ class PhoenixSqlSpec extends AnyFunSuite {
     assert(px.execute("SELECT count(*) AS n FROM t2").collect()(0)
       .getLong(0) == 0, "EXPLAIN UPSERT must not write")
   }
+
+  test("EXPLAIN of DDL is a parse error, never executed") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, a VARCHAR)")
+    px.execute("UPSERT INTO t VALUES (1, 'x')")
+    // the reference grammar only accepts EXPLAIN select/upsert/delete;
+    // EXPLAIN DROP TABLE must not reach the DROP branch
+    intercept[IllegalArgumentException] {
+      px.execute("EXPLAIN DROP TABLE t")
+    }
+    assert(px.execute("SELECT count(*) AS n FROM t").collect()(0)
+      .getLong(0) == 1, "EXPLAIN DROP must not drop the table")
+    intercept[IllegalArgumentException] {
+      px.execute("EXPLAIN CREATE TABLE t3 (id BIGINT NOT NULL PRIMARY KEY)")
+    }
+  }
 }

@@ -264,6 +264,26 @@ class PipelineSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
   }
 
+  test("connected components: empty input converges, long chain fails loudly") {
+    import spark.implicits._
+    // empty vertex set: sum() over zero rows is NULL — must converge to
+    // an empty result, not NPE
+    val none = Dedup.connectedComponents(
+      Seq.empty[Long].toDF("id"), Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(none.count() == 0)
+    // a chain whose diameter exceeds maxIter must throw (silent wrong
+    // labels are the failure mode the guard exists for)
+    val chain = (1L to 6L).toDF("id")
+    val edges = (1L to 5L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, edges, maxIter = 2).collect()
+    }
+    // and with enough rounds the same chain resolves to one cluster
+    val ok = Dedup.connectedComponents(chain, edges, maxIter = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(ok == Set(1L))
+  }
+
   test("connected components over LSH pairs matches exact-pair clusters") {
     val docs = Tables.t(spark, dir, "documents")
     val ids = docs.select(col("doc_id").as("id"))
