@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators beyond dedup/quality: repetition metrics,
+  * benchmark-contamination detection, deterministic dataset splitting and
+  * stratified mixing, and fixed-window sequence packing.
+  *
+  * Everything is declarative DataFrame transforms. The one global
+  * operation (sequence packing needs a corpus-wide prefix sum) uses the
+  * classic two-phase shape — per-partition local sums + a driver-side
+  * prefix of partition totals — instead of a single-partition window, so
+  * it scales to arbitrarily many partitions.
+  */
+object Curation {
+
+  /** Deterministic per-row fraction in [0, 1) from a numeric id: the same
+    * portable multiplicative hash the TABLESAMPLE operator uses
+    * (reference TableSamplerPredicate.java hashes the rowkey against the
+    * rate), so any engine — and the DuckDB oracle — reproduces the split
+    * bit-for-bit. Injective for ids below 2^32 (odd multiplier). */
+  def hashFrac(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(4294967296L)).cast(DoubleType) /
+      lit(4294967296.0)
+
+  /** Gopher-style repetition signals per document:
+    *  - dup_word_frac:  1 − distinct_words / total_words
+    *  - top_word_frac:  occurrences of the most frequent word / total
+    *  - dup_2gram_frac: 1 − distinct_2grams / total_2grams
+    *
+    * One scan; the word histogram is a two-level partial aggregate keyed
+    * by (doc, word) then doc, so the shuffle carries histogram rows, not
+    * tokens. The 2-gram distinct count is computed scan-locally (fused
+    * shingle kernel) and rides through the aggregate as a per-doc
+    * constant. */
+  def repetitionMetrics(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    val base = df
+      .select(col(idCol).as("doc"), words.as("w"))
+      .select(col("doc"), col("w"),
+        size(Dedup.shinglesFromWords(col("w"), 2)).as("n2d"))
+    val hist = base
+      .select(col("doc"), col("n2d"), explode(col("w")).as("word"))
+      .groupBy(col("doc"), col("word"))
+      .agg(count(lit(1)).as("cnt"), max(col("n2d")).as("n2d"))
+    hist.groupBy(col("doc"))
+      .agg(sum(col("cnt")).as("n_tok"),
+        count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"),
+        max(col("n2d")).as("n2d"))
+      .select(col("doc"), col("n_tok"),
+        round(lit(1.0) -
+          col("n_distinct").cast(DoubleType) / col("n_tok"), 8)
+          .as("dup_word_frac"),
+        round(col("top_cnt").cast(DoubleType) / col("n_tok"), 8)
+          .as("top_word_frac"),
+        when(col("n_tok") > 1,
+          round(lit(1.0) -
+            col("n2d").cast(DoubleType) / (col("n_tok") - 1), 8))
+          .otherwise(lit(0.0)).as("dup_2gram_frac"))
+  }
+
+  /** Benchmark-contamination report: for every candidate document, how
+    * many of its distinct word n-grams appear anywhere in the benchmark
+    * set. The benchmark n-gram table is DISTINCT and benchmark-sized —
+    * eval sets are tiny relative to a training corpus — so it broadcasts
+    * and the candidate side streams through a broadcast left join with no
+    * shuffle; per-doc totals are one keyed aggregate.
+    *
+    * @return doc, n_grams, n_hit, overlap_frac, contaminated (0/1 at
+    *         `flagAt`) */
+  def contamination(docs: DataFrame, bench: DataFrame, textCol: String,
+      idCol: String, n: Int, flagAt: Double = 0.5): DataFrame = {
+    def grams(df: DataFrame, keyed: Boolean): DataFrame = {
+      val key = if (keyed) Seq(col(idCol).as("doc")) else Seq.empty
+      val carry = if (keyed) Seq(col("doc")) else Seq.empty
+      df.select(key :+ split(lower(trim(col(textCol))), "\\s+").as("w"): _*)
+        .select(carry :+
+          explode(Dedup.shinglesFromWords(col("w"), n)).as("g"): _*)
+    }
+    val candGrams = grams(docs, keyed = true)
+    val benchGrams = grams(bench, keyed = false).distinct()
+      .withColumn("hit", lit(1))
+    candGrams.join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).as("n_hit"))
+      .select(col("doc"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast(DoubleType) / col("n_grams"), 8)
+          .as("overlap_frac"),
+        when(col("n_hit").cast(DoubleType) / col("n_grams") >= flagAt,
+          lit(1)).otherwise(lit(0)).as("contaminated"))
+  }
+
+  /** Deterministic train/validation/test assignment from the id hash:
+    * stable across runs, engines, and table layouts (no sampling state).
+    * Scan-local — composes under any downstream groupBy/filter. */
+  def trainValTestSplit(df: DataFrame, idCol: String,
+      trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
+    val f = hashFrac(col(idCol))
+    df.withColumn("split",
+      when(f < trainFrac, "train")
+        .when(f < trainFrac + valFrac, "val")
+        .otherwise("test"))
+  }
+
+  /** Stratified sampling for dataset mixing: keep a row iff its id hash
+    * falls under the stratum's rate — the deterministic form of
+    * per-source mixture weights in a training-data recipe. Strata not in
+    * `rates` keep `defaultRate`. Scan-local filter, no shuffle. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    df.where(hashFrac(col(idCol)) < rate)
+  }
+
+  /** Fixed-window sequence packing (the concat-and-chunk layout LLM
+    * pretraining uses): order documents by the deterministic shuffle
+    * hash, take the running token offset, and assign each document to
+    * the context window containing its first token.
+    *
+    * The corpus-wide prefix sum is two-phase: range-partition by the
+    * shuffle key, local cumulative sums per partition (window keyed by
+    * partition id — no global single-partition window), then add the
+    * prefix of whole-partition totals. The totals collect is
+    * #partitions-sized driver work, not data-sized. The pid-stamped
+    * frame is localCheckpointed so the totals job and the output job
+    * cannot see different range-sampling outcomes.
+    *
+    * @return doc, n_tok, offset (first-token position), bin (window id) */
+  def packSequences(df: DataFrame, idCol: String, tokCol: String,
+      budget: Long, partitions: Int = 32): DataFrame = {
+    val keyed = df
+      .select(col(idCol).as("doc"), col(tokCol).cast(LongType).as("n_tok"),
+        pmod(col(idCol) * lit(2654435761L), lit(4294967296L)).as("k"))
+      .repartitionByRange(partitions, col("k"))
+      .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("k"))
+    val local = keyed.withColumn("local_cum",
+      sum(col("n_tok")).over(w) - col("n_tok"))
+    val prefix = keyed.groupBy(col("pid"))
+      .agg(sum(col("n_tok")).as("ptotal"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (pid, t)) =>
+        (pid, acc + t)
+      }
+    val offsetOf = prefix.zip(prefix.drop(1)).map {
+      case ((_, before), (pid, _)) => pid -> before
+    }.toMap
+    val prefixCol = offsetOf.foldLeft(lit(0L)) { case (acc, (pid, off)) =>
+      when(col("pid") === pid, lit(off)).otherwise(acc)
+    }
+    local
+      .select(col("doc"), col("n_tok"),
+        (col("local_cum") + prefixCol).as("offset"))
+      .withColumn("bin", floor(col("offset") / budget))
+  }
+}

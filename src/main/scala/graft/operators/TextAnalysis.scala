@@ -105,6 +105,17 @@ object TextAnalysis {
   def piiCount(text: Column, pattern: String): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
+  /** All URLs in a text column (same RE2-compatible pattern the scrubber
+    * uses, so extract and scrub agree on what a URL is). */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRe), lit(0))
+
+  /** Registrable host of a URL: the authority up to the first '/', '?',
+    * '#' or end, ports stripped — the key for domain-level filtering and
+    * per-site mixture weights. */
+  def urlDomain(url: Column): Column =
+    regexp_extract(url, "https?://([^/\\s:?#]+)", 1)
+
   /** Top-k characteristic terms per document by TF-IDF. Shape at scale:
     * the document-frequency table and the corpus count are
     * vocabulary-sized / scalar → BROADCAST joins (no shuffle of the

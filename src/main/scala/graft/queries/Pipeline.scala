@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Training-data pipeline operator battery: dedup, similarity search,
   * text analysis, multimodal feature extraction. Oracle SQL mirrors the
@@ -244,6 +244,84 @@ object Pipeline {
           "embedding", "vec_id")
         .select(col("id"), col("scale"), hex(col("q")).as("q_hex"))
         .orderBy(col("id"))
+    },
+
+    // Gopher-style repetition metrics per doc: duplicate-word fraction,
+    // top-word fraction, duplicate-2-gram fraction. Histogram-sized
+    // two-level aggregate; the 2-gram distinct count is scan-local.
+    "q_repetition" -> { (s, dir) =>
+      Curation.repetitionMetrics(
+          Tables.t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc"))
+    },
+
+    // Benchmark-contamination sweep: candidate docs (source <> src0) vs
+    // the src0 "eval set" on distinct word 4-grams — broadcast the
+    // benchmark gram set, stream candidates through one left join.
+    "q_contamination" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      Curation.contamination(
+          docs.where(col("source") =!= "src0"),
+          docs.where(col("source") === "src0"),
+          "text", "doc_id", n = 4)
+        .where(col("n_hit") > 0)
+        .orderBy(col("doc"))
+    },
+
+    // Deterministic train/val/test assignment (portable multiplicative
+    // hash — stable across runs/engines/layouts); per-split × language
+    // counts verify the stratification.
+    "q_train_split" -> { (s, dir) =>
+      Curation.trainValTestSplit(
+          Tables.t(s, dir, "documents"), "doc_id")
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("lang"))
+    },
+
+    // Stratified sampling for dataset mixing: per-language keep rates
+    // applied via the same deterministic hash (a training-mixture
+    // recipe). Scan-local filter — no sampling state, no shuffle.
+    "q_sample_stratified" -> { (s, dir) =>
+      Curation.stratifiedSample(
+          Tables.t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 1.0, "fr" -> 0.25, "es" -> 0.1),
+          defaultRate = 0.05)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Fixed-window sequence packing (concat-and-chunk pretraining
+    // layout): deterministic shuffle order, corpus-wide token offsets
+    // via the two-phase prefix sum, window id per doc.
+    "q_token_pack" -> { (s, dir) =>
+      Curation.packSequences(
+          Tables.t(s, dir, "documents")
+            .withColumn("n_tok", TextAnalysis.tokenCount(col("text"))),
+          "doc_id", "n_tok", budget = 2048L)
+        .orderBy(col("offset"))
+    },
+
+    // URL extraction + domain rollup with a blocklist flag (the
+    // domain-level filtering step of web-corpus curation). URL-bearing
+    // text is derived deterministically from customer keys (the
+    // documents corpus has no URLs).
+    "q_url_extract" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "customer")
+        .withColumn("raw", concat(
+          lit("ref https://site"), ($"c_custkey" % 7).cast("string"),
+          lit(".com/p/"), $"c_custkey".cast("string"),
+          lit(" mirror http://cdn.shared.net/x/"),
+          ($"c_custkey" % 13).cast("string")))
+        .select(explode(TextAnalysis.extractUrls($"raw")).as("url"))
+        .select(TextAnalysis.urlDomain($"url").as("domain"))
+        .groupBy($"domain")
+        .agg(count(lit(1)).as("n_urls"))
+        .withColumn("blocked",
+          when($"domain".isin("site0.com", "cdn.shared.net"), 1)
+            .otherwise(0))
+        .orderBy($"domain")
     },
 
     // Multimodal: binary payload + stubbed decoder via mapPartitions.
@@ -509,6 +587,100 @@ object Pipeline {
               AS INT) + 256) % 256)), 2, '0')), '')
         ELSE repeat('00', len(embedding)) END AS q_hex
       FROM t ORDER BY id""",
+
+    "q_repetition" -> raw"""
+      WITH w AS (SELECT doc_id AS doc,
+          string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents),
+      base AS (SELECT doc, ws,
+          len(list_distinct(list_transform(range(1, len(ws)),
+            i -> ws[i] || ' ' || ws[i+1]))) AS n2d
+        FROM w),
+      tok AS (SELECT doc, n2d, unnest(ws) AS word FROM base),
+      hist AS (SELECT doc, word, count(*) AS cnt, max(n2d) AS n2d
+        FROM tok GROUP BY 1, 2),
+      agg AS (SELECT doc, CAST(sum(cnt) AS BIGINT) AS n_tok,
+          count(*) AS n_distinct, max(cnt) AS top_cnt, max(n2d) AS n2d
+        FROM hist GROUP BY 1)
+      SELECT doc, n_tok,
+        round(1.0 - CAST(n_distinct AS DOUBLE) / n_tok, 8) AS dup_word_frac,
+        round(CAST(top_cnt AS DOUBLE) / n_tok, 8) AS top_word_frac,
+        CASE WHEN n_tok > 1
+          THEN round(1.0 - CAST(n2d AS DOUBLE) / (n_tok - 1), 8)
+          ELSE 0.0 END AS dup_2gram_frac
+      FROM agg ORDER BY doc""",
+
+    "q_contamination" -> raw"""
+      WITH w AS (SELECT doc_id, source,
+          string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents),
+      g AS (SELECT doc_id, source,
+          unnest(list_distinct(list_transform(range(1, len(ws) - 2),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                 ws[i+3]))) AS g
+        FROM w),
+      bench AS (SELECT DISTINCT g FROM g WHERE source = 'src0'),
+      cand AS (SELECT c.doc_id AS doc, count(*) AS n_grams,
+          CAST(sum(CASE WHEN b.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_hit
+        FROM (SELECT * FROM g WHERE source <> 'src0') c
+        LEFT JOIN bench b USING (g)
+        GROUP BY 1)
+      SELECT doc, n_grams, n_hit,
+        round(CAST(n_hit AS DOUBLE) / n_grams, 8) AS overlap_frac,
+        CASE WHEN CAST(n_hit AS DOUBLE) / n_grams >= 0.5 THEN 1 ELSE 0 END
+          AS contaminated
+      FROM cand WHERE n_hit > 0 ORDER BY doc""",
+
+    "q_train_split" -> """
+      WITH t AS (SELECT lang,
+        CASE WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0 < 0.8
+               THEN 'train'
+             WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0 < 0.9
+               THEN 'val'
+             ELSE 'test' END AS split
+        FROM documents)
+      SELECT split, lang, count(*) AS n FROM t
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_sample_stratified" -> """
+      SELECT doc_id, lang FROM documents
+      WHERE (doc_id * 2654435761) % 4294967296 / 4294967296.0 <
+        CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                  WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1
+                  ELSE 0.05 END
+      ORDER BY doc_id""",
+
+    "q_token_pack" -> raw"""
+      WITH t AS (SELECT doc_id AS doc,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS n_tok,
+          (doc_id * 2654435761) % 4294967296 AS k
+        FROM documents),
+      c AS (SELECT doc, n_tok,
+          CAST(coalesce(sum(n_tok) OVER (ORDER BY k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS "offset"
+        FROM t)
+      SELECT doc, n_tok, "offset",
+        CAST(floor("offset" / 2048.0) AS BIGINT) AS bin
+      FROM c ORDER BY "offset"""",
+
+    "q_url_extract" -> raw"""
+      WITH t AS (SELECT
+          'ref https://site' || CAST(c_custkey % 7 AS VARCHAR) ||
+          '.com/p/' || CAST(c_custkey AS VARCHAR) ||
+          ' mirror http://cdn.shared.net/x/' ||
+          CAST(c_custkey % 13 AS VARCHAR) AS raw
+        FROM customer),
+      u AS (SELECT unnest(regexp_extract_all(raw, 'https?://[^\s]+'))
+          AS url FROM t),
+      d AS (SELECT regexp_extract(url, 'https?://([^/\s:?#]+)', 1)
+          AS domain FROM u)
+      SELECT domain, count(*) AS n_urls,
+        CASE WHEN domain IN ('site0.com', 'cdn.shared.net') THEN 1
+             ELSE 0 END AS blocked
+      FROM d GROUP BY domain ORDER BY domain""",
 
     "q_multimodal_frames" -> """
       SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity}
 
 /** Quality assertions for the probabilistic pipeline operators (the ones
   * without a SQL oracle): MinHash-LSH recall vs exact Jaccard, SimHash
@@ -262,6 +262,61 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("sequence packing: two-phase prefix sum equals the global cumsum") {
+    import spark.implicits._
+    val docs = Tables.t(spark, dir, "documents")
+      .withColumn("n_tok", size(split(trim($"text"), "\\s+")))
+    val got = Curation.packSequences(docs, "doc_id", "n_tok",
+        budget = 1024L, partitions = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    // reference: driver-side cumsum in hash order
+    val rows = docs.select($"doc_id", $"n_tok".cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, _) =>
+        java.lang.Long.remainderUnsigned(id * 2654435761L, 4294967296L)
+      }
+    var off = 0L
+    val want = rows.map { case (id, n) =>
+      val o = off; off += n; (id, n, o, o / 1024L)
+    }.toSet
+    assert(got.toSet == want)
+    // every token is accounted for: last offset + its length = total
+    assert(off == rows.map(_._2).sum)
+  }
+
+  test("contamination: a benchmark is fully contaminated against itself") {
+    val docs = Tables.t(spark, dir, "documents")
+    val rep = Curation.contamination(docs, docs, "text", "doc_id", n = 4)
+      .collect()
+    assert(rep.nonEmpty)
+    rep.foreach { r =>
+      assert(r.getAs[Double]("overlap_frac") == 1.0)
+      assert(r.getAs[Int]("contaminated") == 1)
+    }
+  }
+
+  test("deterministic split and stratified sample are stable and honor rates") {
+    val docs = Tables.t(spark, dir, "documents")
+    val a = Curation.trainValTestSplit(docs, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Curation.trainValTestSplit(docs, "doc_id")
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "split assignment must be deterministic")
+    val n = docs.count().toDouble
+    assert(math.abs(a("train") / n - 0.8) < 0.1)
+    // rate 1.0 keeps every row of the stratum; rate 0.0 keeps none
+    val kept = Curation.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 1.0, "de" -> 0.0), defaultRate = 0.0)
+    val keptLangs = kept.select("lang").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(keptLangs == Set("en"))
+    assert(kept.count() ==
+      docs.where(col("lang") === "en").count())
   }
 
   test("connected components: empty input converges, long chain fails loudly") {
