@@ -341,17 +341,18 @@ object Relational {
       import s.implicits._
       // Treat each line as an upsert of row-key l_orderkey with version
       // (l_linenumber, l_partkey, l_suppkey, l_extendedprice) — the full
-      // tie-break makes last-write-wins deterministic. Window is
-      // partitioned by the key → scales (no global sort).
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"l_orderkey")
-        .orderBy($"l_linenumber".desc, $"l_partkey".desc,
-          $"l_suppkey".desc, $"l_extendedprice".desc)
+      // tie-break makes last-write-wins deterministic. groupBy + max_by
+      // on the ordering struct instead of a row_number window: the
+      // partial-aggregate phase combines map-side, so the shuffle carries
+      // one candidate per (key, map task), not every log row.
       Tables.t(s, dir, "lineitem")
-        .withColumn("rn", row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"l_orderkey", $"l_extendedprice".as("price"),
-          $"l_quantity".as("qty"), $"l_linenumber".as("version"))
+        .groupBy($"l_orderkey")
+        .agg(max_by(
+          struct($"l_extendedprice".as("price"), $"l_quantity".as("qty"),
+            $"l_linenumber".as("version")),
+          struct($"l_linenumber", $"l_partkey", $"l_suppkey",
+            $"l_extendedprice")).as("r"))
+        .select($"l_orderkey", $"r.price", $"r.qty", $"r.version")
         .orderBy($"l_orderkey")
     },
 

@@ -232,18 +232,27 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       StructField("_version", LongType, nullable = false) :+
       StructField("_deleted", BooleanType, nullable = false))
 
-  /** Snapshot with view-extension columns included (what views read). */
+  /** Snapshot with view-extension columns included (what views read).
+    *
+    * Latest-write-wins via groupBy + max_by on a (version, tie-break)
+    * ordering struct rather than a row_number window: the aggregate has a
+    * map-side partial phase, so the shuffle carries one candidate row per
+    * (key, map task) instead of the whole change log — the difference
+    * between shuffling the corpus and shuffling the key space at 100 TB.
+    * Null tie-break fields order the same way in both forms (null loses
+    * to any value, as with the window's DESC NULLS LAST). */
   def snapshotFull(name: String): DataFrame = {
     val s = specs(name)
     val fields = allFields(name)
     val nonPk = fields.map(_.name).filterNot(s.pk.contains)
-    val w = Window.partitionBy(s.pk.map(col): _*)
-      .orderBy(col("_version").desc +:
-        nonPk.map(c => col(c).desc): _*)
+    val ord = struct(col("_version") +: nonPk.map(col): _*)
     changeLog(name)
-      .withColumn("_rn", row_number().over(w))
-      .where(col("_rn") === 1 && !col("_deleted"))
-      .select(fields.map(f => col(f.name)): _*)
+      .groupBy(s.pk.map(col): _*)
+      .agg(max_by(
+        struct(fields.map(f => col(f.name)) :+ col("_deleted"): _*),
+        ord).as("_r"))
+      .where(!col("_r._deleted"))
+      .select(fields.map(f => col(s"_r.${f.name}").as(f.name)): _*)
   }
 
   /** Snapshot read: latest write per PK, tombstones dropped. One shuffle,
@@ -265,6 +274,51 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     changeLog(name)
       .where(col("_version") > sinceVersion)
       .select(cols: _*)
+  }
+
+  /** CDC view with image scopes (reference PTable.CDCChangeScope CHANGE /
+    * PRE / POST; CDCGlobalIndexRegionScanner builds the same three images
+    * server-side): per change row,
+    *  - cdc_pre_image:    the row as it stood before this write (NULL for
+    *    first inserts and for writes over a tombstone);
+    *  - cdc_post_image:   the row after the write (NULL for deletes);
+    *  - cdc_change_image: only the cells this write changed (values
+    *    stringified; NULL for deletes).
+    * The pre image is a lag over the PK-keyed change order — one shuffle
+    * on the key, the same partitioning the snapshot collapse uses. */
+  def cdcImages(name: String, sinceVersion: Long = -1L,
+      scopes: Set[String] = Set("PRE", "POST", "CHANGE")): DataFrame = {
+    require(scopes.nonEmpty && scopes.subsetOf(Set("PRE", "POST", "CHANGE")),
+      s"scopes must be among PRE/POST/CHANGE, got $scopes")
+    val s = specs(name)
+    val fields = s.schema.fieldNames.toSeq
+    val nonPk = fields.filterNot(s.pk.contains)
+    val ord = struct(col("_version") +: nonPk.map(col): _*)
+    val w = Window.partitionBy(s.pk.map(col): _*).orderBy(ord.asc)
+    val rowS = struct(fields.map(col) :+ col("_deleted").as("__del"): _*)
+    val hasPrev = col("_prev").isNotNull && !col("_prev").getField("__del")
+    val preJson = when(hasPrev,
+      to_json(struct(fields.map(f => col(s"_prev.$f").as(f)): _*)))
+    val postJson = when(!col("_deleted"),
+      to_json(struct(fields.map(col): _*)))
+    val emptyMap = map().cast(MapType(StringType, StringType))
+    val changeJson =
+      if (nonPk.isEmpty) when(!col("_deleted"), lit("{}"))
+      else when(!col("_deleted"), to_json(map_concat(nonPk.map(f =>
+        when(!hasPrev || !(col(s"_prev.$f") <=> col(f)),
+          map(lit(f), col(f).cast(StringType))).otherwise(emptyMap)): _*)))
+    val imageCols = Seq(
+      "PRE" -> preJson.as("cdc_pre_image"),
+      "POST" -> postJson.as("cdc_post_image"),
+      "CHANGE" -> changeJson.as("cdc_change_image"))
+      .collect { case (sc, c) if scopes(sc) => c }
+    changeLog(name)
+      .withColumn("_prev", lag(rowS, 1).over(w))
+      .where(col("_version") > sinceVersion) // AFTER lag: images may need
+      .select(col("_version").as("cdc_version") +: // pre-window history
+        (s.pk.map(col) :+
+          when(col("_deleted"), lit("delete")).otherwise(lit("upsert"))
+            .as("cdc_op")) ++: imageCols: _*)
   }
 
   /** Compaction: rewrite the change log as a single batch holding the

@@ -100,6 +100,40 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.cdc("t", sinceVersion = v0).count() == 1)
   }
 
+  test("CDC image scopes: PRE/POST/CHANGE per reference CDCChangeScope") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("t", webStatSchema, pk = Seq("host", "domain",
+      "feature", "date"))
+    def up(core: Long, db: Long) =
+      cat.upsert("t", Seq(("NA", "a.com", "x", "d1", core, db)).toDF(
+        "host", "domain", "feature", "date", "core", "db"))
+    up(1L, 5L)        // insert
+    up(2L, 5L)        // update: only core changes
+    cat.delete("t", lit(true)) // delete
+    val rows = cat.cdcImages("t").orderBy("cdc_version").collect()
+    assert(rows.length == 3)
+    // insert: no pre image, full post + change images
+    assert(rows(0).getAs[String]("cdc_pre_image") == null)
+    assert(rows(0).getAs[String]("cdc_post_image").contains("\"core\":1"))
+    assert(rows(0).getAs[String]("cdc_change_image").contains("\"core\":\"1\"")
+      && rows(0).getAs[String]("cdc_change_image").contains("\"db\":\"5\""))
+    // update: pre = old row; change image carries ONLY the changed cell
+    assert(rows(1).getAs[String]("cdc_pre_image").contains("\"core\":1"))
+    assert(rows(1).getAs[String]("cdc_post_image").contains("\"core\":2"))
+    val chg = rows(1).getAs[String]("cdc_change_image")
+    assert(chg.contains("\"core\":\"2\"") && !chg.contains("\"db\""))
+    // delete: pre = last row, no post/change images
+    assert(rows(2).getAs[String]("cdc_op") == "delete")
+    assert(rows(2).getAs[String]("cdc_pre_image").contains("\"core\":2"))
+    assert(rows(2).getAs[String]("cdc_post_image") == null)
+    assert(rows(2).getAs[String]("cdc_change_image") == null)
+    // scope subset drops the other image columns
+    val cols = cat.cdcImages("t", scopes = Set("PRE")).columns.toSet
+    assert(cols.contains("cdc_pre_image") &&
+      !cols.contains("cdc_post_image") && !cols.contains("cdc_change_image"))
+  }
+
   test("CDC stream delivers the change log incrementally") {
     import spark.implicits._
     val cat = freshCatalog()
