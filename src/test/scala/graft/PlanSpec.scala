@@ -137,12 +137,49 @@ class PlanSpec extends AnyFunSuite {
       "q_dedup_embedding_lsh", "q_dedup_exact", "q_dedup_fingerprint",
       "q_curation_pipeline", "q_ann_lsh",
       "q_pii_scrub", "q_term_freq", "q_embed_quantize",
-      "q_lang_id", "q_text_quality")
+      "q_lang_id", "q_text_quality",
+      "q_repetition", "q_contamination", "q_train_split",
+      "q_sample_stratified", "q_token_pack", "q_url_extract")
     for (q <- scalePaths) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
         s"$q must not contain a cartesian join:\n$p")
     }
+  }
+
+  test("contamination broadcasts the benchmark gram set") {
+    val p = plan("q_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bench grams must broadcast (eval sets are tiny):\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"candidate grams must stream, not shuffle for the join:\n$p")
+  }
+
+  test("split/sample assignment is scan-local (no exchange before sort)") {
+    // the hash-based split and stratified sample are pure filters /
+    // projections: hash partitioning would mean an accidental shuffle
+    val p = plan("q_sample_stratified")
+    assert(!p.contains("hashpartitioning"),
+      s"stratified sample must stay scan-local:\n$p")
+  }
+
+  test("sequence packing has no single-partition global window") {
+    // the two-phase prefix sum must key its window by partition id —
+    // a global ORDER BY window would plan SinglePartition
+    val p = plan("q_token_pack")
+    assert(!p.contains("SinglePartition"),
+      s"packing must not funnel through one partition:\n$p")
+  }
+
+  test("snapshot collapse is a partial+final aggregate, not a window") {
+    // groupBy+max_by gives the map-side combine a row_number window
+    // cannot have: the shuffle carries one candidate per (key, map task)
+    val p = plan("q_upsert_snapshot")
+    assert(!p.contains("Window"),
+      s"snapshot must use the aggregate form:\n$p")
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findAllIn(p).length >= 2,
+      s"expected partial+final aggregation:\n$p")
   }
 }
