@@ -12,6 +12,18 @@ import org.apache.spark.sql.types._
   * ImplicitCastInputTypes machinery is private[sql], so e.g. a SQL literal
   * `-0.5` arriving as DECIMAL must be cast to the expected input type here).
   */
+/** User-defined scalar function contract for the SQL front-end's
+  * `CREATE FUNCTION name(args) RETURNS type AS 'class' [USING JAR '...']`
+  * (reference: PhoenixSQL.g create_function_node; UDFExpression.java
+  * instantiates the named ScalarFunction implementation per tenant via a
+  * DynamicClassLoader — here the class implements this trait and is
+  * invoked through a Spark UDF carrying the declared return type).
+  * Implementations need a public no-arg constructor; `args` arrive as
+  * external Java/Scala values (String, java.lang.Long, ...). */
+trait GraftScalarUdf extends Serializable {
+  def eval(args: Seq[Any]): Any
+}
+
 object GraftFunctions {
   private def asLong(e: Expression): Expression =
     if (e.dataType == LongType) e else Cast(e, LongType)

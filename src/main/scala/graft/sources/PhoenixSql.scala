@@ -61,6 +61,9 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
         "secondary indexes are out of scope (OLTP write-path maintenance); " +
           "model covered indexes as materialized sorted projections — " +
           "see graft.operators.Layout and graft.plans.IndexRewriteRule")
+    else if (up.startsWith("CREATE FUNCTION") ||
+        up.startsWith("CREATE TEMPORARY FUNCTION")) createFunction(s)
+    else if (up.startsWith("DROP FUNCTION")) dropFunction(s)
     else if (up.startsWith("DECLARE")) declareCursor(s)
     else if (up.startsWith("OPEN")) openCursor(s)
     else if (up.startsWith("FETCH")) fetchCursor(s)
@@ -112,6 +115,67 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
           s"EXPLAIN supports SELECT/UPSERT/DELETE only: $inner")
       }
     lines.toDF("PLAN")
+  }
+
+  // ---- UDFs (reference: PhoenixSQL.g create_function_node /
+  // drop_function_node; UDFExpression.java loads the named class —
+  // optionally from a jar — and evaluates it like a builtin; registry in
+  // SYSTEM.FUNCTION. Here: the class implements GraftScalarUdf and is
+  // registered as a session temp function with the declared return type;
+  // argument types are accepted for grammar fidelity, Spark's analyzer
+  // handles coercion at call sites.) --------------------------------------
+
+  private def createFunction(s: String): DataFrame = {
+    val m = ("(?is)CREATE\\s+(?:TEMPORARY\\s+)?FUNCTION\\s+([\\w\"]+)\\s*" +
+      "\\(([^)]*)\\)\\s+RETURNS\\s+(.+?)\\s+AS\\s+'([^']+)'" +
+      "(?:\\s+USING\\s+JAR\\s+'([^']+)')?\\s*$").r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val name = cleanIdent(m.group(1))
+    val arity = splitTopLevel(m.group(2), ',').map(parseType).length
+    val ret = parseType(m.group(3))
+    val loader = Option(m.group(5))
+      .map(p => new java.net.URLClassLoader(
+        Array(new java.io.File(p).toURI.toURL),
+        Thread.currentThread.getContextClassLoader))
+      .getOrElse(Thread.currentThread.getContextClassLoader)
+    val f = Class.forName(m.group(4), true, loader)
+      .getDeclaredConstructor().newInstance()
+      .asInstanceOf[graft.functions.GraftScalarUdf]
+    import org.apache.spark.sql.api.java._
+    arity match {
+      case 0 => spark.udf.register(name,
+        new UDF0[Any] { def call(): Any = f.eval(Nil) }, ret)
+      case 1 => spark.udf.register(name,
+        new UDF1[Any, Any] { def call(a: Any): Any = f.eval(Seq(a)) }, ret)
+      case 2 => spark.udf.register(name,
+        new UDF2[Any, Any, Any] {
+          def call(a: Any, b: Any): Any = f.eval(Seq(a, b))
+        }, ret)
+      case 3 => spark.udf.register(name,
+        new UDF3[Any, Any, Any, Any] {
+          def call(a: Any, b: Any, c: Any): Any = f.eval(Seq(a, b, c))
+        }, ret)
+      case 4 => spark.udf.register(name,
+        new UDF4[Any, Any, Any, Any, Any] {
+          def call(a: Any, b: Any, c: Any, d: Any): Any =
+            f.eval(Seq(a, b, c, d))
+        }, ret)
+      case n => throw new IllegalArgumentException(
+        s"UDF arity $n not supported (max 4)")
+    }
+    spark.emptyDataFrame
+  }
+
+  private def dropFunction(s: String): DataFrame = {
+    val m = "(?is)DROP\\s+FUNCTION\\s+(IF\\s+EXISTS\\s+)?([\\w\"]+)\\s*$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val name = cleanIdent(m.group(2))
+    val dropped = spark.sessionState.functionRegistry.dropFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+    if (!dropped && m.group(1) == null)
+      throw new IllegalArgumentException(s"function $name not found")
+    spark.emptyDataFrame
   }
 
   // ---- cursors (reference: PhoenixSQL.g declare_cursor_node /

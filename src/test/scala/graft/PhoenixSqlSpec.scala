@@ -313,6 +313,30 @@ class PhoenixSqlSpec extends AnyFunSuite {
       .getLong(0) == 0, "EXPLAIN UPSERT must not write")
   }
 
+  test("CREATE FUNCTION registers a scalar UDF; DROP FUNCTION removes it") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, a VARCHAR)")
+    px.execute("UPSERT INTO t VALUES (1, 'abc')")
+    px.execute("UPSERT INTO t VALUES (2, 'xy')")
+    px.execute("CREATE FUNCTION myrev(VARCHAR) RETURNS VARCHAR " +
+      "AS 'graft.TestReverseUdf'")
+    val got = px.execute(
+        "SELECT id, myrev(a) AS r FROM t ORDER BY id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sameElements(Array((1L, "cba"), (2L, "yx"))))
+    // two-arg form with a non-string return type
+    px.execute("CREATE FUNCTION padlen(VARCHAR, INTEGER) RETURNS BIGINT " +
+      "AS 'graft.TestPadLenUdf'")
+    val n = px.execute("SELECT padlen(a, 5) AS n FROM t WHERE id = 1")
+      .collect()(0).getLong(0)
+    assert(n == 8L) // 'abc'.length + 5
+    px.execute("DROP FUNCTION myrev")
+    intercept[Exception] { px.execute("SELECT myrev(a) FROM t").collect() }
+    // IF EXISTS swallows the missing case; bare DROP errors
+    px.execute("DROP FUNCTION IF EXISTS myrev")
+    intercept[IllegalArgumentException] { px.execute("DROP FUNCTION myrev") }
+  }
+
   test("EXPLAIN of DDL is a parse error, never executed") {
     val px = fresh()
     px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, a VARCHAR)")
