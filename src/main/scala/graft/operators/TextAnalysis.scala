@@ -145,6 +145,34 @@ object TextAnalysis {
       .select(col("doc"), col("term"), col("tfidf"))
   }
 
+  /** Unigram log-probability quality score (the CCNet-style LM filter —
+    * documents whose words are improbable under the corpus unigram model
+    * score high and get filtered/bucketed): per doc, the mean of
+    * −ln(tf(term)/total_tokens) over its tokens.
+    *
+    * Shape at scale: the unigram table is vocabulary-sized → BROADCAST
+    * to the token stream; the only shuffles are the vocabulary aggregate
+    * and the per-doc mean. Per-token scores are fixed to 1e-8 resolution
+    * as SCALED LONGS, so the sum is exact-integer (order-independent) and
+    * the mean is two IEEE divisions with no post-division rounding —
+    * bit-identical on any engine; ln()'s own last-ulp divergence is
+    * absorbed by the 1e-8 quantization. */
+  def unigramLogProb(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val terms = df.select(col(idCol).as("doc"),
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
+    val total = tf.agg(sum(col("tf")).as("total"))
+    val tokScaled = round(-log(col("tf").cast(DoubleType) / col("total"))
+      * 1e8).cast(LongType)
+    terms.join(broadcast(tf), "term")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tok"),
+        (sum(tokScaled).cast(DoubleType) / count(lit(1)) / lit(1e8))
+          .as("avg_neg_logp"))
+  }
+
   /** Corpus term statistics: term frequency and document frequency per
     * token — the vocabulary/IDF building block. One explode + one groupBy:
     * partial aggregation combines map-side, so the shuffle is

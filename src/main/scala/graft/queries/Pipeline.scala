@@ -302,6 +302,14 @@ object Pipeline {
         .orderBy(col("offset"))
     },
 
+    // Unigram log-probability quality score (CCNet-style LM filter):
+    // broadcast the vocabulary model, one doc-keyed mean.
+    "q_unigram_logprob" -> { (s, dir) =>
+      TextAnalysis.unigramLogProb(
+          Tables.t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc"))
+    },
+
     // URL extraction + domain rollup with a blocklist flag (the
     // domain-level filtering step of web-corpus curation). URL-bearing
     // text is derived deterministically from customer keys (the
@@ -665,6 +673,19 @@ object Pipeline {
       SELECT doc, n_tok, "offset",
         CAST(floor("offset" / 2048.0) AS BIGINT) AS bin
       FROM c ORDER BY "offset"""",
+
+    "q_unigram_logprob" -> raw"""
+      WITH t AS (SELECT doc_id AS doc,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT term, count(*) AS tf FROM t GROUP BY 1),
+      total AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf)
+      SELECT doc, count(*) AS n_tok,
+        CAST(sum(CAST(round(-ln(CAST(tf.tf AS DOUBLE) / total.total)
+            * 100000000) AS BIGINT)) AS DOUBLE) / count(*) / 100000000.0
+          AS avg_neg_logp
+      FROM t JOIN tf USING (term) CROSS JOIN total
+      GROUP BY doc ORDER BY doc""",
 
     "q_url_extract" -> raw"""
       WITH t AS (SELECT
