@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, Skew,
+  TextAnalysis}
 
 /** Training-data pipeline operator battery: dedup, similarity search,
   * text analysis, multimodal feature extraction. Oracle SQL mirrors the
@@ -300,6 +301,22 @@ object Pipeline {
             .withColumn("n_tok", TextAnalysis.tokenCount(col("text"))),
           "doc_id", "n_tok", budget = 2048L)
         .orderBy(col("offset"))
+    },
+
+    // Salted two-stage aggregation under extreme key skew: 600k lineitem
+    // rows collapse to 3 return flags, so an unsalted final agg funnels
+    // whole keys into single tasks; the salt spreads stage-1 partials
+    // across 16 buckets per key. Results must equal the plain groupBy —
+    // the oracle checks exactly that.
+    "q_skew_salted" -> { (s, dir) =>
+      import s.implicits._
+      Skew.saltedCountSum(Tables.t(s, dir, "lineitem"),
+          Seq("l_returnflag"),
+          Map("sum_qty" ->
+            $"l_quantity".cast(org.apache.spark.sql.types.DecimalType(12, 2))))
+        .select($"l_returnflag", $"n",
+          $"sum_qty".cast("double").as("sum_qty"))
+        .orderBy($"l_returnflag")
     },
 
     // Unigram log-probability quality score (CCNet-style LM filter):
@@ -673,6 +690,12 @@ object Pipeline {
       SELECT doc, n_tok, "offset",
         CAST(floor("offset" / 2048.0) AS BIGINT) AS bin
       FROM c ORDER BY "offset"""",
+
+    "q_skew_salted" -> """
+      SELECT l_returnflag, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+               AS sum_qty
+      FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "q_unigram_logprob" -> raw"""
       WITH t AS (SELECT doc_id AS doc,
