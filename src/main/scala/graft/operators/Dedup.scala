@@ -193,19 +193,28 @@ object Dedup {
     // 2σ slack for the minhash estimator at the threshold
     val margin = 2 * math.sqrt(threshold * (1 - threshold) / numHashes)
     val minAgree = math.ceil((threshold - margin) * numHashes).toInt
-    // One join pass with fused codegen'd kernels: the signature-agreement
-    // estimate (O(numHashes) per pair) gates the exact Jaccard — the CASE
-    // WHEN keeps the O(|shingle set|) kernel unevaluated for pruned pairs.
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    val full = sig.select(col("id"), col("sh"), col("sig"))
+    // Two join passes, cheapest payload first. With low rows-per-band
+    // (needed for low thresholds) the candidate set is orders of
+    // magnitude larger than the survivor set — at sf0.1, ~200k candidates
+    // for ~260 real pairs — so the wide shingle arrays must NOT ride the
+    // candidate join. Pass 1 attaches only the numHashes-long signatures
+    // (a guaranteed-broadcast build) and prunes on the agreement
+    // estimate (O(numHashes)/pair); pass 2 attaches shingle sets for the
+    // estimate survivors alone and verifies with exact Jaccard.
+    val sigOnly = sig.select(col("id"), col("sig"))
+    val shOnly = shT.select(col("id"), col("sh"))
     cands
-      .join(full.toDF("id_a", "sh_a", "sig_a"), "id_a")
-      .join(full.toDF("id_b", "sh_b", "sig_b"), "id_b")
+      .join(sigOnly.toDF("id_a", "sig_a"), "id_a")
+      .join(sigOnly.toDF("id_b", "sig_b"), "id_b")
+      .where(call_function("sig_agreement", col("sig_a"), col("sig_b"))
+        >= minAgree)
+      .select("id_a", "id_b")
+      .join(shOnly.toDF("id_a", "sh_a"), "id_a")
+      .join(shOnly.toDF("id_b", "sh_b"), "id_b")
       .withColumn("jac",
-        when(call_function("sig_agreement", col("sig_a"), col("sig_b"))
-            >= minAgree,
-          call_function("jaccard_sim", col("sh_a"), col("sh_b"))))
-      .where(col("jac") >= threshold) // NULL (estimate-pruned) fails here
+        call_function("jaccard_sim", col("sh_a"), col("sh_b")))
+      .where(col("jac") >= threshold)
       .select("id_a", "id_b", "jac")
   }
 
