@@ -210,13 +210,28 @@ object Similarity {
 
   /** Batch k-NN self-join via LSH buckets: per-id top-k neighbors within
     * the same bucket (the all-pairs scale path — shuffle on bucket, no
-    * full cross join). */
+    * full cross join).
+    *
+    * Degenerate-bucket guard (same contract as [[Dedup.DefaultMaxBucket]]):
+    * the in-bucket self-join is quadratic per bucket, so one hot bucket —
+    * near-identical boilerplate or zero vectors all landing on the same
+    * sign pattern — goes O(n²) at corpus scale. Buckets above `maxBucket`
+    * are dropped: their members are near-duplicates that exact/fingerprint
+    * dedup already collapses, and their rows simply get no kNN edges
+    * (they'd all be trivial sim≈1 pairs anyway). At 100× rows also raise
+    * `mBits` ~ log2(n / targetBucketSize) so expected bucket population
+    * stays constant. */
   def knnJoin(emb: DataFrame, vecCol: String, idCol: String, k: Int,
-      dim: Int = 64, mBits: Int = 8): DataFrame = {
+      dim: Int = 64, mBits: Int = 8,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val planes = hyperplanes(dim, mBits)
+    val cw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket"))
     val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
+      .withColumn("bn", count(lit(1)).over(cw))
+      .where(col("bn") <= maxBucket).drop("bn")
     val l = b.toDF("id_a", "v_a", "bucket")
     val r = b.toDF("id_b", "v_b", "bucket")
     val w = org.apache.spark.sql.expressions.Window

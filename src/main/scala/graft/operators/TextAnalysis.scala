@@ -117,12 +117,14 @@ object TextAnalysis {
     regexp_extract(url, "https?://([^/\\s:?#]+)", 1)
 
   /** Top-k characteristic terms per document by TF-IDF. Shape at scale:
-    * the document-frequency table and the corpus count are
-    * vocabulary-sized / scalar → BROADCAST joins (no shuffle of the
-    * term-doc table for them); the only real shuffles are the term-doc
-    * aggregation and the per-doc top-k window, both keyed sensibly.
-    * Scores round to 8 decimals so ln()'s last-ulp divergence across
-    * engines can't flip the ranking (tie-break on term). */
+    * the corpus count is a scalar → forced broadcast is safe; the
+    * document-frequency side is VOCABULARY-sized, which a web corpus can
+    * grow to multi-GB — so no broadcast() hint there: AQE's size guard
+    * broadcasts it when it's small and falls back to a shuffle join when
+    * it isn't, instead of OOMing the driver on a forced build. The real
+    * shuffles are the term-doc aggregation and the per-doc top-k window,
+    * both keyed sensibly. Scores round to 8 decimals so ln()'s last-ulp
+    * divergence across engines can't flip the ranking (tie-break on term). */
   def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
     val terms = df.select(col(idCol).as("doc"),
@@ -136,7 +138,7 @@ object TextAnalysis {
     val n = df.agg(count(lit(1)).as("n_docs"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc")).orderBy(col("tfidf").desc, col("term").asc)
-    tf.join(broadcast(docFreq), "term")
+    tf.join(docFreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 8))
@@ -150,9 +152,11 @@ object TextAnalysis {
     * score high and get filtered/bucketed): per doc, the mean of
     * −ln(tf(term)/total_tokens) over its tokens.
     *
-    * Shape at scale: the unigram table is vocabulary-sized → BROADCAST
-    * to the token stream; the only shuffles are the vocabulary aggregate
-    * and the per-doc mean. Per-token scores are fixed to 1e-8 resolution
+    * Shape at scale: the unigram table is VOCABULARY-sized, so it gets no
+    * broadcast() hint — AQE broadcasts it while it fits and shuffle-joins
+    * it when a web-scale vocabulary outgrows the driver; only the scalar
+    * token total is force-broadcast. The shuffles are the vocabulary
+    * aggregate and the per-doc mean. Per-token scores are fixed to 1e-8 resolution
     * as SCALED LONGS, so the sum is exact-integer (order-independent) and
     * the mean is two IEEE divisions with no post-division rounding —
     * bit-identical on any engine; ln()'s own last-ulp divergence is
@@ -165,7 +169,7 @@ object TextAnalysis {
     val total = tf.agg(sum(col("tf")).as("total"))
     val tokScaled = round(-log(col("tf").cast(DoubleType) / col("total"))
       * 1e8).cast(LongType)
-    terms.join(broadcast(tf), "term")
+    terms.join(tf, "term")
       .crossJoin(broadcast(total))
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_tok"),

@@ -359,6 +359,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.size.toDouble / exact.size >= 0.9)
   }
 
+  test("knnJoin drops degenerate buckets above the cap") {
+    import spark.implicits._
+    // 10 identical vectors share one LSH bucket (population 10 > cap 5);
+    // 3 opposite-direction vectors land in the complementary bucket (3 <=
+    // cap). The capped join must drop every hot-bucket pair — the O(n²)
+    // blow-up guard — while keeping the small bucket's pairs.
+    val hot = (1L to 10L).map(i => (i, Array(1.0f, 0.2f, 0.1f, 0.3f)))
+    val cold = Seq(101L, 102L, 103L)
+      .map(i => (i, Array(-1.0f, -0.2f, -0.1f, -0.3f)))
+    val emb = (hot ++ cold).toDF("vec_id", "embedding")
+    def pairs(cap: Int) =
+      Similarity.knnJoin(emb, "embedding", "vec_id", k = 5,
+          dim = 4, mBits = 4, maxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairs(5)
+    assert(capped.nonEmpty, "small bucket must keep its pairs")
+    assert(capped.forall { case (a, b) => a > 100L && b > 100L },
+      s"hot-bucket pairs must be dropped, got $capped")
+    // with the cap above both populations the hot pairs come back
+    assert(pairs(500).exists { case (a, _) => a <= 10L })
+  }
+
   test("PII scrub replaces every pattern and leaves clean text alone") {
     import spark.implicits._
     val df = Seq(

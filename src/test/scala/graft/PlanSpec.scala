@@ -120,11 +120,20 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("tf-idf broadcasts the vocabulary join and pushes the top-k limit") {
+    // the vocabulary sides carry NO broadcast() hint (a web-scale
+    // vocabulary would OOM a forced build) — AQE's size guard must still
+    // pick a broadcast at runtime while the vocabulary is small, so the
+    // assertion runs against the final adaptive plan, not the static one
+    for (q <- Seq("q_tfidf_terms", "q_unigram_logprob")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.queryExecution.toRdd.count()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: AQE should broadcast the small vocabulary side:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q: no shuffle join should survive for the vocabulary sides:\n$p")
+    }
     val p = plan("q_tfidf_terms")
-    assert(p.contains("BroadcastHashJoin"),
-      "document-frequency join must broadcast (vocabulary-sized build)")
-    assert(!p.contains("SortMergeJoin"),
-      "no shuffle join should appear for the vocabulary-sized sides")
     assert(p.contains("WindowGroupLimit"),
       "per-doc top-k must push a group limit below the window shuffle")
   }
