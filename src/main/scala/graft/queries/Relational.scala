@@ -359,10 +359,15 @@ object Relational {
     // Sequences (§1.1): NEXT VALUE FOR over a batch → dense row_number
     // assignment in PK order (documented semantics: batch-monotonic).
     "q_sequence" -> { (s, dir) =>
+      // the read shape of a sequence-stamped load: seq mirrors a
+      // CREATE SEQUENCE START WITH 5 INCREMENT BY 10 assignment (the
+      // stepping machinery itself — SELECT position, MIN/MAXVALUE,
+      // CYCLE, strict options — is pinned in PhoenixSqlSpec)
       Tables.registerAll(s, dir)
       s.sql("""
         SELECT o_orderkey,
-               row_number() OVER (ORDER BY o_orderkey) AS seq
+               CAST(5 + 10 * (row_number() OVER (ORDER BY o_orderkey) - 1)
+                 AS BIGINT) AS seq
         FROM orders ORDER BY o_orderkey LIMIT 1000""")
     },
 
@@ -553,7 +558,9 @@ object Relational {
       ORDER BY l_orderkey""",
 
     "q_sequence" -> """
-      SELECT o_orderkey, row_number() OVER (ORDER BY o_orderkey) AS seq
+      SELECT o_orderkey,
+             CAST(5 + 10 * (row_number() OVER (ORDER BY o_orderkey) - 1)
+               AS BIGINT) AS seq
       FROM orders ORDER BY o_orderkey LIMIT 1000""",
 
     "q_time_bucket" -> """

@@ -135,6 +135,20 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     rm(new java.io.File(dir(name)))
   }
 
+  /** TRUNCATE TABLE (reference: truncate_table_node g:502 — delete every
+    * row, keep the table): drops the data directory; the spec and the
+    * version counter survive, so versions stay monotone across a truncate
+    * and CDC consumers can't see a version reused. */
+  def truncate(name: String): Unit = {
+    spec(name) // throws on unknown table
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val data = new java.io.File(s"${dir(name)}/data")
+    if (data.exists()) rm(data)
+  }
+
   // Single-writer assumption: the version counter is a driver-side file,
   // fine for one writing session (this sandbox, or one Spark driver per
   // table). Concurrent writers would need a coordination service —
@@ -186,6 +200,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         }: _*))
       .withColumn("_version", lit(v))
       .withColumn("_deleted", lit(false))
+      .withColumn("_ts", lit(batchTs()))
       .write.mode(SaveMode.Append).parquet(s"${dir(name)}/data")
     v
   }
@@ -198,6 +213,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         .select(fields.map(f => col(f.name)): _*))
       .withColumn("_version", lit(v))
       .withColumn("_deleted", lit(true))
+      .withColumn("_ts", lit(batchTs()))
       .write.mode(SaveMode.Append).parquet(s"${dir(name)}/data")
     v
   }
@@ -230,7 +246,15 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   private def logSchema(name: String): StructType =
     StructType(allFields(name) :+
       StructField("_version", LongType, nullable = false) :+
-      StructField("_deleted", BooleanType, nullable = false))
+      StructField("_deleted", BooleanType, nullable = false) :+
+      StructField("_ts", TimestampType, nullable = true))
+
+  /** Wall-clock stamp for the batch being written — the engine's analog of
+    * the HBase cell timestamp (one value per batch: Phoenix commits a
+    * mutation batch at one server timestamp). Backs PHOENIX_ROW_TIMESTAMP.
+    * Batches written before this column existed read back NULL. */
+  private def batchTs(): java.sql.Timestamp =
+    new java.sql.Timestamp(System.currentTimeMillis())
 
   /** Snapshot with view-extension columns included (what views read).
     *
@@ -260,6 +284,28 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * added by views are visible only through the view. */
   def snapshot(name: String): DataFrame =
     snapshotFull(name).select(specs(name).schema.fieldNames.map(col): _*)
+
+  /** Snapshot plus `phoenix_row_timestamp` — the winning write's batch
+    * stamp, the engine's analog of the row's HBase cell timestamp
+    * (reference cc/expression/function/PhoenixRowTimestampFunction.java:42,
+    * which reads the empty-column cell timestamp during the scan). Same
+    * map-side-combinable collapse as [[snapshotFull]]; NULL for rows whose
+    * winning batch predates the `_ts` column. */
+  def snapshotWithRowTs(name: String): DataFrame = {
+    val s = specs(name)
+    val fields = allFields(name)
+    val nonPk = fields.map(_.name).filterNot(s.pk.contains)
+    val ord = struct(col("_version") +: nonPk.map(col): _*)
+    changeLog(name)
+      .groupBy(s.pk.map(col): _*)
+      .agg(max_by(
+        struct(fields.map(f => col(f.name)) ++
+          Seq(col("_deleted"), col("_ts")): _*),
+        ord).as("_r"))
+      .where(!col("_r._deleted"))
+      .select(s.schema.fieldNames.map(f => col(s"_r.$f").as(f)) :+
+        col("_r._ts").as("phoenix_row_timestamp"): _*)
+  }
 
   /** CDC view (reference: Phoenix CREATE CDC, CDCChangeScope CHANGE/PRE/
     * POST — cs/coprocessor/CDCGlobalIndexRegionScanner.java): one JSON
@@ -316,6 +362,9 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .withColumn("_prev", lag(rowS, 1).over(w))
       .where(col("_version") > sinceVersion) // AFTER lag: images may need
       .select(col("_version").as("cdc_version") +: // pre-window history
+        // the change's batch stamp — the reference keys its CDC index by
+        // PHOENIX_ROW_TIMESTAMP() (cc/index/CDCTableInfo.java)
+        col("_ts").as("phoenix_row_timestamp") +:
         (s.pk.map(col) :+
           when(col("_deleted"), lit("delete")).otherwise(lit("upsert"))
             .as("cdc_op")) ++: imageCols: _*)

@@ -31,7 +31,6 @@ import scala.jdk.CollectionConverters._
   */
 class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
 
-  private val sequences = scala.collection.mutable.Map[String, Long]()
   private val viewNames = scala.collection.mutable.Set[String]()
   private val tableNames = scala.collection.mutable.Set[String]()
   // tables whose registered snapshot temp view is stale (mutated since the
@@ -45,6 +44,15 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     if (up.startsWith("CREATE TABLE")) createTable(s)
     else if (up.startsWith("CREATE VIEW")) createView(s)
     else if (up.startsWith("CREATE SEQUENCE")) createSequence(s)
+    else if (up.startsWith("DROP SEQUENCE")) dropSequence(s)
+    else if (up.startsWith("CREATE CDC")) createCdc(s)
+    else if (up.startsWith("DROP CDC")) dropCdc(s)
+    else if (up.startsWith("CREATE SCHEMA")) createSchema(s)
+    else if (up.startsWith("DROP SCHEMA")) dropSchema(s)
+    else if (up.startsWith("USE ")) useSchema(s)
+    else if (up.startsWith("TRUNCATE TABLE")) truncateTable(s)
+    else if (up.startsWith("SHOW CREATE TABLE")) showCreateTable(s)
+    else if (up.startsWith("SHOW ")) show(s)
     else if (up.startsWith("UPSERT INTO")) upsert(s)
     else if (up.startsWith("DELETE FROM")) delete(s)
     else if (up.startsWith("DROP TABLE")) dropTable(s)
@@ -61,6 +69,11 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
         "secondary indexes are out of scope (OLTP write-path maintenance); " +
           "model covered indexes as materialized sorted projections — " +
           "see graft.operators.Layout and graft.plans.IndexRewriteRule")
+    else if (up.startsWith("GRANT") || up.startsWith("REVOKE"))
+      throw new IllegalArgumentException(
+        "GRANT/REVOKE are out of scope: the reference delegates them to " +
+          "HBase ACLs (grammar g:522-534), which have no analog here — " +
+          "use the cluster's own authorization layer")
     else if (up.startsWith("CREATE FUNCTION") ||
         up.startsWith("CREATE TEMPORARY FUNCTION")) createFunction(s)
     else if (up.startsWith("DROP FUNCTION")) dropFunction(s)
@@ -69,6 +82,243 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     else if (up.startsWith("FETCH")) fetchCursor(s)
     else if (up.startsWith("CLOSE")) closeCursor(s)
     else select(s)
+  }
+
+  // ---- schemas (reference: PhoenixSQL.g create_schema_node:516,
+  // drop_schema_node:705, use_schema_node:1138; it/end2end/CreateSchemaIT).
+  // Spark temp views cannot be qualified, so SCHEMA.TABLE flattens to
+  // schema_table (cleanIdent) and USE makes the schema's tables reachable
+  // by their bare names via alias views. ---------------------------------
+
+  private val schemas = scala.collection.mutable.Set[String]()
+  private var currentSchema: Option[String] = None
+  /** flat table/view name → owning schema (for SHOW TABLES / DROP SCHEMA). */
+  private val schemaOf = scala.collection.mutable.Map[String, String]()
+  /** bare-name alias views registered for the current schema. */
+  private val schemaAliases = scala.collection.mutable.Set[String]()
+
+  /** Resolve a statement's table/sequence name: explicit SCHEMA.X flattens,
+    * a bare name under USE <schema> binds to that schema (Phoenix
+    * resolution: no fallback to the unqualified namespace). */
+  private def resolveTable(raw: String): String = {
+    val bare = raw.trim.replaceAll("\"", "").toLowerCase
+    if (bare.contains(".")) cleanIdent(raw)
+    else currentSchema match {
+      case Some(sc) =>
+        val flat = cleanIdent(s"$sc.$bare")
+        schemaOf(flat) = sc
+        flat
+      case None => cleanIdent(raw)
+    }
+  }
+
+  private def createSchema(s: String): DataFrame = {
+    val m = "(?is)CREATE SCHEMA (?:IF NOT EXISTS )?([\\w\"]+)\\s*$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val name = m.group(1).replaceAll("\"", "").toLowerCase
+    if (schemas.contains(name) && !s.toUpperCase.contains("IF NOT EXISTS"))
+      throw new IllegalArgumentException(s"schema $name already exists")
+    schemas += name
+    spark.emptyDataFrame
+  }
+
+  private def dropSchema(s: String): DataFrame = {
+    val m = "(?is)DROP SCHEMA (IF EXISTS )?([\\w\"]+)(\\s+CASCADE)?\\s*$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val name = m.group(2).replaceAll("\"", "").toLowerCase
+    if (!schemas.contains(name)) {
+      if (m.group(1) != null) return spark.emptyDataFrame
+      throw new IllegalArgumentException(s"schema $name not found")
+    }
+    val owned = schemaOf.collect { case (t, sc) if sc == name => t }.toSeq
+    if (owned.nonEmpty) {
+      // reference DropSchemaStatement: non-empty schema needs CASCADE
+      if (m.group(3) == null)
+        throw new IllegalArgumentException(
+          s"schema $name is not empty (${owned.sorted.mkString(", ")}); " +
+            "use DROP SCHEMA ... CASCADE")
+      owned.foreach { t =>
+        if (tableNames.contains(t)) {
+          catalog.dropTable(t); tableNames -= t
+          spark.catalog.dropTempView(t)
+        }
+        viewNames -= t
+        schemaOf -= t
+      }
+    }
+    schemas -= name
+    if (currentSchema.contains(name)) currentSchema = None
+    spark.emptyDataFrame
+  }
+
+  private def useSchema(s: String): DataFrame = {
+    val m = "(?is)USE\\s+(DEFAULT|[\\w\"]+)\\s*$".r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    // leaving a schema retires its bare-name aliases, otherwise a later
+    // unqualified SELECT would silently read the previous schema's table
+    schemaAliases.foreach(spark.catalog.dropTempView)
+    schemaAliases.clear()
+    val target = m.group(1).replaceAll("\"", "").toLowerCase
+    currentSchema =
+      if (target == "default") None
+      else {
+        if (!schemas.contains(target))
+          throw new IllegalArgumentException(s"schema $target not found")
+        Some(target)
+      }
+    viewsStale = true // re-register aliases on the next SELECT
+    spark.emptyDataFrame
+  }
+
+  // ---- CDC (reference: PhoenixSQL.g create_cdc_node:593-618 /
+  // drop_cdc_node:718; PTable.CDCChangeScope; it/end2end/CDCQueryIT).
+  // A CDC object is a queryable view over the table's change log with the
+  // requested image scopes; INCLUDE defaults to the change image. The
+  // reference's query-time CDC_INCLUDE hint override and the internal
+  // IDX_MUTATIONS/DATA_ROW_STATE scopes are out of scope. ---------------
+
+  /** cdc name → (base table, image scopes). */
+  private val cdcDefs =
+    scala.collection.mutable.Map[String, (String, Set[String])]()
+  private var cdcStale = false
+
+  private def createCdc(s: String): DataFrame = {
+    val m = ("(?is)CREATE CDC (IF NOT EXISTS\\s+)?([\\w.\"]+)\\s+ON\\s+" +
+      "([\\w.\"]+)(?:\\s+INCLUDE\\s*\\(([^)]*)\\))?\\s*$").r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val name = resolveTable(m.group(2))
+    val table = resolveTable(m.group(3))
+    require(catalog.hasTable(table), s"unknown table $table")
+    if (cdcDefs.contains(name)) {
+      if (m.group(1) != null) return spark.emptyDataFrame
+      throw new IllegalArgumentException(s"CDC $name already exists")
+    }
+    val scopes = Option(m.group(4))
+      .map(_.split(",").map(_.trim.toUpperCase).filter(_.nonEmpty).toSet)
+      .getOrElse(Set("CHANGE"))
+    val unsupported = scopes -- Set("PRE", "POST", "CHANGE")
+    if (unsupported.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unsupported CDC change scope(s) ${unsupported.mkString(", ")} — " +
+          "supported: PRE, POST, CHANGE")
+    cdcDefs(name) = (table, scopes)
+    cdcStale = true
+    spark.emptyDataFrame
+  }
+
+  private def dropCdc(s: String): DataFrame = {
+    val m = ("(?is)DROP CDC (IF EXISTS\\s+)?([\\w.\"]+)\\s+ON\\s+" +
+      "([\\w.\"]+)\\s*$").r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val name = resolveTable(m.group(2))
+    if (cdcDefs.remove(name).isEmpty && m.group(1) == null)
+      throw new IllegalArgumentException(s"CDC $name not found")
+    spark.catalog.dropTempView(name)
+    spark.emptyDataFrame
+  }
+
+  // ---- TRUNCATE / SHOW (reference: truncate_table_node:502,
+  // show_node:546, show_create_table_node:551) --------------------------
+
+  private def truncateTable(s: String): DataFrame = {
+    val m = ("(?is)TRUNCATE TABLE ([\\w.\"]+)" +
+      "(?:\\s+(?:DROP|PRESERVE)\\s+SPLITS)?\\s*$").r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    // DROP vs PRESERVE SPLITS is an HBase region-boundary detail — both
+    // accepted, both mean "delete all rows, keep the table"
+    val name = resolveTable(m.group(1))
+    catalog.truncate(name)
+    dirty += name
+    spark.emptyDataFrame
+  }
+
+  private def likeFilter(pattern: Option[String], v: String): Boolean =
+    pattern.forall { p =>
+      val re = java.util.regex.Pattern.quote(p.toLowerCase)
+        .replace("%", "\\E.*\\Q").replace("_", "\\E.\\Q")
+      v.toLowerCase.matches(re)
+    }
+
+  private def show(s: String): DataFrame = {
+    import spark.implicits._
+    val tables = ("(?is)SHOW TABLES(?:\\s+IN\\s+([\\w\"]+))?" +
+      "(?:\\s+LIKE\\s+'([^']*)')?\\s*$").r.findFirstMatchIn(s)
+    val schemasM = "(?is)SHOW SCHEMAS(?:\\s+LIKE\\s+'([^']*)')?\\s*$".r
+      .findFirstMatchIn(s)
+    (tables, schemasM) match {
+      case (Some(m), _) =>
+        val inSchema = Option(m.group(1))
+          .map(_.replaceAll("\"", "").toLowerCase)
+        val pat = Option(m.group(2))
+        (tableNames ++ viewNames).toSeq.sorted
+          .map(t => (schemaOf.get(t).orNull,
+            schemaOf.get(t).map(sc => t.stripPrefix(sc + "_")).getOrElse(t)))
+          .filter { case (sc, _) => inSchema.forall(_ == sc) }
+          .filter { case (_, t) => likeFilter(pat, t) }
+          .toDF("TABLE_SCHEM", "TABLE_NAME")
+      case (_, Some(m)) =>
+        schemas.toSeq.sorted.filter(likeFilter(Option(m.group(1)), _))
+          .toDF("TABLE_SCHEM")
+      case _ =>
+        throw new IllegalArgumentException(
+          s"cannot parse (SHOW TABLES [IN schema] [LIKE 'pat'] | " +
+            s"SHOW SCHEMAS [LIKE 'pat']): $s")
+    }
+  }
+
+  /** Render a field's declared type back in Phoenix spelling (the width /
+    * unsigned metadata recorded at CREATE time round-trips; plain Spark
+    * types render canonically, e.g. TIME came back as TIMESTAMP). */
+  private def renderType(f: StructField): String = {
+    def base(dt: DataType, meta: org.apache.spark.sql.types.Metadata): String =
+      dt match {
+        case t if meta.contains(GraftCatalog.UnsignedKey) => t match {
+          case IntegerType => "UNSIGNED_INT"
+          case LongType => "UNSIGNED_LONG"
+          case ShortType => "UNSIGNED_SMALLINT"
+          case ByteType => "UNSIGNED_TINYINT"
+          case FloatType => "UNSIGNED_FLOAT"
+          case DoubleType => "UNSIGNED_DOUBLE"
+          case other => other.sql
+        }
+        case _ if meta.contains(GraftCatalog.CharWidthKey) =>
+          s"CHAR(${meta.getLong(GraftCatalog.CharWidthKey)})"
+        case _ if meta.contains(GraftCatalog.VarcharWidthKey) =>
+          s"VARCHAR(${meta.getLong(GraftCatalog.VarcharWidthKey)})"
+        case IntegerType => "INTEGER"
+        case LongType => "BIGINT"
+        case ShortType => "SMALLINT"
+        case ByteType => "TINYINT"
+        case FloatType => "FLOAT"
+        case DoubleType => "DOUBLE"
+        case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+        case BooleanType => "BOOLEAN"
+        case StringType => "VARCHAR"
+        case BinaryType => "VARBINARY"
+        case TimestampType => "TIMESTAMP"
+        case ArrayType(e, _) =>
+          base(e, org.apache.spark.sql.types.Metadata.empty) + " ARRAY"
+        case other => other.sql
+      }
+    base(f.dataType, f.metadata)
+  }
+
+  private def showCreateTable(s: String): DataFrame = {
+    import spark.implicits._
+    val m = "(?is)SHOW CREATE TABLE ([\\w.\"]+)\\s*$".r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val name = resolveTable(m.group(1))
+    val spec = catalog.spec(name)
+    val cols = spec.schema.fields.map { f =>
+      val nn = if (!f.nullable) " NOT NULL" else ""
+      s"${f.name} ${renderType(f)}$nn"
+    }
+    val pk = s"CONSTRAINT pk PRIMARY KEY (${spec.pk.mkString(", ")})"
+    Seq(s"CREATE TABLE $name (${(cols :+ pk).mkString(", ")})")
+      .toDF("CREATE STATEMENT")
   }
 
   // ---- EXPLAIN (reference: PhoenixSQL.g explain_node → ExplainPlan rows;
@@ -91,7 +341,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
         val m = "(?is)DELETE FROM ([\\w.\"]+)(?:\\s+WHERE\\s+(.*))?$".r
           .findFirstMatchIn(inner)
           .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
-        val t = cleanIdent(m.group(1))
+        val t = resolveTable(m.group(1))
         val read = select(s"SELECT * FROM $t" +
           Option(m.group(2)).map(w => s" WHERE $w").getOrElse(""))
         s"DELETE (tombstone) FROM $t rows matching:" +: planLines(read)
@@ -100,7 +350,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
           "(SELECT\\s.*)$").r.findFirstMatchIn(inner)
         sel match {
           case Some(m) =>
-            s"UPSERT INTO ${cleanIdent(m.group(1))} rows from:" +:
+            s"UPSERT INTO ${resolveTable(m.group(1))} rows from:" +:
               planLines(select(m.group(3)))
           case None =>
             Seq(s"UPSERT VALUES batch append")
@@ -130,7 +380,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       "\\(([^)]*)\\)\\s+RETURNS\\s+(.+?)\\s+AS\\s+'([^']+)'" +
       "(?:\\s+USING\\s+JAR\\s+'([^']+)')?\\s*$").r.findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
-    val name = cleanIdent(m.group(1))
+    val name = resolveTable(m.group(1))
     val arity = splitTopLevel(m.group(2), ',').map(parseType).length
     val ret = parseType(m.group(3))
     val loader = Option(m.group(5))
@@ -350,7 +600,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val m = "(?is)CREATE TABLE (?:IF NOT EXISTS )?([\\w.\"]+)\\s*(\\(.*)$".r
       .findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
-    val name = cleanIdent(m.group(1))
+    val name = resolveTable(m.group(1))
     val (rawBody, tail) = firstBalancedGroup(m.group(2))
     // Phoenix's grammar allows the CONSTRAINT clause to follow the last
     // column without a comma (see examples/WEB_STAT.sql) — normalize.
@@ -394,8 +644,8 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       "SELECT \\* FROM\\s+([\\w.\"]+)(?:\\s+WHERE\\s+(.*))?$").r
       .findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
-    val name = cleanIdent(m.group(1))
-    val base = cleanIdent(m.group(3))
+    val name = resolveTable(m.group(1))
+    val base = resolveTable(m.group(3))
     // view-added columns extend the base table's physical storage
     Option(m.group(2)).foreach { colGroup =>
       val inner = colGroup.stripPrefix("(").stripSuffix(")")
@@ -426,7 +676,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val m = "(?is)ALTER VIEW ([\\w.\"]+)\\s+DROP COLUMN\\s+([\\w\"]+)\\s*$".r
       .findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
-    catalog.viewDropColumn(cleanIdent(m.group(1)),
+    catalog.viewDropColumn(resolveTable(m.group(1)),
       m.group(2).replaceAll("\"", "").toLowerCase)
     viewsStale = true
     spark.emptyDataFrame
@@ -442,13 +692,13 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       "(IF EXISTS\\s+)?(.*)$").r.findFirstMatchIn(s)
     (add, drop) match {
       case (Some(m), _) =>
-        val name = cleanIdent(m.group(1))
+        val name = resolveTable(m.group(1))
         val fields = splitTopLevel(m.group(3), ',').map(columnField)
         catalog.alterAddColumns(name, fields,
           ifNotExists = m.group(2) != null)
         dirty += name
       case (_, Some(m)) =>
-        val name = cleanIdent(m.group(1))
+        val name = resolveTable(m.group(1))
         splitTopLevel(m.group(3), ',').foreach(c =>
           catalog.alterDropColumn(name,
             c.trim.replaceAll("\"", "").toLowerCase,
@@ -464,29 +714,128 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val m = "(?is)DROP TABLE (?:IF EXISTS )?([\\w.\"]+)\\s*$".r
       .findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
-    val name = cleanIdent(m.group(1))
+    val name = resolveTable(m.group(1))
     if (catalog.hasTable(name)) {
       catalog.dropTable(name)
       tableNames -= name
+      schemaOf -= name
       spark.catalog.dropTempView(name)
+      // CDC objects on the table die with it (reference drops dependents)
+      cdcDefs.filter(_._2._1 == name).keys.foreach { c =>
+        cdcDefs -= c
+        spark.catalog.dropTempView(c)
+      }
     } else if (!s.toUpperCase.contains("IF EXISTS"))
       throw new IllegalArgumentException(s"unknown table $name")
     spark.emptyDataFrame
   }
 
+  // ---- sequences (reference: PhoenixSQL.g create_sequence_node:619-640,
+  // drop_sequence_node:641; server-side atomic stepping in
+  // cs/coprocessor/SequenceRegionObserver.java:107; client defaults in
+  // cc/parse/CreateSequenceStatement.java:41-48). Driver-side counters:
+  // batch-monotonic, no cross-session atomicity (documented gap). --------
+
+  /** `last` = last value handed out (None before the first NEXT). */
+  private case class SeqState(start: Long, incr: Long, min: Long, max: Long,
+      cycle: Boolean, var last: Option[Long])
+  private val sequences = scala.collection.mutable.Map[String, SeqState]()
+
+  /** Strict clause-by-clause parse in grammar order — an option this
+    * engine can't honor must FAIL, not silently produce a sequence with
+    * different values (the reference grammar g:619-640 accepts exactly
+    * these clauses in exactly this order). */
   private def createSequence(s: String): DataFrame = {
-    val m = ("(?is)CREATE SEQUENCE (?:IF NOT EXISTS )?([\\w.\"]+)" +
-      "(?:\\s+START\\s+WITH\\s+(\\d+))?.*").r.findFirstMatchIn(s).get
-    sequences(cleanIdent(m.group(1))) =
-      Option(m.group(2)).map(_.toLong).getOrElse(1L) - 1L
+    val head = ("(?is)^CREATE\\s+SEQUENCE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([\\w.\"]+)\\s*").r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val name = resolveTable(head.group(2))
+    var rest = s.substring(head.matched.length).trim
+    def clause(re: String): Option[String] =
+      ("(?is)^" + re + "\\s*").r.findFirstMatchIn(rest).map { m =>
+        rest = rest.substring(m.matched.length).trim
+        m.group(1)
+      }
+    val start = clause("START\\s+(?:WITH\\s+)?(-?\\d+)").map(_.toLong)
+    val incr = clause("INCREMENT\\s+(?:BY\\s+)?(-?\\d+)").map(_.toLong)
+      .getOrElse(1L)
+    val min = clause("MINVALUE\\s+(-?\\d+)").map(_.toLong)
+    val max = clause("MAXVALUE\\s+(-?\\d+)").map(_.toLong)
+    val cycle = clause("(CYCLE)").isDefined
+    clause("CACHE\\s+(\\d+)") // allocation batching only — value-neutral
+    if (rest.nonEmpty)
+      throw new IllegalArgumentException(
+        s"unsupported CREATE SEQUENCE clause(s): '$rest' (grammar: START " +
+          "WITH n, INCREMENT BY n, MINVALUE n, MAXVALUE n, CYCLE, CACHE n " +
+          "in that order)")
+    if (incr == 0)
+      throw new IllegalArgumentException("INCREMENT BY must not be zero")
+    val minV = min.getOrElse(Long.MinValue)
+    val maxV = max.getOrElse(Long.MaxValue)
+    if (minV > maxV)
+      throw new IllegalArgumentException(s"MINVALUE $minV > MAXVALUE $maxV")
+    // reference default: 1 when none of START/MINVALUE/MAXVALUE given
+    // (back-compat), else the boundary the increment walks away from
+    val startV = start.getOrElse(
+      if (min.isEmpty && max.isEmpty) 1L
+      else if (incr > 0) minV else maxV)
+    if (startV < minV || startV > maxV)
+      throw new IllegalArgumentException(
+        s"START WITH $startV outside [$minV, $maxV]")
+    if (sequences.contains(name)) {
+      if (head.group(1) != null) return spark.emptyDataFrame
+      throw new IllegalArgumentException(s"sequence $name already exists")
+    }
+    sequences(name) = SeqState(startV, incr, minV, maxV, cycle, None)
     spark.emptyDataFrame
   }
 
+  private def dropSequence(s: String): DataFrame = {
+    val m = "(?is)DROP SEQUENCE (IF EXISTS\\s+)?([\\w.\"]+)\\s*$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    if (sequences.remove(resolveTable(m.group(2))).isEmpty &&
+        m.group(1) == null)
+      throw new IllegalArgumentException(
+        s"sequence ${resolveTable(m.group(2))} not found")
+    spark.emptyDataFrame
+  }
+
+  private def seqOf(seq: String): SeqState = sequences.getOrElse(seq,
+    throw new IllegalArgumentException(s"sequence $seq not defined"))
+
+  /** The value the next NEXT VALUE FOR call returns (no state change). */
+  private def peekNext(st: SeqState): Long = st.last match {
+    case None => st.start
+    case Some(l) =>
+      val cand = try Math.addExact(l, st.incr) catch {
+        case _: ArithmeticException =>
+          if (st.incr > 0) Long.MaxValue else Long.MinValue
+      }
+      if (st.incr > 0 && (cand > st.max || cand < l)) {
+        if (st.cycle) st.min
+        else throw new IllegalStateException(
+          s"sequence limit reached (MAXVALUE ${st.max}, no CYCLE)")
+      } else if (st.incr < 0 && (cand < st.min || cand > l)) {
+        if (st.cycle) st.max
+        else throw new IllegalStateException(
+          s"sequence limit reached (MINVALUE ${st.min}, no CYCLE)")
+      } else cand
+  }
+
   def nextValueFor(seq: String): Long = {
-    val v = sequences(seq) + 1L
-    sequences(seq) = v
+    val st = seqOf(seq)
+    val v = peekNext(st)
+    st.last = Some(v)
     v
   }
+
+  /** CURRENT VALUE FOR: the last value this session's NEXT returned;
+    * calling it first is an error (reference SQLExceptionCode
+    * CANNOT_CALL_CURRENT_BEFORE_NEXT_VALUE). */
+  def currentValueFor(seq: String): Long =
+    seqOf(seq).last.getOrElse(throw new IllegalStateException(
+      s"CURRENT VALUE FOR $seq called before NEXT VALUE FOR"))
 
   // ---- DML --------------------------------------------------------------
 
@@ -498,7 +847,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       "(SELECT\\s.*)$").r.findFirstMatchIn(s)
     if (sel.isDefined) {
       val m = sel.get
-      val target = cleanIdent(m.group(1))
+      val target = resolveTable(m.group(1))
       // same view write-through as the VALUES path: rows written through a
       // view carry the view's equality defaults for unset columns, so
       // they remain visible through the view
@@ -524,7 +873,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val m = ("(?is)UPSERT INTO ([\\w.\"]+)\\s*(?:\\(([^)]*)\\))?\\s*" +
       "VALUES\\s*\\((.*)\\)$").r.findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
-    val target = cleanIdent(m.group(1))
+    val target = resolveTable(m.group(1))
     // upsert through a view: write the base row with the view's equality
     // defaults for columns the statement doesn't set
     val (table, defaults) =
@@ -536,14 +885,24 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       .map(splitTopLevel(_, ',').map(c =>
         cleanIdent(c).split("\\.").last.toLowerCase))
       .getOrElse(spec.schema.fieldNames.toSeq)
-    // NEXT VALUE FOR seq → driver-side sequence increment;
-    // Phoenix ARRAY['a','b'] literal → Spark array('a','b')
-    val values = splitTopLevel(m.group(3), ',').map { v =>
-      val nv = "(?i)NEXT VALUE FOR ([\\w.\"]+)".r.findFirstMatchIn(v)
-      nv.map(g => nextValueFor(cleanIdent(g.group(1))).toString)
-        .getOrElse(
-          "(?is)^ARRAY\\s*\\[(.*)\\]$".r.findFirstMatchIn(v.trim)
-            .map(g => s"array(${g.group(1)})").getOrElse(v))
+    // NEXT/CURRENT VALUE FOR seq → driver-side sequence stepping. All
+    // NEXT references to one sequence in a statement share the stepped
+    // value (reference SequenceManager coalesces them), and CURRENT in
+    // the same statement reads it. Phoenix ARRAY['a','b'] literal →
+    // Spark array('a','b').
+    val rawVals = splitTopLevel(m.group(3), ',')
+    val nvRe = "(?i)NEXT\\s+VALUE\\s+FOR\\s+([\\w.\"]+)".r
+    val cvRe = "(?i)CURRENT\\s+VALUE\\s+FOR\\s+([\\w.\"]+)".r
+    val nexts = rawVals
+      .flatMap(v => nvRe.findAllMatchIn(v).map(g => resolveTable(g.group(1))))
+      .distinct.map(sq => sq -> nextValueFor(sq)).toMap
+    val values = rawVals.map { v =>
+      val v1 = nvRe.replaceAllIn(v,
+        g => nexts(resolveTable(g.group(1))).toString + "L")
+      val v2 = cvRe.replaceAllIn(v1,
+        g => currentValueFor(resolveTable(g.group(1))).toString + "L")
+      "(?is)^ARRAY\\s*\\[(.*)\\]$".r.findFirstMatchIn(v2.trim)
+        .map(g => s"array(${g.group(1)})").getOrElse(v2)
     }
     // Phoenix errors on arity mismatch ("Upsert has more values than
     // columns"); zip would silently truncate.
@@ -566,9 +925,9 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val m = "(?is)DELETE FROM ([\\w.\"]+)(?:\\s+WHERE\\s+(.*))?$".r
       .findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
-    catalog.delete(cleanIdent(m.group(1)),
+    catalog.delete(resolveTable(m.group(1)),
       Option(m.group(2)).map(expr).getOrElse(lit(true)))
-    dirty += cleanIdent(m.group(1))
+    dirty += resolveTable(m.group(1))
     spark.emptyDataFrame
   }
 
@@ -577,17 +936,94 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
   private def select(s: String): DataFrame = {
     // re-register only what changed since the last SELECT; any base-table
     // change invalidates views too (their plans pin the base's files)
-    if (dirty.nonEmpty || viewsStale) {
+    if (dirty.nonEmpty || viewsStale || cdcStale) {
       dirty.filter(tableNames.contains).foreach(t =>
         catalog.snapshot(t).createOrReplaceTempView(t))
       viewNames.foreach(v => catalog.view(v).createOrReplaceTempView(v))
-      dirty.clear(); viewsStale = false
+      cdcDefs.foreach { case (n, (t, scopes)) =>
+        if (cdcStale || dirty.contains(t))
+          catalog.cdcImages(t, scopes = scopes).createOrReplaceTempView(n)
+      }
+      // bare-name aliases for the current schema's tables/views/CDCs
+      currentSchema.foreach { sc =>
+        (tableNames ++ viewNames ++ cdcDefs.keys)
+          .filter(t => schemaOf.get(t).contains(sc)).foreach { flat =>
+            val bare = flat.stripPrefix(sc + "_")
+            spark.table(flat).createOrReplaceTempView(bare)
+            schemaAliases += bare
+          }
+      }
+      dirty.clear(); viewsStale = false; cdcStale = false
     }
+    // PHOENIX_ROW_TIMESTAMP() (reference cc/expression/function/
+    // PhoenixRowTimestampFunction.java:42 — the row's cell timestamp,
+    // here the winning write's batch stamp): re-register the referenced
+    // snapshots with the timestamp column for this statement, then
+    // restore plain snapshots on the next one. CDC views carry the
+    // column natively. Caveat vs the reference: `SELECT *` in the SAME
+    // statement also shows the column (Phoenix's * excludes it).
+    val rowTsRe = "(?i)PHOENIX_ROW_TIMESTAMP\\s*\\(\\s*\\)".r
+    val s1 =
+      if (rowTsRe.findFirstIn(s).isEmpty) s
+      else {
+        tableNames.foreach(t =>
+          catalog.snapshotWithRowTs(t).createOrReplaceTempView(t))
+        dirty ++= tableNames
+        viewsStale = true
+        rowTsRe.replaceAllIn(s, "phoenix_row_timestamp")
+      }
     // rewrite schema-qualified spellings to the flattened view names
-    val rewritten = dottedNames.foldLeft(s) { case (acc, (dotted, flat)) =>
+    val rewritten = dottedNames.foldLeft(s1) { case (acc, (dotted, flat)) =>
       acc.replaceAll("(?i)" + java.util.regex.Pattern.quote(dotted), flat)
     }
-    spark.sql(rewritten)
+    sequenceSelect(rewritten).getOrElse(spark.sql(rewritten))
+  }
+
+  /** NEXT/CURRENT VALUE FOR in SELECT position (reference
+    * cc/iterate/SequenceResultIterator.java:30 — the client fills
+    * sequence values into rows as they stream; all NEXT references to one
+    * sequence in a statement share the row's value). Here: one sequential
+    * block per referenced sequence, assigned by row_number, consumed
+    * eagerly (the statement materializes, as the reference's iterator
+    * does). The single-partition window is driver-bound like the
+    * reference's own client-side fill; batch loads at scale use
+    * [[graft.operators.Curation.packSequences]]-style two-phase sums.
+    * A batch that would step past MIN/MAXVALUE throws — per-row cycling
+    * inside one bulk statement is not supported. */
+  private def sequenceSelect(s: String): Option[DataFrame] = {
+    val nextRe = "(?i)NEXT\\s+VALUE\\s+FOR\\s+([\\w.\"]+)".r
+    val curRe = "(?i)CURRENT\\s+VALUE\\s+FOR\\s+([\\w.\"]+)".r
+    if (nextRe.findFirstIn(s).isEmpty && curRe.findFirstIn(s).isEmpty)
+      return None
+    val withCur = curRe.replaceAllIn(s,
+      m => currentValueFor(resolveTable(m.group(1))).toString + "L")
+    val nextSeqs = nextRe.findAllMatchIn(withCur)
+      .map(m => resolveTable(m.group(1))).toSeq.distinct
+    if (nextSeqs.isEmpty) return Some(spark.sql(withCur))
+    val rewritten = nextRe.replaceAllIn(withCur, m => {
+      val seq = resolveTable(m.group(1))
+      val st = seqOf(seq)
+      val first = peekNext(st)
+      // value = first + incr * (row_number - 1); constant ORDER BY = the
+      // reference's iteration-order assignment (order not guaranteed)
+      s"(${first}L + ${st.incr}L * (ROW_NUMBER() OVER (ORDER BY 1) - 1))"
+    })
+    val out = spark.sql(rewritten)
+    val n = out.count() // consume eagerly, like the reference's iterator
+    nextSeqs.foreach { seq =>
+      val st = seqOf(seq)
+      if (n > 0) {
+        val first = peekNext(st)
+        val lastV = first + st.incr * (n - 1)
+        if ((st.incr > 0 && (lastV > st.max || lastV < first)) ||
+            (st.incr < 0 && (lastV < st.min || lastV > first)))
+          throw new IllegalStateException(
+            s"sequence $seq: batch of $n values steps past its limit " +
+              s"[${st.min}, ${st.max}] (bulk cycling unsupported)")
+        st.last = Some(lastV)
+      }
+    }
+    Some(out)
   }
 
   /** Identifiers: strip quotes, lowercase, flatten schema qualification

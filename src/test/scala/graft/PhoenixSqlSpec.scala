@@ -352,4 +352,235 @@ class PhoenixSqlSpec extends AnyFunSuite {
       px.execute("EXPLAIN CREATE TABLE t3 (id BIGINT NOT NULL PRIMARY KEY)")
     }
   }
+
+  test("CREATE CDC chain: images per scope, default CHANGE, drop, errors") {
+    // reference it/end2end/CDCQueryIT shapes: create table, CDC with
+    // INCLUDE (PRE, POST), mutate, query the CDC object like a table
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR)")
+    px.execute("CREATE CDC cdc_full ON t INCLUDE (PRE, POST, CHANGE)")
+    px.execute("CREATE CDC cdc_dflt ON t") // INCLUDE omitted → change image
+    px.execute("UPSERT INTO t VALUES (1, 'a')")
+    px.execute("UPSERT INTO t VALUES (1, 'b')")
+    px.execute("DELETE FROM t WHERE id = 1")
+    val rows = px.execute(
+      "SELECT * FROM cdc_full ORDER BY cdc_version").collect()
+    assert(rows.length == 3)
+    val cols = px.execute("SELECT * FROM cdc_full").columns.toSet
+    assert(Set("cdc_pre_image", "cdc_post_image", "cdc_change_image",
+      "phoenix_row_timestamp").subsetOf(cols))
+    assert(rows(0).getAs[String]("cdc_op") == "upsert")
+    assert(rows(0).getAs[String]("cdc_pre_image") == null)
+    assert(rows(0).getAs[String]("cdc_post_image").contains("\"v\":\"a\""))
+    assert(rows(1).getAs[String]("cdc_pre_image").contains("\"v\":\"a\""))
+    assert(rows(1).getAs[String]("cdc_post_image").contains("\"v\":\"b\""))
+    assert(rows(2).getAs[String]("cdc_op") == "delete")
+    assert(rows(2).getAs[String]("cdc_post_image") == null)
+    rows.foreach(r =>
+      assert(r.getAs[java.sql.Timestamp]("phoenix_row_timestamp") != null))
+    // default scope carries ONLY the change image
+    val dfltCols = px.execute("SELECT * FROM cdc_dflt").columns.toSet
+    assert(dfltCols.contains("cdc_change_image") &&
+      !dfltCols.contains("cdc_pre_image") &&
+      !dfltCols.contains("cdc_post_image"))
+    // errors: duplicate without IF NOT EXISTS, unsupported scope,
+    // unknown base table
+    intercept[IllegalArgumentException] {
+      px.execute("CREATE CDC cdc_full ON t")
+    }
+    px.execute("CREATE CDC IF NOT EXISTS cdc_full ON t") // no-op
+    intercept[IllegalArgumentException] {
+      px.execute("CREATE CDC c2 ON t INCLUDE (IDX_MUTATIONS)")
+    }
+    intercept[IllegalArgumentException] {
+      px.execute("CREATE CDC c3 ON missing_table")
+    }
+    // DROP CDC removes the object; IF EXISTS tolerates absence
+    px.execute("DROP CDC cdc_dflt ON t")
+    intercept[Exception] { px.execute("SELECT * FROM cdc_dflt").collect() }
+    intercept[IllegalArgumentException] { px.execute("DROP CDC cdc_dflt ON t") }
+    px.execute("DROP CDC IF EXISTS cdc_dflt ON t")
+    // dropping the base table drops its CDC objects
+    px.execute("DROP TABLE t")
+    intercept[Exception] { px.execute("SELECT * FROM cdc_full").collect() }
+  }
+
+  test("PHOENIX_ROW_TIMESTAMP() projects the write's batch stamp") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR)")
+    val before = new java.sql.Timestamp(System.currentTimeMillis() - 60000)
+    px.execute("UPSERT INTO t VALUES (1, 'a')")
+    px.execute("UPSERT INTO t VALUES (2, 'b')")
+    val rows = px.execute(
+      "SELECT id, PHOENIX_ROW_TIMESTAMP() AS ts FROM t ORDER BY id")
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val ts = r.getAs[java.sql.Timestamp]("ts")
+      assert(ts != null && ts.after(before),
+        s"row timestamp $ts should be a recent wall-clock stamp")
+    }
+    // the timestamp rides only statements that ask for it — a plain
+    // SELECT * afterwards shows the declared columns alone
+    assert(px.execute("SELECT * FROM t").columns.toSeq == Seq("id", "v"))
+    // usable in predicates, as in the reference
+    assert(px.execute("SELECT count(*) AS n FROM t WHERE " +
+        "PHOENIX_ROW_TIMESTAMP() > TIMESTAMP'2000-01-01 00:00:00'")
+      .collect()(0).getLong(0) == 2)
+  }
+
+  test("sequences: increment, min/max defaults, SELECT position, current") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY)")
+    (1L to 3L).foreach(i => px.execute(s"UPSERT INTO t VALUES ($i)"))
+    px.execute("CREATE SEQUENCE s START WITH 5 INCREMENT BY 10")
+    // SELECT position (reference SequenceResultIterator): one value per
+    // row, stepping by the increment
+    val vals = px.execute("SELECT NEXT VALUE FOR s AS v FROM t")
+      .collect().map(_.getLong(0)).toSet
+    assert(vals == Set(5L, 15L, 25L), s"got $vals")
+    assert(px.execute("SELECT CURRENT VALUE FOR s AS v FROM t LIMIT 1")
+      .collect()(0).getLong(0) == 25L)
+    // UPSERT VALUES path continues the same stream
+    px.execute("CREATE TABLE u (k BIGINT NOT NULL PRIMARY KEY)")
+    px.execute("UPSERT INTO u VALUES (NEXT VALUE FOR s)")
+    assert(px.execute("SELECT k FROM u").collect()(0).getLong(0) == 35L)
+    // CURRENT VALUE FOR before any NEXT is an error (reference
+    // CANNOT_CALL_CURRENT_BEFORE_NEXT_VALUE)
+    px.execute("CREATE SEQUENCE virgin")
+    intercept[IllegalStateException] {
+      px.execute("SELECT CURRENT VALUE FOR virgin AS v FROM t")
+    }
+  }
+
+  test("sequences: limits, cycle, drop, strict option parsing") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY)")
+    px.execute("UPSERT INTO t VALUES (1)")
+    // MAXVALUE without CYCLE: the step past the limit throws
+    px.execute("CREATE SEQUENCE lim START WITH 1 INCREMENT BY 2 MAXVALUE 3")
+    assert(px.execute("SELECT NEXT VALUE FOR lim AS v FROM t")
+      .collect()(0).getLong(0) == 1L)
+    assert(px.execute("SELECT NEXT VALUE FOR lim AS v FROM t")
+      .collect()(0).getLong(0) == 3L)
+    intercept[IllegalStateException] {
+      px.execute("SELECT NEXT VALUE FOR lim AS v FROM t").collect()
+    }
+    // CYCLE restarts at MINVALUE (reference SequenceRegionObserver)
+    px.execute(
+      "CREATE SEQUENCE cyc START WITH 2 INCREMENT BY 2 MINVALUE 1 " +
+        "MAXVALUE 3 CYCLE")
+    assert(px.execute("SELECT NEXT VALUE FOR cyc AS v FROM t")
+      .collect()(0).getLong(0) == 2L)
+    // 2+2=4 > 3 → wraps to MINVALUE 1, not to the overflow remainder
+    assert(px.execute("SELECT NEXT VALUE FOR cyc AS v FROM t")
+      .collect()(0).getLong(0) == 1L)
+    // descending default start = MAXVALUE
+    px.execute("CREATE SEQUENCE desc_seq INCREMENT BY -1 MAXVALUE 10")
+    assert(px.execute("SELECT NEXT VALUE FOR desc_seq AS v FROM t")
+      .collect()(0).getLong(0) == 10L)
+    // DROP SEQUENCE: gone afterwards; IF EXISTS tolerates absence
+    px.execute("DROP SEQUENCE lim")
+    intercept[IllegalArgumentException] {
+      px.execute("SELECT NEXT VALUE FOR lim AS v FROM t")
+    }
+    intercept[IllegalArgumentException] { px.execute("DROP SEQUENCE lim") }
+    px.execute("DROP SEQUENCE IF EXISTS lim")
+    // unparseable options must THROW, not silently build a different
+    // sequence (the round-4 gap: INCREMENT BY swallowed by a regex .*)
+    intercept[IllegalArgumentException] {
+      px.execute("CREATE SEQUENCE bad START WITH 1 FANCY OPTION 9")
+    }
+    intercept[IllegalArgumentException] {
+      px.execute("CREATE SEQUENCE bad INCREMENT BY 0")
+    }
+    intercept[IllegalArgumentException] {
+      px.execute("CREATE SEQUENCE bad START WITH 99 MAXVALUE 10")
+    }
+    // CACHE is allocation batching — value-neutral, accepted
+    px.execute("CREATE SEQUENCE cached START WITH 7 CACHE 100")
+    assert(px.execute("SELECT NEXT VALUE FOR cached AS v FROM t")
+      .collect()(0).getLong(0) == 7L)
+  }
+
+  test("CREATE/USE/DROP SCHEMA resolve names like the reference") {
+    // reference it/end2end/CreateSchemaIT + use_schema_node g:1138
+    val px = fresh()
+    px.execute("CREATE SCHEMA IF NOT EXISTS foo")
+    intercept[IllegalArgumentException] { px.execute("CREATE SCHEMA foo") }
+    px.execute("USE foo")
+    px.execute("CREATE TABLE bar (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR)")
+    px.execute("UPSERT INTO bar VALUES (1, 'x')")
+    // reachable bare (current schema) and fully qualified
+    assert(px.execute("SELECT v FROM bar").collect()(0).getString(0) == "x")
+    assert(px.execute("SELECT v FROM foo.bar").collect()(0)
+      .getString(0) == "x")
+    px.execute("USE DEFAULT")
+    // outside the schema the bare name no longer resolves
+    intercept[Exception] { px.execute("SELECT v FROM bar").collect() }
+    assert(px.execute("SELECT v FROM foo.bar").collect()(0)
+      .getString(0) == "x")
+    // DROP SCHEMA refuses while non-empty, CASCADE drops the tables
+    intercept[IllegalArgumentException] { px.execute("DROP SCHEMA foo") }
+    px.execute("DROP SCHEMA foo CASCADE")
+    intercept[Exception] { px.execute("SELECT v FROM foo.bar").collect() }
+    px.execute("DROP SCHEMA IF EXISTS foo")
+    intercept[IllegalArgumentException] { px.execute("DROP SCHEMA foo") }
+    intercept[IllegalArgumentException] { px.execute("USE foo") }
+  }
+
+  test("TRUNCATE TABLE empties rows, keeps the table writable") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, v VARCHAR)")
+    px.execute("UPSERT INTO t VALUES (1, 'a')")
+    px.execute("UPSERT INTO t VALUES (2, 'b')")
+    px.execute("TRUNCATE TABLE t")
+    assert(px.execute("SELECT count(*) AS n FROM t").collect()(0)
+      .getLong(0) == 0)
+    // PRESERVE/DROP SPLITS are HBase physical details — both accepted
+    px.execute("UPSERT INTO t VALUES (3, 'c')")
+    px.execute("TRUNCATE TABLE t PRESERVE SPLITS")
+    px.execute("UPSERT INTO t VALUES (4, 'd')")
+    assert(px.execute("SELECT v FROM t").collect()(0).getString(0) == "d")
+    intercept[IllegalArgumentException] {
+      px.execute("TRUNCATE TABLE missing")
+    }
+  }
+
+  test("SHOW TABLES/SCHEMAS/CREATE TABLE introspection") {
+    val px = fresh()
+    px.execute("CREATE SCHEMA s1")
+    px.execute("CREATE TABLE plain (id BIGINT NOT NULL PRIMARY KEY)")
+    px.execute("USE s1")
+    px.execute("""CREATE TABLE wide (
+      a CHAR(3) NOT NULL, b VARCHAR(20), c UNSIGNED_INT, d DECIMAL(10,2),
+      e DOUBLE ARRAY CONSTRAINT pk PRIMARY KEY (a))""")
+    px.execute("USE DEFAULT")
+    val all = px.execute("SHOW TABLES").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(all == Set((null, "plain"), ("s1", "wide")))
+    val inS1 = px.execute("SHOW TABLES IN s1").collect()
+      .map(_.getString(1)).toSeq
+    assert(inS1 == Seq("wide"))
+    assert(px.execute("SHOW TABLES LIKE 'pl%'").collect()
+      .map(_.getString(1)).toSeq == Seq("plain"))
+    assert(px.execute("SHOW SCHEMAS").collect()
+      .map(_.getString(0)).toSeq == Seq("s1"))
+    assert(px.execute("SHOW SCHEMAS LIKE 'zz%'").collect().isEmpty)
+    // SHOW CREATE TABLE round-trips through a fresh front-end
+    val ddl = px.execute("SHOW CREATE TABLE s1.wide").collect()(0)
+      .getString(0)
+    assert(ddl.contains("CHAR(3)") && ddl.contains("VARCHAR(20)") &&
+      ddl.contains("UNSIGNED_INT") && ddl.contains("DECIMAL(10,2)") &&
+      ddl.contains("DOUBLE ARRAY") && ddl.contains("PRIMARY KEY (a)"),
+      s"unexpected DDL: $ddl")
+    val px2 = fresh()
+    px2.execute(ddl.replace("s1_wide", "wide2"))
+    px2.execute("UPSERT INTO wide2 (a, c) VALUES ('abc', 5)")
+    assert(px2.execute("SELECT c FROM wide2").collect()(0).getInt(0) == 5)
+    // GRANT/REVOKE are declared out of scope loudly
+    intercept[IllegalArgumentException] {
+      px.execute("GRANT 'RW' ON plain TO 'user'")
+    }
+  }
 }
