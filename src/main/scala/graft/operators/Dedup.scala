@@ -142,21 +142,27 @@ object Dedup {
     * groupBy): each bucket's sorted id list explodes into its pairs via
     * nested transforms over small arrays — cheaper than a two-sided
     * self-join shuffle, and the maxBucket cap is a free size() filter on
-    * the collected list instead of a window. */
+    * the collected list instead of a window.
+    *
+    * `dedupe = false` skips the distinct (a full shuffle of the raw
+    * candidate stream — the largest intermediate in the pipeline) for
+    * callers that filter the stream first and dedupe the survivors:
+    * a pair duplicated across k agreeing bands costs k cheap map-side
+    * filter evaluations instead of one corpus-candidate-sized exchange. */
   private def bandedPairs(sig: DataFrame, bands: Int, r: Int,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int, dedupe: Boolean = true): DataFrame = {
     val buckets = sig.select(col("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
       .toDF("id", "band", "bucket")
-    buckets.groupBy(col("band"), col("bucket"))
+    val pairs = buckets.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(col("id"))).as("ids"))
       .where(size(col("ids")).between(2, maxBucket))
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
-      .distinct()
+    if (dedupe) pairs.distinct() else pairs
   }
 
   /** Exact Jaccard similarity between two shingle-set columns. */
@@ -189,19 +195,24 @@ object Dedup {
       .where(size(col("sh")) > 0)
     val sig = shT
       .withColumn("sig", fastSignature(shT, "sh", numHashes))
-    val cands = bandedPairs(sig, bands, r, maxBucket)
+    // raw (duplicated-across-bands) candidate stream: the distinct would
+    // be a full shuffle of the pipeline's largest intermediate (~200k
+    // candidate rows for ~260 real pairs at sf0.1) — the estimate filter
+    // below kills almost all of it map-side first, and the survivors
+    // dedupe for the price of a few hundred rows
+    val cands = bandedPairs(sig, bands, r, maxBucket, dedupe = false)
     // 2σ slack for the minhash estimator at the threshold
     val margin = 2 * math.sqrt(threshold * (1 - threshold) / numHashes)
     val minAgree = math.ceil((threshold - margin) * numHashes).toInt
     graft.functions.GraftFunctions.register(docs.sparkSession)
     // Two join passes, cheapest payload first. With low rows-per-band
     // (needed for low thresholds) the candidate set is orders of
-    // magnitude larger than the survivor set — at sf0.1, ~200k candidates
-    // for ~260 real pairs — so the wide shingle arrays must NOT ride the
-    // candidate join. Pass 1 attaches only the numHashes-long signatures
-    // (a guaranteed-broadcast build) and prunes on the agreement
-    // estimate (O(numHashes)/pair); pass 2 attaches shingle sets for the
-    // estimate survivors alone and verifies with exact Jaccard.
+    // magnitude larger than the survivor set — so the wide shingle arrays
+    // must NOT ride the candidate join. Pass 1 attaches only the
+    // numHashes-long signatures (a guaranteed-broadcast build) and prunes
+    // on the agreement estimate (O(numHashes)/pair, codegen'd, map-side);
+    // pass 2 dedupes the estimate survivors and attaches shingle sets for
+    // them alone, verifying with exact Jaccard.
     val sigOnly = sig.select(col("id"), col("sig"))
     val shOnly = shT.select(col("id"), col("sh"))
     cands
@@ -210,6 +221,7 @@ object Dedup {
       .where(call_function("sig_agreement", col("sig_a"), col("sig_b"))
         >= minAgree)
       .select("id_a", "id_b")
+      .distinct()
       .join(shOnly.toDF("id_a", "sh_a"), "id_a")
       .join(shOnly.toDF("id_b", "sh_b"), "id_b")
       .withColumn("jac",

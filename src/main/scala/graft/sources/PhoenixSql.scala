@@ -410,8 +410,40 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
           def call(a: Any, b: Any, c: Any, d: Any): Any =
             f.eval(Seq(a, b, c, d))
         }, ret)
+      case 5 => spark.udf.register(name,
+        new UDF5[Any, Any, Any, Any, Any, Any] {
+          def call(a: Any, b: Any, c: Any, d: Any, e: Any): Any =
+            f.eval(Seq(a, b, c, d, e))
+        }, ret)
+      case 6 => spark.udf.register(name,
+        new UDF6[Any, Any, Any, Any, Any, Any, Any] {
+          def call(a: Any, b: Any, c: Any, d: Any, e: Any, g: Any): Any =
+            f.eval(Seq(a, b, c, d, e, g))
+        }, ret)
+      case 7 => spark.udf.register(name,
+        new UDF7[Any, Any, Any, Any, Any, Any, Any, Any] {
+          def call(a: Any, b: Any, c: Any, d: Any, e: Any, g: Any,
+              h: Any): Any = f.eval(Seq(a, b, c, d, e, g, h))
+        }, ret)
+      case 8 => spark.udf.register(name,
+        new UDF8[Any, Any, Any, Any, Any, Any, Any, Any, Any] {
+          def call(a: Any, b: Any, c: Any, d: Any, e: Any, g: Any,
+              h: Any, i: Any): Any = f.eval(Seq(a, b, c, d, e, g, h, i))
+        }, ret)
+      case 9 => spark.udf.register(name,
+        new UDF9[Any, Any, Any, Any, Any, Any, Any, Any, Any, Any] {
+          def call(a: Any, b: Any, c: Any, d: Any, e: Any, g: Any,
+              h: Any, i: Any, j: Any): Any =
+            f.eval(Seq(a, b, c, d, e, g, h, i, j))
+        }, ret)
+      case 10 => spark.udf.register(name,
+        new UDF10[Any, Any, Any, Any, Any, Any, Any, Any, Any, Any, Any] {
+          def call(a: Any, b: Any, c: Any, d: Any, e: Any, g: Any,
+              h: Any, i: Any, j: Any, k: Any): Any =
+            f.eval(Seq(a, b, c, d, e, g, h, i, j, k))
+        }, ret)
       case n => throw new IllegalArgumentException(
-        s"UDF arity $n not supported (max 4)")
+        s"UDF arity $n not supported (max 10)")
     }
     spark.emptyDataFrame
   }

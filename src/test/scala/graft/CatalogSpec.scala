@@ -414,4 +414,31 @@ class CatalogSpec extends AnyFunSuite {
         bridged.session_end == hours(13.0))
     } finally q.stop()
   }
+
+  test("CSV bulk load lands in the catalog with PK snapshot semantics") {
+    // the reference's psql.py/CsvBulkLoadTool path: CSV → typed rows →
+    // UPSERT batch; here spark.read.csv with the declared schema feeds
+    // catalog.upsert, and the snapshot applies the same latest-wins PK
+    // collapse as any other write
+    val cat = freshCatalog()
+    val csv = java.nio.file.Files.createTempDirectory("graft_csv")
+    java.nio.file.Files.writeString(csv.resolve("batch1.csv"),
+      "host,domain,feature,date,core,db\n" +
+        "NA,apache.org,Login,2013-01-01,35,42\n" +
+        "EU,salesforce.com,Search,2013-01-01,7,1\n")
+    java.nio.file.Files.writeString(csv.resolve("batch2.csv"),
+      "host,domain,feature,date,core,db\n" +
+        "NA,apache.org,Login,2013-01-01,100,50\n") // PK overwrite
+    cat.createTable("web_stat", webStatSchema,
+      pk = Seq("host", "domain", "feature", "date"))
+    val schema = webStatSchema
+    cat.upsert("web_stat", spark.read.schema(schema).option("header", "true")
+      .csv(csv.resolve("batch1.csv").toString))
+    cat.upsert("web_stat", spark.read.schema(schema).option("header", "true")
+      .csv(csv.resolve("batch2.csv").toString))
+    val snap = cat.snapshot("web_stat").collect()
+    assert(snap.length == 2)
+    val na = snap.find(_.getAs[String]("host") == "NA").get
+    assert(na.getAs[Long]("core") == 100L, "second CSV batch wins the PK")
+  }
 }
