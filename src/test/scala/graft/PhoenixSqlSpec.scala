@@ -423,6 +423,16 @@ class PhoenixSqlSpec extends AnyFunSuite {
     // the timestamp rides only statements that ask for it — a plain
     // SELECT * afterwards shows the declared columns alone
     assert(px.execute("SELECT * FROM t").columns.toSeq == Seq("id", "v"))
+    // a PK overwrite surfaces the WINNING write's stamp (latest batch)
+    val t1 = px.execute(
+      "SELECT PHOENIX_ROW_TIMESTAMP() AS ts FROM t WHERE id = 1")
+      .collect()(0).getAs[java.sql.Timestamp]("ts")
+    Thread.sleep(5)
+    px.execute("UPSERT INTO t VALUES (1, 'a2')")
+    val t2 = px.execute(
+      "SELECT PHOENIX_ROW_TIMESTAMP() AS ts FROM t WHERE id = 1")
+      .collect()(0).getAs[java.sql.Timestamp]("ts")
+    assert(t2.after(t1), s"overwrite stamp $t2 must be later than $t1")
     // usable in predicates, as in the reference
     assert(px.execute("SELECT count(*) AS n FROM t WHERE " +
         "PHOENIX_ROW_TIMESTAMP() > TIMESTAMP'2000-01-01 00:00:00'")
