@@ -455,6 +455,9 @@ class PhoenixSqlSpec extends AnyFunSuite {
     px.execute("CREATE TABLE u (k BIGINT NOT NULL PRIMARY KEY)")
     px.execute("UPSERT INTO u VALUES (NEXT VALUE FOR s)")
     assert(px.execute("SELECT k FROM u").collect()(0).getLong(0) == 35L)
+    // the reference's canonical FROM-less form (one row, one step)
+    assert(px.execute("SELECT NEXT VALUE FOR s AS v").collect()(0)
+      .getLong(0) == 45L)
     // CURRENT VALUE FOR before any NEXT is an error (reference
     // CANNOT_CALL_CURRENT_BEFORE_NEXT_VALUE)
     px.execute("CREATE SEQUENCE virgin")
