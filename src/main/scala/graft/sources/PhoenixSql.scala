@@ -143,7 +143,14 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
         if (tableNames.contains(t)) {
           catalog.dropTable(t); tableNames -= t
           spark.catalog.dropTempView(t)
+          // CDC objects riding a dropped table die with it
+          cdcDefs.filter(_._2._1 == t).keys.foreach { c =>
+            cdcDefs -= c
+            spark.catalog.dropTempView(c)
+          }
         }
+        if (cdcDefs.remove(t).isDefined) spark.catalog.dropTempView(t)
+        sequences -= t
         viewNames -= t
         schemaOf -= t
       }
