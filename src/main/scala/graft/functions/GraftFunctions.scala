@@ -121,6 +121,8 @@ object GraftFunctions {
       "vec_maxabs", e => VecMaxAbs(e.head), "built-in")
     reg.createOrReplaceTempFunction(
       "int8_quantize", e => Int8Quantize(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "int8_cosine", e => Int8Cosine(e(0), e(1)), "built-in")
     // max_strlen assumes containsNull=false arrays (tokenizer outputs);
     // see the MaxStrLen contract note for the null-element divergence
     // from exists/forall three-valued logic

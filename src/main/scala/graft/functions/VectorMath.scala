@@ -68,6 +68,28 @@ object VectorMath {
     out
   }
 
+  /** Cosine over two int8 code vectors (the [[int8Quantize]] output):
+    * symmetric per-vector quantization scales cancel out of the cosine, so
+    * the codes alone carry the angle (within quantization error ≤ ~1/127
+    * per element). Pure integer accumulation — dot and norms fit a long
+    * for any realistic dim (127² × dim) — with ONE double conversion at
+    * the end: the scan reads 4× less data than float32 and the loop is
+    * int-ALU only, which is the point of quantized storage at corpus
+    * scale. Mismatched lengths → NaN like [[cosine]]; a zero vector → 0. */
+  def int8Cosine(a: Array[Byte], b: Array[Byte]): Double = {
+    val n = a.length
+    if (n != b.length) return Double.NaN
+    var dp = 0L; var na = 0L; var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a(i).toInt; val y = b(i).toInt
+      dp += x * y; na += x.toLong * x; nb += y.toLong * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dp / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
   /** IVF cell assignment: index of the L2-nearest centroid, centroids
     * flattened row-major (nlist = centroids.length / dim). Ties keep the
     * lowest index (strict <). */
@@ -135,6 +157,21 @@ case class CosineSim(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
+}
+
+/** INT8_COSINE(binary, binary) → double: cosine over int8 code vectors. */
+case class Int8Cosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorMath.int8Cosine(a.asInstanceOf[Array[Byte]],
+      b.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorMath.int8Cosine($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Int8Cosine = copy(left = l, right = r)
+  override def prettyName: String = "int8_cosine"
 }
 
 /** VEC_MAXABS(vec) → double. */

@@ -194,6 +194,25 @@ object Similarity {
         call_function("int8_quantize", col("v"), col("scale")).as("q"))
   }
 
+  /** Cosine top-k over the int8-QUANTIZED corpus ([[quantizeInt8]]
+    * output): the storage-path search. Symmetric per-vector scales cancel
+    * out of the cosine, so the int8 codes alone carry the angle — the
+    * scan reads the 4×-smaller code column and never reconstructs floats
+    * (one integer-ALU kernel per pair, same TakeOrderedAndProject shape
+    * as [[cosineTopK]]). Ranking error is bounded by quantization
+    * (≤ ~1/127 per element). */
+  def int8CosineTopK(quant: DataFrame, codeCol: String, idCol: String,
+      queryId: Long, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(quant.sparkSession)
+    val q = quant.where(col(idCol) === queryId)
+      .select(col(codeCol).as("qc"))
+    quant.crossJoin(broadcast(q))
+      .select(col(idCol),
+        call_function("int8_cosine", col(codeCol), col("qc")).as("sim"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact bounded form (the
     * correctness baseline — O(n²); the scale path is [[knnJoin]]'s
     * LSH-bucketed self-join followed by the same threshold). */

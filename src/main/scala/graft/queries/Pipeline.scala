@@ -97,6 +97,17 @@ object Pipeline {
         "embedding", "vec_id", queryId = 0L, k = 20)
     },
 
+    // Storage-path top-k over the int8-QUANTIZED corpus: the scan reads
+    // the 4×-smaller code column and the kernel is integer-ALU only
+    // (per-vector scales cancel out of the cosine). No SQL oracle — the
+    // ranking-accuracy bound vs float cosine is ScalaTested.
+    "q_knn_cosine_int8" -> { (s, dir) =>
+      Similarity.int8CosineTopK(
+        Similarity.quantizeInt8(Tables.t(s, dir, "embeddings"),
+          "embedding", "vec_id"),
+        "q", "id", queryId = 0L, k = 20)
+    },
+
     // Embedding-cosine near-dup pairs (bounded exact baseline; the scale
     // path is the LSH-bucketed knnJoin + threshold).
     "q_dedup_embedding" -> { (s, dir) =>

@@ -359,6 +359,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh.size.toDouble / exact.size >= 0.9)
   }
 
+  test("int8-quantized search tracks the float cosine ranking") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val n = emb.count().toInt
+    val quant = Similarity.quantizeInt8(emb, "embedding", "vec_id")
+    val q8 = Similarity.int8CosineTopK(quant, "q", "id", queryId = 0L, k = n)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val f32 = Similarity.cosineTopK(emb, "embedding", "vec_id", 0L, n)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // per-pair similarity error is bounded by the quantization step
+    for ((id, s) <- q8) assert(math.abs(f32(id) - s) < 0.05,
+      s"id $id: int8 sim $s vs float ${f32(id)}")
+    // and the top-10 ranking survives quantization almost entirely
+    val top8 = q8.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+      .map(_._1).toSet
+    val topF = f32.toSeq.sortBy { case (id, s) => (-s, id) }.take(10)
+      .map(_._1).toSet
+    assert(top8.intersect(topF).size >= 8,
+      s"quantized top-10 overlap too low: $top8 vs $topF")
+  }
+
   test("knnJoin drops degenerate buckets above the cap") {
     import spark.implicits._
     // 10 identical vectors share one LSH bucket (population 10 > cap 5);
