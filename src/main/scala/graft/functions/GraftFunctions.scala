@@ -81,6 +81,26 @@ object GraftFunctions {
       "json_exists",
       e => JsonExists(asString(e(0)), asString(e(1))), "built-in")
     reg.createOrReplaceTempFunction(
+      "json_value",
+      e => JsonValue(asString(e(0)), asString(e(1))), "built-in")
+    // Phoenix spellings for operations Spark has under other names, so
+    // reference SQL runs unmodified: ARRAY_ELEM is 1-based exactly like
+    // element_at; ARRAY_LENGTH = size; REGEXP_SPLIT = regex split
+    reg.createOrReplaceTempFunction(
+      "array_elem",
+      e => org.apache.spark.sql.catalyst.expressions.ElementAt(e(0), e(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "array_length",
+      e => org.apache.spark.sql.catalyst.expressions.Size(e(0)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "regexp_split",
+      e => org.apache.spark.sql.catalyst.expressions.StringSplit(
+        asString(e(0)), asString(e(1)),
+        org.apache.spark.sql.catalyst.expressions.Literal(-1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "phoenix_decimal_div",
       e => PhoenixDecimalDivide(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction(

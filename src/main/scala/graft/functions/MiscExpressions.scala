@@ -177,6 +177,37 @@ case class JsonQuery(json: Expression, path: Expression)
   override def prettyName: String = "json_query"
 }
 
+/** JSON_VALUE(json, path) → the SCALAR at the path as a string —
+  * "everything except object and array" (reference:
+  * .../expression/function/JsonValueFunction.java:39-41; the optional
+  * RETURNING typecast is a plain CAST around this). Objects, arrays,
+  * JSON null, missing paths, malformed input → NULL. */
+case class JsonValue(json: Expression, path: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = json
+  override def right: Expression = path
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private lazy val pathCache = new JsonPathWalk.PathCache
+
+  override def nullSafeEval(j: Any, p: Any): Any = {
+    try {
+      val root = JsonPathWalk.parseCached(j.asInstanceOf[UTF8String].toString)
+      val node = JsonPathWalk.navigate(root,
+        pathCache.get(p.asInstanceOf[UTF8String].toString))
+      if (node == null || node.isNull || node.isContainerNode) null
+      else UTF8String.fromString(node.asText())
+    } catch {
+      case _: com.fasterxml.jackson.core.JacksonException => null
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): JsonValue = copy(json = l, path = r)
+  override def prettyName: String = "json_value"
+}
+
 /** JSON_EXISTS(json, path) → true iff the path resolves to a node (an
   * explicit JSON null counts as existing — reference:
   * .../expression/function/JsonExistsFunction.java:44). Malformed input

@@ -265,7 +265,13 @@ object Functions {
           call_function("json_modify", $"j", lit("$.a.b"), lit("99"))
             .as("jm_replace"),
           call_function("json_modify", $"j", lit("$.a.z"), lit("\"w\""))
-            .as("jm_insert"))
+            .as("jm_insert"),
+          // JSON_VALUE: scalar-only extract (containers and JSON null
+          // come back NULL — reference JsonValueFunction.java:39-41)
+          call_function("json_value", $"j", lit("$.a.b")).as("jv_num"),
+          call_function("json_value", $"j", lit("$.a.c[1]")).as("jv_str"),
+          call_function("json_value", $"j", lit("$.a")).as("jv_obj"),
+          call_function("json_value", $"j", lit("$.d")).as("jv_null"))
     },
 
     // §2.8 array functions over a real ARRAY column (embeddings.embedding).
@@ -565,7 +571,11 @@ object Functions {
         '{"a":{"b":99,"c":["' || event_type || '","x"]},"d":null}'
           AS jm_replace,
         '{"a":{"b":' || eid || ',"c":["' || event_type ||
-          '","x"],"z":"w"},"d":null}' AS jm_insert
+          '","x"],"z":"w"},"d":null}' AS jm_insert,
+        eid AS jv_num,
+        'x' AS jv_str,
+        CAST(NULL AS VARCHAR) AS jv_obj,
+        CAST(NULL AS VARCHAR) AS jv_null
       FROM j""",
 
     "q_array_funcs" -> """

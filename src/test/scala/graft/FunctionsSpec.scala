@@ -228,4 +228,25 @@ class FunctionsSpec extends AnyFunSuite {
       .select(call_function("get_byte", $"b", lit(0)))
       .collect()(0).isNullAt(0))
   }
+
+  test("Phoenix function spellings run unmodified through spark.sql") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(Tuple1("a b c")).toDF("t").createOrReplaceTempView("fn_probe")
+    val r = spark.sql("""
+      SELECT ARRAY_ELEM(REGEXP_SPLIT(t, '\\s+'), 1) AS first_tok,
+             ARRAY_LENGTH(REGEXP_SPLIT(t, '\\s+')) AS n,
+             JSON_VALUE('{"a":{"b":7,"c":[1,2]},"d":null}', '$.a.b') AS jv,
+             JSON_VALUE('{"a":{"b":7,"c":[1,2]},"d":null}', '$.a.c[0]')
+               AS jv_idx,
+             JSON_VALUE('{"a":{"b":7}}', '$.a') AS jv_obj,
+             JSON_VALUE('{"d":null}', '$.d') AS jv_null
+      FROM fn_probe""").collect()(0)
+    assert(r.getString(0) == "a") // ARRAY_ELEM is 1-based
+    assert(r.getInt(1) == 3)
+    assert(r.getString(2) == "7")
+    assert(r.getString(3) == "1")
+    assert(r.isNullAt(4), "JSON_VALUE of an object is NULL (scalar-only)")
+    assert(r.isNullAt(5), "JSON_VALUE of JSON null is NULL")
+  }
 }
