@@ -42,6 +42,27 @@ object GraftFunctions {
       "base62_encode", e => Base62Encode(asLong(e.head)), "built-in")
     reg.createOrReplaceTempFunction(
       "base62_decode", e => Base62Decode(asString(e.head)), "built-in")
+    // Phoenix ENCODE(long,'BASE62') / DECODE(str,'HEX') share their names
+    // with Spark's charset builtins — dispatch on the literal format so
+    // reference SQL runs unmodified AND encode('x','UTF-8') keeps working
+    def fmtLit(e: Expression): Option[String] = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        Some(s.toString.toUpperCase)
+      case _ => None
+    }
+    reg.createOrReplaceTempFunction(
+      "encode", e => fmtLit(e(1)) match {
+        case Some("BASE62") => Base62Encode(asLong(e(0)))
+        case _ =>
+          org.apache.spark.sql.catalyst.expressions.Encode(e(0), e(1))
+      }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "decode", e => fmtLit(e(1)) match {
+        case Some("HEX") => DecodeBinary(asString(e(0)), e(1))
+        case _ =>
+          org.apache.spark.sql.catalyst.expressions.StringDecode(e(0), e(1))
+      }, "built-in")
     reg.createOrReplaceTempFunction(
       "regexp_substr",
       e => RegexpSubstr(asString(e(0)), asString(e(1)), asInt(e(2))),

@@ -249,4 +249,19 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(4), "JSON_VALUE of an object is NULL (scalar-only)")
     assert(r.isNullAt(5), "JSON_VALUE of JSON null is NULL")
   }
+
+  test("ENCODE/DECODE dispatch: Phoenix formats vs Spark charsets") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val r = spark.sql("""
+      SELECT ENCODE(123456789, 'BASE62') AS b62,
+             DECODE('0a0b', 'HEX') AS hex_bytes,
+             ENCODE('hi', 'UTF-8') AS spark_enc,
+             DECODE(ENCODE('hi', 'UTF-8'), 'UTF-8') AS spark_rt
+    """).collect()(0)
+    assert(r.getString(0) == "8M0kX") // reference Base62EncodeFunctionIT value
+    assert(r.getAs[Array[Byte]](1).sameElements(Array[Byte](0x0a, 0x0b)),
+      "DECODE(...,'HEX') must produce bytes like the reference")
+    assert(r.getString(3) == "hi", "Spark's charset decode must still work")
+  }
 }
