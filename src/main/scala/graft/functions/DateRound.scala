@@ -27,33 +27,54 @@ import org.apache.spark.sql.types._
 object DateRound {
 
   private val MICROS: Map[String, Long] = Map(
+    "MILLISECOND" -> 1000L,
     "SECOND" -> 1000000L,
     "MINUTE" -> 60L * 1000000L,
     "HOUR" -> 3600L * 1000000L,
     "DAY" -> 86400L * 1000000L)
+
+  /** Unit names the SQL-name dispatch recognizes as the date form of
+    * ROUND/CEIL/FLOOR/TRUNC (reference parse TimeUnit values). */
+  val Units: Set[String] = MICROS.keySet ++ Set("WEEK", "MONTH", "YEAR")
 
   private def isCalendarUnit(u: String) =
     u == "WEEK" || u == "MONTH" || u == "YEAR"
 
   private def truncName(u: String): String = u.toLowerCase
 
-  /** Unit start at-or-before ts (DAY → 00:00, WEEK → Monday, …). */
-  def floorDate(ts: Column, unit: String): Column = {
+  private def fixedWidth(u: String, mult: Int): Option[Long] = {
+    require(mult >= 1, s"unit multiplier must be >= 1, got $mult")
+    val m = MICROS.get(u)
+    if (m.isEmpty)
+      require(isCalendarUnit(u) && mult == 1,
+        if (isCalendarUnit(u))
+          s"unit multiplier is only supported for fixed-width units, not $u"
+        else s"unknown unit $u")
+    m.map(_ * mult)
+  }
+
+  /** Unit start at-or-before ts (DAY → 00:00, WEEK → Monday, …). The
+    * `mult` form floors to a multiple of the fixed-width unit, e.g.
+    * FLOOR(ts, 'MINUTE', 15) — reference RoundDateExpression's divBy. */
+  def floorDate(ts: Column, unit: String, mult: Int = 1): Column = {
     val u = unit.toUpperCase
-    require(MICROS.contains(u) || isCalendarUnit(u), s"unknown unit $unit")
-    date_trunc(truncName(u), ts)
+    fixedWidth(u, mult) match {
+      case Some(m) if mult > 1 =>
+        val t = unix_micros(ts)
+        timestamp_micros(t - pmod(t, lit(m)))
+      case _ => date_trunc(truncName(u), ts)
+    }
   }
 
   /** Next unit start strictly after ts unless ts is already exact. */
-  def ceilDate(ts: Column, unit: String): Column = {
+  def ceilDate(ts: Column, unit: String, mult: Int = 1): Column = {
     val u = unit.toUpperCase
-    MICROS.get(u) match {
+    fixedWidth(u, mult) match {
       case Some(m) =>
         // floor(t + unit - 1µs) to a multiple of unit
         val t = unix_micros(ts) + lit(m - 1)
         timestamp_micros(t - pmod(t, lit(m)))
       case None =>
-        require(isCalendarUnit(u), s"unknown unit $unit")
         val l = date_trunc(truncName(u), ts)
         when(l === ts, ts).otherwise(nextStart(l, u))
     }
@@ -61,14 +82,13 @@ object DateRound {
 
   /** Nearest unit boundary; fixed units half-up, calendar units half-even
     * (see object doc). */
-  def roundDate(ts: Column, unit: String): Column = {
+  def roundDate(ts: Column, unit: String, mult: Int = 1): Column = {
     val u = unit.toUpperCase
-    MICROS.get(u) match {
+    fixedWidth(u, mult) match {
       case Some(m) =>
         val t = unix_micros(ts) + lit(m / 2)
         timestamp_micros(t - pmod(t, lit(m)))
       case None =>
-        require(isCalendarUnit(u), s"unknown unit $unit")
         val l = date_trunc(truncName(u), ts)
         val up = nextStart(l, u)
         val dLo = unix_micros(ts) - unix_micros(l)

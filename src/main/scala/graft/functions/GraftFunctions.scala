@@ -63,6 +63,54 @@ object GraftFunctions {
         case _ =>
           org.apache.spark.sql.catalyst.expressions.StringDecode(e(0), e(1))
       }, "built-in")
+    // Phoenix ROUND/CEIL/FLOOR/TRUNC with a time-unit argument (reference
+    // RoundDateExpression + Joda-field variants, optional fixed-unit
+    // multiplier: ROUND(ts, 'MINUTE', 15)); non-unit arguments fall
+    // through to Spark's numeric builtins with identical semantics, so
+    // shadowing the names is safe. Phoenix numeric TRUNC parses to FLOOR
+    // (reference TruncParseNode), date-format trunc stays Spark's.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{
+        toColumn => column, toExpression => expression}
+      def unitLit(e: Expression): Option[String] = fmtLit(e)
+        .filter(DateRound.Units.contains)
+      def multOf(e: Seq[Expression]): Int =
+        if (e.length < 3) 1
+        else e(2) match {
+          case Literal(i: Int, IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"unit multiplier must be an integer literal, got $other")
+        }
+      def dateOr(e: Seq[Expression],
+          date: (org.apache.spark.sql.Column, String, Int) =>
+            org.apache.spark.sql.Column,
+          num: Seq[Expression] => Expression): Expression =
+        if (e.length >= 2 && unitLit(e(1)).isDefined)
+          expression(date(column(e(0)), unitLit(e(1)).get, multOf(e)))
+        else num(e)
+      reg.createOrReplaceTempFunction("round",
+        e => dateOr(e, DateRound.roundDate, e =>
+          if (e.length >= 2) Round(e(0), e(1)) else Round(e(0), Literal(0))),
+        "built-in")
+      reg.createOrReplaceTempFunction("ceil",
+        e => dateOr(e, DateRound.ceilDate, e =>
+          if (e.length >= 2) RoundCeil(e(0), e(1)) else Ceil(e(0))),
+        "built-in")
+      reg.createOrReplaceTempFunction("floor",
+        e => dateOr(e, DateRound.floorDate, e =>
+          if (e.length >= 2) RoundFloor(e(0), e(1)) else Floor(e(0))),
+        "built-in")
+      reg.createOrReplaceTempFunction("trunc",
+        e => dateOr(e, DateRound.floorDate, e =>
+          e(1) match {
+            // date-format form ('MM', 'YYYY', …) = Spark's trunc
+            case Literal(_: org.apache.spark.unsafe.types.UTF8String,
+                StringType) => TruncDate(e(0), e(1))
+            case _ => RoundFloor(e(0), e(1)) // numeric TRUNC = FLOOR
+          }),
+        "built-in")
+    }
     reg.createOrReplaceTempFunction(
       "regexp_substr",
       e => RegexpSubstr(asString(e(0)), asString(e(1)), asInt(e(2))),

@@ -250,6 +250,31 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(5), "JSON_VALUE of JSON null is NULL")
   }
 
+  test("ROUND/CEIL/FLOOR/TRUNC unit dispatch vs numeric fallback") {
+    GraftFunctions.register(spark)
+    def one(sql: String): String =
+      spark.sql(s"SELECT CAST(($sql) AS STRING) AS v").collect()(0)
+        .getString(0)
+    val t = "TIMESTAMP'2013-05-17 13:45:31'"
+    // date forms (reference RoundDateExpression semantics)
+    assert(one(s"ROUND($t, 'HOUR')") == "2013-05-17 14:00:00")
+    assert(one(s"FLOOR($t, 'HOUR')") == "2013-05-17 13:00:00")
+    assert(one(s"CEIL($t, 'HOUR')") == "2013-05-17 14:00:00")
+    assert(one(s"TRUNC($t, 'DAY')") == "2013-05-17 00:00:00")
+    // fixed-unit multiplier: ROUND(ts,'MINUTE',15) snaps to 13:45
+    assert(one(s"ROUND($t, 'MINUTE', 15)") == "2013-05-17 13:45:00")
+    assert(one(s"CEIL($t, 'MINUTE', 15)") == "2013-05-17 14:00:00")
+    assert(one(s"FLOOR($t, 'MINUTE', 15)") == "2013-05-17 13:45:00")
+    // numeric fallbacks keep Spark's behavior under the shadowed names
+    assert(one("ROUND(2.5)") == "3")
+    assert(one("ROUND(2.345, 2)") == "2.35")
+    assert(one("CEIL(2.1)") == "3")
+    assert(one("FLOOR(-2.1)") == "-3")
+    assert(one("TRUNC(DATE'2013-05-17', 'MM')") == "2013-05-01")
+    // calendar units reject a multiplier (reference: fixed-width only)
+    intercept[Exception] { one(s"ROUND($t, 'MONTH', 2)") }
+  }
+
   test("ENCODE/DECODE dispatch: Phoenix formats vs Spark charsets") {
     import spark.implicits._
     GraftFunctions.register(spark)
