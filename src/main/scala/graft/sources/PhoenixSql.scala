@@ -31,6 +31,11 @@ import scala.jdk.CollectionConverters._
   */
 class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
 
+  // the Phoenix built-in function surface (TO_CHAR, JSON_VALUE, date
+  // ROUND/CEIL/FLOOR units, ENCODE/DECODE, ...) must resolve in every
+  // statement this front-end executes
+  graft.functions.GraftFunctions.register(spark)
+
   private val viewNames = scala.collection.mutable.Set[String]()
   private val tableNames = scala.collection.mutable.Set[String]()
   // tables whose registered snapshot temp view is stale (mutated since the

@@ -353,6 +353,23 @@ class PhoenixSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("Phoenix built-in functions resolve through the front-end") {
+    val px = fresh()
+    px.execute("CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, d DATE)")
+    px.execute(
+      "UPSERT INTO t VALUES (1, TIMESTAMP'2013-05-17 13:45:31')")
+    val r = px.execute("""
+      SELECT TO_CHAR(d, 'yyyy-MM-dd') AS dc,
+             CAST(ROUND(d, 'HOUR') AS STRING) AS rh,
+             ENCODE(id + 123456788, 'BASE62') AS b62,
+             JSON_VALUE('{"a":7}', '$.a') AS jv
+      FROM t""").collect()(0)
+    assert(r.getString(0) == "2013-05-17")
+    assert(r.getString(1) == "2013-05-17 14:00:00")
+    assert(r.getString(2) == "8M0kX")
+    assert(r.getString(3) == "7")
+  }
+
   test("CREATE CDC chain: images per scope, default CHANGE, drop, errors") {
     // reference it/end2end/CDCQueryIT shapes: create table, CDC with
     // INCLUDE (PRE, POST), mutate, query the CDC object like a table
