@@ -242,5 +242,80 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"numHashes must be a foldable integer literal, got $other")
       }), "built-in")
+    // Phoenix array/date spellings with NO Spark name collision:
+    // STRING_TO_ARRAY (literal delimiter, trailing empties dropped —
+    // StringToArrayFunction.java), ARRAY_TO_STRING (= array_join incl.
+    // null-replacement semantics — ArrayToStringFunction.java /
+    // PArrayDataType.arrayToString), ARRAY_FILL (= array_repeat,
+    // ArrayFillFunction.java), WEEK (Joda weekOfWeekyear = ISO week =
+    // Spark weekofyear, WeekFunction.java:60).
+    locally {
+      import org.apache.spark.sql.catalyst.expressions._
+      reg.createOrReplaceTempFunction(
+        "string_to_array",
+        e => StringToArray(asString(e(0)), asString(e(1)),
+          if (e.length >= 3) asString(e(2)) else Literal(null, StringType)),
+        "built-in")
+      reg.createOrReplaceTempFunction(
+        "array_to_string", e => {
+          val arr = e(0).dataType match {
+            case ArrayType(StringType, _) => e(0)
+            case ArrayType(_, cn) => Cast(e(0), ArrayType(StringType, cn))
+            case _ => Cast(e(0), ArrayType(StringType, containsNull = true))
+          }
+          if (e.length >= 3) ArrayJoin(arr, asString(e(1)), Some(asString(e(2))))
+          else ArrayJoin(arr, asString(e(1)), None)
+        }, "built-in")
+      reg.createOrReplaceTempFunction(
+        "array_fill", e => ArrayRepeat(e(0), asInt(e(1))), "built-in")
+      reg.createOrReplaceTempFunction(
+        "week", e => WeekOfYear(Cast(e.head, DateType)), "built-in")
+    }
+  }
+
+  /** Phoenix-dialect overrides for names Spark ALSO has but with
+    * DIFFERENT semantics. Deliberately separate from [[register]] and
+    * called only by the Phoenix SQL front-end ([[graft.sources.PhoenixSql]])
+    * — operators and plain-Spark sessions must keep Spark's meanings:
+    *
+    *  - LOG(x[, base]) is log-base-N, default 10 (LogFunction.java:
+    *    `Math.log(first)/Math.log(second)`, base defaults 1e1); Spark's
+    *    `log(x)` is ln and two-arg takes the base FIRST.
+    *  - DAYOFWEEK is Joda Monday=1..Sunday=7 (DayOfWeekFunction.java:66);
+    *    Spark's is Sunday=1.
+    *  - MD5 returns the 16 raw bytes (MD5Function → PBinary(16)); Spark's
+    *    returns the hex string.
+    *  - TO_DATE/TO_TIME/TO_TIMESTAMP parse with Java SimpleDateFormat-style
+    *    patterns in GMT (ToDateFunction.java:51, DateUtil.java:55); the
+    *    1-arg forms use the ISO parser, which Spark's timestamp cast
+    *    matches. The optional third timezone argument is rejected loudly —
+    *    wrap with convert_timezone() instead.
+    *  - CURRENT_TIME() is the full server timestamp (PTime carries date,
+    *    SURVEY §1.2); Spark 4's is the new TIME type.
+    */
+  def registerPhoenixDialect(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "log",
+      e => if (e.length >= 2) Logarithm(asDouble(e(1)), asDouble(e(0)))
+      else Logarithm(Literal(10.0), asDouble(e.head)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "dayofweek",
+      e => Add(WeekDay(Cast(e.head, DateType)), Literal(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "md5", e => Unhex(Md5(Cast(e.head, BinaryType))), "built-in")
+    def toDateJ(e: Seq[Expression]): Expression = e.length match {
+      case 1 => Cast(e.head, TimestampType)
+      case 2 => ToDateJava(asString(e(0)), asString(e(1)))
+      case _ => throw new IllegalArgumentException(
+        "the TO_DATE/TO_TIME/TO_TIMESTAMP timezone argument is not " +
+          "supported — parse in GMT and wrap with convert_timezone()")
+    }
+    reg.createOrReplaceTempFunction("to_date", toDateJ, "built-in")
+    reg.createOrReplaceTempFunction("to_time", toDateJ, "built-in")
+    reg.createOrReplaceTempFunction("to_timestamp", toDateJ, "built-in")
+    reg.createOrReplaceTempFunction(
+      "current_time", _ => CurrentTimestamp(), "built-in")
   }
 }

@@ -192,3 +192,47 @@ case class DatePlusDays(ts: Expression, days: Expression)
       l: Expression, r: Expression): DatePlusDays = copy(ts = l, days = r)
   override def prettyName: String = "date_plus_days"
 }
+
+/** STRING_TO_ARRAY(str, delimiter[, nullString]) with Phoenix's exact
+  * split semantics (reference: .../expression/function/
+  * StringToArrayFunction.java + schema/types/PArrayDataType.stringToArray):
+  * the delimiter is LITERAL (regex-quoted), trailing empty strings are
+  * dropped (Java split limit 0 — Spark's `split` keeps them), an empty or
+  * null delimiter splits into single characters, and elements equal to
+  * nullString become NULL. Phoenix conflates empty varchar with NULL, so a
+  * null/empty input string yields NULL and an empty nullString means "no
+  * replacement". Evaluates children manually because the third argument
+  * is usually the NULL literal (2-arg form).
+  */
+case class StringToArray(str: Expression, delim: Expression,
+    nullStr: Expression) extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(str, delim, nullStr)
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+  override def nullable: Boolean = true
+
+  override def eval(input: InternalRow): Any = {
+    val s = str.eval(input)
+    if (s == null) return null
+    val string = s.asInstanceOf[UTF8String].toString
+    if (string.isEmpty) return null
+    val d = delim.eval(input)
+    val dstr = if (d == null) "" else d.asInstanceOf[UTF8String].toString
+    val parts: Array[String] =
+      if (dstr.nonEmpty)
+        string.split(java.util.regex.Pattern.quote(dstr)) // limit 0
+      else string.split("(?!^)")
+    val ns = nullStr.eval(input) match {
+      case null => null
+      case u => val x = u.asInstanceOf[UTF8String].toString
+        if (x.isEmpty) null else x
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      parts.map { p =>
+        if (ns != null && p == ns) null else UTF8String.fromString(p)
+      }.asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): StringToArray =
+    copy(str = c(0), delim = c(1), nullStr = c(2))
+  override def prettyName: String = "string_to_array"
+}

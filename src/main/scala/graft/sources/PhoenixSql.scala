@@ -33,8 +33,11 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
 
   // the Phoenix built-in function surface (TO_CHAR, JSON_VALUE, date
   // ROUND/CEIL/FLOOR units, ENCODE/DECODE, ...) must resolve in every
-  // statement this front-end executes
+  // statement this front-end executes; the dialect overrides (LOG base-10,
+  // DAYOFWEEK Monday=1, binary MD5, Java-pattern TO_DATE family) apply
+  // only to sessions that opted into this front-end
   graft.functions.GraftFunctions.register(spark)
+  graft.functions.GraftFunctions.registerPhoenixDialect(spark)
 
   private val viewNames = scala.collection.mutable.Set[String]()
   private val tableNames = scala.collection.mutable.Set[String]()

@@ -613,4 +613,61 @@ class PhoenixSqlSpec extends AnyFunSuite {
       px.execute("GRANT 'RW' ON plain TO 'user'")
     }
   }
+
+  test("STRING_TO_ARRAY / ARRAY_TO_STRING / ARRAY_FILL / WEEK spellings") {
+    val px = fresh()
+    val r = px.execute("""
+      SELECT STRING_TO_ARRAY('a,b,,c,', ',') AS s1,
+             STRING_TO_ARRAY('abc', '') AS s2,
+             STRING_TO_ARRAY('a,NA,b', ',', 'NA') AS s3,
+             ARRAY_TO_STRING(ARRAY('x', CAST(NULL AS STRING), 'y'), ',') AS j1,
+             ARRAY_TO_STRING(ARRAY('x', CAST(NULL AS STRING), 'y'), ',', '*') AS j2,
+             ARRAY_TO_STRING(ARRAY(1.5, 2.5), '|') AS j3,
+             ARRAY_TO_STRING(ARRAY_FILL('z', 3), '') AS fill,
+             WEEK(TIMESTAMP'2026-01-01 10:00:00') AS w""").collect()(0)
+    // trailing empties dropped, interior kept (Java split limit 0 —
+    // PArrayDataType.stringToArray)
+    assert(r.getSeq[String](0) == Seq("a", "b", "", "c"))
+    // empty delimiter splits into characters
+    assert(r.getSeq[String](1) == Seq("a", "b", "c"))
+    // nullString elements become NULL
+    assert(r.getSeq[String](2) == Seq("a", null, "b"))
+    // 2-arg join skips nulls without doubling the delimiter; 3-arg
+    // replaces them (PArrayDataType.arrayToString)
+    assert(r.getString(3) == "x,y")
+    assert(r.getString(4) == "x,*,y")
+    assert(r.getString(5) == "1.5|2.5")
+    assert(r.getString(6) == "zzz")
+    assert(r.getInt(7) == 1) // ISO week (Joda weekOfWeekyear)
+  }
+
+  test("dialect overrides: LOG base, DAYOFWEEK Monday=1, binary MD5, TO_*") {
+    val px = fresh()
+    val r = px.execute("""
+      SELECT LOG(100.0) AS lg10, LOG(8.0, 2.0) AS lg2,
+             DAYOFWEEK(TIMESTAMP'2026-08-10 09:00:00') AS mon,
+             DAYOFWEEK(TIMESTAMP'2026-08-16 09:00:00') AS sun,
+             MD5('abc') AS digest,
+             TO_DATE('05/17/2013', 'MM/dd/yyyy') AS td,
+             CAST(TO_TIMESTAMP('2013-05-17 13:45:31.123',
+               'yyyy-MM-dd HH:mm:ss.SSS') AS STRING) AS tts,
+             CAST(TO_DATE('2013-05-17') AS STRING) AS iso1""").collect()(0)
+    assert(r.getDouble(0) == 2.0)              // LogFunction default base 1e1
+    assert(r.getDouble(1) == 3.0)              // base is the SECOND argument
+    assert(r.getInt(2) == 1 && r.getInt(3) == 7) // Joda Monday=1..Sunday=7
+    val d = r.getAs[Array[Byte]](4)            // MD5Function -> PBinary(16)
+    assert(d.length == 16 &&
+      d.map("%02x".format(_)).mkString == "900150983cd24fb0d6963f7d28e17f72")
+    assert(r.getTimestamp(5).toString.startsWith("2013-05-17 00:00:00"))
+    assert(r.getString(6) == "2013-05-17 13:45:31.123")
+    assert(r.getString(7).startsWith("2013-05-17 00:00:00"))
+    // the timezone third argument is rejected loudly, not misparsed
+    val err = intercept[Exception] {
+      px.execute("SELECT TO_DATE('x', 'yyyy', 'PST') AS bad").collect()
+    }
+    assert(err.getMessage != null)
+    // overrides do NOT rewrite Spark's names in sessions that never
+    // constructed a PhoenixSql front-end: covered by scoping the
+    // registration to this constructor (see GraftFunctions doc)
+  }
 }
