@@ -242,6 +242,10 @@ object GraftFunctions {
         case other => throw new IllegalArgumentException(
           s"numHashes must be a foldable integer literal, got $other")
       }), "built-in")
+    reg.createOrReplaceTempFunction(
+      "approx_top_terms",
+      e => TopTermsAgg(asString(e(0)), e(1)).toAggregateExpression(),
+      "built-in")
     // Phoenix array/date spellings with NO Spark name collision:
     // STRING_TO_ARRAY (literal delimiter, trailing empties dropped —
     // StringToArrayFunction.java), ARRAY_TO_STRING (= array_join incl.

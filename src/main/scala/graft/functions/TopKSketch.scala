@@ -1,0 +1,217 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** APPROX_TOP_TERMS(term, capacity) — bounded-memory heavy-hitters
+  * aggregate: the SpaceSaving stream summary (Metwally, Agrawal, El
+  * Abbadi, "Efficient computation of frequent and top-k elements in data
+  * streams", ICDT 2005) with the union-style merge used by practical
+  * mergeable implementations (Agarwal et al., "Mergeable Summaries",
+  * PODS 2012, prove the equivalent Misra-Gries form; Apache DataSketches'
+  * frequent-items sketch ships the same shape).
+  *
+  * Why it exists: the engine's exact vocabulary statistics
+  * ([[graft.operators.TextAnalysis.termFrequencies]]) shuffle one row per
+  * distinct term — correct, but a web-corpus vocabulary at 100 TB is
+  * billions of terms. This aggregate caps the state at `capacity` entries
+  * per partial buffer, so the shuffle carries fixed-size sketches from
+  * every map task regardless of corpus size, and partial buffers merge
+  * associatively in the standard partial/final HashAggregate split.
+  *
+  * Guarantees (n = rows aggregated, m = capacity):
+  *  - each emitted (term, est, err) bounds the true count:
+  *    est - err <= true <= est (holds through merges: upper bounds and
+  *    slacks both add);
+  *  - single-buffer streams: err <= n/m and every term with
+  *    true > n/m is present (classic SpaceSaving); the merged-path
+  *    completeness is property-tested in TopKSketchSpec rather than
+  *    claimed analytically;
+  *  - when the number of distinct terms never exceeds m, no eviction
+  *    happens anywhere: err = 0, counts are EXACT, merge is plain
+  *    addition, and the result is deterministic — that regime is what
+  *    the oracle-checked query pins.
+  *
+  * Output: array<struct<term, est, err>> sorted by est desc, term asc;
+  * slice(...) of it is the top-k.
+  *
+  * Update is O(log m) via a min-heap on est; eviction replaces the
+  * minimum root and inherits its count as the newcomer's error, the
+  * SpaceSaving stream-summary rule.
+  */
+case class TopTermsAgg(
+    term: Expression,
+    capExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopTermsAgg.Sketch] {
+
+  private lazy val cap: Int = capExpr.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"capacity must be a foldable integer literal, got $other")
+  }
+
+  override def children: Seq[Expression] = Seq(term, capExpr)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("est", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): TopTermsAgg.Sketch =
+    new TopTermsAgg.Sketch(cap)
+
+  override def update(buf: TopTermsAgg.Sketch, input: InternalRow)
+      : TopTermsAgg.Sketch = {
+    val t = term.eval(input)
+    if (t != null) buf.add(t.asInstanceOf[UTF8String].toString, 1L, 0L)
+    buf
+  }
+
+  override def merge(buf: TopTermsAgg.Sketch, other: TopTermsAgg.Sketch)
+      : TopTermsAgg.Sketch = { buf.mergeFrom(other); buf }
+
+  override def eval(buf: TopTermsAgg.Sketch): Any = {
+    val rows = buf.sortedEntries.map { case (t, est, err) =>
+      InternalRow(UTF8String.fromString(t), est, err)
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: TopTermsAgg.Sketch): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): TopTermsAgg.Sketch =
+    TopTermsAgg.Sketch.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): TopTermsAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopTermsAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): TopTermsAgg =
+    copy(term = c(0), capExpr = c(1))
+  override def prettyName: String = "approx_top_terms"
+}
+
+object TopTermsAgg {
+  /** SpaceSaving summary: capacity-bounded (term, est, err) entries with
+    * a min-heap on est (parallel arrays + term->slot map) so eviction is
+    * O(log m). est is an upper bound on the true count; err the slack. */
+  final class Sketch(val cap: Int) {
+    private val terms = new Array[String](math.max(cap, 1))
+    private val ests = new Array[Long](math.max(cap, 1))
+    private val errs = new Array[Long](math.max(cap, 1))
+    private val pos = new java.util.HashMap[String, Integer](cap * 2)
+    private var size = 0
+
+    def entryCount: Int = size
+
+    private def swap(i: Int, j: Int): Unit = {
+      val tt = terms(i); terms(i) = terms(j); terms(j) = tt
+      val te = ests(i); ests(i) = ests(j); ests(j) = te
+      val tr = errs(i); errs(i) = errs(j); errs(j) = tr
+      pos.put(terms(i), i); pos.put(terms(j), j)
+    }
+    private def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0 && ests(i) < ests((i - 1) / 2)) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    }
+    private def siftDown(i0: Int): Unit = {
+      var i = i0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = 2 * i + 2
+        var m = i
+        if (l < size && ests(l) < ests(m)) m = l
+        if (r < size && ests(r) < ests(m)) m = r
+        if (m == i) done = true else { swap(i, m); i = m }
+      }
+    }
+
+    /** Fold in `w` occurrences of `t` carrying `e` of slack (update path
+      * uses (1, 0); merge reuses this with the other side's entries). */
+    def add(t: String, w: Long, e: Long): Unit = {
+      val p = pos.get(t)
+      if (p != null) {
+        ests(p) += w; errs(p) += e; siftDown(p)
+      } else if (size < cap) {
+        terms(size) = t; ests(size) = w; errs(size) = e
+        pos.put(t, size); size += 1; siftUp(size - 1)
+      } else {
+        // SpaceSaving eviction: the newcomer replaces the minimum root
+        // and inherits its est as additional slack — its true count may
+        // be anything up to minEst occurrences we never saw
+        val minEst = ests(0)
+        pos.remove(terms(0))
+        terms(0) = t; ests(0) = w + minEst; errs(0) = e + minEst
+        pos.put(t, 0)
+        siftDown(0)
+      }
+    }
+
+    /** Union merge: per-entry upper bounds (est) and slacks (err) add;
+      * overflow evicts minimum entries exactly like the update path. */
+    def mergeFrom(other: Sketch): Unit = {
+      var i = 0
+      while (i < other.size) {
+        add(other.terms(i), other.ests(i), other.errs(i))
+        i += 1
+      }
+    }
+
+    /** (term, est, err), est desc then term asc (deterministic ties). */
+    def sortedEntries: Array[(String, Long, Long)] = {
+      val out = new Array[(String, Long, Long)](size)
+      var i = 0
+      while (i < size) { out(i) = (terms(i), ests(i), errs(i)); i += 1 }
+      scala.util.Sorting.stableSort(out,
+        (a: (String, Long, Long), b: (String, Long, Long)) =>
+          a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      out
+    }
+
+    def toBytes: Array[Byte] = {
+      val termBytes = new Array[Array[Byte]](size)
+      var total = 4 + 4
+      var i = 0
+      while (i < size) {
+        termBytes(i) = terms(i).getBytes(StandardCharsets.UTF_8)
+        total += 4 + termBytes(i).length + 16
+        i += 1
+      }
+      val bb = ByteBuffer.allocate(total)
+      bb.putInt(cap); bb.putInt(size)
+      i = 0
+      while (i < size) {
+        bb.putInt(termBytes(i).length); bb.put(termBytes(i))
+        bb.putLong(ests(i)); bb.putLong(errs(i)); i += 1
+      }
+      bb.array()
+    }
+  }
+
+  object Sketch {
+    def fromBytes(bytes: Array[Byte]): Sketch = {
+      val bb = ByteBuffer.wrap(bytes)
+      val cap = bb.getInt; val n = bb.getInt
+      val s = new Sketch(cap)
+      var i = 0
+      while (i < n) {
+        val len = bb.getInt
+        val tb = new Array[Byte](len); bb.get(tb)
+        s.add(new String(tb, StandardCharsets.UTF_8), bb.getLong, bb.getLong)
+        i += 1
+      }
+      s
+    }
+  }
+}

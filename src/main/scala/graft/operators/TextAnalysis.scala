@@ -188,4 +188,22 @@ object TextAnalysis {
         explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .groupBy(col("term"))
       .agg(count(lit(1)).as("tf"), count_distinct(col("doc")).as("df"))
+
+  /** Approximate top-k terms via the bounded-memory SpaceSaving aggregate
+    * ([[graft.functions.TopTermsAgg]]): unlike [[termFrequencies]], whose
+    * shuffle is vocabulary-sized, this shuffles ONE capacity-bounded
+    * sketch per map task — the 100-TB path for "what are the k most
+    * common tokens". Same tokenizer as termFrequencies. Output
+    * (term, cnt, err): cnt - err <= true count <= cnt; err = 0 whenever
+    * the per-buffer distinct-term count stays within `capacity`. */
+  def approxTopTerms(df: DataFrame, textCol: String, k: Int,
+      capacity: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .agg(call_function("approx_top_terms",
+        col("term"), lit(capacity)).as("sk"))
+      .select(explode(slice(col("sk"), 1, k)).as("e"))
+      .select(col("e.term").as("term"), col("e.est").as("cnt"),
+        col("e.err").as("err"))
+  }
 }

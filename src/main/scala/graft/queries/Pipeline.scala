@@ -239,6 +239,17 @@ object Pipeline {
         .limit(100)
     },
 
+    // Bounded-memory heavy hitters (SpaceSaving aggregate): top-20 terms
+    // via capacity-capped sketches — the shuffle carries one fixed-size
+    // summary per map task, not the vocabulary. Capacity 1024 >> the
+    // corpus vocabulary here, so the sketch is in its exact regime
+    // (err = 0, deterministic) and the oracle is the exact top-20; the
+    // approximate regime is property-tested in TopKSketchSpec.
+    "q_top_terms_sketch" -> { (s, dir) =>
+      TextAnalysis.approxTopTerms(
+        Tables.t(s, dir, "documents"), "text", k = 20, capacity = 1024)
+    },
+
     // Top-3 characteristic terms per doc by TF-IDF: broadcast the
     // vocabulary-sized DF table + corpus count, shuffle only the
     // term-doc agg and the per-doc top-k window.
@@ -593,6 +604,14 @@ object Pipeline {
               unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
             FROM documents)
       GROUP BY term ORDER BY tf DESC, term LIMIT 100""",
+
+    // exact regime (capacity >> vocabulary): the sketch result equals
+    // the exact top-20 with zero error
+    "q_top_terms_sketch" -> raw"""
+      SELECT term, count(*) AS cnt, CAST(0 AS BIGINT) AS err
+      FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+              AS term FROM documents)
+      GROUP BY term ORDER BY cnt DESC, term LIMIT 20""",
 
     "q_tfidf_terms" -> raw"""
       WITH t AS (SELECT doc_id AS doc,
