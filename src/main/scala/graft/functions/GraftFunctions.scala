@@ -115,8 +115,14 @@ object GraftFunctions {
       "regexp_substr",
       e => RegexpSubstr(asString(e(0)), asString(e(1)), asInt(e(2))),
       "built-in")
+    // TO_CHAR dispatches on argument type like the reference
+    // (ToCharFunction.java:66-78): temporal → Java date patterns,
+    // numeric → java.text.DecimalFormat patterns
     reg.createOrReplaceTempFunction(
-      "to_char", e => ToChar(asTimestamp(e(0)), asString(e(1))), "built-in")
+      "to_char", e => e(0).dataType match {
+        case _: NumericType => NumberToChar(e(0), asString(e(1)))
+        case _ => ToChar(asTimestamp(e(0)), asString(e(1)))
+      }, "built-in")
     reg.createOrReplaceTempFunction(
       "to_date_java",
       e => ToDateJava(asString(e(0)), asString(e(1))), "built-in")
@@ -274,6 +280,19 @@ object GraftFunctions {
         "array_fill", e => ArrayRepeat(e(0), asInt(e(1))), "built-in")
       reg.createOrReplaceTempFunction(
         "week", e => WeekOfYear(Cast(e.head, DateType)), "built-in")
+      // ARRAY_CAT = Spark concat over arrays (ArrayConcatFunction.java);
+      // ARRAY_PREPEND takes (element, array) — the REVERSE of Spark's
+      // array_prepend (ArrayPrependFunction.java:34-35) — dispatch on
+      // which side is the array so both spellings work; ARRAY_APPEND and
+      // ARRAY_REMOVE already match Spark's argument order.
+      reg.createOrReplaceTempFunction(
+        "array_cat", e => Concat(e), "built-in")
+      reg.createOrReplaceTempFunction(
+        "array_prepend", e => (e(0).dataType, e(1).dataType) match {
+          case (_: ArrayType, _) => ArrayPrepend(e(0), e(1)) // Spark order
+          case (_, _: ArrayType) => ArrayPrepend(e(1), e(0)) // Phoenix order
+          case _ => ArrayPrepend(e(0), e(1))
+        }, "built-in")
     }
   }
 
@@ -321,5 +340,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("to_timestamp", toDateJ, "built-in")
     reg.createOrReplaceTempFunction(
       "current_time", _ => CurrentTimestamp(), "built-in")
+    // CURRENT_DATE() in Phoenix is the full server wall-clock (PDate
+    // carries time — CurrentDateFunction.java; SURVEY §1.2 maps DATE to
+    // TIMESTAMP), not midnight like Spark's
+    reg.createOrReplaceTempFunction(
+      "current_date", _ => CurrentTimestamp(), "built-in")
   }
 }

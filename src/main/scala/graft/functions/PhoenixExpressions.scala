@@ -236,3 +236,38 @@ case class StringToArray(str: Expression, delim: Expression,
     copy(str = c(0), delim = c(1), nullStr = c(2))
   override def prettyName: String = "string_to_array"
 }
+
+/** TO_CHAR(numeric, format) with Java DecimalFormat patterns — the
+  * reference's TO_CHAR dispatches on argument type (ToCharFunction.java:
+  * 66-78: PTimestamp → temporal formatter, PDecimal → FunctionArgumentType
+  * .NUMERIC.getFormatter = java.text.DecimalFormat). [[ToChar]] covers the
+  * temporal arm; this is the numeric arm. Decimals format from BigDecimal
+  * so precision survives; other numerics go through double like the
+  * reference's PDecimal coercion.
+  */
+case class NumberToChar(num: Expression, fmt: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def left: Expression = num
+  override def right: Expression = fmt
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private var cachedFmt: (String, java.text.DecimalFormat) = _
+  private def formatter(p: String): java.text.DecimalFormat = {
+    if (cachedFmt == null || cachedFmt._1 != p)
+      cachedFmt = (p, new java.text.DecimalFormat(p))
+    cachedFmt._2
+  }
+
+  override def nullSafeEval(v: Any, f: Any): Any = {
+    val value: Any = v match {
+      case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+      case other => other
+    }
+    UTF8String.fromString(
+      formatter(f.asInstanceOf[UTF8String].toString).format(value))
+  }
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): NumberToChar = copy(num = l, fmt = r)
+  override def prettyName: String = "to_char"
+}

@@ -670,4 +670,26 @@ class PhoenixSqlSpec extends AnyFunSuite {
     // constructed a PhoenixSql front-end: covered by scoping the
     // registration to this constructor (see GraftFunctions doc)
   }
+
+  test("numeric TO_CHAR, ARRAY_CAT, ARRAY_PREPEND argument orders") {
+    val px = fresh()
+    val r = px.execute("""
+      SELECT TO_CHAR(12345.678, '#,##0.00') AS n1,
+             TO_CHAR(CAST(0.5 AS DECIMAL(3,2)), '0.000') AS n2,
+             TO_CHAR(TIMESTAMP'2013-05-17 13:45:31', 'yyyy-MM-dd') AS t1,
+             ARRAY_TO_STRING(ARRAY_CAT(ARRAY('a','b'), ARRAY('c')), ',') AS cat,
+             ARRAY_TO_STRING(ARRAY_PREPEND('x', ARRAY('y','z')), ',') AS phx,
+             ARRAY_TO_STRING(ARRAY_PREPEND(ARRAY('y','z'), 'x'), ',') AS spk,
+             CURRENT_DATE() AS today""").collect()(0)
+    assert(r.getString(0) == "12,345.68")  // DecimalFormat half-even
+    assert(r.getString(1) == "0.500")      // decimal keeps scale
+    assert(r.getString(2) == "2013-05-17") // temporal arm still dispatches
+    assert(r.getString(3) == "a,b,c")
+    // Phoenix order (element, array) and Spark order (array, element)
+    // both resolve to the same prepend
+    assert(r.getString(4) == "x,y,z" && r.getString(5) == "x,y,z")
+    // Phoenix CURRENT_DATE carries time (PDate = wall clock)
+    assert(r.schema("today").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
 }
