@@ -213,6 +213,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "ivf_cell", e => IvfCell(e(0), e(1), e(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "ivf_cells", e => IvfCells(e(0), e(1), e(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       "vec_maxabs", e => VecMaxAbs(e.head), "built-in")
     reg.createOrReplaceTempFunction(
       "int8_quantize", e => Int8Quantize(e(0), e(1)), "built-in")

@@ -113,6 +113,37 @@ object VectorMath {
     best
   }
 
+  /** The TWO nearest cells (soft assignment): multi-probe form of
+    * [[ivfCell]] for operators that must not lose pairs straddling a
+    * Voronoi boundary (semantic dedup). Same single pass, tracks the
+    * runner-up; a 1-cell quantizer returns one element. */
+  def ivfCell2(v: ArrayData, vF: Boolean, cents: ArrayData,
+      dim: Int): ArrayData = {
+    val nlist = cents.numElements() / dim
+    var best = 0; var bestD = Double.MaxValue
+    var second = -1; var secondD = Double.MaxValue
+    var c = 0
+    while (c < nlist) {
+      var d = 0.0
+      var i = 0
+      while (i < dim) {
+        val x = if (vF) v.getFloat(i).toDouble else v.getDouble(i)
+        val diff = x - cents.getDouble(c * dim + i)
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) {
+        secondD = bestD; second = best
+        bestD = d; best = c
+      } else if (d < secondD) { secondD = d; second = c }
+      c += 1
+    }
+    if (second < 0)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array(best))
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(best, second))
+  }
+
   /** Sign-LSH bucket id: bit i = sign(v · planes[i]) with the planes
     * flattened row-major into one array (mBits = planes.length / dim).
     * One pass per plane, same dot-product fold order as [[cosine]]. */
@@ -230,6 +261,29 @@ case class IvfCell(first: Expression, second: Expression, third: Expression)
       f: Expression, s: Expression, t: Expression): IvfCell =
     copy(first = f, second = s, third = t)
   override def prettyName: String = "ivf_cell"
+}
+
+/** IVF_CELLS(vec, flatCentroids, dim) → array<int>, the two nearest
+  * cells (soft assignment — see [[VectorMath.ivfCell2]]). */
+case class IvfCells(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def vecIsFloat: Boolean = first.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(v: Any, c: Any, d: Any): Any =
+    VectorMath.ivfCell2(v.asInstanceOf[ArrayData], vecIsFloat,
+      c.asInstanceOf[ArrayData], d.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, c, d) =>
+      s"graft.functions.VectorMath.ivfCell2($v, $vecIsFloat, $c, $d)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): IvfCells =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "ivf_cells"
 }
 
 /** LSH_BUCKET(vec, flatPlanes, dim) → long (sign-random-projection). */

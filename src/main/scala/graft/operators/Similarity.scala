@@ -263,4 +263,59 @@ object Similarity {
       .where(col("rn") <= k)
       .drop("rn")
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster embeddings with the coarse k-means
+    * quantizer, find near-duplicate pairs only WITHIN each cluster, and
+    * collapse the transitive groups — the cluster pass turns the O(n²)
+    * all-pairs problem into nlist independent in-cell problems, which is
+    * the published recipe for semantic dedup at corpus scale.
+    *
+    * Composition of existing scale paths: [[ivfIndex]] (bounded
+    * driver-side training + one distributed assignment scan) → in-cell
+    * self-join on the cell key (shuffle on cell, never a cross join) →
+    * [[Dedup.connectedComponents]] (min-label propagation) → canonical
+    * survivor = min id per group.
+    *
+    * Assignment is SOFT — each vector pairs within its TWO nearest cells
+    * (`ivf_cells`, one fused pass): near-duplicates that straddle a
+    * Voronoi boundary still share their runner-up cell, closing the
+    * clustered approach's main recall hole for ~2× pair work. Cells
+    * above `maxCell` are dropped from pairing (their rows keep
+    * themselves — no edges), same degenerate-bucket contract as
+    * [[knnJoin]]: a giant cell means near-identical boilerplate that
+    * exact/fingerprint dedup already collapses, and at 100× rows `nlist`
+    * scales with the corpus so expected cell population stays constant.
+    *
+    * @return (id, cluster_id, is_canonical): every input row, its
+    *         semantic-group id (min reachable id), and whether it is the
+    *         group's survivor
+    */
+  def semanticDedup(emb: DataFrame, vecCol: String, idCol: String,
+      tau: Double, nlist: Int = 16, trainSample: Int = 2048,
+      maxCell: Int = Dedup.DefaultMaxBucket): DataFrame = {
+    val (cents, _) = ivfIndex(emb, vecCol, idCol, nlist, trainSample)
+    val dim = cents.head._2.length
+    val flat = cents.sortBy(_._1).flatMap(_._2).toSeq
+    val soft = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(call_function("ivf_cells",
+        col(vecCol), typedlit(flat), lit(dim))).as("cell"))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
+    val capped = soft
+      .withColumn("cn", count(lit(1)).over(cw))
+      .where(col("cn") <= maxCell).drop("cn")
+    val a = capped.toDF("id_a", "v_a", "cell")
+    val b = capped.toDF("id_b", "v_b", "cell")
+    val edges = a.join(b, "cell").where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosine(col("v_a"), col("v_b")).as("sim"))
+      .where(col("sim") >= tau)
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair can share both probe cells
+    val vertices = emb.select(col(idCol).as("id"))
+    val clusters = Dedup.connectedComponents(vertices, edges)
+    clusters.select(col("id"), col("cluster_id"),
+      (col("id") === col("cluster_id")).as("is_canonical"))
+  }
 }

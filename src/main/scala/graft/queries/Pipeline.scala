@@ -145,6 +145,16 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // SemDeDup-style semantic dedup: k-means cells → in-cell cosine
+    // pairs → transitive groups → canonical survivor. No SQL oracle
+    // (k-means quantizer); grouping/canonical/determinism properties are
+    // pinned in SimilaritySpec.
+    "q_dedup_semantic" -> { (s, dir) =>
+      Similarity.semanticDedup(Tables.t(s, dir, "embeddings"),
+          "embedding", "vec_id", tau = 0.95)
+        .orderBy(col("id"))
+    },
+
     // End-to-end corpus curation: quality-filter → language gate →
     // fingerprint-dedup (keep lowest doc_id) → survivors with metrics.
     // The composition stays one scan + one digest-keyed shuffle.

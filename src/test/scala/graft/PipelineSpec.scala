@@ -379,6 +379,38 @@ class PipelineSpec extends AnyFunSuite {
       s"quantized top-10 overlap too low: $top8 vs $topF")
   }
 
+  test("semantic dedup groups planted near-duplicates, keeps min id") {
+    import spark.implicits._
+    // 3 well-separated base directions in R^8, each with near-identical
+    // copies (tiny deterministic jitter), plus isolated singletons
+    def vec(base: Int, jitter: Double): Array[Double] = {
+      val v = new Array[Double](8)
+      v(base) = 1.0; v((base + 1) % 8) = jitter
+      v
+    }
+    val rows =
+      (0L to 2L).map(i => (i, vec(0, 0.001 * (i + 1)))) ++ // group keeps 0
+      (10L to 12L).map(i => (i, vec(3, 0.001 * i))) ++     // group keeps 10
+      Seq((20L, vec(6, 0.0)), (21L, vec(7, 0.0)))          // singletons
+    val emb = rows.toDF("vec_id", "embedding").repartition(3)
+    val out = Similarity.semanticDedup(emb, "embedding", "vec_id",
+        tau = 0.99, nlist = 4, trainSample = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    val byId = out.map(t => t._1 -> t).toMap
+    assert(out.length == rows.length) // every row present exactly once
+    for (i <- 0L to 2L) assert(byId(i)._2 == 0L, s"row $i cluster")
+    for (i <- 10L to 12L) assert(byId(i)._2 == 10L, s"row $i cluster")
+    assert(byId(20L)._2 == 20L && byId(21L)._2 == 21L)
+    // canonical = exactly the min id of each group
+    assert(out.filter(_._3).map(_._1).sorted.sameElements(
+      Array(0L, 10L, 20L, 21L)))
+    // deterministic across partition layouts (seeded sample + hash order)
+    val again = Similarity.semanticDedup(emb.repartition(7), "embedding",
+        "vec_id", tau = 0.99, nlist = 4, trainSample = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(again.sortBy(_._1).sameElements(out.sortBy(_._1)))
+  }
+
   test("knnJoin drops degenerate buckets above the cap") {
     import spark.implicits._
     // 10 identical vectors share one LSH bucket (population 10 > cap 5);
