@@ -251,6 +251,10 @@ object GraftFunctions {
           s"numHashes must be a foldable integer literal, got $other")
       }), "built-in")
     reg.createOrReplaceTempFunction(
+      "top_scored",
+      e => TopScoredAgg(asString(e(0)), asDouble(e(1)), e(2))
+        .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
       "approx_top_terms",
       e => TopTermsAgg(asString(e(0)), e(1)).toAggregateExpression(),
       "built-in")

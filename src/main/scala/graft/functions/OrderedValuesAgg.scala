@@ -151,3 +151,174 @@ object OrderedValuesAgg {
     }
   }
 }
+
+/** TOP_SCORED(term, score, k) — bounded per-group top-k rows by
+  * (score desc, term asc): array<struct<term, score>> of the k best.
+  *
+  * The map-side-combinable form of `row_number() OVER (PARTITION BY g
+  * ORDER BY score DESC) <= k`: the window shuffles EVERY row of every
+  * group to its reducer and sorts; this aggregate's partial buffers keep
+  * k entries per group per map task, so the shuffle carries at most
+  * k rows per (group, task) — at corpus scale (per-doc top terms over
+  * hundreds of terms/doc, k = 3) that is a ~100× smaller exchange with
+  * no per-group sort. Same bounded-heap design as [[OrderedValuesAgg]]
+  * (Phoenix's FirstLastValueServerAggregator shape), with the string
+  * payload carried alongside the ordering key and deterministic
+  * tie-breaking on the payload so results are reproducible across
+  * partitionings.
+  */
+case class TopScoredAgg(
+    term: Expression,
+    score: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopScoredAgg.Buf] {
+
+  private lazy val k: Int = kExpr.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"k must be a foldable integer literal, got $other")
+  }
+
+  override def children: Seq[Expression] = Seq(term, score, kExpr)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): TopScoredAgg.Buf =
+    new TopScoredAgg.Buf(k)
+
+  override def update(buf: TopScoredAgg.Buf, input: InternalRow)
+      : TopScoredAgg.Buf = {
+    val t = term.eval(input)
+    val s = score.eval(input)
+    if (t != null && s != null)
+      buf.add(t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+        .toString, s.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: TopScoredAgg.Buf, other: TopScoredAgg.Buf)
+      : TopScoredAgg.Buf = { buf.mergeFrom(other); buf }
+
+  override def eval(buf: TopScoredAgg.Buf): Any = {
+    val rows = buf.sorted.map { case (t, s) =>
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(t), s)
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: TopScoredAgg.Buf): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): TopScoredAgg.Buf =
+    TopScoredAgg.Buf.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): TopScoredAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopScoredAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): TopScoredAgg =
+    copy(term = c(0), score = c(1), kExpr = c(2))
+  override def prettyName: String = "top_scored"
+}
+
+object TopScoredAgg {
+  /** Bounded top-k by (score desc, term asc); the heap root is the
+    * current WORST kept entry (lowest score, then greatest term). */
+  final class Buf(val k: Int) {
+    private val terms = new Array[String](math.max(k, 1))
+    private val scores = new Array[Double](math.max(k, 1))
+    private var size = 0
+
+    // a is worse than b (closer to eviction)
+    private def worse(ta: String, sa: Double, tb: String, sb: Double): Boolean =
+      sa < sb || (sa == sb && ta > tb)
+
+    private def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0 && worse(terms(i), scores(i),
+          terms((i - 1) / 2), scores((i - 1) / 2))) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    }
+    private def siftDown(): Unit = {
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = 2 * i + 2
+        var m = i
+        if (l < size && worse(terms(l), scores(l), terms(m), scores(m))) m = l
+        if (r < size && worse(terms(r), scores(r), terms(m), scores(m))) m = r
+        if (m == i) done = true else { swap(i, m); i = m }
+      }
+    }
+    private def swap(i: Int, j: Int): Unit = {
+      val tt = terms(i); terms(i) = terms(j); terms(j) = tt
+      val ts = scores(i); scores(i) = scores(j); scores(j) = ts
+    }
+
+    def add(t: String, s: Double): Unit = {
+      if (size < k) {
+        terms(size) = t; scores(size) = s; size += 1; siftUp(size - 1)
+      } else if (k > 0 && worse(terms(0), scores(0), t, s)) {
+        terms(0) = t; scores(0) = s; siftDown()
+      }
+    }
+
+    def mergeFrom(other: Buf): Unit = {
+      var i = 0
+      while (i < other.size) { add(other.terms(i), other.scores(i)); i += 1 }
+    }
+
+    /** Entries by score desc, term asc. */
+    def sorted: Array[(String, Double)] = {
+      val out = new Array[(String, Double)](size)
+      var i = 0
+      while (i < size) { out(i) = (terms(i), scores(i)); i += 1 }
+      scala.util.Sorting.stableSort(out,
+        (a: (String, Double), b: (String, Double)) =>
+          a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      out
+    }
+
+    def toBytes: Array[Byte] = {
+      val tb = new Array[Array[Byte]](size)
+      var total = 4 + 4
+      var i = 0
+      while (i < size) {
+        tb(i) = terms(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        total += 4 + tb(i).length + 8
+        i += 1
+      }
+      val bb = ByteBuffer.allocate(total)
+      bb.putInt(k); bb.putInt(size)
+      i = 0
+      while (i < size) {
+        bb.putInt(tb(i).length); bb.put(tb(i)); bb.putDouble(scores(i))
+        i += 1
+      }
+      bb.array()
+    }
+  }
+
+  object Buf {
+    def fromBytes(bytes: Array[Byte]): Buf = {
+      val bb = ByteBuffer.wrap(bytes)
+      val k = bb.getInt; val n = bb.getInt
+      val buf = new Buf(k)
+      var i = 0
+      while (i < n) {
+        val len = bb.getInt
+        val tb = new Array[Byte](len); bb.get(tb)
+        buf.add(new String(tb, java.nio.charset.StandardCharsets.UTF_8),
+          bb.getDouble)
+        i += 1
+      }
+      buf
+    }
+  }
+}

@@ -122,11 +122,17 @@ object TextAnalysis {
     * grow to multi-GB — so no broadcast() hint there: AQE's size guard
     * broadcasts it when it's small and falls back to a shuffle join when
     * it isn't, instead of OOMing the driver on a forced build. The real
-    * shuffles are the term-doc aggregation and the per-doc top-k window,
-    * both keyed sensibly. Scores round to 8 decimals so ln()'s last-ulp
-    * divergence across engines can't flip the ranking (tie-break on term). */
+    * shuffles are the term-doc aggregation and the per-doc top-k — the
+    * latter via the bounded-heap `top_scored` aggregate
+    * ([[graft.functions.TopScoredAgg]]) rather than a row_number window:
+    * partial buffers keep k entries per doc per map task, so the exchange
+    * carries at most k rows per (doc, task) instead of every term of
+    * every doc, with no per-doc sort. Scores round to 8 decimals so
+    * ln()'s last-ulp divergence across engines can't flip the ranking
+    * (tie-break on term). */
   def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val terms = df.select(col(idCol).as("doc"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
     val tf = terms.groupBy(col("doc"), col("term"))
@@ -136,15 +142,15 @@ object TextAnalysis {
     val docFreq = tf.groupBy(col("term"))
       .agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("n_docs"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc")).orderBy(col("tfidf").desc, col("term").asc)
     tf.join(docFreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
         round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 8))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .select(col("doc"), col("term"), col("tfidf"))
+      .groupBy(col("doc"))
+      .agg(call_function("top_scored",
+        col("term"), col("tfidf"), lit(k)).as("top"))
+      .select(col("doc"), explode(col("top")).as("e"))
+      .select(col("doc"), col("e.term").as("term"), col("e.score").as("tfidf"))
   }
 
   /** Unigram log-probability quality score (the CCNet-style LM filter —

@@ -119,6 +119,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(got(1).getSeq[Double](2) == Seq(50.0, 40.0))
   }
 
+  test("top_scored bounded heap matches the row_number window form") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // groups with ties on score (term breaks them) and k > group size
+    val rows = for {
+      g <- 1 to 5; i <- 1 to 20
+    } yield (g, f"t${(i * 7) % 13}%02d-$i", ((i * 13) % 7).toDouble)
+    val df = rows.toDF("g", "term", "score").repartition(6)
+    val agg = df.groupBy($"g")
+      .agg(call_function("top_scored", $"term", $"score", lit(3)).as("top"))
+      .select($"g", explode($"top").as("e"))
+      .select($"g", $"e.term", $"e.score")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"score".desc, $"term".asc)
+    val win = df.withColumn("rn", row_number().over(w))
+      .where($"rn" <= 3).select($"g", $"term", $"score")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(agg.sortBy(t => (t._1, t._2)).toSeq ==
+      win.sortBy(t => (t._1, t._2)).toSeq)
+    // partition-layout invariant (associative partial merges)
+    val again = df.repartition(1).groupBy($"g")
+      .agg(call_function("top_scored", $"term", $"score", lit(3)).as("top"))
+      .select($"g", explode($"top").as("e"))
+      .select($"g", $"e.term", $"e.score")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(again.sortBy(t => (t._1, t._2)).toSeq ==
+      agg.sortBy(t => (t._1, t._2)).toSeq)
+  }
+
   test("fused SimHash64 expression matches the composed-builtins form") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
