@@ -171,14 +171,17 @@ object Pipeline {
         // tokens, which are never stopwords
         .withColumn("lang_pred", TextAnalysis.langIdFromWords($"w"))
         .withColumn("fp", Dedup.fingerprint($"text"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"fp").orderBy($"doc_id".asc)
+      // dedup survivor = min doc_id per fingerprint via map-side
+      // combinable min_by (one candidate per (fp, task) in the shuffle)
+      // rather than a row_number window over every duplicate row
       scored
         .where($"n_tok" >= 20 && $"stop_ratio" >= 0.05 &&
           $"lang_pred" === "en")
-        .withColumn("rn", row_number().over(w))
-        .where($"rn" === 1)
-        .select($"doc_id", $"n_tok", $"stop_ratio", $"fp")
+        .groupBy($"fp")
+        .agg(min_by(struct($"doc_id", $"n_tok", $"stop_ratio"), $"doc_id")
+          .as("best"))
+        .select($"best.doc_id".as("doc_id"), $"best.n_tok".as("n_tok"),
+          $"best.stop_ratio".as("stop_ratio"), $"fp")
         .orderBy($"doc_id")
     },
 
@@ -207,13 +210,16 @@ object Pipeline {
         docs.select(col("doc_id").as("id")), edges)
       val scored = docs.select(col("doc_id").as("id"),
         size(split(lower(trim(col("text"))), "\\s+")).as("n_tok"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cluster_id"))
-        .orderBy(col("n_tok").desc, col("id").asc)
+      // survivor = argmax(n_tok, tie -> min id) per cluster as a map-side
+      // combinable max_by (the shuffle carries one candidate per
+      // (cluster, task)) instead of a row_number window that ships and
+      // sorts every member row — same shape as the snapshot collapse
       clusters.join(scored, "id")
-        .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("cluster_id"), col("id").as("keep_id"), col("n_tok"))
+        .groupBy(col("cluster_id"))
+        .agg(max_by(struct(col("id"), col("n_tok")),
+          struct(col("n_tok"), (-col("id")).as("neg"))).as("best"))
+        .select(col("cluster_id"), col("best.id").as("keep_id"),
+          col("best.n_tok").as("n_tok"))
         .orderBy(col("cluster_id"))
     },
 
