@@ -134,8 +134,13 @@ class PlanSpec extends AnyFunSuite {
         s"$q: no shuffle join should survive for the vocabulary sides:\n$p")
     }
     val p = plan("q_tfidf_terms")
-    assert(p.contains("WindowGroupLimit"),
-      "per-doc top-k must push a group limit below the window shuffle")
+    // per-doc top-k is the bounded-heap top_scored aggregate: a
+    // partial+final ObjectHashAggregate pair (k rows per doc per map task
+    // through the exchange), NOT a window sort shipping every term
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"per-doc top-k must be a partial+final heap aggregate:\n$p")
+    assert(!p.contains("Window"),
+      s"per-doc top-k must not fall back to a window sort:\n$p")
   }
 
   test("no cartesian products in any scale-path pipeline entry") {
