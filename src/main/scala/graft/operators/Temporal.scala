@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Temporal join operators Spark lacks as built-ins: as-of join and
+  * range (interval containment) join.
+  *
+  * Both are expressed as compositions of shuffle-friendly primitives —
+  * the naive formulations (an inequality theta-join) degenerate to a
+  * BroadcastNestedLoopJoin / cartesian product in Spark, which is
+  * quadratic at corpus scale. The shapes here shuffle once on an
+  * equi-key and never materialize a cross product:
+  *
+  *  - [[asofJoin]]: union-merge. Tag both sides, shuffle ONCE on the
+  *    join key, sort each key group by time, and carry the latest right
+  *    payload forward with a running `last(ignoreNulls)` window. One
+  *    exchange, no join operator at all in the plan, O(n log n) per key
+  *    group — the classic time-series merge shape.
+  *  - [[rangeJoin]]: bucket the time axis into fixed-width chunks;
+  *    intervals explode to the chunks they cover, points map to exactly
+  *    one chunk, and the pair match becomes an equi-join on chunk id
+  *    plus a residual containment filter. Shuffle keyed by chunk —
+  *    AQE's skew-join splits hot chunks at runtime.
+  */
+object Temporal {
+
+  /** As-of join: each left row picks up the payload of the LATEST right
+    * row with the same key and `right.ts <= left.ts` (inclusive; strict
+    * `<` with `inclusive = false`). Unmatched left rows keep null
+    * payload columns (left-outer semantics).
+    *
+    * Implementation: the two sides are union-tagged and processed by a
+    * single running window per key — `last(payload, ignoreNulls)` over
+    * rows sorted by (ts, side) carries the most recent right payload to
+    * every left row. Right rows sort BEFORE left rows at equal ts when
+    * inclusive (so an equal-ts right row is visible) and after them when
+    * strict. Among right rows with identical (key, ts) the payload
+    * struct itself is the final sort key, so the winner is deterministic
+    * (field-wise max) regardless of partition layout.
+    *
+    * Scale shape: ONE hash exchange on the key + a per-key sort — the
+    * same cost as the sort side of a sort-merge join, with no range
+    * explosion and no per-row probing. Rows with a null timestamp sort
+    * first and therefore match nothing (as-of over an unknown time is
+    * undefined); null keys group together like any groupBy key.
+    *
+    * @param left      probe side; ALL its columns are preserved
+    * @param right     build side; all columns except `key` become the
+    *                  payload appended to matching left rows — names
+    *                  must not collide with left's (rename beforehand)
+    * @param key       equi-join key column present on both sides
+    * @param leftTs    event-time column on the left
+    * @param rightTs   event-time column on the right (part of the
+    *                  payload, so callers see WHICH row matched)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String,
+      inclusive: Boolean = true): DataFrame = {
+    val payloadCols = right.columns.filterNot(_ == key)
+    val clash = payloadCols.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"right payload columns collide with left: ${clash.mkString(", ")} " +
+        "— rename the right side's columns before the as-of join")
+    val lStruct = StructType(left.schema.fields)
+    val rStruct = StructType(
+      right.schema.fields.filterNot(_.name == key))
+    // side ordering encodes the boundary rule: the visible window is
+    // "rows sorting at-or-before me", so inclusive puts right first at
+    // equal ts, strict puts it after
+    val (rightSide, leftSide) = if (inclusive) (0, 1) else (1, 0)
+    val l = left.select(
+      col(key).as("__k"), col(leftTs).as("__t"), lit(leftSide).as("__s"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rStruct).as("__r"))
+    val r = right.select(
+      col(key).as("__k"), col(rightTs).as("__t"), lit(rightSide).as("__s"),
+      lit(null).cast(lStruct).as("__l"),
+      struct(payloadCols.map(col): _*).as("__r"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__s").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.union(r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__s") === leftSide && col("__l").isNotNull)
+      .select(left.columns.map(c => col(s"__l.$c").as(c)) ++
+        payloadCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** Range (interval containment) join: every (point, interval) pair
+    * with `lo <= pt <= hi` (both ends inclusive — SQL BETWEEN).
+    *
+    * Implementation: the time axis is chunked into `bucketWidth`-second
+    * cells. Each interval explodes to the cells it covers (a `sequence`
+    * + `explode`, bounded by `maxBucketsPerInterval`); each point maps
+    * to exactly ONE cell, so the equi-join on cell id yields every
+    * candidate pair exactly once (no post-join dedup) and the residual
+    * BETWEEN filter removes same-cell near-misses.
+    *
+    * Scale shape: one hash exchange per side keyed by cell id — never a
+    * nested-loop/cartesian plan. Pick `bucketWidth` near the typical
+    * interval length: the interval side then explodes ~2× and each
+    * point probes one cell. A pathological interval spanning the whole
+    * axis would explode to the entire cell range, so intervals wider
+    * than `maxBucketsPerInterval` cells fail LOUDLY (assert inside the
+    * plan) instead of silently flooding the shuffle — at 100 TB you
+    * split such outliers into their own broadcast-side pass.
+    *
+    * @param points    side with one timestamp column `ptCol`
+    * @param intervals side with `loCol`/`hiCol` timestamp bounds;
+    *                  column names must not collide with points'
+    * @param bucketWidth cell width in seconds
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame, ptCol: String,
+      loCol: String, hiCol: String, bucketWidth: Long,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    val clash = intervals.columns.toSet.intersect(points.columns.toSet)
+    require(clash.isEmpty,
+      s"interval columns collide with point columns: ${clash.mkString(", ")}")
+    require(bucketWidth > 0, "bucketWidth must be positive seconds")
+    def cell(t: org.apache.spark.sql.Column) =
+      floor(unix_timestamp(t).cast(LongType) / bucketWidth)
+    val loCell = cell(col(loCol))
+    val hiCell = cell(col(hiCol))
+    val guarded = intervals
+      // assert_true rides in a filter (coalesce(null-when-ok, true)) so
+      // the optimizer cannot prune it as an unused projection
+      .where(coalesce(
+        assert_true(hiCell - loCell < maxBucketsPerInterval,
+          concat(lit(s"rangeJoin: interval wider than " +
+            s"$maxBucketsPerInterval buckets of ${bucketWidth}s — raise " +
+            "bucketWidth or route outlier intervals to a broadcast pass " +
+            "(interval at "), col(loCol).cast("string"), lit(")"))),
+        lit(true)))
+      .where(col(loCol) <= col(hiCol))
+      .withColumn("__cell", explode(sequence(loCell, hiCell)))
+    points
+      .withColumn("__cell", cell(col(ptCol)))
+      .join(guarded, "__cell")
+      .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__cell")
+  }
+}

@@ -194,6 +194,46 @@ object Extras {
           (call_function("max_strlen", $"ws") <= 12).as("all_le12"),
           array_contains($"ws", "data").as("any_data"))
         .orderBy($"doc_id")
+    },
+
+    // As-of join (each click → the user's latest purchase at or before
+    // it): union-merge shape — one exchange on the key, a running
+    // last(ignoreNulls) window, NO join operator in the plan. The naive
+    // inequality join would be a BroadcastNestedLoopJoin. Purchases are
+    // pre-collapsed to one row per (user, ts) so the match is unique.
+    "q_asof_join" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables.t(s, dir, "events")
+      val clicks = e.where($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = e.where($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts".as("p_ts"))
+        .agg(max($"event_id").as("purchase_id"),
+          max($"value").as("purchase_value"))
+      graft.operators.Temporal.asofJoin(
+          clicks, purchases, "user_id", "ts", "p_ts")
+        .orderBy($"event_id")
+    },
+
+    // Range (interval containment) join: lineitem ship dates against
+    // order-anchored validity windows. Bucketed-equi-join shape: the
+    // time axis chunks into 7-day cells, intervals explode to covered
+    // cells, points probe exactly one cell — an equi-shuffle instead of
+    // the nested-loop plan the BETWEEN theta-join would get.
+    "q_range_join" -> { (s, dir) =>
+      import s.implicits._
+      val iv = Tables.t(s, dir, "orders")
+        .where(pmod($"o_orderkey", lit(97)) === 0)
+        .select($"o_orderkey", $"o_orderdate".as("lo"),
+          ($"o_orderdate" + expr(
+            "make_interval(0, 0, 0, cast(o_orderkey % 20 + 1 as int))"))
+            .as("hi"))
+      val pt = Tables.t(s, dir, "lineitem")
+        .where(pmod($"l_partkey", lit(17)) === 0)
+        .select($"l_orderkey", $"l_linenumber", $"l_shipdate")
+      graft.operators.Temporal.rangeJoin(
+          pt, iv, "l_shipdate", "lo", "hi", bucketWidth = 7L * 86400)
+        .orderBy($"l_orderkey", $"l_linenumber", $"o_orderkey")
     }
   )
 
@@ -336,6 +376,30 @@ object Extras {
           len(string_split_regex(lower(text), '\s+')) AS all_le12,
         len(list_filter(string_split_regex(lower(text), '\s+'),
           w -> w = 'data')) > 0 AS any_data
-      FROM documents ORDER BY doc_id"""
+      FROM documents ORDER BY doc_id""",
+
+    "q_asof_join" -> """
+      WITH c AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'click'),
+      p AS (SELECT user_id, ts AS p_ts, max(event_id) AS purchase_id,
+                   max(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      SELECT c.event_id, c.user_id, c.ts,
+             p.p_ts, p.purchase_id, p.purchase_value
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts >= p.p_ts
+      ORDER BY c.event_id""",
+
+    "q_range_join" -> """
+      WITH iv AS (SELECT o_orderkey, o_orderdate AS lo,
+                    o_orderdate + ((o_orderkey % 20 + 1) * INTERVAL 1 DAY)
+                      AS hi
+                  FROM orders WHERE o_orderkey % 97 = 0),
+      pt AS (SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+             WHERE l_partkey % 17 = 0)
+      SELECT pt.l_orderkey, pt.l_linenumber, pt.l_shipdate,
+             iv.o_orderkey, iv.lo, iv.hi
+      FROM pt JOIN iv ON pt.l_shipdate BETWEEN iv.lo AND iv.hi
+      ORDER BY pt.l_orderkey, pt.l_linenumber, iv.o_orderkey"""
   )
 }

@@ -11,16 +11,7 @@ import graft.streaming.EventStreams
   * tombstones, CDC batch + streaming views, streaming windowed aggs.
   * Mirrors the reference's WEB_STAT end-to-end slice (FIXTURES.md #10). */
 class CatalogSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .appName("graft-catalog-test").getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val spark: SparkSession = TestSpark.spark
 
   private def freshCatalog(): GraftCatalog = {
     val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString

@@ -9,15 +9,7 @@ import graft.functions.{BinaryCodec, DateRound, GraftFunctions}
   * FLOOR units (reference RoundDateExpression + Joda-field variants),
   * ENCODE_BINARY/DECODE_BINARY formats, JSON_QUERY/EXISTS/MODIFY paths. */
 class FunctionsSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .appName("graft-fn-test").getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val spark: SparkSession = TestSpark.spark
 
   private def ts1(expr: org.apache.spark.sql.Column, in: String): String = {
     import spark.implicits._

@@ -22,15 +22,7 @@ import graft.sources.{GraftCatalog, PhoenixSql}
 class GoldenReplaySpec extends AnyFunSuite {
   private val res = "/root/reference/phoenix-core/src/it/resources"
 
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .appName("graft-golden-test").getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val spark: SparkSession = TestSpark.spark
 
   private def read(path: String): String =
     new String(java.nio.file.Files.readAllBytes(

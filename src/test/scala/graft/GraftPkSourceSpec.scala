@@ -9,15 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The PK-sort-aware V2 source (SURVEY §4b): ordering reported to
   * Catalyst (sort elision) + leading-PK min/max file pruning. */
 class GraftPkSourceSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .appName("graft-pksource-test").getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val spark: SparkSession = TestSpark.spark
 
   private lazy val dir: String = {
     import spark.implicits._

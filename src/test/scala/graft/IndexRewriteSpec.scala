@@ -11,16 +11,7 @@ import graft.plans.{GraftIndexes, GraftSparkExtensions}
   * whose predicate leads with the index key scans the INDEX, never the
   * base table — and inherits the index's file pruning on that key. */
 class IndexRewriteSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftSparkExtensions()(_))
-      .appName("graft-idx-test").getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val spark: SparkSession = TestSpark.spark
 
   private lazy val (baseDir, idxDir): (String, String) = {
     import spark.implicits._

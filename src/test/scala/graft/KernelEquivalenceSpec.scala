@@ -14,12 +14,7 @@ import graft.operators.{Similarity, TextAnalysis}
   */
 class KernelEquivalenceSpec extends AnyFunSuite {
   lazy val spark: SparkSession = {
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .appName("graft-kernel-test").getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
+    val s = TestSpark.spark
     GraftFunctions.register(s)
     s
   }

@@ -10,15 +10,7 @@ import graft.sources.{GraftCatalog, PhoenixSql}
   * WEB_STAT.sql + WEB_STAT_QUERIES.sql), ATABLE's type surface
   * (BaseTest.java:230-239), sequences, views, deletes. */
 class PhoenixSqlSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .appName("graft-sql-test").getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val spark: SparkSession = TestSpark.spark
 
   private def fresh(): PhoenixSql = {
     val wh = java.nio.file.Files.createTempDirectory("graft_sql_wh").toString

@@ -11,16 +11,7 @@ import graft.operators.{Curation, Dedup, Multimodal, Similarity}
   * HLL error bounds. Runs on sf0.001. */
 class PipelineSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .appName("graft-test").getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val spark: SparkSession = TestSpark.spark
 
   test("minhash LSH recall >= 0.9 vs exact jaccard pairs at t=0.3") {
     val docs = Tables.t(spark, dir, "documents")

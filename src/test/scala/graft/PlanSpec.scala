@@ -10,16 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * silently loses one fails the build. */
 class PlanSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .appName("graft-plan-test").getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val spark: SparkSession = TestSpark.spark
 
   private def plan(q: String): String = {
     val df = SparkEntry.queries(q)(spark, dir)

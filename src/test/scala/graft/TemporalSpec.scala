@@ -1,0 +1,162 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Temporal
+
+/** Semantics and scale-shape tests for the temporal joins (as-of and
+  * range): boundary inclusivity, unmatched-row nulls, determinism under
+  * partition layout, equivalence to the naive theta-join, and the
+  * loud-failure guard on pathological intervals.
+  */
+class TemporalSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def leftDf = {
+    import spark.implicits._
+    Seq(
+      (1L, 10L, ts("2024-01-01 00:00:10")),
+      (2L, 10L, ts("2024-01-01 00:00:20")),
+      (3L, 10L, ts("2024-01-01 00:00:05")), // before any right row
+      (4L, 20L, ts("2024-01-01 00:01:00")),
+      (5L, 30L, ts("2024-01-01 00:00:30")) // key with no right rows
+    ).toDF("id", "k", "t")
+  }
+
+  private def rightDf = {
+    import spark.implicits._
+    Seq(
+      (10L, ts("2024-01-01 00:00:10"), "a"), // equal-ts tie with left id=1
+      (10L, ts("2024-01-01 00:00:15"), "b"),
+      (20L, ts("2024-01-01 00:00:59"), "c")
+    ).toDF("k", "rt", "payload")
+  }
+
+  test("asof join picks the latest right row at-or-before each left row") {
+    val out = Temporal.asofJoin(leftDf, rightDf, "k", "t", "rt")
+      .select("id", "payload").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(out === Map(
+      1L -> "a", // inclusive: equal-ts right row is visible
+      2L -> "b", // latest of the two earlier rows
+      3L -> null, // left row precedes every right row
+      4L -> "c",
+      5L -> null)) // no right rows for the key
+  }
+
+  test("strict (exclusive) asof join hides the equal-ts right row") {
+    val out = Temporal.asofJoin(leftDf, rightDf, "k", "t", "rt",
+        inclusive = false)
+      .select("id", "payload").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(out(1L) === null) // ts equality no longer matches
+    assert(out(2L) === "b")
+  }
+
+  test("asof join is invariant to partition layout") {
+    val a = Temporal.asofJoin(leftDf, rightDf, "k", "t", "rt")
+      .orderBy("id").collect().toSeq
+    val b = Temporal.asofJoin(
+        leftDf.repartition(7, col("t")), rightDf.repartition(5),
+        "k", "t", "rt")
+      .orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("asof join plan has one key exchange and no join operator") {
+    val plan = Temporal.asofJoin(leftDf, rightDf, "k", "t", "rt")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"union-merge as-of must not plan a join:\n$plan")
+    assert(plan.contains("Window"), s"expected the running window:\n$plan")
+  }
+
+  test("asof join matches the events-table theta-join semantics") {
+    val dir = "/root/testdata/sf0.001"
+    val e = Tables.t(spark, dir, "events")
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("p_ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    val got = Temporal.asofJoin(clicks, purchases, "user_id", "ts", "p_ts")
+      .select("event_id", "purchase_id").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // naive oracle: per click, the max-(ts, id) purchase at or before it
+    val naive = clicks.as("c").join(purchases.as("p"),
+        col("c.user_id") === col("p.user_id") &&
+          col("c.ts") >= col("p.p_ts"), "left")
+      .groupBy(col("c.event_id").as("event_id"))
+      .agg(max_by(col("p.purchase_id"),
+        struct(col("p.p_ts"), col("p.purchase_id"))).as("purchase_id"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got.nonEmpty && got === naive)
+    assert(got.values.exists(_ >= 0), "fixture should produce matches")
+  }
+
+  test("range join equals the naive theta-join incl. boundary rows") {
+    import spark.implicits._
+    val points = Seq(
+      (1L, ts("2024-01-01 00:00:00")), // == lo of interval 100
+      (2L, ts("2024-01-03 12:00:00")),
+      (3L, ts("2024-01-08 00:00:00")), // == hi of interval 100 (inclusive)
+      (4L, ts("2024-01-08 00:00:01")), // just past hi
+      (5L, ts("2024-03-01 00:00:00")) // matches nothing
+    ).toDF("pid", "pt")
+    val intervals = Seq(
+      (100L, ts("2024-01-01 00:00:00"), ts("2024-01-08 00:00:00")),
+      (200L, ts("2024-01-02 00:00:00"), ts("2024-01-02 23:59:59")),
+      (300L, ts("2024-01-07 00:00:00"), ts("2024-01-20 00:00:00"))
+    ).toDF("iid", "lo", "hi")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = key(Temporal.rangeJoin(points, intervals,
+      "pt", "lo", "hi", bucketWidth = 86400))
+    val naive = key(points.crossJoin(intervals)
+      .where(col("pt") >= col("lo") && col("pt") <= col("hi")))
+    assert(got === naive)
+    assert(naive === Set((1L, 100L), (2L, 100L), (3L, 100L),
+      (3L, 300L), (4L, 300L)))
+    // a (point, interval) pair must appear exactly once, not per cell
+    val n = Temporal.rangeJoin(points, intervals,
+      "pt", "lo", "hi", bucketWidth = 86400).count()
+    assert(n === naive.size.toLong)
+  }
+
+  test("range join fails loudly on an interval wider than the cap") {
+    import spark.implicits._
+    val points = Seq((1L, ts("2024-01-05 00:00:00"))).toDF("pid", "pt")
+    val wide = Seq(
+      (9L, ts("2024-01-01 00:00:00"), ts("2026-01-01 00:00:00"))
+    ).toDF("iid", "lo", "hi")
+    val ex = intercept[Exception] {
+      Temporal.rangeJoin(points, wide, "pt", "lo", "hi",
+        bucketWidth = 86400, maxBucketsPerInterval = 30).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("rangeJoin")),
+      s"expected the rangeJoin guard message, got: $ex")
+  }
+
+  test("range join plans an equi-shuffle, never a nested loop") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q_range_join")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"range join must stay an equi-join on the cell id:\n$plan")
+  }
+}

@@ -9,14 +9,7 @@ import graft.functions.{GraftFunctions, TopTermsAgg}
   * exact regime determinism, approximate-regime error/completeness bounds,
   * merge behavior under repartitioning, and the partial-aggregate plan. */
 class TopKSketchSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = {
-    val s = SparkSession.builder().master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.ui.enabled", "false")
-      .appName("graft-topk-test").getOrCreate()
-    s.sparkContext.setLogLevel("WARN")
-    s
-  }
+  lazy val spark: SparkSession = TestSpark.spark
 
   /** Zipf-ish skewed corpus: term i appears ~N/i times, i = 1..D.
     * Deterministic and order-scrambled by a multiplicative hash. */
