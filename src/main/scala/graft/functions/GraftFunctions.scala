@@ -258,6 +258,12 @@ object GraftFunctions {
       "approx_top_terms",
       e => TopTermsAgg(asString(e(0)), e(1)).toAggregateExpression(),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_build",
+      e => BloomBuildAgg(e(0), e(1), e(2)).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "bloom_contains", e => BloomContainsExpr(e(0), e(1)), "built-in")
     // Phoenix array/date spellings with NO Spark name collision:
     // STRING_TO_ARRAY (literal delimiter, trailing empties dropped —
     // StringToArrayFunction.java), ARRAY_TO_STRING (= array_join incl.

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Membership operators for corpus-scale filtering against a keyed set
+  * (blocklists, allowlists, eval-set ids): the Bloom-prefilter join.
+  *
+  * The naive semi-join shuffles the ENTIRE corpus on the key even though
+  * almost no rows match a (comparatively tiny) blocklist. Here the set is
+  * collapsed into one broadcast Bloom filter
+  * ([[graft.functions.BloomBuildAgg]]) and non-members are dropped
+  * scan-locally — two hashes per row, no exchange — before the exact
+  * join verifies the survivors (Bloom false positives removed), so the
+  * result is EXACT while the shuffle carries only candidate matches.
+  * This is the membership analog of Spark's runtime row-level filtering,
+  * made explicit and tunable (filter size/hash count) per use.
+  */
+object Membership {
+
+  /** Exact semi-join of `big` against `keys`, Bloom-prefiltered.
+    *
+    * @param big     corpus side (streamed; never fully shuffled)
+    * @param keys    key-set side — expected orders of magnitude smaller
+    *                than `big`; the Bloom filter must be sized to it
+    *                (numBits ≳ 10× distinct keys for ~1% FP)
+    * @param bigKey  join column on `big`
+    * @param keyCol  join column on `keys`
+    */
+  def bloomSemiJoin(big: DataFrame, keys: DataFrame, bigKey: String,
+      keyCol: String, numBits: Int = 1 << 20,
+      numHashes: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(big.sparkSession)
+    val filter = keys.agg(
+      call_function("bloom_build", xxhash64(col(keyCol)),
+        lit(numBits), lit(numHashes)).as("__bloom"))
+    val verified = keys.select(col(keyCol).as(bigKey)).distinct()
+    big
+      // single-row filter: broadcast once, probe scan-locally
+      .crossJoin(broadcast(filter))
+      .where(call_function("bloom_contains", col("__bloom"),
+        xxhash64(col(bigKey))))
+      .drop("__bloom")
+      // exact verification pass removes Bloom false positives; only the
+      // prefilter survivors reach this join
+      .join(verified, Seq(bigKey), "left_semi")
+  }
+}

@@ -365,6 +365,28 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // Blocklist membership via the Bloom-prefilter join: heavy-error
+    // users (error count above 1.2× the per-user mean, integer-exact
+    // comparison) become the key set; their events are selected by a
+    // broadcast Bloom probe scan-locally, then an exact semi-join on the
+    // survivors — result is EXACT, so the plain IN-subquery is the
+    // oracle while the Bloom plumbing is what's exercised.
+    "q_bloom_blocklist" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables.t(s, dir, "events")
+      val perUser = e.where($"event_type" === "error")
+        .groupBy($"user_id").agg(count(lit(1)).as("n_err"))
+      val tot = perUser.agg(sum($"n_err").as("tot_err"),
+        count(lit(1)).as("n_users"))
+      val blocklist = perUser.crossJoin(broadcast(tot))
+        .where($"n_err" * $"n_users" * 5 > $"tot_err" * 6)
+        .select($"user_id")
+      graft.operators.Membership.bloomSemiJoin(
+          e.select($"event_id", $"user_id", $"event_type"),
+          blocklist, "user_id", "user_id", numBits = 1 << 16)
+        .orderBy($"event_id")
+    },
+
     // URL extraction + domain rollup with a blocklist flag (the
     // domain-level filtering step of web-corpus curation). URL-bearing
     // text is derived deterministically from customer keys (the
@@ -755,6 +777,16 @@ object Pipeline {
           AS avg_neg_logp
       FROM t JOIN tf USING (term) CROSS JOIN total
       GROUP BY doc ORDER BY doc""",
+
+    "q_bloom_blocklist" -> """
+      WITH pu AS (SELECT user_id, count(*) AS n_err FROM events
+                  WHERE event_type = 'error' GROUP BY user_id),
+      t AS (SELECT sum(n_err) AS tot_err, count(*) AS n_users FROM pu),
+      bl AS (SELECT user_id FROM pu, t
+             WHERE n_err * n_users * 5 > tot_err * 6)
+      SELECT event_id, user_id, event_type FROM events
+      WHERE user_id IN (SELECT user_id FROM bl)
+      ORDER BY event_id""",
 
     "q_url_extract" -> raw"""
       WITH t AS (SELECT
