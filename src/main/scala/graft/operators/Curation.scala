@@ -119,6 +119,68 @@ object Curation {
     df.where(hashFrac(col(idCol)) < rate)
   }
 
+  /** DSIR-style importance weights for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS 2023): score every document by how much more likely its
+    * tokens are under a TARGET distribution (the data you want more of
+    * — a high-quality subset, a domain) than under the RAW corpus
+    * distribution. Selection then keeps the top weights or samples
+    * proportionally (compose with [[trainValTestSplit]]'s hash for the
+    * deterministic Gumbel-free variant).
+    *
+    * weight(doc) = mean over tokens t of
+    *   ln p_target(t) − ln p_raw(t), add-1 smoothed over the shared
+    * vocabulary. Per-term log ratios quantize to 1e-8 as SCALED LONGS
+    * (same engine-portable trick as unigramLogProb) so the per-doc sum
+    * is exact-integer and the mean is two IEEE divisions — bit-identical
+    * on any engine, immune to ln()'s last-ulp divergence.
+    *
+    * Shape at scale: one token explode feeds BOTH distributions (the
+    * target indicator is a conditional sum, not a second scan); the term
+    * stats table is vocabulary-sized and carries no broadcast hint (AQE
+    * broadcasts while it fits); the doc-side join aggregates tf per
+    * (doc, term) first so the join carries histogram rows, not tokens.
+    * `hashBuckets = Some(b)` follows the paper's hashed-feature variant:
+    * terms fold into b buckets (xxhash64 pmod), bounding the stats table
+    * at any corpus size for a small collision bias.
+    *
+    * @return (doc, n_tok, logw) — logw > 0 means target-like
+    */
+  def dsirWeights(df: DataFrame, textCol: String, idCol: String,
+      targetPred: Column, hashBuckets: Option[Int] = None): DataFrame = {
+    val term0 = explode(split(lower(trim(col(textCol))), "\\s+")).as("term")
+    val tokens = df.select(col(idCol).as("doc"),
+        targetPred.cast(IntegerType).as("is_tgt"), term0)
+      .select(col("doc"), col("is_tgt"), hashBuckets match {
+        case Some(b) =>
+          pmod(xxhash64(col("term")), lit(b.toLong)).cast(StringType)
+            .as("term")
+        case None => col("term")
+      })
+    val hist = tokens.groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("is_tgt")).as("is_tgt"))
+    val stats = tokens.groupBy(col("term"))
+      .agg(count(lit(1)).as("cnt_raw"), sum(col("is_tgt")).as("cnt_tgt"))
+    val tot = stats.agg(
+      sum(col("cnt_raw")).cast(DoubleType).as("tot_raw"),
+      sum(col("cnt_tgt")).cast(DoubleType).as("tot_tgt"),
+      count(lit(1)).cast(DoubleType).as("v"))
+    // λ(term), scaled-long: counts are exact doubles (< 2^53), ln is
+    // quantized at 1e-8 so both engines round to the same long
+    val lam = stats.crossJoin(broadcast(tot))
+      .select(col("term"),
+        round(log(
+          ((col("cnt_tgt") + 1).cast(DoubleType) * (col("tot_raw") + col("v"))) /
+            ((col("cnt_raw") + 1).cast(DoubleType) * (col("tot_tgt") + col("v"))))
+          * 1e8).cast(LongType).as("lam"))
+    hist.join(lam, "term")
+      .groupBy(col("doc"))
+      .agg(sum(col("tf")).as("n_tok"),
+        sum(col("tf") * col("lam")).as("lsum"))
+      .select(col("doc"), col("n_tok"),
+        (col("lsum").cast(DoubleType) / col("n_tok") / 1e8).as("logw"))
+  }
+
   /** Fixed-window sequence packing (the concat-and-chunk layout LLM
     * pretraining uses): order documents by the deterministic shuffle
     * hash, take the running token offset, and assign each document to

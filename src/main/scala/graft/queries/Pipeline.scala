@@ -365,6 +365,16 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // DSIR importance weights: per-doc mean log-ratio of target (en)
+    // vs raw unigram probabilities — the data-selection score. Exact
+    // vocabulary mode (the hashed-feature variant is ScalaTested).
+    "q_dsir_weights" -> { (s, dir) =>
+      import s.implicits._
+      Curation.dsirWeights(Tables.t(s, dir, "documents"),
+          "text", "doc_id", $"lang" === "en")
+        .orderBy($"doc")
+    },
+
     // Blocklist membership via the Bloom-prefilter join: heavy-error
     // users (error count above 1.2× the per-user mean, integer-exact
     // comparison) become the key set; their events are selected by a
@@ -776,6 +786,26 @@ object Pipeline {
             * 100000000) AS BIGINT)) AS DOUBLE) / count(*) / 100000000.0
           AS avg_neg_logp
       FROM t JOIN tf USING (term) CROSS JOIN total
+      GROUP BY doc ORDER BY doc""",
+
+    "q_dsir_weights" -> raw"""
+      WITH t AS (SELECT doc_id AS doc, lang = 'en' AS is_tgt,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      stats AS (SELECT term, count(*) AS cnt_raw,
+          sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS cnt_tgt
+        FROM t GROUP BY term),
+      tot AS (SELECT CAST(sum(cnt_raw) AS DOUBLE) AS tot_raw,
+          CAST(sum(cnt_tgt) AS DOUBLE) AS tot_tgt,
+          CAST(count(*) AS DOUBLE) AS v FROM stats),
+      l AS (SELECT term, CAST(round(ln(
+            (CAST(cnt_tgt + 1 AS DOUBLE) * (tot_raw + v)) /
+            (CAST(cnt_raw + 1 AS DOUBLE) * (tot_tgt + v)))
+            * 100000000) AS BIGINT) AS lam
+        FROM stats CROSS JOIN tot)
+      SELECT doc, count(*) AS n_tok,
+        CAST(sum(lam) AS DOUBLE) / count(*) / 100000000.0 AS logw
+      FROM t JOIN l USING (term)
       GROUP BY doc ORDER BY doc""",
 
     "q_bloom_blocklist" -> """

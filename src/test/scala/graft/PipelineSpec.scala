@@ -340,6 +340,34 @@ class PipelineSpec extends AnyFunSuite {
       docs.where(col("lang") === "en").count())
   }
 
+  test("dsir weights rank target-like documents above raw-like ones") {
+    val docs = Tables.t(spark, dir, "documents")
+    val w = Curation.dsirWeights(docs, "text", "doc_id",
+      col("lang") === "en")
+    val byDoc = w.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val langOf = docs.select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc.size == langOf.size, "every doc must get a weight")
+    def mean(xs: Iterable[Double]) = xs.sum / xs.size
+    val en = mean(byDoc.collect { case (d, v) if langOf(d) == "en" => v })
+    val other = mean(byDoc.collect { case (d, v) if langOf(d) != "en" => v })
+    // the target subset must score higher under its own distribution
+    assert(en > other,
+      s"target-language mean weight $en should exceed non-target $other")
+    // the hashed-feature variant (bounded stats table) preserves the
+    // separation and is deterministic
+    val h1 = Curation.dsirWeights(docs, "text", "doc_id",
+      col("lang") === "en", hashBuckets = Some(1 << 16))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val h2 = Curation.dsirWeights(docs.repartition(7), "text", "doc_id",
+      col("lang") === "en", hashBuckets = Some(1 << 16))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(h1 == h2, "hashed weights must be layout-deterministic")
+    val enH = mean(h1.collect { case (d, v) if langOf(d) == "en" => v })
+    val otherH = mean(h1.collect { case (d, v) if langOf(d) != "en" => v })
+    assert(enH > otherH)
+  }
+
   test("connected components: empty input converges, long chain fails loudly") {
     import spark.implicits._
     // empty vertex set: sum() over zero rows is NULL — must converge to
