@@ -119,6 +119,39 @@ object Curation {
     df.where(hashFrac(col(idCol)) < rate)
   }
 
+  /** Quantile bucketing of a score column — the perplexity-bucket
+    * assignment of LLM data recipes (e.g. CCNet's head/middle/tail by LM
+    * score): thresholds at the given quantiles, then each row's bucket =
+    * how many thresholds its score exceeds (0 = lowest band).
+    *
+    * `exact = true` uses PERCENTILE_DISC — thresholds are actual data
+    * values under the SQL-standard cume_dist rule, so any engine agrees
+    * bit-for-bit (the oracle mode); note Spark's exact percentile
+    * buffers each aggregation group's values, so at corpus scale use
+    * `exact = false` (approx_percentile's bounded sketch, same plan
+    * shape). Thresholds are a single broadcast row; the assignment
+    * itself is scan-local.
+    */
+  def scoreBuckets(scored: DataFrame, scoreCol: String,
+      probs: Seq[Double], exact: Boolean): DataFrame = {
+    require(probs.nonEmpty && probs == probs.sorted,
+      "quantile probs must be ascending")
+    val thCols = probs.zipWithIndex.map { case (p, i) =>
+      val t =
+        if (exact) expr(
+          s"percentile_disc($p) WITHIN GROUP (ORDER BY $scoreCol)")
+        else expr(s"approx_percentile($scoreCol, $p)")
+      t.cast(DoubleType).as(s"__t$i")
+    }
+    val th = scored.agg(thCols.head, thCols.tail: _*)
+    val bucket = probs.indices
+      .map(i => when(col(scoreCol) > col(s"__t$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    scored.crossJoin(broadcast(th))
+      .withColumn("bucket", bucket)
+      .drop(probs.indices.map(i => s"__t$i"): _*)
+  }
+
   /** DSIR-style importance weights for data selection (Xie et al.,
     * "Data Selection for Language Models via Importance Resampling",
     * NeurIPS 2023): score every document by how much more likely its

@@ -44,6 +44,58 @@ object Dedup {
   def shingles(text: Column, n: Int): Column =
     shinglesFromWords(split(lower(text), "\\s+"), n)
 
+  /** Multiplicity-preserving variant of [[shinglesFromWords]] (no
+    * array_distinct): one entry per n-gram POSITION, for occurrence-
+    * weighted statistics like [[crossDocDupGrams]]. */
+  def shinglesFromWordsAll(words: Column, n: Int): Column =
+    if (n <= 1) words
+    else when(size(words) < n, array().cast(ArrayType(StringType)))
+      .otherwise(
+        transform(
+          sequence(lit(1), size(words) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j)): _*)))
+
+  /** Cross-document duplicated n-gram fraction — the document-level
+    * signal of substring-level duplication (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better", ACL 2022: their
+    * suffix-array pass removes spans that recur across documents; this
+    * operator scores each document by how much of it is such recurring
+    * material, the usual filter-or-weight knob when exact span surgery
+    * is too invasive).
+    *
+    * For every document: the fraction of its n-gram OCCURRENCES whose
+    * gram appears in more than one document. Documents shorter than n
+    * words have no grams and are absent from the output.
+    *
+    * Shape at scale: tokens collapse to a (doc, gram, count) histogram
+    * first (map-side combinable), the gram→doc-frequency table derives
+    * from that same histogram (one row per (doc, gram) already — no
+    * second scan), and the join back is histogram-sized with no
+    * broadcast hint (AQE decides). All counts are exact integers; the
+    * one division rounds to 8 decimals, so the result is engine-exact.
+    *
+    * @return (doc, n_grams, n_dup, dup_frac)
+    */
+  def crossDocDupGrams(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val ws = split(lower(trim(col(textCol))), "\\s+")
+    val grams = df
+      .select(col(idCol).as("doc"), ws.as("ws"))
+      .select(col("doc"),
+        explode(shinglesFromWordsAll(col("ws"), n)).as("g"))
+    val hist = grams.groupBy(col("doc"), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+    val docFreq = hist.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"))
+    hist.join(docFreq, "g")
+      .groupBy(col("doc"))
+      .agg(sum(col("cnt")).as("n_grams"),
+        sum(when(col("nd") > 1, col("cnt")).otherwise(lit(0L))).as("n_dup"))
+      .select(col("doc"), col("n_grams"), col("n_dup"),
+        round(col("n_dup").cast(DoubleType) / col("n_grams"), 8)
+          .as("dup_frac"))
+  }
+
   /** Character n-gram shingles from an ALREADY-PROJECTED lowercased text
     * column (pass a materialized column — an inline expression would
     * re-evaluate per element): the standard representation for short/

@@ -365,6 +365,29 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // Cross-document duplicated 5-gram fraction (the Lee et al. 2022
+    // substring-dedup signal): occurrence-weighted share of each doc
+    // made of grams that recur in other docs. Histogram-shrunk joins,
+    // exact integers → oracle-exact.
+    "q_dup_gram_frac" -> { (s, dir) =>
+      Dedup.crossDocDupGrams(Tables.t(s, dir, "documents"),
+          "text", "doc_id", n = 5)
+        .orderBy(col("doc"))
+    },
+
+    // Quality-quantile bucketing (CCNet-style head/middle/tail): unigram
+    // LM score → PERCENTILE_DISC quartile thresholds → scan-local bucket
+    // assignment. Exact mode for the oracle; approx_percentile is the
+    // declared corpus-scale path (ScalaTested).
+    "q_quality_buckets" -> { (s, dir) =>
+      val scored = TextAnalysis.unigramLogProb(
+        Tables.t(s, dir, "documents"), "text", "doc_id")
+      Curation.scoreBuckets(scored, "avg_neg_logp",
+          Seq(0.25, 0.5, 0.75), exact = true)
+        .select(col("doc"), col("avg_neg_logp"), col("bucket"))
+        .orderBy(col("doc"))
+    },
+
     // DSIR importance weights: per-doc mean log-ratio of target (en)
     // vs raw unigram probabilities — the data-selection score. Exact
     // vocabulary mode (the hashed-feature variant is ScalaTested).
@@ -787,6 +810,47 @@ object Pipeline {
           AS avg_neg_logp
       FROM t JOIN tf USING (term) CROSS JOIN total
       GROUP BY doc ORDER BY doc""",
+
+    "q_dup_gram_frac" -> raw"""
+      WITH w AS (SELECT doc_id,
+          string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents),
+      g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+               ws[i+3] || ' ' || ws[i+4])) AS g
+        FROM w),
+      hist AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2),
+      df AS (SELECT g, count(*) AS nd FROM hist GROUP BY g)
+      SELECT doc_id AS doc, CAST(sum(cnt) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup,
+        round(CAST(sum(CASE WHEN nd > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+          / sum(cnt), 8) AS dup_frac
+      FROM hist JOIN df USING (g)
+      GROUP BY doc_id ORDER BY doc""",
+
+    "q_quality_buckets" -> raw"""
+      WITH t AS (SELECT doc_id AS doc,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents),
+      tf AS (SELECT term, count(*) AS tf FROM t GROUP BY 1),
+      total AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
+      scored AS (SELECT doc,
+          CAST(sum(CAST(round(-ln(CAST(tf.tf AS DOUBLE) / total.total)
+              * 100000000) AS BIGINT)) AS DOUBLE) / count(*) / 100000000.0
+            AS avg_neg_logp
+        FROM t JOIN tf USING (term) CROSS JOIN total GROUP BY doc),
+      cd AS (SELECT *, cume_dist() OVER (ORDER BY avg_neg_logp) AS cda
+        FROM scored),
+      th AS (SELECT
+          min(CASE WHEN cda >= 0.25 THEN avg_neg_logp END) AS t1,
+          min(CASE WHEN cda >= 0.5 THEN avg_neg_logp END) AS t2,
+          min(CASE WHEN cda >= 0.75 THEN avg_neg_logp END) AS t3
+        FROM cd)
+      SELECT doc, avg_neg_logp,
+        (CASE WHEN avg_neg_logp > t1 THEN 1 ELSE 0 END +
+         CASE WHEN avg_neg_logp > t2 THEN 1 ELSE 0 END +
+         CASE WHEN avg_neg_logp > t3 THEN 1 ELSE 0 END) AS bucket
+      FROM scored CROSS JOIN th ORDER BY doc""",
 
     "q_dsir_weights" -> raw"""
       WITH t AS (SELECT doc_id AS doc, lang = 'en' AS is_tgt,

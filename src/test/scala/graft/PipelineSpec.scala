@@ -340,6 +340,43 @@ class PipelineSpec extends AnyFunSuite {
       docs.where(col("lang") === "en").count())
   }
 
+  test("cross-doc duplicated-gram fraction: planted duplication scores") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"), // shares the full text with doc 2
+      (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x"), // unique text
+      (4L, "a b c d e z z z"), // half-overlapping prefix with 1/2
+      (5L, "a b c") // shorter than n: no grams
+    ).toDF("doc_id", "text")
+    val out = Dedup.crossDocDupGrams(docs, "text", "doc_id", n = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!out.contains(5L), "sub-n docs have no grams")
+    assert(out(1L) === ((4L, 4L, 1.0))) // every gram recurs (doc 2)
+    assert(out(2L) === ((4L, 4L, 1.0)))
+    assert(out(3L) === ((4L, 0L, 0.0))) // nothing recurs
+    // doc 4: grams 'a b c d e' (shared) + 3 unique → 1/4
+    assert(out(4L) === ((4L, 1L, 0.25)))
+  }
+
+  test("approx quantile buckets agree with exact on nearly every doc") {
+    val docs = Tables.t(spark, dir, "documents")
+    val scored = graft.operators.TextAnalysis.unigramLogProb(
+      docs, "text", "doc_id")
+    def buckets(exact: Boolean) =
+      Curation.scoreBuckets(scored, "avg_neg_logp",
+          Seq(0.25, 0.5, 0.75), exact = exact)
+        .select("doc", "bucket").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val e = buckets(exact = true)
+    val a = buckets(exact = false)
+    assert(e.values.toSet === Set(0, 1, 2, 3), "all four bands populated")
+    // approx thresholds may shift rows AT band boundaries only
+    val agree = e.keys.count(k => e(k) == a(k)).toDouble / e.size
+    assert(agree >= 0.95, s"approx/exact bucket agreement $agree too low")
+  }
+
   test("dsir weights rank target-like documents above raw-like ones") {
     val docs = Tables.t(spark, dir, "documents")
     val w = Curation.dsirWeights(docs, "text", "doc_id",
