@@ -259,6 +259,10 @@ object GraftFunctions {
       e => TopTermsAgg(asString(e(0)), e(1)).toAggregateExpression(),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "top_scored_id",
+      e => TopScoredIdAgg(e(0), asDouble(e(1)), e(2))
+        .toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
       "bloom_build",
       e => BloomBuildAgg(e(0), e(1), e(2)).toAggregateExpression(),
       "built-in")

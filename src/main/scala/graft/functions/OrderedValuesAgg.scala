@@ -226,6 +226,148 @@ case class TopScoredAgg(
   override def prettyName: String = "top_scored"
 }
 
+/** TOP_SCORED_ID(id, score, k) — [[TopScoredAgg]] with a BIGINT payload
+  * (tie-break id ASC, numeric): the map-side-combinable replacement for
+  * `row_number() OVER (PARTITION BY g ORDER BY score DESC, id ASC) <= k`
+  * in neighbor-list shapes (kNN joins), where the grouped payload is a
+  * row id rather than a term. A string round-trip through TOP_SCORED
+  * would break ties LEXICOGRAPHICALLY ("10" < "2"), silently changing
+  * which equal-scored neighbor survives — hence the typed variant. */
+case class TopScoredIdAgg(
+    id: Expression,
+    score: Expression,
+    kExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopScoredIdAgg.Buf] {
+
+  private lazy val k: Int = kExpr.eval() match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case other => throw new IllegalArgumentException(
+      s"k must be a foldable integer literal, got $other")
+  }
+
+  override def children: Seq[Expression] = Seq(id, score, kExpr)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("id", LongType, nullable = false),
+    StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = true
+
+  override def createAggregationBuffer(): TopScoredIdAgg.Buf =
+    new TopScoredIdAgg.Buf(k)
+
+  override def update(buf: TopScoredIdAgg.Buf, input: InternalRow)
+      : TopScoredIdAgg.Buf = {
+    val i = id.eval(input)
+    val s = score.eval(input)
+    if (i != null && s != null)
+      buf.add(i.asInstanceOf[Long], s.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(buf: TopScoredIdAgg.Buf, other: TopScoredIdAgg.Buf)
+      : TopScoredIdAgg.Buf = { buf.mergeFrom(other); buf }
+
+  override def eval(buf: TopScoredIdAgg.Buf): Any = {
+    val rows = buf.sorted.map { case (i, s) => InternalRow(i, s) }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: TopScoredIdAgg.Buf): Array[Byte] = buf.toBytes
+  override def deserialize(bytes: Array[Byte]): TopScoredIdAgg.Buf =
+    TopScoredIdAgg.Buf.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): TopScoredIdAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopScoredIdAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): TopScoredIdAgg =
+    copy(id = c(0), score = c(1), kExpr = c(2))
+  override def prettyName: String = "top_scored_id"
+}
+
+object TopScoredIdAgg {
+  /** Bounded top-k by (score desc, id asc); heap root = current worst. */
+  final class Buf(val k: Int) {
+    private val ids = new Array[Long](math.max(k, 1))
+    private val scores = new Array[Double](math.max(k, 1))
+    private var size = 0
+
+    // a is worse than b (closer to eviction)
+    private def worse(ia: Long, sa: Double, ib: Long, sb: Double): Boolean =
+      sa < sb || (sa == sb && ia > ib)
+
+    private def siftUp(i0: Int): Unit = {
+      var i = i0
+      while (i > 0 && worse(ids(i), scores(i),
+          ids((i - 1) / 2), scores((i - 1) / 2))) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    }
+    private def siftDown(): Unit = {
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1; val r = 2 * i + 2
+        var m = i
+        if (l < size && worse(ids(l), scores(l), ids(m), scores(m))) m = l
+        if (r < size && worse(ids(r), scores(r), ids(m), scores(m))) m = r
+        if (m == i) done = true else { swap(i, m); i = m }
+      }
+    }
+    private def swap(i: Int, j: Int): Unit = {
+      val ti = ids(i); ids(i) = ids(j); ids(j) = ti
+      val ts = scores(i); scores(i) = scores(j); scores(j) = ts
+    }
+
+    def add(id: Long, s: Double): Unit = {
+      if (size < k) {
+        ids(size) = id; scores(size) = s; size += 1; siftUp(size - 1)
+      } else if (k > 0 && worse(ids(0), scores(0), id, s)) {
+        ids(0) = id; scores(0) = s; siftDown()
+      }
+    }
+
+    def mergeFrom(other: Buf): Unit = {
+      var i = 0
+      while (i < other.size) { add(other.ids(i), other.scores(i)); i += 1 }
+    }
+
+    /** Entries by score desc, id asc. */
+    def sorted: Array[(Long, Double)] = {
+      val out = new Array[(Long, Double)](size)
+      var i = 0
+      while (i < size) { out(i) = (ids(i), scores(i)); i += 1 }
+      scala.util.Sorting.stableSort(out,
+        (a: (Long, Double), b: (Long, Double)) =>
+          a._2 > b._2 || (a._2 == b._2 && a._1 < b._1))
+      out
+    }
+
+    def toBytes: Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + 4 + size * 16)
+      bb.putInt(k); bb.putInt(size)
+      var i = 0
+      while (i < size) { bb.putLong(ids(i)); bb.putDouble(scores(i)); i += 1 }
+      bb.array()
+    }
+  }
+
+  object Buf {
+    def fromBytes(bytes: Array[Byte]): Buf = {
+      val bb = ByteBuffer.wrap(bytes)
+      val k = bb.getInt; val n = bb.getInt
+      val buf = new Buf(k)
+      var i = 0
+      while (i < n) { buf.add(bb.getLong, bb.getDouble); i += 1 }
+      buf
+    }
+  }
+}
+
 object TopScoredAgg {
   /** Bounded top-k by (score desc, term asc); the heap root is the
     * current WORST kept entry (lowest score, then greatest term). */

@@ -245,23 +245,29 @@ object Similarity {
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val planes = hyperplanes(dim, mBits)
-    val cw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("bucket"))
-    val b = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val b0 = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
-      .withColumn("bn", count(lit(1)).over(cw))
-      .where(col("bn") <= maxBucket).drop("bn")
-    val l = b.toDF("id_a", "v_a", "bucket")
-    val r = b.toDF("id_b", "v_b", "bucket")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_a"))
-      .orderBy(col("sim").desc, col("id_b").asc)
+    // cap via aggregate+join, not a window: the partial count shrinks
+    // map-side and the bucket exchange carries no per-bucket sort
+    val small = b0.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn") <= maxBucket)
+      .select(col("bucket"))
+    val b = b0.join(small, "bucket")
+    val l = b.toDF("bucket", "id_a", "v_a")
+    val r = b.toDF("bucket", "id_b", "v_b")
+    // per-id top-k via the bounded-heap aggregate: the exchange carries
+    // at most k neighbors per (id, map task) instead of every in-bucket
+    // pair, and there is no per-id sort — same (score desc, id asc)
+    // order the row_number window form had
     l.join(r, "bucket").where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosine(col("v_a"), col("v_b")).as("sim"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= k)
-      .drop("rn")
+      .groupBy(col("id_a"))
+      .agg(call_function("top_scored_id", col("id_b"), col("sim"), lit(k))
+        .as("top"))
+      .select(col("id_a"), explode(col("top")).as("e"))
+      .select(col("id_a"), col("e.id").as("id_b"), col("e.score").as("sim"))
   }
 
   /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
@@ -301,10 +307,14 @@ object Similarity {
     val soft = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       explode(call_function("ivf_cells",
         col(vecCol), typedlit(flat), lit(dim))).as("cell"))
-    val cw = org.apache.spark.sql.expressions.Window.partitionBy(col("cell"))
-    val capped = soft
-      .withColumn("cn", count(lit(1)).over(cw))
-      .where(col("cn") <= maxCell).drop("cn")
+    // cap via aggregate+join (map-side-combinable count, no per-cell
+    // sort), same shape as knnJoin's bucket cap
+    val smallCells = soft.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cn"))
+      .where(col("cn") <= maxCell)
+      .select(col("cell"))
+    val capped = soft.join(smallCells, "cell")
+      .select(col("id"), col("v"), col("cell"))
     val a = capped.toDF("id_a", "v_a", "cell")
     val b = capped.toDF("id_b", "v_b", "cell")
     val edges = a.join(b, "cell").where(col("id_a") < col("id_b"))

@@ -497,6 +497,40 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.sortBy(_._1).sameElements(out.sortBy(_._1)))
   }
 
+  test("knnJoin heap aggregate equals the window top-k it replaced") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val got = Similarity.knnJoin(emb, "embedding", "vec_id", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    // reference form: row_number window over the same bucketed pairs
+    val planes = Similarity.hyperplanes(64, 8)
+    val b0 = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      .withColumn("bucket", Similarity.lshBucket(col("v"), planes))
+    val cw = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    val b = b0.withColumn("bn", count(lit(1)).over(cw))
+      .where(col("bn") <= graft.operators.Dedup.DefaultMaxBucket).drop("bn")
+    val l = b.toDF("id_a", "v_a", "bucket")
+    val r = b.toDF("id_b", "v_b", "bucket")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("id_a")
+      .orderBy(col("sim").desc, col("id_b").asc)
+    val ref = l.join(r, "bucket").where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        Similarity.cosine(col("v_a"), col("v_b")).as("sim"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(got.nonEmpty && got === ref)
+  }
+
+  test("knnJoin plans aggregates, not windows") {
+    val q = SparkEntry.queries("q_dedup_embedding_lsh")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"kNN top-k and the bucket cap must not plan a window sort:\n$plan")
+    assert(plan.contains("ObjectHashAggregate"),
+      s"expected the bounded-heap partial/final aggregate:\n$plan")
+  }
+
   test("knnJoin drops degenerate buckets above the cap") {
     import spark.implicits._
     // 10 identical vectors share one LSH bucket (population 10 > cap 5);
