@@ -399,16 +399,19 @@ object Dedup {
           .as("hs"))
       .repartition(col("id"))
       .select(col("id"), call_function("simhash64", col("hs")).as("sig"))
-    val cw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("chunk_idx"), col("chunk"))
-    val chunked = sig.select(col("id"), col("sig"), posexplode(
+    val chunked0 = sig.select(col("id"), col("sig"), posexplode(
       array((0 until 4).map(c =>
         shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
       .toDF("id", "sig", "chunk_idx", "chunk")
-      // same degenerate-bucket guard as the minhash path: a 16-bit chunk
-      // shared by boilerplate/empty texts would go quadratic in the join
-      .withColumn("bn", count(lit(1)).over(cw))
-      .where(col("bn") <= maxBucket).drop("bn")
+    // same degenerate-bucket guard as the minhash path: a 16-bit chunk
+    // shared by boilerplate/empty texts would go quadratic in the join.
+    // Aggregate+join (map-side-combinable count), not a window — the
+    // window form sorts every chunk group for a count nothing needs.
+    val smallChunks = chunked0.groupBy(col("chunk_idx"), col("chunk"))
+      .agg(count(lit(1)).as("bn"))
+      .where(col("bn") <= maxBucket)
+      .select(col("chunk_idx"), col("chunk"))
+    val chunked = chunked0.join(smallChunks, Seq("chunk_idx", "chunk"))
     val l = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"),
       col("chunk_idx"), col("chunk"))
     val rhs = chunked.select(col("id").as("id_b"), col("sig").as("sig_b"),
