@@ -134,6 +134,81 @@ object Dedup {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
 
+  /** Incremental exact dedup: classify a DELTA batch against an
+    * already-deduplicated corpus — the daily-ingest shape, where
+    * re-pairing the whole corpus per batch would be absurd. The corpus
+    * participates only through its fingerprint table (at production
+    * scale a stored artifact keyed by fp; derived here), so the work is
+    * one delta-sized aggregate plus one join of delta fingerprints
+    * against the corpus fingerprint table.
+    *
+    * Every delta row is classified:
+    *  - `dup_of_corpus`: fingerprint already in the corpus → keep_id is
+    *    the corpus survivor;
+    *  - `dup_in_delta`: first seen in THIS batch but not by this row →
+    *    keep_id is the batch's min-id holder of the fingerprint;
+    *  - `new`: this row IS the batch survivor of an unseen fingerprint.
+    *
+    * @return (doc_id, fp, status, keep_id) — one row per delta doc
+    */
+  def incrementalDedup(corpus: DataFrame, delta: DataFrame,
+      textCol: String, idCol: String): DataFrame = {
+    val corpusFp = corpus
+      .select(fingerprint(col(textCol)).as("fp"), col(idCol).as("cid"))
+      .groupBy(col("fp")).agg(min(col("cid")).as("corpus_keep"))
+    val deltaFp = delta
+      .select(col(idCol).as("doc_id"), fingerprint(col(textCol)).as("fp"))
+    val deltaKeep = deltaFp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("delta_keep"))
+    deltaFp
+      .join(deltaKeep, "fp")
+      .join(corpusFp, Seq("fp"), "left")
+      .select(col("doc_id"), col("fp"),
+        when(col("corpus_keep").isNotNull, lit("dup_of_corpus"))
+          .when(col("doc_id") =!= col("delta_keep"), lit("dup_in_delta"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("corpus_keep"), col("delta_keep")).as("keep_id"))
+  }
+
+  /** Incremental near-duplicate pairs: MinHash-LSH candidates for a
+    * DELTA batch against corpus ∪ delta, verified with exact Jaccard —
+    * [[nearDupPairs]] restricted to pairs with at least one delta member
+    * (corpus-internal pairs were handled when THOSE batches arrived, so
+    * recomputing them is pure waste at ingest time).
+    *
+    * Same two-pass shape as the full path (signatures ship through the
+    * bucket join, shingle arrays join in only for estimate-surviving
+    * candidates), with one extra bit per row marking the delta side; the
+    * bucket explosion and candidate stream shrink toward the delta's
+    * share of each bucket.
+    *
+    * @return (id_a, id_b, jaccard) with id_a < id_b, at least one side
+    *         in the delta
+    */
+  def incrementalNearDups(corpus: DataFrame, delta: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      shingleSize: Int = 2, numHashes: Int = 32, bands: Int = 16,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val union = corpus.select(col(idCol), col(textCol), lit(0).as("is_delta"))
+      .unionByName(
+        delta.select(col(idCol), col(textCol), lit(1).as("is_delta")))
+    val shT = shingleTable(union, textCol, idCol, shingleSize)
+      .where(size(col("sh")) > 0)
+    val sig = shT.withColumn("sig", fastSignature(shT, "sh", numHashes))
+    val marks = union.select(col(idCol).as("id"), col("is_delta"))
+    val cands = bandedPairs(sig, bands, r, maxBucket, dedupe = false)
+      // at least one delta member: corpus-internal pairs drop here,
+      // BEFORE the estimate filter and the shingle join (the marks build
+      // is an id→bit table — broadcast-sized next to the pair stream)
+      .join(marks.toDF("id_a", "da"), "id_a")
+      .join(marks.toDF("id_b", "db"), "id_b")
+      .where(col("da") === 1 || col("db") === 1)
+      .select(col("id_a"), col("id_b"))
+    verifyCandidates(cands, sig, shT, numHashes, threshold)
+  }
+
   /** Mersenne prime 2^31-1: universal-hash modulus. Base hashes and seeds
     * stay below 2^31 so a*h+b never overflows a signed long (ANSI mode). */
   private val P = 2147483647L
@@ -253,18 +328,24 @@ object Dedup {
     // below kills almost all of it map-side first, and the survivors
     // dedupe for the price of a few hundred rows
     val cands = bandedPairs(sig, bands, r, maxBucket, dedupe = false)
-    // 2σ slack for the minhash estimator at the threshold
+    verifyCandidates(cands, sig, shT, numHashes, threshold)
+  }
+
+  /** Estimate-prune + exact-verify tail shared by the full and
+    * incremental near-dup paths. Two join passes, cheapest payload
+    * first. With low rows-per-band (needed for low thresholds) the
+    * candidate set is orders of magnitude larger than the survivor set —
+    * so the wide shingle arrays must NOT ride the candidate join. Pass 1
+    * attaches only the numHashes-long signatures (a guaranteed-broadcast
+    * build) and prunes on the agreement estimate (O(numHashes)/pair,
+    * codegen'd, map-side) with 2σ slack for the minhash estimator at the
+    * threshold; pass 2 dedupes the estimate survivors and attaches
+    * shingle sets for them alone, verifying with exact Jaccard. */
+  private def verifyCandidates(cands: DataFrame, sig: DataFrame,
+      shT: DataFrame, numHashes: Int, threshold: Double): DataFrame = {
     val margin = 2 * math.sqrt(threshold * (1 - threshold) / numHashes)
     val minAgree = math.ceil((threshold - margin) * numHashes).toInt
-    graft.functions.GraftFunctions.register(docs.sparkSession)
-    // Two join passes, cheapest payload first. With low rows-per-band
-    // (needed for low thresholds) the candidate set is orders of
-    // magnitude larger than the survivor set — so the wide shingle arrays
-    // must NOT ride the candidate join. Pass 1 attaches only the
-    // numHashes-long signatures (a guaranteed-broadcast build) and prunes
-    // on the agreement estimate (O(numHashes)/pair, codegen'd, map-side);
-    // pass 2 dedupes the estimate survivors and attaches shingle sets for
-    // them alone, verifying with exact Jaccard.
+    graft.functions.GraftFunctions.register(sig.sparkSession)
     val sigOnly = sig.select(col("id"), col("sig"))
     val shOnly = shT.select(col("id"), col("sh"))
     cands

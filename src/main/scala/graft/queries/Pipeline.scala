@@ -365,6 +365,31 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // Incremental exact dedup: classify a new batch (doc_id >= 400)
+    // against the existing corpus via its fingerprint table — the
+    // daily-ingest shape; no corpus re-pairing. Oracle-exact.
+    "q_dedup_incremental" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      Dedup.incrementalDedup(
+          docs.where(col("doc_id") < 400),
+          docs.where(col("doc_id") >= 400),
+          "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
+    // Incremental MinHash-LSH near-dups: delta-vs-(corpus ∪ delta)
+    // candidates only — corpus-internal pairs drop before the verify
+    // joins. No SQL oracle (minhash); equivalence to the full path
+    // restricted to delta-touching pairs is ScalaTested.
+    "q_dedup_incremental_lsh" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      Dedup.incrementalNearDups(
+          docs.where(col("doc_id") < 400),
+          docs.where(col("doc_id") >= 400),
+          "text", "doc_id", threshold = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Cross-document duplicated 5-gram fraction (the Lee et al. 2022
     // substring-dedup signal): occurrence-weighted share of each doc
     // made of grams that recur in other docs. Histogram-shrunk joins,
@@ -810,6 +835,24 @@ object Pipeline {
           AS avg_neg_logp
       FROM t JOIN tf USING (term) CROSS JOIN total
       GROUP BY doc ORDER BY doc""",
+
+    "q_dedup_incremental" -> """
+      WITH fp AS (SELECT doc_id,
+          md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+        FROM documents),
+      corpus AS (SELECT fp, min(doc_id) AS corpus_keep FROM fp
+                 WHERE doc_id < 400 GROUP BY fp),
+      delta AS (SELECT doc_id, fp FROM fp WHERE doc_id >= 400),
+      dk AS (SELECT fp, min(doc_id) AS delta_keep FROM delta GROUP BY fp)
+      SELECT d.doc_id, d.fp,
+        CASE WHEN c.corpus_keep IS NOT NULL THEN 'dup_of_corpus'
+             WHEN d.doc_id <> dk.delta_keep THEN 'dup_in_delta'
+             ELSE 'new' END AS status,
+        coalesce(c.corpus_keep, dk.delta_keep) AS keep_id
+      FROM delta d
+      JOIN dk USING (fp)
+      LEFT JOIN corpus c USING (fp)
+      ORDER BY d.doc_id""",
 
     "q_dup_gram_frac" -> raw"""
       WITH w AS (SELECT doc_id,

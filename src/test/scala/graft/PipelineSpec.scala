@@ -377,6 +377,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(agree >= 0.95, s"approx/exact bucket agreement $agree too low")
   }
 
+  test("incremental near-dups equal the full path's delta-touching pairs") {
+    val docs = Tables.t(spark, dir, "documents")
+    val corpus = docs.where(col("doc_id") < 150)
+    val delta = docs.where(col("doc_id") >= 150)
+    val inc = Dedup.incrementalNearDups(corpus, delta,
+        "text", "doc_id", threshold = 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = Dedup.nearDupPairs(docs, "text", "doc_id", threshold = 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = full.filter { case (a, b) => a >= 150 || b >= 150 }
+    assert(inc === expected)
+    assert(inc.nonEmpty, "fixture should contain delta-touching pairs")
+    assert(full.exists { case (a, b) => a < 150 && b < 150 },
+      "fixture should contain corpus-internal pairs the incremental " +
+        "path skips — otherwise this test proves nothing")
+  }
+
+  test("incremental exact dedup classifies corpus/delta/new correctly") {
+    import spark.implicits._
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"))
+      .toDF("doc_id", "text")
+    val delta = Seq(
+      (10L, "alpha beta"), // dup of corpus doc 1
+      (11L, "epsilon zeta"), // new, survivor
+      (12L, "epsilon zeta"), // dup within the delta
+      (13L, "eta theta") // new
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, delta, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> (r.getString(2), r.getLong(3)))
+      .toMap
+    assert(out === Map(
+      10L -> ("dup_of_corpus", 1L),
+      11L -> ("new", 11L),
+      12L -> ("dup_in_delta", 11L),
+      13L -> ("new", 13L)))
+  }
+
   test("dsir weights rank target-like documents above raw-like ones") {
     val docs = Tables.t(spark, dir, "documents")
     val w = Curation.dsirWeights(docs, "text", "doc_id",
