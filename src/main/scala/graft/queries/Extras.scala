@@ -196,6 +196,25 @@ object Extras {
         .orderBy($"doc_id")
     },
 
+    // Two-step funnel (click → later purchase) per user: conditional
+    // min-aggregates + one keyed join — the sequence-analytics shape
+    // that at scale is two partial+final aggs and a user-keyed join,
+    // never a window over the whole event log.
+    "q_funnel" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables.t(s, dir, "events")
+      val fc = e.where($"event_type" === "click")
+        .groupBy($"user_id").agg(min($"ts").as("first_click"))
+      val conv = e.where($"event_type" === "purchase")
+        .join(fc, "user_id")
+        .where($"ts" >= $"first_click")
+        .groupBy($"user_id").agg(min($"ts").as("first_purchase_after"))
+      fc.join(conv, Seq("user_id"), "left")
+        .select($"user_id", $"first_click", $"first_purchase_after",
+          $"first_purchase_after".isNotNull.as("converted"))
+        .orderBy($"user_id")
+    },
+
     // As-of join (each click → the user's latest purchase at or before
     // it): union-merge shape — one exchange on the key, a running
     // last(ignoreNulls) window, NO join operator in the plan. The naive
@@ -377,6 +396,18 @@ object Extras {
         len(list_filter(string_split_regex(lower(text), '\s+'),
           w -> w = 'data')) > 0 AS any_data
       FROM documents ORDER BY doc_id""",
+
+    "q_funnel" -> """
+      WITH fc AS (SELECT user_id, min(ts) AS first_click FROM events
+                  WHERE event_type = 'click' GROUP BY user_id),
+      conv AS (SELECT e.user_id, min(e.ts) AS first_purchase_after
+               FROM events e JOIN fc USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts >= fc.first_click
+               GROUP BY e.user_id)
+      SELECT fc.user_id, fc.first_click, conv.first_purchase_after,
+             conv.first_purchase_after IS NOT NULL AS converted
+      FROM fc LEFT JOIN conv USING (user_id)
+      ORDER BY fc.user_id""",
 
     "q_asof_join" -> """
       WITH c AS (SELECT event_id, user_id, ts FROM events

@@ -365,6 +365,23 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // One-scan corpus profile: the summary a pipeline run logs before
+    // and after each curation stage. Every statistic is a partial+final
+    // aggregate over a single pass — no joins, no second scan; DECIMAL
+    // casts keep the mean order-independent.
+    "q_corpus_profile" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "documents").agg(
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("total_chars"),
+        countDistinct($"lang").as("n_langs"),
+        countDistinct($"source").as("n_sources"),
+        (sum($"n_chars".cast(org.apache.spark.sql.types.DecimalType(20, 2)))
+          / count(lit(1))).cast("double").as("avg_chars"),
+        min($"n_chars").as("min_chars"),
+        max($"n_chars").as("max_chars"))
+    },
+
     // Incremental exact dedup: classify a new batch (doc_id >= 400)
     // against the existing corpus via its fingerprint table — the
     // daily-ingest shape; no corpus re-pairing. Oracle-exact.
@@ -835,6 +852,17 @@ object Pipeline {
           AS avg_neg_logp
       FROM t JOIN tf USING (term) CROSS JOIN total
       GROUP BY doc ORDER BY doc""",
+
+    "q_corpus_profile" -> """
+      SELECT count(*) AS n_docs,
+        sum(n_chars) AS total_chars,
+        count(DISTINCT lang) AS n_langs,
+        count(DISTINCT source) AS n_sources,
+        CAST(sum(CAST(n_chars AS DECIMAL(20,2))) / count(*) AS DOUBLE)
+          AS avg_chars,
+        min(n_chars) AS min_chars,
+        max(n_chars) AS max_chars
+      FROM documents""",
 
     "q_dedup_incremental" -> """
       WITH fp AS (SELECT doc_id,
