@@ -79,6 +79,19 @@ class BloomSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture should produce matches")
   }
 
+  test("empty key set: filter rejects everything, semi-join is empty") {
+    import spark.implicits._
+    val keys = (0L until 100L)
+    val f = buildFilter(keys.filter(_ => false), 1 << 12, 4, parts = 3)
+    assert(keys.forall(!BloomLite.contains(f, _)),
+      "an empty-set filter must reject every probe")
+    val e = Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("event_id"), col("user_id"))
+    val none = e.where(col("user_id") < 0).select(col("user_id"))
+    assert(Membership.bloomSemiJoin(e, none, "user_id", "user_id",
+      numBits = 1 << 12).count() === 0L)
+  }
+
   test("prefilter runs scan-local: bloom probe sits below the join") {
     val dir = "/root/testdata/sf0.001"
     val q = SparkEntry.queries("q_bloom_blocklist")(spark, dir)

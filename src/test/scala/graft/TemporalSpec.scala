@@ -134,6 +134,30 @@ class TemporalSpec extends AnyFunSuite {
     assert(n === naive.size.toLong)
   }
 
+  test("asof join: null-timestamp left rows match nothing") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, Option(ts("2024-01-01 00:00:20"))),
+        (2L, 10L, Option.empty[Timestamp]))
+      .toDF("id", "k", "t")
+    val out = Temporal.asofJoin(l, rightDf, "k", "t", "rt")
+      .select("id", "payload").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+    assert(out(1L) === "b")
+    assert(out(2L) === null,
+      "as-of over an unknown time must not match")
+  }
+
+  test("range join drops inverted (lo > hi) intervals instead of exploding") {
+    import spark.implicits._
+    val points = Seq((1L, ts("2024-01-05 00:00:00"))).toDF("pid", "pt")
+    val inverted = Seq(
+      (9L, ts("2024-02-01 00:00:00"), ts("2024-01-01 00:00:00"))
+    ).toDF("iid", "lo", "hi")
+    assert(Temporal.rangeJoin(points, inverted, "pt", "lo", "hi",
+      bucketWidth = 86400).count() === 0L)
+  }
+
   test("range join fails loudly on an interval wider than the cap") {
     import spark.implicits._
     val points = Seq((1L, ts("2024-01-05 00:00:00"))).toDF("pid", "pt")
