@@ -125,6 +125,10 @@ object Temporal {
     val loCell = cell(col(loCol))
     val hiCell = cell(col(hiCol))
     val guarded = intervals
+      // null-bounded or inverted intervals match nothing (SQL BETWEEN
+      // semantics) — drop them BEFORE the width assert, which would
+      // otherwise fire on the null condition
+      .where(col(loCol) <= col(hiCol))
       // assert_true rides in a filter (coalesce(null-when-ok, true)) so
       // the optimizer cannot prune it as an unused projection
       .where(coalesce(
@@ -134,7 +138,6 @@ object Temporal {
             "bucketWidth or route outlier intervals to a broadcast pass " +
             "(interval at "), col(loCol).cast("string"), lit(")"))),
         lit(true)))
-      .where(col(loCol) <= col(hiCol))
       .withColumn("__cell", explode(sequence(loCell, hiCell)))
     points
       .withColumn("__cell", cell(col(ptCol)))

@@ -148,13 +148,17 @@ class TemporalSpec extends AnyFunSuite {
       "as-of over an unknown time must not match")
   }
 
-  test("range join drops inverted (lo > hi) intervals instead of exploding") {
+  test("range join drops inverted and null-bounded intervals") {
     import spark.implicits._
     val points = Seq((1L, ts("2024-01-05 00:00:00"))).toDF("pid", "pt")
-    val inverted = Seq(
-      (9L, ts("2024-02-01 00:00:00"), ts("2024-01-01 00:00:00"))
+    val bad = Seq(
+      (9L, Option(ts("2024-02-01 00:00:00")), Option(ts("2024-01-01 00:00:00"))),
+      (10L, Option.empty[Timestamp], Option(ts("2024-03-01 00:00:00"))),
+      (11L, Option(ts("2024-01-01 00:00:00")), Option.empty[Timestamp])
     ).toDF("iid", "lo", "hi")
-    assert(Temporal.rangeJoin(points, inverted, "pt", "lo", "hi",
+    // SQL BETWEEN semantics: no matches, and in particular no crash from
+    // the width assert seeing a null condition
+    assert(Temporal.rangeJoin(points, bad, "pt", "lo", "hi",
       bucketWidth = 86400).count() === 0L)
   }
 
