@@ -139,8 +139,8 @@ object Curation {
     val thCols = probs.zipWithIndex.map { case (p, i) =>
       val t =
         if (exact) expr(
-          s"percentile_disc($p) WITHIN GROUP (ORDER BY $scoreCol)")
-        else expr(s"approx_percentile($scoreCol, $p)")
+          s"percentile_disc($p) WITHIN GROUP (ORDER BY `$scoreCol`)")
+        else expr(s"approx_percentile(`$scoreCol`, $p)")
       t.cast(DoubleType).as(s"__t$i")
     }
     val th = scored.agg(thCols.head, thCols.tail: _*)
@@ -191,7 +191,7 @@ object Curation {
         case None => col("term")
       })
     val hist = tokens.groupBy(col("doc"), col("term"))
-      .agg(count(lit(1)).as("tf"), max(col("is_tgt")).as("is_tgt"))
+      .agg(count(lit(1)).as("tf"))
     val stats = tokens.groupBy(col("term"))
       .agg(count(lit(1)).as("cnt_raw"), sum(col("is_tgt")).as("cnt_tgt"))
     val tot = stats.agg(
