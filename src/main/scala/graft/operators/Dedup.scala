@@ -77,12 +77,18 @@ object Dedup {
     * @return (doc, n_grams, n_dup, dup_frac)
     */
   def crossDocDupGrams(df: DataFrame, textCol: String, idCol: String,
-      n: Int): DataFrame = {
+      n: Int, hashGrams: Boolean = false): DataFrame = {
     val ws = split(lower(trim(col(textCol))), "\\s+")
     val grams = df
       .select(col(idCol).as("doc"), ws.as("ws"))
       .select(col("doc"),
-        explode(shinglesFromWordsAll(col("ws"), n)).as("g"))
+        explode(shinglesFromWordsAll(col("ws"), n)).as("g0"))
+      // hashGrams: ship 8-byte xxhash64 keys through the two shuffles
+      // instead of multi-word strings (~5-10× fewer shuffle bytes at
+      // corpus scale) at the cost of a ~n²/2^64 collision probability —
+      // the scale mode; exact strings are the oracle mode
+      .select(col("doc"),
+        (if (hashGrams) xxhash64(col("g0")) else col("g0")).as("g"))
     val hist = grams.groupBy(col("doc"), col("g"))
       .agg(count(lit(1)).as("cnt"))
     val docFreq = hist.groupBy(col("g"))

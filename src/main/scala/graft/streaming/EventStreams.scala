@@ -45,6 +45,19 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols.toArray)
 
+  /** Streaming blocklist filter for ingest: drop stream rows whose key
+    * appears in a STATIC blocklist — a stream-static left-anti join, the
+    * stateless pattern (no watermark, no state store; the static side is
+    * re-read per micro-batch, so blocklist updates take effect on the
+    * next trigger). The batch analog with the Bloom prefilter is
+    * [[graft.operators.Membership.bloomSemiJoin]]; a broadcast hint keeps
+    * the blocklist off the shuffle path — a list too big to broadcast
+    * should be folded to a Bloom filter column instead. */
+  def blocklistFilterStream(events: DataFrame, blocked: DataFrame,
+      keyCol: String): DataFrame =
+    events.join(broadcast(blocked.select(col(keyCol)).distinct()),
+      Seq(keyCol), "left_anti")
+
   /** Open-session accumulator held in the state store. */
   case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
 

@@ -335,6 +335,38 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming blocklist filter matches the batch anti join") {
+    val evDir = java.nio.file.Files.createTempDirectory("graft_events_bl")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      evDir.resolve("events.parquet"))
+    val rawSchema = StructType(EventStreams.eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    val batchEvents = Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val blocked = batchEvents.where(col("user_id") % 4 === 0)
+      .select(col("user_id")).distinct()
+    val ev = spark.readStream.schema(rawSchema).parquet(evDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = EventStreams.blocklistFilterStream(ev, blocked, "user_id")
+      .writeStream.format("memory").queryName("blocklist_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT count(*) AS n, count(DISTINCT user_id) AS u" +
+          " FROM blocklist_out").collect()(0)
+      val exact = batchEvents.join(blocked, Seq("user_id"), "left_anti")
+      assert(got.getLong(0) == exact.count(),
+        "stream must drop exactly the blocked users' events")
+      assert(got.getLong(1) ==
+        exact.select("user_id").distinct().count())
+      assert(got.getLong(0) > 0 && got.getLong(0) < batchEvents.count(),
+        "fixture must exercise both kept and dropped rows")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the window only") {
     import spark.implicits._
     val evDir = java.nio.file.Files.createTempDirectory("graft_ssj")

@@ -360,6 +360,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L) === ((4L, 1L, 0.25)))
   }
 
+  test("hashed-gram mode of dup-gram fraction equals the exact strings") {
+    val docs = Tables.t(spark, dir, "documents")
+    def rows(hashed: Boolean) =
+      Dedup.crossDocDupGrams(docs, "text", "doc_id", n = 5,
+          hashGrams = hashed)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    assert(rows(hashed = true) === rows(hashed = false))
+  }
+
   test("approx quantile buckets agree with exact on nearly every doc") {
     val docs = Tables.t(spark, dir, "documents")
     val scored = graft.operators.TextAnalysis.unigramLogProb(
