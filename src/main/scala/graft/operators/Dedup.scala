@@ -119,13 +119,13 @@ object Dedup {
     * per-row signature work downstream needs every core (a 1-partition
     * scan would serialize it regardless of cluster size). */
   private def shingleTable(docs: DataFrame, textCol: String, idCol: String,
-      n: Int): DataFrame = {
+      n: Int, passthrough: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.select(col(idCol).as("id"),
-        split(lower(col(textCol)), "\\s+").as("w"))
+    docs.select(col(idCol).as("id") +: passthrough.map(col) :+
+        split(lower(col(textCol)), "\\s+").as("w"): _*)
       .repartition(col("id"))
-      .select(col("id"),
-        call_function("word_shingles", col("w"), lit(n)).as("sh"))
+      .select(col("id") +: passthrough.map(col) :+
+        call_function("word_shingles", col("w"), lit(n)).as("sh"): _*)
       .withColumn("sz", size(col("sh")))
   }
 
@@ -200,18 +200,14 @@ object Dedup {
     val union = corpus.select(col(idCol), col(textCol), lit(0).as("is_delta"))
       .unionByName(
         delta.select(col(idCol), col(textCol), lit(1).as("is_delta")))
-    val shT = shingleTable(union, textCol, idCol, shingleSize)
+    // is_delta rides the shingle table as a passthrough column (no join),
+    // and the delta filter applies inside the per-bucket pair generation,
+    // so corpus-internal candidates are never emitted at all
+    val shT = shingleTable(union, textCol, idCol, shingleSize,
+        passthrough = Seq("is_delta"))
       .where(size(col("sh")) > 0)
     val sig = shT.withColumn("sig", fastSignature(shT, "sh", numHashes))
-    val marks = union.select(col(idCol).as("id"), col("is_delta"))
-    val cands = bandedPairs(sig, bands, r, maxBucket, dedupe = false)
-      // at least one delta member: corpus-internal pairs drop here,
-      // BEFORE the estimate filter and the shingle join (the marks build
-      // is an id→bit table — broadcast-sized next to the pair stream)
-      .join(marks.toDF("id_a", "da"), "id_a")
-      .join(marks.toDF("id_b", "db"), "id_b")
-      .where(col("da") === 1 || col("db") === 1)
-      .select(col("id_a"), col("id_b"))
+    val cands = bandedPairsMarked(sig, bands, r, maxBucket)
     verifyCandidates(cands, sig, shT, numHashes, threshold)
   }
 
@@ -296,6 +292,31 @@ object Dedup {
           b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
     if (dedupe) pairs.distinct() else pairs
+  }
+
+  /** [[bandedPairs]] over a marked signature table (id, sig, is_delta):
+    * emits only pairs with at least one marked member, applying the
+    * delta filter INSIDE the per-bucket pair generation — corpus-internal
+    * pairs are never materialized, exploded, or shuffled, instead of
+    * being joined away downstream. Buckets sort by (id, mark) = by id
+    * (ids are unique), so pair order matches the unmarked path. */
+  private def bandedPairsMarked(sig: DataFrame, bands: Int, r: Int,
+      maxBucket: Int): DataFrame = {
+    val buckets = sig.select(col("id"), col("is_delta"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
+      .toDF("id", "d", "band", "bucket")
+    buckets.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("d")))).as("xs"))
+      .where(size(col("xs")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("xs"), (a, i) =>
+        filter(
+          transform(slice(col("xs"), i + 2, size(col("xs"))),
+            b => struct(a.getField("id").as("id_a"),
+              b.getField("id").as("id_b"),
+              (a.getField("d") === 1 || b.getField("d") === 1).as("keep"))),
+          s => s.getField("keep"))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
   }
 
   /** Exact Jaccard similarity between two shingle-set columns. */
