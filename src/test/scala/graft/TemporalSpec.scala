@@ -104,6 +104,44 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.values.exists(_ >= 0), "fixture should produce matches")
   }
 
+  test("asof join equals the naive theta-join on randomized inputs") {
+    import spark.implicits._
+    // seeded random keys/times with deliberate collisions (small domains)
+    // so equal-ts ties and empty keys both occur
+    val rng = new scala.util.Random(0xA50F)
+    val left = (1L to 400L).map(i =>
+      (i, (rng.nextInt(12) + 1).toLong,
+        ts(f"2024-01-01 00:0${rng.nextInt(6)}%d:${rng.nextInt(60)}%02d")))
+      .toDF("id", "k", "t")
+    val right = Seq.tabulate(150)(i =>
+      ((i + 1000).toLong, (rng.nextInt(16) + 1).toLong,
+        ts(f"2024-01-01 00:0${rng.nextInt(6)}%d:${rng.nextInt(60)}%02d")))
+      // unique (k, rt): the operator's tie contract is deterministic but
+      // the naive oracle below needs a single max row per (k, rt)
+      .toDF("rid", "k", "rt")
+      .groupBy("k", "rt").agg(max("rid").as("rid"))
+      .select("rid", "k", "rt")
+    for (inclusive <- Seq(true, false)) {
+      val got = Temporal.asofJoin(left, right, "k", "t", "rt", inclusive)
+        .select("id", "rid").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      val cond = if (inclusive) col("l.t") >= col("r.rt")
+        else col("l.t") > col("r.rt")
+      val naive = left.as("l")
+        .join(right.as("r"), col("l.k") === col("r.k") && cond, "left")
+        .groupBy(col("l.id").as("id"))
+        .agg(max_by(col("r.rid"), struct(col("r.rt"), col("r.rid")))
+          .as("rid"))
+        .collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1)))
+        .toMap
+      assert(got === naive, s"inclusive=$inclusive")
+      assert(got.values.exists(_ >= 0) && got.values.exists(_ < 0),
+        "fixture must exercise both matched and unmatched rows")
+    }
+  }
+
   test("range join equals the naive theta-join incl. boundary rows") {
     import spark.implicits._
     val points = Seq(
