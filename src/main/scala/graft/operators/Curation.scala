@@ -257,4 +257,34 @@ object Curation {
         (col("local_cum") + prefixCol).as("offset"))
       .withColumn("bin", floor(col("offset") / budget))
   }
+
+  /** Boundary-splitting sequence packing — the ACTUAL concat-and-chunk
+    * layout pretraining uses: the corpus token stream chunks into
+    * `budget`-token windows and a document crossing a boundary SPLITS
+    * across the adjacent bins ([[packSequences]] assigns whole docs to
+    * their first-token bin; this emits the per-bin pieces). Each doc
+    * explodes into the bins it touches with its slice coordinates —
+    * scan-local arithmetic on top of the same two-phase prefix sum, no
+    * extra shuffle.
+    *
+    * @return (doc, bin, bin_offset, piece_len, doc_offset): piece of
+    *         `doc` occupying [bin_offset, bin_offset+piece_len) of `bin`,
+    *         starting at `doc_offset` within the document
+    */
+  def packSequencesSplit(df: DataFrame, idCol: String, tokCol: String,
+      budget: Long, partitions: Int = 32): DataFrame = {
+    val packed = packSequences(df, idCol, tokCol, budget, partitions)
+      .where(col("n_tok") > 0)
+    packed
+      .withColumn("bin",
+        explode(sequence(col("bin"),
+          floor((col("offset") + col("n_tok") - 1) / budget))))
+      .select(col("doc"), col("bin"),
+        greatest(col("offset") - col("bin") * budget, lit(0L))
+          .as("bin_offset"),
+        (least((col("bin") + 1) * budget, col("offset") + col("n_tok")) -
+          greatest(col("bin") * budget, col("offset"))).as("piece_len"),
+        greatest(col("bin") * budget - col("offset"), lit(0L))
+          .as("doc_offset"))
+  }
 }

@@ -430,6 +430,17 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // Boundary-splitting packing: docs crossing a window boundary split
+    // into per-bin pieces (the actual pretraining chunk layout) —
+    // scan-local slice arithmetic over the same two-phase prefix sum.
+    "q_token_pack_split" -> { (s, dir) =>
+      Curation.packSequencesSplit(
+          Tables.t(s, dir, "documents")
+            .withColumn("n_tok", TextAnalysis.tokenCount(col("text"))),
+          "doc_id", "n_tok", budget = 2048L)
+        .orderBy(col("bin"), col("bin_offset"))
+    },
+
     // DSIR importance weights: per-doc mean log-ratio of target (en)
     // vs raw unigram probabilities — the data-selection score. Exact
     // vocabulary mode (the hashed-feature variant is ScalaTested).
@@ -833,6 +844,29 @@ object Pipeline {
       SELECT doc, n_tok, "offset",
         CAST(floor("offset" / 2048.0) AS BIGINT) AS bin
       FROM c ORDER BY "offset"""",
+
+    "q_token_pack_split" -> raw"""
+      WITH t AS (SELECT doc_id AS doc,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS n_tok,
+          (doc_id * 2654435761) % 4294967296 AS k
+        FROM documents),
+      c AS (SELECT doc, n_tok,
+          CAST(coalesce(sum(n_tok) OVER (ORDER BY k
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS "offset"
+        FROM t WHERE n_tok > 0),
+      b AS (SELECT doc, n_tok, "offset",
+          unnest(range(CAST(floor("offset" / 2048.0) AS BIGINT),
+            CAST(floor(("offset" + n_tok - 1) / 2048.0) AS BIGINT) + 1))
+            AS bin
+        FROM c)
+      SELECT doc, bin,
+        greatest("offset" - bin * 2048, 0) AS bin_offset,
+        least((bin + 1) * 2048, "offset" + n_tok)
+          - greatest(bin * 2048, "offset") AS piece_len,
+        greatest(bin * 2048 - "offset", 0) AS doc_offset
+      FROM b ORDER BY bin, bin_offset""",
 
     "q_skew_salted" -> """
       SELECT l_returnflag, count(*) AS n,

@@ -426,6 +426,45 @@ class PipelineSpec extends AnyFunSuite {
       13L -> ("new", 13L)))
   }
 
+  test("split packing: pieces tile every bin exactly and rebuild each doc") {
+    val docs = Tables.t(spark, dir, "documents")
+      .withColumn("n_tok",
+        graft.operators.TextAnalysis.tokenCount(col("text")))
+    val budget = 64L // small bins so many docs straddle boundaries
+    val pieces = Curation.packSequencesSplit(docs, "doc_id", "n_tok", budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val total = docs.agg(sum(col("n_tok"))).head().getLong(0)
+    // pieces cover the whole token stream with no overlap: every bin but
+    // the last is exactly full, and per-bin offsets tile [0, budget)
+    assert(pieces.map(_._4).sum === total)
+    val byBin = pieces.groupBy(_._2)
+    val lastBin = byBin.keys.max
+    byBin.foreach { case (bin, ps) =>
+      val sorted = ps.sortBy(_._3)
+      assert(sorted.head._3 === 0L, s"bin $bin must start at 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 + a._4 === b._3, s"gap/overlap in bin $bin")
+        case _ =>
+      }
+      if (bin != lastBin)
+        assert(sorted.map(_._4).sum === budget, s"bin $bin must be full")
+    }
+    // per-doc: doc_offset pieces concatenate to the full document
+    pieces.groupBy(_._1).foreach { case (doc, ps) =>
+      val sorted = ps.sortBy(_._5)
+      assert(sorted.head._5 === 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._5 + a._4 === b._5,
+          s"doc $doc pieces must be contiguous")
+        case _ =>
+      }
+    }
+    assert(pieces.groupBy(_._1).values.exists(_.length > 1),
+      "fixture must contain boundary-straddling docs")
+  }
+
   test("dsir weights rank target-like documents above raw-like ones") {
     val docs = Tables.t(spark, dir, "documents")
     val w = Curation.dsirWeights(docs, "text", "doc_id",
