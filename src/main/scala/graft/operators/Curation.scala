@@ -119,6 +119,32 @@ object Curation {
     df.where(hashFrac(col(idCol)) < rate)
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
+    * each row's key is ln(u)/w for u = its deterministic id-hash
+    * fraction, and the sample is the k LARGEST keys — rows are selected
+    * with probability proportional to weight, reproducibly across runs,
+    * engines, and layouts (no sampling state, no RNG).
+    *
+    * Shape at scale: the key is scan-local arithmetic and the top-k is
+    * TakeOrderedAndProject (per-partition heads, driver merge — never a
+    * global sort). Keys quantize to 6dp with an id tie-break so the
+    * selected SET is engine-exact even at ln()'s last ulp.
+    *
+    * @param weightCol strictly positive weights (e.g. a quality score
+    *                  or token count — heavier rows sampled more often)
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    // (hash + 1) / 2^32 ∈ (0, 1]: the +1 keeps ln() finite at hash = 0
+    val u = (pmod(col(idCol) * lit(2654435761L), lit(4294967296L)) + 1)
+      .cast(DoubleType) / lit(4294967296.0)
+    df.withColumn("skey",
+        round(log(u) / col(weightCol).cast(DoubleType) * 1e6, 6))
+      .orderBy(col("skey").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Quantile bucketing of a score column — the perplexity-bucket
     * assignment of LLM data recipes (e.g. CCNet's head/middle/tail by LM
     * score): thresholds at the given quantiles, then each row's bucket =

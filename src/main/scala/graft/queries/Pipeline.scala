@@ -430,6 +430,16 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis keys):
+    // longer docs proportionally more likely, deterministic across
+    // engines/layouts; scan-local key + TakeOrderedAndProject.
+    "q_weighted_sample" -> { (s, dir) =>
+      Curation.weightedSample(
+          Tables.t(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", "n_chars", k = 100)
+        .orderBy(col("doc_id"))
+    },
+
     // Boundary-splitting packing: docs crossing a window boundary split
     // into per-bin pieces (the actual pretraining chunk layout) —
     // scan-local slice arithmetic over the same two-phase prefix sum.
@@ -844,6 +854,15 @@ object Pipeline {
       SELECT doc, n_tok, "offset",
         CAST(floor("offset" / 2048.0) AS BIGINT) AS bin
       FROM c ORDER BY "offset"""",
+
+    "q_weighted_sample" -> """
+      SELECT doc_id, n_chars, skey FROM (
+        SELECT doc_id, n_chars,
+          round(ln(((doc_id * 2654435761) % 4294967296 + 1)
+              / 4294967296.0) / n_chars * 1000000, 6) AS skey
+        FROM documents
+        ORDER BY skey DESC, doc_id LIMIT 100)
+      ORDER BY doc_id""",
 
     "q_token_pack_split" -> raw"""
       WITH t AS (SELECT doc_id AS doc,

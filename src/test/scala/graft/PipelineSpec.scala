@@ -426,6 +426,23 @@ class PipelineSpec extends AnyFunSuite {
       13L -> ("new", 13L)))
   }
 
+  test("weighted sample is heavy-biased, layout-stable, and top-k planned") {
+    val docs = Tables.t(spark, dir, "documents").select("doc_id", "n_chars")
+    val q = Curation.weightedSample(docs, "doc_id", "n_chars", k = 100)
+    val picked = q.collect().map(r => r.getLong(0)).toSet
+    val again = Curation.weightedSample(docs.repartition(7),
+      "doc_id", "n_chars", k = 100).collect().map(r => r.getLong(0)).toSet
+    assert(picked === again, "selection must not depend on layout")
+    val corpusMean = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    val pickedMean = docs.where(col("doc_id").isin(picked.toSeq: _*))
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(pickedMean > corpusMean,
+      s"weighting must bias toward long docs ($pickedMean vs $corpusMean)")
+    assert(q.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"),
+      "top-k must be per-partition heads, not a global sort")
+  }
+
   test("split packing: pieces tile every bin exactly and rebuild each doc") {
     val docs = Tables.t(spark, dir, "documents")
       .withColumn("n_tok",
