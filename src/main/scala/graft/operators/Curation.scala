@@ -145,6 +145,30 @@ object Curation {
       .limit(k)
   }
 
+  /** Per-stratum weighted quota sampling: the k heaviest-biased rows of
+    * EVERY stratum (per-source quotas in a mixing recipe), using the
+    * same Efraimidis–Spirakis keys as [[weightedSample]] but selected
+    * with the bounded-heap `top_scored_id` aggregate — the shuffle
+    * carries at most k candidates per (stratum, map task) and there is
+    * no per-stratum sort, unlike the row_number window form.
+    *
+    * @return (id, stratum, skey) — `idCol`'s winners per `strataCol`
+    */
+  def weightedSamplePerStratum(df: DataFrame, idCol: String,
+      weightCol: String, strataCol: String, k: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val u = (pmod(col(idCol) * lit(2654435761L), lit(4294967296L)) + 1)
+      .cast(DoubleType) / lit(4294967296.0)
+    df.withColumn("skey",
+        round(log(u) / col(weightCol).cast(DoubleType) * 1e6, 6))
+      .groupBy(col(strataCol).as("stratum"))
+      .agg(call_function("top_scored_id", col(idCol), col("skey"), lit(k))
+        .as("top"))
+      .select(col("stratum"), explode(col("top")).as("e"))
+      .select(col("e.id").as(idCol), col("stratum"),
+        col("e.score").as("skey"))
+  }
+
   /** Quantile bucketing of a score column — the perplexity-bucket
     * assignment of LLM data recipes (e.g. CCNet's head/middle/tail by LM
     * score): thresholds at the given quantiles, then each row's bucket =

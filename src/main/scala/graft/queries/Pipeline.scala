@@ -440,6 +440,16 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // Per-source weighted quotas via the bounded-heap aggregate (k
+    // candidates per (source, map task) through the shuffle — no
+    // per-stratum sort).
+    "q_weighted_sample_stratified" -> { (s, dir) =>
+      Curation.weightedSamplePerStratum(
+          Tables.t(s, dir, "documents"),
+          "doc_id", "n_chars", "source", k = 5)
+        .orderBy(col("doc_id"))
+    },
+
     // Boundary-splitting packing: docs crossing a window boundary split
     // into per-bin pieces (the actual pretraining chunk layout) —
     // scan-local slice arithmetic over the same two-phase prefix sum.
@@ -862,6 +872,17 @@ object Pipeline {
               / 4294967296.0) / n_chars * 1000000, 6) AS skey
         FROM documents
         ORDER BY skey DESC, doc_id LIMIT 100)
+      ORDER BY doc_id""",
+
+    "q_weighted_sample_stratified" -> """
+      WITH s AS (SELECT doc_id, source,
+          round(ln(((doc_id * 2654435761) % 4294967296 + 1)
+              / 4294967296.0) / n_chars * 1000000, 6) AS skey
+        FROM documents),
+      r AS (SELECT *, row_number() OVER (PARTITION BY source
+              ORDER BY skey DESC, doc_id) AS rn
+        FROM s)
+      SELECT doc_id, source AS stratum, skey FROM r WHERE rn <= 5
       ORDER BY doc_id""",
 
     "q_token_pack_split" -> raw"""
