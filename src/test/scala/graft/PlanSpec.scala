@@ -144,7 +144,13 @@ class PlanSpec extends AnyFunSuite {
       "q_pii_scrub", "q_term_freq", "q_embed_quantize",
       "q_lang_id", "q_text_quality",
       "q_repetition", "q_contamination", "q_train_split",
-      "q_sample_stratified", "q_token_pack", "q_url_extract")
+      "q_sample_stratified", "q_token_pack", "q_url_extract",
+      // round-5 additions (entries with a single-row broadcast cross —
+      // dsir, quality_buckets, bloom, unigram — are pinned elsewhere)
+      "q_dup_gram_frac", "q_dedup_incremental", "q_dedup_incremental_lsh",
+      "q_weighted_sample", "q_weighted_sample_stratified", "q_funnel",
+      "q_corpus_profile", "q_token_pack_split", "q_range_join",
+      "q_asof_join")
     for (q <- scalePaths) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
