@@ -367,6 +367,42 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy-hitters sketch matches batch in the exact regime") {
+    // the SpaceSaving aggregate's associative merge makes it legal in a
+    // streaming aggregation (state = one sketch); with capacity above
+    // the distinct-term count it is exact, so stream output must EQUAL
+    // the batch top terms, not just approximate them
+    val docDir = java.nio.file.Files.createTempDirectory("graft_docs_hh")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      docDir.resolve("documents.parquet"))
+    graft.functions.GraftFunctions.register(spark)
+    val docSchema = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .schema
+    def terms(df: org.apache.spark.sql.DataFrame) = df.select(
+      explode(split(lower(trim(col("text"))), "\\s+")).as("term"))
+    val streamed = spark.readStream.schema(docSchema)
+      .parquet(docDir.toString)
+    val q = terms(streamed)
+      .groupBy()
+      .agg(call_function("approx_top_terms", col("term"), lit(4096))
+        .as("top"))
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT slice(top, 1, 20) FROM hh_out").collect()(0).get(0)
+      val batch = terms(
+          Tables.t(spark, "/root/testdata/sf0.001", "documents"))
+        .agg(call_function("approx_top_terms", col("term"), lit(4096))
+          .as("top"))
+        .select(slice(col("top"), 1, 20)).collect()(0).get(0)
+      assert(got === batch,
+        "streamed sketch must equal batch in the exact regime")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches within the window only") {
     import spark.implicits._
     val evDir = java.nio.file.Files.createTempDirectory("graft_ssj")
