@@ -131,15 +131,20 @@ object Curation {
     * global sort). Keys quantize to 6dp with an id tie-break so the
     * selected SET is engine-exact even at ln()'s last ulp.
     *
-    * @param weightCol strictly positive weights (e.g. a quality score
-    *                  or token count — heavier rows sampled more often)
+    * @param weightCol weights (e.g. a quality score or token count —
+    *                  heavier rows sampled more often). Rows with
+    *                  weight ≤ 0 have zero selection probability and are
+    *                  excluded — without the filter their key would be
+    *                  NaN, which Spark sorts ABOVE every real key and
+    *                  the invalid row would win the sample
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
       k: Int): DataFrame = {
     // (hash + 1) / 2^32 ∈ (0, 1]: the +1 keeps ln() finite at hash = 0
     val u = (pmod(col(idCol) * lit(2654435761L), lit(4294967296L)) + 1)
       .cast(DoubleType) / lit(4294967296.0)
-    df.withColumn("skey",
+    df.where(col(weightCol) > 0)
+      .withColumn("skey",
         round(log(u) / col(weightCol).cast(DoubleType) * 1e6, 6))
       .orderBy(col("skey").desc, col(idCol))
       .limit(k)
@@ -159,7 +164,10 @@ object Curation {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val u = (pmod(col(idCol) * lit(2654435761L), lit(4294967296L)) + 1)
       .cast(DoubleType) / lit(4294967296.0)
-    df.withColumn("skey",
+    // weight ≤ 0 = zero selection probability (see weightedSample: a
+    // NaN key would otherwise sort above every real candidate)
+    df.where(col(weightCol) > 0)
+      .withColumn("skey",
         round(log(u) / col(weightCol).cast(DoubleType) * 1e6, 6))
       .groupBy(col(strataCol).as("stratum"))
       .agg(call_function("top_scored_id", col(idCol), col("skey"), lit(k))

@@ -441,6 +441,13 @@ class PipelineSpec extends AnyFunSuite {
     assert(q.queryExecution.executedPlan.toString
       .contains("TakeOrderedAndProject"),
       "top-k must be per-partition heads, not a global sort")
+    // weight <= 0 = zero selection probability; the NaN key would
+    // otherwise sort above every real candidate and win the sample
+    val rigged = docs.withColumn("w",
+      when(col("doc_id") === 7L, 0L).otherwise(col("n_chars")))
+    val sampled = Curation.weightedSample(rigged, "doc_id", "w", k = 100)
+      .collect().map(_.getLong(0)).toSet
+    assert(!sampled.contains(7L), "zero-weight rows must never be sampled")
   }
 
   test("split packing: pieces tile every bin exactly and rebuild each doc") {
