@@ -58,25 +58,36 @@ object Temporal {
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String,
+      inclusive: Boolean = true): DataFrame =
+    asofJoinMulti(left, right, Seq(key), leftTs, rightTs, inclusive)
+
+  /** [[asofJoin]] with a composite equi-key: the key columns pack into
+    * one struct for the single exchange (struct hash/equality = the
+    * columns'), everything else identical. */
+  def asofJoinMulti(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
       inclusive: Boolean = true): DataFrame = {
-    val payloadCols = right.columns.filterNot(_ == key)
+    require(keys.nonEmpty, "at least one key column")
+    val payloadCols = right.columns.filterNot(keys.contains)
     val clash = payloadCols.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty,
       s"right payload columns collide with left: ${clash.mkString(", ")} " +
         "— rename the right side's columns before the as-of join")
     val lStruct = StructType(left.schema.fields)
     val rStruct = StructType(
-      right.schema.fields.filterNot(_.name == key))
+      right.schema.fields.filterNot(f => keys.contains(f.name)))
     // side ordering encodes the boundary rule: the visible window is
     // "rows sorting at-or-before me", so inclusive puts right first at
     // equal ts, strict puts it after
     val (rightSide, leftSide) = if (inclusive) (0, 1) else (1, 0)
     val l = left.select(
-      col(key).as("__k"), col(leftTs).as("__t"), lit(leftSide).as("__s"),
+      struct(keys.map(col): _*).as("__k"),
+      col(leftTs).as("__t"), lit(leftSide).as("__s"),
       struct(left.columns.map(col): _*).as("__l"),
       lit(null).cast(rStruct).as("__r"))
     val r = right.select(
-      col(key).as("__k"), col(rightTs).as("__t"), lit(rightSide).as("__s"),
+      struct(keys.map(col): _*).as("__k"),
+      col(rightTs).as("__t"), lit(rightSide).as("__s"),
       lit(null).cast(lStruct).as("__l"),
       struct(payloadCols.map(col): _*).as("__r"))
     val w = Window.partitionBy(col("__k"))
@@ -119,11 +130,23 @@ object Temporal {
     val clash = intervals.columns.toSet.intersect(points.columns.toSet)
     require(clash.isEmpty,
       s"interval columns collide with point columns: ${clash.mkString(", ")}")
-    require(bucketWidth > 0, "bucketWidth must be positive seconds")
-    def cell(t: org.apache.spark.sql.Column) =
-      floor(unix_timestamp(t).cast(LongType) / bucketWidth)
-    val loCell = cell(col(loCol))
-    val hiCell = cell(col(hiCol))
+    require(bucketWidth > 0, "bucketWidth must be positive axis units")
+    // the axis may be time (cells of bucketWidth seconds) or any numeric
+    // (cells of bucketWidth raw units) — price bands, id ranges, offsets
+    def axis(df: DataFrame, c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType |
+            org.apache.spark.sql.types.DateType =>
+          unix_timestamp(col(c)).cast(LongType)
+        case _: org.apache.spark.sql.types.NumericType =>
+          col(c).cast(LongType)
+        case other => throw new IllegalArgumentException(
+          s"range-join axis column $c must be time or numeric, got $other")
+      }
+    def cell(a: org.apache.spark.sql.Column) = floor(a / bucketWidth)
+    val loCell = cell(axis(intervals, loCol))
+    val hiCell = cell(axis(intervals, hiCol))
     val guarded = intervals
       // null-bounded or inverted intervals match nothing (SQL BETWEEN
       // semantics) — drop them BEFORE the width assert, which would
@@ -140,7 +163,7 @@ object Temporal {
         lit(true)))
       .withColumn("__cell", explode(sequence(loCell, hiCell)))
     points
-      .withColumn("__cell", cell(col(ptCol)))
+      .withColumn("__cell", cell(axis(points, ptCol)))
       .join(guarded, "__cell")
       .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__cell")

@@ -142,6 +142,35 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-key asof join keys on the full composite") {
+    import spark.implicits._
+    val l = Seq(
+      (1L, 10L, "a", ts("2024-01-01 00:00:20")),
+      (2L, 10L, "b", ts("2024-01-01 00:00:20"))
+    ).toDF("id", "k1", "k2", "t")
+    val r = Seq(
+      (10L, "a", ts("2024-01-01 00:00:10"), "pay-a"),
+      (10L, "b", ts("2024-01-01 00:00:15"), "pay-b"),
+      (11L, "a", ts("2024-01-01 00:00:01"), "wrong-k1")
+    ).toDF("k1", "k2", "rt", "payload")
+    val out = Temporal.asofJoinMulti(l, r, Seq("k1", "k2"), "t", "rt")
+      .select("id", "payload").collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(out === Map(1L -> "pay-a", 2L -> "pay-b"))
+  }
+
+  test("range join works on a numeric axis") {
+    import spark.implicits._
+    val points = Seq((1L, 105L), (2L, 250L), (3L, 999L)).toDF("pid", "pt")
+    val bands = Seq((10L, 100L, 199L), (20L, 200L, 299L))
+      .toDF("band", "lo", "hi")
+    val got = Temporal.rangeJoin(points, bands, "pt", "lo", "hi",
+        bucketWidth = 50)
+      .select("pid", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 10L), (2L, 20L)))
+  }
+
   test("range join equals the naive theta-join incl. boundary rows") {
     import spark.implicits._
     val points = Seq(
