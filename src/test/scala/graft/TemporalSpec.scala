@@ -171,6 +171,20 @@ class TemporalSpec extends AnyFunSuite {
     assert(got === Set((1L, 10L), (2L, 20L)))
   }
 
+  test("range join handles negative numeric axes (floor cells)") {
+    import spark.implicits._
+    val points = Seq((1L, -105L), (2L, -1L), (3L, 49L)).toDF("pid", "pt")
+    val bands = Seq((10L, -150L, -100L), (20L, -10L, 60L))
+      .toDF("band", "lo", "hi")
+    val got = Temporal.rangeJoin(points, bands, "pt", "lo", "hi",
+        bucketWidth = 50)
+      .select("pid", "band").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // floor(-1/50) = -1 ≠ truncation's 0: points and intervals must
+    // agree on the cell of every negative coordinate
+    assert(got === Set((1L, 10L), (2L, 20L), (3L, 20L)))
+  }
+
   test("range join equals the naive theta-join incl. boundary rows") {
     import spark.implicits._
     val points = Seq(
