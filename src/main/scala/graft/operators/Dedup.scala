@@ -129,11 +129,17 @@ object Dedup {
       .withColumn("sz", size(col("sh")))
   }
 
-  /** Exact duplicate groups: one survivor (min id) per identical text. */
+  /** Exact duplicate groups: one survivor (min id) per identical text.
+    * Groups on the md5 DIGEST, not the text — the raw text would
+    * otherwise ride the shuffle as the groupBy key, shipping the whole
+    * corpus through the exchange; the digest key makes it 16 bytes per
+    * row. Identical results absent an md5 collision (none observable at
+    * any corpus size that fits hardware; add a byte-compare verify pass
+    * downstream if cryptographic certainty is required). */
   def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.groupBy(col(textCol))
+    docs.groupBy(md5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
-      .select(col("keep_id"), col("n_copies"), md5(col(textCol)).as("fp"))
+      .select(col("keep_id"), col("n_copies"), col("fp"))
 
   /** Normalized-text fingerprint (document-level rolling-hash analog —
     * md5 over lowercased alphanumeric+space text, portable across engines). */

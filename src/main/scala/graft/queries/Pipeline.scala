@@ -382,6 +382,24 @@ object Pipeline {
         max($"n_chars").as("max_chars"))
     },
 
+    // Cross-source overlap matrix: how many distinct word 5-grams each
+    // source pair shares (the between-sources contamination report a
+    // curation run logs). One gram-keyed shuffle; the per-gram source
+    // set stays tiny (≤ #sources), so the pair expansion is bounded.
+    "q_dedup_cross_source" -> { (s, dir) =>
+      import s.implicits._
+      val g = Tables.t(s, dir, "documents")
+        .select($"source", split(lower(trim($"text")), "\\s+").as("w"))
+        .select($"source", explode(Dedup.shinglesFromWords($"w", 5)).as("g"))
+        .distinct() // one row per (source, gram)
+      val a = g.toDF("source_a", "g")
+      val b = g.toDF("source_b", "g")
+      a.join(b, "g").where($"source_a" < $"source_b")
+        .groupBy($"source_a", $"source_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy($"source_a", $"source_b")
+    },
+
     // Incremental exact dedup: classify a new batch (doc_id >= 400)
     // against the existing corpus via its fingerprint table — the
     // daily-ingest shape; no corpus re-pairing. Oracle-exact.
@@ -937,6 +955,20 @@ object Pipeline {
         min(n_chars) AS min_chars,
         max(n_chars) AS max_chars
       FROM documents""",
+
+    "q_dedup_cross_source" -> raw"""
+      WITH w AS (SELECT source,
+          string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents),
+      g AS (SELECT DISTINCT source,
+          unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+            i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                 ws[i+3] || ' ' || ws[i+4]))) AS g
+        FROM w)
+      SELECT a.source AS source_a, b.source AS source_b,
+             count(*) AS n_shared
+      FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_dedup_incremental" -> """
       WITH fp AS (SELECT doc_id,
