@@ -58,6 +58,38 @@ object EventStreams {
     events.join(broadcast(blocked.select(col(keyCol)).distinct()),
       Seq(keyCol), "left_anti")
 
+  /** Streaming as-of enrichment against a STATIC dimension: each stream
+    * row picks up the latest static row with the same key at-or-before
+    * its event time (the ingest-time form of
+    * [[graft.operators.Temporal.asofJoin]] — the batch union-merge
+    * window doesn't exist in streaming, so the shape is a stateless
+    * stream-static equi-join, a time filter, and a watermarked per-event
+    * max_by that emits once the watermark passes the event).
+    *
+    * The static side must be broadcast-sized per key-match fan-out (a
+    * dimension table, not a second fact stream — for stream-stream use
+    * [[intervalJoin]]). Unmatched events emit with null payload via the
+    * left join.
+    *
+    * @param eventKey  columns identifying one stream row (its id)
+    * @param payload   static-side column to carry (latest wins)
+    */
+  def asofEnrichStream(events: DataFrame, dim: DataFrame, key: String,
+      eventTs: String, dimTs: String, eventKey: Seq[String],
+      payload: String, watermark: String = "2 hours"): DataFrame = {
+    val d = broadcast(dim.select(col(key), col(dimTs), col(payload)))
+    // too-late dim rows NULLIFY rather than filter (an event whose dim
+    // rows are all later must still emit, with null payload): max_by
+    // skips null ordering keys, and all-null ordering yields null
+    val valid = col(dimTs) <= col(eventTs)
+    events
+      .withWatermark(eventTs, watermark)
+      .join(d, Seq(key), "left")
+      .groupBy((key +: eventTs +: eventKey).map(col): _*)
+      .agg(max_by(when(valid, col(payload)),
+        when(valid, struct(col(dimTs), col(payload)))).as(payload))
+  }
+
   /** Open-session accumulator held in the state store. */
   case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
 

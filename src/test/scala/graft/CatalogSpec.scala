@@ -335,6 +335,47 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming as-of enrichment matches the batch as-of join") {
+    val evDir = java.nio.file.Files.createTempDirectory("graft_events_ae")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      evDir.resolve("events.parquet"))
+    val rawSchema = StructType(EventStreams.eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    val batchEvents = Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val clicksB = batchEvents.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val dim = batchEvents.where(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").as("p_ts"))
+      .agg(max(col("event_id")).as("purchase_id"))
+    val stream = spark.readStream.schema(rawSchema).parquet(evDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val q = EventStreams.asofEnrichStream(stream, dim, "user_id",
+        "ts", "p_ts", Seq("event_id"), "purchase_id")
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT event_id, purchase_id FROM asof_out")
+        .collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      val batch = graft.operators.Temporal.asofJoin(
+          clicksB, dim, "user_id", "ts", "p_ts")
+        .select("event_id", "purchase_id").collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+      // append mode emits only watermark-sealed events; everything
+      // emitted must agree with the batch as-of, including null matches
+      assert(got.nonEmpty && got.forall { case (k, v) => batch(k) == v })
+      assert(got.values.exists(_ >= 0), "fixture should produce matches")
+    } finally q.stop()
+  }
+
   test("streaming blocklist filter matches the batch anti join") {
     val evDir = java.nio.file.Files.createTempDirectory("graft_events_bl")
     java.nio.file.Files.copy(
