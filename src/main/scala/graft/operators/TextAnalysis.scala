@@ -212,4 +212,30 @@ object TextAnalysis {
       .select(col("e.term").as("term"), col("e.est").as("cnt"),
         col("e.err").as("err"))
   }
+
+  /** Per-document unigram (word) entropy in bits — the information-
+    * density quality signal (Gopher-family filters drop low-entropy =
+    * repetitive documents; high entropy flags random noise). Shannon
+    * H = log2(n) − (Σ cnt·log2(cnt))/n over the word histogram, so the
+    * shuffle carries (doc, word, cnt) histogram rows, then one doc-keyed
+    * aggregate. Per-term log contributions quantize to 1e-8 scaled longs
+    * (the engine's portable-exactness trick), so the sum is
+    * order-independent and the result engine-exact.
+    *
+    * @return (doc, n_tok, entropy)
+    */
+  def wordEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val hist = df
+      .select(col(idCol).as("doc"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .groupBy(col("doc"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+    hist.groupBy(col("doc"))
+      .agg(sum(col("cnt")).as("n_tok"),
+        sum(round(col("cnt") * log(2.0, col("cnt").cast(DoubleType))
+          * 1e8).cast(LongType)).as("s"))
+      .select(col("doc"), col("n_tok"),
+        round(log(2.0, col("n_tok").cast(DoubleType)) -
+          col("s").cast(DoubleType) / 1e8 / col("n_tok"), 8).as("entropy"))
+  }
 }

@@ -382,6 +382,14 @@ object Pipeline {
         max($"n_chars").as("max_chars"))
     },
 
+    // Unigram entropy per doc (information-density quality signal):
+    // histogram-shrunk shuffle + scaled-long exact sum.
+    "q_word_entropy" -> { (s, dir) =>
+      TextAnalysis.wordEntropy(
+          Tables.t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc"))
+    },
+
     // Cross-source overlap matrix: how many distinct word 5-grams each
     // source pair shares (the between-sources contamination report a
     // curation run logs). One gram-keyed shuffle; the per-gram source
@@ -955,6 +963,18 @@ object Pipeline {
         min(n_chars) AS min_chars,
         max(n_chars) AS max_chars
       FROM documents""",
+
+    "q_word_entropy" -> raw"""
+      WITH t AS (SELECT doc_id AS doc,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS word
+        FROM documents),
+      h AS (SELECT doc, word, count(*) AS cnt FROM t GROUP BY 1, 2)
+      SELECT doc, CAST(sum(cnt) AS BIGINT) AS n_tok,
+        round(log2(CAST(sum(cnt) AS DOUBLE)) -
+          CAST(sum(CAST(round(cnt * log2(CAST(cnt AS DOUBLE))
+              * 100000000) AS BIGINT)) AS DOUBLE) / 100000000.0 / sum(cnt),
+          8) AS entropy
+      FROM h GROUP BY doc ORDER BY doc""",
 
     "q_dedup_cross_source" -> raw"""
       WITH w AS (SELECT source,
