@@ -382,6 +382,31 @@ object Pipeline {
         max($"n_chars").as("max_chars"))
     },
 
+    // Shingle-containment pairs (bounded exact baseline): the ASYMMETRIC
+    // near-dup relation |A∩B| / |A| — catches a document quoted or
+    // wrapped inside a larger one, which symmetric Jaccard dilutes
+    // below any usable threshold. Scale path: the same banded-LSH
+    // candidates (containment ≥ t ⇒ the contained side's bands agree)
+    // with this score as the verify step.
+    "q_containment_pairs" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val sh = Tables.t(s, dir, "documents").where($"doc_id" < 200)
+        .select($"doc_id".as("id"),
+          split(lower(trim($"text")), "\\s+").as("w"))
+        .select($"id", Dedup.shinglesFromWords($"w", 2).as("sh"))
+        .where(size($"sh") > 0)
+      val a = sh.toDF("id_a", "sh_a")
+      val b = sh.toDF("id_b", "sh_b")
+      a.crossJoin(b).where($"id_a" =!= $"id_b")
+        .select($"id_a", $"id_b",
+          round(size(array_intersect($"sh_a", $"sh_b"))
+            .cast(org.apache.spark.sql.types.DoubleType) /
+            size($"sh_a"), 8).as("containment"))
+        .where($"containment" >= 0.5)
+        .orderBy($"id_a", $"id_b")
+    },
+
     // Unigram entropy per doc (information-density quality signal):
     // histogram-shrunk shuffle + scaled-long exact sum.
     "q_word_entropy" -> { (s, dir) =>
@@ -963,6 +988,21 @@ object Pipeline {
         min(n_chars) AS min_chars,
         max(n_chars) AS max_chars
       FROM documents""",
+
+    "q_containment_pairs" -> raw"""
+      WITH w AS (SELECT doc_id AS id,
+          string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents WHERE doc_id < 200),
+      sh AS (SELECT id, list_distinct(list_transform(range(1, len(ws)),
+          i -> ws[i] || ' ' || ws[i+1])) AS s
+        FROM w WHERE len(ws) >= 2)
+      SELECT a.id AS id_a, b.id AS id_b,
+        round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s), 8)
+          AS containment
+      FROM sh a, sh b
+      WHERE a.id <> b.id
+        AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) / len(a.s) >= 0.5
+      ORDER BY id_a, id_b""",
 
     "q_word_entropy" -> raw"""
       WITH t AS (SELECT doc_id AS doc,
