@@ -325,6 +325,59 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b"))
   }
 
+  /** Exact containment pairs via PREFIX FILTERING (Chaudhuri, Ganti,
+    * Kaushik, "A primitive operator for similarity joins", ICDE 2006 —
+    * the SSJoin/PPJoin family): containment(A→B) = |A∩B|/|A| ≥ t
+    * requires B to miss FEWER than ⌈t·|A|⌉ of A's shingles, so A's
+    * ⌊|A|−⌈t·|A|⌉⌋+1 GLOBALLY-RAREST shingles (the "prefix" under a
+    * rare-first canonical order) must intersect B — probing only the
+    * prefix against the shingle inverted index gives COMPLETE recall
+    * (exact, not probabilistic — unlike banded MinHash, which recalls
+    * Jaccard-high pairs and misses a small document contained in a much
+    * larger one).
+    *
+    * Shape at scale: one shingle-keyed shuffle builds the df order, one
+    * doc-keyed aggregate forms prefixes, the candidate join is keyed by
+    * the PREFIX shingles only — rare by construction, so per-shingle
+    * fan-out stays small — and the exact verify joins shingle sets for
+    * the surviving candidates alone.
+    *
+    * @return (id_a, id_b, containment): |A∩B|/|A| ≥ t, a ≠ b (both
+    *         directions — containment is asymmetric)
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+      t: Double, shingleSize: Int = 2): DataFrame = {
+    require(t > 0 && t <= 1, "containment threshold in (0, 1]")
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val shT = shingleTable(docs, textCol, idCol, shingleSize)
+      .where(size(col("sh")) > 0)
+    val tokens = shT.select(col("id"), explode(col("sh")).as("tok"))
+    val dfreq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // rare-first canonical order; prefix length = |A| - ceil(t|A|) + 1
+    val prefixes = tokens.join(dfreq, "tok")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
+        .as("ordered"))
+      .select(col("id").as("id_a"),
+        explode(slice(transform(col("ordered"), e => e.getField("tok")),
+          lit(1),
+          (size(col("ordered")) - ceil(lit(t) * size(col("ordered")))
+            + 1).cast("int"))).as("tok"))
+    val cands = prefixes
+      .join(tokens.toDF("id_b", "tok"), "tok")
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sets = shT.select(col("id"), col("sh"))
+    cands
+      .join(sets.toDF("id_a", "sh_a"), "id_a")
+      .join(sets.toDF("id_b", "sh_b"), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast(DoubleType) / size(col("sh_a")), 8).as("containment"))
+      .where(col("containment") >= t)
+  }
+
   /** Exact Jaccard similarity between two shingle-set columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)

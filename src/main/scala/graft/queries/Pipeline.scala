@@ -382,29 +382,19 @@ object Pipeline {
         max($"n_chars").as("max_chars"))
     },
 
-    // Shingle-containment pairs (bounded exact baseline): the ASYMMETRIC
-    // near-dup relation |A∩B| / |A| — catches a document quoted or
-    // wrapped inside a larger one, which symmetric Jaccard dilutes
-    // below any usable threshold. Scale path: the same banded-LSH
-    // candidates (containment ≥ t ⇒ the contained side's bands agree)
-    // with this score as the verify step.
+    // Shingle-containment pairs: the ASYMMETRIC near-dup relation
+    // |A∩B| / |A| — catches a document quoted or wrapped inside a larger
+    // one, which symmetric Jaccard dilutes below any usable threshold.
+    // Prefix filtering (SSJoin) gives COMPLETE recall without a cross
+    // join. BOUNDED here: this synthetic corpus draws from a ~50-word
+    // vocabulary, so no shingle is rare and every token-frequency filter
+    // degenerates toward the quadratic pair set — on a real (Zipf)
+    // corpus the prefix join is the standard scale path.
     "q_containment_pairs" -> { (s, dir) =>
-      import s.implicits._
-      graft.functions.GraftFunctions.register(s)
-      val sh = Tables.t(s, dir, "documents").where($"doc_id" < 200)
-        .select($"doc_id".as("id"),
-          split(lower(trim($"text")), "\\s+").as("w"))
-        .select($"id", Dedup.shinglesFromWords($"w", 2).as("sh"))
-        .where(size($"sh") > 0)
-      val a = sh.toDF("id_a", "sh_a")
-      val b = sh.toDF("id_b", "sh_b")
-      a.crossJoin(b).where($"id_a" =!= $"id_b")
-        .select($"id_a", $"id_b",
-          round(size(array_intersect($"sh_a", $"sh_b"))
-            .cast(org.apache.spark.sql.types.DoubleType) /
-            size($"sh_a"), 8).as("containment"))
-        .where($"containment" >= 0.5)
-        .orderBy($"id_a", $"id_b")
+      Dedup.containmentPairs(
+          Tables.t(s, dir, "documents").where(col("doc_id") < 300),
+          "text", "doc_id", t = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
     },
 
     // Unigram entropy per doc (information-density quality signal):
@@ -992,7 +982,7 @@ object Pipeline {
     "q_containment_pairs" -> raw"""
       WITH w AS (SELECT doc_id AS id,
           string_split_regex(lower(trim(text)), '\s+') AS ws
-        FROM documents WHERE doc_id < 200),
+        FROM documents WHERE doc_id < 300),
       sh AS (SELECT id, list_distinct(list_transform(range(1, len(ws)),
           i -> ws[i] || ' ' || ws[i+1])) AS s
         FROM w WHERE len(ws) >= 2)

@@ -387,6 +387,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(agree >= 0.95, s"approx/exact bucket agreement $agree too low")
   }
 
+  test("prefix-filtered containment equals the cross-join form (complete)") {
+    import org.apache.spark.sql.types.DoubleType
+    val docs = Tables.t(spark, dir, "documents")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val got = key(Dedup.containmentPairs(docs, "text", "doc_id", t = 0.4)
+      .collect())
+    val sh = docs
+      .select(col("doc_id").as("id"),
+        split(lower(trim(col("text"))), "\\s+").as("w"))
+      .select(col("id"), Dedup.shinglesFromWords(col("w"), 2).as("sh"))
+      .where(size(col("sh")) > 0)
+    val naive = key(sh.toDF("id_a", "sh_a")
+      .crossJoin(sh.toDF("id_b", "sh_b"))
+      .where(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b")))
+          .cast(DoubleType) / size(col("sh_a")), 8).as("c"))
+      .where(col("c") >= 0.4).collect())
+    assert(got === naive, "prefix filter must lose NO pair (complete)")
+    assert(got.nonEmpty)
+  }
+
   test("incremental near-dups equal the full path's delta-touching pairs") {
     val docs = Tables.t(spark, dir, "documents")
     val corpus = docs.where(col("doc_id") < 150)
