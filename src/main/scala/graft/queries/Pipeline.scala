@@ -970,7 +970,7 @@ object Pipeline {
 
     "q_corpus_profile" -> """
       SELECT count(*) AS n_docs,
-        sum(n_chars) AS total_chars,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
         count(DISTINCT lang) AS n_langs,
         count(DISTINCT source) AS n_sources,
         CAST(sum(CAST(n_chars AS DECIMAL(20,2))) / count(*) AS DOUBLE)

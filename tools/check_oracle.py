@@ -3,13 +3,22 @@
 
 Usage: python3 tools/check_oracle.py <verify_out_dir> <sf_dir>
 
-DRIVER-FAITHFUL: the driver string-normalizes fetched values before
-hashing, so Decimal('506627.00') on the Spark side vs float 506627.0 on
-the DuckDB side is a MISMATCH even though the numbers are equal (round-1
-root cause). This checker therefore compares str(v) of the raw fetched
-values with NO numeric coercion. Any PASS here should be a driver PASS;
-a WARN/FAIL here must be fixed (usually: cast the final projection of
-the DECIMAL column to DOUBLE on BOTH sides).
+DRIVER-FAITHFUL: the driver fetches BOTH result sets via pandas
+(`.df()`), string-normalizes the values, and hashes — so every pandas
+dtype coercion applies before the compare. Two coercions have shipped
+red rows:
+  * Decimal('506627.00') (Spark DECIMAL) vs float 506627.0 (round-1
+    root cause) — fix: cast the final projection to DOUBLE on BOTH
+    sides.
+  * DuckDB `sum(INTEGER)` returns HUGEINT, which pandas renders as
+    float64 ('149174.0') while Spark's BIGINT stays int64 ('149174')
+    (round-5 `q_corpus_profile`) — fix: CAST(sum(x) AS BIGINT) in the
+    oracle SQL.
+This checker therefore fetches both sides via `.df()` exactly like the
+driver — a raw `fetchall()` compare keeps HUGEINT as Python int and
+HIDES the second failure mode (it passed q_corpus_profile locally while
+the driver failed it). Any PASS here should be a driver PASS; a FAIL
+here must be fixed.
 
 It also mirrors the driver's pandas failure mode: a result column whose
 values are lists/arrays/bytes crashes the driver's sort — reported here
@@ -18,14 +27,24 @@ before the driver sees them.
 """
 import json, sys
 import duckdb
+import numpy as np
 
 TABLES = ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]
 
 def norm(v):
+    # pandas renders missing values as None (object cols) or NaN/NaT
+    # (numeric/datetime cols); both sides go through the same coercion,
+    # so a consistent sentinel per representation is all we need.
     if v is None:
         return "\0NULL"
     return str(v)
+
+def fetch_df(con, sql):
+    df = con.execute(sql).df()
+    cols = list(df.columns)
+    rows = [tuple(r) for r in df.itertuples(index=False, name=None)]
+    return rows, cols
 
 def main(out_dir, sf_dir):
     con = duckdb.connect()
@@ -35,11 +54,9 @@ def main(out_dir, sf_dir):
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").fetchall()
-            gcols = [d[0] for d in con.description]
-            exp = con.execute(sql).fetchall()
-            ecols = [d[0] for d in con.description]
+            got, gcols = fetch_df(
+                con, f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
+            exp, ecols = fetch_df(con, sql)
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             n_fail += 1
@@ -59,7 +76,8 @@ def main(out_dir, sf_dir):
             return next((r[i] for r in got if r[i] is not None), None)
         unsortable = [c for i, c in enumerate(gcols)
                       if isinstance(first_nonnull(i),
-                                    (list, tuple, bytes, bytearray, dict))]
+                                    (list, tuple, bytes, bytearray, dict,
+                                     np.ndarray))]
         if unsortable:
             print(f"FAIL {name}: UNSORTABLE columns {unsortable} "
                   f"(driver pandas sort would crash — serialize them)")
