@@ -226,6 +226,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "max_strlen", e => MaxStrLen(e.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "text_metrics", e => TextMetrics(e.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "get_byte", e => GetByteExpr(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "get_bit", e => GetBitExpr(e(0), e(1)), "built-in")

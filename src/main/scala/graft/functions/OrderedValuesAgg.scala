@@ -248,6 +248,48 @@ case class TopScoredIdAgg(
       s"k must be a foldable integer literal, got $other")
   }
 
+  // reject wrong input types at ANALYSIS time — update() would otherwise
+  // ClassCastException mid-job on an INT id or a STRING score
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    id.dataType match {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => return TypeCheckFailure(
+        s"top_scored_id requires an integral id column " +
+          s"(TINYINT/SMALLINT/INT/BIGINT), got ${other.catalogString}")
+    }
+    score.dataType match {
+      case _: NumericType => ()
+      case other => return TypeCheckFailure(
+        s"top_scored_id requires a numeric score column, " +
+          s"got ${other.catalogString}")
+    }
+    if (!kExpr.foldable)
+      TypeCheckFailure("top_scored_id requires a literal k")
+    else TypeCheckSuccess
+  }
+
+  // narrower integral ids widen losslessly to the BIGINT buffer; any
+  // numeric score converts to the DOUBLE buffer
+  private lazy val idToLong: Any => Long = id.dataType match {
+    case LongType => v => v.asInstanceOf[Long]
+    case IntegerType => v => v.asInstanceOf[Int].toLong
+    case ShortType => v => v.asInstanceOf[Short].toLong
+    case ByteType => v => v.asInstanceOf[Byte].toLong
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+  private lazy val scoreToDouble: Any => Double = score.dataType match {
+    case DoubleType => v => v.asInstanceOf[Double]
+    case FloatType => v => v.asInstanceOf[Float].toDouble
+    case LongType => v => v.asInstanceOf[Long].toDouble
+    case IntegerType => v => v.asInstanceOf[Int].toDouble
+    case ShortType => v => v.asInstanceOf[Short].toDouble
+    case ByteType => v => v.asInstanceOf[Byte].toDouble
+    case _: DecimalType => v => v.asInstanceOf[Decimal].toDouble
+    case other => throw new IllegalStateException(s"unreachable: $other")
+  }
+
   override def children: Seq[Expression] = Seq(id, score, kExpr)
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -263,7 +305,7 @@ case class TopScoredIdAgg(
     val i = id.eval(input)
     val s = score.eval(input)
     if (i != null && s != null)
-      buf.add(i.asInstanceOf[Long], s.asInstanceOf[Double])
+      buf.add(idToLong(i), scoreToDouble(s))
     buf
   }
 
@@ -324,6 +366,11 @@ object TopScoredIdAgg {
     }
 
     def add(id: Long, s: Double): Unit = {
+      // NaN returns false on BOTH worse() directions, breaking the heap
+      // invariant — which neighbors survive would then depend on
+      // insertion order / partition layout. A NaN score (cosine of a
+      // zero vector) means "no meaningful similarity": drop it.
+      if (java.lang.Double.isNaN(s)) return
       if (size < k) {
         ids(size) = id; scores(size) = s; size += 1; siftUp(size - 1)
       } else if (k > 0 && worse(ids(0), scores(0), id, s)) {

@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused character-class counters for text quality scoring.
+  *
+  * The composed form is FOUR regexp_replace passes over every document
+  * (strip-whitespace length, symbol count, digit count, punct count —
+  * `TextAnalysis.qualityMetrics` + `subwordCountEstimate`), each a full
+  * regex-engine scan that rebuilds the string just to take its length.
+  * All four are single-character classes, so one code-point pass computes
+  * every counter at once — no regex, no intermediate strings, 4× less
+  * text traversal on the corpus scan.
+  */
+object TextMetricsKernel {
+
+  /** One pass over the text, counting per Java-regex semantics:
+    *  - stripLen: code points NOT in \s (= [ \t\n\x0B\f\r]) — the length
+    *    of regexp_replace(text, "\\s+", "")
+    *  - symbol: code points outside [a-z0-9\s] AFTER lowercasing — the
+    *    length of regexp_replace(lower(text), "[a-z0-9\\s]", "")
+    *  - digit: code points in [0-9] — length of
+    *    regexp_replace(text, "[^0-9]", "") removed-complement
+    *  - punct: code points in [0-9.,;:!?] — the subword-estimate extra
+    */
+  def metrics(s: UTF8String): InternalRow = {
+    val str = s.toString
+    var i = 0
+    var stripLen = 0; var symbol = 0; var digit = 0; var punct = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (!ws) {
+        stripLen += 1
+        val lc = Character.toLowerCase(cp)
+        val isDigit = cp >= '0' && cp <= '9'
+        if (!(lc >= 'a' && lc <= 'z') && !isDigit) symbol += 1
+        if (isDigit) { digit += 1; punct += 1 }
+        else if (cp == '.' || cp == ',' || cp == ';' || cp == ':' ||
+          cp == '!' || cp == '?') punct += 1
+      }
+      i += Character.charCount(cp)
+    }
+    new GenericInternalRow(Array[Any](stripLen, symbol, digit, punct))
+  }
+}
+
+/** TEXT_METRICS(string) → struct<strip_len:int, symbol:int, digit:int,
+  * punct:int>: the four character-class counters of one document in one
+  * scan. Null text → null struct (matching length(regexp_replace(NULL))
+  * in the composed form). */
+case class TextMetrics(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("strip_len", IntegerType, nullable = false),
+    StructField("symbol", IntegerType, nullable = false),
+    StructField("digit", IntegerType, nullable = false),
+    StructField("punct", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"text_metrics requires a STRING column, got " +
+        child.dataType.catalogString)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    TextMetricsKernel.metrics(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.TextMetricsKernel.metrics($a)")
+  override protected def withNewChildInternal(c: Expression): TextMetrics =
+    copy(child = c)
+  override def prettyName: String = "text_metrics"
+}

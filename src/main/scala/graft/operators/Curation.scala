@@ -157,6 +157,9 @@ object Curation {
     * carries at most k candidates per (stratum, map task) and there is
     * no per-stratum sort, unlike the row_number window form.
     *
+    * `idCol` must be integral (TINYINT..BIGINT — enforced at analysis
+    * time by the bounded-heap aggregate; output ids are BIGINT).
+    *
     * @return (id, stratum, skey) — `idCol`'s winners per `strataCol`
     */
   def weightedSamplePerStratum(df: DataFrame, idCol: String,

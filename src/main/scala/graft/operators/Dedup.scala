@@ -342,11 +342,22 @@ object Dedup {
     * fan-out stays small — and the exact verify joins shingle sets for
     * the surviving candidates alone.
     *
+    * Degenerate-vocabulary guard: prefix filtering only prunes when the
+    * prefix tokens are RARE. On a flat/boilerplate vocabulary (every
+    * shingle common) the df-ordered prefix stops being selective and
+    * the candidate join degenerates toward the quadratic pair set — so
+    * any prefix token whose document frequency exceeds `maxPrefixDf`
+    * fails LOUDLY inside the plan (same pattern as `rangeJoin`'s
+    * interval-width assert) instead of silently flooding the shuffle.
+    * At that point raise `t`, increase `shingleSize`, or route the
+    * corpus to banded MinHash ([[nearDupPairs]]).
+    *
     * @return (id_a, id_b, containment): |A∩B|/|A| ≥ t, a ≠ b (both
     *         directions — containment is asymmetric)
     */
   def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
-      t: Double, shingleSize: Int = 2): DataFrame = {
+      t: Double, shingleSize: Int = 2,
+      maxPrefixDf: Int = 100000): DataFrame = {
     require(t > 0 && t <= 1, "containment threshold in (0, 1]")
     graft.functions.GraftFunctions.register(docs.sparkSession)
     val shT = shingleTable(docs, textCol, idCol, shingleSize)
@@ -359,10 +370,23 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
         .as("ordered"))
       .select(col("id").as("id_a"),
-        explode(slice(transform(col("ordered"), e => e.getField("tok")),
-          lit(1),
+        explode(slice(col("ordered"), lit(1),
           (size(col("ordered")) - ceil(lit(t) * size(col("ordered")))
-            + 1).cast("int"))).as("tok"))
+            + 1).cast("int"))).as("p"))
+      .select(col("id_a"), col("p").getField("tok").as("tok"),
+        col("p").getField("df").as("__df"))
+      // assert_true rides in a filter (coalesce(null-when-ok, true)) so
+      // the optimizer cannot prune it as an unused projection
+      .where(coalesce(
+        assert_true(col("__df") <= maxPrefixDf,
+          concat(lit("containmentPairs: prefix token document frequency "),
+            col("__df").cast("string"),
+            lit(s" exceeds maxPrefixDf=$maxPrefixDf — the vocabulary is " +
+              "too flat for prefix filtering and the candidate join is " +
+              "degenerating toward quadratic; raise t, increase " +
+              "shingleSize, or route to banded MinHash (nearDupPairs)"))),
+        lit(true)))
+      .drop("__df")
     val cands = prefixes
       .join(tokens.toDF("id_b", "tok"), "tok")
       .where(col("id_a") =!= col("id_b"))
@@ -372,10 +396,14 @@ object Dedup {
     cands
       .join(sets.toDF("id_a", "sh_a"), "id_a")
       .join(sets.toDF("id_b", "sh_b"), "id_b")
+      // filter on the UNROUNDED ratio (SQL comparison semantics — the
+      // DuckDB oracle does the same) and round only for display; a
+      // rounded filter would keep pairs within 5e-9 below t
+      .withColumn("__c", size(array_intersect(col("sh_a"), col("sh_b")))
+        .cast(DoubleType) / size(col("sh_a")))
+      .where(col("__c") >= t)
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b")))
-          .cast(DoubleType) / size(col("sh_a")), 8).as("containment"))
-      .where(col("containment") >= t)
+        round(col("__c"), 8).as("containment"))
   }
 
   /** Exact Jaccard similarity between two shingle-set columns. */

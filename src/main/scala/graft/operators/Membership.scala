@@ -30,6 +30,18 @@ object Membership {
   def bloomSemiJoin(big: DataFrame, keys: DataFrame, bigKey: String,
       keyCol: String, numBits: Int = 1 << 20,
       numHashes: Int = 5): DataFrame = {
+    // xxhash64 output depends on the INPUT TYPE, not just the value: an
+    // INT 7 and a BIGINT 7 hash differently, so a type mismatch between
+    // the two sides would make the prefilter silently drop true matches
+    // (the exact join would have coerced them). Demand identical types —
+    // the caller casts one side explicitly.
+    val bt = big.schema(bigKey).dataType
+    val kt = keys.schema(keyCol).dataType
+    require(bt == kt,
+      s"bloomSemiJoin key types must match exactly: $bigKey is " +
+        s"${bt.catalogString} but $keyCol is ${kt.catalogString} — " +
+        "cast one side before the join (xxhash64 is type-sensitive, so " +
+        "mismatched types silently drop true matches in the prefilter)")
     graft.functions.GraftFunctions.register(big.sparkSession)
     val filter = keys.agg(
       call_function("bloom_build", xxhash64(col(keyCol)),

@@ -239,7 +239,11 @@ object Similarity {
     * dedup already collapses, and their rows simply get no kNN edges
     * (they'd all be trivial sim≈1 pairs anyway). At 100× rows also raise
     * `mBits` ~ log2(n / targetBucketSize) so expected bucket population
-    * stays constant. */
+    * stays constant.
+    *
+    * `idCol` must be integral (TINYINT..BIGINT — enforced at analysis
+    * time by the bounded-heap aggregate; output ids are BIGINT). A NaN
+    * similarity (zero vector) contributes no neighbor edge. */
   def knnJoin(emb: DataFrame, vecCol: String, idCol: String, k: Int,
       dim: Int = 64, mBits: Int = 8,
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {

@@ -43,9 +43,20 @@ object Temporal {
     *
     * Scale shape: ONE hash exchange on the key + a per-key sort — the
     * same cost as the sort side of a sort-merge join, with no range
-    * explosion and no per-row probing. Rows with a null timestamp sort
-    * first and therefore match nothing (as-of over an unknown time is
-    * undefined); null keys group together like any groupBy key.
+    * explosion and no per-row probing. Left rows with a null timestamp
+    * sort first and therefore match nothing; right rows with a null
+    * timestamp are DROPPED before the union (NULL <= t is never true,
+    * so they can match no left row). Null keys group together like any
+    * groupBy key.
+    *
+    * Hot-key boundary: all events of one key land in one window group,
+    * so a single pathologically hot key serializes into one task — this
+    * is inherent to as-of semantics (the running "latest right row"
+    * state is a per-key chain). At 100 TB the mitigation is
+    * [[asofJoinBucketed]]: pre-bucket the time axis coarsely, carry each
+    * bucket's closing right row into the next, and run the same
+    * union-merge per (key, bucket) — same answer, parallelism = #buckets
+    * per key.
     *
     * @param left      probe side; ALL its columns are preserved
     * @param right     build side; all columns except `key` become the
@@ -85,7 +96,13 @@ object Temporal {
       col(leftTs).as("__t"), lit(leftSide).as("__s"),
       struct(left.columns.map(col): _*).as("__l"),
       lit(null).cast(rStruct).as("__r"))
-    val r = right.select(
+    // a null right timestamp would sort first (nulls-first asc) and be
+    // carried by last(ignoreNulls) to EVERY left row in the key group —
+    // acting as a match at time -infinity. SQL comparison semantics say
+    // NULL <= t is never true, so such rows match nothing: drop them
+    // before the union. Left null-ts rows then sort before all right
+    // rows and stay unmatched, as documented.
+    val r = right.where(col(rightTs).isNotNull).select(
       struct(keys.map(col): _*).as("__k"),
       col(rightTs).as("__t"), lit(rightSide).as("__s"),
       lit(null).cast(lStruct).as("__l"),
@@ -98,6 +115,99 @@ object Temporal {
       .where(col("__s") === leftSide && col("__l").isNotNull)
       .select(left.columns.map(c => col(s"__l.$c").as(c)) ++
         payloadCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** [[asofJoinMulti]] with a bucketed time axis: the hot-key
+    * mitigation. A plain as-of join serializes each key's events into
+    * one window group; here the axis is chunked into `bucketWidth`-unit
+    * buckets, each bucket's CLOSING right row (latest ts, same
+    * field-wise-max tie-break) is forward-filled to later buckets as a
+    * synthetic carry-in row, and the union-merge runs per (key, bucket)
+    * — identical answer, parallelism = #buckets per key instead of 1.
+    *
+    * Cost: one extra per-(key,bucket) aggregate + a small spine window
+    * whose row count is #(key,bucket) groups, not #events. Use when a
+    * key's event count is too large for one task; otherwise
+    * [[asofJoinMulti]]'s single exchange is cheaper.
+    *
+    * The timestamp columns must be time- or numeric-typed (the axis
+    * must be bucketable); left rows with a null timestamp stay
+    * unmatched, right rows with a null timestamp are dropped — same as
+    * [[asofJoinMulti]].
+    */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, bucketWidth: Long,
+      inclusive: Boolean = true): DataFrame = {
+    require(keys.nonEmpty, "at least one key column")
+    require(bucketWidth > 0, "bucketWidth must be positive axis units")
+    val payloadCols = right.columns.filterNot(keys.contains)
+    val clash = payloadCols.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty,
+      s"right payload columns collide with left: ${clash.mkString(", ")} " +
+        "— rename the right side's columns before the as-of join")
+    val lStruct = StructType(left.schema.fields)
+    val rStruct = StructType(
+      right.schema.fields.filterNot(f => keys.contains(f.name)))
+    val (rightSide, leftSide) = if (inclusive) (0, 1) else (1, 0)
+    def axis(df: DataFrame, c: String): org.apache.spark.sql.Column =
+      df.schema(c).dataType match {
+        case org.apache.spark.sql.types.TimestampType |
+            org.apache.spark.sql.types.TimestampNTZType |
+            org.apache.spark.sql.types.DateType =>
+          unix_timestamp(col(c)).cast(LongType)
+        case _: org.apache.spark.sql.types.NumericType =>
+          col(c).cast(LongType)
+        case other => throw new IllegalArgumentException(
+          s"bucketed as-of axis column $c must be time or numeric, got $other")
+      }
+    val tType = left.schema(leftTs).dataType
+    val l = left.select(
+      struct(keys.map(col): _*).as("__k"),
+      floor(axis(left, leftTs) / bucketWidth).as("__b"),
+      col(leftTs).cast(tType).as("__t"), lit(leftSide).as("__s"),
+      struct(left.columns.map(col): _*).as("__l"),
+      lit(null).cast(rStruct).as("__r"))
+    val r = right.where(col(rightTs).isNotNull).select(
+      struct(keys.map(col): _*).as("__k"),
+      floor(axis(right, rightTs) / bucketWidth).as("__b"),
+      col(rightTs).cast(tType).as("__t"), lit(rightSide).as("__s"),
+      lit(null).cast(lStruct).as("__l"),
+      struct(payloadCols.map(col): _*).as("__r"))
+    // closing right row per (key, bucket): max(struct(ts, payload)) is
+    // the same field-wise-max tie-break the in-bucket merge uses
+    val closing = r.groupBy(col("__k"), col("__b"))
+      .agg(max(struct(col("__t"), col("__r"))).as("__c"))
+    val cType = closing.schema("__c").dataType
+    // forward-fill closings across the bucket spine: for each bucket a
+    // left row occupies, the carry-in is the closing of the LATEST
+    // earlier bucket (m=0 marker sorts before the same bucket's m=1
+    // closing, so a bucket never sees its own closing as carry-in). The
+    // spine has one row per (key, bucket) group — tiny next to the data.
+    val spine = l.select(col("__k"), col("__b")).distinct()
+      .select(col("__k"), col("__b"), lit(0).as("__m"),
+        lit(null).cast(cType).as("__c"))
+      .union(closing.select(col("__k"), col("__b"), lit(1).as("__m"),
+        col("__c")))
+    val wCarry = Window.partitionBy(col("__k"))
+      .orderBy(col("__b").asc, col("__m").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry rows get a null ts so they sort first in their bucket (the
+    // real carry ts is strictly before the bucket start by construction)
+    val carryRows = spine
+      .withColumn("__cin", last(col("__c"), ignoreNulls = true).over(wCarry))
+      .where(col("__m") === 0 && col("__cin").isNotNull)
+      .select(col("__k"), col("__b"),
+        lit(null).cast(tType).as("__t"), lit(-1).as("__s"),
+        lit(null).cast(lStruct).as("__l"),
+        col("__cin").getField("__r").as("__r"))
+    val w = Window.partitionBy(col("__k"), col("__b"))
+      .orderBy(col("__t").asc, col("__s").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.union(r).union(carryRows)
+      .withColumn("__mres", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__s") === leftSide && col("__l").isNotNull)
+      .select(left.columns.map(c => col(s"__l.$c").as(c)) ++
+        payloadCols.map(c => col(s"__mres.$c").as(c)): _*)
   }
 
   /** Range (interval containment) join: every (point, interval) pair

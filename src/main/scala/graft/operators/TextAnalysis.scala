@@ -13,10 +13,14 @@ object TextAnalysis {
   def tokenCount(text: Column): Column = size(split(trim(text), "\\s+"))
 
   /** BPE-ish subword count estimate: words + digit runs + punctuation
-    * marks counted separately (a cheap proxy for tokenizer token counts). */
+    * marks counted separately (a cheap proxy for tokenizer token counts).
+    * The punct counter comes from the fused [[graft.functions.TextMetrics]]
+    * kernel (one char pass, shared with [[qualityMetrics]] via codegen
+    * subexpression elimination when both run in one projection); callers
+    * need GraftFunctions.register on the session. */
   def subwordCountEstimate(text: Column): Column =
     size(split(trim(text), "\\s+")) +
-      length(regexp_replace(text, "[^0-9.,;:!?]", "")).cast(IntegerType)
+      call_function("text_metrics", text).getField("punct")
 
   private val stop = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "for", "with"),
@@ -35,22 +39,27 @@ object TextAnalysis {
 
   /** Quality metrics: token count, mean word length, stopword ratio,
     * non-alphanumeric ratio, digit ratio — the usual cheap filters for
-    * corpus curation. */
+    * corpus curation.
+    *
+    * The three character-class numerators (whitespace-stripped length,
+    * symbol count, digit count) come from ONE pass of the fused
+    * [[graft.functions.TextMetrics]] kernel instead of three separate
+    * regexp_replace scans — regex passes over every document were the
+    * dominant cost of the corpus-profile scan (round-6 profiling: the
+    * 5-regex chain ~3× the scan itself). */
   def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val words = split(lower(trim(col(textCol))), "\\s+")
+    val m = call_function("text_metrics", col(textCol))
     df.withColumn("n_tok", size(words))
       .withColumn("mean_wlen",
-        (length(regexp_replace(col(textCol), "\\s+", "")).cast(DoubleType) /
-          size(words)))
+        m.getField("strip_len").cast(DoubleType) / size(words))
       .withColumn("stopword_ratio",
         stopwordHits(words, "en").cast(DoubleType) / size(words))
       .withColumn("symbol_ratio",
-        length(regexp_replace(lower(col(textCol)), "[a-z0-9\\s]", ""))
-          .cast(DoubleType) / length(col(textCol)))
+        m.getField("symbol").cast(DoubleType) / length(col(textCol)))
       .withColumn("digit_ratio",
-        length(regexp_replace(col(textCol), "[^0-9]", ""))
-          .cast(DoubleType) / length(col(textCol)))
+        m.getField("digit").cast(DoubleType) / length(col(textCol)))
   }
 
   /** Stopword-heuristic language ID from an ALREADY-PROJECTED word array:

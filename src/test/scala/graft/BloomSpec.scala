@@ -79,6 +79,24 @@ class BloomSpec extends AnyFunSuite {
     assert(exact.nonEmpty, "fixture should produce matches")
   }
 
+  test("bloom semi-join rejects mismatched key types loudly") {
+    import spark.implicits._
+    // xxhash64 output depends on the input TYPE: INT 7 and BIGINT 7 hash
+    // differently, so a silent type mismatch would drop true matches in
+    // the prefilter while the exact join would have coerced them
+    val big = Seq(1L, 2L, 3L).toDF("k")
+    val keysInt = Seq(1, 2).toDF("k") // INT vs big's BIGINT
+    val ex = intercept[IllegalArgumentException] {
+      Membership.bloomSemiJoin(big, keysInt, "k", "k")
+    }
+    assert(ex.getMessage.contains("key types must match"))
+    // and the explicit cast the message prescribes restores exactness
+    val got = Membership.bloomSemiJoin(big,
+        keysInt.select(col("k").cast("long").as("k")), "k", "k")
+      .collect().map(_.getLong(0)).toSet
+    assert(got === Set(1L, 2L))
+  }
+
   test("empty key set: filter rejects everything, semi-join is empty") {
     import spark.implicits._
     val keys = (0L until 100L)

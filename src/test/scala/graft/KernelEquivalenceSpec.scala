@@ -52,6 +52,35 @@ class KernelEquivalenceSpec extends AnyFunSuite {
       .head().getDouble(0).isNaN)
   }
 
+  test("text_metrics == the four regexp_replace passes it replaced") {
+    import spark.implicits._
+    // real corpus text + adversarial edges: empty, whitespace-only,
+    // unicode letters with/without case, digit/punct runs
+    val corpus = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select($"text").as[String].collect().toList
+    val edges = List("", " ", " \t\n\f\r ", "a", "A", "0129",
+      ".,;:!?", "É é ß ñ Ñ Ω", "naïve café 3.14, v2!", "ab\ncd\t5?",
+      "¡¿ --- ***", "x" * 500, "mixed 42 UPPER lower ..!")
+    val rows = (corpus ++ edges).map(Tuple1(_)).toDF("text").select(
+      call_function("text_metrics", $"text").as("m"),
+      length(regexp_replace($"text", "\\s+", "")).as("strip_len"),
+      length(regexp_replace(lower($"text"), "[a-z0-9\\s]", ""))
+        .as("symbol"),
+      length(regexp_replace($"text", "[^0-9]", "")).as("digit"),
+      length(regexp_replace($"text", "[^0-9.,;:!?]", "")).as("punct"))
+      .collect()
+    rows.foreach { r =>
+      val m = r.getStruct(0)
+      assert(m.getInt(0) == r.getInt(1), s"strip_len on row $r")
+      assert(m.getInt(1) == r.getInt(2), s"symbol on row $r")
+      assert(m.getInt(2) == r.getInt(3), s"digit on row $r")
+      assert(m.getInt(3) == r.getInt(4), s"punct on row $r")
+    }
+    // null text → null struct, like length(regexp_replace(NULL))
+    assert(List(Tuple1(null: String)).toDF("text")
+      .select(call_function("text_metrics", $"text")).head().isNullAt(0))
+  }
+
   test("stopword_hits == size(filter(isin)) for every language") {
     import spark.implicits._
     val df = List.fill(300)(Tuple1(randWords())).toDF("ws")

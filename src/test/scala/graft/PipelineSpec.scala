@@ -140,6 +140,42 @@ class PipelineSpec extends AnyFunSuite {
       agg.sortBy(t => (t._1, t._2)).toSeq)
   }
 
+  test("top_scored_id widens integral ids, rejects others at analysis") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // INT ids previously ClassCastException'd mid-job (update() cast the
+    // raw value to Long); now they widen at update time
+    val df = Seq((1, 0.5), (2, 0.9), (3, 0.7)).toDF("id", "s")
+    val got = df.agg(call_function("top_scored_id", $"id", $"s", lit(2))
+        .as("top"))
+      .select(explode($"top").as("e")).select($"e.id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got === Seq(2L, 3L))
+    // a STRING id must fail at ANALYSIS time, not at runtime
+    val sdf = Seq(("a", 0.5)).toDF("id", "s")
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      sdf.agg(call_function("top_scored_id", $"id", $"s", lit(2))).collect()
+    }
+    assert(ex.getMessage.contains("integral id"))
+  }
+
+  test("top_scored_id drops NaN scores deterministically") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // NaN compares false both ways, which would break the heap invariant
+    // and make survivors depend on partition layout — NaN-scored entries
+    // (cosine of a zero vector) must simply not compete
+    val rows = Seq((1L, Double.NaN), (2L, 0.3), (3L, Double.NaN),
+      (4L, 0.8), (5L, 0.5))
+    for (parts <- Seq(1, 3, 7)) {
+      val got = rows.toDF("id", "s").repartition(parts)
+        .agg(call_function("top_scored_id", $"id", $"s", lit(3)).as("top"))
+        .select(explode($"top").as("e")).select($"e.id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got === Seq(4L, 5L, 2L), s"parts=$parts")
+    }
+  }
+
   test("fused SimHash64 expression matches the composed-builtins form") {
     import spark.implicits._
     graft.functions.GraftFunctions.register(spark)
@@ -402,12 +438,45 @@ class PipelineSpec extends AnyFunSuite {
     val naive = key(sh.toDF("id_a", "sh_a")
       .crossJoin(sh.toDF("id_b", "sh_b"))
       .where(col("id_a") =!= col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b")))
-          .cast(DoubleType) / size(col("sh_a")), 8).as("c"))
-      .where(col("c") >= 0.4).collect())
+      // filter UNROUNDED, round for display — SQL comparison semantics,
+      // matching both containmentPairs and the DuckDB oracle
+      .withColumn("__c", size(array_intersect(col("sh_a"), col("sh_b")))
+        .cast(DoubleType) / size(col("sh_a")))
+      .where(col("__c") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("__c"), 8).as("c"))
+      .collect())
     assert(got === naive, "prefix filter must lose NO pair (complete)")
     assert(got.nonEmpty)
+  }
+
+  test("containment guard fires on a flat vocabulary, silent on diverse") {
+    import spark.implicits._
+    // flat corpus: every doc shares the same tiny vocabulary, so even the
+    // globally rarest prefix token is in (nearly) every doc — candidate
+    // generation degenerates toward quadratic and must fail LOUDLY
+    val flat = (1L to 120L).map { i =>
+      val w = Seq("aa", "bb", "cc", "dd")
+      (i, (0 until 12).map(j => w(((i + j) % 4).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      Dedup.containmentPairs(flat, "text", "doc_id", t = 0.5,
+        maxPrefixDf = 50).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("containmentPairs")),
+      s"expected the containmentPairs guard message, got: $ex")
+    // diverse (Zipf-ish) corpus: each doc carries unique rare tokens, so
+    // every prefix token is rare and the guard stays silent at the same
+    // threshold
+    val diverse = (1L to 120L).map { i =>
+      val rare = (0 until 10).map(j => s"tok${i}_$j").mkString(" ")
+      (i, s"the and of $rare")
+    }.toDF("doc_id", "text")
+    val n = Dedup.containmentPairs(diverse, "text", "doc_id", t = 0.5,
+      maxPrefixDf = 50).count()
+    assert(n === 0L, "unique-vocab docs contain no near-dup pairs")
   }
 
   test("incremental near-dups equal the full path's delta-touching pairs") {

@@ -229,6 +229,91 @@ class TemporalSpec extends AnyFunSuite {
       "as-of over an unknown time must not match")
   }
 
+  test("asof join drops null-timestamp right rows (no -infinity match)") {
+    import spark.implicits._
+    // a null right ts would sort first (nulls-first) and last(ignoreNulls)
+    // would carry its payload to EVERY left row until a later right row
+    // overrides it — i.e. a match at time -infinity. NULL <= t is never
+    // true, so such rows must match nothing.
+    val r = Seq(
+      (10L, Option.empty[Timestamp], "ghost"),
+      (10L, Option(ts("2024-01-01 00:00:15")), "real")
+    ).toDF("k", "rt", "payload")
+    val out = Temporal.asofJoin(leftDf, r, "k", "t", "rt")
+      .select("id", "payload").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
+      .toMap
+    assert(out(1L) === null, "id=1 (t=10s) precedes the only real right row")
+    assert(out(3L) === null, "id=3 (t=5s) precedes the only real right row")
+    assert(out(2L) === "real")
+  }
+
+  test("bucketed asof join equals the plain asof join") {
+    import spark.implicits._
+    val rng = new scala.util.Random(0xB0C5E7)
+    val left = (1L to 500L).map(i =>
+      (i, (rng.nextInt(10) + 1).toLong,
+        ts(f"2024-01-01 0${rng.nextInt(10)}%d:${rng.nextInt(60)}%02d:" +
+          f"${rng.nextInt(60)}%02d")))
+      .toDF("id", "k", "t")
+    val right = Seq.tabulate(200)(i =>
+      ((i + 1000).toLong, (rng.nextInt(14) + 1).toLong,
+        ts(f"2024-01-01 0${rng.nextInt(10)}%d:${rng.nextInt(60)}%02d:" +
+          f"${rng.nextInt(60)}%02d")))
+      .toDF("rid", "k", "rt")
+      .groupBy("k", "rt").agg(max("rid").as("rid"))
+      .select("rid", "k", "rt")
+    for {
+      inclusive <- Seq(true, false)
+      width <- Seq(60L, 3600L, 7L) // sub-minute, hour, prime odd width
+    } {
+      val plain = Temporal.asofJoin(left, right, "k", "t", "rt", inclusive)
+        .orderBy("id").collect().toSeq
+      val bucketed = Temporal.asofJoinBucketed(left, right, Seq("k"),
+          "t", "rt", bucketWidth = width, inclusive)
+        .orderBy("id").collect().toSeq
+      assert(bucketed === plain, s"inclusive=$inclusive width=$width")
+    }
+  }
+
+  test("bucketed asof join: null timestamps behave like the plain form") {
+    import spark.implicits._
+    val l = Seq((1L, 10L, Option(ts("2024-01-01 00:00:20"))),
+        (2L, 10L, Option.empty[Timestamp]))
+      .toDF("id", "k", "t")
+    val r = Seq(
+      (10L, Option.empty[Timestamp], "ghost"),
+      (10L, Option(ts("2024-01-01 00:00:15")), "real")
+    ).toDF("k", "rt", "payload")
+    val out = Temporal.asofJoinBucketed(l, r, Seq("k"), "t", "rt",
+        bucketWidth = 60)
+      .select("id", "payload").collect()
+      .map(x => x.getLong(0) -> (if (x.isNullAt(1)) null else x.getString(1)))
+      .toMap
+    assert(out === Map(1L -> "real", 2L -> null))
+  }
+
+  test("bucketed asof join parallelizes one key across bucket groups") {
+    import spark.implicits._
+    // one pathologically hot key: the plain form puts all its rows in a
+    // single window group; the bucketed form must partition the merge
+    // window by (key, bucket)
+    val left = (1L to 300L).map(i => (i, 1L, ts(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00")))
+      .toDF("id", "k", "t")
+    val right = (0L until 300L by 7L).map(i => ((i + 1000L), 1L, ts(
+        f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:30")))
+      .toDF("rid", "k", "rt")
+    val q = Temporal.asofJoinBucketed(left, right, Seq("k"), "t", "rt",
+      bucketWidth = 600)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("__b"),
+      s"merge window must be keyed by (key, bucket):\n$plan")
+    val plain = Temporal.asofJoin(left, right, "k", "t", "rt")
+      .orderBy("id").collect().toSeq
+    assert(q.orderBy("id").collect().toSeq === plain)
+  }
+
   test("range join drops inverted and null-bounded intervals") {
     import spark.implicits._
     val points = Seq((1L, ts("2024-01-05 00:00:00"))).toDF("pid", "pt")
