@@ -45,14 +45,24 @@ object GraftIndexes {
     p.stripPrefix("file:").stripSuffix("/")
 }
 
+object IndexRewriteRule {
+  /** Session conf disabling the rewrite (the Phoenix `NO_INDEX` hint —
+    * reference cc/parse/HintNode.java). Statement-scoped use: set it,
+    * force the statement's optimizedPlan, unset. */
+  val DisabledConf = "spark.graft.indexRewrite.disabled"
+}
+
 case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case p @ Project(list, Filter(cond, rel: DataSourceV2Relation)) =>
-      rewrite(rel, list, Some(cond)).getOrElse(p)
-    case p @ Project(list, rel: DataSourceV2Relation) =>
-      rewrite(rel, list, None).getOrElse(p)
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (spark.conf.get(IndexRewriteRule.DisabledConf, "false") == "true")
+      plan
+    else plan.transformUp {
+      case p @ Project(list, Filter(cond, rel: DataSourceV2Relation)) =>
+        rewrite(rel, list, Some(cond)).getOrElse(p)
+      case p @ Project(list, rel: DataSourceV2Relation) =>
+        rewrite(rel, list, None).getOrElse(p)
+    }
 
   private def basePathOf(rel: DataSourceV2Relation): Option[String] =
     rel.table match {

@@ -234,6 +234,26 @@ object Extras {
         .orderBy($"event_id")
     },
 
+    // Bucketed as-of join: identical semantics to q_asof_join (same
+    // oracle) through the hot-key-parallel variant — per-bucket closing
+    // rows forward-fill across a (key, bucket) spine, so one
+    // pathologically hot key spreads over #buckets window groups instead
+    // of serializing into one task. 1-day buckets here.
+    "q_asof_join_bucketed" -> { (s, dir) =>
+      import s.implicits._
+      val e = Tables.t(s, dir, "events")
+      val clicks = e.where($"event_type" === "click")
+        .select($"event_id", $"user_id", $"ts")
+      val purchases = e.where($"event_type" === "purchase")
+        .groupBy($"user_id", $"ts".as("p_ts"))
+        .agg(max($"event_id").as("purchase_id"),
+          max($"value").as("purchase_value"))
+      graft.operators.Temporal.asofJoinBucketed(
+          clicks, purchases, Seq("user_id"), "ts", "p_ts",
+          bucketWidth = 86400L)
+        .orderBy($"event_id")
+    },
+
     // Range (interval containment) join: lineitem ship dates against
     // order-anchored validity windows. Bucketed-equi-join shape: the
     // time axis chunks into 7-day cells, intervals explode to covered
@@ -410,6 +430,18 @@ object Extras {
       ORDER BY fc.user_id""",
 
     "q_asof_join" -> """
+      WITH c AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'click'),
+      p AS (SELECT user_id, ts AS p_ts, max(event_id) AS purchase_id,
+                   max(value) AS purchase_value
+            FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      SELECT c.event_id, c.user_id, c.ts,
+             p.p_ts, p.purchase_id, p.purchase_value
+      FROM c ASOF LEFT JOIN p
+        ON c.user_id = p.user_id AND c.ts >= p.p_ts
+      ORDER BY c.event_id""",
+
+    "q_asof_join_bucketed" -> """
       WITH c AS (SELECT event_id, user_id, ts FROM events
                  WHERE event_type = 'click'),
       p AS (SELECT user_id, ts AS p_ts, max(event_id) AS purchase_id,

@@ -980,7 +980,58 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
 
   // ---- queries ----------------------------------------------------------
 
-  private def select(s: String): DataFrame = {
+  /** Phoenix hint surface (reference cc/parse/HintNode.java). Spark's
+    * parser already tolerates unknown hints with a warning, but two of
+    * Phoenix's carry semantics a tuning user relies on:
+    *  - USE_SORT_MERGE_JOIN → rewritten to Spark's SHUFFLE_MERGE over the
+    *    statement's FROM/JOIN relations (aliases included), forcing the
+    *    sort-merge strategy like the reference's JoinCompiler does;
+    *  - NO_INDEX → the covered-index rewrite ([[graft.plans
+    *    .IndexRewriteRule]]) is disabled for THIS statement: the rule
+    *    checks the session conf and the statement's optimized plan is
+    *    forced inside the conf window (QueryExecution caches it, and
+    *    AQE's runtime re-optimization does not re-run injected rules).
+    * Every other hint name (RANGE_SCAN, SKIP_SCAN, NO_STAR_JOIN, SMALL,
+    * SERIAL, INDEX(...), ...) is dropped with a stderr warning — they
+    * steer HBase scan internals Catalyst decides itself.
+    * @return (sql without the Phoenix hint comment, noIndex flag) */
+  private def rewriteHints(s: String): (String, Boolean) = {
+    val hintRe = "(?is)^(\\s*SELECT)\\s*/\\*\\+(.*?)\\*/(.*)$".r
+    hintRe.findFirstMatchIn(s) match {
+      case None => (s, false)
+      case Some(m) =>
+        val names = "([A-Za-z_]+)(\\([^)]*\\))?".r
+          .findAllMatchIn(m.group(2)).map(_.group(1).toUpperCase).toSeq
+        val noIndex = names.contains("NO_INDEX")
+        val keywords = Set("WHERE", "ON", "USING", "LEFT", "RIGHT", "FULL",
+          "INNER", "CROSS", "JOIN", "GROUP", "ORDER", "LIMIT", "UNION",
+          "INTERSECT", "EXCEPT", "HAVING", "AS", "AND", "OR", "NOT",
+          "SELECT", "SET", "OFFSET", "FETCH", "WINDOW", "VALUES")
+        val sparkHint =
+          if (!names.contains("USE_SORT_MERGE_JOIN")) ""
+          else {
+            val rels = "(?i)\\b(?:FROM|JOIN)\\s+([A-Za-z_]\\w*)" +
+              "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?"
+            val tokens = rels.r.findAllMatchIn(m.group(3)).flatMap { g =>
+              // hint the alias when present (Spark resolves hints by the
+              // name visible in the plan), else the relation name
+              Option(g.group(2)).filterNot(a =>
+                keywords.contains(a.toUpperCase)).orElse(Option(g.group(1)))
+            }.toSeq.distinct
+            if (tokens.isEmpty) ""
+            else s" /*+ SHUFFLE_MERGE(${tokens.mkString(", ")}) */"
+          }
+        val ignored = names.filterNot(
+          Set("NO_INDEX", "USE_SORT_MERGE_JOIN").contains)
+        if (ignored.nonEmpty)
+          System.err.println(s"[graft-sql] ignoring Phoenix hints " +
+            s"${ignored.mkString(", ")} (scan internals Catalyst decides)")
+        (m.group(1) + sparkHint + m.group(3), noIndex)
+    }
+  }
+
+  private def select(s0: String): DataFrame = {
+    val (s, noIndex) = rewriteHints(s0)
     // re-register only what changed since the last SELECT; any base-table
     // change invalidates views too (their plans pin the base's files)
     if (dirty.nonEmpty || viewsStale || cdcStale) {
@@ -1023,7 +1074,67 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val rewritten = dottedNames.foldLeft(s1) { case (acc, (dotted, flat)) =>
       acc.replaceAll("(?i)" + java.util.regex.Pattern.quote(dotted), flat)
     }
-    sequenceSelect(rewritten).getOrElse(spark.sql(rewritten))
+    val withDyn = rewriteDynamicColumns(rewritten)
+    val df = sequenceSelect(withDyn).getOrElse(spark.sql(withDyn))
+    if (noIndex) {
+      // force logical optimization inside the conf window so the
+      // statement's (cached) optimized plan skips the index rewrite
+      spark.conf.set(graft.plans.IndexRewriteRule.DisabledConf, "true")
+      try df.queryExecution.optimizedPlan
+      finally spark.conf.unset(graft.plans.IndexRewriteRule.DisabledConf)
+    }
+    df
+  }
+
+  /** Per-query dynamic columns (reference PhoenixSQL.g:832-846,
+    * it/end2end/DynamicColumnIT.java): `FROM t (col TYPE, ...)` extends
+    * the read schema for this statement — undeclared columns materialize
+    * as typed NULLs ([[GraftCatalog.withDynamicColumns]]). Column-family
+    * qualifiers (`B.F2V2 VARCHAR`) keep the column name, as Phoenix's
+    * projection does. Each dynamic table ref becomes a one-statement temp
+    * view; a parenthesized group that isn't a column-def list (subquery,
+    * unknown table) is left for Spark's parser untouched. */
+  private def rewriteDynamicColumns(sql: String): String = {
+    val re = "(?i)\\b(FROM|JOIN)\\s+([A-Za-z_]\\w*)\\s*\\(".r
+    val sb = new StringBuilder
+    var pos = 0
+    var k = 0
+    for (m <- re.findAllMatchIn(sql) if m.start >= pos) {
+      val open = m.end - 1
+      var depth = 0
+      var i = open
+      while (i < sql.length && (depth != 0 || i == open)) {
+        if (sql(i) == '(') depth += 1
+        else if (sql(i) == ')') depth -= 1
+        i += 1
+      }
+      val table = m.group(2)
+      val fields =
+        if (depth != 0 || !spark.catalog.tableExists(table)) None
+        else try {
+          val defs = splitTopLevel(sql.substring(open + 1, i - 1), ',')
+            .map(_.trim).filter(_.nonEmpty)
+          val fs = defs.map { d =>
+            val dm = "^([\\w.\"]+)\\s+(.+)$".r.findFirstMatchIn(d)
+              .getOrElse(throw new IllegalArgumentException(d))
+            val name = dm.group(1).replaceAll("\"", "")
+              .split('.').last.toLowerCase
+            StructField(name, parseType(dm.group(2)))
+          }
+          if (fs.isEmpty) None else Some(StructType(fs))
+        } catch { case _: IllegalArgumentException => None }
+      fields.foreach { fs =>
+        k += 1
+        val dynName = s"${table}__dyn$k"
+        catalog.withDynamicColumns(spark.table(table), fs)
+          .createOrReplaceTempView(dynName)
+        sb.append(sql.substring(pos, m.start))
+          .append(m.group(1)).append(' ').append(dynName)
+        pos = i
+      }
+    }
+    sb.append(sql.substring(pos))
+    sb.toString
   }
 
   /** NEXT/CURRENT VALUE FOR in SELECT position (reference

@@ -684,4 +684,104 @@ class PhoenixSqlSpec extends AnyFunSuite {
     assert(r.schema("today").dataType ==
       org.apache.spark.sql.types.TimestampType)
   }
+
+  test("USE_SORT_MERGE_JOIN hint forces the sort-merge strategy") {
+    val px = fresh()
+    px.execute("CREATE TABLE SMJ_L (K BIGINT NOT NULL, V VARCHAR " +
+      "CONSTRAINT pk PRIMARY KEY (K))")
+    px.execute("CREATE TABLE SMJ_R (K BIGINT NOT NULL, W VARCHAR " +
+      "CONSTRAINT pk PRIMARY KEY (K))")
+    (1 to 5).foreach { i =>
+      px.execute(s"UPSERT INTO SMJ_L VALUES ($i, 'l$i')")
+      px.execute(s"UPSERT INTO SMJ_R VALUES ($i, 'r$i')")
+    }
+    def joinPlan(hint: String) = px.execute(
+      s"SELECT $hint l.K, l.V, r.W FROM SMJ_L l JOIN SMJ_R r ON l.K = r.K")
+      .queryExecution.executedPlan.toString
+    // tiny tables broadcast by default...
+    assert(joinPlan("").contains("BroadcastHashJoin"))
+    // ...and the Phoenix hint flips them to sort-merge, like the
+    // reference's JoinCompiler (HintNode.java USE_SORT_MERGE_JOIN)
+    val hinted = joinPlan("/*+ USE_SORT_MERGE_JOIN */")
+    assert(hinted.contains("SortMergeJoin"),
+      s"expected SortMergeJoin under the hint:\n$hinted")
+    // unknown Phoenix hints are dropped, the query still answers
+    val r = px.execute("SELECT /*+ RANGE_SCAN SMALL SERIAL */ count(*) " +
+      "AS c FROM SMJ_L").collect()
+    assert(r(0).getLong(0) == 5L)
+  }
+
+  test("NO_INDEX hint bypasses the covered-index rewrite per statement") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("px_noidx_b").toString
+    val idx = java.nio.file.Files.createTempDirectory("px_noidx_i").toString
+    val df = (0L until 100L).map(i => (i, s"n_$i", (i * 7) % 100))
+      .toDF("k", "name", "v")
+    df.repartitionByRange(2, $"k").sortWithinPartitions($"k")
+      .write.mode("overwrite").parquet(base)
+    df.select($"v", $"k", $"name")
+      .repartitionByRange(2, $"v").sortWithinPartitions($"v")
+      .write.mode("overwrite").parquet(idx)
+    spark.read.format("graftpk").option("pk", "k").load(base)
+      .createOrReplaceTempView("noidx_t")
+    graft.plans.GraftIndexes.register(base,
+      graft.plans.GraftIndexes.IndexDef(idx, Seq("v")))
+    try {
+      val px = fresh()
+      def scans(d: org.apache.spark.sql.DataFrame) =
+        d.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2
+            .BatchScanExec => b.scan.description()
+        }
+      val covered =
+        px.execute("SELECT k, name FROM noidx_t WHERE v = 42")
+      assert(scans(covered).forall(_.contains(idx)),
+        "without the hint the covered query must scan the index")
+      val noIdx =
+        px.execute("SELECT /*+ NO_INDEX */ k, name FROM noidx_t WHERE v = 42")
+      assert(scans(noIdx).forall(_.contains(base)),
+        "NO_INDEX must pin the base table, like the reference")
+      // statement-scoped: the conf window closed, the next query indexes
+      val again = px.execute("SELECT k, name FROM noidx_t WHERE v = 42")
+      assert(scans(again).forall(_.contains(idx)))
+      assert(noIdx.collect().toSet === covered.collect().toSet)
+    } finally graft.plans.GraftIndexes.drop(base)
+  }
+
+  test("dynamic columns in SQL replay DynamicColumnIT shapes") {
+    val px = fresh()
+    // DynamicColumnIT.java:103-105 table shape (column families flatten)
+    px.execute("""
+      CREATE TABLE HBASE_DYNAMIC_COLUMNS (
+        ENTRY VARCHAR NOT NULL, F VARCHAR, F1V1 VARCHAR, F1V2 VARCHAR,
+        F2V1 VARCHAR CONSTRAINT pk PRIMARY KEY (ENTRY))""")
+    px.execute("UPSERT INTO HBASE_DYNAMIC_COLUMNS VALUES " +
+      "('entry1','first','f1value1','f1value2','f2value1')")
+    // :116 — SELECT * FROM t (DV varchar): dynamic column rides at the
+    // end of the projection as a typed NULL
+    val r1 = px.execute(
+      "SELECT * FROM HBASE_DYNAMIC_COLUMNS (DV varchar)").collect()
+    assert(r1.length == 1)
+    assert(r1(0).getString(0) == "entry1" && r1(0).getString(1) == "first")
+    assert(r1(0).isNullAt(5), "undeclared dynamic column must be NULL")
+    // :141/:167 — family-qualified dynamic defs keep the column name,
+    // projectable by bare name
+    val r2 = px.execute("SELECT ENTRY, F2V2 FROM HBASE_DYNAMIC_COLUMNS " +
+      "(DV varchar, B.F2V2 varchar)").collect()
+    assert(r2.length == 1 && r2(0).getString(0) == "entry1" &&
+      r2(0).isNullAt(1))
+    // :247 — dynamic defs compose with WHERE; a typed dynamic column
+    // coerces in predicates
+    val r3 = px.execute("SELECT ENTRY, F FROM HBASE_DYNAMIC_COLUMNS " +
+      "(DYNCOL1 VARCHAR, DYNCOL2 INTEGER) WHERE DYNCOL2 IS NULL").collect()
+    assert(r3.length == 1 && r3(0).getString(1) == "first")
+    // an existing column in the dynamic list must not be clobbered
+    val r4 = px.execute("SELECT F FROM HBASE_DYNAMIC_COLUMNS " +
+      "(F VARCHAR)").collect()
+    assert(r4(0).getString(0) == "first")
+    // a subquery in FROM position is untouched by the rewrite
+    val r5 = px.execute("SELECT cnt FROM (SELECT count(*) AS cnt " +
+      "FROM HBASE_DYNAMIC_COLUMNS) sub").collect()
+    assert(r5(0).getLong(0) == 1L)
+  }
 }
