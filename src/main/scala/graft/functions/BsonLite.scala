@@ -190,7 +190,7 @@ case class BsonValueType(doc: Expression, path: Expression)
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
 
-  @transient private lazy val pathCache = new JsonPathWalk.PathCache
+  @transient private lazy val pathCache = new JsonPathCache
 
   override def nullSafeEval(d: Any, p: Any): Any = {
     val root = BsonLite.decodeCached(d.asInstanceOf[Array[Byte]])
@@ -244,7 +244,7 @@ case class BsonValue(doc: Expression, path: Expression, sqlType: Expression)
 
   @transient private lazy val mapper =
     new com.fasterxml.jackson.databind.ObjectMapper()
-  @transient private lazy val pathCache = new JsonPathWalk.PathCache
+  @transient private lazy val pathCache = new JsonPathCache
 
   override def nullSafeEval(d: Any, p: Any, t: Any): Any = {
     val root = BsonLite.decodeCached(d.asInstanceOf[Array[Byte]])

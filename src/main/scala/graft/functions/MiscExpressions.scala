@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -61,16 +61,6 @@ private[functions] object JsonPathWalk {
     }
   }
 
-  /** Per-expression path memo — paths are almost always literals, so this
-    * caches the parsed segment list across rows. */
-  final class PathCache {
-    private var last: (String, Seq[Seg]) = _
-    def get(path: String): Seq[Seg] = {
-      if (last == null || last._1 != path) last = (path, parse(path))
-      last._2
-    }
-  }
-
   sealed trait Seg
   case class Key(k: String) extends Seg
   case class Idx(i: Int) extends Seg
@@ -98,32 +88,75 @@ private[functions] object JsonPathWalk {
     }
 }
 
-/** JSON_MODIFY(json, path, newValueJson) → json with the node at the path
-  * replaced (or inserted, for a missing final object key) — reference:
-  * .../expression/function/JsonModifyFunction.java:45. Supports nested
-  * dot/array paths; the new value is parsed as JSON (so '"str"', '42',
-  * '[1,2]' all work). Structural mismatch (missing intermediate, index
-  * past end) → NULL, as is malformed input JSON. */
-case class JsonModify(json: Expression, path: Expression, value: Expression)
-    extends TernaryExpression with CodegenFallback {
+/** Per-expression JSON path memo — paths are almost always literals, so
+  * this caches the parsed segment list across rows. Top-level class (no
+  * `$` in the binary name) so generated Java code can type a reference
+  * to it; Serializable because codegen ships it to executors in the
+  * plan's references array (the memo itself is transient — rebuilt on
+  * first use after deserialization). */
+final class JsonPathCache extends Serializable {
+  @transient private var last: (String, Seq[JsonPathWalk.Seg]) = _
+  def get(path: String): Seq[JsonPathWalk.Seg] = {
+    if (last == null || last._1 != path) last = (path, JsonPathWalk.parse(path))
+    last._2
+  }
+}
+
+/** Static kernels for the JSON function family — shared by interpreted
+  * eval and generated code, so the expressions stay inside whole-stage
+  * codegen (a CodegenFallback subtree forces per-row boxed eval of the
+  * whole expression and breaks common-subexpression elimination with
+  * its codegen'd siblings). */
+object JsonOps {
   import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
-  override def first: Expression = json
-  override def second: Expression = path
-  override def third: Expression = value
-  override def dataType: DataType = StringType
-  override def nullable: Boolean = true
 
-  @transient private lazy val mapper =
-    new com.fasterxml.jackson.databind.ObjectMapper()
-  @transient private lazy val pathCache = new JsonPathWalk.PathCache
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  override def nullSafeEval(j: Any, p: Any, v: Any): Any = {
-    val segs = pathCache.get(p.asInstanceOf[UTF8String].toString)
+  /** JSON_VALUE: scalar at path as string; containers/JSON null/missing/
+    * malformed → null. */
+  def value(j: UTF8String, p: UTF8String, pc: JsonPathCache): UTF8String =
+    try {
+      val root = JsonPathWalk.parseCached(j.toString)
+      val node = JsonPathWalk.navigate(root, pc.get(p.toString))
+      if (node == null || node.isNull || node.isContainerNode) null
+      else UTF8String.fromString(node.asText())
+    } catch {
+      case _: com.fasterxml.jackson.core.JacksonException => null
+    }
+
+  /** JSON_QUERY: fragment at path serialized; missing/malformed → null. */
+  def query(j: UTF8String, p: UTF8String, pc: JsonPathCache): UTF8String =
+    try {
+      val root = JsonPathWalk.parseCached(j.toString)
+      val node = JsonPathWalk.navigate(root, pc.get(p.toString))
+      if (node == null) null
+      else UTF8String.fromString(mapper.writeValueAsString(node))
+    } catch {
+      case _: com.fasterxml.jackson.core.JacksonException => null
+    }
+
+  /** JSON_EXISTS: path resolves (JSON null counts); malformed → null. */
+  def exists(j: UTF8String, p: UTF8String, pc: JsonPathCache)
+      : java.lang.Boolean =
+    try {
+      val root = JsonPathWalk.parseCached(j.toString)
+      java.lang.Boolean.valueOf(
+        JsonPathWalk.navigate(root, pc.get(p.toString)) != null)
+    } catch {
+      case _: com.fasterxml.jackson.core.JacksonException => null
+    }
+
+  /** JSON_MODIFY: node at path replaced/inserted; structural mismatch or
+    * malformed input → null. Parses fresh (mutates the tree — must not
+    * touch the read-only parse memo). */
+  def modify(j: UTF8String, p: UTF8String, v: UTF8String,
+      pc: JsonPathCache): UTF8String = {
+    val segs = pc.get(p.toString)
     require(segs.nonEmpty, "JSON_MODIFY needs a non-root path")
     try {
-      val root = mapper.readTree(j.asInstanceOf[UTF8String].toString)
+      val root = mapper.readTree(j.toString)
       val parent = JsonPathWalk.navigate(root, segs.init)
-      val newNode = mapper.readTree(v.asInstanceOf[UTF8String].toString)
+      val newNode = mapper.readTree(v.toString)
       (parent, segs.last) match {
         case (obj: ObjectNode, JsonPathWalk.Key(k)) =>
           obj.set(k, newNode)
@@ -134,9 +167,38 @@ case class JsonModify(json: Expression, path: Expression, value: Expression)
         case _ => null
       }
     } catch {
-      // malformed input JSON → NULL (Phoenix returns null, not an error)
       case _: com.fasterxml.jackson.core.JacksonException => null
     }
+  }
+}
+
+/** JSON_MODIFY(json, path, newValueJson) → json with the node at the path
+  * replaced (or inserted, for a missing final object key) — reference:
+  * .../expression/function/JsonModifyFunction.java:45. Supports nested
+  * dot/array paths; the new value is parsed as JSON (so '"str"', '42',
+  * '[1,2]' all work). Structural mismatch (missing intermediate, index
+  * past end) → NULL, as is malformed input JSON. */
+case class JsonModify(json: Expression, path: Expression, value: Expression)
+    extends TernaryExpression {
+  override def first: Expression = json
+  override def second: Expression = path
+  override def third: Expression = value
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  @transient private lazy val pathCache = new JsonPathCache
+
+  override def nullSafeEval(j: Any, p: Any, v: Any): Any =
+    JsonOps.modify(j.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String],
+      v.asInstanceOf[UTF8String], pathCache)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val pc = ctx.addReferenceObj("pathCache", pathCache,
+      "graft.functions.JsonPathCache")
+    nullSafeCodeGen(ctx, ev, (j, p, v) => s"""
+      ${ev.value} = graft.functions.JsonOps.modify($j, $p, $v, $pc);
+      ${ev.isNull} = ${ev.value} == null;""")
   }
 
   override protected def withNewChildrenInternal(
@@ -150,26 +212,25 @@ case class JsonModify(json: Expression, path: Expression, value: Expression)
   * .../expression/function/JsonQueryFunction.java:44). Missing path or
   * malformed input → NULL. */
 case class JsonQuery(json: Expression, path: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = json
   override def right: Expression = path
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
 
-  @transient private lazy val mapper =
-    new com.fasterxml.jackson.databind.ObjectMapper()
-  @transient private lazy val pathCache = new JsonPathWalk.PathCache
+  @transient private lazy val pathCache = new JsonPathCache
 
-  override def nullSafeEval(j: Any, p: Any): Any = {
-    try {
-      val root = JsonPathWalk.parseCached(j.asInstanceOf[UTF8String].toString)
-      val node = JsonPathWalk.navigate(root,
-        pathCache.get(p.asInstanceOf[UTF8String].toString))
-      if (node == null) null
-      else UTF8String.fromString(mapper.writeValueAsString(node))
-    } catch {
-      case _: com.fasterxml.jackson.core.JacksonException => null
-    }
+  override def nullSafeEval(j: Any, p: Any): Any =
+    JsonOps.query(j.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String],
+      pathCache)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val pc = ctx.addReferenceObj("pathCache", pathCache,
+      "graft.functions.JsonPathCache")
+    nullSafeCodeGen(ctx, ev, (j, p) => s"""
+      ${ev.value} = graft.functions.JsonOps.query($j, $p, $pc);
+      ${ev.isNull} = ${ev.value} == null;""")
   }
 
   override protected def withNewChildrenInternal(
@@ -183,24 +244,25 @@ case class JsonQuery(json: Expression, path: Expression)
   * RETURNING typecast is a plain CAST around this). Objects, arrays,
   * JSON null, missing paths, malformed input → NULL. */
 case class JsonValue(json: Expression, path: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = json
   override def right: Expression = path
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
 
-  @transient private lazy val pathCache = new JsonPathWalk.PathCache
+  @transient private lazy val pathCache = new JsonPathCache
 
-  override def nullSafeEval(j: Any, p: Any): Any = {
-    try {
-      val root = JsonPathWalk.parseCached(j.asInstanceOf[UTF8String].toString)
-      val node = JsonPathWalk.navigate(root,
-        pathCache.get(p.asInstanceOf[UTF8String].toString))
-      if (node == null || node.isNull || node.isContainerNode) null
-      else UTF8String.fromString(node.asText())
-    } catch {
-      case _: com.fasterxml.jackson.core.JacksonException => null
-    }
+  override def nullSafeEval(j: Any, p: Any): Any =
+    JsonOps.value(j.asInstanceOf[UTF8String], p.asInstanceOf[UTF8String],
+      pathCache)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val pc = ctx.addReferenceObj("pathCache", pathCache,
+      "graft.functions.JsonPathCache")
+    nullSafeCodeGen(ctx, ev, (j, p) => s"""
+      ${ev.value} = graft.functions.JsonOps.value($j, $p, $pc);
+      ${ev.isNull} = ${ev.value} == null;""")
   }
 
   override protected def withNewChildrenInternal(
@@ -213,24 +275,31 @@ case class JsonValue(json: Expression, path: Expression)
   * .../expression/function/JsonExistsFunction.java:44). Malformed input
   * → NULL. */
 case class JsonExists(json: Expression, path: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = json
   override def right: Expression = path
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = true
 
-  @transient private lazy val mapper =
-    new com.fasterxml.jackson.databind.ObjectMapper()
-  @transient private lazy val pathCache = new JsonPathWalk.PathCache
+  @transient private lazy val pathCache = new JsonPathCache
 
   override def nullSafeEval(j: Any, p: Any): Any = {
-    try {
-      val root = JsonPathWalk.parseCached(j.asInstanceOf[UTF8String].toString)
-      JsonPathWalk.navigate(root,
-        pathCache.get(p.asInstanceOf[UTF8String].toString)) != null
-    } catch {
-      case _: com.fasterxml.jackson.core.JacksonException => null
-    }
+    val r = JsonOps.exists(j.asInstanceOf[UTF8String],
+      p.asInstanceOf[UTF8String], pathCache)
+    if (r == null) null else r.booleanValue()
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val pc = ctx.addReferenceObj("pathCache", pathCache,
+      "graft.functions.JsonPathCache")
+    nullSafeCodeGen(ctx, ev, (j, p) => {
+      val r = ctx.freshName("jsonExists")
+      s"""
+      java.lang.Boolean $r = graft.functions.JsonOps.exists($j, $p, $pc);
+      ${ev.isNull} = $r == null;
+      ${ev.value} = ${ev.isNull} ? false : $r.booleanValue();"""
+    })
   }
 
   override protected def withNewChildrenInternal(

@@ -175,6 +175,45 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0).isNullAt(0))
   }
 
+  test("json family survives codegen + task serialization (non-foldable)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // single-row literal frames constant-fold on the driver, so they never
+    // exercise the generated code path or the serialization of the
+    // expressions' reference objects (round 6: a non-serializable path
+    // cache passed every literal test and failed only on real columns).
+    // Build the document FROM a column, repartition to force task ship.
+    val df = spark.range(200).select(
+      concat(lit("{\"a\":{\"b\":"), $"id".cast("string"),
+        lit(",\"c\":[\"t\",\"u\"]},\"d\":null}")).as("j"),
+      $"id")
+      .repartition(4)
+    val r = df.select($"id",
+        call_function("json_value", $"j", lit("$.a.b")).as("jv"),
+        call_function("json_query", $"j", lit("$.a.c")).as("jq"),
+        call_function("json_exists", $"j", lit("$.d")).as("je"),
+        call_function("json_modify", $"j", lit("$.a.b"), lit("0")).as("jm"))
+      .collect()
+    assert(r.length == 200)
+    r.foreach { row =>
+      val id = row.getLong(0)
+      assert(row.getString(1) == id.toString)
+      assert(row.getString(2) == """["t","u"]""")
+      assert(row.getBoolean(3))
+      assert(row.getString(4) ==
+        """{"a":{"b":0,"c":["t","u"]},"d":null}""")
+    }
+    // and the plan stays inside whole-stage codegen (no fallback split) —
+    // AQE finalizes stages on execution, so inspect after the action
+    val q = df.select(call_function("json_value", $"j", lit("$.a.b")))
+    q.collect()
+    // the `*(n)` prefix is the WholeStageCodegen marker in plan strings
+    // (AQE query-stage wrappers hide the exec nodes from collect())
+    val plan = q.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[json_value".r.findFirstIn(plan).nonEmpty,
+      s"json_value must run inside WholeStageCodegen:\n$plan")
+  }
+
   test("Spark `div` matches Phoenix integer `/` (truncation toward zero)") {
     // documented divergence (COVERAGE §2.8): Phoenix LongDivideExpression
     // is Java long division; Spark's `/` is true division but `div` is
