@@ -146,6 +146,57 @@ object Dedup {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
 
+  /** Exact duplicated-SPAN removal — the span-surgery tier of Lee et
+    * al.'s substring dedup (ACL 2022) and C4's repeated-span rule: each
+    * document's token stream segments into consecutive `spanWords`-word
+    * spans, a span recurring ANYWHERE in the corpus keeps only its first
+    * occurrence (min (doc, pos) — deterministic), and every later
+    * occurrence is cut out of its document. Returns the rebuilt
+    * documents plus surgery stats; a fully-duplicated document comes
+    * back with n_kept = 0 and empty clean_text.
+    *
+    * The reference implementation builds a corpus suffix array; the
+    * Spark shape is ONE digest-keyed aggregate: spans reduce to
+    * (digest → min(struct(doc, pos))) — map-side combinable, and the
+    * winner rows ARE the kept set, so there is no join back against the
+    * span stream. Raw span text never rides the shuffle (the digest
+    * does); the document text appears only in the final doc-keyed join
+    * that rebuilds the output, where it is the output.
+    *
+    * @return (doc, n_spans, n_kept, clean_text)
+    */
+  def dedupSpans(docs: DataFrame, textCol: String, idCol: String,
+      spanWords: Int = 10): DataFrame = {
+    require(spanWords >= 1, "spanWords must be positive")
+    val base = docs
+      .select(col(idCol).as("doc"),
+        split(lower(trim(col(textCol))), "\\s+").as("w"))
+      .withColumn("n_spans",
+        ceil(size(col("w")) / lit(spanWords.toDouble)).cast(LongType))
+    def spanOf(pos: Column): Column =
+      concat_ws(" ",
+        slice(col("w"), (pos * spanWords + 1).cast(IntegerType),
+          lit(spanWords)))
+    val spans = base
+      .select(col("doc"), col("w"),
+        explode(sequence(lit(0L), col("n_spans") - 1)).as("pos"))
+      .select(col("doc"), col("pos"), md5(spanOf(col("pos"))).as("fp"))
+    val winners = spans.groupBy(col("fp"))
+      .agg(min(struct(col("doc"), col("pos"))).as("win"))
+      .select(col("win.doc").as("doc"), col("win.pos").as("pos"))
+    val keptPos = winners.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_kept"),
+        sort_array(collect_list(col("pos"))).as("ps"))
+    base.join(keptPos, Seq("doc"), "left")
+      .select(col("doc"), col("n_spans"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        // regenerate kept spans from the doc's own words (identical to
+        // the winner's text by construction — same digest)
+        coalesce(concat_ws(" ", flatten(transform(col("ps"),
+          p => slice(col("w"), (p * spanWords + 1).cast(IntegerType),
+            lit(spanWords))))), lit("")).as("clean_text"))
+  }
+
   /** Incremental exact dedup: classify a DELTA batch against an
     * already-deduplicated corpus — the daily-ingest shape, where
     * re-pairing the whole corpus per batch would be absurd. The corpus

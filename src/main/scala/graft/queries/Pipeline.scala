@@ -29,6 +29,16 @@ object Pipeline {
         .orderBy(col("keep_id"))
     },
 
+    // Duplicated-span surgery (Lee et al. / C4 repeated-span rule):
+    // consecutive 10-word spans, first occurrence corpus-wide survives,
+    // documents rebuilt from their kept spans. One digest-keyed
+    // aggregate — the winner rows ARE the kept set, no join back.
+    "q_dedup_spans" -> { (s, dir) =>
+      Dedup.dedupSpans(Tables.t(s, dir, "documents"), "text", "doc_id",
+          spanWords = 10)
+        .orderBy(col("doc"))
+    },
+
     // Exact n-gram Jaccard near-dup pairs (bounded brute-force: the
     // correctness baseline the LSH path is tested against).
     "q_jaccard_pairs" -> { (s, dir) =>
@@ -590,6 +600,28 @@ object Pipeline {
       SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
              min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY keep_id""",
+
+    "q_dedup_spans" -> raw"""
+      WITH w AS (SELECT doc_id AS doc,
+          string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents),
+      sp0 AS (SELECT doc, ws,
+          unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS pos
+        FROM w),
+      sp AS (SELECT doc, pos,
+          array_to_string(ws[(pos*10+1):(pos*10+10)], ' ') AS span
+        FROM sp0),
+      k AS (SELECT doc, pos, span,
+          row_number() OVER (PARTITION BY span ORDER BY doc, pos) AS rn
+        FROM sp),
+      reb AS (SELECT doc, count(*) AS n_kept,
+          string_agg(span, ' ' ORDER BY pos) AS clean_text
+        FROM k WHERE rn = 1 GROUP BY doc)
+      SELECT w.doc, CAST(ceil(len(ws) / 10.0) AS BIGINT) AS n_spans,
+        coalesce(reb.n_kept, 0) AS n_kept,
+        coalesce(reb.clean_text, '') AS clean_text
+      FROM w LEFT JOIN reb ON w.doc = reb.doc
+      ORDER BY w.doc""",
 
     "q_jaccard_pairs" -> s"""
       WITH sh AS (

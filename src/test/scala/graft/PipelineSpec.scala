@@ -449,6 +449,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("span dedup keeps first occurrences, rebuilds docs, drops repeats") {
+    import spark.implicits._
+    // doc 1: two distinct spans A B. doc 2: span B (dup of doc 1's) then
+    // unique span C. doc 3: entirely doc 1's spans → fully dropped.
+    // spanWords=3 keeps the fixture readable.
+    val a = "w1 w2 w3"; val b = "x1 x2 x3"; val c = "y1 y2 y3"
+    val docs = Seq(
+      (1L, s"$a $b"), (2L, s"$b $c"), (3L, s"$a $b")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupSpans(docs, "text", "doc_id", spanWords = 3)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out === Array(
+      (1L, 2L, 2L, s"$a $b"), // first occurrence of both spans
+      (2L, 2L, 1L, c),        // b cut (doc 1 owns it), c kept
+      (3L, 2L, 0L, "")))      // fully duplicated → empty
+    // within-doc repeats collapse too (first position wins)
+    val rep = Seq((7L, s"$a $a $c")).toDF("doc_id", "text")
+    val r7 = Dedup.dedupSpans(rep, "text", "doc_id", spanWords = 3)
+      .collect()(0)
+    assert(r7.getLong(2) == 2L && r7.getString(3) == s"$a $c")
+    // partition-layout invariance: min(struct) winners are deterministic
+    val big = Tables.t(spark, dir, "documents")
+    val one = Dedup.dedupSpans(big.repartition(1), "text", "doc_id")
+      .orderBy("doc").collect().toSeq
+    val many = Dedup.dedupSpans(big.repartition(13), "text", "doc_id")
+      .orderBy("doc").collect().toSeq
+    assert(one === many && one.nonEmpty)
+  }
+
   test("containment guard fires on a flat vocabulary, silent on diverse") {
     import spark.implicits._
     // flat corpus: every doc shares the same tiny vocabulary, so even the
