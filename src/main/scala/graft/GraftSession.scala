@@ -27,6 +27,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the generated-class cache defaults to 100 entries; this workload
+      // (and any multi-tenant analytics deployment) runs 100+ distinct
+      // plan shapes per session, so the default guarantees eviction→
+      // recompile churn (~0.3-0.8s per wide projection). Static conf —
+      // must be set before the first session.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       // Parquet scans: vectorized reader + pushdown are defaults; pin them
       // so a driver-side conf change can't silently regress scan perf.
       .config("spark.sql.parquet.filterPushdown", "true")

@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus a feature-extraction stage.
   *
   * The Spark-side plumbing is real — schema, batch shape, partition-local
-  * decode loop via mapPartitions on a typed Dataset — while the codec
-  * itself is pluggable. This container has no image/audio libraries, so
-  * the default decoder is [[StubDecoder]]: a clearly-marked deterministic
-  * fake that derives pseudo-metadata from the raw bytes. Swapping in a
-  * real decoder (JNI image lib, ffmpeg bridge, …) changes one binding and
-  * nothing in the pipeline.
+  * decode loop via mapPartitions on a typed Dataset — and the codec is
+  * pluggable. For the formats the standard JDK decodes, the decode is
+  * REAL: [[ImageIoDecoder]] (PNG/JPEG/GIF/BMP via javax.imageio, header
+  * read only — no pixel decode on the metadata path), [[resizeImage]]
+  * (Graphics2D re-render), and [[probeAudio]] (WAV/AIFF/AU via
+  * javax.sound.sampled). [[StubDecoder]] remains the clearly-marked
+  * deterministic fake for formats beyond the JDK (webp, video codecs —
+  * no native libs in this container); swapping in an ffmpeg-style bridge
+  * changes one binding and nothing in the pipeline.
   */
 object Multimodal {
 
@@ -44,6 +47,95 @@ object Multimodal {
       MediaFeatures(id, payload.length.toLong, fmt,
         16 * (1 + first % 64), 16 * (1 + (payload.length % 64)), md)
     }
+  }
+
+  /** REAL image decode via the JDK's javax.imageio (PNG/JPEG/GIF/BMP —
+    * the registered readers of a stock JVM). Reads ONLY the header for
+    * dimensions/format (reader.getWidth(0) does not decode pixels), so
+    * the metadata path stays cheap at corpus scale; undecodable payloads
+    * degrade to format "unknown" with -1 dimensions instead of failing
+    * the task — a corrupt image must not kill a 100-TB scan. */
+  object ImageIoDecoder extends Decoder {
+    override def decode(id: Long, payload: Array[Byte]): MediaFeatures = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(payload).map("%02x".format(_)).mkString
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (readers.hasNext) {
+          val r = readers.next()
+          try {
+            r.setInput(iis)
+            MediaFeatures(id, payload.length.toLong,
+              r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0), md)
+          } catch {
+            case _: java.io.IOException =>
+              MediaFeatures(id, payload.length.toLong, "unknown", -1, -1, md)
+          } finally r.dispose()
+        } else MediaFeatures(id, payload.length.toLong, "unknown", -1, -1, md)
+      } finally if (iis != null) iis.close()
+    }
+  }
+
+  /** REAL image resize via Graphics2D (headless-safe): decode, re-render
+    * at (w, h) with bilinear interpolation, re-encode as PNG. Returns an
+    * empty array for undecodable payloads (same no-task-kill contract as
+    * [[ImageIoDecoder]]). Runs inside executor tasks — pure JDK, no
+    * native state. */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(w > 0 && h > 0, "target dimensions must be positive")
+    val img = try javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    catch { case _: java.io.IOException => null }
+    if (img == null) return Array.empty
+    val out = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Audio stream metadata (what a WAV/AIFF/AU header carries). */
+  case class AudioMeta(media_id: Long, format: String, sample_rate: Double,
+      channels: Int, frames: Long, seconds: Double)
+
+  /** REAL audio probe via javax.sound.sampled (WAV/AIFF/AU — the JDK's
+    * built-in parsers): container format, sample rate, channel count,
+    * frame count and duration from the header. Unsupported/corrupt
+    * payloads → format "unknown" row, never a task failure. */
+  def probeAudio(id: Long, payload: Array[Byte]): AudioMeta =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val f = ais.getFormat
+        val frames = ais.getFrameLength
+        AudioMeta(id, ff.getType.getExtension, f.getSampleRate.toDouble,
+          f.getChannels, frames,
+          if (f.getFrameRate > 0) frames / f.getFrameRate.toDouble else 0.0)
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException |
+          _: java.io.IOException =>
+        AudioMeta(id, "unknown", 0.0, 0, 0L, 0.0)
+    }
+
+  /** Partition-local audio metadata extraction (same mapPartitions shape
+    * as [[extractFeatures]] — no shuffle). */
+  def probeAudioFeatures(media: DataFrame): Dataset[AudioMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { it => it.map { case (id, p) => probeAudio(id, p) } }
   }
 
   /** Build a media table from the documents fixture: the text payload

@@ -282,6 +282,76 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ImageIoDecoder decodes real PNG/JPEG through the Spark pipeline") {
+    import spark.implicits._
+    // REAL images generated with the JDK's own encoder — round-tripping
+    // through the distributed extractFeatures path proves the decode is
+    // genuine, not a byte-statistics fake
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until w).foreach(x => (0 until h).foreach(y => img.setRGB(x, y, rgb)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, png(37, 21, 0xFF8800), "image", "s1"),
+      (2L, jpeg(64, 48), "image", "s1"),
+      (3L, "not an image at all".getBytes("UTF-8"), "image", "s2")
+    ).toDF("media_id", "payload", "kind", "source").repartition(2)
+    val feats = Multimodal.extractFeatures(media, Multimodal.ImageIoDecoder)
+      .collect().map(f => f.media_id -> f).toMap
+    assert(feats(1L).format == "png" &&
+      feats(1L).width == 37 && feats(1L).height == 21)
+    assert(feats(2L).format == "jpeg" &&
+      feats(2L).width == 64 && feats(2L).height == 48)
+    // corrupt payload degrades to a marker row, never a task failure
+    assert(feats(3L).format == "unknown" && feats(3L).width == -1)
+    // real resize: 37x21 -> 8x8, decodable, correct dims, color preserved
+    val small = Multimodal.resizeImage(png(37, 21, 0xFF8800), 8, 8)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(small))
+    assert(back.getWidth == 8 && back.getHeight == 8)
+    assert((back.getRGB(4, 4) & 0xFFFFFF) == 0xFF8800)
+    assert(Multimodal.resizeImage("junk".getBytes, 8, 8).isEmpty)
+  }
+
+  test("probeAudio reads real WAV headers through the Spark pipeline") {
+    import spark.implicits._
+    // a real 16-bit mono 8kHz WAV built with the JDK's own writer
+    def wav(nFrames: Int, rate: Float, channels: Int): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, channels, true,
+        false)
+      val pcm = new Array[Byte](nFrames * fmt.getFrameSize)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val media = Seq(
+      (1L, wav(8000, 8000f, 1), "audio", "s1"),
+      (2L, wav(441, 44100f, 2), "audio", "s1"),
+      (3L, Array[Byte](1, 2, 3), "audio", "s2")
+    ).toDF("media_id", "payload", "kind", "source").repartition(2)
+    val metas = Multimodal.probeAudioFeatures(media)
+      .collect().map(m => m.media_id -> m).toMap
+    assert(metas(1L).format == "wav" && metas(1L).sample_rate == 8000.0 &&
+      metas(1L).channels == 1 && metas(1L).frames == 8000L &&
+      math.abs(metas(1L).seconds - 1.0) < 1e-9)
+    assert(metas(2L).channels == 2 && metas(2L).sample_rate == 44100.0)
+    assert(metas(3L).format == "unknown" && metas(3L).frames == 0L)
+  }
+
   test("frame sampling explodes payloads into deterministic frame rows") {
     val docs = Tables.t(spark, dir, "documents").limit(10)
     val media = Multimodal.mediaTable(docs)
