@@ -167,31 +167,79 @@ object Dedup {
     */
   def dedupSpans(docs: DataFrame, textCol: String, idCol: String,
       spanWords: Int = 10): DataFrame = {
+    val base = spanBase(docs, textCol, idCol, spanWords)
+    val winners = spanStream(base, spanWords).groupBy(col("fp"))
+      .agg(min(struct(col("doc"), col("pos"))).as("win"))
+      .select(col("win.doc").as("doc"), col("win.pos").as("pos"))
+    rebuildFromKept(base, winners, spanWords)
+  }
+
+  /** Span-winner table of a corpus: (fp, doc, pos) — the first corpus
+    * occurrence of each distinct `spanWords`-word span. This is the
+    * stored artifact incremental span surgery joins against (persist it
+    * partitioned by fp at production scale, exactly like the corpus
+    * fingerprint table of [[incrementalDedup]]). */
+  def spanWinnerTable(docs: DataFrame, textCol: String, idCol: String,
+      spanWords: Int = 10): DataFrame =
+    spanStream(spanBase(docs, textCol, idCol, spanWords), spanWords)
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc"), col("pos"))).as("win"))
+      .select(col("fp"), col("win.doc").as("doc"), col("win.pos").as("pos"))
+
+  /** Incremental span surgery: rebuild DELTA documents only, cutting
+    * every span the corpus already owns (via its [[spanWinnerTable]])
+    * plus later repeats within the delta itself — the daily-ingest shape
+    * where re-running [[dedupSpans]] over the whole corpus per batch
+    * would be absurd. Work = one delta-sized aggregate + one anti-join
+    * of delta span digests against the winner table; the corpus text is
+    * never touched. Equivalent to full [[dedupSpans]] over corpus∪delta
+    * restricted to delta docs whenever corpus ids order before delta ids
+    * (ScalaTested).
+    *
+    * @param corpusWinners [[spanWinnerTable]] output (only `fp` is read)
+    */
+  def incrementalDedupSpans(corpusWinners: DataFrame, delta: DataFrame,
+      textCol: String, idCol: String, spanWords: Int = 10): DataFrame = {
+    val base = spanBase(delta, textCol, idCol, spanWords)
+    val fresh = spanStream(base, spanWords).groupBy(col("fp"))
+      .agg(min(struct(col("doc"), col("pos"))).as("win"))
+      .join(corpusWinners.select(col("fp")), Seq("fp"), "left_anti")
+      .select(col("win.doc").as("doc"), col("win.pos").as("pos"))
+    rebuildFromKept(base, fresh, spanWords)
+  }
+
+  /** (doc, w, n_spans) projection shared by the span-surgery family. */
+  private def spanBase(docs: DataFrame, textCol: String, idCol: String,
+      spanWords: Int): DataFrame = {
     require(spanWords >= 1, "spanWords must be positive")
-    val base = docs
+    docs
       .select(col(idCol).as("doc"),
         split(lower(trim(col(textCol))), "\\s+").as("w"))
       .withColumn("n_spans",
         ceil(size(col("w")) / lit(spanWords.toDouble)).cast(LongType))
-    def spanOf(pos: Column): Column =
-      concat_ws(" ",
-        slice(col("w"), (pos * spanWords + 1).cast(IntegerType),
-          lit(spanWords)))
-    val spans = base
+  }
+
+  /** One (doc, pos, fp) row per span occurrence. */
+  private def spanStream(base: DataFrame, spanWords: Int): DataFrame =
+    base
       .select(col("doc"), col("w"),
         explode(sequence(lit(0L), col("n_spans") - 1)).as("pos"))
-      .select(col("doc"), col("pos"), md5(spanOf(col("pos"))).as("fp"))
-    val winners = spans.groupBy(col("fp"))
-      .agg(min(struct(col("doc"), col("pos"))).as("win"))
-      .select(col("win.doc").as("doc"), col("win.pos").as("pos"))
-    val keptPos = winners.groupBy(col("doc"))
+      .select(col("doc"), col("pos"),
+        md5(concat_ws(" ",
+          slice(col("w"), (col("pos") * spanWords + 1).cast(IntegerType),
+            lit(spanWords)))).as("fp"))
+
+  /** Rebuild (doc, n_spans, n_kept, clean_text) from kept (doc, pos)
+    * rows — spans regenerate from the doc's own words (identical to the
+    * winner's text by construction: same digest). */
+  private def rebuildFromKept(base: DataFrame, kept: DataFrame,
+      spanWords: Int): DataFrame = {
+    val keptPos = kept.groupBy(col("doc"))
       .agg(count(lit(1)).as("n_kept"),
         sort_array(collect_list(col("pos"))).as("ps"))
     base.join(keptPos, Seq("doc"), "left")
       .select(col("doc"), col("n_spans"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        // regenerate kept spans from the doc's own words (identical to
-        // the winner's text by construction — same digest)
         coalesce(concat_ws(" ", flatten(transform(col("ps"),
           p => slice(col("w"), (p * spanWords + 1).cast(IntegerType),
             lit(spanWords))))), lit("")).as("clean_text"))

@@ -39,6 +39,19 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // Incremental span surgery: delta docs (id >= 250) rebuilt against
+    // the corpus (< 250) span-winner table — one delta aggregate + one
+    // digest anti-join; corpus text untouched.
+    "q_dedup_spans_incremental" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val winners = Dedup.spanWinnerTable(
+        docs.where(col("doc_id") < 250), "text", "doc_id", spanWords = 10)
+      Dedup.incrementalDedupSpans(winners,
+          docs.where(col("doc_id") >= 250), "text", "doc_id",
+          spanWords = 10)
+        .orderBy(col("doc"))
+    },
+
     // Exact n-gram Jaccard near-dup pairs (bounded brute-force: the
     // correctness baseline the LSH path is tested against).
     "q_jaccard_pairs" -> { (s, dir) =>
@@ -621,6 +634,29 @@ object Pipeline {
         coalesce(reb.n_kept, 0) AS n_kept,
         coalesce(reb.clean_text, '') AS clean_text
       FROM w LEFT JOIN reb ON w.doc = reb.doc
+      ORDER BY w.doc""",
+
+    "q_dedup_spans_incremental" -> raw"""
+      WITH w AS (SELECT doc_id AS doc,
+          string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents),
+      sp0 AS (SELECT doc, ws,
+          unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS pos
+        FROM w),
+      sp AS (SELECT doc, pos,
+          array_to_string(ws[(pos*10+1):(pos*10+10)], ' ') AS span
+        FROM sp0),
+      k AS (SELECT doc, pos, span,
+          row_number() OVER (PARTITION BY span ORDER BY doc, pos) AS rn
+        FROM sp),
+      reb AS (SELECT doc, count(*) AS n_kept,
+          string_agg(span, ' ' ORDER BY pos) AS clean_text
+        FROM k WHERE rn = 1 AND doc >= 250 GROUP BY doc)
+      SELECT w.doc, CAST(ceil(len(ws) / 10.0) AS BIGINT) AS n_spans,
+        coalesce(reb.n_kept, 0) AS n_kept,
+        coalesce(reb.clean_text, '') AS clean_text
+      FROM w LEFT JOIN reb ON w.doc = reb.doc
+      WHERE w.doc >= 250
       ORDER BY w.doc""",
 
     "q_jaccard_pairs" -> s"""

@@ -549,6 +549,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(one === many && one.nonEmpty)
   }
 
+  test("incremental span dedup equals the full path on delta docs") {
+    val docs = Tables.t(spark, dir, "documents")
+    val corpus = docs.where(col("doc_id") < 250)
+    val delta = docs.where(col("doc_id") >= 250)
+    val winners = Dedup.spanWinnerTable(corpus, "text", "doc_id")
+    val inc = Dedup.incrementalDedupSpans(winners, delta, "text", "doc_id")
+      .orderBy("doc").collect().toSeq
+    // corpus ids order before delta ids, so the full path's winners over
+    // corpus∪delta restricted to delta docs must match exactly
+    val full = Dedup.dedupSpans(docs, "text", "doc_id")
+      .where(col("doc") >= 250).orderBy("doc").collect().toSeq
+    assert(inc === full && inc.nonEmpty)
+    // and a span first seen in the delta survives exactly once there
+    assert(inc.exists(_.getLong(2) > 0), "some delta spans must survive")
+  }
+
   test("containment guard fires on a flat vocabulary, silent on diverse") {
     import spark.implicits._
     // flat corpus: every doc shares the same tiny vocabulary, so even the

@@ -193,4 +193,35 @@ class PlanSpec extends AnyFunSuite {
       .findAllIn(p).length >= 2,
       s"expected partial+final aggregation:\n$p")
   }
+
+  test("span dedup: winner selection is a partial+final aggregate") {
+    // min(struct(doc,pos)) per digest must combine map-side — a
+    // row_number-per-span window would sort every span occurrence; and
+    // the winner rows ARE the kept set, so no join back against the
+    // span stream (exactly one join: the doc-keyed output rebuild)
+    val p = plan("q_dedup_spans")
+    assert(!p.contains("Window"),
+      s"span winners must come from an aggregate, not a window:\n$p")
+    assert("HashAggregate|SortAggregate|ObjectHashAggregate".r
+      .findAllIn(p).length >= 2,
+      s"expected partial+final aggregation:\n$p")
+    // formatted explain names each node twice (tree + detail header);
+    // count detail headers, one per physical join node
+    val joins =
+      "\\(\\d+\\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)".r
+        .findAllIn(p).length
+    assert(joins == 1, s"expected exactly the output rebuild join:\n$p")
+  }
+
+  test("bucketed as-of join never funnels a key into one partition") {
+    // the merge window must be keyed by (key, bucket) and the spine
+    // window by key — neither may plan SinglePartition, and the shape
+    // stays join-free except the spine union (no nested loop ever)
+    val p = plan("q_asof_join_bucketed")
+    assert(!p.contains("SinglePartition"),
+      s"bucketed as-of must not serialize into one partition:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"bucketed as-of must never plan a nested loop:\n$p")
+  }
 }
