@@ -27,19 +27,46 @@ object TextMetricsKernel {
     *    regexp_replace(text, "[^0-9]", "") removed-complement
     *  - punct: code points in [0-9.,;:!?] — the subword-estimate extra
     */
+  private def isWs(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+      cp == '\f' || cp == '\r'
+
+  // symbol contribution of one ORIGINAL code point: count of the
+  // code points its string-lowercase expands to that fall outside
+  // [a-z0-9\s]. String.toLowerCase (not Character.toLowerCase) because
+  // the composed form runs the regex over lower(text), and some
+  // mappings are one-to-many — 'İ' (U+0130) lowers to 'i' + U+0307,
+  // which the regex counts as ONE symbol (the combining dot), while a
+  // per-code-point simple mapping would count zero.
+  private def symbolCount(cp: Int): Int = {
+    if (cp < 128) {
+      val lc = if (cp >= 'A' && cp <= 'Z') cp + 32 else cp
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9') || isWs(lc)) 0
+      else 1
+    } else {
+      val lowered = new String(Character.toChars(cp)).toLowerCase
+      var j = 0
+      var n = 0
+      while (j < lowered.length) {
+        val l = lowered.codePointAt(j)
+        if (!(l >= 'a' && l <= 'z') && !(l >= '0' && l <= '9') && !isWs(l))
+          n += 1
+        j += Character.charCount(l)
+      }
+      n
+    }
+  }
+
   def metrics(s: UTF8String): InternalRow = {
     val str = s.toString
     var i = 0
     var stripLen = 0; var symbol = 0; var digit = 0; var punct = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
-      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
-        cp == '\f' || cp == '\r'
-      if (!ws) {
+      if (!isWs(cp)) {
         stripLen += 1
-        val lc = Character.toLowerCase(cp)
         val isDigit = cp >= '0' && cp <= '9'
-        if (!(lc >= 'a' && lc <= 'z') && !isDigit) symbol += 1
+        symbol += symbolCount(cp)
         if (isDigit) { digit += 1; punct += 1 }
         else if (cp == '.' || cp == ',' || cp == ';' || cp == ':' ||
           cp == '!' || cp == '?') punct += 1

@@ -70,7 +70,11 @@ object Multimodal {
             MediaFeatures(id, payload.length.toLong,
               r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0), md)
           } catch {
-            case _: java.io.IOException =>
+            // NonFatal, not just IOException: imageio throws
+            // IllegalArgument/IndexOutOfBounds/NegativeArraySize on
+            // pathological header fields of fuzzed/truncated files, and
+            // any of those would kill the task after retries
+            case scala.util.control.NonFatal(_) =>
               MediaFeatures(id, payload.length.toLong, "unknown", -1, -1, md)
           } finally r.dispose()
         } else MediaFeatures(id, payload.length.toLong, "unknown", -1, -1, md)
@@ -85,9 +89,11 @@ object Multimodal {
     * native state. */
   def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     require(w > 0 && h > 0, "target dimensions must be positive")
+    // full pixel decode — even more RuntimeException surface than the
+    // header path; NonFatal keeps a corrupt payload from killing the task
     val img = try javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(payload))
-    catch { case _: java.io.IOException => null }
+    catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return Array.empty
     val out = new java.awt.image.BufferedImage(w, h,
       java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -118,14 +124,16 @@ object Multimodal {
         val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
           new java.io.ByteArrayInputStream(payload))
         val f = ais.getFormat
-        val frames = ais.getFrameLength
+        // AU headers conventionally use 0xFFFFFFFF for unknown data size:
+        // getFrameLength then returns NOT_SPECIFIED (-1). Clamp to 0 so
+        // duration aggregates never go negative.
+        val frames = math.max(ais.getFrameLength, 0L)
         AudioMeta(id, ff.getType.getExtension, f.getSampleRate.toDouble,
           f.getChannels, frames,
           if (f.getFrameRate > 0) frames / f.getFrameRate.toDouble else 0.0)
       } finally ais.close()
     } catch {
-      case _: javax.sound.sampled.UnsupportedAudioFileException |
-          _: java.io.IOException =>
+      case scala.util.control.NonFatal(_) =>
         AudioMeta(id, "unknown", 0.0, 0, 0L, 0.0)
     }
 

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructType}
@@ -78,8 +78,39 @@ object Temporal {
   def asofJoinMulti(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
       inclusive: Boolean = true): DataFrame = {
+    val t = asofTag(left, right, keys, leftTs, rightTs, inclusive,
+      bucket = None)
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__s").asc, col("__r").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t.l.union(t.r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__s") === t.leftSide && col("__l").isNotNull)
+      .select(left.columns.map(c => col(s"__l.$c").as(c)) ++
+        t.payloadCols.map(c => col(s"__m.$c").as(c)): _*)
+  }
+
+  /** The as-of family's shared tag-and-union prologue on the
+    * (__k[, __b], __t, __s, __l, __r) shape. */
+  private case class AsofSides(l: DataFrame, r: DataFrame,
+      payloadCols: Seq[String], leftSide: Int,
+      lStruct: StructType, rStruct: StructType,
+      tType: org.apache.spark.sql.types.DataType)
+
+  /** Validates the payload contract, encodes the boundary rule in the
+    * side order (inclusive puts right FIRST at equal ts so an equal-ts
+    * right row is visible; strict puts it after), and projects both
+    * sides onto the tagged shape. Right rows with a null timestamp are
+    * DROPPED: they would sort first (nulls-first asc) and be carried by
+    * last(ignoreNulls) to every left row in the group — a match at time
+    * -infinity — while SQL's NULL <= t is never true. Left null-ts rows
+    * sort before all right rows and stay unmatched, as documented.
+    * `bucket` derives the optional __b column per (side, ts column). */
+  private def asofTag(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, inclusive: Boolean,
+      bucket: Option[(DataFrame, String) => Column]): AsofSides = {
     require(keys.nonEmpty, "at least one key column")
-    val payloadCols = right.columns.filterNot(keys.contains)
+    val payloadCols = right.columns.filterNot(keys.contains).toSeq
     val clash = payloadCols.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty,
       s"right payload columns collide with left: ${clash.mkString(", ")} " +
@@ -87,34 +118,20 @@ object Temporal {
     val lStruct = StructType(left.schema.fields)
     val rStruct = StructType(
       right.schema.fields.filterNot(f => keys.contains(f.name)))
-    // side ordering encodes the boundary rule: the visible window is
-    // "rows sorting at-or-before me", so inclusive puts right first at
-    // equal ts, strict puts it after
     val (rightSide, leftSide) = if (inclusive) (0, 1) else (1, 0)
-    val l = left.select(
-      struct(keys.map(col): _*).as("__k"),
-      col(leftTs).as("__t"), lit(leftSide).as("__s"),
-      struct(left.columns.map(col): _*).as("__l"),
-      lit(null).cast(rStruct).as("__r"))
-    // a null right timestamp would sort first (nulls-first asc) and be
-    // carried by last(ignoreNulls) to EVERY left row in the key group —
-    // acting as a match at time -infinity. SQL comparison semantics say
-    // NULL <= t is never true, so such rows match nothing: drop them
-    // before the union. Left null-ts rows then sort before all right
-    // rows and stay unmatched, as documented.
-    val r = right.where(col(rightTs).isNotNull).select(
-      struct(keys.map(col): _*).as("__k"),
-      col(rightTs).as("__t"), lit(rightSide).as("__s"),
-      lit(null).cast(lStruct).as("__l"),
-      struct(payloadCols.map(col): _*).as("__r"))
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__s").asc, col("__r").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    l.union(r)
-      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
-      .where(col("__s") === leftSide && col("__l").isNotNull)
-      .select(left.columns.map(c => col(s"__l.$c").as(c)) ++
-        payloadCols.map(c => col(s"__m.$c").as(c)): _*)
+    val tType = left.schema(leftTs).dataType
+    def tagged(df: DataFrame, ts: String, side: Int,
+        lCol: Column, rCol: Column): Seq[Column] =
+      Seq(struct(keys.map(col): _*).as("__k")) ++
+        bucket.map(b => b(df, ts).as("__b")) ++
+        Seq(col(ts).cast(tType).as("__t"), lit(side).as("__s"),
+          lCol.as("__l"), rCol.as("__r"))
+    val l = left.select(tagged(left, leftTs, leftSide,
+      struct(left.columns.map(col): _*), lit(null).cast(rStruct)): _*)
+    val r = right.where(col(rightTs).isNotNull)
+      .select(tagged(right, rightTs, rightSide,
+        lit(null).cast(lStruct), struct(payloadCols.map(col): _*)): _*)
+    AsofSides(l, r, payloadCols, leftSide, lStruct, rStruct, tType)
   }
 
   /** [[asofJoinMulti]] with a bucketed time axis: the hot-key
@@ -138,17 +155,7 @@ object Temporal {
   def asofJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, bucketWidth: Long,
       inclusive: Boolean = true): DataFrame = {
-    require(keys.nonEmpty, "at least one key column")
     require(bucketWidth > 0, "bucketWidth must be positive axis units")
-    val payloadCols = right.columns.filterNot(keys.contains)
-    val clash = payloadCols.toSet.intersect(left.columns.toSet)
-    require(clash.isEmpty,
-      s"right payload columns collide with left: ${clash.mkString(", ")} " +
-        "— rename the right side's columns before the as-of join")
-    val lStruct = StructType(left.schema.fields)
-    val rStruct = StructType(
-      right.schema.fields.filterNot(f => keys.contains(f.name)))
-    val (rightSide, leftSide) = if (inclusive) (0, 1) else (1, 0)
     def axis(df: DataFrame, c: String): org.apache.spark.sql.Column =
       df.schema(c).dataType match {
         case org.apache.spark.sql.types.TimestampType |
@@ -160,19 +167,9 @@ object Temporal {
         case other => throw new IllegalArgumentException(
           s"bucketed as-of axis column $c must be time or numeric, got $other")
       }
-    val tType = left.schema(leftTs).dataType
-    val l = left.select(
-      struct(keys.map(col): _*).as("__k"),
-      floor(axis(left, leftTs) / bucketWidth).as("__b"),
-      col(leftTs).cast(tType).as("__t"), lit(leftSide).as("__s"),
-      struct(left.columns.map(col): _*).as("__l"),
-      lit(null).cast(rStruct).as("__r"))
-    val r = right.where(col(rightTs).isNotNull).select(
-      struct(keys.map(col): _*).as("__k"),
-      floor(axis(right, rightTs) / bucketWidth).as("__b"),
-      col(rightTs).cast(tType).as("__t"), lit(rightSide).as("__s"),
-      lit(null).cast(lStruct).as("__l"),
-      struct(payloadCols.map(col): _*).as("__r"))
+    val t = asofTag(left, right, keys, leftTs, rightTs, inclusive,
+      bucket = Some((df, c) => floor(axis(df, c) / bucketWidth)))
+    val (l, r) = (t.l, t.r)
     // closing right row per (key, bucket): max(struct(ts, payload)) is
     // the same field-wise-max tie-break the in-bucket merge uses
     val closing = r.groupBy(col("__k"), col("__b"))
@@ -197,17 +194,17 @@ object Temporal {
       .withColumn("__cin", last(col("__c"), ignoreNulls = true).over(wCarry))
       .where(col("__m") === 0 && col("__cin").isNotNull)
       .select(col("__k"), col("__b"),
-        lit(null).cast(tType).as("__t"), lit(-1).as("__s"),
-        lit(null).cast(lStruct).as("__l"),
+        lit(null).cast(t.tType).as("__t"), lit(-1).as("__s"),
+        lit(null).cast(t.lStruct).as("__l"),
         col("__cin").getField("__r").as("__r"))
     val w = Window.partitionBy(col("__k"), col("__b"))
       .orderBy(col("__t").asc, col("__s").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.union(r).union(carryRows)
       .withColumn("__mres", last(col("__r"), ignoreNulls = true).over(w))
-      .where(col("__s") === leftSide && col("__l").isNotNull)
+      .where(col("__s") === t.leftSide && col("__l").isNotNull)
       .select(left.columns.map(c => col(s"__l.$c").as(c)) ++
-        payloadCols.map(c => col(s"__mres.$c").as(c)): _*)
+        t.payloadCols.map(c => col(s"__mres.$c").as(c)): _*)
   }
 
   /** Range (interval containment) join: every (point, interval) pair

@@ -16,11 +16,16 @@ object TextAnalysis {
     * marks counted separately (a cheap proxy for tokenizer token counts).
     * The punct counter comes from the fused [[graft.functions.TextMetrics]]
     * kernel (one char pass, shared with [[qualityMetrics]] via codegen
-    * subexpression elimination when both run in one projection); callers
-    * need GraftFunctions.register on the session. */
-  def subwordCountEstimate(text: Column): Column =
+    * subexpression elimination when both run in one projection). The
+    * expression is built directly — no session registration required,
+    * keeping this Column-builder self-contained like the regex form it
+    * replaced. */
+  def subwordCountEstimate(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     size(split(trim(text), "\\s+")) +
-      call_function("text_metrics", text).getField("punct")
+      ColumnBridge.toColumn(graft.functions.TextMetrics(
+        ColumnBridge.toExpression(text))).getField("punct")
+  }
 
   private val stop = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "for", "with"),

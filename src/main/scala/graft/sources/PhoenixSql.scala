@@ -980,35 +980,51 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
 
   // ---- queries ----------------------------------------------------------
 
-  /** Phoenix hint surface (reference cc/parse/HintNode.java). Spark's
-    * parser already tolerates unknown hints with a warning, but two of
-    * Phoenix's carry semantics a tuning user relies on:
+  /** Hints Spark's own resolver understands — pass through VERBATIM
+    * (args included) so `/*+ BROADCAST(d) */` etc. keep working exactly
+    * as they did when the whole comment reached spark.sql unmodified. */
+  private val SparkNativeHints = Set(
+    "BROADCAST", "BROADCASTJOIN", "MAPJOIN",
+    "MERGE", "MERGEJOIN", "SHUFFLE_MERGE",
+    "SHUFFLE_HASH", "SHUFFLE_REPLICATE_NL",
+    "REPARTITION", "REPARTITION_BY_RANGE", "COALESCE", "REBALANCE")
+
+  /** Phoenix hint surface (reference cc/parse/HintNode.java). Three
+    * classes of leading-hint names:
     *  - USE_SORT_MERGE_JOIN → rewritten to Spark's SHUFFLE_MERGE over the
     *    statement's FROM/JOIN relations (aliases included), forcing the
-    *    sort-merge strategy like the reference's JoinCompiler does;
+    *    sort-merge strategy like the reference's JoinCompiler does
+    *    (limitation: comma-list FROM clauses and subquery-only FROMs have
+    *    no bare relation to hint — warned, not silently dropped);
     *  - NO_INDEX → the covered-index rewrite ([[graft.plans
     *    .IndexRewriteRule]]) is disabled for THIS statement: the rule
     *    checks the session conf and the statement's optimized plan is
     *    forced inside the conf window (QueryExecution caches it, and
-    *    AQE's runtime re-optimization does not re-run injected rules).
-    * Every other hint name (RANGE_SCAN, SKIP_SCAN, NO_STAR_JOIN, SMALL,
-    * SERIAL, INDEX(...), ...) is dropped with a stderr warning — they
-    * steer HBase scan internals Catalyst decides itself.
-    * @return (sql without the Phoenix hint comment, noIndex flag) */
+    *    AQE's runtime re-optimization does not re-run injected rules);
+    *  - [[SparkNativeHints]] pass through verbatim with their arguments;
+    *    everything else (RANGE_SCAN, SKIP_SCAN, NO_STAR_JOIN, SMALL,
+    *    SERIAL, INDEX(...), ...) is dropped with a stderr warning — they
+    *    steer HBase scan internals Catalyst decides itself.
+    * @return (sql with the hint comment rewritten, noIndex flag) */
   private def rewriteHints(s: String): (String, Boolean) = {
     val hintRe = "(?is)^(\\s*SELECT)\\s*/\\*\\+(.*?)\\*/(.*)$".r
     hintRe.findFirstMatchIn(s) match {
       case None => (s, false)
       case Some(m) =>
-        val names = "([A-Za-z_]+)(\\([^)]*\\))?".r
-          .findAllMatchIn(m.group(2)).map(_.group(1).toUpperCase).toSeq
+        val items = "([A-Za-z_]+)(\\([^)]*\\))?".r
+          .findAllMatchIn(m.group(2))
+          .map(g => (g.group(1).toUpperCase, g.matched)).toSeq
+        val names = items.map(_._1)
         val noIndex = names.contains("NO_INDEX")
+        val passThrough = items.collect {
+          case (n, verbatim) if SparkNativeHints.contains(n) => verbatim
+        }
         val keywords = Set("WHERE", "ON", "USING", "LEFT", "RIGHT", "FULL",
           "INNER", "CROSS", "JOIN", "GROUP", "ORDER", "LIMIT", "UNION",
           "INTERSECT", "EXCEPT", "HAVING", "AS", "AND", "OR", "NOT",
           "SELECT", "SET", "OFFSET", "FETCH", "WINDOW", "VALUES")
-        val sparkHint =
-          if (!names.contains("USE_SORT_MERGE_JOIN")) ""
+        val merge =
+          if (!names.contains("USE_SORT_MERGE_JOIN")) Seq.empty
           else {
             val rels = "(?i)\\b(?:FROM|JOIN)\\s+([A-Za-z_]\\w*)" +
               "(?:\\s+(?:AS\\s+)?([A-Za-z_]\\w*))?"
@@ -1018,15 +1034,23 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
               Option(g.group(2)).filterNot(a =>
                 keywords.contains(a.toUpperCase)).orElse(Option(g.group(1)))
             }.toSeq.distinct
-            if (tokens.isEmpty) ""
-            else s" /*+ SHUFFLE_MERGE(${tokens.mkString(", ")}) */"
+            if (tokens.isEmpty) {
+              System.err.println("[graft-sql] USE_SORT_MERGE_JOIN: no " +
+                "bare relation after FROM/JOIN to hint (subquery or " +
+                "comma-list FROM) — hint dropped")
+              Seq.empty
+            } else Seq(s"SHUFFLE_MERGE(${tokens.mkString(", ")})")
           }
-        val ignored = names.filterNot(
-          Set("NO_INDEX", "USE_SORT_MERGE_JOIN").contains)
+        val ignored = names.filterNot(n =>
+          n == "NO_INDEX" || n == "USE_SORT_MERGE_JOIN" ||
+            SparkNativeHints.contains(n))
         if (ignored.nonEmpty)
           System.err.println(s"[graft-sql] ignoring Phoenix hints " +
             s"${ignored.mkString(", ")} (scan internals Catalyst decides)")
-        (m.group(1) + sparkHint + m.group(3), noIndex)
+        val kept = merge ++ passThrough
+        val hint =
+          if (kept.isEmpty) "" else kept.mkString(" /*+ ", ", ", " */")
+        (m.group(1) + hint + m.group(3), noIndex)
     }
   }
 
@@ -1074,14 +1098,30 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val rewritten = dottedNames.foldLeft(s1) { case (acc, (dotted, flat)) =>
       acc.replaceAll("(?i)" + java.util.regex.Pattern.quote(dotted), flat)
     }
-    val withDyn = rewriteDynamicColumns(rewritten)
+    val (withDyn, dynViews) = rewriteDynamicColumns(rewritten)
     val df = sequenceSelect(withDyn).getOrElse(spark.sql(withDyn))
+    // spark.sql analyzed eagerly, so the one-statement dynamic-column
+    // views can drop now — leaving them would accumulate snapshot-
+    // pinning shadows in the session catalog for the session lifetime
+    dynViews.foreach(spark.catalog.dropTempView)
     if (noIndex) {
       // force logical optimization inside the conf window so the
-      // statement's (cached) optimized plan skips the index rewrite
+      // statement's (cached) optimized plan skips the index rewrite.
+      // Save/restore rather than set/unset: a user who disabled the
+      // rewrite session-wide must not have a NO_INDEX statement silently
+      // re-enable it. (The window is session-global — a concurrent
+      // thread optimizing on the same session inside it would also skip
+      // the rewrite; single-statement front-end use is the contract.)
+      val prior = spark.conf.getOption(
+        graft.plans.IndexRewriteRule.DisabledConf)
       spark.conf.set(graft.plans.IndexRewriteRule.DisabledConf, "true")
       try df.queryExecution.optimizedPlan
-      finally spark.conf.unset(graft.plans.IndexRewriteRule.DisabledConf)
+      finally prior match {
+        case Some(v) =>
+          spark.conf.set(graft.plans.IndexRewriteRule.DisabledConf, v)
+        case None =>
+          spark.conf.unset(graft.plans.IndexRewriteRule.DisabledConf)
+      }
     }
     df
   }
@@ -1092,11 +1132,14 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     * as typed NULLs ([[GraftCatalog.withDynamicColumns]]). Column-family
     * qualifiers (`B.F2V2 VARCHAR`) keep the column name, as Phoenix's
     * projection does. Each dynamic table ref becomes a one-statement temp
-    * view; a parenthesized group that isn't a column-def list (subquery,
-    * unknown table) is left for Spark's parser untouched. */
-  private def rewriteDynamicColumns(sql: String): String = {
+    * view (returned so the caller drops it after eager analysis); a
+    * parenthesized group that isn't a column-def list (subquery, unknown
+    * table) is left for Spark's parser untouched.
+    * @return (rewritten sql, temp views created for this statement) */
+  private def rewriteDynamicColumns(sql: String): (String, Seq[String]) = {
     val re = "(?i)\\b(FROM|JOIN)\\s+([A-Za-z_]\\w*)\\s*\\(".r
     val sb = new StringBuilder
+    val created = scala.collection.mutable.ArrayBuffer[String]()
     var pos = 0
     var k = 0
     for (m <- re.findAllMatchIn(sql) if m.start >= pos) {
@@ -1128,13 +1171,14 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
         val dynName = s"${table}__dyn$k"
         catalog.withDynamicColumns(spark.table(table), fs)
           .createOrReplaceTempView(dynName)
+        created += dynName
         sb.append(sql.substring(pos, m.start))
           .append(m.group(1)).append(' ').append(dynName)
         pos = i
       }
     }
     sb.append(sql.substring(pos))
-    sb.toString
+    (sb.toString, created.toSeq)
   }
 
   /** NEXT/CURRENT VALUE FOR in SELECT position (reference

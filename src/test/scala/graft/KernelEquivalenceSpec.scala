@@ -60,7 +60,11 @@ class KernelEquivalenceSpec extends AnyFunSuite {
       .select($"text").as[String].collect().toList
     val edges = List("", " ", " \t\n\f\r ", "a", "A", "0129",
       ".,;:!?", "É é ß ñ Ñ Ω", "naïve café 3.14, v2!", "ab\ncd\t5?",
-      "¡¿ --- ***", "x" * 500, "mixed 42 UPPER lower ..!")
+      "¡¿ --- ***", "x" * 500, "mixed 42 UPPER lower ..!",
+      // one-to-many lowercase mapping: 'İ' (U+0130) lowers to i+U+0307,
+      // one symbol under the regex on lower(text); and context-sensitive
+      // final sigma — both forms are symbols either way
+      "İstanbul İİ", "ΣΟΦΟΣ ΣΣ")
     val rows = (corpus ++ edges).map(Tuple1(_)).toDF("text").select(
       call_function("text_metrics", $"text").as("m"),
       length(regexp_replace($"text", "\\s+", "")).as("strip_len"),

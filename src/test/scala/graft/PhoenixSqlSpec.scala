@@ -711,6 +711,50 @@ class PhoenixSqlSpec extends AnyFunSuite {
     assert(r(0).getLong(0) == 5L)
   }
 
+  test("Spark-native hints pass through the Phoenix hint rewrite intact") {
+    val px = fresh()
+    px.execute("CREATE TABLE HINT_L (K BIGINT NOT NULL, V VARCHAR " +
+      "CONSTRAINT pk PRIMARY KEY (K))")
+    px.execute("CREATE TABLE HINT_R (K BIGINT NOT NULL, W VARCHAR " +
+      "CONSTRAINT pk PRIMARY KEY (K))")
+    (1 to 3).foreach { i =>
+      px.execute(s"UPSERT INTO HINT_L VALUES ($i, 'l$i')")
+      px.execute(s"UPSERT INTO HINT_R VALUES ($i, 'r$i')")
+    }
+    // a Spark hint with ARGS must survive the rewrite verbatim — it
+    // previously reached spark.sql unmodified, so stripping it would be
+    // a silent plan regression
+    val p = px.execute("SELECT /*+ MERGE(r) */ l.K, r.W " +
+        "FROM HINT_L l JOIN HINT_R r ON l.K = r.K")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"),
+      s"MERGE(r) must still force sort-merge:\n$p")
+    // mixed: Phoenix-only names dropped, Spark hint still honored
+    val p2 = px.execute("SELECT /*+ RANGE_SCAN MERGE(r) SMALL */ l.K, r.W " +
+        "FROM HINT_L l JOIN HINT_R r ON l.K = r.K")
+      .queryExecution.executedPlan.toString
+    assert(p2.contains("SortMergeJoin"), s"mixed hints must keep MERGE:\n$p2")
+  }
+
+  test("NO_INDEX restores a pre-existing session-wide disable conf") {
+    val conf = graft.plans.IndexRewriteRule.DisabledConf
+    val px = fresh()
+    px.execute("CREATE TABLE NOIDX_CONF (K BIGINT NOT NULL, V VARCHAR " +
+      "CONSTRAINT pk PRIMARY KEY (K))")
+    px.execute("UPSERT INTO NOIDX_CONF VALUES (1, 'a')")
+    // a user who disabled the rewrite session-wide must not have a
+    // NO_INDEX statement silently re-enable it afterwards
+    spark.conf.set(conf, "true")
+    try {
+      px.execute("SELECT /*+ NO_INDEX */ K FROM NOIDX_CONF").collect()
+      assert(spark.conf.getOption(conf) === Some("true"),
+        "statement window must restore, not unset, the prior value")
+    } finally spark.conf.unset(conf)
+    // and with no prior value the window leaves the conf unset
+    px.execute("SELECT /*+ NO_INDEX */ K FROM NOIDX_CONF").collect()
+    assert(spark.conf.getOption(conf).isEmpty)
+  }
+
   test("NO_INDEX hint bypasses the covered-index rewrite per statement") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("px_noidx_b").toString
@@ -783,5 +827,9 @@ class PhoenixSqlSpec extends AnyFunSuite {
     val r5 = px.execute("SELECT cnt FROM (SELECT count(*) AS cnt " +
       "FROM HBASE_DYNAMIC_COLUMNS) sub").collect()
     assert(r5(0).getLong(0) == 1L)
+    // the one-statement temp views are dropped after analysis — they
+    // must not accumulate in (or shadow names of) the session catalog
+    assert(!spark.catalog.tableExists("hbase_dynamic_columns__dyn1"),
+      "dynamic-column temp view must not outlive its statement")
   }
 }
