@@ -178,6 +178,23 @@ object Pipeline {
         .orderBy(col("id"))
     },
 
+    // Classifier-based quality filter (GPT-3/CCNet style): train a
+    // logistic model on a deterministic labeled split (en = trusted
+    // class as the domain proxy), score every doc scan-locally, keep by
+    // the deterministic Pareto rule. No SQL oracle (LBFGS float sums
+    // aren't bit-stable across engines); separation/determinism pinned
+    // in PipelineSpec.
+    "q_quality_classifier" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.t(s, dir, "documents")
+      val labeled = docs.withColumn("label",
+        when($"lang" === "en", 1.0).otherwise(0.0))
+      val model = graft.operators.QualityFilter.train(labeled, "text", "label")
+      graft.operators.QualityFilter.filter(model, docs, "text", "doc_id")
+        .select($"doc_id", round($"quality_prob", 4).as("quality_prob"))
+        .orderBy($"doc_id")
+    },
+
     // End-to-end corpus curation: quality-filter → language gate →
     // fingerprint-dedup (keep lowest doc_id) → survivors with metrics.
     // The composition stays one scan + one digest-keyed shuffle.

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Curation, Dedup, Multimodal, Similarity}
+import graft.operators.{Curation, Dedup, Multimodal, QualityFilter, Similarity}
 
 /** Quality assertions for the probabilistic pipeline operators (the ones
   * without a SQL oracle): MinHash-LSH recall vs exact Jaccard, SimHash
@@ -280,6 +280,45 @@ class PipelineSpec extends AnyFunSuite {
       assert(f.width == 16 * (1 + (t.getBytes("UTF-8")(0) & 0xFF) % 64))
       assert(Set("png", "jpeg", "webp").contains(f.format))
     }
+  }
+
+  test("quality classifier separates clean text from junk, filters deterministically") {
+    import spark.implicits._
+    val rng = new scala.util.Random(0x9AD3)
+    val cleanWords = Seq("the", "and", "of", "to", "in", "is", "for",
+      "with", "market", "growth", "science", "model", "people", "report")
+    def clean(i: Long) = (i,
+      (0 until 30).map(_ => cleanWords(rng.nextInt(cleanWords.length)))
+        .mkString(" "), 1.0)
+    def junk(i: Long) = (i,
+      (0 until 30).map(_ => s"%%${rng.nextInt(99999)}##!!")
+        .mkString(" "), 0.0)
+    val labeled = ((1L to 150L).map(clean) ++ (151L to 300L).map(junk))
+      .toDF("doc_id", "text", "label")
+    val model = QualityFilter.train(labeled, "text", "label")
+    // score a held-out set drawn from the same generators
+    val held = ((1001L to 1050L).map(clean) ++ (1051L to 1100L).map(junk))
+      .toDF("doc_id", "text", "label")
+    val scored = QualityFilter.score(model, held, "text", "doc_id")
+      .join(held.select("doc_id", "label"), "doc_id")
+      .select("label", "quality_prob").collect()
+    val goodMean = scored.filter(_.getDouble(0) == 1.0)
+      .map(_.getDouble(1)).sum / 50
+    val badMean = scored.filter(_.getDouble(0) == 0.0)
+      .map(_.getDouble(1)).sum / 50
+    assert(goodMean > 0.8 && badMean < 0.2,
+      s"classifier must separate: good=$goodMean bad=$badMean")
+    // the Pareto keep rule is deterministic under any partitioning and
+    // keeps most clean docs while admitting only a junk tail
+    def kept(parts: Int) = QualityFilter.filter(model,
+        held.repartition(parts), "text", "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k3 = kept(3)
+    assert(k3 === kept(7), "filter must be partition-layout invariant")
+    val keptGood = k3.count(_ <= 1050L)
+    val keptBad = k3.count(_ > 1050L)
+    assert(keptGood >= 45, s"most clean docs survive, got $keptGood/50")
+    assert(keptBad <= 15, s"junk mostly filtered, got $keptBad/50 kept")
   }
 
   test("ImageIoDecoder decodes real PNG/JPEG through the Spark pipeline") {
