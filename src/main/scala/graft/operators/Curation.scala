@@ -16,14 +16,43 @@ import org.apache.spark.sql.types._
   */
 object Curation {
 
+  /** (id * 2654435761) mod 2^32 without 64-bit overflow: ids above
+    * ~3.47e9 would overflow the naive product, which under ANSI mode
+    * (`spark.sql.ansi.enabled`) is a runtime ArithmeticException in the
+    * middle of every split/sample/packing job. Split the reduced operand
+    * at 16 bits and accumulate mod 2^32 — every intermediate stays below
+    * 2^49. Identical value to the naive form for every id ((a mod n)·m
+    * mod n = a·m mod n), so the DuckDB oracles keep their simple
+    * spelling. */
+  private[operators] def hash32(id: Column): Column = {
+    val a = pmod(id, lit(4294967296L))
+    val hi = floor(a / lit(65536L)).cast(LongType)
+    val lo = pmod(a, lit(65536L))
+    pmod(
+      pmod(hi * lit(2654435761L), lit(4294967296L)) * lit(65536L) +
+        lo * lit(2654435761L),
+      lit(4294967296L))
+  }
+
   /** Deterministic per-row fraction in [0, 1) from a numeric id: the same
     * portable multiplicative hash the TABLESAMPLE operator uses
     * (reference TableSamplerPredicate.java hashes the rowkey against the
     * rate), so any engine — and the DuckDB oracle — reproduces the split
-    * bit-for-bit. Injective for ids below 2^32 (odd multiplier). */
+    * bit-for-bit. Injective for ids below 2^32 (odd multiplier);
+    * ANSI-overflow-safe for any BIGINT id ([[hash32]]). */
   def hashFrac(id: Column): Column =
-    pmod(id * lit(2654435761L), lit(4294967296L)).cast(DoubleType) /
-      lit(4294967296.0)
+    hash32(id).cast(DoubleType) / lit(4294967296.0)
+
+  /** The Efraimidis–Spirakis sampling key shared by [[weightedSample]]
+    * and [[weightedSamplePerStratum]] — ln(u)/w with u ∈ (0, 1] from the
+    * portable hash (the +1 keeps ln() finite at hash = 0), quantized to
+    * 6 decimals so the selection is bit-for-bit reproducible across
+    * engines. ONE definition: the plain and per-stratum paths must never
+    * silently diverge. */
+  private def esKey(id: Column, weight: Column): Column = {
+    val u = (hash32(id) + 1).cast(DoubleType) / lit(4294967296.0)
+    round(log(u) / weight.cast(DoubleType) * 1e6, 6)
+  }
 
   /** Gopher-style repetition signals per document:
     *  - dup_word_frac:  1 − distinct_words / total_words
@@ -139,16 +168,11 @@ object Curation {
     *                  the invalid row would win the sample
     */
   def weightedSample(df: DataFrame, idCol: String, weightCol: String,
-      k: Int): DataFrame = {
-    // (hash + 1) / 2^32 ∈ (0, 1]: the +1 keeps ln() finite at hash = 0
-    val u = (pmod(col(idCol) * lit(2654435761L), lit(4294967296L)) + 1)
-      .cast(DoubleType) / lit(4294967296.0)
+      k: Int): DataFrame =
     df.where(col(weightCol) > 0)
-      .withColumn("skey",
-        round(log(u) / col(weightCol).cast(DoubleType) * 1e6, 6))
+      .withColumn("skey", esKey(col(idCol), col(weightCol)))
       .orderBy(col("skey").desc, col(idCol))
       .limit(k)
-  }
 
   /** Per-stratum weighted quota sampling: the k heaviest-biased rows of
     * EVERY stratum (per-source quotas in a mixing recipe), using the
@@ -165,13 +189,10 @@ object Curation {
   def weightedSamplePerStratum(df: DataFrame, idCol: String,
       weightCol: String, strataCol: String, k: Int): DataFrame = {
     graft.functions.GraftFunctions.register(df.sparkSession)
-    val u = (pmod(col(idCol) * lit(2654435761L), lit(4294967296L)) + 1)
-      .cast(DoubleType) / lit(4294967296.0)
     // weight ≤ 0 = zero selection probability (see weightedSample: a
     // NaN key would otherwise sort above every real candidate)
     df.where(col(weightCol) > 0)
-      .withColumn("skey",
-        round(log(u) / col(weightCol).cast(DoubleType) * 1e6, 6))
+      .withColumn("skey", esKey(col(idCol), col(weightCol)))
       .groupBy(col(strataCol).as("stratum"))
       .agg(call_function("top_scored_id", col(idCol), col("skey"), lit(k))
         .as("top"))
@@ -293,12 +314,20 @@ object Curation {
       budget: Long, partitions: Int = 32): DataFrame = {
     val keyed = df
       .select(col(idCol).as("doc"), col(tokCol).cast(LongType).as("n_tok"),
-        pmod(col(idCol) * lit(2654435761L), lit(4294967296L)).as("k"))
+        hash32(col(idCol)).as("k"))
       .repartitionByRange(partitions, col("k"))
       .withColumn("pid", spark_partition_id())
       .localCheckpoint()
+    // ROWS frame with a doc tie-break: orderBy(k) alone defaults to a
+    // RANGE frame, where rows with EQUAL hash keys (duplicate ids, or
+    // distinct ids colliding mod 2^32) are peers that each receive the
+    // sum of the whole peer group — overlapping offsets and a hole in
+    // the stream. The key is injective below 2^32 so fixture results
+    // are unchanged; this closes the collision case.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("pid")).orderBy(col("k"))
+      .partitionBy(col("pid")).orderBy(col("k"), col("doc"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
     val local = keyed.withColumn("local_cum",
       sum(col("n_tok")).over(w) - col("n_tok"))
     val prefix = keyed.groupBy(col("pid"))

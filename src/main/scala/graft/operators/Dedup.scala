@@ -38,11 +38,12 @@ object Dedup {
           sequence(lit(1), size(words) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(j => element_at(words, i + j)): _*))))
 
-  /** Word n-gram shingles of a text column (lowercased, whitespace split).
-    * Convenience form; for hot paths project the word array first and use
-    * [[shinglesFromWords]]. */
+  /** Word n-gram shingles of a text column (lowercased, trimmed,
+    * whitespace split — matching [[shingleTable]] and the oracles).
+    * Convenience form; for hot paths project the word array first and
+    * use [[shinglesFromWords]]. */
   def shingles(text: Column, n: Int): Column =
-    shinglesFromWords(split(lower(text), "\\s+"), n)
+    shinglesFromWords(split(lower(trim(text)), "\\s+"), n)
 
   /** Multiplicity-preserving variant of [[shinglesFromWords]] (no
     * array_distinct): one entry per n-gram POSITION, for occurrence-
@@ -121,8 +122,11 @@ object Dedup {
   private def shingleTable(docs: DataFrame, textCol: String, idCol: String,
       n: Int, passthrough: Seq[String] = Nil): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // trim BEFORE the split: leading/trailing whitespace would inject an
+    // empty-string token that perturbs shingles and Jaccard (and the
+    // DuckDB oracles already tokenize lower(trim(text)))
     docs.select(col(idCol).as("id") +: passthrough.map(col) :+
-        split(lower(col(textCol)), "\\s+").as("w"): _*)
+        split(lower(trim(col(textCol))), "\\s+").as("w"): _*)
       .repartition(col("id"))
       .select(col("id") +: passthrough.map(col) :+
         call_function("word_shingles", col("w"), lit(n)).as("sh"): _*)
@@ -141,10 +145,18 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), col("fp"))
 
-  /** Normalized-text fingerprint (document-level rolling-hash analog —
-    * md5 over lowercased alphanumeric+space text, portable across engines). */
+  /** Normalized-text fingerprint (document-level rolling-hash analog):
+    * lowercase → strip everything but letters/digits/whitespace
+    * (UNICODE classes — an ASCII-only [a-z0-9] would collapse every
+    * non-Latin document to the SAME digest and mass-classify a
+    * Chinese/Arabic corpus as duplicates) → collapse whitespace runs to
+    * one space (so tab/newline variants of the same text match) → trim.
+    * \p{L}\p{N}\s mean the same thing in Java regex and DuckDB's RE2,
+    * so the digest is engine-portable. */
   def fingerprint(text: Column): Column =
-    md5(regexp_replace(lower(text), "[^a-z0-9 ]", ""))
+    md5(trim(regexp_replace(
+      regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", ""),
+      "\\s+", " ")))
 
   /** Exact duplicated-SPAN removal — the span-surgery tier of Lee et
     * al.'s substring dedup (ACL 2022) and C4's repeated-span rule: each
@@ -505,10 +517,12 @@ object Dedup {
         round(col("__c"), 8).as("containment"))
   }
 
-  /** Exact Jaccard similarity between two shingle-set columns. */
+  /** Exact Jaccard similarity between two shingle-set columns. The
+    * intersection is computed ONCE and reused in the denominator —
+    * array_intersect is the dominant O(|a|+|b|) term per pair. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast(DoubleType)
-    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+    inter / (size(a) + size(b) - inter)
   }
 
   /** MinHash-LSH near-duplicate pairs, verified with exact Jaccard ≥
@@ -620,19 +634,6 @@ object Dedup {
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = vertices.select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint()
-    // labels only ever DECREASE (min-propagation), so the exact sum of
-    // labels is strictly monotone until the fixpoint — an unchanged sum
-    // IS convergence. One cheap aggregate per round instead of a
-    // labels-to-labels join; DECIMAL(38,0) so corpus-scale id sums
-    // cannot overflow or lose precision.
-    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal = {
-      // sum() over zero rows is NULL — an empty vertex set is already
-      // converged at sum 0, not an NPE
-      val s = df.agg(sum(col("cluster_id").cast(DecimalType(38, 0))))
-        .head().getDecimal(0)
-      if (s == null) java.math.BigDecimal.ZERO else s
-    }
-    var prevSum = labelSum(labels)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -642,9 +643,17 @@ object Dedup {
       val next = labels.union(viaNeighbor)
         .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
         .localCheckpoint()
-      val nextSum = labelSum(next)
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
+      // convergence = no label changed this round — an EXACT,
+      // type-agnostic check. (The previous cast-to-DECIMAL label-sum
+      // trick silently broke for non-numeric ids: the non-ANSI cast
+      // returned NULL, every round summed to 0, and the loop declared
+      // convergence after one propagation round with split clusters.)
+      // Both sides are localCheckpointed, so this id-keyed join costs
+      // the same class as the propagation join itself.
+      converged = next
+        .join(labels.withColumnRenamed("cluster_id", "__prev"), "id")
+        .where(col("cluster_id") =!= col("__prev"))
+        .isEmpty
       labels = next
       it += 1
     }
@@ -682,20 +691,38 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming64(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash near-dup candidates: block on 16-bit chunks (pairs within
-    * Hamming distance 3 share at least one of 4 chunks), verify distance. */
+  /** SimHash near-dup candidates: block on `maxHamming + 1` bit chunks —
+    * the pigeonhole bound: a pair within Hamming distance `maxHamming`
+    * differs in at most `maxHamming` chunks, so at least one of the
+    * `maxHamming + 1` chunks is IDENTICAL and the chunk join recalls the
+    * pair. (A fixed 4-chunk split — the previous shape — only guarantees
+    * recall for distance ≤ 3 and silently missed farther pairs when the
+    * caller raised the threshold.) Distance verified exactly after the
+    * join. `maxHamming ≤ 15` keeps every chunk ≥ 4 bits wide so chunk
+    * buckets stay selective. */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming — above 15 the " +
+        "64-bit signature's chunks get too narrow to block on; use " +
+        "banded MinHash (nearDupPairs) for looser similarity")
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    val nChunks = maxHamming + 1
     val sig = docs
       .select(col(idCol).as("id"),
         transform(split(lower(col(textCol)), "\\s+"), w => xxhash64(w))
           .as("hs"))
       .repartition(col("id"))
       .select(col("id"), call_function("simhash64", col("hs")).as("sig"))
-    val chunked0 = sig.select(col("id"), col("sig"), posexplode(
-      array((0 until 4).map(c =>
-        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+    // chunk i covers bits [i*64/n, (i+1)*64/n) — as even as possible
+    val chunkCols = (0 until nChunks).map { c =>
+      val loBit = c * 64 / nChunks
+      val width = (c + 1) * 64 / nChunks - loBit
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      shiftright(col("sig"), loBit).bitwiseAND(lit(mask))
+    }
+    val chunked0 = sig.select(col("id"), col("sig"),
+      posexplode(array(chunkCols: _*)))
       .toDF("id", "sig", "chunk_idx", "chunk")
     // same degenerate-bucket guard as the minhash path: a 16-bit chunk
     // shared by boilerplate/empty texts would go quadratic in the join.
@@ -714,7 +741,10 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         hamming64(col("sig_a"), col("sig_b")).as("dist"))
-      .distinct()
+      // filter BEFORE the dedup: the Hamming check is deterministic per
+      // pair, so far-apart chunk-sharing pairs drop map-side instead of
+      // riding the distinct()'s shuffle
       .where(col("dist") <= maxHamming)
+      .distinct()
   }
 }

@@ -44,6 +44,10 @@ object Similarity {
       .select(col(vecCol).as("qv"))
     emb.crossJoin(broadcast(q))
       .select(col(idCol), cosine(col(vecCol), col("qv")).as("sim"))
+      // Spark sorts NaN ABOVE every real double, so a zero-vector row
+      // (cosine 0/0 = NaN) would occupy the #1 slot of every top-k,
+      // displacing a true neighbor — same rule as knnJoin's heap
+      .where(!isnan(col("sim")))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -90,6 +94,7 @@ object Similarity {
         .as("bucket"))
     bucketed.join(broadcast(probes), "bucket")
       .select(col(idCol), cosine(col(vecCol), col("qv")).as("sim"))
+      .where(!isnan(col("sim"))) // NaN sorts above every real sim
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -177,6 +182,7 @@ object Similarity {
     val qvCol = array(qv.map(lit): _*)
     assigned.where(col("cell").isin(probeCells.map(Integer.valueOf): _*))
       .select(col("id"), cosine(col("v"), qvCol).as("sim"))
+      .where(!isnan(col("sim"))) // NaN sorts above every real sim
       .orderBy(col("sim").desc, col("id").asc)
       .limit(k)
   }

@@ -627,7 +627,7 @@ object Pipeline {
       FROM documents GROUP BY text ORDER BY keep_id""",
 
     "q_dedup_fingerprint" -> """
-      SELECT md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp,
+      SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp,
              min(doc_id) AS keep_id, count(*) AS n_copies
       FROM documents GROUP BY 1 ORDER BY keep_id""",
 
@@ -776,7 +776,7 @@ object Pipeline {
             w -> w IN ('the','and','of','to','in','is','for','with')))
             AS DOUBLE) /
             len(string_split_regex(lower(trim(text)), '\s+')) AS stop_ratio,
-          md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+          md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
         FROM documents),
       langed AS (
         SELECT s.*, CASE WHEN greatest(en, de, fr, es) = 0 THEN 'und'
@@ -983,7 +983,7 @@ object Pipeline {
           (doc_id * 2654435761) % 4294967296 AS k
         FROM documents),
       c AS (SELECT doc, n_tok,
-          CAST(coalesce(sum(n_tok) OVER (ORDER BY k
+          CAST(coalesce(sum(n_tok) OVER (ORDER BY k, doc
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             AS BIGINT) AS "offset"
         FROM t)
@@ -1018,7 +1018,7 @@ object Pipeline {
           (doc_id * 2654435761) % 4294967296 AS k
         FROM documents),
       c AS (SELECT doc, n_tok,
-          CAST(coalesce(sum(n_tok) OVER (ORDER BY k
+          CAST(coalesce(sum(n_tok) OVER (ORDER BY k, doc
             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             AS BIGINT) AS "offset"
         FROM t WHERE n_tok > 0),
@@ -1107,7 +1107,7 @@ object Pipeline {
 
     "q_dedup_incremental" -> """
       WITH fp AS (SELECT doc_id,
-          md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fp
+          md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
         FROM documents),
       corpus AS (SELECT fp, min(doc_id) AS corpus_keep FROM fp
                  WHERE doc_id < 400 GROUP BY fp),

@@ -588,6 +588,118 @@ class PipelineSpec extends AnyFunSuite {
     assert(one === many && one.nonEmpty)
   }
 
+  test("fingerprint distinguishes non-Latin docs, unifies whitespace forms") {
+    import spark.implicits._
+    // an ASCII-only character class collapsed every non-Latin doc to
+    // md5('') — a dedup pass would silently discard a whole CJK corpus
+    val docs = Seq(
+      (1L, "这是第一个文档"), (2L, "这是完全不同的文档"),
+      (3L, "هذا نص عربي"), (4L, "hello\tworld"), (5L, " hello world "),
+      (6L, "hello, world!")
+    ).toDF("doc_id", "text")
+      .select($"doc_id", Dedup.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docs(1L) != docs(2L), "distinct Chinese docs must differ")
+    assert(docs(1L) != docs(3L))
+    assert(docs(4L) == docs(5L), "tab/space/pad variants must unify")
+    assert(docs(4L) == docs(6L), "punctuation-stripped form must match")
+  }
+
+  test("connected components converge correctly on STRING vertex ids") {
+    import spark.implicits._
+    // the old DECIMAL-cast label-sum convergence check returned NULL→0
+    // for string ids every round and declared convergence after one
+    // propagation step, silently splitting long chains
+    val vertices = Seq("a", "b", "c", "d", "e", "z").toDF("id")
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+      .toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(vertices, edges, maxIter = 10)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(Seq("a", "b", "c", "d", "e").forall(labels(_) == "a"),
+      s"whole chain must share the min label: $labels")
+    assert(labels("z") == "z")
+  }
+
+  test("simhash recall is complete vs brute force at maxHamming 8") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    // the fixed 4×16-bit blocking only guaranteed recall for dist ≤ 3;
+    // with maxHamming+1 chunks the pigeonhole bound covers any threshold
+    val docs = Tables.t(spark, dir, "documents")
+    val sigs = docs
+      .select($"doc_id".as("id"),
+        transform(split(lower($"text"), "\\s+"), w => xxhash64(w)).as("hs"))
+      .select($"id", call_function("simhash64", $"hs").as("sig"))
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .where($"a.id" < $"b.id" &&
+        Dedup.hamming64($"a.sig", $"b.sig") <= 8)
+      .select($"a.id", $"b.id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute, "blocked join must lose NO pair vs brute force")
+    assert(brute.nonEmpty, "fixture should contain dist<=8 pairs")
+    intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 16)
+    }
+  }
+
+  test("packing offsets stay sequential when hash keys collide") {
+    import spark.implicits._
+    // ids 1 and 2^32+1 share k = id*2654435761 mod 2^32; the old RANGE
+    // window frame gave both peers the full peer-group sum (overlapping
+    // offsets + a hole). The ROWS frame with a doc tie-break packs them
+    // back-to-back.
+    val df = Seq((1L, 10L), (4294967297L, 10L), (7L, 5L))
+      .toDF("doc_id", "n_tok")
+    val out = Curation.packSequences(df, "doc_id", "n_tok", budget = 2048,
+        partitions = 2)
+      .orderBy("offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // tiling: each offset = previous offset + previous n_tok, no overlap
+    // and no hole (doc 7's key sorts first; the two colliding ids pack
+    // back-to-back via the doc tie-break)
+    val tiles = out.scanLeft(0L) { case (expected, (_, nTok, offset)) =>
+      assert(offset == expected,
+        s"offsets must tile the stream with no overlap: ${out.toSeq}")
+      offset + nTok
+    }
+    assert(tiles.last == out.map(_._2).sum)
+  }
+
+  test("hashFrac is ANSI-overflow-safe and exact for huge ids") {
+    import spark.implicits._
+    // Spark 4 defaults to ANSI mode: the naive id*2654435761 overflows a
+    // signed long for ids >= ~3.47e9 and kills the job; the split-hash
+    // form must return the same value mod 2^32 without overflowing
+    val ids = Seq(0L, 1L, 3474169299L, 4000000000L, Long.MaxValue, -17L)
+    val got = ids.toDF("id")
+      .select($"id", Curation.hashFrac($"id").as("f"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ids.foreach { id =>
+      val expected = (((BigInt(id) * BigInt(2654435761L)) mod
+        BigInt(4294967296L)).toDouble / 4294967296.0 + 1.0) % 1.0
+      assert(math.abs(got(id) - expected) < 1e-12,
+        s"id=$id: ${got(id)} != $expected")
+    }
+  }
+
+  test("zero-vector NaN rows never enter cosine top-k results") {
+    import spark.implicits._
+    val emb = (1L to 20L).map(i =>
+        (i, List.tabulate(8)(j => (i + j).toFloat))).toDF("vec_id", "embedding")
+      .union(Seq((99L, List.fill(8)(0f))).toDF("vec_id", "embedding"))
+    // NaN (cosine of the zero vector) sorts above every real double in
+    // a desc sort — the garbage row would otherwise take the #1 slot
+    val top = Similarity.cosineTopK(emb, "embedding", "vec_id",
+        queryId = 1L, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(!top.map(_._1).contains(99L), s"zero vector must not rank: ${top.toSeq}")
+    assert(top.forall(t => !t._2.isNaN))
+    assert(top.head._1 == 1L, "query row itself is the nearest neighbor")
+  }
+
   test("incremental span dedup equals the full path on delta docs") {
     val docs = Tables.t(spark, dir, "documents")
     val corpus = docs.where(col("doc_id") < 250)
