@@ -36,11 +36,24 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   private def versionFile(name: String) =
     new java.io.File(s"${dir(name)}/_latest_version")
 
+  /** Leading-underscore names are the engine's metadata namespace
+    * (_version/_deleted/_ts, and physSchema treats any `_`-prefixed
+    * column as internal) — a user column named `_version` would be
+    * silently overwritten by every upsert and would confuse the
+    * generation renaming, so reject the whole prefix up front. */
+  private def checkReserved(fields: Iterable[StructField]): Unit = {
+    val bad = fields.map(_.name).filter(_.startsWith("_"))
+    require(bad.isEmpty,
+      s"column names starting with '_' are reserved for engine metadata " +
+        s"(_version/_deleted/_ts): ${bad.mkString(", ")}")
+  }
+
   def createTable(name: String, schema: StructType, pk: Seq[String],
       props: Map[String, String] = Map.empty): TableSpec = {
     require(pk.nonEmpty, "primary key required")
     require(pk.forall(c => schema.fieldNames.contains(c)),
       s"pk columns $pk must exist in schema")
+    checkReserved(schema.fields)
     val spec = TableSpec(name, schema, pk, props)
     specs(name) = spec
     new java.io.File(dir(name)).mkdirs()
@@ -61,6 +74,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
 
   def extendTable(name: String, fields: Seq[StructField]): Unit = {
     require(specs.contains(name), s"unknown table $name")
+    checkReserved(fields)
     val cur = extensions.getOrElse(name, Seq.empty)
     val newOnes = fields.filterNot(f =>
       cur.exists(_.name == f.name) || specs(name).schema.fieldNames
@@ -78,6 +92,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def alterAddColumns(name: String, fields: Seq[StructField],
       ifNotExists: Boolean = false): Unit = {
     val s = spec(name)
+    checkReserved(fields)
     val existing = allFields(name).map(_.name).toSet
     val dups = fields.filter(f => existing.contains(f.name))
     if (dups.nonEmpty && !ifNotExists)
@@ -125,14 +140,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       if (p == f.name) d else d.withColumnRenamed(f.name, p)
     }
 
+  /** Recursive delete; null-safe against listFiles' IO-error null. */
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmTree))
+    f.delete()
+  }
+
   def dropTable(name: String): Unit = {
     specs.remove(name)
     extensions.remove(name)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
-    rm(new java.io.File(dir(name)))
+    rmTree(new java.io.File(dir(name)))
   }
 
   /** TRUNCATE TABLE (reference: truncate_table_node g:502 — delete every
@@ -141,12 +158,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * and CDC consumers can't see a version reused. */
   def truncate(name: String): Unit = {
     spec(name) // throws on unknown table
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
-    }
     val data = new java.io.File(s"${dir(name)}/data")
-    if (data.exists()) rm(data)
+    if (data.exists()) rmTree(data)
   }
 
   // Single-writer assumption: the version counter is a driver-side file,
@@ -266,7 +279,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * Null tie-break fields order the same way in both forms (null loses
     * to any value, as with the window's DESC NULLS LAST). */
   def snapshotFull(name: String): DataFrame = {
-    val s = specs(name)
+    val s = spec(name)
     val fields = allFields(name)
     val nonPk = fields.map(_.name).filterNot(s.pk.contains)
     val ord = struct(col("_version") +: nonPk.map(col): _*)
@@ -283,7 +296,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * partitioned by the key. Projects the DECLARED schema only — columns
     * added by views are visible only through the view. */
   def snapshot(name: String): DataFrame =
-    snapshotFull(name).select(specs(name).schema.fieldNames.map(col): _*)
+    snapshotFull(name).select(spec(name).schema.fieldNames.map(col): _*)
 
   /** Snapshot plus `phoenix_row_timestamp` — the winning write's batch
     * stamp, the engine's analog of the row's HBase cell timestamp
@@ -292,7 +305,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * map-side-combinable collapse as [[snapshotFull]]; NULL for rows whose
     * winning batch predates the `_ts` column. */
   def snapshotWithRowTs(name: String): DataFrame = {
-    val s = specs(name)
+    val s = spec(name)
     val fields = allFields(name)
     val nonPk = fields.map(_.name).filterNot(s.pk.contains)
     val ord = struct(col("_version") +: nonPk.map(col): _*)
@@ -311,11 +324,15 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * POST — cs/coprocessor/CDCGlobalIndexRegionScanner.java): one JSON
     * change record per write, with the post image for upserts. */
   def cdc(name: String, sinceVersion: Long = -1L): DataFrame = {
-    val s = specs(name)
+    val s = spec(name)
     val cols = col("_version").as("cdc_version") +: (s.pk.map(col) :+
       when(col("_deleted"), lit("delete")).otherwise(lit("upsert"))
         .as("cdc_op") :+
-      to_json(struct(s.schema.fieldNames.map(col): _*))
+      // NULL for deletes — a tombstone has no post image (matching
+      // cdcImages; emitting the deleted row's values as the "post"
+      // image told consumers the row still existed)
+      when(!col("_deleted"),
+        to_json(struct(s.schema.fieldNames.map(col): _*)))
         .as("cdc_post_image"))
     changeLog(name)
       .where(col("_version") > sinceVersion)
@@ -336,7 +353,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       scopes: Set[String] = Set("PRE", "POST", "CHANGE")): DataFrame = {
     require(scopes.nonEmpty && scopes.subsetOf(Set("PRE", "POST", "CHANGE")),
       s"scopes must be among PRE/POST/CHANGE, got $scopes")
-    val s = specs(name)
+    val s = spec(name)
     val fields = s.schema.fieldNames.toSeq
     val nonPk = fields.filterNot(s.pk.contains)
     val ord = struct(col("_version") +: nonPk.map(col): _*)
@@ -376,20 +393,45 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * an ever-growing log; CDC consumers must be past sinceVersion before
     * compacting (compaction drops the per-version history). */
   def compact(name: String): Unit = {
-    val s = specs(name)
+    val s = spec(name)
+    // collapse keeping view-extension columns AND each winning row's
+    // batch stamp — dropping _ts here would NULL phoenix_row_timestamp
+    // for the whole table after compaction
+    val fields = allFields(name)
+    val nonPk = fields.map(_.name).filterNot(s.pk.contains)
+    val ord = struct(col("_version") +: nonPk.map(col): _*)
+    val collapsed = changeLog(name)
+      .groupBy(s.pk.map(col): _*)
+      .agg(max_by(
+        struct(fields.map(f => col(f.name)) ++
+          Seq(col("_deleted"), col("_ts")): _*),
+        ord).as("_r"))
+      .where(!col("_r._deleted"))
+      .select(fields.map(f => col(s"_r.${f.name}").as(f.name)) :+
+        col("_r._ts").as("_ts"): _*)
     val v = nextVersion(name)
-    val snap = toPhysical(name, snapshotFull(name)) // keep view-ext columns
+    val snap = toPhysical(name, collapsed)
       .withColumn("_version", lit(v))
       .withColumn("_deleted", lit(false))
     val tmp = s"${dir(name)}/data_compacting"
     snap.write.mode(SaveMode.Overwrite).parquet(tmp)
+    // swap, never delete-then-rename: the live data must not be gone
+    // while the compacted copy could still fail to land (renameTo
+    // signals failure by RETURN VALUE, not exception)
     val dataDir = new java.io.File(s"${dir(name)}/data")
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete()
+    val old = new java.io.File(s"${dir(name)}/data_old")
+    if (old.exists()) rmTree(old)
+    if (dataDir.exists() && !dataDir.renameTo(old))
+      throw new java.io.IOException(
+        s"compact($name): cannot move live data aside — aborting with " +
+          "the table untouched")
+    if (!new java.io.File(tmp).renameTo(dataDir)) {
+      old.renameTo(dataDir) // restore the pre-compaction state
+      throw new java.io.IOException(
+        s"compact($name): cannot move compacted data into place — " +
+          "previous data restored")
     }
-    rm(dataDir)
-    new java.io.File(tmp).renameTo(dataDir)
+    rmTree(old)
   }
 
   /** Updatable-filter views over a base table (reference: Phoenix VIEW
@@ -454,12 +496,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * (generation-suffixed) schema and renames back, like [[changeLog]] —
     * otherwise a DROP + re-ADD column would resurface dropped data. */
   def cdcStream(name: String): DataFrame = {
-    val s = specs(name)
+    val s = spec(name)
     val cols = col("_version").as("cdc_version") +: (s.pk.map(col) :+
       when(col("_deleted"), lit("delete")).otherwise(lit("upsert"))
         .as("cdc_op") :+
-      to_json(struct(s.schema.fieldNames.map(col): _*))
+      // NULL for deletes, like cdc()/cdcImages
+      when(!col("_deleted"),
+        to_json(struct(s.schema.fieldNames.map(col): _*)))
         .as("cdc_post_image"))
+    // a created-but-never-written table has no data dir yet; the batch
+    // changeLog guards this — the stream must too (an empty dir streams
+    // fine with an explicit schema, a MISSING path throws at start)
+    new java.io.File(s"${dir(name)}/data").mkdirs()
     toLogical(name,
         spark.readStream.schema(physSchema(name))
           .parquet(s"${dir(name)}/data"))

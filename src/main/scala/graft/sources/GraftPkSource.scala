@@ -258,9 +258,48 @@ private[sources] class GraftPkScan(schema: StructType, required: StructType,
       GraftPkPartition(f.toString): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // ONE footer read at plan time resolves the projection schema, the
+    // INT96 column set, and each INT64 timestamp column's UNIT — shipped
+    // in the factory so tasks never re-open the footer (the schema is
+    // uniform across a table's files by the source contract). The unit
+    // matters for correctness, not just speed: Spark timestamps are
+    // micros-since-epoch, so a TIMESTAMP(MILLIS)-annotated column read
+    // raw would be off by 1000x.
+    val fieldNames = required.fields.map(_.name)
+    val files = GraftPk.listFiles(path)
+    val (projSchema, int96, tsScale) =
+      if (files.isEmpty || fieldNames.isEmpty)
+        ("", Set.empty[String], Map.empty[String, Long])
+      else {
+        val full = GraftPk.footer(files.head)
+        val b = Types.buildMessage()
+        var i96 = Set.empty[String]
+        var scale = Map.empty[String, Long]
+        fieldNames.foreach { n =>
+          val t = full.getType(Seq(n): _*)
+          if (t.isPrimitive) {
+            val pt = t.asPrimitiveType()
+            if (pt.getPrimitiveTypeName == PrimitiveTypeName.INT96)
+              i96 += n
+            else pt.getLogicalTypeAnnotation match {
+              case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                // positive = multiply to micros, negative = divide
+                scale += n -> (ts.getUnit match {
+                  case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+                  case LogicalTypeAnnotation.TimeUnit.MICROS => 1L
+                  case LogicalTypeAnnotation.TimeUnit.NANOS => -1000L
+                })
+              case _ =>
+            }
+          }
+          b.addField(t)
+        }
+        (b.named(full.getName).toString, i96, scale)
+      }
     new GraftPkReaderFactory(required.fields.map(f =>
-      (f.name, f.dataType.catalogString)))
+      (f.name, f.dataType.catalogString)), projSchema, int96, tsScale)
+  }
 }
 
 private[sources] case class GraftPkPartition(file: String)
@@ -268,9 +307,12 @@ private[sources] case class GraftPkPartition(file: String)
 
 /** Reads one PK-sorted parquet file via the parquet example Group API and
   * converts rows to InternalRow. (fieldTypes carries catalogString because
-  * DataType isn't serializable-stable across executors.) */
+  * DataType isn't serializable-stable across executors; projSchema/int96/
+  * tsScale were resolved from one plan-time footer read.) */
 private[sources] class GraftPkReaderFactory(
-    fieldTypes: Array[(String, String)]) extends PartitionReaderFactory {
+    fieldTypes: Array[(String, String)], projSchema: String,
+    int96: Set[String], tsScale: Map[String, Long])
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = new Path(partition.asInstanceOf[GraftPkPartition].file)
@@ -278,21 +320,9 @@ private[sources] class GraftPkReaderFactory(
       (n, org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t))
     }
     val conf = new Configuration()
-    // project only the required columns at the parquet level; remember
-    // which timestamp columns use the legacy INT96 physical encoding
-    var int96: Set[String] = Set.empty
-    if (fields.nonEmpty) {
-      val full = GraftPk.footer(file)
-      val b = Types.buildMessage()
-      fields.foreach { case (n, _) =>
-        val t = full.getType(Seq(n): _*)
-        if (t.isPrimitive && t.asPrimitiveType().getPrimitiveTypeName ==
-            PrimitiveTypeName.INT96) int96 += n
-        b.addField(t)
-      }
+    if (projSchema.nonEmpty)
       conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-        b.named(full.getName).toString)
-    }
+        projSchema)
     val isInt96 = int96
     val reader = ParquetReader.builder(new GroupReadSupport(), file)
       .withConf(conf).build()
@@ -320,7 +350,12 @@ private[sources] class GraftPkReaderFactory(
               val julianDay = buf.getInt
               row.setLong(i,
                 (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L)
-            case LongType | TimestampType => row.setLong(i, current.getLong(idx, 0))
+            case TimestampType =>
+              // convert the annotation's unit to Spark's micros
+              val raw = current.getLong(idx, 0)
+              val sc = tsScale.getOrElse(name, 1L)
+              row.setLong(i, if (sc >= 0) raw * sc else raw / -sc)
+            case LongType => row.setLong(i, current.getLong(idx, 0))
             case IntegerType => row.setInt(i, current.getInteger(idx, 0))
             case DoubleType => row.setDouble(i, current.getDouble(idx, 0))
             case FloatType => row.setFloat(i, current.getFloat(idx, 0))

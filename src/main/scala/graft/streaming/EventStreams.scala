@@ -30,7 +30,10 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(12, 2))).as("sum_value"))
+        // (28,2), not (12,2): a value >= 1e10 would cast to NULL (or
+        // crash under ANSI) and silently vanish from the sum while n
+        // still counted the row
+        sum(col("value").cast(DecimalType(28, 2))).as("sum_value"))
       .select(col("window.start").as("win_start"), col("event_type"),
         col("n"), col("sum_value"))
 

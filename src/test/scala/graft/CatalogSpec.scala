@@ -172,6 +172,67 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.snapshot("t").count() == 2)
   }
 
+  test("delete post image is NULL on both CDC surfaces") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("t", webStatSchema, pk = Seq("host", "domain",
+      "feature", "date"))
+    cat.upsert("t", Seq(("NA", "a.com", "x", "d1", 1L, 1L)).toDF(
+      "host", "domain", "feature", "date", "core", "db"))
+    cat.delete("t", lit(true))
+    // a tombstone has no post image — emitting the deleted row's values
+    // as "post" told consumers the row still existed (and diverged from
+    // cdcImages, which already nulled it)
+    val del = cat.cdc("t").where(col("cdc_op") === "delete").collect()
+    assert(del.length == 1 && del(0).isNullAt(
+      del(0).fieldIndex("cdc_post_image")))
+  }
+
+  test("compaction carries each winning row's phoenix_row_timestamp") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("t", webStatSchema, pk = Seq("host", "domain",
+      "feature", "date"))
+    cat.upsert("t", Seq(("NA", "a.com", "x", "d1", 1L, 1L)).toDF(
+      "host", "domain", "feature", "date", "core", "db"))
+    val tsBefore = cat.snapshotWithRowTs("t").collect()(0)
+      .getAs[java.sql.Timestamp]("phoenix_row_timestamp")
+    assert(tsBefore != null)
+    cat.compact("t")
+    // the collapse must carry _ts — dropping it NULLed the timestamp
+    // for the whole table after every compaction
+    val tsAfter = cat.snapshotWithRowTs("t").collect()(0)
+      .getAs[java.sql.Timestamp]("phoenix_row_timestamp")
+    assert(tsAfter == tsBefore,
+      s"compaction must preserve the winning write's stamp: $tsAfter")
+  }
+
+  test("reserved _-prefixed column names are rejected up front") {
+    import org.apache.spark.sql.types._
+    val cat = freshCatalog()
+    val bad = StructType(Seq(StructField("k", LongType),
+      StructField("_version", LongType)))
+    val ex = intercept[IllegalArgumentException] {
+      cat.createTable("t_bad", bad, pk = Seq("k"))
+    }
+    assert(ex.getMessage.contains("reserved"))
+    cat.createTable("t_ok", StructType(Seq(StructField("k", LongType))),
+      pk = Seq("k"))
+    intercept[IllegalArgumentException] {
+      cat.alterAddColumns("t_ok", Seq(StructField("_ts", LongType)))
+    }
+  }
+
+  test("cdcStream builds on a created-but-never-written table") {
+    val cat = freshCatalog()
+    cat.createTable("fresh_t", webStatSchema, pk = Seq("host", "domain",
+      "feature", "date"))
+    // the batch changeLog guards the missing data dir; the stream must
+    // not throw path-does-not-exist before the first write
+    val df = cat.cdcStream("fresh_t")
+    assert(df.isStreaming)
+  }
+
   test("salted aggregate equals plain groupBy (skew path)") {
     import graft.operators.Skew
     val li = Tables.t(spark, "/root/testdata/sf0.001", "lineitem")

@@ -81,6 +81,32 @@ class GraftPkSourceSpec extends AnyFunSuite {
     assert(got.toSeq == exp.toSeq)
   }
 
+  test("TIMESTAMP(MILLIS) parquet files read at the correct epoch scale") {
+    import spark.implicits._
+    // Spark timestamps are micros-since-epoch; a MILLIS-annotated INT64
+    // column read raw would be off by 1000x (a 2026 timestamp lands in
+    // January 1970). The reader must honor the annotation's unit.
+    val d = java.nio.file.Files.createTempDirectory("graft_pk_ms").toString
+    val prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MILLIS")
+      (0L until 50L)
+        .map(i => (i, java.sql.Timestamp.valueOf(
+          s"2026-03-01 00:0${i % 6}:00")))
+        .toDF("k", "ts")
+        .repartitionByRange(2, $"k").sortWithinPartitions($"k")
+        .write.mode("overwrite").parquet(d)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    val got = spark.read.format("graftpk").option("pk", "k").load(d)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    val exp = spark.read.parquet(d)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getTimestamp(1)))
+    assert(got.toSeq == exp.toSeq)
+    assert(got.head._2.toString.startsWith("2026-03-01"),
+      s"millis must scale to micros, got ${got.head._2}")
+  }
+
   test("column pruning reaches the parquet reader") {
     val plan = pkRead.select("name").queryExecution.executedPlan
     val scans = plan.collect { case b: BatchScanExec => b }
