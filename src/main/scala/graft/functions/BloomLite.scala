@@ -118,6 +118,19 @@ case class BloomBuildAgg(
   override def dataType: DataType = BinaryType
   override def nullable: Boolean = false
 
+  // reject non-BIGINT keys at ANALYSIS time: update()'s asInstanceOf
+  // would otherwise ClassCastException mid-job, and the probe side
+  // (BloomContainsExpr) already rejects non-LongType — build and probe
+  // must agree
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (key.dataType != LongType)
+      TypeCheckFailure(s"bloom_build requires a BIGINT key (hash the " +
+        s"column with xxhash64 first), got ${key.dataType.catalogString}")
+    else TypeCheckSuccess
+  }
+
   override def createAggregationBuffer(): Array[Long] = {
     numHashes // validate eagerly
     new Array[Long](numWords)

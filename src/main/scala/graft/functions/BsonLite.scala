@@ -226,7 +226,7 @@ case class BsonValue(doc: Expression, path: Expression, sqlType: Expression)
 
   @transient private lazy val returnType: String =
     sqlType.eval() match {
-      case s: UTF8String => s.toString.toUpperCase
+      case s: UTF8String => s.toString.toUpperCase(java.util.Locale.ROOT)
       case other => throw new IllegalArgumentException(
         s"sqlType must be a string literal, got $other")
     }

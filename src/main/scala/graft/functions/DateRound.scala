@@ -57,9 +57,14 @@ object DateRound {
     * `mult` form floors to a multiple of the fixed-width unit, e.g.
     * FLOOR(ts, 'MINUTE', 15) — reference RoundDateExpression's divBy. */
   def floorDate(ts: Column, unit: String, mult: Int = 1): Column = {
-    val u = unit.toUpperCase
+    val u = unit.toUpperCase(java.util.Locale.ROOT)
     fixedWidth(u, mult) match {
-      case Some(m) if mult > 1 =>
+      // ALL fixed-width units go through epoch-micros arithmetic — the
+      // same grid ceil/round use. A date_trunc here would snap to
+      // SESSION-TIMEZONE boundaries, so in a non-UTC session
+      // floor(ts,'DAY') could differ from the day ceil/round snap to
+      // (the reference rounds every fixed unit in GMT epoch space).
+      case Some(m) =>
         val t = unix_micros(ts)
         timestamp_micros(t - pmod(t, lit(m)))
       case _ => date_trunc(truncName(u), ts)
@@ -68,7 +73,7 @@ object DateRound {
 
   /** Next unit start strictly after ts unless ts is already exact. */
   def ceilDate(ts: Column, unit: String, mult: Int = 1): Column = {
-    val u = unit.toUpperCase
+    val u = unit.toUpperCase(java.util.Locale.ROOT)
     fixedWidth(u, mult) match {
       case Some(m) =>
         // floor(t + unit - 1µs) to a multiple of unit
@@ -83,7 +88,7 @@ object DateRound {
   /** Nearest unit boundary; fixed units half-up, calendar units half-even
     * (see object doc). */
   def roundDate(ts: Column, unit: String, mult: Int = 1): Column = {
-    val u = unit.toUpperCase
+    val u = unit.toUpperCase(java.util.Locale.ROOT)
     fixedWidth(u, mult) match {
       case Some(m) =>
         val t = unix_micros(ts) + lit(m / 2)

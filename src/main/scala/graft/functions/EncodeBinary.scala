@@ -20,7 +20,7 @@ object BinaryCodec {
   private val hexUpper = "0123456789ABCDEF".toCharArray
 
   def encode(bytes: Array[Byte], format: String): UTF8String = {
-    val out = format.toUpperCase match {
+    val out = format.toUpperCase(java.util.Locale.ROOT) match {
       case "HEX" =>
         val sb = new java.lang.StringBuilder(bytes.length * 2)
         bytes.foreach { b =>
@@ -46,7 +46,7 @@ object BinaryCodec {
     UTF8String.fromString(out)
   }
 
-  def decode(s: String, format: String): Array[Byte] = format.toUpperCase match {
+  def decode(s: String, format: String): Array[Byte] = format.toUpperCase(java.util.Locale.ROOT) match {
     case "HEX" =>
       require(s.length % 2 == 0, "odd-length hex string")
       val out = new Array[Byte](s.length / 2)

@@ -48,7 +48,7 @@ object GraftFunctions {
     def fmtLit(e: Expression): Option[String] = e match {
       case org.apache.spark.sql.catalyst.expressions.Literal(
           s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
-        Some(s.toString.toUpperCase)
+        Some(s.toString.toUpperCase(java.util.Locale.ROOT))
       case _ => None
     }
     reg.createOrReplaceTempFunction(
@@ -102,18 +102,33 @@ object GraftFunctions {
           if (e.length >= 2) RoundFloor(e(0), e(1)) else Floor(e(0))),
         "built-in")
       reg.createOrReplaceTempFunction("trunc",
-        e => dateOr(e, DateRound.floorDate, e =>
-          e(1) match {
-            // date-format form ('MM', 'YYYY', …) = Spark's trunc
-            case Literal(_: org.apache.spark.unsafe.types.UTF8String,
-                StringType) => TruncDate(e(0), e(1))
-            case _ => RoundFloor(e(0), e(1)) // numeric TRUNC = FLOOR
-          }),
+        e => {
+          // 'WEEK'/'MONTH'/'YEAR' are ALSO native Spark trunc formats
+          // (returning DATE). A DATE input keeps the native DateType
+          // contract existing Spark callers rely on; a TIMESTAMP input
+          // gets Phoenix's RoundDateExpression semantics (timestamp
+          // boundary). Fixed-width units (DAY/HOUR/...) are not native
+          // trunc formats, so they always take the Phoenix arm.
+          val nativeDateForm = e.length >= 2 && e(0).dataType == DateType &&
+            unitLit(e(1)).exists(Set("WEEK", "MONTH", "YEAR").contains)
+          if (nativeDateForm) TruncDate(e(0), e(1))
+          else dateOr(e, DateRound.floorDate, e =>
+            e(1) match {
+              // date-format form ('MM', 'YYYY', …) = Spark's trunc
+              case Literal(_: org.apache.spark.unsafe.types.UTF8String,
+                  StringType) => TruncDate(e(0), e(1))
+              case _ => RoundFloor(e(0), e(1)) // numeric TRUNC = FLOOR
+            })
+        },
         "built-in")
     }
     reg.createOrReplaceTempFunction(
       "regexp_substr",
-      e => RegexpSubstr(asString(e(0)), asString(e(1)), asInt(e(2))),
+      // offset is OPTIONAL in the reference (RegexpSubstrFunction
+      // defaults to position 1) — the 2-arg form must not throw
+      e => RegexpSubstr(asString(e(0)), asString(e(1)),
+        if (e.length >= 3) asInt(e(2))
+        else org.apache.spark.sql.catalyst.expressions.Literal(1)),
       "built-in")
     // TO_CHAR dispatches on argument type like the reference
     // (ToCharFunction.java:66-78): temporal → Java date patterns,

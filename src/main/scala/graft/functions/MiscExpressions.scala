@@ -152,7 +152,9 @@ object JsonOps {
   def modify(j: UTF8String, p: UTF8String, v: UTF8String,
       pc: JsonPathCache): UTF8String = {
     val segs = pc.get(p.toString)
-    require(segs.nonEmpty, "JSON_MODIFY needs a non-root path")
+    // a root path has no parent to modify — NULL per the structural-
+    // mismatch contract (a require here would kill the task on one row)
+    if (segs.isEmpty) return null
     try {
       val root = mapper.readTree(j.toString)
       val parent = JsonPathWalk.navigate(root, segs.init)

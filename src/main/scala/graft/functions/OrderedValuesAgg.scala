@@ -451,6 +451,10 @@ object TopScoredAgg {
     }
 
     def add(t: String, s: Double): Unit = {
+      // NaN compares false both ways, breaking the heap invariant and
+      // making survivors partition-order dependent — same rule as
+      // TopScoredIdAgg.Buf.add
+      if (java.lang.Double.isNaN(s)) return
       if (size < k) {
         terms(size) = t; scores(size) = s; size += 1; siftUp(size - 1)
       } else if (k > 0 && worse(terms(0), scores(0), t, s)) {

@@ -220,7 +220,19 @@ case class StringToArray(str: Expression, delim: Expression,
     val parts: Array[String] =
       if (dstr.nonEmpty)
         string.split(java.util.regex.Pattern.quote(dstr)) // limit 0
-      else string.split("(?!^)")
+      else {
+        // split by CODE POINT, not UTF-16 char: a per-char regex split
+        // would cut supplementary characters (emoji, rare CJK) into
+        // unpaired surrogate halves — invalid UTF-8 downstream
+        val out = scala.collection.mutable.ArrayBuffer[String]()
+        var i = 0
+        while (i < string.length) {
+          val n = Character.charCount(string.codePointAt(i))
+          out += string.substring(i, i + n)
+          i += n
+        }
+        out.toArray
+      }
     val ns = nullStr.eval(input) match {
       case null => null
       case u => val x = u.asInstanceOf[UTF8String].toString

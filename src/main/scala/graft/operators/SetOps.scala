@@ -14,13 +14,40 @@ object SetOps {
   private val widenOrder: Seq[DataType] = Seq(ByteType, ShortType,
     IntegerType, LongType, FloatType, DoubleType)
 
+  /** Exact decimal representation of an integral type (Phoenix's
+    * UnionCompiler coerces long+decimal to DECIMAL, never to DOUBLE —
+    * a BIGINT beyond 2^53 would corrupt silently in a double). */
+  private def asDecimal(t: DataType): Option[DecimalType] = t match {
+    case d: DecimalType => Some(d)
+    case ByteType => Some(DecimalType(3, 0))
+    case ShortType => Some(DecimalType(5, 0))
+    case IntegerType => Some(DecimalType(10, 0))
+    case LongType => Some(DecimalType(20, 0))
+    case _ => None
+  }
+
+  /** Decimal widening with the 38-digit cap (Spark's DecimalType
+    * constructor REJECTS precision > 38, so the naive max-int-digits +
+    * max-scale sum would crash on e.g. (38,0) vs (10,10); like
+    * Phoenix's NumberUtil, cap precision and sacrifice scale first). */
+  private def widenDecimals(d1: DecimalType, d2: DecimalType): DecimalType = {
+    val intDigits = math.min(
+      math.max(d1.precision - d1.scale, d2.precision - d2.scale),
+      DecimalType.MAX_PRECISION)
+    val scale = math.min(math.max(d1.scale, d2.scale),
+      DecimalType.MAX_PRECISION - intDigits)
+    DecimalType(intDigits + scale, scale)
+  }
+
   private[graft] def widen(a: DataType, b: DataType): DataType = (a, b) match {
     case (x, y) if x == y => x
-    case (d1: DecimalType, d2: DecimalType) =>
-      DecimalType(math.max(d1.precision - d1.scale, d2.precision - d2.scale)
-        + math.max(d1.scale, d2.scale), math.max(d1.scale, d2.scale))
-    case (d: DecimalType, n) if widenOrder.contains(n) => DoubleType
-    case (n, d: DecimalType) if widenOrder.contains(n) => DoubleType
+    case (d1: DecimalType, d2: DecimalType) => widenDecimals(d1, d2)
+    // decimal + integral stays DECIMAL (exact); decimal + float/double
+    // goes to DOUBLE (the float side is already inexact)
+    case (d: DecimalType, n) if widenOrder.contains(n) =>
+      asDecimal(n).map(widenDecimals(d, _)).getOrElse(DoubleType)
+    case (n, d: DecimalType) if widenOrder.contains(n) =>
+      asDecimal(n).map(widenDecimals(d, _)).getOrElse(DoubleType)
     case (x, y) if widenOrder.contains(x) && widenOrder.contains(y) =>
       widenOrder(math.max(widenOrder.indexOf(x), widenOrder.indexOf(y)))
     case (StringType, _) | (_, StringType) => StringType

@@ -175,6 +175,55 @@ class FunctionsSpec extends AnyFunSuite {
       .collect()(0).isNullAt(0))
   }
 
+  test("round-5/6 review fixes: union widening, optional args, NaN, edges") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    GraftFunctions.register(spark)
+    // decimal widening caps at 38 digits instead of crashing the
+    // DecimalType constructor
+    assert(graft.operators.SetOps.widen(DecimalType(38, 0),
+      DecimalType(10, 10)) == DecimalType(38, 0))
+    // BIGINT + DECIMAL reconciles to DECIMAL (exact), never DOUBLE —
+    // 2^53+1 must survive the union bit-exactly
+    val big = 9007199254740993L
+    val u = graft.operators.SetOps.unionAllReconciled(Seq(
+      Seq(Tuple1(big)).toDF("v"),
+      Seq(Tuple1(java.math.BigDecimal.ONE)).toDF("v")))
+    assert(u.schema("v").dataType.isInstanceOf[DecimalType])
+    assert(u.collect().map(_.getDecimal(0).longValueExact()).toSet ===
+      Set(big, 1L))
+    // 2-arg REGEXP_SUBSTR defaults the offset like the reference
+    assert(spark.sql("SELECT regexp_substr('na1-appsrv35', '[^-]+')")
+      .head().getString(0) == "na1")
+    // native Spark trunc(date,'MONTH') keeps its DateType contract;
+    // the Phoenix timestamp arm still answers for timestamps
+    val tr = spark.sql("SELECT trunc(DATE'2026-08-13', 'MONTH') AS d, " +
+      "trunc(TIMESTAMP'2026-08-13 11:22:33', 'DAY') AS t").head()
+    assert(tr.getDate(0).toString == "2026-08-01")
+    assert(tr.getTimestamp(1).toString == "2026-08-13 00:00:00.0")
+    // top_scored drops NaN scores (same rule as top_scored_id)
+    val ts = Seq(("a", 1.0), ("b", Double.NaN), ("c", 2.0))
+      .toDF("t", "s").repartition(3)
+      .agg(call_function("top_scored", $"t", $"s", lit(2)).as("top"))
+      .select(explode($"top").as("e")).select($"e.term")
+      .collect().map(_.getString(0)).toSeq
+    assert(ts == Seq("c", "a"))
+    // bloom_build rejects non-BIGINT keys at analysis, like the probe
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1, 2).toDF("k")
+        .agg(call_function("bloom_build", $"k", lit(1024), lit(3)))
+        .collect()
+    }
+    assert(ex.getMessage.contains("BIGINT"))
+    // json_modify of the root path is a structural mismatch → NULL
+    assert(spark.sql("SELECT json_modify('{\"a\":1}', '$', '2')")
+      .head().isNullAt(0))
+    // string_to_array with '' splits by CODE POINT, not UTF-16 char
+    val emo = spark.sql("SELECT string_to_array('😀x😁', '', NULL)")
+      .head().getSeq[String](0)
+    assert(emo == Seq("😀", "x", "😁"), s"got $emo")
+  }
+
   test("json family survives codegen + task serialization (non-foldable)") {
     import spark.implicits._
     GraftFunctions.register(spark)
