@@ -6,7 +6,7 @@ import java.io.ByteArrayOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
 import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -157,22 +157,96 @@ object BsonLite {
   }
 }
 
-/** TO_BSON(jsonString) → varbinary (BSON document). */
-case class ToBson(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-  override def dataType: DataType = BinaryType
-  override def nullable: Boolean = true
-  @transient private lazy val mapper =
-    new com.fasterxml.jackson.databind.ObjectMapper()
-  override def nullSafeEval(v: Any): Any = {
-    try BsonLite.encode(mapper.readTree(v.asInstanceOf[UTF8String].toString))
+/** Static kernels shared by interpreted eval and generated code — same
+  * role as [[JsonOps]] for the JSON family: whole-stage codegen emits
+  * direct calls to these, so a BSON projection no longer splits the
+  * surrounding codegen span the way the previous CodegenFallback forms
+  * did. All state shipped to executors is either a [[JsonPathCache]]
+  * reference object or the content-keyed per-thread decode memo inside
+  * [[BsonLite]]. */
+object BsonOps {
+  // jackson ObjectMapper is thread-safe for read/write once configured
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  def toBson(j: UTF8String): Array[Byte] =
+    try BsonLite.encode(mapper.readTree(j.toString))
     catch {
       case _: com.fasterxml.jackson.core.JacksonException => null
       // valid JSON whose root is not an object ('42', '[1]', 'null') —
       // a BSON document must be an object; NULL per row, not a task crash
       case _: IllegalArgumentException => null
     }
+
+  private def node(d: Array[Byte], p: UTF8String,
+      pc: JsonPathCache): JsonNode = {
+    val root = BsonLite.decodeCached(d)
+    JsonPathWalk.navigate(root, pc.get("$." + p.toString))
   }
+
+  def valueType(d: Array[Byte], p: UTF8String,
+      pc: JsonPathCache): UTF8String = {
+    val n = node(d, p, pc)
+    val name =
+      if (n == null || n.isNull) "NULL"
+      else if (n.isTextual) "VARCHAR"
+      else if (n.isInt) "INTEGER"
+      else if (n.isLong) "BIGINT"
+      else if (n.isDouble || n.isBigDecimal) "DOUBLE"
+      else if (n.isBoolean) "BOOLEAN"
+      else if (n.isPojo) "DATE"
+      else if (n.isObject || n.isArray) "BSON"
+      else "VARCHAR"
+    UTF8String.fromString(name)
+  }
+
+  def valueVarchar(d: Array[Byte], p: UTF8String,
+      pc: JsonPathCache): UTF8String = {
+    val n = node(d, p, pc)
+    if (n == null || n.isNull) null
+    else UTF8String.fromString(
+      if (n.isTextual) n.textValue()
+      // numeric → String.valueOf(doubleValue()) per the reference
+      // ("42" serializes as "42.0", not as its JSON text)
+      else if (n.isNumber) String.valueOf(n.doubleValue())
+      else mapper.writeValueAsString(n))
+  }
+
+  def valueInt(d: Array[Byte], p: UTF8String,
+      pc: JsonPathCache): java.lang.Integer = {
+    val n = node(d, p, pc)
+    if (n != null && n.isNumber) Int.box(n.intValue()) else null
+  }
+
+  def valueLong(d: Array[Byte], p: UTF8String,
+      pc: JsonPathCache): java.lang.Long = {
+    val n = node(d, p, pc)
+    if (n != null && n.isNumber) Long.box(n.longValue()) else null
+  }
+
+  def valueDouble(d: Array[Byte], p: UTF8String,
+      pc: JsonPathCache): java.lang.Double = {
+    val n = node(d, p, pc)
+    if (n != null && n.isNumber) Double.box(n.doubleValue()) else null
+  }
+
+  def valueBool(d: Array[Byte], p: UTF8String,
+      pc: JsonPathCache): java.lang.Boolean = {
+    val n = node(d, p, pc)
+    if (n != null && n.isBoolean) Boolean.box(n.booleanValue()) else null
+  }
+}
+
+/** TO_BSON(jsonString) → varbinary (BSON document). */
+case class ToBson(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    BsonOps.toBson(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, j => s"""
+      ${ev.value} = graft.functions.BsonOps.toBson($j);
+      ${ev.isNull} = ${ev.value} == null;""")
   override protected def withNewChildInternal(c: Expression): ToBson =
     copy(child = c)
   override def prettyName: String = "to_bson"
@@ -184,7 +258,7 @@ case class ToBson(child: Expression)
   * boolean→BOOLEAN, datetime→DATE, document/array→BSON, null or missing
   * field→'NULL'). */
 case class BsonValueType(doc: Expression, path: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
   override def left: Expression = doc
   override def right: Expression = path
   override def dataType: DataType = StringType
@@ -192,21 +266,17 @@ case class BsonValueType(doc: Expression, path: Expression)
 
   @transient private lazy val pathCache = new JsonPathCache
 
-  override def nullSafeEval(d: Any, p: Any): Any = {
-    val root = BsonLite.decodeCached(d.asInstanceOf[Array[Byte]])
-    val node = JsonPathWalk.navigate(root,
-      pathCache.get("$." + p.asInstanceOf[UTF8String].toString))
-    val name =
-      if (node == null || node.isNull) "NULL"
-      else if (node.isTextual) "VARCHAR"
-      else if (node.isInt) "INTEGER"
-      else if (node.isLong) "BIGINT"
-      else if (node.isDouble || node.isBigDecimal) "DOUBLE"
-      else if (node.isBoolean) "BOOLEAN"
-      else if (node.isPojo) "DATE"
-      else if (node.isObject || node.isArray) "BSON"
-      else "VARCHAR"
-    UTF8String.fromString(name)
+  override def nullSafeEval(d: Any, p: Any): Any =
+    BsonOps.valueType(d.asInstanceOf[Array[Byte]],
+      p.asInstanceOf[UTF8String], pathCache)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val pc = ctx.addReferenceObj("pathCache", pathCache,
+      "graft.functions.JsonPathCache")
+    nullSafeCodeGen(ctx, ev, (d, p) => s"""
+      ${ev.value} = graft.functions.BsonOps.valueType($d, $p, $pc);
+      ${ev.isNull} = ${ev.value} == null;""")
   }
 
   override protected def withNewChildrenInternal(
@@ -219,7 +289,7 @@ case class BsonValueType(doc: Expression, path: Expression)
   * sqlType ∈ VARCHAR | INTEGER | BIGINT | DOUBLE | BOOLEAN. Missing field
   * → NULL (the reference's DEFAULT_VALUE). */
 case class BsonValue(doc: Expression, path: Expression, sqlType: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def first: Expression = doc
   override def second: Expression = path
   override def third: Expression = sqlType
@@ -242,32 +312,50 @@ case class BsonValue(doc: Expression, path: Expression, sqlType: Expression)
   }
   override def nullable: Boolean = true
 
-  @transient private lazy val mapper =
-    new com.fasterxml.jackson.databind.ObjectMapper()
   @transient private lazy val pathCache = new JsonPathCache
 
+  // Typed returns are strict like the reference (BsonValueFunction.java
+  // throws "function data type does not match" on a mismatched node;
+  // here: NULL per row). jackson's intValue()/booleanValue() would
+  // otherwise silently return 0/false for textual or document nodes —
+  // the BsonOps kernels gate on the node's own type.
   override def nullSafeEval(d: Any, p: Any, t: Any): Any = {
-    val root = BsonLite.decodeCached(d.asInstanceOf[Array[Byte]])
-    val segs = pathCache.get("$." + p.asInstanceOf[UTF8String].toString)
-    val node = JsonPathWalk.navigate(root, segs)
-    if (node == null || node.isNull) return null
-    // Typed returns are strict like the reference (BsonValueFunction.java
-    // throws "function data type does not match" on a mismatched node;
-    // here: NULL per row). jackson's intValue()/booleanValue() would
-    // otherwise silently return 0/false for textual or document nodes.
+    val doc = d.asInstanceOf[Array[Byte]]
+    val path = p.asInstanceOf[UTF8String]
     returnType match {
-      case "VARCHAR" | "CHAR" =>
-        UTF8String.fromString(
-          if (node.isTextual) node.textValue()
-          // numeric → String.valueOf(doubleValue()) per the reference
-          // ("42" serializes as "42.0", not as its JSON text)
-          else if (node.isNumber) String.valueOf(node.doubleValue())
-          else mapper.writeValueAsString(node))
-      case "INTEGER" => if (node.isNumber) node.intValue() else null
-      case "BIGINT" => if (node.isNumber) node.longValue() else null
-      case "DOUBLE" => if (node.isNumber) node.doubleValue() else null
-      case "BOOLEAN" => if (node.isBoolean) node.booleanValue() else null
+      case "VARCHAR" | "CHAR" => BsonOps.valueVarchar(doc, path, pathCache)
+      case "INTEGER" => BsonOps.valueInt(doc, path, pathCache)
+      case "BIGINT" => BsonOps.valueLong(doc, path, pathCache)
+      case "DOUBLE" => BsonOps.valueDouble(doc, path, pathCache)
+      case "BOOLEAN" => BsonOps.valueBool(doc, path, pathCache)
     }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val pc = ctx.addReferenceObj("pathCache", pathCache,
+      "graft.functions.JsonPathCache")
+    // VARCHAR's UTF8String result assigns directly; the primitive arms
+    // go through a boxed local so a type-mismatched node yields NULL
+    // without a sentinel value
+    val (helper, box) = returnType match {
+      case "VARCHAR" | "CHAR" => ("valueVarchar", null)
+      case "INTEGER" => ("valueInt", "java.lang.Integer")
+      case "BIGINT" => ("valueLong", "java.lang.Long")
+      case "DOUBLE" => ("valueDouble", "java.lang.Double")
+      case "BOOLEAN" => ("valueBool", "java.lang.Boolean")
+    }
+    nullSafeCodeGen(ctx, ev, (d, p, _) =>
+      if (box == null) s"""
+        ${ev.value} = graft.functions.BsonOps.$helper($d, $p, $pc);
+        ${ev.isNull} = ${ev.value} == null;"""
+      else {
+        val r = ctx.freshName("bsonVal")
+        s"""
+        $box $r = graft.functions.BsonOps.$helper($d, $p, $pc);
+        if ($r == null) { ${ev.isNull} = true; }
+        else { ${ev.value} = $r; }"""
+      })
   }
 
   override protected def withNewChildrenInternal(

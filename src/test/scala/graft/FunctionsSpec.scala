@@ -263,6 +263,45 @@ class FunctionsSpec extends AnyFunSuite {
       s"json_value must run inside WholeStageCodegen:\n$plan")
   }
 
+  test("bson family survives codegen + task serialization (non-foldable)") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // same shape as the json test above: build the document FROM a column
+    // and repartition, so the generated code path and the executor-side
+    // decode memo actually run (literal frames constant-fold on the
+    // driver and prove nothing)
+    val df = spark.range(200).select(
+      call_function("to_bson",
+        concat(lit("{\"a\":{\"b\":"), $"id".cast("string"),
+          lit("},\"s\":\"x\",\"f\":true}"))).as("b"),
+      $"id")
+      .repartition(4)
+    val r = df.select($"id",
+        call_function("bson_value", $"b", lit("a.b"), lit("BIGINT")).as("v"),
+        call_function("bson_value", $"b", lit("s"), lit("VARCHAR")).as("s"),
+        call_function("bson_value", $"b", lit("f"), lit("BOOLEAN")).as("f"),
+        // type-mismatched arm must NULL, not zero, through codegen too
+        call_function("bson_value", $"b", lit("s"), lit("INTEGER")).as("m"),
+        call_function("bson_value_type", $"b", lit("a.b")).as("t"))
+      .collect()
+    assert(r.length == 200)
+    r.foreach { row =>
+      val id = row.getLong(0)
+      assert(row.getLong(1) == id)
+      assert(row.getString(2) == "x")
+      assert(row.getBoolean(3))
+      assert(row.isNullAt(4))
+      // int32 vs int64 depends on jackson's parse of the literal digits
+      assert(row.getString(5) == "INTEGER" || row.getString(5) == "BIGINT")
+    }
+    val q = df.select(call_function("bson_value", $"b", lit("a.b"),
+      lit("BIGINT")))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[bson_value".r.findFirstIn(plan).nonEmpty,
+      s"bson_value must run inside WholeStageCodegen:\n$plan")
+  }
+
   test("Spark `div` matches Phoenix integer `/` (truncation toward zero)") {
     // documented divergence (COVERAGE §2.8): Phoenix LongDivideExpression
     // is Java long division; Spark's `/` is true division but `div` is
