@@ -1,47 +1,21 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** MinHash signature as ONE fused expression: for an array<string> of
-  * shingles, computes all `numHashes` permutation minima in a single tight
-  * loop (hash each shingle once, update every permutation's running min).
-  *
-  * The composed-builtins version (numHashes × array_min(transform(...)))
-  * allocates numHashes intermediate arrays per row and re-hashes each
-  * shingle per permutation — this expression is O(|shingles| × numHashes)
-  * arithmetic with zero allocation beyond the output. Permutations are
-  * (a·h + b) mod P universal hashes, P = 2^31−1, h = xxHash64(shingle)
-  * mod P, seeds fixed per `seedTag` so plans are deterministic.
-  */
-case class MinHashSignature(child: Expression, numHashes: Int,
-    seedTag: Long = 0x5EED5EEDL)
-    extends UnaryExpression with CodegenFallback {
-
+/** Static kernels for the shingle/minhash expressions — same pattern as
+  * [[JsonOps]]/[[BsonOps]]: whole-stage codegen emits direct calls, the
+  * interpreted path shares the identical implementation. The permutation
+  * seed arrays are plain `long[]` reference objects (serializable, shipped
+  * per-task by the codegen framework). */
+object ShingleOps {
   private val P = 2147483647L
 
-  // deterministic seeds; must stay in sync with Dedup.seeds for tests
-  @transient private lazy val ab: (Array[Long], Array[Long]) = {
-    val rng = new java.util.Random(seedTag)
-    val as = new Array[Long](numHashes)
-    val bs = new Array[Long](numHashes)
-    var i = 0
-    while (i < numHashes) {
-      as(i) = 1L + rng.nextInt(Int.MaxValue - 1)
-      bs(i) = rng.nextInt(Int.MaxValue).toLong
-      i += 1
-    }
-    (as, bs)
-  }
-
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val (as, bs) = ab
+  def minhash(arr: ArrayData, as: Array[Long], bs: Array[Long]): ArrayData = {
+    val numHashes = as.length
     val mins = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     val n = arr.numElements()
@@ -64,31 +38,7 @@ case class MinHashSignature(child: Expression, numHashes: Int,
     new GenericArrayData(mins)
   }
 
-  override protected def withNewChildInternal(c: Expression): MinHashSignature =
-    copy(child = c)
-  override def prettyName: String = "minhash_signature"
-}
-
-/** Word n-gram shingles as ONE fused expression over a word array.
-  *
-  * Output is identical to the composed form
-  * `array_distinct(transform(sequence(...), concat_ws(" ", w[i..i+n-1])))`
-  * (first-occurrence order, empty array when fewer than n words) — but the
-  * composed form is a stack of interpreted higher-order lambdas evaluated
-  * per ELEMENT, which dominates the whole LSH pipeline. This is a single
-  * tight loop per row.
-  */
-case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
-
-  // n<=1 passes input elements through distinct, which may include null
-  // (matching array_distinct); n>1 joins with concat_ws semantics (null
-  // words skipped), so shingles themselves are never null
-  override def dataType: DataType =
-    ArrayType(StringType, containsNull = n <= 1)
-
-  override def nullSafeEval(v: Any): Any = {
-    val words = v.asInstanceOf[ArrayData]
+  def shingles(words: ArrayData, n: Int): ArrayData = {
     val nw = words.numElements()
     if (n > 1 && nw < n) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[UTF8String]()
@@ -117,6 +67,80 @@ case class WordShingles(child: Expression, n: Int)
     while (it.hasNext) { out(k) = it.next(); k += 1 }
     new GenericArrayData(out)
   }
+}
+
+/** MinHash signature as ONE fused expression: for an array<string> of
+  * shingles, computes all `numHashes` permutation minima in a single tight
+  * loop (hash each shingle once, update every permutation's running min).
+  *
+  * The composed-builtins version (numHashes × array_min(transform(...)))
+  * allocates numHashes intermediate arrays per row and re-hashes each
+  * shingle per permutation — this expression is O(|shingles| × numHashes)
+  * arithmetic with zero allocation beyond the output. Permutations are
+  * (a·h + b) mod P universal hashes, P = 2^31−1, h = xxHash64(shingle)
+  * mod P, seeds fixed per `seedTag` so plans are deterministic.
+  */
+case class MinHashSignature(child: Expression, numHashes: Int,
+    seedTag: Long = 0x5EED5EEDL)
+    extends UnaryExpression {
+
+  // deterministic seeds; must stay in sync with Dedup.seeds for tests
+  @transient private lazy val ab: (Array[Long], Array[Long]) = {
+    val rng = new java.util.Random(seedTag)
+    val as = new Array[Long](numHashes)
+    val bs = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      as(i) = 1L + rng.nextInt(Int.MaxValue - 1)
+      bs(i) = rng.nextInt(Int.MaxValue).toLong
+      i += 1
+    }
+    (as, bs)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.minhash(v.asInstanceOf[ArrayData], ab._1, ab._2)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val as = ctx.addReferenceObj("minhashA", ab._1, "long[]")
+    val bs = ctx.addReferenceObj("minhashB", ab._2, "long[]")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ShingleOps.minhash($c, $as, $bs);""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinHashSignature =
+    copy(child = c)
+  override def prettyName: String = "minhash_signature"
+}
+
+/** Word n-gram shingles as ONE fused expression over a word array.
+  *
+  * Output is identical to the composed form
+  * `array_distinct(transform(sequence(...), concat_ws(" ", w[i..i+n-1])))`
+  * (first-occurrence order, empty array when fewer than n words) — but the
+  * composed form is a stack of interpreted higher-order lambdas evaluated
+  * per ELEMENT, which dominates the whole LSH pipeline. This is a single
+  * tight loop per row.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  // n<=1 passes input elements through distinct, which may include null
+  // (matching array_distinct); n>1 joins with concat_ws semantics (null
+  // words skipped), so shingles themselves are never null
+  override def dataType: DataType =
+    ArrayType(StringType, containsNull = n <= 1)
+
+  override def nullSafeEval(v: Any): Any =
+    ShingleOps.shingles(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ShingleOps.shingles($c, $n);""")
 
   override protected def withNewChildInternal(c: Expression): WordShingles =
     copy(child = c)

@@ -1,22 +1,14 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
-/** 64-bit SimHash over an array<long> of token hashes as ONE fused pass:
-  * maintains 64 bit-counters in a single loop over the tokens (the
-  * composed-builtins form runs 64 separate aggregate() folds, each
-  * re-traversing the array). Bit j of the result is set iff more than
-  * half the token hashes have bit j set. */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
+/** Static kernel shared by interpreted eval and generated code (see
+  * [[ShingleOps]] for the pattern). */
+object SimHashOps {
+  def simhash(arr: ArrayData): Long = {
     val n = arr.numElements()
     val counts = new Array[Int](64)
     var i = 0
@@ -39,8 +31,26 @@ case class SimHash64(child: Expression)
       if (counts(j) * 2 > nonNull) sig |= (1L << j)
       j += 1
     }
-    java.lang.Long.valueOf(sig)
+    sig
   }
+}
+
+/** 64-bit SimHash over an array<long> of token hashes as ONE fused pass:
+  * maintains 64 bit-counters in a single loop over the tokens (the
+  * composed-builtins form runs 64 separate aggregate() folds, each
+  * re-traversing the array). Bit j of the result is set iff more than
+  * half the token hashes have bit j set. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    java.lang.Long.valueOf(SimHashOps.simhash(v.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.SimHashOps.simhash($c);""")
 
   override protected def withNewChildInternal(c: Expression): SimHash64 =
     copy(child = c)

@@ -302,6 +302,48 @@ class FunctionsSpec extends AnyFunSuite {
       s"bson_value must run inside WholeStageCodegen:\n$plan")
   }
 
+  test("shingle/minhash/simhash kernels survive codegen + serialization") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    import graft.functions.{MinHashSignature, SimHashOps}
+    GraftFunctions.register(spark)
+    // non-foldable column input through a repartition, like the json/bson
+    // tests above — literal frames constant-fold and skip codegen entirely
+    val df = spark.range(100).select($"id",
+        split(concat(lit("a"), $"id".cast("string"), lit(" b c d e")), " ")
+          .as("w"))
+      .repartition(4)
+    val r = df
+      .select($"id", call_function("word_shingles", $"w", lit(2)).as("sh"))
+      .select($"id", $"sh",
+        call_function("minhash_signature", $"sh", lit(16)).as("sig"),
+        expr("transform(sh, x -> xxhash64(x))").as("hs"),
+        call_function("simhash64",
+          expr("transform(sh, x -> xxhash64(x))")).as("sim"))
+      .collect()
+    assert(r.length == 100)
+    r.foreach { row =>
+      val id = row.getLong(0)
+      assert(row.getSeq[String](1) == Seq(s"a$id b", "b c", "c d", "d e"))
+      // interp-vs-codegen equivalence: the interpreted eval of the same
+      // expression over the same shingles must produce the same signature
+      val expSig = MinHashSignature(
+          Literal.create(row.getSeq[String](1), ArrayType(StringType)), 16)
+        .eval(null).asInstanceOf[ArrayData].toLongArray.toSeq
+      assert(row.getSeq[Long](2) == expSig)
+      val expSim = SimHashOps.simhash(
+        new GenericArrayData(row.getSeq[Long](3).toArray[Long]))
+      assert(row.getLong(4) == expSim)
+    }
+    val q = df.select(call_function("word_shingles", $"w", lit(2)))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[word_shingles".r.findFirstIn(plan).nonEmpty,
+      s"word_shingles must run inside WholeStageCodegen:\n$plan")
+  }
+
   test("Spark `div` matches Phoenix integer `/` (truncation toward zero)") {
     // documented divergence (COVERAGE §2.8): Phoenix LongDivideExpression
     // is Java long division; Spark's `/` is true division but `div` is
