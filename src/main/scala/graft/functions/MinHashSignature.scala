@@ -124,9 +124,23 @@ case class MinHashSignature(child: Expression, numHashes: Int,
   * composed form is a stack of interpreted higher-order lambdas evaluated
   * per ELEMENT, which dominates the whole LSH pipeline. This is a single
   * tight loop per row.
+  *
+  * DELIBERATELY CodegenFallback — the fallback is a measured fusion
+  * BARRIER, not a shortcut. With a doGenCode (same static-kernel call as
+  * [[MinHashSignature]]), whole-stage codegen inlines this kernel into the
+  * fused downstream stages of the LSH pipelines (stack traces show it
+  * re-evaluated inside generated hashAgg consume chains), and measured
+  * kernel invocations on q_dedup_minhash sf0.01 DOUBLE (3500 → 7352),
+  * taking q_dedup_minhash/q_dedup_incremental_lsh from 2.5/2.9 s to
+  * 5.6/5.9 s at sf0.1. As a fallback, the expression pins a stage
+  * boundary: shingle arrays are materialized once per document and only
+  * the cheap downstream expressions re-run per use. At 100 TB the
+  * shingle kernel runs exactly N-docs times either way only under this
+  * form. Do not "fix" this to codegen without re-measuring both queries.
   */
 case class WordShingles(child: Expression, n: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
   // n<=1 passes input elements through distinct, which may include null
   // (matching array_distinct); n>1 joins with concat_ws semantics (null
@@ -136,11 +150,6 @@ case class WordShingles(child: Expression, n: Int)
 
   override def nullSafeEval(v: Any): Any =
     ShingleOps.shingles(v.asInstanceOf[ArrayData], n)
-
-  override protected def doGenCode(ctx: CodegenContext,
-      ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = graft.functions.ShingleOps.shingles($c, $n);""")
 
   override protected def withNewChildInternal(c: Expression): WordShingles =
     copy(child = c)

@@ -337,11 +337,16 @@ class FunctionsSpec extends AnyFunSuite {
         new GenericArrayData(row.getSeq[Long](3).toArray[Long]))
       assert(row.getLong(4) == expSim)
     }
-    val q = df.select(call_function("word_shingles", $"w", lit(2)))
+    // word_shingles is a DELIBERATE CodegenFallback (fusion barrier — see
+    // its scaladoc), so the codegen pin goes on minhash_signature over a
+    // materialized shingle column (exchange keeps the projections apart)
+    val q = df.select(call_function("word_shingles", $"w", lit(2)).as("sh"))
+      .repartition(2)
+      .select(call_function("minhash_signature", $"sh", lit(16)))
     q.collect()
     val plan = q.queryExecution.executedPlan.toString
-    assert("\\*\\(\\d+\\) Project \\[word_shingles".r.findFirstIn(plan).nonEmpty,
-      s"word_shingles must run inside WholeStageCodegen:\n$plan")
+    assert("\\*\\(\\d+\\) Project \\[minhash_signature".r.findFirstIn(plan).nonEmpty,
+      s"minhash_signature must run inside WholeStageCodegen:\n$plan")
   }
 
   test("Spark `div` matches Phoenix integer `/` (truncation toward zero)") {
