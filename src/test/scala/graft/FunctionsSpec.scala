@@ -338,8 +338,15 @@ class FunctionsSpec extends AnyFunSuite {
       assert(row.getLong(4) == expSim)
     }
     // word_shingles is a DELIBERATE CodegenFallback (fusion barrier — see
-    // its scaladoc), so the codegen pin goes on minhash_signature over a
-    // materialized shingle column (exchange keeps the projections apart)
+    // its scaladoc: codegen-ability let WSCG inline the kernel into fused
+    // downstream stages, doubling invocations and the minhash pipelines'
+    // time). Pin the barrier so a well-meaning conversion re-measures:
+    assert(graft.functions.WordShingles(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"), 2)
+      .isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback],
+      "word_shingles must stay CodegenFallback — see its scaladoc before changing")
+    // the codegen pin goes on minhash_signature over a materialized
+    // shingle column (exchange keeps the projections apart)
     val q = df.select(call_function("word_shingles", $"w", lit(2)).as("sh"))
       .repartition(2)
       .select(call_function("minhash_signature", $"sh", lit(16)))
