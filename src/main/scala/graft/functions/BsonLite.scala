@@ -177,11 +177,16 @@ object BsonOps {
       case _: IllegalArgumentException => null
     }
 
+  // malformed input → null node → NULL result per row, matching toBson
+  // and the JsonOps family: a corrupt binary blob (BufferUnderflow on a
+  // truncated document, unsupported type tag) or an unparsable field key
+  // must not kill the task
   private def node(d: Array[Byte], p: UTF8String,
-      pc: JsonPathCache): JsonNode = {
-    val root = BsonLite.decodeCached(d)
-    JsonPathWalk.navigate(root, pc.get("$." + p.toString))
-  }
+      pc: JsonPathCache): JsonNode =
+    try {
+      val root = BsonLite.decodeCached(d)
+      JsonPathWalk.navigate(root, pc.get("$." + p.toString))
+    } catch { case scala.util.control.NonFatal(_) => null }
 
   def valueType(d: Array[Byte], p: UTF8String,
       pc: JsonPathCache): UTF8String = {

@@ -302,6 +302,34 @@ class FunctionsSpec extends AnyFunSuite {
       s"bson_value must run inside WholeStageCodegen:\n$plan")
   }
 
+  test("bson read kernels yield NULL per row on corrupt documents") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // a truncated document must NULL that row, not kill the task (same
+    // contract as to_bson on malformed JSON and the JsonOps family)
+    val df = spark.range(20).select($"id",
+        call_function("to_bson",
+          concat(lit("{\"a\":"), $"id".cast("string"), lit("}"))).as("b0"))
+      .select($"id",
+        when($"id" % 2 === 0, expr("substring(b0, 1, 4)")).otherwise($"b0")
+          .as("b"))
+      .repartition(2)
+    val r = df.select($"id",
+        call_function("bson_value", $"b", lit("a"), lit("BIGINT")).as("v"),
+        call_function("bson_value_type", $"b", lit("a")).as("t"))
+      .collect()
+    assert(r.length == 20)
+    r.foreach { row =>
+      if (row.getLong(0) % 2 == 0) {
+        assert(row.isNullAt(1))
+        assert(row.getString(2) == "NULL")
+      } else {
+        assert(row.getLong(1) == row.getLong(0))
+        assert(row.getString(2) == "INTEGER" || row.getString(2) == "BIGINT")
+      }
+    }
+  }
+
   test("shingle/minhash/simhash kernels survive codegen + serialization") {
     import spark.implicits._
     import org.apache.spark.sql.catalyst.expressions.Literal
