@@ -230,6 +230,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "ivf_cells", e => IvfCells(e(0), e(1), e(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "z_value", e => ZValue(e(0), e(1), e(2)), "built-in")
+    reg.createOrReplaceTempFunction(
       "vec_maxabs", e => VecMaxAbs(e.head), "built-in")
     reg.createOrReplaceTempFunction(
       "int8_quantize", e => Int8Quantize(e(0), e(1)), "built-in")

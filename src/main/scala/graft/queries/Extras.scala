@@ -273,6 +273,31 @@ object Extras {
       graft.operators.Temporal.rangeJoin(
           pt, iv, "l_shipdate", "lo", "hi", bucketWidth = 7L * 86400)
         .orderBy($"l_orderkey", $"l_linenumber", $"o_orderkey")
+    },
+
+    // Z-order clustered layout (operators/Layout.zorderBy): write a
+    // lineitem subset clustered on (l_partkey, l_suppkey), read it back,
+    // aggregate — proves the layout path preserves content exactly (the
+    // pruning property itself is pinned in ZOrderSpec, which measures
+    // per-file min/max ranges on both z columns). Subset via pmod keeps
+    // the write bounded in the bench battery.
+    "q_zorder_scan" -> { (s, dir) =>
+      import s.implicits._
+      val li = Tables.t(s, dir, "lineitem")
+        .where(pmod($"l_orderkey", lit(7)) === 0)
+        .select($"l_orderkey", $"l_linenumber", $"l_partkey",
+          $"l_suppkey", $"l_quantity")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_zorder").toString
+      graft.operators.Layout.writeZOrdered(
+        li, out, Seq("l_partkey", "l_suppkey"), numFiles = 8)
+      s.read.parquet(out)
+        .where($"l_suppkey" <= 20)
+        .groupBy($"l_suppkey")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_quantity".cast(DecimalType(12, 2)))
+            .cast(DoubleType).as("qty"))
+        .orderBy($"l_suppkey")
     }
   )
 
@@ -463,6 +488,14 @@ object Extras {
       SELECT pt.l_orderkey, pt.l_linenumber, pt.l_shipdate,
              iv.o_orderkey, iv.lo, iv.hi
       FROM pt JOIN iv ON pt.l_shipdate BETWEEN iv.lo AND iv.hi
-      ORDER BY pt.l_orderkey, pt.l_linenumber, iv.o_orderkey"""
+      ORDER BY pt.l_orderkey, pt.l_linenumber, iv.o_orderkey""",
+
+    "q_zorder_scan" -> """
+      SELECT l_suppkey, count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+      FROM lineitem
+      WHERE l_orderkey % 7 = 0 AND l_suppkey <= 20
+      GROUP BY l_suppkey
+      ORDER BY l_suppkey"""
   )
 }

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions
+import graft.operators.Layout
+
+/** Z-order layout: the multi-column clustering write path.
+  *
+  * The pruning test measures the property the operator exists for — a
+  * point predicate on EITHER z column can skip most files via per-file
+  * min/max ranges — and contrasts it with a single-key linear sort,
+  * which prunes only its own column.
+  */
+class ZOrderSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** (min, max) of column c in each part-file under dir. */
+  private def perFileMinMax(dir: String, c: String): Seq[(Double, Double)] = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    assert(files.nonEmpty, s"no part files under $dir")
+    files.toSeq.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col(c)).cast("double"), max(col(c)).cast("double")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+  }
+
+  /** Fraction of (file, point) pairs a min/max check would skip. */
+  private def prunedFraction(ranges: Seq[(Double, Double)],
+      points: Seq[Double]): Double = {
+    val hits = (for {
+      p <- points; (lo, hi) <- ranges if p >= lo && p <= hi
+    } yield 1).size
+    1.0 - hits.toDouble / (ranges.size * points.size)
+  }
+
+  test("z-order prunes files on both columns; linear sort on one only") {
+    // independent 128x128 grid: the adversarial case for a single sort
+    // key (the second column is uniform within every first-column run)
+    val df = spark.range(1L << 14).select(
+      ($"id" % 128).as("x"), ($"id" / 128).as("y"), $"id".as("payload"))
+    val zdir = java.nio.file.Files.createTempDirectory("graft_z").toString
+    val ldir = java.nio.file.Files.createTempDirectory("graft_lin").toString
+    Layout.writeZOrdered(df, zdir, Seq("x", "y"), numFiles = 16, bits = 7)
+    df.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(ldir)
+
+    val points = Seq(5.0, 37.0, 64.0, 99.0, 120.0)
+    // the linear layout prunes its own sort key but nothing else
+    assert(prunedFraction(perFileMinMax(ldir, "x"), points) >= 0.5)
+    assert(prunedFraction(perFileMinMax(ldir, "y"), points) <= 0.1)
+    // the z layout prunes BOTH columns
+    val zx = prunedFraction(perFileMinMax(zdir, "x"), points)
+    val zy = prunedFraction(perFileMinMax(zdir, "y"), points)
+    assert(zx >= 0.5, s"x pruning under z-order too weak: $zx")
+    assert(zy >= 0.5, s"y pruning under z-order too weak: $zy")
+  }
+
+  test("zorderBy preserves content exactly and tolerates nulls") {
+    val df = spark.range(1000).select(
+      when($"id" % 10 === 0, lit(null)).otherwise($"id" % 50).as("a"),
+      ($"id" % 7).cast("double").as("b"),
+      $"id")
+    val z = Layout.zorderBy(df, Seq("a", "b"), numPartitions = 4, bits = 5)
+    assert(z.columns.toSeq == df.columns.toSeq)
+    assert(z.exceptAll(df).count() == 0)
+    assert(df.exceptAll(z).count() == 0)
+  }
+
+  test("string columns cluster by hash: equal values co-locate") {
+    // independent host/t: id%8 alone would be a function of id%64
+    val df = spark.range(8192).select(
+      concat(lit("dom"), ($"id" % 8).cast("string")).as("host"),
+      (($"id" / 8) % 64).as("t"))
+    // mean fraction of the layout's files containing each host value
+    // (normalized: empty range partitions write no file)
+    def hostSpread(dir: String): Double = {
+      val perHost = spark.read.parquet(dir)
+        .withColumn("f", input_file_name())
+        .groupBy($"host").agg(countDistinct($"f").as("nf"))
+        .collect().map(_.getLong(1))
+      val nFiles = new java.io.File(dir).listFiles()
+        .count(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+      perHost.sum.toDouble / (perHost.length * nFiles)
+    }
+    val zdir = java.nio.file.Files.createTempDirectory("graft_zs").toString
+    val ldir = java.nio.file.Files.createTempDirectory("graft_ls").toString
+    Layout.writeZOrdered(df, zdir, Seq("host", "t"), numFiles = 16, bits = 6)
+    df.repartitionByRange(16, $"t").sortWithinPartitions("t")
+      .write.mode("overwrite").parquet(ldir)
+    // under a t-only sort every host appears in ~every file; hash-bucket
+    // z clustering confines each host value to a minority of files
+    // (equality pruning — range pruning is impossible through a hash)
+    val z = hostSpread(zdir)
+    val l = hostSpread(ldir)
+    assert(l >= 0.9, s"t-sorted baseline should hit ~every file: $l")
+    assert(z <= 0.5, s"z-order host spread too wide: $z")
+  }
+
+  test("z_value kernel runs inside whole-stage codegen, nulls bucket 0") {
+    GraftFunctions.register(spark)
+    // non-literal inputs through a repartition so the generated code
+    // actually runs (literal frames constant-fold and prove nothing)
+    // two column slices of 31 boundaries each, both 1..31, so
+    // bucket(v) = v for integer v in [0, 31]
+    val bounds = Array.tabulate(62)(i => (i % 31 + 1).toDouble)
+    val df = spark.range(100).select($"id",
+        array(($"id" % 31).cast("double"),
+          when($"id" % 5 === 0, lit(null))
+            .otherwise(($"id" % 17).cast("double"))).as("v"))
+      .repartition(3)
+    val q = df.select($"id",
+      call_function("z_value", $"v", typedlit(bounds), lit(5)).as("z"))
+    val rows = q.collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val b0 = (id % 31).toInt   // boundaries 1..31 → bucket = count(<= v)
+      val b1 = if (id % 5 == 0) 0 else (id % 17).toInt
+      var expected = 0L
+      for (i <- 0 until 5) {
+        expected |= ((b0 >> i) & 1).toLong << (i * 2)
+        expected |= ((b1 >> i) & 1).toLong << (i * 2 + 1)
+      }
+      assert(r.getLong(1) == expected, s"id=$id")
+    }
+    val plan = q.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project \\[id".r.findFirstIn(plan).nonEmpty,
+      s"z_value must run inside WholeStageCodegen:\n$plan")
+  }
+}
