@@ -232,6 +232,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "z_value", e => ZValue(e(0), e(1), e(2)), "built-in")
     reg.createOrReplaceTempFunction(
+      "pq_encode", e => PqEncode(e(0), e(1), e(2), e(3)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "pq_adc", e => PqAdc(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "vec_maxabs", e => VecMaxAbs(e.head), "built-in")
     reg.createOrReplaceTempFunction(
       "int8_quantize", e => Int8Quantize(e(0), e(1)), "built-in")

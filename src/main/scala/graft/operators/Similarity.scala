@@ -219,6 +219,116 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization index (Jégou et al. 2011): the embedding
+    * storage path beyond int8 — d float32 dims become `m` bytes
+    * (d=64, m=8 → 32×), and search never reconstructs floats. Codebook
+    * training is per-subspace k-means on the SAME bounded hash-ordered
+    * driver sample as [[ivfIndex]] (the distributed work at corpus
+    * scale is the encode scan, not training); encoding is one fused
+    * kernel pass (normalization inside — ADC inner products then
+    * approximate cosine), no shuffle.
+    *
+    * Returns (flatCodebook [m][ks][dsub] row-major, (id, code) frame).
+    * dim must divide into `m` equal subspaces; `ks` <= 256 centroids
+    * per subspace (one byte each). */
+  def pqIndex(emb: DataFrame, vecCol: String, idCol: String,
+      m: Int = 8, ks: Int = 256, trainSample: Int = 2048)
+      : (Array[Double], DataFrame) = {
+    require(ks >= 2 && ks <= 256, s"ks must be 2..256, got $ks")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val sample = emb
+      .select(col(vecCol))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(trainSample)
+      .collect()
+      .map(r => toDoubles(r.getSeq[Any](0)))
+    require(sample.length >= ks, s"need >= $ks training vectors")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    // unit-normalize the training set — the encode kernel normalizes
+    // each corpus vector the same way, so codebook and codes agree
+    val normed = sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    val book = new Array[Double](m * ks * dsub)
+    var j = 0
+    while (j < m) {
+      val sub = normed.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      // deterministic stride init + fixed Lloyd budget, like ivfIndex
+      var cents = Array.tabulate(ks)(c =>
+        sub((c.toLong * sub.length / ks).toInt).clone())
+      for (_ <- 0 until 8) {
+        val sums = Array.fill(ks)(new Array[Double](dsub))
+        val counts = new Array[Long](ks)
+        sub.foreach { v =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < ks) {
+            var d = 0.0; var i = 0
+            while (i < dsub) {
+              val diff = v(i) - cents(c)(i); d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
+        }
+        cents = Array.tabulate(ks)(c =>
+          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+      }
+      var c = 0
+      while (c < ks) {
+        System.arraycopy(cents(c), 0, book, (j * ks + c) * dsub, dsub)
+        c += 1
+      }
+      j += 1
+    }
+    val coded = emb.select(col(idCol).as("id"),
+      call_function("pq_encode", col(vecCol), typedlit(book.toSeq),
+        lit(m), lit(ks)).as("code"))
+    (book, coded)
+  }
+
+  /** Approximate cosine top-k over the PQ-coded corpus: the per-query
+    * lookup table (m*ks inner products — microseconds on the driver)
+    * broadcasts as a literal, and the scan reads ONLY the m-byte code
+    * column, scoring each row with one table-lookup sum (ADC). Same
+    * TakeOrderedAndProject shape as the exact and int8 paths; ranking
+    * error is the quantization error of the codebook. */
+  def pqTopK(book: Array[Double], coded: DataFrame, emb: DataFrame,
+      vecCol: String, idCol: String, queryId: Long, k: Int,
+      m: Int = 8, ks: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(coded.sparkSession)
+    val raw = toDoubles(emb.where(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Any](0))
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    val qv = if (n > 0) raw.map(_ / n) else raw
+    val dsub = qv.length / m
+    val lut = new Array[Double](m * ks)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ks) {
+        var dp = 0.0; var i = 0
+        while (i < dsub) {
+          dp += qv(j * dsub + i) * book((j * ks + c) * dsub + i); i += 1
+        }
+        lut(j * ks + c) = dp
+        c += 1
+      }
+      j += 1
+    }
+    coded.select(col("id"),
+        call_function("pq_adc", col("code"), typedlit(lut.toSeq)).as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact bounded form (the
     * correctness baseline — O(n²); the scale path is [[knnJoin]]'s
     * LSH-bucketed self-join followed by the same threshold). */

@@ -131,6 +131,18 @@ object Pipeline {
         "q", "id", queryId = 0L, k = 20)
     },
 
+    // Product-quantization top-k: the deep-storage path — 64 float dims
+    // become 8 bytes (32×), the scan reads only the code column and
+    // scores via a broadcast per-query lookup table (ADC). No SQL
+    // oracle — codebook is iterative k-means; recall vs the exact
+    // baseline is ScalaTested.
+    "q_knn_pq" -> { (s, dir) =>
+      val emb = Tables.t(s, dir, "embeddings")
+      val (book, coded) = Similarity.pqIndex(emb, "embedding", "vec_id")
+      Similarity.pqTopK(book, coded, emb, "embedding", "vec_id",
+        queryId = 0L, k = 20)
+    },
+
     // Embedding-cosine near-dup pairs (bounded exact baseline; the scale
     // path is the LSH-bucketed knnJoin + threshold).
     "q_dedup_embedding" -> { (s, dir) =>

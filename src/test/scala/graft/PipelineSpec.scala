@@ -84,6 +84,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@10 $recall too low")
   }
 
+  test("PQ codes: 32x compression, deterministic, ADC recall vs exact") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val n = emb.count().toInt
+    val brute = Similarity.cosineTopK(emb, "embedding", "vec_id", 0L, n)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (book, coded) = Similarity.pqIndex(emb, "embedding", "vec_id")
+    // 64 float32 dims → 8 bytes per vector
+    val codes = coded.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1))
+    assert(codes.forall(_._2.length == 8))
+    // layout-independent: re-encoding under a different partitioning
+    // yields byte-identical codes (kernel is scan-local + deterministic)
+    val again = Similarity.pqIndex(emb.repartition(7), "embedding", "vec_id")
+      ._2.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(codes.forall { case (id, c) => java.util.Arrays.equals(c, again(id)) })
+    val pq = Similarity.pqTopK(book, coded, emb, "embedding", "vec_id",
+      0L, 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // ADC score approximates cosine within the codebook's quantization
+    // error; ranking recovers most of the true neighborhood
+    for ((id, adc) <- pq)
+      assert(math.abs(brute(id) - adc) <= 0.3, s"id=$id adc=$adc vs ${brute(id)}")
+    val trueTop = brute.toSeq.sortBy(-_._2).take(10).map(_._1).toSet
+    val recall = pq.map(_._1).count(trueTop.contains) / 10.0
+    assert(recall >= 0.5, s"PQ recall@10 $recall too low")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val li = Tables.t(spark, dir, "lineitem")
     val exact = li.select(countDistinct(col("l_partkey"))).collect()(0)
