@@ -230,7 +230,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "ivf_cells", e => IvfCells(e(0), e(1), e(2)), "built-in")
     reg.createOrReplaceTempFunction(
-      "z_value", e => ZValue(e(0), e(1), e(2)), "built-in")
+      "z_value", e => ZValue(e(0), e(1), e(2), e(3)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "z_str_bucket", e => StrBucket(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "pq_encode", e => PqEncode(e(0), e(1), e(2), e(3)), "built-in")
     reg.createOrReplaceTempFunction(

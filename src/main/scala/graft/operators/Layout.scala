@@ -39,15 +39,17 @@ object Layout {
     * locality in the same linear order (the Delta/Iceberg OPTIMIZE ZORDER
     * layout, paid once at write time instead of per query).
     *
-    * Scale shape: per-column bucket boundaries come from ONE
+    * Scale shape: numeric/date/timestamp boundaries come from ONE
     * approxQuantile pass (a bounded QuantileSummaries sketch aggregated
     * to the driver — same pattern as the IVF training sample,
-    * Similarity.scala); the z-value itself is a scan-local codegen'd
-    * kernel ([[graft.functions.ZOrderMath]]); the only shuffle is the
-    * range repartition that any clustered write pays. Supported column
-    * types: numerics, DATE, TIMESTAMP (range + equality pruning), and
-    * STRING via a stable 64-bit hash — hashing destroys range locality,
-    * so string columns prune equality/IN predicates only.
+    * Similarity.scala); STRING columns get order-preserving split
+    * points from a bounded hash-ordered driver sample (the
+    * RangePartitioner recipe, stride-picked over the sorted sample —
+    * quantiles in distinct-value space), so string predicates prune by
+    * RANGE, not just equality; BINARY clusters by stable hash
+    * (equality pruning only). The z-value itself is a scan-local
+    * codegen'd kernel ([[graft.functions.ZOrderMath]]); the only
+    * shuffle is the range repartition that any clustered write pays.
     *
     * `bits` buckets per column (2^bits); cols.size * bits must fit a
     * long. NULL/NaN values sort first (bucket 0). Row content is
@@ -59,16 +61,46 @@ object Layout {
       s"z-order needs 1..${62 / bits} columns at $bits bits, got $k")
     require(numPartitions >= 1, "numPartitions must be positive")
     graft.functions.GraftFunctions.register(df.sparkSession)
+    val nB = 1 << bits
 
-    def norm(c: String): Column = df.schema(c).dataType match {
+    // string columns: sorted split points from a bounded sample; the
+    // sample is hash-of-value ordered (deterministic pseudo-random over
+    // DISTINCT values — duplicates enter adjacently), truncated to 64
+    // chars to bound driver memory (any consistent prefix rule yields
+    // valid split points)
+    def stringBounds(c: String): Array[String] = {
+      val distinct = df.select(substring(col(c), 1, 64).as("s"))
+        .where(col("s").isNotNull)
+        .orderBy(xxhash64(col("s")))
+        .limit(math.max(4 * nB, 4096))
+        .collect().map(_.getString(0)).distinct.sorted
+      // distinct values, dense from 0: duplicate split points would
+      // scatter a low-cardinality column over sparse bucket multiples,
+      // wasting the fine interleave bits the z-curve packs lowest
+      if (distinct.length <= 1) Array.empty
+      else if (distinct.length <= nB) distinct.drop(1)
+      else Array.tabulate(nB - 1)(j =>
+        distinct(((j + 1).toLong * distinct.length / nB).toInt))
+    }
+
+    // per column: (normalized double column, boundary slice or null for
+    // "sketch it with approxQuantile")
+    def norm(c: String): (Column, Array[Double]) = df.schema(c).dataType match {
       // unix_date/unix_micros, not a numeric cast: ANSI mode (the
       // session default) rejects timestamp→double casts
-      case _: NumericType => col(c).cast(DoubleType)
-      case DateType => unix_date(col(c)).cast(DoubleType)
+      case _: NumericType => (col(c).cast(DoubleType), null)
+      case DateType => (unix_date(col(c)).cast(DoubleType), null)
       case TimestampType | TimestampNTZType =>
-        unix_micros(col(c).cast(TimestampType)).cast(DoubleType)
-      case StringType => xxhash64(col(c)).cast(DoubleType)
-      case BinaryType => xxhash64(col(c)).cast(DoubleType)
+        (unix_micros(col(c).cast(TimestampType)).cast(DoubleType), null)
+      case StringType =>
+        // the scan-side kernel maps each value to its dense rank among
+        // the splits; the z_value boundaries become the identity splits
+        // j+0.5 (count of splits <= integer rank b is exactly b)
+        val splits = stringBounds(c)
+        (call_function("z_str_bucket", col(c), typedlit(splits.toSeq))
+          .cast(DoubleType),
+          Array.tabulate(splits.length)(j => j + 0.5))
+      case BinaryType => (xxhash64(col(c)).cast(DoubleType), null)
       case dt => throw new IllegalArgumentException(
         s"z-order column $c: unsupported type $dt (numeric, date, " +
           "timestamp, string, binary)")
@@ -76,21 +108,37 @@ object Layout {
     val zcNames = cols.indices.map(i => s"__zc$i")
     require(!("__z" +: zcNames).exists(df.columns.contains),
       "df already has a __z / __zc column")
+    val normed = cols.map(norm)
     val proj = df.select(df.columns.map(col) ++
-      cols.zip(zcNames).map { case (c, n) => norm(c).as(n) }: _*)
+      normed.zip(zcNames).map { case ((e, _), n) => e.as(n) }: _*)
 
-    // one sketch pass for ALL columns; 2^bits - 1 boundaries each
-    val nB = 1 << bits
+    // one sketch pass for ALL quantile-bucketed columns; up to 2^bits-1
+    // boundaries each (string columns already carry dense rank ids)
     val probs = (1 until nB).map(_.toDouble / nB).toArray
-    val bounds = proj.stat.approxQuantile(zcNames.toArray, probs, 0.5 / nB)
-      // an all-null column yields no quantiles: every row is bucket 0
-      // anyway, so any constant boundary slice is correct
-      .map(b => if (b.length == nB - 1) b else Array.fill(nB - 1)(0.0))
-    val flat = bounds.flatten
+    val sketchNames = zcNames.zip(normed).collect {
+      case (n, (_, null)) => n
+    }
+    val sketchedByName = sketchNames.zip(proj.stat
+      .approxQuantile(sketchNames.toArray, probs, 0.5 / nB)).toMap
+    // DISTINCT boundaries per column (an all-null column has none —
+    // every row takes bucket 0), padded to a fixed 2^bits-1 slice with
+    // +Inf the kernel never reads; z_value scales each column's bucket
+    // by its own boundary count so low-cardinality columns still spread
+    // over the full bit range (otherwise the curve degenerates to
+    // highest-entropy-column-major order)
+    val slices = zcNames.zip(normed).map {
+      case (n, (_, null)) => sketchedByName(n).distinct
+      case (_, (_, fixed)) => fixed
+    }
+    val counts = slices.map(_.length)
+    require(counts.forall(_ <= nB - 1), "boundary slice exceeds 2^bits-1")
+    val flat = slices.flatMap(s =>
+      s ++ Array.fill(nB - 1 - s.length)(Double.PositiveInfinity)).toArray
 
     proj
       .withColumn("__z", call_function("z_value",
-        array(zcNames.map(col): _*), typedlit(flat), lit(bits)))
+        array(zcNames.map(col): _*), typedlit(flat),
+        typedlit(counts), lit(bits)))
       .repartitionByRange(numPartitions, col("__z"))
       .sortWithinPartitions("__z")
       .select(df.columns.map(col): _*)

@@ -71,7 +71,7 @@ class ZOrderSpec extends AnyFunSuite {
     assert(df.exceptAll(z).count() == 0)
   }
 
-  test("string columns cluster by hash: equal values co-locate") {
+  test("string columns get order-preserving buckets: range + equality pruning") {
     // independent host/t: id%8 alone would be a function of id%64
     val df = spark.range(8192).select(
       concat(lit("dom"), ($"id" % 8).cast("string")).as("host"),
@@ -93,29 +93,51 @@ class ZOrderSpec extends AnyFunSuite {
     Layout.writeZOrdered(df, zdir, Seq("host", "t"), numFiles = 16, bits = 6)
     df.repartitionByRange(16, $"t").sortWithinPartitions("t")
       .write.mode("overwrite").parquet(ldir)
-    // under a t-only sort every host appears in ~every file; hash-bucket
-    // z clustering confines each host value to a minority of files
-    // (equality pruning — range pruning is impossible through a hash)
+    // under a t-only sort every host appears in ~every file; sampled
+    // order-preserving buckets confine each host value to a minority
+    // of files
     val z = hostSpread(zdir)
     val l = hostSpread(ldir)
     assert(l >= 0.9, s"t-sorted baseline should hit ~every file: $l")
-    assert(z <= 0.5, s"z-order host spread too wide: $z")
+    // ~0.5 at this scale: a contiguous Morton range spans loose
+    // bounding boxes at block-connect jumps, and the range sampler's
+    // unaligned splits straddle blocks — both wash out as file count
+    // grows; the operative bound is ≪ the baseline's 1.0
+    assert(z <= 0.6, s"z-order host spread too wide: $z")
+    // order-preserving (not hash) buckets: per-file [min,max] STRING
+    // ranges answer range predicates — a lexical point probe must be
+    // outside most files' ranges
+    val ranges = new java.io.File(zdir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .toSeq.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min($"host"), max($"host")).head()
+        (r.getString(0), r.getString(1))
+      }
+    val covered = ranges.count { case (lo, hi) =>
+      lo <= "dom3" && "dom3" <= hi }
+    assert(covered.toDouble / ranges.size <= 0.5,
+      s"string range pruning too weak: $covered of ${ranges.size} files")
   }
 
   test("z_value kernel runs inside whole-stage codegen, nulls bucket 0") {
     GraftFunctions.register(spark)
     // non-literal inputs through a repartition so the generated code
     // actually runs (literal frames constant-fold and prove nothing)
-    // two column slices of 31 boundaries each, both 1..31, so
-    // bucket(v) = v for integer v in [0, 31]
+    // two FULL column slices of 31 distinct boundaries each, both
+    // 1..31, so bucket(v) = v for integer v in [0, 31] and the
+    // full-cardinality scale step is the identity ((v<<5)/32 = v)
     val bounds = Array.tabulate(62)(i => (i % 31 + 1).toDouble)
+    val counts = Array(31, 31)
     val df = spark.range(100).select($"id",
         array(($"id" % 31).cast("double"),
           when($"id" % 5 === 0, lit(null))
             .otherwise(($"id" % 17).cast("double"))).as("v"))
       .repartition(3)
     val q = df.select($"id",
-      call_function("z_value", $"v", typedlit(bounds), lit(5)).as("z"))
+      call_function("z_value", $"v", typedlit(bounds), typedlit(counts),
+        lit(5)).as("z"))
     val rows = q.collect()
     assert(rows.length == 100)
     rows.foreach { r =>
