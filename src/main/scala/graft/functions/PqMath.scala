@@ -32,14 +32,23 @@ object PqMath {
     val dsub = dim / m
     require(dsub * m == dim && book.numElements() == m * ks * dsub,
       s"pq_encode: dim $dim not m=$m subspaces of ${book.numElements()} book")
+    // materialize the normalized vector ONCE: the centroid loop below
+    // reads each element ks times, and re-fetching through the ArrayData
+    // accessor (plus the re-multiply) per centroid would make the encode
+    // scan — the dominant distributed work at corpus scale — do
+    // m*ks*dsub accessor ops per row instead of dim
+    val nv = new Array[Double](dim)
     var n2 = 0.0
     var i = 0
     while (i < dim) {
       val x = if (vF) v.getFloat(i).toDouble else v.getDouble(i)
+      nv(i) = x
       n2 += x * x
       i += 1
     }
     val inv = if (n2 > 0) 1.0 / math.sqrt(n2) else 0.0
+    i = 0
+    while (i < dim) { nv(i) *= inv; i += 1 }
     val out = new Array[Byte](m)
     var j = 0
     while (j < m) {
@@ -50,9 +59,7 @@ object PqMath {
         var d = 0.0
         var k = 0
         while (k < dsub) {
-          val x = (if (vF) v.getFloat(j * dsub + k).toDouble
-            else v.getDouble(j * dsub + k)) * inv
-          val diff = x - book.getDouble((j * ks + c) * dsub + k)
+          val diff = nv(j * dsub + k) - book.getDouble((j * ks + c) * dsub + k)
           d += diff * diff
           k += 1
         }

@@ -63,17 +63,29 @@ object Layout {
     graft.functions.GraftFunctions.register(df.sparkSession)
     val nB = 1 << bits
 
-    // string columns: sorted split points from a bounded sample; the
-    // sample is hash-of-value ordered (deterministic pseudo-random over
-    // DISTINCT values — duplicates enter adjacently), truncated to 64
-    // chars to bound driver memory (any consistent prefix rule yields
-    // valid split points)
+    // string columns: sorted split points from a bounded sample of the
+    // DISTINCT values (distinct BEFORE the limit — a heavy-hitter value
+    // would otherwise fill the whole sample with copies of itself and
+    // the column would silently lose its split points), hash-of-value
+    // ordered so the truncation is a deterministic pseudo-random pick,
+    // truncated to 64 chars to bound driver memory (any consistent
+    // prefix rule yields valid split points). Sorted by UTF8String
+    // BYTE order, not java.lang.String's UTF-16 code-unit order — the
+    // scan-side kernel binary-searches with UTF8String.compareTo, and
+    // the two orders disagree between supplementary characters and
+    // [U+E000, U+FFFF]; a driver-side String sort would hand the
+    // kernel an unsorted array there
     def stringBounds(c: String): Array[String] = {
       val distinct = df.select(substring(col(c), 1, 64).as("s"))
         .where(col("s").isNotNull)
+        .distinct()
         .orderBy(xxhash64(col("s")))
         .limit(math.max(4 * nB, 4096))
-        .collect().map(_.getString(0)).distinct.sorted
+        .collect()
+        .map(r => org.apache.spark.unsafe.types.UTF8String
+          .fromString(r.getString(0)))
+        .sortWith(_.compareTo(_) < 0)
+        .map(_.toString)
       // distinct values, dense from 0: duplicate split points would
       // scatter a low-cardinality column over sparse bucket multiples,
       // wasting the fine interleave bits the z-curve packs lowest

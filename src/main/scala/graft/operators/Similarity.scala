@@ -288,7 +288,14 @@ object Similarity {
       }
       j += 1
     }
-    val coded = emb.select(col(idCol).as("id"),
+    // exclude zero/NaN-norm vectors BEFORE encoding: the exact path
+    // drops them via its isnan(sim) filter, but under PQ a zero vector
+    // would encode against the centroid nearest the origin and earn a
+    // FINITE phantom ADC score that isnan can't catch, displacing true
+    // neighbors from the top-k (norm > 0 is false for both 0 and NaN)
+    val n2 = aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+    val coded = emb.where(n2 > 0).select(col(idCol).as("id"),
       call_function("pq_encode", col(vecCol), typedlit(book.toSeq),
         lit(m), lit(ks)).as("code"))
     (book, coded)
@@ -307,7 +314,12 @@ object Similarity {
     val raw = toDoubles(emb.where(col(idCol) === queryId)
       .select(col(vecCol)).head().getSeq[Any](0))
     val n = math.sqrt(raw.map(x => x * x).sum)
-    val qv = if (n > 0) raw.map(_ / n) else raw
+    // a zero-norm query has no cosine neighbors (the exact path returns
+    // the empty set via its NaN filter); fail loudly rather than rank
+    // the corpus by an all-zero lookup table's id order
+    require(n > 0, s"pqTopK: query $queryId has zero-norm vector — " +
+      "cosine is undefined; no neighbors exist")
+    val qv = raw.map(_ / n)
     val dsub = qv.length / m
     val lut = new Array[Double](m * ks)
     var j = 0

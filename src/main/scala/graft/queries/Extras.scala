@@ -287,8 +287,11 @@ object Extras {
         .where(pmod($"l_orderkey", lit(7)) === 0)
         .select($"l_orderkey", $"l_linenumber", $"l_partkey",
           $"l_suppkey", $"l_quantity")
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_zorder").toString
+      // one deterministic path, not createTempDirectory: the query runs
+      // in every verify/bench battery and a fresh dir per call would
+      // accumulate unbounded parquet in /tmp; Overwrite handles re-runs
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), "graft_zorder_scan").toString
       graft.operators.Layout.writeZOrdered(
         li, out, Seq("l_partkey", "l_suppkey"), numFiles = 8)
       s.read.parquet(out)

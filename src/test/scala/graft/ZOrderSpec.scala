@@ -121,6 +121,92 @@ class ZOrderSpec extends AnyFunSuite {
       s"string range pruning too weak: $covered of ${ranges.size} files")
   }
 
+  test("heavy-hitter string values keep split points (distinct before limit)") {
+    // 4 hosts x 4096 rows each: ANY single host could fill the whole
+    // bounded driver sample on its own, so a row-level (not
+    // distinct-first) sample would collapse to one value, return no
+    // split points, and the host column would silently contribute
+    // nothing to the z-value (every file spans all hosts)
+    val df = spark.range(4L * 4096).select(
+      concat(lit("h"), ($"id" % 4).cast("string")).as("host"),
+      ($"id" / 4).as("t"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zh").toString
+    Layout.writeZOrdered(df, dir, Seq("host", "t"), numFiles = 8, bits = 6)
+    val perHost = spark.read.parquet(dir)
+      .withColumn("f", input_file_name())
+      .groupBy($"host").agg(countDistinct($"f").as("nf"))
+      .collect().map(_.getLong(1))
+    val nFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+    // every (host, t) pair exists, so a degenerate host column means
+    // spread = 1.0 (each host in every file); with real split points
+    // each host confines to a minority of files
+    // measured ~0.56 (Morton block-connect wash-out, see the test
+    // above); the degenerate no-split-points mode is exactly 1.0
+    val spread = perHost.sum.toDouble / (perHost.length * nFiles)
+    assert(spread <= 0.7, s"host spread $spread — split points lost?")
+  }
+
+  test("string split points sort in UTF8 byte order, not UTF-16 order") {
+    // U+E000..U+F8FF (3-byte UTF-8) vs supplementary U+1F600.. (4-byte):
+    // java.lang.String (UTF-16 code units) sorts the surrogate-pair
+    // emoji BELOW the private-use chars, UTF8String byte order sorts it
+    // ABOVE — driver-side String-sorted splits would reach the kernel's
+    // binary search unsorted and yield non-monotone buckets, silently
+    // breaking range pruning
+    import org.apache.spark.unsafe.types.UTF8String
+    val vals = Seq("\uE000", "\uE123", "\uF8FF", "\uFB01",
+      "\uD83D\uDE00", "\uD83D\uDE42", "\uD83E\uDD16", "\uD83E\uDDE0")
+    val df = spark.range(8L * 512).select(
+      element_at(typedlit(vals), ($"id" % 8).cast("int") + 1).as("s"),
+      ($"id" / 8).as("t"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_zb").toString
+    Layout.writeZOrdered(df, dir, Seq("s", "t"), numFiles = 8, bits = 6)
+    val ranges = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .toSeq.map { f =>
+        val r = spark.read.parquet(f.getAbsolutePath)
+          .agg(min($"s"), max($"s")).head()
+        (UTF8String.fromString(r.getString(0)),
+          UTF8String.fromString(r.getString(1)))
+      }
+    // monotone buckets confine each value to few files whose byte-order
+    // [min,max] contains it; unsorted splits scatter extremes into
+    // every file and containment goes to ~1
+    val containment = vals.map { v =>
+      val u = UTF8String.fromString(v)
+      ranges.count { case (lo, hi) =>
+        lo.compareTo(u) <= 0 && u.compareTo(hi) <= 0 }
+        .toDouble / ranges.size
+    }.sum / vals.size
+    // measured ~0.59 (Morton wash-out as above); non-monotone buckets
+    // from unsorted splits push every file's range toward the full
+    // span, driving containment toward 1
+    assert(containment <= 0.7,
+      s"byte-order containment $containment — splits unsorted for kernel?")
+  }
+
+  test("NaN values take bucket 0, like nulls") {
+    GraftFunctions.register(spark)
+    val bounds = Array.tabulate(31)(i => (i + 1).toDouble)
+    val counts = Array(31)
+    val df = spark.range(30).select($"id",
+        array(when($"id" % 2 === 0, lit(Double.NaN))
+          .otherwise(($"id" % 3).cast("double"))).as("v"))
+      .repartition(2)
+    val rows = df.select($"id",
+        call_function("z_value", $"v", typedlit(bounds), typedlit(counts),
+          lit(5)).as("z"))
+      .collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val expected = if (id % 2 == 0) 0L else (id % 3) // bucket = count(<= v)
+      assert(r.getLong(1) == expected, s"id=$id")
+    }
+  }
+
   test("z_value kernel runs inside whole-stage codegen, nulls bucket 0") {
     GraftFunctions.register(spark)
     // non-literal inputs through a repartition so the generated code
