@@ -251,6 +251,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "text_metrics", e => TextMetrics(e.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "line_repetition", e => LineRepetition(e.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "gram_repetition", e => GramRepetition(e.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "get_byte", e => GetByteExpr(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "get_bit", e => GetBitExpr(e(0), e(1)), "built-in")

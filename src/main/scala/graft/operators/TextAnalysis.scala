@@ -238,6 +238,45 @@ object TextAnalysis {
     *
     * @return (doc, n_tok, entropy)
     */
+  /** Gopher repetition filters (Rae et al. 2021, App. A1.1): per-doc
+    * fractions of duplicated lines/paragraphs (count and character
+    * weighted), the character share of the single most frequent
+    * {2,3,4}-gram, and the character share of duplicated {5,10}-grams.
+    * Documents over the published thresholds (e.g. dup_line_frac > 0.3,
+    * top2_char_frac > 0.2) are boilerplate/spam.
+    *
+    * One scan, two fused kernels ([[graft.functions.LineRepetition]] on
+    * the raw text, [[graft.functions.GramRepetition]] on the tokenized
+    * words), no shuffle — the composed form would explode+groupBy the
+    * corpus once per unit (7 shuffles). Fractions are round(·, 8) over
+    * exact integer counts, so results are engine-portable. */
+  def gopherRepetition(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, round(num.cast(DoubleType) / den.cast(DoubleType), 8))
+        .otherwise(lit(0.0))
+    df.select(col(idCol).as("doc"),
+        call_function("line_repetition", col(textCol)).as("lr"),
+        call_function("gram_repetition",
+          split(lower(trim(col(textCol))), "\\s+")).as("gr"),
+        length(lower(trim(col(textCol)))).as("dc"))
+      .select(col("doc"),
+        frac(col("lr.dup_lines"), col("lr.n_lines"))
+          .as("dup_line_frac"),
+        frac(col("lr.dup_line_chars"), col("lr.line_chars"))
+          .as("dup_line_char_frac"),
+        frac(col("lr.dup_paras"), col("lr.n_paras"))
+          .as("dup_para_frac"),
+        frac(col("lr.dup_para_chars"), col("lr.para_chars"))
+          .as("dup_para_char_frac"),
+        frac(col("gr.top2_chars"), col("dc")).as("top2_char_frac"),
+        frac(col("gr.top3_chars"), col("dc")).as("top3_char_frac"),
+        frac(col("gr.top4_chars"), col("dc")).as("top4_char_frac"),
+        frac(col("gr.dup5_chars"), col("dc")).as("dup5_char_frac"),
+        frac(col("gr.dup10_chars"), col("dc")).as("dup10_char_frac"))
+  }
+
   def wordEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val hist = df
       .select(col(idCol).as("doc"),

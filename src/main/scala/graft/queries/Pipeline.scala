@@ -457,6 +457,25 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // Gopher repetition filters (Rae et al. 2021 App. A1.1): dup
+    // line/paragraph fractions + top/dup n-gram char fractions, two
+    // fused scan-local kernels, no shuffle. The synthetic corpus has
+    // no within-doc repetition at all (single-line docs, no repeated
+    // 5-grams), which would make every dup metric trivially 0 — so the
+    // query derives a repetitive text both engines build identically:
+    // sentences become lines, and the doc is self-concatenated with a
+    // paragraph break (every line/para/gram then duplicates, exercising
+    // every counter non-trivially; dup5/dup10 exceed 1 by the
+    // documented sum-form overcount on such degenerate input).
+    "q_gopher_repetition" -> { (s, dir) =>
+      val lines = replace(col("text"), lit(". "), lit("\n"))
+      TextAnalysis.gopherRepetition(
+          Tables.t(s, dir, "documents")
+            .withColumn("t2", concat(lines, lit("\n\n"), lines)),
+          "t2", "doc_id")
+        .orderBy(col("doc"))
+    },
+
     // Cross-source overlap matrix: how many distinct word 5-grams each
     // source pair shares (the between-sources contamination report a
     // curation run logs). One gram-keyed shuffle; the per-gram source
@@ -1102,6 +1121,93 @@ object Pipeline {
               * 100000000) AS BIGINT)) AS DOUBLE) / 100000000.0 / sum(cnt),
           8) AS entropy
       FROM h GROUP BY doc ORDER BY doc""",
+
+    "q_gopher_repetition" -> raw"""
+      WITH base AS (SELECT doc_id,
+          replace(text, '. ', chr(10)) || chr(10) || chr(10) ||
+            replace(text, '. ', chr(10)) AS t2
+        FROM documents),
+      b2 AS (SELECT doc_id, t2, lower(trim(t2)) AS lt FROM base),
+      l1 AS (SELECT doc_id,
+          trim(unnest(string_split(t2, chr(10)))) AS u FROM b2),
+      lh AS (SELECT doc_id, u, count(*) AS cnt FROM l1
+        WHERE len(u) > 0 GROUP BY 1, 2),
+      la AS (SELECT doc_id, sum(cnt) AS n_lines,
+          sum(cnt) - count(*) AS dup_lines,
+          sum(len(u) * cnt) AS line_chars,
+          sum(len(u) * cnt) - sum(len(u)) AS dup_line_chars
+        FROM lh GROUP BY 1),
+      p1 AS (SELECT doc_id,
+          trim(unnest(string_split(t2, chr(10) || chr(10)))) AS u FROM b2),
+      ph AS (SELECT doc_id, u, count(*) AS cnt FROM p1
+        WHERE len(u) > 0 GROUP BY 1, 2),
+      pa AS (SELECT doc_id, sum(cnt) AS n_paras,
+          sum(cnt) - count(*) AS dup_paras,
+          sum(len(u) * cnt) AS para_chars,
+          sum(len(u) * cnt) - sum(len(u)) AS dup_para_chars
+        FROM ph GROUP BY 1),
+      w AS (SELECT doc_id, string_split_regex(lt, '\s+') AS ws,
+          len(lt) AS dc FROM b2),
+      h2 AS (SELECT doc_id, max(cnt * len(g)) AS topc FROM (
+          SELECT doc_id, g, count(*) AS cnt FROM (SELECT doc_id,
+            unnest(list_transform(range(1, len(ws)),
+              i -> array_to_string(ws[i:i+1], ' '))) AS g FROM w)
+          GROUP BY 1, 2) GROUP BY 1),
+      h3 AS (SELECT doc_id, max(cnt * len(g)) AS topc FROM (
+          SELECT doc_id, g, count(*) AS cnt FROM (SELECT doc_id,
+            unnest(list_transform(range(1, len(ws) - 1),
+              i -> array_to_string(ws[i:i+2], ' '))) AS g FROM w)
+          GROUP BY 1, 2) GROUP BY 1),
+      h4 AS (SELECT doc_id, max(cnt * len(g)) AS topc FROM (
+          SELECT doc_id, g, count(*) AS cnt FROM (SELECT doc_id,
+            unnest(list_transform(range(1, len(ws) - 2),
+              i -> array_to_string(ws[i:i+3], ' '))) AS g FROM w)
+          GROUP BY 1, 2) GROUP BY 1),
+      h5 AS (SELECT doc_id,
+          sum(CASE WHEN cnt > 1 THEN cnt * len(g) ELSE 0 END) AS dupc FROM (
+          SELECT doc_id, g, count(*) AS cnt FROM (SELECT doc_id,
+            unnest(list_transform(range(1, len(ws) - 3),
+              i -> array_to_string(ws[i:i+4], ' '))) AS g FROM w)
+          GROUP BY 1, 2) GROUP BY 1),
+      h10 AS (SELECT doc_id,
+          sum(CASE WHEN cnt > 1 THEN cnt * len(g) ELSE 0 END) AS dupc FROM (
+          SELECT doc_id, g, count(*) AS cnt FROM (SELECT doc_id,
+            unnest(list_transform(range(1, len(ws) - 8),
+              i -> array_to_string(ws[i:i+9], ' '))) AS g FROM w)
+          GROUP BY 1, 2) GROUP BY 1)
+      SELECT w.doc_id AS doc,
+        CASE WHEN COALESCE(n_lines, 0) > 0
+          THEN round(CAST(dup_lines AS DOUBLE) / n_lines, 8)
+          ELSE 0.0 END AS dup_line_frac,
+        CASE WHEN COALESCE(line_chars, 0) > 0
+          THEN round(CAST(dup_line_chars AS DOUBLE) / line_chars, 8)
+          ELSE 0.0 END AS dup_line_char_frac,
+        CASE WHEN COALESCE(n_paras, 0) > 0
+          THEN round(CAST(dup_paras AS DOUBLE) / n_paras, 8)
+          ELSE 0.0 END AS dup_para_frac,
+        CASE WHEN COALESCE(para_chars, 0) > 0
+          THEN round(CAST(dup_para_chars AS DOUBLE) / para_chars, 8)
+          ELSE 0.0 END AS dup_para_char_frac,
+        CASE WHEN dc > 0 THEN
+          round(CAST(COALESCE(h2.topc, 0) AS DOUBLE) / dc, 8)
+          ELSE 0.0 END AS top2_char_frac,
+        CASE WHEN dc > 0 THEN
+          round(CAST(COALESCE(h3.topc, 0) AS DOUBLE) / dc, 8)
+          ELSE 0.0 END AS top3_char_frac,
+        CASE WHEN dc > 0 THEN
+          round(CAST(COALESCE(h4.topc, 0) AS DOUBLE) / dc, 8)
+          ELSE 0.0 END AS top4_char_frac,
+        CASE WHEN dc > 0 THEN
+          round(CAST(COALESCE(h5.dupc, 0) AS DOUBLE) / dc, 8)
+          ELSE 0.0 END AS dup5_char_frac,
+        CASE WHEN dc > 0 THEN
+          round(CAST(COALESCE(h10.dupc, 0) AS DOUBLE) / dc, 8)
+          ELSE 0.0 END AS dup10_char_frac
+      FROM w LEFT JOIN la USING (doc_id) LEFT JOIN pa USING (doc_id)
+        LEFT JOIN h2 USING (doc_id) LEFT JOIN h3 USING (doc_id)
+        LEFT JOIN h4 USING (doc_id) LEFT JOIN h5 USING (doc_id)
+        LEFT JOIN h10 USING (doc_id)
+      ORDER BY doc""",
 
     "q_dedup_cross_source" -> raw"""
       WITH w AS (SELECT source,

@@ -1049,6 +1049,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs(500).exists { case (a, _) => a <= 10L })
   }
 
+  test("gopher repetition metrics match hand-computed values") {
+    import spark.implicits._
+    // "x y\nx y\n\nz": lines {x y, x y, z} -> 1 of 3 duplicated, 3 of 7
+    // line chars; paragraphs {x y\nx y, z} distinct; words
+    // [x y x y z], doc chars 10 -> top2 = "x y"x2 * 3 chars = 6/10,
+    // top3 = any of the three distinct 3-grams = 5/10, top4 = 7/10,
+    // no duplicated 5- or 10-grams. The empty doc exercises every
+    // zero-denominator guard. Non-literal input through a repartition
+    // so the generated code actually runs.
+    val df = Seq((1L, "x y\nx y\n\nz"), (2L, "")).toDF("doc_id", "text")
+      .repartition(2)
+    val got = operators.TextAnalysis.gopherRepetition(df, "text", "doc_id")
+      .orderBy($"doc").collect()
+    val r1 = got(0)
+    assert(r1.getLong(0) == 1L)
+    assert(r1.getDouble(1) == math.rint(1.0 / 3 * 1e8) / 1e8) // dup_line_frac
+    assert(r1.getDouble(2) == math.rint(3.0 / 7 * 1e8) / 1e8) // dup_line_char
+    assert(r1.getDouble(3) == 0.0 && r1.getDouble(4) == 0.0)  // paras distinct
+    assert(r1.getDouble(5) == 0.6)                            // top2
+    assert(r1.getDouble(6) == 0.5)                            // top3
+    assert(r1.getDouble(7) == 0.7)                            // top4
+    assert(r1.getDouble(8) == 0.0 && r1.getDouble(9) == 0.0)  // dup5/dup10
+    val r2 = got(1)
+    (1 to 9).foreach(i => assert(r2.getDouble(i) == 0.0, s"empty doc col $i"))
+
+    // self-concatenation duplicates every line/para/gram: the count
+    // fractions hit exactly 1/2 and the 5-gram sum form goes above 0
+    val rep = Seq((1L, "a b c d e f g h i j\n\na b c d e f g h i j"))
+      .toDF("doc_id", "text").repartition(2)
+    val rr = operators.TextAnalysis
+      .gopherRepetition(rep, "text", "doc_id").collect()(0)
+    assert(rr.getDouble(1) == 0.5 && rr.getDouble(3) == 0.5)
+    assert(rr.getDouble(8) > 0.0, "doubled text must show dup 5-grams")
+
+    // the kernels stay inside whole-stage codegen (execute first: the
+    // AQE plan only shows its codegen stages once finalized)
+    val planned = operators.TextAnalysis.gopherRepetition(df, "text", "doc_id")
+    planned.collect()
+    val plan = planned.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).nonEmpty,
+      s"repetition kernels must run inside WholeStageCodegen:\n$plan")
+  }
+
   test("PII scrub replaces every pattern and leaves clean text alone") {
     import spark.implicits._
     val df = Seq(
