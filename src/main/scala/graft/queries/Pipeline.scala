@@ -457,6 +457,23 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // BPE subword tokenization (Sennrich et al. 2016): merges trained
+    // on the corpus word histogram (bounded driver loop, deterministic
+    // tie-breaks), tokens counted by the codegen'd kernel — the real
+    // packing-budget input. No SQL oracle (the greedy merge loop is
+    // not SQL-expressible): rows-only driver check; merge correctness,
+    // round-trip, and determinism are ScalaTested (PipelineSpec).
+    "q_bpe_tokens" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val merges = graft.operators.Tokenize.bpeTrain(docs, "text",
+        numMerges = 200)
+      docs.select(col("doc_id").as("doc"),
+          size(split(lower(trim(col("text"))), "\\s+")).as("n_ws"),
+          graft.operators.Tokenize.bpeCount(col("text"), merges)
+            .as("n_bpe"))
+        .orderBy(col("doc"))
+    },
+
     // Gopher repetition filters (Rae et al. 2021 App. A1.1): dup
     // line/paragraph fractions + top/dup n-gram char fractions, two
     // fused scan-local kernels, no shuffle. The synthetic corpus has

@@ -1049,6 +1049,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs(500).exists { case (a, _) => a <= 10L })
   }
 
+  test("BPE: classic merge order, round-trip, determinism, codegen") {
+    import spark.implicits._
+    // the Sennrich toy corpus shape: "low" x5, "lower" x2, "newest" x6,
+    // "widest" x3 — pair counts: (e,s) 9, (s,t) 9, (w,e) 8(newest)+...
+    // first merges must be frequency-ordered with lexicographic ties
+    val corpus = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val df = Seq(corpus).toDF("text")
+    val merges = operators.Tokenize.bpeTrain(df, "text", numMerges = 4)
+    // (e,s)=9 and (s,t)=9 tie -> "e s" first lexicographically; after
+    // fusing, (es,t)=9 dominates; then (est 9? vs n,e 6 vs l,o 7):
+    // (l,o)=7 from low+lower
+    assert(merges.take(3) == Seq("e s", "es t", "l o"), merges.toString)
+
+    // tokens concatenate back to the word; hot words memoize identically
+    // across partitions (non-literal input through a repartition)
+    val docs = Seq((1L, "newest widest low"), (2L, "lowest newest"))
+      .toDF("doc_id", "text").repartition(2)
+    val toks = docs.select($"doc_id",
+      operators.Tokenize.bpeTokens($"text", merges).as("t"))
+    val got = toks.orderBy($"doc_id").collect()
+      .map(r => r.getSeq[String](1).mkString("|"))
+    // with merges [e s, es t, l o, lo w]: newest -> n e w est,
+    // widest -> w i d est, low -> low, lowest -> low est
+    assert(got(0) == "n|e|w|est|w|i|d|est|low")
+    assert(got(1) == "low|est|n|e|w|est")
+    // deterministic across re-runs (cache + plan both warm)
+    assert(got(0) == toks.orderBy($"doc_id").collect()(0)
+      .getSeq[String](1).mkString("|"))
+
+    val planned = docs.select(
+      operators.Tokenize.bpeCount($"text", merges).as("n"))
+    assert(planned.collect().map(_.getInt(0)).sum == 15)
+    val plan = planned.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).nonEmpty,
+      s"bpe_tokens must run inside WholeStageCodegen:\n$plan")
+  }
+
   test("gopher repetition metrics match hand-computed values") {
     import spark.implicits._
     // "x y\nx y\n\nz": lines {x y, x y, z} -> 1 of 3 duplicated, 3 of 7
