@@ -255,6 +255,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "bpe_tokens", e => BpeTokens(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "phrase_matches", e => PhraseMatches(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction(
       "gram_repetition", e => GramRepetition(e.head), "built-in")
     reg.createOrReplaceTempFunction(
       "get_byte", e => GetByteExpr(e(0), e(1)), "built-in")

@@ -238,6 +238,20 @@ object TextAnalysis {
     *
     * @return (doc, n_tok, entropy)
     */
+  /** Phrases from `phrases` occurring in `text` as substrings, in
+    * phrase-list order — the C4/CCNet blocklist/bad-words filter. ONE
+    * Aho-Corasick pass per document regardless of list size (the
+    * composed form is |phrases| `contains` scans); the automaton
+    * builds once at plan time ([[graft.functions.PhraseMatches]]).
+    * Lowercase/normalize `text` upstream if wanted — matching is raw
+    * substring containment. */
+  def matchedPhrases(text: Column, phrases: Seq[String]): Column =
+    call_function("phrase_matches", text, typedlit(phrases))
+
+  /** True when any blocklist phrase occurs in `text`. */
+  def containsAnyPhrase(text: Column, phrases: Seq[String]): Column =
+    size(matchedPhrases(text, phrases)) > 0
+
   /** Gopher repetition filters (Rae et al. 2021, App. A1.1): per-doc
     * fractions of duplicated lines/paragraphs (count and character
     * weighted), the character share of the single most frequent

@@ -457,6 +457,28 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // Blocklist phrase filter (the C4/CCNet bad-words pass): ONE
+    // Aho-Corasick scan per doc for the whole phrase list vs
+    // |phrases| contains() scans composed. Mixed hit-rate list: hot
+    // words, multi-word phrases (only sometimes adjacent in the
+    // shuffled fixture text), substrings spanning a word boundary, and
+    // never-matching controls.
+    "q_phrase_filter" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val phrases = Seq("slow", "hash", "customer batch", "vector line",
+        "an slo", "zebra stripe", "qq")
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id").as("doc"),
+          TextAnalysis.matchedPhrases(lower(trim(col("text"))), phrases)
+            .as("m"))
+        // joined string, not the array: the driver's pandas compare
+        // sorts rows and list columns are unsortable there
+        .select(col("doc"), array_join(col("m"), ",").as("phrases"),
+          size(col("m")).as("n_matched"),
+          (size(col("m")) > 0).as("blocked"))
+        .orderBy(col("doc"))
+    },
+
     // BPE subword tokenization (Sennrich et al. 2016): merges trained
     // on the corpus word histogram (bounded driver loop, deterministic
     // tie-breaks), tokens counted by the codegen'd kernel — the real
@@ -1138,6 +1160,17 @@ object Pipeline {
               * 100000000) AS BIGINT)) AS DOUBLE) / 100000000.0 / sum(cnt),
           8) AS entropy
       FROM h GROUP BY doc ORDER BY doc""",
+
+    "q_phrase_filter" -> raw"""
+      WITH m AS (SELECT doc_id AS doc,
+          list_filter(['slow', 'hash', 'customer batch', 'vector line',
+            'an slo', 'zebra stripe', 'qq'],
+            p -> contains(lower(trim(text)), p)) AS phrases
+        FROM documents)
+      SELECT doc, COALESCE(array_to_string(phrases, ','), '') AS phrases,
+        CAST(len(phrases) AS INT) AS n_matched,
+        len(phrases) > 0 AS blocked
+      FROM m ORDER BY doc""",
 
     "q_gopher_repetition" -> raw"""
       WITH base AS (SELECT doc_id,

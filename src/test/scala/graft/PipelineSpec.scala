@@ -1049,6 +1049,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs(500).exists { case (a, _) => a <= 10L })
   }
 
+  test("phrase matcher agrees with naive contains on adversarial inputs") {
+    import spark.implicits._
+    // overlapping phrases, shared prefixes/suffixes, phrase-inside-
+    // phrase, repeated-char runs (failure-link stress), and misses
+    graft.functions.GraftFunctions.register(spark)
+    val phrases = Seq("aba", "ab", "ba", "abab", "she", "he", "hers",
+      "aaa", "zzz")
+    val texts = Seq("ababa", "ushers", "aaaa", "xyz", "", "ba",
+      "hehehers", "abcabab", "aab aba")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t").repartition(3)
+    val got = df.select($"id",
+        operators.TextAnalysis.matchedPhrases($"t", phrases).as("m"))
+      .orderBy($"id").collect()
+      .map(r => r.getSeq[String](1))
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val naive = phrases.filter(t.contains(_))
+      assert(got(i) == naive, s"text '$t': got ${got(i)}, want $naive")
+    }
+    // early-exit path: every phrase present
+    val all = operators.TextAnalysis
+      .matchedPhrases(lit("abab ushers hers aaa zzz ba"), phrases)
+    val full = spark.range(1).select(all.as("m")).collect()(0).getSeq[String](0)
+    assert(full == phrases)
+
+    val planned = df.select(operators.TextAnalysis
+      .containsAnyPhrase($"t", phrases).as("b"))
+    planned.collect()
+    val plan = planned.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(plan).nonEmpty,
+      s"phrase_matches must run inside WholeStageCodegen:\n$plan")
+  }
+
   test("BPE: classic merge order, round-trip, determinism, codegen") {
     import spark.implicits._
     // the Sennrich toy corpus shape: "low" x5, "lower" x2, "newest" x6,
