@@ -148,6 +148,33 @@ object Curation {
     df.where(hashFrac(col(idCol)) < rate)
   }
 
+  /** Mixture sampling to per-source token budgets (the Pile/DoReMi
+    * recipe): source s should contribute `weights(s) * budgetTokens`
+    * tokens to the training mix, so its keep rate is
+    * min(1, target / corpusTokens(s)), applied as the same
+    * deterministic id-hash filter as [[stratifiedSample]]. ONE tiny
+    * aggregate (per-source token totals — rows ≤ #sources) feeds a
+    * scan-local filter; the corpus itself never shuffles. Sources
+    * absent from `weights` drop (rate 0); rates cap at 1 — a source
+    * whose weight demands MORE than its corpus has is taken whole (no
+    * upsampling; union k copies upstream if a source must repeat).
+    * `strataCol` must be STRING; token totals read `tokenCol` as
+    * BIGINT. */
+  def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
+      tokenCol: String, weights: Map[String, Double],
+      budgetTokens: Long): DataFrame = {
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(tokenCol).cast(LongType)).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // same arithmetic shape the SQL oracle uses: (w * budget) / total,
+    // then cap — bit-identical doubles give bit-identical filters
+    val rates = weights.flatMap { case (s, w) =>
+      totals.get(s).map(t =>
+        s -> math.min(1.0, w * budgetTokens / t))
+    }
+    stratifiedSample(df, idCol, strataCol, rates, defaultRate = 0.0)
+  }
+
   /** Deterministic weighted sampling without replacement (Efraimidis &
     * Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
     * each row's key is ln(u)/w for u = its deterministic id-hash

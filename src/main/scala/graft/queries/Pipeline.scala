@@ -382,6 +382,20 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // Mixture sampling to token budgets (Pile/DoReMi recipe): rates
+    // derived from per-source token totals (one tiny aggregate), then
+    // the deterministic hash filter — src0's demanded share exceeds
+    // its corpus (rate caps at 1), src1-3 subsample, the rest drop.
+    "q_mixture_sample" -> { (s, dir) =>
+      Curation.mixtureSample(
+          Tables.t(s, dir, "documents"), "doc_id", "source", "n_chars",
+          Map("src0" -> 0.5, "src1" -> 0.2, "src2" -> 0.2,
+            "src3" -> 0.1),
+          budgetTokens = 20000L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // Fixed-window sequence packing (concat-and-chunk pretraining
     // layout): deterministic shuffle order, corpus-wide token offsets
     // via the two-phase prefix sum, window id per doc.
@@ -1044,6 +1058,17 @@ object Pipeline {
         CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
                   WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1
                   ELSE 0.05 END
+      ORDER BY doc_id""",
+
+    "q_mixture_sample" -> """
+      WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS t
+        FROM documents GROUP BY 1),
+      r AS (SELECT source, least(CAST(1.0 AS DOUBLE), CAST(CASE source
+          WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.2
+          WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
+          ELSE 0.0 END AS DOUBLE) * 20000 / t) AS rate FROM tot)
+      SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+      WHERE (doc_id * 2654435761) % 4294967296 / 4294967296.0 < rate
       ORDER BY doc_id""",
 
     "q_token_pack" -> raw"""

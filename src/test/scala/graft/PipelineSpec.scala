@@ -1049,6 +1049,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs(500).exists { case (a, _) => a <= 10L })
   }
 
+  test("mixture sampler: budget-derived rates, cap at 1, absent drops") {
+    import spark.implicits._
+    val docs = Tables.t(spark, dir, "documents")
+    val total = docs.groupBy($"source").agg(sum($"n_chars").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // src0 demands far more than its corpus -> rate caps at 1 (taken
+    // whole); src1 gets ~30% of its tokens; src2 absent -> dropped
+    val budget = total("src1") * 3
+    val out = Curation.mixtureSample(docs, "doc_id", "source", "n_chars",
+      Map("src0" -> 10.0, "src1" -> 0.1), budget)
+    val bySource = out.groupBy($"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fullCounts = docs.groupBy($"source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySource("src0") == fullCounts("src0"), "capped source whole")
+    assert(bySource.getOrElse("src1", 0L) < fullCounts("src1"),
+      "subsampled source must shrink")
+    assert(!bySource.contains("src2"), "unweighted source must drop")
+    // deterministic: identical id set across runs
+    val ids1 = out.select($"doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = Curation.mixtureSample(docs, "doc_id", "source", "n_chars",
+        Map("src0" -> 10.0, "src1" -> 0.1), budget)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
   test("phrase matcher agrees with naive contains on adversarial inputs") {
     import spark.implicits._
     // overlapping phrases, shared prefixes/suffixes, phrase-inside-
