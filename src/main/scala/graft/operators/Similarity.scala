@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -288,17 +288,12 @@ object Similarity {
       }
       j += 1
     }
-    // exclude zero/NaN-norm vectors BEFORE encoding: the exact path
-    // drops them via its isnan(sim) filter, but under PQ a zero vector
-    // would encode against the centroid nearest the origin and earn a
-    // FINITE phantom ADC score that isnan can't catch, displacing true
-    // neighbors from the top-k (norm > 0 is false for both 0 and NaN)
-    val n2 = aggregate(col(vecCol), lit(0.0d),
-      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
-    val coded = emb.where(n2 > 0).select(col(idCol).as("id"),
-      call_function("pq_encode", col(vecCol), typedlit(book.toSeq),
-        lit(m), lit(ks)).as("code"))
-    (book, coded)
+    // encode excludes zero/NaN-norm vectors: the exact path drops them
+    // via its isnan(sim) filter, but under PQ a zero vector would
+    // encode against the centroid nearest the origin and earn a FINITE
+    // phantom ADC score that isnan can't catch, displacing true
+    // neighbors from the top-k
+    (book, pqEncodeWith(book, emb, vecCol, idCol, m, ks))
   }
 
   /** Approximate cosine top-k over the PQ-coded corpus: the per-query
@@ -339,6 +334,47 @@ object Similarity {
         call_function("pq_adc", col("code"), typedlit(lut.toSeq)).as("sim"))
       .orderBy(col("sim").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** Persist a PQ index: the coded corpus as parquet under
+    * `path`/codes and the codebook + params as a single-row parquet
+    * under `path`/meta. At corpus scale the index is built ONCE and
+    * searched by many jobs — persistence turns the encode scan into a
+    * one-time cost (the FAISS on-disk index pattern). Overwrites. */
+  def savePqIndex(path: String, book: Array[Double], coded: DataFrame,
+      m: Int, ks: Int): Unit = {
+    val spark = coded.sparkSession
+    import spark.implicits._
+    coded.write.mode(SaveMode.Overwrite).parquet(path + "/codes")
+    Seq((book.toSeq, m, ks)).toDF("book", "m", "ks")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path + "/meta")
+  }
+
+  /** Load a PQ index saved by [[savePqIndex]]:
+    * (book, m, ks, coded). The meta read is one tiny file; codes load
+    * lazily as a normal parquet scan (pruned/pushed like any table). */
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Double], Int, Int, DataFrame) = {
+    val meta = spark.read.parquet(path + "/meta").head()
+    (meta.getSeq[Double](meta.fieldIndex("book")).toArray,
+      meta.getInt(meta.fieldIndex("m")),
+      meta.getInt(meta.fieldIndex("ks")),
+      spark.read.parquet(path + "/codes"))
+  }
+
+  /** Encode NEW embeddings against an EXISTING codebook (incremental
+    * index append — no retrain; the codebook is frozen so old and new
+    * codes stay comparable under the same ADC tables). Same zero/NaN
+    * norm exclusion as [[pqIndex]]. */
+  def pqEncodeWith(book: Array[Double], emb: DataFrame, vecCol: String,
+      idCol: String, m: Int = 8, ks: Int = 256): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val n2 = aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+    emb.where(n2 > 0).select(col(idCol).as("id"),
+      call_function("pq_encode", col(vecCol), typedlit(book.toSeq),
+        lit(m), lit(ks)).as("code"))
   }
 
   /** Embedding-cosine near-duplicate pairs, exact bounded form (the

@@ -109,6 +109,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"PQ recall@10 $recall too low")
   }
 
+  test("PQ index persists and appends: save/load round-trip, frozen codebook") {
+    import spark.implicits._
+    val emb = Tables.t(spark, dir, "embeddings")
+    // split the corpus: build+save on the first part, append the rest
+    // against the FROZEN codebook
+    val first = emb.where($"vec_id" % 2 === 0)
+    val rest = emb.where($"vec_id" % 2 =!= 0)
+    // ks=16: the half-corpus at sf0.001 is smaller than the default
+    // 256-centroid codebook's training minimum
+    val (book, coded) = Similarity.pqIndex(first, "embedding", "vec_id",
+      m = 8, ks = 16)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_pq_index").toString
+    Similarity.savePqIndex(path, book, coded, m = 8, ks = 16)
+    val (book2, m2, ks2, coded2) = Similarity.loadPqIndex(spark, path)
+    assert(book2.sameElements(book) && m2 == 8 && ks2 == 16)
+    // loaded codes byte-identical to the in-memory ones
+    val a = coded.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    val b = coded2.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(a.keySet == b.keySet &&
+      a.forall { case (k, v) => java.util.Arrays.equals(v, b(k)) })
+    // incremental append: same codebook -> codes comparable; searching
+    // the merged index returns ids from BOTH halves under one ADC table
+    val appended = Similarity.pqEncodeWith(book2, rest, "embedding",
+      "vec_id", m = m2, ks = ks2)
+    val merged = coded2.unionByName(appended)
+    assert(merged.count() == emb.count())
+    val top = Similarity.pqTopK(book2, merged, emb, "embedding", "vec_id",
+      0L, 20, m = m2, ks = ks2).collect().map(_.getLong(0))
+    assert(top.exists(_ % 2 == 0) && top.exists(_ % 2 != 0),
+      s"merged search should span both halves: ${top.toSeq}")
+  }
+
   test("approx_count_distinct within 5% of exact") {
     val li = Tables.t(spark, dir, "lineitem")
     val exact = li.select(countDistinct(col("l_partkey"))).collect()(0)
