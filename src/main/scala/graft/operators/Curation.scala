@@ -163,9 +163,15 @@ object Curation {
   def mixtureSample(df: DataFrame, idCol: String, strataCol: String,
       tokenCol: String, weights: Map[String, Double],
       budgetTokens: Long): DataFrame = {
+    // a source with NULL or non-positive token total contributes
+    // nothing: sum() is null for all-null columns, and w*budget/0
+    // would be Infinity → capped rate 1.0, keeping a zero-token
+    // source WHOLE instead of dropping it
     val totals = df.groupBy(col(strataCol))
       .agg(sum(col(tokenCol).cast(LongType)).as("t"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect()
+      .collect { case r if !r.isNullAt(1) && r.getLong(1) > 0 =>
+        r.getString(0) -> r.getLong(1) }.toMap
     // same arithmetic shape the SQL oracle uses: (w * budget) / total,
     // then cap — bit-identical doubles give bit-identical filters
     val rates = weights.flatMap { case (s, w) =>

@@ -340,7 +340,10 @@ object Similarity {
     * `path`/codes and the codebook + params as a single-row parquet
     * under `path`/meta. At corpus scale the index is built ONCE and
     * searched by many jobs — persistence turns the encode scan into a
-    * one-time cost (the FAISS on-disk index pattern). Overwrites. */
+    * one-time cost (the FAISS on-disk index pattern). Overwrites — so
+    * `coded` must NOT read from `path` itself (Spark rejects
+    * overwriting an input path); to grow a saved index use
+    * [[appendPqIndex]], which appends files without reading. */
   def savePqIndex(path: String, book: Array[Double], coded: DataFrame,
       m: Int, ks: Int): Unit = {
     val spark = coded.sparkSession
@@ -362,6 +365,15 @@ object Similarity {
       meta.getInt(meta.fieldIndex("ks")),
       spark.read.parquet(path + "/codes"))
   }
+
+  /** Append new codes to a saved index IN PLACE: parquet Append adds
+    * files under `path`/codes without reading the existing ones, so
+    * (unlike loadPqIndex + union + savePqIndex back to the same path,
+    * which overwrites an input path) growing the index is safe and
+    * touches only the new data. Encode the appendix with
+    * [[pqEncodeWith]] against the SAVED codebook. */
+  def appendPqIndex(path: String, coded: DataFrame): Unit =
+    coded.write.mode(SaveMode.Append).parquet(path + "/codes")
 
   /** Encode NEW embeddings against an EXISTING codebook (incremental
     * index append — no retrain; the codebook is frozen so old and new

@@ -23,12 +23,15 @@ import scala.collection.mutable
 object Tokenize {
 
   /** Train `numMerges` BPE merges over the word histogram of
-    * `df.textCol`. Pair counting is incremental: an inverted
-    * pair→words index re-counts only the words a merge touched, so a
-    * round costs O(words containing the merged pair), not O(vocab).
-    * Deterministic: ties in pair frequency break lexicographically;
-    * the histogram cap breaks (count desc, word asc). Stops early when
-    * no pair occurs twice. */
+    * `df.textCol`. Pair RE-COUNTING is incremental — an inverted
+    * pair→words index touches only the words a merge changed — but
+    * best-pair SELECTION is still a linear scan of the live pair map
+    * each round (O(#pairs); bounded by the vocab cap and fine at the
+    * default 65k words; a rank-ordered heap is the upgrade path if
+    * numMerges grows into the tens of thousands). Deterministic: ties
+    * in pair frequency break lexicographically; the histogram cap
+    * breaks (count desc, word asc). Stops early when no pair occurs
+    * twice. */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
       maxVocabWords: Int = 65536): Seq[String] = {
     graft.functions.GraftFunctions.register(df.sparkSession)

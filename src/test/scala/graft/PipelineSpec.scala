@@ -134,7 +134,10 @@ class PipelineSpec extends AnyFunSuite {
     // the merged index returns ids from BOTH halves under one ADC table
     val appended = Similarity.pqEncodeWith(book2, rest, "embedding",
       "vec_id", m = m2, ks = ks2)
-    val merged = coded2.unionByName(appended)
+    // grow the SAVED index in place (Append never reads path/codes, so
+    // no overwrite-input hazard), then reload the merged index
+    Similarity.appendPqIndex(path, appended)
+    val merged = Similarity.loadPqIndex(spark, path)._4
     assert(merged.count() == emb.count())
     val top = Similarity.pqTopK(book2, merged, emb, "embedding", "vec_id",
       0L, 20, m = m2, ks = ks2).collect().map(_.getLong(0))
