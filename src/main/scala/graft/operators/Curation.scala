@@ -148,6 +148,30 @@ object Curation {
     df.where(hashFrac(col(idCol)) < rate)
   }
 
+  /** Overlapping fixed-size chunks of each document (the windowing
+    * step of RAG/embedding pipelines): whitespace words re-joined into
+    * windows of `chunkTokens` starting every `chunkTokens - overlap`
+    * words, last window short. Scan-local — tokenize once, explode
+    * the window starts, slice; no shuffle, composes with downstream
+    * embed/dedup stages. Output: doc, chunk_start (word offset),
+    * n_tok, chunk. */
+  def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
+      chunkTokens: Int, overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got $overlap / $chunkTokens")
+    val step = chunkTokens - overlap
+    val words = split(trim(col(textCol)), "\\s+")
+    df.select(col(idCol).as("doc"), words.as("ws"))
+      .select(col("doc"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 1, lit(step)))
+          .as("chunk_start"))
+      .select(col("doc"), col("chunk_start"),
+        size(slice(col("ws"), col("chunk_start") + 1, lit(chunkTokens)))
+          .as("n_tok"),
+        array_join(slice(col("ws"), col("chunk_start") + 1,
+          lit(chunkTokens)), " ").as("chunk"))
+  }
+
   /** Mixture sampling to per-source token budgets (the Pile/DoReMi
     * recipe): source s should contribute `weights(s) * budgetTokens`
     * tokens to the training mix, so its keep rate is

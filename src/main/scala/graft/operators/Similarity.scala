@@ -336,6 +336,35 @@ object Similarity {
       .limit(k)
   }
 
+  /** Persist an IVF index: the assigned corpus as parquet under
+    * `path`/cells PARTITIONED BY cell — an nprobe search filters on
+    * cell, so partition pruning skips every unprobed cell's files at
+    * listing time (the on-disk analog of scanning one inverted list) —
+    * and the centroids under `path`/meta. Overwrites. */
+  def saveIvfIndex(path: String,
+      centroids: Array[(Int, Array[Double])], assigned: DataFrame): Unit = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    assigned.write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path + "/cells")
+    centroids.toSeq.map { case (i, c) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path + "/meta")
+  }
+
+  /** Load an IVF index saved by [[saveIvfIndex]]: (centroids,
+    * assigned). Search the result with [[ivfTopK]] — its cell filter
+    * becomes a partition-pruning predicate on the cell directories. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[(Int, Array[Double])], DataFrame) = {
+    val cents = spark.read.parquet(path + "/meta").collect()
+      .map(r => r.getInt(r.fieldIndex("cell")) ->
+        r.getSeq[Double](r.fieldIndex("centroid")).toArray)
+      .sortBy(_._1)
+    (cents, spark.read.parquet(path + "/cells"))
+  }
+
   /** Persist a PQ index: the coded corpus as parquet under
     * `path`/codes and the codebook + params as a single-row parquet
     * under `path`/meta. At corpus scale the index is built ONCE and

@@ -382,6 +382,16 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // Document chunking with overlap (RAG/embedding windowing):
+    // tokenize once, explode window starts, slice — scan-local, no
+    // shuffle. 64-word windows every 48 words (16 overlap).
+    "q_doc_chunks" -> { (s, dir) =>
+      Curation.chunkDocuments(
+          Tables.t(s, dir, "documents"), "text", "doc_id",
+          chunkTokens = 64, overlap = 16)
+        .orderBy(col("doc"), col("chunk_start"))
+    },
+
     // Mixture sampling to token budgets (Pile/DoReMi recipe): rates
     // derived from per-source token totals (one tiny aggregate), then
     // the deterministic hash filter — src0's demanded share exceeds
@@ -1059,6 +1069,18 @@ object Pipeline {
                   WHEN 'fr' THEN 0.25 WHEN 'es' THEN 0.1
                   ELSE 0.05 END
       ORDER BY doc_id""",
+
+    "q_doc_chunks" -> raw"""
+      WITH w AS (SELECT doc_id AS doc,
+          string_split_regex(trim(text), '\s+') AS ws
+        FROM documents),
+      c AS (SELECT doc, unnest(range(0, len(ws), 48)) AS chunk_start, ws
+        FROM w)
+      SELECT doc, CAST(chunk_start AS INT) AS chunk_start,
+        CAST(len(ws[chunk_start + 1 : chunk_start + 64]) AS INT) AS n_tok,
+        array_to_string(ws[chunk_start + 1 : chunk_start + 64], ' ')
+          AS chunk
+      FROM c ORDER BY doc, chunk_start""",
 
     "q_mixture_sample" -> """
       WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS t

@@ -109,6 +109,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"PQ recall@10 $recall too low")
   }
 
+  test("IVF index persists partitioned by cell; search prunes partitions") {
+    import spark.implicits._
+    val emb = Tables.t(spark, dir, "embeddings")
+    val (cents, assigned) = Similarity.ivfIndex(emb, "embedding", "vec_id",
+      nlist = 8)
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft_ivf_index").toString
+    Similarity.saveIvfIndex(path, cents, assigned)
+    val (cents2, assigned2) = Similarity.loadIvfIndex(spark, path)
+    assert(cents2.length == cents.length &&
+      cents2.zip(cents).forall { case ((i2, c2), (i1, c1)) =>
+        i2 == i1 && c2.sameElements(c1) })
+    // cell layout on disk: one directory per cell
+    val cellDirs = new java.io.File(path + "/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).sorted
+    assert(cellDirs.nonEmpty)
+    // search over the LOADED index returns the same neighbors, and its
+    // cell filter prunes to the probed partitions
+    val q = Similarity.ivfTopK(cents2, assigned2, 0L, 10, nprobe = 2)
+    val mem = Similarity.ivfTopK(cents, assigned, 0L, 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq == mem)
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("cell"),
+      s"probe filter should prune cell partitions:\n$scan")
+  }
+
   test("PQ index persists and appends: save/load round-trip, frozen codebook") {
     import spark.implicits._
     val emb = Tables.t(spark, dir, "embeddings")
@@ -1083,6 +1110,38 @@ class PipelineSpec extends AnyFunSuite {
       s"hot-bucket pairs must be dropped, got $capped")
     // with the cap above both populations the hot pairs come back
     assert(pairs(500).exists { case (a, _) => a <= 10L })
+  }
+
+  test("document chunker: coverage, overlap, short tail, no shuffle") {
+    import spark.implicits._
+    val text = (1 to 25).map(i => s"w$i").mkString(" ")
+    val df = Seq((7L, text), (8L, "solo")).toDF("doc_id", "text")
+      .repartition(2)
+    val got = Curation.chunkDocuments(df, "text", "doc_id",
+        chunkTokens = 10, overlap = 4)
+      .orderBy($"doc", $"chunk_start").collect()
+    // doc 7: starts 0,6,12,18,24 -> sizes 10,10,10,7,1
+    val d7 = got.filter(_.getLong(0) == 7L)
+    assert(d7.map(_.getInt(1)).toSeq == Seq(0, 6, 12, 18, 24))
+    assert(d7.map(_.getInt(2)).toSeq == Seq(10, 10, 10, 7, 1))
+    // consecutive chunks overlap by exactly 4 words; every word of the
+    // doc appears in some chunk
+    val chunks = d7.map(_.getString(3).split(" ").toSeq)
+    chunks.sliding(2).foreach { pair =>
+      val (a, b) = (pair(0), pair(1))
+      assert(a.takeRight(4) == b.take(math.min(4, b.size)) ||
+        b.size < 4 && a.takeRight(b.size) == b)
+    }
+    assert(chunks.flatten.toSet == text.split(" ").toSet)
+    // single-word doc: one whole chunk
+    val d8 = got.filter(_.getLong(0) == 8L)
+    assert(d8.length == 1 && d8(0).getString(3) == "solo")
+    // scan-local: no exchange beyond the input repartition
+    val plan = Curation.chunkDocuments(df, "text", "doc_id", 10, 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"chunker must not shuffle:\n$plan")
   }
 
   test("mixture sampler: budget-derived rates, cap at 1, absent drops") {
