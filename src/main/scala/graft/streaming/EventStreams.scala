@@ -61,6 +61,19 @@ object EventStreams {
     events.join(broadcast(blocked.select(col(keyCol)).distinct()),
       Seq(keyCol), "left_anti")
 
+  /** Streaming bad-words filter for document ingest: drop stream rows
+    * whose text contains ANY blocklist phrase — the Aho-Corasick
+    * matcher ([[graft.operators.TextAnalysis.containsAnyPhrase]]) is a
+    * stateless scan-local expression, so it runs identically per
+    * micro-batch (no state store, no watermark) and costs one automaton
+    * pass per row regardless of list size. */
+  def phraseFilterStream(docs: DataFrame, textCol: String,
+      phrases: Seq[String]): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.where(!graft.operators.TextAnalysis.containsAnyPhrase(
+      lower(trim(col(textCol))), phrases))
+  }
+
   /** Streaming as-of enrichment against a STATIC dimension: each stream
     * row picks up the latest static row with the same key at-or-before
     * its event time (the ingest-time form of

@@ -437,6 +437,32 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming phrase filter matches the batch filter") {
+    val docDir = java.nio.file.Files.createTempDirectory("graft_docs_pf")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      docDir.resolve("documents.parquet"))
+    val batchDocs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val phrases = Seq("slow", "customer batch", "zebra stripe")
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .parquet(docDir.toString)
+    val q = graft.streaming.EventStreams
+      .phraseFilterStream(stream, "text", phrases)
+      .writeStream.format("memory").queryName("phrase_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT count(*) AS n FROM phrase_out")
+        .collect()(0).getLong(0)
+      val exact = batchDocs.where(!operators.TextAnalysis
+        .containsAnyPhrase(lower(trim(col("text"))), phrases))
+      assert(got == exact.count(),
+        "stream must drop exactly the phrase-matched docs")
+      assert(got > 0 && got < batchDocs.count(),
+        "fixture must exercise both kept and dropped rows")
+    } finally q.stop()
+  }
+
   test("streaming blocklist filter matches the batch anti join") {
     val evDir = java.nio.file.Files.createTempDirectory("graft_events_bl")
     java.nio.file.Files.copy(
