@@ -24,7 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object BpeMath {
 
-  /** Parsed merge table: pair "a\u0000b" → rank (lower merges first). */
+  /** Parsed merge table: pair "a b" → rank (lower merges first).
+    * SPACE is the one safe separator: symbols come from \s+-split
+    * words, so they can never contain a space — but crawled text CAN
+    * contain literal NULs, which would make a NUL separator ambiguous
+    * (("a\u0000","b") and ("a","\u0000b") would share a key). */
   final class Table(val ranks: java.util.HashMap[String, Integer])
       extends Serializable {
     // per-TABLE memo of word → encoded pieces (bounded; cleared
@@ -59,7 +63,7 @@ object BpeMath {
         val s = merges(i)
         val sp = s.indexOf(' ')
         require(sp > 0 && sp < s.length - 1, s"bad merge entry '$s'")
-        m.put(s.substring(0, sp) + '\u0000' + s.substring(sp + 1), i)
+        m.put(s.substring(0, sp) + ' ' + s.substring(sp + 1), i)
         i += 1
       }
       new Table(m)
@@ -89,7 +93,7 @@ object BpeMath {
       var bestAt = -1
       i = 0
       while (i < n - 1) {
-        val r = t.ranks.get(syms(i) + '\u0000' + syms(i + 1))
+        val r = t.ranks.get(syms(i) + ' ' + syms(i + 1))
         if (r != null && r < bestRank) { bestRank = r; bestAt = i }
         i += 1
       }

@@ -153,18 +153,25 @@ object Curation {
     * windows of `chunkTokens` starting every `chunkTokens - overlap`
     * words, last window short. Scan-local — tokenize once, explode
     * the window starts, slice; no shuffle, composes with downstream
-    * embed/dedup stages. Output: doc, chunk_start (word offset),
-    * n_tok, chunk. */
+    * embed/dedup stages. A tail window whose words are ALL overlap
+    * (start + overlap >= word count) is suppressed — it would be a
+    * strict subset of the previous chunk and downstream stages would
+    * embed/index duplicate content. Empty/whitespace-only docs emit
+    * no chunks. Output: doc, chunk_start (word offset), n_tok,
+    * chunk. */
   def chunkDocuments(df: DataFrame, textCol: String, idCol: String,
       chunkTokens: Int, overlap: Int): DataFrame = {
     require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
       s"need 0 <= overlap < chunkTokens, got $overlap / $chunkTokens")
     val step = chunkTokens - overlap
     val words = split(trim(col(textCol)), "\\s+")
-    df.select(col(idCol).as("doc"), words.as("ws"))
+    df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc"), words.as("ws"))
       .select(col("doc"), col("ws"),
         explode(sequence(lit(0), size(col("ws")) - 1, lit(step)))
           .as("chunk_start"))
+      .where(col("chunk_start") === 0 ||
+        size(col("ws")) > col("chunk_start") + overlap)
       .select(col("doc"), col("chunk_start"),
         size(slice(col("ws"), col("chunk_start") + 1, lit(chunkTokens)))
           .as("n_tok"),

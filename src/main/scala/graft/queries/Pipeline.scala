@@ -1073,18 +1073,20 @@ object Pipeline {
     "q_doc_chunks" -> raw"""
       WITH w AS (SELECT doc_id AS doc,
           string_split_regex(trim(text), '\s+') AS ws
-        FROM documents),
+        FROM documents WHERE len(trim(text)) > 0),
       c AS (SELECT doc, unnest(range(0, len(ws), 48)) AS chunk_start, ws
         FROM w)
       SELECT doc, CAST(chunk_start AS INT) AS chunk_start,
         CAST(len(ws[chunk_start + 1 : chunk_start + 64]) AS INT) AS n_tok,
         array_to_string(ws[chunk_start + 1 : chunk_start + 64], ' ')
           AS chunk
-      FROM c ORDER BY doc, chunk_start""",
+      FROM c WHERE chunk_start = 0 OR len(ws) > chunk_start + 16
+      ORDER BY doc, chunk_start""",
 
     "q_mixture_sample" -> """
       WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS t
-        FROM documents GROUP BY 1),
+        FROM documents GROUP BY 1
+        HAVING CAST(sum(n_chars) AS BIGINT) > 0),
       r AS (SELECT source, least(CAST(1.0 AS DOUBLE), CAST(CASE source
           WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.2
           WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1

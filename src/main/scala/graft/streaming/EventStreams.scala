@@ -70,8 +70,15 @@ object EventStreams {
   def phraseFilterStream(docs: DataFrame, textCol: String,
       phrases: Seq[String]): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    docs.where(!graft.operators.TextAnalysis.containsAnyPhrase(
-      lower(trim(col(textCol))), phrases))
+    // lowercase BOTH sides (Locale.ROOT — no Turkish-i surprises): the
+    // text is lowered below, so an uppercase blocklist entry could
+    // never match and would silently no-op. NULL text contains no
+    // phrases — keep it (the bare predicate is NULL for NULL text and
+    // where() would silently drop the row as if it matched).
+    val lowered = phrases.map(_.toLowerCase(java.util.Locale.ROOT))
+    docs.where(col(textCol).isNull ||
+      !graft.operators.TextAnalysis.containsAnyPhrase(
+        lower(trim(col(textCol))), lowered))
   }
 
   /** Streaming as-of enrichment against a STATIC dimension: each stream

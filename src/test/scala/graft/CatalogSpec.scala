@@ -442,8 +442,15 @@ class CatalogSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
       docDir.resolve("documents.parquet"))
-    val batchDocs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
-    val phrases = Seq("slow", "customer batch", "zebra stripe")
+    val fixture = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    // a NULL-text row must pass the filter (no phrases), not be
+    // silently dropped by three-valued logic
+    fixture.limit(1).withColumn("text", lit(null).cast(StringType))
+      .write.mode("append").parquet(docDir.toString)
+    val batchDocs = spark.read.parquet(docDir.toString)
+    // uppercase entry: the helper lowercases BOTH sides, so it still
+    // matches the lowered text
+    val phrases = Seq("Slow", "customer batch", "zebra stripe")
     val stream = spark.readStream.schema(batchDocs.schema)
       .parquet(docDir.toString)
     val q = graft.streaming.EventStreams
@@ -452,12 +459,15 @@ class CatalogSpec extends AnyFunSuite {
       .outputMode("append").start()
     try {
       q.processAllAvailable()
-      val got = spark.sql("SELECT count(*) AS n FROM phrase_out")
-        .collect()(0).getLong(0)
-      val exact = batchDocs.where(!operators.TextAnalysis
-        .containsAnyPhrase(lower(trim(col("text"))), phrases))
+      val out = spark.sql("SELECT * FROM phrase_out")
+      val got = out.count()
+      val exact = batchDocs.where(col("text").isNull ||
+        !operators.TextAnalysis.containsAnyPhrase(
+          lower(trim(col("text"))), phrases.map(_.toLowerCase)))
       assert(got == exact.count(),
         "stream must drop exactly the phrase-matched docs")
+      assert(out.where(col("text").isNull).count() == 1,
+        "NULL-text row must be kept")
       assert(got > 0 && got < batchDocs.count(),
         "fixture must exercise both kept and dropped rows")
     } finally q.stop()
