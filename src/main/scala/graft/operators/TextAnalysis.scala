@@ -291,6 +291,49 @@ object TextAnalysis {
         frac(col("gr.dup10_chars"), col("dc")).as("dup10_char_frac"))
   }
 
+  /** Interpolated bigram LM score per document (one step closer to
+    * CCNet's 5-gram-KenLM perplexity filter than [[unigramLogProb]]):
+    * mean over adjacent word pairs of
+    * -ln(0.9 * c(w1 w2)/c(w1 ·) + 0.1 * c(w2)/N) — bigram conditional
+    * backed off to the unigram. Model tables are corpus histograms
+    * (map-combinable groupBys whose shuffles carry distinct grams, not
+    * text); scoring joins the doc's bigrams to them AQE-sized, like
+    * the unigram path. Per-pair scores quantize to scaled longs so the
+    * mean is bit-for-bit reproducible across engines. Docs with fewer
+    * than two words have no bigrams and are absent from the output
+    * (same on the oracle side). */
+  def bigramLogProb(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    // filter BEFORE the explode: sequence(1, n-1) DESCENDS for n < 2
+    // ([1, 0]) instead of being empty
+    val pairs = df.select(col(idCol).as("doc"), words.as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+      .select(col("doc"), element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"))
+    val terms = df.select(
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val big = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val pre = big.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val uni = terms.groupBy(col("term")).agg(count(lit(1)).as("c2"))
+    val total = uni.agg(sum(col("c2")).as("n_total"))
+    val p = lit(0.9) * (col("c12").cast(DoubleType) / col("c1")) +
+      lit(0.1) * (col("c2").cast(DoubleType) / col("n_total"))
+    val scaled = round(-log(p) * 1e8).cast(LongType)
+    pairs
+      .join(big, Seq("w1", "w2"))
+      .join(pre, Seq("w1"))
+      .join(uni, pairs("w2") === uni("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_big"),
+        (sum(scaled).cast(DoubleType) / count(lit(1)) / lit(1e8))
+          .as("avg_neg_logp2"))
+  }
+
   def wordEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val hist = df
       .select(col(idCol).as("doc"),

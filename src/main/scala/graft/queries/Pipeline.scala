@@ -520,6 +520,15 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // Interpolated bigram LM score (toward CCNet's KenLM filter):
+    // histogram-model shuffles carry distinct grams, scoring joins are
+    // AQE-sized, scaled-long exact mean.
+    "q_bigram_logprob" -> { (s, dir) =>
+      TextAnalysis.bigramLogProb(
+          Tables.t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc"))
+    },
+
     // Gopher repetition filters (Rae et al. 2021 App. A1.1): dup
     // line/paragraph fractions + top/dup n-gram char fractions, two
     // fused scan-local kernels, no shuffle. The synthetic corpus has
@@ -1209,6 +1218,30 @@ object Pipeline {
               * 100000000) AS BIGINT)) AS DOUBLE) / 100000000.0 / sum(cnt),
           8) AS entropy
       FROM h GROUP BY doc ORDER BY doc""",
+
+    "q_bigram_logprob" -> raw"""
+      WITH w AS (SELECT doc_id AS doc,
+          string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents),
+      p AS (SELECT doc, ws[i] AS w1, ws[i + 1] AS w2
+        FROM (SELECT doc, ws, unnest(range(1, len(ws))) AS i FROM w
+              WHERE len(ws) >= 2)),
+      t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+          AS term FROM documents),
+      big AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+      pre AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM big
+        GROUP BY 1),
+      uni AS (SELECT term, count(*) AS c2 FROM t GROUP BY 1),
+      total AS (SELECT CAST(sum(c2) AS BIGINT) AS n_total FROM uni)
+      SELECT doc, count(*) AS n_big,
+        CAST(sum(CAST(round(-ln(
+            CAST(0.9 AS DOUBLE) * (CAST(c12 AS DOUBLE) / c1) +
+            CAST(0.1 AS DOUBLE) * (CAST(c2 AS DOUBLE) / n_total))
+          * 100000000) AS BIGINT)) AS DOUBLE) / count(*) / 100000000.0
+          AS avg_neg_logp2
+      FROM p JOIN big USING (w1, w2) JOIN pre USING (w1)
+        JOIN uni ON p.w2 = uni.term CROSS JOIN total
+      GROUP BY doc ORDER BY doc""",
 
     "q_phrase_filter" -> raw"""
       WITH m AS (SELECT doc_id AS doc,

@@ -1116,6 +1116,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs(500).exists { case (a, _) => a <= 10L })
   }
 
+  test("bigram LM: predictable text scores lower, layout-deterministic") {
+    import spark.implicits._
+    // rigid bigram structure vs the same words shuffled: the rigid doc
+    // must be more predictable (lower mean -log P)
+    val rigid = Seq.fill(20)("a b c d").mkString(" ")
+    val mixed = "a b c d b d a c d a b d c a d b c b a d " +
+      "d c a b b a d c c d b a a c b d d b c a"
+    val df = Seq((1L, rigid), (2L, mixed), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis.bigramLogProb(df, "text", "doc_id")
+      .orderBy($"doc").collect()
+    assert(got.length == 2, "single-word doc has no bigrams")
+    val (s1, s2) = (got(0).getDouble(2), got(1).getDouble(2))
+    assert(s1 < s2, s"rigid $s1 should score below shuffled $s2")
+    // layout-invariant: same scores under a different partitioning
+    val again = operators.TextAnalysis
+      .bigramLogProb(df.repartition(5), "text", "doc_id")
+      .orderBy($"doc").collect()
+    assert(again.map(_.getDouble(2)).toSeq == got.map(_.getDouble(2)).toSeq)
+  }
+
   test("document chunker: coverage, overlap, short tail, no shuffle") {
     import spark.implicits._
     val text = (1 to 25).map(i => s"w$i").mkString(" ")
