@@ -724,23 +724,23 @@ object Dedup {
     val chunked0 = sig.select(col("id"), col("sig"),
       posexplode(array(chunkCols: _*)))
       .toDF("id", "sig", "chunk_idx", "chunk")
-    // same degenerate-bucket guard as the minhash path: a 16-bit chunk
-    // shared by boilerplate/empty texts would go quadratic in the join.
-    // Aggregate+join (map-side-combinable count), not a window — the
-    // window form sorts every chunk group for a count nothing needs.
-    val smallChunks = chunked0.groupBy(col("chunk_idx"), col("chunk"))
-      .agg(count(lit(1)).as("bn"))
-      .where(col("bn") <= maxBucket)
-      .select(col("chunk_idx"), col("chunk"))
-    val chunked = chunked0.join(smallChunks, Seq("chunk_idx", "chunk"))
-    val l = chunked.select(col("id").as("id_a"), col("sig").as("sig_a"),
-      col("chunk_idx"), col("chunk"))
-    val rhs = chunked.select(col("id").as("id_b"), col("sig").as("sig_b"),
-      col("chunk_idx"), col("chunk"))
-    l.join(rhs, Seq("chunk_idx", "chunk"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hamming64(col("sig_a"), col("sig_b")).as("dist"))
+    // ONE (chunk_idx, chunk)-keyed shuffle, same shape as bandedPairs:
+    // each bucket's sorted (id, sig) list explodes into its pairs via
+    // nested transforms — no two-sided self-join exchange, and the
+    // degenerate-bucket guard (a narrow chunk shared by boilerplate/empty
+    // texts would go quadratic) is a free size() filter on the collected
+    // list instead of a separate aggregate+join. Signatures ride the
+    // bucket rows (8 bytes each), so the Hamming check runs map-side on
+    // the exploded stream before anything else shuffles.
+    chunked0.groupBy(col("chunk_idx"), col("chunk"))
+      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
+      .where(size(col("xs")).between(2, maxBucket))
+      .select(explode(flatten(transform(col("xs"), (a, i) =>
+        transform(slice(col("xs"), i + 2, size(col("xs"))), b =>
+          struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
+            hamming64(a.getField("sig"), b.getField("sig")).as("dist"))))))
+        .as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.dist"))
       // filter BEFORE the dedup: the Hamming check is deterministic per
       // pair, so far-apart chunk-sharing pairs drop map-side instead of
       // riding the distinct()'s shuffle
