@@ -37,8 +37,10 @@ object GraftSession {
       // so a driver-side conf change can't silently regress scan perf.
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.enableVectorizedReader", "true")
-      // testdata events.parquet stores TIMESTAMP(NANOS); read as long and
-      // convert in Tables (Spark has no nanosecond timestamp type).
+      // some testdata generations stored events.ts as TIMESTAMP(NANOS)
+      // (Spark has no nanosecond timestamp type — read those as long);
+      // current fixtures are TIMESTAMP(MICROS, NTZ). Tables.normalizeTs
+      // handles either; this setting is inert for non-NANOS columns.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

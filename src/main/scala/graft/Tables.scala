@@ -27,18 +27,32 @@ object Tables {
     cache.keys.foreach { k =>
       if (k._1.sparkContext.isStopped) cache.remove(k)
     }
-    cache.getOrElseUpdate((spark, sfDir, name), {
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      // events.ts is TIMESTAMP(NANOS) in parquet; with nanosAsLong=true it
-      // arrives as LongType nanos — truncate to microsecond timestamp (same
-      // truncation DuckDB applies when reading ns into its us TIMESTAMP).
-      df.schema.find(f => f.name == "ts" && f.dataType == types.LongType) match {
-        case Some(_) =>
-          df.withColumn("ts", functions.timestamp_micros(functions.expr("ts div 1000")))
-        case None => df
-      }
-    })
+    cache.getOrElseUpdate((spark, sfDir, name),
+      normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet")))
   }
+
+  /** Normalize the event-time column to a session-TZ TIMESTAMP whatever
+    * physical shape the fixture was written with — the driver has
+    * regenerated it across rounds and each shape arrives differently:
+    *  - TIMESTAMP(NANOS): under nanosAsLong=true it arrives as LongType
+    *    nanos — truncate to microseconds (the same truncation DuckDB
+    *    applies when reading ns into its us TIMESTAMP);
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): arrives as
+    *    TIMESTAMP_NTZ — in the UTC session the wall-clock reading IS the
+    *    instant, so the cast to TIMESTAMP is value-preserving and matches
+    *    DuckDB's naive TIMESTAMP;
+    *  - TIMESTAMP(MICROS, adjusted): already TimestampType, unchanged.
+    * Also used by the streaming specs so stream reads see exactly the
+    * batch column type. */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(types.LongType) =>
+        df.withColumn("ts",
+          functions.timestamp_micros(functions.expr("ts div 1000")))
+      case Some(types.TimestampNTZType) =>
+        df.withColumn("ts", functions.col("ts").cast(types.TimestampType))
+      case _ => df
+    }
 
   /** Register every table as a temp view so spark.sql(...) queries can use
     * bare table names — the same names the DuckDB oracle sees. */

@@ -23,8 +23,17 @@ import org.apache.spark.sql.types._
   * Everything is composed from built-in expressions over integer epoch
   * micros (pmod for floor-to-multiple), so the whole family stays inside
   * whole-stage codegen — no UDFs, no CodegenFallback.
+  *
+  * Input tolerance: the entry points cast their argument to TIMESTAMP
+  * first, so TIMESTAMP_NTZ (what a parquet TIMESTAMP(isAdjustedToUTC=
+  * false) column reads as), DATE, and string inputs all work — the
+  * engine runs a UTC session, where the NTZ wall clock IS the GMT
+  * instant the reference rounds in (`unix_micros` alone rejects NTZ).
+  * The cast is a no-op on TimestampType and optimized away.
   */
 object DateRound {
+
+  private def asTs(c: Column): Column = c.cast(TimestampType)
 
   private val MICROS: Map[String, Long] = Map(
     "MILLISECOND" -> 1000L,
@@ -56,7 +65,8 @@ object DateRound {
   /** Unit start at-or-before ts (DAY → 00:00, WEEK → Monday, …). The
     * `mult` form floors to a multiple of the fixed-width unit, e.g.
     * FLOOR(ts, 'MINUTE', 15) — reference RoundDateExpression's divBy. */
-  def floorDate(ts: Column, unit: String, mult: Int = 1): Column = {
+  def floorDate(ts0: Column, unit: String, mult: Int = 1): Column = {
+    val ts = asTs(ts0)
     val u = unit.toUpperCase(java.util.Locale.ROOT)
     fixedWidth(u, mult) match {
       // ALL fixed-width units go through epoch-micros arithmetic — the
@@ -72,7 +82,8 @@ object DateRound {
   }
 
   /** Next unit start strictly after ts unless ts is already exact. */
-  def ceilDate(ts: Column, unit: String, mult: Int = 1): Column = {
+  def ceilDate(ts0: Column, unit: String, mult: Int = 1): Column = {
+    val ts = asTs(ts0)
     val u = unit.toUpperCase(java.util.Locale.ROOT)
     fixedWidth(u, mult) match {
       case Some(m) =>
@@ -87,7 +98,8 @@ object DateRound {
 
   /** Nearest unit boundary; fixed units half-up, calendar units half-even
     * (see object doc). */
-  def roundDate(ts: Column, unit: String, mult: Int = 1): Column = {
+  def roundDate(ts0: Column, unit: String, mult: Int = 1): Column = {
+    val ts = asTs(ts0)
     val u = unit.toUpperCase(java.util.Locale.ROOT)
     fixedWidth(u, mult) match {
       case Some(m) =>

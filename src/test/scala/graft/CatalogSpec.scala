@@ -333,19 +333,20 @@ class CatalogSpec extends AnyFunSuite {
     assert(j.isNullAt(2), "non-object json → NULL")
   }
 
+  /** Streaming read of a parquet dir with the SAME ts handling as the
+    * batch path: probe the footer schema batch-first (the fixture's
+    * physical ts type has changed across driver generations — NANOS-as-
+    * long vs MICROS NTZ), then normalize exactly like `Tables.t` does. */
+  private def eventStream(dir: String) = Tables.normalizeTs(
+    spark.readStream.schema(spark.read.parquet(dir).schema).parquet(dir))
+
   test("streaming windowed agg with watermark over events parquet") {
     // the streaming file source needs a directory, not a single file
     val evDir = java.nio.file.Files.createTempDirectory("graft_events")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       evDir.resolve("events.parquet"))
-    // fixture stores TIMESTAMP(NANOS) → read as long, truncate to micros
-    val rawSchema = StructType(EventStreams.eventSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
-      case f => f
-    })
-    val ev = spark.readStream.schema(rawSchema).parquet(evDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = eventStream(evDir.toString)
     val q = EventStreams.windowedAgg(ev, "1 hour", "2 hours")
       .writeStream.format("memory").queryName("win_out")
       .outputMode("append").start()
@@ -366,6 +367,11 @@ class CatalogSpec extends AnyFunSuite {
         .map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
       assert(g.nonEmpty, "stream emitted no closed windows")
       assert(g.subsetOf(b), "streamed window results must match batch")
+      // guard against a stale fixture-type assumption mangling the epoch
+      // (pre-round-8 the micros fixture was divided as if nanos and every
+      // window landed in 1970 — 2 tests failed, 2 passed on garbage)
+      assert(g.forall(!_._1.startsWith("197")),
+        s"windows landed near the epoch — ts unit mangled: ${g.head._1}")
     } finally q.stop()
   }
 
@@ -374,12 +380,7 @@ class CatalogSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       evDir.resolve("events.parquet"))
-    val rawSchema = StructType(EventStreams.eventSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
-      case f => f
-    })
-    val ev = spark.readStream.schema(rawSchema).parquet(evDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = eventStream(evDir.toString)
     val q = EventStreams.dedupStream(ev, Seq("user_id", "event_type"))
       .writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").start()
@@ -401,18 +402,13 @@ class CatalogSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       evDir.resolve("events.parquet"))
-    val rawSchema = StructType(EventStreams.eventSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
-      case f => f
-    })
     val batchEvents = Tables.t(spark, "/root/testdata/sf0.001", "events")
     val clicksB = batchEvents.where(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
     val dim = batchEvents.where(col("event_type") === "purchase")
       .groupBy(col("user_id"), col("ts").as("p_ts"))
       .agg(max(col("event_id")).as("purchase_id"))
-    val stream = spark.readStream.schema(rawSchema).parquet(evDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val stream = eventStream(evDir.toString)
       .where(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
     val q = EventStreams.asofEnrichStream(stream, dim, "user_id",
@@ -478,15 +474,10 @@ class CatalogSpec extends AnyFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       evDir.resolve("events.parquet"))
-    val rawSchema = StructType(EventStreams.eventSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
-      case f => f
-    })
     val batchEvents = Tables.t(spark, "/root/testdata/sf0.001", "events")
     val blocked = batchEvents.where(col("user_id") % 4 === 0)
       .select(col("user_id")).distinct()
-    val ev = spark.readStream.schema(rawSchema).parquet(evDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = eventStream(evDir.toString)
     val q = EventStreams.blocklistFilterStream(ev, blocked, "user_id")
       .writeStream.format("memory").queryName("blocklist_out")
       .outputMode("append").start()
