@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import graft.functions.CappedCollectAgg.cappedCollect
 
 /** Document deduplication for large-scale training-data pipelines.
   *
@@ -387,8 +388,12 @@ object Dedup {
   /** (band, bucket) grouping → in-bucket id pairs. ONE shuffle (the
     * groupBy): each bucket's sorted id list explodes into its pairs via
     * nested transforms over small arrays — cheaper than a two-sided
-    * self-join shuffle, and the maxBucket cap is a free size() filter on
-    * the collected list instead of a window.
+    * self-join shuffle. The maxBucket cap runs INSIDE the aggregate
+    * ([[graft.functions.CappedCollectAgg]]): a degenerate bucket (one
+    * boilerplate signature shared by 1e8 near-empty docs) flips its
+    * buffer to an overflow tombstone instead of materializing a multi-GB
+    * list that a size() filter would then throw away — O(maxBucket)
+    * memory per bucket in every partial, not O(bucket).
     *
     * `dedupe = false` skips the distinct (a full shuffle of the raw
     * candidate stream — the largest intermediate in the pipeline) for
@@ -402,8 +407,8 @@ object Dedup {
         b => concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
       .toDF("id", "band", "bucket")
     val pairs = buckets.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(col("id"))).as("ids"))
-      .where(size(col("ids")).between(2, maxBucket))
+      .agg(sort_array(cappedCollect(col("id"), maxBucket)).as("ids"))
+      .where(col("ids").isNotNull && size(col("ids")) >= 2)
       .select(explode(flatten(transform(col("ids"), (a, i) =>
         transform(slice(col("ids"), i + 2, size(col("ids"))),
           b => struct(a.as("id_a"), b.as("id_b")))))).as("p"))
@@ -424,8 +429,9 @@ object Dedup {
         b => concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
       .toDF("id", "d", "band", "bucket")
     buckets.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(struct(col("id"), col("d")))).as("xs"))
-      .where(size(col("xs")).between(2, maxBucket))
+      .agg(sort_array(
+        cappedCollect(struct(col("id"), col("d")), maxBucket)).as("xs"))
+      .where(col("xs").isNotNull && size(col("xs")) >= 2)
       .select(explode(flatten(transform(col("xs"), (a, i) =>
         filter(
           transform(slice(col("xs"), i + 2, size(col("xs"))),
@@ -699,7 +705,16 @@ object Dedup {
     * recall for distance ≤ 3 and silently missed farther pairs when the
     * caller raised the threshold.) Distance verified exactly after the
     * join. `maxHamming ≤ 15` keeps every chunk ≥ 4 bits wide so chunk
-    * buckets stay selective. */
+    * buckets stay selective.
+    *
+    * Scale bound: at the default maxHamming=3 each chunk is 16 bits, so
+    * there are only 4 × 65536 buckets — at ~1e9+ docs the AVERAGE bucket
+    * exceeds the default maxBucket even without degeneracy, and the
+    * overflow guard starts dropping healthy buckets (losing recall).
+    * At that corpus size raise `maxBucket` (pair volume grows with
+    * bucket² — budget accordingly) or prefer banded MinHash
+    * ([[nearDupPairs]]), whose bucket keyspace scales with the signature
+    * content rather than a fixed chunk width. */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
@@ -733,8 +748,9 @@ object Dedup {
     // bucket rows (8 bytes each), so the Hamming check runs map-side on
     // the exploded stream before anything else shuffles.
     chunked0.groupBy(col("chunk_idx"), col("chunk"))
-      .agg(sort_array(collect_list(struct(col("id"), col("sig")))).as("xs"))
-      .where(size(col("xs")).between(2, maxBucket))
+      .agg(sort_array(
+        cappedCollect(struct(col("id"), col("sig")), maxBucket)).as("xs"))
+      .where(col("xs").isNotNull && size(col("xs")) >= 2)
       .select(explode(flatten(transform(col("xs"), (a, i) =>
         transform(slice(col("xs"), i + 2, size(col("xs"))), b =>
           struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
