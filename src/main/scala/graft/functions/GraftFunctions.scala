@@ -202,6 +202,12 @@ object GraftFunctions {
       "bson_value_type",
       e => BsonValueType(e(0), asString(e(1))), "built-in")
     reg.createOrReplaceTempFunction(
+      "bson_condition_expression",
+      e => BsonConditionExpr(e(0), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bson_update_expression",
+      e => BsonUpdateExpr(e(0), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
       "encode_binary",
       e => EncodeBinary(e(0), asString(e(1))), "built-in")
     reg.createOrReplaceTempFunction(

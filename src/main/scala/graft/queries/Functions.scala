@@ -203,6 +203,84 @@ object Functions {
             .as("tp_missing"))
     },
 
+    // BSON_CONDITION_EXPRESSION — the reference's DynamoDB-style
+    // condition grammar (SQL-style $EXPR/$VAL/$KEYS and document-style)
+    // evaluated against a per-event document built from columns, so the
+    // oracle can recompute every verdict in plain SQL.
+    "q_bson_condition" -> { (s, dir) =>
+      import s.implicits._
+      GraftFunctions.register(s)
+      def cond(b: org.apache.spark.sql.Column, json: String) =
+        call_function("bson_condition_expression", b, lit(json))
+      Tables.t(s, dir, "events")
+        .withColumn("b", call_function("to_bson", concat(
+          lit("""{"item":{"price":"""),
+          get_json_object($"props", "$.k"),
+          lit(""","tags":["""" ), $"event_type",
+          lit("""","x"],"name":""""), $"event_type",
+          lit(""""},"qty":"""), pmod($"event_id", lit(7)).cast(StringType),
+          lit(""","colors":{"$set":["red","blue"]}}"""))))
+        .select(
+          $"event_id",
+          cond($"b", """{"$EXPR": "item.price > :lo AND qty <= :hi",
+            "$VAL": {":lo": 50, ":hi": 3}}""").as("c_gt"),
+          cond($"b", """{"$EXPR": "begins_with(item.name, :p)",
+            "$VAL": {":p": "cl"}}""").as("c_begins"),
+          cond($"b", """{"$EXPR": "item.name IN (:a, :b)",
+            "$VAL": {":a": "click", ":b": "view"}}""").as("c_in"),
+          cond($"b", """{"$EXPR":
+            "size(item.tags) = :two AND contains(item.tags, :t)",
+            "$VAL": {":two": 2, ":t": "click"}}""").as("c_contains"),
+          cond($"b", """{"$EXPR": "#p BETWEEN :lo AND :hi",
+            "$VAL": {":lo": 20, ":hi": 60},
+            "$KEYS": {"#p": "item.price"}}""").as("c_alias"),
+          cond($"b", """{"qty": {"$gte": 5}}""").as("c_doc"),
+          cond($"b", """{"$EXPR":
+            "field_exists(colors) AND field_type(colors, :t) AND NOT field_not_exists(item)",
+            "$VAL": {":t": "SS"}}""").as("c_type"))
+    },
+
+    // BSON_UPDATE_EXPRESSION — $SET (literal, path arithmetic,
+    // $IF_NOT_EXISTS, array-index append), $UNSET, numeric/set $ADD,
+    // $DELETE_FROM_SET; results re-extracted as typed scalars so the
+    // oracle compares exact values.
+    "q_bson_update" -> { (s, dir) =>
+      import s.implicits._
+      GraftFunctions.register(s)
+      Tables.t(s, dir, "events")
+        .withColumn("b", call_function("to_bson", concat(
+          lit("""{"item":{"price":"""),
+          get_json_object($"props", "$.k"),
+          lit(""","tags":["""" ), $"event_type",
+          lit("""","x"],"name":""""), $"event_type",
+          lit(""""},"qty":"""), pmod($"event_id", lit(7)).cast(StringType),
+          lit(""","colors":{"$set":["red","blue"]}}"""))))
+        .withColumn("u", call_function("bson_update_expression", $"b",
+          lit("""{"$SET": {
+              "total": {"$ADD": ["item.price", "qty"]},
+              "flag": {"$IF_NOT_EXISTS": {"flag": "new"}},
+              "item.tags[9]": "z"},
+            "$UNSET": {"item.name": null},
+            "$ADD": {"qty": 10, "colors": {"$set": ["blue", "green"]}},
+            "$DELETE_FROM_SET": {"colors": {"$set": ["red"]}}}""")))
+        .select(
+          $"event_id",
+          call_function("bson_value", $"u", lit("total"), lit("BIGINT"))
+            .as("total"),
+          call_function("bson_value", $"u", lit("qty"), lit("BIGINT"))
+            .as("qty2"),
+          call_function("bson_value", $"u", lit("flag"), lit("VARCHAR"))
+            .as("flag"),
+          call_function("bson_value", $"u", lit("item.name"),
+            lit("VARCHAR")).as("name_gone"),
+          call_function("bson_value", $"u", lit("item.tags[2]"),
+            lit("VARCHAR")).as("tag_appended"),
+          call_function("bson_value", $"u", lit("colors.$set[0]"),
+            lit("VARCHAR")).as("color0"),
+          call_function("bson_value", $"u", lit("colors.$set[1]"),
+            lit("VARCHAR")).as("color1"))
+    },
+
     // §2.8 ENCODE_BINARY/DECODE_BINARY in the reference's three formats
     // (EncodeBinaryFunction.java: HEX lowercase, BASE64, HBASE escape).
     // The HBASE escape is exercised on raw md5 bytes (non-printables) via
@@ -537,6 +615,31 @@ object Functions {
         'INTEGER' AS tp_num,
         'VARCHAR' AS tp_str,
         'NULL' AS tp_missing
+      FROM events""",
+
+    "q_bson_condition" -> """
+      SELECT event_id,
+        (CAST(json_extract(props, '$.k') AS INTEGER) > 50
+          AND event_id % 7 <= 3) AS c_gt,
+        (event_type LIKE 'cl%') AS c_begins,
+        (event_type IN ('click', 'view')) AS c_in,
+        (event_type = 'click') AS c_contains,
+        (CAST(json_extract(props, '$.k') AS INTEGER) BETWEEN 20 AND 60)
+          AS c_alias,
+        (event_id % 7 >= 5) AS c_doc,
+        TRUE AS c_type
+      FROM events""",
+
+    "q_bson_update" -> """
+      SELECT event_id,
+        CAST(json_extract(props, '$.k') AS BIGINT) + (event_id % 7)
+          AS total,
+        (event_id % 7) + 10 AS qty2,
+        'new' AS flag,
+        CAST(NULL AS VARCHAR) AS name_gone,
+        'z' AS tag_appended,
+        'blue' AS color0,
+        'green' AS color1
       FROM events""",
 
     "q_encode_binary" -> """
