@@ -159,6 +159,20 @@ class BsonConditionSpec extends AnyFunSuite {
       "NestedMap1.NList1[3]", "VARCHAR") == "tail")
   }
 
+  test("bson condition/update queries stay scan-local in codegen") {
+    import org.apache.spark.sql.execution.ExplainMode
+    // per-row work is a projection over the scan: no exchange may appear,
+    // and the expressions must not break the whole-stage codegen span
+    // (they emit static-kernel calls, not CodegenFallback)
+    Seq("q_bson_condition", "q_bson_update").foreach { q =>
+      val plan = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(!plan.contains("Exchange"), s"$q shuffles:\n$plan")
+      assert(plan.contains("[codegen id :"), s"$q fell out of codegen:\n$plan")
+      assert(!plan.contains("CodegenFallback"), s"$q has fallback:\n$plan")
+    }
+  }
+
   test("update: invalid paths and operand types fail loudly") {
     GraftFunctions.register(spark)
     def fails(upd: String): Unit = {
