@@ -159,6 +159,38 @@ class BsonConditionSpec extends AnyFunSuite {
       "NestedMap1.NList1[3]", "VARCHAR") == "tail")
   }
 
+  test("review pins: operator dispatch, operand aliasing, malformed paths") {
+    // doc-style spec with several operators evaluates only the FIRST in
+    // $eq/$ne/$lt/$lte/$gt/$gte order — the reference's if/else-if
+    // dispatch (DocumentComparisonExpressionUtils.java:72-86): Id=101
+    // against {$gt:200,$lt:500} picks $lt and is TRUE despite $gt failing
+    assert(condOn(doc, """{"Id": {"$gt": 200, "$lt": 500}}""").get)
+    // ...so a real range must be written as $and (and works)
+    assert(!condOn(doc,
+      """{"$and": [{"Id": {"$gt": 200}}, {"Id": {"$lt": 500}}]}""").get)
+    // $IF_NOT_EXISTS copies the source subtree: a later op in the SAME
+    // update mutating the source must not leak into the copy
+    assert(updThen(doc,
+      """{"$SET": {"Backup": {"$IF_NOT_EXISTS": {"NestedMap1": 0}}},
+         "$UNSET": {"NestedMap1.ISBN": null}}""".replace("\n", " "),
+      "Backup.ISBN", "VARCHAR") == "111-1111111111")
+    // malformed array indexes fail loudly (reference: Integer.parseInt),
+    // not silently navigate index 72
+    GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql(s"""SELECT bson_condition_expression(to_bson('$doc'),
+        |'{"$$EXPR": "NestedList1[x] = :v", "$$VAL": {":v": 1}}')"""
+        .stripMargin).collect()
+    }
+    assert(e.getMessage.contains("non-numeric array index"))
+    val e2 = intercept[Exception] {
+      spark.sql(s"""SELECT bson_value(bson_update_expression(
+        |to_bson('$doc'), '{"$$SET": {"NestedList1[1x].a": 5}}'),
+        |'Id', 'INTEGER')""".stripMargin).collect()
+    }
+    assert(e2.getMessage.contains("non-numeric array index"))
+  }
+
   test("bson condition/update queries stay scan-local in codegen") {
     import org.apache.spark.sql.execution.ExplainMode
     // per-row work is a projection over the scan: no exchange may appear,
