@@ -45,13 +45,20 @@ object Tables {
     * Also used by the streaming specs so stream reads see exactly the
     * batch column type. */
   def normalizeTs(df: DataFrame): DataFrame =
-    df.schema.find(_.name == "ts").map(_.dataType) match {
-      case Some(types.LongType) =>
-        df.withColumn("ts",
-          functions.timestamp_micros(functions.expr("ts div 1000")))
-      case Some(types.TimestampNTZType) =>
-        df.withColumn("ts", functions.col("ts").cast(types.TimestampType))
-      case _ => df
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      f.dataType match {
+        // nanos-as-long only ever applies to the event-time column; other
+        // Long columns are genuine BIGINTs and must not be touched
+        case types.LongType if f.name == "ts" =>
+          d.withColumn("ts",
+            functions.timestamp_micros(functions.expr("ts div 1000")))
+        // ANY NTZ column normalizes — future fixture regenerations may
+        // add timestamp columns beyond events.ts
+        case types.TimestampNTZType =>
+          d.withColumn(f.name,
+            functions.col(f.name).cast(types.TimestampType))
+        case _ => d
+      }
     }
 
   /** Register every table as a temp view so spark.sql(...) queries can use

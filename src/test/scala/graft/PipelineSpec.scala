@@ -737,6 +737,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("degenerate LSH bucket drops in O(maxBucket) memory, healthy pairs survive") {
+    import spark.implicits._
+    // 50k identical boilerplate docs share every signature chunk — the
+    // exact shape the capped collect guards: each (chunk_idx, chunk)
+    // bucket holds all 50k members and must tombstone at maxBucket
+    // instead of materializing (the pre-round-8 collect-then-filter
+    // shape buffered the full bucket before dropping it). Two healthy
+    // near-dup docs ride along and must still pair up.
+    val boiler = spark.range(100000, 150000)
+      .select($"id".as("doc_id"), lit("the same boilerplate text").as("text"))
+    val healthy = Seq(
+      (1L, "a genuinely unique document about spark shuffles and joins"),
+      (2L, "a genuinely unique document about spark shuffles and joins"))
+      .toDF("doc_id", "text")
+    val pairs = operators.Dedup.simhashNearDups(
+        boiler.union(healthy), "text", "doc_id",
+        maxHamming = 3, maxBucket = 1000)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)),
+      s"boilerplate bucket must drop, healthy pair must survive: $pairs")
+  }
+
   test("packing offsets stay sequential when hash keys collide") {
     import spark.implicits._
     // ids 1 and 2^32+1 share k = id*2654435761 mod 2^32; the old RANGE
