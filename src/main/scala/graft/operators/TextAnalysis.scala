@@ -197,6 +197,57 @@ object TextAnalysis {
           .as("avg_neg_logp"))
   }
 
+  /** BM25 top-k document ranking for a constant query — query-based
+    * relevance mining over a corpus (selecting training docs that match a
+    * domain probe, ranking contamination candidates). Okapi BM25
+    * (Robertson et al., "Okapi at TREC-3", 1994) with the +1-smoothed
+    * Robertson–Spärck Jones idf Lucene uses:
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5)),
+    * score(d) = Σ_{t∈q} idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)).
+    *
+    * Shape at scale: document length is scan-local (size of the token
+    * split, no shuffle); the tf aggregate runs only over QUERY tokens —
+    * the isin filter drops everything else map-side, so the exchange
+    * carries at most |q| rows per doc instead of the vocabulary; df and
+    * avgdl are tiny broadcast aggregates; the final per-doc sum shuffles
+    * only docs containing at least one query term; top-k is
+    * TakeOrderedAndProject. Per-term scores are quantized to 1e-8 as
+    * scaled longs before the sum (the [[unigramLogProb]] trick), so the
+    * aggregate is order-independent and engine-exact. */
+  def bm25TopK(df: DataFrame, textCol: String, idCol: String,
+      query: Seq[String], k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val qTerms = query.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    require(qTerms.nonEmpty, "BM25 query must have at least one term")
+    val docs = df.where(col(textCol).isNotNull)
+    val toks = docs.select(col(idCol).as("doc"),
+        split(lower(trim(col(textCol))), "\\s+").as("w"))
+      .select(col("doc"), size(col("w")).as("dl"),
+        explode(col("w")).as("term"))
+    val lens = docs.select(
+        size(split(lower(trim(col(textCol))), "\\s+")).cast(LongType).as("dl"))
+      .agg(sum(col("dl")).as("total_dl"), count(lit(1)).as("n_docs"))
+    val tf = toks.where(col("term").isin(qTerms: _*))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // written with the exact literal shape the oracle uses so both
+    // engines evaluate the identical FP expression tree
+    val avgdl = col("total_dl").cast(DoubleType) / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+    val termScore = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(lens))
+      .groupBy(col("doc"))
+      .agg((sum(round(termScore * lit(1e8)).cast(LongType))
+        .cast(DoubleType) / lit(1e8)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc"))
+      .limit(k)
+  }
+
   /** Corpus term statistics: term frequency and document frequency per
     * token — the vocabulary/IDF building block. One explode + one groupBy:
     * partial aggregation combines map-side, so the shuffle is

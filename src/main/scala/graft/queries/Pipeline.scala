@@ -327,6 +327,13 @@ object Pipeline {
         .orderBy(col("doc"), col("term"))
     },
 
+    // BM25 query-relevance ranking (Okapi, Lucene idf): top-k docs for a
+    // fixed domain probe — the tf shuffle is pre-filtered to query terms.
+    "q_bm25_topk" -> { (s, dir) =>
+      TextAnalysis.bm25TopK(Tables.t(s, dir, "documents"), "text", "doc_id",
+        query = Seq("customer", "vector", "slow", "merge"), k = 10)
+    },
+
     // Int8 embedding quantization (storage path at corpus scale): scale +
     // quantized bytes, hex-serialized for the driver compare — the full
     // quantized content is oracle-checked, not a sample.
@@ -1000,6 +1007,35 @@ object Pipeline {
               ORDER BY tfidf DESC, term) AS rn FROM s)
       SELECT doc, term, tfidf FROM r WHERE rn <= 3
       ORDER BY doc, term""",
+
+    "q_bm25_topk" -> raw"""
+      WITH tok AS (
+        SELECT doc_id AS doc,
+          len(string_split_regex(lower(trim(text)), '\s+')) AS dl,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents WHERE text IS NOT NULL),
+      lens AS (
+        SELECT sum(len(string_split_regex(lower(trim(text)), '\s+')))
+            AS total_dl,
+          count(text) AS n_docs
+        FROM documents WHERE text IS NOT NULL),
+      tf AS (
+        SELECT doc, term, max(dl) AS dl, count(*) AS tf FROM tok
+        WHERE term IN ('customer', 'vector', 'slow', 'merge')
+        GROUP BY doc, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      s AS (
+        SELECT doc,
+          sum(CAST(round(
+            ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+            * (tf * 2.2)
+            / (tf + 1.2 * (1.0 - 0.75
+                + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs)))
+            * 1e8) AS BIGINT)) AS ssum
+        FROM tf JOIN dfreq USING (term) CROSS JOIN lens
+        GROUP BY doc)
+      SELECT doc, CAST(ssum AS DOUBLE) / 1e8 AS bm25 FROM s
+      ORDER BY bm25 DESC, doc LIMIT 10""",
 
     "q_embed_quantize" -> """
       WITH t AS (SELECT vec_id, embedding,

@@ -737,6 +737,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("bm25 ranks by term frequency, rarity, and length normalization") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark spark filler filler filler filler filler"), // tf=3
+      (2L, "spark filler filler filler filler filler filler filler"), // tf=1
+      (3L, "spark spark spark"), // tf=3, short doc → higher than doc 1
+      (4L, "filler filler filler filler filler filler filler filler"), // no hit
+      (5L, "rare spark filler filler filler filler filler filler")) // 2 terms
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis
+      .bm25TopK(docs, "text", "doc_id", Seq("spark", "rare"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val rank = got.map(_._1).toSeq
+    val score = got.toMap
+    // doc 4 has no query term → absent entirely
+    assert(!score.contains(4L))
+    // rare term dominates: doc 5 holds both 'rare' (df=1) and 'spark'
+    assert(rank.head == 5L)
+    // same tf, shorter doc wins (length normalization): 3 above 1
+    assert(score(3L) > score(1L))
+    // higher tf wins at equal length: 1 above 2
+    assert(score(1L) > score(2L))
+    // scores strictly positive and sorted desc
+    assert(got.map(_._2).toSeq == got.map(_._2).sortBy(-_).toSeq)
+    assert(got.forall(_._2 > 0))
+  }
+
   test("degenerate LSH bucket drops in O(maxBucket) memory, healthy pairs survive") {
     import spark.implicits._
     // 50k identical boilerplate docs share every signature chunk — the
