@@ -35,6 +35,39 @@ object Similarity {
   def cosine(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
+  /** Hybrid sparse+dense retrieval via Reciprocal Rank Fusion (Cormack,
+    * Clarke, Büttcher, "Reciprocal rank fusion outperforms Condorcet and
+    * individual rank learning methods", SIGIR 2009): fuse a BM25 keyword
+    * branch and an embedding-cosine branch by
+    * score(d) = Σ_branch 1/(c + rank_branch(d)), c = 60 — rank-based, so
+    * no score calibration between branches and exactly reproducible
+    * (integer ranks, two fixed-order double additions).
+    *
+    * Shape at scale: each branch is its own bounded top-`poolSize`
+    * (BM25's query-filtered aggregate / cosine's TakeOrderedAndProject);
+    * the rank windows and the fusion join then run over ≤ poolSize rows
+    * per branch — a single-task tail no matter the corpus size. */
+  def hybridTopK(docs: DataFrame, textCol: String, docIdCol: String,
+      emb: DataFrame, vecCol: String, vecIdCol: String,
+      query: Seq[String], queryVecId: Long, k: Int = 10,
+      poolSize: Int = 100, c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = TextAnalysis.bm25TopK(docs, textCol, docIdCol, query,
+        k = poolSize)
+      .select(col("doc"), row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc"))).as("r_sparse"))
+    val dense = cosineTopK(emb, vecCol, vecIdCol, queryVecId, poolSize)
+      .select(col(vecIdCol).as("doc"), row_number()
+        .over(Window.orderBy(col("sim").desc, col(vecIdCol))).as("r_dense"))
+    sparse.join(dense, Seq("doc"), "full_outer")
+      .select(col("doc"),
+        (coalesce(lit(1.0) / (lit(c) + col("r_sparse")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("r_dense")), lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc"))
+      .limit(k)
+  }
+
   /** Brute-force cosine top-k against a query vector taken from the table
     * itself (queryId row). Tie-break on id for determinism. */
   def cosineTopK(emb: DataFrame, vecCol: String, idCol: String,

@@ -334,6 +334,16 @@ object Pipeline {
         query = Seq("customer", "vector", "slow", "merge"), k = 10)
     },
 
+    // Hybrid sparse+dense retrieval: RRF over the BM25 branch and the
+    // cosine branch (doc_id aligns with vec_id in the fixture).
+    "q_hybrid_topk" -> { (s, dir) =>
+      Similarity.hybridTopK(
+        Tables.t(s, dir, "documents"), "text", "doc_id",
+        Tables.t(s, dir, "embeddings"), "embedding", "vec_id",
+        query = Seq("customer", "vector", "slow", "merge"),
+        queryVecId = 0L, k = 15, poolSize = 50)
+    },
+
     // Int8 embedding quantization (storage path at corpus scale): scale +
     // quantized bytes, hex-serialized for the driver compare — the full
     // quantized content is oracle-checked, not a sample.
@@ -1036,6 +1046,56 @@ object Pipeline {
         GROUP BY doc)
       SELECT doc, CAST(ssum AS DOUBLE) / 1e8 AS bm25 FROM s
       ORDER BY bm25 DESC, doc LIMIT 10""",
+
+    "q_hybrid_topk" -> raw"""
+      WITH tok AS (
+        SELECT doc_id AS doc,
+          len(string_split_regex(lower(trim(text)), '\s+')) AS dl,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents WHERE text IS NOT NULL),
+      lens AS (
+        SELECT sum(len(string_split_regex(lower(trim(text)), '\s+')))
+            AS total_dl,
+          count(text) AS n_docs
+        FROM documents WHERE text IS NOT NULL),
+      tf AS (
+        SELECT doc, term, max(dl) AS dl, count(*) AS tf FROM tok
+        WHERE term IN ('customer', 'vector', 'slow', 'merge')
+        GROUP BY doc, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      bm AS (
+        SELECT doc,
+          sum(CAST(round(
+            ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+            * (tf * 2.2)
+            / (tf + 1.2 * (1.0 - 0.75
+                + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs)))
+            * 1e8) AS BIGINT)) AS ssum
+        FROM tf JOIN dfreq USING (term) CROSS JOIN lens
+        GROUP BY doc),
+      sparse AS (
+        SELECT doc, row_number() OVER (ORDER BY score DESC, doc) AS r_sparse
+        FROM (SELECT doc, CAST(ssum AS DOUBLE) / 1e8 AS score FROM bm
+          ORDER BY score DESC, doc LIMIT 50)),
+      qv AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      cos AS (
+        SELECT vec_id AS doc,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(qv,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        FROM embeddings, qv
+        ORDER BY sim DESC, vec_id ASC LIMIT 50),
+      dense AS (
+        SELECT doc, row_number() OVER (ORDER BY sim DESC, doc) AS r_dense
+        FROM cos)
+      SELECT COALESCE(sparse.doc, dense.doc) AS doc,
+        COALESCE(1.0 / (60 + r_sparse), 0.0)
+          + COALESCE(1.0 / (60 + r_dense), 0.0) AS rrf
+      FROM sparse FULL JOIN dense ON sparse.doc = dense.doc
+      ORDER BY rrf DESC, doc LIMIT 15""",
 
     "q_embed_quantize" -> """
       WITH t AS (SELECT vec_id, embedding,

@@ -764,6 +764,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall(_._2 > 0))
   }
 
+  test("hybrid RRF fuses both branches, two-branch docs beat one-branch") {
+    import spark.implicits._
+    // doc 1: top of BOTH branches; doc 2: sparse-only; doc 3: dense-only
+    val docs = Seq(
+      (1L, "spark spark spark"),
+      (2L, "spark spark filler"),
+      (3L, "filler filler filler"))
+      .toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), // query
+      (1L, Array(0.99f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.9f, 0.3f)))
+      .toDF("vec_id", "embedding")
+    val got = operators.Similarity.hybridTopK(
+        docs, "text", "doc_id", emb, "embedding", "vec_id",
+        Seq("spark"), queryVecId = 0L, k = 10, poolSize = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    val score = got.toMap
+    // doc 1 leads both branches → rrf = 1/61 + 1/62; beats everything
+    assert(got.head._1 == 1L)
+    assert(math.abs(score(1L) - (1.0 / 61 + 1.0 / 62)) < 1e-12)
+    // two-branch presence beats a single branch at any achievable rank
+    // here; docs 2 and 3 each appear in exactly one branch
+    assert(score(1L) > score(2L) && score(1L) > score(3L))
+    // the query row itself (vec_id 0) ranks in the dense branch but has
+    // no document text — it still fuses in via the full outer join
+    assert(score.contains(0L))
+  }
+
   test("degenerate LSH bucket drops in O(maxBucket) memory, healthy pairs survive") {
     import spark.implicits._
     // 50k identical boilerplate docs share every signature chunk — the
