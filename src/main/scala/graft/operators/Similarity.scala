@@ -68,6 +68,84 @@ object Similarity {
       .limit(k)
   }
 
+  /** Maximal Marginal Relevance diversified selection (Carbonell &
+    * Goldstein, SIGIR 1998) over a retrieval pool: greedily pick k items
+    * maximizing λ·rel(d) − (1−λ)·max_{s∈selected} cos(d, s) — the
+    * standard way to turn a redundant top-N (near-duplicate hits ranked
+    * adjacent) into a diverse training/eval subset.
+    *
+    * MMR is inherently sequential (each pick changes the next
+    * marginal), so it runs on a BOUNDED pool: the input must already be
+    * a top-`maxPool` retrieval result ([[cosineTopK]], [[hybridTopK]],
+    * [[graft.operators.TextAnalysis.bm25TopK]]); the pool is collected
+    * to the driver (hard-capped at `maxPool`, same bounded-collect
+    * pattern as the IVF/PQ training samples) and the O(pool²·dim) greedy
+    * runs there. At 100 TB the corpus-sized work is the retrieval that
+    * BUILT the pool — this tail is constant-sized by construction; a
+    * pool larger than the cap fails loudly rather than silently
+    * truncating the selection. Ties break on id for determinism. */
+  def mmrSelect(pool: DataFrame, idCol: String, relCol: String,
+      vecCol: String, k: Int, lambda: Double = 0.7,
+      maxPool: Int = 10000): DataFrame = {
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1], got $lambda")
+    val spark = pool.sparkSession
+    import spark.implicits._
+    val rows = pool.select(col(idCol).cast(LongType),
+        col(relCol).cast(DoubleType), col(vecCol))
+      .limit(maxPool + 1).collect()
+    require(rows.length <= maxPool,
+      s"mmrSelect pool exceeds maxPool=$maxPool — MMR is a bounded-pool " +
+        "tail stage; shrink the retrieval pool or raise maxPool")
+    val ids = rows.map(_.getLong(0))
+    val rel = rows.map(_.getDouble(1))
+    val vecs = rows.map(_.getSeq[Any](2).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0) 0.0 else dp / d
+    }
+    val n = rows.length
+    val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val maxSim = Array.fill(n)(0.0) // max cos vs selected so far
+    val taken = new Array[Boolean](n)
+    while (selected.length < math.min(k, n)) {
+      var best = -1
+      var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val s =
+            if (selected.isEmpty) rel(i) // first pick is pure relevance
+            else lambda * rel(i) - (1 - lambda) * maxSim(i)
+          if (s > bestScore || (s == bestScore && best >= 0 &&
+              ids(i) < ids(best))) {
+            best = i; bestScore = s
+          }
+        }
+        i += 1
+      }
+      taken(best) = true
+      selected += best
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) {
+          val c = cos(vecs(j), vecs(best))
+          if (c > maxSim(j)) maxSim(j) = c
+        }
+        j += 1
+      }
+    }
+    selected.zipWithIndex
+      .map { case (i, r) => (ids(i), r + 1, rel(i)) }.toSeq
+      .toDF("id", "mmr_rank", "rel")
+  }
+
   /** Brute-force cosine top-k against a query vector taken from the table
     * itself (queryId row). Tie-break on id for determinism. */
   def cosineTopK(emb: DataFrame, vecCol: String, idCol: String,

@@ -334,6 +334,17 @@ object Pipeline {
         query = Seq("customer", "vector", "slow", "merge"), k = 10)
     },
 
+    // MMR diversified selection over a bounded retrieval pool — greedy is
+    // inherently sequential, so no SQL oracle; semantics ScalaTested
+    // (first pick pure relevance, near-duplicates demoted, determinism).
+    "q_mmr_select" -> { (s, dir) =>
+      val emb = Tables.t(s, dir, "embeddings")
+      val pool = Similarity.cosineTopK(emb, "embedding", "vec_id", 0L, 100)
+        .join(emb.select(col("vec_id"), col("embedding")), "vec_id")
+      Similarity.mmrSelect(pool, "vec_id", "sim", "embedding",
+        k = 20, lambda = 0.7)
+    },
+
     // Hybrid sparse+dense retrieval: RRF over the BM25 branch and the
     // cosine branch (doc_id aligns with vec_id in the fixture).
     "q_hybrid_topk" -> { (s, dir) =>

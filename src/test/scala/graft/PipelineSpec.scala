@@ -764,6 +764,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.forall(_._2 > 0))
   }
 
+  test("mmr demotes near-duplicates and keeps pure relevance for pick #1") {
+    import spark.implicits._
+    // items 1 and 2 are identical vectors (near-dups) with top relevance;
+    // item 3 is orthogonal with lower relevance
+    val pool = Seq(
+      (1L, 1.00, Array(1.0f, 0.0f)),
+      (2L, 0.99, Array(1.0f, 0.0f)),
+      (3L, 0.50, Array(0.0f, 1.0f)))
+      .toDF("id", "rel", "vec")
+    val got = operators.Similarity
+      .mmrSelect(pool, "id", "rel", "vec", k = 3, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // pick 1: highest relevance. pick 2: item 2 scores .5*.99-.5*1.0 < 0,
+    // item 3 scores .5*.5-.5*0 = .25 → the DIVERSE item wins despite
+    // lower relevance. pick 3: the duplicate comes last.
+    assert(got.toSeq == Seq((1L, 1), (3L, 2), (2L, 3)))
+    // deterministic across runs
+    val again = operators.Similarity
+      .mmrSelect(pool, "id", "rel", "vec", k = 3, lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(again.toSeq == got.toSeq)
+    // oversized pool fails loudly instead of silently truncating
+    val e = intercept[IllegalArgumentException] {
+      operators.Similarity.mmrSelect(pool, "id", "rel", "vec",
+        k = 2, maxPool = 2)
+    }
+    assert(e.getMessage.contains("maxPool"))
+  }
+
   test("hybrid RRF fuses both branches, two-branch docs beat one-branch") {
     import spark.implicits._
     // doc 1: top of BOTH branches; doc 2: sparse-only; doc 3: dense-only
