@@ -329,6 +329,71 @@ object Dedup {
     verifyCandidates(cands, sig, shT, numHashes, threshold)
   }
 
+  /** MinHash signature table (id, sig) — the stored artifact an ingest
+    * pipeline persists once per corpus and reuses every delta batch via
+    * [[incrementalNearDupsPrepared]], the signature analog of the
+    * fingerprint table in the exact-dedup incremental path. Parameters
+    * must match the later call (same shingleSize/numHashes). */
+  def signatureTable(docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 2, numHashes: Int = 32): DataFrame = {
+    val shT = shingleTable(docs, textCol, idCol, shingleSize)
+      .where(size(col("sh")) > 0)
+    shT.select(col("id"), fastSignature(shT, "sh", numHashes).as("sig"))
+  }
+
+  /** [[incrementalNearDups]] against a PERSISTED corpus signature table:
+    * identical pair output, but the corpus-side shingle+signature kernel
+    * — the dominant per-batch cost, linear in CORPUS size where the
+    * delta is small — is not recomputed at ingest time. Corpus text is
+    * consulted only for docs that survive the signature-agreement prune:
+    * the exact-Jaccard verify shingles exactly those rows via a
+    * candidate-id semi-join, so the per-batch work scales with the delta
+    * and its collision neighborhood, not the corpus. The pruned
+    * candidate set is localCheckpoint-ed (lazily) because both the
+    * semi-join and the final verify consume it — without the checkpoint
+    * the corpus-sized signature joins would run twice. */
+  def incrementalNearDupsPrepared(corpusSig: DataFrame, corpus: DataFrame,
+      delta: DataFrame, textCol: String, idCol: String, threshold: Double,
+      shingleSize: Int = 2, numHashes: Int = 32, bands: Int = 16,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    graft.functions.GraftFunctions.register(delta.sparkSession)
+    val deltaShT = shingleTable(delta, textCol, idCol, shingleSize)
+      .where(size(col("sh")) > 0)
+    val deltaSig = deltaShT.select(col("id"),
+      fastSignature(deltaShT, "sh", numHashes).as("sig"))
+    val sigAll = corpusSig.select(col("id"), col("sig"), lit(0).as("is_delta"))
+      .unionByName(deltaSig.withColumn("is_delta", lit(1)))
+    val cands = bandedPairsMarked(sigAll, bands, r, maxBucket)
+    val margin = 2 * math.sqrt(threshold * (1 - threshold) / numHashes)
+    val minAgree = math.ceil((threshold - margin) * numHashes).toInt
+    val sigOnly = sigAll.select(col("id"), col("sig"))
+    val pruned = cands
+      .join(sigOnly.toDF("id_a", "sig_a"), "id_a")
+      .join(sigOnly.toDF("id_b", "sig_b"), "id_b")
+      .where(call_function("sig_agreement", col("sig_a"), col("sig_b"))
+        >= minAgree)
+      .select("id_a", "id_b")
+      .distinct()
+      .localCheckpoint(false)
+    val candIds = pruned.select(col("id_a").as("cid"))
+      .union(pruned.select(col("id_b").as("cid"))).distinct()
+    val corpusCandShT = shingleTable(
+        corpus.join(candIds, col(idCol) === col("cid"), "left_semi"),
+        textCol, idCol, shingleSize)
+      .where(size(col("sh")) > 0)
+    val shAll = deltaShT.select(col("id"), col("sh"))
+      .unionByName(corpusCandShT.select(col("id"), col("sh")))
+    pruned
+      .join(shAll.toDF("id_a", "sh_a"), "id_a")
+      .join(shAll.toDF("id_b", "sh_b"), "id_b")
+      .withColumn("jac",
+        call_function("jaccard_sim", col("sh_a"), col("sh_b")))
+      .where(col("jac") >= threshold)
+      .select("id_a", "id_b", "jac")
+  }
+
   /** Mersenne prime 2^31-1: universal-hash modulus. Base hashes and seeds
     * stay below 2^31 so a*h+b never overflows a signed long (ANSI mode). */
   private val P = 2147483647L

@@ -964,6 +964,14 @@ class PipelineSpec extends AnyFunSuite {
     assert(full.exists { case (a, b) => a < 150 && b < 150 },
       "fixture should contain corpus-internal pairs the incremental " +
         "path skips — otherwise this test proves nothing")
+    // the prepared-signature path (persisted corpus signatures, corpus
+    // text shingled only for prune survivors) must be pair-identical
+    val prepared = Dedup.incrementalNearDupsPrepared(
+        Dedup.signatureTable(corpus, "text", "doc_id"), corpus, delta,
+        "text", "doc_id", threshold = 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(prepared === inc)
   }
 
   test("incremental exact dedup classifies corpus/delta/new correctly") {
