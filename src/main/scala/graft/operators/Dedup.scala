@@ -341,6 +341,25 @@ object Dedup {
     shT.select(col("id"), fastSignature(shT, "sh", numHashes).as("sig"))
   }
 
+  /** Banded bucket table for streaming near-dup detection
+    * ([[graft.streaming.EventStreams.nearDupPairsStream]]): one row per
+    * (corpus doc, band) carrying the bucket key and the doc's shingles
+    * for the exact-Jaccard verify. Persist alongside [[signatureTable]];
+    * parameters must match the stream side. */
+  def signatureBuckets(docs: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 2, numHashes: Int = 32,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val shT = shingleTable(docs, textCol, idCol, shingleSize)
+      .where(size(col("sh")) > 0)
+    shT.select(col("id").as("corpus_id"), col("sh").as("c_sh"),
+        fastSignature(shT, "sh", numHashes).as("c_sig"))
+      .select(col("corpus_id"), col("c_sh"),
+        posexplode(bandBucketArray(col("c_sig"), bands, r)))
+      .toDF("corpus_id", "c_sh", "band", "bucket")
+  }
+
   /** [[incrementalNearDups]] against a PERSISTED corpus signature table:
     * identical pair output, but the corpus-side shingle+signature kernel
     * — the dominant per-batch cost, linear in CORPUS size where the
@@ -465,11 +484,19 @@ object Dedup {
     * callers that filter the stream first and dedupe the survivors:
     * a pair duplicated across k agreeing bands costs k cheap map-side
     * filter evaluations instead of one corpus-candidate-sized exchange. */
+  /** Banded LSH bucket keys for a signature: bucket b = the joined
+    * r-slice of band b. Shared by the batch pair generators, the
+    * persisted [[signatureBuckets]] table, and the streaming detector so
+    * all three bucket identically. */
+  private[graft] def bandBucketArray(sig: Column, bands: Int,
+      r: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => concat_ws("_", slice(sig, b * r + 1, lit(r))))
+
   private def bandedPairs(sig: DataFrame, bands: Int, r: Int,
       maxBucket: Int, dedupe: Boolean = true): DataFrame = {
-    val buckets = sig.select(col("id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
+    val buckets = sig.select(col("id"),
+      posexplode(bandBucketArray(col("sig"), bands, r)))
       .toDF("id", "band", "bucket")
     val pairs = buckets.groupBy(col("band"), col("bucket"))
       .agg(sort_array(cappedCollect(col("id"), maxBucket)).as("ids"))
@@ -489,9 +516,8 @@ object Dedup {
     * (ids are unique), so pair order matches the unmarked path. */
   private def bandedPairsMarked(sig: DataFrame, bands: Int, r: Int,
       maxBucket: Int): DataFrame = {
-    val buckets = sig.select(col("id"), col("is_delta"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws("_", slice(col("sig"), b * r + 1, lit(r))))))
+    val buckets = sig.select(col("id"), col("is_delta"),
+      posexplode(bandBucketArray(col("sig"), bands, r)))
       .toDF("id", "d", "band", "bucket")
     buckets.groupBy(col("band"), col("bucket"))
       .agg(sort_array(

@@ -81,6 +81,52 @@ object EventStreams {
         lower(trim(col(textCol))), lowered))
   }
 
+  /** Streaming near-duplicate detection for document ingest: each
+    * incoming doc's MinHash signature is banded with the SAME bucketing
+    * as the batch LSH paths and joined stream-static against a PERSISTED
+    * corpus bucket table ([[graft.operators.Dedup.signatureBuckets]]);
+    * band collisions are verified with EXACT Jaccard against the corpus
+    * shingles riding the bucket rows. Emits (id, corpus_id, jac)
+    * match pairs — the ingest decision (quarantine, drop, upsert) lives
+    * in the sink, which is where a production pipeline makes it.
+    *
+    * Stateless by construction: per-doc signature/banding are scan-local
+    * expressions and the join is stream-static, so no watermark or state
+    * store is involved and the corpus can be arbitrarily large (it is a
+    * static table, shuffled or broadcast by the planner per batch).
+    * A pair that collides in several bands is emitted once per agreeing
+    * band — dedupe in the sink (`dropDuplicates` inside foreachBatch)
+    * if multiplicity matters; a stateful stream-level distinct would
+    * need unbounded state for no semantic gain.
+    *
+    * @param corpusBuckets [[graft.operators.Dedup.signatureBuckets]]
+    *   output (corpus_id, c_sh, band, bucket); shingle/hash parameters
+    *   must match this call's
+    */
+  def nearDupPairsStream(docs: DataFrame, corpusBuckets: DataFrame,
+      textCol: String, idCol: String, threshold: Double,
+      shingleSize: Int = 2, numHashes: Int = 32,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .withColumn("sh", call_function("word_shingles",
+        split(lower(trim(col(textCol))), "\\s+"), lit(shingleSize)))
+      .where(size(col("sh")) > 0)
+      .withColumn("sig",
+        call_function("minhash_signature", col("sh"), lit(numHashes)))
+      .select(col(idCol).as("id"), col("sh"),
+        posexplode(graft.operators.Dedup.bandBucketArray(
+          col("sig"), bands, r)))
+      .toDF("id", "sh", "band", "bucket")
+      .join(corpusBuckets, Seq("band", "bucket"))
+      .withColumn("jac",
+        call_function("jaccard_sim", col("sh"), col("c_sh")))
+      .where(col("jac") >= threshold)
+      .select(col("id"), col("corpus_id"), col("jac"))
+  }
+
   /** Streaming as-of enrichment against a STATIC dimension: each stream
     * row picks up the latest static row with the same key at-or-before
     * its event time (the ingest-time form of

@@ -433,6 +433,44 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup detection matches batch corpus-vs-delta pairs") {
+    val docDir = java.nio.file.Files.createTempDirectory("graft_docs_nd")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      docDir.resolve("documents.parquet"))
+    val all = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+    val corpus = all.where(col("doc_id") < 25)
+    // persisted-artifact side: banded buckets w/ shingles, built once
+    val buckets = operators.Dedup.signatureBuckets(
+      corpus, "text", "doc_id")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(docDir.toString).schema)
+      .parquet(docDir.toString)
+      .where(col("doc_id") >= 25)
+    val q = EventStreams.nearDupPairsStream(stream, buckets,
+        "text", "doc_id", threshold = 0.3)
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // per-band multiplicity is documented — dedupe like a sink would
+      val got = spark.sql(
+          "SELECT DISTINCT id, corpus_id FROM neardup_out").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)))).toSet
+      // batch truth: delta-touching pairs with exactly one corpus side
+      val batch = operators.Dedup.incrementalNearDups(
+          corpus, all.where(col("doc_id") >= 25),
+          "text", "doc_id", threshold = 0.3)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+        .filter { case (a, b) => (a < 25) != (b < 25) }.toSet
+      assert(got == batch,
+        s"stream pairs must equal batch cross pairs: $got vs $batch")
+      assert(got.nonEmpty, "fixture should contain cross near-dups")
+    } finally q.stop()
+  }
+
   test("streaming phrase filter matches the batch filter") {
     val docDir = java.nio.file.Files.createTempDirectory("graft_docs_pf")
     java.nio.file.Files.copy(
