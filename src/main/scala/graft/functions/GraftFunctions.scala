@@ -257,6 +257,10 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "text_metrics", e => TextMetrics(e.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "normalize_text", e => NormalizeText(e.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "c4_line_stats", e => C4LineStats(e.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "line_repetition", e => LineRepetition(e.head), "built-in")
     reg.createOrReplaceTempFunction(
       "bpe_tokens", e => BpeTokens(e(0), e(1)), "built-in")

@@ -303,6 +303,42 @@ object TextAnalysis {
   def containsAnyPhrase(text: Column, phrases: Seq[String]): Column =
     size(matchedPhrases(text, phrases)) > 0
 
+  /** Unicode text normalization (the ftfy/CCNet-style pre-dedup repair
+    * pass): NFC composition, zero-width chars dropped, NBSP → space,
+    * stray control chars dropped, space/tab runs collapsed, edges
+    * trimmed — one fused pass ([[graft.functions.NormalizeText]]; the
+    * composed form is nfc + a 4-deep regexp_replace chain re-scanning
+    * every document per rule). Run BEFORE fingerprint/minhash so
+    * visually identical docs hash identically. Callers need
+    * `GraftFunctions.register` on the session (DataFrame entry points
+    * here do it for you). */
+  def normalizeText(text: Column): Column =
+    call_function("normalize_text", text)
+
+  /** C4 cleaning rules (Raffel et al. 2020 §2.2) as one fused scan
+    * ([[graft.functions.C4LineStats]]): keeps lines that end in terminal
+    * punctuation, have ≥ 3 words, and don't mention "javascript";
+    * flags documents with < `minSentences` sentences, "lorem ipsum", or
+    * curly braces. Returns (doc, clean_text, n_lines, n_kept,
+    * n_sentences, has_lorem, has_brace, keep) — filter on `keep` for
+    * the published behavior; the bad-words rule is the separate
+    * Aho-Corasick blocklist pass ([[matchedPhrases]]) over clean_text.
+    * Scan-local, no shuffle: at corpus scale this is pure map work. */
+  def c4Clean(df: DataFrame, textCol: String, idCol: String,
+      minSentences: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    df.select(col(idCol).as("doc"),
+        call_function("c4_line_stats", col(textCol)).as("c4"))
+      .select(col("doc"), col("c4.clean_text").as("clean_text"),
+        col("c4.n_lines").as("n_lines"), col("c4.n_kept").as("n_kept"),
+        col("c4.n_sentences").as("n_sentences"),
+        col("c4.has_lorem").as("has_lorem"),
+        col("c4.has_brace").as("has_brace"))
+      .withColumn("keep",
+        col("n_sentences") >= minSentences &&
+          !col("has_lorem") && !col("has_brace"))
+  }
+
   /** Gopher repetition filters (Rae et al. 2021, App. A1.1): per-doc
     * fractions of duplicated lines/paragraphs (count and character
     * weighted), the character share of the single most frequent

@@ -531,6 +531,46 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // Unicode normalization (ftfy/CCNet-style pre-dedup repair): NFC +
+    // zero-width strip + NBSP→space + control strip + space-run
+    // collapse, ONE fused scan-local pass. The fixture is clean ASCII,
+    // so the query wraps each doc in deterministic mess both engines
+    // build identically: combining accents (NFC composes e+́→é, Z+́→Ź),
+    // NBSP, zero-width space, BEL, tab runs, edge spaces.
+    "q_text_normalize" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val messy = concat(
+        lit("  \u00A0Cafe\u0301 \u200B"), col("text"),
+        lit("\t\u0007\tZ\u0301  "))
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id").as("doc"),
+          TextAnalysis.normalizeText(messy).as("clean"))
+        .withColumn("n_chars", length(col("clean")))
+        .orderBy(col("doc"))
+    },
+
+    // C4 cleaning rules (Raffel et al. 2020 §2.2), one fused pass:
+    // line filters (terminal punctuation, ≥3 words, no "javascript")
+    // + document flags (≥5 sentences, "lorem ipsum", curly braces).
+    // Sentences become lines as in q_gopher_repetition; injected junk
+    // lines exercise every rule non-trivially (a 1-word line, a
+    // javascript line on doc_id%5, a lorem+brace line on doc_id%7).
+    "q_c4_clean" -> { (s, dir) =>
+      val t2 = concat(
+        replace(col("text"), lit(". "), lit(".\n")),
+        lit("\nok.\nthis line has five words."),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("\nwarning: this page needs JavaScript enabled."))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("\nsee { lorem ipsum } for filler text."))
+          .otherwise(lit("")))
+      TextAnalysis.c4Clean(
+          Tables.t(s, dir, "documents").withColumn("t2", t2),
+          "t2", "doc_id")
+        .orderBy(col("doc"))
+    },
+
     // BPE subword tokenization (Sennrich et al. 2016): merges trained
     // on the corpus word histogram (bounded driver loop, deterministic
     // tie-breaks), tokens counted by the codegen'd kernel — the real
@@ -1360,6 +1400,64 @@ object Pipeline {
         CAST(len(phrases) AS INT) AS n_matched,
         len(phrases) > 0 AS blocked
       FROM m ORDER BY doc""",
+
+    // mirrors TextCleanKernel.normalize rule order exactly: nfc →
+    // zero-width strip → nbsp→space → control strip → [ \t]-run
+    // collapse → space trim (chr: 160=NBSP 769=comb.acute 8203=ZWSP
+    // 9=TAB 7=BEL)
+    "q_text_normalize" -> raw"""
+      WITH m AS (SELECT doc_id,
+          '  ' || chr(160) || 'Cafe' || chr(769) || ' ' || chr(8203) ||
+            text || chr(9) || chr(7) || chr(9) || 'Z' || chr(769) || '  '
+            AS messy
+        FROM documents),
+      n AS (SELECT doc_id,
+          trim(regexp_replace(
+            regexp_replace(
+              replace(
+                regexp_replace(nfc_normalize(messy),
+                  '[\x{200B}\x{200C}\x{200D}\x{FEFF}]', '', 'g'),
+                chr(160), ' '),
+              '[\x{00}-\x{08}\x{0B}\x{0C}\x{0E}-\x{1F}\x{7F}]', '', 'g'),
+            '[ \t]+', ' ', 'g')) AS clean
+        FROM m)
+      SELECT doc_id AS doc, clean, CAST(length(clean) AS INT) AS n_chars
+      FROM n ORDER BY doc""",
+
+    "q_c4_clean" -> raw"""
+      WITH base AS (SELECT doc_id,
+          replace(text, '. ', '.' || chr(10)) || chr(10) || 'ok.' ||
+            chr(10) || 'this line has five words.' ||
+            CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
+              'warning: this page needs JavaScript enabled.'
+              ELSE '' END ||
+            CASE WHEN doc_id % 7 = 0 THEN chr(10) ||
+              'see { lorem ipsum } for filler text.'
+              ELSE '' END AS t2
+        FROM documents),
+      l AS (SELECT doc_id, t2,
+          list_filter(list_transform(string_split(t2, chr(10)),
+            x -> trim(x)), x -> len(x) > 0) AS ls
+        FROM base),
+      k AS (SELECT doc_id, t2, ls,
+          list_filter(ls, x -> regexp_matches(x, '[.!?"\x{201D}]$$')
+            AND len(list_filter(string_split_regex(x, '\s+'),
+              w -> len(w) > 0)) >= 3
+            AND NOT contains(lower(x), 'javascript')) AS kept
+        FROM l),
+      c AS (SELECT doc_id, t2, ls, kept,
+          array_to_string(kept, chr(10)) AS clean_text FROM k)
+      SELECT doc_id AS doc, clean_text,
+        CAST(len(ls) AS INT) AS n_lines,
+        CAST(len(kept) AS INT) AS n_kept,
+        CAST(length(regexp_replace(clean_text, '[^.!?]', '', 'g')) AS INT)
+          AS n_sentences,
+        contains(lower(t2), 'lorem ipsum') AS has_lorem,
+        (contains(t2, '{') OR contains(t2, '}')) AS has_brace,
+        (length(regexp_replace(clean_text, '[^.!?]', '', 'g')) >= 5
+          AND NOT contains(lower(t2), 'lorem ipsum')
+          AND NOT (contains(t2, '{') OR contains(t2, '}'))) AS keep
+      FROM c ORDER BY doc""",
 
     "q_gopher_repetition" -> raw"""
       WITH base AS (SELECT doc_id,

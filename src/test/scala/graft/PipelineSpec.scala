@@ -1447,4 +1447,80 @@ class PipelineSpec extends AnyFunSuite {
       "Customer#000000001 has no pii",
       "plain text stays put")))
   }
+
+  test("normalize_text: NFC + junk repair edge cases") {
+    import spark.implicits._
+    functions.GraftFunctions.register(spark)
+    val rows = Seq(
+      // NFC composition: e + combining acute → é (one code point)
+      "Café",
+      // zero-width family dropped, NBSP → space joins a collapsed run
+      "a​‌‍﻿b c   d",
+      // control chars dropped, \n and \t survive (tab collapses)
+      "x y\nz\tw",
+      // edge trim incl. a trailing tab-run; interior newline preserved
+      "  lead \n trail \t ",
+      // one-to-many lowercase neighbor: İ must not corrupt indices
+      "İstanbul  city",
+      "", "   ")
+    val got = rows.toDF("t")
+      .select(operators.TextAnalysis.normalizeText($"t").as("c"))
+      .collect().map(_.getString(0))
+    assert(got.sameElements(Array(
+      "Café",
+      "ab c d",
+      "xy\nz w",
+      "lead \n trail",
+      "İstanbul city",
+      "", "")))
+    // over a real scan (local relations constant-fold): the kernel stays
+    // in the plan as one scan-local projection, and executing it runs
+    // the CODEGEN path over the corpus (the local rows above exercised
+    // the interpreted eval)
+    val scan = Tables.t(spark, dir, "documents")
+      .select(operators.TextAnalysis.normalizeText($"text").as("c"))
+    assert(scan.queryExecution.optimizedPlan.toString
+      .contains("normalize_text"))
+    assert(scan.where($"c".isNotNull).count() > 0)
+  }
+
+  test("c4 clean: published line/doc rules on adversarial lines") {
+    import spark.implicits._
+    val text = Seq(
+      "This sentence has enough words.", // kept
+      "short.",                          // < 3 words → dropped
+      "no terminal punctuation here",    // no terminal mark → dropped
+      "Enable JavaScript to continue please.", // javascript → dropped
+      "  padded line stays here!  ",     // trimmed, kept (bang terminal)
+      "Quoted line ends well.”",    // end-quote terminal → kept
+      "",                                // empty → not a line
+      "Tabs\there are words too?").mkString("\n")
+    val out = operators.TextAnalysis.c4Clean(
+      Seq((1L, text)).toDF("doc_id", "t"), "t", "doc_id").collect().head
+    val clean = out.getAs[String]("clean_text")
+    assert(clean == Seq("This sentence has enough words.",
+      "padded line stays here!",
+      "Quoted line ends well.”",
+      "Tabs\there are words too?").mkString("\n"))
+    assert(out.getAs[Int]("n_lines") == 7) // empty line uncounted
+    assert(out.getAs[Int]("n_kept") == 4)
+    // sentences counted in KEPT text only: . ! . ? = 4
+    assert(out.getAs[Int]("n_sentences") == 4)
+    assert(!out.getAs[Boolean]("has_lorem"))
+    assert(!out.getAs[Boolean]("has_brace"))
+    assert(!out.getAs[Boolean]("keep")) // 4 sentences < 5
+
+    // doc-level flags: lorem ipsum + braces force keep=false even with
+    // enough sentences; case-insensitive lorem
+    val spam = (1 to 6).map(i => s"Sentence number $i is fine.")
+      .mkString("\n") + "\nSee { Lorem IPSUM } sample text."
+    val o2 = operators.TextAnalysis.c4Clean(
+      Seq((1L, spam)).toDF("doc_id", "t"), "t", "doc_id").collect().head
+    assert(o2.getAs[Boolean]("has_lorem") && o2.getAs[Boolean]("has_brace"))
+    assert(!o2.getAs[Boolean]("keep"))
+    val ok = (1 to 5).map(i => s"Sentence number $i is fine.").mkString("\n")
+    val o3 = operators.TextAnalysis.c4Clean(
+      Seq((1L, ok)).toDF("doc_id", "t"), "t", "doc_id").collect().head
+    assert(o3.getAs[Boolean]("keep") && o3.getAs[Int]("n_sentences") == 5)
+  }
 }
