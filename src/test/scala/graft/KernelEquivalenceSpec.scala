@@ -172,4 +172,76 @@ class KernelEquivalenceSpec extends AnyFunSuite {
       assert(getBit(setBit(bytes, off, bit), off) == bit)
     }
   }
+
+  // fuzz alphabet for the text-cleanup kernels: letters, combining
+  // marks (pre-NFC), zero-widths, NBSP, controls, whitespace, astral
+  private val cleanAtoms: Array[String] = Array(
+    "a", "B", "é", "é", "Ź", "İ", "ß", "π", "中", "😀",
+    "\u200B", "\u200C", "\u200D", "\uFEFF", "\u00A0", "\u0000",
+    "\u0007", "\u001F", "\u007F", " ", "  ", "\t", "\n", ".", "!",
+    "?", "\"", "”", "{", "}", "javascript", "JavaScript",
+    "lorem ipsum", "word", "two words")
+  private def randText(maxAtoms: Int): String =
+    List.fill(rng.nextInt(maxAtoms))(
+      cleanAtoms(rng.nextInt(cleanAtoms.length))).mkString
+
+  test("normalize_text == nfc + the regexp_replace chain it fused") {
+    import spark.implicits._
+    val nfc = udf((s: String) => java.text.Normalizer
+      .normalize(s, java.text.Normalizer.Form.NFC))
+    val cases = List.fill(400)(randText(24)) ++ List("", " ", "\n",
+      "   \t ", "a\u200Bb", "x" * 300)
+    val rows = cases.map(Tuple1(_)).toDF("t").select(
+      call_function("normalize_text", $"t").as("fused"),
+      trim(regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(nfc($"t"), "[\\u200B\\u200C\\u200D\\uFEFF]", ""),
+            "\u00A0", " "),
+          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]", ""),
+        "[ \\t]+", " ")).as("composed"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"'${r.getString(0)}' != '${r.getString(1)}'")
+    }
+  }
+
+  test("c4_line_stats == the composed HOF line-filter chain") {
+    import spark.implicits._
+    val lineAtoms = Array("This sentence has enough words.", "short.",
+      "no terminal here", "needs JavaScript enabled please.",
+      "  padded keeps going fine!  ", "Quoted line stays.”",
+      "", "   ", "one two three?", "a b.", "{ lorem ipsum }",
+      "Sentence number nine is fine.", "\ttabbed words exist here.")
+    val cases = List.fill(300)(
+      List.fill(rng.nextInt(8))(lineAtoms(rng.nextInt(lineAtoms.length)))
+        .mkString("\n")) ++ List("", "\n\n", "x.")
+    val rows = cases.map(Tuple1(_)).toDF("t")
+      .withColumn("ls", expr(
+        "filter(transform(split(t, '\n', -1), x -> trim(x)), " +
+          "x -> length(x) > 0)"))
+      .withColumn("kept", expr(
+        "filter(ls, x -> x rlike '[.!?\"”]$' " +
+          "and size(filter(split(x, '\\\\s+'), w -> length(w) > 0)) >= 3 " +
+          "and not contains(lower(x), 'javascript'))"))
+      .select(
+        call_function("c4_line_stats", $"t").as("m"),
+        array_join($"kept", "\n").as("clean"),
+        size($"ls").as("n_lines"), size($"kept").as("n_kept"),
+        length(regexp_replace(array_join($"kept", "\n"), "[^.!?]", ""))
+          .as("n_sent"),
+        lower($"t").contains("lorem ipsum").as("lorem"),
+        ($"t".contains("{") || $"t".contains("}")).as("brace"))
+      .collect()
+    rows.foreach { r =>
+      val m = r.getStruct(0)
+      assert(m.getString(0) == r.getString(1), s"clean_text on $r")
+      assert(m.getInt(1) == r.getInt(2), s"n_lines on $r")
+      assert(m.getInt(2) == r.getInt(3), s"n_kept on $r")
+      assert(m.getInt(3) == r.getInt(4), s"n_sentences on $r")
+      assert(m.getBoolean(4) == r.getBoolean(5), s"has_lorem on $r")
+      assert(m.getBoolean(5) == r.getBoolean(6), s"has_brace on $r")
+    }
+  }
 }
