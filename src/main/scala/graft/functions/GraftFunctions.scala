@@ -261,6 +261,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "c4_line_stats", e => C4LineStats(e.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "canonical_url", e => CanonicalUrl(e.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "line_repetition", e => LineRepetition(e.head), "built-in")
     reg.createOrReplaceTempFunction(
       "bpe_tokens", e => BpeTokens(e(0), e(1)), "built-in")

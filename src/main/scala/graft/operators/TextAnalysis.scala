@@ -315,6 +315,13 @@ object TextAnalysis {
   def normalizeText(text: Column): Column =
     call_function("normalize_text", text)
 
+  /** URL canonicalization (crawler-core rules: scheme/host case, default
+    * ports, fragments, tracking params, trailing slash, sorted params —
+    * [[graft.functions.CanonicalUrl]]): run before URL-level dedup so
+    * string variants of one resource collapse. Scan-local, one pass. */
+  def canonicalUrl(url: Column): Column =
+    call_function("canonical_url", url)
+
   /** C4 cleaning rules (Raffel et al. 2020 §2.2) as one fused scan
     * ([[graft.functions.C4LineStats]]): keeps lines that end in terminal
     * punctuation, have ≥ 3 words, and don't mention "javascript";

@@ -767,6 +767,34 @@ object Pipeline {
         .orderBy($"domain")
     },
 
+    // URL canonicalization (crawler-core rules) driving URL-level
+    // dedup: raw spellings vary per row (scheme case, default port,
+    // trailing slash, tracking params, fragments) but share one
+    // canonical target per k%10, so the groupBy visibly collapses
+    // variants. Scan-local kernel; oracle reimplements the rules in
+    // SQL rather than hardcoding expected strings.
+    "q_url_canonical" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val m = ($"c_custkey" % 10).cast("string")
+      val raw = concat(
+        when($"c_custkey" % 2 === 0, lit("HTTPS")).otherwise(lit("https")),
+        lit("://Site"), m, lit(".COM"),
+        when($"c_custkey" % 3 === 0, lit(":443")).otherwise(lit("")),
+        lit("/p/"), m,
+        when($"c_custkey" % 2 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=x&b=2&a=1"),
+        when($"c_custkey" % 5 === 0, lit("&fbclid=abc")).otherwise(lit("")),
+        lit("#sec"))
+      Tables.t(s, dir, "customer")
+        .select(raw.as("raw"))
+        .select(TextAnalysis.canonicalUrl($"raw").as("canon"), $"raw")
+        .groupBy($"canon")
+        .agg(count(lit(1)).as("n_raw"),
+          countDistinct($"raw").as("n_variants"))
+        .orderBy($"canon")
+    },
+
     // Multimodal: binary payload + stubbed decoder via mapPartitions.
     // The stub is deterministic, so this DOES have a SQL oracle.
     "q_multimodal_features" -> { (s, dir) =>
@@ -1664,6 +1692,60 @@ object Pipeline {
         CASE WHEN domain IN ('site0.com', 'cdn.shared.net') THEN 1
              ELSE 0 END AS blocked
       FROM d GROUP BY domain ORDER BY domain""",
+
+    // full SQL reimplementation of the canonicalization rules (parse →
+    // lower scheme/host → default-port strip → trailing-slash strip →
+    // param filter+sort) — not a hardcoded expected-string table
+    "q_url_canonical" -> raw"""
+      WITH t AS (SELECT
+          CASE WHEN c_custkey % 2 = 0 THEN 'HTTPS' ELSE 'https' END ||
+          '://Site' || CAST(c_custkey % 10 AS VARCHAR) || '.COM' ||
+          CASE WHEN c_custkey % 3 = 0 THEN ':443' ELSE '' END ||
+          '/p/' || CAST(c_custkey % 10 AS VARCHAR) ||
+          CASE WHEN c_custkey % 2 = 0 THEN '/' ELSE '' END ||
+          '?utm_source=x&b=2&a=1' ||
+          CASE WHEN c_custkey % 5 = 0 THEN '&fbclid=abc' ELSE '' END ||
+          '#sec' AS raw
+        FROM customer),
+      p AS (SELECT raw, regexp_replace(raw, '#.*', '') AS s FROM t),
+      q AS (SELECT raw, s,
+          lower(regexp_extract(s, '^([^:/?#]+)://', 1)) AS scheme,
+          regexp_extract(s, '^[^:/?#]+://([^/?#]*)', 1) AS hostport,
+          regexp_extract(s, '^[^:/?#]+://[^/?#]*([^?#]*)', 1) AS path0,
+          CASE WHEN contains(s, '?')
+            THEN regexp_extract(s, '\?([^#]*)', 1) ELSE '' END AS qs
+        FROM p),
+      r AS (SELECT raw, scheme,
+          lower(CASE WHEN contains(hostport, ':')
+            THEN regexp_extract(hostport, '^(.*):', 1)
+            ELSE hostport END) AS host,
+          CASE WHEN contains(hostport, ':')
+            THEN regexp_extract(hostport, ':([^:]*)$$', 1)
+            ELSE '' END AS port,
+          CASE WHEN path0 = '/' THEN ''
+               WHEN len(path0) > 1 AND path0 LIKE '%/'
+                 THEN substr(path0, 1, len(path0) - 1)
+               ELSE path0 END AS path,
+          list_sort(list_filter(string_split(qs, '&'),
+            x -> len(x) > 0
+              AND NOT starts_with(regexp_extract(x, '^([^=]*)', 1),
+                'utm_')
+              AND NOT (regexp_extract(x, '^([^=]*)', 1) IN
+                ('fbclid', 'gclid', 'ref', 'mc_cid', 'mc_eid'))))
+            AS params
+        FROM q),
+      c AS (SELECT raw,
+          scheme || '://' || host ||
+          CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+              AND NOT (scheme = 'https' AND port = '443')
+            THEN ':' || port ELSE '' END ||
+          path ||
+          CASE WHEN len(params) > 0
+            THEN '?' || array_to_string(params, '&') ELSE '' END AS canon
+        FROM r)
+      SELECT canon, count(*) AS n_raw,
+        count(DISTINCT raw) AS n_variants
+      FROM c GROUP BY canon ORDER BY canon""",
 
     "q_multimodal_frames" -> """
       SELECT doc_id AS media_id, CAST(i AS INT) AS frame_idx,

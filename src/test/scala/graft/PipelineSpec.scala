@@ -1484,6 +1484,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(scan.where($"c".isNotNull).count() > 0)
   }
 
+  test("canonical_url: crawler-core normalization rules") {
+    import spark.implicits._
+    functions.GraftFunctions.register(spark)
+    val cases = Seq(
+      // scheme+host case, default port, trailing slash, fragment,
+      // tracking params dropped, survivors sorted
+      "HTTPS://WWW.Example.COM:443/A/B/?b=2&utm_source=x&a=1#frag"
+        -> "https://www.example.com/A/B?a=1&b=2",
+      // http default port; path case preserved
+      "http://Host.com:80/Path" -> "http://host.com/Path",
+      // non-default port kept; tracking-only query drops the '?'
+      "http://h.com:8080/x?utm_a=1&fbclid=z&gclid=9&ref=r&mc_cid=1"
+        -> "http://h.com:8080/x",
+      // bare '/' path == no path
+      "https://h.com/" -> "https://h.com",
+      "https://h.com" -> "https://h.com",
+      // param without '=' sorts too; empty params drop
+      "https://h.com/p?z&&a=1" -> "https://h.com/p?a=1&z",
+      // utm must match the NAME, not the value
+      "https://h.com/p?a=utm_x" -> "https://h.com/p?a=utm_x",
+      // not a URL → unchanged
+      "no url here" -> "no url here")
+    val got = cases.map(_._1).toDF("u")
+      .select(operators.TextAnalysis.canonicalUrl($"u").as("c"))
+      .collect().map(_.getString(0))
+    got.zip(cases.map(_._2)).foreach { case (g, e) =>
+      assert(g == e, s"'$g' != '$e'")
+    }
+  }
+
   test("c4 clean: published line/doc rules on adversarial lines") {
     import spark.implicits._
     val text = Seq(
