@@ -275,4 +275,60 @@ object Temporal {
       .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
       .drop("__cell")
   }
+
+  /** Cohort retention: users grouped by their first-activity period
+    * (calendar week by default), retention = distinct users still
+    * active at each period offset — the standard product-analytics
+    * rollup over an event log.
+    *
+    * Shape for scale: ONE entity-keyed shuffle. The per-user aggregate
+    * collects the user's distinct active periods as a SET whose size is
+    * bounded by the analysis window (weeks in range — a few dozen at
+    * most), NOT by the user's event count: partial aggregation dedups
+    * map-side, so a billion-event user still ships one small set.
+    * Cohort (= min) and offsets derive from the set without a second
+    * user-keyed pass, and the final (cohort, offset) aggregate is
+    * periods² rows — trivially small. The naive two-pass form (min-ts
+    * per user, join back over the raw log, then distinct) shuffles the
+    * full event log twice.
+    *
+    * Returns (cohort, week_offset, n_users, retention) with retention
+    * relative to the cohort's offset-0 size via a broadcast self-join
+    * on the tiny aggregate.
+    */
+  // offset in whole periods between two unit-truncated timestamps;
+  // weeks are Monday-truncated on both sides so day-diff is an exact
+  // multiple of 7, months via months_between on exact month starts
+  private def periodOffset(unit: String): Column = unit match {
+    case "week" =>
+      (datediff(col("__p"), col("cohort")) / 7).cast("int")
+    case "day" => datediff(col("__p"), col("cohort"))
+    case "month" =>
+      months_between(col("__p"), col("cohort")).cast("int")
+    case u => throw new IllegalArgumentException(
+      s"cohortRetention unit must be week/day/month, got $u")
+  }
+
+  def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
+      unit: String = "week"): DataFrame = {
+    val perUser = events
+      .select(col(userCol).as("__u"),
+        date_trunc(unit, col(tsCol)).as("__p"))
+      .groupBy(col("__u"))
+      .agg(collect_set(col("__p")).as("__ps"))
+    val offsets = perUser
+      .select(col("__u"), array_min(col("__ps")).as("cohort"),
+        explode(col("__ps")).as("__p"))
+      .select(col("cohort"), periodOffset(unit).as("week_offset"))
+      .groupBy(col("cohort"), col("week_offset"))
+      // __ps was a set: one row per (user, period) — count(*) IS the
+      // distinct-user count, no countDistinct shuffle needed
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = offsets.where(col("week_offset") === 0)
+      .select(col("cohort"), col("n_users").as("__size"))
+    offsets.join(broadcast(sizes), "cohort")
+      .withColumn("retention",
+        round(col("n_users").cast("double") / col("__size"), 8))
+      .drop("__size")
+  }
 }

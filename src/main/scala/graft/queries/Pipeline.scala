@@ -767,6 +767,22 @@ object Pipeline {
         .orderBy($"domain")
     },
 
+    // Cohort retention (product-analytics rollup): users bucketed by
+    // first-active week, distinct-user counts per week offset. ONE
+    // user-keyed shuffle — the per-user aggregate is a period SET
+    // bounded by the analysis window, not the event count. The raw
+    // fixture has every user active every week (degenerate all-1.0
+    // retention), so a deterministic hash thins activity to ~1.5
+    // active weeks/user on both sides.
+    "q_cohort_retention" -> { (s, dir) =>
+      graft.operators.Temporal.cohortRetention(
+          Tables.t(s, dir, "events")
+            .where(pmod(col("event_id") * 31 + col("user_id"), lit(59))
+              === 0),
+          "user_id", "ts")
+        .orderBy(col("cohort"), col("week_offset"))
+    },
+
     // URL canonicalization (crawler-core rules) driving URL-level
     // dedup: raw spellings vary per row (scheme case, default port,
     // trailing slash, tracking params, fragments) but share one
@@ -1692,6 +1708,23 @@ object Pipeline {
         CASE WHEN domain IN ('site0.com', 'cdn.shared.net') THEN 1
              ELSE 0 END AS blocked
       FROM d GROUP BY domain ORDER BY domain""",
+
+    "q_cohort_retention" -> raw"""
+      WITH uw AS (SELECT DISTINCT user_id AS u,
+          date_trunc('week', ts) AS w
+        FROM events WHERE (event_id * 31 + user_id) % 59 = 0),
+      c AS (SELECT u, min(w) AS cw FROM uw GROUP BY u),
+      j AS (SELECT c.cw AS cohort,
+          CAST(date_diff('day', CAST(c.cw AS DATE), CAST(uw.w AS DATE))
+            // 7 AS INT) AS week_offset
+        FROM uw JOIN c ON uw.u = c.u),
+      a AS (SELECT cohort, week_offset, count(*) AS n_users
+        FROM j GROUP BY 1, 2),
+      s AS (SELECT cohort, n_users AS sz FROM a WHERE week_offset = 0)
+      SELECT a.cohort AS cohort, a.week_offset, a.n_users,
+        round(CAST(a.n_users AS DOUBLE) / sz, 8) AS retention
+      FROM a JOIN s ON a.cohort = s.cohort
+      ORDER BY a.cohort, a.week_offset""",
 
     // full SQL reimplementation of the canonicalization rules (parse →
     // lower scheme/host → default-port strip → trailing-slash strip →

@@ -353,4 +353,52 @@ class TemporalSpec extends AnyFunSuite {
       !plan.contains("CartesianProduct"),
       s"range join must stay an equi-join on the cell id:\n$plan")
   }
+
+  test("cohort retention: hand-built log, known cohorts and offsets") {
+    import spark.implicits._
+    // weeks (Mondays): 2024-01-01, -08, -15. u1 joins w0 active w0+w2;
+    // u2 joins w0 only; u3 joins w1, active w1+w2; duplicate events in
+    // one week must not double-count
+    val ev = Seq(
+      (1L, "2024-01-02 10:00:00"), (1L, "2024-01-03 11:00:00"),
+      (1L, "2024-01-16 09:00:00"),
+      (2L, "2024-01-04 08:00:00"),
+      (3L, "2024-01-09 12:00:00"), (3L, "2024-01-18 23:00:00"))
+      .map { case (u, t) => (u, ts(t)) }.toDF("u", "t")
+    val got = Temporal.cohortRetention(ev, "u", "t")
+      .orderBy($"cohort", $"week_offset")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.substring(0, 10),
+        r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0, 2L, 1.0),
+      ("2024-01-01", 2, 1L, 0.5),
+      ("2024-01-08", 0, 1L, 1.0),
+      ("2024-01-08", 1, 1L, 1.0)))
+    // monthly cohorts take the same path
+    val m = Temporal.cohortRetention(ev, "u", "t", unit = "month")
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toSeq
+    assert(m == Seq((0, 3L)))
+    intercept[IllegalArgumentException] {
+      Temporal.cohortRetention(ev, "u", "t", unit = "hour")
+    }
+  }
+
+  test("cohort retention shuffles the log once: no window, no second " +
+      "log-wide exchange") {
+    val dir = "/root/testdata/sf0.001"
+    val q = SparkEntry.queries("q_cohort_retention")(spark, dir)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"cohort retention must not use a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the log-wide shuffle is the user-keyed set aggregate, and it is
+    // PARTIAL before the exchange — map-side dedup is what bounds a
+    // billion-event user to one small set on the wire
+    assert(plan.contains("partial_collect_set") ||
+      plan.contains("collect_set"), s"expected set aggregate:\n$plan")
+    // the cohort-size join rides broadcast, never a log-sized shuffle
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
