@@ -146,6 +146,79 @@ object TextCleanKernel {
   }
 }
 
+/** Unicode-script composition of one document — the mixed-script spam
+  * signal (e.g. Cyrillic homoglyphs inside Latin text, CJK keyword
+  * stuffing) and a hard precondition check for language-ID. One pass;
+  * the composed form is one regex scan per script class. */
+object ScriptProfileKernel {
+  import java.lang.Character.UnicodeScript
+
+  /** Counts over NON-whitespace code points (Java \s = [ \t\n\x0B\f\r]):
+    * Latin / Cyrillic / Han / Arabic script letters (UTS #24 script
+    * property — the same classes RE2's \p{Latin} etc. match), ASCII
+    * digits, and the total. Everything else (punctuation, other
+    * scripts) is the remainder total - named - digits. */
+  def profile(s: UTF8String): InternalRow = {
+    val str = s.toString
+    var i = 0
+    var latin = 0; var cyr = 0; var han = 0; var arabic = 0
+    var digit = 0; var total = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
+        cp == '\f' || cp == '\r'
+      if (!ws) {
+        total += 1
+        if (cp >= '0' && cp <= '9') digit += 1
+        else if (cp < 128) {
+          // fast path: ASCII letters are LATIN, the rest COMMON
+          if ((cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z'))
+            latin += 1
+        } else UnicodeScript.of(cp) match {
+          case UnicodeScript.LATIN => latin += 1
+          case UnicodeScript.CYRILLIC => cyr += 1
+          case UnicodeScript.HAN => han += 1
+          case UnicodeScript.ARABIC => arabic += 1
+          case _ => ()
+        }
+      }
+      i += Character.charCount(cp)
+    }
+    new GenericInternalRow(Array[Any](latin, cyr, han, arabic, digit, total))
+  }
+}
+
+/** SCRIPT_PROFILE(string) → struct<latin:int, cyrillic:int, han:int,
+  * arabic:int, digit:int, total:int> (see [[ScriptProfileKernel]]).
+  * Null in → null struct. */
+case class ScriptProfile(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("latin", IntegerType, nullable = false),
+    StructField("cyrillic", IntegerType, nullable = false),
+    StructField("han", IntegerType, nullable = false),
+    StructField("arabic", IntegerType, nullable = false),
+    StructField("digit", IntegerType, nullable = false),
+    StructField("total", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"script_profile requires a STRING column, got " +
+        child.dataType.catalogString)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    ScriptProfileKernel.profile(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.ScriptProfileKernel.profile($a)")
+  override protected def withNewChildInternal(c: Expression): ScriptProfile =
+    copy(child = c)
+  override def prettyName: String = "script_profile"
+}
+
 /** NORMALIZE_TEXT(string) → string: NFC + junk-char repair in one pass
   * (see [[TextCleanKernel.normalize]]). Null in → null out. */
 case class NormalizeText(child: Expression) extends UnaryExpression {

@@ -322,6 +322,38 @@ object TextAnalysis {
   def canonicalUrl(url: Column): Column =
     call_function("canonical_url", url)
 
+  /** Per-doc Unicode-script composition + the mixed-script verdict
+    * ([[graft.functions.ScriptProfile]] — one pass; composed form is a
+    * regex scan per script class). `mixed` = a second script holds more
+    * than `mixedThreshold` of the non-whitespace letters — the
+    * homoglyph-spam / keyword-stuffing signal; `dominant` tie-breaks
+    * deterministically latin > cyrillic > han > arabic > other. */
+  def scriptMix(df: DataFrame, textCol: String, idCol: String,
+      mixedThreshold: Double = 0.05): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val m = call_function("script_profile", col(textCol))
+    val named = Seq("latin", "cyrillic", "han", "arabic")
+    val out = df.select(col(idCol).as("doc"), m.as("sp"))
+      .select(Seq(col("doc")) ++
+        named.map(n => col(s"sp.$n").as(n)) ++
+        Seq(col("sp.digit").as("digit"), col("sp.total").as("total")): _*)
+    val top = greatest(named.map(col): _*)
+    // true second-largest via a sorted 4-element array — a tie at the
+    // top (50/50 bilingual doc) must still read as mixed
+    val second = element_at(
+      sort_array(array(named.map(col): _*), asc = false), 2)
+    out
+      .withColumn("dominant",
+        when(top === 0, "none")
+          .when(col("latin") === top, "latin")
+          .when(col("cyrillic") === top, "cyrillic")
+          .when(col("han") === top, "han")
+          .otherwise("arabic"))
+      .withColumn("mixed",
+        col("total") > 0 &&
+          second.cast(DoubleType) / col("total") > mixedThreshold)
+  }
+
   /** C4 cleaning rules (Raffel et al. 2020 §2.2) as one fused scan
     * ([[graft.functions.C4LineStats]]): keeps lines that end in terminal
     * punctuation, have ≥ 3 words, and don't mention "javascript";

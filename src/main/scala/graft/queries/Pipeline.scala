@@ -767,6 +767,27 @@ object Pipeline {
         .orderBy($"domain")
     },
 
+    // Unicode-script mix profile (homoglyph-spam / keyword-stuffing
+    // signal): one fused pass counts Latin/Cyrillic/Han/Arabic/digit
+    // code points; dominant script + mixed verdict derive from the
+    // counts. ASCII fixture text gets deterministic foreign injections
+    // on doc_id residues so every script column and the mixed flag go
+    // non-trivial.
+    "q_script_mix" -> { (s, dir) =>
+      val inject =
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit(" Привет мир спам Привет мир спам")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(3)) === 1,
+            lit(" 中文关键词中文关键词")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            lit(" عربى نص عربى")).otherwise(lit("")))
+      TextAnalysis.scriptMix(
+          Tables.t(s, dir, "documents").withColumn("t2", inject),
+          "t2", "doc_id", mixedThreshold = 0.02)
+        .orderBy(col("doc"))
+    },
+
     // Cohort retention (product-analytics rollup): users bucketed by
     // first-active week, distinct-user counts per week offset. ONE
     // user-keyed shuffle — the per-user aggregate is a period SET
@@ -1708,6 +1729,44 @@ object Pipeline {
         CASE WHEN domain IN ('site0.com', 'cdn.shared.net') THEN 1
              ELSE 0 END AS blocked
       FROM d GROUP BY domain ORDER BY domain""",
+
+    // \p{Script} classes are the same UTS #24 property the kernel reads
+    // via java.lang.Character.UnicodeScript
+    "q_script_mix" -> raw"""
+      WITH base AS (SELECT doc_id,
+          text ||
+          CASE WHEN doc_id % 3 = 0
+            THEN ' Привет мир спам Привет мир спам' ELSE '' END ||
+          CASE WHEN doc_id % 3 = 1
+            THEN ' 中文关键词中文关键词' ELSE '' END ||
+          CASE WHEN doc_id % 5 = 0
+            THEN ' عربى نص عربى' ELSE '' END AS t2
+        FROM documents),
+      m AS (SELECT doc_id,
+          CAST(length(regexp_replace(t2, '[^\p{Latin}]', '', 'g'))
+            AS INT) AS latin,
+          CAST(length(regexp_replace(t2, '[^\p{Cyrillic}]', '', 'g'))
+            AS INT) AS cyrillic,
+          CAST(length(regexp_replace(t2, '[^\p{Han}]', '', 'g'))
+            AS INT) AS han,
+          CAST(length(regexp_replace(t2, '[^\p{Arabic}]', '', 'g'))
+            AS INT) AS arabic,
+          CAST(length(regexp_replace(t2, '[^0-9]', '', 'g'))
+            AS INT) AS digit,
+          CAST(length(regexp_replace(t2, '\s', '', 'g'))
+            AS INT) AS total
+        FROM base),
+      g AS (SELECT *, greatest(latin, cyrillic, han, arabic) AS top,
+          list_sort([latin, cyrillic, han, arabic], 'DESC')[2] AS second
+        FROM m)
+      SELECT doc_id AS doc, latin, cyrillic, han, arabic, digit, total,
+        CASE WHEN top = 0 THEN 'none'
+             WHEN latin = top THEN 'latin'
+             WHEN cyrillic = top THEN 'cyrillic'
+             WHEN han = top THEN 'han'
+             ELSE 'arabic' END AS dominant,
+        (total > 0 AND CAST(second AS DOUBLE) / total > 0.02) AS mixed
+      FROM g ORDER BY doc""",
 
     "q_cohort_retention" -> raw"""
       WITH uw AS (SELECT DISTINCT user_id AS u,

@@ -1484,6 +1484,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(scan.where($"c".isNotNull).count() > 0)
   }
 
+  test("script_profile: per-script counts, dominant and mixed verdicts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "plain ascii text 42"),          // latin dominant, digits
+      (2L, "Привет мир"),                   // cyrillic only
+      (3L, "hello Привет"),                 // 50/50 bilingual → mixed
+      (4L, "中文 text with 中文中文 stuffing"), // han outnumbers latin?
+      (5L, "12345 ... !!!"),                // no letters at all
+      (6L, "naïve café")                    // accented Latin IS latin
+      ).toDF("doc_id", "t")
+    val out = operators.TextAnalysis
+      .scriptMix(df, "t", "doc_id", mixedThreshold = 0.05)
+      .orderBy($"doc").collect()
+    def row(i: Int) = out(i)
+    assert(row(0).getAs[String]("dominant") == "latin" &&
+      !row(0).getAs[Boolean]("mixed") &&
+      row(0).getAs[Int]("digit") == 2)
+    assert(row(1).getAs[String]("dominant") == "cyrillic" &&
+      !row(1).getAs[Boolean]("mixed"))
+    // tie at the top must still read as mixed (both scripts = top)
+    assert(row(2).getAs[Boolean]("mixed"))
+    assert(row(3).getAs[Boolean]("mixed"))
+    assert(row(4).getAs[String]("dominant") == "none" &&
+      row(4).getAs[Int]("total") == 11)
+    assert(row(5).getAs[String]("dominant") == "latin" &&
+      row(5).getAs[Int]("latin") == 9) // ï and é count as Latin
+  }
+
   test("canonical_url: crawler-core normalization rules") {
     import spark.implicits._
     functions.GraftFunctions.register(spark)
