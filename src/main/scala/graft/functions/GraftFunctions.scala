@@ -244,6 +244,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "pq_adc", e => PqAdc(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "ivfpq_encode", e => IvfPqEncode(e(0), e(1), e(2), e(3)), "built-in")
+    reg.createOrReplaceTempFunction(
       "vec_maxabs", e => VecMaxAbs(e.head), "built-in")
     reg.createOrReplaceTempFunction(
       "int8_quantize", e => Int8Quantize(e(0), e(1)), "built-in")

@@ -447,6 +447,179 @@ object Similarity {
       .limit(k)
   }
 
+  // deterministic Lloyd: stride init from the (already shuffled by id
+  // hash) sample, fixed iteration budget, empty cells keep their
+  // centroid — the same discipline as ivfIndex/pqIndex, factored for
+  // the combined index
+  private def lloyd(vs: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    val dim = vs.head.length
+    var cents = Array.tabulate(k)(c =>
+      vs((c.toLong * vs.length / k).toInt).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      vs.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) {
+            val diff = v(i) - cents(c)(i); d += diff * diff; i += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
+    }
+    cents
+  }
+
+  private def nearestOf(v: Array[Double],
+      cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) {
+        val diff = v(i) - cents(c)(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVF-PQ combined index (FAISS IndexIVFPQ; Jégou et al. 2011 §IV):
+    * coarse IVF cells over unit vectors + PQ codes over the RESIDUAL
+    * v/|v| − centroid. Residual coding is what makes PQ accurate at
+    * billion scale — residual magnitudes are a fraction of the vector's,
+    * so the same ks spends its precision on a much smaller space.
+    *
+    * Training is the bounded driver-side sample (hash-ordered — the
+    * IVF/PQ pattern); the distributed work is ONE encode scan through
+    * the fused `ivfpq_encode` kernel (assignment + residual + code per
+    * row in one pass). Storage per row: 4-byte cell + m-byte code —
+    * with m=8 a 64-dim float corpus compresses 32×, and a search reads
+    * only the probed cells' (cell, code) columns.
+    *
+    * Returns (flatCentroids [nlist*dim], flatBook [m*ks*dsub], coded
+    * (id, cell, code)). Persist `coded` partitioned by cell (as
+    * [[saveIvfIndex]] does) for listing-time cell pruning. */
+  def ivfPqIndex(emb: DataFrame, vecCol: String, idCol: String,
+      nlist: Int = 16, m: Int = 8, ks: Int = 64, trainSample: Int = 2048)
+      : (Array[Double], Array[Double], DataFrame) = {
+    require(ks >= 2 && ks <= 256, s"ks must be 2..256, got $ks")
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val sample = emb
+      .select(col(vecCol))
+      .orderBy(xxhash64(col(idCol)))
+      .limit(trainSample)
+      .collect()
+      .map(r => toDoubles(r.getSeq[Any](0)))
+    require(sample.length >= math.max(nlist, ks),
+      s"need >= max(nlist=$nlist, ks=$ks) training vectors")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val normed = sample.map { v =>
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n > 0) v.map(_ / n) else v
+    }
+    val cents = lloyd(normed, nlist, 5)
+    // fine codebooks train on the residuals the encode kernel will see
+    val residuals = normed.map { v =>
+      val c = cents(nearestOf(v, cents))
+      Array.tabulate(v.length)(i => v(i) - c(i))
+    }
+    val book = new Array[Double](m * ks * dsub)
+    var j = 0
+    while (j < m) {
+      val sub = residuals.map(v =>
+        java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
+      val bc = lloyd(sub, ks, 8)
+      var c = 0
+      while (c < ks) {
+        System.arraycopy(bc(c), 0, book, (j * ks + c) * dsub, dsub)
+        c += 1
+      }
+      j += 1
+    }
+    val flatCents = cents.flatten
+    val coded = emb.select(col(idCol).as("id"),
+        call_function("ivfpq_encode", col(vecCol),
+          typedlit(flatCents.toSeq), typedlit(book.toSeq), lit(m))
+          .as("s"))
+      .select(col("id"), col("s.cell").as("cell"), col("s.code").as("code"))
+    (flatCents, book, coded)
+  }
+
+  /** ANN top-k over an IVF-PQ index: probe the query's `nprobe` nearest
+    * cells, score ONLY their code column by ADC. The lookup table is
+    * cell-independent (dot(q, resid_recon) = Σ_j dot(q_subj, book_jc)),
+    * so one m*ks literal serves every probed cell; the per-cell term
+    * dot(q, centroid) joins in as a tiny cell→double map literal. Scan
+    * cost ~ nprobe/nlist of the CODE column only. */
+  def ivfPqTopK(flatCents: Array[Double], book: Array[Double],
+      coded: DataFrame, emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, nprobe: Int = 4, m: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(coded.sparkSession)
+    val raw = toDoubles(emb.where(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Any](0))
+    val n = math.sqrt(raw.map(x => x * x).sum)
+    require(n > 0, s"ivfPqTopK: query $queryId has zero-norm vector — " +
+      "cosine is undefined; no neighbors exist")
+    val qv = raw.map(_ / n)
+    val dim = qv.length
+    val nlist = flatCents.length / dim
+    val ks = book.length / dim
+    val dsub = dim / m
+    val cents = Array.tabulate(nlist)(c =>
+      java.util.Arrays.copyOfRange(flatCents, c * dim, (c + 1) * dim))
+    // probe ranking uses the SAME metric as assignment (L2 in unit space)
+    val probed = (0 until nlist)
+      .sortBy { c =>
+        var d = 0.0; var i = 0
+        while (i < dim) {
+          val diff = qv(i) - cents(c)(i); d += diff * diff; i += 1
+        }
+        d
+      }
+      .take(nprobe)
+    val qdotc = probed.map { c =>
+      var dp = 0.0; var i = 0
+      while (i < dim) { dp += qv(i) * cents(c)(i); i += 1 }
+      c -> dp
+    }.toMap
+    val lut = new Array[Double](m * ks)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < ks) {
+        var dp = 0.0; var i = 0
+        while (i < dsub) {
+          dp += qv(j * dsub + i) * book((j * ks + c) * dsub + i); i += 1
+        }
+        lut(j * ks + c) = dp
+        c += 1
+      }
+      j += 1
+    }
+    coded
+      .where(col("cell").isin(probed.map(Integer.valueOf): _*))
+      .select(col("id"),
+        (element_at(typedlit(qdotc), col("cell")) +
+          call_function("pq_adc", col("code"), typedlit(lut.toSeq)))
+          .as("sim"))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Persist an IVF index: the assigned corpus as parquet under
     * `path`/cells PARTITIONED BY cell — an nprobe search filters on
     * cell, so partition pruning skips every unprobed cell's files at

@@ -168,6 +168,18 @@ object Pipeline {
       Similarity.ivfTopK(centroids, assigned, queryId = 0L, k = 10)
     },
 
+    // IVF-PQ combined index (the billion-scale ANN layout): coarse
+    // cells + residual PQ codes, one fused encode scan; search reads
+    // only the probed cells' 8-byte code column. Rows-only driver
+    // check (k-means); recall/error/determinism ScalaTested.
+    "q_ann_ivfpq" -> { (s, dir) =>
+      val emb = Tables.t(s, dir, "embeddings")
+      val (cents, book, coded) = Similarity.ivfPqIndex(
+        emb, "embedding", "vec_id", nlist = 8, ks = 256)
+      Similarity.ivfPqTopK(cents, book, coded, emb, "embedding",
+        "vec_id", queryId = 0L, k = 10, nprobe = 4)
+    },
+
     // Embedding near-dup at scale: LSH-bucketed k-NN self-join + threshold
     // over the FULL table — shuffle on bucket, no cross join. This is the
     // graded 100 TB entry; q_dedup_embedding above is the bounded exact
