@@ -551,12 +551,25 @@ object Similarity {
       j += 1
     }
     val flatCents = cents.flatten
-    val coded = emb.select(col(idCol).as("id"),
+    (flatCents, book, ivfPqEncodeWith(flatCents, book, emb, vecCol, idCol, m))
+  }
+
+  /** Encode NEW embeddings against an EXISTING IVF-PQ index (frozen
+    * centroids + codebook, so old and new codes stay ADC-comparable —
+    * the incremental-append path, like [[pqEncodeWith]]). Zero-norm
+    * vectors are excluded for the same reason as [[pqIndex]]: they
+    * would earn a finite phantom ADC score a NaN filter can't catch. */
+  def ivfPqEncodeWith(flatCents: Array[Double], book: Array[Double],
+      emb: DataFrame, vecCol: String, idCol: String,
+      m: Int = 8): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val n2 = aggregate(col(vecCol), lit(0.0d),
+      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
+    emb.where(n2 > 0).select(col(idCol).as("id"),
         call_function("ivfpq_encode", col(vecCol),
           typedlit(flatCents.toSeq), typedlit(book.toSeq), lit(m))
           .as("s"))
       .select(col("id"), col("s.cell").as("cell"), col("s.code").as("code"))
-    (flatCents, book, coded)
   }
 
   /** ANN top-k over an IVF-PQ index: probe the query's `nprobe` nearest
@@ -618,6 +631,59 @@ object Similarity {
           .as("sim"))
       .orderBy(col("sim").desc, col("id").asc)
       .limit(k)
+  }
+
+  /** Two-stage IVF-PQ search (FAISS refine step): ADC ranks a
+    * `shortlist` from the probed cells' code column, then EXACT cosine
+    * re-ranks only those rows from the float table. The expensive scan
+    * stays code-only; the float reads are a k-row broadcast semi-join —
+    * so the result carries true cosine scores (top-k exact whenever the
+    * true neighbors survive the shortlist) at ~the ADC scan's cost. */
+  def ivfPqTopKRefined(flatCents: Array[Double], book: Array[Double],
+      coded: DataFrame, emb: DataFrame, vecCol: String, idCol: String,
+      queryId: Long, k: Int, nprobe: Int = 4, m: Int = 8,
+      shortlist: Int = 100): DataFrame = {
+    require(shortlist >= k, s"shortlist $shortlist must cover k=$k")
+    val short = ivfPqTopK(flatCents, book, coded, emb, vecCol, idCol,
+      queryId, shortlist, nprobe, m)
+    val qv = toDoubles(emb.where(col(idCol) === queryId)
+      .select(col(vecCol)).head().getSeq[Any](0))
+    val qvCol = array(qv.map(lit): _*)
+    emb.join(broadcast(short.select(col("id"))),
+        emb(idCol) === col("id"), "left_semi")
+      .select(col(idCol).as("id"), cosine(col(vecCol), qvCol).as("sim"))
+      .where(!isnan(col("sim")))
+      .orderBy(col("sim").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Persist an IVF-PQ index: codes partitioned by cell (listing-time
+    * cell pruning for nprobe searches, like [[saveIvfIndex]]) + one
+    * meta row (centroids, codebook, m). Append new corpus batches with
+    * [[ivfPqEncodeWith]] against the loaded meta +
+    * `.write.mode(Append).partitionBy("cell")` under `path`/cells. */
+  def saveIvfPqIndex(path: String, flatCents: Array[Double],
+      book: Array[Double], coded: DataFrame, m: Int): Unit = {
+    val spark = coded.sparkSession
+    import spark.implicits._
+    coded.write.mode(SaveMode.Overwrite)
+      .partitionBy("cell").parquet(path + "/cells")
+    Seq((flatCents.toSeq, book.toSeq, m)).toDF("cents", "book", "m")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(path + "/meta")
+  }
+
+  /** Load an IVF-PQ index saved by [[saveIvfPqIndex]]:
+    * (flatCents, book, m, coded). Codes load lazily; a search's cell
+    * filter prunes unprobed cells' files at listing time. */
+  def loadIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Double], Array[Double], Int, DataFrame) = {
+    val meta = spark.read.parquet(path + "/meta").head()
+    (meta.getSeq[Double](meta.fieldIndex("cents")).toArray,
+      meta.getSeq[Double](meta.fieldIndex("book")).toArray,
+      meta.getInt(meta.fieldIndex("m")),
+      spark.read.parquet(path + "/cells")
+        .select(col("id"), col("cell"), col("code")))
   }
 
   /** Persist an IVF index: the assigned corpus as parquet under

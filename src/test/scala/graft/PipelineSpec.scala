@@ -154,6 +154,46 @@ class PipelineSpec extends AnyFunSuite {
         s"${meanErr(got)} vs plain ${meanErr(plain)}")
   }
 
+  test("IVF-PQ refine + persistence: exact re-rank, round-trip, append") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val n = emb.count().toInt
+    val brute = Similarity.cosineTopK(emb, "embedding", "vec_id", 0L, n)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val (cents, book, coded) =
+      Similarity.ivfPqIndex(emb, "embedding", "vec_id", nlist = 8, ks = 256)
+    // refined search returns TRUE cosine for everything it ranks, and
+    // recall can only improve on the raw ADC ordering
+    val refined = Similarity.ivfPqTopKRefined(cents, book, coded, emb,
+        "embedding", "vec_id", 0L, 10, nprobe = 4, shortlist = 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    for ((id, sim) <- refined) assert(math.abs(brute(id) - sim) < 1e-9)
+    val adc = Similarity.ivfPqTopK(cents, book, coded, emb, "embedding",
+        "vec_id", 0L, 10, nprobe = 4)
+      .collect().map(_.getLong(0))
+    val trueTop = brute.toSeq.sortBy(-_._2).take(10).map(_._1).toSet
+    assert(refined.map(_._1).count(trueTop.contains) >=
+      adc.count(trueTop.contains),
+      "refinement must not lose recall vs the ADC ordering")
+    // round-trip + frozen-codebook append: saved index reloads
+    // byte-identical and appended codes search alongside old ones
+    val path = java.nio.file.Files
+      .createTempDirectory("ivfpq").toString + "/idx"
+    Similarity.saveIvfPqIndex(path, cents, book,
+      coded.where(col("id") < 400), m = 8)
+    val (c2, b2, m2, loaded) = Similarity.loadIvfPqIndex(spark, path)
+    assert(c2.sameElements(cents) && b2.sameElements(book) && m2 == 8)
+    Similarity.ivfPqEncodeWith(c2, b2,
+        emb.where(col("vec_id") >= 400), "embedding", "vec_id")
+      .write.mode(org.apache.spark.sql.SaveMode.Append)
+      .partitionBy("cell").parquet(path + "/cells")
+    val (_, _, _, grown) = Similarity.loadIvfPqIndex(spark, path)
+    assert(grown.count() == coded.count())
+    val fromDisk = Similarity.ivfPqTopK(c2, b2, grown, emb, "embedding",
+        "vec_id", 0L, 10, nprobe = 4).collect().map(_.getLong(0)).toSeq
+    assert(fromDisk == adc.toSeq,
+      "search over the reloaded+appended index must match in-memory")
+  }
+
   test("IVF index persists partitioned by cell; search prunes partitions") {
     import spark.implicits._
     val emb = Tables.t(spark, dir, "embeddings")
