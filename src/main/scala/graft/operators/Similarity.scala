@@ -801,7 +801,8 @@ object Similarity {
     * similarity (zero vector) contributes no neighbor edge. */
   def knnJoin(emb: DataFrame, vecCol: String, idCol: String, k: Int,
       dim: Int = 64, mBits: Int = 8,
-      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = Dedup.DefaultMaxBucket,
+      simBand: Option[(Double, Double)] = None): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     val planes = hyperplanes(dim, mBits)
     val b0 = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -819,15 +820,56 @@ object Similarity {
     // at most k neighbors per (id, map task) instead of every in-bucket
     // pair, and there is no per-id sort — same (score desc, id asc)
     // order the row_number window form had
-    l.join(r, "bucket").where(col("id_a") =!= col("id_b"))
+    val pairs = l.join(r, "bucket").where(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         cosine(col("v_a"), col("v_b")).as("sim"))
+    // band filter BEFORE the heap (hard-negative mining): filtering the
+    // top-k afterwards would lose candidates ranked below near-dups
+    simBand.fold(pairs) { case (lo, hi) =>
+      pairs.where(col("sim") >= lo && col("sim") < hi)
+    }
       .groupBy(col("id_a"))
       .agg(call_function("top_scored_id", col("id_b"), col("sim"), lit(k))
         .as("top"))
       .select(col("id_a"), explode(col("top")).as("e"))
       .select(col("id_a"), col("e.id").as("id_b"), col("e.score").as("sim"))
   }
+
+  /** Hard-negative mining for contrastive retrieval training (the
+    * ANCE/DPR data-prep step, Xiong et al. 2021): per anchor, the k
+    * most-similar candidates with cosine in [lo, hi) — similar enough
+    * to be informative negatives, below the near-dup bar so latent
+    * positives don't leak into the negative set. Exact bounded form
+    * (cross join — the correctness baseline); the scale path is
+    * [[hardNegativesLsh]]. Per-anchor top-k rides the bounded-heap
+    * aggregate, not a window. */
+  def hardNegatives(emb: DataFrame, vecCol: String, idCol: String,
+      k: Int, lo: Double, hi: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val a = emb.select(col(idCol).as("anchor"), col(vecCol).as("v_a"))
+    val b = emb.select(col(idCol).as("cand"), col(vecCol).as("v_b"))
+    a.crossJoin(b).where(col("anchor") =!= col("cand"))
+      .select(col("anchor"), col("cand"),
+        cosine(col("v_a"), col("v_b")).as("sim"))
+      .where(col("sim") >= lo && col("sim") < hi)
+      .groupBy(col("anchor"))
+      .agg(call_function("top_scored_id", col("cand"), col("sim"), lit(k))
+        .as("top"))
+      .select(col("anchor"), explode(col("top")).as("e"))
+      .select(col("anchor"), col("e.id").as("negative"),
+        col("e.score").as("sim"))
+  }
+
+  /** Scale path for [[hardNegatives]]: the LSH-bucketed [[knnJoin]]
+    * with the band filter pushed BEFORE its per-anchor heap, so
+    * negatives ranked below in-band near-dups still surface. Same
+    * degenerate-bucket and mBits-scaling contract as knnJoin. */
+  def hardNegativesLsh(emb: DataFrame, vecCol: String, idCol: String,
+      k: Int, lo: Double, hi: Double, dim: Int = 64, mBits: Int = 8,
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    knnJoin(emb, vecCol, idCol, k, dim, mBits, maxBucket,
+        simBand = Some((lo, hi)))
+      .toDF("anchor", "negative", "sim")
 
   /** SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup:
     * Data-efficient learning at web-scale through semantic

@@ -152,6 +152,18 @@ object Pipeline {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Hard-negative mining (ANCE/DPR contrastive data prep): per
+    // anchor, top-5 candidates with cosine in [0.15, 0.5) — informative
+    // negatives below the near-dup bar. Bounded exact baseline
+    // (oracle); hardNegativesLsh is the banded scale path (ScalaTested
+    // equivalence within LSH recall).
+    "q_hard_negatives" -> { (s, dir) =>
+      Similarity.hardNegatives(
+          Tables.t(s, dir, "embeddings").where(col("vec_id") < 200),
+          "embedding", "vec_id", k = 5, lo = 0.15, hi = 0.5)
+        .orderBy(col("anchor"), col("sim").desc, col("negative"))
+    },
+
     // ANN via sign-random-projection bucket (scale path; recall vs the
     // brute-force baseline is ScalaTested — no SQL oracle).
     "q_ann_lsh" -> { (s, dir) =>
@@ -1003,6 +1015,23 @@ object Pipeline {
          * sqrt(list_sum(list_transform(b.embedding,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.3
       ORDER BY id_a, id_b""",
+
+    "q_hard_negatives" -> """
+      WITH e AS (SELECT * FROM embeddings WHERE vec_id < 200),
+      p AS (SELECT a.vec_id AS anchor, b.vec_id AS cand,
+          list_sum(list_transform(range(1, 65),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(a.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+           * sqrt(list_sum(list_transform(b.embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        FROM e a, e b WHERE a.vec_id <> b.vec_id),
+      f AS (SELECT *, row_number() OVER (PARTITION BY anchor
+          ORDER BY sim DESC, cand ASC) AS rn
+        FROM p WHERE sim >= 0.15 AND sim < 0.5)
+      SELECT anchor, cand AS negative, sim
+      FROM f WHERE rn <= 5
+      ORDER BY anchor, sim DESC, negative""",
 
     "q_knn_cosine" -> """
       WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

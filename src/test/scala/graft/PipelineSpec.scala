@@ -154,6 +154,36 @@ class PipelineSpec extends AnyFunSuite {
         s"${meanErr(got)} vs plain ${meanErr(plain)}")
   }
 
+  test("hard negatives: band respected, near-dups excluded, LSH path " +
+      "recovers exact-path pairs") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val exact = Similarity.hardNegatives(emb, "embedding", "vec_id",
+        k = 5, lo = 0.15, hi = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(exact.nonEmpty)
+    // every mined negative sits inside the band — no near-dups (the
+    // latent-positive leak) and no uninformative far negatives
+    assert(exact.forall { case (_, _, s) => s >= 0.15 && s < 0.5 })
+    assert(exact.groupBy(_._1).values.forall(_.length <= 5))
+    // anchors never select themselves
+    assert(exact.forall { case (a, n, _) => a != n })
+    // the banded LSH path returns in-band pairs only (bucket recall),
+    // each with the identical cosine
+    val lsh = Similarity.hardNegativesLsh(emb, "embedding", "vec_id",
+        k = 5, lo = 0.15, hi = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(lsh.nonEmpty)
+    assert(lsh.forall { case (_, _, s) => s >= 0.15 && s < 0.5 })
+    // per-anchor: LSH picks from in-bucket candidates only, so its set
+    // may differ below the exact top-k, but every (anchor, negative)
+    // it returns must carry the bit-identical exact cosine
+    val exactSims = Similarity.hardNegatives(emb, "embedding", "vec_id",
+        k = 1000, lo = 0.15, hi = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(lsh.forall { case (a, n, s) => exactSims((a, n)) == s })
+  }
+
   test("IVF-PQ refine + persistence: exact re-rank, round-trip, append") {
     val emb = Tables.t(spark, dir, "embeddings")
     val n = emb.count().toInt
