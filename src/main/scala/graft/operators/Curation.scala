@@ -212,6 +212,38 @@ object Curation {
     stratifiedSample(df, idCol, strataCol, rates, defaultRate = 0.0)
   }
 
+  /** Temperature-scaled mixture sampling (the multilingual α-sampling
+    * recipe — Conneau & Lample, "Cross-lingual Language Model
+    * Pretraining", 2019 §3.1): source s targets share
+    * q_s = p_s^α / Σ p^α of the token budget, where p_s is its corpus
+    * token share. α < 1 flattens the distribution, upsampling
+    * low-resource sources relative to their raw share (α = 1 reduces
+    * to proportional sampling); rates cap at 1 — no repetition, union
+    * copies upstream if a source must repeat.
+    *
+    * Same scale shape as [[mixtureSample]]: ONE tiny per-source
+    * aggregate → scan-local deterministic hash filter; the corpus never
+    * shuffles. Rates round to 12 decimals on both engines — pow() is
+    * not IEEE-exact across libm implementations, and the filter
+    * boundary must be bit-identical for the oracle. */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+      tokenCol: String, alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val totals = df.groupBy(col(strataCol))
+      .agg(sum(col(tokenCol).cast(LongType)).as("t"))
+      .collect()
+      .collect { case r if !r.isNullAt(1) && r.getLong(1) > 0 =>
+        r.getString(0) -> r.getLong(1) }.toMap
+    val grand = totals.values.sum.toDouble
+    val zsum = totals.values.map(t => math.pow(t / grand, alpha)).sum
+    val rates = totals.map { case (s, t) =>
+      val q = math.pow(t / grand, alpha) / zsum
+      s -> math.round(
+        math.min(1.0, q * budgetTokens / t) * 1e12) / 1e12
+    }
+    stratifiedSample(df, idCol, strataCol, rates, defaultRate = 0.0)
+  }
+
   /** Deterministic weighted sampling without replacement (Efraimidis &
     * Spirakis, "Weighted random sampling with a reservoir", IPL 2006):
     * each row's key is ln(u)/w for u = its deterministic id-hash

@@ -458,6 +458,18 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
+    // Temperature-scaled mixture (XLM-R α-sampling): q_s ∝ p_s^0.5
+    // flattens the source distribution, upsampling small sources; ONE
+    // tiny aggregate → scan-local hash filter, rates rounded 12dp so
+    // the pow() boundary is engine-identical.
+    "q_temperature_sample" -> { (s, dir) =>
+      Curation.temperatureSample(
+          Tables.t(s, dir, "documents"), "doc_id", "source", "n_chars",
+          alpha = 0.5, budgetTokens = 20000L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     // Fixed-window sequence packing (concat-and-chunk pretraining
     // layout): deterministic shuffle order, corpus-wide token offsets
     // via the two-phase prefix sum, window id per doc.
@@ -1353,6 +1365,21 @@ object Pipeline {
           WHEN 'src0' THEN 0.5 WHEN 'src1' THEN 0.2
           WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.1
           ELSE 0.0 END AS DOUBLE) * 20000 / t) AS rate FROM tot)
+      SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
+      WHERE (doc_id * 2654435761) % 4294967296 / 4294967296.0 < rate
+      ORDER BY doc_id""",
+
+    "q_temperature_sample" -> """
+      WITH tot AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS t
+        FROM documents GROUP BY 1
+        HAVING CAST(sum(n_chars) AS BIGINT) > 0),
+      g AS (SELECT CAST(sum(t) AS DOUBLE) AS grand FROM tot),
+      z AS (SELECT sum(pow(t / grand, 0.5)) AS zsum
+        FROM tot CROSS JOIN g),
+      r AS (SELECT source,
+          round(least(CAST(1.0 AS DOUBLE),
+            pow(t / grand, 0.5) / zsum * 20000 / t), 12) AS rate
+        FROM tot CROSS JOIN g CROSS JOIN z)
       SELECT d.doc_id, d.source FROM documents d JOIN r USING (source)
       WHERE (doc_id * 2654435761) % 4294967296 / 4294967296.0 < rate
       ORDER BY doc_id""",

@@ -1429,6 +1429,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("temperature sampler: alpha<1 upsamples small sources, alpha=1 " +
+      "is proportional") {
+    import spark.implicits._
+    // skewed synthetic corpus: big source 100 docs × 100 tokens,
+    // small source 10 docs × 100 tokens
+    val docs = ((0 until 100).map(i => (i.toLong, "big", 100)) ++
+      (100 until 110).map(i => (i.toLong, "small", 100)))
+      .toDF("doc_id", "source", "n_tok")
+    def shares(alpha: Double, budget: Long): Map[String, Long] =
+      Curation.temperatureSample(docs, "doc_id", "source", "n_tok",
+          alpha, budget)
+        .groupBy($"source").agg(sum($"n_tok").as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // α=1: proportional — small's target is ~budget/11; α=0.5: the
+    // flattened share p^0.5 triples small's cut (√(1/11)/Z ≈ 0.24)
+    val prop = shares(1.0, 5000L)
+    val flat = shares(0.5, 5000L)
+    assert(flat.getOrElse("small", 0L) > prop.getOrElse("small", 0L),
+      s"alpha=0.5 must upsample the small source: $flat vs $prop")
+    assert(flat("big") < prop("big"),
+      "the big source pays for the upsampling")
+    // a budget beyond the corpus takes everything whole (rates cap)
+    val all = shares(0.5, 1000000L)
+    assert(all("big") == 10000L && all("small") == 1000L)
+    intercept[IllegalArgumentException] {
+      Curation.temperatureSample(docs, "doc_id", "source", "n_tok",
+        alpha = 0.0, budgetTokens = 100L)
+    }
+  }
+
   test("phrase matcher agrees with naive contains on adversarial inputs") {
     import spark.implicits._
     // overlapping phrases, shared prefixes/suffixes, phrase-inside-
