@@ -460,6 +460,60 @@ object TextAnalysis {
           .as("avg_neg_logp2"))
   }
 
+  /** Interpolated trigram LM score (one backoff level beyond
+    * [[bigramLogProb]], toward CCNet's KenLM filter): mean
+    * -ln(0.7·c(w1w2w3)/c(w1w2·) + 0.2·c(w2w3)/c(w2·) + 0.1·c(w3)/N)
+    * per doc. Same scale shape as the bigram path — the model
+    * histograms shuffle DISTINCT grams only (vocabulary-sized, not
+    * corpus-sized), scoring joins are AQE-sized, and per-gram scores
+    * quantize to scaled longs so the mean is engine-exact. Docs with
+    * fewer than three words have no trigrams and are absent. */
+  def trigramLogProb(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    val triples = df.select(col(idCol).as("doc"), words.as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - 2)).as("i"))
+      .select(col("doc"), element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"),
+        element_at(col("ws"), col("i") + 2).as("w3"))
+    // the bigram level counts ALL adjacent pairs (not trigram
+    // suffixes), so c(w2·) normalizes p(w3|w2) over the full corpus
+    val pairs = df.select(words.as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - 1)).as("i"))
+      .select(element_at(col("ws"), col("i")).as("w2"),
+        element_at(col("ws"), col("i") + 1).as("w3"))
+    val terms = df.select(
+      explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+    val tri = triples.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c123"))
+    val pre12 = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c123")).as("c12"))
+    val big = pairs.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c23"))
+    val pre2 = big.groupBy(col("w2")).agg(sum(col("c23")).as("c2"))
+    val uni = terms.groupBy(col("term")).agg(count(lit(1)).as("c3"))
+    val total = uni.agg(sum(col("c3")).as("n_total"))
+    val p = lit(0.7) * (col("c123").cast(DoubleType) / col("c12")) +
+      lit(0.2) * (col("c23").cast(DoubleType) / col("c2")) +
+      lit(0.1) * (col("c3").cast(DoubleType) / col("n_total"))
+    val scaled = round(-log(p) * 1e8).cast(LongType)
+    triples
+      .join(tri, Seq("w1", "w2", "w3"))
+      .join(pre12, Seq("w1", "w2"))
+      .join(big, Seq("w2", "w3"))
+      .join(pre2, Seq("w2"))
+      .join(uni, triples("w3") === uni("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tri"),
+        (sum(scaled).cast(DoubleType) / count(lit(1)) / lit(1e8))
+          .as("avg_neg_logp3"))
+  }
+
   def wordEntropy(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val hist = df
       .select(col(idCol).as("doc"),

@@ -633,6 +633,15 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // Interpolated trigram LM score (one backoff level past the
+    // bigram): histogram shuffles carry distinct grams only, scoring
+    // joins AQE-sized, scaled-long exact mean.
+    "q_trigram_logprob" -> { (s, dir) =>
+      TextAnalysis.trigramLogProb(
+          Tables.t(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc"))
+    },
+
     // Gopher repetition filters (Rae et al. 2021 App. A1.1): dup
     // line/paragraph fractions + top/dup n-gram char fractions, two
     // fused scan-local kernels, no shuffle. The synthetic corpus has
@@ -1533,6 +1542,39 @@ object Pipeline {
         CAST(len(phrases) AS INT) AS n_matched,
         len(phrases) > 0 AS blocked
       FROM m ORDER BY doc""",
+
+    "q_trigram_logprob" -> raw"""
+      WITH w AS (SELECT doc_id AS doc,
+          string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents),
+      tp AS (SELECT doc, ws[i] AS w1, ws[i + 1] AS w2, ws[i + 2] AS w3
+        FROM (SELECT doc, ws, unnest(range(1, len(ws) - 1)) AS i FROM w
+              WHERE len(ws) >= 3)),
+      p AS (SELECT ws[i] AS w2, ws[i + 1] AS w3
+        FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM w
+              WHERE len(ws) >= 2)),
+      t AS (SELECT unnest(string_split_regex(lower(trim(text)), '\s+'))
+          AS term FROM documents),
+      tri AS (SELECT w1, w2, w3, count(*) AS c123 FROM tp
+        GROUP BY 1, 2, 3),
+      pre12 AS (SELECT w1, w2, CAST(sum(c123) AS BIGINT) AS c12
+        FROM tri GROUP BY 1, 2),
+      big AS (SELECT w2, w3, count(*) AS c23 FROM p GROUP BY 1, 2),
+      pre2 AS (SELECT w2, CAST(sum(c23) AS BIGINT) AS c2 FROM big
+        GROUP BY 1),
+      uni AS (SELECT term, count(*) AS c3 FROM t GROUP BY 1),
+      total AS (SELECT CAST(sum(c3) AS BIGINT) AS n_total FROM uni)
+      SELECT doc, count(*) AS n_tri,
+        CAST(sum(CAST(round(-ln(
+            CAST(0.7 AS DOUBLE) * (CAST(c123 AS DOUBLE) / c12) +
+            CAST(0.2 AS DOUBLE) * (CAST(c23 AS DOUBLE) / c2) +
+            CAST(0.1 AS DOUBLE) * (CAST(c3 AS DOUBLE) / n_total))
+          * 100000000) AS BIGINT)) AS DOUBLE) / count(*) / 100000000.0
+          AS avg_neg_logp3
+      FROM tp JOIN tri USING (w1, w2, w3) JOIN pre12 USING (w1, w2)
+        JOIN big USING (w2, w3) JOIN pre2 USING (w2)
+        JOIN uni ON tp.w3 = uni.term CROSS JOIN total
+      GROUP BY doc ORDER BY doc""",
 
     // mirrors TextCleanKernel.normalize rule order exactly: nfc →
     // zero-width strip → nbsp→space → control strip → [ \t]-run

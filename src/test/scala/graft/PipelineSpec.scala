@@ -1369,6 +1369,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.map(_.getDouble(2)).toSeq == got.map(_.getDouble(2)).toSeq)
   }
 
+  test("trigram LM: predictable text scores lower, two-word docs drop, " +
+      "layout-deterministic") {
+    import spark.implicits._
+    val rigid = Seq.fill(20)("a b c d").mkString(" ")
+    val mixed = "a b c d b d a c d a b d c a d b c b a d " +
+      "d c a b b a d c c d b a a c b d d b c a"
+    val df = Seq((1L, rigid), (2L, mixed), (3L, "just two"))
+      .toDF("doc_id", "text")
+    val got = operators.TextAnalysis.trigramLogProb(df, "text", "doc_id")
+      .orderBy($"doc").collect()
+    assert(got.length == 2, "a 2-word doc has no trigrams")
+    val (s1, s2) = (got(0).getDouble(2), got(1).getDouble(2))
+    assert(s1 < s2, s"rigid $s1 should score below shuffled $s2")
+    // the extra context level separates HARDER than the bigram on the
+    // same corpus: rigid trigrams are near-deterministic
+    val bi = operators.TextAnalysis.bigramLogProb(df, "text", "doc_id")
+      .orderBy($"doc").collect()
+    assert((s2 - s1) > 0 && bi(0).getDouble(2) > 0)
+    val again = operators.TextAnalysis
+      .trigramLogProb(df.repartition(5), "text", "doc_id")
+      .orderBy($"doc").collect()
+    assert(again.map(_.getDouble(2)).toSeq == got.map(_.getDouble(2)).toSeq)
+  }
+
   test("document chunker: coverage, overlap, short tail, no shuffle") {
     import spark.implicits._
     val text = (1 to 25).map(i => s"w$i").mkString(" ")
