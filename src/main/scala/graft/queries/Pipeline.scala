@@ -588,13 +588,15 @@ object Pipeline {
     // C4 cleaning rules (Raffel et al. 2020 §2.2), one fused pass:
     // line filters (terminal punctuation, ≥3 words, no "javascript")
     // + document flags (≥5 sentences, "lorem ipsum", curly braces).
-    // Sentences become lines as in q_gopher_repetition; injected junk
-    // lines exercise every rule non-trivially (a 1-word line, a
-    // javascript line on doc_id%5, a lorem+brace line on doc_id%7).
+    // The fixture text has no punctuation, so 5-word sentence lines
+    // are derived (~25/doc → the ≥5-sentence rule passes unless a
+    // doc-level flag fires); injected junk lines exercise every rule
+    // non-trivially (a 1-word line, a javascript line on doc_id%5, a
+    // lorem+brace line on doc_id%7 → keep=false for those).
     "q_c4_clean" -> { (s, dir) =>
       val t2 = concat(
-        replace(col("text"), lit(". "), lit(".\n")),
-        lit("\nok.\nthis line has five words."),
+        regexp_replace(col("text"), "((\\w+ ){4}\\w+) ", "$1.\n"),
+        lit(".\nok.\nthis line has five words."),
         when(pmod(col("doc_id"), lit(5)) === 0,
           lit("\nwarning: this page needs JavaScript enabled."))
           .otherwise(lit("")),
@@ -1601,7 +1603,8 @@ object Pipeline {
 
     "q_c4_clean" -> raw"""
       WITH base AS (SELECT doc_id,
-          replace(text, '. ', '.' || chr(10)) || chr(10) || 'ok.' ||
+          regexp_replace(text, '((\w+ ){4}\w+) ',
+            '\1.' || chr(10), 'g') || '.' || chr(10) || 'ok.' ||
             chr(10) || 'this line has five words.' ||
             CASE WHEN doc_id % 5 = 0 THEN chr(10) ||
               'warning: this page needs JavaScript enabled.'

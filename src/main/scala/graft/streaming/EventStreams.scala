@@ -81,6 +81,41 @@ object EventStreams {
         lower(trim(col(textCol))), lowered))
   }
 
+  /** Streaming document-curation pass for live ingest: Unicode
+    * normalization → C4 line/document cleaning → language ID →
+    * Aho-Corasick blocklist, composed ENTIRELY from stateless
+    * scan-local kernels — it runs identically per micro-batch (no
+    * state store, no watermark; the batch form over the same rows is
+    * bit-identical, which the stream-vs-batch test pins). This is the
+    * live-ingest form of the batch curation pipeline: each arriving
+    * doc is repaired, cleaned, and gated before it ever lands in the
+    * corpus, so downstream dedup sees canonical text. NULL-text rows
+    * drop (nothing to curate — unlike the blocklist filter, whose
+    * output rows ARE the input rows). */
+  def curateStream(docs: DataFrame, textCol: String, idCol: String,
+      phrases: Seq[String], minSentences: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import graft.operators.TextAnalysis
+    val lowered = phrases.map(_.toLowerCase(java.util.Locale.ROOT))
+    docs
+      .where(col(textCol).isNotNull)
+      // struct projected ONCE, fields picked in the next select — the
+      // repeated-getField form would re-run the kernel per column if
+      // subexpression elimination is off for the plan shape
+      .select(col(idCol).as("id"),
+        call_function("c4_line_stats",
+          TextAnalysis.normalizeText(col(textCol))).as("c4"))
+      .select(col("id"), col("c4.clean_text").as("clean_text"),
+        col("c4.n_sentences").as("n_sentences"),
+        col("c4.has_lorem").as("has_lorem"),
+        col("c4.has_brace").as("has_brace"))
+      .withColumn("lang", TextAnalysis.langId(col("clean_text")))
+      .withColumn("blocked", TextAnalysis.containsAnyPhrase(
+        lower(col("clean_text")), lowered))
+      .withColumn("keep", col("n_sentences") >= minSentences &&
+        !col("has_lorem") && !col("has_brace") && !col("blocked"))
+  }
+
   /** Streaming near-duplicate detection for document ingest: each
     * incoming doc's MinHash signature is banded with the SAME bucketing
     * as the batch LSH paths and joined stream-static against a PERSISTED

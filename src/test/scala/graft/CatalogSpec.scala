@@ -507,6 +507,48 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming curation pass is bit-identical to the batch form") {
+    val docDir = java.nio.file.Files.createTempDirectory("graft_docs_cur")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      docDir.resolve("documents.parquet"))
+    val batchDocs = spark.read.parquet(docDir.toString)
+      // derived mess exercises normalize (NBSP/ZWSP/edge runs) and the
+      // c4 line rules (sentence lines + a short junk line)
+      .withColumn("text", concat(lit("  \u00A0"),
+        regexp_replace(col("text"), "((\\w+ ){4}\\w+) ", "$1.\n"),
+        lit(".\nok.\u200B  ")))
+    // 'customer batch' hits ~5% of the fixture; sf0.001 docs have at
+    // most two sentences, so the gate runs at minSentences = 1
+    val phrases = Seq("customer batch")
+    def curate(df: org.apache.spark.sql.DataFrame) =
+      EventStreams.curateStream(df, "text", "doc_id", phrases,
+        minSentences = 1)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(docDir.toString).schema)
+      .parquet(docDir.toString)
+      .withColumn("text", concat(lit("  \u00A0"),
+        regexp_replace(col("text"), "((\\w+ ){4}\\w+) ", "$1.\n"),
+        lit(".\nok.\u200B  ")))
+    val q = curate(stream)
+      .writeStream.format("memory").queryName("curate_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM curate_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          r.getString(5), r.getBoolean(7))).sortBy(_._1)
+      val exact = curate(batchDocs)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+          r.getString(5), r.getBoolean(7))).sortBy(_._1)
+      assert(got.length == exact.length && got.sameElements(exact),
+        "stream and batch curation must agree row-for-row")
+      // the gate must actually split the fixture
+      assert(got.exists(_._5) && got.exists(!_._5),
+        "fixture must exercise both kept and dropped docs")
+    } finally q.stop()
+  }
+
   test("streaming blocklist filter matches the batch anti join") {
     val evDir = java.nio.file.Files.createTempDirectory("graft_events_bl")
     java.nio.file.Files.copy(
