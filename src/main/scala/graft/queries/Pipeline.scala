@@ -567,6 +567,15 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // DAU / rolling 7-day active users + stickiness (engagement
+    // rollup). Exact mode for the oracle; the HLL-sketch mode is the
+    // corpus-scale path (per-day mergeable sketches, rolling union
+    // over the #days-row sketch table) — ±2% agreement ScalaTested.
+    "q_dau_mau" -> { (s, dir) =>
+      graft.operators.Temporal.engagementRollup(
+        Tables.t(s, dir, "events"), "user_id", "ts", windowDays = 7)
+    },
+
     // Unicode normalization (ftfy/CCNet-style pre-dedup repair): NFC +
     // zero-width strip + NBSP→space + control strip + space-run
     // collapse, ONE fused scan-local pass. The fixture is clean ASCII,
@@ -1544,6 +1553,18 @@ object Pipeline {
         CAST(len(phrases) AS INT) AS n_matched,
         len(phrases) > 0 AS blocked
       FROM m ORDER BY doc""",
+
+    "q_dau_mau" -> """
+      WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d
+        FROM events),
+      dau AS (SELECT d AS day, count(*) AS dau FROM ud GROUP BY 1),
+      win AS (SELECT u, d + CAST(i AS INT) AS day
+        FROM ud, (SELECT unnest(range(0, 7)) AS i)),
+      mau AS (SELECT day, count(DISTINCT u) AS mau FROM win GROUP BY 1)
+      SELECT dau.day AS day, dau.dau, mau.mau,
+        round(CAST(dau.dau AS DOUBLE) / mau.mau, 8) AS stickiness
+      FROM dau JOIN mau ON dau.day = mau.day
+      ORDER BY day""",
 
     "q_trigram_logprob" -> raw"""
       WITH w AS (SELECT doc_id AS doc,

@@ -384,6 +384,45 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("engagement rollup: exact dau/mau on a hand log; sketch mode " +
+      "tracks exact within 2%") {
+    import spark.implicits._
+    // u1 active d1,d2; u2 active d1; u3 active d3. window=2:
+    // d1: dau 2, mau{u1,u2}=2; d2: dau 1, mau[d1,d2]{u1,u2}=2;
+    // d3: dau 1, mau[d2,d3]{u1,u3}=2
+    val ev = Seq((1L, "2024-03-01 10:00:00"), (1L, "2024-03-02 09:00:00"),
+      (1L, "2024-03-01 23:00:00"), (2L, "2024-03-01 05:00:00"),
+      (3L, "2024-03-03 12:00:00"))
+      .map { case (u, t) => (u, ts(t)) }.toDF("u", "t")
+    val got = Temporal.engagementRollup(ev, "u", "t", windowDays = 2)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("2024-03-01", 2L, 2L, 1.0),
+      ("2024-03-02", 1L, 2L, 0.5),
+      ("2024-03-03", 1L, 2L, 0.5)))
+    // sketch mode on the real fixture: estimate within 2% per day
+    val events = Tables.t(spark, "/root/testdata/sf0.001", "events")
+    val exact = Temporal.engagementRollup(events, "user_id", "ts",
+        windowDays = 7)
+      .collect().map(r => r.getDate(0).toString -> r.getLong(2)).toMap
+    val approx = Temporal.engagementRollup(events, "user_id", "ts",
+        windowDays = 7, exact = false)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2)))
+    approx.foreach { case (day, _, est) =>
+      val truth = exact(day)
+      assert(math.abs(est - truth) <= math.max(1, truth * 0.02),
+        s"$day: hll $est vs exact $truth")
+    }
+    // the sketch plan never explodes user ids — its only explode runs
+    // over the per-day sketch rows
+    val plan = Temporal.engagementRollup(events, "user_id", "ts",
+      windowDays = 7, exact = false).queryExecution.optimizedPlan.toString
+    assert(plan.contains("hll_union_agg") || plan.contains("HllUnionAgg"),
+      s"sketch mode must merge sketches:\n$plan")
+  }
+
   test("cohort retention shuffles the log once: no window, no second " +
       "log-wide exchange") {
     val dir = "/root/testdata/sf0.001"
