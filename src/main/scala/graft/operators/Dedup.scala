@@ -854,4 +854,58 @@ object Dedup {
       .where(col("dist") <= maxHamming)
       .distinct()
   }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    * "Winnowing: Local Algorithms for Document Fingerprinting",
+    * SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, then
+    * keep the MINIMUM hash of each w-wide window of consecutive
+    * k-grams. The guarantee: any shared run of w + k - 1 words between
+    * two documents shares at least one selected fingerprint, while the
+    * selected set is ~2/(w+1) of all grams — position-robust overlap
+    * detection at a fraction of the full-gram cost.
+    *
+    * Hashes are the first 8 hex chars of md5(gram) compared as STRINGS
+    * (binary order) — engine-portable with no hex→int conversion, and
+    * the window minimum is `array_min` over the slice. All scan-local
+    * (tokenize → transform → windows → explode distinct); the only
+    * shuffle is the output distinct. Docs with fewer than w k-grams
+    * are dropped (no full window — standard winnowing domain).
+    *
+    * @return (doc, fp) distinct selected fingerprints per document */
+  def winnowingFingerprints(df: DataFrame, textCol: String,
+      idCol: String, k: Int = 5, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    df.select(col(idCol).as("doc"), words.as("ws"))
+      .where(size(col("ws")) >= k + w - 1)
+      .select(col("doc"), transform(
+        sequence(lit(1), size(col("ws")) - (k - 1)),
+        i => substring(md5(array_join(slice(col("ws"), i, lit(k)), " ")),
+          1, 8)).as("fps"))
+      .select(col("doc"), explode(transform(
+        sequence(lit(1), size(col("fps")) - (w - 1)),
+        i => array_min(slice(col("fps"), i, lit(w))))).as("fp"))
+      .distinct()
+  }
+
+  /** Pairwise fingerprint overlap (the MOSS report): how many winnowed
+    * fingerprints each document pair shares. The join key is the
+    * fingerprint, so cost scales with per-fp document-list sizes, not
+    * n² — but a fingerprint shared by EVERYTHING (boilerplate) would
+    * still go quadratic, so fps above `maxDocsPerFp` drop with the
+    * same degenerate-bucket contract as the LSH paths (a fingerprint
+    * in half the corpus identifies boilerplate, not copying). */
+  def winnowingOverlap(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5, w: Int = 4,
+      maxDocsPerFp: Int = DefaultMaxBucket): DataFrame = {
+    val fp = winnowingFingerprints(df, textCol, idCol, k, w)
+    val small = fp.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+      .where(col("n") <= maxDocsPerFp).select(col("fp"))
+    val kept = fp.join(small, "fp")
+    val a = kept.toDF("fp", "id_a")
+    val b = kept.toDF("fp", "id_b")
+    a.join(b, "fp").where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
 }

@@ -672,6 +672,17 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // Winnowing fingerprint overlap (Schleimer et al. SIGMOD 2003, the
+    // MOSS algorithm): window-minimum k-gram hashes → shared-fp counts
+    // per doc pair. Bounded to 300 docs (< maxDocsPerFp, so the
+    // boilerplate cap cannot fire and the SQL mirror needs no cap).
+    "q_winnowing_overlap" -> { (s, dir) =>
+      Dedup.winnowingOverlap(
+          Tables.t(s, dir, "documents").where(col("doc_id") < 300),
+          "text", "doc_id")
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // Cross-source overlap matrix: how many distinct word 5-grams each
     // source pair shares (the between-sources contamination report a
     // curation run logs). One gram-keyed shuffle; the per-gram source
@@ -1553,6 +1564,20 @@ object Pipeline {
         CAST(len(phrases) AS INT) AS n_matched,
         len(phrases) > 0 AS blocked
       FROM m ORDER BY doc""",
+
+    "q_winnowing_overlap" -> raw"""
+      WITH w AS (SELECT doc_id AS doc,
+          string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents WHERE doc_id < 300),
+      g AS (SELECT doc, list_transform(range(1, len(ws) - 3),
+          i -> substr(md5(array_to_string(ws[i:i+4], ' ')), 1, 8)) AS fps
+        FROM w WHERE len(ws) >= 8),
+      win AS (SELECT doc, list_transform(range(1, len(fps) - 2),
+          i -> list_min(fps[i:i+3])) AS mins FROM g),
+      fp AS (SELECT DISTINCT doc, unnest(mins) AS fp FROM win)
+      SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_shared
+      FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc < b.doc
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_dau_mau" -> """
       WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d

@@ -1453,6 +1453,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("winnowing: shared-run guarantee, disjoint docs share nothing, " +
+      "selection is sparse") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val d1 = s"one two three $shared four five six seven eight nine"
+    val d2 = s"p q r s t u v w x y z $shared aa bb cc"
+    val d3 = "totally different words with no overlap at all here " +
+      "eleven twelve thirteen fourteen fifteen sixteen"
+    val df = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "t")
+    val pairs = operators.Dedup.winnowingOverlap(df, "t", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    // the winnowing guarantee: a shared run of w+k-1 = 8 words MUST
+    // surface at least one common fingerprint
+    assert(pairs.getOrElse((1L, 2L), 0L) >= 1L,
+      s"8-word shared run must share a fingerprint: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      "word-disjoint docs must share nothing")
+    // selection density: ~2/(w+1) of the grams, never all of them
+    val fps = operators.Dedup.winnowingFingerprints(df, "t", "doc_id")
+      .groupBy($"doc").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nGrams1 = d1.split(" ").length - 4
+    assert(fps(1L) < nGrams1, "winnowing must select a strict subset")
+    // layout determinism
+    val again = operators.Dedup.winnowingOverlap(df.repartition(3),
+        "t", "doc_id")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2)))
+      .toMap
+    assert(again == pairs)
+  }
+
   test("temperature sampler: alpha<1 upsamples small sources, alpha=1 " +
       "is proportional") {
     import spark.implicits._
