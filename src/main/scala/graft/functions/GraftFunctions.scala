@@ -267,6 +267,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "script_profile", e => ScriptProfile(e.head), "built-in")
     reg.createOrReplaceTempFunction(
+      "deflate_ratio", e => DeflateRatio(e.head), "built-in")
+    reg.createOrReplaceTempFunction(
       "line_repetition", e => LineRepetition(e.head), "built-in")
     reg.createOrReplaceTempFunction(
       "bpe_tokens", e => BpeTokens(e(0), e(1)), "built-in")

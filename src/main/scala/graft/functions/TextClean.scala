@@ -146,6 +146,62 @@ object TextCleanKernel {
   }
 }
 
+/** Compression-ratio quality signal: deflated size / raw UTF-8 size.
+  * Highly compressible text is repetitive boilerplate (the MassiveWeb/
+  * RefinedWeb-family filter — a cheap, language-agnostic complement to
+  * the explicit Gopher repetition counters); near-incompressible text
+  * at the other extreme is often binary junk or gibberish. */
+object DeflateKernel {
+  // one Deflater per executor thread: the native zlib handle is
+  // expensive to create and NOT thread-safe; reset() between rows
+  private val local = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(6, true) // raw deflate, default level
+  }
+
+  /** deflate(text).length / utf8(text).length, level 6 raw deflate.
+    * Empty text → 1.0 (incompressible by convention). The absolute
+    * value depends on the zlib build, so this is a RANKING signal
+    * (rows-only driver check, ordering pinned in ScalaTest), not an
+    * oracle-comparable quantity. */
+  def ratio(s: UTF8String): Double = {
+    val bytes = s.getBytes
+    if (bytes.length == 0) return 1.0
+    val d = local.get()
+    d.reset()
+    d.setInput(bytes)
+    d.finish()
+    val buf = new Array[Byte](8192)
+    var n = 0L
+    while (!d.finished()) n += d.deflate(buf)
+    n.toDouble / bytes.length
+  }
+}
+
+/** DEFLATE_RATIO(string) → double (see [[DeflateKernel]]).
+  * Null in → null out. */
+case class DeflateRatio(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"deflate_ratio requires a STRING column, got " +
+        child.dataType.catalogString)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    DeflateKernel.ratio(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.DeflateKernel.ratio($a)")
+  override protected def withNewChildInternal(c: Expression): DeflateRatio =
+    copy(child = c)
+  override def prettyName: String = "deflate_ratio"
+}
+
 /** Unicode-script composition of one document — the mixed-script spam
   * signal (e.g. Cyrillic homoglyphs inside Latin text, CJK keyword
   * stuffing) and a hard precondition check for language-ID. One pass;

@@ -322,6 +322,13 @@ object TextAnalysis {
   def canonicalUrl(url: Column): Column =
     call_function("canonical_url", url)
 
+  /** Compression-ratio quality signal ([[graft.functions.DeflateRatio]]):
+    * deflated/raw byte ratio — low = repetitive boilerplate, the cheap
+    * language-agnostic repetition filter. Scan-local; a RANKING signal
+    * (zlib-build-dependent absolute value → no SQL oracle). */
+  def compressionRatio(text: Column): Column =
+    call_function("deflate_ratio", text)
+
   /** Per-doc Unicode-script composition + the mixed-script verdict
     * ([[graft.functions.ScriptProfile]] — one pass; composed form is a
     * regex scan per script class). `mixed` = a second script holds more

@@ -672,6 +672,22 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // Compression-ratio repetition signal (MassiveWeb/RefinedWeb-family
+    // filter): deflate ratio per doc, self-concatenated docs flagged by
+    // the drop in ratio. Rows-only driver check (the absolute ratio is
+    // zlib-build-dependent); ordering properties ScalaTested.
+    "q_compression_ratio" -> { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      Tables.t(s, dir, "documents")
+        .select(col("doc_id").as("doc"),
+          TextAnalysis.compressionRatio(col("text")).as("ratio_raw"),
+          TextAnalysis.compressionRatio(
+            concat_ws(" ", col("text"), col("text"), col("text")))
+            .as("ratio_x3"))
+        .withColumn("repetitive_x3", col("ratio_x3") < col("ratio_raw"))
+        .orderBy(col("doc"))
+    },
+
     // Winnowing fingerprint overlap (Schleimer et al. SIGMOD 2003, the
     // MOSS algorithm): window-minimum k-gram hashes → shared-fp counts
     // per doc pair. Bounded to 300 docs (< maxDocsPerFp, so the

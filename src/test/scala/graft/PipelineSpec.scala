@@ -1453,6 +1453,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("compression ratio: repetition compresses, ranking is stable") {
+    import spark.implicits._
+    functions.GraftFunctions.register(spark)
+    val rep = Seq.fill(50)("the same phrase again and again").mkString(" ")
+    val varied = (1 to 150).map(i => s"w${i * 7919 % 9973}").mkString(" ")
+    val rows = Seq((1L, rep), (2L, varied), (3L, ""), (4L, "x"))
+      .toDF("id", "t")
+      .select($"id", operators.TextAnalysis.compressionRatio($"t").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows(1L) < rows(2L),
+      s"repetitive ${rows(1L)} must compress below varied ${rows(2L)}")
+    assert(rows(1L) < 0.2, "heavy repetition compresses hard")
+    assert(rows(3L) == 1.0, "empty text is incompressible by convention")
+    assert(rows(4L) > 1.0, "deflate overhead exceeds a 1-byte input")
+    // deterministic across layouts
+    val again = Seq((1L, rep), (2L, varied)).toDF("id", "t")
+      .repartition(3)
+      .select($"id", operators.TextAnalysis.compressionRatio($"t").as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(again(1L) == rows(1L) && again(2L) == rows(2L))
+  }
+
   test("winnowing: shared-run guarantee, disjoint docs share nothing, " +
       "selection is sparse") {
     import spark.implicits._
