@@ -162,4 +162,30 @@ object Layout {
       numFiles: Int, bits: Int = 10): Unit =
     zorderBy(df, cols, numFiles, bits)
       .write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Token-budget sharded export — the training-data delivery layout:
+    * documents are assigned to shards by the corpus-wide token prefix
+    * sum (shard = floor(cumulative tokens / budget), the
+    * [[Curation.packSequences]] machinery: deterministic hash order,
+    * two-phase prefix sum, no single-partition window), so every shard
+    * except the last carries ≈ `tokensPerShard` tokens regardless of
+    * document-length skew, and the assignment is reproducible across
+    * runs and layouts. Documents never split across shards (a doc that
+    * crosses the boundary lands in the shard its FIRST token falls in
+    * — boundary-splitting docs themselves is
+    * [[Curation.packSequencesSplit]]'s job upstream).
+    *
+    * Written `PARTITIONBY(shard)`, so a trainer reading shard k prunes
+    * every other shard's files at listing time, and shards can be
+    * consumed/replicated independently. */
+  def writeShardedByTokens(df: DataFrame, idCol: String, tokCol: String,
+      path: String, tokensPerShard: Long, partitions: Int = 32): Unit = {
+    val bins = Curation
+      .packSequences(df, idCol, tokCol, tokensPerShard, partitions)
+      .select(col("doc"), col("bin").cast("int").as("shard"))
+    df.join(bins, df(idCol) === bins("doc"))
+      .drop("doc")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("shard").parquet(path)
+  }
 }

@@ -81,6 +81,25 @@ object EventStreams {
         lower(trim(col(textCol))), lowered))
   }
 
+  /** Streaming windowed active-user counts: watermarked tumbling
+    * windows × approx_count_distinct(user) — the live form of the
+    * engagement rollup's distinct-user series. The HLL++ aggregate is
+    * mergeable, so state per window is ONE fixed-size sketch however
+    * many events arrive (an exact streaming COUNT(DISTINCT) would hold
+    * every user id in the state store — unbounded); the estimate is
+    * deterministic for given data, so the stream agrees with the batch
+    * form exactly (pinned in CatalogSpec). */
+  def windowedActiveUsers(events: DataFrame, userCol: String,
+      tsCol: String, windowLen: String = "1 hour",
+      watermark: String = "2 hours", rsd: Double = 0.02): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(approx_count_distinct(col(userCol), rsd).as("active_users"),
+        count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"),
+        col("active_users"), col("n_events"))
+
   /** Streaming document-curation pass for live ingest: Unicode
     * normalization → C4 line/document cleaning → language ID →
     * Aho-Corasick blocklist, composed ENTIRELY from stateless

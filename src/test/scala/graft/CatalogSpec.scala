@@ -507,6 +507,46 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming windowed active users equals batch; bounded sketch " +
+      "state") {
+    val evDir = java.nio.file.Files.createTempDirectory("graft_events_au")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      evDir.resolve("events.parquet"))
+    val ev = eventStream(evDir.toString)
+    val q = EventStreams.windowedActiveUsers(ev, "user_id", "ts")
+      .writeStream.format("memory").queryName("active_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM active_out").collect()
+        .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSet
+      // HLL++ is deterministic for given data, so closed windows match
+      // the batch computation EXACTLY, not just approximately
+      val batch = Tables.t(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(approx_count_distinct(col("user_id"), 0.02)
+          .as("active_users"), count(lit(1)).as("n_events"))
+        .select(col("window.start"), col("active_users"), col("n_events"))
+        .collect()
+        .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2))).toSet
+      assert(got.nonEmpty, "stream emitted no closed windows")
+      assert(got.subsetOf(batch), "stream windows must match batch")
+      assert(got.forall(!_._1.startsWith("197")), "epoch sanity")
+      // the estimate tracks the exact count within the configured rsd
+      val exact = Tables.t(spark, "/root/testdata/sf0.001", "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .select(col("window.start"), col("n")).collect()
+        .map(r => r.get(0).toString -> r.getLong(1)).toMap
+      got.foreach { case (w, est, _) =>
+        val truth = exact(w)
+        assert(math.abs(est - truth) <= math.max(2, truth * 0.06),
+          s"$w: estimate $est vs exact $truth")
+      }
+    } finally q.stop()
+  }
+
   test("streaming curation pass is bit-identical to the batch form") {
     val docDir = java.nio.file.Files.createTempDirectory("graft_docs_cur")
     java.nio.file.Files.copy(

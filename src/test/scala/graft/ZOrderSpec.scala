@@ -207,6 +207,49 @@ class ZOrderSpec extends AnyFunSuite {
     }
   }
 
+  test("token-budget sharded export: budget held, docs whole, " +
+      "partition-pruned reads, reproducible") {
+    import spark.implicits._
+    val docs = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text", $"n_chars")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString + "/out"
+    val budget = 20000L
+    graft.operators.Layout.writeShardedByTokens(
+      docs, "doc_id", "n_chars", path, budget)
+    val back = spark.read.parquet(path)
+    // every doc exactly once, content intact
+    assert(back.count() == docs.count())
+    assert(back.select($"doc_id").distinct().count() == docs.count())
+    // per-shard sums: a shard holds <= budget + one doc's tokens (a doc
+    // never splits, so only the straddling doc overshoots); every
+    // shard but the last is filled past... at least to budget - maxDoc
+    val sums = back.groupBy($"shard")
+      .agg(sum($"n_chars").as("t")).orderBy($"shard")
+      .collect().map(r => r.getInt(0) -> r.getLong(1))
+    val maxDoc = docs.agg(max($"n_chars")).head().getLong(0)
+    assert(sums.length > 1, "fixture must produce multiple shards")
+    sums.foreach { case (_, t) => assert(t <= budget + maxDoc) }
+    sums.dropRight(1).foreach { case (s, t) =>
+      assert(t >= budget - maxDoc, s"shard $s underfilled: $t")
+    }
+    assert(sums.map(_._1).toSeq == sums.indices.toSeq, "contiguous ids")
+    // reading one shard prunes the others' files at listing time
+    val one = back.where($"shard" === 1)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && one.count() > 0)
+    // deterministic: a rewrite from a different layout shards identically
+    val path2 = java.nio.file.Files
+      .createTempDirectory("graft_shards2").toString + "/out"
+    graft.operators.Layout.writeShardedByTokens(
+      docs.repartition(7), "doc_id", "n_chars", path2, budget)
+    val a = spark.read.parquet(path).select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val b = spark.read.parquet(path2).select("doc_id", "shard")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a == b)
+  }
+
   test("z_value kernel runs inside whole-stage codegen, nulls bucket 0") {
     GraftFunctions.register(spark)
     // non-literal inputs through a repartition so the generated code
