@@ -100,6 +100,23 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("fused text-cleanup kernels stay scan-local (sort exchange only)") {
+    // normalize / c4 / script-mix / url-canonical / compression are
+    // per-row kernels; their queries may exchange only for the final
+    // orderBy (range) — a hashpartitioning exchange would mean an
+    // accidental aggregation crept into a pure map pipeline.
+    // (q_url_canonical ends in a groupBy by design and is pinned by the
+    // no-cartesian sweep instead.)
+    for (q <- Seq("q_text_normalize", "q_c4_clean", "q_script_mix",
+        "q_compression_ratio")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning"),
+        s"$q must stay scan-local (range exchange for the sort only):\n$p")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q planned a loop:\n$p")
+    }
+  }
+
   test("term frequency aggregates map-side before the shuffle") {
     val p = plan("q_term_freq")
     val hashAggs = "HashAggregate".r.findAllIn(p).length
