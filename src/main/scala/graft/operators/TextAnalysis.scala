@@ -230,22 +230,10 @@ object TextAnalysis {
     val tf = toks.where(col("term").isin(qTerms: _*))
       .groupBy(col("doc"), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // written with the exact literal shape the oracle uses so both
-    // engines evaluate the identical FP expression tree
-    val avgdl = col("total_dl").cast(DoubleType) / col("n_docs")
-    val idf = log(lit(1.0) +
-      (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
-        (col("df") + lit(0.5)))
-    val termScore = idf * (col("tf") * lit(k1 + 1)) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
-    tf.join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(lens))
-      .groupBy(col("doc"))
-      .agg((sum(round(termScore * lit(1e8)).cast(LongType))
-        .cast(DoubleType) / lit(1e8)).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc"))
-      .limit(k)
+    // scoring tail shared with bm25TopKIndexed — the exact literal
+    // shape the oracle uses, so both engines (and both paths) evaluate
+    // the identical FP expression tree
+    bm25Tail(tf, lens, k, k1, b)
   }
 
   /** Corpus term statistics: term frequency and document frequency per
@@ -465,6 +453,121 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_big"),
         (sum(scaled).cast(DoubleType) / count(lit(1)) / lit(1e8))
           .as("avg_neg_logp2"))
+  }
+
+  /** Positional inverted index as a PERSISTED artifact — the retrieval
+    * analog of the fingerprint/signature/IVF tables: build once per
+    * corpus version, then query-time work reads posting lists instead
+    * of scanning text.
+    *
+    * Postings are (term, doc, tf, dl, positions) — dl denormalized in
+    * so scoring needs no doc-length join; positions are the 0-based
+    * token offsets (bounded by doc length), enabling positional/phrase
+    * queries. [[saveInvertedIndex]] writes them RANGE-CLUSTERED by term
+    * (repartitionByRange + sortWithinPartitions), so a query's
+    * `term IN (...)` filter prunes whole files via parquet min/max
+    * stats — the on-disk analog of seeking to a posting list. A tiny
+    * meta row carries (n_docs, total_dl) for BM25's idf/avgdl. */
+  def buildInvertedIndex(df: DataFrame, textCol: String,
+      idCol: String): DataFrame =
+    df.where(col(textCol).isNotNull)
+      .select(col(idCol).as("doc"),
+        posexplode(split(lower(trim(col(textCol))), "\\s+"))
+          .as(Seq("pos", "term")),
+        size(split(lower(trim(col(textCol))), "\\s+")).as("dl"))
+      .groupBy(col("term"), col("doc"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
+        sort_array(collect_list(col("pos"))).as("positions"))
+
+  /** Persist the inverted index at `path`: postings term-clustered for
+    * file pruning, plus the one-row corpus meta. Overwrites. */
+  def saveInvertedIndex(path: String, df: DataFrame, textCol: String,
+      idCol: String, partitions: Int = 32): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    buildInvertedIndex(df, textCol, idCol)
+      .repartitionByRange(partitions, col("term"))
+      .sortWithinPartitions(col("term"))
+      .write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .parquet(path + "/postings")
+    val lens = df.where(col(textCol).isNotNull)
+      .select(size(split(lower(trim(col(textCol))), "\\s+"))
+        .cast(LongType).as("dl"))
+      .agg(sum(col("dl")).as("total_dl"), count(lit(1)).as("n_docs"))
+    lens.coalesce(1).write
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path + "/meta")
+  }
+
+  // the one scoring expression shared by the scan path (bm25TopK) and
+  // the index path (bm25TopKIndexed): identical FP expression tree →
+  // identical scores, so the two paths are interchangeable
+  private def bm25Tail(tf: DataFrame, lens: DataFrame, k: Int,
+      k1: Double, b: Double): DataFrame = {
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_dl").cast(DoubleType) / col("n_docs")
+    val idf = log(lit(1.0) +
+      (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+    val termScore = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(lens))
+      .groupBy(col("doc"))
+      .agg((sum(round(termScore * lit(1e8)).cast(LongType))
+        .cast(DoubleType) / lit(1e8)).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc"))
+      .limit(k)
+  }
+
+  /** BM25 top-k against a SAVED index: reads only the query terms'
+    * posting rows (file-pruned by the term clustering) + the one-row
+    * meta — per-query cost is posting-list-sized, not corpus-sized.
+    * Scores are bit-identical to [[bm25TopK]] over the same corpus
+    * (shared scoring tail, ScalaTested). */
+  def bm25TopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, query: Seq[String], k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25TopKFromPostings(spark.read.parquet(path + "/postings"),
+      spark.read.parquet(path + "/meta"), query, k, k1, b)
+
+  /** DataFrame-core form of [[bm25TopKIndexed]] (for in-memory or
+    * already-loaded postings). */
+  def bm25TopKFromPostings(postings: DataFrame, meta: DataFrame,
+      query: Seq[String], k: Int = 10, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val qTerms = query.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
+    require(qTerms.nonEmpty, "BM25 query must have at least one term")
+    val tf = postings.where(col("term").isin(qTerms: _*))
+      .select(col("doc"), col("term"), col("tf"), col("dl"))
+    bm25Tail(tf, meta, k, k1, b)
+  }
+
+  /** Exact phrase search against a SAVED index: docs where the terms
+    * occur at consecutive token positions, with the occurrence count.
+    * Each phrase term's postings are file-pruned reads; the adjacency
+    * check intersects position lists per doc (array arithmetic, no
+    * re-tokenization of text). Duplicate phrase terms are handled —
+    * "the the" requires positions p and p+1 both in 'the''s list. */
+  def phraseSearchIndexed(spark: org.apache.spark.sql.SparkSession,
+      path: String, phrase: Seq[String]): DataFrame =
+    phraseSearch(spark.read.parquet(path + "/postings"), phrase)
+
+  /** DataFrame-core form of [[phraseSearchIndexed]]. */
+  def phraseSearch(post: DataFrame, phrase: Seq[String]): DataFrame = {
+    val terms = phrase.map(_.toLowerCase(java.util.Locale.ROOT))
+    require(terms.nonEmpty, "phrase must have at least one term")
+    val heads = post.where(col("term") === terms.head)
+      .select(col("doc"), col("positions").as("p0"))
+    val joined = terms.zipWithIndex.tail.foldLeft(heads) {
+      case (acc, (t, i)) =>
+        acc.join(post.where(col("term") === t)
+          .select(col("doc"), col("positions").as(s"p$i")), "doc")
+    }
+    val hits = terms.indices.tail.foldLeft(col("p0")) { case (acc, i) =>
+      filter(acc, p => array_contains(col(s"p$i"), p + i))
+    }
+    joined.select(col("doc"), size(hits).as("n_occurrences"))
+      .where(col("n_occurrences") > 0)
   }
 
   /** Interpolated trigram LM score (one backoff level beyond

@@ -672,6 +672,17 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // Exact phrase search over the positional inverted index: each
+    // phrase term's postings are (file-pruned) reads, adjacency checks
+    // intersect position lists — no text re-tokenization at query
+    // time. Oracle re-derives occurrences from the raw text.
+    "q_phrase_search" -> { (s, dir) =>
+      val postings = TextAnalysis.buildInvertedIndex(
+        Tables.t(s, dir, "documents"), "text", "doc_id")
+      TextAnalysis.phraseSearch(postings, Seq("customer", "batch"))
+        .orderBy(col("doc"))
+    },
+
     // Compression-ratio repetition signal (MassiveWeb/RefinedWeb-family
     // filter): deflate ratio per doc, self-concatenated docs flagged by
     // the drop in ratio. Rows-only driver check (the absolute ratio is
@@ -1580,6 +1591,17 @@ object Pipeline {
         CAST(len(phrases) AS INT) AS n_matched,
         len(phrases) > 0 AS blocked
       FROM m ORDER BY doc""",
+
+    "q_phrase_search" -> raw"""
+      WITH w AS (SELECT doc_id AS doc,
+          string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents),
+      c AS (SELECT doc, CAST(len(list_filter(range(1, len(ws)),
+          i -> ws[i] = 'customer' AND ws[i + 1] = 'batch')) AS INT)
+          AS n_occurrences
+        FROM w)
+      SELECT doc, n_occurrences FROM c WHERE n_occurrences > 0
+      ORDER BY doc""",
 
     "q_winnowing_overlap" -> raw"""
       WITH w AS (SELECT doc_id AS doc,

@@ -1453,6 +1453,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("inverted index: BM25 path equivalence, phrase search edges, " +
+      "pruned persisted reads") {
+    import spark.implicits._
+    val docs = Tables.t(spark, dir, "documents")
+    // persisted index round-trip
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_invidx").toString + "/idx"
+    operators.TextAnalysis.saveInvertedIndex(path, docs, "text", "doc_id")
+    // index-backed BM25 is BIT-IDENTICAL to the corpus-scan path
+    val query = Seq("slow", "customer", "batch")
+    val scan = operators.TextAnalysis
+      .bm25TopK(docs, "text", "doc_id", query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val idx = operators.TextAnalysis
+      .bm25TopKIndexed(spark, path, query, k = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(idx == scan, "index path must reproduce the scan path exactly")
+    // the postings read is file-pruned by the term clustering
+    val pruned = spark.read.parquet(path + "/postings")
+      .where(col("term") === "slow")
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [IsNotNull(term), EqualTo(term,slow)]"))
+    // phrase search: adjacency honored, repeated-term phrases work
+    val tiny = Seq(
+      (1L, "alpha beta gamma alpha beta"),
+      (2L, "beta alpha"),           // terms present, never adjacent
+      (3L, "alpha alpha alpha"),    // repeated-term phrase
+      (4L, "nothing relevant here"))
+      .toDF("doc_id", "text")
+    val post = operators.TextAnalysis
+      .buildInvertedIndex(tiny, "text", "doc_id")
+    val ab = operators.TextAnalysis
+      .phraseSearch(post, Seq("alpha", "beta"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ab == Map(1L -> 2))
+    val aa = operators.TextAnalysis
+      .phraseSearch(post, Seq("alpha", "alpha"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(aa == Map(3L -> 2), "'alpha alpha' occurs twice in doc 3")
+    val single = operators.TextAnalysis
+      .phraseSearch(post, Seq("beta"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(single == Map(1L -> 2, 2L -> 1))
+  }
+
   test("compression ratio: repetition compresses, ranking is stable") {
     import spark.implicits._
     functions.GraftFunctions.register(spark)
