@@ -855,6 +855,29 @@ object Dedup {
       .distinct()
   }
 
+  /** Corpus version diff — the release-engineering report between two
+    * corpus snapshots: per doc id, whether it was added, removed, kept
+    * unchanged, or content-changed (md5 digest compare, so the join
+    * carries 16-byte digests, never text). ONE id-keyed full outer
+    * join; at 100 TB both sides shuffle once on the id and the digest
+    * compare is map-side. Summary counts derive downstream with a tiny
+    * aggregate.
+    *
+    * @return (doc_id, status ∈ added|removed|changed|unchanged) */
+  def corpusDiff(oldV: DataFrame, newV: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val o = oldV.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("old_fp"))
+    val n = newV.select(col(idCol).as("doc_id"),
+      md5(col(textCol)).as("new_fp"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_fp").isNull, lit("added"))
+          .when(col("new_fp").isNull, lit("removed"))
+          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     * "Winnowing: Local Algorithms for Document Fingerprinting",
     * SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, then

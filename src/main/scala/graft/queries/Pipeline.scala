@@ -728,6 +728,20 @@ object Pipeline {
         .orderBy($"source_a", $"source_b")
     },
 
+    // Corpus version diff (release report between snapshots): one
+    // id-keyed full outer join over 16-byte digests. Derived versions:
+    // old = ids < 450, new = ids >= 50 with every 10th doc's text
+    // changed — all four statuses non-trivial.
+    "q_corpus_diff" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val oldV = docs.where(col("doc_id") < 450)
+      val newV = docs.where(col("doc_id") >= 50)
+        .withColumn("text", when(pmod(col("doc_id"), lit(10)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Dedup.corpusDiff(oldV, newV, "text", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+
     // Incremental exact dedup: classify a new batch (doc_id >= 400)
     // against the existing corpus via its fingerprint table — the
     // daily-ingest shape; no corpus re-pairing. Oracle-exact.
@@ -1591,6 +1605,20 @@ object Pipeline {
         CAST(len(phrases) AS INT) AS n_matched,
         len(phrases) > 0 AS blocked
       FROM m ORDER BY doc""",
+
+    "q_corpus_diff" -> """
+      WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents
+        WHERE doc_id < 450),
+      n AS (SELECT doc_id, md5(CASE WHEN doc_id % 10 = 0
+          THEN text || ' v2' ELSE text END) AS fp
+        FROM documents WHERE doc_id >= 50)
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        CASE WHEN o.doc_id IS NULL THEN 'added'
+             WHEN n.doc_id IS NULL THEN 'removed'
+             WHEN o.fp <> n.fp THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      ORDER BY doc_id""",
 
     "q_phrase_search" -> raw"""
       WITH w AS (SELECT doc_id AS doc,

@@ -81,6 +81,24 @@ object EventStreams {
         lower(trim(col(textCol))), lowered))
   }
 
+  /** Streaming exact-dedup ingest gate: an arriving doc is dropped if
+    * its normalized-text fingerprint already exists in the corpus
+    * FINGERPRINT table (stream-static anti join — the static side is
+    * the same persisted artifact batch incremental dedup keys on, and
+    * can be any size) or appeared earlier in the stream inside the
+    * watermark (`dropDuplicatesWithinWatermark` on the fingerprint —
+    * bounded state, expiring with event time). Survivors are exactly
+    * the docs a subsequent batch dedup would keep, so the corpus never
+    * ingests a known duplicate in the first place. */
+  def dedupIngestStream(docs: DataFrame, textCol: String, idCol: String,
+      tsCol: String, corpusFps: DataFrame,
+      watermark: String = "2 hours"): DataFrame =
+    docs
+      .withColumn("fp", graft.operators.Dedup.fingerprint(col(textCol)))
+      .join(corpusFps.select(col("fp")).distinct(), Seq("fp"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Streaming windowed active-user counts: watermarked tumbling
     * windows × approx_count_distinct(user) — the live form of the
     * engagement rollup's distinct-user series. The HLL++ aggregate is

@@ -547,6 +547,56 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup ingest: corpus dups drop, in-stream dups " +
+      "collapse to first") {
+    val docDir = java.nio.file.Files.createTempDirectory("graft_docs_di")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      docDir.resolve("documents.parquet"))
+    val base = spark.read.parquet(docDir.toString)
+    // corpus = docs < 250; docs >= 250 arrive as the stream, with a
+    // synthesized event time; every doc >= 400 re-uses doc 250's text
+    // (stream-safe duplicate derivation — no window/self-join), so the
+    // stream carries many copies of one fingerprint
+    val corpusFps = base.where(col("doc_id") < 250)
+      .select(graft.operators.Dedup.fingerprint(col("text")).as("fp"))
+    val fixed = base.where(col("doc_id") === 250)
+      .select(col("text")).head().getString(0)
+    def derive(df: org.apache.spark.sql.DataFrame) = df
+      .where(col("doc_id") >= 250)
+      .withColumn("text",
+        when(col("doc_id") >= 400, lit(fixed)).otherwise(col("text")))
+      .withColumn("ts",
+        (lit(1700000000L) + col("doc_id")).cast("timestamp"))
+    val stream = derive(spark.readStream.schema(base.schema)
+      .parquet(docDir.toString))
+    val q = EventStreams.dedupIngestStream(stream, "text", "doc_id",
+        "ts", corpusFps)
+      .writeStream.format("memory").queryName("dedup_ingest_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT doc_id, fp FROM dedup_ingest_out")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      // batch truth: new-fp docs, one survivor per fp
+      val batchDocs = derive(base)
+      val corpusSet = corpusFps.distinct().collect()
+        .map(_.getString(0)).toSet
+      val newFps = batchDocs
+        .select(col("doc_id"),
+          graft.operators.Dedup.fingerprint(col("text")).as("fp"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .filterNot { case (_, fp) => corpusSet.contains(fp) }
+      assert(got.map(_._2).toSet == newFps.map(_._2).toSet,
+        "survivor fingerprints must equal the batch new-fp set")
+      assert(got.map(_._2).distinct.length == got.length,
+        "no duplicate fingerprints may pass the gate")
+      assert(got.length < newFps.length,
+        "the in-stream duplicates (docs >= 400) must collapse")
+      assert(got.forall { case (_, fp) => !corpusSet.contains(fp) })
+    } finally q.stop()
+  }
+
   test("streaming curation pass is bit-identical to the batch form") {
     val docDir = java.nio.file.Files.createTempDirectory("graft_docs_cur")
     java.nio.file.Files.copy(
