@@ -3,8 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, Skew,
-  TextAnalysis}
+import graft.operators.{Curation, Dedup, FuzzyJoin, Multimodal,
+  Similarity, Skew, TextAnalysis}
 
 /** Training-data pipeline operator battery: dedup, similarity search,
   * text analysis, multimodal feature extraction. Oracle SQL mirrors the
@@ -726,6 +726,18 @@ object Pipeline {
         .groupBy($"source_a", $"source_b")
         .agg(count(lit(1)).as("n_shared"))
         .orderBy($"source_a", $"source_b")
+    },
+
+    // Edit-distance similarity join (entity/name resolution): q-gram
+    // rarest-prefix filtering (Ed-Join) + length filter + exact
+    // levenshtein verify — never a cross join. Customer names differ
+    // in single digits, so the fixture has real distance-1 pairs.
+    "q_fuzzy_name_pairs" -> { (s, dir) =>
+      FuzzyJoin.editDistancePairs(
+          Tables.t(s, dir, "customer").where(col("c_custkey") <= 600)
+            .select(col("c_custkey"), col("c_name")),
+          "c_name", "c_custkey", maxDist = 1)
+        .orderBy(col("id_a"), col("id_b"))
     },
 
     // Corpus version diff (release report between snapshots): one
@@ -1605,6 +1617,15 @@ object Pipeline {
         CAST(len(phrases) AS INT) AS n_matched,
         len(phrases) > 0 AS blocked
       FROM m ORDER BY doc""",
+
+    "q_fuzzy_name_pairs" -> """
+      SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+      FROM customer a, customer b
+      WHERE a.c_custkey <= 600 AND b.c_custkey <= 600
+        AND a.c_custkey < b.c_custkey
+        AND levenshtein(a.c_name, b.c_name) <= 1
+      ORDER BY id_a, id_b""",
 
     "q_corpus_diff" -> """
       WITH o AS (SELECT doc_id, md5(text) AS fp FROM documents

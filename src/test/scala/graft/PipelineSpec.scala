@@ -1453,6 +1453,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(ids1 == ids2)
   }
 
+  test("edit-distance join: complete vs brute force, short strings " +
+      "fail loudly, no cross join in the plan") {
+    import spark.implicits._
+    // adversarial set: substitution / insertion / deletion / transposed
+    // neighbors, identical strings, far strings, shared rare suffixes
+    val rows = Seq(
+      (1L, "abcdefgh"), (2L, "abcdefgx"),   // sub at the end → d=1
+      (3L, "abcdefghi"),                    // insertion of 1 → d=1
+      (4L, "xbcdefgh"),                     // sub at the front → d=1
+      (5L, "abcdefgh"),                     // exact duplicate → d=0
+      (6L, "zzzzzzzz"), (7L, "qrstuvwx"),   // far from everything
+      (8L, "abcdxfgh")                      // middle sub → d=1
+      ).toDF("id", "s")
+    val got = operators.FuzzyJoin
+      .editDistancePairs(rows, "s", "id", maxDist = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2)))
+      .toMap
+    // brute-force truth
+    val all = rows.as[(Long, String)].collect()
+    val brute = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      d = {
+        val m = Array.tabulate(sa.length + 1, sb.length + 1) {
+          (i, j) => if (i == 0) j else if (j == 0) i else 0 }
+        for (i <- 1 to sa.length; j <- 1 to sb.length)
+          m(i)(j) = math.min(math.min(m(i - 1)(j) + 1, m(i)(j - 1) + 1),
+            m(i - 1)(j - 1) + (if (sa(i - 1) == sb(j - 1)) 0 else 1))
+        m(sa.length)(sb.length)
+      } if d <= 1
+    } yield (ia, ib) -> d).toMap
+    assert(got == brute, s"got $got expected $brute")
+    // the loud guard: a string below q*(maxDist+1) chars throws
+    val err = intercept[Exception] {
+      Seq((1L, "abc"), (2L, "abcdef")).toDF("id", "s")
+        .transform(d => operators.FuzzyJoin
+          .editDistancePairs(d, "s", "id", maxDist = 1))
+        .collect()
+    }
+    assert(err.toString.contains("editDistancePairs"),
+      s"guard must name the operator: $err")
+    // scale shape: the fixture query plans no cartesian/nested loop
+    val p = SparkEntry.queries("q_fuzzy_name_pairs")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("inverted index: BM25 path equivalence, phrase search edges, " +
       "pruned persisted reads") {
     import spark.implicits._
