@@ -296,6 +296,47 @@ object Temporal {
     * relative to the cohort's offset-0 size via a broadcast self-join
     * on the tiny aggregate.
     */
+  /** Regular-grid resample with forward fill (time-series gap fill):
+    * for each key, one row per `stepSeconds` tick from the key's first
+    * observation tick to its last, carrying the LATEST observation at
+    * or before the tick (as-of semantics — the standard
+    * downsample/gap-fill for irregular event series).
+    *
+    * Shape at scale: the tick spine derives from a per-key (min, max)
+    * aggregate (rows = #keys) exploded scan-locally with sequence() —
+    * never a driver loop — and the fill is ONE [[asofJoinMulti]]
+    * (single key exchange, union-merge, no join operator). Guard: keys
+    * whose span exceeds `maxTicksPerKey` ticks fail loudly (a years-
+    * long span at 1s steps is a fat-finger, and the explode would
+    * materialize it).
+    *
+    * @return one row per (key, tick) with the payload columns of the
+    *         latest observation and its event time (`obs_ts`) */
+  def resampleForwardFill(df: DataFrame, keyCol: String, tsCol: String,
+      stepSeconds: Long, maxTicksPerKey: Long = 1000000L): DataFrame = {
+    require(stepSeconds >= 1, s"stepSeconds must be >= 1, got $stepSeconds")
+    val tick = floor(unix_seconds(col(tsCol)) / stepSeconds) * stepSeconds
+    val bounds = df
+      .groupBy(col(keyCol).as("__key"))
+      .agg(min(tick).as("lo"), max(tick).as("hi"))
+      .where(coalesce(
+        assert_true((col("hi") - col("lo")) / stepSeconds <
+          maxTicksPerKey,
+          concat(lit(s"resampleForwardFill: key span exceeds " +
+            s"$maxTicksPerKey ticks of ${stepSeconds}s — raise " +
+            "stepSeconds or split the series (key "),
+            col("__key").cast("string"), lit(")"))),
+        lit(true)))
+    val spine = bounds
+      .select(col("__key"),
+        explode(sequence(col("lo"), col("hi"), lit(stepSeconds)))
+          .as("__tick"))
+      .select(col("__key").as(keyCol),
+        timestamp_seconds(col("__tick")).as("grid_ts"))
+    val right = df.withColumnRenamed(tsCol, "obs_ts")
+    asofJoinMulti(spine, right, Seq(keyCol), "grid_ts", "obs_ts")
+  }
+
   /** DAU / rolling-window active users ("MAU") + stickiness per day —
     * the engagement rollup every event-log product report runs.
     *

@@ -567,6 +567,17 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // Regular-grid resample with forward fill (time-series gap fill):
+    // per-user 6-hour ticks, latest observation carried forward via
+    // the one-exchange as-of merge; spine from a per-key bounds
+    // aggregate, never a driver loop.
+    "q_resample_ffill" -> { (s, dir) =>
+      graft.operators.Temporal.resampleForwardFill(
+          Tables.t(s, dir, "events").where(col("user_id") < 12),
+          "user_id", "ts", stepSeconds = 21600L)
+        .orderBy(col("user_id"), col("grid_ts"))
+    },
+
     // DAU / rolling 7-day active users + stickiness (engagement
     // rollup). Exact mode for the oracle; the HLL-sketch mode is the
     // corpus-scale path (per-day mergeable sketches, rolling union
@@ -1665,6 +1676,20 @@ object Pipeline {
       SELECT a.doc AS id_a, b.doc AS id_b, count(*) AS n_shared
       FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc < b.doc
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_resample_ffill" -> """
+      WITH e AS (SELECT * FROM events WHERE user_id < 12),
+      b AS (SELECT user_id,
+          CAST(floor(epoch(min(ts)) / 21600) * 21600 AS BIGINT) AS lo,
+          CAST(floor(epoch(max(ts)) / 21600) * 21600 AS BIGINT) AS hi
+        FROM e GROUP BY 1),
+      s AS (SELECT user_id, make_timestamp(g * 1000000) AS grid_ts
+        FROM b, LATERAL unnest(generate_series(lo, hi, 21600)) AS t(g))
+      SELECT s.user_id, s.grid_ts, e.event_id, e.ts AS obs_ts,
+        e.event_type, e.value, e.props
+      FROM s ASOF LEFT JOIN e
+        ON s.user_id = e.user_id AND s.grid_ts >= e.ts
+      ORDER BY s.user_id, s.grid_ts""",
 
     "q_dau_mau" -> """
       WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d

@@ -384,6 +384,36 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("resample forward-fill: grid bounds, gap fill, loud span guard") {
+    import spark.implicits._
+    // key 1: obs at :00:10 and :02:10 → 30s grid :00:00..:02:00, the
+    // first tick PRECEDES the first obs (null payload), later ticks
+    // carry v=1 until :02:00 (still v=1 — obs :02:10 is after the
+    // tick); key 2: single obs → single tick
+    val ev = Seq((1L, "2024-05-01 00:00:10", 1.0),
+      (1L, "2024-05-01 00:02:10", 2.0),
+      (2L, "2024-05-01 07:00:05", 9.0))
+      .map { case (k, t, v) => (k, ts(t), v) }.toDF("k", "t", "v")
+    val got = Temporal.resampleForwardFill(ev, "k", "t", 30L)
+      .orderBy($"k", $"grid_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got.toSeq == Seq(
+      (1L, "2024-05-01 00:00:00.0", None),
+      (1L, "2024-05-01 00:00:30.0", Some(1.0)),
+      (1L, "2024-05-01 00:01:00.0", Some(1.0)),
+      (1L, "2024-05-01 00:01:30.0", Some(1.0)),
+      (1L, "2024-05-01 00:02:00.0", Some(1.0)),
+      (2L, "2024-05-01 07:00:00.0", None)))
+    // a fat-finger span (years at 1s) fails loudly instead of exploding
+    val wide = Seq((1L, ts("2020-01-01 00:00:00"), 1.0),
+      (1L, ts("2026-01-01 00:00:00"), 2.0)).toDF("k", "t", "v")
+    val err = intercept[Exception] {
+      Temporal.resampleForwardFill(wide, "k", "t", 1L).collect()
+    }
+    assert(err.toString.contains("resampleForwardFill"))
+  }
+
   test("engagement rollup: exact dau/mau on a hand log; sketch mode " +
       "tracks exact within 2%") {
     import spark.implicits._
