@@ -36,6 +36,50 @@ object GraftFunctions {
   private def asTimestamp(e: Expression): Expression =
     if (e.dataType == TimestampType) e else Cast(e, TimestampType)
 
+  // --- registry-proof builtins ------------------------------------
+  // Spark 4's Column API resolves function NAMES through the session
+  // registry, so a temp function shadows the builtin for DataFrame
+  // code too — [[registerPhoenixDialect]] deliberately rebinds
+  // md5/log/to_date/dayofweek/... to reference semantics for the SQL
+  // front-end, and with by-name resolution that would silently flip
+  // every digest-keyed dedup (BINARY md5), every ln() quality score
+  // (LOG becomes log10, 2-arg args swap), and date bucketing in a
+  // session that also instantiates PhoenixSql. Operators therefore go
+  // through these direct-expression forms, immune to shadowing.
+
+  private def exprOf(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.ColumnBridge.toExpression(c)
+  private def colOf(e: Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.toColumn(e)
+
+  /** Builtin hex-string MD5, immune to registry shadowing. */
+  def md5Hex(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    colOf(org.apache.spark.sql.catalyst.expressions.Md5(
+      Cast(exprOf(c), BinaryType)))
+
+  /** Builtin natural log, immune to registry shadowing. */
+  def ln(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    colOf(org.apache.spark.sql.catalyst.expressions.Log(
+      Cast(exprOf(c), DoubleType)))
+
+  /** Builtin log_base(x) (Spark argument order), immune to shadowing. */
+  def logBase(base: Double,
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    colOf(org.apache.spark.sql.catalyst.expressions.Logarithm(
+      org.apache.spark.sql.catalyst.expressions.Literal(base),
+      Cast(exprOf(c), DoubleType)))
+
+  /** Builtin to_date (cast to DATE), immune to shadowing. */
+  def toDateSpark(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    colOf(Cast(exprOf(c), DateType))
+
+  /** Builtin dayofweek (Sunday = 1), immune to shadowing. */
+  def dayOfWeekSpark(
+      c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    colOf(org.apache.spark.sql.catalyst.expressions.DayOfWeek(
+      Cast(exprOf(c), DateType)))
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(

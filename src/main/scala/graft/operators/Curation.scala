@@ -51,7 +51,8 @@ object Curation {
     * silently diverge. */
   private def esKey(id: Column, weight: Column): Column = {
     val u = (hash32(id) + 1).cast(DoubleType) / lit(4294967296.0)
-    round(log(u) / weight.cast(DoubleType) * 1e6, 6)
+    round(graft.functions.GraftFunctions.ln(u) /
+      weight.cast(DoubleType) * 1e6, 6)
   }
 
   /** Gopher-style repetition signals per document:
@@ -380,7 +381,7 @@ object Curation {
     // quantized at 1e-8 so both engines round to the same long
     val lam = stats.crossJoin(broadcast(tot))
       .select(col("term"),
-        round(log(
+        round(graft.functions.GraftFunctions.ln(
           ((col("cnt_tgt") + 1).cast(DoubleType) * (col("tot_raw") + col("v"))) /
             ((col("cnt_raw") + 1).cast(DoubleType) * (col("tot_tgt") + col("v"))))
           * 1e8).cast(LongType).as("lam"))

@@ -142,7 +142,7 @@ object Dedup {
     * any corpus size that fits hardware; add a byte-compare verify pass
     * downstream if cryptographic certainty is required). */
   def exactDedup(docs: DataFrame, textCol: String, idCol: String): DataFrame =
-    docs.groupBy(md5(col(textCol)).as("fp"))
+    docs.groupBy(graft.functions.GraftFunctions.md5Hex(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"), col("fp"))
 
@@ -155,7 +155,7 @@ object Dedup {
     * \p{L}\p{N}\s mean the same thing in Java regex and DuckDB's RE2,
     * so the digest is engine-portable. */
   def fingerprint(text: Column): Column =
-    md5(trim(regexp_replace(
+    graft.functions.GraftFunctions.md5Hex(trim(regexp_replace(
       regexp_replace(lower(text), "[^\\p{L}\\p{N}\\s]", ""),
       "\\s+", " ")))
 
@@ -238,7 +238,7 @@ object Dedup {
       .select(col("doc"), col("w"),
         explode(sequence(lit(0L), col("n_spans") - 1)).as("pos"))
       .select(col("doc"), col("pos"),
-        md5(concat_ws(" ",
+        graft.functions.GraftFunctions.md5Hex(concat_ws(" ",
           slice(col("w"), (col("pos") * spanWords + 1).cast(IntegerType),
             lit(spanWords)))).as("fp"))
 
@@ -867,9 +867,9 @@ object Dedup {
   def corpusDiff(oldV: DataFrame, newV: DataFrame, textCol: String,
       idCol: String): DataFrame = {
     val o = oldV.select(col(idCol).as("doc_id"),
-      md5(col(textCol)).as("old_fp"))
+      graft.functions.GraftFunctions.md5Hex(col(textCol)).as("old_fp"))
     val n = newV.select(col(idCol).as("doc_id"),
-      md5(col(textCol)).as("new_fp"))
+      graft.functions.GraftFunctions.md5Hex(col(textCol)).as("new_fp"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("old_fp").isNull, lit("added"))
@@ -903,7 +903,8 @@ object Dedup {
       .where(size(col("ws")) >= k + w - 1)
       .select(col("doc"), transform(
         sequence(lit(1), size(col("ws")) - (k - 1)),
-        i => substring(md5(array_join(slice(col("ws"), i, lit(k)), " ")),
+        i => substring(graft.functions.GraftFunctions.md5Hex(
+          array_join(slice(col("ws"), i, lit(k)), " ")),
           1, 8)).as("fps"))
       .select(col("doc"), explode(transform(
         sequence(lit(1), size(col("fps")) - (w - 1)),

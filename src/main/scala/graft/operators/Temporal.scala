@@ -362,7 +362,8 @@ object Temporal {
       windowDays: Int = 30, exact: Boolean = true): DataFrame = {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val ud = events.select(col(userCol).as("u"),
-      to_date(col(tsCol)).as("d")).distinct()
+      graft.functions.GraftFunctions.toDateSpark(col(tsCol)).as("d"))
+      .distinct()
     val dau = ud.groupBy(col("d").as("day"))
       .agg(count(lit(1)).as("dau")) // (u, d) already distinct
     val mau =

@@ -159,7 +159,8 @@ object TextAnalysis {
     tf.join(docFreq, "term")
       .crossJoin(broadcast(n))
       .withColumn("tfidf",
-        round(col("tf") * log(col("n_docs").cast(DoubleType) / col("df")), 8))
+        round(col("tf") * graft.functions.GraftFunctions.ln(
+          col("n_docs").cast(DoubleType) / col("df")), 8))
       .groupBy(col("doc"))
       .agg(call_function("top_scored",
         col("term"), col("tfidf"), lit(k)).as("top"))
@@ -187,7 +188,8 @@ object TextAnalysis {
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
     val tf = terms.groupBy(col("term")).agg(count(lit(1)).as("tf"))
     val total = tf.agg(sum(col("tf")).as("total"))
-    val tokScaled = round(-log(col("tf").cast(DoubleType) / col("total"))
+    val tokScaled = round(-graft.functions.GraftFunctions.ln(
+      col("tf").cast(DoubleType) / col("total"))
       * 1e8).cast(LongType)
     terms.join(tf, "term")
       .crossJoin(broadcast(total))
@@ -443,7 +445,8 @@ object TextAnalysis {
     val total = uni.agg(sum(col("c2")).as("n_total"))
     val p = lit(0.9) * (col("c12").cast(DoubleType) / col("c1")) +
       lit(0.1) * (col("c2").cast(DoubleType) / col("n_total"))
-    val scaled = round(-log(p) * 1e8).cast(LongType)
+    val scaled = round(-graft.functions.GraftFunctions.ln(p) * 1e8)
+      .cast(LongType)
     pairs
       .join(big, Seq("w1", "w2"))
       .join(pre, Seq("w1"))
@@ -505,7 +508,7 @@ object TextAnalysis {
       k1: Double, b: Double): DataFrame = {
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avgdl = col("total_dl").cast(DoubleType) / col("n_docs")
-    val idf = log(lit(1.0) +
+    val idf = graft.functions.GraftFunctions.ln(lit(1.0) +
       (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)))
     val termScore = idf * (col("tf") * lit(k1 + 1)) /
@@ -551,6 +554,52 @@ object TextAnalysis {
   def phraseSearchIndexed(spark: org.apache.spark.sql.SparkSession,
       path: String, phrase: Seq[String]): DataFrame =
     phraseSearch(spark.read.parquet(path + "/postings"), phrase)
+
+  /** Batch multi-query BM25 — the serving pattern: a whole TABLE of
+    * queries scored against the postings in one job instead of a
+    * per-query loop. The postings join keys on term, so each query
+    * touches only its terms' posting rows; per-(query, doc) term
+    * scores sum with the same 1e-8 scaled-long quantization, and the
+    * per-query top-k rides the bounded-heap aggregate (k docs per
+    * (query, map task) through the shuffle — no per-query sort).
+    *
+    * idf/avgdl use the CORPUS-WIDE df from the postings (a term's df =
+    * its posting count), identical to the single-query paths.
+    *
+    * @param queries (queryIdCol, termCol) — one row per query term,
+    *                lowercased by the caller or not (terms lowercase
+    *                here); duplicate (query, term) rows are deduped
+    * @return (query_id, doc, bm25) top-k rows per query */
+  def bm25MultiQuery(postings: DataFrame, meta: DataFrame,
+      queries: DataFrame, queryIdCol: String, termCol: String,
+      k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    graft.functions.GraftFunctions.register(postings.sparkSession)
+    val q = queries.select(col(queryIdCol).as("qid"),
+      lower(col(termCol)).as("term")).distinct()
+    // df from the postings themselves — corpus-wide document frequency
+    val dfreq = postings.join(broadcast(q.select(col("term")).distinct()),
+        "term")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val avgdl = col("total_dl").cast(DoubleType) / col("n_docs")
+    val idf = graft.functions.GraftFunctions.ln(lit(1.0) +
+      (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)))
+    val termScore = idf * (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    postings
+      .join(broadcast(q), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(meta))
+      .groupBy(col("qid"), col("doc"))
+      .agg((sum(round(termScore * lit(1e8)).cast(LongType))
+        .cast(DoubleType) / lit(1e8)).as("bm25"))
+      .groupBy(col("qid"))
+      .agg(call_function("top_scored_id", col("doc"), col("bm25"), lit(k))
+        .as("top"))
+      .select(col("qid").as("query_id"), explode(col("top")).as("e"))
+      .select(col("query_id"), col("e.id").as("doc"),
+        col("e.score").as("bm25"))
+  }
 
   /** DataFrame-core form of [[phraseSearchIndexed]]. */
   def phraseSearch(post: DataFrame, phrase: Seq[String]): DataFrame = {
@@ -610,7 +659,8 @@ object TextAnalysis {
     val p = lit(0.7) * (col("c123").cast(DoubleType) / col("c12")) +
       lit(0.2) * (col("c23").cast(DoubleType) / col("c2")) +
       lit(0.1) * (col("c3").cast(DoubleType) / col("n_total"))
-    val scaled = round(-log(p) * 1e8).cast(LongType)
+    val scaled = round(-graft.functions.GraftFunctions.ln(p) * 1e8)
+      .cast(LongType)
     triples
       .join(tri, Seq("w1", "w2", "w3"))
       .join(pre12, Seq("w1", "w2"))
@@ -632,10 +682,11 @@ object TextAnalysis {
       .agg(count(lit(1)).as("cnt"))
     hist.groupBy(col("doc"))
       .agg(sum(col("cnt")).as("n_tok"),
-        sum(round(col("cnt") * log(2.0, col("cnt").cast(DoubleType))
+        sum(round(col("cnt") *
+          graft.functions.GraftFunctions.logBase(2.0, col("cnt"))
           * 1e8).cast(LongType)).as("s"))
       .select(col("doc"), col("n_tok"),
-        round(log(2.0, col("n_tok").cast(DoubleType)) -
+        round(graft.functions.GraftFunctions.logBase(2.0, col("n_tok")) -
           col("s").cast(DoubleType) / 1e8 / col("n_tok"), 8).as("entropy"))
   }
 }

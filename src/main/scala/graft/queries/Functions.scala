@@ -32,7 +32,7 @@ object Functions {
         trim(concat(lit("  "), $"p_name", lit("  "))).as("trimmed"),
         lpad($"p_brand", 12, "*").as("padded"),
         reverse($"p_name").as("rev"),
-        md5($"p_name").as("digest"),
+        graft.functions.GraftFunctions.md5Hex($"p_name").as("digest"),
         concat($"p_name", lit("|"), $"p_brand").as("joined"))
     },
 
@@ -63,7 +63,8 @@ object Functions {
       Tables.t(s, dir, "events").select(
         $"event_id",
         year($"ts").as("y"), quarter($"ts").as("q"), month($"ts").as("m"),
-        dayofmonth($"ts").as("dom"), dayofweek($"ts").as("dow"),
+        dayofmonth($"ts").as("dom"),
+        graft.functions.GraftFunctions.dayOfWeekSpark($"ts").as("dow"),
         dayofyear($"ts").as("doy"), weekofyear($"ts").as("woy"),
         hour($"ts").as("h"), minute($"ts").as("mi"), second($"ts").as("sec"),
         date_trunc("month", $"ts").as("mon_start"),
@@ -101,7 +102,8 @@ object Functions {
         sqrt($"p_size".cast(DoubleType)).as("sq"),
         round(cbrt($"p_size".cast(DoubleType)), 8).as("cb"),
         round(exp($"p_size" / lit(50.0)), 8).as("ex"),
-        round(log($"p_size" + lit(1.0)), 8).as("ln_"),
+        round(graft.functions.GraftFunctions.ln($"p_size" + lit(1.0)), 8)
+          .as("ln_"),
         round(log10($"p_size".cast(DoubleType)), 8).as("l10"),
         pow($"p_size", 2).as("p2"),
         signum($"p_size" - 25).as("sg"),
@@ -288,7 +290,7 @@ object Functions {
     "q_encode_binary" -> { (s, dir) =>
       import s.implicits._
       GraftFunctions.register(s)
-      val payload = unhex(md5($"p_name")) // 16 raw bytes, non-printable
+      val payload = unhex(graft.functions.GraftFunctions.md5Hex($"p_name")) // 16 raw bytes, non-printable
       Tables.t(s, dir, "part").select(
         $"p_partkey",
         call_function("encode_binary", $"p_name".cast(BinaryType),

@@ -739,6 +739,25 @@ object Pipeline {
         .orderBy($"source_a", $"source_b")
     },
 
+    // Batch multi-query BM25 (serving pattern): a queries TABLE scored
+    // against the postings in one job — per-query cost is its terms'
+    // posting rows, per-query top-k via the bounded heap.
+    "q_bm25_multiquery" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.t(s, dir, "documents")
+      val postings = TextAnalysis.buildInvertedIndex(docs, "text", "doc_id")
+      val meta = docs.where(col("text").isNotNull)
+        .select(size(split(lower(trim(col("text"))), "\\s+"))
+          .cast("long").as("dl"))
+        .agg(sum($"dl").as("total_dl"), count(lit(1)).as("n_docs"))
+      val queries = Seq((1L, "slow"), (1L, "customer"), (2L, "batch"),
+        (2L, "stream"), (3L, "hash"), (3L, "window"))
+        .toDF("query_id", "term")
+      TextAnalysis.bm25MultiQuery(postings, meta, queries,
+          "query_id", "term", k = 5)
+        .orderBy(col("query_id"), col("bm25").desc, col("doc"))
+    },
+
     // Edit-distance similarity join (entity/name resolution): q-gram
     // rarest-prefix filtering (Ed-Join) + length filter + exact
     // levenshtein verify — never a cross join. Customer names differ
@@ -1628,6 +1647,43 @@ object Pipeline {
         CAST(len(phrases) AS INT) AS n_matched,
         len(phrases) > 0 AS blocked
       FROM m ORDER BY doc""",
+
+    "q_bm25_multiquery" -> raw"""
+      WITH tok AS (
+        SELECT doc_id AS doc,
+          len(string_split_regex(lower(trim(text)), '\s+')) AS dl,
+          unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        FROM documents WHERE text IS NOT NULL),
+      lens AS (
+        SELECT sum(len(string_split_regex(lower(trim(text)), '\s+')))
+            AS total_dl,
+          count(text) AS n_docs
+        FROM documents WHERE text IS NOT NULL),
+      q AS (SELECT * FROM (VALUES (1, 'slow'), (1, 'customer'),
+          (2, 'batch'), (2, 'stream'), (3, 'hash'), (3, 'window'))
+          AS v(qid, term)),
+      tf AS (
+        SELECT doc, term, max(dl) AS dl, count(*) AS tf FROM tok
+        WHERE term IN (SELECT term FROM q)
+        GROUP BY doc, term),
+      dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      s AS (
+        SELECT qid, doc,
+          sum(CAST(round(
+            ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+            * (tf * 2.2)
+            / (tf + 1.2 * (1.0 - 0.75
+                + 0.75 * dl / (CAST(total_dl AS DOUBLE) / n_docs)))
+            * 1e8) AS BIGINT)) AS ssum
+        FROM tf JOIN q USING (term) JOIN dfreq USING (term)
+          CROSS JOIN lens
+        GROUP BY qid, doc),
+      r AS (SELECT qid, doc, CAST(ssum AS DOUBLE) / 1e8 AS bm25,
+          row_number() OVER (PARTITION BY qid
+            ORDER BY ssum DESC, doc) AS rn
+        FROM s)
+      SELECT CAST(qid AS BIGINT) AS query_id, doc, bm25 FROM r
+      WHERE rn <= 5 ORDER BY query_id, bm25 DESC, doc""",
 
     "q_fuzzy_name_pairs" -> """
       SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,

@@ -1545,6 +1545,84 @@ class PipelineSpec extends AnyFunSuite {
     assert(single == Map(1L -> 2, 2L -> 1))
   }
 
+  test("operator semantics survive the Phoenix SQL dialect (registry " +
+      "shadowing)") {
+    import spark.implicits._
+    // Spark 4 resolves Column-API function NAMES through the session
+    // registry, so registering the Phoenix dialect (BINARY md5, LOG =
+    // log10 with swapped 2-arg order, to_date = timestamp cast,
+    // dayofweek Monday-based) would silently corrupt every DataFrame
+    // operator using those names. The operators go through the
+    // registry-proof direct-expression builders; this pins it.
+    val wh = java.nio.file.Files.createTempDirectory("graft_dialect")
+    new graft.sources.PhoenixSql(spark,
+      new graft.sources.GraftCatalog(spark, wh.toString))
+    try {
+      // the dialect IS live on the session: SQL md5 returns binary
+      assert(spark.sql("SELECT md5('x') AS m").schema("m").dataType ==
+        org.apache.spark.sql.types.BinaryType)
+      // ...but the operators keep Spark semantics
+      val fp = Seq(Tuple1("ab")).toDF("t")
+        .select(operators.Dedup.fingerprint($"t").as("fp"))
+      assert(fp.schema("fp").dataType ==
+        org.apache.spark.sql.types.StringType)
+      assert(fp.head().getString(0) ==
+        "187ef4436122d1cc2f40dc2b92f0eba0") // md5("ab") hex
+      // ln stays natural log (the dialect's single-arg LOG is log10)
+      val e = Seq(Tuple1(math.E)).toDF("x")
+        .select(functions.GraftFunctions.ln($"x")).head().getDouble(0)
+      assert(math.abs(e - 1.0) < 1e-12, s"ln(e) = $e")
+      // entropy's log2 keeps Spark's (base, x) argument order
+      val ent = operators.TextAnalysis.wordEntropy(
+          Seq((1L, "a b a b")).toDF("doc_id", "text"), "text", "doc_id")
+        .head().getDouble(2)
+      assert(ent == 1.0, s"H(a,b uniform) must be 1 bit, got $ent")
+      // cohort periods stay DATE-derived (dialect to_date is a
+      // timestamp cast)
+      val coh = operators.Temporal.cohortRetention(
+        Seq((1L, java.sql.Timestamp.valueOf("2024-01-02 10:00:00")))
+          .toDF("u", "t"), "u", "t")
+      assert(coh.collect().head.getInt(1) == 0)
+    } finally {
+      // restore the builtins for later suites sharing the session
+      for (f <- Seq("md5", "log", "to_date", "to_timestamp",
+          "dayofweek", "current_date", "current_time", "to_time"))
+        spark.sessionState.functionRegistry.dropFunction(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(f))
+    }
+  }
+
+  test("multi-query BM25 equals the single-query path per query") {
+    import spark.implicits._
+    val docs = Tables.t(spark, dir, "documents")
+    val postings = operators.TextAnalysis
+      .buildInvertedIndex(docs, "text", "doc_id")
+    val meta = docs.where(col("text").isNotNull)
+      .select(size(split(lower(trim(col("text"))), "\\s+"))
+        .cast("long").as("dl"))
+      .agg(sum($"dl").as("total_dl"), count(lit(1)).as("n_docs"))
+    val queryTerms = Map(1L -> Seq("slow", "customer"),
+      2L -> Seq("batch", "stream"))
+    // duplicate (query, term) rows must dedup, not double-score
+    val qdf = (queryTerms.toSeq.flatMap { case (q, ts) =>
+      ts.map(t => (q, t)) } :+ ((1L, "slow")))
+      .toDF("query_id", "term")
+    val multi = operators.TextAnalysis
+      .bm25MultiQuery(postings, meta, qdf, "query_id", "term", k = 7)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rs) =>
+        q -> rs.map(r => (r.getLong(1), r.getDouble(2)))
+          .sortBy(x => (-x._2, x._1)).toSeq
+      }
+    queryTerms.foreach { case (q, terms) =>
+      val single = operators.TextAnalysis
+        .bm25TopKFromPostings(postings, meta, terms, k = 7)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(multi(q) == single, s"query $q diverges")
+    }
+  }
+
   test("compression ratio: repetition compresses, ranking is stable") {
     import spark.implicits._
     functions.GraftFunctions.register(spark)
