@@ -628,13 +628,25 @@ object TextAnalysis {
     * quantize to scaled longs so the mean is engine-exact. Docs with
     * fewer than three words have no trigrams and are absent. */
   def trigramLogProb(df: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
+      idCol: String): DataFrame =
+    trigramLogProbWith(buildLmModel(df, textCol), df, textCol, idCol)
+
+  /** The n-gram LM model tables: distinct-gram histograms (trigram,
+    * bigram, unigram). Vocabulary-sized — the persistable artifact
+    * behind [[trigramLogProbWith]]. */
+  case class LmModel(tri: DataFrame, big: DataFrame, uni: DataFrame)
+
+  /** Count the model histograms from a training corpus. Each histogram
+    * shuffles DISTINCT grams only; the prefix totals (c(w1w2·), c(w2·),
+    * N) derive from these tables at scoring time with model-sized
+    * aggregates. */
+  def buildLmModel(df: DataFrame, textCol: String): LmModel = {
     val words = split(lower(trim(col(textCol))), "\\s+")
-    val triples = df.select(col(idCol).as("doc"), words.as("ws"))
+    val triples = df.select(words.as("ws"))
       .where(size(col("ws")) >= 3)
-      .select(col("doc"), col("ws"),
+      .select(col("ws"),
         explode(sequence(lit(1), size(col("ws")) - 2)).as("i"))
-      .select(col("doc"), element_at(col("ws"), col("i")).as("w1"),
+      .select(element_at(col("ws"), col("i")).as("w1"),
         element_at(col("ws"), col("i") + 1).as("w2"),
         element_at(col("ws"), col("i") + 2).as("w3"))
     // the bigram level counts ALL adjacent pairs (not trigram
@@ -647,14 +659,52 @@ object TextAnalysis {
         element_at(col("ws"), col("i") + 1).as("w3"))
     val terms = df.select(
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
-    val tri = triples.groupBy(col("w1"), col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c123"))
+    LmModel(
+      triples.groupBy(col("w1"), col("w2"), col("w3"))
+        .agg(count(lit(1)).as("c123")),
+      pairs.groupBy(col("w2"), col("w3")).agg(count(lit(1)).as("c23")),
+      terms.groupBy(col("term")).agg(count(lit(1)).as("c3")))
+  }
+
+  /** Persist / load the LM model (the CCNet pattern: the model trains
+    * ONCE on a clean target corpus — e.g. reference text — and then
+    * scores every ingest batch of a different, much larger corpus;
+    * rebuilding histograms per scoring run is the anti-pattern). */
+  def saveLmModel(path: String, model: LmModel): Unit = {
+    val mode = org.apache.spark.sql.SaveMode.Overwrite
+    model.tri.write.mode(mode).parquet(path + "/tri")
+    model.big.write.mode(mode).parquet(path + "/big")
+    model.uni.write.mode(mode).parquet(path + "/uni")
+  }
+
+  def loadLmModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): LmModel = LmModel(
+    spark.read.parquet(path + "/tri"),
+    spark.read.parquet(path + "/big"),
+    spark.read.parquet(path + "/uni"))
+
+  /** Score `df` against an EXISTING model — the scoring-only pass.
+    * Same interpolation and scaled-long quantization as the one-shot
+    * form; grams absent from the model contribute only their backoff
+    * terms (inner joins drop model-less trigrams entirely — a doc
+    * whose every trigram is unseen is absent, same as the one-shot
+    * form on its own corpus where that cannot happen). */
+  def trigramLogProbWith(model: LmModel, df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val words = split(lower(trim(col(textCol))), "\\s+")
+    val triples = df.select(col(idCol).as("doc"), words.as("ws"))
+      .where(size(col("ws")) >= 3)
+      .select(col("doc"), col("ws"),
+        explode(sequence(lit(1), size(col("ws")) - 2)).as("i"))
+      .select(col("doc"), element_at(col("ws"), col("i")).as("w1"),
+        element_at(col("ws"), col("i") + 1).as("w2"),
+        element_at(col("ws"), col("i") + 2).as("w3"))
+    val tri = model.tri
     val pre12 = tri.groupBy(col("w1"), col("w2"))
       .agg(sum(col("c123")).as("c12"))
-    val big = pairs.groupBy(col("w2"), col("w3"))
-      .agg(count(lit(1)).as("c23"))
+    val big = model.big
     val pre2 = big.groupBy(col("w2")).agg(sum(col("c23")).as("c2"))
-    val uni = terms.groupBy(col("term")).agg(count(lit(1)).as("c3"))
+    val uni = model.uni
     val total = uni.agg(sum(col("c3")).as("n_total"))
     val p = lit(0.7) * (col("c123").cast(DoubleType) / col("c12")) +
       lit(0.2) * (col("c23").cast(DoubleType) / col("c2")) +

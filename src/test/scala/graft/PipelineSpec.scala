@@ -1393,6 +1393,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(again.map(_.getDouble(2)).toSeq == got.map(_.getDouble(2)).toSeq)
   }
 
+  test("LM model artifact: round-trip identical scores, cross-corpus " +
+      "scoring (CCNet shape)") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c d a b c d a b c d"),
+      (2L, "a b x y a b x y")).toDF("doc_id", "text")
+    val target = Seq((10L, "a b c d"), (11L, "a b x y"),
+      (12L, "q r s t")).toDF("doc_id", "text") // 12: unseen trigrams
+    val model = operators.TextAnalysis.buildLmModel(train, "text")
+    // one-shot form == build + score on the same corpus
+    val oneShot = operators.TextAnalysis
+      .trigramLogProb(train, "text", "doc_id")
+      .orderBy($"doc").collect().map(_.getDouble(2)).toSeq
+    val withModel = operators.TextAnalysis
+      .trigramLogProbWith(model, train, "text", "doc_id")
+      .orderBy($"doc").collect().map(_.getDouble(2)).toSeq
+    assert(oneShot == withModel)
+    // persisted model scores identically after reload
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_lm").toString + "/lm"
+    operators.TextAnalysis.saveLmModel(path, model)
+    val loaded = operators.TextAnalysis.loadLmModel(spark, path)
+    val scored = operators.TextAnalysis
+      .trigramLogProbWith(loaded, target, "text", "doc_id")
+      .orderBy($"doc").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored ==
+      operators.TextAnalysis
+        .trigramLogProbWith(model, target, "text", "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap)
+    // cross-corpus: the frequent pattern scores more probable than the
+    // rarer one; fully-unseen docs drop (no model trigrams)
+    assert(scored(10L) < scored(11L),
+      s"frequent pattern must score lower -logp: $scored")
+    assert(!scored.contains(12L), "unseen-trigram doc must be absent")
+  }
+
   test("document chunker: coverage, overlap, short tail, no shuffle") {
     import spark.implicits._
     val text = (1 to 25).map(i => s"w$i").mkString(" ")
