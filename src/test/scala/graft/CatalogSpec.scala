@@ -597,6 +597,35 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming IVF-PQ encode against a frozen codebook matches batch") {
+    // arriving embeddings encode with the SAME fused kernel against the
+    // frozen centroids/codebook (stateless projection — no state store),
+    // so a live ingest can append to the persisted index directly
+    val embDir = java.nio.file.Files.createTempDirectory("graft_emb_enc")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/embeddings.parquet"),
+      embDir.resolve("embeddings.parquet"))
+    val emb = spark.read.parquet(embDir.toString)
+    val (cents, book, coded) = graft.operators.Similarity
+      .ivfPqIndex(emb, "embedding", "vec_id", nlist = 8, ks = 32)
+    val stream = spark.readStream.schema(emb.schema)
+      .parquet(embDir.toString)
+    val q = graft.operators.Similarity
+      .ivfPqEncodeWith(cents, book, stream, "embedding", "vec_id")
+      .writeStream.format("memory").queryName("enc_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM enc_out").collect()
+        .map(r => r.getLong(0) ->
+          (r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toMap
+      val batch = coded.collect()
+        .map(r => r.getLong(0) ->
+          (r.getInt(1), r.getAs[Array[Byte]](2).toSeq)).toMap
+      assert(got == batch, "stream encode must equal batch encode")
+    } finally q.stop()
+  }
+
   test("streaming curation pass is bit-identical to the batch form") {
     val docDir = java.nio.file.Files.createTempDirectory("graft_docs_cur")
     java.nio.file.Files.copy(
