@@ -221,6 +221,52 @@ object Dedup {
     rebuildFromKept(base, fresh, spanWords)
   }
 
+  /** CCNet-style LINE-level dedup / boilerplate removal (Wenzek et al.,
+    * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+    * Data", LREC 2020 §3.1 — RefinedWeb and Dolma apply the same rule):
+    * a line whose exact text occurs in `minDocFreq`+ DISTINCT documents
+    * is boilerplate (headers, nav bars, cookie banners) and EVERY
+    * occurrence is dropped — unlike span surgery ([[dedupSpans]]), which
+    * keeps the first occurrence; boilerplate has no "first" worth
+    * keeping. Documents are rebuilt from their surviving lines in order.
+    *
+    * Scale shape: the doc-frequency aggregate and the boilerplate join
+    * are keyed on the 64-bit line hash — 8 bytes on the shuffle, never
+    * the line text (a wrong drop needs two distinct lines colliding in
+    * 64 bits; at ~2^32 distinct corpus lines widen the key to
+    * (xxhash64, length)). The aggregate is map-side combinable
+    * (count-distinct partials), its boilerplate survivors are tiny
+    * relative to the corpus, so AQE turns the flagging join into a
+    * broadcast; the rebuild is one doc-keyed aggregate bounded by
+    * document size, same as [[dedupSpans]]'s rebuild.
+    *
+    * @param minDocFreq lines in >= this many distinct docs are dropped
+    * @return (doc, n_lines, n_kept, text_clean)
+    */
+  def lineDedup(docs: DataFrame, textCol: String, idCol: String,
+      minDocFreq: Int = 3, sep: String = "\n"): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq must be >= 2")
+    val base = docs
+      .select(col(idCol).as("doc"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("line_no", "line")))
+    val boiler = base
+      .groupBy(xxhash64(col("line")).as("lk"))
+      .agg(count_distinct(col("doc")).as("df"))
+      .where(col("df") >= minDocFreq)
+      .select(col("lk"))
+    base
+      .join(boiler.withColumn("boiler", lit(true)),
+        xxhash64(col("line")) === col("lk"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("boiler").isNull, 1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("boiler").isNull,
+            struct(col("line_no"), col("line"))))),
+          kv => kv.getField("line")), sep).as("text_clean"))
+  }
+
   /** (doc, w, n_spans) projection shared by the span-surgery family. */
   private def spanBase(docs: DataFrame, textCol: String, idCol: String,
       spanWords: Int): DataFrame = {

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.operators.{Curation, Dedup, FuzzyJoin, Multimodal,
+import graft.operators.{Curation, Dedup, FuzzyJoin, Graph, Multimodal,
   Similarity, Skew, TextAnalysis}
 
 /** Training-data pipeline operator battery: dedup, similarity search,
@@ -50,6 +50,58 @@ object Pipeline {
           docs.where(col("doc_id") >= 250), "text", "doc_id",
           spanWords = 10)
         .orderBy(col("doc"))
+    },
+
+    // CCNet line-level boilerplate removal: a line present in >= 3
+    // distinct docs is dropped EVERYWHERE (headers/footers have no
+    // "first occurrence" worth keeping — contrast q_dedup_spans, which
+    // keeps the winner). The corpus has no physical newlines, so lines
+    // are synthesized deterministically as consecutive 8-word segments.
+    "q_line_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val ws = split(lower(trim($"text")), "\\s+")
+      val lined = Tables.t(s, dir, "documents")
+        .where(length(trim($"text")) > 0)
+        .select($"doc_id",
+          array_join(transform(
+            sequence(lit(0L), ceil(size(ws) / lit(8.0)) - 1),
+            i => array_join(
+              slice(ws, (i * 8 + 1).cast("int"), lit(8)), " ")),
+            "\n").as("text"))
+      Dedup.lineDedup(lined, "text", "doc_id", minDocFreq = 3)
+        .orderBy($"doc")
+    },
+
+    // PageRank centrality over the duplication graph: docs sharing >= 2
+    // distinct 10-word spans are linked (symmetric edges), 3 power
+    // iterations, damping 0.85. The rank is the "most-copied-from"
+    // signal a crawl pipeline uses to pick authoritative canonicals —
+    // contrast q_dedup_canonical's arbitrary min-id pick. Node spine =
+    // ALL docs in range, so isolated docs score the floor and dangling
+    // mass (docs with no outgoing edges) redistributes uniformly.
+    "q_pagerank" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.t(s, dir, "documents")
+        .where($"doc_id" < 300 && length(trim($"text")) > 0)
+      val ws = split(lower(trim($"text")), "\\s+")
+      val sp = docs
+        .select($"doc_id".as("doc"), ws.as("w"))
+        .select($"doc", $"w",
+          explode(sequence(lit(0L), ceil(size($"w") / lit(10.0)) - 1))
+            .as("pos"))
+        .select($"doc", concat_ws(" ",
+          slice($"w", ($"pos" * 10 + 1).cast("int"), lit(10))).as("span"))
+        .distinct()
+      val edges = sp.toDF("src", "span")
+        .join(sp.toDF("dst", "span2"), $"span" === $"span2" &&
+          $"src" =!= $"dst")
+        .groupBy($"src", $"dst").agg(count(lit(1)).as("nshared"))
+        .where($"nshared" >= 2)
+        .select($"src", $"dst")
+      Graph.pageRank(edges, iterations = 3, damping = 0.85,
+          nodes = Some(docs.select($"doc_id".as("id"))))
+        .select($"id".as("doc"), round($"pr", 8).as("pr"))
+        .orderBy($"doc")
     },
 
     // Exact n-gram Jaccard near-dup pairs (bounded brute-force: the
@@ -1061,6 +1113,74 @@ object Pipeline {
       FROM w LEFT JOIN reb ON w.doc = reb.doc
       WHERE w.doc >= 250
       ORDER BY w.doc""",
+
+    "q_line_dedup" -> raw"""
+      WITH w AS (SELECT doc_id AS doc,
+          string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents WHERE len(trim(text)) > 0),
+      l0 AS (SELECT doc, ws,
+          unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS line_no
+        FROM w),
+      l AS (SELECT doc, line_no,
+          array_to_string(ws[(line_no*8+1):(line_no*8+8)], ' ') AS line
+        FROM l0),
+      b AS (SELECT line FROM l GROUP BY line
+        HAVING count(DISTINCT doc) >= 3),
+      f AS (SELECT l.doc, l.line_no, l.line,
+          b.line IS NOT NULL AS ib
+        FROM l LEFT JOIN b ON l.line = b.line)
+      SELECT doc, count(*) AS n_lines,
+        count(*) FILTER (WHERE NOT ib) AS n_kept,
+        coalesce(string_agg(line, chr(10) ORDER BY line_no)
+          FILTER (WHERE NOT ib), '') AS text_clean
+      FROM f GROUP BY doc ORDER BY doc""",
+
+    "q_pagerank" -> raw"""
+      WITH w AS (SELECT doc_id AS doc,
+          string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents WHERE doc_id < 300 AND len(trim(text)) > 0),
+      sp0 AS (SELECT doc, ws,
+          unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS pos
+        FROM w),
+      sp AS (SELECT DISTINCT doc,
+          array_to_string(ws[(pos*10+1):(pos*10+10)], ' ') AS span
+        FROM sp0),
+      e AS (SELECT a.doc AS src, b.doc AS dst
+        FROM sp a JOIN sp b ON a.span = b.span AND a.doc <> b.doc
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      nodes AS (SELECT doc AS id FROM w),
+      nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+      deg AS (SELECT src, CAST(count(*) AS DOUBLE) AS deg
+        FROM e GROUP BY 1),
+      r0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+      d1 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r0
+        WHERE id NOT IN (SELECT src FROM deg)),
+      c1 AS (SELECT e.dst AS id, sum(r.pr / g.deg) AS c
+        FROM e JOIN r0 r ON e.src = r.id JOIN deg g ON e.src = g.src
+        GROUP BY 1),
+      r1 AS (SELECT nodes.id,
+          0.15 / nn.n + 0.85 * (coalesce(c1.c, 0) + d1.dm / nn.n) AS pr
+        FROM nodes CROSS JOIN nn CROSS JOIN d1
+        LEFT JOIN c1 ON nodes.id = c1.id),
+      d2 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r1
+        WHERE id NOT IN (SELECT src FROM deg)),
+      c2 AS (SELECT e.dst AS id, sum(r.pr / g.deg) AS c
+        FROM e JOIN r1 r ON e.src = r.id JOIN deg g ON e.src = g.src
+        GROUP BY 1),
+      r2 AS (SELECT nodes.id,
+          0.15 / nn.n + 0.85 * (coalesce(c2.c, 0) + d2.dm / nn.n) AS pr
+        FROM nodes CROSS JOIN nn CROSS JOIN d2
+        LEFT JOIN c2 ON nodes.id = c2.id),
+      d3 AS (SELECT coalesce(sum(pr), 0) AS dm FROM r2
+        WHERE id NOT IN (SELECT src FROM deg)),
+      c3 AS (SELECT e.dst AS id, sum(r.pr / g.deg) AS c
+        FROM e JOIN r2 r ON e.src = r.id JOIN deg g ON e.src = g.src
+        GROUP BY 1),
+      r3 AS (SELECT nodes.id,
+          0.15 / nn.n + 0.85 * (coalesce(c3.c, 0) + d3.dm / nn.n) AS pr
+        FROM nodes CROSS JOIN nn CROSS JOIN d3
+        LEFT JOIN c3 ON nodes.id = c3.id)
+      SELECT id AS doc, round(pr, 8) AS pr FROM r3 ORDER BY doc""",
 
     "q_jaccard_pairs" -> s"""
       WITH sh AS (

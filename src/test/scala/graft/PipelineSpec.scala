@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Curation, Dedup, Multimodal, QualityFilter, Similarity}
+import graft.operators.{Curation, Dedup, Graph, Multimodal, QualityFilter,
+  Similarity}
 
 /** Quality assertions for the probabilistic pipeline operators (the ones
   * without a SQL oracle): MinHash-LSH recall vs exact Jaccard, SimHash
@@ -2009,5 +2010,51 @@ class PipelineSpec extends AnyFunSuite {
     val o3 = operators.TextAnalysis.c4Clean(
       Seq((1L, ok)).toDF("doc_id", "t"), "t", "doc_id").collect().head
     assert(o3.getAs[Boolean]("keep") && o3.getAs[Int]("n_sentences") == 5)
+  }
+
+  test("line dedup: boilerplate dropped everywhere, rare lines kept in order") {
+    import spark.implicits._
+    val docs = Seq(
+      // "common header" appears in docs 1,2,3 (twice in doc 1 — doc
+      // frequency counts DISTINCT docs) -> df=3 -> dropped everywhere
+      (1L, "common header\nalpha one\ncommon header"),
+      (2L, "common header\nbeta two"),
+      (3L, "common header\ngamma three\nshared pair"),
+      // "shared pair" is in only 2 docs -> below minDocFreq, kept
+      (4L, "shared pair\ndelta four")
+    ).toDF("id", "text")
+    val out = Dedup.lineDedup(docs, "text", "id", minDocFreq = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((3L, 1L, "alpha one")))
+    assert(out(2L) == ((2L, 1L, "beta two")))
+    assert(out(3L) == ((3L, 2L, "gamma three\nshared pair")))
+    // surviving lines keep their original order
+    assert(out(4L) == ((2L, 2L, "shared pair\ndelta four")))
+  }
+
+  test("pagerank: star center highest, mass conserved, cycle uniform") {
+    import spark.implicits._
+    val star = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
+    val pr = Graph.pageRank(star, iterations = 20)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, s"mass not conserved: $pr")
+    assert(pr(1L) > pr(2L), "star center must outrank leaves")
+    assert(math.abs(pr(2L) - pr(3L)) < 1e-12 &&
+      math.abs(pr(3L) - pr(4L)) < 1e-12, "symmetric leaves must tie")
+    // 3-cycle: uniform is the stationary distribution at EVERY iteration
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    val cpr = Graph.pageRank(cyc, iterations = 5).collect().map(_.getDouble(1))
+    assert(cpr.forall(v => math.abs(v - 1.0 / 3) < 1e-12), cpr.toSeq)
+    // explicit spine: isolated node 5 participates; dangling mass (from
+    // center 1 and isolate 5) keeps the total at 1; a no-inlink leaf and
+    // the isolate receive exactly the same (floor + dangling share)
+    val spine = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    val pr5 = Graph.pageRank(star, iterations = 10, nodes = Some(spine))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr5.values.sum - 1.0) < 1e-9)
+    assert(pr5(1L) == pr5.values.max)
+    assert(math.abs(pr5(5L) - pr5(2L)) < 1e-12)
   }
 }
