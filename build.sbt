@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 8g forced episodic multi-second full-GC stalls in the 150-query
+  // bench battery (a 32-thread local executor churns shuffle+broadcast
+  // memory fast); the harness box has 128 GiB — 20g removes the stalls
+  // without approaching the box's limit.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
 )

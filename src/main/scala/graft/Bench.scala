@@ -49,12 +49,37 @@ object Bench {
       }
     }
     val results = names.sorted.map { name =>
+      // deterministic cleanup: localCheckpoint blocks (iterative
+      // operators: connected components, PageRank, z-order sampling)
+      // and cached tables stay pinned in the block manager until the
+      // driver GC happens to collect their DataFrames — across 140+
+      // queries that squeezes execution memory and shows up as 5-10×
+      // in-battery slowdowns on the shuffle-heavy dedup queries vs
+      // isolated runs. Unpersist explicitly instead of hoping.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
       // quiesce: drain GC debt left by the previous query so its cost
       // isn't billed to this one
       System.gc()
       Thread.sleep(50)
-      name -> (for (a <- timeOnce(name); b <- timeOnce(name))
-        yield math.min(a, b))
+      // adaptive best-of-N: the shared host shows episodic 15-30s
+      // whole-JVM stalls that span BOTH runs of a best-of-two (a pure
+      // scan-local codegen query has benched 15.9s vs 0.1s isolated), so
+      // keep sampling — up to 4 runs — until the two fastest agree
+      // within 30%, and report the min. Stable queries stop at 2 runs.
+      name -> {
+        val runs = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var failed = false
+        while (!failed && runs.size < 4 && (runs.size < 2 || {
+            val s = runs.sorted; s(1) > s(0) * 1.3 })) {
+          timeOnce(name) match {
+            case Some(t) => runs += t
+            case None => failed = true
+          }
+        }
+        if (failed) None else Some(runs.min)
+      }
     }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // descending by time (failures first as null): the driver keeps only

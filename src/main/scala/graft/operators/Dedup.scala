@@ -246,15 +246,64 @@ object Dedup {
   def lineDedup(docs: DataFrame, textCol: String, idCol: String,
       minDocFreq: Int = 3, sep: String = "\n"): DataFrame = {
     require(minDocFreq >= 2, "minDocFreq must be >= 2")
-    val base = docs
-      .select(col(idCol).as("doc"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-          .as(Seq("line_no", "line")))
-    val boiler = base
-      .groupBy(xxhash64(col("line")).as("lk"))
-      .agg(count_distinct(col("doc")).as("df"))
+    val base = lineBase(docs, textCol, idCol, sep)
+    val boiler = lineFreqOf(base)
       .where(col("df") >= minDocFreq)
       .select(col("lk"))
+    rebuildLines(base, boiler, sep)
+  }
+
+  /** Line doc-frequency table of a corpus: (lk, df) — 64-bit line hash →
+    * number of DISTINCT documents containing the line. This is the
+    * stored artifact incremental line dedup merges against (persist it
+    * keyed by lk at production scale, like the fingerprint table of
+    * [[incrementalDedup]]). Counts are ADDITIVE across batches whose
+    * document sets are disjoint — the ingest invariant — so growing the
+    * table is `union` + sum-merge, never a corpus rescan. */
+  def lineFreqTable(docs: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n"): DataFrame =
+    lineFreqOf(lineBase(docs, textCol, idCol, sep))
+
+  /** Incremental CCNet line dedup: clean DELTA documents against
+    * corpus-wide line frequencies = saved [[lineFreqTable]] + the
+    * delta's own counts (sum-merged: the delta's docs are disjoint from
+    * the corpus by the ingest invariant). Result equals full
+    * [[lineDedup]] over corpus∪delta restricted to delta docs
+    * (ScalaTested) — the corpus TEXT is never touched, so per-batch
+    * work is delta-sized plus one frequency-table merge.
+    *
+    * @param corpusFreq [[lineFreqTable]] output for the corpus
+    */
+  def incrementalLineDedup(corpusFreq: DataFrame, delta: DataFrame,
+      textCol: String, idCol: String, minDocFreq: Int = 3,
+      sep: String = "\n"): DataFrame = {
+    require(minDocFreq >= 2, "minDocFreq must be >= 2")
+    val base = lineBase(delta, textCol, idCol, sep)
+    val boiler = corpusFreq.select(col("lk"), col("df"))
+      .union(lineFreqOf(base))
+      .groupBy(col("lk")).agg(sum(col("df")).as("df"))
+      .where(col("df") >= minDocFreq)
+      .select(col("lk"))
+    rebuildLines(base, boiler, sep)
+  }
+
+  /** One (doc, line_no, line) row per line occurrence. */
+  private def lineBase(docs: DataFrame, textCol: String, idCol: String,
+      sep: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("line_no", "line")))
+
+  /** (lk, df): distinct-doc count per 64-bit line hash. */
+  private def lineFreqOf(base: DataFrame): DataFrame =
+    base.groupBy(xxhash64(col("line")).as("lk"))
+      .agg(count_distinct(col("doc")).as("df"))
+
+  /** Flag boilerplate occurrences and rebuild (doc, n_lines, n_kept,
+    * text_clean) — boiler is the (small) dropped-line hash set, so AQE
+    * broadcasts the flagging join. */
+  private def rebuildLines(base: DataFrame, boiler: DataFrame,
+      sep: String): DataFrame =
     base
       .join(boiler.withColumn("boiler", lit(true)),
         xxhash64(col("line")) === col("lk"), "left")
@@ -265,7 +314,6 @@ object Dedup {
           array_sort(collect_list(when(col("boiler").isNull,
             struct(col("line_no"), col("line"))))),
           kv => kv.getField("line")), sep).as("text_clean"))
-  }
 
   /** (doc, w, n_spans) projection shared by the span-surgery family. */
   private def spanBase(docs: DataFrame, textCol: String, idCol: String,

@@ -72,6 +72,28 @@ object Pipeline {
         .orderBy($"doc")
     },
 
+    // Incremental line dedup (daily-ingest shape): delta docs (id >=
+    // 250) cleaned against the corpus (< 250) line-frequency TABLE plus
+    // the delta's own counts — sum-merged, corpus text never re-read.
+    // Output equals full line dedup restricted to the delta.
+    "q_line_dedup_incremental" -> { (s, dir) =>
+      import s.implicits._
+      val ws = split(lower(trim($"text")), "\\s+")
+      val lined = Tables.t(s, dir, "documents")
+        .where(length(trim($"text")) > 0)
+        .select($"doc_id",
+          array_join(transform(
+            sequence(lit(0L), ceil(size(ws) / lit(8.0)) - 1),
+            i => array_join(
+              slice(ws, (i * 8 + 1).cast("int"), lit(8)), " ")),
+            "\n").as("text"))
+      val freq = Dedup.lineFreqTable(
+        lined.where($"doc_id" < 250), "text", "doc_id")
+      Dedup.incrementalLineDedup(freq,
+          lined.where($"doc_id" >= 250), "text", "doc_id", minDocFreq = 3)
+        .orderBy($"doc")
+    },
+
     // PageRank centrality over the duplication graph: docs sharing >= 2
     // distinct 10-word spans are linked (symmetric edges), 3 power
     // iterations, damping 0.85. The rank is the "most-copied-from"
@@ -1134,6 +1156,27 @@ object Pipeline {
         coalesce(string_agg(line, chr(10) ORDER BY line_no)
           FILTER (WHERE NOT ib), '') AS text_clean
       FROM f GROUP BY doc ORDER BY doc""",
+
+    "q_line_dedup_incremental" -> raw"""
+      WITH w AS (SELECT doc_id AS doc,
+          string_split_regex(lower(trim(text)), '\s+') AS ws
+        FROM documents WHERE len(trim(text)) > 0),
+      l0 AS (SELECT doc, ws,
+          unnest(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS line_no
+        FROM w),
+      l AS (SELECT doc, line_no,
+          array_to_string(ws[(line_no*8+1):(line_no*8+8)], ' ') AS line
+        FROM l0),
+      b AS (SELECT line FROM l GROUP BY line
+        HAVING count(DISTINCT doc) >= 3),
+      f AS (SELECT l.doc, l.line_no, l.line,
+          b.line IS NOT NULL AS ib
+        FROM l LEFT JOIN b ON l.line = b.line)
+      SELECT doc, count(*) AS n_lines,
+        count(*) FILTER (WHERE NOT ib) AS n_kept,
+        coalesce(string_agg(line, chr(10) ORDER BY line_no)
+          FILTER (WHERE NOT ib), '') AS text_clean
+      FROM f WHERE doc >= 250 GROUP BY doc ORDER BY doc""",
 
     "q_pagerank" -> raw"""
       WITH w AS (SELECT doc_id AS doc,

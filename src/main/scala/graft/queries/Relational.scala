@@ -243,6 +243,96 @@ object Relational {
         .orderBy($"p_brand")
     },
 
+    // TPC-H Q3 shape (shipping priority): segment-filtered customer dim
+    // BROADCAST into the orders⋈lineitem shuffle join, top-10 by
+    // aggregated revenue with a full deterministic tie-break
+    // (l_orderkey is unique per group).
+    "q_tpch_q3" -> { (s, dir) =>
+      import s.implicits._
+      val c = Tables.t(s, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING")
+      val o = Tables.t(s, dir, "orders")
+        .filter($"o_orderdate" < lit("1998-06-15").cast(TimestampType))
+      val l = Tables.t(s, dir, "lineitem")
+        .filter($"l_shipdate" > lit("1998-06-15").cast(TimestampType))
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(c), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(outd(sum(dec($"l_extendedprice") *
+          (fac(lit(1)) - fac($"l_discount")))).as("revenue"))
+        .orderBy($"revenue".desc, $"o_orderdate", $"l_orderkey")
+        .limit(10)
+    },
+
+    // TPC-H Q5 shape (local-supplier volume): six tables, two dimension
+    // chains; supplier/nation/region broadcast, the "local" constraint
+    // (customer and supplier share a nation) folded into the supplier
+    // join condition so no post-join filter row survives the build.
+    "q_tpch_q5" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1997-01-01").cast(TimestampType) &&
+          $"o_orderdate" < lit("1998-01-01").cast(TimestampType))
+      val l = Tables.t(s, dir, "lineitem")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(Tables.t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.t(s, dir, "supplier")),
+          $"l_suppkey" === $"s_suppkey" &&
+            $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(Tables.t(s, dir, "nation")),
+          $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.t(s, dir, "region")
+            .filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(outd(sum(dec($"l_extendedprice") *
+          (fac(lit(1)) - fac($"l_discount")))).as("revenue"))
+        .orderBy($"revenue".desc, $"n_name")
+    },
+
+    // TPC-H Q10 shape (returned-item reporting): quarter of orders,
+    // returned lines only, revenue attributed per customer; nation
+    // broadcast; top-20 losers by revenue with c_custkey tie-break.
+    "q_tpch_q10" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1997-10-01").cast(TimestampType) &&
+          $"o_orderdate" < lit("1998-01-01").cast(TimestampType))
+      val l = Tables.t(s, dir, "lineitem")
+        .filter($"l_returnflag" === "R")
+      l.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(Tables.t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.t(s, dir, "nation")),
+          $"c_nationkey" === $"n_nationkey")
+        .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+        .agg(outd(sum(dec($"l_extendedprice") *
+          (fac(lit(1)) - fac($"l_discount")))).as("revenue"))
+        .orderBy($"revenue".desc, $"c_custkey")
+        .limit(20)
+    },
+
+    // TPC-H Q18 shape (large-volume customers). The textbook plan scans
+    // lineitem TWICE (HAVING subquery + fact re-aggregation); but the
+    // final group keys are functionally determined by o_orderkey, so the
+    // qualifying per-order sum IS the output aggregate — one lineitem
+    // scan, one shuffle, then two dimension joins on the (tiny) filtered
+    // survivor set. The threshold compares the EXACT decimal sum (a
+    // double sum is order-dependent and could flip boundary membership
+    // between engines).
+    "q_tpch_q18" -> { (s, dir) =>
+      import s.implicits._
+      val big = Tables.t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum(dec($"l_quantity")).as("q"))
+        .where($"q" > 250)
+      big.join(Tables.t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .select($"c_custkey", $"c_name", $"o_orderkey", $"o_orderdate",
+          $"o_totalprice", outd($"q").as("sum_qty"))
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+        .limit(100)
+    },
+
     // §2.3/§4 correlated scalar subquery → decorrelated join.
     "q_scalar_subquery" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -496,6 +586,62 @@ object Relational {
         JOIN orders ON l_orderkey = o_orderkey
       WHERE o_orderstatus = 'F'
       GROUP BY p_brand ORDER BY p_brand""",
+
+    "q_tpch_q3" -> """
+      SELECT l_orderkey, o_orderdate, o_orderpriority,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-06-15'
+        AND l_shipdate > TIMESTAMP '1998-06-15'
+      GROUP BY 1, 2, 3
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10""",
+
+    "q_tpch_q5" -> """
+      SELECT n_name,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""",
+
+    "q_tpch_q10" -> """
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-10-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2, 3, 4
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""",
+
+    "q_tpch_q18" -> """
+      SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+        CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+      WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+      GROUP BY 1, 2, 3, 4, 5
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 100""",
 
     "q_scalar_subquery" -> """
       SELECT o_orderkey, o_custkey, o_totalprice AS price

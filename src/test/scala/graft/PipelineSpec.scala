@@ -2034,6 +2034,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L) == ((2L, 2L, "shared pair\ndelta four")))
   }
 
+  test("incremental line dedup equals full dedup restricted to delta") {
+    import spark.implicits._
+    // "promo footer" reaches df=3 only ACROSS the corpus/delta boundary
+    // (2 corpus docs + 1 delta doc) — the case the frequency merge must
+    // get right; "rare note" stays below threshold
+    val corpus = Seq(
+      (1L, "promo footer\nalpha"),
+      (2L, "promo footer\nbeta"),
+      (3L, "rare note\ngamma")
+    ).toDF("id", "text")
+    val delta = Seq(
+      (10L, "promo footer\ndelta text"),
+      (11L, "rare note\nepsilon")
+    ).toDF("id", "text")
+    val full = Dedup.lineDedup(corpus.union(delta), "text", "id",
+        minDocFreq = 3)
+      .where($"doc" >= 10L).collect().map(_.toSeq).toSet
+    val inc = Dedup.incrementalLineDedup(
+        Dedup.lineFreqTable(corpus, "text", "id"), delta, "text", "id",
+        minDocFreq = 3)
+      .collect().map(_.toSeq).toSet
+    assert(inc == full)
+    val byId = inc.map(r => r.head -> r).toMap
+    assert(byId(10L) == Seq(10L, 2L, 1L, "delta text"),
+      "corpus-established boilerplate must drop in the delta")
+    assert(byId(11L) == Seq(11L, 2L, 2L, "rare note\nepsilon"))
+  }
+
   test("pagerank: star center highest, mass conserved, cycle uniform") {
     import spark.implicits._
     val star = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")

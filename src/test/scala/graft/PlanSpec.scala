@@ -34,6 +34,28 @@ class PlanSpec extends AnyFunSuite {
       "no dimension should fall back to sort-merge")
   }
 
+  test("tpch q5: all three dimension chains broadcast, date filter pushed") {
+    val p = plan("q_tpch_q5")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3,
+      s"supplier/nation/region must broadcast, got $broadcasts")
+    assert(p.contains("PushedFilters:") && p.contains("o_orderdate"),
+      "order-date range must reach the orders scan")
+  }
+
+  test("tpch q18: single lineitem scan (aggregate-reuse), pushed top-k") {
+    val p = plan("q_tpch_q18")
+    // the HAVING qualifying sum doubles as the output aggregate — the
+    // textbook double-scan of the fact must not come back
+    val factScans = "lineitem".r.findAllIn(p).length
+    assert(factScans <= 2, // one Scan node: path + ReadSchema mentions
+      s"lineitem must be scanned once, plan mentions it $factScans times")
+    assert(p.contains("HashAggregate"),
+      "qualifying-order aggregate must be partial+final")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must push the limit into the sort")
+  }
+
   test("grouped aggregation is partial+final") {
     val p = plan("q1_agg")
     val hashAggs = "HashAggregate".r.findAllIn(p).length
