@@ -153,6 +153,52 @@ object EventStreams {
         !col("has_lorem") && !col("has_brace") && !col("blocked"))
   }
 
+  /** Streaming boilerplate-line filter for live ingest — the streaming
+    * form of CCNet line dedup ([[graft.operators.Dedup.lineDedup]]):
+    * each arriving document drops every line whose 64-bit hash is in
+    * the corpus boilerplate set (the >= minDocFreq survivors of
+    * [[graft.operators.Dedup.lineFreqTable]]).
+    *
+    * The boilerplate set rides IN the plan as a sorted literal array
+    * probed scan-locally per line, so the stream is completely
+    * STATELESS — no state store, no watermark, no per-line explode/
+    * re-group (a streaming groupBy to reassemble documents would need
+    * watermarked state for zero semantic gain; the document is already
+    * whole in its row). Per micro-batch the output is bit-identical to
+    * the batch rebuild against the same set.
+    *
+    * Bounded by `maxBoiler`: boilerplate is the tiny head of the line
+    * frequency distribution by construction (lines repeated across >=
+    * minDocFreq documents). Beyond ~1e5 entries the literal probe stops
+    * being cheap — switch to a stream-static anti join on exploded
+    * lines plus a watermarked re-group, and accept the state cost.
+    *
+    * @param boiler boilerplate line hashes, column `lk` (e.g.
+    *               `lineFreqTable(...).where($"df" >= minDocFreq)`)
+    * @return (doc, n_lines, n_kept, text_clean) per arriving document
+    */
+  def lineFilterStream(docs: DataFrame, boiler: DataFrame,
+      textCol: String, idCol: String, sep: String = "\n",
+      maxBoiler: Int = 100000): DataFrame = {
+    val hs = boiler.select(col("lk")).limit(maxBoiler + 1)
+      .collect().map(_.getLong(0))
+    require(hs.length <= maxBoiler,
+      s"boilerplate set exceeds maxBoiler=$maxBoiler entries; use the " +
+        "stream-static join form instead of the literal probe")
+    val bl = lit(hs.sorted)
+    docs
+      .select(col(idCol).as("doc"),
+        split(col(textCol),
+          java.util.regex.Pattern.quote(sep)).as("__ls"))
+      .select(col("doc"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        filter(col("__ls"),
+          l => !array_contains(bl, xxhash64(l))).as("__kept"))
+      .select(col("doc"), col("n_lines"),
+        size(col("__kept")).cast("long").as("n_kept"),
+        array_join(col("__kept"), sep).as("text_clean"))
+  }
+
   /** Streaming near-duplicate detection for document ingest: each
     * incoming doc's MinHash signature is banded with the SAME bucketing
     * as the batch LSH paths and joined stream-static against a PERSISTED

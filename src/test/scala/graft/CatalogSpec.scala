@@ -626,6 +626,47 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming boilerplate line filter matches incremental batch dedup") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // corpus establishes "promo footer" as boilerplate (df=3)
+    val corpus = Seq(
+      (1L, "promo footer\nalpha"),
+      (2L, "promo footer\nbeta"),
+      (3L, "promo footer\ngamma")
+    ).toDF("id", "text")
+    val freq = Dedup.lineFreqTable(corpus, "text", "id")
+    val boiler = freq.where(col("df") >= 3)
+    // delta lines are otherwise unique, so the incremental batch form
+    // (corpus freq + delta's own counts) reduces to the corpus set and
+    // must agree with the stateless streaming filter row-for-row
+    val delta = Seq(
+      (10L, "promo footer\nunique a"),
+      (11L, "unique b\npromo footer\nunique c"),
+      (12L, "all original\nlines here")
+    ).toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_linefilter")
+    delta.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(delta.schema).parquet(dir.toString)
+    val q = EventStreams.lineFilterStream(stream, boiler, "text", "id")
+      .writeStream.format("memory").queryName("linefilter_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM linefilter_out")
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      val batch = Dedup.incrementalLineDedup(freq, delta, "text", "id",
+          minDocFreq = 3)
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+      assert(got.length == 3 && got.sameElements(batch),
+        s"stream ${got.toSeq} != batch ${batch.toSeq}")
+      val byId = got.map(r => r.head -> r).toMap
+      assert(byId(10L) == Seq(10L, 2L, 1L, "unique a"),
+        "corpus boilerplate must drop from streamed docs")
+      assert(byId(12L) == Seq(12L, 2L, 2L, "all original\nlines here"))
+    } finally q.stop()
+  }
+
   test("streaming curation pass is bit-identical to the batch form") {
     val docDir = java.nio.file.Files.createTempDirectory("graft_docs_cur")
     java.nio.file.Files.copy(
