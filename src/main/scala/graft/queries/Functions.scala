@@ -467,6 +467,26 @@ object Functions {
     // §2.5 window-function family (surplus vs Phoenix, which has no
     // window clause — SURVEY §2.5): ranking, offset, and frame aggregates
     // over a PK-ordered partition.
+    // Time-RANGE window frame (the mode q_window_funcs's ROWS frames
+    // don't cover): per-user rolling count/sum over the preceding hour.
+    // Spark range frames need a numeric order key — epoch micros, with
+    // the frame in micros; DuckDB orders by the timestamp directly with
+    // an INTERVAL frame. Both are closed on both ends, so tied
+    // timestamps are full peers in each engine.
+    "q_rolling_range" -> { (s, dir) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.t(s, dir, "events")
+        .where($"user_id" < 200)
+        .select($"event_id", $"user_id", $"ts",
+          count(lit(1)).over(w).as("n_1h"),
+          round(sum(dec($"value")).over(w), 2).cast(DoubleType)
+            .as("sum_1h"))
+        .orderBy($"user_id", $"ts", $"event_id")
+    },
+
     "q_window_funcs" -> { (s, dir) =>
       import s.implicits._
       val w = org.apache.spark.sql.expressions.Window
@@ -740,6 +760,16 @@ object Functions {
       GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
                               (l_returnflag, l_linestatus))
       ORDER BY rf, ls, g_rf, g_ls""",
+
+    "q_rolling_range" -> """
+      SELECT event_id, user_id, ts,
+        count(*) OVER w AS n_1h,
+        CAST(round(sum(CAST(value AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE)
+          AS sum_1h
+      FROM events WHERE user_id < 200
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts, event_id""",
 
     "q_window_funcs" -> """
       SELECT o_orderkey, o_orderpriority,

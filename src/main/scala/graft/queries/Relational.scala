@@ -333,6 +333,25 @@ object Relational {
         .limit(100)
     },
 
+    // TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    // per-part average decorrelates into one grouped aggregate joined
+    // back onto the fact. The threshold l_quantity < 0.2*avg(qty) is
+    // REARRANGED to 5*qty*cnt < sum(qty) so it compares exact decimals
+    // — an IEEE division on each side could flip boundary rows between
+    // engines. Brand filter keeps the qualifying set non-trivial.
+    "q_tpch_q17" -> { (s, dir) =>
+      import s.implicits._
+      val l = Tables.t(s, dir, "lineitem")
+      val perPart = l.groupBy($"l_partkey".as("pk"))
+        .agg(sum(dec($"l_quantity")).as("sq"), count(lit(1)).as("cnt"))
+      val p = Tables.t(s, dir, "part").filter($"p_brand" <= "Brand#20")
+      l.join(broadcast(p), $"l_partkey" === $"p_partkey")
+        .join(perPart, $"l_partkey" === $"pk")
+        .where(dec($"l_quantity") * 5 * $"cnt" < $"sq")
+        .agg((round(sum(dec($"l_extendedprice")), 2).cast(DoubleType) /
+          7.0).as("avg_yearly"))
+    },
+
     // §2.3/§4 correlated scalar subquery → decorrelated join.
     "q_scalar_subquery" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -629,6 +648,17 @@ object Relational {
       GROUP BY 1, 2, 3, 4
       ORDER BY revenue DESC, c_custkey
       LIMIT 20""",
+
+    "q_tpch_q17" -> """
+      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) / 7.0 AS avg_yearly
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN (SELECT l_partkey AS pk,
+                sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+                count(*) AS cnt
+              FROM lineitem GROUP BY 1) g ON l_partkey = g.pk
+      WHERE p_brand <= 'Brand#20'
+        AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sq""",
 
     "q_tpch_q18" -> """
       SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
