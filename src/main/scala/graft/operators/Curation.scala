@@ -137,6 +137,36 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Dedup-aware (leakage-safe) train/test split: near-duplicate
+    * CLUSTERS — not documents — are the unit of assignment, so no
+    * near-dup pair ever straddles the train/eval boundary. A per-doc
+    * hash split leaks: two near-identical docs hash independently, one
+    * lands in eval, and the model is scored on its own training text
+    * (the contamination inflation Lee et al. 2022 §6 measure). Clusters
+    * come from [[Dedup.connectedComponents]] over ANY pair set — exact
+    * fingerprint pairs, MinHash/SimHash LSH pairs, embedding near-dups;
+    * every doc inherits its CLUSTER id's hash draw through the same
+    * multiplicative hash as [[trainValTestSplit]], so singletons (the
+    * vast majority) split at exactly the per-doc rates and the
+    * assignment is deterministic under any partitioning.
+    *
+    * Scale: component labels cost O(cluster diameter) id-keyed shuffles
+    * (near-dup clusters are short-diameter); the split itself is a
+    * scan-local expression over the label table.
+    *
+    * @param pairs near-dup pairs, columns `id_a`, `id_b`
+    * @return (id, cluster_id, split)
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, pairs: DataFrame,
+      testFrac: Double = 0.1): DataFrame = {
+    require(testFrac > 0 && testFrac < 1, "testFrac must be in (0, 1)")
+    graft.operators.Dedup.connectedComponents(
+        docs.select(col(idCol).as("id")), pairs)
+      .withColumn("split",
+        when(hashFrac(col("cluster_id")) < testFrac, "test")
+          .otherwise("train"))
+  }
+
   /** Stratified sampling for dataset mixing: keep a row iff its id hash
     * falls under the stratum's rate — the deterministic form of
     * per-source mixture weights in a training-data recipe. Strata not in

@@ -496,6 +496,23 @@ object Pipeline {
         .orderBy(col("split"), col("lang"))
     },
 
+    // Dedup-aware split: duplicate clusters assigned WHOLE to train or
+    // test, so no duplicated text straddles the eval boundary (a
+    // per-doc hash split leaks near-dups into eval). Pairs here are the
+    // exact-fingerprint star edges (doc -> its group's min id); the
+    // LSH-pair variant carries the same no-straddle guarantee
+    // (ScalaTested — minhash pairs have no SQL oracle).
+    "q_split_leakage_safe" -> { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.t(s, dir, "documents")
+      val fp = docs.select($"doc_id", Dedup.fingerprint($"text").as("fp"))
+      val rep = fp.groupBy($"fp").agg(min($"doc_id").as("rep"))
+      val pairs = fp.join(rep, "fp").where($"doc_id" =!= $"rep")
+        .select($"doc_id".as("id_a"), $"rep".as("id_b"))
+      Curation.leakageSafeSplit(docs, "doc_id", pairs, testFrac = 0.2)
+        .orderBy($"id")
+    },
+
     // Stratified sampling for dataset mixing: per-language keep rates
     // applied via the same deterministic hash (a training-mixture
     // recipe). Scan-local filter — no sampling state, no shuffle.
@@ -1612,6 +1629,17 @@ object Pipeline {
         FROM documents)
       SELECT split, lang, count(*) AS n FROM t
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_split_leakage_safe" -> raw"""
+      WITH f AS (SELECT doc_id,
+          md5(trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      rep AS (SELECT fp, min(doc_id) AS cluster_id FROM f GROUP BY fp)
+      SELECT doc_id AS id, cluster_id,
+        CASE WHEN (cluster_id * 2654435761) % 4294967296 / 4294967296.0
+               < 0.2
+             THEN 'test' ELSE 'train' END AS split
+      FROM f JOIN rep USING (fp) ORDER BY id""",
 
     "q_sample_stratified" -> """
       SELECT doc_id, lang FROM documents

@@ -2062,6 +2062,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(byId(11L) == Seq(11L, 2L, 2L, "rare note\nepsilon"))
   }
 
+  test("leakage-safe split: no near-dup pair straddles train/test") {
+    val docs = Tables.t(spark, dir, "documents")
+    val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", 0.3)
+      .select("id_a", "id_b")
+    val split = Curation.leakageSafeSplit(docs, "doc_id", pairs,
+      testFrac = 0.3)
+    val m = split.collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val ps = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ps.nonEmpty, "fixture should contain near-dup pairs")
+    assert(ps.forall { case (a, b) => m(a) == m(b) },
+      "a near-dup pair straddles the train/test boundary")
+    // both sides populated, and every doc assigned exactly once
+    assert(m.values.toSet == Set("train", "test"))
+    assert(m.size == docs.count())
+  }
+
   test("pagerank: star center highest, mass conserved, cycle uniform") {
     import spark.implicits._
     val star = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
