@@ -173,12 +173,16 @@ object EventStreams {
     * being cheap — switch to a stream-static anti join on exploded
     * lines plus a watermarked re-group, and accept the state cost.
     *
+    * Input columns pass through unchanged (so the filter chains with
+    * the dedup ingest gate, which needs the event-time column for its
+    * watermark), with `n_lines` / `n_kept` / `text_clean` appended.
+    *
     * @param boiler boilerplate line hashes, column `lk` (e.g.
     *               `lineFreqTable(...).where($"df" >= minDocFreq)`)
-    * @return (doc, n_lines, n_kept, text_clean) per arriving document
+    * @return input rows + (n_lines, n_kept, text_clean)
     */
   def lineFilterStream(docs: DataFrame, boiler: DataFrame,
-      textCol: String, idCol: String, sep: String = "\n",
+      textCol: String, sep: String = "\n",
       maxBoiler: Int = 100000): DataFrame = {
     val hs = boiler.select(col("lk")).limit(maxBoiler + 1)
       .collect().map(_.getLong(0))
@@ -187,16 +191,14 @@ object EventStreams {
         "stream-static join form instead of the literal probe")
     val bl = lit(hs.sorted)
     docs
-      .select(col(idCol).as("doc"),
-        split(col(textCol),
-          java.util.regex.Pattern.quote(sep)).as("__ls"))
-      .select(col("doc"),
-        size(col("__ls")).cast("long").as("n_lines"),
-        filter(col("__ls"),
-          l => !array_contains(bl, xxhash64(l))).as("__kept"))
-      .select(col("doc"), col("n_lines"),
-        size(col("__kept")).cast("long").as("n_kept"),
-        array_join(col("__kept"), sep).as("text_clean"))
+      .withColumn("__ls", split(col(textCol),
+        java.util.regex.Pattern.quote(sep)))
+      .withColumn("__kept", filter(col("__ls"),
+        l => !array_contains(bl, xxhash64(l))))
+      .withColumn("n_lines", size(col("__ls")).cast("long"))
+      .withColumn("n_kept", size(col("__kept")).cast("long"))
+      .withColumn("text_clean", array_join(col("__kept"), sep))
+      .drop("__ls", "__kept")
   }
 
   /** Streaming near-duplicate detection for document ingest: each

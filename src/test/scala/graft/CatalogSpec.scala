@@ -648,7 +648,9 @@ class CatalogSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_linefilter")
     delta.coalesce(1).write.mode("overwrite").parquet(dir.toString)
     val stream = spark.readStream.schema(delta.schema).parquet(dir.toString)
-    val q = EventStreams.lineFilterStream(stream, boiler, "text", "id")
+    val q = EventStreams.lineFilterStream(stream, boiler, "text")
+      .select(col("id").as("doc"), col("n_lines"), col("n_kept"),
+        col("text_clean"))
       .writeStream.format("memory").queryName("linefilter_out")
       .outputMode("append").start()
     try {
@@ -665,6 +667,66 @@ class CatalogSpec extends AnyFunSuite {
         "corpus boilerplate must drop from streamed docs")
       assert(byId(12L) == Seq(12L, 2L, 2L, "all original\nlines here"))
     } finally q.stop()
+  }
+
+  test("end-to-end streaming ingest: boilerplate filter -> dedup gate " +
+      "-> catalog upsert") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    val cat = freshCatalog()
+    cat.createTable("corpus", StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType))),
+      pk = Seq("doc_id"))
+    // seed corpus: both docs share "shared footer" -> boilerplate at
+    // minDocFreq=2
+    val seed = Seq(
+      (1L, "shared footer\ncorpus text one"),
+      (2L, "shared footer\ncorpus text two")
+    ).toDF("doc_id", "text")
+    cat.upsert("corpus", seed)
+    val corpusSnap = cat.snapshot("corpus")
+    val boiler = Dedup.lineFreqTable(corpusSnap, "text", "doc_id")
+      .where(col("df") >= 2)
+    // the gate must fingerprint what the corpus would look like AFTER
+    // the same cleaning the stream gets — raw-corpus fingerprints would
+    // never match a boilerplate-stripped arrival
+    val corpusFps = Dedup.lineDedup(corpusSnap, "text", "doc_id",
+        minDocFreq = 2)
+      .select(Dedup.fingerprint(col("text_clean")).as("fp"))
+    // incoming docs: d10 cleans + ingests; d11 is (after cleaning) an
+    // exact dup of corpus doc 1 -> dedup gate drops it; d12/d13 are
+    // in-stream dups of each other -> exactly one survives
+    def ts(m: Int) = java.sql.Timestamp.valueOf(s"2024-05-01 10:0$m:00")
+    val incoming = Seq(
+      (10L, "shared footer\nfresh content one", ts(1)),
+      (11L, "corpus text one", ts(2)),
+      (12L, "brand new essay", ts(3)),
+      (13L, "brand new essay", ts(4))
+    ).toDF("doc_id", "text", "ts")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest_e2e")
+    incoming.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(incoming.schema)
+      .parquet(dir.toString)
+    val admitted = EventStreams.dedupIngestStream(
+      EventStreams.lineFilterStream(stream, boiler, "text"),
+      "text_clean", "doc_id", "ts", corpusFps)
+    val q = admitted.writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        cat.upsert("corpus",
+          b.select(col("doc_id"), col("text_clean").as("text")))
+        ()
+      }
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = cat.snapshot("corpus").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet.intersect(Set(10L, 11L)) == Set(10L),
+      s"d10 must ingest, d11 is a corpus dup: ${out.keySet}")
+    assert(out(10L) == "fresh content one",
+      "corpus boilerplate must be stripped before landing")
+    assert(out.keySet.intersect(Set(12L, 13L)).size == 1,
+      s"exactly one of the in-stream dups may land: ${out.keySet}")
+    assert(out.size == 4, s"2 seed + d10 + one dup survivor: $out")
   }
 
   test("streaming curation pass is bit-identical to the batch form") {
