@@ -475,6 +475,80 @@ object Curation {
       .withColumn("bin", floor(col("offset") / budget))
   }
 
+  /** Whole-document bin packing — the no-split companion to
+    * [[packSequences]] for corpora where an example must NOT straddle
+    * sequences (SFT/eval batches, contrastive pairs): best-fit-
+    * decreasing (BFD) inside each hash partition. BFD carries the
+    * classic ≤ 11/9·OPT + 1 bin guarantee per partition, and hash
+    * partitions are iid samples of the length distribution, so realized
+    * padding tracks global BFD (and beats the naive
+    * open-a-bin-when-full sequential fill — ScalaTested).
+    *
+    * Scale shape: ONE shuffle (hash repartition by doc id), a
+    * sort-within-partitions (Spark's external sort — the partition is
+    * never materialized in memory), then a streaming per-partition pass
+    * holding only the open-bin residual TreeMap: O(partition tokens /
+    * budget) longs, the packing state itself — this is the genuinely
+    * imperative per-partition case where mapPartitions is the right
+    * tool. Deterministic for a fixed `partitions` (hash placement +
+    * (n_tok desc, doc) order fix every assignment); bin ids are
+    * (partitionId << 32 | localBin), globally unique.
+    *
+    * A document larger than `budget` can never pack — raised loudly
+    * in-plan, not silently dropped.
+    *
+    * @return (doc, n_tok, bin)
+    */
+  def packBinsWhole(df: DataFrame, idCol: String, tokCol: String,
+      budget: Long, partitions: Int = 32): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val guarded = df
+      .select(col(idCol).cast(LongType).as("doc"),
+        col(tokCol).cast(LongType).as("n_tok"))
+      .where(col("n_tok") > 0)
+      .withColumn("n_tok",
+        when(col("n_tok") > budget, raise_error(concat(
+          lit("document "), col("doc"),
+          lit(s" exceeds the packing budget $budget tokens: "),
+          col("n_tok").cast(StringType))))
+          .otherwise(col("n_tok")))
+    guarded
+      .repartition(partitions, col("doc"))
+      .sortWithinPartitions(col("n_tok").desc, col("doc"))
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId().toLong
+        // residual capacity -> bins with exactly that residual (LIFO);
+        // ceilingEntry = tightest open bin that fits = best fit
+        val open = new java.util.TreeMap[Long,
+          scala.collection.mutable.ArrayDeque[Long]]()
+        var nextBin = 0L
+        def push(resid: Long, bin: Long): Unit = if (resid > 0) {
+          val st = open.get(resid)
+          if (st == null) {
+            val s = scala.collection.mutable.ArrayDeque.empty[Long]
+            s.prepend(bin); open.put(resid, s)
+          } else st.prepend(bin)
+        }
+        it.map { case (doc, s) =>
+          val e = open.ceilingEntry(s)
+          val bin = if (e == null) {
+            val b = nextBin; nextBin += 1
+            push(budget - s, b); b
+          } else {
+            val st = e.getValue
+            val b = st.removeHead()
+            if (st.isEmpty) open.remove(e.getKey)
+            push(e.getKey - s, b); b
+          }
+          (doc, s, (pid << 32) | bin)
+        }
+      }
+      .toDF("doc", "n_tok", "bin")
+  }
+
   /** Boundary-splitting sequence packing — the ACTUAL concat-and-chunk
     * layout pretraining uses: the corpus token stream chunks into
     * `budget`-token windows and a document crossing a boundary SPLITS

@@ -496,6 +496,20 @@ object Pipeline {
         .orderBy(col("split"), col("lang"))
     },
 
+    // Whole-doc BFD bin packing (no-split SFT layout). Rows-only driver
+    // check — the per-partition best-fit loop is not SQL-expressible;
+    // capacity, padding-vs-naive, and determinism are pinned in
+    // PipelineSpec.
+    "q_pack_bins" -> { (s, dir) =>
+      import s.implicits._
+      Curation.packBinsWhole(
+          Tables.t(s, dir, "documents")
+            .select($"doc_id",
+              greatest(lit(1L), floor($"n_chars" / 4)).as("toks")),
+          "doc_id", "toks", budget = 512)
+        .orderBy($"doc")
+    },
+
     // Dedup-aware split: duplicate clusters assigned WHOLE to train or
     // test, so no duplicated text straddles the eval boundary (a
     // per-doc hash split leaks near-dups into eval). Pairs here are the

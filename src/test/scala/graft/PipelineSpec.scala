@@ -2079,6 +2079,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(m.size == docs.count())
   }
 
+  test("whole-doc bin packing: capacity kept, beats naive fill, " +
+      "deterministic, oversize raises") {
+    import spark.implicits._
+    val sizes = Seq(60L, 50L, 45L, 40L, 30L, 25L, 20L, 15L, 10L, 5L,
+      55L, 35L)
+    val df = sizes.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "tok")
+    val out = Curation.packBinsWhole(df, "id", "tok", budget = 100L,
+      partitions = 2)
+    val rows = out.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).sorted.toSeq == (0L until 12L).toSeq,
+      "every doc packed exactly once")
+    val fills = rows.groupBy(_._3).map { case (_, g) => g.map(_._2).sum }
+    assert(fills.forall(_ <= 100L), s"bin over capacity: $fills")
+    // naive: id order, open a new bin whenever the current overflows
+    val naiveBins = sizes.foldLeft((0, 0L)) { case ((bins, fill), s) =>
+      if (fill + s <= 100L) (bins max 1, fill + s) else (bins + 1, s)
+    }._1 max 1
+    assert(fills.size <= naiveBins,
+      s"BFD used ${fills.size} bins vs naive $naiveBins")
+    // deterministic under re-execution with the same partition count
+    val again = Curation.packBinsWhole(df, "id", "tok", budget = 100L,
+        partitions = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // a doc that cannot fit any bin must fail loudly, not drop
+    val boom = intercept[Exception] {
+      Curation.packBinsWhole(
+        Seq((1L, 101L)).toDF("id", "tok"), "id", "tok", budget = 100L)
+        .collect()
+    }
+    assert(boom.getMessage.contains("exceeds the packing budget"))
+  }
+
   test("pagerank: star center highest, mass conserved, cycle uniform") {
     import spark.implicits._
     val star = Seq((2L, 1L), (3L, 1L), (4L, 1L)).toDF("src", "dst")
