@@ -278,12 +278,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * between shuffling the corpus and shuffling the key space at 100 TB.
     * Null tie-break fields order the same way in both forms (null loses
     * to any value, as with the window's DESC NULLS LAST). */
-  def snapshotFull(name: String): DataFrame = {
+  def snapshotFull(name: String): DataFrame =
+    collapseLog(name, changeLog(name))
+
+  /** Last-wins collapse of a (possibly filtered) change log slice. */
+  private def collapseLog(name: String, log: DataFrame): DataFrame = {
     val s = spec(name)
     val fields = allFields(name)
     val nonPk = fields.map(_.name).filterNot(s.pk.contains)
     val ord = struct(col("_version") +: nonPk.map(col): _*)
-    changeLog(name)
+    log
       .groupBy(s.pk.map(col): _*)
       .agg(max_by(
         struct(fields.map(f => col(f.name)) :+ col("_deleted"): _*),
@@ -291,6 +295,34 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .where(!col("_r._deleted"))
       .select(fields.map(f => col(s"_r.${f.name}").as(f.name)): _*)
   }
+
+  /** Point-in-time snapshot by write version — the engine's analog of
+    * the reference's CurrentSCN connection property
+    * (cc/util/PhoenixRuntime.java CURRENT_SCN_ATTRIB;
+    * cc/jdbc/PhoenixConnection.java scn plumbing), where a connection
+    * opened with an SCN reads the table as of that HBase timestamp.
+    * Here the read point is the batch version: the collapse sees only
+    * writes with `_version <= asOfVersion`, so any earlier table state
+    * can be queried, audited, or diffed without restoring anything —
+    * deletes later than the read point un-happen, rows upserted later
+    * vanish. The version filter prunes the log BEFORE the collapse
+    * shuffle (and under a version-partitioned physical layout it
+    * becomes partition pruning). Version numbers come from the `upsert`
+    * / `delete` return value. */
+  def snapshotAsOf(name: String, asOfVersion: Long): DataFrame =
+    collapseLog(name,
+        changeLog(name).where(col("_version") <= asOfVersion))
+      .select(spec(name).schema.fieldNames.map(col): _*)
+
+  /** Point-in-time snapshot by wall-clock batch stamp — the timestamp
+    * spelling of [[snapshotAsOf]] (the reference's SCN IS an HBase
+    * timestamp). Rows written before the engine stamped `_ts` (legacy
+    * generations) have a NULL stamp and are treated as older than any
+    * read point, i.e. always visible. */
+  def snapshotAsOfTime(name: String, asOf: java.sql.Timestamp): DataFrame =
+    collapseLog(name,
+        changeLog(name).where(col("_ts").isNull || col("_ts") <= asOf))
+      .select(spec(name).schema.fieldNames.map(col): _*)
 
   /** Snapshot read: latest write per PK, tombstones dropped. One shuffle,
     * partitioned by the key. Projects the DECLARED schema only — columns

@@ -669,6 +669,41 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("snapshotAsOf: point-in-time reads un-happen later writes " +
+      "and deletes (CurrentSCN analog)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("t", StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))),
+      pk = Seq("k"))
+    val v1 = cat.upsert("t", Seq((1L, "a1"), (2L, "b1")).toDF("k", "v"))
+    val v2 = cat.upsert("t", Seq((1L, "a2"), (3L, "c2")).toDF("k", "v"))
+    val v3 = cat.delete("t", col("k") === 2L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // current: k=1 overwritten, k=2 deleted, k=3 present
+    assert(rows(cat.snapshot("t")) == Map(1L -> "a2", 3L -> "c2"))
+    // as of v2: the delete un-happens
+    assert(rows(cat.snapshotAsOf("t", v2)) ==
+      Map(1L -> "a2", 2L -> "b1", 3L -> "c2"))
+    // as of v1: the overwrite and the new row vanish too
+    assert(rows(cat.snapshotAsOf("t", v1)) ==
+      Map(1L -> "a1", 2L -> "b1"))
+    // before any write: empty table, schema intact
+    val empty = cat.snapshotAsOf("t", v1 - 1)
+    assert(empty.isEmpty && empty.columns.toSeq == Seq("k", "v"))
+    // timestamp spelling: at the delete batch's stamp the current state
+    // shows; one instant before it, the tombstone hasn't happened yet
+    val stamps = cat.changeLog("t").select(col("_ts")).distinct()
+      .collect().map(_.getTimestamp(0)).sorted
+    assert(rows(cat.snapshotAsOfTime("t", stamps.last)) ==
+      rows(cat.snapshot("t")))
+    val beforeDelete = new java.sql.Timestamp(stamps.last.getTime - 1)
+    assert(rows(cat.snapshotAsOfTime("t", beforeDelete)) ==
+      Map(1L -> "a2", 2L -> "b1", 3L -> "c2"))
+    assert(v1 < v2 && v2 < v3)
+  }
+
   test("end-to-end streaming ingest: boilerplate filter -> dedup gate " +
       "-> catalog upsert") {
     import spark.implicits._
