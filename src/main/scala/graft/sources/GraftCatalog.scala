@@ -320,9 +320,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * generations) have a NULL stamp and are treated as older than any
     * read point, i.e. always visible. */
   def snapshotAsOfTime(name: String, asOf: java.sql.Timestamp): DataFrame =
-    collapseLog(name,
-        changeLog(name).where(col("_ts").isNull || col("_ts") <= asOf))
+    snapshotFullAsOf(name, asOf)
       .select(spec(name).schema.fieldNames.map(col): _*)
+
+  /** [[snapshotFull]] (view-extension columns included) at a timestamp
+    * read point — what as-of VIEWS collapse over. */
+  def snapshotFullAsOf(name: String, asOf: java.sql.Timestamp): DataFrame =
+    collapseLog(name,
+      changeLog(name).where(col("_ts").isNull || col("_ts") <= asOf))
 
   /** Snapshot read: latest write per PK, tombstones dropped. One shuffle,
     * partitioned by the key. Projects the DECLARED schema only — columns
@@ -492,13 +497,18 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     viewDropped(name) = viewDropped.getOrElse(name, Set.empty) + column
   }
 
-  def view(name: String): DataFrame = views.get(name) match {
-    case Some((base, pred)) =>
-      val df = (if (views.contains(base)) view(base) else snapshotFull(base))
-        .where(pred)
-      viewDropped.getOrElse(name, Set.empty).foldLeft(df)(_ drop _)
-    case None => snapshot(name)
-  }
+  def view(name: String,
+      asOf: Option[java.sql.Timestamp] = None): DataFrame =
+    views.get(name) match {
+      case Some((base, pred)) =>
+        val df = (if (views.contains(base)) view(base, asOf)
+          else asOf.map(snapshotFullAsOf(base, _))
+            .getOrElse(snapshotFull(base)))
+          .where(pred)
+        viewDropped.getOrElse(name, Set.empty).foldLeft(df)(_ drop _)
+      case None =>
+        asOf.map(snapshotAsOfTime(name, _)).getOrElse(snapshot(name))
+    }
 
   /** Base table a (possibly stacked) view resolves to. */
   def viewBase(name: String): String = views.get(name) match {

@@ -61,8 +61,9 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     else if (up.startsWith("TRUNCATE TABLE")) truncateTable(s)
     else if (up.startsWith("SHOW CREATE TABLE")) showCreateTable(s)
     else if (up.startsWith("SHOW ")) show(s)
-    else if (up.startsWith("UPSERT INTO")) upsert(s)
-    else if (up.startsWith("DELETE FROM")) delete(s)
+    else if (up.startsWith("SET CURRENT_SCN")) setScn(s)
+    else if (up.startsWith("UPSERT INTO")) { requireNoScn("UPSERT"); upsert(s) }
+    else if (up.startsWith("DELETE FROM")) { requireNoScn("DELETE"); delete(s) }
     else if (up.startsWith("DROP TABLE")) dropTable(s)
     else if (up.startsWith("ALTER VIEW")) alterView(s)
     else if (up.startsWith("ALTER TABLE")) alterTable(s)
@@ -1054,14 +1055,47 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     }
   }
 
+  // ---- CurrentSCN (reference: cc/util/PhoenixRuntime.java
+  // CURRENT_SCN_ATTRIB — a connection property holding an HBase
+  // timestamp, i.e. epoch millis; a connection opened with it reads
+  // cells at-or-before that instant). SQL spelling here:
+  // `SET CURRENT_SCN = <epoch millis>`; `= NULL` restores current-time
+  // reads. Applies to base tables AND stacked views (the as-of read
+  // point threads to the view's base collapse); CDC views are
+  // inherently all-history and unaffected. Back-dated WRITES (the
+  // reference allows them) are out of scope — the version counter is
+  // monotonic — so mutations are rejected while a read point is set.
+  // PHOENIX_ROW_TIMESTAMP statements re-register with current-state
+  // snapshots (documented divergence; combine with SCN is untypical). --
+  private var currentScn: Option[java.sql.Timestamp] = None
+
+  private def setScn(s: String): DataFrame = {
+    val m = "(?i)SET\\s+CURRENT_SCN\\s*=\\s*(NULL|\\d+)\\s*$".r
+      .findFirstMatchIn(s).getOrElse(throw new IllegalArgumentException(
+        s"cannot parse: $s (expected SET CURRENT_SCN = <epoch millis> | NULL)"))
+    currentScn =
+      if (m.group(1).equalsIgnoreCase("NULL")) None
+      else Some(new java.sql.Timestamp(m.group(1).toLong))
+    dirty ++= tableNames // every registered snapshot changes read point
+    viewsStale = true
+    spark.emptyDataFrame
+  }
+
+  private def requireNoScn(op: String): Unit =
+    require(currentScn.isEmpty,
+      s"$op is not allowed while CURRENT_SCN is set (back-dated writes " +
+        "are out of scope); run SET CURRENT_SCN = NULL first")
+
   private def select(s0: String): DataFrame = {
     val (s, noIndex) = rewriteHints(s0)
     // re-register only what changed since the last SELECT; any base-table
     // change invalidates views too (their plans pin the base's files)
     if (dirty.nonEmpty || viewsStale || cdcStale) {
       dirty.filter(tableNames.contains).foreach(t =>
-        catalog.snapshot(t).createOrReplaceTempView(t))
-      viewNames.foreach(v => catalog.view(v).createOrReplaceTempView(v))
+        currentScn.map(catalog.snapshotAsOfTime(t, _))
+          .getOrElse(catalog.snapshot(t)).createOrReplaceTempView(t))
+      viewNames.foreach(v =>
+        catalog.view(v, currentScn).createOrReplaceTempView(v))
       cdcDefs.foreach { case (n, (t, scopes)) =>
         if (cdcStale || dirty.contains(t))
           catalog.cdcImages(t, scopes = scopes).createOrReplaceTempView(n)

@@ -832,4 +832,34 @@ class PhoenixSqlSpec extends AnyFunSuite {
     assert(!spark.catalog.tableExists("hbase_dynamic_columns__dyn1"),
       "dynamic-column temp view must not outlive its statement")
   }
+
+  test("SET CURRENT_SCN: point-in-time reads for tables AND views, " +
+      "writes rejected, NULL restores") {
+    val px = fresh()
+    px.execute("CREATE TABLE T (K BIGINT NOT NULL PRIMARY KEY, V VARCHAR)")
+    px.execute("CREATE VIEW BIGK AS SELECT * FROM T WHERE K >= 2")
+    px.execute("UPSERT INTO T VALUES (1, 'a1')")
+    px.execute("UPSERT INTO T VALUES (2, 'b1')")
+    Thread.sleep(5) // separate the batch stamps
+    val mid = System.currentTimeMillis()
+    Thread.sleep(5)
+    px.execute("UPSERT INTO T VALUES (1, 'a2')")
+    px.execute("UPSERT INTO T VALUES (3, 'c2')")
+    def vals(sql: String) = px.execute(sql).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(vals("SELECT K, V FROM T") ==
+      Map(1L -> "a2", 2L -> "b1", 3L -> "c2"))
+    px.execute(s"SET CURRENT_SCN = $mid")
+    // reads rewind — including through the stacked view
+    assert(vals("SELECT K, V FROM T") == Map(1L -> "a1", 2L -> "b1"))
+    assert(vals("SELECT K, V FROM BIGK") == Map(2L -> "b1"))
+    // back-dated writes are rejected loudly while the read point is set
+    val e = intercept[IllegalArgumentException](
+      px.execute("UPSERT INTO T VALUES (9, 'x')"))
+    assert(e.getMessage.contains("CURRENT_SCN"))
+    px.execute("SET CURRENT_SCN = NULL")
+    assert(vals("SELECT K, V FROM T") ==
+      Map(1L -> "a2", 2L -> "b1", 3L -> "c2"))
+    assert(vals("SELECT K, V FROM BIGK") == Map(2L -> "b1", 3L -> "c2"))
+  }
 }
