@@ -54,6 +54,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(pk.forall(c => schema.fieldNames.contains(c)),
       s"pk columns $pk must exist in schema")
     checkReserved(schema.fields)
+    // TTL validates at DDL time like the reference (TableProperty.TTL):
+    // a positive second count, or FOREVER / NONE for no expiry
+    props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("TTL") => v
+    }.foreach { v =>
+      require(v.matches("\\d+") && v.toLong > 0 ||
+        v.equalsIgnoreCase("FOREVER") || v.equalsIgnoreCase("NONE"),
+        s"invalid TTL '$v': expected a positive second count, " +
+          "FOREVER, or NONE")
+    }
     val spec = TableSpec(name, schema, pk, props)
     specs(name) = spec
     new java.io.File(dir(name)).mkdirs()
@@ -241,8 +251,30 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         spark.read.schema(physSchema(name)).parquet(s"${dir(name)}/data")
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physSchema(name))
-    toLogical(name, base)
+    val logical = toLogical(name, base)
+    // TTL table property (reference cc/schema/TableProperty.java TTL —
+    // mapped onto the HBase column-family TTL, so expired cells vanish
+    // from EVERY read path at scan time and are purged physically at
+    // major compaction): rows whose batch stamp aged past TTL seconds
+    // are filtered HERE, the single choke point every read flows
+    // through — snapshot, as-of, views, CDC — and `compact` rewrites
+    // without them (the major-compaction purge). Legacy NULL stamps
+    // never expire. `current_timestamp()` is per-query constant-folded,
+    // so the filter is scan-local and pushdown-eligible.
+    ttlSeconds(name) match {
+      case Some(ttl) => logical.where(col("_ts").isNull ||
+        col("_ts") >= current_timestamp() - expr(s"INTERVAL $ttl SECONDS"))
+      case None => logical
+    }
   }
+
+  /** TTL seconds if the table declares a finite one (`TTL=<seconds>`;
+    * FOREVER/NONE mean no expiry, as in the reference). */
+  private def ttlSeconds(name: String): Option[Long] =
+    spec(name).props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("TTL") && v.matches("\\d+") =>
+        v.toLong
+    }.filter(_ > 0)
 
   /** Physical (generation-suffixed) counterpart of [[logSchema]]. */
   private def physSchema(name: String): StructType =
@@ -266,8 +298,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * the HBase cell timestamp (one value per batch: Phoenix commits a
     * mutation batch at one server timestamp). Backs PHOENIX_ROW_TIMESTAMP.
     * Batches written before this column existed read back NULL. */
+  /** Wall clock for batch stamps — swappable in tests to back-date
+    * writes (TTL expiry, as-of reads) without real sleeps. */
+  private[graft] var clock: () => Long = () => System.currentTimeMillis()
+
   private def batchTs(): java.sql.Timestamp =
-    new java.sql.Timestamp(System.currentTimeMillis())
+    new java.sql.Timestamp(clock())
 
   /** Snapshot with view-extension columns included (what views read).
     *

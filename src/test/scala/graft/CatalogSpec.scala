@@ -669,6 +669,43 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TTL: rows expire from every read path, compaction purges them") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("ev", StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))),
+      pk = Seq("k"), props = Map("TTL" -> "60"))
+    // back-date the first write 2 minutes via the injectable clock —
+    // expiry without real sleeps (harness job latency made sleep-based
+    // TTL tests flaky)
+    cat.clock = () => System.currentTimeMillis() - 120000L
+    cat.upsert("ev", Seq((1L, "x")).toDF("k", "v"))
+    cat.clock = () => System.currentTimeMillis()
+    cat.upsert("ev", Seq((2L, "y")).toDF("k", "v"))
+    // k=1 aged past TTL; k=2 is fresh
+    assert(cat.snapshot("ev").collect().map(_.getLong(0)).toSeq ==
+      Seq(2L), "expired row must vanish from the snapshot")
+    assert(cat.changeLog("ev").count() == 1,
+      "expired rows are invisible to the change log too (HBase scan " +
+        "semantics)")
+    cat.compact("ev")
+    // physical purge: even a TTL-free rewrite of the files would not
+    // resurrect k=1
+    assert(cat.snapshot("ev").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // FOREVER/NONE and invalid values
+    cat.createTable("keep", StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))),
+      pk = Seq("k"), props = Map("TTL" -> "FOREVER"))
+    cat.upsert("keep", Seq((1L, "x")).toDF("k", "v"))
+    assert(cat.snapshot("keep").count() == 1)
+    val bad = intercept[IllegalArgumentException] {
+      cat.createTable("bad", StructType(Seq(
+        StructField("k", LongType))), pk = Seq("k"),
+        props = Map("TTL" -> "-5"))
+    }
+    assert(bad.getMessage.contains("invalid TTL"))
+  }
+
   test("snapshotAsOf: point-in-time reads un-happen later writes " +
       "and deletes (CurrentSCN analog)") {
     import spark.implicits._
