@@ -54,8 +54,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(pk.forall(c => schema.fieldNames.contains(c)),
       s"pk columns $pk must exist in schema")
     checkReserved(schema.fields)
-    // TTL validates at DDL time like the reference (TableProperty.TTL):
-    // a positive second count, or FOREVER / NONE for no expiry
+    validateProps(props)
+    val spec = TableSpec(name, schema, pk, props)
+    specs(name) = spec
+    new java.io.File(dir(name)).mkdirs()
+    spec
+  }
+
+  /** TTL validates at DDL time like the reference (TableProperty.TTL):
+    * a positive second count, or FOREVER / NONE for no expiry. */
+  private def validateProps(props: Map[String, String]): Unit =
     props.collectFirst {
       case (k, v) if k.equalsIgnoreCase("TTL") => v
     }.foreach { v =>
@@ -64,10 +72,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         s"invalid TTL '$v': expected a positive second count, " +
           "FOREVER, or NONE")
     }
-    val spec = TableSpec(name, schema, pk, props)
-    specs(name) = spec
-    new java.io.File(dir(name)).mkdirs()
-    spec
+
+  /** ALTER TABLE ... SET prop=v: merge new property values (reference
+    * alter_table options branch — most commonly a TTL change). The new
+    * value governs every subsequent read immediately: the TTL filter is
+    * applied at read time from the current spec, exactly like an HBase
+    * descriptor change affecting the next scan. */
+  def alterSetProps(name: String, newProps: Map[String, String]): Unit = {
+    validateProps(newProps)
+    val s = spec(name)
+    specs(name) = s.copy(props = s.props ++ newProps)
   }
 
   def spec(name: String): TableSpec = specs.getOrElse(name,

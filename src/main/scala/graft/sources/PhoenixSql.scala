@@ -738,6 +738,21 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       "(IF NOT EXISTS\\s+)?(.*)$").r.findFirstMatchIn(s)
     val drop = ("(?is)ALTER TABLE ([\\w.\"]+)\\s+DROP COLUMN\\s+" +
       "(IF EXISTS\\s+)?(.*)$").r.findFirstMatchIn(s)
+    // ALTER TABLE t SET prop=v [, ...] (reference alter_table_node
+    // options branch — Phoenix most commonly alters TTL this way; the
+    // new value governs every subsequent read immediately, like an
+    // HBase descriptor change)
+    val set = ("(?is)ALTER TABLE ([\\w.\"]+)\\s+SET\\s+" +
+      "([\\w]+\\s*=.*)$").r.findFirstMatchIn(s)
+    set.foreach { m =>
+      val name = resolveTable(m.group(1))
+      val props = splitTopLevel(m.group(2), ',').map { p =>
+        val Array(k, v) = p.split("=", 2); k.trim -> v.trim
+      }.toMap
+      catalog.alterSetProps(name, props)
+      dirty += name
+      return spark.emptyDataFrame
+    }
     (add, drop) match {
       case (Some(m), _) =>
         val name = resolveTable(m.group(1))

@@ -833,6 +833,28 @@ class PhoenixSqlSpec extends AnyFunSuite {
       "dynamic-column temp view must not outlive its statement")
   }
 
+  test("ALTER TABLE SET TTL takes effect on the next read") {
+    import spark.implicits._
+    val px = fresh()
+    px.execute("CREATE TABLE AGED (K BIGINT NOT NULL PRIMARY KEY, V VARCHAR)")
+    // back-date the write two minutes, then flip TTL on via ALTER
+    px.catalog.clock = () => System.currentTimeMillis() - 120000L
+    px.execute("UPSERT INTO AGED VALUES (1, 'old')")
+    px.catalog.clock = () => System.currentTimeMillis()
+    px.execute("UPSERT INTO AGED VALUES (2, 'new')")
+    assert(px.execute("SELECT K FROM AGED").collect().length == 2)
+    px.execute("ALTER TABLE AGED SET TTL=60")
+    assert(px.execute("SELECT K FROM AGED").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L),
+      "aged row must expire as soon as TTL is set")
+    px.execute("ALTER TABLE AGED SET TTL=FOREVER")
+    assert(px.execute("SELECT K FROM AGED").collect().length == 2,
+      "FOREVER restores the aged row (it was never purged)")
+    val bad = intercept[IllegalArgumentException](
+      px.execute("ALTER TABLE AGED SET TTL=abc"))
+    assert(bad.getMessage.contains("invalid TTL"))
+  }
+
   test("SET CURRENT_SCN: point-in-time reads for tables AND views, " +
       "writes rejected, NULL restores") {
     val px = fresh()
