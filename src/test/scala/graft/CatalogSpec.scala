@@ -669,6 +669,45 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incremental materialized aggregate tracks the change log exactly") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val cat = freshCatalog()
+    cat.createTable("m", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.upsert("m", Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("k", "g", "x"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivm").toString
+    def expected = Materialize
+      .aggregate(cat.snapshot("m"), Seq("g"), Seq("x"))
+      .collect().map(_.toSeq).toSet
+    def actual = Materialize.read(spark, path)
+      .collect().map(_.toSeq).toSet
+    val v0 = Materialize.build(cat, "m", Seq("g"), Seq("x"), path)
+    assert(actual == expected)
+    // insert-only delta: pure merge, no retraction recompute
+    cat.upsert("m", Seq((4L, "b", 5L), (5L, "c", 7L)).toDF("k", "g", "x"))
+    val v1 = Materialize.refresh(cat, "m", path)
+    assert(v1 > v0 && actual == expected)
+    // update (retracts the old pre-image), group-moving update, delete:
+    // 'a' loses its min, 'b' loses its max, 'a'->'c' moves a row
+    cat.upsert("m", Seq((1L, "a", 99L), (2L, "c", 20L)).toDF("k", "g", "x"))
+    cat.delete("m", col("k") === 3L)
+    val v2 = Materialize.refresh(cat, "m", path)
+    assert(v2 > v1 && actual == expected,
+      s"IVM state diverged: $actual vs $expected")
+    // a fully-deleted group vanishes from the state
+    cat.delete("m", col("g") === "b")
+    Materialize.refresh(cat, "m", path)
+    assert(actual == expected)
+    assert(!actual.exists(_.head == "b"))
+    // idle refresh: same high-water mark, state untouched
+    val v3 = Materialize.refresh(cat, "m", path)
+    assert(v3 == Materialize.refresh(cat, "m", path))
+  }
+
   test("TTL: rows expire from every read path, compaction purges them") {
     import spark.implicits._
     val cat = freshCatalog()
