@@ -1,0 +1,151 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.types.DoubleType
+
+/** Materialized-aggregate rewrite — the MV-selection step classical
+  * engines pair with incremental view maintenance (our
+  * [[graft.operators.Materialize]] keeps the state current; reference
+  * analog: Phoenix picks a covered index the same way in
+  * cc/optimize/QueryOptimizer.java — swap the scan target when a
+  * registered artifact answers the query).
+  *
+  * A registered view holds `(groupCols, cnt, sum_m/min_m/max_m per
+  * measure)` at `statePath` ([[graft.operators.Materialize.aggregate]]'s
+  * layout). A query aggregate rewrites onto the state when:
+  *  - it scans the registered base path (plain parquet or the graftpk
+  *    V2 source), optionally through a column-pruning Project;
+  *  - its grouping columns are a SUBSET of the view's (equality uses
+  *    the state at its own grain; a strict subset ROLLS UP: sums of
+  *    sums, min of mins, count(*) = sum(cnt) — all decomposable);
+  *  - every aggregate is a plain (no DISTINCT / FILTER) SUM / MIN /
+  *    MAX over a view measure, or COUNT(*) / COUNT(1).
+  *
+  * The rewritten aggregate runs over group-cardinality rows instead of
+  * the fact table — at 100 TB that is the difference between a scan and
+  * a lookup. Output exprIds and types are preserved (state measures are
+  * DOUBLE; results cast back to the original aggregate's type), so the
+  * surrounding plan is untouched. Sums that exceed 2^53 lose integer
+  * precision in the DOUBLE state — the documented trade of this state
+  * layout.
+  *
+  * Staleness contract: the registrant guarantees the state covers the
+  * base (register after [[graft.operators.Materialize.refresh]]; drop
+  * before mutating without refresh) — the same freshness contract every
+  * refresh-based MV system has.
+  */
+object GraftAggViews {
+  /** @param statePath [[graft.operators.Materialize]]-layout parquet
+    * @param groupCols the view's grouping columns
+    * @param measures  measure columns with sum_/min_/max_ state */
+  case class AggViewDef(statePath: String, groupCols: Seq[String],
+      measures: Seq[String])
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, AggViewDef]()
+
+  def register(basePath: String, view: AggViewDef): Unit =
+    registry.put(norm(basePath), view)
+  def drop(basePath: String): Unit = registry.remove(norm(basePath))
+  def lookup(basePath: String): Option[AggViewDef] =
+    Option(registry.get(norm(basePath)))
+
+  private def norm(p: String) =
+    p.stripPrefix("file:").stripSuffix("/")
+
+  val DisabledConf = "spark.graft.aggRewrite.disabled"
+}
+
+case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (spark.conf.get(GraftAggViews.DisabledConf, "false") == "true") plan
+    else plan.transformUp {
+      case agg @ Aggregate(groupings, outputs, child, _) =>
+        rewrite(groupings, outputs, child).getOrElse(agg)
+    }
+
+  /** The scanned base path, looking through a pruning Project. */
+  private def scannedPath(plan: LogicalPlan): Option[String] = plan match {
+    case Project(list, child) if list.forall(_.isInstanceOf[Attribute]) =>
+      scannedPath(child)
+    case lr: LogicalRelation =>
+      lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
+            if fs.location.rootPaths.size == 1 =>
+          Some(fs.location.rootPaths.head.toUri.getPath)
+        case _ => None
+      }
+    case rel: DataSourceV2Relation =>
+      rel.table match {
+        case t: graft.sources.GraftPkTable =>
+          Some(t.name().stripPrefix("graftpk:"))
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def rewrite(groupings: Seq[Expression],
+      outputs: Seq[NamedExpression], child: LogicalPlan)
+      : Option[LogicalPlan] = {
+    val path = scannedPath(child).getOrElse(return None)
+    val view = GraftAggViews.lookup(path).getOrElse(return None)
+    val groupNames = groupings.map {
+      case a: AttributeReference => a.name
+      case _ => return None // expression grouping: not this view's grain
+    }
+    if (!groupNames.toSet.subsetOf(view.groupCols.toSet)) return None
+    val state = spark.read.parquet(view.statePath)
+      .queryExecution.analyzed
+    val stateAttr: Map[String, Attribute] =
+      state.output.map(a => a.name -> a).toMap
+
+    def merged(fnCol: Attribute,
+        mk: Expression => org.apache.spark.sql.catalyst.expressions
+          .aggregate.AggregateFunction): Expression =
+      AggregateExpression(mk(fnCol), Complete, isDistinct = false)
+
+    // map each output onto the state; bail out (None) on anything the
+    // state cannot answer exactly
+    val newOutputs: Seq[NamedExpression] = outputs.map {
+      case a: AttributeReference if groupNames.contains(a.name) =>
+        Alias(stateAttr(a.name), a.name)(exprId = a.exprId)
+      case al @ Alias(ae: AggregateExpression, name)
+          if !ae.isDistinct && ae.filter.isEmpty =>
+        val rewritten: Option[Expression] = ae.aggregateFunction match {
+          case Count(Seq(Literal(_, _))) =>
+            Some(merged(stateAttr("cnt"), Sum(_)))
+          case Sum(ar: AttributeReference, _)
+              if view.measures.contains(ar.name) =>
+            Some(Cast(merged(stateAttr(s"sum_${ar.name}"), Sum(_)),
+              ae.dataType))
+          case Min(ar: AttributeReference)
+              if view.measures.contains(ar.name) =>
+            Some(Cast(merged(stateAttr(s"min_${ar.name}"), Min(_)),
+              ae.dataType))
+          case Max(ar: AttributeReference)
+              if view.measures.contains(ar.name) =>
+            Some(Cast(merged(stateAttr(s"max_${ar.name}"), Max(_)),
+              ae.dataType))
+          case _ => None
+        }
+        rewritten match {
+          case Some(e) => Alias(e, name)(exprId = al.exprId,
+            qualifier = al.qualifier,
+            explicitMetadata = al.explicitMetadata)
+          case None => return None
+        }
+      case _ => return None
+    }
+    // equality of grain: a per-group Aggregate over one-row-per-group
+    // state is still cheapest expressed as an Aggregate (sums of one
+    // row) — and the SAME shape serves the rollup case, so emit one
+    // form: Aggregate over the state keyed by the queried columns
+    Some(Aggregate(groupNames.map(stateAttr), newOutputs, state))
+  }
+}

@@ -115,6 +115,8 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   * or `spark.sql.extensions=graft.plans.GraftSparkExtensions`. */
 class GraftSparkExtensions
     extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(IndexRewriteRule)
+    e.injectOptimizerRule(AggRewriteRule)
+  }
 }
