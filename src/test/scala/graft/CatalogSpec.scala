@@ -708,6 +708,43 @@ class CatalogSpec extends AnyFunSuite {
     assert(v3 == Materialize.refresh(cat, "m", path))
   }
 
+  test("streaming ingest keeps the materialized aggregate current " +
+      "per micro-batch") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val cat = freshCatalog()
+    cat.createTable("docs", StructType(Seq(
+      StructField("doc_id", LongType), StructField("src", StringType),
+      StructField("n_tok", LongType))), pk = Seq("doc_id"))
+    cat.upsert("docs", Seq((1L, "web", 100L), (2L, "code", 50L))
+      .toDF("doc_id", "src", "n_tok"))
+    val mv = java.nio.file.Files
+      .createTempDirectory("graft_mv_stream").toString
+    Materialize.build(cat, "docs", Seq("src"), Seq("n_tok"), mv)
+    val incoming = Seq((3L, "web", 70L), (4L, "books", 90L),
+      (2L, "code", 60L)) // doc 2 re-upserted: a retraction for the MV
+      .toDF("doc_id", "src", "n_tok")
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_in")
+    incoming.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val q = spark.readStream.schema(incoming.schema).parquet(dir.toString)
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        cat.upsert("docs", b)
+        Materialize.refresh(cat, "docs", mv)
+        ()
+      }
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = Materialize.read(spark, mv)
+      .collect().map(_.toSeq).toSet
+    val expect = Materialize
+      .aggregate(cat.snapshot("docs"), Seq("src"), Seq("n_tok"))
+      .collect().map(_.toSeq).toSet
+    assert(got == expect, s"MV diverged after streaming ingest: $got")
+    assert(got.exists(r => r.head == "code" && r(2) == 60.0),
+      "the re-upserted doc's old value must be retracted")
+  }
+
   test("TTL: rows expire from every read path, compaction purges them") {
     import spark.implicits._
     val cat = freshCatalog()
