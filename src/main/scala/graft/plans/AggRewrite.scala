@@ -70,21 +70,31 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         rewrite(groupings, outputs, child).getOrElse(agg)
     }
 
-  /** The scanned base path, looking through a pruning Project. */
-  private def scannedPath(plan: LogicalPlan): Option[String] = plan match {
+  /** The scanned base path plus any residual filter, looking through
+    * pruning Projects. A filter is carried back (to re-apply on the
+    * state) rather than rejected — group-column predicates ("the sum
+    * for source X") are the most common MV hit. */
+  private def scannedPath(plan: LogicalPlan)
+      : Option[(String, Option[Expression])] = plan match {
     case Project(list, child) if list.forall(_.isInstanceOf[Attribute]) =>
       scannedPath(child)
+    case org.apache.spark.sql.catalyst.plans.logical
+        .Filter(cond, child) =>
+      scannedPath(child).flatMap {
+        case (p, None) => Some((p, Some(cond)))
+        case _ => None // two filter layers: keep it simple, bail
+      }
     case lr: LogicalRelation =>
       lr.relation match {
         case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
             if fs.location.rootPaths.size == 1 =>
-          Some(fs.location.rootPaths.head.toUri.getPath)
+          Some((fs.location.rootPaths.head.toUri.getPath, None))
         case _ => None
       }
     case rel: DataSourceV2Relation =>
       rel.table match {
         case t: graft.sources.GraftPkTable =>
-          Some(t.name().stripPrefix("graftpk:"))
+          Some((t.name().stripPrefix("graftpk:"), None))
         case _ => None
       }
     case _ => None
@@ -93,13 +103,17 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(groupings: Seq[Expression],
       outputs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
-    val path = scannedPath(child).getOrElse(return None)
+    val (path, residual) = scannedPath(child).getOrElse(return None)
     val view = GraftAggViews.lookup(path).getOrElse(return None)
     val groupNames = groupings.map {
       case a: AttributeReference => a.name
       case _ => return None // expression grouping: not this view's grain
     }
     if (!groupNames.toSet.subsetOf(view.groupCols.toSet)) return None
+    // a residual filter must touch only GROUP columns — a measure
+    // predicate filters individual fact rows, which the state can't see
+    if (!residual.forall(_.references.map(_.name).toSet
+        .subsetOf(view.groupCols.toSet))) return None
     val state = spark.read.parquet(view.statePath)
       .queryExecution.analyzed
     val stateAttr: Map[String, Attribute] =
@@ -145,7 +159,16 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // equality of grain: a per-group Aggregate over one-row-per-group
     // state is still cheapest expressed as an Aggregate (sums of one
     // row) — and the SAME shape serves the rollup case, so emit one
-    // form: Aggregate over the state keyed by the queried columns
-    Some(Aggregate(groupNames.map(stateAttr), newOutputs, state))
+    // form: Aggregate over the (possibly filtered) state keyed by the
+    // queried columns
+    val source = residual match {
+      case Some(cond) =>
+        val remapped = cond.transformUp {
+          case a: AttributeReference => stateAttr(a.name)
+        }
+        org.apache.spark.sql.catalyst.plans.logical.Filter(remapped, state)
+      case None => state
+    }
+    Some(Aggregate(groupNames.map(stateAttr), newOutputs, source))
   }
 }

@@ -55,6 +55,21 @@ class AggRewriteSpec extends AnyFunSuite {
       assert(roll.queryExecution.executedPlan.toString
         .contains(new java.io.File(statePath).getName))
       assert(roll.collect().map(_.toSeq).toSeq == baseline(q("g")))
+      // group-column filter: rewritten, the predicate re-applies on the
+      // state ("the sum for source X" — the most common MV hit)
+      val filtered = spark.read.parquet(base).where($"g" === "a")
+        .groupBy($"s").agg(sum($"x").as("sx")).orderBy($"s")
+      assert(filtered.queryExecution.executedPlan.toString
+        .contains(new java.io.File(statePath).getName))
+      assert(filtered.collect().map(_.toSeq).toSeq == baseline {
+        spark.read.parquet(base).where($"g" === "a")
+          .groupBy($"s").agg(sum($"x").as("sx")).orderBy($"s")
+      })
+      // a MEASURE filter selects individual fact rows — not answerable
+      val mfilter = spark.read.parquet(base).where($"x" > 5L)
+        .groupBy($"g").agg(sum($"x").as("sx"))
+      assert(mfilter.queryExecution.executedPlan.toString
+        .contains(new java.io.File(base).getName))
       // an aggregate the state can't answer exactly is NOT rewritten
       val avgQ = spark.read.parquet(base).groupBy($"g")
         .agg(avg($"x").as("ax"))
