@@ -137,6 +137,31 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** Single-pass gate observability via Spark's CollectMetrics
+    * (`df.observe`): row and token counts of the kept/dropped split
+    * ride the SAME job that produces the filtered output — at 100 TB a
+    * "count what we dropped" second scan is a second 100 TB read, and a
+    * driver-side `.count()` pair is two. The metrics materialize with
+    * the first action on the returned frame (`Observation.get`); in
+    * streaming the same node surfaces per-batch via
+    * `QueryProgress.observedMetrics`.
+    *
+    * @param keepCol boolean gate column (e.g. the C4/Gopher `keep`)
+    * @param tokCol  token-count column for budget accounting
+    * @return (kept rows only, observation handle)
+    */
+  def observedGate(df: DataFrame, keepCol: String, tokCol: String)
+      : (DataFrame, org.apache.spark.sql.Observation) = {
+    val obs = new org.apache.spark.sql.Observation("curation_gate")
+    val observed = df.observe(obs,
+      count(lit(1)).as("rows_in"),
+      count(when(col(keepCol), 1)).as("rows_kept"),
+      sum(col(tokCol).cast(LongType)).as("tokens_in"),
+      coalesce(sum(when(col(keepCol), col(tokCol).cast(LongType))),
+        lit(0L)).as("tokens_kept"))
+    (observed.where(col(keepCol)), obs)
+  }
+
   /** Dedup-aware (leakage-safe) train/test split: near-duplicate
     * CLUSTERS — not documents — are the unit of assignment, so no
     * near-dup pair ever straddles the train/eval boundary. A per-doc

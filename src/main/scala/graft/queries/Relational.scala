@@ -333,6 +333,25 @@ object Relational {
         .limit(100)
     },
 
+    // TPC-H Q14 shape (promotion effect): conditional aggregation over
+    // the part join — one month of lineitem, the CASE folds the promo
+    // share into the same pass as the total (sum skips the NULL arm).
+    // Part broadcasts; both sums are exact decimal, the final ratio is
+    // one identical IEEE division per engine.
+    "q_tpch_q14" -> { (s, dir) =>
+      import s.implicits._
+      val rev = dec($"l_extendedprice") * (fac(lit(1)) - fac($"l_discount"))
+      Tables.t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-09-01").cast(TimestampType) &&
+          $"l_shipdate" < lit("1997-10-01").cast(TimestampType))
+        .join(broadcast(Tables.t(s, dir, "part")),
+          $"l_partkey" === $"p_partkey")
+        .agg((lit(100.0) *
+          round(sum(when($"p_type" === "PROMO", rev)), 2)
+            .cast(DoubleType) /
+          round(sum(rev), 2).cast(DoubleType)).as("promo_revenue"))
+    },
+
     // TPC-H Q17 shape (small-quantity-order revenue): the correlated
     // per-part average decorrelates into one grouped aggregate joined
     // back onto the fact. The threshold l_quantity < 0.2*avg(qty) is
@@ -648,6 +667,13 @@ object Relational {
       GROUP BY 1, 2, 3, 4
       ORDER BY revenue DESC, c_custkey
       LIMIT 20""",
+
+    "q_tpch_q14" -> """
+      SELECT 100.0 * CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END), 2) AS DOUBLE)
+        / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS promo_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        AND l_shipdate < TIMESTAMP '1997-10-01'""",
 
     "q_tpch_q17" -> """
       SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) / 7.0 AS avg_yearly

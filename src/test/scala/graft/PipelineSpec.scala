@@ -2062,6 +2062,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(byId(11L) == Seq(11L, 2L, 2L, "rare note\nepsilon"))
   }
 
+  test("observed gate: kept/dropped metrics ride the output job") {
+    import spark.implicits._
+    val docs = Seq((1L, true, 100L), (2L, false, 30L), (3L, true, 70L),
+      (4L, false, 50L), (5L, true, 20L)).toDF("id", "keep", "toks")
+    val (kept, obs) = Curation.observedGate(docs, "keep", "toks")
+    val ids = kept.collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids == Seq(1L, 3L, 5L))
+    val m = obs.get
+    assert(m("rows_in") == 5L && m("rows_kept") == 3L)
+    assert(m("tokens_in") == 270L && m("tokens_kept") == 190L)
+  }
+
   test("leakage-safe split: no near-dup pair straddles train/test") {
     val docs = Tables.t(spark, dir, "documents")
     val pairs = Dedup.nearDupPairs(docs, "text", "doc_id", 0.3)
