@@ -156,7 +156,7 @@ object Curation {
     val observed = df.observe(obs,
       count(lit(1)).as("rows_in"),
       count(when(col(keepCol), 1)).as("rows_kept"),
-      sum(col(tokCol).cast(LongType)).as("tokens_in"),
+      coalesce(sum(col(tokCol).cast(LongType)), lit(0L)).as("tokens_in"),
       coalesce(sum(when(col(keepCol), col(tokCol).cast(LongType))),
         lit(0L)).as("tokens_kept"))
     (observed.where(col(keepCol)), obs)

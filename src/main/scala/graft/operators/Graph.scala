@@ -54,6 +54,17 @@ object Graph {
       .localCheckpoint()
     val n = spine.count() // driver scalar: |V| (metadata-class)
     require(n > 0, "graph has no vertices")
+    // an explicit spine that omits edge endpoints would silently LEAK
+    // rank mass (contributions to missing vertices drop in the spine
+    // join), breaking the documented sums-to-1 invariant — refuse loudly
+    if (nodes.isDefined) {
+      val stray = e.select(col("src").as("id"))
+        .union(e.select(col("dst").as("id")))
+        .join(spine, Seq("id"), "left_anti")
+      require(stray.isEmpty,
+        "edges reference vertices missing from the provided node spine " +
+          s"(e.g. ${stray.head.get(0)}) — rank mass would leak")
+    }
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val weighted = e.join(deg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))

@@ -59,7 +59,17 @@ object Materialize {
 
   /** Fold writes since the last refresh into the persisted state.
     * Returns the new high-water version (== old one when nothing
-    * changed, in which case no new state is written). */
+    * changed, in which case no new state is written).
+    *
+    * Incremental folding requires the change log to still CONTAIN the
+    * history the state summarizes: after [[GraftCatalog.compact]]
+    * (history discarded, rows rewritten under one new version) the
+    * delta-since-lastV would re-count every surviving row, and on a
+    * TTL table rows expire out of the log between refreshes so
+    * pre-images (retractions) silently vanish. Both cases are detected
+    * — log min version past the high-water mark, or a finite TTL — and
+    * fall back to a full rebuild at the new mark, which is always
+    * correct. */
   def refresh(cat: GraftCatalog, table: String, path: String): Long = {
     val spark = cat.changeLog(table).sparkSession
     val meta = spark.read.parquet(s"$path/meta").head()
@@ -68,6 +78,13 @@ object Materialize {
     val measures = meta.getSeq[String](2)
     val newV = highWater(cat, table)
     if (newV == lastV) return lastV
+    val ttlActive = cat.spec(table).props.exists { case (k, v) =>
+      k.equalsIgnoreCase("TTL") && v.matches("\\d+") }
+    val minV = cat.changeLog(table)
+      .agg(coalesce(min(col("_version")), lit(Long.MaxValue)))
+      .head.getLong(0)
+    if (ttlActive || minV > lastV)
+      return build(cat, table, groupCols, measures, path)
     val state = spark.read.parquet(s"$path/state_v$lastV")
 
     val s = cat.spec(table)
@@ -83,40 +100,48 @@ object Materialize {
       .where(col("_version") > lastV)
     val hasPrev = col("_prev").isNotNull && !col("_prev").getField("__del")
 
-    def contrib(rows: DataFrame): DataFrame =
-      rows.groupBy(groupCols.map(col): _*)
-        .agg(count(lit(1)).as("d_cnt"),
-          measures.flatMap(m => Seq(
-            sum(col(m).cast(DoubleType)).as(s"d_sum_$m"),
-            min(col(m).cast(DoubleType)).as(s"d_min_$m"),
-            max(col(m).cast(DoubleType)).as(s"d_max_$m"))): _*)
-    val posts = contrib(changes.where(!col("_deleted"))
-      .select(fields.map(col): _*))
-    val pres = contrib(changes.where(hasPrev)
-        .select(fields.map(f => col(s"_prev.$f").as(f)): _*))
-      .select((groupCols.map(col) :+ col("d_cnt").as("r_cnt")) ++
-        measures.map(m => col(s"d_sum_$m").as(s"r_sum_$m")): _*)
-
-    val joined = state
-      .join(posts, groupCols, "full_outer")
-      .join(pres, groupCols, "full_outer")
-    def z(c: String) = coalesce(col(c), lit(0L))
-    def zd(c: String) = coalesce(col(c), lit(0.0))
-    val newCnt = (z("cnt") + z("d_cnt") - z("r_cnt")).as("cnt")
-    // groups that lost a row: min/max (and to keep one code path,
-    // cnt/sum too) recompute from the snapshot, restricted by semi-join
-    val affected = joined.where(z("r_cnt") > 0)
-      .select(groupCols.map(col): _*)
+    // union-merge instead of joins: groupBy treats NULL group values as
+    // an ordinary group, so NULL keys merge correctly (a join-based
+    // merge would never match them); `retr` marks groups that lost a
+    // row — their min/max (not invertible) recompute below, so their
+    // sum/min/max contributions here are irrelevant
+    val stateRows = state
+      .withColumn("retr", lit(0))
+    val postRows = changes.where(!col("_deleted"))
+      .select(fields.map(col): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"),
+        measures.flatMap(m => Seq(
+          sum(col(m).cast(DoubleType)).as(s"sum_$m"),
+          min(col(m).cast(DoubleType)).as(s"min_$m"),
+          max(col(m).cast(DoubleType)).as(s"max_$m"))): _*)
+      .withColumn("retr", lit(0))
+    val preRows = changes.where(hasPrev)
+      .select(fields.map(f => col(s"_prev.$f").as(f)): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg((-count(lit(1))).as("cnt"),
+        measures.flatMap(m => Seq(
+          lit(0.0).as(s"sum_$m"),
+          lit(null).cast(DoubleType).as(s"min_$m"),
+          lit(null).cast(DoubleType).as(s"max_$m"))): _*)
+      .withColumn("retr", lit(1))
+    val merged = stateRows.unionByName(postRows).unionByName(preRows)
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        measures.flatMap(m => Seq(
+          sum(col(s"sum_$m")).as(s"sum_$m"),
+          min(col(s"min_$m")).as(s"min_$m"),
+          max(col(s"max_$m")).as(s"max_$m"))) :+
+          max(col("retr")).as("retr"): _*)
+    val affected = merged.where(col("retr") > 0)
+      .select(groupCols.map(c => col(c).as(s"__a_$c")): _*)
+    val affCond = groupCols.map(c => col(c) <=> col(s"__a_$c"))
+      .reduce(_ && _) // null-safe: NULL groups recompute too
     val recomputed = aggregate(
-      cat.snapshot(table).join(affected, groupCols, "left_semi"),
+      cat.snapshot(table).join(affected, affCond, "left_semi"),
       groupCols, measures)
-    val insertOnly = joined.where(z("r_cnt") === 0)
-      .select((groupCols.map(col) :+ newCnt) ++ measures.flatMap(m => Seq(
-        (zd(s"sum_$m") + zd(s"d_sum_$m")).as(s"sum_$m"),
-        least(col(s"min_$m"), col(s"d_min_$m")).as(s"min_$m"),
-        greatest(col(s"max_$m"), col(s"d_max_$m")).as(s"max_$m"))): _*)
-      .where(col("cnt") > 0)
-    insertOnly.unionByName(recomputed)
+    merged.where(col("retr") === 0 && col("cnt") > 0).drop("retr")
+      .unionByName(recomputed)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/state_v$newV")
     import spark.implicits._
     Seq((newV, groupCols, measures)).toDF("last_version", "group_cols",

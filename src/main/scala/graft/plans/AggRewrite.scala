@@ -114,47 +114,65 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // predicate filters individual fact rows, which the state can't see
     if (!residual.forall(_.references.map(_.name).toSet
         .subsetOf(view.groupCols.toSet))) return None
+    // answerability PRE-CHECK before any state I/O: pattern-only, no
+    // attributes needed — a bailing query (avg, count(col), DISTINCT)
+    // must not pay a parquet schema read per planning pass
+    def answerableFn(
+        fn: org.apache.spark.sql.catalyst.expressions.aggregate
+          .AggregateFunction): Boolean = fn match {
+      // count(*) / count(1); a NULL literal means count-of-nothing
+      // (always 0), which the state can't distinguish from count(*)
+      case Count(Seq(Literal(v, _))) => v != null
+      case Sum(ar: AttributeReference, _) => view.measures.contains(ar.name)
+      case Min(ar: AttributeReference) => view.measures.contains(ar.name)
+      case Max(ar: AttributeReference) => view.measures.contains(ar.name)
+      case _ => false
+    }
+    val answerable = outputs.forall {
+      case a: AttributeReference => groupNames.contains(a.name)
+      case Alias(ae: AggregateExpression, _) =>
+        !ae.isDistinct && ae.filter.isEmpty &&
+          answerableFn(ae.aggregateFunction)
+      case _ => false
+    }
+    if (!answerable) return None
     val state = spark.read.parquet(view.statePath)
       .queryExecution.analyzed
     val stateAttr: Map[String, Attribute] =
       state.output.map(a => a.name -> a).toMap
+    // a stale/mismatched registration (state missing expected columns)
+    // must refuse the rewrite, never crash planning
+    val needed = view.groupCols ++ Seq("cnt") ++
+      view.measures.flatMap(m => Seq(s"sum_$m", s"min_$m", s"max_$m"))
+    if (!needed.forall(stateAttr.contains)) return None
 
     def merged(fnCol: Attribute,
         mk: Expression => org.apache.spark.sql.catalyst.expressions
           .aggregate.AggregateFunction): Expression =
       AggregateExpression(mk(fnCol), Complete, isDistinct = false)
 
-    // map each output onto the state; bail out (None) on anything the
-    // state cannot answer exactly
     val newOutputs: Seq[NamedExpression] = outputs.map {
       case a: AttributeReference if groupNames.contains(a.name) =>
         Alias(stateAttr(a.name), a.name)(exprId = a.exprId)
-      case al @ Alias(ae: AggregateExpression, name)
-          if !ae.isDistinct && ae.filter.isEmpty =>
-        val rewritten: Option[Expression] = ae.aggregateFunction match {
-          case Count(Seq(Literal(_, _))) =>
-            Some(merged(stateAttr("cnt"), Sum(_)))
-          case Sum(ar: AttributeReference, _)
-              if view.measures.contains(ar.name) =>
-            Some(Cast(merged(stateAttr(s"sum_${ar.name}"), Sum(_)),
-              ae.dataType))
-          case Min(ar: AttributeReference)
-              if view.measures.contains(ar.name) =>
-            Some(Cast(merged(stateAttr(s"min_${ar.name}"), Min(_)),
-              ae.dataType))
-          case Max(ar: AttributeReference)
-              if view.measures.contains(ar.name) =>
-            Some(Cast(merged(stateAttr(s"max_${ar.name}"), Max(_)),
-              ae.dataType))
-          case _ => None
+      case al @ Alias(ae: AggregateExpression, name) =>
+        val e: Expression = ae.aggregateFunction match {
+          case Count(_) =>
+            // COUNT over zero state rows must stay 0, not SUM's NULL
+            org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
+              merged(stateAttr("cnt"), Sum(_)), Literal(0L)))
+          case Sum(ar: AttributeReference, _) =>
+            Cast(merged(stateAttr(s"sum_${ar.name}"), Sum(_)), ae.dataType)
+          case Min(ar: AttributeReference) =>
+            Cast(merged(stateAttr(s"min_${ar.name}"), Min(_)), ae.dataType)
+          case Max(ar: AttributeReference) =>
+            Cast(merged(stateAttr(s"max_${ar.name}"), Max(_)), ae.dataType)
+          case other => throw new IllegalStateException(
+            s"unreachable: pre-checked aggregate $other")
         }
-        rewritten match {
-          case Some(e) => Alias(e, name)(exprId = al.exprId,
-            qualifier = al.qualifier,
-            explicitMetadata = al.explicitMetadata)
-          case None => return None
-        }
-      case _ => return None
+        Alias(e, name)(exprId = al.exprId, qualifier = al.qualifier,
+          explicitMetadata = al.explicitMetadata)
+      case other => throw new IllegalStateException(
+        s"unreachable: pre-checked output $other")
     }
     // equality of grain: a per-group Aggregate over one-row-per-group
     // state is still cheapest expressed as an Aggregate (sums of one

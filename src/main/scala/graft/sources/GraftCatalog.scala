@@ -67,7 +67,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     props.collectFirst {
       case (k, v) if k.equalsIgnoreCase("TTL") => v
     }.foreach { v =>
-      require(v.matches("\\d+") && v.toLong > 0 ||
+      // Try absorbs the toLong overflow of an absurd digit string — the
+      // designed IllegalArgumentException must fire, not a raw
+      // NumberFormatException from inside the check
+      require(scala.util.Try(v.toLong).toOption.exists(_ > 0) ||
         v.equalsIgnoreCase("FOREVER") || v.equalsIgnoreCase("NONE"),
         s"invalid TTL '$v': expected a positive second count, " +
           "FOREVER, or NONE")
@@ -286,9 +289,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * FOREVER/NONE mean no expiry, as in the reference). */
   private def ttlSeconds(name: String): Option[Long] =
     spec(name).props.collectFirst {
-      case (k, v) if k.equalsIgnoreCase("TTL") && v.matches("\\d+") =>
-        v.toLong
-    }.filter(_ > 0)
+      case (k, v) if k.equalsIgnoreCase("TTL") => v
+    }.flatMap(v => scala.util.Try(v.toLong).toOption).filter(_ > 0)
 
   /** Physical (generation-suffixed) counterpart of [[logSchema]]. */
   private def physSchema(name: String): StructType =

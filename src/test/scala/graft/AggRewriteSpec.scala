@@ -81,6 +81,33 @@ class AggRewriteSpec extends AnyFunSuite {
         .agg(count($"x").as("n"))
       assert(cntCol.queryExecution.executedPlan.toString
         .contains(new java.io.File(base).getName))
+      // a group filter that eliminates every state row: count stays 0
+      // (a bare Sum(cnt) over zero rows would return NULL)
+      val zero = spark.read.parquet(base).where($"g" === "zzz")
+        .agg(count(lit(1)).as("n"))
+      assert(zero.queryExecution.executedPlan.toString
+        .contains(new java.io.File(statePath).getName))
+      assert(zero.collect().head.getLong(0) == 0L)
+      // count(NULL literal) is always 0 — must refuse, not count rows
+      val cn = spark.read.parquet(base).groupBy($"g")
+        .agg(count(lit(null)).as("n"))
+      assert(cn.queryExecution.executedPlan.toString
+        .contains(new java.io.File(base).getName))
+      // a stale/mismatched registration (state lacking the expected
+      // columns) refuses the rewrite instead of crashing planning
+      val base2 = java.nio.file.Files
+        .createTempDirectory("graft_aggrw_base2").toString
+      Seq((1L, "a", 10L)).toDF("k", "g", "x")
+        .write.mode("overwrite").parquet(base2)
+      GraftAggViews.register(base2,
+        GraftAggViews.AggViewDef(base2, Seq("g"), Seq("x"))) // not a state!
+      try {
+        val q2 = spark.read.parquet(base2).groupBy($"g")
+          .agg(sum($"x").as("sx"))
+        assert(q2.queryExecution.executedPlan.toString
+          .contains(new java.io.File(base2).getName))
+        assert(q2.collect().head.getLong(1) == 10L)
+      } finally GraftAggViews.drop(base2)
       // disable conf restores the fact scan
       spark.conf.set(GraftAggViews.DisabledConf, "true")
       try assert(q("g", "s").queryExecution.executedPlan.toString

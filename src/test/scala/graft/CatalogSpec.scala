@@ -706,6 +706,22 @@ class CatalogSpec extends AnyFunSuite {
     // idle refresh: same high-water mark, state untouched
     val v3 = Materialize.refresh(cat, "m", path)
     assert(v3 == Materialize.refresh(cat, "m", path))
+    // NULL group key: merges as an ordinary group (joins would miss it)
+    cat.upsert("m", Seq((10L, null.asInstanceOf[String], 5L),
+      (11L, null.asInstanceOf[String], 6L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat, "m", path)
+    assert(actual == expected, s"NULL-group insert diverged: $actual")
+    // retraction INSIDE the NULL group (re-upsert changes the value)
+    cat.upsert("m", Seq((10L, null.asInstanceOf[String], 8L))
+      .toDF("k", "g", "x"))
+    Materialize.refresh(cat, "m", path)
+    assert(actual == expected, s"NULL-group retraction diverged: $actual")
+    // compaction discards the history the state summarizes — refresh
+    // must detect it and fall back to a full rebuild, not double-count
+    cat.compact("m")
+    cat.upsert("m", Seq((12L, "d", 3L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat, "m", path)
+    assert(actual == expected, s"post-compaction refresh diverged: $actual")
   }
 
   test("streaming ingest keeps the materialized aggregate current " +
