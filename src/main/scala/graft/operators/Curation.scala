@@ -151,15 +151,24 @@ object Curation {
     * @return (kept rows only, observation handle)
     */
   def observedGate(df: DataFrame, keepCol: String, tokCol: String)
-      : (DataFrame, org.apache.spark.sql.Observation) = {
-    val obs = new org.apache.spark.sql.Observation("curation_gate")
-    val observed = df.observe(obs,
+      : (DataFrame, Option[org.apache.spark.sql.Observation]) = {
+    val metrics = Seq(
       count(lit(1)).as("rows_in"),
       count(when(col(keepCol), 1)).as("rows_kept"),
       coalesce(sum(col(tokCol).cast(LongType)), lit(0L)).as("tokens_in"),
       coalesce(sum(when(col(keepCol), col(tokCol).cast(LongType))),
         lit(0L)).as("tokens_kept"))
-    (observed.where(col(keepCol)), obs)
+    // an Observation handle rejects streaming Datasets (its listener
+    // model is batch-only) — streams use the name-based node and report
+    // per micro-batch via QueryProgress.observedMetrics("curation_gate")
+    if (df.isStreaming)
+      (df.observe("curation_gate", metrics.head, metrics.tail: _*)
+        .where(col(keepCol)), None)
+    else {
+      val obs = new org.apache.spark.sql.Observation("curation_gate")
+      (df.observe(obs, metrics.head, metrics.tail: _*)
+        .where(col(keepCol)), Some(obs))
+    }
   }
 
   /** Dedup-aware (leakage-safe) train/test split: near-duplicate

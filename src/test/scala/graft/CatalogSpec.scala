@@ -893,6 +893,33 @@ class CatalogSpec extends AnyFunSuite {
     assert(out.size == 4, s"2 seed + d10 + one dup survivor: $out")
   }
 
+  test("observed gate surfaces per-batch metrics in streaming progress") {
+    import spark.implicits._
+    val incoming = Seq((1L, true, 100L), (2L, false, 30L), (3L, true, 70L))
+      .toDF("id", "keep", "toks")
+    val dir = java.nio.file.Files.createTempDirectory("graft_obs_stream")
+    incoming.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream.schema(incoming.schema)
+      .parquet(dir.toString)
+    // same CollectMetrics node as batch — in streaming it reports per
+    // micro-batch through QueryProgress.observedMetrics
+    val (kept, _) = graft.operators.Curation
+      .observedGate(stream, "keep", "toks")
+    val q = kept.writeStream.format("memory").queryName("obs_gate_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM obs_gate_out").count() == 2)
+      val m = q.recentProgress.flatMap(p =>
+          Option(p.observedMetrics.get("curation_gate")))
+        .lastOption.getOrElse(fail("no observed metrics in progress"))
+      assert(m.getAs[Long]("rows_in") == 3L)
+      assert(m.getAs[Long]("rows_kept") == 2L)
+      assert(m.getAs[Long]("tokens_in") == 200L)
+      assert(m.getAs[Long]("tokens_kept") == 170L)
+    } finally q.stop()
+  }
+
   test("streaming curation pass is bit-identical to the batch form") {
     val docDir = java.nio.file.Files.createTempDirectory("graft_docs_cur")
     java.nio.file.Files.copy(

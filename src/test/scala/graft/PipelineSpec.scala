@@ -2066,10 +2066,10 @@ class PipelineSpec extends AnyFunSuite {
     import spark.implicits._
     val docs = Seq((1L, true, 100L), (2L, false, 30L), (3L, true, 70L),
       (4L, false, 50L), (5L, true, 20L)).toDF("id", "keep", "toks")
-    val (kept, obs) = Curation.observedGate(docs, "keep", "toks")
+    val (kept, obsOpt) = Curation.observedGate(docs, "keep", "toks")
     val ids = kept.collect().map(_.getLong(0)).sorted.toSeq
     assert(ids == Seq(1L, 3L, 5L))
-    val m = obs.get
+    val m = obsOpt.getOrElse(fail("batch gate must return a handle")).get
     assert(m("rows_in") == 5L && m("rows_kept") == 3L)
     assert(m("tokens_in") == 270L && m("tokens_kept") == 190L)
   }
