@@ -352,6 +352,28 @@ object Relational {
           round(sum(rev), 2).cast(DoubleType)).as("promo_revenue"))
     },
 
+    // TPC-H Q19 shape (discounted revenue): disjunctive OR-of-ANDs
+    // predicate straddling BOTH join sides — the planner must keep the
+    // per-side conjuncts pushable (p_partkey join + residual OR) rather
+    // than falling back to a nested loop. l_quantity is double in this
+    // fixture; the BETWEEN bounds are integers, exact in both engines.
+    "q_tpch_q19" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .join(broadcast(Tables.t(s, dir, "part")),
+          $"l_partkey" === $"p_partkey")
+        .where(
+          ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) &&
+            $"l_quantity".between(1, 11)) ||
+          ($"p_brand" === "Brand#2" && $"p_size".between(1, 25) &&
+            $"l_quantity".between(10, 20)) ||
+          ($"p_brand" === "Brand#3" && $"p_size".between(1, 35) &&
+            $"l_quantity".between(20, 30)))
+        .agg(outd(sum(dec($"l_extendedprice") *
+          (fac(lit(1)) - fac($"l_discount")))).as("revenue"),
+          count(lit(1)).as("n_lines"))
+    },
+
     // TPC-H Q17 shape (small-quantity-order revenue): the correlated
     // per-part average decorrelates into one grouped aggregate joined
     // back onto the fact. The threshold l_quantity < 0.2*avg(qty) is
@@ -674,6 +696,17 @@ object Relational {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1997-09-01'
         AND l_shipdate < TIMESTAMP '1997-10-01'""",
+
+    "q_tpch_q19" -> """
+      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+        count(*) AS n_lines
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+         OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+         OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)""",
 
     "q_tpch_q17" -> """
       SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) / 7.0 AS avg_yearly
