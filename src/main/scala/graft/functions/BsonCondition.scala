@@ -282,7 +282,10 @@ object BsonConditionEval {
     while (i < n) {
       key.charAt(i) match {
         case '.' =>
-          if (!descendField()) return null
+          // after ']' the buffer is empty and the position is already
+          // AT the element — a bare '.' only separates ("a[1].b"); an
+          // unguarded descend would do cur.get("") and null the walk
+          if (sb.length > 0 && !descendField()) return null
           i += 1
         case '[' =>
           if (sb.length > 0 && !descendField()) return null

@@ -104,7 +104,7 @@ object TextCleanKernel {
     * Aho-Corasick blocklist operator — pass the clean text on. */
   def c4Stats(s: UTF8String): InternalRow = {
     val str = s.toString
-    val lower = str.toLowerCase
+    val lower = str.toLowerCase(java.util.Locale.ROOT)
     val hasLorem = lower.contains(Lorem)
     val hasBrace = str.indexOf('{') >= 0 || str.indexOf('}') >= 0
     val sb = new java.lang.StringBuilder(str.length)
@@ -126,7 +126,7 @@ object TextCleanKernel {
         // line.toLowerCase, not a slice of `lower`: one-to-many case
         // mappings (e.g. İ → i + U+0307) shift indices between the two
         if (endsTerminal(line) && wordCount(line) >= 3 &&
-          !line.toLowerCase.contains("javascript")) {
+          !line.toLowerCase(java.util.Locale.ROOT).contains("javascript")) {
           nKept += 1
           if (sb.length() > 0) sb.append('\n')
           sb.append(line)

@@ -51,7 +51,7 @@ object UrlCanonicalKernel {
     val hash = full.indexOf('#')
     val s = if (hash < 0) full else full.substring(0, hash)
     if (s.length < sep + 3) return UTF8String.fromString(s)
-    val scheme = s.substring(0, sep).toLowerCase
+    val scheme = s.substring(0, sep).toLowerCase(java.util.Locale.ROOT)
     val rest = s.substring(sep + 3)
     var hostEnd = rest.length
     var i = 0
@@ -60,7 +60,7 @@ object UrlCanonicalKernel {
       if (c == '/' || c == '?') { hostEnd = i }
       i += 1
     }
-    val hostPort = rest.substring(0, hostEnd).toLowerCase
+    val hostPort = rest.substring(0, hostEnd).toLowerCase(java.util.Locale.ROOT)
     val colon = hostPort.lastIndexOf(':')
     val (host, port) =
       if (colon < 0) (hostPort, "")

@@ -960,15 +960,21 @@ object Dedup {
     * @return (doc_id, status ∈ added|removed|changed|unchanged) */
   def corpusDiff(oldV: DataFrame, newV: DataFrame, textCol: String,
       idCol: String): DataFrame = {
+    // explicit presence markers: a NULL-text doc has a NULL digest, so
+    // keying presence on digest nullness would misread it as absent
+    // ("added"/"removed" for a doc present on both sides); the
+    // null-safe <=> compare then classifies NULL-vs-NULL as unchanged
     val o = oldV.select(col(idCol).as("doc_id"),
-      graft.functions.GraftFunctions.md5Hex(col(textCol)).as("old_fp"))
+      graft.functions.GraftFunctions.md5Hex(col(textCol)).as("old_fp"),
+      lit(true).as("in_old"))
     val n = newV.select(col(idCol).as("doc_id"),
-      graft.functions.GraftFunctions.md5Hex(col(textCol)).as("new_fp"))
+      graft.functions.GraftFunctions.md5Hex(col(textCol)).as("new_fp"),
+      lit(true).as("in_new"))
     o.join(n, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("old_fp").isNull, lit("added"))
-          .when(col("new_fp").isNull, lit("removed"))
-          .when(col("old_fp") =!= col("new_fp"), lit("changed"))
+        when(col("in_old").isNull, lit("added"))
+          .when(col("in_new").isNull, lit("removed"))
+          .when(!(col("old_fp") <=> col("new_fp")), lit("changed"))
           .otherwise(lit("unchanged")).as("status"))
   }
 

@@ -25,11 +25,11 @@ import org.apache.spark.sql.types._
   */
 object FuzzyJoin {
 
-  /** Positional character q-grams of an ALREADY-PROJECTED string column
-    * (pass a materialized column): (gram, pos) pairs, 1-based. */
+  /** Character q-grams of an ALREADY-PROJECTED string column (pass a
+    * materialized column), in order, duplicates kept. */
   private def qgrams(s: Column, q: Int): Column =
     transform(sequence(lit(1), length(s) - (q - 1)),
-      i => struct(s.substr(i, lit(q)).as("g"), i.as("p")))
+      i => s.substr(i, lit(q)))
 
   /** All pairs (id_a < id_b) with levenshtein(s_a, s_b) ≤ maxDist.
     *
@@ -65,8 +65,7 @@ object FuzzyJoin {
             "strings upstream (got '"), col("s"), lit("')"))),
         lit(true)))
     val grams = base
-      .select(col("id"), col("s"), explode(qgrams(col("s"), q)).as("gp"))
-      .select(col("id"), col("s"), col("gp.g").as("g"))
+      .select(col("id"), col("s"), explode(qgrams(col("s"), q)).as("g"))
     // global gram frequencies make "rarest" well-defined and stable
     val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("f"))
     // per string: the prefixLen rarest grams (freq, then gram, then a

@@ -180,11 +180,15 @@ object Layout {
     * consumed/replicated independently. */
   def writeShardedByTokens(df: DataFrame, idCol: String, tokCol: String,
       path: String, tokensPerShard: Long, partitions: Int = 32): Unit = {
+    // the helper join column gets a reserved name: a plain "doc" would
+    // collide with a caller whose idCol IS "doc", and drop("doc") then
+    // removes BOTH columns — shipping shards with no id at all
     val bins = Curation
       .packSequences(df, idCol, tokCol, tokensPerShard, partitions)
-      .select(col("doc"), col("bin").cast("int").as("shard"))
-    df.join(bins, df(idCol) === bins("doc"))
-      .drop("doc")
+      .select(col("doc").as("__shard_doc"),
+        col("bin").cast("int").as("shard"))
+    df.join(bins, df(idCol) === bins("__shard_doc"))
+      .drop("__shard_doc")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(path)
   }

@@ -114,7 +114,8 @@ object Similarity {
     val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
     val maxSim = Array.fill(n)(0.0) // max cos vs selected so far
     val taken = new Array[Boolean](n)
-    while (selected.length < math.min(k, n)) {
+    var exhausted = false
+    while (!exhausted && selected.length < math.min(k, n)) {
       var best = -1
       var bestScore = Double.NegativeInfinity
       var i = 0
@@ -130,6 +131,11 @@ object Similarity {
         }
         i += 1
       }
+      // every remaining candidate scored NaN (NaN relevance or NaN
+      // vector components propagate through the comparisons as false):
+      // stop with what's selected instead of indexing taken(-1)
+      if (best < 0) exhausted = true
+      else {
       taken(best) = true
       selected += best
       var j = 0
@@ -139,6 +145,7 @@ object Similarity {
           if (c > maxSim(j)) maxSim(j) = c
         }
         j += 1
+      }
       }
     }
     selected.zipWithIndex

@@ -276,26 +276,6 @@ object Temporal {
       .drop("__cell")
   }
 
-  /** Cohort retention: users grouped by their first-activity period
-    * (calendar week by default), retention = distinct users still
-    * active at each period offset — the standard product-analytics
-    * rollup over an event log.
-    *
-    * Shape for scale: ONE entity-keyed shuffle. The per-user aggregate
-    * collects the user's distinct active periods as a SET whose size is
-    * bounded by the analysis window (weeks in range — a few dozen at
-    * most), NOT by the user's event count: partial aggregation dedups
-    * map-side, so a billion-event user still ships one small set.
-    * Cohort (= min) and offsets derive from the set without a second
-    * user-keyed pass, and the final (cohort, offset) aggregate is
-    * periods² rows — trivially small. The naive two-pass form (min-ts
-    * per user, join back over the raw log, then distinct) shuffles the
-    * full event log twice.
-    *
-    * Returns (cohort, week_offset, n_users, retention) with retention
-    * relative to the cohort's offset-0 size via a broadcast self-join
-    * on the tiny aggregate.
-    */
   /** Regular-grid resample with forward fill (time-series gap fill):
     * for each key, one row per `stepSeconds` tick from the key's first
     * observation tick to its last, carrying the LATEST observation at
@@ -403,6 +383,26 @@ object Temporal {
       s"cohortRetention unit must be week/day/month, got $u")
   }
 
+  /** Cohort retention: users grouped by their first-activity period
+    * (calendar week by default), retention = distinct users still
+    * active at each period offset — the standard product-analytics
+    * rollup over an event log.
+    *
+    * Shape for scale: ONE entity-keyed shuffle. The per-user aggregate
+    * collects the user's distinct active periods as a SET whose size is
+    * bounded by the analysis window (weeks in range — a few dozen at
+    * most), NOT by the user's event count: partial aggregation dedups
+    * map-side, so a billion-event user still ships one small set.
+    * Cohort (= min) and offsets derive from the set without a second
+    * user-keyed pass, and the final (cohort, offset) aggregate is
+    * periods² rows — trivially small. The naive two-pass form (min-ts
+    * per user, join back over the raw log, then distinct) shuffles the
+    * full event log twice.
+    *
+    * Returns (cohort, week_offset, n_users, retention) with retention
+    * relative to the cohort's offset-0 size via a broadcast self-join
+    * on the tiny aggregate.
+    */
   def cohortRetention(events: DataFrame, userCol: String, tsCol: String,
       unit: String = "week"): DataFrame = {
     val perUser = events

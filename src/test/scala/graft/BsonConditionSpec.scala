@@ -45,6 +45,12 @@ class BsonConditionSpec extends AnyFunSuite {
     }
     assert(c("field_exists(Id)", "{}"))
     assert(c("attribute_exists(NestedMap1.ISBN)", "{}"))
+    // dot AFTER an array index: the '.' must not descend on an empty
+    // buffer (regression: cur.get("") nulled the walk, so every
+    // 'arr[n].field' path silently read as missing)
+    assert(c("field_exists(NestedList1[2][1].InPublication)", "{}"))
+    assert(c("NestedList1[2][1].InPublication = :f", """{":f": false}"""))
+    assert(!c("field_exists(NestedList1[2][1].Missing)", "{}"))
     assert(!c("field_exists(Missing)", "{}"))
     assert(c("field_not_exists(Missing)", "{}"))
     assert(c("Id = :id", """{":id": 101}"""))
