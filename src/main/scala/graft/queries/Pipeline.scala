@@ -496,6 +496,39 @@ object Pipeline {
         .orderBy(col("split"), col("lang"))
     },
 
+    // Incremental materialized-aggregate maintenance END TO END, under
+    // the hard oracle: build the MV over a 300-doc corpus, then ingest
+    // inserts (300-379), updates (docs < 40 re-upserted with +7 chars —
+    // retractions for the MV), and a whole-source delete, refresh ONCE,
+    // and read the state. The oracle recomputes the same aggregate over
+    // the final logical table — equality proves the algebraic fold and
+    // the retraction-group recompute both land exactly.
+    "q_ivm_refresh" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_ivm_q").toString
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      cat.createTable("d", StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("n_chars", LongType))), pk = Seq("doc_id"))
+      val docs = Tables.t(s, dir, "documents")
+        .select($"doc_id", $"source", $"n_chars")
+      cat.upsert("d", docs.where($"doc_id" < 300))
+      val mv = wh + "/mv"
+      graft.operators.Materialize.build(cat, "d",
+        Seq("source"), Seq("n_chars"), mv)
+      cat.upsert("d", docs.where($"doc_id" >= 300 && $"doc_id" < 380))
+      cat.upsert("d", docs.where($"doc_id" < 40)
+        .withColumn("n_chars", $"n_chars" + 7))
+      cat.delete("d", $"source" === "src1")
+      graft.operators.Materialize.refresh(cat, "d", mv)
+      graft.operators.Materialize.read(s, mv)
+        .select($"source", $"cnt", $"sum_n_chars",
+          $"min_n_chars", $"max_n_chars")
+        .orderBy($"source")
+    },
+
     // Whole-doc BFD bin packing (no-split SFT layout). Rows-only driver
     // check — the per-partition best-fit loop is not SQL-expressible;
     // capacity, padding-vs-naive, and determinism are pinned in
@@ -1643,6 +1676,19 @@ object Pipeline {
         FROM documents)
       SELECT split, lang, count(*) AS n FROM t
       GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_ivm_refresh" -> """
+      WITH final AS (
+        SELECT doc_id, source,
+          CASE WHEN doc_id < 40 THEN n_chars + 7 ELSE n_chars END
+            AS n_chars
+        FROM documents WHERE doc_id < 380)
+      SELECT source, count(*) AS cnt,
+        CAST(sum(n_chars) AS DOUBLE) AS sum_n_chars,
+        CAST(min(n_chars) AS DOUBLE) AS min_n_chars,
+        CAST(max(n_chars) AS DOUBLE) AS max_n_chars
+      FROM final WHERE source <> 'src1'
+      GROUP BY source ORDER BY source""",
 
     "q_split_leakage_safe" -> raw"""
       WITH f AS (SELECT doc_id,
