@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,10 +9,11 @@ import graft.sources.GraftCatalog
 /** Incremental materialized-aggregate maintenance (IVM) over the
   * catalog's change log.
   *
-  * A grouped aggregate (cnt / sum / min / max per measure, avg derived)
-  * is persisted once, then kept current by folding in only the writes
-  * SINCE the last refresh — the standard incremental-view-maintenance
-  * split (Griffin & Libkin, SIGMOD 1995):
+  * A grouped aggregate (cnt / per-measure non-null cnt / sum / min /
+  * max, avg derived as sum over cnt) is persisted once, then kept
+  * current by folding in only the writes SINCE the last refresh — the
+  * standard incremental-view-maintenance split (Griffin & Libkin,
+  * SIGMOD 1995):
   *
   *  - COUNT and SUM are self-invertible: insertions add, retractions
   *    (the PRE image of an update, or a delete) subtract — delta-sized
@@ -22,6 +23,16 @@ import graft.sources.GraftCatalog
   *    semi-join on the retraction-affected group keys). Insert-only
   *    groups merge with least/greatest directly. An append-only corpus
   *    (the common training-data shape) never pays the recompute.
+  *
+  * State typing is EXACT per measure — the whole point of serving a
+  * 100 TB sum from the state is that the fact-table answer and the
+  * state answer are the same integer: integral measures keep Spark's
+  * own sum widening (LongType), decimals widen to
+  * DecimalType(p+10 bounded, s) exactly as a direct `sum()` would, and
+  * only genuinely floating measures accumulate as DOUBLE. min/max stay
+  * in the measure's native type. (A DOUBLE-typed state silently loses
+  * integer exactness past 2^53 — precisely the regime a fact-table MV
+  * exists for.)
   *
   * State lives under `path`/state_v<version> with a tiny meta pointer —
   * refresh writes the NEXT version's directory and flips the pointer,
@@ -37,7 +48,9 @@ import graft.sources.GraftCatalog
 object Materialize {
 
   /** Full build: aggregate the current snapshot, persist it, record the
-    * change-log high-water mark the state covers. */
+    * change-log high-water mark the state covers and the wall-clock
+    * refresh point (the TTL expiry low-water mark for the next
+    * incremental refresh). */
   def build(cat: GraftCatalog, table: String, groupCols: Seq[String],
       measures: Seq[String], path: String): Long = {
     val spark = cat.changeLog(table).sparkSession
@@ -45,16 +58,26 @@ object Materialize {
     val v = highWater(cat, table)
     aggregate(cat.snapshot(table), groupCols, measures)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/state_v$v")
-    Seq((v, groupCols, measures)).toDF("last_version", "group_cols",
-        "measures")
+    Seq((v, groupCols, measures, cat.clock(), s"state_v$v"))
+      .toDF("last_version", "group_cols", "measures", "refresh_ts",
+        "state_dir")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     v
   }
 
+  /** The current state directory per the meta pointer. An expiry-only
+    * refresh rotates the state WITHOUT a new version number (expiry
+    * doesn't write the log), so the directory name — not the version —
+    * is the pointer. */
+  private[graft] def stateDir(meta: org.apache.spark.sql.Row): String =
+    if (meta.schema.fieldNames.contains("state_dir"))
+      meta.getAs[String]("state_dir")
+    else s"state_v${meta.getLong(0)}"
+
   /** The maintained aggregate as a DataFrame (current persisted state). */
   def read(spark: SparkSession, path: String): DataFrame = {
     val m = spark.read.parquet(s"$path/meta").head()
-    spark.read.parquet(s"$path/state_v${m.getLong(0)}")
+    spark.read.parquet(s"$path/${stateDir(m)}")
   }
 
   /** Fold writes since the last refresh into the persisted state.
@@ -64,12 +87,23 @@ object Materialize {
     * Incremental folding requires the change log to still CONTAIN the
     * history the state summarizes: after [[GraftCatalog.compact]]
     * (history discarded, rows rewritten under one new version) the
-    * delta-since-lastV would re-count every surviving row, and on a
-    * TTL table rows expire out of the log between refreshes so
-    * pre-images (retractions) silently vanish. Both cases are detected
-    * — log min version past the high-water mark, or a finite TTL — and
-    * fall back to a full rebuild at the new mark, which is always
-    * correct. */
+    * delta-since-lastV would re-count every surviving row — detected
+    * via the RAW log's minimum version and handled with a full rebuild
+    * at the new mark, which is always correct.
+    *
+    * A finite TTL does NOT force a rebuild: rows whose `_ts` crossed
+    * the TTL boundary since the last refresh (alive then, expired now)
+    * are treated as retractions — their groups recompute from the
+    * snapshot exactly like update/delete retractions. The expiry scan
+    * carries a `_ts` range predicate (last cutoff ≤ _ts < new cutoff)
+    * that reaches the parquet scan, and batches share one `_ts` value
+    * per file, so file-level min/max stats prune the probe to the
+    * files written in that window — append-mostly TTL tables refresh
+    * delta-sized. The expiry cutoff is sampled once per refresh from
+    * the catalog clock; rows landing within the few ms between that
+    * sample and the affected-group snapshot read land on whichever
+    * side the snapshot's own cutoff picks — any refresh-based MV has
+    * this boundary, it just has to pick one. */
   def refresh(cat: GraftCatalog, table: String, path: String): Long = {
     val spark = cat.changeLog(table).sparkSession
     val meta = spark.read.parquet(s"$path/meta").head()
@@ -77,15 +111,41 @@ object Materialize {
     val groupCols = meta.getSeq[String](1)
     val measures = meta.getSeq[String](2)
     val newV = highWater(cat, table)
-    if (newV == lastV) return lastV
-    val ttlActive = cat.spec(table).props.exists { case (k, v) =>
-      k.equalsIgnoreCase("TTL") && v.matches("\\d+") }
-    val minV = cat.changeLog(table)
+    val ttl = cat.ttlSeconds(table)
+    // expiry writes nothing to the log, so under a TTL an unchanged
+    // high-water mark does NOT mean an unchanged table — time alone
+    // retracts rows, and an early return here would serve them forever
+    if (newV == lastV && ttl.isEmpty) return lastV
+    val rawLog = cat.changeLogRaw(table)
+    // compaction check runs on the RAW log: under a TTL the filtered
+    // log's minimum rises as rows expire, which is not a compaction
+    val minV = rawLog
       .agg(coalesce(min(col("_version")), lit(Long.MaxValue)))
       .head.getLong(0)
-    if (ttlActive || minV > lastV)
+    val hasRefreshTs = meta.schema.fieldNames.contains("refresh_ts")
+    if (minV > lastV || !hasRefreshTs)
       return build(cat, table, groupCols, measures, path)
-    val state = spark.read.parquet(s"$path/state_v$lastV")
+    val lastRefreshMs = meta.getAs[Long]("refresh_ts")
+    val nowMs = cat.clock()
+    // alive-at-now cutoff for post images; None ⇒ no expiry
+    val nowCut = ttl.map(t => new java.sql.Timestamp(nowMs - t * 1000L))
+    val lastCut = ttl.map(t =>
+      new java.sql.Timestamp(lastRefreshMs - t * 1000L))
+    if (newV == lastV) {
+      // expiry-only interval: refresh iff something actually crossed
+      // the boundary — the probe is the same _ts-pruned scan the
+      // retraction slice uses, so an idle table costs a footer read
+      val crossed = rawLog.where(col("_version") <= lastV &&
+          !col("_deleted") && col("_ts").isNotNull &&
+          col("_ts") >= lit(lastCut.get) && col("_ts") < lit(nowCut.get))
+        .limit(1).count()
+      if (crossed == 0) return lastV
+    }
+    val aliveNow: Column = nowCut
+      .map(c => col("_ts").isNull || col("_ts") >= lit(c))
+      .getOrElse(lit(true))
+    val state = spark.read.parquet(s"$path/${stateDir(meta)}")
+    val stT: String => DataType = c => state.schema(c).dataType
 
     val s = cat.spec(table)
     val fields = s.schema.fieldNames.toSeq
@@ -95,10 +155,18 @@ object Materialize {
     val rowS = struct(fields.map(col) :+ col("_deleted").as("__del"): _*)
     // pre/post TYPED images, same lag-over-PK shape as cdcImages — the
     // lag must see pre-window history, so the version filter comes after
-    val changes = cat.changeLog(table)
+    val changes = rawLog
       .withColumn("_prev", lag(rowS, 1).over(w))
       .where(col("_version") > lastV)
     val hasPrev = col("_prev").isNotNull && !col("_prev").getField("__del")
+
+    // typed zero/null contributions matching the persisted state schema
+    // exactly (unionByName is type-strict)
+    def zeroMeasures: Seq[Column] = measures.flatMap(m => Seq(
+      lit(null).cast(stT(s"cnt_$m")).as(s"cnt_$m"),
+      lit(null).cast(stT(s"sum_$m")).as(s"sum_$m"),
+      lit(null).cast(stT(s"min_$m")).as(s"min_$m"),
+      lit(null).cast(stT(s"max_$m")).as(s"max_$m")))
 
     // union-merge instead of joins: groupBy treats NULL group values as
     // an ordinary group, so NULL keys merge correctly (a join-based
@@ -107,28 +175,43 @@ object Materialize {
     // sum/min/max contributions here are irrelevant
     val stateRows = state
       .withColumn("retr", lit(0))
-    val postRows = changes.where(!col("_deleted"))
+    val postRows = changes.where(!col("_deleted") && aliveNow)
       .select(fields.map(col): _*)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
         measures.flatMap(m => Seq(
-          sum(col(m).cast(DoubleType)).as(s"sum_$m"),
-          min(col(m).cast(DoubleType)).as(s"min_$m"),
-          max(col(m).cast(DoubleType)).as(s"max_$m"))): _*)
+          count(col(m)).as(s"cnt_$m"),
+          sum(col(m)).as(s"sum_$m"),
+          min(col(m)).as(s"min_$m"),
+          max(col(m)).as(s"max_$m"))): _*)
       .withColumn("retr", lit(0))
     val preRows = changes.where(hasPrev)
       .select(fields.map(f => col(s"_prev.$f").as(f)): _*)
       .groupBy(groupCols.map(col): _*)
-      .agg((-count(lit(1))).as("cnt"),
-        measures.flatMap(m => Seq(
-          lit(0.0).as(s"sum_$m"),
-          lit(null).cast(DoubleType).as(s"min_$m"),
-          lit(null).cast(DoubleType).as(s"max_$m"))): _*)
+      .agg((-count(lit(1))).as("cnt"), zeroMeasures: _*)
       .withColumn("retr", lit(1))
-    val merged = stateRows.unionByName(postRows).unionByName(preRows)
+    // newly-expired slice: rows alive at the last refresh, expired now.
+    // Candidates (not winners — a superseded row merely over-marks its
+    // group for recompute, which is always correct) in the _ts window;
+    // legacy NULL stamps never expire.
+    val expRows = (nowCut, lastCut) match {
+      case (Some(nc), Some(lc)) =>
+        rawLog.where(col("_version") <= lastV && !col("_deleted") &&
+            col("_ts").isNotNull &&
+            col("_ts") >= lit(lc) && col("_ts") < lit(nc))
+          .groupBy(groupCols.map(col): _*)
+          .agg(lit(0L).as("cnt"), zeroMeasures: _*)
+          .withColumn("retr", lit(1))
+      case _ => null
+    }
+    val unioned = Option(expRows)
+      .foldLeft(stateRows.unionByName(postRows).unionByName(preRows))(
+        _ unionByName _)
+    val merged = unioned
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),
         measures.flatMap(m => Seq(
+          sum(col(s"cnt_$m")).as(s"cnt_$m"),
           sum(col(s"sum_$m")).as(s"sum_$m"),
           min(col(s"min_$m")).as(s"min_$m"),
           max(col(s"max_$m")).as(s"max_$m"))) :+
@@ -140,26 +223,38 @@ object Materialize {
     val recomputed = aggregate(
       cat.snapshot(table).join(affected, affCond, "left_semi"),
       groupCols, measures)
+    // a distinct target dir always — an expiry-only refresh keeps the
+    // version number, so suffix it to avoid overwriting the state
+    // being read
+    val newDir =
+      if (newV > lastV) s"state_v$newV" else s"state_v${newV}e$nowMs"
     merged.where(col("retr") === 0 && col("cnt") > 0).drop("retr")
       .unionByName(recomputed)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/state_v$newV")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/$newDir")
     import spark.implicits._
-    Seq((newV, groupCols, measures)).toDF("last_version", "group_cols",
-        "measures")
+    Seq((newV, groupCols, measures, nowMs, newDir))
+      .toDF("last_version", "group_cols", "measures", "refresh_ts",
+        "state_dir")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     newV
   }
 
   /** The grouped aggregate both the full build and the affected-group
-    * recompute use: (groupCols, cnt, sum_m, min_m, max_m per measure). */
+    * recompute use: per group, `cnt` (row count) and per measure the
+    * non-null count `cnt_m` (serves COUNT(col) and the AVG derivation
+    * sum/cnt), `sum_m` in Spark's own sum-widened type (Long for
+    * integrals, Decimal(p+10, s) for decimals, Double only for floats
+    * — exact where the direct aggregate is exact), and native-typed
+    * `min_m` / `max_m`. */
   def aggregate(df: DataFrame, groupCols: Seq[String],
       measures: Seq[String]): DataFrame =
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
         measures.flatMap(m => Seq(
-          sum(col(m).cast(DoubleType)).as(s"sum_$m"),
-          min(col(m).cast(DoubleType)).as(s"min_$m"),
-          max(col(m).cast(DoubleType)).as(s"max_$m"))): _*)
+          count(col(m)).as(s"cnt_$m"),
+          sum(col(m)).as(s"sum_$m"),
+          min(col(m)).as(s"min_$m"),
+          max(col(m)).as(s"max_$m"))): _*)
 
   private def highWater(cat: GraftCatalog, table: String): Long =
     cat.changeLog(table).agg(coalesce(max(col("_version")), lit(-1L)))

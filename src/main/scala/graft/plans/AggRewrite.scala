@@ -1,13 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
 
 /** Materialized-aggregate rewrite — the MV-selection step classical
   * engines pair with incremental view maintenance (our
@@ -16,34 +16,54 @@ import org.apache.spark.sql.types.DoubleType
   * cc/optimize/QueryOptimizer.java — swap the scan target when a
   * registered artifact answers the query).
   *
-  * A registered view holds `(groupCols, cnt, sum_m/min_m/max_m per
-  * measure)` at `statePath` ([[graft.operators.Materialize.aggregate]]'s
-  * layout). A query aggregate rewrites onto the state when:
+  * A registered view holds `(groupCols, cnt, cnt_m/sum_m/min_m/max_m
+  * per measure)` at `statePath`
+  * ([[graft.operators.Materialize.aggregate]]'s layout). `statePath`
+  * may be either a concrete state directory or a [[graft.operators
+  * .Materialize]] MV ROOT (a directory with a `meta` pointer) — the
+  * root form resolves the CURRENT `state_v<N>` through the meta
+  * pointer at rewrite time, so a refresh that rotates the state
+  * directory is picked up without re-registering (the pointer read
+  * costs one small parquet footer, on par with the schema check the
+  * rewrite already pays). A query aggregate rewrites onto the state
+  * when:
   *  - it scans the registered base path (plain parquet or the graftpk
   *    V2 source), optionally through a column-pruning Project;
   *  - its grouping columns are a SUBSET of the view's (equality uses
   *    the state at its own grain; a strict subset ROLLS UP: sums of
   *    sums, min of mins, count(*) = sum(cnt) — all decomposable);
   *  - every aggregate is a plain (no DISTINCT / FILTER) SUM / MIN /
-  *    MAX over a view measure, or COUNT(*) / COUNT(1).
+  *    MAX / AVG / COUNT(col) over a view measure, or COUNT(*) /
+  *    COUNT(1). AVG derives as SUM(sum_m)/SUM(cnt_m) (its standard
+  *    decomposition); COUNT(col) is SUM(cnt_m), the per-measure
+  *    non-null count.
   *
   * The rewritten aggregate runs over group-cardinality rows instead of
   * the fact table — at 100 TB that is the difference between a scan and
-  * a lookup. Output exprIds and types are preserved (state measures are
-  * DOUBLE; results cast back to the original aggregate's type), so the
-  * surrounding plan is untouched. Sums that exceed 2^53 lose integer
-  * precision in the DOUBLE state — the documented trade of this state
-  * layout.
+  * a lookup. Output exprIds and types are preserved, so the surrounding
+  * plan is untouched. The state is typed EXACTLY per measure (Spark's
+  * own sum widening: Long for integrals, Decimal(p+10, s) for decimals,
+  * Double only for floats), so a served SUM/COUNT/MIN/MAX equals the
+  * fact-table answer bit-for-bit — including integral sums past 2^53.
+  * AVG over an integral measure divides the EXACT sum by the exact
+  * count in one double division, at least as accurate as the direct
+  * aggregate's double accumulation (equal whenever the sum fits 2^53,
+  * more accurate beyond). AVG over a DECIMAL measure is refused:
+  * replicating Spark's decimal-division scale rules bit-for-bit is not
+  * worth a plausible-but-off-by-ULP answer.
   *
   * Staleness contract: the registrant guarantees the state covers the
-  * base (register after [[graft.operators.Materialize.refresh]]; drop
-  * before mutating without refresh) — the same freshness contract every
+  * base (register an MV root, or refresh before querying; drop before
+  * mutating without refresh) — the same freshness contract every
   * refresh-based MV system has.
   */
 object GraftAggViews {
-  /** @param statePath [[graft.operators.Materialize]]-layout parquet
+  /** @param statePath a concrete [[graft.operators.Materialize]]-layout
+    *                  parquet state dir, OR an MV root containing a
+    *                  `meta` pointer (resolved to the current state_v
+    *                  at rewrite time — refresh-safe)
     * @param groupCols the view's grouping columns
-    * @param measures  measure columns with sum_/min_/max_ state */
+    * @param measures  measure columns with cnt_/sum_/min_/max_ state */
   case class AggViewDef(statePath: String, groupCols: Seq[String],
       measures: Seq[String])
 
@@ -69,6 +89,18 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case agg @ Aggregate(groupings, outputs, child, _) =>
         rewrite(groupings, outputs, child).getOrElse(agg)
     }
+
+  /** A registered path resolves through the Materialize meta pointer
+    * when one exists (MV-root registration); a concrete state dir is
+    * used as-is. Any read failure refuses the rewrite — planning must
+    * never crash on a stale registration. */
+  private def resolveState(p: String): Option[String] = {
+    if (!new java.io.File(s"$p/meta").exists()) Some(p)
+    else scala.util.Try {
+      val m = spark.read.parquet(s"$p/meta").head()
+      s"$p/${graft.operators.Materialize.stateDir(m)}"
+    }.toOption
+  }
 
   /** The scanned base path plus any residual filter, looking through
     * pruning Projects. A filter is carried back (to re-apply on the
@@ -115,17 +147,25 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     if (!residual.forall(_.references.map(_.name).toSet
         .subsetOf(view.groupCols.toSet))) return None
     // answerability PRE-CHECK before any state I/O: pattern-only, no
-    // attributes needed — a bailing query (avg, count(col), DISTINCT)
-    // must not pay a parquet schema read per planning pass
+    // attributes needed — a bailing query (decimal avg, DISTINCT) must
+    // not pay a parquet schema read per planning pass
     def answerableFn(
         fn: org.apache.spark.sql.catalyst.expressions.aggregate
           .AggregateFunction): Boolean = fn match {
       // count(*) / count(1); a NULL literal means count-of-nothing
       // (always 0), which the state can't distinguish from count(*)
       case Count(Seq(Literal(v, _))) => v != null
+      // count(col) = non-null count: served by the state's cnt_m
+      case Count(Seq(ar: AttributeReference)) =>
+        view.measures.contains(ar.name)
       case Sum(ar: AttributeReference, _) => view.measures.contains(ar.name)
       case Min(ar: AttributeReference) => view.measures.contains(ar.name)
       case Max(ar: AttributeReference) => view.measures.contains(ar.name)
+      // avg = sum/cnt, both exact in the state; decimal refused (see
+      // the scaladoc — Spark's decimal-division scale rules)
+      case Average(ar: AttributeReference, _) =>
+        view.measures.contains(ar.name) &&
+          !ar.dataType.isInstanceOf[DecimalType]
       case _ => false
     }
     val answerable = outputs.forall {
@@ -136,14 +176,19 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
     if (!answerable) return None
-    val state = spark.read.parquet(view.statePath)
-      .queryExecution.analyzed
+    // a registered MV ROOT resolves to its current state_v dir through
+    // the meta pointer — refresh rotates directories, and serving a
+    // stale pinned dir would return pre-refresh aggregates forever
+    val statePath = resolveState(view.statePath).getOrElse(return None)
+    val state = scala.util.Try(spark.read.parquet(statePath)
+      .queryExecution.analyzed).getOrElse(return None)
     val stateAttr: Map[String, Attribute] =
       state.output.map(a => a.name -> a).toMap
     // a stale/mismatched registration (state missing expected columns)
     // must refuse the rewrite, never crash planning
     val needed = view.groupCols ++ Seq("cnt") ++
-      view.measures.flatMap(m => Seq(s"sum_$m", s"min_$m", s"max_$m"))
+      view.measures.flatMap(m =>
+        Seq(s"cnt_$m", s"sum_$m", s"min_$m", s"max_$m"))
     if (!needed.forall(stateAttr.contains)) return None
 
     def merged(fnCol: Attribute,
@@ -156,16 +201,27 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         Alias(stateAttr(a.name), a.name)(exprId = a.exprId)
       case al @ Alias(ae: AggregateExpression, name) =>
         val e: Expression = ae.aggregateFunction match {
+          // count(col) BEFORE the count(*) catch-all — both are Count
+          case Count(Seq(ar: AttributeReference)) =>
+            Coalesce(Seq(
+              merged(stateAttr(s"cnt_${ar.name}"), Sum(_)), Literal(0L)))
           case Count(_) =>
             // COUNT over zero state rows must stay 0, not SUM's NULL
-            org.apache.spark.sql.catalyst.expressions.Coalesce(Seq(
-              merged(stateAttr("cnt"), Sum(_)), Literal(0L)))
+            Coalesce(Seq(merged(stateAttr("cnt"), Sum(_)), Literal(0L)))
           case Sum(ar: AttributeReference, _) =>
             Cast(merged(stateAttr(s"sum_${ar.name}"), Sum(_)), ae.dataType)
           case Min(ar: AttributeReference) =>
             Cast(merged(stateAttr(s"min_${ar.name}"), Min(_)), ae.dataType)
           case Max(ar: AttributeReference) =>
             Cast(merged(stateAttr(s"max_${ar.name}"), Max(_)), ae.dataType)
+          case Average(ar: AttributeReference, _) =>
+            // exact sum / exact count, one double division — all-NULL
+            // groups yield NULL (null sum propagates), like direct avg
+            Cast(Divide(
+              Cast(merged(stateAttr(s"sum_${ar.name}"), Sum(_)),
+                DoubleType),
+              Cast(merged(stateAttr(s"cnt_${ar.name}"), Sum(_)),
+                DoubleType)), ae.dataType)
           case other => throw new IllegalStateException(
             s"unreachable: pre-checked aggregate $other")
         }

@@ -529,6 +529,48 @@ object Pipeline {
         .orderBy($"source")
     },
 
+    // The MV-selection rewrite UNDER THE HARD ORACLE: persist a fact
+    // table, build the typed aggregate state, register it, and run a
+    // plain fact-table aggregate — AggRewriteRule must swap the scan
+    // onto the state. The query body PINS the plan (throws unless the
+    // state, and not the fact, is scanned), so a green CORRECTNESS row
+    // proves the rewrite fired AND returned the oracle's fact-scan
+    // answer — including a sum built to exceed 2^53 with odd low bits,
+    // the regime where the old DOUBLE-typed state silently lost
+    // integer exactness. AVG and COUNT(col) ride the same pin (the
+    // sum/cnt derivation and the per-measure non-null count).
+    "q_mv_rewrite" -> { (s, dir) =>
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_mvrw").toString
+      val base = s"$tmp/fact"
+      val mv = s"$tmp/state"
+      Tables.t(s, dir, "documents")
+        .select($"doc_id", $"source", $"n_chars",
+          ($"n_chars" * 1000000000000L + $"doc_id").as("big"))
+        .write.mode("overwrite").parquet(base)
+      graft.operators.Materialize
+        .aggregate(s.read.parquet(base), Seq("source"),
+          Seq("big", "n_chars"))
+        .write.mode("overwrite").parquet(mv)
+      graft.plans.GraftAggViews.register(base,
+        graft.plans.GraftAggViews.AggViewDef(mv, Seq("source"),
+          Seq("big", "n_chars")))
+      val q = s.read.parquet(base).groupBy($"source")
+        .agg(sum($"big").as("sum_big"),
+          count($"n_chars").as("cnt_chars"),
+          avg($"n_chars").as("avg_chars"),
+          min($"big").as("min_big"),
+          max($"big").as("max_big"),
+          count(lit(1)).as("n"))
+        .orderBy($"source")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(mv) || plan.contains(base))
+        throw new IllegalStateException(
+          s"MV rewrite did not serve this query from the state:\n$plan")
+      q
+    },
+
     // Whole-doc BFD bin packing (no-split SFT layout). Rows-only driver
     // check — the per-partition best-fit loop is not SQL-expressible;
     // capacity, padding-vs-naive, and determinism are pinned in
@@ -1684,11 +1726,21 @@ object Pipeline {
             AS n_chars
         FROM documents WHERE doc_id < 380)
       SELECT source, count(*) AS cnt,
-        CAST(sum(n_chars) AS DOUBLE) AS sum_n_chars,
-        CAST(min(n_chars) AS DOUBLE) AS min_n_chars,
-        CAST(max(n_chars) AS DOUBLE) AS max_n_chars
+        CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+        min(n_chars) AS min_n_chars,
+        max(n_chars) AS max_n_chars
       FROM final WHERE source <> 'src1'
       GROUP BY source ORDER BY source""",
+
+    "q_mv_rewrite" -> """
+      SELECT source,
+        CAST(sum(n_chars * 1000000000000 + doc_id) AS BIGINT) AS sum_big,
+        count(n_chars) AS cnt_chars,
+        avg(n_chars) AS avg_chars,
+        CAST(min(n_chars * 1000000000000 + doc_id) AS BIGINT) AS min_big,
+        CAST(max(n_chars * 1000000000000 + doc_id) AS BIGINT) AS max_big,
+        count(*) AS n
+      FROM documents GROUP BY source ORDER BY source""",
 
     "q_split_leakage_safe" -> raw"""
       WITH f AS (SELECT doc_id,

@@ -84,7 +84,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def alterSetProps(name: String, newProps: Map[String, String]): Unit = {
     validateProps(newProps)
     val s = spec(name)
-    specs(name) = s.copy(props = s.props ++ newProps)
+    // property keys are matched case-insensitively everywhere (TTL
+    // lookups use equalsIgnoreCase) — evict any case-variant of an
+    // incoming key first, or a `ttl` set at CREATE time would shadow an
+    // ALTER ... SET TTL=... forever (collectFirst returns whichever
+    // insertion order favors)
+    val kept = s.props.filterNot { case (k, _) =>
+      newProps.keys.exists(_.equalsIgnoreCase(k)) }
+    specs(name) = s.copy(props = kept ++ newProps)
   }
 
   def spec(name: String): TableSpec = specs.getOrElse(name,
@@ -262,13 +269,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * the physical schema (generation-suffixed columns) and renames back to
     * logical names. */
   def changeLog(name: String): DataFrame = {
-    // a created-but-never-written table has no data dir yet → empty log
-    val base =
-      if (new java.io.File(s"${dir(name)}/data").exists())
-        spark.read.schema(physSchema(name)).parquet(s"${dir(name)}/data")
-      else spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physSchema(name))
-    val logical = toLogical(name, base)
+    val logical = changeLogRaw(name)
     // TTL table property (reference cc/schema/TableProperty.java TTL —
     // mapped onto the HBase column-family TTL, so expired cells vanish
     // from EVERY read path at scan time and are purged physically at
@@ -276,18 +277,37 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // are filtered HERE, the single choke point every read flows
     // through — snapshot, as-of, views, CDC — and `compact` rewrites
     // without them (the major-compaction purge). Legacy NULL stamps
-    // never expire. `current_timestamp()` is per-query constant-folded,
-    // so the filter is scan-local and pushdown-eligible.
+    // never expire. The cutoff comes from the injectable catalog
+    // [[clock]] (not `current_timestamp()`) so every read path — and
+    // [[graft.operators.Materialize.refresh]]'s expiry-retraction
+    // window — agrees on ONE notion of now; it folds to a literal, so
+    // the filter is scan-local and pushdown-eligible.
     ttlSeconds(name) match {
-      case Some(ttl) => logical.where(col("_ts").isNull ||
-        col("_ts") >= current_timestamp() - expr(s"INTERVAL $ttl SECONDS"))
+      case Some(ttl) =>
+        val cutoff = new java.sql.Timestamp(clock() - ttl * 1000L)
+        logical.where(col("_ts").isNull || col("_ts") >= lit(cutoff))
       case None => logical
     }
   }
 
+  /** The change log BEFORE TTL filtering — the physical history.
+    * Internal: [[graft.operators.Materialize.refresh]] needs expired
+    * rows (they are its retractions) and the true minimum version (the
+    * compaction detector; the filtered log's minimum rises as rows
+    * expire). */
+  private[graft] def changeLogRaw(name: String): DataFrame = {
+    // a created-but-never-written table has no data dir yet → empty log
+    val base =
+      if (new java.io.File(s"${dir(name)}/data").exists())
+        spark.read.schema(physSchema(name)).parquet(s"${dir(name)}/data")
+      else spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physSchema(name))
+    toLogical(name, base)
+  }
+
   /** TTL seconds if the table declares a finite one (`TTL=<seconds>`;
     * FOREVER/NONE mean no expiry, as in the reference). */
-  private def ttlSeconds(name: String): Option[Long] =
+  private[graft] def ttlSeconds(name: String): Option[Long] =
     spec(name).props.collectFirst {
       case (k, v) if k.equalsIgnoreCase("TTL") => v
     }.flatMap(v => scala.util.Try(v.toLong).toOption).filter(_ > 0)
@@ -368,18 +388,22 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
 
   /** Point-in-time snapshot by wall-clock batch stamp — the timestamp
     * spelling of [[snapshotAsOf]] (the reference's SCN IS an HBase
-    * timestamp). Rows written before the engine stamped `_ts` (legacy
-    * generations) have a NULL stamp and are treated as older than any
-    * read point, i.e. always visible. */
+    * timestamp). The upper bound is EXCLUSIVE, matching the reference:
+    * a CurrentSCN connection maps to an HBase TimeRange that reads
+    * cells strictly BEFORE the SCN, so a batch written at exactly the
+    * read point is not visible. Rows written before the engine stamped
+    * `_ts` (legacy generations) have a NULL stamp and are treated as
+    * older than any read point, i.e. always visible. */
   def snapshotAsOfTime(name: String, asOf: java.sql.Timestamp): DataFrame =
     snapshotFullAsOf(name, asOf)
       .select(spec(name).schema.fieldNames.map(col): _*)
 
   /** [[snapshotFull]] (view-extension columns included) at a timestamp
-    * read point — what as-of VIEWS collapse over. */
+    * read point — what as-of VIEWS collapse over. Exclusive upper
+    * bound, see [[snapshotAsOfTime]]. */
   def snapshotFullAsOf(name: String, asOf: java.sql.Timestamp): DataFrame =
     collapseLog(name,
-      changeLog(name).where(col("_ts").isNull || col("_ts") <= asOf))
+      changeLog(name).where(col("_ts").isNull || col("_ts") < asOf))
 
   /** Snapshot read: latest write per PK, tombstones dropped. One shuffle,
     * partitioned by the key. Projects the DECLARED schema only — columns

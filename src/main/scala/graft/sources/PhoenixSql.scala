@@ -62,7 +62,9 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     else if (up.startsWith("SHOW CREATE TABLE")) showCreateTable(s)
     else if (up.startsWith("SHOW ")) show(s)
     else if (up.startsWith("SET CURRENT_SCN")) setScn(s)
-    else if (up.startsWith("UPSERT INTO")) { requireNoScn("UPSERT"); upsert(s) }
+    // a hint may sit between UPSERT and INTO (reference g: upsert_node
+    // hintClause?, e.g. UPSERT /*+ NO_INDEX */ INTO ...)
+    else if (up.startsWith("UPSERT")) { requireNoScn("UPSERT"); upsert(s) }
     else if (up.startsWith("DELETE FROM")) { requireNoScn("DELETE"); delete(s) }
     else if (up.startsWith("DROP TABLE")) dropTable(s)
     else if (up.startsWith("ALTER VIEW")) alterView(s)
@@ -902,7 +904,11 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
 
   // ---- DML --------------------------------------------------------------
 
-  private def upsert(s: String): DataFrame = {
+  private def upsert(sIn: String): DataFrame = {
+    // strip an upsert-level hint (UPSERT /*+ NO_INDEX */ INTO ...) —
+    // write-path hints steer the reference's index maintenance, which
+    // Spark subsumes, so the hint body is advisory here
+    val s = "(?is)^(UPSERT)\\s*/\\*\\+.*?\\*/".r.replaceFirstIn(sIn, "$1")
     // UPSERT INTO t [(cols)] SELECT ... (reference g: upsert_node SELECT
     // form) — the SELECT runs through the normal query path and the
     // result batch is upserted.
@@ -934,7 +940,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       return spark.emptyDataFrame
     }
     val m = ("(?is)UPSERT INTO ([\\w.\"]+)\\s*(?:\\(([^)]*)\\))?\\s*" +
-      "VALUES\\s*\\((.*)\\)$").r.findFirstMatchIn(s)
+      "VALUES\\s*(\\(.*\\))$").r.findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
     val target = resolveTable(m.group(1))
     // upsert through a view: write the base row with the view's equality
@@ -948,38 +954,65 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       .map(splitTopLevel(_, ',').map(c =>
         cleanIdent(c).split("\\.").last.toLowerCase))
       .getOrElse(spec.schema.fieldNames.toSeq)
+    // Multi-row VALUES (reference g: upsert_node accepts a
+    // comma-separated tuple list; ut/parse testValidMultipleUpsert*):
+    // each top-level piece must be EXACTLY one balanced (...) group —
+    // trailing commas, empty tuples, a missing comma between tuples, or
+    // an unclosed paren are parse errors, as in the reference.
+    val tuples = splitTopLevel(m.group(3), ',').map(_.trim)
+    def oneGroup(p: String): Boolean = {
+      if (p.length < 3 || !p.startsWith("(") || !p.endsWith(")")) false
+      else {
+        var depth = 0; var inStr = false; var firstClose = -1
+        p.zipWithIndex.foreach { case (c, i) =>
+          if (c == '\'') inStr = !inStr
+          else if (!inStr && c == '(') depth += 1
+          else if (!inStr && c == ')') {
+            depth -= 1; if (depth == 0 && firstClose < 0) firstClose = i
+          }
+        }
+        depth == 0 && firstClose == p.length - 1
+      }
+    }
+    if (!tuples.forall(oneGroup))
+      throw new IllegalArgumentException(
+        s"cannot parse VALUES tuple list: $s")
     // NEXT/CURRENT VALUE FOR seq → driver-side sequence stepping. All
-    // NEXT references to one sequence in a statement share the stepped
-    // value (reference SequenceManager coalesces them), and CURRENT in
-    // the same statement reads it. Phoenix ARRAY['a','b'] literal →
+    // NEXT references to one sequence in a TUPLE share the stepped
+    // value (reference SequenceManager coalesces per row), and CURRENT
+    // in the same statement reads it. Phoenix ARRAY['a','b'] literal →
     // Spark array('a','b').
-    val rawVals = splitTopLevel(m.group(3), ',')
     val nvRe = "(?i)NEXT\\s+VALUE\\s+FOR\\s+([\\w.\"]+)".r
     val cvRe = "(?i)CURRENT\\s+VALUE\\s+FOR\\s+([\\w.\"]+)".r
-    val nexts = rawVals
-      .flatMap(v => nvRe.findAllMatchIn(v).map(g => resolveTable(g.group(1))))
-      .distinct.map(sq => sq -> nextValueFor(sq)).toMap
-    val values = rawVals.map { v =>
-      val v1 = nvRe.replaceAllIn(v,
-        g => nexts(resolveTable(g.group(1))).toString + "L")
-      val v2 = cvRe.replaceAllIn(v1,
-        g => currentValueFor(resolveTable(g.group(1))).toString + "L")
-      "(?is)^ARRAY\\s*\\[(.*)\\]$".r.findFirstMatchIn(v2.trim)
-        .map(g => s"array(${g.group(1)})").getOrElse(v2)
+    val selectRows = tuples.map { tup =>
+      val rawVals = splitTopLevel(tup.substring(1, tup.length - 1), ',')
+      val nexts = rawVals
+        .flatMap(v =>
+          nvRe.findAllMatchIn(v).map(g => resolveTable(g.group(1))))
+        .distinct.map(sq => sq -> nextValueFor(sq)).toMap
+      val values = rawVals.map { v =>
+        val v1 = nvRe.replaceAllIn(v,
+          g => nexts(resolveTable(g.group(1))).toString + "L")
+        val v2 = cvRe.replaceAllIn(v1,
+          g => currentValueFor(resolveTable(g.group(1))).toString + "L")
+        "(?is)^ARRAY\\s*\\[(.*)\\]$".r.findFirstMatchIn(v2.trim)
+          .map(g => s"array(${g.group(1)})").getOrElse(v2)
+      }
+      // Phoenix errors on arity mismatch ("Upsert has more values than
+      // columns"); zip would silently truncate.
+      require(values.length == cols.length,
+        s"UPSERT arity mismatch: ${cols.length} columns but " +
+          s"${values.length} values for $target")
+      val withDefaults = values.zip(cols) ++
+        defaults.filterNot { case (c, _) => cols.contains(c) }
+          .map { case (c, v) => (v, c) }
+      s"SELECT ${withDefaults
+        .map { case (v, c) => s"$v AS $c" }.mkString(", ")}"
     }
-    // Phoenix errors on arity mismatch ("Upsert has more values than
-    // columns"); zip would silently truncate.
-    require(values.length == cols.length,
-      s"UPSERT arity mismatch: ${cols.length} columns but " +
-        s"${values.length} values for $target")
-    val withDefaults = values.zip(cols) ++
-      defaults.filterNot { case (c, _) => cols.contains(c) }
-        .map { case (c, v) => (v, c) }
-    val row = spark.sql(s"SELECT ${withDefaults
-      .map { case (v, c) => s"$v AS $c" }.mkString(", ")}")
+    val rows = spark.sql(selectRows.mkString(" UNION ALL "))
     // catalog.upsert pads missing columns (incl. view extensions) with
     // NULL and casts everything to the declared types
-    catalog.upsert(table, row)
+    catalog.upsert(table, rows)
     dirty += table
     spark.emptyDataFrame
   }
@@ -1101,7 +1134,104 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       s"$op is not allowed while CURRENT_SCN is set (back-dated writes " +
         "are out of scope); run SET CURRENT_SCN = NULL first")
 
-  private def select(s0: String): DataFrame = {
+  /** Phoenix-dialect lexical normalization applied to query text before
+    * it reaches Spark's parser (the reference grammar lexes these
+    * natively; PhoenixSQL.g tokens):
+    *  - double-quoted identifiers → backticks (`"Id"` is a
+    *    case-sensitive IDENTIFIER in Phoenix; a double-quoted STRING to
+    *    Spark's default parser);
+    *  - `//` line comments → `--` (g: SL_COMMENT2);
+    *  - unicode whitespace (e.g. U+2002 EN space) → plain space (the
+    *    reference lexer accepts it; Spark's ANTLR WS class does not);
+    *  - `(UNSIGNED_)?DATE/TIME/TIMESTAMP 'lit'` type literals →
+    *    `TIMESTAMP 'lit'` (Phoenix DATE/TIME carry time-of-day —
+    *    SURVEY §1.2 maps the whole family to TIMESTAMP).
+    * Single-quoted string literals and comment bodies pass through
+    * untouched. */
+  private[graft] def normalizeQueryText(q: String): String = {
+    val sb = new StringBuilder(q.length)
+    var i = 0; var inStr = false; var inLine = false; var inBlock = false
+    while (i < q.length) {
+      val c = q.charAt(i)
+      if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (inLine) { sb.append(c); if (c == '\n') inLine = false; i += 1 }
+      else if (inBlock) {
+        if (c == '*' && i + 1 < q.length && q.charAt(i + 1) == '/') {
+          sb.append("*/"); i += 2; inBlock = false
+        } else { sb.append(c); i += 1 }
+      }
+      else c match {
+        case '\'' => inStr = true; sb.append(c); i += 1
+        case '-' if i + 1 < q.length && q.charAt(i + 1) == '-' =>
+          inLine = true; sb.append("--"); i += 2
+        case '/' if i + 1 < q.length && q.charAt(i + 1) == '*' =>
+          inBlock = true; sb.append("/*"); i += 2
+        case '/' if i + 1 < q.length && q.charAt(i + 1) == '/' =>
+          inLine = true; sb.append("--"); i += 2
+        case '"' => sb.append('`'); i += 1
+        case w if Character.isWhitespace(w) || Character.isSpaceChar(w) =>
+          sb.append(' '); i += 1
+        case _ => sb.append(c); i += 1
+      }
+    }
+    sb.toString.replaceAll(
+      "(?i)\\b(?:UNSIGNED_)?(?:DATE|TIME|TIMESTAMP)\\s*('(?:[^']|'')*')",
+      "TIMESTAMP $1")
+  }
+
+  /** RVC OFFSET keyset pagination in SQL (reference RVCOffsetCompiler;
+    * g: offset_node RVC form): `... [LIMIT n] OFFSET (pks)=(vals)`
+    * becomes the filter spelling `(pks) > (vals)` — the same rewrite
+    * the DataFrame operator (q_rvc_offset) uses — with any trailing
+    * LIMIT re-applied OUTSIDE the filter (the reference applies the
+    * offset before the limit). */
+  private def rewriteRvcOffset(s: String): String = {
+    val re = "(?is)\\bOFFSET\\s*\\(([^)]*)\\)\\s*=\\s*\\(([^)]*)\\)\\s*$".r
+    re.findFirstMatchIn(s) match {
+      case None => s
+      case Some(m) =>
+        val core0 = s.substring(0, m.start).trim
+        val lim = "(?is)\\bLIMIT\\s+(\\d+)\\s*$".r
+        val (core, limit) = lim.findFirstMatchIn(core0) match {
+          case Some(l) =>
+            (core0.substring(0, l.start).trim, s" LIMIT ${l.group(1)}")
+          case None => (core0, "")
+        }
+        s"SELECT * FROM ($core) __rvc_page " +
+          s"WHERE (${m.group(1)}) > (${m.group(2)})$limit"
+    }
+  }
+
+  /** Phoenix array ANY/ALL quantified comparisons (reference
+    * cc/expression/function/ArrayAnyComparisonExpression — `v op
+    * ANY(arr)` is true when some array element satisfies it, ALL when
+    * every one does): rewritten onto Spark's higher-order exists /
+    * forall. The subquery form (`= ANY (SELECT ...)`) passes through —
+    * Spark parses that natively. The LHS match is a literal or a
+    * dotted identifier (the reference grammar's operand shapes). */
+  private def rewriteAnyAll(s: String): String = {
+    val re = ("(?is)('(?:[^']|'')*'|[\\w.`]+)\\s*(=|!=|<>|<=|>=|<|>)" +
+      "\\s*(ANY|ALL)\\s*\\(([^()]*)\\)").r
+    re.replaceAllIn(s, m => {
+      val arg = m.group(4)
+      if (arg.trim.toLowerCase.startsWith("select"))
+        java.util.regex.Matcher.quoteReplacement(m.group(0))
+      else {
+        val fn =
+          if (m.group(3).equalsIgnoreCase("ANY")) "exists" else "forall"
+        java.util.regex.Matcher.quoteReplacement(
+          s"$fn($arg, __e -> ${m.group(1)} ${m.group(2)} __e)")
+      }
+    })
+  }
+
+  /** The full lexical pipeline query text passes before Spark's parser:
+    * dialect normalization, RVC-offset pagination, array ANY/ALL. */
+  private[graft] def prepareQueryText(s: String): String =
+    rewriteAnyAll(rewriteRvcOffset(normalizeQueryText(s)))
+
+  private def select(sRaw: String): DataFrame = {
+    val s0 = prepareQueryText(sRaw)
     val (s, noIndex) = rewriteHints(s0)
     // re-register only what changed since the last SELECT; any base-table
     // change invalidates views too (their plans pin the base's files)

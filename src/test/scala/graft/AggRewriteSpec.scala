@@ -19,8 +19,12 @@ class AggRewriteSpec extends AnyFunSuite {
       .createTempDirectory("graft_aggrw_base").toString
     val statePath = java.nio.file.Files
       .createTempDirectory("graft_aggrw_state").toString
-    Seq((1L, "a", "x", 10L), (2L, "a", "y", 20L), (3L, "b", "x", 30L),
-      (4L, "b", "y", 5L), (5L, "c", "x", 7L), (6L, "a", "x", 2L))
+    // one NULL measure row: makes cnt (rows) and cnt_x (non-null)
+    // genuinely different, so COUNT(col)/AVG serving is exercised
+    Seq((1L, "a", "x", Some(10L)), (2L, "a", "y", Some(20L)),
+      (3L, "b", "x", Some(30L)), (4L, "b", "y", Some(5L)),
+      (5L, "c", "x", Some(7L)), (6L, "a", "x", Some(2L)),
+      (7L, "c", "y", None))
       .toDF("k", "g", "s", "x")
       .write.mode("overwrite").parquet(base)
     val fact = spark.read.parquet(base)
@@ -70,17 +74,26 @@ class AggRewriteSpec extends AnyFunSuite {
         .groupBy($"g").agg(sum($"x").as("sx"))
       assert(mfilter.queryExecution.executedPlan.toString
         .contains(new java.io.File(base).getName))
-      // an aggregate the state can't answer exactly is NOT rewritten
+      // avg decomposes as SUM(sum_m)/SUM(cnt_m) — rewritten, and equal
+      // to the direct aggregate (exact sums; one double division)
       val avgQ = spark.read.parquet(base).groupBy($"g")
-        .agg(avg($"x").as("ax"))
+        .agg(avg($"x").as("ax")).orderBy($"g")
       assert(avgQ.queryExecution.executedPlan.toString
-        .contains(new java.io.File(base).getName),
-        "avg is not decomposable over this state — must hit the fact")
-      // count(column) counts non-nulls — also not answerable
+        .contains(new java.io.File(statePath).getName),
+        "avg must be served from the state via the sum/cnt derivation")
+      assert(avgQ.collect().map(_.toSeq).toSeq == baseline {
+        spark.read.parquet(base).groupBy($"g")
+          .agg(avg($"x").as("ax")).orderBy($"g")
+      })
+      // count(column) counts non-nulls — served by the state's cnt_m
       val cntCol = spark.read.parquet(base).groupBy($"g")
-        .agg(count($"x").as("n"))
+        .agg(count($"x").as("n")).orderBy($"g")
       assert(cntCol.queryExecution.executedPlan.toString
-        .contains(new java.io.File(base).getName))
+        .contains(new java.io.File(statePath).getName))
+      assert(cntCol.collect().map(_.toSeq).toSeq == baseline {
+        spark.read.parquet(base).groupBy($"g")
+          .agg(count($"x").as("n")).orderBy($"g")
+      })
       // a group filter that eliminates every state row: count stays 0
       // (a bare Sum(cnt) over zero rows would return NULL)
       val zero = spark.read.parquet(base).where($"g" === "zzz")
@@ -117,5 +130,104 @@ class AggRewriteSpec extends AnyFunSuite {
     // dropped: back to the fact
     assert(q("g", "s").queryExecution.executedPlan.toString
       .contains(new java.io.File(base).getName))
+  }
+
+  test("agg rewrite: integral sums stay exact past 2^53 " +
+      "(the DOUBLE-state regression case)") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_big").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_bigstate").toString
+    val big = 9007199254740992L // 2^53
+    // double accumulation loses every +1 past 2^53 — the exact sum is
+    // 2^53+3, a DOUBLE-typed state would serve 2^53
+    assert((((big.toDouble + 1.0) + 1.0) + 1.0).toLong == big,
+      "precondition: this sum is not representable in double")
+    Seq((1L, "a", big), (2L, "a", 1L), (3L, "a", 1L), (4L, "a", 1L))
+      .toDF("k", "g", "x")
+      .write.mode("overwrite").parquet(base)
+    Materialize.aggregate(spark.read.parquet(base), Seq("g"), Seq("x"))
+      .write.mode("overwrite").parquet(statePath)
+    GraftAggViews.register(base,
+      GraftAggViews.AggViewDef(statePath, Seq("g"), Seq("x")))
+    try {
+      val q = spark.read.parquet(base).groupBy($"g")
+        .agg(sum($"x").as("sx"))
+      assert(q.queryExecution.executedPlan.toString
+        .contains(new java.io.File(statePath).getName),
+        "the >2^53 sum must be served from the state")
+      assert(q.collect().head.getLong(1) == big + 3L,
+        "served sum must be the exact integer, not the double rounding")
+    } finally GraftAggViews.drop(base)
+  }
+
+  test("agg rewrite: an MV-ROOT registration resolves the current " +
+      "state through the meta pointer across refreshes") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_root").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createTable("f", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.upsert("f", Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "g", "x"))
+    val mvRoot = s"$wh/mv"
+    Materialize.build(cat, "f", Seq("g"), Seq("x"), mvRoot)
+    val base = s"$wh/fact_export"
+    cat.snapshot("f").write.mode("overwrite").parquet(base)
+    GraftAggViews.register(base,
+      GraftAggViews.AggViewDef(mvRoot, Seq("g"), Seq("x")))
+    try {
+      def q = spark.read.parquet(base).groupBy($"g")
+        .agg(sum($"x").as("sx")).orderBy($"g")
+      assert(q.queryExecution.executedPlan.toString.contains("state_v"),
+        "root registration must resolve to a state_v dir via meta")
+      assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("a" -> 10L, "b" -> 20L))
+      // ingest + refresh rotates the state dir; the SAME registration
+      // must serve the post-refresh values without re-registering
+      cat.upsert("f", Seq((3L, "a", 5L)).toDF("k", "g", "x"))
+      Materialize.refresh(cat, "f", mvRoot)
+      cat.snapshot("f").write.mode("overwrite").parquet(base)
+      assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("a" -> 15L, "b" -> 20L),
+        "a refresh-rotated state must be picked up through the pointer")
+    } finally GraftAggViews.drop(base)
+  }
+
+  test("agg rewrite: decimal sums serve exactly; decimal avg refuses") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_dec").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_decstate").toString
+    Seq((1L, "a", BigDecimal("1234567890123456789.12")),
+      (2L, "a", BigDecimal("0.03")),
+      (3L, "b", BigDecimal("-7.25")))
+      .toDF("k", "g", "d")
+      .write.mode("overwrite").parquet(base)
+    Materialize.aggregate(spark.read.parquet(base), Seq("g"), Seq("d"))
+      .write.mode("overwrite").parquet(statePath)
+    GraftAggViews.register(base,
+      GraftAggViews.AggViewDef(statePath, Seq("g"), Seq("d")))
+    try {
+      val q = spark.read.parquet(base).groupBy($"g")
+        .agg(sum($"d").as("sd")).orderBy($"g")
+      assert(q.queryExecution.executedPlan.toString
+        .contains(new java.io.File(statePath).getName))
+      assert(q.collect().map(r => r.getString(0) ->
+          r.getDecimal(1).stripTrailingZeros.toPlainString).toMap ==
+        Map("a" -> "1234567890123456789.15", "b" -> "-7.25"),
+        "decimal sums must serve exactly from the widened-decimal state")
+      // decimal avg: Spark's decimal-division scale rules are not
+      // replicated — must hit the fact, not serve an off-by-ULP answer
+      val avgQ = spark.read.parquet(base).groupBy($"g")
+        .agg(avg($"d").as("ad"))
+      assert(avgQ.queryExecution.executedPlan.toString
+        .contains(new java.io.File(base).getName),
+        "decimal avg must refuse the rewrite")
+    } finally GraftAggViews.drop(base)
   }
 }

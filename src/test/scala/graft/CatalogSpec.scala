@@ -757,7 +757,9 @@ class CatalogSpec extends AnyFunSuite {
       .aggregate(cat.snapshot("docs"), Seq("src"), Seq("n_tok"))
       .collect().map(_.toSeq).toSet
     assert(got == expect, s"MV diverged after streaming ingest: $got")
-    assert(got.exists(r => r.head == "code" && r(2) == 60.0),
+    // state layout: (src, cnt, cnt_n_tok, sum_n_tok, min, max) — the
+    // sum is exact LongType now, not DOUBLE
+    assert(got.exists(r => r.head == "code" && r(3) == 60L),
       "the re-upserted doc's old value must be retracted")
   }
 
@@ -798,6 +800,107 @@ class CatalogSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("invalid TTL"))
   }
 
+  test("TTL-aware incremental refresh: newly-expired rows retract " +
+      "without scanning the full base") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val wh = java.nio.file.Files.createTempDirectory("graft_ttlmv").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("e", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"),
+      props = Map("TTL" -> "60"))
+    val t0 = System.currentTimeMillis()
+    def at(ms: Long): Unit = cat.clock = () => ms
+    def dataFiles(): Set[java.io.File] =
+      Option(new java.io.File(s"$wh/e/data").listFiles())
+        .map(_.toSet).getOrElse(Set.empty)
+    // gExp: alive at build (50s old < TTL 60s), will expire by refresh
+    at(t0 - 50000L)
+    cat.upsert("e", Seq((3L, "exp", 7L)).toDF("k", "g", "x"))
+    // g0: young, untouched by any later delta — its carry-through from
+    // the prior state is the no-full-rebuild witness
+    val before = dataFiles()
+    at(t0 - 5000L)
+    cat.upsert("e", Seq((1L, "g0", 100L), (2L, "g0", 50L))
+      .toDF("k", "g", "x"))
+    val g0Files = dataFiles() -- before
+    val mv = s"$wh/mv"
+    at(t0)
+    Materialize.build(cat, "e", Seq("g"), Seq("x"), mv)
+    def stateMap() = Materialize.read(spark, mv).collect()
+      .map(r => r.getString(0) -> r.getLong(r.fieldIndex("sum_x"))).toMap
+    assert(stateMap() == Map("exp" -> 7L, "g0" -> 150L))
+    // delete g0's batch files: an incremental refresh never needs them
+    // (version ≤ lastV, _ts outside the expiry window, group untouched)
+    // — a full rebuild would silently lose the group
+    assert(g0Files.nonEmpty)
+    g0Files.foreach(f => assert(f.delete(), s"cannot delete $f"))
+    // 30s later: gExp's stamp (t0-50s) crosses the TTL-60s cutoff
+    // (t0+30s-60s = t0-30s) — newly expired; plus a fresh delta insert
+    at(t0 + 30000L)
+    cat.upsert("e", Seq((5L, "new", 3L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat, "e", mv)
+    assert(stateMap() == Map("g0" -> 150L, "new" -> 3L),
+      "expired group must retract, delta must fold, untouched group " +
+        "must carry through WITHOUT a base rescan")
+    // equality-with-rebuild on an untampered catalog: same flow, files
+    // intact — the incremental result must equal the snapshot aggregate
+    val wh2 = java.nio.file.Files.createTempDirectory("graft_ttlmv2").toString
+    val cat2 = new GraftCatalog(spark, wh2)
+    cat2.createTable("e", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"),
+      props = Map("TTL" -> "60"))
+    cat2.clock = () => t0 - 50000L
+    cat2.upsert("e", Seq((3L, "exp", 7L), (1L, "g0", 100L))
+      .toDF("k", "g", "x"))
+    cat2.clock = () => t0
+    val mv2 = s"$wh2/mv"
+    Materialize.build(cat2, "e", Seq("g"), Seq("x"), mv2)
+    cat2.clock = () => t0 + 30000L
+    cat2.upsert("e", Seq((5L, "new", 3L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat2, "e", mv2)
+    val got2 = Materialize.read(spark, mv2).collect().map(_.toSeq).toSet
+    val want2 = Materialize
+      .aggregate(cat2.snapshot("e"), Seq("g"), Seq("x"))
+      .collect().map(_.toSeq).toSet
+    assert(got2 == want2,
+      s"TTL incremental refresh diverged from rebuild: $got2 vs $want2")
+    assert(!got2.exists(_.head == "exp") && !got2.exists(_.head == "g0"),
+      "both 50s-old rows are past the cutoff at t0+30s")
+    // expiry-ONLY interval: no writes bump the high-water mark, yet at
+    // t0+95s the t0+30s insert crosses the cutoff (t0+35s) — refresh
+    // must still rotate the state, not early-return and serve it forever
+    cat2.clock = () => t0 + 95000L
+    val vSame = Materialize.refresh(cat2, "e", mv2)
+    assert(Materialize.read(spark, mv2).isEmpty,
+      "expiry-only refresh must retract rows with no new versions")
+    // and with nothing further to expire, refresh is a cheap no-op
+    assert(Materialize.refresh(cat2, "e", mv2) == vSame)
+  }
+
+  test("ALTER TABLE SET TTL is case-insensitive to the CREATE-time " +
+      "property key spelling") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    // lowercase 'ttl' at CREATE; ALTER with canonical 'TTL' must WIN,
+    // not coexist with the stale entry
+    cat.createTable("ev", StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))),
+      pk = Seq("k"), props = Map("ttl" -> "60"))
+    cat.clock = () => System.currentTimeMillis() - 120000L
+    cat.upsert("ev", Seq((1L, "x")).toDF("k", "v"))
+    cat.clock = () => System.currentTimeMillis()
+    assert(cat.snapshot("ev").isEmpty, "lowercase ttl=60 must expire")
+    cat.alterSetProps("ev", Map("TTL" -> "NONE"))
+    assert(cat.snapshot("ev").count() == 1,
+      "ALTER SET TTL=NONE must override the CREATE-time 'ttl'=60")
+    cat.alterSetProps("ev", Map("ttl" -> "60"))
+    assert(cat.snapshot("ev").isEmpty,
+      "ALTER back to a finite ttl must override TTL=NONE")
+  }
+
   test("snapshotAsOf: point-in-time reads un-happen later writes " +
       "and deletes (CurrentSCN analog)") {
     import spark.implicits._
@@ -821,14 +924,16 @@ class CatalogSpec extends AnyFunSuite {
     // before any write: empty table, schema intact
     val empty = cat.snapshotAsOf("t", v1 - 1)
     assert(empty.isEmpty && empty.columns.toSeq == Seq("k", "v"))
-    // timestamp spelling: at the delete batch's stamp the current state
-    // shows; one instant before it, the tombstone hasn't happened yet
+    // timestamp spelling: the upper bound is EXCLUSIVE (Phoenix's
+    // CurrentSCN reads cells strictly before the SCN) — at exactly the
+    // delete batch's stamp the tombstone hasn't happened yet; one
+    // instant past it, the current state shows
     val stamps = cat.changeLog("t").select(col("_ts")).distinct()
       .collect().map(_.getTimestamp(0)).sorted
-    assert(rows(cat.snapshotAsOfTime("t", stamps.last)) ==
+    val afterDelete = new java.sql.Timestamp(stamps.last.getTime + 1)
+    assert(rows(cat.snapshotAsOfTime("t", afterDelete)) ==
       rows(cat.snapshot("t")))
-    val beforeDelete = new java.sql.Timestamp(stamps.last.getTime - 1)
-    assert(rows(cat.snapshotAsOfTime("t", beforeDelete)) ==
+    assert(rows(cat.snapshotAsOfTime("t", stamps.last)) ==
       Map(1L -> "a2", 2L -> "b1", 3L -> "c2"))
     assert(v1 < v2 && v2 < v3)
   }
