@@ -592,8 +592,29 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
         m.map(g => DecimalType(g.group(1).toInt, g.group(2).toInt))
           .getOrElse(DecimalType(38, 18))
       case "BOOLEAN" => BooleanType
-      case "CHAR" | "VARCHAR" => StringType
-      case "BINARY" | "VARBINARY" | "VARBINARY_ENCODED" => BinaryType
+      case "CHAR" =>
+        // CHAR requires an explicit positive width (reference
+        // PChar.getMaxLength check; ut/parse testBadCharDef)
+        val w = "CHAR\\s*\\(\\s*(\\d+)\\s*\\)".r.findFirstMatchIn(base)
+          .getOrElse(throw new IllegalArgumentException(
+            s"CHAR requires a length: $t"))
+        require(w.group(1).toInt > 0, s"CHAR length must be positive: $t")
+        StringType
+      case "VARCHAR" =>
+        // a declared VARCHAR(n) must be positive (testBadVarcharDef);
+        // bare VARCHAR is unbounded and fine
+        "VARCHAR\\s*\\(\\s*(\\d+)\\s*\\)".r.findFirstMatchIn(base)
+          .foreach(w => require(w.group(1).toInt > 0,
+            s"VARCHAR length must be positive: $t"))
+        StringType
+      case "BINARY" =>
+        // fixed-width BINARY requires its width (testBadBinaryDef)
+        val w = "BINARY\\s*\\(\\s*(\\d+)\\s*\\)".r.findFirstMatchIn(base)
+          .getOrElse(throw new IllegalArgumentException(
+            s"BINARY requires a length: $t"))
+        require(w.group(1).toInt > 0, s"BINARY length must be positive: $t")
+        BinaryType
+      case "VARBINARY" | "VARBINARY_ENCODED" => BinaryType
       case "DATE" | "TIME" | "TIMESTAMP" | "UNSIGNED_DATE" | "UNSIGNED_TIME"
            | "UNSIGNED_TIMESTAMP" => TimestampType // Phoenix DATE carries ms
       case "JSON" => StringType
@@ -650,8 +671,22 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val m = "(?is)CREATE TABLE (?:IF NOT EXISTS )?([\\w.\"]+)\\s*(\\(.*)$".r
       .findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    // SCHEMA.TABLE at most — a.b.c.d is a parse error in the reference
+    // (ut/parse testInvalidTableOrSchemaName); dots INSIDE quotes are
+    // part of a case-sensitive name, not qualification
+    val qdots = { var inQ = false
+      m.group(1).count { ch =>
+        if (ch == '"') { inQ = !inQ; false } else ch == '.' && !inQ } }
+    if (qdots > 1) throw new IllegalArgumentException(
+      s"too many name parts (SCHEMA.TABLE at most): ${m.group(1)}")
     val name = resolveTable(m.group(1))
     val (rawBody, tail) = firstBalancedGroup(m.group(2))
+    // a trailing comma in the column list is a parse error in the
+    // reference (ut/parse testInvalidTrailingCommaOnCreateTable) —
+    // splitTopLevel's empty-segment filter would silently absorb it
+    if (rawBody.trim.endsWith(","))
+      throw new IllegalArgumentException(
+        s"trailing comma in column list: $s")
     // Phoenix's grammar allows the CONSTRAINT clause to follow the last
     // column without a comma (see examples/WEB_STAT.sql) — normalize.
     val body = rawBody.replaceAll("(?i)\\s+CONSTRAINT\\s+", ", CONSTRAINT ")
@@ -1055,7 +1090,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     *    SERIAL, INDEX(...), ...) is dropped with a stderr warning — they
     *    steer HBase scan internals Catalyst decides itself.
     * @return (sql with the hint comment rewritten, noIndex flag) */
-  private def rewriteHints(s: String): (String, Boolean) = {
+  private[graft] def rewriteHints(s: String): (String, Boolean) = {
     val hintRe = "(?is)^(\\s*SELECT)\\s*/\\*\\+(.*?)\\*/(.*)$".r
     hintRe.findFirstMatchIn(s) match {
       case None => (s, false)
