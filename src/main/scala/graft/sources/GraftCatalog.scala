@@ -209,12 +209,30 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   }
 
   /** UPSERT a batch: append rows stamped with the next version. Missing
-    * view-extension columns are padded with NULL. */
+    * columns take their declared DEFAULT expression when one exists
+    * (reference DefaultValueExpression — applied only when the write
+    * OMITS the column; an explicit NULL in the batch stores NULL),
+    * otherwise NULL. */
   def upsert(name: String, df: DataFrame): Long = {
     val v = nextVersion(name)
     val fields = allFields(name)
+    // one clock sample per batch: the ROW_TIMESTAMP fill and the `_ts`
+    // stamp must agree (Phoenix commits a mutation batch at one server
+    // timestamp, and the ROW_TIMESTAMP column IS that timestamp)
+    val nowMs = clock()
+    val nowTs = new java.sql.Timestamp(nowMs)
     val padded = fields.foldLeft(df) { (d, f) =>
       if (d.columns.contains(f.name)) d
+      else if (f.metadata.contains(GraftCatalog.RowTimestampKey))
+        // ROW_TIMESTAMP PK omitted by the write → the batch stamp
+        // (RowTimestampIT upsertingRowTimestampColAutomatically);
+        // BIGINT spelling carries epoch millis like the reference
+        d.withColumn(f.name,
+          if (f.dataType == LongType) lit(nowMs) else lit(nowTs))
+      else if (f.metadata.contains(GraftCatalog.DefaultExprKey))
+        d.withColumn(f.name,
+          expr(f.metadata.getString(GraftCatalog.DefaultExprKey))
+            .cast(f.dataType))
       else d.withColumn(f.name, lit(null).cast(f.dataType))
     }
     toPhysical(name,
@@ -247,7 +265,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         }: _*))
       .withColumn("_version", lit(v))
       .withColumn("_deleted", lit(false))
-      .withColumn("_ts", lit(batchTs()))
+      .withColumn("_ts", lit(nowTs))
       .write.mode(SaveMode.Append).parquet(s"${dir(name)}/data")
     v
   }
@@ -647,4 +665,16 @@ object GraftCatalog {
   /** StructField metadata key carrying VARCHAR(n)'s max length: wider
     * values error on write, no padding (PVarchar maxLength). */
   val VarcharWidthKey = "graft.varchar.width"
+
+  /** StructField metadata key carrying a column's DEFAULT expression
+    * text (reference g:816; DefaultValueExpression): compiled via
+    * Spark `expr` and applied at UPSERT time when the batch omits the
+    * column. */
+  val DefaultExprKey = "graft.default.expr"
+
+  /** StructField metadata key marking the (single) ROW_TIMESTAMP PK
+    * column (reference g:816 pk constraint; RowTimestampIT): bound to
+    * the batch write stamp when an UPSERT omits it; explicit values
+    * write through unchanged. */
+  val RowTimestampKey = "graft.row.timestamp"
 }

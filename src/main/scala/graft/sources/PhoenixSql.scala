@@ -552,7 +552,24 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     // identifier cleaning (which would flatten the dot into the name)
     val colName = parts(0).split("\\.").last
       .replaceAll("\"", "").toLowerCase
-    val typeAndCons = parts(1)
+    // DEFAULT <expr> (reference g:816 column_def defaultValue): the
+    // expression text rides in field metadata and is compiled by Spark
+    // at UPSERT time whenever the statement omits the column
+    // (cc/expression/function/DefaultValueExpression.java;
+    // it/end2end/DefaultColumnValueIT shapes — an EXPLICIT NULL still
+    // stores NULL). Divergence: the reference substitutes at READ time
+    // for absent cells, so rows predating an ALTER ADD ... DEFAULT show
+    // the default there; here such rows read NULL (parquet cannot
+    // distinguish an absent cell from a stored null) — every write
+    // made while the column exists matches the reference exactly.
+    val typeAndCons0 = parts(1)
+    val defM = "(?is)\\bDEFAULT\\s+(.+?)(\\s+PRIMARY\\s+KEY.*)?$".r
+      .findFirstMatchIn(typeAndCons0)
+    val defaultExpr = defM.map(_.group(1).trim).filter(_.nonEmpty)
+    val typeAndCons = defM
+      .map(m => typeAndCons0.substring(0, m.start) +
+        Option(m.group(2)).getOrElse(""))
+      .getOrElse(typeAndCons0)
     val notNull = typeAndCons.toUpperCase.contains("NOT NULL")
     val t = typeAndCons.replaceAll("(?i)\\s+NOT\\s+NULL", "")
       .replaceAll("(?i)\\s+NULL$", "")
@@ -571,6 +588,8 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
         .foreach(m => metaB.putLong(GraftCatalog.VarcharWidthKey,
           m.group(1).toLong))
     }
+    defaultExpr.foreach(e =>
+      metaB.putString(GraftCatalog.DefaultExprKey, e))
     StructField(colName, parseType(t), nullable = !notNull,
       metadata = metaB.build())
   }
@@ -693,16 +712,43 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val items = splitTopLevel(body, ',')
     val (pkItems, colItems) = items.partition(
       _.toUpperCase.matches("(?s)CONSTRAINT\\s+\\S+\\s+PRIMARY KEY.*"))
-    val fields = colItems.map(columnField)
-    // PK: either a CONSTRAINT clause or an inline "col type PRIMARY KEY"
-    val pk: Seq[String] = pkItems.headOption match {
+    val fields0 = colItems.map(columnField)
+    // PK: either a CONSTRAINT clause or an inline "col type PRIMARY KEY".
+    // A PK item may carry the ROW_TIMESTAMP designation (g:816 pk
+    // constraint `col (ASC|DESC)? ROW_TIMESTAMP?`; RowTimestampIT):
+    // that column binds to the batch write stamp when an UPSERT omits
+    // it — the engine's analog of Phoenix mapping the column onto the
+    // HBase cell timestamp.
+    val pkItemsParsed: Seq[String] = pkItems.headOption match {
       case Some(c) =>
         val inner = "\\(([^)]*)\\)".r.findFirstMatchIn(c).get.group(1)
-        splitTopLevel(inner, ',').map(f =>
-          cleanIdent(f.trim.split("\\s+")(0)).toLowerCase)
+        splitTopLevel(inner, ',').map(_.trim)
       case None =>
         colItems.filter(_.toUpperCase.contains("PRIMARY KEY"))
-          .map(c => cleanIdent(c.trim.split("\\s+")(0)).toLowerCase)
+          .map(c => c.trim.split("\\s+")(0) +
+            (if (c.toUpperCase.contains("ROW_TIMESTAMP"))
+              " ROW_TIMESTAMP" else ""))
+    }
+    val pk = pkItemsParsed.map(f =>
+      cleanIdent(f.split("\\s+")(0)).toLowerCase)
+    val rowTsCols = pkItemsParsed
+      .filter(_.toUpperCase.contains("ROW_TIMESTAMP"))
+      .map(f => cleanIdent(f.split("\\s+")(0)).toLowerCase)
+    if (rowTsCols.size > 1) throw new IllegalArgumentException(
+      s"only one ROW_TIMESTAMP column is allowed: $rowTsCols")
+    val fields = fields0.map { f =>
+      if (!rowTsCols.contains(f.name)) f
+      else {
+        // the reference restricts ROW_TIMESTAMP to the time family or
+        // a BIGINT epoch (cc/schema/PTableImpl rowTimestampCol checks)
+        if (f.dataType != TimestampType && f.dataType != LongType)
+          throw new IllegalArgumentException(
+            s"ROW_TIMESTAMP column ${f.name} must be a DATE/TIME/" +
+              s"TIMESTAMP or BIGINT, got ${f.dataType.simpleString}")
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putBoolean(GraftCatalog.RowTimestampKey, true).build())
+      }
     }
     // trailing table options: k=v props kept (and ignored downstream);
     // physical clauses like SPLIT ON (...) are HBase details — dropped
@@ -1033,13 +1079,21 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
         "(?is)^ARRAY\\s*\\[(.*)\\]$".r.findFirstMatchIn(v2.trim)
           .map(g => s"array(${g.group(1)})").getOrElse(v2)
       }
-      // Phoenix errors on arity mismatch ("Upsert has more values than
-      // columns"); zip would silently truncate.
-      require(values.length == cols.length,
-        s"UPSERT arity mismatch: ${cols.length} columns but " +
+      // Phoenix errors when there are MORE values than columns ("Upsert
+      // has more values than columns"); with no explicit column list,
+      // FEWER values bind positionally to the leading columns and the
+      // omitted trailing ones take their DEFAULT / NULL at the catalog
+      // layer (DefaultColumnValueIT: UPSERT INTO t VALUES (1, 2) on a
+      // 6-column table). An explicit column list stays exact-arity.
+      val effCols =
+        if (m.group(2) == null && values.length < cols.length)
+          cols.take(values.length)
+        else cols
+      require(values.length == effCols.length,
+        s"UPSERT arity mismatch: ${effCols.length} columns but " +
           s"${values.length} values for $target")
-      val withDefaults = values.zip(cols) ++
-        defaults.filterNot { case (c, _) => cols.contains(c) }
+      val withDefaults = values.zip(effCols) ++
+        defaults.filterNot { case (c, _) => effCols.contains(c) }
           .map { case (c, v) => (v, c) }
       s"SELECT ${withDefaults
         .map { case (v, c) => s"$v AS $c" }.mkString(", ")}"

@@ -855,6 +855,93 @@ class PhoenixSqlSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("invalid TTL"))
   }
 
+  test("column DEFAULT values: CREATE TABLE / ALTER ADD defaults apply " +
+      "when the write omits the column; explicit NULL stays NULL " +
+      "(DefaultColumnValueIT shapes)") {
+    val px = fresh()
+    // the IT's first table verbatim: PK column with a DEFAULT, plus an
+    // ALTER-added default column
+    px.execute("CREATE TABLE IF NOT EXISTS DTAB (pk1 INTEGER NOT NULL, " +
+      "pk2 INTEGER NOT NULL, pk3 INTEGER NOT NULL DEFAULT 10, " +
+      "test1 INTEGER, " +
+      "CONSTRAINT NAME_PK PRIMARY KEY (pk1, pk2, pk3))")
+    px.execute("ALTER TABLE DTAB ADD test2 INTEGER DEFAULT 5, est3 INTEGER")
+    // positional short VALUES: trailing columns take DEFAULT / NULL
+    px.execute("UPSERT INTO DTAB VALUES (1, 2)")
+    // full-width row with an EXPLICIT NULL over the defaulted column
+    px.execute("UPSERT INTO DTAB VALUES (11, 12, 13, 14, null, 16)")
+    def row(pk1: Int) = px.execute(
+        s"SELECT pk1, pk2, pk3, test1, test2, est3 FROM DTAB " +
+          s"WHERE pk1 = $pk1").collect().head
+    val r1 = row(1)
+    assert((r1.getInt(0), r1.getInt(1), r1.getInt(2)) == (1, 2, 10),
+      "omitted PK column must take its DEFAULT")
+    assert(r1.isNullAt(3) && r1.getInt(4) == 5 && r1.isNullAt(5),
+      "ALTER-added DEFAULT applies; non-default columns stay NULL")
+    val r2 = row(11)
+    assert((r2.getInt(0), r2.getInt(1), r2.getInt(2), r2.getInt(3)) ==
+      (11, 12, 13, 14))
+    assert(r2.isNullAt(4), "an EXPLICIT NULL overrides the DEFAULT")
+    assert(r2.getInt(5) == 16)
+    // defaults flow into CDC post-images (the write stores the value)
+    val post = px.catalog.cdc("dtab").orderBy(
+        org.apache.spark.sql.functions.col("cdc_version"))
+      .collect().head.getAs[String]("cdc_post_image")
+    assert(post.contains("\"pk3\":10") && post.contains("\"test2\":5"),
+      s"defaults must be visible in the CDC post image: $post")
+    // and through snapshot-as-of reads (written, not read-substituted)
+    val asOf = px.catalog.snapshotAsOfTime("dtab",
+      new java.sql.Timestamp(System.currentTimeMillis() + 60000))
+    assert(asOf.where(org.apache.spark.sql.functions.col("pk3") === 10)
+      .count() == 1)
+  }
+
+  test("ROW_TIMESTAMP PK: omitted column binds to the batch write " +
+      "stamp; explicit values write through (RowTimestampIT shape)") {
+    val px = fresh()
+    px.execute("CREATE TABLE IF NOT EXISTS RT (PK1 VARCHAR NOT NULL, " +
+      "PK2 TIMESTAMP NOT NULL, KV1 VARCHAR, KV2 VARCHAR " +
+      "CONSTRAINT PK PRIMARY KEY(PK1, PK2 ROW_TIMESTAMP))")
+    // explicit value writes through unchanged
+    px.execute("UPSERT INTO RT VALUES ('a', " +
+      "TIMESTAMP'2020-05-05 05:05:05', 'kv1a', 'kv2a')")
+    // omitted ROW_TIMESTAMP column → the batch stamp, pinned via the
+    // injectable clock (no sleeps)
+    val fixed = 1700000000123L
+    px.catalog.clock = () => fixed
+    px.execute("UPSERT INTO RT (PK1, KV1, KV2) VALUES ('b', 'kv1b', 'kv2b')")
+    px.catalog.clock = () => System.currentTimeMillis()
+    val rows = px.execute("SELECT PK1, PK2 FROM RT ORDER BY PK1")
+      .collect().map(r => r.getString(0) -> r.getTimestamp(1).getTime)
+    assert(rows(0) == ("a" ->
+      java.sql.Timestamp.valueOf("2020-05-05 05:05:05").getTime))
+    assert(rows(1) == ("b" -> fixed),
+      "omitted ROW_TIMESTAMP must equal the batch write stamp")
+    // the filled value IS the row's phoenix_row_timestamp
+    val prt = px.catalog.snapshotWithRowTs("rt")
+      .where(org.apache.spark.sql.functions.col("pk1") === "b")
+      .collect().head
+    assert(prt.getAs[java.sql.Timestamp]("pk2").getTime ==
+      prt.getAs[java.sql.Timestamp]("phoenix_row_timestamp").getTime)
+    // a BIGINT spelling carries epoch millis; inline PK form
+    px.execute("CREATE TABLE RTL (K BIGINT PRIMARY KEY ROW_TIMESTAMP, " +
+      "V VARCHAR)")
+    px.catalog.clock = () => fixed
+    px.execute("UPSERT INTO RTL (V) VALUES ('x')")
+    px.catalog.clock = () => System.currentTimeMillis()
+    assert(px.execute("SELECT K FROM RTL").collect().head.getLong(0) ==
+      fixed)
+    // only one ROW_TIMESTAMP column; type must be time-family or BIGINT
+    val e = intercept[IllegalArgumentException](px.execute(
+      "CREATE TABLE RTBAD (A VARCHAR NOT NULL, B TIMESTAMP NOT NULL, " +
+        "CONSTRAINT PK PRIMARY KEY(A ROW_TIMESTAMP, B ROW_TIMESTAMP))"))
+    assert(e.getMessage.contains("ROW_TIMESTAMP"))
+    val e2 = intercept[IllegalArgumentException](px.execute(
+      "CREATE TABLE RTBAD2 (A VARCHAR NOT NULL " +
+        "CONSTRAINT PK PRIMARY KEY(A ROW_TIMESTAMP))"))
+    assert(e2.getMessage.contains("ROW_TIMESTAMP"))
+  }
+
   test("SET CURRENT_SCN: point-in-time reads for tables AND views, " +
       "writes rejected, NULL restores") {
     val px = fresh()
