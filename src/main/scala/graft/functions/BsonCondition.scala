@@ -43,14 +43,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * implementation preserves first-seen order — same set, deterministic
   * order (Spark-side determinism is worth more than byte-matching an
   * order the reference itself does not define). Binary (BSON 0x05) is
-  * not in [[BsonLite]]'s codec, so binary-typed begins_with/BS
-  * comparisons are unsupported here.
+  * first-class: comparisons, begins_with (byte prefix), contains/IN
+  * over binary sets, field_type B/BS, and size() all accept either a
+  * decoded 0x05 value or the extended-JSON {"$binary": {"base64":...}}
+  * spelling (subtypes beyond generic 0x00 are not modeled).
   *
   * Comparison type discipline matches CommonComparisonExpressionUtils.
   * compareValues: equality is value+type equality (int32 5 != int64 5,
   * matching BsonInt32 vs BsonInt64); ordered comparisons only within
-  * string/string, number/number, datetime/datetime — mixed types are
-  * false. A missing LHS field fails the predicate (never throws); a
+  * string/string, number/number, binary/binary (unsigned lexicographic,
+  * the reference's Bytes.compareTo), datetime/datetime — mixed types
+  * are false. A missing LHS field fails the predicate (never throws); a
   * missing $VAL placeholder is false for =/begins_with/contains, true
   * for !=, and an error for ordered comparisons and field_type, all per
   * the reference.
@@ -318,6 +321,19 @@ object BsonConditionEval {
     n != null && n.isObject && n.size() == 1 && n.get("$set") != null &&
       n.get("$set").isArray
 
+  /** Binary values reach comparisons in two spellings: a decoded BSON
+    * 0x05 element is a jackson BinaryNode, while a $VAL document parsed
+    * from JSON text carries the extended-JSON
+    * `{"$binary": {"base64": ...}}` form — normalize the latter so both
+    * compare as bytes (reference: both sides are BsonBinary). */
+  def normBin(n: JsonNode): JsonNode =
+    if (n != null && n.isObject && n.size() == 1 &&
+        n.get("$binary") != null && n.get("$binary").isObject &&
+        n.get("$binary").get("base64") != null)
+      F.binaryNode(java.util.Base64.getDecoder
+        .decode(n.get("$binary").get("base64").asText()))
+    else n
+
   // ===================== evaluation =====================
   def evaluate(c: Compiled, doc: JsonNode): Boolean = eval(c.cond, doc, c.values)
 
@@ -327,19 +343,27 @@ object BsonConditionEval {
     case NotN(x) => !eval(x, doc, values)
     case ExistsN(p, e) => (getField(doc, p) != null) == e
     case BeginsWithN(p, r) =>
-      val f = getField(doc, p)
-      val pre = values.get(r)
+      val f = normBin(getField(doc, p))
+      val pre = normBin(values.get(r))
       if (f == null || pre == null) false
+      else if (pre.isBinary)
+        // binary prefix: byte-wise startsWith (reference handles
+        // BsonBinary in CommonComparisonExpressionUtils)
+        f.isBinary && {
+          val fb = f.binaryValue(); val pb = pre.binaryValue()
+          fb.length >= pb.length &&
+            java.util.Arrays.equals(fb, 0, pb.length, pb, 0, pb.length)
+        }
       else if (!pre.isTextual) throw new IllegalArgumentException(
         "begins_with function only supports String and Binary data types.")
       else f.isTextual && f.textValue().startsWith(pre.textValue())
     case ContainsN(p, r) =>
       val f = getField(doc, p)
-      val v = values.get(r)
+      val v = normBin(values.get(r))
       if (f == null || v == null) false
       else if (f.isTextual) v.isTextual && f.textValue().contains(v.textValue())
-      else if (f.isArray) iter(f.elements()).exists(_ == v)
-      else if (isSet(f)) iter(f.get("$set").elements()).exists(_ == v)
+      else if (f.isArray) iter(f.elements()).exists(normBin(_) == v)
+      else if (isSet(f)) iter(f.get("$set").elements()).exists(normBin(_) == v)
       else false
     case FieldTypeN(p, r) =>
       val f = getField(doc, p)
@@ -351,16 +375,17 @@ object BsonConditionEval {
         t.textValue() match {
           case "S" => f.isTextual
           case "N" => f.isNumber
-          case "B" => false // binary not in the BsonLite codec
+          case "B" => normBin(f).isBinary
           case "BOOL" => f.isBoolean
           case "NULL" => f.isNull
           case "L" => f.isArray
-          case "M" => f.isObject
+          case "M" => f.isObject && !normBin(f).isBinary
           case "SS" => isSet(f) && f.get("$set").size() > 0 &&
             f.get("$set").get(0).isTextual
           case "NS" => isSet(f) && f.get("$set").size() > 0 &&
             f.get("$set").get(0).isNumber
-          case "BS" => false
+          case "BS" => isSet(f) && f.get("$set").size() > 0 &&
+            normBin(f.get("$set").get(0)).isBinary
           case other => throw new IllegalArgumentException(
             s"Unsupported type in field_type() for BsonConditionExpression: " +
               s"$other, valid types: {N,BS,L,B,NULL,M,S,SS,NS,BOOL}")
@@ -385,14 +410,17 @@ object BsonConditionEval {
 
   /** Reference getSizeOfBsonValue: missing field → 0; string length,
     * array/set element count, document field count; other types error. */
-  def sizeOf(f: JsonNode): Int =
+  def sizeOf(f0: JsonNode): Int = {
+    val f = normBin(f0)
     if (f == null) 0
     else if (f.isTextual) f.textValue().length
+    else if (f.isBinary) f.binaryValue().length
     else if (isSet(f)) f.get("$set").size()
     else if (f.isArray || f.isObject) f.size()
     else throw new IllegalArgumentException(
       s"Unsupported type for size() function: $f, supported types: " +
         "String, Binary, Set, Array, Document.")
+  }
 
   private def cmp(op: String, lhs: Operand, ref: String, doc: JsonNode,
       values: JsonNode): Boolean = {
@@ -403,7 +431,9 @@ object BsonConditionEval {
   }
 
   /** CommonComparisonExpressionUtils.compareValues. */
-  def compareNodes(l: JsonNode, r: JsonNode, op: String): Boolean = op match {
+  def compareNodes(l0: JsonNode, r0: JsonNode, op: String): Boolean = {
+    val l = normBin(l0); val r = normBin(r0)
+    op match {
     case "EQ" => l == r
     case "NE" => l != r
     case _ =>
@@ -412,6 +442,10 @@ object BsonConditionEval {
       val c: Option[Int] =
         if (l.isTextual && r.isTextual)
           Some(l.textValue().compareTo(r.textValue()))
+        else if (l.isBinary && r.isBinary)
+          // reference: HBase Bytes.compareTo — unsigned lexicographic
+          Some(java.util.Arrays.compareUnsigned(
+            l.binaryValue(), r.binaryValue()))
         else if (l.isNumber && r.isNumber)
           Some(java.lang.Double.compare(l.doubleValue(), r.doubleValue()))
         else if (l.isPojo && r.isPojo) (l.asInstanceOf[
@@ -429,6 +463,7 @@ object BsonConditionEval {
           case "GE" => v >= 0
         }
       }
+    }
   }
 
   /** DocumentComparisonExpressionUtils: `{field: {"$op": value}}` entries

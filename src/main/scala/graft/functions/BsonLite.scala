@@ -14,9 +14,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * recorded in COVERAGE.md: implement the core BSON_VALUE path rather than
   * declare the family out of scope). Wire format follows bsonspec.org
   * (the subset the reference's Bson ITs exercise): double 0x01, string
-  * 0x02, document 0x03, array 0x04, boolean 0x08, UTC datetime 0x09, null
-  * 0x0A, int32 0x10, int64 0x12. Values decode into jackson nodes so the
-  * navigation/serialization logic is shared with the JSON family.
+  * 0x02, document 0x03, array 0x04, binary 0x05 (generic subtype; the
+  * extended-JSON {"$binary": {"base64": ...}} spelling encodes to it),
+  * boolean 0x08, UTC datetime 0x09, null 0x0A, int32 0x10, int64 0x12.
+  * Values decode into jackson nodes so the navigation/serialization
+  * logic is shared with the JSON family.
   *
   * Reference: phoenix-core-client .../expression/function/
   * BsonValueFunction.java:57 (dot + [n] field-key navigation, typed
@@ -62,6 +64,23 @@ object BsonLite {
         case _ if v.isBoolean =>
           header(0x08); body.write(if (v.booleanValue()) 1 else 0)
         case _ if v.isNull => header(0x0A)
+        case _ if v.isBinary =>
+          // binary 0x05, generic subtype 0x00 (subtypes beyond 0 are
+          // not modeled — the reference's comparisons only operate
+          // within one subtype anyway)
+          header(0x05)
+          val b = v.binaryValue()
+          body.write(le32(b.length)); body.write(0x00)
+          body.write(b, 0, b.length)
+        case _ if v.isObject && v.size() == 1 && v.has("$binary") =>
+          // MongoDB extended-JSON spelling from JSON text input:
+          // {"$binary": {"base64": "...", "subType": "00"}}
+          val bin = v.get("$binary")
+          val b = java.util.Base64.getDecoder
+            .decode(bin.get("base64").asText())
+          header(0x05)
+          body.write(le32(b.length)); body.write(0x00)
+          body.write(b, 0, b.length)
         case _ if v.isObject => header(0x03)
           val d = encodeDoc(v); body.write(d, 0, d.length)
         case _ if v.isArray => header(0x04)
@@ -122,6 +141,10 @@ object BsonLite {
           F.textNode(new String(b, StandardCharsets.UTF_8))
         case 0x03 => decodeDoc(buf, asArray = false)
         case 0x04 => decodeDoc(buf, asArray = true)
+        case 0x05 =>
+          val len = buf.getInt; buf.get() // subtype byte (not modeled)
+          val b = new Array[Byte](len); buf.get(b)
+          F.binaryNode(b)
         case 0x08 => F.booleanNode(buf.get() != 0)
         case 0x09 => // UTC datetime: keep the type distinguishable
           F.pojoNode(new java.util.Date(buf.getLong))

@@ -538,16 +538,31 @@ object Curation {
     require(budget > 0, "budget must be positive")
     val spark = df.sparkSession
     import spark.implicits._
+    // every-doc-packed-exactly-once contract: a non-numeric id or a
+    // non-positive token count is raised loudly in-plan, mirroring the
+    // over-budget guard — a silent NULL cast would collapse all
+    // affected docs onto doc=null, and a silent filter would drop them
     val guarded = df
-      .select(col(idCol).cast(LongType).as("doc"),
+      .select(col(idCol).as("__rawid"),
         col(tokCol).cast(LongType).as("n_tok"))
-      .where(col("n_tok") > 0)
+      .withColumn("doc",
+        when(col("__rawid").isNull ||
+            col("__rawid").cast(LongType).isNull,
+          raise_error(concat(
+            lit(s"packBinsWhole: id column '$idCol' must be numeric " +
+              "and non-null, got: "),
+            coalesce(col("__rawid").cast(StringType), lit("NULL")))))
+          .otherwise(col("__rawid").cast(LongType)))
       .withColumn("n_tok",
-        when(col("n_tok") > budget, raise_error(concat(
-          lit("document "), col("doc"),
-          lit(s" exceeds the packing budget $budget tokens: "),
-          col("n_tok").cast(StringType))))
+        when(col("n_tok").isNull || col("n_tok") <= 0, raise_error(concat(
+          lit("packBinsWhole: document "), col("doc").cast(StringType),
+          lit(" has a non-positive or unparseable token count"))))
+          .when(col("n_tok") > budget, raise_error(concat(
+            lit("document "), col("doc"),
+            lit(s" exceeds the packing budget $budget tokens: "),
+            col("n_tok").cast(StringType))))
           .otherwise(col("n_tok")))
+      .select(col("doc"), col("n_tok"))
     guarded
       .repartition(partitions, col("doc"))
       .sortWithinPartitions(col("n_tok").desc, col("doc"))

@@ -159,19 +159,24 @@ object EventStreams {
     * the corpus boilerplate set (the >= minDocFreq survivors of
     * [[graft.operators.Dedup.lineFreqTable]]).
     *
-    * The boilerplate set rides IN the plan as a sorted literal array
-    * probed scan-locally per line, so the stream is completely
+    * The boilerplate set ships ONCE per task in the UDF closure and is
+    * probed as an O(1) hash set per line, so the stream is completely
     * STATELESS — no state store, no watermark, no per-line explode/
     * re-group (a streaming groupBy to reassemble documents would need
     * watermarked state for zero semantic gain; the document is already
-    * whole in its row). Per micro-batch the output is bit-identical to
-    * the batch rebuild against the same set.
+    * whole in its row). The UDF reproduces `xxhash64` bit-for-bit
+    * (XXH64 over UTF-8 bytes, seed 42), so per micro-batch the output
+    * is identical to the batch rebuild against the same set. A NULL
+    * document coalesces to '' before splitting — the batch path never
+    * emits NULL `text_clean` for its inputs, and neither does this.
     *
     * Bounded by `maxBoiler`: boilerplate is the tiny head of the line
     * frequency distribution by construction (lines repeated across >=
-    * minDocFreq documents). Beyond ~1e5 entries the literal probe stops
-    * being cheap — switch to a stream-static anti join on exploded
-    * lines plus a watermarked re-group, and accept the state cost.
+    * minDocFreq documents); the bound caps DRIVER memory for the
+    * collected set — probe cost per line is O(1) regardless. For sets
+    * beyond driver comfort, switch to a stream-static anti join on
+    * exploded lines plus a watermarked re-group, and accept the state
+    * cost.
     *
     * Input columns pass through unchanged (so the filter chains with
     * the dedup ingest gate, which needs the event-time column for its
@@ -188,17 +193,28 @@ object EventStreams {
       .collect().map(_.getLong(0))
     require(hs.length <= maxBoiler,
       s"boilerplate set exceeds maxBoiler=$maxBoiler entries; use the " +
-        "stream-static join form instead of the literal probe")
-    val bl = lit(hs.sorted)
+        "stream-static join form instead of the in-closure set")
+    val set = hs.toSet
+    val sepPat = java.util.regex.Pattern
+      .compile(java.util.regex.Pattern.quote(sep))
+    val clean = udf((text: String) => {
+      // -1 limit keeps trailing empty lines, matching SQL split()
+      val lines = sepPat.split(text, -1)
+      val kept = lines.filterNot { l =>
+        val b = l.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        set.contains(org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(b,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            b.length, 42L))
+      }
+      (lines.length.toLong, kept.length.toLong, kept.mkString(sep))
+    })
     docs
-      .withColumn("__ls", split(col(textCol),
-        java.util.regex.Pattern.quote(sep)))
-      .withColumn("__kept", filter(col("__ls"),
-        l => !array_contains(bl, xxhash64(l))))
-      .withColumn("n_lines", size(col("__ls")).cast("long"))
-      .withColumn("n_kept", size(col("__kept")).cast("long"))
-      .withColumn("text_clean", array_join(col("__kept"), sep))
-      .drop("__ls", "__kept")
+      .withColumn("__c", clean(coalesce(col(textCol), lit(""))))
+      .withColumn("n_lines", col("__c._1"))
+      .withColumn("n_kept", col("__c._2"))
+      .withColumn("text_clean", col("__c._3"))
+      .drop("__c")
   }
 
   /** Streaming near-duplicate detection for document ingest: each

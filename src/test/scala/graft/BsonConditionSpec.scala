@@ -95,6 +95,46 @@ class BsonConditionSpec extends AnyFunSuite {
     assert(condOn(doc, "").get)
   }
 
+  test("binary (BSON 0x05): comparisons, begins_with, sets, field_type " +
+      "(ComparisonExpressionUtilsTest binary rows)") {
+    // "White"=V2hpdGU=, "Whit"=V2hpdA==, "Whitee"=V2hpdGVl — the
+    // reference test's Bytes.toBytes fixtures
+    val bdoc =
+      """{"BinId": {"$binary": {"base64": "V2hpdGU=", "subType": "00"}},
+        | "HiBit": {"$binary": {"base64": "gA=="}},
+        | "Bins": {"$set": [{"$binary": {"base64": "V2hpdGU="}}]},
+        | "Title": "Book"}""".stripMargin.replace("\n", " ")
+    def c(expr: String, vals: String): Boolean =
+      condOn(bdoc, s"""{"$$EXPR": "$expr", "$$VAL": $vals}""").get
+    def bin(b64: String) = s"""{"$$binary": {"base64": "$b64"}}"""
+    // ordered comparisons: White vs Whit / Whitee, as in the reference
+    assert(c("BinId > :w", s"""{":w": ${bin("V2hpdA==")}}"""))
+    assert(c("BinId >= :w", s"""{":w": ${bin("V2hpdA==")}}"""))
+    assert(c("BinId < :we", s"""{":we": ${bin("V2hpdGVl")}}"""))
+    assert(c("BinId <= :we", s"""{":we": ${bin("V2hpdGVl")}}"""))
+    assert(c("BinId <> :we", s"""{":we": ${bin("V2hpdGVl")}}"""))
+    assert(c("BinId = :self", s"""{":self": ${bin("V2hpdGU=")}}"""))
+    assert(!c("BinId = :w", s"""{":w": ${bin("V2hpdA==")}}"""))
+    // UNSIGNED lexicographic (Bytes.compareTo): 0x80 > 0x7F — a signed
+    // byte compare would invert this
+    assert(c("HiBit > :low", s"""{":low": ${bin("fw==")}}"""))
+    // binary prefix begins_with; non-prefix false
+    assert(c("begins_with(BinId, :p)", s"""{":p": ${bin("V2hpdA==")}}"""))
+    assert(!c("begins_with(BinId, :p)", s"""{":p": ${bin("aGl0")}}"""))
+    // binary-set contains + BS field_type + B field_type + byte size
+    assert(c("contains(Bins, :v)", s"""{":v": ${bin("V2hpdGU=")}}"""))
+    assert(!c("contains(Bins, :v)", s"""{":v": ${bin("V2hpdA==")}}"""))
+    assert(c("field_type(BinId, :t)", """{":t": "B"}"""))
+    assert(!c("field_type(BinId, :t)", """{":t": "M"}"""))
+    assert(c("field_type(Bins, :t)", """{":t": "BS"}"""))
+    assert(c("size(BinId) = :n", """{":n": 5}"""))
+    // mixed type never satisfies an ordered comparison
+    assert(!c("Title > :w", s"""{":w": ${bin("V2hpdA==")}}"""))
+    // document-style spelling too
+    assert(condOn(bdoc,
+      s"""{"BinId": {"$$gt": ${bin("V2hpdA==")}}}""").get)
+  }
+
   test("document-style conditions: $eq/$lt/$exists/$and/$or") {
     assert(condOn(doc, """{"Id": {"$eq": 101}}""").get)
     assert(!condOn(doc, """{"Id": {"$eq": 102}}""").get)
