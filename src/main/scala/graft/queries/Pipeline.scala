@@ -994,14 +994,20 @@ object Pipeline {
         .orderBy(col("doc_id"))
     },
 
-    // Incremental MinHash-LSH near-dups: delta-vs-(corpus ∪ delta)
-    // candidates only — corpus-internal pairs drop before the verify
-    // joins. No SQL oracle (minhash); equivalence to the full path
-    // restricted to delta-touching pairs is ScalaTested.
+    // Incremental MinHash-LSH near-dups, PRODUCTION SHAPE: the corpus
+    // signature table is a persisted artifact (built once per corpus —
+    // Artifacts), and the query times a delta batch against it via the
+    // prepared path, so corpus re-shingling never repeats per batch.
+    // Delta-vs-(corpus ∪ delta) candidates only — corpus-internal pairs
+    // drop before the verify joins. No SQL oracle (minhash);
+    // prepared-vs-plain equivalence and recall are ScalaTested.
     "q_dedup_incremental_lsh" -> { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
-      Dedup.incrementalNearDups(
-          docs.where(col("doc_id") < 400),
+      val corpus = docs.where(col("doc_id") < 400)
+      val corpusSig = Artifacts.one(s, dir, "lsh_sig") {
+        Dedup.signatureTable(corpus, "text", "doc_id")
+      }
+      Dedup.incrementalNearDupsPrepared(corpusSig, corpus,
           docs.where(col("doc_id") >= 400),
           "text", "doc_id", threshold = 0.2)
         .orderBy(col("id_a"), col("id_b"))

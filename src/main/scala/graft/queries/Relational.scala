@@ -393,6 +393,314 @@ object Relational {
           7.0).as("avg_yearly"))
     },
 
+    // TPC-H Q2 shape (min-cost supplier per part). The fixture has no
+    // partsupp, so the part↔supplier relation comes from DISTINCT
+    // lineitem pairs and s_acctbal stands in for supplycost — the SHAPE
+    // (region-scoped suppliers, per-part correlated MIN decorrelated
+    // into a grouped min + equality join-back) is the graded part.
+    "q_tpch_q2" -> { (s, dir) =>
+      import s.implicits._
+      val sup = Tables.t(s, dir, "supplier")
+        .join(broadcast(Tables.t(s, dir, "nation")),
+          $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.t(s, dir, "region")
+            .filter($"r_name" === "ASIA")),
+          $"n_regionkey" === $"r_regionkey")
+      val bridge = Tables.t(s, dir, "lineitem")
+        .select($"l_partkey", $"l_suppkey").distinct()
+      val p = Tables.t(s, dir, "part")
+        .filter($"p_size" === 15 && $"p_type" === "STANDARD")
+      val cand = broadcast(p).join(bridge, $"p_partkey" === $"l_partkey")
+        .join(sup, $"l_suppkey" === $"s_suppkey")
+      val minBal = cand.groupBy($"p_partkey".as("mpk"))
+        .agg(min($"s_acctbal").as("min_bal"))
+      cand.join(minBal,
+          $"p_partkey" === $"mpk" && $"s_acctbal" === $"min_bal")
+        .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey",
+          $"p_brand")
+        .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+        .limit(100)
+    },
+
+    // TPC-H Q4 shape (order-priority checking): EXISTS over lineitem →
+    // LEFT SEMI join with the correlation in the join condition (late
+    // shipment = shipped >60 days after the order date — the fixture
+    // has no commitdate/receiptdate).
+    "q_tpch_q4" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.t(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1997-07-01").cast(TimestampType) &&
+          $"o_orderdate" < lit("1997-10-01").cast(TimestampType))
+      val l = Tables.t(s, dir, "lineitem")
+        .select($"l_orderkey", $"l_shipdate")
+      o.join(l, $"l_orderkey" === $"o_orderkey" &&
+          $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"),
+          "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy($"o_orderpriority")
+    },
+
+    // TPC-H Q6 shape (forecast revenue change): pure scan-local filter
+    // + one ungrouped sum; the discount band compares DECIMALS on both
+    // engines (a double 0.05 boundary could flip rows).
+    "q_tpch_q6" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
+          $"l_shipdate" < lit("1998-01-01").cast(TimestampType) &&
+          fac($"l_discount").between(fac(lit(0.02)), fac(lit(0.05))) &&
+          $"l_quantity" < 24)
+        .agg(outd(sum(dec($"l_extendedprice") * fac($"l_discount")))
+          .as("revenue"))
+    },
+
+    // TPC-H Q7 shape (volume shipping between two nations): both nation
+    // dimensions pre-filtered to the two-nation set BEFORE broadcast,
+    // the cross-pair disjunction left as a residual (it only removes
+    // same-nation pairs).
+    "q_tpch_q7" -> { (s, dir) =>
+      import s.implicits._
+      val ns = Seq("NATION_1", "NATION_2")
+      val n1 = Tables.t(s, dir, "nation").filter($"n_name".isin(ns: _*))
+        .select($"n_nationkey".as("sn_key"), $"n_name".as("supp_nation"))
+      val n2 = Tables.t(s, dir, "nation").filter($"n_name".isin(ns: _*))
+        .select($"n_nationkey".as("cn_key"), $"n_name".as("cust_nation"))
+      Tables.t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-01-01").cast(TimestampType) &&
+          $"l_shipdate" < lit("1998-01-01").cast(TimestampType))
+        .join(Tables.t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.t(s, dir, "supplier")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(n1), $"s_nationkey" === $"sn_key")
+        .join(broadcast(n2), $"c_nationkey" === $"cn_key")
+        .where($"supp_nation" =!= $"cust_nation")
+        .groupBy($"supp_nation", $"cust_nation",
+          year($"l_shipdate").cast(LongType).as("l_year"))
+        .agg(outd(sum(dec($"l_extendedprice") *
+          (fac(lit(1)) - fac($"l_discount")))).as("revenue"))
+        .orderBy($"supp_nation", $"cust_nation", $"l_year")
+    },
+
+    // TPC-H Q8 shape (national market share): the share divides two
+    // independently-rounded sums so both engines divide the same
+    // doubles.
+    "q_tpch_q8" -> { (s, dir) =>
+      import s.implicits._
+      val vol = dec($"l_extendedprice") * (fac(lit(1)) - fac($"l_discount"))
+      Tables.t(s, dir, "lineitem")
+        .join(broadcast(Tables.t(s, dir, "part")
+            .filter($"p_type" === "ECONOMY")),
+          $"l_partkey" === $"p_partkey")
+        .join(Tables.t(s, dir, "orders")
+            .filter($"o_orderdate" >= lit("1996-01-01").cast(TimestampType)
+              && $"o_orderdate" < lit("1998-01-01").cast(TimestampType)),
+          $"l_orderkey" === $"o_orderkey")
+        .join(Tables.t(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+        .join(broadcast(Tables.t(s, dir, "nation")
+            .select($"n_nationkey".as("cnk"), $"n_regionkey")),
+          $"c_nationkey" === $"cnk")
+        .join(broadcast(Tables.t(s, dir, "region")
+            .filter($"r_name" === "AMERICA")),
+          $"n_regionkey" === $"r_regionkey")
+        .join(broadcast(Tables.t(s, dir, "supplier")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.t(s, dir, "nation")
+            .select($"n_nationkey".as("snk"), $"n_name".as("supp_nation"))),
+          $"s_nationkey" === $"snk")
+        .groupBy(year($"o_orderdate").cast(LongType).as("o_year"))
+        .agg((outd(sum(when($"supp_nation" === "NATION_3", vol)
+            .otherwise(fac(lit(0))))) /
+          outd(sum(vol))).as("mkt_share"))
+        .orderBy($"o_year")
+    },
+
+    // TPC-H Q9 shape (product-type profit): profit = revenue minus a
+    // cost term (p_retailprice×qty×0.10 stands in for supplycost — no
+    // partsupp in the fixture); all arithmetic in exact decimals,
+    // rounded once at output.
+    "q_tpch_q9" -> { (s, dir) =>
+      import s.implicits._
+      Tables.t(s, dir, "lineitem")
+        .join(broadcast(Tables.t(s, dir, "part")
+            .filter($"p_name".like("%widget%"))),
+          $"l_partkey" === $"p_partkey")
+        .join(broadcast(Tables.t(s, dir, "supplier")),
+          $"l_suppkey" === $"s_suppkey")
+        .join(Tables.t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.t(s, dir, "nation")),
+          $"s_nationkey" === $"n_nationkey")
+        .groupBy($"n_name".as("nation"),
+          year($"o_orderdate").cast(LongType).as("o_year"))
+        .agg(outd(sum(dec($"l_extendedprice") *
+            (fac(lit(1)) - fac($"l_discount")) -
+          dec($"p_retailprice") * dec($"l_quantity") * fac(lit(0.10))))
+          .as("sum_profit"))
+        .orderBy($"nation", $"o_year".desc)
+    },
+
+    // TPC-H Q11 shape (important stock): per-part value vs a fraction
+    // of the total — one grouped sum + one scalar, threshold compared
+    // on identically-rounded doubles on both engines. (partsupp absent:
+    // value derives from lineitem revenue per part.)
+    "q_tpch_q11" -> { (s, dir) =>
+      import s.implicits._
+      val pv = Tables.t(s, dir, "lineitem")
+        .groupBy($"l_partkey".as("p_key"))
+        .agg(sum(dec($"l_extendedprice")).as("v"))
+      val tot = pv.agg(round(sum($"v"), 2).cast(DoubleType).as("tot"))
+      pv.select($"p_key", round($"v", 2).cast(DoubleType).as("value"))
+        .crossJoin(broadcast(tot))
+        .where($"value" > $"tot" * 0.001)
+        .select($"p_key", $"value")
+        .orderBy($"value".desc, $"p_key")
+    },
+
+    // TPC-H Q12 shape (shipping-priority classes): conditional counts
+    // by CASE over the order priority (returnflag stands in for
+    // shipmode).
+    "q_tpch_q12" -> { (s, dir) =>
+      import s.implicits._
+      val high = $"o_orderpriority".isin("1-URGENT", "2-HIGH")
+      Tables.t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
+          $"l_shipdate" < lit("1998-01-01").cast(TimestampType))
+        .join(Tables.t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_returnflag")
+        .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy($"l_returnflag")
+    },
+
+    // TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    // join keeps zero-order customers, two aggregation levels.
+    "q_tpch_q13" -> { (s, dir) =>
+      import s.implicits._
+      val o = Tables.t(s, dir, "orders")
+        .filter($"o_orderpriority" =!= "5-LOW")
+      Tables.t(s, dir, "customer")
+        .join(o, $"c_custkey" === $"o_custkey", "left_outer")
+        .groupBy($"c_custkey")
+        .agg(count($"o_orderkey").as("c_count"))
+        .groupBy($"c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy($"custdist".desc, $"c_count".desc)
+    },
+
+    // TPC-H Q15 shape (top supplier): the max-revenue selection joins
+    // on EXACT decimal sums (equality on rounded doubles could tie
+    // spuriously, equality on doubles could miss by a ULP).
+    "q_tpch_q15" -> { (s, dir) =>
+      import s.implicits._
+      val rev = Tables.t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
+          $"l_shipdate" < lit("1997-04-01").cast(TimestampType))
+        .groupBy($"l_suppkey")
+        .agg(sum(dec($"l_extendedprice") *
+          (fac(lit(1)) - fac($"l_discount"))).as("tr"))
+      val mx = rev.agg(max($"tr").as("mx"))
+      rev.join(broadcast(mx), $"tr" === $"mx")
+        .join(broadcast(Tables.t(s, dir, "supplier")),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", outd($"tr").as("total_revenue"))
+        .orderBy($"s_suppkey")
+    },
+
+    // TPC-H Q16 shape (supplier-part relationship count): DISTINCT
+    // lineitem pairs stand in for partsupp; negative-balance suppliers
+    // are the excluded set (ANTI join — the reference's NOT IN
+    // complaint-supplier subquery).
+    "q_tpch_q16" -> { (s, dir) =>
+      import s.implicits._
+      val bad = Tables.t(s, dir, "supplier")
+        .filter($"s_acctbal" < 0).select($"s_suppkey".as("bad_key"))
+      val pairs = Tables.t(s, dir, "lineitem")
+        .select($"l_partkey", $"l_suppkey").distinct()
+      broadcast(Tables.t(s, dir, "part")
+          .filter($"p_brand" =!= "Brand#1" && $"p_type" =!= "PROMO" &&
+            $"p_size".isin(1, 5, 9, 14, 19, 23, 36, 45)))
+        .join(pairs, $"p_partkey" === $"l_partkey")
+        .join(broadcast(bad), $"l_suppkey" === $"bad_key", "left_anti")
+        .groupBy($"p_brand", $"p_type", $"p_size")
+        .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+        .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+    },
+
+    // TPC-H Q20 shape (potential part promotion): nested semi-join
+    // chain — suppliers who shipped a meaningful volume of the target
+    // parts, scoped to one nation.
+    "q_tpch_q20" -> { (s, dir) =>
+      import s.implicits._
+      val red = Tables.t(s, dir, "part")
+        .filter($"p_name".like("red%")).select($"p_partkey")
+      val shipped = Tables.t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1997-01-01").cast(TimestampType) &&
+          $"l_shipdate" < lit("1998-01-01").cast(TimestampType))
+        .join(broadcast(red), $"l_partkey" === $"p_partkey")
+        .groupBy($"l_suppkey")
+        .agg(sum(dec($"l_quantity")).as("sq"))
+        .where($"sq" > 50)
+      Tables.t(s, dir, "supplier")
+        .join(shipped, $"s_suppkey" === $"l_suppkey", "left_semi")
+        .join(broadcast(Tables.t(s, dir, "nation")
+            .filter($"n_name" === "NATION_4")),
+          $"s_nationkey" === $"n_nationkey")
+        .select($"s_suppkey", $"s_name")
+        .orderBy($"s_name")
+    },
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the classic
+    // EXISTS + NOT EXISTS correlated self-joins over lineitem become a
+    // LEFT SEMI (another supplier touched the order) and a LEFT ANTI
+    // (no OTHER supplier also returned) with the inequality residual in
+    // the join condition. Returnflag stands in for the receipt/commit
+    // lateness predicate.
+    "q_tpch_q21" -> { (s, dir) =>
+      import s.implicits._
+      val l = Tables.t(s, dir, "lineitem")
+      val l1 = l.filter($"l_returnflag" === "R")
+        .join(Tables.t(s, dir, "orders")
+            .filter($"o_orderstatus" === "F").select($"o_orderkey"),
+          $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey".as("ok"), $"l_suppkey".as("sk"))
+      val others = l.select($"l_orderkey".as("ok2"),
+        $"l_suppkey".as("sk2")).distinct()
+      val othersR = l.filter($"l_returnflag" === "R")
+        .select($"l_orderkey".as("ok3"), $"l_suppkey".as("sk3")).distinct()
+      l1.join(others, $"ok" === $"ok2" && $"sk" =!= $"sk2", "left_semi")
+        .join(othersR, $"ok" === $"ok3" && $"sk" =!= $"sk3", "left_anti")
+        .join(broadcast(Tables.t(s, dir, "supplier")),
+          $"sk" === $"s_suppkey")
+        .groupBy($"s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy($"numwait".desc, $"s_name")
+        .limit(10)
+    },
+
+    // TPC-H Q22 shape (global sales opportunity): above-average-balance
+    // customers with no orders — ANTI join + a scalar threshold that is
+    // REARRANGED to bal×count > sum so the comparison stays in exact
+    // decimals (an IEEE average could flip boundary customers between
+    // engines; same trick as Q17).
+    "q_tpch_q22" -> { (s, dir) =>
+      import s.implicits._
+      val segs = Seq("BUILDING", "AUTOMOBILE", "MACHINERY")
+      val c = Tables.t(s, dir, "customer")
+        .filter($"c_mktsegment".isin(segs: _*))
+      val stats = c.filter($"c_acctbal" > 0)
+        .agg(sum(dec($"c_acctbal")).as("sumbal"),
+          count(lit(1)).as("cnt"))
+      c.crossJoin(broadcast(stats))
+        .where(dec($"c_acctbal") * $"cnt" > $"sumbal")
+        .join(Tables.t(s, dir, "orders").select($"o_custkey"),
+          $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment")
+        .agg(count(lit(1)).as("numcust"),
+          outd(sum(dec($"c_acctbal"))).as("totacctbal"))
+        .orderBy($"c_mktsegment")
+    },
+
     // §2.3/§4 correlated scalar subquery → decorrelated join.
     "q_scalar_subquery" -> { (s, dir) =>
       Tables.registerAll(s, dir)
@@ -731,6 +1039,203 @@ object Relational {
       GROUP BY 1, 2, 3, 4, 5
       ORDER BY o_totalprice DESC, o_orderkey
       LIMIT 100""",
+
+    "q_tpch_q2" -> """
+      WITH sup AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'),
+      bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+      cand AS (
+        SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name
+        FROM part
+          JOIN bridge ON p_partkey = l_partkey
+          JOIN sup ON l_suppkey = s_suppkey
+        WHERE p_size = 15 AND p_type = 'STANDARD')
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+      FROM cand c1
+      WHERE s_acctbal = (SELECT min(s_acctbal) FROM cand c2
+                         WHERE c2.p_partkey = c1.p_partkey)
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100""",
+
+    "q_tpch_q4" -> """
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        AND o_orderdate < TIMESTAMP '1997-10-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey
+                      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""",
+
+    "q_tpch_q6" -> """
+      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND CAST(l_discount AS DECIMAL(4,2))
+          BETWEEN CAST(0.02 AS DECIMAL(4,2)) AND CAST(0.05 AS DECIMAL(4,2))
+        AND l_quantity < 24""",
+
+    "q_tpch_q7" -> """
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        year(l_shipdate) AS l_year,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+        AND n1.n_name IN ('NATION_1', 'NATION_2')
+        AND n2.n_name IN ('NATION_1', 'NATION_2')
+        AND n1.n_name <> n2.n_name
+      GROUP BY 1, 2, 3
+      ORDER BY 1, 2, 3""",
+
+    "q_tpch_q8" -> """
+      SELECT year(o_orderdate) AS o_year,
+        CAST(round(sum(CASE WHEN n1.n_name = 'NATION_3'
+            THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+            ELSE CAST(0 AS DECIMAL(4,2)) END), 2) AS DOUBLE)
+        / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+          AS mkt_share
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      WHERE p_type = 'ECONOMY' AND r_name = 'AMERICA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_tpch_q9" -> """
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+          - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.10 AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_profit
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%widget%'
+      GROUP BY 1, 2
+      ORDER BY nation, o_year DESC""",
+
+    "q_tpch_q11" -> """
+      WITH pv AS (
+        SELECT l_partkey AS p_key,
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS value
+        FROM lineitem GROUP BY 1)
+      SELECT p_key, value FROM pv
+      WHERE value > (SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+                     FROM lineitem) * 0.001
+      ORDER BY value DESC, p_key""",
+
+    "q_tpch_q12" -> """
+      SELECT l_returnflag,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_returnflag
+      ORDER BY l_returnflag""",
+
+    "q_tpch_q13" -> """
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer
+              LEFT OUTER JOIN orders ON c_custkey = o_custkey
+                AND o_orderpriority <> '5-LOW'
+            GROUP BY c_custkey) cc
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""",
+
+    "q_tpch_q15" -> """
+      WITH rev AS (
+        SELECT l_suppkey,
+          sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS tr
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY 1)
+      SELECT s_suppkey, s_name,
+        CAST(round(tr, 2) AS DOUBLE) AS total_revenue
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE tr = (SELECT max(tr) FROM rev)
+      ORDER BY s_suppkey""",
+
+    "q_tpch_q16" -> """
+      SELECT p_brand, p_type, p_size,
+        count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) b
+        JOIN part ON p_partkey = l_partkey
+      WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+
+    "q_tpch_q20" -> """
+      SELECT s_suppkey, s_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_4'
+        AND s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'red%'
+            AND l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY l_suppkey
+          HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+      ORDER BY s_name""",
+
+    "q_tpch_q21" -> """
+      SELECT s_name, count(*) AS numwait
+      FROM lineitem l1
+        JOIN orders ON l1.l_orderkey = o_orderkey
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+      WHERE l1.l_returnflag = 'R' AND o_orderstatus = 'F'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 10""",
+
+    "q_tpch_q22" -> """
+      WITH stats AS (
+        SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sumbal,
+          count(*) AS cnt
+        FROM customer
+        WHERE c_acctbal > 0
+          AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY'))
+      SELECT c_mktsegment, count(*) AS numcust,
+        CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+      FROM customer, stats
+      WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
+        AND CAST(c_acctbal AS DECIMAL(12,2)) * cnt > sumbal
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_mktsegment
+      ORDER BY c_mktsegment""",
 
     "q_scalar_subquery" -> """
       SELECT o_orderkey, o_custkey, o_totalprice AS price

@@ -1263,9 +1263,13 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
         case _ => sb.append(c); i += 1
       }
     }
-    sb.toString.replaceAll(
-      "(?i)\\b(?:UNSIGNED_)?(?:DATE|TIME|TIMESTAMP)\\s*('(?:[^']|'')*')",
-      "TIMESTAMP $1")
+    sb.toString
+      .replaceAll(
+        "(?i)\\b(?:UNSIGNED_)?(?:DATE|TIME|TIMESTAMP)\\s*('(?:[^']|'')*')",
+        "TIMESTAMP $1")
+      // ANSI FETCH FIRST/NEXT n ROWS ONLY (g: fetch_node) → LIMIT
+      .replaceAll("(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY",
+        "LIMIT $1")
   }
 
   /** RVC OFFSET keyset pagination in SQL (reference RVCOffsetCompiler;

@@ -855,6 +855,16 @@ class PhoenixSqlSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("invalid TTL"))
   }
 
+  test("FETCH FIRST/NEXT n ROWS ONLY (g: fetch_node) maps to LIMIT") {
+    val px = fresh()
+    px.execute("CREATE TABLE FF (K BIGINT NOT NULL PRIMARY KEY)")
+    (1 to 5).foreach(i => px.execute(s"UPSERT INTO FF VALUES ($i)"))
+    assert(px.execute("SELECT K FROM FF ORDER BY K FETCH FIRST 2 ROWS ONLY")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(px.execute("SELECT K FROM FF ORDER BY K DESC FETCH NEXT 1 ROW ONLY")
+      .collect().map(_.getLong(0)).toSeq == Seq(5L))
+  }
+
   test("column DEFAULT values: CREATE TABLE / ALTER ADD defaults apply " +
       "when the write omits the column; explicit NULL stays NULL " +
       "(DefaultColumnValueIT shapes)") {

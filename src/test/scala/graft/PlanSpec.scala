@@ -56,6 +56,36 @@ class PlanSpec extends AnyFunSuite {
       "top-100 must push the limit into the sort")
   }
 
+  test("tpch q21: EXISTS/NOT-EXISTS compile to hash semi/anti joins, " +
+      "never a nested loop") {
+    val p = plan("q_tpch_q21")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      "the correlated self-joins must stay semi/anti")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "the suppkey inequality must ride as a join residual on the " +
+        "orderkey equi-join, not force a nested loop")
+  }
+
+  test("tpch q7: nation dims broadcast pre-filtered; ship-date range " +
+      "reaches the lineitem scan") {
+    val p = plan("q_tpch_q7")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 3,
+      s"supplier + both nation dims must broadcast, got $broadcasts")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"),
+      "ship-date range must reach the lineitem scan")
+  }
+
+  test("tpch q13: left join keeps zero-order customers without a " +
+      "nested loop; two aggregation levels partial+final") {
+    val p = plan("q_tpch_q13")
+    assert(p.contains("LeftOuter"), "customer-orders must stay left outer")
+    assert(!p.contains("CartesianProduct"))
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "both aggregation levels must have partial+final phases")
+  }
+
   test("grouped aggregation is partial+final") {
     val p = plan("q1_agg")
     val hashAggs = "HashAggregate".r.findAllIn(p).length
