@@ -128,6 +128,32 @@ object Curation {
   /** Deterministic train/validation/test assignment from the id hash:
     * stable across runs, engines, and table layouts (no sampling state).
     * Scan-local — composes under any downstream groupBy/filter. */
+  /** Deterministic epoch shuffle + shard assignment (trainer data-order
+    * prep): epoch e permutes the corpus by the portable multiplicative
+    * hash of (id + e·1000003) — a different but fully reproducible
+    * order per epoch, identical across engines, layouts, partition
+    * counts and runs (what makes a training run resumable and an
+    * ordering bug bisectable). Shards are ranges of the hash space
+    * (`floor(key / (2^32/shards))`), so assignment is SCAN-LOCAL —
+    * no count, no global sort, no window; the trainer's writer does
+    * `PARTITION BY shard` + sort-within-partition by `shuffle_key` and
+    * each worker reads exactly its shard's files. Shard sizes are
+    * equal in expectation (hash-uniform), which is the trainer
+    * contract; exactly-equal sizes would need a global prefix sum for
+    * zero practical gain.
+    *
+    * @return input columns + (shuffle_key, shard)
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int,
+      shards: Int = 16): DataFrame = {
+    require(shards > 0 && 4294967296L % shards == 0,
+      s"shards must divide the 2^32 hash space, got $shards")
+    val key = hash32(col(idCol) + lit(epoch.toLong * 1000003L))
+    df.withColumn("shuffle_key", key)
+      .withColumn("shard",
+        floor(col("shuffle_key") / lit((4294967296L / shards).toDouble)))
+  }
+
   def trainValTestSplit(df: DataFrame, idCol: String,
       trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
     val f = hashFrac(col(idCol))

@@ -496,6 +496,16 @@ object Pipeline {
         .orderBy(col("doc"))
     },
 
+    // Deterministic epoch shuffle (trainer data-order prep): per-epoch
+    // reproducible permutation + scan-local hash-range shard assignment
+    // — the portable hash makes the oracle reproduce the exact order.
+    "q_epoch_shuffle" -> { (s, dir) =>
+      Curation.epochShuffle(
+          Tables.t(s, dir, "documents").select(col("doc_id")),
+          "doc_id", epoch = 3, shards = 8)
+        .orderBy(col("shard"), col("shuffle_key"), col("doc_id"))
+    },
+
     // Deterministic train/val/test assignment (portable multiplicative
     // hash — stable across runs/engines/layouts); per-split × language
     // counts verify the stratification.
@@ -1731,6 +1741,15 @@ object Pipeline {
         CASE WHEN CAST(n_hit AS DOUBLE) / n_grams >= 0.5 THEN 1 ELSE 0 END
           AS contaminated
       FROM cand WHERE n_hit > 0 ORDER BY doc""",
+
+    "q_epoch_shuffle" -> """
+      WITH k AS (SELECT doc_id,
+        ((doc_id + 3000009) * 2654435761) % 4294967296 AS shuffle_key
+        FROM documents)
+      SELECT doc_id, CAST(shuffle_key AS BIGINT) AS shuffle_key,
+        CAST(floor(shuffle_key / 536870912.0) AS BIGINT) AS shard
+      FROM k
+      ORDER BY shard, shuffle_key, doc_id""",
 
     "q_train_split" -> """
       WITH t AS (SELECT lang,

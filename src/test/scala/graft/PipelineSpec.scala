@@ -2149,4 +2149,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(pr5(1L) == pr5.values.max)
     assert(math.abs(pr5(5L) - pr5(2L)) < 1e-12)
   }
+
+  test("epoch shuffle: reproducible per-epoch permutation, scan-local " +
+      "hash-range shards") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val ids = (0L until 1000L).toDF("id")
+    val e1 = Curation.epochShuffle(ids, "id", epoch = 1, shards = 8)
+    val e1b = Curation.epochShuffle(ids.repartition(7), "id", epoch = 1,
+      shards = 8)
+    val e2 = Curation.epochShuffle(ids, "id", epoch = 2, shards = 8)
+    def order(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy(col("shuffle_key"), col("id"))
+        .collect().map(_.getLong(0)).toSeq
+    // layout-invariant: same epoch -> identical order regardless of
+    // partitioning
+    assert(order(e1) == order(e1b))
+    // different epochs genuinely permute differently
+    assert(order(e1) != order(e2))
+    // every doc appears exactly once, shards cover 0..7 and are
+    // roughly balanced (hash-uniform: no shard 3x the mean)
+    assert(order(e1).sorted == (0L until 1000L))
+    val sizes = e1.groupBy(col("shard")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == (0L until 8L).toSet, s"shards: $sizes")
+    assert(sizes.values.max < 3 * 125, s"skewed shards: $sizes")
+    // assignment is scan-local: no exchange in the plan before the
+    // columns exist
+    val plan = e1.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"shard assignment must not shuffle:\n$plan")
+    // shards must divide the hash space
+    intercept[IllegalArgumentException](
+      Curation.epochShuffle(ids, "id", 1, shards = 7))
+  }
 }
