@@ -379,7 +379,10 @@ object BsonConditionEval {
           case "BOOL" => f.isBoolean
           case "NULL" => f.isNull
           case "L" => f.isArray
-          case "M" => f.isObject && !normBin(f).isBinary
+          // a set's {"$set": [...]} carrier and the $binary spelling
+          // are OBJECTS in the internal representation but not
+          // documents to the type system
+          case "M" => f.isObject && !isSet(f) && !normBin(f).isBinary
           case "SS" => isSet(f) && f.get("$set").size() > 0 &&
             f.get("$set").get(0).isTextual
           case "NS" => isSet(f) && f.get("$set").size() > 0 &&

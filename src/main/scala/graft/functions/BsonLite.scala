@@ -72,9 +72,13 @@ object BsonLite {
           val b = v.binaryValue()
           body.write(le32(b.length)); body.write(0x00)
           body.write(b, 0, b.length)
-        case _ if v.isObject && v.size() == 1 && v.has("$binary") =>
+        case _ if v.isObject && v.size() == 1 && v.get("$binary") != null &&
+            v.get("$binary").isObject &&
+            v.get("$binary").get("base64") != null =>
           // MongoDB extended-JSON spelling from JSON text input:
-          // {"$binary": {"base64": "...", "subType": "00"}}
+          // {"$binary": {"base64": "...", "subType": "00"}} — the full
+          // shape is required; a malformed {"$binary": "..."} falls
+          // through to the plain document branch instead of NPE-ing
           val bin = v.get("$binary")
           val b = java.util.Base64.getDecoder
             .decode(bin.get("base64").asText())

@@ -55,12 +55,19 @@ object Materialize {
       measures: Seq[String], path: String): Long = {
     val spark = cat.changeLog(table).sparkSession
     import spark.implicits._
+    // sample the clock BEFORE constructing the snapshot: its TTL cutoff
+    // is evaluated at plan-construction time, and stamping meta with a
+    // LATER clock would start the next refresh's expiry window past
+    // rows that expired during the build — they would be counted in
+    // this state yet never retracted
+    val ts = cat.clock()
     val v = highWater(cat, table)
     aggregate(cat.snapshot(table), groupCols, measures)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/state_v$v")
-    Seq((v, groupCols, measures, cat.clock(), s"state_v$v"))
+    Seq((v, groupCols, measures, ts, s"state_v$v",
+        cat.ttlSeconds(table).getOrElse(-1L)))
       .toDF("last_version", "group_cols", "measures", "refresh_ts",
-        "state_dir")
+        "state_dir", "ttl_at_refresh")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     v
   }
@@ -123,7 +130,14 @@ object Materialize {
       .agg(coalesce(min(col("_version")), lit(Long.MaxValue)))
       .head.getLong(0)
     val hasRefreshTs = meta.schema.fieldNames.contains("refresh_ts")
-    if (minV > lastV || !hasRefreshTs)
+    // an ALTER SET TTL between refreshes invalidates the expiry-window
+    // algebra in BOTH directions (a shortened TTL leaves rows below the
+    // new window start unretracted; a lengthened/removed one can't
+    // resurrect already-retracted rows) — only a rebuild is correct
+    val ttlChanged = meta.schema.fieldNames.contains("ttl_at_refresh") &&
+      meta.getAs[Long]("ttl_at_refresh") != ttl.getOrElse(-1L)
+    if (minV > lastV || !hasRefreshTs || ttlChanged ||
+        !meta.schema.fieldNames.contains("ttl_at_refresh"))
       return build(cat, table, groupCols, measures, path)
     val lastRefreshMs = meta.getAs[Long]("refresh_ts")
     val nowMs = cat.clock()
@@ -232,9 +246,10 @@ object Materialize {
       .unionByName(recomputed)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/$newDir")
     import spark.implicits._
-    Seq((newV, groupCols, measures, nowMs, newDir))
+    Seq((newV, groupCols, measures, nowMs, newDir,
+        ttl.getOrElse(-1L)))
       .toDF("last_version", "group_cols", "measures", "refresh_ts",
-        "state_dir")
+        "state_dir", "ttl_at_refresh")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     newV
   }

@@ -265,7 +265,22 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         }: _*))
       .withColumn("_version", lit(v))
       .withColumn("_deleted", lit(false))
-      .withColumn("_ts", lit(nowTs))
+      // the ROW_TIMESTAMP column IS the cell timestamp in the reference
+      // (RowTimestampIT: an explicit value drives scan TimeRange
+      // visibility and TTL) — so when the table declares one, `_ts`
+      // takes the row's value (batch clock only where it was omitted
+      // and the padding already filled it). Note: such tables trade
+      // away the one-_ts-per-file parquet stats pruning that
+      // constant-stamped batches give the MV expiry probe.
+      .withColumn("_ts", fields
+        .find(_.metadata.contains(GraftCatalog.RowTimestampKey)) match {
+          case Some(f) if f.dataType == LongType =>
+            coalesce(timestamp_millis(col(phys(name, f.name))), lit(nowTs))
+          case Some(f) =>
+            coalesce(col(phys(name, f.name)).cast(TimestampType),
+              lit(nowTs))
+          case None => lit(nowTs)
+        })
       .write.mode(SaveMode.Append).parquet(s"${dir(name)}/data")
     v
   }

@@ -1058,6 +1058,14 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     if (!tuples.forall(oneGroup))
       throw new IllegalArgumentException(
         s"cannot parse VALUES tuple list: $s")
+    // ragged tuple lists error CLEANLY here, not as a positional
+    // UNION-arity AnalysisException out of the row assembly below
+    val arities = tuples
+      .map(t => splitTopLevel(t.substring(1, t.length - 1), ',').length)
+      .distinct
+    if (arities.length > 1)
+      throw new IllegalArgumentException(
+        s"UPSERT VALUES tuples have differing arities $arities: $s")
     // NEXT/CURRENT VALUE FOR seq → driver-side sequence stepping. All
     // NEXT references to one sequence in a TUPLE share the stepped
     // value (reference SequenceManager coalesces per row), and CURRENT
@@ -1240,9 +1248,16 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
   private[graft] def normalizeQueryText(q: String): String = {
     val sb = new StringBuilder(q.length)
     var i = 0; var inStr = false; var inLine = false; var inBlock = false
+    // inside a double-quoted (→ backticked) IDENTIFIER nothing else
+    // tokenizes — an apostrophe in "o'brien" must not open a string
+    var inId = false
     while (i < q.length) {
       val c = q.charAt(i)
       if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (inId) {
+        if (c == '"') { sb.append('`'); inId = false } else sb.append(c)
+        i += 1
+      }
       else if (inLine) { sb.append(c); if (c == '\n') inLine = false; i += 1 }
       else if (inBlock) {
         if (c == '*' && i + 1 < q.length && q.charAt(i + 1) == '/') {
@@ -1257,19 +1272,48 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
           inBlock = true; sb.append("/*"); i += 2
         case '/' if i + 1 < q.length && q.charAt(i + 1) == '/' =>
           inLine = true; sb.append("--"); i += 2
-        case '"' => sb.append('`'); i += 1
+        case '"' => sb.append('`'); inId = true; i += 1
         case w if Character.isWhitespace(w) || Character.isSpaceChar(w) =>
           sb.append(' '); i += 1
         case _ => sb.append(c); i += 1
       }
     }
-    sb.toString
-      .replaceAll(
-        "(?i)\\b(?:UNSIGNED_)?(?:DATE|TIME|TIMESTAMP)\\s*('(?:[^']|'')*')",
-        "TIMESTAMP $1")
-      // ANSI FETCH FIRST/NEXT n ROWS ONLY (g: fetch_node) → LIMIT
-      .replaceAll("(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY",
-        "LIMIT $1")
+    val n = sb.toString
+    val s1 = replaceOutsideLiterals(n,
+      ("(?i)\\b(?:UNSIGNED_)?(?:DATE|TIME|TIMESTAMP)" +
+        "\\s*('(?:[^']|'')*')").r)(m => "TIMESTAMP " + m.group(1))
+    // ANSI FETCH FIRST/NEXT n ROWS ONLY (g: fetch_node) → LIMIT
+    replaceOutsideLiterals(s1,
+      "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY".r)(
+      m => "LIMIT " + m.group(1))
+  }
+
+  /** true at positions strictly INSIDE single-quoted literals or
+    * backticked identifiers (content + closing delimiter); the opening
+    * delimiter itself is false, so a rewrite may still match a whole
+    * quoted operand but never text inside one. Keeps the regex rewrite
+    * passes (type literals, FETCH, ANY/ALL, RVC OFFSET) from
+    * corrupting literal VALUES like 'x = ANY(tags)'. */
+  private def literalMask(s: String): Array[Boolean] = {
+    val m = new Array[Boolean](s.length + 1)
+    var inStr = false; var inId = false
+    var i = 0
+    while (i < s.length) {
+      m(i) = inStr || inId
+      val c = s.charAt(i)
+      if (c == '\'' && !inId) inStr = !inStr
+      else if (c == '`' && !inStr) inId = !inId
+      i += 1
+    }
+    m
+  }
+
+  private def replaceOutsideLiterals(s: String,
+      re: scala.util.matching.Regex)(
+      repl: scala.util.matching.Regex.Match => String): String = {
+    val mask = literalMask(s)
+    re.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+      if (mask(m.start)) m.matched else repl(m)))
   }
 
   /** RVC OFFSET keyset pagination in SQL (reference RVCOffsetCompiler;
@@ -1282,6 +1326,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val re = "(?is)\\bOFFSET\\s*\\(([^)]*)\\)\\s*=\\s*\\(([^)]*)\\)\\s*$".r
     re.findFirstMatchIn(s) match {
       case None => s
+      case Some(m) if literalMask(s)(m.start) => s // inside a literal
       case Some(m) =>
         val core0 = s.substring(0, m.start).trim
         val lim = "(?is)\\bLIMIT\\s+(\\d+)\\s*$".r
@@ -1302,21 +1347,18 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     * forall. The subquery form (`= ANY (SELECT ...)`) passes through —
     * Spark parses that natively. The LHS match is a literal or a
     * dotted identifier (the reference grammar's operand shapes). */
-  private def rewriteAnyAll(s: String): String = {
-    val re = ("(?is)('(?:[^']|'')*'|[\\w.`]+)\\s*(=|!=|<>|<=|>=|<|>)" +
-      "\\s*(ANY|ALL)\\s*\\(([^()]*)\\)").r
-    re.replaceAllIn(s, m => {
+  private def rewriteAnyAll(s: String): String =
+    replaceOutsideLiterals(s,
+      ("(?is)('(?:[^']|'')*'|[\\w.`]+)\\s*(=|!=|<>|<=|>=|<|>)" +
+        "\\s*(ANY|ALL)\\s*\\(([^()]*)\\)").r) { m =>
       val arg = m.group(4)
-      if (arg.trim.toLowerCase.startsWith("select"))
-        java.util.regex.Matcher.quoteReplacement(m.group(0))
+      if (arg.trim.toLowerCase.startsWith("select")) m.group(0)
       else {
         val fn =
           if (m.group(3).equalsIgnoreCase("ANY")) "exists" else "forall"
-        java.util.regex.Matcher.quoteReplacement(
-          s"$fn($arg, __e -> ${m.group(1)} ${m.group(2)} __e)")
+        s"$fn($arg, __e -> ${m.group(1)} ${m.group(2)} __e)"
       }
-    })
-  }
+    }
 
   /** The full lexical pipeline query text passes before Spark's parser:
     * dialect normalization, RVC-offset pagination, array ANY/ALL. */
@@ -1327,15 +1369,20 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val s0 = prepareQueryText(sRaw)
     val (s, noIndex) = rewriteHints(s0)
     // re-register only what changed since the last SELECT; any base-table
-    // change invalidates views too (their plans pin the base's files)
-    if (dirty.nonEmpty || viewsStale || cdcStale) {
-      dirty.filter(tableNames.contains).foreach(t =>
+    // change invalidates views too (their plans pin the base's files).
+    // Tables with a finite TTL are ALWAYS stale: their snapshot plan
+    // pins the expiry cutoff as a literal sampled at registration time
+    // (the catalog clock), so a cached view would keep serving rows
+    // that have since aged out.
+    val ttlStale = tableNames.filter(t => catalog.ttlSeconds(t).isDefined)
+    if (dirty.nonEmpty || viewsStale || cdcStale || ttlStale.nonEmpty) {
+      (dirty ++ ttlStale).filter(tableNames.contains).foreach(t =>
         currentScn.map(catalog.snapshotAsOfTime(t, _))
           .getOrElse(catalog.snapshot(t)).createOrReplaceTempView(t))
       viewNames.foreach(v =>
         catalog.view(v, currentScn).createOrReplaceTempView(v))
       cdcDefs.foreach { case (n, (t, scopes)) =>
-        if (cdcStale || dirty.contains(t))
+        if (cdcStale || dirty.contains(t) || ttlStale.contains(t))
           catalog.cdcImages(t, scopes = scopes).createOrReplaceTempView(n)
       }
       // bare-name aliases for the current schema's tables/views/CDCs

@@ -133,6 +133,14 @@ class BsonConditionSpec extends AnyFunSuite {
     // document-style spelling too
     assert(condOn(bdoc,
       s"""{"BinId": {"$$gt": ${bin("V2hpdA==")}}}""").get)
+    // a malformed {"$binary": "..."} (string, not the object shape)
+    // encodes as a plain document instead of NPE-ing
+    assert(condOn("""{"a": {"$binary": "AAAA"}}""",
+      """{"$EXPR": "field_exists(a.$binary)", "$VAL": {}}""").get)
+    // a set carrier is NOT a document to the type system
+    assert(!c("field_type(Bins, :t)", """{":t": "M"}"""),
+      "field_type M must be false for a {$set: [...]} value")
+    assert(!c("field_type(BinId, :t2)", """{":t2": "L"}"""))
   }
 
   test("document-style conditions: $eq/$lt/$exists/$and/$or") {

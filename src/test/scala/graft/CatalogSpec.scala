@@ -880,6 +880,39 @@ class CatalogSpec extends AnyFunSuite {
     assert(Materialize.refresh(cat2, "e", mv2) == vSame)
   }
 
+  test("ALTER SET TTL between refreshes forces an MV rebuild (the " +
+      "expiry-window algebra is void under a changed TTL)") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val wh = java.nio.file.Files.createTempDirectory("graft_ttlalt").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("e", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"),
+      props = Map("TTL" -> "3600"))
+    val t0 = System.currentTimeMillis()
+    // row written 10 min ago: alive under TTL=3600, expired under 60
+    cat.clock = () => t0 - 600000L
+    cat.upsert("e", Seq((1L, "old", 5L)).toDF("k", "g", "x"))
+    cat.clock = () => t0
+    val mv = s"$wh/mv"
+    Materialize.build(cat, "e", Seq("g"), Seq("x"), mv)
+    assert(Materialize.read(spark, mv).count() == 1)
+    // shorten the TTL: the old row's _ts is BELOW the incremental
+    // expiry window start (lastRefresh-60), so the window probe alone
+    // would never retract it — the TTL change must force a rebuild
+    cat.alterSetProps("e", Map("TTL" -> "60"))
+    cat.upsert("e", Seq((2L, "new", 3L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat, "e", mv)
+    val got = Materialize.read(spark, mv).collect().map(_.getString(0)).toSet
+    assert(got == Set("new"),
+      s"shortened TTL must retract the out-of-window row: $got")
+    // and equality with the snapshot aggregate holds
+    val want = Materialize.aggregate(cat.snapshot("e"), Seq("g"), Seq("x"))
+      .collect().map(_.toSeq).toSet
+    assert(Materialize.read(spark, mv).collect().map(_.toSeq).toSet == want)
+  }
+
   test("ALTER TABLE SET TTL is case-insensitive to the CREATE-time " +
       "property key spelling") {
     import spark.implicits._

@@ -855,6 +855,58 @@ class PhoenixSqlSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("invalid TTL"))
   }
 
+  test("TTL tables re-register per SELECT: expiry shows without any " +
+      "write dirtying the cached view") {
+    import org.apache.spark.sql.functions.col
+    val px = fresh()
+    px.execute("CREATE TABLE TT (K BIGINT NOT NULL PRIMARY KEY, " +
+      "V VARCHAR) TTL=60")
+    val t0 = System.currentTimeMillis()
+    px.catalog.clock = () => t0
+    px.execute("UPSERT INTO TT VALUES (1, 'a')")
+    px.execute("UPSERT INTO TT VALUES (2, 'b')")
+    assert(px.execute("SELECT K FROM TT").count() == 2)
+    // time passes, NO writes: the snapshot temp view registered by the
+    // first SELECT pinned its expiry cutoff as a literal — a stale
+    // cache would keep serving both rows forever
+    px.catalog.clock = () => t0 + 120000L
+    assert(px.execute("SELECT K FROM TT").count() == 0,
+      "expired rows must vanish on the NEXT query, not the next write")
+    px.catalog.clock = () => System.currentTimeMillis()
+  }
+
+  test("lexical rewrites never touch string-literal content; quoted " +
+      "identifiers may contain apostrophes") {
+    val px = fresh()
+    // ANY/FETCH/type-literal shapes INSIDE a literal pass through
+    val s1 = px.prepareQueryText(
+      "SELECT * FROM t WHERE note = 'x = ANY(tags)'")
+    assert(s1.contains("'x = ANY(tags)'"), s1)
+    val s2 = px.prepareQueryText(
+      "SELECT * FROM t WHERE note = 'FETCH FIRST 5 ROWS ONLY'")
+    assert(s2.contains("'FETCH FIRST 5 ROWS ONLY'"), s2)
+    val s3 = px.prepareQueryText(
+      "SELECT * FROM t WHERE note = 'on DATE ''2020-01-01'' it rained'")
+    assert(s3.contains("'on DATE ''2020-01-01'' it rained'"), s3)
+    // ... while the real spellings still rewrite in the same statement
+    val s4 = px.prepareQueryText(
+      "SELECT * FROM t WHERE d = DATE '2020-01-01' AND note = 'DATE x' " +
+        "FETCH FIRST 3 ROWS ONLY")
+    assert(s4.contains("TIMESTAMP '2020-01-01'") &&
+      s4.contains("'DATE x'") && s4.contains("LIMIT 3"), s4)
+    // an apostrophe inside a quoted identifier must not open a string
+    val s5 = px.prepareQueryText("SELECT \"o'brien\" FROM t WHERE a = 'x'")
+    assert(s5.contains("`o'brien`") && s5.contains("'x'"), s5)
+  }
+
+  test("ragged multi-row VALUES arities fail cleanly") {
+    val px = fresh()
+    px.execute("CREATE TABLE RG (A BIGINT NOT NULL PRIMARY KEY, B BIGINT)")
+    val e = intercept[IllegalArgumentException](
+      px.execute("UPSERT INTO RG VALUES (1, 2), (3)"))
+    assert(e.getMessage.contains("differing arities"))
+  }
+
   test("FETCH FIRST/NEXT n ROWS ONLY (g: fetch_node) maps to LIMIT") {
     val px = fresh()
     px.execute("CREATE TABLE FF (K BIGINT NOT NULL PRIMARY KEY)")
@@ -933,6 +985,16 @@ class PhoenixSqlSpec extends AnyFunSuite {
       .collect().head
     assert(prt.getAs[java.sql.Timestamp]("pk2").getTime ==
       prt.getAs[java.sql.Timestamp]("phoenix_row_timestamp").getTime)
+    // an EXPLICIT value drives the cell timestamp (`_ts`), so SCN
+    // visibility keys off the declared ROW_TIMESTAMP, not the wall
+    // clock of the write (RowTimestampIT: the column IS the HBase cell
+    // timestamp): a read point after 2020 but before now sees row 'a'
+    // and not the wall-clock-stamped 'b'
+    val mid = new java.sql.Timestamp(
+      java.sql.Timestamp.valueOf("2021-01-01 00:00:00").getTime)
+    assert(px.catalog.snapshotAsOfTime("rt", mid).collect()
+      .map(_.getString(0)).toSeq == Seq("a"),
+      "explicit ROW_TIMESTAMP must be the SCN-visible cell timestamp")
     // a BIGINT spelling carries epoch millis; inline PK form
     px.execute("CREATE TABLE RTL (K BIGINT PRIMARY KEY ROW_TIMESTAMP, " +
       "V VARCHAR)")
