@@ -74,6 +74,42 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     // Spark's AQE runtime statistics replace them — accepted as a no-op
     // so reference clients run unmodified (like SALT_BUCKETS).
     else if (up.startsWith("UPDATE STATISTICS")) spark.emptyDataFrame
+    // TRACE ON/OFF toggled HTrace spans (g: trace_node); Spark's own
+    // event log / UI is the tracing surface — accepted as a no-op.
+    else if (up.startsWith("TRACE ")) {
+      System.err.println("[graft-sql] TRACE is a no-op: use the Spark " +
+        "UI/event log for tracing")
+      spark.emptyDataFrame
+    }
+    // ALTER SESSION SET CONSISTENCY steered HBase timeline-consistent
+    // reads (g: alter_session_node) — no analog, accepted as a no-op.
+    else if (up.startsWith("ALTER SESSION")) {
+      System.err.println("[graft-sql] ALTER SESSION is a no-op here")
+      spark.emptyDataFrame
+    }
+    // EXECUTE UPGRADE migrated the SYSTEM catalog tables between
+    // Phoenix versions (g: execute_upgrade_node) — this catalog has no
+    // versioned SYSTEM tables, so there is nothing to upgrade.
+    else if (up.startsWith("EXECUTE UPGRADE")) spark.emptyDataFrame
+    // ADD JARS / LIST JARS / DELETE JAR (g: add_jars_node..) — the UDF
+    // jar surface. ADD registers with the Spark context (same scope as
+    // CREATE FUNCTION ... USING JAR); LIST reads back; DELETE cannot
+    // unload a jar from a running JVM (true in the reference's HBase
+    // region servers too) and warns.
+    else if (up.startsWith("ADD JARS")) {
+      "'([^']+)'".r.findAllMatchIn(s).map(_.group(1))
+        .foreach(spark.sparkContext.addJar)
+      spark.emptyDataFrame
+    }
+    else if (up.startsWith("LIST JARS")) {
+      import spark.implicits._
+      spark.sparkContext.listJars().toDF("jar_location")
+    }
+    else if (up.startsWith("DELETE JAR")) {
+      System.err.println("[graft-sql] DELETE JAR is a no-op: a jar " +
+        "cannot be unloaded from a running JVM")
+      spark.emptyDataFrame
+    }
     else if (up.startsWith("CREATE INDEX") || up.startsWith("DROP INDEX") ||
         up.startsWith("CREATE LOCAL INDEX"))
       throw new IllegalArgumentException(
@@ -1283,9 +1319,12 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       ("(?i)\\b(?:UNSIGNED_)?(?:DATE|TIME|TIMESTAMP)" +
         "\\s*('(?:[^']|'')*')").r)(m => "TIMESTAMP " + m.group(1))
     // ANSI FETCH FIRST/NEXT n ROWS ONLY (g: fetch_node) → LIMIT
-    replaceOutsideLiterals(s1,
+    val s2 = replaceOutsideLiterals(s1,
       "(?i)\\bFETCH\\s+(?:FIRST|NEXT)\\s+(\\d+)\\s+ROWS?\\s+ONLY".r)(
       m => "LIMIT " + m.group(1))
+    // OFFSET n ROW/ROWS (g: offset_node allows the unit word) → OFFSET n
+    replaceOutsideLiterals(s2,
+      "(?i)\\bOFFSET\\s+(\\d+)\\s+ROWS?\\b".r)(m => "OFFSET " + m.group(1))
   }
 
   /** true at positions strictly INSIDE single-quoted literals or

@@ -915,6 +915,20 @@ class PhoenixSqlSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
     assert(px.execute("SELECT K FROM FF ORDER BY K DESC FETCH NEXT 1 ROW ONLY")
       .collect().map(_.getLong(0)).toSeq == Seq(5L))
+    // OFFSET with the optional unit word
+    assert(px.execute("SELECT K FROM FF ORDER BY K LIMIT 2 OFFSET 1 ROWS")
+      .collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
+  test("admin statement surface: TRACE / ALTER SESSION / EXECUTE " +
+      "UPGRADE / jar management all dispatch") {
+    val px = fresh()
+    px.execute("TRACE ON")
+    px.execute("TRACE OFF")
+    px.execute("ALTER SESSION SET CONSISTENCY = 'TIMELINE'")
+    px.execute("EXECUTE UPGRADE")
+    assert(px.execute("LIST JARS").columns.toSeq == Seq("jar_location"))
+    px.execute("DELETE JAR 'hdfs:/nowhere.jar'")
   }
 
   test("column DEFAULT values: CREATE TABLE / ALTER ADD defaults apply " +
