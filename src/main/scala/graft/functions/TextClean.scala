@@ -218,7 +218,7 @@ object ScriptProfileKernel {
     val str = s.toString
     var i = 0
     var latin = 0; var cyr = 0; var han = 0; var arabic = 0
-    var digit = 0; var total = 0
+    var other = 0; var digit = 0; var total = 0
     while (i < str.length) {
       val cp = str.codePointAt(i)
       val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B ||
@@ -235,17 +235,22 @@ object ScriptProfileKernel {
           case UnicodeScript.CYRILLIC => cyr += 1
           case UnicodeScript.HAN => han += 1
           case UnicodeScript.ARABIC => arabic += 1
-          case _ => ()
+          // LETTERS of any other script (Greek, Hangul, Hebrew,
+          // Devanagari, ...): without this bucket a document stuffed
+          // with an unnamed script would read as pure dominant-script
+          // text — invisible to the mixed flag it exists to trip
+          case _ => if (Character.isLetter(cp)) other += 1
         }
       }
       i += Character.charCount(cp)
     }
-    new GenericInternalRow(Array[Any](latin, cyr, han, arabic, digit, total))
+    new GenericInternalRow(Array[Any](latin, cyr, han, arabic, other, digit, total))
   }
 }
 
 /** SCRIPT_PROFILE(string) → struct<latin:int, cyrillic:int, han:int,
-  * arabic:int, digit:int, total:int> (see [[ScriptProfileKernel]]).
+  * arabic:int, other:int, digit:int, total:int> (see
+  * [[ScriptProfileKernel]]; `other` = letters of any unnamed script).
   * Null in → null struct. */
 case class ScriptProfile(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StructType(Seq(
@@ -253,6 +258,7 @@ case class ScriptProfile(child: Expression) extends UnaryExpression {
     StructField("cyrillic", IntegerType, nullable = false),
     StructField("han", IntegerType, nullable = false),
     StructField("arabic", IntegerType, nullable = false),
+    StructField("other", IntegerType, nullable = false),
     StructField("digit", IntegerType, nullable = false),
     StructField("total", IntegerType, nullable = false)))
 

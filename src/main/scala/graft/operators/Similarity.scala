@@ -112,7 +112,12 @@ object Similarity {
     }
     val n = rows.length
     val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
-    val maxSim = Array.fill(n)(0.0) // max cos vs selected so far
+    // max cos vs selected so far; -inf start (NOT 0) — clamping at 0
+    // would erase the diversity BONUS for candidates anti-similar to
+    // everything selected (Carbonell-Goldstein subtracts the true max
+    // cosine, negative or not). Every selection updates all entries, so
+    // the sentinel never reaches a score.
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
     val taken = new Array[Boolean](n)
     var exhausted = false
     while (!exhausted && selected.length < math.min(k, n)) {
@@ -287,15 +292,17 @@ object Similarity {
     graft.functions.GraftFunctions.register(assigned.sparkSession)
     val qv = toDoubles(assigned.where(col("id") === queryId)
       .select(col("v")).head().getSeq[Any](0))
-    def cos(c: Array[Double]): Double = {
-      var dp = 0.0; var n1 = 0.0; var n2 = 0.0
-      var i = 0
-      while (i < c.length) {
-        dp += c(i) * qv(i); n1 += c(i) * c(i); n2 += qv(i) * qv(i); i += 1
-      }
-      dp / (math.sqrt(n1) * math.sqrt(n2))
+    // probe ranking uses the SAME metric as cell assignment (L2 on the
+    // raw vectors — the ivf_cell kernel): ranking cells by cosine here
+    // can skip the query's own L2-assigned cell on a norm-skewed
+    // corpus, losing its true neighbors entirely (ivfPqTopK documents
+    // and applies the same rule)
+    def l2sq(c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = c(i) - qv(i); s += d * d; i += 1 }
+      s
     }
-    val probeCells = centroids.sortBy { case (_, c) => -cos(c) }
+    val probeCells = centroids.sortBy { case (_, c) => l2sq(c) }
       .take(nprobe).map(_._1)
     val qvCol = array(qv.map(lit): _*)
     assigned.where(col("cell").isin(probeCells.map(Integer.valueOf): _*))

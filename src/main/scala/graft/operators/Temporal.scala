@@ -37,9 +37,11 @@ object Temporal {
     * rows sorted by (ts, side) carries the most recent right payload to
     * every left row. Right rows sort BEFORE left rows at equal ts when
     * inclusive (so an equal-ts right row is visible) and after them when
-    * strict. Among right rows with identical (key, ts) the payload
-    * struct itself is the final sort key, so the winner is deterministic
-    * (field-wise max) regardless of partition layout.
+    * strict. Among right rows with identical (key, ts) the ORDERABLE
+    * payload columns are the final sort key, so the winner is
+    * deterministic (field-wise max) regardless of partition layout;
+    * rows identical in every orderable column but differing in an
+    * unorderable one (a map) tie arbitrarily.
     *
     * Scale shape: ONE hash exchange on the key + a per-key sort — the
     * same cost as the sort side of a sort-merge join, with no range
@@ -81,7 +83,7 @@ object Temporal {
     val t = asofTag(left, right, keys, leftTs, rightTs, inclusive,
       bucket = None)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__s").asc, col("__r").asc)
+      .orderBy(col("__t").asc, col("__s").asc, col("__o").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t.l.union(t.r)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
@@ -91,11 +93,17 @@ object Temporal {
   }
 
   /** The as-of family's shared tag-and-union prologue on the
-    * (__k[, __b], __t, __s, __l, __r) shape. */
+    * (__k[, __b], __t, __s, __o, __l, __r) shape. `__o` is the
+    * deterministic tie-break: the ORDERABLE payload columns only, so a
+    * map-typed payload rides along without making the sort key
+    * unorderable (two right rows identical in ts and every orderable
+    * column but differing in a map pick arbitrarily — strictly better
+    * than the AnalysisException a full-payload sort key raised). */
   private case class AsofSides(l: DataFrame, r: DataFrame,
       payloadCols: Seq[String], leftSide: Int,
       lStruct: StructType, rStruct: StructType,
-      tType: org.apache.spark.sql.types.DataType)
+      tType: org.apache.spark.sql.types.DataType,
+      oType: StructType)
 
   /** Validates the payload contract, encodes the boundary rule in the
     * side order (inclusive puts right FIRST at equal ts so an equal-ts
@@ -120,18 +128,34 @@ object Temporal {
       right.schema.fields.filterNot(f => keys.contains(f.name)))
     val (rightSide, leftSide) = if (inclusive) (0, 1) else (1, 0)
     val tType = left.schema(leftTs).dataType
+    // tie-break over the ORDERABLE payload columns only (a map column
+    // would make the whole sort key unorderable and fail analysis)
+    val orderableFields = right.schema.fields
+      .filterNot(f => keys.contains(f.name))
+      .filter(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+    val oType = StructType(orderableFields)
     def tagged(df: DataFrame, ts: String, side: Int,
-        lCol: Column, rCol: Column): Seq[Column] =
+        lCol: Column, rCol: Column, oCol: Column): Seq[Column] =
       Seq(struct(keys.map(col): _*).as("__k")) ++
         bucket.map(b => b(df, ts).as("__b")) ++
         Seq(col(ts).cast(tType).as("__t"), lit(side).as("__s"),
-          lCol.as("__l"), rCol.as("__r"))
+          oCol.as("__o"), lCol.as("__l"), rCol.as("__r"))
     val l = left.select(tagged(left, leftTs, leftSide,
-      struct(left.columns.map(col): _*), lit(null).cast(rStruct)): _*)
-    val r = right.where(col(rightTs).isNotNull)
+      struct(left.columns.map(col): _*), lit(null).cast(rStruct),
+      lit(null).cast(oType)): _*)
+    // the drop filters the CONVERTED value, not the raw column: a right
+    // ts whose cast to the left's ts type cannot convert (e.g. an
+    // unparsable string) would otherwise either slip through as null —
+    // sorting at -infinity and forward-filling its payload to every
+    // earlier left row — or, under ANSI mode, kill the job. try_cast
+    // gives ONE behavior in both modes: the malformed row is dropped,
+    // exactly like a null-ts row.
+    val r = right.where(col(rightTs).try_cast(tType).isNotNull)
       .select(tagged(right, rightTs, rightSide,
-        lit(null).cast(lStruct), struct(payloadCols.map(col): _*)): _*)
-    AsofSides(l, r, payloadCols, leftSide, lStruct, rStruct, tType)
+        lit(null).cast(lStruct), struct(payloadCols.map(col): _*),
+        struct(orderableFields.map(f => col(f.name)).toSeq: _*)): _*)
+    AsofSides(l, r, payloadCols, leftSide, lStruct, rStruct, tType, oType)
   }
 
   /** [[asofJoinMulti]] with a bucketed time axis: the hot-key
@@ -170,10 +194,13 @@ object Temporal {
     val t = asofTag(left, right, keys, leftTs, rightTs, inclusive,
       bucket = Some((df, c) => floor(axis(df, c) / bucketWidth)))
     val (l, r) = (t.l, t.r)
-    // closing right row per (key, bucket): max(struct(ts, payload)) is
-    // the same field-wise-max tie-break the in-bucket merge uses
+    // closing right row per (key, bucket): max_by on (ts, orderable
+    // tie-break) — the same ordering the in-bucket merge uses; the
+    // payload rides as the VALUE so map columns never enter the
+    // comparison
     val closing = r.groupBy(col("__k"), col("__b"))
-      .agg(max(struct(col("__t"), col("__r"))).as("__c"))
+      .agg(max_by(struct(col("__t"), col("__r")),
+        struct(col("__t"), col("__o"))).as("__c"))
     val cType = closing.schema("__c").dataType
     // forward-fill closings across the bucket spine: for each bucket a
     // left row occupies, the carry-in is the closing of the LATEST
@@ -195,10 +222,11 @@ object Temporal {
       .where(col("__m") === 0 && col("__cin").isNotNull)
       .select(col("__k"), col("__b"),
         lit(null).cast(t.tType).as("__t"), lit(-1).as("__s"),
+        lit(null).cast(t.oType).as("__o"),
         lit(null).cast(t.lStruct).as("__l"),
         col("__cin").getField("__r").as("__r"))
     val w = Window.partitionBy(col("__k"), col("__b"))
-      .orderBy(col("__t").asc, col("__s").asc, col("__r").asc)
+      .orderBy(col("__t").asc, col("__s").asc, col("__o").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.union(r).union(carryRows)
       .withColumn("__mres", last(col("__r"), ignoreNulls = true).over(w))
@@ -296,7 +324,14 @@ object Temporal {
       stepSeconds: Long, maxTicksPerKey: Long = 1000000L): DataFrame = {
     require(stepSeconds >= 1, s"stepSeconds must be >= 1, got $stepSeconds")
     val tick = floor(unix_seconds(col(tsCol)) / stepSeconds) * stepSeconds
+    // null-ts rows are not observations and must not reach the span
+    // guard: a key with ONLY null timestamps yields null lo/hi, the
+    // null comparison reaches assert_true, and Spark's If takes the
+    // error branch on a null predicate — the whole job would die on a
+    // key that should simply produce no grid rows (rangeJoin
+    // pre-filters identically)
     val bounds = df
+      .where(col(tsCol).isNotNull)
       .groupBy(col(keyCol).as("__key"))
       .agg(min(tick).as("lo"), max(tick).as("hi"))
       .where(coalesce(

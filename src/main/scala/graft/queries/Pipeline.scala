@@ -1614,7 +1614,8 @@ object Pipeline {
         FROM documents),
       tf AS (SELECT doc, term, count(*) AS tf FROM t GROUP BY 1, 2),
       dfreq AS (SELECT term, count(DISTINCT doc) AS df FROM t GROUP BY 1),
-      n AS (SELECT count(*) AS n_docs FROM documents),
+      n AS (SELECT count(*) AS n_docs FROM documents
+            WHERE text IS NOT NULL),
       s AS (SELECT tf.doc, tf.term,
           round(tf.tf * ln(CAST(n_docs AS DOUBLE) / dfreq.df), 8) AS tfidf
         FROM tf JOIN dfreq USING (term) CROSS JOIN n),
@@ -2415,7 +2416,7 @@ object Pipeline {
         FROM customer),
       u AS (SELECT unnest(regexp_extract_all(raw, 'https?://[^\s]+'))
           AS url FROM t),
-      d AS (SELECT regexp_extract(url, 'https?://([^/\s:?#]+)', 1)
+      d AS (SELECT regexp_extract(url, 'https?://(?:[^/\s@]*@)?([^/\s:?#]+)', 1)
           AS domain FROM u)
       SELECT domain, count(*) AS n_urls,
         CASE WHEN domain IN ('site0.com', 'cdn.shared.net') THEN 1
@@ -2443,20 +2444,27 @@ object Pipeline {
             AS INT) AS han,
           CAST(length(regexp_replace(t2, '[^\p{Arabic}]', '', 'g'))
             AS INT) AS arabic,
+          CAST(length(regexp_replace(t2,
+              '[^\p{L}]|[\p{Latin}\p{Cyrillic}\p{Han}\p{Arabic}]',
+              '', 'g')) AS INT) AS other,
           CAST(length(regexp_replace(t2, '[^0-9]', '', 'g'))
             AS INT) AS digit,
           CAST(length(regexp_replace(t2, '\s', '', 'g'))
             AS INT) AS total
         FROM base),
-      g AS (SELECT *, greatest(latin, cyrillic, han, arabic) AS top,
-          list_sort([latin, cyrillic, han, arabic], 'DESC')[2] AS second
+      g AS (SELECT *,
+          greatest(latin, cyrillic, han, arabic, other) AS top,
+          list_sort([latin, cyrillic, han, arabic, other], 'DESC')[2]
+            AS second
         FROM m)
-      SELECT doc_id AS doc, latin, cyrillic, han, arabic, digit, total,
+      SELECT doc_id AS doc, latin, cyrillic, han, arabic, other, digit,
+        total,
         CASE WHEN top = 0 THEN 'none'
              WHEN latin = top THEN 'latin'
              WHEN cyrillic = top THEN 'cyrillic'
              WHEN han = top THEN 'han'
-             ELSE 'arabic' END AS dominant,
+             WHEN arabic = top THEN 'arabic'
+             ELSE 'other' END AS dominant,
         (total > 0 AND CAST(second AS DOUBLE) / total > 0.02) AS mixed
       FROM g ORDER BY doc""",
 

@@ -2183,4 +2183,47 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](
       Curation.epochShuffle(ids, "id", 1, shards = 7))
   }
+
+  test("round-9 second review pins: script 'other' bucket, MMR " +
+      "anti-similarity bonus, IVF probe metric") {
+    import spark.implicits._
+    import graft.operators.{Similarity, TextAnalysis}
+    // a pure-Greek doc is dominant 'other', not 'none'; a Latin doc
+    // stuffed with Hangul reads mixed
+    val docs = Seq(
+      (1L, "\u03b1\u03b2\u03b3 \u03b4\u03b5\u03b6 \u03b7\u03b8\u03b9"),
+      (2L, "latin words here \uc548\ub155 \uc138\uacc4 \uc548\ub155 \uc138\uacc4"),
+      (3L, "plain latin only text")).toDF("doc_id", "t")
+    val sm = TextAnalysis.scriptMix(docs, "t", "doc_id", 0.05)
+      .collect().map(r => r.getAs[Long]("doc") ->
+        (r.getAs[String]("dominant"), r.getAs[Boolean]("mixed"))).toMap
+    assert(sm(1L)._1 == "other", s"pure Greek must be dominant=other: $sm")
+    assert(sm(2L)._2, "Hangul stuffing must read mixed")
+    assert(sm(3L) == ("latin", false))
+    // MMR: a candidate anti-similar to everything selected gets the
+    // diversity BONUS (negative max cos), per Carbonell-Goldstein
+    val pool = Seq(
+      (1L, 1.00, Seq(1.0f, 0.0f)),   // first pick: pure relevance
+      (2L, 0.50, Seq(-1.0f, 0.0f)),  // rel .5, cos(-1) to picked
+      (3L, 0.60, Seq(0.0f, 1.0f)))   // rel .6, cos(0) to picked
+      .toDF("id", "sim", "v")
+    val picked = Similarity.mmrSelect(pool, "id", "sim", "v",
+        k = 2, lambda = 0.7)
+      .collect().map(_.getLong(0)).toSeq
+    // score(2) = .7*.5 - .3*(-1) = .65 > score(3) = .7*.6 - 0 = .42
+    assert(picked == Seq(1L, 2L),
+      s"anti-similar candidate must win via the diversity bonus: $picked")
+    // IVF: probe ranking matches assignment metric (L2), so the
+    // query's own cell is never skipped on a norm-skewed corpus
+    val emb = (0L until 64L).map { i =>
+      val base = if (i % 2 == 0) 0.1f else 10.0f
+      (i, Seq.tabulate(8)(j => base * (1 + ((i + j) % 3))))
+    }.toDF("vec_id", "embedding")
+    val (cents, assigned) = Similarity.ivfIndex(emb, "embedding", "vec_id",
+      nlist = 4)
+    val top = Similarity.ivfTopK(cents, assigned, queryId = 1L, k = 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.contains(1L),
+      s"the query's own row must be reachable through its own cell: $top")
+  }
 }

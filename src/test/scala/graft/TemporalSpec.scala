@@ -470,4 +470,30 @@ class TemporalSpec extends AnyFunSuite {
     // the cohort-size join rides broadcast, never a log-sized shuffle
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("round-9 second review pins: unparsable right ts dropped, map " +
+      "payloads orderable-tie-break, all-null-ts key resamples to zero") {
+    import spark.implicits._
+    import graft.operators.Temporal
+    // right ts that casts to null must be DROPPED, not sort at -inf
+    val l = Seq((1L, "2024-01-05 00:00:00")).toDF("k", "lt")
+      .withColumn("lt", col("lt").cast("timestamp"))
+    val rBad = Seq((1L, "not-a-time", "junk"),
+      (1L, "2024-01-02 00:00:00", "real")).toDF("k", "rt", "payload")
+    val m = Temporal.asofJoin(l, rBad, "k", "lt", "rt").collect().head
+    assert(m.getAs[String]("payload") == "real",
+      "an unparsable right timestamp must never forward-fill")
+    // map-typed payload: previously failed analysis (unorderable sort
+    // key); now rides along with the orderable columns as tie-break
+    val rMap = Seq((1L, "2024-01-01 00:00:00", Map("a" -> "1")))
+      .toDF("k", "rt", "attrs")
+      .withColumn("rt", col("rt").cast("timestamp"))
+    val mm = Temporal.asofJoin(l, rMap, "k", "lt", "rt").collect().head
+    assert(mm.getAs[Map[String, String]]("attrs") == Map("a" -> "1"))
+    // a key whose every ts is null produces zero grid rows, not a
+    // misleading span-guard error
+    val nulls = Seq((9L, null.asInstanceOf[java.sql.Timestamp], 1.0))
+      .toDF("k", "ts", "v")
+    assert(Temporal.resampleForwardFill(nulls, "k", "ts", 60).count() == 0)
+  }
 }
