@@ -114,20 +114,27 @@ object Curation {
     val candGrams = grams(docs, keyed = true)
     val benchGrams = grams(bench, keyed = false).distinct()
       .withColumn("hit", lit(1))
-    candGrams.join(broadcast(benchGrams), Seq("g"), "left")
+    val hits = candGrams.join(broadcast(benchGrams), Seq("g"), "left")
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("hit"), lit(0))).as("n_hit"))
-      .select(col("doc"), col("n_grams"), col("n_hit"),
-        round(col("n_hit").cast(DoubleType) / col("n_grams"), 8)
-          .as("overlap_frac"),
+    // docs with fewer than n words produce no grams and would vanish
+    // from the report entirely — the "for every candidate document"
+    // contract requires them PRESENT with zero grams (short docs are
+    // exactly the ones most likely to be verbatim benchmark prompts at
+    // larger n; callers wanting a substring check on them should lower
+    // n or add a dedicated short-doc pass)
+    docs.select(col(idCol).as("doc")).distinct()
+      .join(hits, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        coalesce(round(col("n_hit").cast(DoubleType) / col("n_grams"), 8),
+          lit(0.0)).as("overlap_frac"),
         when(col("n_hit").cast(DoubleType) / col("n_grams") >= flagAt,
           lit(1)).otherwise(lit(0)).as("contaminated"))
   }
 
-  /** Deterministic train/validation/test assignment from the id hash:
-    * stable across runs, engines, and table layouts (no sampling state).
-    * Scan-local — composes under any downstream groupBy/filter. */
   /** Deterministic epoch shuffle + shard assignment (trainer data-order
     * prep): epoch e permutes the corpus by the portable multiplicative
     * hash of (id + e·1000003) — a different but fully reproducible
@@ -154,6 +161,9 @@ object Curation {
         floor(col("shuffle_key") / lit((4294967296L / shards).toDouble)))
   }
 
+  /** Deterministic train/validation/test assignment from the id hash:
+    * stable across runs, engines, and table layouts (no sampling state).
+    * Scan-local — composes under any downstream groupBy/filter. */
   def trainValTestSplit(df: DataFrame, idCol: String,
       trainFrac: Double = 0.8, valFrac: Double = 0.1): DataFrame = {
     val f = hashFrac(col(idCol))
@@ -499,8 +509,17 @@ object Curation {
     * @return doc, n_tok, offset (first-token position), bin (window id) */
   def packSequences(df: DataFrame, idCol: String, tokCol: String,
       budget: Long, partitions: Int = 32): DataFrame = {
+    // same loud guards as packBinsWhole: a NULL/non-positive token
+    // count would null the running offset silently, and the doc would
+    // land in a __HIVE_DEFAULT_PARTITION__ shard no trainer reads
     val keyed = df
-      .select(col(idCol).as("doc"), col(tokCol).cast(LongType).as("n_tok"),
+      .select(col(idCol).as("doc"),
+        when(col(tokCol).cast(LongType).isNull ||
+            col(tokCol).cast(LongType) <= 0,
+          raise_error(concat(lit("packSequences: document "),
+            col(idCol).cast(StringType),
+            lit(" has a non-positive or unparseable token count"))))
+          .otherwise(col(tokCol).cast(LongType)).as("n_tok"),
         hash32(col(idCol)).as("k"))
       .repartitionByRange(partitions, col("k"))
       .withColumn("pid", spark_partition_id())

@@ -371,6 +371,11 @@ object Dedup {
     */
   def incrementalDedup(corpus: DataFrame, delta: DataFrame,
       textCol: String, idCol: String): DataFrame = {
+    // NULL-text docs fingerprint to NULL; the merge joins are
+    // NULL-SAFE so those delta rows still classify (all NULL-text docs
+    // share one group, matching exactDedup's groupBy-null semantics)
+    // instead of silently vanishing from the one-row-per-delta-doc
+    // contract through a never-matching equi-join
     val corpusFp = corpus
       .select(fingerprint(col(textCol)).as("fp"), col(idCol).as("cid"))
       .groupBy(col("fp")).agg(min(col("cid")).as("corpus_keep"))
@@ -378,9 +383,11 @@ object Dedup {
       .select(col(idCol).as("doc_id"), fingerprint(col(textCol)).as("fp"))
     val deltaKeep = deltaFp.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("delta_keep"))
+      .withColumnRenamed("fp", "__kfp")
+    val corpusFp2 = corpusFp.withColumnRenamed("fp", "__cfp")
     deltaFp
-      .join(deltaKeep, "fp")
-      .join(corpusFp, Seq("fp"), "left")
+      .join(deltaKeep, col("fp") <=> col("__kfp")).drop("__kfp")
+      .join(corpusFp2, col("fp") <=> col("__cfp"), "left").drop("__cfp")
       .select(col("doc_id"), col("fp"),
         when(col("corpus_keep").isNotNull, lit("dup_of_corpus"))
           .when(col("doc_id") =!= col("delta_keep"), lit("dup_in_delta"))
@@ -479,16 +486,8 @@ object Dedup {
     val sigAll = corpusSig.select(col("id"), col("sig"), lit(0).as("is_delta"))
       .unionByName(deltaSig.withColumn("is_delta", lit(1)))
     val cands = bandedPairsMarked(sigAll, bands, r, maxBucket)
-    val margin = 2 * math.sqrt(threshold * (1 - threshold) / numHashes)
-    val minAgree = math.ceil((threshold - margin) * numHashes).toInt
-    val sigOnly = sigAll.select(col("id"), col("sig"))
-    val pruned = cands
-      .join(sigOnly.toDF("id_a", "sig_a"), "id_a")
-      .join(sigOnly.toDF("id_b", "sig_b"), "id_b")
-      .where(call_function("sig_agreement", col("sig_a"), col("sig_b"))
-        >= minAgree)
-      .select("id_a", "id_b")
-      .distinct()
+    val pruned = prunePairs(cands, sigAll.select(col("id"), col("sig")),
+        numHashes, threshold)
       .localCheckpoint(false)
     val candIds = pruned.select(col("id_a").as("cid"))
       .union(pruned.select(col("id_b").as("cid"))).distinct()
@@ -666,15 +665,24 @@ object Dedup {
       .where(size(col("sh")) > 0)
     val tokens = shT.select(col("id"), explode(col("sh")).as("tok"))
     val dfreq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    // rare-first canonical order; prefix length = |A| - ceil(t|A|) + 1
+    // rare-first canonical order; prefix length = |A| - m + 1 where m
+    // is the SMALLEST count with m/|A| >= t, derived with the same
+    // double division the verify predicate uses — ceil(t*|A|) on the
+    // IEEE product can round UP (0.55*20 = 11.000000000000002 -> 12)
+    // and shorten the prefix, silently breaking complete recall
     val prefixes = tokens.join(dfreq, "tok")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(struct(col("df"), col("tok"))))
         .as("ordered"))
+      .withColumn("__fl", greatest(
+        floor(lit(t) * size(col("ordered"))), lit(1L)))
+      .withColumn("__m",
+        when(col("__fl").cast(DoubleType) /
+            size(col("ordered")).cast(DoubleType) >= t, col("__fl"))
+          .otherwise(col("__fl") + 1))
       .select(col("id").as("id_a"),
         explode(slice(col("ordered"), lit(1),
-          (size(col("ordered")) - ceil(lit(t) * size(col("ordered")))
-            + 1).cast("int"))).as("p"))
+          (size(col("ordered")) - col("__m") + 1).cast("int"))).as("p"))
       .select(col("id_a"), col("p").getField("tok").as("tok"),
         col("p").getField("df").as("__df"))
       // assert_true rides in a filter (coalesce(null-when-ok, true)) so
@@ -759,13 +767,15 @@ object Dedup {
     * codegen'd, map-side) with 2σ slack for the minhash estimator at the
     * threshold; pass 2 dedupes the estimate survivors and attaches
     * shingle sets for them alone, verifying with exact Jaccard. */
-  private def verifyCandidates(cands: DataFrame, sig: DataFrame,
-      shT: DataFrame, numHashes: Int, threshold: Double): DataFrame = {
+  /** Signature-estimate prune shared by [[verifyCandidates]] and the
+    * prepared incremental path: keep candidate pairs whose minhash
+    * agreement clears the 2-sigma margin below the threshold, deduped.
+    * ONE definition — a margin tuning or join-shape change here reaches
+    * both paths, which must never silently drift. */
+  private def prunePairs(cands: DataFrame, sigOnly: DataFrame,
+      numHashes: Int, threshold: Double): DataFrame = {
     val margin = 2 * math.sqrt(threshold * (1 - threshold) / numHashes)
     val minAgree = math.ceil((threshold - margin) * numHashes).toInt
-    graft.functions.GraftFunctions.register(sig.sparkSession)
-    val sigOnly = sig.select(col("id"), col("sig"))
-    val shOnly = shT.select(col("id"), col("sh"))
     cands
       .join(sigOnly.toDF("id_a", "sig_a"), "id_a")
       .join(sigOnly.toDF("id_b", "sig_b"), "id_b")
@@ -773,6 +783,14 @@ object Dedup {
         >= minAgree)
       .select("id_a", "id_b")
       .distinct()
+  }
+
+  private def verifyCandidates(cands: DataFrame, sig: DataFrame,
+      shT: DataFrame, numHashes: Int, threshold: Double): DataFrame = {
+    graft.functions.GraftFunctions.register(sig.sparkSession)
+    val sigOnly = sig.select(col("id"), col("sig"))
+    val shOnly = shT.select(col("id"), col("sh"))
+    prunePairs(cands, sigOnly, numHashes, threshold)
       .join(shOnly.toDF("id_a", "sh_a"), "id_a")
       .join(shOnly.toDF("id_b", "sh_b"), "id_b")
       .withColumn("jac",
@@ -823,6 +841,19 @@ object Dedup {
       maxIter: Int = 20): DataFrame = {
     val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // an edge endpoint missing from `vertices` would surface mid-loop
+    // as a brand-new id the convergence check's inner join cannot see —
+    // the loop can declare convergence the very round the id appears
+    // with a non-minimal label, splitting one component into two
+    // cluster_ids (for leakageSafeSplit that is a near-dup pair
+    // straddling the train/test boundary). Refuse loudly, like
+    // pageRank's spine check.
+    val strayCc = sym.select(col("src").as("id"))
+      .join(vertices.select(col("id")), Seq("id"), "left_anti")
+    require(strayCc.isEmpty,
+      "edges reference vertices missing from the vertex frame " +
+        s"(e.g. ${if (strayCc.isEmpty) "" else strayCc.head.get(0)}) — " +
+        "labels would be incorrect; pass every edge endpoint in vertices")
     var labels = vertices.select(col("id"), col("id").as("cluster_id"))
       .localCheckpoint()
     var converged = false
@@ -876,7 +907,10 @@ object Dedup {
     * array once (withColumn) and calling [[simhash64FromHashes]] when the
     * plan reuses it. */
   def simhash64(text: Column): Column =
-    simhash64FromHashes(transform(split(lower(text), "\\s+"),
+    // trim like every other tokenizer in this file: leading/trailing
+    // whitespace would inject an empty token whose hash bits perturb
+    // the signature far beyond maxHamming for otherwise-equal docs
+    simhash64FromHashes(transform(split(lower(trim(text)), "\\s+"),
       w => xxhash64(w)))
 
   /** Hamming distance between two 64-bit signatures. */
@@ -910,7 +944,8 @@ object Dedup {
     val nChunks = maxHamming + 1
     val sig = docs
       .select(col(idCol).as("id"),
-        transform(split(lower(col(textCol)), "\\s+"), w => xxhash64(w))
+        transform(split(lower(trim(col(textCol))), "\\s+"),
+          w => xxhash64(w))
           .as("hs"))
       .repartition(col("id"))
       .select(col("id"), call_function("simhash64", col("hs")).as("sig"))

@@ -180,14 +180,27 @@ object Layout {
     * consumed/replicated independently. */
   def writeShardedByTokens(df: DataFrame, idCol: String, tokCol: String,
       path: String, tokensPerShard: Long, partitions: Int = 32): Unit = {
+    // the OUTPUT column collides too: a df that already carries a
+    // 'shard' column (common in re-export flows) would produce two and
+    // fail partitionBy with an ambiguous reference at write time
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column — rename it before the " +
+        "token-sharded export (the export writes its own)")
+    // NULL ids can't join back to their bin — they would silently
+    // vanish from the export (packSequences hashes the id, so they
+    // would corrupt the prefix sums anyway); refuse loudly
+    val guarded = df.withColumn(idCol,
+      when(col(idCol).isNull, raise_error(lit(
+        s"writeShardedByTokens: NULL id in '$idCol' — every doc must " +
+          "carry a join-able id"))).otherwise(col(idCol)))
     // the helper join column gets a reserved name: a plain "doc" would
     // collide with a caller whose idCol IS "doc", and drop("doc") then
     // removes BOTH columns — shipping shards with no id at all
     val bins = Curation
-      .packSequences(df, idCol, tokCol, tokensPerShard, partitions)
+      .packSequences(guarded, idCol, tokCol, tokensPerShard, partitions)
       .select(col("doc").as("__shard_doc"),
         col("bin").cast("int").as("shard"))
-    df.join(bins, df(idCol) === bins("__shard_doc"))
+    guarded.join(bins, guarded(idCol) === bins("__shard_doc"))
       .drop("__shard_doc")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(path)

@@ -28,8 +28,11 @@ object QualityFilter {
     * punct-per-token — the classic cheap quality signals. */
   def featurize(df: DataFrame, textCol: String): DataFrame = {
     val m = graft.operators.TextAnalysis.qualityMetrics(df, textCol)
+    // every feature coalesces: ONE null element in the array kills
+    // array_to_vector at runtime ('Null value in non-nullable field'),
+    // and NULL text nulls n_tok through split/size
     m.withColumn("features", array_to_vector(array(
-      log1p(col("n_tok").cast(DoubleType)),
+      coalesce(log1p(col("n_tok").cast(DoubleType)), lit(0.0)),
       coalesce(col("mean_wlen"), lit(0.0)),
       coalesce(col("stopword_ratio"), lit(0.0)),
       coalesce(col("symbol_ratio"), lit(0.0)),

@@ -2226,4 +2226,59 @@ class PipelineSpec extends AnyFunSuite {
     assert(top.contains(1L),
       s"the query's own row must be reachable through its own cell: $top")
   }
+
+  test("round-9 third review pins: NULL-text handling, simhash trim, " +
+      "short-doc contamination, stray-edge refusal, packing guards") {
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup, QualityFilter}
+    // incrementalDedup keeps one row per delta doc even for NULL text
+    val corpus = Seq((1L, "alpha"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val delta = Seq((10L, "alpha"), (11L, null.asInstanceOf[String]),
+      (12L, "fresh")).toDF("doc_id", "text")
+    val inc = Dedup.incrementalDedup(corpus, delta, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(inc.keySet == Set(10L, 11L, 12L),
+      s"every delta doc must classify, NULL text included: $inc")
+    assert(inc(10L) == "dup_of_corpus" && inc(12L) == "new")
+    assert(inc(11L) == "dup_of_corpus",
+      "NULL-text delta doc groups with the corpus NULL-text group " +
+        "(exactDedup's groupBy-null semantics)")
+    // quality scoring survives a NULL-text row
+    val scored = QualityFilter.featurize(
+      Seq((1L, "some reasonable text here"),
+        (2L, null.asInstanceOf[String])).toDF("doc_id", "text"), "text")
+    assert(scored.count() == 2, "NULL text must not kill featurize")
+    // simhash is whitespace-trim invariant like every other tier
+    val sigs = Seq((1L, "hello world"), (2L, "  hello world  "))
+      .toDF("id", "t")
+      .select(Dedup.simhash64(col("t")).as("s"))
+      .collect().map(_.getLong(0))
+    assert(sigs(0) == sigs(1),
+      "leading/trailing whitespace must not perturb the signature")
+    // contamination reports short docs with zero grams, not absence
+    val docs = Seq((1L, "tiny"), (2L, "a much longer document here " +
+      "with enough words")).toDF("doc_id", "text")
+    val bench = Seq(Tuple1("irrelevant benchmark text goes here"))
+      .toDF("text")
+    val cont = Curation.contamination(docs, bench, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cont.keySet == Set(1L, 2L) && cont(1L) == 0L,
+      s"short docs must be present with n_grams=0: $cont")
+    // connectedComponents refuses edges with endpoints missing from
+    // the vertex frame (silent wrong labels otherwise)
+    val verts = Seq(1L, 2L).toDF("id")
+    val edges = Seq((1L, 99L)).toDF("id_a", "id_b")
+    val e = intercept[IllegalArgumentException](
+      Dedup.connectedComponents(verts, edges).collect())
+    assert(e.getMessage.contains("missing from the vertex frame"))
+    // packSequences raises loudly on a NULL token count
+    val bad = Seq((1L, java.lang.Long.valueOf(5L)),
+      (2L, null.asInstanceOf[java.lang.Long])).toDF("doc_id", "n_tok")
+    val pe = intercept[Exception](
+      Curation.packSequences(bad, "doc_id", "n_tok", 100).collect())
+    assert(pe.getMessage.contains("non-positive or unparseable") ||
+      Option(pe.getCause).exists(
+        _.getMessage.contains("non-positive or unparseable")))
+  }
 }
