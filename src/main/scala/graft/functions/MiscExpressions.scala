@@ -18,8 +18,12 @@ case class CollationKey(str: Expression, locale: Expression)
   @transient private var cached: (String, java.text.Collator) = _
   private def collator(tag: String): java.text.Collator = {
     if (cached == null || cached._1 != tag) {
+      // the reference passes JAVA-format locale strings ('en_US',
+      // 'zh_TW_STROKE'); forLanguageTag is BCP-47 and silently maps an
+      // underscore spelling to Locale.ROOT — wrong collation with no
+      // error. Normalize separators so both spellings resolve.
       val c = java.text.Collator.getInstance(
-        java.util.Locale.forLanguageTag(tag))
+        java.util.Locale.forLanguageTag(tag.replace('_', '-')))
       c.setStrength(java.text.Collator.TERTIARY)
       cached = (tag, c)
     }
@@ -47,16 +51,22 @@ private[functions] object JsonPathWalk {
   // document (each expression is an independent Catalyst node); this
   // single-entry per-thread memo collapses those to one parse. READ-ONLY:
   // callers that mutate the tree (JSON_MODIFY) must parse fresh.
-  private val lastParse = new ThreadLocal[(String, JsonNode)]
+  // SoftReference: executor task threads are pooled and long-lived, so
+  // a hard ThreadLocal would pin the LAST multi-megabyte document (text
+  // + parsed tree) per core for the executor's lifetime; a soft ref
+  // keeps the memo hit rate and lets the GC reclaim it under pressure
+  private val lastParse =
+    new ThreadLocal[java.lang.ref.SoftReference[(String, JsonNode)]]
 
   /** Parse for read-only navigation, memoized per thread on the last
     * input. Throws JacksonException on malformed input like readTree. */
   def parseCached(json: String): JsonNode = {
-    val memo = lastParse.get()
+    val ref = lastParse.get()
+    val memo = if (ref == null) null else ref.get()
     if (memo != null && memo._1 == json) memo._2
     else {
       val node = mapper.readTree(json)
-      lastParse.set((json, node))
+      lastParse.set(new java.lang.ref.SoftReference((json, node)))
       node
     }
   }

@@ -38,6 +38,11 @@ object TextMetricsKernel {
   // mappings are one-to-many — 'İ' (U+0130) lowers to 'i' + U+0307,
   // which the regex counts as ONE symbol (the combining dot), while a
   // per-code-point simple mapping would count zero.
+  // Caveat: the ASCII fast path applies the ROOT A-Z mapping; on a JVM
+  // whose DEFAULT locale lowercases ASCII differently (tr: 'I'->'ı'),
+  // the composed regex form counts 'I' as a symbol while this kernel
+  // does not. Run executors with a ROOT-compatible default locale (the
+  // standard cluster posture) for bit parity.
   private def symbolCount(cp: Int): Int = {
     if (cp < 128) {
       val lc = if (cp >= 'A' && cp <= 'Z') cp + 32 else cp

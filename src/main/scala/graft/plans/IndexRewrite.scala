@@ -35,8 +35,17 @@ object GraftIndexes {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, IndexDef]()
 
-  def register(basePath: String, index: IndexDef): Unit =
+  def register(basePath: String, index: IndexDef): Unit = {
+    // validate HERE, not during planning: a malformed registration
+    // (empty key, missing/empty index dir) would otherwise throw
+    // inside the optimizer rule and fail EVERY query on the base table
+    require(index.indexPk.nonEmpty,
+      s"index for $basePath needs at least one key column")
+    require(index.indexPk.forall(index.schema.fieldNames.contains),
+      s"index key ${index.indexPk} not in index schema " +
+        s"${index.schema.fieldNames.mkString(",")}")
     registry.put(norm(basePath), index)
+  }
   def drop(basePath: String): Unit = registry.remove(norm(basePath))
   def lookup(basePath: String): Option[IndexDef] =
     Option(registry.get(norm(basePath)))
@@ -72,7 +81,7 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
   private def rewrite(rel: DataSourceV2Relation,
       list: Seq[NamedExpression], cond: Option[Expression])
-      : Option[LogicalPlan] = {
+      : Option[LogicalPlan] = try {
     for {
       base <- basePathOf(rel)
       idx <- GraftIndexes.lookup(base)
@@ -108,6 +117,13 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case None => Project(newList, newRel)
       }
     }
+  } catch {
+    // a registration gone stale AFTER register-time validation (index
+    // dir deleted, files moved) must refuse the rewrite and leave the
+    // base-table plan intact — never fail the user's query in the
+    // optimizer
+    case _: IllegalArgumentException | _: java.io.IOException |
+        _: java.io.UncheckedIOException => None
   }
 }
 

@@ -55,9 +55,34 @@ class GraftPkSource extends TableProvider with DataSourceRegister {
 }
 
 private[graft] object GraftPk {
+  /** Driver-side Hadoop configuration: the SESSION's (so spark.hadoop.*
+    * settings — object-store credentials, custom filesystems — apply),
+    * falling back to defaults outside a session. A bare
+    * `new Configuration()` never sees the Spark conf and fails on
+    * s3a:// paths with missing-credential errors. */
+  def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** The fs/io/parquet/security subset of the session conf, as plain
+    * pairs an executor-side reader can rebuild a Configuration from
+    * (Configuration itself is not serializable-stable). */
+  def shippableConf(): Array[(String, String)] = {
+    val c = hadoopConf()
+    val prefixes = Seq("fs.", "io.", "parquet.", "hadoop.security.")
+    val it = c.iterator()
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    while (it.hasNext) {
+      val e = it.next()
+      if (prefixes.exists(e.getKey.startsWith)) out += e.getKey -> e.getValue
+    }
+    out.toArray
+  }
+
   def listFiles(dir: String): Seq[Path] = {
     val p = new Path(dir)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf())
     val stat = fs.getFileStatus(p)
     val files =
       if (stat.isDirectory) fs.listStatus(p).toSeq.map(_.getPath)
@@ -67,7 +92,7 @@ private[graft] object GraftPk {
   }
 
   def footer(path: Path): MessageType = {
-    val in = HadoopInputFile.fromPath(path, new Configuration())
+    val in = HadoopInputFile.fromPath(path, hadoopConf())
     val r = ParquetFileReader.open(in)
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
@@ -105,7 +130,7 @@ private[graft] object GraftPk {
     * footer statistics; None when stats are missing or the type is not a
     * comparable numeric. */
   def pkRange(path: Path, pkCol: String): Option[(Long, Long)] = {
-    val in = HadoopInputFile.fromPath(path, new Configuration())
+    val in = HadoopInputFile.fromPath(path, hadoopConf())
     val r = ParquetFileReader.open(in)
     try {
       val blocks = r.getFooter.getBlocks.asScala
@@ -236,9 +261,15 @@ private[sources] class GraftPkScan(schema: StructType, required: StructType,
     (lo, hi)
   }
 
+  // ONE directory listing shared by partition planning and the reader
+  // factory — on an object store each list is a remote round-trip, and
+  // the previous shape paid it twice per query (plus a redundant head
+  // footer re-read)
+  private lazy val filesCached: Seq[Path] = GraftPk.listFiles(path)
+
   override def planInputPartitions(): Array[InputPartition] = {
     val (lo, hi) = bounds
-    val files = GraftPk.listFiles(path)
+    val files = filesCached
     // one footer read per file, shared by the prune and the sort
     val ranges: Map[Path, Option[(Long, Long)]] =
       if (pk.isEmpty) Map.empty
@@ -267,7 +298,7 @@ private[sources] class GraftPkScan(schema: StructType, required: StructType,
     // micros-since-epoch, so a TIMESTAMP(MILLIS)-annotated column read
     // raw would be off by 1000x.
     val fieldNames = required.fields.map(_.name)
-    val files = GraftPk.listFiles(path)
+    val files = filesCached
     val (projSchema, int96, tsScale) =
       if (files.isEmpty || fieldNames.isEmpty)
         ("", Set.empty[String], Map.empty[String, Long])
@@ -298,7 +329,8 @@ private[sources] class GraftPkScan(schema: StructType, required: StructType,
         (b.named(full.getName).toString, i96, scale)
       }
     new GraftPkReaderFactory(required.fields.map(f =>
-      (f.name, f.dataType.catalogString)), projSchema, int96, tsScale)
+      (f.name, f.dataType.catalogString)), projSchema, int96, tsScale,
+      GraftPk.shippableConf())
   }
 }
 
@@ -311,7 +343,8 @@ private[sources] case class GraftPkPartition(file: String)
   * tsScale were resolved from one plan-time footer read.) */
 private[sources] class GraftPkReaderFactory(
     fieldTypes: Array[(String, String)], projSchema: String,
-    int96: Set[String], tsScale: Map[String, Long])
+    int96: Set[String], tsScale: Map[String, Long],
+    confEntries: Array[(String, String)] = Array.empty)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -319,7 +352,11 @@ private[sources] class GraftPkReaderFactory(
     val fields = fieldTypes.map { case (n, t) =>
       (n, org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(t))
     }
+    // rebuild the session's fs/io/parquet conf subset on the executor:
+    // a bare Configuration would lose object-store credentials set via
+    // spark.hadoop.*
     val conf = new Configuration()
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
     if (projSchema.nonEmpty)
       conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
         projSchema)

@@ -70,12 +70,16 @@ object EventStreams {
   def phraseFilterStream(docs: DataFrame, textCol: String,
       phrases: Seq[String]): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
-    // lowercase BOTH sides (Locale.ROOT — no Turkish-i surprises): the
-    // text is lowered below, so an uppercase blocklist entry could
-    // never match and would silently no-op. NULL text contains no
-    // phrases — keep it (the bare predicate is NULL for NULL text and
-    // where() would silently drop the row as if it matched).
-    val lowered = phrases.map(_.toLowerCase(java.util.Locale.ROOT))
+    // lowercase BOTH sides through the SAME mapping Spark's lower()
+    // applies at runtime (UTF8String.toLowerCase) — a Locale.ROOT
+    // driver-side lowering could disagree with the executor's default-
+    // locale mapping on non-ASCII text and let blocked content slip
+    // through. NULL text contains no phrases — keep it (the bare
+    // predicate is NULL for NULL text and where() would silently drop
+    // the row as if it matched).
+    val lowered = phrases.map(p =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(p)
+        .toLowerCase.toString)
     docs.where(col(textCol).isNull ||
       !graft.operators.TextAnalysis.containsAnyPhrase(
         lower(trim(col(textCol))), lowered))
@@ -133,19 +137,29 @@ object EventStreams {
       phrases: Seq[String], minSentences: Int = 3): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
     import graft.operators.TextAnalysis
-    val lowered = phrases.map(_.toLowerCase(java.util.Locale.ROOT))
+    // same lower() parity as phraseFilterStream
+    val lowered = phrases.map(p =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(p)
+        .toLowerCase.toString)
+    // input columns PASS THROUGH (like lineFilterStream): the gate
+    // chains into the dedup ingest gate, which needs the event-time
+    // column for its watermark — dropping it here broke the documented
+    // composition with an UNRESOLVED_COLUMN at the next stage
+    val passthrough = docs.columns.filterNot(c =>
+      c == idCol || c == textCol).toSeq
     docs
       .where(col(textCol).isNotNull)
       // struct projected ONCE, fields picked in the next select — the
       // repeated-getField form would re-run the kernel per column if
       // subexpression elimination is off for the plan shape
-      .select(col(idCol).as("id"),
+      .select(col(idCol).as("id") +: passthrough.map(col) :+
         call_function("c4_line_stats",
-          TextAnalysis.normalizeText(col(textCol))).as("c4"))
-      .select(col("id"), col("c4.clean_text").as("clean_text"),
+          TextAnalysis.normalizeText(col(textCol))).as("c4"): _*)
+      .select(col("id") +: passthrough.map(col) ++: Seq(
+        col("c4.clean_text").as("clean_text"),
         col("c4.n_sentences").as("n_sentences"),
         col("c4.has_lorem").as("has_lorem"),
-        col("c4.has_brace").as("has_brace"))
+        col("c4.has_brace").as("has_brace")): _*)
       .withColumn("lang", TextAnalysis.langId(col("clean_text")))
       .withColumn("blocked", TextAnalysis.containsAnyPhrase(
         lower(col("clean_text")), lowered))
@@ -278,6 +292,13 @@ object EventStreams {
     *
     * @param eventKey  columns identifying one stream row (its id)
     * @param payload   static-side column to carry (latest wins)
+    *
+    * Restriction vs the batch [[graft.operators.Temporal.asofJoin]]
+    * (which preserves every left column): the streaming aggregate
+    * emits only (key, eventTs, eventKey) plus the payload — other
+    * event columns must ride in eventKey or re-join on it downstream
+    * (carrying arbitrary columns through the watermark-bounded
+    * aggregate would mean per-column any_value state).
     */
   def asofEnrichStream(events: DataFrame, dim: DataFrame, key: String,
       eventTs: String, dimTs: String, eventKey: Seq[String],
@@ -325,7 +346,12 @@ object EventStreams {
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
     def ts(ms: Long) = new java.sql.Timestamp(ms)
+    // the tuple decode is non-nullable: one NULL user_id/ts/value row
+    // would kill the whole streaming query ('Null value appeared in
+    // non-nullable field'); nulls carry no session signal — drop them
     events.select(col("user_id"), col("ts"), col("value"))
+      .where(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("value").isNotNull)
       .withWatermark("ts", watermark)
       .as[(Long, java.sql.Timestamp, Double)]
       .groupByKey(_._1)

@@ -324,6 +324,19 @@ class CatalogSpec extends AnyFunSuite {
       SELECT word FROM VALUES ('cote'), ('coté'), ('côte'), ('côté')
         AS t(word) ORDER BY word""").collect().map(_.getString(0))
     assert(!r.sameElements(raw), "collation must differ from byte order")
+    // Java-format locale spellings (underscores — what the reference
+    // passes) must resolve to the same collator as BCP-47, not silently
+    // fall back to ROOT
+    val under = spark.sql("""
+      SELECT word FROM VALUES ('cote'), ('coté'), ('côte'), ('côté')
+        AS t(word)
+      ORDER BY collation_key(word, 'fr_FR')""").collect().map(_.getString(0))
+    val dashed = spark.sql("""
+      SELECT word FROM VALUES ('cote'), ('coté'), ('côte'), ('côté')
+        AS t(word)
+      ORDER BY collation_key(word, 'fr-FR')""").collect().map(_.getString(0))
+    assert(under.sameElements(dashed),
+      "'fr_FR' and 'fr-FR' must produce identical collation orders")
     val j = spark.sql("""
       SELECT json_modify('{"k": 1, "x": "a"}', '$.k', '42') AS a,
              json_modify('{"k": 1}', '$.new', '"hi"') AS b,
@@ -1086,12 +1099,16 @@ class CatalogSpec extends AnyFunSuite {
       .outputMode("append").start()
     try {
       q.processAllAvailable()
+      // by NAME, not position: curateStream now passes input columns
+      // through, so ordinals shift with the input schema
+      def row(r: org.apache.spark.sql.Row) =
+        (r.getAs[Long]("id"), r.getAs[String]("clean_text"),
+          r.getAs[Int]("n_sentences"), r.getAs[String]("lang"),
+          r.getAs[Boolean]("keep"))
       val got = spark.sql("SELECT * FROM curate_out")
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
-          r.getString(5), r.getBoolean(7))).sortBy(_._1)
+        .collect().map(row).sortBy(_._1)
       val exact = curate(batchDocs)
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2),
-          r.getString(5), r.getBoolean(7))).sortBy(_._1)
+        .collect().map(row).sortBy(_._1)
       assert(got.length == exact.length && got.sameElements(exact),
         "stream and batch curation must agree row-for-row")
       // the gate must actually split the fixture
@@ -1187,6 +1204,35 @@ class CatalogSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getDouble(1))).toSet
       assert(got == Set((1L, 7.0), (2L, 9.0)))
     } finally q.stop()
+  }
+
+  test("sessionize tolerates NULL event fields; curateStream passes " +
+      "input columns through (round-9 fourth review pins)") {
+    import spark.implicits._
+    // a NULL value/ts/user row must be dropped, not kill the query with
+    // a non-nullable tuple decode NPE
+    val evDir = java.nio.file.Files.createTempDirectory("graft_sessnull")
+    Seq((1L, new java.sql.Timestamp(36000000L), Some(1.0)),
+      (1L, new java.sql.Timestamp(36600000L), None))
+      .toDF("user_id", "ts", "value").repartition(1)
+      .write.parquet(s"$evDir/b1")
+    val src = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, value DOUBLE")
+      .parquet(s"$evDir/*")
+    val q = EventStreams.sessionize(src, gapMinutes = 30,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("sess_null_out").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(q.exception.isEmpty,
+      s"NULL event fields must not kill the stream: ${q.exception}")
+    // curateStream output keeps non-text input columns (the event-time
+    // column in particular — the dedup gate's watermark needs it)
+    val docs = Seq((1L, new java.sql.Timestamp(0L), "Doc text here."))
+      .toDF("doc_id", "ts", "text")
+    val out = EventStreams.curateStream(docs, "text", "doc_id",
+      phrases = Seq("badword"))
+    assert(out.columns.contains("ts"),
+      s"event-time column must pass through: ${out.columns.mkString(",")}")
   }
 
   test("stateful sessionization: watermark-gated close, bridging, timeout") {

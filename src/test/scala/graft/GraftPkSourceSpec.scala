@@ -113,4 +113,35 @@ class GraftPkSourceSpec extends AnyFunSuite {
     assert(scans.nonEmpty)
     assert(scans.head.scan.readSchema().fieldNames.toSeq == Seq("name"))
   }
+
+  test("index registration validates up front; a stale registration " +
+      "never fails the query (round-9 fourth review pins)") {
+    import graft.plans.GraftIndexes
+    val e = intercept[IllegalArgumentException](
+      GraftIndexes.register("/tmp/nowhere_base",
+        GraftIndexes.IndexDef("/tmp/nowhere_idx", Seq.empty)))
+    assert(e.getMessage.contains("at least one key column"))
+    // an index dir deleted AFTER registration: the rewrite must refuse
+    // and leave the base plan intact, not fail planning
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_idx_base").toString
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft_idx_gone").toString
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(base)
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(idxDir)
+    GraftIndexes.register(base, GraftIndexes.IndexDef(idxDir, Seq("k")))
+    try {
+      // delete the index files out from under the registration
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(idxDir))
+      val df = spark.read.format("graftpk").option("pk", "k").load(base)
+        .where(org.apache.spark.sql.functions.col("k") === 1L)
+        .select("k", "v")
+      assert(df.collect().map(_.getLong(0)).toSeq == Seq(1L),
+        "query must fall back to the base scan, not fail planning")
+    } finally GraftIndexes.drop(base)
+  }
 }
