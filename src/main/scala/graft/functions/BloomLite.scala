@@ -36,7 +36,10 @@ object BloomLite {
   val Seed2 = 0x5EEDBEEFL
 
   def wordCount(numBits: Int): Int = {
-    require(numBits >= 64, s"numBits must be >= 64, got $numBits")
+    // upper bound too: numBits + 63 overflows Int past 2^31-64 and a
+    // negative word count became a NegativeArraySizeException mid-job
+    require(numBits >= 64 && numBits <= Int.MaxValue - 63,
+      s"numBits must be in [64, ${Int.MaxValue - 63}], got $numBits")
     (numBits + 63) / 64
   }
 

@@ -153,10 +153,20 @@ object GraftFunctions {
           // gets Phoenix's RoundDateExpression semantics (timestamp
           // boundary). Fixed-width units (DAY/HOUR/...) are not native
           // trunc formats, so they always take the Phoenix arm.
-          val nativeDateForm = e.length >= 2 && e(0).dataType == DateType &&
-            unitLit(e(1)).exists(Set("WEEK", "MONTH", "YEAR").contains)
-          if (nativeDateForm) TruncDate(e(0), e(1))
-          else dateOr(e, DateRound.floorDate, e =>
+          // 1-arg forms (valid in the reference): numeric TRUNC
+          // defaults the scale to 0; date/timestamp TRUNC defaults the
+          // unit to DAY — without this the num lambda read e(1) on a
+          // 1-element list and crashed plan building
+          val ee =
+            if (e.length >= 2) e
+            else e(0).dataType match {
+              case DateType | TimestampType => Seq(e(0), Literal("DAY"))
+              case _ => Seq(e(0), Literal(0))
+            }
+          val nativeDateForm = ee(0).dataType == DateType &&
+            unitLit(ee(1)).exists(Set("WEEK", "MONTH", "YEAR").contains)
+          if (nativeDateForm) TruncDate(ee(0), ee(1))
+          else dateOr(ee, DateRound.floorDate, e =>
             e(1) match {
               // date-format form ('MM', 'YYYY', …) = Spark's trunc
               case Literal(_: org.apache.spark.unsafe.types.UTF8String,

@@ -53,8 +53,14 @@ case class TopTermsAgg(
   extends TypedImperativeAggregate[TopTermsAgg.Sketch] {
 
   private lazy val cap: Int = capExpr.eval() match {
-    case i: Int => i
-    case l: Long => l.toInt
+    case i: Int if i >= 1 => i
+    case l: Long if l >= 1 => l.toInt
+    // cap = 0 would silently return an EMPTY result for any input
+    // (every add takes the eviction branch without growing the map),
+    // and a negative cap threw an obscure HashMap initial-capacity
+    // error from inside buffer creation
+    case i @ (_: Int | _: Long) => throw new IllegalArgumentException(
+      s"approx_top_terms capacity must be >= 1, got $i")
     case other => throw new IllegalArgumentException(
       s"capacity must be a foldable integer literal, got $other")
   }

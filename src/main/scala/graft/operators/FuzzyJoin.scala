@@ -53,7 +53,11 @@ object FuzzyJoin {
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     require(maxDist >= 0 && q >= 1, s"bad maxDist=$maxDist q=$q")
     val prefixLen = q * maxDist + 1
-    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
+    // NULL strings can participate in no pair (levenshtein(null, x) is
+    // null) — drop them; reaching the assert below they would abort
+    // the whole job with a NULL condition AND a NULL error message
+    val base = df.where(col(strCol).isNotNull)
+      .select(col(idCol).as("id"), col(strCol).as("s"))
       // completeness guard: < q·(maxDist+1) chars → fewer than
       // prefixLen grams → a true pair could share zero grams. The
       // assert rides a filter so the optimizer cannot prune it.

@@ -29,23 +29,34 @@ object Multimodal {
       width: Int, height: Int, digest: String)
 
   /** Decoder contract: payload bytes → features. Implementations MUST be
-    * deterministic and serializable (runs inside executor tasks). */
+    * deterministic and serializable (runs inside executor tasks), and
+    * MUST tolerate a NULL payload (a corrupt/absent media cell must
+    * never kill a 100-TB scan). */
   trait Decoder extends Serializable {
     def decode(id: Long, payload: Array[Byte]): MediaFeatures
+  }
+
+  /** Shared MD5-hex digest (one definition — it appears on every decode
+    * hot path); null-safe: a NULL payload digests as empty bytes. */
+  private[operators] def md5Hex(bytes: Array[Byte]): String = {
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
   }
 
   /** STUB — stands in for a real media codec (none available in this
     * container). Deterministic: format from the first byte, fake
     * dimensions from byte statistics, md5 digest of the payload. */
   object StubDecoder extends Decoder {
-    override def decode(id: Long, payload: Array[Byte]): MediaFeatures = {
+    override def decode(id: Long, payload0: Array[Byte]): MediaFeatures = {
+      val payload =
+        if (payload0 == null) Array.emptyByteArray else payload0
       val first = if (payload.nonEmpty) payload(0) & 0xFF else 0
       val fmt = if (first % 3 == 0) "png" else if (first % 3 == 1) "jpeg"
         else "webp"
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(payload).map("%02x".format(_)).mkString
       MediaFeatures(id, payload.length.toLong, fmt,
-        16 * (1 + first % 64), 16 * (1 + (payload.length % 64)), md)
+        16 * (1 + first % 64), 16 * (1 + (payload.length % 64)),
+        md5Hex(payload))
     }
   }
 
@@ -56,9 +67,10 @@ object Multimodal {
     * degrade to format "unknown" with -1 dimensions instead of failing
     * the task — a corrupt image must not kill a 100-TB scan. */
   object ImageIoDecoder extends Decoder {
-    override def decode(id: Long, payload: Array[Byte]): MediaFeatures = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(payload).map("%02x".format(_)).mkString
+    override def decode(id: Long, payload0: Array[Byte]): MediaFeatures = {
+      val payload =
+        if (payload0 == null) Array.emptyByteArray else payload0
+      val md = md5Hex(payload)
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
@@ -118,20 +130,20 @@ object Multimodal {
     * payloads → format "unknown" row, never a task failure. */
   def probeAudio(id: Long, payload: Array[Byte]): AudioMeta =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      // ONE header parse: AudioFileFormat already carries the container
+      // type, the AudioFormat, and the frame length — the previous
+      // getAudioInputStream + getAudioFileFormat pair parsed the same
+      // header twice per row on the hot mapPartitions path
+      val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
         new java.io.ByteArrayInputStream(payload))
-      try {
-        val ff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
-          new java.io.ByteArrayInputStream(payload))
-        val f = ais.getFormat
-        // AU headers conventionally use 0xFFFFFFFF for unknown data size:
-        // getFrameLength then returns NOT_SPECIFIED (-1). Clamp to 0 so
-        // duration aggregates never go negative.
-        val frames = math.max(ais.getFrameLength, 0L)
-        AudioMeta(id, ff.getType.getExtension, f.getSampleRate.toDouble,
-          f.getChannels, frames,
-          if (f.getFrameRate > 0) frames / f.getFrameRate.toDouble else 0.0)
-      } finally ais.close()
+      val f = ff.getFormat
+      // AU headers conventionally use 0xFFFFFFFF for unknown data size:
+      // getFrameLength then returns NOT_SPECIFIED (-1). Clamp to 0 so
+      // duration aggregates never go negative.
+      val frames = math.max(ff.getFrameLength.toLong, 0L)
+      AudioMeta(id, ff.getType.getExtension, f.getSampleRate.toDouble,
+        f.getChannels, frames,
+        if (f.getFrameRate > 0) frames / f.getFrameRate.toDouble else 0.0)
     } catch {
       case scala.util.control.NonFatal(_) =>
         AudioMeta(id, "unknown", 0.0, 0, 0L, 0.0)
@@ -182,15 +194,14 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.select("media_id", "payload").as[(Long, Array[Byte])]
-      .flatMap { case (id, p) =>
-        val n = math.max(1, math.min(frames, p.length))
+      .flatMap { case (id, p0) =>
+        val p = if (p0 == null) Array.emptyByteArray else p0
+        val n = math.max(1, math.min(frames, math.max(p.length, 1)))
         val step = math.max(1, p.length / n)
         (0 until n).map { i =>
           val start = i * step
           val slice = p.slice(start, math.min(start + step, p.length))
-          val md = java.security.MessageDigest.getInstance("MD5")
-            .digest(slice).map("%02x".format(_)).mkString
-          Frame(id, i, slice, md)
+          Frame(id, i, slice, md5Hex(slice))
         }
       }
   }

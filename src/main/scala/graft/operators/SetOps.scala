@@ -48,6 +48,16 @@ object SetOps {
       asDecimal(n).map(widenDecimals(d, _)).getOrElse(DoubleType)
     case (n, d: DecimalType) if widenOrder.contains(n) =>
       asDecimal(n).map(widenDecimals(d, _)).getOrElse(DoubleType)
+    // integral + FLOAT widens to DOUBLE, not FLOAT: a float mantissa
+    // is 24 bits, so casting a BIGINT to it corrupts silently beyond
+    // 2^24 — the same trap the decimal rules above exist to avoid
+    // (double preserves integers to 2^53, the standard SQL trade)
+    case (FloatType, i)
+        if Seq(ByteType, ShortType, IntegerType, LongType).contains(i) =>
+      DoubleType
+    case (i, FloatType)
+        if Seq(ByteType, ShortType, IntegerType, LongType).contains(i) =>
+      DoubleType
     case (x, y) if widenOrder.contains(x) && widenOrder.contains(y) =>
       widenOrder(math.max(widenOrder.indexOf(x), widenOrder.indexOf(y)))
     case (StringType, _) | (_, StringType) => StringType

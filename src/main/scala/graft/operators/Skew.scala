@@ -21,6 +21,17 @@ object Skew {
     * sum (pre-cast to an exact type by the caller if needed). */
   def saltedCountSum(df: DataFrame, keys: Seq[String],
       sums: Map[String, Column], saltBuckets: Int = 16): DataFrame = {
+    // name hygiene: the internal salt/partial names and the output
+    // count column must not collide with user names — a key named
+    // '_cnt' was an ambiguous-reference error, a sums entry named 'n'
+    // silently emitted two 'n' output columns
+    val reserved = Set("_salt", "_cnt", "n") ++ sums.keys.map("_s_" + _)
+    val clash = keys.filter(reserved.contains) ++
+      sums.keys.filter(k => k == "n" || k == "_salt" || k == "_cnt")
+    require(clash.isEmpty,
+      s"saltedCountSum reserved-name collision: ${clash.mkString(", ")} " +
+        "(rename the key/sum — '_salt', '_cnt', '_s_*' and the output " +
+        "count column 'n' are reserved)")
     val salted = df.withColumn("_salt",
       pmod(spark_partition_id() + monotonically_increasing_id(),
         lit(saltBuckets)))

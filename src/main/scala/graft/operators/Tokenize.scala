@@ -69,6 +69,16 @@ object Tokenize {
         if (f == 0L) pairFreq.remove(p) else pairFreq(p) = f
         if (sign > 0)
           pairWords.getOrElseUpdate(p, mutable.HashSet[Int]()) += idx
+        else
+          // prune the index on retraction: the re-add pass restores it
+          // for pairs the word STILL contains, so without this the sets
+          // accumulate stale word indexes and every later round that
+          // picks such a pair re-processes words it no longer touches —
+          // per-round cost creeping toward O(vocab) on merge-heavy
+          // corpora instead of the claimed O(words containing the pair)
+          pairWords.get(p).foreach { s =>
+            s -= idx; if (s.isEmpty) pairWords.remove(p)
+          }
         i += 1
       }
     }
