@@ -626,6 +626,21 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   }
   def isView(name: String): Boolean = views.contains(name)
 
+  /** Immediate parent of a view (a table name or another view). */
+  def viewParent(name: String): Option[String] = views.get(name).map(_._1)
+
+  /** Views whose (possibly stacked) base resolves to `table` — the
+    * dependents a DROP TABLE must account for (the reference refuses to
+    * drop a table with child views). */
+  def dependentViews(table: String): Seq[String] =
+    views.keys.filter(v => viewBase(v) == table).toSeq.sorted
+
+  /** Remove a view definition (used by DROP SCHEMA CASCADE cleanup). */
+  def dropView(name: String): Unit = {
+    views.remove(name)
+    viewDropped.remove(name)
+  }
+
   /** Dynamic columns (reference: per-query extra columns, g:832-846,
     * DynamicColumnIT): extend a read with typed columns the base schema
     * doesn't declare — absent values are NULL of the declared type. */

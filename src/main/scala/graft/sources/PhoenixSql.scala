@@ -58,7 +58,9 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     else if (up.startsWith("CREATE SCHEMA")) createSchema(s)
     else if (up.startsWith("DROP SCHEMA")) dropSchema(s)
     else if (up.startsWith("USE ")) useSchema(s)
-    else if (up.startsWith("TRUNCATE TABLE")) truncateTable(s)
+    else if (up.startsWith("TRUNCATE TABLE")) {
+      requireNoScn("TRUNCATE"); truncateTable(s)
+    }
     else if (up.startsWith("SHOW CREATE TABLE")) showCreateTable(s)
     else if (up.startsWith("SHOW ")) show(s)
     else if (up.startsWith("SET CURRENT_SCN")) setScn(s)
@@ -66,7 +68,9 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     // hintClause?, e.g. UPSERT /*+ NO_INDEX */ INTO ...)
     else if (up.startsWith("UPSERT")) { requireNoScn("UPSERT"); upsert(s) }
     else if (up.startsWith("DELETE FROM")) { requireNoScn("DELETE"); delete(s) }
-    else if (up.startsWith("DROP TABLE")) dropTable(s)
+    else if (up.startsWith("DROP TABLE")) {
+      requireNoScn("DROP TABLE"); dropTable(s)
+    }
     else if (up.startsWith("ALTER VIEW")) alterView(s)
     else if (up.startsWith("ALTER TABLE")) alterTable(s)
     else if (up.startsWith("EXPLAIN")) explainPlan(s)
@@ -149,7 +153,19 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     * resolution: no fallback to the unqualified namespace). */
   private def resolveTable(raw: String): String = {
     val bare = raw.trim.replaceAll("\"", "").toLowerCase
-    if (bare.contains(".")) cleanIdent(raw)
+    if (bare.contains(".")) {
+      // an EXPLICITLY qualified name whose qualifier is a registered
+      // schema must associate with it too — otherwise SHOW TABLES IN
+      // and DROP SCHEMA [CASCADE] were blind to objects created as
+      // SCHEMA.TABLE without USE. Dotted names whose prefix is NOT a
+      // schema stay plain flattened namespaces (the fixture corpus
+      // creates CORE.X with no CREATE SCHEMA, like the reference with
+      // namespace mapping off).
+      val flat = cleanIdent(raw)
+      val qual = bare.split("\\.")(0)
+      if (schemas.contains(qual)) schemaOf(flat) = qual
+      flat
+    }
     else currentSchema match {
       case Some(sc) =>
         val flat = cleanIdent(s"$sc.$bare")
@@ -197,6 +213,13 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
           }
         }
         if (cdcDefs.remove(t).isDefined) spark.catalog.dropTempView(t)
+        if (viewNames.contains(t)) {
+          // a view owned by the schema must drop COMPLETELY: leaving
+          // its temp view + catalog definition served data from the
+          // dropped schema forever (and never refreshed)
+          catalog.dropView(t)
+          spark.catalog.dropTempView(t)
+        }
         sequences -= t
         viewNames -= t
         schemaOf -= t
@@ -381,7 +404,14 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
   // EXPLAIN must NEVER execute the statement: DML is planned via its
   // read side only (the rows a DELETE would match / an UPSERT..SELECT
   // would write), with a header naming the mutation. ------------------
-  private def explainPlan(s: String): DataFrame = {
+  private var explainMode = false
+
+  private def explainPlan(s: String): DataFrame = try {
+    explainMode = true
+    explainPlanImpl(s)
+  } finally explainMode = false
+
+  private def explainPlanImpl(s: String): DataFrame = {
     import spark.implicits._
     val inner = s.trim.replaceFirst("(?is)^EXPLAIN\\s+", "")
     val up = inner.toUpperCase
@@ -434,7 +464,11 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       "\\(([^)]*)\\)\\s+RETURNS\\s+(.+?)\\s+AS\\s+'([^']+)'" +
       "(?:\\s+USING\\s+JAR\\s+'([^']+)')?\\s*$").r.findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
-    val name = resolveTable(m.group(1))
+    // functions are session-scoped and NOT schema-qualified (cleanIdent,
+    // matching dropFunction): resolveTable under USE <schema> registered
+    // "s1_dbl", making `SELECT dbl(...)` undefined and DROP FUNCTION
+    // dbl a not-found — and polluted schemaOf with a function name
+    val name = cleanIdent(m.group(1))
     val arity = splitTopLevel(m.group(2), ',').map(parseType).length
     val ret = parseType(m.group(3))
     val loader = Option(m.group(5))
@@ -606,7 +640,11 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       .map(m => typeAndCons0.substring(0, m.start) +
         Option(m.group(2)).getOrElse(""))
       .getOrElse(typeAndCons0)
-    val notNull = typeAndCons.toUpperCase.contains("NOT NULL")
+    // whitespace-tolerant, matching the strip regex below — plain
+    // contains("NOT NULL") missed "NOT  NULL" and silently made the
+    // column nullable while the strip still removed the clause
+    val notNull =
+      "(?i)NOT\\s+NULL".r.findFirstIn(typeAndCons).isDefined
     val t = typeAndCons.replaceAll("(?i)\\s+NOT\\s+NULL", "")
       .replaceAll("(?i)\\s+NULL$", "")
       .replaceAll("(?i)\\s+PRIMARY\\s+KEY.*", "")
@@ -806,20 +844,30 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     scala.collection.mutable.Map[String, Map[String, String]]()
 
   private def createView(s: String): DataFrame = {
-    val m = ("(?is)CREATE VIEW (?:IF NOT EXISTS )?([\\w.\"]+)\\s*" +
-      "(\\([^)]*\\))?\\s*AS\\s+" +
-      "SELECT \\* FROM\\s+([\\w.\"]+)(?:\\s+WHERE\\s+(.*))?$").r
+    // the added-column list may contain PARENTHESIZED types
+    // (VARCHAR(20), DECIMAL(10,2)) — a [^)]* regex stopped at the first
+    // ')' and failed the whole statement, so take the balanced group
+    val head = "(?is)^CREATE VIEW (?:IF NOT EXISTS )?([\\w.\"]+)\\s*".r
       .findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
-    val name = resolveTable(m.group(1))
-    val base = resolveTable(m.group(3))
+    val afterName = s.substring(head.end)
+    val (colGroup, rest) =
+      if (afterName.startsWith("("))
+        firstBalancedGroup(afterName) match {
+          case (inner, tail) => (Some(inner), tail)
+        }
+      else (None, afterName)
+    val m = ("(?is)^\\s*AS\\s+SELECT \\* FROM\\s+([\\w.\"]+)" +
+      "(?:\\s+WHERE\\s+(.*))?$").r.findFirstMatchIn(rest)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val name = resolveTable(head.group(1))
+    val base = resolveTable(m.group(1))
     // view-added columns extend the base table's physical storage
-    Option(m.group(2)).foreach { colGroup =>
-      val inner = colGroup.stripPrefix("(").stripSuffix(")")
+    colGroup.foreach { inner =>
       val fields = splitTopLevel(inner, ',').map(columnField)
       catalog.extendTable(catalog.viewBase(base), fields)
     }
-    val predText = Option(m.group(4))
+    val predText = Option(m.group(2))
     val pred = predText.map(expr).getOrElse(lit(true))
     // equality conjuncts become write-through defaults
     val eqs = predText.toSeq.flatMap(_.split("(?i)\\s+AND\\s+").toSeq)
@@ -898,6 +946,13 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
     val name = resolveTable(m.group(1))
     if (catalog.hasTable(name)) {
+      // the reference refuses to drop a table with child views; a
+      // silent drop here left orphaned view definitions whose
+      // re-registration failed EVERY later SELECT on the session
+      val deps = catalog.dependentViews(name)
+      if (deps.nonEmpty) throw new IllegalArgumentException(
+        s"cannot drop table $name: dependent views exist " +
+          s"(${deps.mkString(", ")}) — drop them first")
       catalog.dropTable(name)
       tableNames -= name
       schemaOf -= name
@@ -992,7 +1047,11 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     case Some(l) =>
       val cand = try Math.addExact(l, st.incr) catch {
         case _: ArithmeticException =>
-          if (st.incr > 0) Long.MaxValue else Long.MinValue
+          // 64-bit overflow IS the limit — the old clamp handed out
+          // duplicate MaxValue forever once reached
+          if (st.cycle) return (if (st.incr > 0) st.min else st.max)
+          throw new IllegalStateException(
+            s"sequence limit reached (64-bit overflow, no CYCLE)")
       }
       if (st.incr > 0 && (cand > st.max || cand < l)) {
         if (st.cycle) st.min
@@ -1021,6 +1080,22 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
 
   // ---- DML --------------------------------------------------------------
 
+  /** Equality defaults of a view AND all its ancestors (reference:
+    * Phoenix sets every view constant in the chain on write-through —
+    * applying only the leaf's would write a base row invisible through
+    * the very view it was written through). Leaf wins on conflict. */
+  private def chainDefaults(view: String): Map[String, String] = {
+    var acc = Map.empty[String, String]
+    var cur: Option[String] = Some(view)
+    while (cur.exists(catalog.isView)) {
+      val v = cur.get
+      // ancestor defaults must not override the nearer view's
+      acc = viewDefaults.getOrElse(v, Map.empty) ++ acc
+      cur = catalog.viewParent(v)
+    }
+    acc
+  }
+
   private def upsert(sIn: String): DataFrame = {
     // strip an upsert-level hint (UPSERT /*+ NO_INDEX */ INTO ...) —
     // write-path hints steer the reference's index maintenance, which
@@ -1039,16 +1114,29 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       // they remain visible through the view
       val (table, defaults) =
         if (catalog.isView(target))
-          (catalog.viewBase(target), viewDefaults.getOrElse(target, Map.empty))
+          (catalog.viewBase(target), chainDefaults(target))
         else (target, Map.empty[String, String])
       var df = select(m.group(3))
-      Option(m.group(2)).foreach { colGroup =>
-        val names = splitTopLevel(colGroup, ',').map(c =>
-          cleanIdent(c).split("\\.").last.toLowerCase)
-        require(names.length == df.columns.length,
-          s"UPSERT SELECT arity mismatch: ${names.length} columns but " +
-            s"${df.columns.length} select outputs for $target")
-        df = df.toDF(names: _*)
+      Option(m.group(2)) match {
+        case Some(colGroup) =>
+          val names = splitTopLevel(colGroup, ',').map(c =>
+            cleanIdent(c).split("\\.").last.toLowerCase)
+          require(names.length == df.columns.length,
+            s"UPSERT SELECT arity mismatch: ${names.length} columns but " +
+              s"${df.columns.length} select outputs for $target")
+          df = df.toDF(names: _*)
+        case None =>
+          // POSITIONAL binding, like the reference (and the VALUES
+          // path): without this, an expression output named "(n * 2)"
+          // matched no table column, was dropped, and the real column
+          // padded to NULL — silent corruption. Fewer outputs than
+          // columns bind to the leading columns (trailing take
+          // DEFAULT/NULL at the catalog layer).
+          val fields = catalog.spec(table).schema.fieldNames.toSeq
+          require(df.columns.length <= fields.length,
+            s"UPSERT SELECT has more outputs (${df.columns.length}) " +
+              s"than $target has columns (${fields.length})")
+          df = df.toDF(fields.take(df.columns.length): _*)
       }
       defaults.filterNot { case (c, _) => df.columns.contains(c) }
         .foreach { case (c, v) => df = df.withColumn(c, expr(v)) }
@@ -1064,7 +1152,7 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     // defaults for columns the statement doesn't set
     val (table, defaults) =
       if (catalog.isView(target))
-        (catalog.viewBase(target), viewDefaults.getOrElse(target, Map.empty))
+        (catalog.viewBase(target), chainDefaults(target))
       else (target, Map.empty[String, String])
     val spec = catalog.spec(table)
     val cols = Option(m.group(2))
@@ -1453,8 +1541,13 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
         rowTsRe.replaceAllIn(s, "phoenix_row_timestamp")
       }
     // rewrite schema-qualified spellings to the flattened view names
+    // boundaries + literal mask: a blanket replaceAll corrupted string
+    // literals containing the dotted spelling and unrelated identifiers
+    // holding it as a substring (registered "a.b" inside `data.bytes`)
     val rewritten = dottedNames.foldLeft(s1) { case (acc, (dotted, flat)) =>
-      acc.replaceAll("(?i)" + java.util.regex.Pattern.quote(dotted), flat)
+      replaceOutsideLiterals(acc,
+        ("(?i)(?<![\\w.`])" + java.util.regex.Pattern.quote(dotted) +
+          "(?![\\w.`])").r)(_ => flat)
     }
     val (withDyn, dynViews) = rewriteDynamicColumns(rewritten)
     val df = sequenceSelect(withDyn).getOrElse(spark.sql(withDyn))
@@ -1555,20 +1648,33 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val curRe = "(?i)CURRENT\\s+VALUE\\s+FOR\\s+([\\w.\"]+)".r
     if (nextRe.findFirstIn(s).isEmpty && curRe.findFirstIn(s).isEmpty)
       return None
-    val withCur = curRe.replaceAllIn(s,
-      m => currentValueFor(resolveTable(m.group(1))).toString + "L")
-    val nextSeqs = nextRe.findAllMatchIn(withCur)
+    val nextSeqs0 = nextRe.findAllMatchIn(s)
       .map(m => resolveTable(m.group(1))).toSeq.distinct
-    if (nextSeqs.isEmpty) return Some(spark.sql(withCur))
-    val rewritten = nextRe.replaceAllIn(withCur, m => {
-      val seq = resolveTable(m.group(1))
+    def perRow(seq: String): String = {
       val st = seqOf(seq)
       val first = peekNext(st)
       // value = first + incr * (row_number - 1); constant ORDER BY = the
       // reference's iteration-order assignment (order not guaranteed)
       s"(${first}L + ${st.incr}L * (ROW_NUMBER() OVER (ORDER BY 1) - 1))"
+    }
+    // CURRENT VALUE in a statement that ALSO steps NEXT for the same
+    // sequence reads the ROW's next value (reference SequenceManager
+    // coalesces per row; the UPSERT path already worked this way) —
+    // only CURRENT-only sequences read the stored last value
+    val withCur = curRe.replaceAllIn(s, m => {
+      val seq = resolveTable(m.group(1))
+      if (nextSeqs0.contains(seq)) perRow(seq)
+      else currentValueFor(seq).toString + "L"
     })
+    val nextSeqs = nextRe.findAllMatchIn(withCur)
+      .map(m => resolveTable(m.group(1))).toSeq.distinct
+    if (nextSeqs.isEmpty) return Some(spark.sql(withCur))
+    val rewritten = nextRe.replaceAllIn(withCur,
+      m => perRow(resolveTable(m.group(1))))
     val out = spark.sql(rewritten)
+    // EXPLAIN must never execute: skip the eager consume and the state
+    // step — the plan is built from peeked values only
+    if (explainMode) return Some(out)
     val n = out.count() // consume eagerly, like the reference's iterator
     nextSeqs.foreach { seq =>
       val st = seqOf(seq)
@@ -1604,8 +1710,22 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
   /** Execute a multi-statement script (block comments stripped,
     * ';'-separated). Returns the result of the last statement. */
   def executeScript(script: String): Seq[DataFrame] = {
-    val clean = script.replaceAll("(?s)/\\*.*?\\*/", "")
+    // strip block comments OUTSIDE string literals only — a literal
+    // containing '/*' must survive to the statement
+    val sb = new StringBuilder
+    var i = 0; var inStr = false
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (!inStr && c == '/' && i + 1 < script.length &&
+          script.charAt(i + 1) == '*') {
+        val end = script.indexOf("*/", i + 2)
+        i = if (end < 0) script.length else end + 2
+      } else {
+        if (c == '\'') inStr = !inStr
+        sb.append(c); i += 1
+      }
+    }
     // quote-aware split: a ';' inside a string literal is not a separator
-    splitTopLevel(clean, ';').map(execute)
+    splitTopLevel(sb.toString, ';').map(execute)
   }
 }

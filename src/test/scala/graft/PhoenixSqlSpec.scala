@@ -855,6 +855,71 @@ class PhoenixSqlSpec extends AnyFunSuite {
     assert(bad.getMessage.contains("invalid TTL"))
   }
 
+  test("round-9 sixth review pins: UPSERT SELECT binds positionally, " +
+      "DROP TABLE refuses with dependent views, EXPLAIN never steps " +
+      "sequences, stacked-view defaults, schema bookkeeping") {
+    val px = fresh()
+    // UPSERT ... SELECT with expression outputs binds by POSITION
+    px.execute("CREATE TABLE PT (ID BIGINT NOT NULL PRIMARY KEY, N BIGINT)")
+    px.execute("UPSERT INTO PT VALUES (1, 5)")
+    px.execute("UPSERT INTO PT SELECT ID + 100, N * 2 FROM PT")
+    val rows = px.execute("SELECT ID, N FROM PT ORDER BY ID")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 5L, 101L -> 10L),
+      s"expression outputs must bind positionally, not pad NULL: $rows")
+    // DROP TABLE with a dependent view refuses loudly
+    px.execute("CREATE VIEW PV AS SELECT * FROM PT WHERE N > 0")
+    val e = intercept[IllegalArgumentException](px.execute("DROP TABLE PT"))
+    assert(e.getMessage.contains("dependent views"))
+    // EXPLAIN of a sequence query must not advance sequence state
+    px.execute("CREATE SEQUENCE ESEQ START WITH 10 INCREMENT BY 1")
+    px.execute("EXPLAIN SELECT NEXT VALUE FOR ESEQ FROM PT")
+    assert(px.execute("SELECT NEXT VALUE FOR ESEQ FROM PT LIMIT 1")
+      .collect().head.getLong(0) == 10L,
+      "EXPLAIN must not have consumed sequence values")
+    // CURRENT VALUE in the same statement reads the row's NEXT value
+    px.execute("CREATE SEQUENCE CSEQ START WITH 7 INCREMENT BY 1")
+    val nc = px.execute(
+      "SELECT NEXT VALUE FOR CSEQ AS nv, CURRENT VALUE FOR CSEQ AS cv " +
+        "FROM PT LIMIT 1").collect().head
+    assert(nc.getLong(0) == 7L && nc.getLong(1) == 7L,
+      "CURRENT in a NEXT-stepping statement reads the stepped value")
+    // stacked views: write-through applies EVERY ancestor's defaults
+    px.execute("CREATE TABLE ST (ID BIGINT NOT NULL PRIMARY KEY, " +
+      "K VARCHAR, J VARCHAR)")
+    px.execute("CREATE VIEW SV1 AS SELECT * FROM ST WHERE K = 'a'")
+    px.execute("CREATE VIEW SV2 AS SELECT * FROM SV1 WHERE J = 'b'")
+    px.execute("UPSERT INTO SV2 (ID) VALUES (9)")
+    assert(px.execute("SELECT ID FROM SV2").collect()
+      .map(_.getLong(0)).toSeq == Seq(9L),
+      "a row upserted through a stacked view must be visible through it")
+    // CREATE VIEW with a parenthesized added-column type parses
+    px.execute("CREATE VIEW PV2 (NOTE VARCHAR(20)) AS SELECT * FROM ST " +
+      "WHERE K = 'a'")
+    // dotted spellings inside string literals survive the rewrite
+    px.execute("CREATE SCHEMA QS")
+    px.execute("CREATE TABLE QS.T (K BIGINT NOT NULL PRIMARY KEY, " +
+      "V VARCHAR)")
+    px.execute("UPSERT INTO QS.T VALUES (1, 'see qs.t here')")
+    assert(px.execute("SELECT V FROM QS.T WHERE V = 'see qs.t here'")
+      .count() == 1, "literals containing a dotted name must not rewrite")
+    // qualified CREATE associates with its schema (SHOW TABLES IN /
+    // DROP SCHEMA see it even without USE)
+    assert(px.execute("SHOW TABLES IN QS").collect()
+      .exists(_.toString.toLowerCase.contains("t")),
+      "SHOW TABLES IN must list a table created as SCHEMA.TABLE")
+    // functions register session-scoped regardless of USE <schema>
+    px.execute("CREATE SCHEMA FS")
+    px.execute("USE FS")
+    px.execute("CREATE FUNCTION myrev(VARCHAR) RETURNS VARCHAR AS " +
+      "'graft.TestReverseUdf'")
+    assert(px.execute("SELECT myrev('ab')").collect()
+      .head.getString(0) == "ba",
+      "a function created under USE <schema> must be callable bare")
+    px.execute("DROP FUNCTION myrev")
+    px.execute("USE DEFAULT")
+  }
+
   test("TTL tables re-register per SELECT: expiry shows without any " +
       "write dirtying the cached view") {
     import org.apache.spark.sql.functions.col
