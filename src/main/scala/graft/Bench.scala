@@ -96,7 +96,10 @@ object Bench {
     // per-query map times the SERVING path; the build cost is reported
     // here once, not hidden
     import scala.jdk.CollectionConverters._
-    val builds = graft.queries.Artifacts.buildSeconds.asScala.toSeq.sorted
+    // buildSeconds is keyed (name, dir); report THIS run's dir only —
+    // a both-scale JVM would otherwise mix scales in one map
+    val builds = graft.queries.Artifacts.buildSeconds.asScala.toSeq
+      .collect { case ((n, d), v) if d == sfDir => n -> v }.sorted
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val full =

@@ -43,10 +43,28 @@ object Membership {
         "cast one side before the join (xxhash64 is type-sensitive, so " +
         "mismatched types silently drop true matches in the prefilter)")
     graft.functions.GraftFunctions.register(big.sparkSession)
-    val filter = keys.agg(
+    // the keys plan is evaluated TWICE below (Bloom aggregate + exact
+    // verify join). A non-deterministic plan (sample, limit-without-
+    // order, rand-derived) would give the two evaluations different key
+    // sets, and a row in the verify draw but not the Bloom draw is
+    // silently killed by the prefilter — pin ONE materialization first.
+    // Deterministic plans skip the extra job.
+    val keysOnce = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Sample, LocalLimit, GlobalLimit, Sort}
+      val plan = keys.queryExecution.analyzed
+      val nonDet = plan.find {
+        case _: Sample => true
+        case _: LocalLimit | _: GlobalLimit =>
+          // a limit over unordered input picks arbitrary rows per run
+          plan.find(_.isInstanceOf[Sort]).isEmpty
+        case p => p.expressions.exists(e => !e.deterministic)
+      }.isDefined
+      if (nonDet) keys.localCheckpoint() else keys
+    }
+    val filter = keysOnce.agg(
       call_function("bloom_build", xxhash64(col(keyCol)),
         lit(numBits), lit(numHashes)).as("__bloom"))
-    val verified = keys.select(col(keyCol).as(bigKey)).distinct()
+    val verified = keysOnce.select(col(keyCol).as(bigKey)).distinct()
     big
       // single-row filter: broadcast once, probe scan-locally
       .crossJoin(broadcast(filter))

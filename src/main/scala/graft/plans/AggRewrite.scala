@@ -76,8 +76,15 @@ object GraftAggViews {
   def lookup(basePath: String): Option[AggViewDef] =
     Option(registry.get(norm(basePath)))
 
-  private def norm(p: String) =
-    p.stripPrefix("file:").stripSuffix("/")
+  // normalize through the Hadoop Path/URI machinery so every spelling
+  // of the same location ("file:///data/fact", "hdfs://nn:8020/data/
+  // fact", "/data/fact", trailing slash) keys identically — the probe
+  // side (HadoopFsRelation rootPaths.head.toUri.getPath) yields the
+  // scheme-less path, and a string-stripped "file:" left "///path"
+  // that could never match it
+  private def norm(p: String) = scala.util.Try(
+      new org.apache.hadoop.fs.Path(p).toUri.getPath)
+    .toOption.filter(_.nonEmpty).getOrElse(p).stripSuffix("/")
 
   val DisabledConf = "spark.graft.aggRewrite.disabled"
 }
@@ -94,13 +101,20 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * when one exists (MV-root registration); a concrete state dir is
     * used as-is. Any read failure refuses the rewrite — planning must
     * never crash on a stale registration. */
-  private def resolveState(p: String): Option[String] = {
-    if (!new java.io.File(s"$p/meta").exists()) Some(p)
-    else scala.util.Try {
-      val m = spark.read.parquet(s"$p/meta").head()
+  private def resolveState(p: String): Option[String] = scala.util.Try {
+    // probe through the Hadoop FileSystem of the PATH's scheme, not
+    // java.io.File — an MV root on hdfs:///s3a:// (or spelled file:///)
+    // is invisible to the local-FS File API, which silently degraded
+    // every such registration to "concrete state dir" and refused the
+    // rewrite forever
+    val meta = new org.apache.hadoop.fs.Path(p, "meta")
+    val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(meta)) p
+    else {
+      val m = spark.read.parquet(meta.toString).head()
       s"$p/${graft.operators.Materialize.stateDir(m)}"
-    }.toOption
-  }
+    }
+  }.toOption
 
   /** The scanned base path plus any residual filter, looking through
     * pruning Projects. A filter is carried back (to re-apply on the
@@ -143,9 +157,13 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
     if (!groupNames.toSet.subsetOf(view.groupCols.toSet)) return None
     // a residual filter must touch only GROUP columns — a measure
-    // predicate filters individual fact rows, which the state can't see
-    if (!residual.forall(_.references.map(_.name).toSet
-        .subsetOf(view.groupCols.toSet))) return None
+    // predicate filters individual fact rows, which the state can't
+    // see — and must be DETERMINISTIC: a reference-free predicate like
+    // rand() < p passes the subset check yet means "sample fact ROWS",
+    // which re-applied to one-row-per-group state keeps whole groups
+    if (!residual.forall(c => c.deterministic &&
+        c.references.map(_.name).toSet
+          .subsetOf(view.groupCols.toSet))) return None
     // answerability PRE-CHECK before any state I/O: pattern-only, no
     // attributes needed — a bailing query (decimal avg, DISTINCT) must
     // not pay a parquet schema read per planning pass

@@ -23,9 +23,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Artifacts {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[String]]()
-  /** artifact name → build wall seconds (one entry per build). */
+  /** (artifact name, source dir) → build wall seconds — keyed like the
+    * build cache itself, so a both-scale session (sf0.01 then sf0.1 in
+    * one JVM) keeps one entry PER build instead of the second scale
+    * silently overwriting the first's accounting. */
   val buildSeconds =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Double]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), java.lang.Double]()
 
   /** An n-part artifact (e.g. IVF-PQ = centroids + codebook + codes):
     * `build` runs once per (name, dir); every later call reads the
@@ -42,7 +45,7 @@ object Artifacts {
         df.write.mode("overwrite").parquet(p)
         p
       }
-      buildSeconds.put(name, (System.nanoTime() - t0) / 1e9)
+      buildSeconds.put((name, dir), (System.nanoTime() - t0) / 1e9)
       ps
     })
     paths.map(s.read.parquet)
@@ -64,7 +67,7 @@ object Artifacts {
     memo.computeIfAbsent((name, dir), _ => {
       val t0 = System.nanoTime()
       val v = build
-      buildSeconds.put(name, (System.nanoTime() - t0) / 1e9)
+      buildSeconds.put((name, dir), (System.nanoTime() - t0) / 1e9)
       v.asInstanceOf[AnyRef]
     }).asInstanceOf[T]
 

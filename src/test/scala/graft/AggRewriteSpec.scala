@@ -230,4 +230,66 @@ class AggRewriteSpec extends AnyFunSuite {
         "decimal avg must refuse the rewrite")
     } finally GraftAggViews.drop(base)
   }
+
+  test("agg rewrite: non-deterministic residual refuses; scheme-" +
+      "qualified registrations (file:///) key and resolve correctly") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_nd").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_ndstate").toString
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("k", "g", "x")
+      .write.mode("overwrite").parquet(base)
+    Materialize.aggregate(spark.read.parquet(base), Seq("g"), Seq("x"))
+      .write.mode("overwrite").parquet(statePath)
+    // register under the file:/// SPELLING — the probe side sees the
+    // scheme-less path, so norm must make the two spellings key equal
+    GraftAggViews.register(s"file://$base",
+      GraftAggViews.AggViewDef(statePath, Seq("g"), Seq("x")))
+    try {
+      val served = spark.read.parquet(base).groupBy($"g")
+        .agg(sum($"x").as("sx")).orderBy($"g")
+      assert(served.queryExecution.executedPlan.toString
+        .contains(new java.io.File(statePath).getName),
+        "a file:///-registered base must still match the scanned path")
+      assert(served.collect().map(r => r.getString(0) -> r.getLong(1))
+        .toMap == Map("a" -> 30L, "b" -> 30L))
+      // rand() < p references no columns, so it slips the group-column
+      // subset check — but it means "sample fact ROWS"; re-applied to
+      // one-row-per-group state it would keep/kill whole groups. Must
+      // refuse and scan the fact. (p must be < 1: Spark itself folds an
+      // always-true rand() comparison away before the rule runs.)
+      val nd = spark.read.parquet(base).where(rand() < lit(0.5))
+        .groupBy($"g").agg(sum($"x").as("sx"))
+      assert(nd.queryExecution.executedPlan.toString
+        .contains(new java.io.File(base).getName),
+        "a non-deterministic residual must refuse the rewrite")
+    } finally GraftAggViews.drop(base)
+    // MV ROOT spelled as a file: URI: the meta probe must go through
+    // the Hadoop FS of the path's scheme (java.io.File can't see a
+    // scheme-qualified spelling and silently degraded it to "concrete
+    // state dir" = rewrite never fires)
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_rooturi").toString
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createTable("f", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.upsert("f", Seq((1L, "a", 7L)).toDF("k", "g", "x"))
+    val mvRoot = s"$wh/mv"
+    Materialize.build(cat, "f", Seq("g"), Seq("x"), mvRoot)
+    val facts = s"$wh/fact_export"
+    cat.snapshot("f").write.mode("overwrite").parquet(facts)
+    GraftAggViews.register(facts,
+      GraftAggViews.AggViewDef(s"file://$mvRoot", Seq("g"), Seq("x")))
+    try {
+      val q = spark.read.parquet(facts).groupBy($"g")
+        .agg(sum($"x").as("sx"))
+      assert(q.queryExecution.executedPlan.toString.contains("state_v"),
+        "a file:-spelled MV root must resolve through its meta pointer")
+      assert(q.collect().head.getLong(1) == 7L)
+    } finally GraftAggViews.drop(facts)
+  }
 }

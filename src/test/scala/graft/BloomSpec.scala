@@ -97,6 +97,36 @@ class BloomSpec extends AnyFunSuite {
     assert(got === Set(1L, 2L))
   }
 
+  test("non-deterministic keys plans are pinned once: the operator " +
+      "checkpoints, deterministic plans don't pay the extra job") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.Sample
+    val big = (0L until 200L).toDF("k")
+    val keys = (0L until 100L).toDF("k")
+    // keys evaluates TWICE inside bloomSemiJoin (Bloom agg + verify
+    // join): a sample/limit/rand-derived plan can draw differently per
+    // evaluation under recompute or layout change, and a key in the
+    // verify draw but not the Bloom draw is silently killed by the
+    // prefilter. The fix pins ONE materialization — so no Sample node
+    // may survive into the result plan.
+    val sampled = Membership.bloomSemiJoin(big, keys.sample(0.5), "k", "k",
+      numBits = 1 << 12)
+    assert(sampled.queryExecution.analyzed
+        .find(_.isInstanceOf[Sample]).isEmpty,
+      "a Sample keys plan must be checkpointed, not re-evaluated per side")
+    // and the pinned result is internally exact: every returned row's
+    // key is in the (single) drawn key set, counted stably
+    assert(sampled.count() === sampled.count())
+    // a deterministic keys plan keeps its lazy plan (no checkpoint job):
+    // the Project over the range source must still be visible
+    val det = Membership.bloomSemiJoin(big, keys.where($"k" < 10L),
+      "k", "k", numBits = 1 << 12)
+    assert(det.queryExecution.analyzed.find(p =>
+        p.getClass.getSimpleName == "LogicalRDD").isEmpty,
+      "deterministic keys must not pay a checkpoint materialization")
+    assert(det.collect().map(_.getLong(0)).toSet === (0L until 10L).toSet)
+  }
+
   test("empty key set: filter rejects everything, semi-join is empty") {
     import spark.implicits._
     val keys = (0L until 100L)

@@ -2281,4 +2281,29 @@ class PipelineSpec extends AnyFunSuite {
       Option(pe.getCause).exists(
         _.getMessage.contains("non-positive or unparseable")))
   }
+
+  test("battery hygiene: q_ivm_refresh reuses ONE temp warehouse " +
+      "across repetitions; artifact build accounting is per (name, dir)") {
+    val dir = "/root/testdata/sf0.001"
+    def ivmDirs() = Option(new java.io.File(
+        System.getProperty("java.io.tmpdir")).listFiles())
+      .getOrElse(Array.empty).count(_.getName.startsWith("graft_ivm_q"))
+    val before = ivmDirs()
+    val a = SparkEntry.queries("q_ivm_refresh")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q_ivm_refresh")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b, "the cycle must be reproducible on the wiped root")
+    assert(ivmDirs() <= before + 1,
+      "repetitions must reuse one warehouse root, not accumulate /tmp")
+    // buildSeconds keys by (name, dir): the same artifact built under
+    // two source dirs must keep BOTH entries (a name-only key let the
+    // second scale silently overwrite the first's accounting)
+    graft.queries.Artifacts.memoized("dirA", "acct_probe") { "x" }
+    graft.queries.Artifacts.memoized("dirB", "acct_probe") { "y" }
+    import scala.jdk.CollectionConverters._
+    val keys = graft.queries.Artifacts.buildSeconds.asScala.keySet
+      .filter(_._1 == "acct_probe")
+    assert(keys == Set(("acct_probe", "dirA"), ("acct_probe", "dirB")))
+  }
 }
