@@ -28,7 +28,12 @@ object Base62 {
 
   def decode(s: UTF8String): Long = {
     val str = s.toString
-    if (str.isEmpty) return 0L
+    // "" and "-" have no digits: returning 0 made them indistinguishable
+    // from decode("0") — a corrupted key column of empty strings would
+    // silently collide on id 0 instead of failing like every other
+    // malformed input does
+    if (str.isEmpty || str == "-") throw new IllegalArgumentException(
+      s"invalid base62 input '$str': no digits")
     val neg = str.charAt(0) == '-'
     // accumulate in the negative domain (|Long.MinValue| > Long.MaxValue,
     // so "-AzL8n0Y58m8" must not pass through +9223372036854775808) with

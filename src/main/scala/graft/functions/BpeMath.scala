@@ -159,9 +159,9 @@ case class BpeTokens(left: Expression, right: Expression)
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
     (left.dataType, right.dataType) match {
       case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
-        if (right.foldable) TypeCheckSuccess
-        else TypeCheckFailure(
+        if (!right.foldable) TypeCheckFailure(
           "bpe_tokens merges must be a literal (foldable) array")
+        else PhraseMatches.checkNoNulls(right, "bpe_tokens merges")
       case (l, r) => TypeCheckFailure("bpe_tokens requires " +
         s"(ARRAY<STRING>, ARRAY<STRING>), got (${l.catalogString}, " +
         r.catalogString + ")")

@@ -13,7 +13,13 @@ import org.apache.spark.sql.types._
   *
   *  - SECOND..DAY are fixed-width: ROUND is half-UP in epoch space
   *    ((t + unit/2) / unit * unit), CEIL snaps up unless already exact,
-  *    FLOOR truncates.
+  *    FLOOR truncates. The division is Java TRUNCATING division
+  *    (reference roundTime), so pre-1970 (negative-epoch) inputs snap
+  *    TOWARD zero — e.g. FLOOR('1969-12-31 18:00', 'DAY') is
+  *    1970-01-01, exactly as the reference computes it. Spark's `%`
+  *    carries the dividend's sign (Java semantics), so
+  *    `t - (t % unit)` reproduces the truncating grid; pmod's
+  *    floor-mod would diverge on every negative-epoch input.
   *  - WEEK / MONTH / YEAR are calendar-width: candidates are the unit
   *    start at-or-before t (L) and the next start (U); ROUND picks the
   *    nearer, resolving an exact midpoint tie to the candidate whose
@@ -76,7 +82,7 @@ object DateRound {
       // (the reference rounds every fixed unit in GMT epoch space).
       case Some(m) =>
         val t = unix_micros(ts)
-        timestamp_micros(t - pmod(t, lit(m)))
+        timestamp_micros(t - (t % lit(m)))
       case _ => date_trunc(truncName(u), ts)
     }
   }
@@ -89,7 +95,7 @@ object DateRound {
       case Some(m) =>
         // floor(t + unit - 1µs) to a multiple of unit
         val t = unix_micros(ts) + lit(m - 1)
-        timestamp_micros(t - pmod(t, lit(m)))
+        timestamp_micros(t - (t % lit(m)))
       case None =>
         val l = date_trunc(truncName(u), ts)
         when(l === ts, ts).otherwise(nextStart(l, u))
@@ -104,7 +110,7 @@ object DateRound {
     fixedWidth(u, mult) match {
       case Some(m) =>
         val t = unix_micros(ts) + lit(m / 2)
-        timestamp_micros(t - pmod(t, lit(m)))
+        timestamp_micros(t - (t % lit(m)))
       case None =>
         val l = date_trunc(truncName(u), ts)
         val up = nextStart(l, u)

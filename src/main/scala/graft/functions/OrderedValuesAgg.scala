@@ -58,8 +58,14 @@ case class OrderedValuesAgg(
   override def merge(buf: OrderedValuesAgg.Buf, other: OrderedValuesAgg.Buf)
       : OrderedValuesAgg.Buf = { buf.mergeFrom(other); buf }
 
-  override def eval(buf: OrderedValuesAgg.Buf): Any =
-    new GenericArrayData(buf.sortedValues)
+  override def eval(buf: OrderedValuesAgg.Buf): Any = {
+    // a group with NO non-null (value, ord) pairs is NULL, not [] — the
+    // reference's FirstLastValueBaseClientAggregator.evaluate returns
+    // false (SQL NULL) when topValues is empty, so IS NULL predicates
+    // and oracle compares on all-null groups must agree
+    val vs = buf.sortedValues
+    if (vs.isEmpty) null else new GenericArrayData(vs)
+  }
 
   override def serialize(buf: OrderedValuesAgg.Buf): Array[Byte] = buf.toBytes
   override def deserialize(bytes: Array[Byte]): OrderedValuesAgg.Buf =
@@ -187,7 +193,11 @@ case class TopScoredAgg(
     StructField("term", StringType, nullable = false),
     StructField("score", DoubleType, nullable = false))),
     containsNull = false)
-  override def nullable: Boolean = true
+  // deliberately NOT the Phoenix first/last_values NULL-on-empty
+  // contract: an internal pipeline aggregate whose consumers (explode,
+  // size, array ops) want a typed EMPTY array for a group whose every
+  // input pair was null
+  override def nullable: Boolean = false
 
   override def createAggregationBuffer(): TopScoredAgg.Buf =
     new TopScoredAgg.Buf(k)
@@ -295,7 +305,11 @@ case class TopScoredIdAgg(
     StructField("id", LongType, nullable = false),
     StructField("score", DoubleType, nullable = false))),
     containsNull = false)
-  override def nullable: Boolean = true
+  // deliberately NOT the Phoenix first/last_values NULL-on-empty
+  // contract: an internal pipeline aggregate whose consumers (explode,
+  // size, array ops) want a typed EMPTY array for a group whose every
+  // input pair was null
+  override def nullable: Boolean = false
 
   override def createAggregationBuffer(): TopScoredIdAgg.Buf =
     new TopScoredIdAgg.Buf(k)

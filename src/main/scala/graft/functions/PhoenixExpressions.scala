@@ -62,7 +62,12 @@ case class ToChar(ts: Expression, fmt: Expression)
       (String, java.time.format.DateTimeFormatter) = _
   private def formatter(p: String): java.time.format.DateTimeFormatter = {
     if (cachedFmt == null || cachedFmt._1 != p)
-      cachedFmt = (p, java.time.format.DateTimeFormatter.ofPattern(p))
+      // locale PINNED: the default locale varies per JVM, and in a
+      // cluster the driver and executors need not agree — 'MMM' must
+      // render the same month name on every node (and match the
+      // English names the reference deployments and the oracle emit)
+      cachedFmt = (p, java.time.format.DateTimeFormatter
+        .ofPattern(p, java.util.Locale.ENGLISH))
     cachedFmt._2
   }
 
@@ -105,7 +110,8 @@ case class ToDateJava(str: Expression, fmt: Expression)
         .parseDefaulting(java.time.temporal.ChronoField.MINUTE_OF_HOUR, 0)
         .parseDefaulting(java.time.temporal.ChronoField.SECOND_OF_MINUTE, 0)
         .parseDefaulting(java.time.temporal.ChronoField.NANO_OF_SECOND, 0)
-        .toFormatter())
+        // locale pinned for the same cluster-determinism reason as ToChar
+        .toFormatter(java.util.Locale.ENGLISH))
     cachedFmt._2
   }
 
@@ -140,7 +146,11 @@ case class ToNumber(str: Expression, fmt: Expression)
   @transient private var cachedFmt: (String, java.text.DecimalFormat) = _
   private def formatter(p: String): java.text.DecimalFormat = {
     if (cachedFmt == null || cachedFmt._1 != p)
-      cachedFmt = (p, new java.text.DecimalFormat(p))
+      // symbols pinned to ROOT ('.' decimal, ',' grouping): the default
+      // locale varies per JVM/node, and e.g. a German default would
+      // silently swap separators mid-cluster
+      cachedFmt = (p, new java.text.DecimalFormat(p,
+        java.text.DecimalFormatSymbols.getInstance(java.util.Locale.ROOT)))
     cachedFmt._2
   }
 
@@ -267,7 +277,11 @@ case class NumberToChar(num: Expression, fmt: Expression)
   @transient private var cachedFmt: (String, java.text.DecimalFormat) = _
   private def formatter(p: String): java.text.DecimalFormat = {
     if (cachedFmt == null || cachedFmt._1 != p)
-      cachedFmt = (p, new java.text.DecimalFormat(p))
+      // symbols pinned to ROOT ('.' decimal, ',' grouping): the default
+      // locale varies per JVM/node, and e.g. a German default would
+      // silently swap separators mid-cluster
+      cachedFmt = (p, new java.text.DecimalFormat(p,
+        java.text.DecimalFormatSymbols.getInstance(java.util.Locale.ROOT)))
     cachedFmt._2
   }
 

@@ -123,9 +123,9 @@ case class PhraseMatches(left: Expression, right: Expression)
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
     (left.dataType, right.dataType) match {
       case (StringType, ArrayType(StringType, _)) =>
-        if (right.foldable) TypeCheckSuccess
-        else TypeCheckFailure(
+        if (!right.foldable) TypeCheckFailure(
           "phrase_matches phrases must be a literal (foldable) array")
+        else PhraseMatches.checkNoNulls(right, "phrase_matches phrases")
       case (l, r) => TypeCheckFailure("phrase_matches requires " +
         s"(STRING, ARRAY<STRING>), got (${l.catalogString}, " +
         r.catalogString + ")")
@@ -159,4 +159,25 @@ case class PhraseMatches(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): PhraseMatches = copy(left = l, right = r)
   override def prettyName: String = "phrase_matches"
+}
+
+object PhraseMatches {
+  /** Analysis-time guard shared with [[BpeTokens]]: the list argument is
+    * foldable, so a NULL array or NULL element can be rejected HERE with
+    * a typed error instead of surfacing as an opaque NPE from the lazy
+    * automaton/table build on the first row of a running job. */
+  private[functions] def checkNoNulls(e: Expression, what: String)
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    val arr = e.eval()
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (arr == null) return TypeCheckFailure(s"$what must not be NULL")
+    var i = 0
+    while (i < arr.numElements()) {
+      if (arr.isNullAt(i))
+        return TypeCheckFailure(s"$what must not contain NULL (element $i)")
+      i += 1
+    }
+    TypeCheckSuccess
+  }
 }

@@ -47,8 +47,13 @@ object UrlCanonicalKernel {
     val full = u.toString
     val sep = full.indexOf("://")
     if (sep < 0) return u
-    // 1. fragment off first — nothing after '#' participates
+    // 1. fragment off first — nothing after '#' participates. A '#'
+    // BEFORE the "://" means the separator sits inside the fragment of
+    // a non-URL ("a#b://c") — per the contract above, that string is
+    // not a URL and returns UNCHANGED: truncating to the pre-'#'
+    // prefix merged distinct garbage strings under one dedup key.
     val hash = full.indexOf('#')
+    if (hash >= 0 && hash < sep) return u
     val s = if (hash < 0) full else full.substring(0, hash)
     if (s.length < sep + 3) return UTF8String.fromString(s)
     val scheme = s.substring(0, sep).toLowerCase(java.util.Locale.ROOT)

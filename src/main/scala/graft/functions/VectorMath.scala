@@ -53,7 +53,11 @@ object VectorMath {
 
   /** Symmetric int8 quantization: q_i = floor(x_i/scale + 0.5) per
     * element (explicit half-up — engines disagree on round()'s tie
-    * rule), packed into signed bytes. scale <= 0 → all zeros. */
+    * rule), packed into signed bytes SATURATED at [-128, 127]: the SQL
+    * function takes a caller-supplied scale, and an undersized one (or
+    * a stale scale vs a regrown vector) must clip the largest
+    * components, not wrap .toByte around to the OPPOSITE sign and
+    * silently flip downstream cosines. scale <= 0 → all zeros. */
   def int8Quantize(v: ArrayData, vF: Boolean, scale: Double): Array[Byte] = {
     val n = v.numElements()
     val out = new Array[Byte](n)
@@ -61,7 +65,8 @@ object VectorMath {
       var i = 0
       while (i < n) {
         val x = if (vF) v.getFloat(i).toDouble else v.getDouble(i)
-        out(i) = math.floor(x / scale + 0.5).toByte
+        val q = math.floor(x / scale + 0.5)
+        out(i) = (if (q > 127d) 127d else if (q < -128d) -128d else q).toByte
         i += 1
       }
     }
@@ -90,10 +95,24 @@ object VectorMath {
     else dp / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }
 
+  /** A vector shorter than `dim` (a truncated/malformed embedding row)
+    * must fail LOUDLY like pq_encode does: the unsafe getters read past
+    * the array into adjacent row memory otherwise — no exception, just
+    * a layout-dependent garbage cell/bucket for that row. The flat
+    * block must also tile exactly into rows of `dim`. */
+  private def checkDim(fn: String, v: ArrayData, flat: ArrayData,
+      dim: Int): Unit = {
+    require(v.numElements() == dim,
+      s"$fn: vector has ${v.numElements()} elements, dim is $dim")
+    require(dim > 0 && flat.numElements() % dim == 0,
+      s"$fn: flat block of ${flat.numElements()} not a multiple of dim $dim")
+  }
+
   /** IVF cell assignment: index of the L2-nearest centroid, centroids
     * flattened row-major (nlist = centroids.length / dim). Ties keep the
     * lowest index (strict <). */
   def ivfCell(v: ArrayData, vF: Boolean, cents: ArrayData, dim: Int): Int = {
+    checkDim("ivf_cell", v, cents, dim)
     val nlist = cents.numElements() / dim
     var best = 0
     var bestD = Double.MaxValue
@@ -119,6 +138,7 @@ object VectorMath {
     * runner-up; a 1-cell quantizer returns one element. */
   def ivfCell2(v: ArrayData, vF: Boolean, cents: ArrayData,
       dim: Int): ArrayData = {
+    checkDim("ivf_cells", v, cents, dim)
     val nlist = cents.numElements() / dim
     var best = 0; var bestD = Double.MaxValue
     var second = -1; var secondD = Double.MaxValue
@@ -149,6 +169,7 @@ object VectorMath {
     * One pass per plane, same dot-product fold order as [[cosine]]. */
   def lshBucket(v: ArrayData, vF: Boolean, planes: ArrayData,
       dim: Int): Long = {
+    checkDim("lsh_bucket", v, planes, dim)
     val mBits = planes.numElements() / dim
     var bucket = 0L
     var p = 0

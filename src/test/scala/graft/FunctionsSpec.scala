@@ -490,4 +490,76 @@ class FunctionsSpec extends AnyFunSuite {
       "DECODE(...,'HEX') must produce bytes like the reference")
     assert(r.getString(3) == "hi", "Spark's charset decode must still work")
   }
+
+  test("round-9 kernel sweep pins: pre-epoch date rounding, locale " +
+      "independence, int8 clamp, dim guards, url '#' edge, base62 " +
+      "empties, null list elements, first_values NULL on empty") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // pre-1970: the reference's roundTime uses Java TRUNCATING division,
+    // so negative-epoch inputs snap TOWARD zero (FLOOR of 18:00 on
+    // New Year's Eve 1969 is 1970-01-01 — Phoenix's arithmetic, not a
+    // mathematical floor). pmod's floor-mod diverged here.
+    assert(ts1(DateRound.floorDate($"ts", "DAY"), "1969-12-31 18:00:00")
+      == "1970-01-01 00:00:00")
+    assert(ts1(DateRound.roundDate($"ts", "SECOND"), "1969-12-31 23:59:58.7")
+      == "1970-01-01 00:00:00")
+    // and post-1970 is unchanged by the % form
+    assert(ts1(DateRound.floorDate($"ts", "DAY"), "2024-03-15 18:00:00")
+      == "2024-03-15 00:00:00")
+    // locale pinned: force a German default (',' decimal separator,
+    // German month names) — to_number/to_char must be unaffected
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val row = spark.sql(
+        "SELECT to_number('1,234.56', '#,##0.00'), " +
+          "to_char(TIMESTAMP '2024-03-15 00:00:00', 'MMM yyyy')").collect()(0)
+      assert(row.getDouble(0) == 1234.56,
+        "to_number must parse '.' as the decimal separator on any JVM")
+      assert(row.getString(1) == "Mar 2024",
+        "to_char month names must be English on any JVM")
+    } finally java.util.Locale.setDefault(saved)
+    // int8_quantize saturates instead of wrapping .toByte
+    val q = spark.sql(
+      "SELECT int8_quantize(array(2.0d, -2.0d, 0.5d), 0.01d)").collect()(0)
+      .getAs[Array[Byte]](0)
+    assert(q.toSeq == Seq[Byte](127, -128, 50),
+      s"out-of-range elements must clip, not wrap sign: ${q.toSeq}")
+    // short vector vs dim fails loudly (was a silent unsafe read)
+    val de = intercept[Exception](spark.sql(
+      "SELECT ivf_cell(array(1.0d, 2.0d), array(0.0d, 0.0d, 0.0d), 3)")
+      .collect())
+    assert(de.getMessage.contains("ivf_cell") ||
+      Option(de.getCause).exists(_.getMessage.contains("ivf_cell")))
+    // '#' before '://' means the separator is inside a fragment of a
+    // non-URL: returned unchanged, not truncated to a collision-prone
+    // prefix
+    assert(spark.sql("SELECT canonical_url('a#b://c')").collect()(0)
+      .getString(0) == "a#b://c")
+    // base62 inputs with no digits error like other malformed input
+    // (returning 0 made '' and '-' collide with decode('0'))
+    Seq("''", "'-'").foreach { in =>
+      val be = intercept[Exception](
+        spark.sql(s"SELECT base62_decode($in)").collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(be).exists(_.contains("base62")),
+        s"decode($in) must raise a base62 error, got: ${msgs(be)}")
+    }
+    // NULL elements in a foldable phrase/merge list fail at ANALYSIS
+    val ae = intercept[Exception](spark.sql(
+      "SELECT phrase_matches('x', array('bad', NULL))").collect())
+    assert(ae.getMessage.toLowerCase.contains("null"))
+    // first_values over a group whose pairs are all NULL is NULL (the
+    // reference returns no value), not []
+    val fv = Seq((1L, Option.empty[Double], Option.empty[Long]),
+        (1L, Option.empty[Double], Option.empty[Long]))
+      .toDF("g", "v", "o")
+      .groupBy($"g")
+      .agg(call_function("first_values", $"v", $"o", lit(3)).as("fv"))
+      .collect()(0)
+    assert(fv.isNullAt(1),
+      "an all-null group must yield NULL like the reference, not []")
+  }
 }
