@@ -373,6 +373,20 @@ object GraftFunctions {
       "built-in")
     reg.createOrReplaceTempFunction(
       "bloom_contains", e => BloomContainsExpr(e(0), e(1)), "built-in")
+    // KMV / theta-style distinct sketches: the set-operation-capable
+    // complement to approx_count_distinct (intersections, Jaccard)
+    reg.createOrReplaceTempFunction(
+      "kmv_sketch", e => KmvAgg(e(0), e(1)).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "kmv_estimate", e => KmvEstimate(e.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kmv_union", e => KmvUnion(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kmv_intersect_estimate",
+      e => KmvIntersectEstimate(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "kmv_jaccard", e => KmvJaccard(e(0), e(1)), "built-in")
     // Phoenix array/date spellings with NO Spark name collision:
     // STRING_TO_ARRAY (literal delimiter, trailing empties dropped —
     // StringToArrayFunction.java), ARRAY_TO_STRING (= array_join incl.

@@ -80,4 +80,38 @@ object SetOps {
       }: _*)
     }.reduce(_ unionAll _)
   }
+
+  /** Approximate cross-source distinct-overlap matrix via KMV sketches
+    * ([[graft.functions.KmvAgg]]): per-source distinct cardinality,
+    * pairwise intersection estimate and Jaccard — the SCALE path for
+    * the exact gram-shuffled `q_dedup_cross_source` report.
+    *
+    * Shape at 100 TB: ONE scan builds a fixed k-longs sketch per source
+    * (partial/final HashAggregate — the shuffle carries #sources
+    * sketches, not the corpus keys), then the pairwise combine runs on
+    * a #sources-row frame (the self-join is a broadcast of that tiny
+    * aggregate, a declared bounded combine like the z-order stats
+    * pass). Estimator error ~ 1/√k on cardinalities; intersections of
+    * mostly-disjoint sources carry proportionally larger relative
+    * error — KmvSketchSpec pins tolerances and the exact-below-k regime.
+    *
+    * @param keyHash a BIGINT hash column over the overlap key, e.g.
+    *                `xxhash64(col("url"))` or a gram hash — hashing at
+    *                the call site keeps the key type explicit */
+  def approxSourceOverlap(df: DataFrame, srcCol: String,
+      keyHash: Column, k: Int = 4096): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
+    val sk = df.groupBy(col(srcCol).as("source"))
+      .agg(call_function("kmv_sketch", keyHash, lit(k)).as("sk"))
+    val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))
+    val b = sk.select(col("source").as("source_b"), col("sk").as("sk_b"))
+    a.join(broadcast(b), col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"),
+        call_function("kmv_estimate", col("sk_a")).as("n_a"),
+        call_function("kmv_estimate", col("sk_b")).as("n_b"),
+        call_function("kmv_intersect_estimate", col("sk_a"), col("sk_b"))
+          .as("n_shared_est"),
+        call_function("kmv_jaccard", col("sk_a"), col("sk_b"))
+          .as("jaccard_est"))
+  }
 }

@@ -978,6 +978,24 @@ object Pipeline {
         .orderBy($"source_a", $"source_b")
     },
 
+    // The SCALE path for the same report: KMV (theta-style) sketches —
+    // one scan builds a fixed k-longs sketch per source (no distinct(),
+    // no gram-keyed join; the shuffle carries #sources sketches), the
+    // pairwise combine runs on the tiny aggregate. Deterministic
+    // (xxhash64), but no SQL oracle — the estimator is not expressible
+    // in DuckDB; KmvSketchSpec pins accuracy vs the exact path and the
+    // exact-below-k regime.
+    "q_overlap_sketch" -> { (s, dir) =>
+      import s.implicits._
+      val g = Tables.t(s, dir, "documents")
+        .select($"source", split(lower(trim($"text")), "\\s+").as("w"))
+        .select($"source",
+          explode(Dedup.shinglesFromWords($"w", 5)).as("g"))
+      graft.operators.SetOps.approxSourceOverlap(g, "source",
+          xxhash64($"g"), k = 4096)
+        .orderBy($"source_a", $"source_b")
+    },
+
     // Batch multi-query BM25 (serving pattern): a queries TABLE scored
     // against the postings in one job — per-query cost is its terms'
     // posting rows, per-query top-k via the bounded heap.

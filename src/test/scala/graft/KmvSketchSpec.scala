@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions
+import graft.operators.SetOps
+
+/** KMV distinct sketches: exact below k, partition-invariant state,
+  * bounded estimator error, and the cross-source overlap operator
+  * agreeing with the exact gram-join report. */
+class KmvSketchSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+
+  test("kmv: exact regime below k — estimate, intersection and jaccard " +
+      "are exact counts") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // A = 0..999, B = 500..1499 → |A|=|B|=1000, |A∩B|=500, k=4096 > all
+    val df = ((0L until 1000L).map(("a", _)) ++
+        (500L until 1500L).map(("b", _))).toDF("s", "v")
+    val sk = df.groupBy($"s")
+      .agg(call_function("kmv_sketch", xxhash64($"v"), lit(4096)).as("sk"))
+    val m = sk.collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+      .toMap
+    val one = spark.sql("SELECT 1").select(
+      call_function("kmv_estimate", lit(m("a"))).as("na"),
+      call_function("kmv_estimate", lit(m("b"))).as("nb"),
+      call_function("kmv_intersect_estimate", lit(m("a")), lit(m("b")))
+        .as("ni"),
+      call_function("kmv_jaccard", lit(m("a")), lit(m("b"))).as("j"),
+      call_function("kmv_estimate",
+        call_function("kmv_union", lit(m("a")), lit(m("b")))).as("nu"))
+      .collect()(0)
+    assert(one.getDouble(0) == 1000.0 && one.getDouble(1) == 1000.0,
+      s"below k the sketch holds everything — estimates must be exact: $one")
+    assert(one.getDouble(2) == 500.0,
+      s"exact-regime intersection must be the true count: ${one.getDouble(2)}")
+    assert(math.abs(one.getDouble(3) - 500.0 / 1500.0) < 1e-12)
+    assert(one.getDouble(4) == 1500.0,
+      s"exact-regime union must be the true count: ${one.getDouble(4)}")
+  }
+
+  test("kmv: sketch state is partition-invariant (the k smallest " +
+      "distinct hashes do not depend on layout) and dedups repeats") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // heavy repetition: distinct count must ignore multiplicity
+    val vals = (0L until 20000L).flatMap(v => Seq.fill(1 + (v % 3).toInt)(v))
+    def sketch(parts: Int): Array[Byte] =
+      vals.toDF("v").repartition(parts)
+        .agg(call_function("kmv_sketch", xxhash64($"v"), lit(1024)))
+        .collect()(0).getAs[Array[Byte]](0)
+    val s1 = sketch(1)
+    val s13 = sketch(13)
+    assert(java.util.Arrays.equals(s1, s13),
+      "the k-minimum-values state must be identical under any partitioning")
+    val est = spark.sql("SELECT 1")
+      .select(call_function("kmv_estimate", lit(s1)))
+      .collect()(0).getDouble(0)
+    assert(math.abs(est - 20000.0) / 20000.0 < 0.10,
+      s"estimate $est should be within ~3σ (σ≈1/√k≈3%) of 20000")
+  }
+
+  test("kmv: estimation regime — intersection and jaccard within " +
+      "tolerance of truth") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // |A|=30k, |B|=30k, |A∩B|=10k (A=0..30k, B=20k..50k), k=2048
+    val df = ((0L until 30000L).map(("a", _)) ++
+        (20000L until 50000L).map(("b", _))).toDF("s", "v")
+    val m = df.groupBy($"s")
+      .agg(call_function("kmv_sketch", xxhash64($"v"), lit(2048)).as("sk"))
+      .collect().map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    val r = spark.sql("SELECT 1").select(
+      call_function("kmv_intersect_estimate", lit(m("a")), lit(m("b")))
+        .as("ni"),
+      call_function("kmv_jaccard", lit(m("a")), lit(m("b"))).as("j"))
+      .collect()(0)
+    // intersection sample size ≈ k × jaccard ≈ 2048/5 → σ ≈ 5%; allow 4σ
+    assert(math.abs(r.getDouble(0) - 10000.0) / 10000.0 < 0.20,
+      s"intersection estimate ${r.getDouble(0)} vs true 10000")
+    assert(math.abs(r.getDouble(1) - 0.2) < 0.05,
+      s"jaccard estimate ${r.getDouble(1)} vs true 0.2")
+  }
+
+  test("approxSourceOverlap agrees with the exact cross-source report " +
+      "on the fixture and combines via broadcast") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val g = Tables.t(spark, dir, "documents")
+      .select($"source", split(lower(trim($"text")), "\\s+").as("w"))
+      .select($"source",
+        explode(graft.operators.Dedup.shinglesFromWords($"w", 5)).as("g"))
+    val approx = SetOps.approxSourceOverlap(g, "source", xxhash64($"g"),
+      k = 4096)
+    // the pairwise combine must broadcast the tiny per-source aggregate
+    assert(approx.queryExecution.executedPlan.toString.contains("Broadcast"),
+      "the #sources-row self-combine must be a broadcast, not a shuffle")
+    val got = approx.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // exact truth per pair
+    val distinctG = g.distinct().cache()
+    try {
+      val exactN = distinctG.groupBy($"source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val a = distinctG.toDF("source_a", "g")
+      val b = distinctG.toDF("source_b", "g")
+      val exactShared = a.join(b, "g").where($"source_a" < $"source_b")
+        .groupBy($"source_a", $"source_b").agg(count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got.keySet == exactShared.keySet ||
+        exactShared.keySet.subsetOf(got.keySet),
+        "every exact-overlapping pair must appear")
+      got.foreach { case ((sa, sb), (na, nb, ni)) =>
+        val (ta, tb) = (exactN(sa).toDouble, exactN(sb).toDouble)
+        assert(math.abs(na - ta) / ta < 0.10,
+          s"$sa cardinality: est $na vs exact $ta")
+        assert(math.abs(nb - tb) / tb < 0.10,
+          s"$sb cardinality: est $nb vs exact $tb")
+        val ti = exactShared.getOrElse((sa, sb), 0L).toDouble
+        // absolute slack scaled to the union: small overlaps carry the
+        // estimator's union-level noise
+        val slack = math.max(0.25 * ti, 0.02 * (ta + tb))
+        assert(math.abs(ni - ti) <= slack,
+          s"($sa,$sb) shared: est $ni vs exact $ti (slack $slack)")
+      }
+    } finally { distinctG.unpersist(); () }
+  }
+}
