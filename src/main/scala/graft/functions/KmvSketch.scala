@@ -21,7 +21,8 @@ import org.apache.spark.sql.types._
   * A KMV sketch is a uniform hash-sample of the distinct keys, so set
   * operations compose: union = k smallest of the merged sketches,
   * intersection = (common survivors below the union's θ) / θ. Per-group
-  * state is a fixed k longs, partials merge associatively in the
+  * state is a fixed primitive table of ~2k longs (k longs serialized),
+  * partials merge associatively in the
   * standard HashAggregate split, and the pairwise source combine runs
   * over #sources rows — no corpus-sized shuffle at all.
   *
@@ -100,54 +101,135 @@ case class KmvAgg(
 }
 
 object KmvAgg {
-  private val unsignedOrder: java.util.Comparator[java.lang.Long] =
-    (a: java.lang.Long, b: java.lang.Long) =>
-      java.lang.Long.compareUnsigned(a, b)
 
-  /** The k smallest DISTINCT hashes in unsigned order. O(log k) add
-    * with an early reject against the current k-th minimum. */
+  /** The k smallest DISTINCT hashes — primitive, allocation-free per
+    * row (the finding that killed the first TreeSet draft: boxed Longs
+    * and ~40-byte tree entries on a corpus-scan hot path). The state is
+    * an open-addressing long table (0 = empty slot, a real 0 hash
+    * tracked by flag) filled up to ~75%, then COMPACTED: sort the
+    * resident values unsigned, keep the k smallest, set θ to the k-th —
+    * every later hash ≥ θ is rejected with one unsigned compare. The
+    * common per-row path is that single compare; accepted inserts decay
+    * like k·ln(n/k), so the periodic O(cap log cap) compaction
+    * amortizes to nothing (the Apache DataSketches Theta update-sketch
+    * design). */
   final class Sketch(val k: Int) {
-    private[KmvAgg] val set =
-      new java.util.TreeSet[java.lang.Long](unsignedOrder)
+    private val cap = Integer.highestOneBit(math.max(64, 2 * k) - 1) << 1
+    private val table = new Array[Long](cap)
+    private var n = 0 // resident entries (incl. the tracked zero)
+    private var hasZero = false
+    private var saturated = false // θ valid only after first compaction
+    private var theta = -1L // unsigned max until saturated
 
     def add(h: Long): Unit = {
-      if (set.size() < k) { set.add(h); () }
-      else if (java.lang.Long.compareUnsigned(h, set.last()) < 0) {
-        if (set.add(h)) set.pollLast()
-        ()
+      if (saturated && java.lang.Long.compareUnsigned(h, theta) >= 0)
+        return
+      if (h == 0L) {
+        if (!hasZero) { hasZero = true; n += 1; maybeCompact() }
+        return
+      }
+      var i = (scramble(h) & (cap - 1)).toInt
+      while (table(i) != 0L) {
+        if (table(i) == h) return
+        i = (i + 1) & (cap - 1)
+      }
+      table(i) = h; n += 1
+      maybeCompact()
+    }
+
+    // re-spread the already-uniform hash so linear probing doesn't
+    // cluster on any structure in the low bits
+    private def scramble(h: Long): Long = {
+      val x = h * 0x9E3779B97F4A7C15L
+      x ^ (x >>> 32)
+    }
+
+    private def maybeCompact(): Unit =
+      if (n >= (cap >> 2) * 3) compact()
+
+    private def compact(): Unit = {
+      val kept = resident()
+      if (kept.length > k) {
+        // kept is ascending unsigned: θ = the k-th smallest; everything
+        // at or past it can never re-enter the k-minimum set
+        theta = kept(k)
+        saturated = true
+      }
+      java.util.Arrays.fill(table, 0L)
+      hasZero = false
+      n = 0
+      val m = math.min(k, kept.length)
+      var i = 0
+      while (i < m) {
+        val h = kept(i)
+        if (h == 0L) hasZero = true
+        else {
+          var j = (scramble(h) & (cap - 1)).toInt
+          while (table(j) != 0L) j = (j + 1) & (cap - 1)
+          table(j) = h
+        }
+        n += 1
+        i += 1
       }
     }
 
-    def mergeFrom(other: Sketch): Unit = {
-      val it = other.set.iterator()
-      while (it.hasNext) add(it.next())
+    /** Resident values ascending unsigned (sign-bit flip → signed sort). */
+    private def resident(): Array[Long] = {
+      val out = new Array[Long](n)
+      var m = 0
+      if (hasZero) { out(m) = Long.MinValue; m += 1 } // 0 ^ MinValue
+      var i = 0
+      while (i < cap) {
+        if (table(i) != 0L) { out(m) = table(i) ^ Long.MinValue; m += 1 }
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      var j = 0
+      while (j < out.length) { out(j) = out(j) ^ Long.MinValue; j += 1 }
+      out
     }
 
-    def toBytes: Array[Byte] = {
-      val bb = ByteBuffer.allocate(8 + set.size() * 8)
-      bb.putInt(k); bb.putInt(set.size())
-      val it = set.iterator()
-      while (it.hasNext) bb.putLong(it.next())
-      bb.array()
+    /** Canonical k-minimum form: ascending unsigned, truncated to k. */
+    private[KmvAgg] def kMin: Array[Long] = {
+      val r = resident()
+      if (r.length <= k) r else java.util.Arrays.copyOf(r, k)
     }
+
+    def mergeFrom(other: Sketch): Unit = {
+      val hs = other.kMin
+      var i = 0
+      while (i < hs.length) { add(hs(i)); i += 1 }
+    }
+
+    def toBytes: Array[Byte] = encode(k, kMin)
   }
 
   object Sketch {
     def fromBytes(bytes: Array[Byte]): Sketch = {
-      val bb = ByteBuffer.wrap(bytes)
-      val sk = new Sketch(bb.getInt)
-      val n = bb.getInt
+      val (k, hs) = decode(bytes)
+      val sk = new Sketch(k)
       var i = 0
-      while (i < n) { sk.set.add(bb.getLong); i += 1 }
+      while (i < hs.length) { sk.add(hs(i)); i += 1 }
       sk
     }
   }
 
-  /** Decoded serialized form: k + hashes ascending unsigned. */
+  /** Decoded serialized form: k + hashes ascending unsigned. The header
+    * is VALIDATED — these scalar ops take any BINARY column, and a
+    * malformed/foreign payload (a bloom filter, truncated bytes) must
+    * fail with a typed message, not a NegativeArraySizeException or an
+    * OOM-sized allocation from a garbage length. */
   private[functions] def decode(bytes: Array[Byte]): (Int, Array[Long]) = {
+    def bad(why: String) = throw new IllegalArgumentException(
+      s"not a kmv_sketch payload ($why)")
+    if (bytes.length < 8) bad(s"${bytes.length} bytes, header needs 8")
     val bb = ByteBuffer.wrap(bytes)
     val k = bb.getInt
     val n = bb.getInt
+    if (k < 16 || k > (1 << 20)) bad(s"k=$k outside [16, 2^20]")
+    if (n < 0 || n > k) bad(s"n=$n outside [0, k=$k]")
+    if (bytes.length != 8 + 8 * n)
+      bad(s"${bytes.length} bytes, expected ${8 + 8 * n}")
     val hs = new Array[Long](n)
     var i = 0
     while (i < n) { hs(i) = bb.getLong; i += 1 }

@@ -84,6 +84,24 @@ class KmvSketchSpec extends AnyFunSuite {
       s"jaccard estimate ${r.getDouble(1)} vs true 0.2")
   }
 
+  test("kmv: scalar ops reject non-sketch binary payloads with a typed " +
+      "error, not a garbage-length crash") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    Seq(Array[Byte](1, 2, 3), // shorter than the header
+        Array.fill[Byte](32)(0x7f), // garbage header (k out of range)
+        { val b = java.nio.ByteBuffer.allocate(16)
+          b.putInt(1024); b.putInt(5); b.array() } // n vs length mismatch
+    ).foreach { payload =>
+      val e = intercept[Exception](spark.sql("SELECT 1")
+        .select(call_function("kmv_estimate", lit(payload))).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("kmv_sketch")),
+        s"expected a typed kmv error, got: ${msgs(e)}")
+    }
+  }
+
   test("approxSourceOverlap agrees with the exact cross-source report " +
       "on the fixture and combines via broadcast") {
     import spark.implicits._
