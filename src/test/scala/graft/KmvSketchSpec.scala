@@ -113,8 +113,14 @@ class KmvSketchSpec extends AnyFunSuite {
     val approx = SetOps.approxSourceOverlap(g, "source", xxhash64($"g"),
       k = 4096)
     // the pairwise combine must broadcast the tiny per-source aggregate
-    assert(approx.queryExecution.executedPlan.toString.contains("Broadcast"),
+    val plan = approx.queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"),
       "the #sources-row self-combine must be a broadcast, not a shuffle")
+    // and the sketch build must run partial/final (map-side combine:
+    // the exchange carries #sources sketches, not the gram rows)
+    assert(plan.contains("ObjectHashAggregate") &&
+        plan.contains("partial_kmv_sketch"),
+      s"kmv_sketch must aggregate partial/final:\n$plan")
     val got = approx.collect()
       .map(r => (r.getString(0), r.getString(1)) ->
         (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
