@@ -62,9 +62,25 @@ object Materialize {
     // this state yet never retracted
     val ts = cat.clock()
     val v = highWater(cat, table)
+    // NEVER overwrite the directory the live meta points to: a rebuild
+    // triggered by ALTER SET TTL (or a legacy meta) keeps the
+    // high-water mark, so the default name collides with the state
+    // being served — and SaveMode.Overwrite deletes the target first,
+    // stranding the pointer on a crash mid-write. Suffix with the
+    // refresh stamp instead (the same flip-don't-overwrite rule the
+    // expiry-only refresh path follows).
+    val stateDirName = scala.util.Try(
+        stateDir(spark.read.parquet(s"$path/meta").head())).toOption match {
+      case Some(cur) =>
+        val cand = s"state_v${v}r$ts"
+        // an injectable test clock can repeat a stamp — never reuse the
+        // exact live dir name under any clock
+        if (cand == cur) s"${cand}n${System.nanoTime()}" else cand
+      case None => s"state_v$v"
+    }
     aggregate(cat.snapshot(table), groupCols, measures)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/state_v$v")
-    Seq((v, groupCols, measures, ts, s"state_v$v",
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/$stateDirName")
+    Seq((v, groupCols, measures, ts, stateDirName,
         cat.ttlSeconds(table).getOrElse(-1L)))
       .toDF("last_version", "group_cols", "measures", "refresh_ts",
         "state_dir", "ttl_at_refresh")
@@ -117,30 +133,40 @@ object Materialize {
     val lastV = meta.getLong(0)
     val groupCols = meta.getSeq[String](1)
     val measures = meta.getSeq[String](2)
-    val newV = highWater(cat, table)
     val ttl = cat.ttlSeconds(table)
+    val nowMs = cat.clock()
+    val rawLog = cat.changeLogRaw(table)
+    // ONE raw-log scan serves both marks (previously two full log scans
+    // per refresh): the TTL-alive maximum version — the same cutoff
+    // algebra the filtered changeLog applies, sampled from the SAME
+    // nowMs the expiry window below uses — and the RAW minimum (the
+    // compaction detector; the filtered minimum rises as rows expire,
+    // which is not a compaction)
+    val aliveForHw: Column = ttl.map(t =>
+        col("_ts").isNull ||
+          col("_ts") >= lit(new java.sql.Timestamp(nowMs - t * 1000L)))
+      .getOrElse(lit(true))
+    val marks = rawLog.agg(
+      coalesce(max(when(aliveForHw, col("_version"))), lit(-1L)),
+      coalesce(min(col("_version")), lit(Long.MaxValue))).head
+    val newV = marks.getLong(0)
+    val minV = marks.getLong(1)
     // expiry writes nothing to the log, so under a TTL an unchanged
     // high-water mark does NOT mean an unchanged table — time alone
     // retracts rows, and an early return here would serve them forever
     if (newV == lastV && ttl.isEmpty) return lastV
-    val rawLog = cat.changeLogRaw(table)
-    // compaction check runs on the RAW log: under a TTL the filtered
-    // log's minimum rises as rows expire, which is not a compaction
-    val minV = rawLog
-      .agg(coalesce(min(col("_version")), lit(Long.MaxValue)))
-      .head.getLong(0)
     val hasRefreshTs = meta.schema.fieldNames.contains("refresh_ts")
     // an ALTER SET TTL between refreshes invalidates the expiry-window
     // algebra in BOTH directions (a shortened TTL leaves rows below the
     // new window start unretracted; a lengthened/removed one can't
-    // resurrect already-retracted rows) — only a rebuild is correct
-    val ttlChanged = meta.schema.fieldNames.contains("ttl_at_refresh") &&
-      meta.getAs[Long]("ttl_at_refresh") != ttl.getOrElse(-1L)
-    if (minV > lastV || !hasRefreshTs || ttlChanged ||
-        !meta.schema.fieldNames.contains("ttl_at_refresh"))
+    // resurrect already-retracted rows) — field missing (legacy meta)
+    // or value changed, either way only a rebuild is correct
+    val ttlChanged =
+      !meta.schema.fieldNames.contains("ttl_at_refresh") ||
+        meta.getAs[Long]("ttl_at_refresh") != ttl.getOrElse(-1L)
+    if (minV > lastV || !hasRefreshTs || ttlChanged)
       return build(cat, table, groupCols, measures, path)
     val lastRefreshMs = meta.getAs[Long]("refresh_ts")
-    val nowMs = cat.clock()
     // alive-at-now cutoff for post images; None ⇒ no expiry
     val nowCut = ttl.map(t => new java.sql.Timestamp(nowMs - t * 1000L))
     val lastCut = ttl.map(t =>
@@ -189,15 +215,13 @@ object Materialize {
     // sum/min/max contributions here are irrelevant
     val stateRows = state
       .withColumn("retr", lit(0))
-    val postRows = changes.where(!col("_deleted") && aliveNow)
-      .select(fields.map(col): _*)
-      .groupBy(groupCols.map(col): _*)
-      .agg(count(lit(1)).as("cnt"),
-        measures.flatMap(m => Seq(
-          count(col(m)).as(s"cnt_$m"),
-          sum(col(m)).as(s"sum_$m"),
-          min(col(m)).as(s"min_$m"),
-          max(col(m)).as(s"max_$m"))): _*)
+    // the SAME aggregate() the full build uses — the exactness
+    // guarantee depends on the delta and the build producing identical
+    // widened sum types for the type-strict unionByName merge below
+    val postRows = aggregate(
+        changes.where(!col("_deleted") && aliveNow)
+          .select(fields.map(col): _*),
+        groupCols, measures)
       .withColumn("retr", lit(0))
     val preRows = changes.where(hasPrev)
       .select(fields.map(f => col(s"_prev.$f").as(f)): _*)

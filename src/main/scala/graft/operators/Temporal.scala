@@ -176,21 +176,27 @@ object Temporal {
     * unmatched, right rows with a null timestamp are dropped — same as
     * [[asofJoinMulti]].
     */
+  /** Time/numeric → Long axis, shared by the bucketed as-of and range
+    * joins: ONE dispatch so the two operators can never bucket the same
+    * column differently (they were verbatim copies before). */
+  private def axisLong(what: String)(df: DataFrame, c: String)
+      : org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType |
+          org.apache.spark.sql.types.DateType =>
+        unix_timestamp(col(c)).cast(LongType)
+      case _: org.apache.spark.sql.types.NumericType =>
+        col(c).cast(LongType)
+      case other => throw new IllegalArgumentException(
+        s"$what axis column $c must be time or numeric, got $other")
+    }
+
   def asofJoinBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, bucketWidth: Long,
       inclusive: Boolean = true): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive axis units")
-    def axis(df: DataFrame, c: String): org.apache.spark.sql.Column =
-      df.schema(c).dataType match {
-        case org.apache.spark.sql.types.TimestampType |
-            org.apache.spark.sql.types.TimestampNTZType |
-            org.apache.spark.sql.types.DateType =>
-          unix_timestamp(col(c)).cast(LongType)
-        case _: org.apache.spark.sql.types.NumericType =>
-          col(c).cast(LongType)
-        case other => throw new IllegalArgumentException(
-          s"bucketed as-of axis column $c must be time or numeric, got $other")
-      }
+    val axis = axisLong("bucketed as-of") _
     val t = asofTag(left, right, keys, leftTs, rightTs, inclusive,
       bucket = Some((df, c) => floor(axis(df, c) / bucketWidth)))
     val (l, r) = (t.l, t.r)
@@ -268,17 +274,7 @@ object Temporal {
     require(bucketWidth > 0, "bucketWidth must be positive axis units")
     // the axis may be time (cells of bucketWidth seconds) or any numeric
     // (cells of bucketWidth raw units) — price bands, id ranges, offsets
-    def axis(df: DataFrame, c: String): org.apache.spark.sql.Column =
-      df.schema(c).dataType match {
-        case org.apache.spark.sql.types.TimestampType |
-            org.apache.spark.sql.types.TimestampNTZType |
-            org.apache.spark.sql.types.DateType =>
-          unix_timestamp(col(c)).cast(LongType)
-        case _: org.apache.spark.sql.types.NumericType =>
-          col(c).cast(LongType)
-        case other => throw new IllegalArgumentException(
-          s"range-join axis column $c must be time or numeric, got $other")
-      }
+    val axis = axisLong("range-join") _
     def cell(a: org.apache.spark.sql.Column) = floor(a / bucketWidth)
     val loCell = cell(axis(intervals, loCol))
     val hiCell = cell(axis(intervals, hiCol))
@@ -378,6 +374,11 @@ object Temporal {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val ud = events.select(col(userCol).as("u"),
       graft.functions.GraftFunctions.toDateSpark(col(tsCol)).as("d"))
+      // NULL users must not count: count(*) over the distinct user-day
+      // table would include the (NULL, d) row in dau while
+      // countDistinct/hll_sketch_agg both SKIP nulls in mau — dau could
+      // exceed mau (stickiness > 1, or NULL on an all-null day)
+      .where(col("u").isNotNull)
       .distinct()
     val dau = ud.groupBy(col("d").as("day"))
       .agg(count(lit(1)).as("dau")) // (u, d) already distinct

@@ -450,40 +450,55 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * which reads the empty-column cell timestamp during the scan). Same
     * map-side-combinable collapse as [[snapshotFull]]; NULL for rows whose
     * winning batch predates the `_ts` column. */
-  def snapshotWithRowTs(name: String): DataFrame = {
+  def snapshotWithRowTs(name: String): DataFrame =
+    collapseLogWithTs(name, changeLog(name))
+      .select(spec(name).schema.fieldNames.map(col) :+
+        col("_ts").as("phoenix_row_timestamp"): _*)
+
+  /** Last-wins collapse KEEPING each winner's batch stamp — the shared
+    * core of [[snapshotWithRowTs]] and [[compact]] (they were two
+    * hand-copied variants of [[collapseLog]]; a tie-break fix applied
+    * to one had to be re-applied to the others or the snapshot, row-ts
+    * read and compaction winners would diverge for the same log). */
+  private def collapseLogWithTs(name: String, log: DataFrame): DataFrame = {
     val s = spec(name)
     val fields = allFields(name)
     val nonPk = fields.map(_.name).filterNot(s.pk.contains)
     val ord = struct(col("_version") +: nonPk.map(col): _*)
-    changeLog(name)
+    log
       .groupBy(s.pk.map(col): _*)
       .agg(max_by(
         struct(fields.map(f => col(f.name)) ++
           Seq(col("_deleted"), col("_ts")): _*),
         ord).as("_r"))
       .where(!col("_r._deleted"))
-      .select(s.schema.fieldNames.map(f => col(s"_r.$f").as(f)) :+
-        col("_r._ts").as("phoenix_row_timestamp"): _*)
+      .select(fields.map(f => col(s"_r.${f.name}").as(f.name)) :+
+        col("_r._ts").as("_ts"): _*)
   }
 
   /** CDC view (reference: Phoenix CREATE CDC, CDCChangeScope CHANGE/PRE/
     * POST — cs/coprocessor/CDCGlobalIndexRegionScanner.java): one JSON
     * change record per write, with the post image for upserts. */
-  def cdc(name: String, sinceVersion: Long = -1L): DataFrame = {
+  /** The CDC change-record columns shared by [[cdc]] and [[cdcStream]]
+    * — one definition so batch and streaming CDC can never emit
+    * different schemas for the same table. The post image is NULL for
+    * deletes (a tombstone has no post image, matching cdcImages;
+    * emitting the deleted row's values as the "post" image told
+    * consumers the row still existed). */
+  private def cdcCols(name: String): Seq[org.apache.spark.sql.Column] = {
     val s = spec(name)
-    val cols = col("_version").as("cdc_version") +: (s.pk.map(col) :+
+    col("_version").as("cdc_version") +: (s.pk.map(col) :+
       when(col("_deleted"), lit("delete")).otherwise(lit("upsert"))
         .as("cdc_op") :+
-      // NULL for deletes — a tombstone has no post image (matching
-      // cdcImages; emitting the deleted row's values as the "post"
-      // image told consumers the row still existed)
       when(!col("_deleted"),
         to_json(struct(s.schema.fieldNames.map(col): _*)))
         .as("cdc_post_image"))
+  }
+
+  def cdc(name: String, sinceVersion: Long = -1L): DataFrame =
     changeLog(name)
       .where(col("_version") > sinceVersion)
-      .select(cols: _*)
-  }
+      .select(cdcCols(name): _*)
 
   /** CDC view with image scopes (reference PTable.CDCChangeScope CHANGE /
     * PRE / POST; CDCGlobalIndexRegionScanner builds the same three images
@@ -539,22 +554,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * an ever-growing log; CDC consumers must be past sinceVersion before
     * compacting (compaction drops the per-version history). */
   def compact(name: String): Unit = {
-    val s = spec(name)
     // collapse keeping view-extension columns AND each winning row's
     // batch stamp — dropping _ts here would NULL phoenix_row_timestamp
     // for the whole table after compaction
-    val fields = allFields(name)
-    val nonPk = fields.map(_.name).filterNot(s.pk.contains)
-    val ord = struct(col("_version") +: nonPk.map(col): _*)
-    val collapsed = changeLog(name)
-      .groupBy(s.pk.map(col): _*)
-      .agg(max_by(
-        struct(fields.map(f => col(f.name)) ++
-          Seq(col("_deleted"), col("_ts")): _*),
-        ord).as("_r"))
-      .where(!col("_r._deleted"))
-      .select(fields.map(f => col(s"_r.${f.name}").as(f.name)) :+
-        col("_r._ts").as("_ts"): _*)
+    val collapsed = collapseLogWithTs(name, changeLog(name))
     val v = nextVersion(name)
     val snap = toPhysical(name, collapsed)
       .withColumn("_version", lit(v))
@@ -662,22 +665,28 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * (generation-suffixed) schema and renames back, like [[changeLog]] —
     * otherwise a DROP + re-ADD column would resurface dropped data. */
   def cdcStream(name: String): DataFrame = {
-    val s = spec(name)
-    val cols = col("_version").as("cdc_version") +: (s.pk.map(col) :+
-      when(col("_deleted"), lit("delete")).otherwise(lit("upsert"))
-        .as("cdc_op") :+
-      // NULL for deletes, like cdc()/cdcImages
-      when(!col("_deleted"),
-        to_json(struct(s.schema.fieldNames.map(col): _*)))
-        .as("cdc_post_image"))
     // a created-but-never-written table has no data dir yet; the batch
     // changeLog guards this — the stream must too (an empty dir streams
     // fine with an explicit schema, a MISSING path throws at start)
     new java.io.File(s"${dir(name)}/data").mkdirs()
+    // the TTL filter that changeLog documents as the single choke point
+    // applies HERE too — a stream bootstrapping over an old log must
+    // not emit changes every batch read path says no longer exist. The
+    // cutoff is sampled once at stream START (the injectable clock is
+    // driver-side): rows already expired then are excluded; later
+    // micro-batches only ever see freshly-written files, whose _ts is
+    // young by construction, so a start-time literal loses nothing.
+    val ttlFilter: org.apache.spark.sql.Column = ttlSeconds(name) match {
+      case Some(ttl) =>
+        val cutoff = new java.sql.Timestamp(clock() - ttl * 1000L)
+        col("_ts").isNull || col("_ts") >= lit(cutoff)
+      case None => lit(true)
+    }
     toLogical(name,
         spark.readStream.schema(physSchema(name))
           .parquet(s"${dir(name)}/data"))
-      .select(cols: _*)
+      .where(ttlFilter)
+      .select(cdcCols(name): _*)
   }
 }
 

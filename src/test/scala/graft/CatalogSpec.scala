@@ -926,6 +926,66 @@ class CatalogSpec extends AnyFunSuite {
     assert(Materialize.read(spark, mv).collect().map(_.toSeq).toSet == want)
   }
 
+  test("a TTL-change rebuild flips the meta pointer to a FRESH state " +
+      "dir — never Overwrite of the directory being served") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val wh = java.nio.file.Files.createTempDirectory("graft_ttlrb").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("e", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.upsert("e", Seq((1L, "a", 5L)).toDF("k", "g", "x"))
+    val mv = s"$wh/mv"
+    Materialize.build(cat, "e", Seq("g"), Seq("x"), mv)
+    def liveDir(): String = Materialize.stateDir(
+      spark.read.parquet(s"$mv/meta").head())
+    val before = liveDir()
+    // ALTER SET TTL with NO new writes: the high-water mark is
+    // unchanged, so a rebuild to the default dir name would
+    // delete-then-rewrite the exact directory meta points to (a crash
+    // mid-write strands the pointer; 'past states remain queryable'
+    // breaks even without one)
+    cat.alterSetProps("e", Map("TTL" -> "3600"))
+    Materialize.refresh(cat, "e", mv)
+    val after = liveDir()
+    assert(after != before,
+      s"rebuild must write a fresh dir, not overwrite $before")
+    assert(new java.io.File(s"$mv/$before").exists(),
+      "the previous state must still exist on disk")
+    assert(Materialize.read(spark, mv).collect().map(_.toSeq).toSet ==
+      Materialize.aggregate(cat.snapshot("e"), Seq("g"), Seq("x"))
+        .collect().map(_.toSeq).toSet)
+  }
+
+  test("cdcStream applies the TTL filter like every batch read path: " +
+      "a bootstrapping stream must not emit expired changes") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("ev", StructType(Seq(
+      StructField("k", LongType), StructField("v", StringType))),
+      pk = Seq("k"), props = Map("TTL" -> "60"))
+    val t0 = System.currentTimeMillis()
+    cat.clock = () => t0 - 120000L // 2 min ago: expired under TTL=60
+    cat.upsert("ev", Seq((1L, "old")).toDF("k", "v"))
+    cat.clock = () => t0
+    cat.upsert("ev", Seq((2L, "new")).toDF("k", "v"))
+    // batch CDC omits the expired change (changeLog is the choke point)
+    assert(cat.cdc("ev").collect().map(_.getLong(1)).toSet == Set(2L))
+    // the stream must agree — it used to read the raw parquet dir and
+    // emit rows every batch read path says no longer exist
+    val seen = scala.collection.mutable.Set[Long]()
+    val q = cat.cdcStream("ev").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.collect().foreach(r => seen += r.getLong(1))
+        ()
+      }
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.toSet == Set(2L),
+      s"stream bootstrap must TTL-filter like batch CDC: $seen")
+  }
+
   test("ALTER TABLE SET TTL is case-insensitive to the CREATE-time " +
       "property key spelling") {
     import spark.implicits._

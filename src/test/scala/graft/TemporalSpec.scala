@@ -431,6 +431,19 @@ class TemporalSpec extends AnyFunSuite {
       ("2024-03-01", 2L, 2L, 1.0),
       ("2024-03-02", 1L, 2L, 0.5),
       ("2024-03-03", 1L, 2L, 0.5)))
+    // NULL users count in NEITHER side: count(*) over the distinct
+    // user-day table included (NULL, d) in dau while countDistinct and
+    // the HLL both skip nulls in mau — dau could exceed mau (stickiness
+    // > 1, or NULL on an all-null day)
+    val withNulls = ev.union(Seq(
+        (Option.empty[Long], ts("2024-03-01 11:00:00")),
+        (Option.empty[Long], ts("2024-03-04 08:00:00"))) // null-only day
+      .toDF("u", "t"))
+    val gotN = Temporal.engagementRollup(withNulls, "u", "t", windowDays = 2)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1),
+        r.getLong(2), r.getDouble(3)))
+    assert(gotN.toSeq == got.toSeq,
+      s"null users must not create days or inflate dau: ${gotN.toSeq}")
     // sketch mode on the real fixture: estimate within 2% per day
     val events = Tables.t(spark, "/root/testdata/sf0.001", "events")
     val exact = Temporal.engagementRollup(events, "user_id", "ts",
