@@ -155,7 +155,13 @@ object Curation {
       shards: Int = 16): DataFrame = {
     require(shards > 0 && 4294967296L % shards == 0,
       s"shards must divide the 2^32 hash space, got $shards")
-    val key = hash32(col(idCol) + lit(epoch.toLong * 1000003L))
+    // pre-reduce the id mod 2^32 BEFORE adding the epoch offset:
+    // (id % m + off) % m == (id + off) % m, but the raw addition
+    // overflows Long for ids near Long.MaxValue — an ANSI-mode runtime
+    // error, and a silent divergence from the HUGEINT-arithmetic oracle
+    // in non-ANSI (hash32's own doc is explicit about this hazard)
+    val key = hash32(pmod(col(idCol), lit(4294967296L)) +
+      lit(epoch.toLong * 1000003L))
     df.withColumn("shuffle_key", key)
       .withColumn("shard",
         floor(col("shuffle_key") / lit((4294967296L / shards).toDouble)))

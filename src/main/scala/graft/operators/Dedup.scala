@@ -287,11 +287,17 @@ object Dedup {
     rebuildLines(base, boiler, sep)
   }
 
-  /** One (doc, line_no, line) row per line occurrence. */
+  /** One (doc, line_no, line) row per line occurrence. NULL text
+    * coalesces to '' (= one empty line) BEFORE the explode: posexplode
+    * of split(NULL) yields zero rows, which silently dropped NULL-text
+    * documents from the rebuilt corpus — every sibling path keeps the
+    * per-doc row (dedupSpans' left-join rebuild, the streaming line
+    * filter's NULL→'' batch parity). */
   private def lineBase(docs: DataFrame, textCol: String, idCol: String,
       sep: String): DataFrame =
     docs.select(col(idCol).as("doc"),
-      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+      posexplode(split(coalesce(col(textCol), lit("")),
+          java.util.regex.Pattern.quote(sep)))
         .as(Seq("line_no", "line")))
 
   /** (lk, df): distinct-doc count per 64-bit line hash. */

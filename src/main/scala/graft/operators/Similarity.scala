@@ -88,6 +88,15 @@ object Similarity {
       vecCol: String, k: Int, lambda: Double = 0.7,
       maxPool: Int = 10000): DataFrame = {
     require(lambda >= 0 && lambda <= 1, s"lambda in [0,1], got $lambda")
+    // the silent cast(LongType) below turns a string/decimal id into
+    // NULL and dies with an opaque NPE at collect — state the integral
+    // contract up front like knnJoin's aggregate does at analysis time
+    pool.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+      case other => throw new IllegalArgumentException(
+        s"mmrSelect id column $idCol must be integral " +
+          s"(TINYINT..BIGINT), got ${other.catalogString}")
+    }
     val spark = pool.sparkSession
     import spark.implicits._
     val rows = pool.select(col(idCol).cast(LongType),
@@ -249,33 +258,19 @@ object Similarity {
       .orderBy(xxhash64(col(idCol)))
       .limit(trainSample)
       .collect()
-      .map(r => toDoubles(r.getSeq[Any](0)))
+      .map(r => unitOf(toDoubles(r.getSeq[Any](0))))
     require(sample.length >= nlist, s"need >= $nlist training vectors")
     val dim = sample.head.length
-    // deterministic stride init + 5 local Lloyd iterations (a coarse
-    // quantizer doesn't need convergence; empty cells keep their centroid)
-    var centroids = Array.tabulate(nlist)(c =>
-      sample((c.toLong * sample.length / nlist).toInt).clone())
-    for (_ <- 0 until 5) {
-      val sums = Array.fill(nlist)(new Array[Double](dim))
-      val counts = new Array[Long](nlist)
-      sample.foreach { v =>
-        var best = 0; var bestD = Double.MaxValue
-        for (c <- 0 until nlist) {
-          var d = 0.0; var i = 0
-          while (i < dim) {
-            val diff = v(i) - centroids(c)(i); d += diff * diff; i += 1
-          }
-          if (d < bestD) { bestD = d; best = c }
-        }
-        counts(best) += 1
-        var i = 0
-        while (i < dim) { sums(best)(i) += v(i); i += 1 }
-      }
-      centroids = Array.tabulate(nlist)(c =>
-        if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c)))
-    }
+    // the SHARED lloyd: deterministic stride init + 5 local iterations
+    // (a coarse quantizer doesn't need convergence; empty cells keep
+    // their centroid). Training runs on UNIT-normalized vectors and the
+    // centroids renormalize to unit length: every consumer of these
+    // cells pairs/scores by COSINE, and with |c| = 1 the assignment
+    // kernel's L2 argmin over a RAW corpus vector (|v|² − 2v·c + 1) is
+    // monotone in v·c — i.e. the cosine argmax — so cosine-identical
+    // vectors of different norms land in the same cell (raw-L2 cells
+    // split them, the norm-skew recall hole).
+    val centroids = lloyd(sample, nlist, iters = 5).map(unitOf)
     // assignment: one distributed scan with the fused argmin kernel
     val flat = centroids.flatten.toSeq
     val assigned = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
@@ -340,6 +335,11 @@ object Similarity {
     quant.crossJoin(broadcast(q))
       .select(col(idCol),
         call_function("int8_cosine", col(codeCol), col("qc")).as("sim"))
+      // int8_cosine returns NaN on length-mismatched codes, and Spark
+      // sorts NaN ABOVE every real double — without this guard (which
+      // every other top-k path here carries) one malformed row would
+      // occupy the #1 slot of every query
+      .where(!isnan(col("sim")))
       .orderBy(col("sim").desc, col(idCol).asc)
       .limit(k)
   }
@@ -373,39 +373,16 @@ object Similarity {
     val dsub = dim / m
     // unit-normalize the training set — the encode kernel normalizes
     // each corpus vector the same way, so codebook and codes agree
-    val normed = sample.map { v =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n > 0) v.map(_ / n) else v
-    }
+    val normed = sample.map(unitOf)
     val book = new Array[Double](m * ks * dsub)
     var j = 0
     while (j < m) {
       val sub = normed.map(v =>
         java.util.Arrays.copyOfRange(v, j * dsub, (j + 1) * dsub))
-      // deterministic stride init + fixed Lloyd budget, like ivfIndex
-      var cents = Array.tabulate(ks)(c =>
-        sub((c.toLong * sub.length / ks).toInt).clone())
-      for (_ <- 0 until 8) {
-        val sums = Array.fill(ks)(new Array[Double](dsub))
-        val counts = new Array[Long](ks)
-        sub.foreach { v =>
-          var best = 0; var bestD = Double.MaxValue
-          var c = 0
-          while (c < ks) {
-            var d = 0.0; var i = 0
-            while (i < dsub) {
-              val diff = v(i) - cents(c)(i); d += diff * diff; i += 1
-            }
-            if (d < bestD) { bestD = d; best = c }
-            c += 1
-          }
-          counts(best) += 1
-          var i = 0
-          while (i < dsub) { sums(best)(i) += v(i); i += 1 }
-        }
-        cents = Array.tabulate(ks)(c =>
-          if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
-      }
+      // the SHARED lloyd (stride init, fixed budget, empty cells keep
+      // their centroid) — this loop was a verbatim inline copy; one
+      // implementation keeps the three quantizers from drifting apart
+      val cents = lloyd(sub, ks, iters = 8)
       var c = 0
       while (c < ks) {
         System.arraycopy(cents(c), 0, book, (j * ks + c) * dsub, dsub)
@@ -465,6 +442,13 @@ object Similarity {
   // hash) sample, fixed iteration budget, empty cells keep their
   // centroid — the same discipline as ivfIndex/pqIndex, factored for
   // the combined index
+  /** Unit-normalize (zero vectors pass through) — shared by every
+    * trainer that works in the cosine geometry. */
+  private def unitOf(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n > 0) v.map(_ / n) else v
+  }
+
   private def lloyd(vs: Array[Array[Double]], k: Int,
       iters: Int): Array[Array[Double]] = {
     val dim = vs.head.length
@@ -541,10 +525,7 @@ object Similarity {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    val normed = sample.map { v =>
-      val n = math.sqrt(v.map(x => x * x).sum)
-      if (n > 0) v.map(_ / n) else v
-    }
+    val normed = sample.map(unitOf)
     val cents = lloyd(normed, nlist, 5)
     // fine codebooks train on the residuals the encode kernel will see
     val residuals = normed.map { v =>
@@ -663,8 +644,12 @@ object Similarity {
     val qv = toDoubles(emb.where(col(idCol) === queryId)
       .select(col(vecCol)).head().getSeq[Any](0))
     val qvCol = array(qv.map(lit): _*)
-    emb.join(broadcast(short.select(col("id"))),
-        emb(idCol) === col("id"), "left_semi")
+    // qualify BOTH sides: when the caller's id column is itself named
+    // "id" (the common case) a bare col("id") is ambiguous between the
+    // two join inputs and analysis fails with AMBIGUOUS_REFERENCE
+    val shortIds = short.select(col("id").as("__short_id"))
+    emb.join(broadcast(shortIds),
+        emb(idCol) === shortIds("__short_id"), "left_semi")
       .select(col(idCol).as("id"), cosine(col(vecCol), qvCol).as("sim"))
       .where(!isnan(col("sim")))
       .orderBy(col("sim").desc, col("id").asc)

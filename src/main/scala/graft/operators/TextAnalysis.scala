@@ -67,10 +67,16 @@ object TextAnalysis {
         m.getField("strip_len").cast(DoubleType) / size(words))
       .withColumn("stopword_ratio",
         stopwordHits(words, "en").cast(DoubleType) / size(words))
+      // nullif guard: an EMPTY document divides by zero — NULL under
+      // default Spark, a DIVIDE_BY_ZERO runtime error under ANSI mode.
+      // nullif makes the NULL explicit and ANSI-safe on both engines
+      // (the DuckDB oracle mirrors the same nullif spelling).
       .withColumn("symbol_ratio",
-        m.getField("symbol").cast(DoubleType) / length(col(textCol)))
+        m.getField("symbol").cast(DoubleType) /
+          nullif(length(col(textCol)), lit(0)))
       .withColumn("digit_ratio",
-        m.getField("digit").cast(DoubleType) / length(col(textCol)))
+        m.getField("digit").cast(DoubleType) /
+          nullif(length(col(textCol)), lit(0)))
   }
 
   /** Stopword-heuristic language ID from an ALREADY-PROJECTED word array:
@@ -579,8 +585,12 @@ object TextAnalysis {
     val q = queries.select(col(queryIdCol).as("qid"),
       lower(col(termCol)).as("term")).distinct()
     // df from the postings themselves — corpus-wide document frequency
-    val dfreq = postings.join(broadcast(q.select(col("term")).distinct()),
-        "term")
+    // NO forced broadcast on query-derived frames: the queries table is
+    // caller-supplied and unbounded in principle (a serving batch of
+    // millions of (query, term) rows would OOM a hinted broadcast) —
+    // AQE broadcasts the common small case by size, the same discipline
+    // tfIdfTopTerms/unigramLogProb follow for unbounded inputs
+    val dfreq = postings.join(q.select(col("term")).distinct(), "term")
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val avgdl = col("total_dl").cast(DoubleType) / col("n_docs")
     val idf = graft.functions.GraftFunctions.ln(lit(1.0) +
@@ -589,8 +599,8 @@ object TextAnalysis {
     val termScore = idf * (col("tf") * lit(k1 + 1)) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
     postings
-      .join(broadcast(q), "term")
-      .join(broadcast(dfreq), "term")
+      .join(q, "term")
+      .join(dfreq, "term")
       .crossJoin(broadcast(meta))
       .groupBy(col("qid"), col("doc"))
       .agg((sum(round(termScore * lit(1e8)).cast(LongType))

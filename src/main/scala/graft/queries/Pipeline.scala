@@ -1459,9 +1459,9 @@ object Pipeline {
           len(string_split_regex(lower(trim(text)), '\s+'))
           AS stopword_ratio,
         CAST(length(regexp_replace(lower(text), '[a-z0-9\s]', '', 'g'))
-          AS DOUBLE) / length(text) AS symbol_ratio,
+          AS DOUBLE) / nullif(length(text), 0) AS symbol_ratio,
         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) /
-          length(text) AS digit_ratio,
+          nullif(length(text), 0) AS digit_ratio,
         len(string_split_regex(trim(text), '\s+')) +
           CAST(length(regexp_replace(text, '[^0-9.,;:!?]', '', 'g')) AS INT)
           AS n_subwords

@@ -2306,4 +2306,65 @@ class PipelineSpec extends AnyFunSuite {
       .filter(_._1 == "acct_probe")
     assert(keys == Set(("acct_probe", "dirA"), ("acct_probe", "dirB")))
   }
+
+  test("round-9 tenth sweep pins: null-text docs survive line dedup, " +
+      "norm-skew semantic dedup, int8 NaN guard, typed mmr contract, " +
+      "ANSI-safe epoch shuffle and quality ratios") {
+    import spark.implicits._
+    // a NULL-text document must still get its per-doc output row
+    val docs = Seq((1L, "a\nb\na"), (2L, null.asInstanceOf[String]),
+        (3L, "a\nc"))
+      .toDF("doc_id", "text")
+    val ld = Dedup.lineDedup(docs, "text", "doc_id", minDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(ld.keySet == Set(1L, 2L, 3L),
+      s"NULL-text doc 2 must not vanish from the rebuilt corpus: $ld")
+    // cosine-identical vectors of different NORMS must share a cell —
+    // raw-L2 cells split them and their near-dup edge never formed
+    val emb = (0L until 40L).map { i =>
+      val base = Array.tabulate(8)(d =>
+        math.sin(i.toDouble * (d + 1)).toFloat)
+      (i, base)
+    }
+    val skew = emb.flatMap { case (i, v) =>
+      Seq((i * 2, v), (i * 2 + 1, v.map(x => x * 10f))) // 10x norm twin
+    }.toDF("vec_id", "embedding")
+    val sd = Similarity.semanticDedup(skew, "embedding", "vec_id",
+        tau = 0.999, nlist = 4, trainSample = 80)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 40L).foreach { i =>
+      assert(sd(i * 2) == sd(i * 2 + 1),
+        s"v and 10v (cosine 1.0) must land in one cluster: pair $i")
+    }
+    // a malformed (short) int8 code must not take the #1 slot via NaN
+    val codes = Seq((1L, Array[Byte](10, 20, 30)),
+        (2L, Array[Byte](10, 21, 29)),
+        (3L, Array[Byte](1, 2))) // truncated row
+      .toDF("vec_id", "code")
+    val top = Similarity.int8CosineTopK(codes, "code", "vec_id",
+        queryId = 1L, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L),
+      s"NaN from the truncated code must not rank: $top")
+    // non-integral mmr ids fail with a TYPED error, not an NPE
+    val badPool = Seq(("a", 1.0, Array(1.0f, 0f)))
+      .toDF("id", "rel", "v")
+    val e = intercept[IllegalArgumentException](
+      Similarity.mmrSelect(badPool, "id", "rel", "v", k = 1))
+    assert(e.getMessage.contains("must be integral"))
+    // ANSI mode: epoch shuffle near Long.MaxValue and quality ratios on
+    // an empty doc must not raise arithmetic errors
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val ids = Seq(Long.MaxValue, Long.MaxValue - 5L, 7L).toDF("doc_id")
+      val keys = Curation.epochShuffle(ids, "doc_id", epoch = 3,
+        shards = 8).collect()
+      assert(keys.length == 3, "near-max ids must shuffle, not overflow")
+      val qm = graft.operators.TextAnalysis.qualityMetrics(
+          Seq((1L, "")).toDF("doc_id", "text"), "text")
+        .select(col("symbol_ratio"), col("digit_ratio")).collect()(0)
+      assert(qm.isNullAt(0) && qm.isNullAt(1),
+        "empty text must yield NULL ratios, not DIVIDE_BY_ZERO")
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+  }
 }
