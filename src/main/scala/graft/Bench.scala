@@ -49,20 +49,9 @@ object Bench {
       }
     }
     val results = names.sorted.map { name =>
-      // deterministic cleanup: localCheckpoint blocks (iterative
-      // operators: connected components, PageRank, z-order sampling)
-      // and cached tables stay pinned in the block manager until the
-      // driver GC happens to collect their DataFrames — across 140+
-      // queries that squeezes execution memory and shows up as 5-10×
-      // in-battery slowdowns on the shuffle-heavy dedup queries vs
-      // isolated runs. Unpersist explicitly instead of hoping.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
-      spark.catalog.clearCache()
-      // quiesce: drain GC debt left by the previous query so its cost
-      // isn't billed to this one
-      System.gc()
-      Thread.sleep(50)
+      // deterministic cleanup between queries — the shared recipe
+      // (rationale at GraftSession.quiesce)
+      GraftSession.quiesce(spark)
       // adaptive best-of-N: the shared host shows episodic 15-30s
       // whole-JVM stalls that span BOTH runs of a best-of-two (a pure
       // scan-local codegen query has benched 15.9s vs 0.1s isolated), so

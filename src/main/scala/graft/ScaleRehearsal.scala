@@ -56,10 +56,7 @@ object ScaleRehearsal {
 
     def timeBest2(name: String, dir: String): Option[Double] = {
       def once(): Option[Double] = {
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
-        spark.catalog.clearCache()
-        System.gc(); Thread.sleep(50)
+        GraftSession.quiesce(spark)
         val t0 = System.nanoTime()
         try {
           SparkEntry.queries(name)(spark, dir)

@@ -80,193 +80,15 @@ object GraftFunctions {
     colOf(org.apache.spark.sql.catalyst.expressions.DayOfWeek(
       Cast(exprOf(c), DateType)))
 
-  def register(spark: SparkSession): Unit = {
+  /** Graft-OWNED kernel names only — no Spark-builtin name is touched.
+    * The operator layer registers THIS as a side effect: obtaining a
+    * fused kernel must not change the semantics of any Spark-named SQL
+    * function (trunc/round/encode/decode/to_char/...) for a session
+    * that never opted into the Phoenix dialect. The dialect overloads
+    * live in [[register]], called by the SQL front-end and the dialect
+    * query battery. */
+  def registerKernels(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "base62_encode", e => Base62Encode(asLong(e.head)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "base62_decode", e => Base62Decode(asString(e.head)), "built-in")
-    // Phoenix ENCODE(long,'BASE62') / DECODE(str,'HEX') share their names
-    // with Spark's charset builtins — dispatch on the literal format so
-    // reference SQL runs unmodified AND encode('x','UTF-8') keeps working
-    def fmtLit(e: Expression): Option[String] = e match {
-      case org.apache.spark.sql.catalyst.expressions.Literal(
-          s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
-        Some(s.toString.toUpperCase(java.util.Locale.ROOT))
-      case _ => None
-    }
-    reg.createOrReplaceTempFunction(
-      "encode", e => fmtLit(e(1)) match {
-        case Some("BASE62") => Base62Encode(asLong(e(0)))
-        case _ =>
-          org.apache.spark.sql.catalyst.expressions.Encode(e(0), e(1))
-      }, "built-in")
-    reg.createOrReplaceTempFunction(
-      "decode", e => fmtLit(e(1)) match {
-        case Some("HEX") => DecodeBinary(asString(e(0)), e(1))
-        case _ =>
-          org.apache.spark.sql.catalyst.expressions.StringDecode(e(0), e(1))
-      }, "built-in")
-    // Phoenix ROUND/CEIL/FLOOR/TRUNC with a time-unit argument (reference
-    // RoundDateExpression + Joda-field variants, optional fixed-unit
-    // multiplier: ROUND(ts, 'MINUTE', 15)); non-unit arguments fall
-    // through to Spark's numeric builtins with identical semantics, so
-    // shadowing the names is safe. Phoenix numeric TRUNC parses to FLOOR
-    // (reference TruncParseNode), date-format trunc stays Spark's.
-    locally {
-      import org.apache.spark.sql.catalyst.expressions._
-      import org.apache.spark.sql.graftbridge.ColumnBridge.{
-        toColumn => column, toExpression => expression}
-      def unitLit(e: Expression): Option[String] = fmtLit(e)
-        .filter(DateRound.Units.contains)
-      def multOf(e: Seq[Expression]): Int =
-        if (e.length < 3) 1
-        else e(2) match {
-          case Literal(i: Int, IntegerType) => i
-          case other => throw new IllegalArgumentException(
-            s"unit multiplier must be an integer literal, got $other")
-        }
-      def dateOr(e: Seq[Expression],
-          date: (org.apache.spark.sql.Column, String, Int) =>
-            org.apache.spark.sql.Column,
-          num: Seq[Expression] => Expression): Expression =
-        if (e.length >= 2 && unitLit(e(1)).isDefined)
-          expression(date(column(e(0)), unitLit(e(1)).get, multOf(e)))
-        else num(e)
-      reg.createOrReplaceTempFunction("round",
-        e => dateOr(e, DateRound.roundDate, e =>
-          if (e.length >= 2) Round(e(0), e(1)) else Round(e(0), Literal(0))),
-        "built-in")
-      reg.createOrReplaceTempFunction("ceil",
-        e => dateOr(e, DateRound.ceilDate, e =>
-          if (e.length >= 2) RoundCeil(e(0), e(1)) else Ceil(e(0))),
-        "built-in")
-      reg.createOrReplaceTempFunction("floor",
-        e => dateOr(e, DateRound.floorDate, e =>
-          if (e.length >= 2) RoundFloor(e(0), e(1)) else Floor(e(0))),
-        "built-in")
-      reg.createOrReplaceTempFunction("trunc",
-        e => {
-          // 'WEEK'/'MONTH'/'YEAR' are ALSO native Spark trunc formats
-          // (returning DATE). A DATE input keeps the native DateType
-          // contract existing Spark callers rely on; a TIMESTAMP input
-          // gets Phoenix's RoundDateExpression semantics (timestamp
-          // boundary). Fixed-width units (DAY/HOUR/...) are not native
-          // trunc formats, so they always take the Phoenix arm.
-          // 1-arg forms (valid in the reference): numeric TRUNC
-          // defaults the scale to 0; date/timestamp TRUNC defaults the
-          // unit to DAY — without this the num lambda read e(1) on a
-          // 1-element list and crashed plan building
-          val ee =
-            if (e.length >= 2) e
-            else e(0).dataType match {
-              case DateType | TimestampType => Seq(e(0), Literal("DAY"))
-              case _ => Seq(e(0), Literal(0))
-            }
-          val nativeDateForm = ee(0).dataType == DateType &&
-            unitLit(ee(1)).exists(Set("WEEK", "MONTH", "YEAR").contains)
-          if (nativeDateForm) TruncDate(ee(0), ee(1))
-          else dateOr(ee, DateRound.floorDate, e =>
-            e(1) match {
-              // date-format form ('MM', 'YYYY', …) = Spark's trunc
-              case Literal(_: org.apache.spark.unsafe.types.UTF8String,
-                  StringType) => TruncDate(e(0), e(1))
-              case _ => RoundFloor(e(0), e(1)) // numeric TRUNC = FLOOR
-            })
-        },
-        "built-in")
-    }
-    reg.createOrReplaceTempFunction(
-      "regexp_substr",
-      // offset is OPTIONAL in the reference (RegexpSubstrFunction
-      // defaults to position 1) — the 2-arg form must not throw
-      e => RegexpSubstr(asString(e(0)), asString(e(1)),
-        if (e.length >= 3) asInt(e(2))
-        else org.apache.spark.sql.catalyst.expressions.Literal(1)),
-      "built-in")
-    // TO_CHAR dispatches on argument type like the reference
-    // (ToCharFunction.java:66-78): temporal → Java date patterns,
-    // numeric → java.text.DecimalFormat patterns
-    reg.createOrReplaceTempFunction(
-      "to_char", e => e(0).dataType match {
-        case _: NumericType => NumberToChar(e(0), asString(e(1)))
-        case _ => ToChar(asTimestamp(e(0)), asString(e(1)))
-      }, "built-in")
-    reg.createOrReplaceTempFunction(
-      "to_date_java",
-      e => ToDateJava(asString(e(0)), asString(e(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "date_plus_days",
-      e => DatePlusDays(asTimestamp(e(0)), asDouble(e(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "first_values",
-      e => OrderedValuesAgg(asDouble(e(0)), asLong(e(1)), asInt(e(2)),
-        last = false).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction(
-      "last_values",
-      e => OrderedValuesAgg(asDouble(e(0)), asLong(e(1)), asInt(e(2)),
-        last = true).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction(
-      "to_number", e => ToNumber(asString(e(0)), asString(e(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "timezone_offset",
-      e => TimezoneOffset(asString(e(0)), asTimestamp(e(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "collation_key",
-      e => CollationKey(asString(e(0)), asString(e(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "json_modify",
-      e => JsonModify(asString(e(0)), asString(e(1)), asString(e(2))),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "json_query",
-      e => JsonQuery(asString(e(0)), asString(e(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "json_exists",
-      e => JsonExists(asString(e(0)), asString(e(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "json_value",
-      e => JsonValue(asString(e(0)), asString(e(1))), "built-in")
-    // Phoenix spellings for operations Spark has under other names, so
-    // reference SQL runs unmodified: ARRAY_ELEM is 1-based exactly like
-    // element_at; ARRAY_LENGTH = size; REGEXP_SPLIT = regex split
-    reg.createOrReplaceTempFunction(
-      "array_elem",
-      e => org.apache.spark.sql.catalyst.expressions.ElementAt(e(0), e(1)),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "array_length",
-      e => org.apache.spark.sql.catalyst.expressions.Size(e(0)),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "regexp_split",
-      e => org.apache.spark.sql.catalyst.expressions.StringSplit(
-        asString(e(0)), asString(e(1)),
-        org.apache.spark.sql.catalyst.expressions.Literal(-1)),
-      "built-in")
-    reg.createOrReplaceTempFunction(
-      "phoenix_decimal_div",
-      e => PhoenixDecimalDivide(e(0), e(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "to_bson", e => ToBson(asString(e.head)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "bson_value",
-      e => BsonValue(e(0), asString(e(1)), asString(e(2))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "bson_value_type",
-      e => BsonValueType(e(0), asString(e(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "bson_condition_expression",
-      e => BsonConditionExpr(e(0), asString(e(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "bson_update_expression",
-      e => BsonUpdateExpr(e(0), asString(e(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "encode_binary",
-      e => EncodeBinary(e(0), asString(e(1))), "built-in")
-    reg.createOrReplaceTempFunction(
-      "decode_binary",
-      e => DecodeBinary(asString(e(0)), asString(e(1))), "built-in")
     reg.createOrReplaceTempFunction(
       "word_shingles",
       e => WordShingles(e(0), e(1).eval() match {
@@ -387,6 +209,205 @@ object GraftFunctions {
       e => KmvIntersectEstimate(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "kmv_jaccard", e => KmvJaccard(e(0), e(1)), "built-in")
+  }
+
+  def register(spark: SparkSession): Unit = {
+    registerKernels(spark)
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "base62_encode", e => Base62Encode(asLong(e.head)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "base62_decode", e => Base62Decode(asString(e.head)), "built-in")
+    // Phoenix ENCODE(long,'BASE62') / DECODE(str,'HEX') share their names
+    // with Spark's charset builtins — dispatch on the literal format so
+    // reference SQL runs unmodified AND encode('x','UTF-8') keeps working
+    // fixed-arity guard: a typo like encode(col) must fail with the
+    // function name and expected count, not a raw
+    // IndexOutOfBoundsException from e(1) inside the analyzer
+    def arity(name: String, e: Seq[Expression], want: Int): Seq[Expression] = {
+      if (e.length != want) throw new IllegalArgumentException(
+        s"$name expects $want arguments, got ${e.length}")
+      e
+    }
+    def fmtLit(e: Expression): Option[String] = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(
+          s: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        Some(s.toString.toUpperCase(java.util.Locale.ROOT))
+      case _ => None
+    }
+    reg.createOrReplaceTempFunction(
+      "encode", e0 => { val e = arity("encode", e0, 2); fmtLit(e(1)) match {
+        case Some("BASE62") => Base62Encode(asLong(e(0)))
+        case _ =>
+          org.apache.spark.sql.catalyst.expressions.Encode(e(0), e(1))
+      } }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "decode", e0 => { val e = arity("decode", e0, 2); fmtLit(e(1)) match {
+        case Some("HEX") => DecodeBinary(asString(e(0)), e(1))
+        case _ =>
+          org.apache.spark.sql.catalyst.expressions.StringDecode(e(0), e(1))
+      } }, "built-in")
+    // Phoenix ROUND/CEIL/FLOOR/TRUNC with a time-unit argument (reference
+    // RoundDateExpression + Joda-field variants, optional fixed-unit
+    // multiplier: ROUND(ts, 'MINUTE', 15)); non-unit arguments fall
+    // through to Spark's numeric builtins with identical semantics, so
+    // shadowing the names is safe. Phoenix numeric TRUNC parses to FLOOR
+    // (reference TruncParseNode), date-format trunc stays Spark's.
+    locally {
+      import org.apache.spark.sql.catalyst.expressions._
+      import org.apache.spark.sql.graftbridge.ColumnBridge.{
+        toColumn => column, toExpression => expression}
+      def unitLit(e: Expression): Option[String] = fmtLit(e)
+        .filter(DateRound.Units.contains)
+      def multOf(e: Seq[Expression]): Int =
+        if (e.length < 3) 1
+        else e(2) match {
+          case Literal(i: Int, IntegerType) => i
+          case other => throw new IllegalArgumentException(
+            s"unit multiplier must be an integer literal, got $other")
+        }
+      def dateOr(e: Seq[Expression],
+          date: (org.apache.spark.sql.Column, String, Int) =>
+            org.apache.spark.sql.Column,
+          num: Seq[Expression] => Expression): Expression =
+        if (e.length >= 2 && unitLit(e(1)).isDefined)
+          expression(date(column(e(0)), unitLit(e(1)).get, multOf(e)))
+        else num(e)
+      reg.createOrReplaceTempFunction("round",
+        e => dateOr(e, DateRound.roundDate, e =>
+          if (e.length >= 2) Round(e(0), e(1)) else Round(e(0), Literal(0))),
+        "built-in")
+      reg.createOrReplaceTempFunction("ceil",
+        e => dateOr(e, DateRound.ceilDate, e =>
+          if (e.length >= 2) RoundCeil(e(0), e(1)) else Ceil(e(0))),
+        "built-in")
+      reg.createOrReplaceTempFunction("floor",
+        e => dateOr(e, DateRound.floorDate, e =>
+          if (e.length >= 2) RoundFloor(e(0), e(1)) else Floor(e(0))),
+        "built-in")
+      reg.createOrReplaceTempFunction("trunc",
+        e => {
+          // 'WEEK'/'MONTH'/'YEAR' are ALSO native Spark trunc formats
+          // (returning DATE). A DATE input keeps the native DateType
+          // contract existing Spark callers rely on; a TIMESTAMP input
+          // gets Phoenix's RoundDateExpression semantics (timestamp
+          // boundary). Fixed-width units (DAY/HOUR/...) are not native
+          // trunc formats, so they always take the Phoenix arm.
+          // 1-arg forms (valid in the reference): numeric TRUNC
+          // defaults the scale to 0; date/timestamp TRUNC defaults the
+          // unit to DAY — without this the num lambda read e(1) on a
+          // 1-element list and crashed plan building
+          val ee =
+            if (e.length >= 2) e
+            else e(0).dataType match {
+              case DateType | TimestampType => Seq(e(0), Literal("DAY"))
+              case _ => Seq(e(0), Literal(0))
+            }
+          val nativeDateForm = ee(0).dataType == DateType &&
+            unitLit(ee(1)).exists(Set("WEEK", "MONTH", "YEAR").contains)
+          if (nativeDateForm) TruncDate(ee(0), ee(1))
+          else dateOr(ee, DateRound.floorDate, e =>
+            e(1) match {
+              // date-format form ('MM', 'YYYY', …) = Spark's trunc
+              case Literal(_: org.apache.spark.unsafe.types.UTF8String,
+                  StringType) => TruncDate(e(0), e(1))
+              case _ => RoundFloor(e(0), e(1)) // numeric TRUNC = FLOOR
+            })
+        },
+        "built-in")
+    }
+    reg.createOrReplaceTempFunction(
+      "regexp_substr",
+      // offset is OPTIONAL in the reference (RegexpSubstrFunction
+      // defaults to position 1) — the 2-arg form must not throw
+      e => RegexpSubstr(asString(e(0)), asString(e(1)),
+        if (e.length >= 3) asInt(e(2))
+        else org.apache.spark.sql.catalyst.expressions.Literal(1)),
+      "built-in")
+    // TO_CHAR dispatches on argument type like the reference
+    // (ToCharFunction.java:66-78): temporal → Java date patterns,
+    // numeric → java.text.DecimalFormat patterns
+    reg.createOrReplaceTempFunction(
+      "to_char", e0 => { val e = arity("to_char", e0, 2); e(0).dataType match {
+        case _: NumericType => NumberToChar(e(0), asString(e(1)))
+        case _ => ToChar(asTimestamp(e(0)), asString(e(1)))
+      } }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "to_date_java",
+      e => ToDateJava(asString(e(0)), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "date_plus_days",
+      e => DatePlusDays(asTimestamp(e(0)), asDouble(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "first_values",
+      e => OrderedValuesAgg(asDouble(e(0)), asLong(e(1)), asInt(e(2)),
+        last = false).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "last_values",
+      e => OrderedValuesAgg(asDouble(e(0)), asLong(e(1)), asInt(e(2)),
+        last = true).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "to_number", e0 => { val e = arity("to_number", e0, 2)
+        ToNumber(asString(e(0)), asString(e(1))) }, "built-in")
+    reg.createOrReplaceTempFunction(
+      "timezone_offset",
+      e => TimezoneOffset(asString(e(0)), asTimestamp(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "collation_key",
+      e => CollationKey(asString(e(0)), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "json_modify",
+      e => JsonModify(asString(e(0)), asString(e(1)), asString(e(2))),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "json_query",
+      e => JsonQuery(asString(e(0)), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "json_exists",
+      e => JsonExists(asString(e(0)), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "json_value",
+      e => JsonValue(asString(e(0)), asString(e(1))), "built-in")
+    // Phoenix spellings for operations Spark has under other names, so
+    // reference SQL runs unmodified: ARRAY_ELEM is 1-based exactly like
+    // element_at; ARRAY_LENGTH = size; REGEXP_SPLIT = regex split
+    reg.createOrReplaceTempFunction(
+      "array_elem",
+      e => org.apache.spark.sql.catalyst.expressions.ElementAt(e(0), e(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "array_length",
+      e => org.apache.spark.sql.catalyst.expressions.Size(e(0)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "regexp_split",
+      e => org.apache.spark.sql.catalyst.expressions.StringSplit(
+        asString(e(0)), asString(e(1)),
+        org.apache.spark.sql.catalyst.expressions.Literal(-1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "phoenix_decimal_div",
+      e => PhoenixDecimalDivide(e(0), e(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "to_bson", e => ToBson(asString(e.head)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bson_value",
+      e => BsonValue(e(0), asString(e(1)), asString(e(2))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bson_value_type",
+      e => BsonValueType(e(0), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bson_condition_expression",
+      e => BsonConditionExpr(e(0), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "bson_update_expression",
+      e => BsonUpdateExpr(e(0), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "encode_binary",
+      e => EncodeBinary(e(0), asString(e(1))), "built-in")
+    reg.createOrReplaceTempFunction(
+      "decode_binary",
+      e => DecodeBinary(asString(e(0)), asString(e(1))), "built-in")
     // Phoenix array/date spellings with NO Spark name collision:
     // STRING_TO_ARRAY (literal delimiter, trailing empties dropped —
     // StringToArrayFunction.java), ARRAY_TO_STRING (= array_join incl.

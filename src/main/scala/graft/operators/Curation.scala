@@ -391,7 +391,7 @@ object Curation {
     */
   def weightedSamplePerStratum(df: DataFrame, idCol: String,
       weightCol: String, strataCol: String, k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(df.sparkSession)
     // weight ≤ 0 = zero selection probability (see weightedSample: a
     // NaN key would otherwise sort above every real candidate)
     df.where(col(weightCol) > 0)

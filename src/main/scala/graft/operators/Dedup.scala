@@ -122,7 +122,7 @@ object Dedup {
     * scan would serialize it regardless of cluster size). */
   private def shingleTable(docs: DataFrame, textCol: String, idCol: String,
       n: Int, passthrough: Seq[String] = Nil): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(docs.sparkSession)
     // trim BEFORE the split: leading/trailing whitespace would inject an
     // empty-string token that perturbs shingles and Jaccard (and the
     // DuckDB oracles already tokenize lower(trim(text)))
@@ -484,7 +484,7 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    graft.functions.GraftFunctions.register(delta.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(delta.sparkSession)
     val deltaShT = shingleTable(delta, textCol, idCol, shingleSize)
       .where(size(col("sh")) > 0)
     val deltaSig = deltaShT.select(col("id"),
@@ -540,7 +540,7 @@ object Dedup {
   /** Fused single-pass minhash signature (custom Catalyst expression). */
   private def fastSignature(df: DataFrame, shCol: String,
       numHashes: Int): Column = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(df.sparkSession)
     call_function("minhash_signature", col(shCol), lit(numHashes))
   }
 
@@ -666,7 +666,7 @@ object Dedup {
       t: Double, shingleSize: Int = 2,
       maxPrefixDf: Int = 100000): DataFrame = {
     require(t > 0 && t <= 1, "containment threshold in (0, 1]")
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(docs.sparkSession)
     val shT = shingleTable(docs, textCol, idCol, shingleSize)
       .where(size(col("sh")) > 0)
     val tokens = shT.select(col("id"), explode(col("sh")).as("tok"))
@@ -793,7 +793,7 @@ object Dedup {
 
   private def verifyCandidates(cands: DataFrame, sig: DataFrame,
       shT: DataFrame, numHashes: Int, threshold: Double): DataFrame = {
-    graft.functions.GraftFunctions.register(sig.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(sig.sparkSession)
     val sigOnly = sig.select(col("id"), col("sig"))
     val shOnly = shT.select(col("id"), col("sh"))
     prunePairs(cands, sigOnly, numHashes, threshold)
@@ -812,7 +812,7 @@ object Dedup {
     // Bounded baseline: both cross-join sides reference the same
     // repartitioned subplan, so the shingle pipeline is computed once via
     // exchange reuse (no cache to leak).
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(docs.sparkSession)
     val sh = shingleTable(docs, textCol, idCol, shingleSize)
     val a = sh.toDF("id_a", "sh_a", "sz_a")
     val b = sh.toDF("id_b", "sh_b", "sz_b")
@@ -946,7 +946,7 @@ object Dedup {
       s"maxHamming must be in [0, 15], got $maxHamming — above 15 the " +
         "64-bit signature's chunks get too narrow to block on; use " +
         "banded MinHash (nearDupPairs) for looser similarity")
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(docs.sparkSession)
     val nChunks = maxHamming + 1
     val sig = docs
       .select(col(idCol).as("id"),

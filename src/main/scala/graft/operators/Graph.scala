@@ -47,6 +47,12 @@ object Graph {
     require(iterations >= 1, "iterations must be >= 1")
     require(damping > 0 && damping < 1, "damping must be in (0, 1)")
     val e = edges.select(col("src"), col("dst"))
+    // NULL endpoints leak mass silently: a NULL dst enters the default
+    // spine but null never equi-joins, so its contributions vanish each
+    // iteration; a NULL src drops from the weighted table yet counts as
+    // dangling. Refuse loudly, like the stray-vertex guard below.
+    require(e.where(col("src").isNull || col("dst").isNull).isEmpty,
+      "edges contain NULL endpoints — rank mass would leak")
     val spine = nodes
       .map(_.select(col("id")).distinct())
       .getOrElse(e.select(col("src").as("id"))
@@ -83,12 +89,20 @@ object Graph {
         .groupBy(col("dst"))
         .agg(sum(col("pr") * col("w")).as("c"))
         .withColumnRenamed("dst", "id")
+      val prev = ranks
       ranks = spine.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + lit(damping) *
             (coalesce(col("c"), lit(0.0)) + lit(dm / n))).as("pr"))
         .localCheckpoint()
+      // the superseded vector's checkpoint blocks would otherwise stay
+      // pinned in the block manager for the session's lifetime —
+      // iterations × |V|-row block sets squeezing execution memory
+      prev.unpersist()
     }
+    // the final vector is checkpointed (lineage truncated), so the
+    // loop-invariant inputs can release their blocks too
+    spine.unpersist(); weighted.unpersist(); dangling.unpersist()
     ranks
   }
 }

@@ -57,10 +57,17 @@ object Layout {
   def zorderBy(df: DataFrame, cols: Seq[String], numPartitions: Int,
       bits: Int = 10): DataFrame = {
     val k = cols.size
+    // bits itself must be bounded, not just k*bits: bits=31 passes a
+    // 2-column k*bits<=62 check yet 1<<31 overflows Int to a negative
+    // bucket count; bits in the high teens allocates millions of
+    // quantile probabilities on the driver; bits=0 is a silent no-op
+    // (every row z=0). 16 bits = 65536 buckets per column, already far
+    // past any useful clustering resolution.
+    require(bits >= 1 && bits <= 16, s"bits must be 1..16, got $bits")
     require(k >= 1 && k * bits <= 62,
       s"z-order needs 1..${62 / bits} columns at $bits bits, got $k")
     require(numPartitions >= 1, "numPartitions must be positive")
-    graft.functions.GraftFunctions.register(df.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(df.sparkSession)
     val nB = 1 << bits
 
     // string columns: sorted split points from a bounded sample of the
@@ -200,7 +207,22 @@ object Layout {
       .packSequences(guarded, idCol, tokCol, tokensPerShard, partitions)
       .select(col("doc").as("__shard_doc"),
         col("bin").cast("int").as("shard"))
-    guarded.join(bins, guarded(idCol) === bins("__shard_doc"))
+    // duplicate ids fan the join out quadratically per duplicate group
+    // (the doc written multiple times into its shard, token budgets
+    // silently blown) — same loud-guard philosophy as the NULL check:
+    // refuse in-plan via a per-id occurrence count
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+    // the guard rides idCol itself (a dropped helper column would be
+    // pruned out of the plan, raise_error and all)
+    val dupGuarded = guarded
+      .withColumn("__id_n", count(lit(1)).over(w))
+      .withColumn(idCol, when(col("__id_n") > 1, raise_error(lit(
+        s"writeShardedByTokens: duplicate ids in '$idCol' — the bin " +
+          "join would duplicate documents into the export")))
+        .otherwise(col(idCol)))
+      .drop("__id_n")
+    dupGuarded.join(bins, dupGuarded(idCol) === bins("__shard_doc"))
       .drop("__shard_doc")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("shard").parquet(path)

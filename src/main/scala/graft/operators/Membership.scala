@@ -42,7 +42,7 @@ object Membership {
         s"${bt.catalogString} but $keyCol is ${kt.catalogString} — " +
         "cast one side before the join (xxhash64 is type-sensitive, so " +
         "mismatched types silently drop true matches in the prefilter)")
-    graft.functions.GraftFunctions.register(big.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(big.sparkSession)
     // the keys plan is evaluated TWICE below (Bloom aggregate + exact
     // verify join). A non-deterministic plan (sample, limit-without-
     // order, rand-derived) would give the two evaluations different key

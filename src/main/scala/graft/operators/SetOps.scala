@@ -100,7 +100,7 @@ object SetOps {
     *                the call site keeps the key type explicit */
   def approxSourceOverlap(df: DataFrame, srcCol: String,
       keyHash: Column, k: Int = 4096): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(df.sparkSession)
     val sk = df.groupBy(col(srcCol).as("source"))
       .agg(call_function("kmv_sketch", keyHash, lit(k)).as("sk"))
     val a = sk.select(col("source").as("source_a"), col("sk").as("sk_a"))

@@ -171,7 +171,7 @@ object Similarity {
     * itself (queryId row). Tie-break on id for determinism. */
   def cosineTopK(emb: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(emb.sparkSession)
     val q = emb.where(col(idCol) === queryId)
       .select(col(vecCol).as("qv"))
     emb.crossJoin(broadcast(q))
@@ -214,7 +214,7 @@ object Similarity {
     * the probed set. Scan cost ~ (mBits+1)/2^mBits of the table. */
   def annTopK(emb: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int, dim: Int = 64, mBits: Int = 4): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(emb.sparkSession)
     val planes = hyperplanes(dim, mBits)
     val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), planes))
     // query row exploded into its mBits+1 probe buckets
@@ -245,7 +245,7 @@ object Similarity {
   def ivfIndex(emb: DataFrame, vecCol: String, idCol: String,
       nlist: Int = 16, trainSample: Int = 2048): (Array[(Int, Array[Double])],
       DataFrame) = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(emb.sparkSession)
     // IVF quantizers train on a bounded driver-side sample (FAISS-style):
     // at corpus scale the distributed work is the ASSIGNMENT scan, not the
     // training — a cluster k-means over all rows buys nothing for a coarse
@@ -284,7 +284,7 @@ object Similarity {
     * exact cosine. Scan cost ~ nprobe/nlist of the table. */
   def ivfTopK(centroids: Array[(Int, Array[Double])], assigned: DataFrame,
       queryId: Long, k: Int, nprobe: Int = 4): DataFrame = {
-    graft.functions.GraftFunctions.register(assigned.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(assigned.sparkSession)
     val qv = toDoubles(assigned.where(col("id") === queryId)
       .select(col("v")).head().getSeq[Any](0))
     // probe ranking uses the SAME metric as cell assignment (L2 on the
@@ -313,7 +313,7 @@ object Similarity {
     * rule is engine-portable. One scan, two fused kernels, no shuffle;
     * all-zero vectors quantize to zeros. */
   def quantizeInt8(emb: DataFrame, vecCol: String, idCol: String): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(emb.sparkSession)
     emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("scale", call_function("vec_maxabs", col("v")) / 127.0)
       .select(col("id"), col("scale"),
@@ -329,7 +329,7 @@ object Similarity {
     * (≤ ~1/127 per element). */
   def int8CosineTopK(quant: DataFrame, codeCol: String, idCol: String,
       queryId: Long, k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(quant.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(quant.sparkSession)
     val q = quant.where(col(idCol) === queryId)
       .select(col(codeCol).as("qc"))
     quant.crossJoin(broadcast(q))
@@ -360,7 +360,7 @@ object Similarity {
       m: Int = 8, ks: Int = 256, trainSample: Int = 2048)
       : (Array[Double], DataFrame) = {
     require(ks >= 2 && ks <= 256, s"ks must be 2..256, got $ks")
-    graft.functions.GraftFunctions.register(emb.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(emb.sparkSession)
     val sample = emb
       .select(col(vecCol))
       .orderBy(xxhash64(col(idCol)))
@@ -407,7 +407,7 @@ object Similarity {
   def pqTopK(book: Array[Double], coded: DataFrame, emb: DataFrame,
       vecCol: String, idCol: String, queryId: Long, k: Int,
       m: Int = 8, ks: Int = 256): DataFrame = {
-    graft.functions.GraftFunctions.register(coded.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(coded.sparkSession)
     val raw = toDoubles(emb.where(col(idCol) === queryId)
       .select(col(vecCol)).head().getSeq[Any](0))
     val n = math.sqrt(raw.map(x => x * x).sum)
@@ -513,7 +513,7 @@ object Similarity {
       nlist: Int = 16, m: Int = 8, ks: Int = 64, trainSample: Int = 2048)
       : (Array[Double], Array[Double], DataFrame) = {
     require(ks >= 2 && ks <= 256, s"ks must be 2..256, got $ks")
-    graft.functions.GraftFunctions.register(emb.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(emb.sparkSession)
     val sample = emb
       .select(col(vecCol))
       .orderBy(xxhash64(col(idCol)))
@@ -557,7 +557,7 @@ object Similarity {
   def ivfPqEncodeWith(flatCents: Array[Double], book: Array[Double],
       emb: DataFrame, vecCol: String, idCol: String,
       m: Int = 8): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(emb.sparkSession)
     val n2 = aggregate(col(vecCol), lit(0.0d),
       (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
     emb.where(n2 > 0).select(col(idCol).as("id"),
@@ -576,7 +576,7 @@ object Similarity {
   def ivfPqTopK(flatCents: Array[Double], book: Array[Double],
       coded: DataFrame, emb: DataFrame, vecCol: String, idCol: String,
       queryId: Long, k: Int, nprobe: Int = 4, m: Int = 8): DataFrame = {
-    graft.functions.GraftFunctions.register(coded.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(coded.sparkSession)
     val raw = toDoubles(emb.where(col(idCol) === queryId)
       .select(col(vecCol)).head().getSeq[Any](0))
     val n = math.sqrt(raw.map(x => x * x).sum)
@@ -759,7 +759,7 @@ object Similarity {
     * norm exclusion as [[pqIndex]]. */
   def pqEncodeWith(book: Array[Double], emb: DataFrame, vecCol: String,
       idCol: String, m: Int = 8, ks: Int = 256): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(emb.sparkSession)
     val n2 = aggregate(col(vecCol), lit(0.0d),
       (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType))
     emb.where(n2 > 0).select(col(idCol).as("id"),
@@ -772,7 +772,7 @@ object Similarity {
     * LSH-bucketed self-join followed by the same threshold). */
   def cosineNearDupPairs(emb: DataFrame, vecCol: String, idCol: String,
       threshold: Double): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(emb.sparkSession)
     val a = emb.select(col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = emb.select(col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.crossJoin(b).where(col("id_a") < col("id_b"))
@@ -802,7 +802,7 @@ object Similarity {
       dim: Int = 64, mBits: Int = 8,
       maxBucket: Int = Dedup.DefaultMaxBucket,
       simBand: Option[(Double, Double)] = None): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(emb.sparkSession)
     val planes = hyperplanes(dim, mBits)
     val b0 = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), planes))
@@ -844,7 +844,7 @@ object Similarity {
     * aggregate, not a window. */
   def hardNegatives(emb: DataFrame, vecCol: String, idCol: String,
       k: Int, lo: Double, hi: Double): DataFrame = {
-    graft.functions.GraftFunctions.register(emb.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(emb.sparkSession)
     val a = emb.select(col(idCol).as("anchor"), col(vecCol).as("v_a"))
     val b = emb.select(col(idCol).as("cand"), col(vecCol).as("v_b"))
     a.crossJoin(b).where(col("anchor") =!= col("cand"))

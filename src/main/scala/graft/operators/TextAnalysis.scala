@@ -59,7 +59,7 @@ object TextAnalysis {
     * dominant cost of the corpus-profile scan (round-6 profiling: the
     * 5-regex chain ~3× the scan itself). */
   def qualityMetrics(df: DataFrame, textCol: String): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(df.sparkSession)
     val words = split(lower(trim(col(textCol))), "\\s+")
     val m = call_function("text_metrics", col(textCol))
     df.withColumn("n_tok", size(words))
@@ -159,7 +159,7 @@ object TextAnalysis {
     * (tie-break on term). */
   def tfIdfTopTerms(df: DataFrame, textCol: String, idCol: String,
       k: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(df.sparkSession)
     val terms = df.select(col(idCol).as("doc"),
       explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
     val tf = terms.groupBy(col("doc"), col("term"))
@@ -274,7 +274,7 @@ object TextAnalysis {
     * the per-buffer distinct-term count stays within `capacity`. */
   def approxTopTerms(df: DataFrame, textCol: String, k: Int,
       capacity: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(df.sparkSession)
     df.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
       .agg(call_function("approx_top_terms",
         col("term"), lit(capacity)).as("sk"))
@@ -331,7 +331,7 @@ object TextAnalysis {
     * deterministically latin > cyrillic > han > arabic > other. */
   def scriptMix(df: DataFrame, textCol: String, idCol: String,
       mixedThreshold: Double = 0.05): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(df.sparkSession)
     val m = call_function("script_profile", col(textCol))
     // `other` (letters of unnamed scripts) is a first-class contender:
     // a Latin doc stuffed 40% with Hangul must trip `mixed`, and a
@@ -370,7 +370,7 @@ object TextAnalysis {
     * Scan-local, no shuffle: at corpus scale this is pure map work. */
   def c4Clean(df: DataFrame, textCol: String, idCol: String,
       minSentences: Int = 5): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(df.sparkSession)
     df.select(col(idCol).as("doc"),
         call_function("c4_line_stats", col(textCol)).as("c4"))
       .select(col("doc"), col("c4.clean_text").as("clean_text"),
@@ -397,7 +397,7 @@ object TextAnalysis {
     * exact integer counts, so results are engine-portable. */
   def gopherRepetition(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(df.sparkSession)
     def frac(num: Column, den: Column): Column =
       when(den > 0, round(num.cast(DoubleType) / den.cast(DoubleType), 8))
         .otherwise(lit(0.0))
@@ -581,7 +581,7 @@ object TextAnalysis {
   def bm25MultiQuery(postings: DataFrame, meta: DataFrame,
       queries: DataFrame, queryIdCol: String, termCol: String,
       k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    graft.functions.GraftFunctions.register(postings.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(postings.sparkSession)
     val q = queries.select(col(queryIdCol).as("qid"),
       lower(col(termCol)).as("term")).distinct()
     // df from the postings themselves — corpus-wide document frequency

@@ -34,7 +34,7 @@ object Tokenize {
     * twice. */
   def bpeTrain(df: DataFrame, textCol: String, numMerges: Int,
       maxVocabWords: Int = 65536): Seq[String] = {
-    graft.functions.GraftFunctions.register(df.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(df.sparkSession)
     val hist = df
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("w"))
       .where(length(col("w")) > 0)

@@ -44,6 +44,12 @@ object GraftIndexes {
     require(index.indexPk.forall(index.schema.fieldNames.contains),
       s"index key ${index.indexPk} not in index schema " +
         s"${index.schema.fieldNames.mkString(",")}")
+    // a self-referential registration (base as its own 'index') makes
+    // every optimizer pass rewrite to a FRESH relation with new
+    // exprIds — the fixpoint never converges and each query burns the
+    // full optimizer iteration budget
+    require(norm(basePath) != norm(index.indexPath),
+      s"index path must differ from the base path ($basePath)")
     registry.put(norm(basePath), index)
   }
   def drop(basePath: String): Unit = registry.remove(norm(basePath))
@@ -89,6 +95,21 @@ case class IndexRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         cond.toSeq.flatMap(_.references)).map(_.name).toSet
       // covered: every referenced column exists in the index projection
       if refs.subsetOf(idx.schema.fieldNames.toSet)
+      // type-faithful: the parent plan binds by exprId, so the alias
+      // that swaps in an index attribute MUST carry the base column's
+      // exact type — a stale/regenerated index with e.g. id BIGINT over
+      // a base id INT would make codegen read 8 bytes where 4 were
+      // promised, silently. Nullability may only narrow (a nullable
+      // index column under a non-null base attr re-opens null paths the
+      // parent already eliminated).
+      if refs.forall { n =>
+        (rel.output.find(_.name == n),
+          idx.schema.fields.find(_.name == n)) match {
+          case (Some(ba), Some(f)) =>
+            ba.dataType == f.dataType && (!f.nullable || ba.nullable)
+          case _ => false
+        }
+      }
       // worthwhile: the predicate drives the index's leading key (a
       // filterless covered projection also qualifies — thinner scan)
       if cond.forall(_.references.map(_.name).toSet

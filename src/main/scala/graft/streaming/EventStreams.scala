@@ -69,7 +69,7 @@ object EventStreams {
     * pass per row regardless of list size. */
   def phraseFilterStream(docs: DataFrame, textCol: String,
       phrases: Seq[String]): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(docs.sparkSession)
     // lowercase BOTH sides through the SAME mapping Spark's lower()
     // applies at runtime (UTF8String.toLowerCase) — a Locale.ROOT
     // driver-side lowering could disagree with the executor's default-
@@ -135,7 +135,7 @@ object EventStreams {
     * output rows ARE the input rows). */
   def curateStream(docs: DataFrame, textCol: String, idCol: String,
       phrases: Seq[String], minSentences: Int = 3): DataFrame = {
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(docs.sparkSession)
     import graft.operators.TextAnalysis
     // same lower() parity as phraseFilterStream
     val lowered = phrases.map(p =>
@@ -259,7 +259,7 @@ object EventStreams {
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    graft.functions.GraftFunctions.register(docs.sparkSession)
+    graft.functions.GraftFunctions.registerKernels(docs.sparkSession)
     docs
       .withColumn("sh", call_function("word_shingles",
         split(lower(trim(col(textCol))), "\\s+"), lit(shingleSize)))

@@ -491,6 +491,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.getString(3) == "hi", "Spark's charset decode must still work")
   }
 
+  test("registerKernels touches no Spark-builtin name: trunc keeps " +
+      "Spark semantics until the dialect is explicitly registered") {
+    // newSession() shares the context but gets a FRESH function
+    // registry — the isolation this test needs (the main test session
+    // has the dialect registered by other suites)
+    val s2 = spark.newSession()
+    graft.functions.GraftFunctions.registerKernels(s2)
+    // kernels are available...
+    assert(s2.sql("SELECT cosine_sim(array(1.0d, 0d), array(1.0d, 0d))")
+      .collect()(0).getDouble(0) == 1.0)
+    // ...but trunc is still SPARK's: DATE result, date-format 'MM'
+    // (the Phoenix arm returns a TIMESTAMP at the month start — an
+    // operator pulling in kernels must not flip SQL semantics for a
+    // session that never opted into the dialect)
+    val t = s2.sql("SELECT trunc(DATE '2024-03-15', 'MM')")
+    assert(t.schema.head.dataType ==
+      org.apache.spark.sql.types.DateType,
+      s"trunc must keep Spark's DATE semantics: ${t.schema}")
+    assert(t.collect()(0).getDate(0).toString == "2024-03-01")
+    // the dialect registration adds the Phoenix arm (a TIMESTAMP input
+    // truncs to the timestamp month start; DATE inputs deliberately
+    // keep Spark's native form even under the dialect)
+    graft.functions.GraftFunctions.register(s2)
+    assert(s2.sql("SELECT trunc(TIMESTAMP '2024-03-15 10:30:00', 'MONTH')")
+      .schema.head.dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    // and a wrong-arity dialect call fails with the function name, not
+    // an IndexOutOfBoundsException
+    val ae = intercept[Exception](
+      s2.sql("SELECT encode(1)").collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ae).exists(m => m.contains("encode") &&
+      m.contains("2 arguments")), s"got: ${msgs(ae)}")
+  }
+
   test("round-9 kernel sweep pins: pre-epoch date rounding, locale " +
       "independence, int8 clamp, dim guards, url '#' edge, base62 " +
       "empties, null list elements, first_values NULL on empty") {

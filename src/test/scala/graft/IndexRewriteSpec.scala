@@ -77,4 +77,33 @@ class IndexRewriteSpec extends AnyFunSuite {
     val q = base.where($"v" === 441L).select($"k", $"name")
     assert(scans(q).forall(_.contains(baseDir)))
   }
+
+  test("a type-divergent index refuses the rewrite; self-registration " +
+      "is rejected at register time") {
+    import spark.implicits._
+    // "index" whose v column is INT where the base declares BIGINT —
+    // the rewrite alias keeps the base exprId, so parents would bind an
+    // 8-byte read against a 4-byte column: silent corruption. Must
+    // refuse and stay on the base.
+    val badIdx = java.nio.file.Files
+      .createTempDirectory("graft_idx_badtype").toString
+    (0L until 1000L).map(i => (((i * 7) % 1000).toInt, i, s"name_$i"))
+      .toDF("v", "k", "name")
+      .repartitionByRange(4, $"v").sortWithinPartitions($"v")
+      .write.mode("overwrite").parquet(badIdx)
+    GraftIndexes.register(baseDir,
+      GraftIndexes.IndexDef(badIdx, Seq("v")))
+    try {
+      val q = base.where($"v" === 441L).select($"k", $"name")
+      assert(scans(q).forall(_.contains(baseDir)),
+        "a type-divergent index column must refuse the rewrite")
+    } finally GraftIndexes.drop(baseDir)
+    // base-as-its-own-index: the optimizer fixpoint would re-rewrite
+    // with fresh exprIds forever — reject at registration
+    val e = intercept[IllegalArgumentException] {
+      GraftIndexes.register(baseDir,
+        GraftIndexes.IndexDef(baseDir, Seq("k")))
+    }
+    assert(e.getMessage.contains("must differ"))
+  }
 }

@@ -284,4 +284,38 @@ class ZOrderSpec extends AnyFunSuite {
     assert("\\*\\(\\d+\\) Project \\[id".r.findFirstIn(plan).nonEmpty,
       s"z_value must run inside WholeStageCodegen:\n$plan")
   }
+
+  test("eleventh-sweep guards: zorderBy bounds bits, sharded export " +
+      "refuses duplicate ids") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("a", "b")
+    // bits=0 = silent no-op (every row z=0); bits=31 passed the old
+    // k*bits<=62 check yet 1<<31 overflows Int to a negative bucket
+    // count — both must refuse up front
+    Seq(0, 31).foreach { bad =>
+      val e = intercept[IllegalArgumentException](
+        graft.operators.Layout.zorderBy(df, Seq("a"), 2, bits = bad))
+      assert(e.getMessage.contains("bits"), s"bits=$bad: ${e.getMessage}")
+    }
+    // duplicate ids would fan the bin join out quadratically — the doc
+    // written twice into its shard with token budgets silently blown
+    val dup = Seq((1L, 10L), (1L, 10L), (2L, 5L)).toDF("doc_id", "n_tok")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_shards_dup").toString + "/out"
+    val de = intercept[Exception](graft.operators.Layout
+      .writeShardedByTokens(dup, "doc_id", "n_tok", path, 100L))
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(de).exists(_.contains("duplicate ids")),
+      s"expected the loud duplicate-id guard, got: ${msgs(de)}")
+  }
+
+  test("pageRank refuses NULL edge endpoints (silent mass leak)") {
+    import spark.implicits._
+    val e = Seq((Some(1L), Option.empty[Long]), (Some(2L), Some(1L)))
+      .toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException](
+      graft.operators.Graph.pageRank(e, iterations = 1))
+    assert(ex.getMessage.contains("NULL endpoints"))
+  }
 }
