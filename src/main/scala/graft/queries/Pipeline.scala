@@ -16,6 +16,34 @@ object Pipeline {
   // ONE reusable temp root per sf dir (wiped each call) keeps /tmp
   // bounded across a long battery — a fresh dir per call would
   // accumulate unbounded parquet (the q_zorder_scan rule)
+  /** Fact + typed aggregate state + rewrite registration for the
+    * q_mv_rewrite* entries — session artifacts (built and registered
+    * ONCE per sf dir via Artifacts.memoized): per-repetition rebuilds
+    * would both time the wrong thing and grow the rewrite registry.
+    * Shared so the exact-grain and rollup entries are order-independent
+    * in the battery. */
+  private def mvRewriteSetup(s: SparkSession, dir: String)
+      : (String, String) =
+    Artifacts.memoized(dir, "mv_rewrite_setup") {
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_mvrw").toString
+      val b = s"$tmp/fact"
+      val m = s"$tmp/state"
+      Tables.t(s, dir, "documents")
+        .select($"doc_id", $"source", $"n_chars",
+          ($"n_chars" * 1000000000000L + $"doc_id").as("big"))
+        .write.mode("overwrite").parquet(b)
+      graft.operators.Materialize
+        .aggregate(s.read.parquet(b), Seq("source"),
+          Seq("big", "n_chars"))
+        .write.mode("overwrite").parquet(m)
+      graft.plans.GraftAggViews.register(b,
+        graft.plans.GraftAggViews.AggViewDef(m, Seq("source"),
+          Seq("big", "n_chars")))
+      (b, m)
+    }
+
   private val ivmDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivmWarehouse(dir: String): String = {
@@ -583,27 +611,7 @@ object Pipeline {
     // sum/cnt derivation and the per-measure non-null count).
     "q_mv_rewrite" -> { (s, dir) =>
       import s.implicits._
-      // fact + state + registration are session artifacts (built and
-      // registered ONCE per sf dir) — per-repetition rebuilds would
-      // both time the wrong thing and grow the rewrite registry
-      val (base, mv) = Artifacts.memoized(dir, "mv_rewrite_setup") {
-        val tmp = java.nio.file.Files
-          .createTempDirectory("graft_mvrw").toString
-        val b = s"$tmp/fact"
-        val m = s"$tmp/state"
-        Tables.t(s, dir, "documents")
-          .select($"doc_id", $"source", $"n_chars",
-            ($"n_chars" * 1000000000000L + $"doc_id").as("big"))
-          .write.mode("overwrite").parquet(b)
-        graft.operators.Materialize
-          .aggregate(s.read.parquet(b), Seq("source"),
-            Seq("big", "n_chars"))
-          .write.mode("overwrite").parquet(m)
-        graft.plans.GraftAggViews.register(b,
-          graft.plans.GraftAggViews.AggViewDef(m, Seq("source"),
-            Seq("big", "n_chars")))
-        (b, m)
-      }
+      val (base, mv) = mvRewriteSetup(s, dir)
       val q = s.read.parquet(base).groupBy($"source")
         .agg(sum($"big").as("sum_big"),
           count($"n_chars").as("cnt_chars"),
@@ -616,6 +624,28 @@ object Pipeline {
       if (!plan.contains(mv) || plan.contains(base))
         throw new IllegalStateException(
           s"MV rewrite did not serve this query from the state:\n$plan")
+      q
+    },
+
+    // The rewrite's ROLLUP path under the same hard oracle: a GLOBAL
+    // aggregate (grouping = {} ⊂ {source}) over the same fact must be
+    // answered by re-aggregating the per-source state — sums of sums,
+    // min of mins, count(*) = sum(cnt) — plan-pinned to the state like
+    // q_mv_rewrite, hash-matched against the oracle's fact scan.
+    "q_mv_rewrite_rollup" -> { (s, dir) =>
+      import s.implicits._
+      val (base, mv) = mvRewriteSetup(s, dir)
+      val q = s.read.parquet(base).agg(
+          sum($"big").as("sum_big"),
+          count($"n_chars").as("cnt_chars"),
+          avg($"n_chars").as("avg_chars"),
+          min($"big").as("min_big"),
+          max($"big").as("max_big"),
+          count(lit(1)).as("n"))
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(mv) || plan.contains(base))
+        throw new IllegalStateException(
+          s"MV rollup rewrite did not serve from the state:\n$plan")
       q
     },
 
@@ -1842,6 +1872,16 @@ object Pipeline {
         CAST(max(n_chars * 1000000000000 + doc_id) AS BIGINT) AS max_big,
         count(*) AS n
       FROM documents GROUP BY source ORDER BY source""",
+
+    "q_mv_rewrite_rollup" -> """
+      SELECT
+        CAST(sum(n_chars * 1000000000000 + doc_id) AS BIGINT) AS sum_big,
+        count(n_chars) AS cnt_chars,
+        avg(n_chars) AS avg_chars,
+        CAST(min(n_chars * 1000000000000 + doc_id) AS BIGINT) AS min_big,
+        CAST(max(n_chars * 1000000000000 + doc_id) AS BIGINT) AS max_big,
+        count(*) AS n
+      FROM documents""",
 
     "q_split_leakage_safe" -> raw"""
       WITH f AS (SELECT doc_id,
