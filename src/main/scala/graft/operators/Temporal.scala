@@ -409,15 +409,17 @@ object Temporal {
   // offset in whole periods between two unit-truncated timestamps;
   // weeks are Monday-truncated on both sides so day-diff is an exact
   // multiple of 7, months via months_between on exact month starts
-  private def periodOffset(unit: String): Column = unit match {
-    case "week" =>
-      (datediff(col("__p"), col("cohort")) / 7).cast("int")
-    case "day" => datediff(col("__p"), col("cohort"))
-    case "month" =>
-      months_between(col("__p"), col("cohort")).cast("int")
+  private def periodOffsetOf(unit: String, later: Column,
+      earlier: Column): Column = unit match {
+    case "week" => (datediff(later, earlier) / 7).cast("int")
+    case "day" => datediff(later, earlier)
+    case "month" => months_between(later, earlier).cast("int")
     case u => throw new IllegalArgumentException(
-      s"cohortRetention unit must be week/day/month, got $u")
+      s"retention unit must be week/day/month, got $u")
   }
+
+  private def periodOffset(unit: String): Column =
+    periodOffsetOf(unit, col("__p"), col("cohort"))
 
   /** Cohort retention: users grouped by their first-activity period
     * (calendar week by default), retention = distinct users still
@@ -460,5 +462,45 @@ object Temporal {
       .withColumn("retention",
         round(col("n_users").cast("double") / col("__size"), 8))
       .drop("__size")
+  }
+
+  /** Period-over-period RETURN RATE at corpus scale via KMV sketches
+    * ([[graft.functions.KmvAgg]]): for every period pair within
+    * `maxLag`, ret(p, k) = |active(p) ∩ active(p+k)| / |active(p)| —
+    * the distinct-intersection metric HLL cannot estimate.
+    *
+    * This is the SCALE path beside [[cohortRetention]]: the exact form
+    * shuffles one row per (user, period) and keys a window on the
+    * user; here ONE scan builds a fixed k-longs sketch per period
+    * (partial/final aggregate — the exchange carries #periods
+    * sketches, never user ids) and the pairwise combine runs on the
+    * tiny per-period frame. Semantics note: this estimates RETURN rate
+    * (activity at p AND p+k, any prior history), not first-touch
+    * cohort retention — first-touch needs per-user state a
+    * distinct-set sketch cannot carry; exact below k per period.
+    *
+    * @return (period, lag, n_active, n_returned, return_rate) for
+    *         1 <= lag <= maxLag, ordered by (period, lag) */
+  def returnRateSketch(events: DataFrame, userCol: String, tsCol: String,
+      unit: String = "week", maxLag: Int = 8, k: Int = 4096): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    graft.functions.GraftFunctions.registerKernels(events.sparkSession)
+    val sk = events.where(col(userCol).isNotNull)
+      .select(date_trunc(unit, col(tsCol)).as("period"),
+        col(userCol).as("__u"))
+      .groupBy(col("period"))
+      .agg(call_function("kmv_sketch", xxhash64(col("__u")), lit(k))
+        .as("sk"))
+    val later = sk.select(col("period").as("__p2"), col("sk").as("sk_b"))
+    sk.join(broadcast(later), col("__p2") > col("period"))
+      .withColumn("lag",
+        periodOffsetOf(unit, col("__p2"), col("period")))
+      .where(col("lag").between(1, maxLag))
+      .select(col("period"), col("lag"),
+        call_function("kmv_estimate", col("sk")).as("n_active"),
+        call_function("kmv_intersect_estimate", col("sk"), col("sk_b"))
+          .as("n_returned"))
+      .withColumn("return_rate",
+        round(col("n_returned") / col("n_active"), 8))
   }
 }

@@ -1255,6 +1255,22 @@ object Pipeline {
         .orderBy(col("cohort"), col("week_offset"))
     },
 
+    // Period-over-period return rate, KMV-sketch scale path: one scan
+    // builds a per-week distinct-user sketch (the exchange carries
+    // #weeks sketches, never user ids), pairwise intersections on the
+    // tiny combine. Deterministic (xxhash64) but no SQL oracle — the
+    // estimator is not DuckDB-expressible; TemporalSpec pins agreement
+    // with the exact pairwise intersection within tolerance and the
+    // exact-below-k regime. Same thinned activity as the cohort query.
+    "q_retention_sketch" -> { (s, dir) =>
+      graft.operators.Temporal.returnRateSketch(
+          Tables.t(s, dir, "events")
+            .where(pmod(col("event_id") * 31 + col("user_id"), lit(59))
+              === 0),
+          "user_id", "ts", unit = "week", maxLag = 6)
+        .orderBy(col("period"), col("lag"))
+    },
+
     // URL canonicalization (crawler-core rules) driving URL-level
     // dedup: raw spellings vary per row (scheme case, default port,
     // trailing slash, tracking params, fragments) but share one

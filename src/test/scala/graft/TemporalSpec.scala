@@ -509,4 +509,57 @@ class TemporalSpec extends AnyFunSuite {
       .toDF("k", "ts", "v")
     assert(Temporal.resampleForwardFill(nulls, "k", "ts", 60).count() == 0)
   }
+
+  test("returnRateSketch tracks the exact pairwise intersection; " +
+      "exact below k per period") {
+    import spark.implicits._
+    // small synthetic: 3 weeks, known overlaps, all under k → EXACT
+    def w(d: Int, u: Long) = (u, ts(f"2024-03-$d%02d 10:00:00"))
+    val ev = (
+      (1L to 100L).map(w(4, _)) ++        // week of Mar 4: u1..100
+      (51L to 150L).map(w(11, _)) ++      // week of Mar 11: u51..150
+      (101L to 130L).map(w(18, _))        // week of Mar 18: u101..130
+    ).toDF("u", "t")
+    val got = Temporal.returnRateSketch(ev, "u", "t", unit = "week",
+        maxLag = 2, k = 1024)
+      .collect().map(r => (r.getTimestamp(0).toString.take(10),
+        r.getInt(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    // |active(w1)|=100, |w1 ∩ w2|=50, |w1 ∩ w3|=0 (u101.. not in w1? u101..130 vs w1 u1..100 → empty)
+    assert(got(("2024-03-04", 1)) == ((100.0, 50.0)),
+      s"w1->w2: ${got(("2024-03-04", 1))}")
+    assert(got(("2024-03-04", 2))._2 == 0.0)
+    assert(got(("2024-03-11", 1)) == ((100.0, 30.0)),
+      s"w2->w3: ${got(("2024-03-11", 1))}")
+    // fixture: estimates track the exact pairwise intersections
+    val events = Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .where(pmod(col("event_id") * 31 + col("user_id"), lit(7)) === 0)
+    val approx = Temporal.returnRateSketch(events, "user_id", "ts",
+        unit = "week", maxLag = 3, k = 4096)
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val up = events.select(date_trunc("week", col("ts")).as("p"),
+      col("user_id").as("u")).distinct().cache()
+    try {
+      val exN = up.groupBy(col("p")).count().collect()
+        .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      val a = up.toDF("pa", "u")
+      val b = up.toDF("pb", "u")
+      val exI = a.join(b, "u").where(col("pb") > col("pa"))
+        .groupBy(col("pa"), col("pb")).count().collect()
+        .map(r => (r.getTimestamp(0), r.getTimestamp(1)) -> r.getLong(2))
+        .toMap
+      assert(approx.nonEmpty, "fixture must produce period pairs")
+      approx.foreach { case ((p, lag), (nAct, nRet)) =>
+        val tAct = exN(p).toDouble
+        assert(math.abs(nAct - tAct) / tAct < 0.10,
+          s"$p active: est $nAct vs exact $tAct")
+        val p2 = new java.sql.Timestamp(
+          p.getTime + lag.toLong * 7 * 86400000L)
+        val tRet = exI.getOrElse((p, p2), 0L).toDouble
+        val slack = math.max(0.25 * tRet, 0.05 * tAct)
+        assert(math.abs(nRet - tRet) <= slack,
+          s"($p, +$lag): est $nRet vs exact $tRet (slack $slack)")
+      }
+    } finally { up.unpersist(); () }
+  }
 }
