@@ -480,17 +480,24 @@ object Temporal {
     * distinct-set sketch cannot carry; exact below k per period.
     *
     * @return (period, lag, n_active, n_returned, return_rate) for
-    *         1 <= lag <= maxLag, ordered by (period, lag) */
+    *         1 <= lag <= maxLag; row order is unspecified (callers
+    *         sort) */
   def returnRateSketch(events: DataFrame, userCol: String, tsCol: String,
       unit: String = "week", maxLag: Int = 8, k: Int = 4096): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     graft.functions.GraftFunctions.registerKernels(events.sparkSession)
+    // MATERIALIZED (eager checkpoint of the #periods-row aggregate)
+    // before the self-join: both join sides reference this subtree, and
+    // without pinning, the single-scan property would hang on Spark's
+    // exchange-reuse happening to fire — a silent 2× corpus scan if an
+    // AQE re-plan or a disabled reuse conf broke canonicalization
     val sk = events.where(col(userCol).isNotNull)
       .select(date_trunc(unit, col(tsCol)).as("period"),
         col(userCol).as("__u"))
       .groupBy(col("period"))
       .agg(call_function("kmv_sketch", xxhash64(col("__u")), lit(k))
         .as("sk"))
+      .localCheckpoint()
     val later = sk.select(col("period").as("__p2"), col("sk").as("sk_b"))
     sk.join(broadcast(later), col("__p2") > col("period"))
       .withColumn("lag",

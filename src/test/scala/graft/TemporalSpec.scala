@@ -520,16 +520,21 @@ class TemporalSpec extends AnyFunSuite {
       (51L to 150L).map(w(11, _)) ++      // week of Mar 11: u51..150
       (101L to 130L).map(w(18, _))        // week of Mar 18: u101..130
     ).toDF("u", "t")
+    // key by EPOCH instant, not Timestamp.toString: the string renders
+    // in the JVM default timezone (only the Spark session is pinned
+    // UTC), so a host west of UTC would shift every date string
+    def utc(d: String) = java.sql.Timestamp.from(
+      java.time.Instant.parse(d + "T00:00:00Z"))
     val got = Temporal.returnRateSketch(ev, "u", "t", unit = "week",
         maxLag = 2, k = 1024)
-      .collect().map(r => (r.getTimestamp(0).toString.take(10),
-        r.getInt(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+      .collect().map(r => (r.getTimestamp(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
     // |active(w1)|=100, |w1 ∩ w2|=50, |w1 ∩ w3|=0 (u101.. not in w1? u101..130 vs w1 u1..100 → empty)
-    assert(got(("2024-03-04", 1)) == ((100.0, 50.0)),
-      s"w1->w2: ${got(("2024-03-04", 1))}")
-    assert(got(("2024-03-04", 2))._2 == 0.0)
-    assert(got(("2024-03-11", 1)) == ((100.0, 30.0)),
-      s"w2->w3: ${got(("2024-03-11", 1))}")
+    assert(got((utc("2024-03-04"), 1)) == ((100.0, 50.0)),
+      s"w1->w2: ${got((utc("2024-03-04"), 1))}")
+    assert(got((utc("2024-03-04"), 2))._2 == 0.0)
+    assert(got((utc("2024-03-11"), 1)) == ((100.0, 30.0)),
+      s"w2->w3: ${got((utc("2024-03-11"), 1))}")
     // fixture: estimates track the exact pairwise intersections
     val events = Tables.t(spark, "/root/testdata/sf0.001", "events")
       .where(pmod(col("event_id") * 31 + col("user_id"), lit(7)) === 0)
