@@ -24,7 +24,7 @@ object Curation {
     * 2^49. Identical value to the naive form for every id ((a mod n)·m
     * mod n = a·m mod n), so the DuckDB oracles keep their simple
     * spelling. */
-  private[operators] def hash32(id: Column): Column = {
+  private[graft] def hash32(id: Column): Column = {
     val a = pmod(id, lit(4294967296L))
     val hi = floor(a / lit(65536L)).cast(LongType)
     val lo = pmod(a, lit(65536L))

@@ -120,7 +120,7 @@ object Extras {
       l.join(o, $"l_orderkey" === $"o_orderkey")
         .groupBy($"o_orderpriority")
         .agg(count(lit(1)).as("n"),
-          round(sum($"l_quantity".cast(DecimalType(12, 2))), 2)
+          round(sum($"l_quantity".cast(DecimalType(28, 2))), 2)
             .cast(DoubleType).as("qty"))
         .orderBy($"o_orderpriority")
     },
@@ -169,7 +169,7 @@ object Extras {
       Tables.t(s, dir, "events")
         .groupBy(session_window($"ts", "30 minutes"), $"user_id")
         .agg(count(lit(1)).as("n"),
-          round(sum($"value".cast(DecimalType(12, 2))), 2)
+          round(sum($"value".cast(DecimalType(28, 2))), 2)
             .cast(DoubleType).as("sum_value"))
         .select($"session_window.start".as("sess_start"),
           $"session_window.end".as("sess_end"),
@@ -287,18 +287,22 @@ object Extras {
         .where(pmod($"l_orderkey", lit(7)) === 0)
         .select($"l_orderkey", $"l_linenumber", $"l_partkey",
           $"l_suppkey", $"l_quantity")
-      // one deterministic path, not createTempDirectory: the query runs
-      // in every verify/bench battery and a fresh dir per call would
-      // accumulate unbounded parquet in /tmp; Overwrite handles re-runs
-      val out = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft_zorder_scan").toString
+      // one deterministic path PER PROCESS, not createTempDirectory:
+      // the query runs in every verify/bench battery and a fresh dir
+      // per call would accumulate unbounded parquet in /tmp; Overwrite
+      // handles re-runs. The pid suffix keeps two concurrent harness
+      // JVMs (Test fork + run fork) from racing one shared dir —
+      // process A's Overwrite delete mid-way through process B's scan
+      // was a nondeterministic FileNotFoundException.
+      val out = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_zorder_scan_${ProcessHandle.current().pid()}").toString
       graft.operators.Layout.writeZOrdered(
         li, out, Seq("l_partkey", "l_suppkey"), numFiles = 8)
       s.read.parquet(out)
         .where($"l_suppkey" <= 20)
         .groupBy($"l_suppkey")
         .agg(count(lit(1)).as("n"),
-          sum($"l_quantity".cast(DecimalType(12, 2)))
+          sum($"l_quantity".cast(DecimalType(28, 2)))
             .cast(DoubleType).as("qty"))
         .orderBy($"l_suppkey")
     }
@@ -392,7 +396,7 @@ object Extras {
 
     "q_join_sortmerge" -> """
       SELECT o_orderpriority, count(*) AS n,
-             CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS qty
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(28,2))), 2) AS DOUBLE) AS qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority ORDER BY o_orderpriority""",
 
@@ -431,7 +435,7 @@ object Extras {
               ROWS UNBOUNDED PRECEDING) AS sid FROM m)
       SELECT min(ts) AS sess_start, max(ts) + INTERVAL 30 MINUTE AS sess_end,
              user_id, count(*) AS n,
-             CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+             CAST(round(sum(CAST(value AS DECIMAL(28,2))), 2) AS DOUBLE) AS sum_value
       FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start""",
 
     "q_array_any_all" -> raw"""
@@ -495,7 +499,7 @@ object Extras {
 
     "q_zorder_scan" -> """
       SELECT l_suppkey, count(*) AS n,
-        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS qty
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS qty
       FROM lineitem
       WHERE l_orderkey % 7 = 0 AND l_suppkey <= 20
       GROUP BY l_suppkey

@@ -14,7 +14,7 @@ import graft.functions.GraftFunctions
 object Functions {
   type Q = (SparkSession, String) => DataFrame
 
-  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def dec(c: Column): Column = c.cast(DecimalType(28, 2))
 
   val queries: Map[String, Q] = Map(
     // §2.8 string functions (SUBSTR/INSTR/LENGTH/UPPER/LOWER/TRIM/LPAD/
@@ -148,15 +148,19 @@ object Functions {
             lit(5)).as("first5"),
           call_function("last_values", $"o_totalprice", $"o_orderkey",
             lit(5)).as("last5"),
-          element_at(call_function("first_values", $"o_totalprice",
-            $"o_orderkey", lit(3)), 3).as("nth3"),
+          try_element_at(call_function("first_values", $"o_totalprice",
+            $"o_orderkey", lit(3)), lit(3)).as("nth3"),
           count(lit(1)).as("n"))
+        // try_element_at: a group with fewer than 5 (or 3) rows must
+        // yield NULL like the oracle's list[5] — plain element_at is an
+        // INVALID_ARRAY_INDEX runtime error under Spark 4's default
+        // ANSI mode
         .select($"o_orderpriority",
-          element_at($"first5", 1).as("f1"),
-          element_at($"first5", 5).as("f5"),
+          try_element_at($"first5", lit(1)).as("f1"),
+          try_element_at($"first5", lit(5)).as("f5"),
           size($"first5").as("f_len"),
-          element_at($"last5", 1).as("l1"),
-          element_at($"last5", 5).as("l5"),
+          try_element_at($"last5", lit(1)).as("l1"),
+          try_element_at($"last5", lit(5)).as("l5"),
           $"nth3", $"n")
         .orderBy($"o_orderpriority")
     },
@@ -314,7 +318,7 @@ object Functions {
         $"o_totalprice".cast(LongType).as("price_int"),
         // DECIMAL cast exercised, then widened back to DOUBLE for the wire
         // (driver string-compare: '1.50' vs '1.5' would false-fail).
-        $"o_totalprice".cast(DecimalType(12, 2)).cast(DoubleType)
+        $"o_totalprice".cast(DecimalType(28, 2)).cast(DoubleType)
           .as("price_dec"),
         substring($"o_orderpriority", 1, 1).cast(IntegerType).as("prio_num"),
         $"o_custkey".cast(StringType).as("cust_str"),
@@ -366,7 +370,9 @@ object Functions {
         $"vec_id",
         size($"embedding").as("sz"),
         element_at($"embedding", 1).cast(DoubleType).as("e1"), // 1-based ARRAY_ELEM
-        element_at(slice($"embedding", 1, 3), 3).cast(DoubleType)
+        // try_element_at: an embedding shorter than 3 must NULL, not
+        // raise INVALID_ARRAY_INDEX under ANSI
+        try_element_at(slice($"embedding", 1, 3), lit(3)).cast(DoubleType)
           .as("slice3_last"),
         array_max($"embedding").cast(DoubleType).as("mx"),
         array_min($"embedding").cast(DoubleType).as("mn"),
@@ -675,7 +681,7 @@ object Functions {
     "q_cast_coerce" -> """
       SELECT o_orderkey,
         CAST(trunc(o_totalprice) AS BIGINT) AS price_int,
-        CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
+        CAST(CAST(o_totalprice AS DECIMAL(28,2)) AS DOUBLE) AS price_dec,
         CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_num,
         CAST(o_custkey AS VARCHAR) AS cust_str,
         CAST(o_orderdate AS DATE) AS od_date
@@ -764,7 +770,7 @@ object Functions {
     "q_rolling_range" -> """
       SELECT event_id, user_id, ts,
         count(*) OVER w AS n_1h,
-        CAST(round(sum(CAST(value AS DECIMAL(12,2))) OVER w, 2) AS DOUBLE)
+        CAST(round(sum(CAST(value AS DECIMAL(28,2))) OVER w, 2) AS DOUBLE)
           AS sum_1h
       FROM events WHERE user_id < 200
       WINDOW w AS (PARTITION BY user_id ORDER BY ts
@@ -779,7 +785,7 @@ object Functions {
         ntile(4) OVER w AS quartile,
         lag(o_orderkey, 1) OVER w AS prev_key,
         lead(o_orderkey, 1) OVER w AS next_key,
-        CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,2))) OVER
           (PARTITION BY o_orderpriority ORDER BY o_orderkey
            ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_total,
         first_value(o_orderkey) OVER w AS first_key
@@ -791,7 +797,7 @@ object Functions {
       SELECT coalesce(l_returnflag, 'ALL') AS rf,
              coalesce(l_linestatus, 'ALL') AS ls,
              count(*) AS n,
-             CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS qty
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(28,2))), 2) AS DOUBLE) AS qty
       FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       ORDER BY rf, ls"""
   )

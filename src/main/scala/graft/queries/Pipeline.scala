@@ -749,7 +749,7 @@ object Pipeline {
       Skew.saltedCountSum(Tables.t(s, dir, "lineitem"),
           Seq("l_returnflag"),
           Map("sum_qty" ->
-            $"l_quantity".cast(org.apache.spark.sql.types.DecimalType(12, 2))))
+            $"l_quantity".cast(org.apache.spark.sql.types.DecimalType(28, 2))))
         .select($"l_returnflag", $"n",
           $"sum_qty".cast("double").as("sum_qty"))
         .orderBy($"l_returnflag")
@@ -2018,7 +2018,7 @@ object Pipeline {
 
     "q_skew_salted" -> """
       SELECT l_returnflag, count(*) AS n,
-             CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+             CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE)
                AS sum_qty
       FROM lineitem GROUP BY 1 ORDER BY 1""",
 

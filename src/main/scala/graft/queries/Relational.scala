@@ -21,7 +21,7 @@ object Relational {
   type Q = (SparkSession, String) => DataFrame
 
   // exact decimal views of the double measure columns
-  private def dec(c: Column): Column = c.cast(DecimalType(12, 2))
+  private def dec(c: Column): Column = c.cast(DecimalType(28, 2))
   private def fac(c: Column): Column = c.cast(DecimalType(4, 2))
   // Wire-format rule (round-1 driver root cause): the driver string-compares
   // fetched values, and Spark DECIMAL stringifies as '506627.00' while the
@@ -94,7 +94,11 @@ object Relational {
     "q_tablesample" -> { (s, dir) =>
       import s.implicits._
       Tables.t(s, dir, "orders")
-        .filter(pmod($"o_orderkey" * 2654435761L, lit(4294967296L)) <
+        // overflow-safe multiply (Curation.hash32): the naive
+        // o_orderkey * 2654435761 overflows Long for keys >= ~3.47e9 —
+        // an ANSI runtime error at bigger-than-fixture scales. Values
+        // identical, so the oracle keeps its simple spelling.
+        .filter(graft.operators.Curation.hash32($"o_orderkey") <
           lit((0.05 * 4294967296L).toLong))
         .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     },
@@ -200,7 +204,12 @@ object Relational {
         .groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
       n.join(c, $"n_nationkey" === $"c_nationkey", "full")
         .select($"n_nationkey", $"n_name", $"n_cust")
-        .orderBy($"n_nationkey")
+        // explicit null placement: a FULL join can emit a NULL-keyed
+        // row, and Spark ASC defaults NULLS FIRST where DuckDB defaults
+        // NULLS LAST — pin the order like q_orderby_nulls does (the
+        // row-sorted compare masks it, but the contract shouldn't
+        // depend on the checker's sort)
+        .orderBy($"n_nationkey".asc_nulls_last)
     },
 
     // §2.3 semi join (EXISTS subquery rewrite — Phoenix SubqueryRewriter).
@@ -568,8 +577,12 @@ object Relational {
           $"l_shipdate" < lit("1998-01-01").cast(TimestampType))
         .join(Tables.t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
         .groupBy($"l_returnflag")
+        // low = the CASE-ELSE arm like the oracle: when(!high, 1) puts
+        // a NULL o_orderpriority row (NULL cond) in NEITHER bucket,
+        // while the oracle's CASE WHEN high THEN 0 ELSE 1 counts it in
+        // low — keep the two spellings NULL-aligned
         .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
-          sum(when(!high, 1L).otherwise(0L)).as("low_line_count"))
+          sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
         .orderBy($"l_returnflag")
     },
 
@@ -704,11 +717,16 @@ object Relational {
     // §2.3/§4 correlated scalar subquery → decorrelated join.
     "q_scalar_subquery" -> { (s, dir) =>
       Tables.registerAll(s, dir)
+      // the avg threshold goes through DECIMAL like every other
+      // double aggregate in this file (lines 10-14): a raw double avg
+      // is summation-order-dependent, and a customer sitting exactly
+      // at the 2*avg boundary could flip between engines/runs
       s.sql("""
         SELECT o_orderkey, o_custkey, o_totalprice AS price
         FROM orders o
-        WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
-                              FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        WHERE o_totalprice > (
+          SELECT 2 * avg(CAST(o2.o_totalprice AS DECIMAL(28,2)))
+          FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         ORDER BY o_orderkey""")
     },
 
@@ -839,18 +857,18 @@ object Relational {
     }
   )
 
-  private val DEC = "CAST(%s AS DECIMAL(12,2))"
+  private val DEC = "CAST(%s AS DECIMAL(28,2))"
   private def d(c: String) = DEC.format(c)
 
   val oracle: Map[String, String] = Map(
     "q1_agg" -> """
       SELECT l_returnflag, l_linestatus,
-        CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_base_price,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
-        CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
-        CAST(sum(CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_disc,
+        CAST(round(sum(CAST(l_quantity AS DECIMAL(28,2))), 2) AS DOUBLE) AS sum_qty,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2))), 2) AS DOUBLE) AS sum_base_price,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_charge,
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_qty,
+        CAST(sum(CAST(l_discount AS DECIMAL(28,2))) AS DOUBLE) / count(*) AS avg_disc,
         count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -910,7 +928,7 @@ object Relational {
 
     "q_join_inner" -> """
       SELECT c_mktsegment, count(*) AS n_orders,
-             CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_price
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,2))), 2) AS DOUBLE) AS sum_price
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment""",
 
@@ -946,7 +964,7 @@ object Relational {
 
     "q_star_join" -> """
       SELECT p_brand,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
         count(*) AS n_lines
       FROM lineitem
         JOIN part ON l_partkey = p_partkey
@@ -957,7 +975,7 @@ object Relational {
 
     "q_tpch_q3" -> """
       SELECT l_orderkey, o_orderdate, o_orderpriority,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
       FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -970,7 +988,7 @@ object Relational {
 
     "q_tpch_q5" -> """
       SELECT n_name,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
       FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -986,7 +1004,7 @@ object Relational {
 
     "q_tpch_q10" -> """
       SELECT c_custkey, c_name, c_acctbal, n_name,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
       FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -999,14 +1017,14 @@ object Relational {
       LIMIT 20""",
 
     "q_tpch_q14" -> """
-      SELECT 100.0 * CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END), 2) AS DOUBLE)
-        / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS promo_revenue
+      SELECT 100.0 * CAST(round(sum(CASE WHEN p_type = 'PROMO' THEN CAST(l_extendedprice AS DECIMAL(28,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) END), 2) AS DOUBLE)
+        / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS promo_revenue
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1997-09-01'
         AND l_shipdate < TIMESTAMP '1997-10-01'""",
 
     "q_tpch_q19" -> """
-      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
+      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
         count(*) AS n_lines
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
@@ -1017,25 +1035,25 @@ object Relational {
                AND l_quantity BETWEEN 20 AND 30)""",
 
     "q_tpch_q17" -> """
-      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) / 7.0 AS avg_yearly
+      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2))), 2) AS DOUBLE) / 7.0 AS avg_yearly
       FROM lineitem
         JOIN part ON l_partkey = p_partkey
         JOIN (SELECT l_partkey AS pk,
-                sum(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+                sum(CAST(l_quantity AS DECIMAL(28,2))) AS sq,
                 count(*) AS cnt
               FROM lineitem GROUP BY 1) g ON l_partkey = g.pk
       WHERE p_brand <= 'Brand#20'
-        AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sq""",
+        AND CAST(l_quantity AS DECIMAL(28,2)) * 5 * cnt < sq""",
 
     "q_tpch_q18" -> """
       SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
-        CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty
+        CAST(round(sum(CAST(l_quantity AS DECIMAL(28,2))), 2) AS DOUBLE) AS sum_qty
       FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
       WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem
         GROUP BY l_orderkey
-        HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 250)
+        HAVING sum(CAST(l_quantity AS DECIMAL(28,2))) > 250)
       GROUP BY 1, 2, 3, 4, 5
       ORDER BY o_totalprice DESC, o_orderkey
       LIMIT 100""",
@@ -1073,7 +1091,7 @@ object Relational {
       ORDER BY o_orderpriority""",
 
     "q_tpch_q6" -> """
-      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
+      SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2)) * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -1084,7 +1102,7 @@ object Relational {
     "q_tpch_q7" -> """
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         year(l_shipdate) AS l_year,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
       FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -1102,9 +1120,9 @@ object Relational {
     "q_tpch_q8" -> """
       SELECT year(o_orderdate) AS o_year,
         CAST(round(sum(CASE WHEN n1.n_name = 'NATION_3'
-            THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+            THEN CAST(l_extendedprice AS DECIMAL(28,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
             ELSE CAST(0 AS DECIMAL(4,2)) END), 2) AS DOUBLE)
-        / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
+        / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
           AS mkt_share
       FROM lineitem
         JOIN part ON l_partkey = p_partkey
@@ -1121,8 +1139,8 @@ object Relational {
 
     "q_tpch_q9" -> """
       SELECT n_name AS nation, year(o_orderdate) AS o_year,
-        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-          - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * CAST(0.10 AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_profit
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+          - CAST(p_retailprice AS DECIMAL(28,2)) * CAST(l_quantity AS DECIMAL(28,2)) * CAST(0.10 AS DECIMAL(4,2))), 2) AS DOUBLE) AS sum_profit
       FROM lineitem
         JOIN part ON l_partkey = p_partkey
         JOIN supplier ON l_suppkey = s_suppkey
@@ -1135,10 +1153,10 @@ object Relational {
     "q_tpch_q11" -> """
       WITH pv AS (
         SELECT l_partkey AS p_key,
-          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS value
+          CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2))), 2) AS DOUBLE) AS value
         FROM lineitem GROUP BY 1)
       SELECT p_key, value FROM pv
-      WHERE value > (SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+      WHERE value > (SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(28,2))), 2) AS DOUBLE)
                      FROM lineitem) * 0.001
       ORDER BY value DESC, p_key""",
 
@@ -1167,7 +1185,7 @@ object Relational {
     "q_tpch_q15" -> """
       WITH rev AS (
         SELECT l_suppkey,
-          sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS tr
+          sum(CAST(l_extendedprice AS DECIMAL(28,2)) * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS tr
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01'
           AND l_shipdate < TIMESTAMP '1997-04-01'
@@ -1201,7 +1219,7 @@ object Relational {
             AND l_shipdate >= TIMESTAMP '1997-01-01'
             AND l_shipdate < TIMESTAMP '1998-01-01'
           GROUP BY l_suppkey
-          HAVING sum(CAST(l_quantity AS DECIMAL(12,2))) > 50)
+          HAVING sum(CAST(l_quantity AS DECIMAL(28,2))) > 50)
       ORDER BY s_name""",
 
     "q_tpch_q21" -> """
@@ -1223,16 +1241,16 @@ object Relational {
 
     "q_tpch_q22" -> """
       WITH stats AS (
-        SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS sumbal,
+        SELECT sum(CAST(c_acctbal AS DECIMAL(28,2))) AS sumbal,
           count(*) AS cnt
         FROM customer
         WHERE c_acctbal > 0
           AND c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY'))
       SELECT c_mktsegment, count(*) AS numcust,
-        CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+        CAST(round(sum(CAST(c_acctbal AS DECIMAL(28,2))), 2) AS DOUBLE) AS totacctbal
       FROM customer, stats
       WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE', 'MACHINERY')
-        AND CAST(c_acctbal AS DECIMAL(12,2)) * cnt > sumbal
+        AND CAST(c_acctbal AS DECIMAL(28,2)) * cnt > sumbal
         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       GROUP BY c_mktsegment
       ORDER BY c_mktsegment""",
@@ -1240,13 +1258,14 @@ object Relational {
     "q_scalar_subquery" -> """
       SELECT o_orderkey, o_custkey, o_totalprice AS price
       FROM orders o
-      WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
-                            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      WHERE o_totalprice > (
+        SELECT 2 * avg(CAST(o2.o_totalprice AS DECIMAL(28,2)))
+        FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       ORDER BY o_orderkey""",
 
     "q_agg_ungrouped" -> """
       SELECT count(*) AS n,
-             CAST(round(sum(CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_qty,
+             CAST(round(sum(CAST(l_quantity AS DECIMAL(28,2))), 2) AS DOUBLE) AS sum_qty,
              min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship,
              min(l_extendedprice) AS min_price,
              max(l_extendedprice) AS max_price
@@ -1264,7 +1283,7 @@ object Relational {
 
     "q_having" -> """
       SELECT o_custkey, count(*) AS n_orders,
-             CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(28,2))), 2) AS DOUBLE) AS total
       FROM orders GROUP BY o_custkey
       HAVING count(*) >= 8 ORDER BY o_custkey""",
 
@@ -1305,7 +1324,7 @@ object Relational {
 
     "q_time_bucket" -> """
       SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-             CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS sum_value
+             CAST(round(sum(CAST(value AS DECIMAL(28,2))), 2) AS DOUBLE) AS sum_value
       FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
   )
 }

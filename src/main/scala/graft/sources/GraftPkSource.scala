@@ -108,12 +108,29 @@ private[graft] object GraftPk {
 
   def toSparkType(p: PrimitiveType): DataType = {
     val lt = p.getLogicalTypeAnnotation
+    // DECIMAL-annotated physical ints/binaries store UNSCALED values:
+    // mapping them to the physical type would read 123.45 as 12345 —
+    // 100× silent corruption, the same genre as the TIMESTAMP(MILLIS)
+    // scale bug this reader already fixed. This source serves the
+    // engine's own long/double/string tables; decimal columns must
+    // fail LOUDLY toward spark.read.parquet, like any other
+    // unsupported shape.
+    if (lt.isInstanceOf[LogicalTypeAnnotation.DecimalLogicalTypeAnnotation])
+      throw new IllegalArgumentException(
+        s"graftpk does not read DECIMAL-annotated columns " +
+          s"(${p.getName}: $lt) — use spark.read.parquet")
     p.getPrimitiveTypeName match {
       case PrimitiveTypeName.INT64
           if lt.isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
         TimestampType
       case PrimitiveTypeName.INT64 => LongType
       case PrimitiveTypeName.INT96 => TimestampType // legacy Hive/Spark
+      // DATE annotation: Spark's DateType IS days-since-epoch int, so
+      // the physical passthrough is the correct VALUE — but the type
+      // must say DateType or every consumer sees raw day ordinals
+      case PrimitiveTypeName.INT32
+          if lt.isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+        DateType
       case PrimitiveTypeName.INT32 => IntegerType
       case PrimitiveTypeName.DOUBLE => DoubleType
       case PrimitiveTypeName.FLOAT => FloatType
@@ -388,12 +405,19 @@ private[sources] class GraftPkReaderFactory(
               row.setLong(i,
                 (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L)
             case TimestampType =>
-              // convert the annotation's unit to Spark's micros
+              // convert the annotation's unit to Spark's micros —
+              // floorDiv, not truncating /: a pre-epoch NANOS value
+              // with sub-micro residue must floor like Spark's own
+              // parquet conversion, not round toward zero (a silent
+              // 1µs late skew on every such instant)
               val raw = current.getLong(idx, 0)
               val sc = tsScale.getOrElse(name, 1L)
-              row.setLong(i, if (sc >= 0) raw * sc else raw / -sc)
+              row.setLong(i,
+                if (sc >= 0) raw * sc else Math.floorDiv(raw, -sc))
             case LongType => row.setLong(i, current.getLong(idx, 0))
             case IntegerType => row.setInt(i, current.getInteger(idx, 0))
+            // DateType is days-since-epoch int — physical passthrough
+            case DateType => row.setInt(i, current.getInteger(idx, 0))
             case DoubleType => row.setDouble(i, current.getDouble(idx, 0))
             case FloatType => row.setFloat(i, current.getFloat(idx, 0))
             case BooleanType => row.setBoolean(i, current.getBoolean(idx, 0))

@@ -94,7 +94,7 @@ object EventStreams {
     * bounded state, expiring with event time). Survivors are exactly
     * the docs a subsequent batch dedup would keep, so the corpus never
     * ingests a known duplicate in the first place. */
-  def dedupIngestStream(docs: DataFrame, textCol: String, idCol: String,
+  def dedupIngestStream(docs: DataFrame, textCol: String,
       tsCol: String, corpusFps: DataFrame,
       watermark: String = "2 hours"): DataFrame =
     docs

@@ -583,7 +583,7 @@ class CatalogSpec extends AnyFunSuite {
         (lit(1700000000L) + col("doc_id")).cast("timestamp"))
     val stream = derive(spark.readStream.schema(base.schema)
       .parquet(docDir.toString))
-    val q = EventStreams.dedupIngestStream(stream, "text", "doc_id",
+    val q = EventStreams.dedupIngestStream(stream, "text",
         "ts", corpusFps)
       .writeStream.format("memory").queryName("dedup_ingest_out")
       .outputMode("append").start()
@@ -1084,7 +1084,7 @@ class CatalogSpec extends AnyFunSuite {
       .parquet(dir.toString)
     val admitted = EventStreams.dedupIngestStream(
       EventStreams.lineFilterStream(stream, boiler, "text"),
-      "text_clean", "doc_id", "ts", corpusFps)
+      "text_clean", "ts", corpusFps)
     val q = admitted.writeStream
       .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
         cat.upsert("corpus",

@@ -144,4 +144,32 @@ class GraftPkSourceSpec extends AnyFunSuite {
         "query must fall back to the base scan, not fail planning")
     } finally GraftIndexes.drop(base)
   }
+
+  test("logical annotations: DATE reads as DateType; DECIMAL refuses " +
+      "loudly instead of returning unscaled values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pk_logical").toString
+    Seq((1L, java.sql.Date.valueOf("2024-03-15")))
+      .toDF("k", "d").write.mode("overwrite").parquet(dir)
+    val df = spark.read.format("graftpk").option("pk", "k").load(dir)
+    assert(df.schema("d").dataType ==
+      org.apache.spark.sql.types.DateType,
+      s"DATE annotation must surface as DateType: ${df.schema}")
+    assert(df.collect()(0).getDate(1).toString == "2024-03-15",
+      "days-since-epoch passthrough must render the same date")
+    // DECIMAL-annotated columns store UNSCALED ints: mapping them to
+    // the physical type read 123.45 as 12345 — must refuse
+    val decDir = java.nio.file.Files
+      .createTempDirectory("graft_pk_decimal").toString
+    Seq((1L, BigDecimal("123.45")))
+      .toDF("k", "m").write.mode("overwrite").parquet(decDir)
+    val e = intercept[Exception](
+      spark.read.format("graftpk").option("pk", "k").load(decDir)
+        .collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("DECIMAL")),
+      s"expected the loud DECIMAL refusal, got: ${msgs(e)}")
+  }
 }
