@@ -189,15 +189,7 @@ object Materialize {
 
     val s = cat.spec(table)
     val fields = s.schema.fieldNames.toSeq
-    val nonPk = fields.filterNot(s.pk.contains)
-    val ord = struct(col("_version") +: nonPk.map(col): _*)
-    val w = Window.partitionBy(s.pk.map(col): _*).orderBy(ord.asc)
-    val rowS = struct(fields.map(col) :+ col("_deleted").as("__del"): _*)
-    // pre/post TYPED images, same lag-over-PK shape as cdcImages — the
-    // lag must see pre-window history, so the version filter comes after
-    val changes = rawLog
-      .withColumn("_prev", lag(rowS, 1).over(w))
-      .where(col("_version") > lastV)
+    val changes = preImageChanges(rawLog, fields, s.pk, lastV)
     val hasPrev = col("_prev").isNotNull && !col("_prev").getField("__del")
 
     // typed zero/null contributions matching the persisted state schema
@@ -276,6 +268,35 @@ object Materialize {
         "state_dir", "ttl_at_refresh")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     newV
+  }
+
+  /** Delta rows with their typed pre-images (`_prev`, NULL for first
+    * writes), via lag over PK — the same shape as the catalog's
+    * cdcImages.
+    *
+    * The lag must see each PK's pre-window history, so the `_version >
+    * lastV` filter cannot be pushed below the window — but pre-images
+    * are only needed for PKs that actually appear in the delta, so the
+    * window's INPUT is semi-join-pruned to those PKs first. The delta
+    * PK scan itself file-prunes on `_version` (each batch writes one
+    * version per file, so parquet min/max stats skip pre-delta files),
+    * making the whole pre-image pass O(delta + touched-PK history)
+    * rather than O(log): without the prune, every refresh shuffled the
+    * ENTIRE raw change log by PK — correct, but O(table) per refresh at
+    * 100 TB even for an insert-only delta. */
+  private[graft] def preImageChanges(rawLog: DataFrame,
+      fields: Seq[String], pk: Seq[String], lastV: Long): DataFrame = {
+    val nonPk = fields.filterNot(pk.contains)
+    val ord = struct(col("_version") +: nonPk.map(col): _*)
+    val w = Window.partitionBy(pk.map(col): _*).orderBy(ord.asc)
+    val rowS = struct(fields.map(col) :+ col("_deleted").as("__del"): _*)
+    val deltaPks = rawLog.where(col("_version") > lastV)
+      .select(pk.map(c => col(c).as(s"__d_$c")): _*).distinct()
+    val touchedCond = pk.map(c => col(c) <=> col(s"__d_$c"))
+      .reduce(_ && _) // null-safe: a NULL PK component still matches
+    rawLog.join(deltaPks, touchedCond, "left_semi")
+      .withColumn("_prev", lag(rowS, 1).over(w))
+      .where(col("_version") > lastV)
   }
 
   /** The grouped aggregate both the full build and the affected-group

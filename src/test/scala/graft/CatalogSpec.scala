@@ -737,6 +737,40 @@ class CatalogSpec extends AnyFunSuite {
     assert(actual == expected, s"post-compaction refresh diverged: $actual")
   }
 
+  test("IVM pre-image window reads only delta-touched PKs, " +
+      "not the full change log") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val cat = freshCatalog()
+    cat.createTable("mw", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"))
+    // batch 0: three PKs; batch 1 (the delta) touches only k=2
+    cat.upsert("mw", Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("k", "g", "x"))
+    cat.upsert("mw", Seq((2L, "b", 25L)).toDF("k", "g", "x"))
+    val changes = Materialize.preImageChanges(cat.changeLogRaw("mw"),
+      Seq("k", "g", "x"), Seq("k"), lastV = 0L)
+    // plan pin: the lag window's input subtree must contain the PK
+    // semi-join — a window over the bare log shuffles O(table) per
+    // refresh (the round-9 scale-killer)
+    val windows = changes.queryExecution.optimizedPlan
+      .collect { case w: LWindow => w }
+    assert(windows.nonEmpty, "pre-image plan lost its window")
+    assert(windows.forall(_.collect {
+        case j: Join if j.joinType == LeftSemi => j
+      }.nonEmpty),
+      "pre-image window input must be semi-join-pruned to delta PKs:\n" +
+        changes.queryExecution.optimizedPlan.treeString)
+    // behavior: the delta row carries its true pre-image despite the
+    // prune (untouched PKs never enter the window)
+    val rows = changes.select(col("k"), col("_prev.x").as("px")).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 20L)))
+  }
+
   test("streaming ingest keeps the materialized aggregate current " +
       "per micro-batch") {
     import spark.implicits._
