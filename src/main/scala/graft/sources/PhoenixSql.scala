@@ -1099,8 +1099,11 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
   private def upsert(sIn: String): DataFrame = {
     // strip an upsert-level hint (UPSERT /*+ NO_INDEX */ INTO ...) —
     // write-path hints steer the reference's index maintenance, which
-    // Spark subsumes, so the hint body is advisory here
-    val s = "(?is)^(UPSERT)\\s*/\\*\\+.*?\\*/".r.replaceFirstIn(sIn, "$1")
+    // Spark subsumes, so the hint body is advisory here. VALUES tuples
+    // go straight to spark.sql, so binary-literal continuations
+    // (x'..' '..') must lex here too, not just in the SELECT pipeline.
+    val s = rewriteBinaryLiterals(
+      "(?is)^(UPSERT)\\s*/\\*\\+.*?\\*/".r.replaceFirstIn(sIn, "$1"))
     // UPSERT INTO t [(cols)] SELECT ... (reference g: upsert_node SELECT
     // form) — the SELECT runs through the normal query path and the
     // result batch is upserted.
@@ -1238,7 +1241,10 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     spark.emptyDataFrame
   }
 
-  private def delete(s: String): DataFrame = {
+  private def delete(sIn: String): DataFrame = {
+    // the WHERE clause goes to expr() un-prepared, so binary-literal
+    // continuations must lex here too
+    val s = rewriteBinaryLiterals(sIn)
     val m = "(?is)DELETE FROM ([\\w.\"]+)(?:\\s+WHERE\\s+(.*))?$".r
       .findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
@@ -1416,20 +1422,41 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
   }
 
   /** true at positions strictly INSIDE single-quoted literals or
-    * backticked identifiers (content + closing delimiter); the opening
-    * delimiter itself is false, so a rewrite may still match a whole
-    * quoted operand but never text inside one. Keeps the regex rewrite
-    * passes (type literals, FETCH, ANY/ALL, RVC OFFSET) from
-    * corrupting literal VALUES like 'x = ANY(tags)'. */
+    * backticked identifiers (content + closing delimiter) and anywhere
+    * inside SQL comments (opener included); the opening quote itself is
+    * false, so a rewrite may still match a whole quoted operand but
+    * never text inside one. Keeps the regex rewrite passes (type
+    * literals, FETCH, ANY/ALL, RVC OFFSET) from corrupting literal
+    * VALUES like 'x = ANY(tags)'. Comment-awareness matters because an
+    * apostrophe inside `-- don't` or a block comment is NOT a string
+    * opener — a quote-only scanner would flip the in-string state for
+    * the rest of the statement and silently suppress later passes
+    * (normalizeQueryText's own scanner is comment-aware; the two must
+    * agree on the same text). */
   private def literalMask(s: String): Array[Boolean] = {
     val m = new Array[Boolean](s.length + 1)
     var inStr = false; var inId = false
+    var inLine = false; var inBlock = false
     var i = 0
     while (i < s.length) {
-      m(i) = inStr || inId
       val c = s.charAt(i)
-      if (c == '\'' && !inId) inStr = !inStr
-      else if (c == '`' && !inStr) inId = !inId
+      if (inStr) { m(i) = true; if (c == '\'') inStr = false }
+      else if (inId) { m(i) = true; if (c == '`') inId = false }
+      else if (inLine) { m(i) = true; if (c == '\n') inLine = false }
+      else if (inBlock) {
+        m(i) = true
+        if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+          m(i + 1) = true; i += 1; inBlock = false
+        }
+      }
+      else if (c == '\'') inStr = true
+      else if (c == '`') inId = true
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        m(i) = true; m(i + 1) = true; i += 1; inLine = true
+      }
+      else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        m(i) = true; m(i + 1) = true; i += 1; inBlock = true
+      }
       i += 1
     }
     m
@@ -1473,24 +1500,172 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     * every one does): rewritten onto Spark's higher-order exists /
     * forall. The subquery form (`= ANY (SELECT ...)`) passes through —
     * Spark parses that natively. The LHS match is a literal or a
-    * dotted identifier (the reference grammar's operand shapes). */
-  private def rewriteAnyAll(s: String): String =
-    replaceOutsideLiterals(s,
-      ("(?is)('(?:[^']|'')*'|[\\w.`]+)\\s*(=|!=|<>|<=|>=|<|>)" +
-        "\\s*(ANY|ALL)\\s*\\(([^()]*)\\)").r) { m =>
-      val arg = m.group(4)
-      if (arg.trim.toLowerCase.startsWith("select")) m.group(0)
-      else {
-        val fn =
-          if (m.group(3).equalsIgnoreCase("ANY")) "exists" else "forall"
-        s"$fn($arg, __e -> ${m.group(1)} ${m.group(2)} __e)"
+    * dotted identifier (the reference grammar's operand shapes). The
+    * argument is taken by a quote-aware balanced-paren scan, not a
+    * paren-free regex, so nested calls (`v = ANY(array_distinct(tags))`)
+    * rewrite instead of falling through to a confusing Spark parse
+    * error. */
+  private def rewriteAnyAll(s: String): String = {
+    val head = ("(?is)('(?:[^']|'')*'|[\\w.`]+)\\s*(=|!=|<>|<=|>=|<|>)" +
+      "\\s*(ANY|ALL)\\s*\\(").r
+    var cur = s
+    var from = 0
+    var going = true
+    while (going) {
+      val mask = literalMask(cur)
+      head.findAllMatchIn(cur)
+        .find(m => m.start >= from && !mask(m.start)) match {
+        case None => going = false
+        case Some(m) =>
+          val openIdx = m.end - 1
+          var depth = 0; var k = openIdx; var inQ = false; var close = -1
+          while (k < cur.length && close < 0) {
+            val ch = cur.charAt(k)
+            if (inQ) { if (ch == '\'') inQ = false }
+            else ch match {
+              case '\'' => inQ = true
+              case '(' => depth += 1
+              case ')' => depth -= 1; if (depth == 0) close = k
+              case _ =>
+            }
+            k += 1
+          }
+          if (close < 0) going = false // unbalanced: let the parser reject
+          else {
+            val arg = cur.substring(openIdx + 1, close)
+            if (arg.trim.toLowerCase.startsWith("select")) from = m.end
+            else {
+              val fn = if (m.group(3).equalsIgnoreCase("ANY")) "exists"
+                       else "forall"
+              val repl = s"$fn($arg, __e -> ${m.group(1)} ${m.group(2)} __e)"
+              cur = cur.substring(0, m.start) + repl +
+                cur.substring(close + 1)
+              from = m.start + repl.length
+            }
+          }
       }
     }
+    cur
+  }
+
+  /** Binary/hex literal lexing with CONTINUATION parts (reference lexer
+    * rules HEX_LITERAL/BIN_LITERAL, PhoenixSQL.g:1370-1392, joined by
+    * parser rules hex_literal/bin_literal g:1312-1330): `x'0 12' --c
+    * '34'` is ONE literal — parts separated by whitespace/comments
+    * concatenate, spaces inside parts are ignored, and `b'bits'` spells
+    * base 2. Validation mirrors ParseNodeFactory.hexLiteral/binLiteral
+    * (:701-737): digits must be hex / 0-1, a continuation part must be
+    * non-empty, the total hex digit count even, the total bit count a
+    * multiple of 8. The whole run collapses to Spark's native `X'hex'`
+    * literal. The x/b must abut the opening quote — the reference lexes
+    * `x '00'` as a NAME token and the parse fails, so the pass leaves
+    * it alone for Spark to reject. */
+  private[graft] def rewriteBinaryLiterals(s: String): String = {
+    def isIdentChar(c: Char) =
+      Character.isLetterOrDigit(c) || c == '_' || c == '$'
+    // body of a quoted part starting AFTER the opening quote at `at`
+    def part(at: Int): (String, Int) = {
+      var j = at
+      while (j < s.length && s.charAt(j) != '\'') j += 1
+      if (j >= s.length) throw new IllegalArgumentException(
+        s"unterminated binary literal in: $s")
+      (s.substring(at, j), j + 1)
+    }
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    var inStr = false; var inId = false
+    var inLine = false; var inBlock = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) { sb.append(c); if (c == '\'') inStr = false; i += 1 }
+      else if (inId) { sb.append(c); if (c == '`') inId = false; i += 1 }
+      else if (inLine) { sb.append(c); if (c == '\n') inLine = false; i += 1 }
+      else if (inBlock) {
+        if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+          sb.append("*/"); i += 2; inBlock = false
+        } else { sb.append(c); i += 1 }
+      }
+      else if ((c == 'x' || c == 'X' || c == 'b' || c == 'B') &&
+          i + 1 < s.length && s.charAt(i + 1) == '\'' &&
+          (i == 0 || !isIdentChar(s.charAt(i - 1)))) {
+        val isHex = c == 'x' || c == 'X'
+        val first = part(i + 2)
+        val parts = scala.collection.mutable.ArrayBuffer(first._1)
+        var j = first._2
+        // each continuation: whitespace/comments then another 'part'
+        var scan = true
+        while (scan) {
+          var k = j; var moved = true
+          while (moved) {
+            moved = false
+            while (k < s.length && Character.isWhitespace(s.charAt(k))) {
+              k += 1; moved = true
+            }
+            if (k + 1 < s.length && s.charAt(k) == '-' &&
+                s.charAt(k + 1) == '-') {
+              k += 2
+              while (k < s.length && s.charAt(k) != '\n') k += 1
+              moved = true
+            } else if (k + 1 < s.length && s.charAt(k) == '/' &&
+                s.charAt(k + 1) == '*') {
+              val e = s.indexOf("*/", k + 2)
+              if (e < 0) throw new IllegalArgumentException(
+                s"unterminated block comment in binary literal: $s")
+              k = e + 2; moved = true
+            }
+          }
+          if (k < s.length && s.charAt(k) == '\'') {
+            val (b, j2) = part(k + 1); parts += b; j = j2
+          } else scan = false
+        }
+        val kind = if (isHex) "Hex" else "Binary"
+        val digits = parts.zipWithIndex.map { case (p, idx) =>
+          val d = p.replace(" ", "")
+          val allDigit =
+            if (isHex) d.forall(ch => Character.digit(ch, 16) >= 0)
+            else d.forall(ch => ch == '0' || ch == '1')
+          if (!allDigit || (idx > 0 && d.isEmpty))
+            throw new IllegalArgumentException(
+              s"$kind literal ${if (idx > 0) "continuation " else ""}" +
+                s"has non ${if (isHex) "hex" else "binary"} digit " +
+                s"characters: '$p'")
+          d
+        }.mkString
+        if (isHex) {
+          if (digits.length % 2 != 0) throw new IllegalArgumentException(
+            "Hex literals must have an even number of digits")
+          sb.append("X'").append(digits).append("'")
+        } else {
+          if (digits.length % 8 != 0) throw new IllegalArgumentException(
+            "Binary literals must have a multiple of 8 digits")
+          val hex = digits.grouped(8)
+            .map(bits => f"${Integer.parseInt(bits, 2)}%02x").mkString
+          sb.append("X'").append(hex).append("'")
+        }
+        i = j
+      }
+      else {
+        c match {
+          case '\'' => inStr = true
+          case '`' => inId = true
+          case '-' if i + 1 < s.length && s.charAt(i + 1) == '-' =>
+            inLine = true
+          case '/' if i + 1 < s.length && s.charAt(i + 1) == '*' =>
+            inBlock = true
+          case _ =>
+        }
+        sb.append(c); i += 1
+      }
+    }
+    sb.toString
+  }
 
   /** The full lexical pipeline query text passes before Spark's parser:
-    * dialect normalization, RVC-offset pagination, array ANY/ALL. */
+    * dialect normalization, binary-literal continuation lexing,
+    * RVC-offset pagination, array ANY/ALL. */
   private[graft] def prepareQueryText(s: String): String =
-    rewriteAnyAll(rewriteRvcOffset(normalizeQueryText(s)))
+    rewriteAnyAll(rewriteRvcOffset(rewriteBinaryLiterals(
+      normalizeQueryText(s))))
 
   private def select(sRaw: String): DataFrame = {
     val s0 = prepareQueryText(sRaw)

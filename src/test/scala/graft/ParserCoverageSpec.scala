@@ -20,9 +20,10 @@ import graft.sources.{GraftCatalog, PhoenixSql}
   *  - out-of-scope statements are JUSTIFIED SKIPS, each with a pinned
   *    reason (GRANT/REVOKE → HBase ACLs; ON DUPLICATE KEY / RETURNING
   *    → OLTP atomic upsert surface, recorded out of scope since
-  *    round 1; binary-literal CONTINUATION lexing (x'..' '..' across
-  *    comments) and the b'bits' spelling — niche lexer features,
-  *    single-part X'hex' works).
+  *    round 1).
+  * Binary-literal CONTINUATION lexing (x'..' '..' across comments) and
+  * the b'bits' spelling are real since round 10
+  * (PhoenixSql.rewriteBinaryLiterals) — no longer skips.
   * The accepted/skipped counts are pinned exactly: a newly failing
   * statement OR a silently grown skip list both fail this spec.
   *
@@ -53,11 +54,6 @@ class ParserCoverageSpec extends AnyFunSuite {
       Some("ON DUPLICATE KEY atomic upsert (OLTP, out of scope)")
     else if ("(?i)\\bRETURNING\\b".r.findFirstIn(c.sql).isDefined)
       Some("RETURNING atomic read-back (OLTP, out of scope)")
-    else if (c.test == "testBinaryLiteral" &&
-        c.sql.count(_ == '\'') > 2)
-      Some("binary literal continuation across comments (lexer niche)")
-    else if ("(?i)=\\s*b'".r.findFirstIn(c.sql).isDefined)
-      Some("b'bits' literal spelling (lexer niche; X'hex' supported)")
     else None
   }
 
@@ -130,8 +126,7 @@ class ParserCoverageSpec extends AnyFunSuite {
     assert(reasons == Map(
       "GRANT/REVOKE delegate to HBase ACLs (out of scope)" -> 14,
       "ON DUPLICATE KEY atomic upsert (OLTP, out of scope)" -> 2,
-      "RETURNING atomic read-back (OLTP, out of scope)" -> 4,
-      "binary literal continuation across comments (lexer niche)" -> 2),
+      "RETURNING atomic read-back (OLTP, out of scope)" -> 4),
       s"skip ledger drifted: $reasons")
     info(s"accepted ${inScope.size}/87, skipped ${skipped.size} " +
       s"with pinned reasons")

@@ -964,6 +964,45 @@ class PhoenixSqlSpec extends AnyFunSuite {
     assert(s5.contains("`o'brien`") && s5.contains("'x'"), s5)
   }
 
+  test("binary/hex literals: continuation parts across comments join " +
+      "into one literal; b'bits' spells base 2 (g: HEX_LITERAL/" +
+      "BIN_LITERAL lexer + hex_literal/bin_literal, " +
+      "ParseNodeFactory:701-737)") {
+    val px = fresh()
+    px.execute("CREATE TABLE BL (K BIGINT NOT NULL PRIMARY KEY, " +
+      "V VARBINARY)")
+    px.execute("UPSERT INTO BL VALUES (1, x'01 23' /* c */ '45')")
+    px.execute("UPSERT INTO BL VALUES (2, b'0000 0001' --c\n '11111111')")
+    val got = px.execute("SELECT K, V FROM BL ORDER BY K").collect()
+    assert(got(0).getAs[Array[Byte]](1).toSeq ==
+      Seq(0x01, 0x23, 0x45).map(_.toByte))
+    assert(got(1).getAs[Array[Byte]](1).toSeq ==
+      Seq(0x01.toByte, 0xFF.toByte))
+    // the corpus comparison shape, spaces inside parts ignored
+    assert(px.execute("SELECT K FROM BL WHERE V = x'0 12 '\n '3 45'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // validation mirrors the factory: odd hex count, bits not a
+    // multiple of 8, empty or non-digit continuations are loud errors
+    intercept[IllegalArgumentException](
+      px.prepareQueryText("SELECT x'012' FROM t"))
+    intercept[IllegalArgumentException](
+      px.prepareQueryText("SELECT b'01' FROM t"))
+    intercept[IllegalArgumentException](
+      px.prepareQueryText("SELECT x'01' '' FROM t"))
+    intercept[IllegalArgumentException](
+      px.prepareQueryText("SELECT x'01' 'zz' FROM t"))
+    // x must ABUT the quote: the reference lexes `x '00'` as a NAME and
+    // the parse fails — the pass leaves it for Spark to reject
+    assert(px.prepareQueryText("SELECT x '00' FROM t").contains("x '00'"))
+    // inside strings and comments nothing rewrites
+    assert(px.prepareQueryText("SELECT 'not x''01'' here' FROM t")
+      .contains("'not x''01'' here'"))
+    // DELETE's WHERE lexes continuations too
+    px.execute("DELETE FROM BL WHERE V = x'01' '23 45'")
+    assert(px.execute("SELECT K FROM BL").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("ragged multi-row VALUES arities fail cleanly") {
     val px = fresh()
     px.execute("CREATE TABLE RG (A BIGINT NOT NULL PRIMARY KEY, B BIGINT)")
