@@ -1,9 +1,9 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Coalesce, Divide, Expression, Literal, NamedExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, ExprId, Expression, Literal, NamedExpression, TruncTimestamp}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -63,9 +63,33 @@ object GraftAggViews {
     *                  `meta` pointer (resolved to the current state_v
     *                  at rewrite time — refresh-safe)
     * @param groupCols the view's grouping columns
-    * @param measures  measure columns with cnt_/sum_/min_/max_ state */
+    * @param measures  measure columns with cnt_/sum_/min_/max_ state
+    * @param grainExprs EXPRESSION-grain group columns: state column →
+    *                  the SQL expression over BASE columns that
+    *                  produced it (e.g. `"day" -> "date_trunc('DAY',
+    *                  ts)"` for a daily rollup built with
+    *                  `withColumn("day", ...)` before
+    *                  [[graft.operators.Materialize.aggregate]]). A
+    *                  query grouping matches on semantic equality, and
+    *                  a COARSER `date_trunc` over the same timestamp
+    *                  (day state serving a month query) rolls up by
+    *                  re-truncating the state's grain column — valid
+    *                  exactly when the finer unit's boundaries align
+    *                  with the coarser's (any sub-day unit → anything;
+    *                  month → quarter/year; quarter → year; week only
+    *                  from sub-day units).
+    *
+    * Accuracy note for callers comparing served answers against direct
+    * fact scans: SUM/MIN/MAX/COUNT are bit-exact. AVG over an integral
+    * measure is served as exact-sum / exact-count in ONE double
+    * division, while Spark's direct Average accumulates doubles — the
+    * two can differ once the running sum exceeds 2^53, and the served
+    * answer is the more accurate one. Callers needing bit-parity with
+    * the direct scan beyond 2^53 should compute sum/count explicitly
+    * rather than AVG. */
   case class AggViewDef(statePath: String, groupCols: Seq[String],
-      measures: Seq[String])
+      measures: Seq[String],
+      grainExprs: Map[String, String] = Map.empty)
 
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, AggViewDef]()
@@ -116,54 +140,181 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     }
   }.toOption
 
-  /** The scanned base path plus any residual filter, looking through
-    * pruning Projects. A filter is carried back (to re-apply on the
-    * state) rather than rejected — group-column predicates ("the sum
-    * for source X") are the most common MV hit. */
-  private def scannedPath(plan: LogicalPlan)
-      : Option[(String, Option[Expression])] = plan match {
-    case Project(list, child) if list.forall(_.isInstanceOf[Attribute]) =>
-      scannedPath(child)
-    case org.apache.spark.sql.catalyst.plans.logical
-        .Filter(cond, child) =>
-      scannedPath(child).flatMap {
-        case (p, None) => Some((p, Some(cond)))
-        case _ => None // two filter layers: keep it simple, bail
-      }
-    case lr: LogicalRelation =>
-      lr.relation match {
-        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation
-            if fs.location.rootPaths.size == 1 =>
-          Some((fs.location.rootPaths.head.toUri.getPath, None))
+  /** What the aggregate scans: the base path, the merged residual
+    * filter (re-applied on the state), the base relation node (grain
+    * expressions resolve against its attributes), and a substitution
+    * mapping outer attribute ids to expressions over BASE attributes.
+    * Looks through pruning, alias-only, AND computing Projects (a
+    * trivial rename must not refuse the rewrite, and Catalyst's
+    * PullOutGroupingExpressions moves expression groupings like
+    * date_trunc into a Project below the Aggregate — the substitution
+    * re-expands them), and merges stacked Filter layers into one
+    * conjunction — group-column predicates ("the sum for source X")
+    * are the most common MV hit. */
+  private def scannedPath(plan: LogicalPlan): Option[
+      (String, Option[Expression], LogicalPlan, Map[ExprId, Expression])] = {
+    @scala.annotation.tailrec
+    def loop(cur: LogicalPlan, cond: Option[Expression],
+        sub: Map[ExprId, Expression]): Option[
+        (String, Option[Expression], LogicalPlan, Map[ExprId, Expression])] =
+      cur match {
+        case Project(list, child) if list.forall {
+            case _: Attribute => true
+            // a non-deterministic projection (rand-derived column)
+            // can't be re-derived from the state — refuse the layer
+            case al: Alias => al.child.deterministic
+            case _ => false } =>
+          val thisMap: Map[ExprId, Expression] = list.collect {
+            case al @ Alias(e, _) => (al.exprId, e)
+          }.toMap
+          // chain existing entries through this layer's aliases, and
+          // rewrite the collected filter the same way, so everything
+          // ends up expressed over the base relation's attributes
+          def through(e: Expression): Expression = e.transformUp {
+            case a: AttributeReference => thisMap.getOrElse(a.exprId, a)
+          }
+          val sub2 = sub.map { case (k, v) => k -> through(v) } ++ thisMap
+          val cond2 = cond.map(through)
+          loop(child, cond2, sub2)
+        case Filter(c, child) =>
+          loop(child, Some(cond.map(And(_, c)).getOrElse(c)), sub)
+        case lr: LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources
+                .HadoopFsRelation if fs.location.rootPaths.size == 1 =>
+              Some((fs.location.rootPaths.head.toUri.getPath, cond, lr, sub))
+            case _ => None
+          }
+        case rel: DataSourceV2Relation =>
+          rel.table match {
+            case t: graft.sources.GraftPkTable =>
+              Some((t.name().stripPrefix("graftpk:"), cond, rel, sub))
+            case _ => None
+          }
         case _ => None
       }
-    case rel: DataSourceV2Relation =>
-      rel.table match {
-        case t: graft.sources.GraftPkTable =>
-          Some((t.name().stripPrefix("graftpk:"), None))
-        case _ => None
-      }
+    loop(plan, None, Map.empty)
+  }
+
+  // date_trunc unit lattice: truncating twice is exact when the finer
+  // unit's boundaries align with the coarser's — the sub-day chain is
+  // totally ordered and day-aligned with everything above it; week is
+  // day-aligned but NOT month/quarter/year-aligned; months nest in
+  // quarters and years, quarters in years.
+  private val canonUnit = Map("year" -> "year", "yyyy" -> "year",
+    "yy" -> "year", "quarter" -> "quarter", "month" -> "month",
+    "mon" -> "month", "mm" -> "month", "week" -> "week", "day" -> "day",
+    "dd" -> "day", "hour" -> "hour", "minute" -> "minute",
+    "second" -> "second", "millisecond" -> "millisecond",
+    "microsecond" -> "microsecond")
+  private val unitRank = Map("microsecond" -> 0, "millisecond" -> 1,
+    "second" -> 2, "minute" -> 3, "hour" -> 4, "day" -> 5, "week" -> 6,
+    "month" -> 7, "quarter" -> 8, "year" -> 9)
+  private def alignedUnits(fine: String, coarse: String): Boolean =
+    fine == coarse ||
+      (unitRank(fine) <= unitRank("day") && unitRank(coarse) > unitRank(fine)) ||
+      (fine == "month" && (coarse == "quarter" || coarse == "year")) ||
+      (fine == "quarter" && coarse == "year")
+
+  /** `date_trunc(unit, ts)` deconstructed: (canonical unit, timestamp
+    * arg, timezone). */
+  private def truncOf(e: Expression)
+      : Option[(String, Expression, Option[String])] = e match {
+    case t: TruncTimestamp => t.format match {
+      case Literal(u, _) if u != null =>
+        canonUnit.get(u.toString.toLowerCase)
+          .map(cu => (cu, t.timestamp, t.timeZoneId))
+      case _ => None
+    }
     case _ => None
   }
 
   private def rewrite(groupings: Seq[Expression],
       outputs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
-    val (path, residual) = scannedPath(child).getOrElse(return None)
+    val (path, residual, baseRel, sub) =
+      scannedPath(child).getOrElse(return None)
     val view = GraftAggViews.lookup(path).getOrElse(return None)
-    val groupNames = groupings.map {
-      case a: AttributeReference => a.name
-      case _ => return None // expression grouping: not this view's grain
+    // express everything over the BASE relation's attributes (alias-only
+    // Projects between the aggregate and the scan are a pure rename)
+    def deref(e: Expression): Expression = e.transformUp {
+      case a: AttributeReference => sub.getOrElse(a.exprId, a)
     }
-    if (!groupNames.toSet.subsetOf(view.groupCols.toSet)) return None
+    // the BASE column an outer attribute renames, or "" when it is a
+    // computed projection (which no state column can serve directly)
+    def baseName(a: AttributeReference): String = deref(a) match {
+      case b: AttributeReference => b.name
+      case _ => ""
+    }
+    // registered grain expressions resolved against THIS query's base
+    // relation attributes (exprIds are per-plan, so no cross-query
+    // cache); any parse/resolution failure refuses the grain, never
+    // crashes planning
+    lazy val grains: Seq[(String, Expression)] =
+      view.grainExprs.toSeq.flatMap { case (colName, sqlText) =>
+        scala.util.Try {
+          val parsed = spark.sessionState.sqlParser.parseExpression(sqlText)
+          val analyzed = spark.sessionState.analyzer.execute(
+            Project(Seq(Alias(parsed, "__grain")()), baseRel))
+          analyzed.collectFirst {
+            case Project(Seq(Alias(e, "__grain")), _) => colName -> e
+          }
+        }.toOption.flatten
+      }
+    // state-side target for one query grouping expression, WITHOUT any
+    // state I/O: (state column, optional (unit, tz) re-truncation) —
+    // a plain view group column, an exact grain match, or an ALIGNED
+    // coarser date_trunc re-truncating the state's grain column
+    def groupKey(e0: Expression)
+        : Option[(String, Option[(String, Option[String])])] = {
+      val e = deref(e0)
+      e match {
+        case a: AttributeReference if view.groupCols.contains(a.name) &&
+            !view.grainExprs.contains(a.name) =>
+          Some((a.name, None))
+        case _ =>
+          grains.collectFirst(Function.unlift { case (colName, ge) =>
+            if (e.semanticEquals(ge)) Some((colName, None))
+            else (truncOf(e), truncOf(ge)) match {
+              case (Some((uq, tq, tzq)), Some((ug, tg, _)))
+                  if tq.semanticEquals(tg) && alignedUnits(ug, uq) =>
+                if (uq == ug) Some((colName, None))
+                else Some((colName, Some((uq, tzq))))
+              case _ => None
+            }
+          })
+      }
+    }
+    // every grouping must map; DataFrame-style grouping aliases
+    // (groupBy(expr.as("d"))) are unwrapped, and their output attribute
+    // resolves back to the grouping by exprId
+    val strippedGroupings = groupings.map {
+      case al: Alias => al.child
+      case e => e
+    }
+    val groupTargets = strippedGroupings
+      .map(g => groupKey(g).getOrElse(return None))
+    val aliasIdToIdx: Map[ExprId, Int] = groupings.zipWithIndex.collect {
+      case (a: Alias, i) => a.exprId -> i }.toMap
+    def groupIdxOf(e: Expression): Option[Int] = e match {
+      case a: AttributeReference if aliasIdToIdx.contains(a.exprId) =>
+        aliasIdToIdx.get(a.exprId)
+      case _ =>
+        val d = deref(e)
+        val idx =
+          strippedGroupings.indexWhere(g => deref(g).semanticEquals(d))
+        if (idx >= 0) Some(idx) else None
+    }
     // a residual filter must touch only GROUP columns — a measure
     // predicate filters individual fact rows, which the state can't
     // see — and must be DETERMINISTIC: a reference-free predicate like
     // rand() < p passes the subset check yet means "sample fact ROWS",
     // which re-applied to one-row-per-group state keeps whole groups
     if (!residual.forall(c => c.deterministic &&
-        c.references.map(_.name).toSet
-          .subsetOf(view.groupCols.toSet))) return None
+        c.references.toSeq.collect { case a: AttributeReference =>
+          baseName(a) }.toSet
+          .subsetOf(view.groupCols.toSet -- view.grainExprs.keySet)))
+      return None
     // answerability PRE-CHECK before any state I/O: pattern-only, no
     // attributes needed — a bailing query (decimal avg, DISTINCT) must
     // not pay a parquet schema read per planning pass
@@ -175,22 +326,27 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Count(Seq(Literal(v, _))) => v != null
       // count(col) = non-null count: served by the state's cnt_m
       case Count(Seq(ar: AttributeReference)) =>
-        view.measures.contains(ar.name)
-      case Sum(ar: AttributeReference, _) => view.measures.contains(ar.name)
-      case Min(ar: AttributeReference) => view.measures.contains(ar.name)
-      case Max(ar: AttributeReference) => view.measures.contains(ar.name)
+        view.measures.contains(baseName(ar))
+      case Sum(ar: AttributeReference, _) =>
+        view.measures.contains(baseName(ar))
+      case Min(ar: AttributeReference) =>
+        view.measures.contains(baseName(ar))
+      case Max(ar: AttributeReference) =>
+        view.measures.contains(baseName(ar))
       // avg = sum/cnt, both exact in the state; decimal refused (see
       // the scaladoc — Spark's decimal-division scale rules)
       case Average(ar: AttributeReference, _) =>
-        view.measures.contains(ar.name) &&
+        view.measures.contains(baseName(ar)) &&
           !ar.dataType.isInstanceOf[DecimalType]
       case _ => false
     }
     val answerable = outputs.forall {
-      case a: AttributeReference => groupNames.contains(a.name)
+      case a: AttributeReference => groupIdxOf(a).isDefined
       case Alias(ae: AggregateExpression, _) =>
         !ae.isDistinct && ae.filter.isEmpty &&
           answerableFn(ae.aggregateFunction)
+      case Alias(e, _) if !e.isInstanceOf[AggregateExpression] =>
+        groupIdxOf(e).isDefined
       case _ => false
     }
     if (!answerable) return None
@@ -214,36 +370,55 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           .aggregate.AggregateFunction): Expression =
       AggregateExpression(mk(fnCol), Complete, isDistinct = false)
 
+    // the state-side expression for a mapped grouping: the state column
+    // itself, or a coarser re-truncation of the state's grain column
+    def stateGroupExpr(
+        t: (String, Option[(String, Option[String])])): Expression =
+      t match {
+        case (c, None) => stateAttr(c)
+        case (c, Some((unit, tz))) =>
+          TruncTimestamp(Literal(unit), stateAttr(c), tz)
+      }
+
     val newOutputs: Seq[NamedExpression] = outputs.map {
-      case a: AttributeReference if groupNames.contains(a.name) =>
-        Alias(stateAttr(a.name), a.name)(exprId = a.exprId)
+      case a: AttributeReference =>
+        Alias(stateGroupExpr(groupTargets(groupIdxOf(a).get)), a.name)(
+          exprId = a.exprId)
       case al @ Alias(ae: AggregateExpression, name) =>
         val e: Expression = ae.aggregateFunction match {
           // count(col) BEFORE the count(*) catch-all — both are Count
           case Count(Seq(ar: AttributeReference)) =>
             Coalesce(Seq(
-              merged(stateAttr(s"cnt_${ar.name}"), Sum(_)), Literal(0L)))
+              merged(stateAttr(s"cnt_${baseName(ar)}"), Sum(_)),
+              Literal(0L)))
           case Count(_) =>
             // COUNT over zero state rows must stay 0, not SUM's NULL
             Coalesce(Seq(merged(stateAttr("cnt"), Sum(_)), Literal(0L)))
           case Sum(ar: AttributeReference, _) =>
-            Cast(merged(stateAttr(s"sum_${ar.name}"), Sum(_)), ae.dataType)
+            Cast(merged(stateAttr(s"sum_${baseName(ar)}"), Sum(_)),
+              ae.dataType)
           case Min(ar: AttributeReference) =>
-            Cast(merged(stateAttr(s"min_${ar.name}"), Min(_)), ae.dataType)
+            Cast(merged(stateAttr(s"min_${baseName(ar)}"), Min(_)),
+              ae.dataType)
           case Max(ar: AttributeReference) =>
-            Cast(merged(stateAttr(s"max_${ar.name}"), Max(_)), ae.dataType)
+            Cast(merged(stateAttr(s"max_${baseName(ar)}"), Max(_)),
+              ae.dataType)
           case Average(ar: AttributeReference, _) =>
             // exact sum / exact count, one double division — all-NULL
             // groups yield NULL (null sum propagates), like direct avg
             Cast(Divide(
-              Cast(merged(stateAttr(s"sum_${ar.name}"), Sum(_)),
+              Cast(merged(stateAttr(s"sum_${baseName(ar)}"), Sum(_)),
                 DoubleType),
-              Cast(merged(stateAttr(s"cnt_${ar.name}"), Sum(_)),
+              Cast(merged(stateAttr(s"cnt_${baseName(ar)}"), Sum(_)),
                 DoubleType)), ae.dataType)
           case other => throw new IllegalStateException(
             s"unreachable: pre-checked aggregate $other")
         }
         Alias(e, name)(exprId = al.exprId, qualifier = al.qualifier,
+          explicitMetadata = al.explicitMetadata)
+      case al @ Alias(e, name) =>
+        Alias(stateGroupExpr(groupTargets(groupIdxOf(e).get)), name)(
+          exprId = al.exprId, qualifier = al.qualifier,
           explicitMetadata = al.explicitMetadata)
       case other => throw new IllegalStateException(
         s"unreachable: pre-checked output $other")
@@ -261,6 +436,6 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         org.apache.spark.sql.catalyst.plans.logical.Filter(remapped, state)
       case None => state
     }
-    Some(Aggregate(groupNames.map(stateAttr), newOutputs, source))
+    Some(Aggregate(groupTargets.map(stateGroupExpr), newOutputs, source))
   }
 }

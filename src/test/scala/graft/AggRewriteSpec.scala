@@ -231,6 +231,126 @@ class AggRewriteSpec extends AnyFunSuite {
     } finally GraftAggViews.drop(base)
   }
 
+  test("agg rewrite: date_trunc expression grain serves equal and " +
+      "ALIGNED coarser grains; misaligned/finer units refuse; " +
+      "alias-only Projects and stacked filters rewrite") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_grain").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_grainstate").toString
+    val rows = (0 until 200).map { i =>
+      (i.toLong, s"s${i % 3}",
+        java.sql.Timestamp.valueOf(
+          f"2024-${1 + i % 12}%02d-${1 + i % 27}%02d ${i % 24}%02d:03:00"),
+        (i * 13 % 101).toLong)
+    }
+    rows.toDF("k", "g", "ts", "x").write.mode("overwrite").parquet(base)
+    val fact = spark.read.parquet(base)
+    // DAY-grain state: grain column computed BEFORE the aggregate, and
+    // registered as an expression over the base's columns
+    Materialize.aggregate(
+        fact.withColumn("day", date_trunc("DAY", $"ts")),
+        Seq("g", "day"), Seq("x"))
+      .write.mode("overwrite").parquet(statePath)
+    GraftAggViews.register(base,
+      GraftAggViews.AggViewDef(statePath, Seq("g", "day"), Seq("x"),
+        grainExprs = Map("day" -> "date_trunc('DAY', ts)")))
+    val stateName = new java.io.File(statePath).getName
+    val baseName = new java.io.File(base).getName
+    def baseline(df: => org.apache.spark.sql.DataFrame) = {
+      spark.conf.set(GraftAggViews.DisabledConf, "true")
+      try df.collect().map(_.toSeq).toSeq
+      finally spark.conf.unset(GraftAggViews.DisabledConf)
+    }
+    try {
+      // EQUAL grain (different unit spelling): served from the state
+      def dayQ = spark.read.parquet(base)
+        .groupBy($"g", date_trunc("day", $"ts").as("d"))
+        .agg(sum($"x").as("sx"), count($"x").as("n"))
+        .orderBy($"g", $"d")
+      assert(dayQ.queryExecution.executedPlan.toString.contains(stateName),
+        s"equal-grain query must scan the state:\n" +
+          dayQ.queryExecution.executedPlan)
+      assert(dayQ.collect().map(_.toSeq).toSeq == baseline(dayQ))
+      // COARSER aligned grain: month served by re-truncating day state
+      def monQ = spark.read.parquet(base)
+        .groupBy(date_trunc("month", $"ts").as("m"))
+        .agg(sum($"x").as("sx"), min($"x").as("mn"), avg($"x").as("ax"))
+        .orderBy($"m")
+      assert(monQ.queryExecution.executedPlan.toString.contains(stateName),
+        "month query must roll up the day-grain state")
+      assert(monQ.collect().map(_.toSeq).toSeq == baseline(monQ))
+      // week is day-aligned too
+      def weekQ = spark.read.parquet(base)
+        .groupBy(date_trunc("week", $"ts").as("w"))
+        .agg(sum($"x").as("sx")).orderBy($"w")
+      assert(weekQ.queryExecution.executedPlan.toString.contains(stateName))
+      assert(weekQ.collect().map(_.toSeq).toSeq == baseline(weekQ))
+      // the SQL GROUP BY spelling (expression in groupings, Alias in
+      // outputs) rewrites the same way
+      def sqlQ = spark.sql(
+        s"SELECT date_trunc('YEAR', ts) AS y, sum(x) AS sx " +
+          s"FROM parquet.`$base` GROUP BY date_trunc('YEAR', ts) " +
+          "ORDER BY y")
+      assert(sqlQ.queryExecution.executedPlan.toString.contains(stateName),
+        "SQL-spelled grain query must scan the state")
+      assert(sqlQ.collect().map(_.toSeq).toSeq == baseline(sqlQ))
+      // FINER than the state's grain: hour from a day state must refuse
+      val hourQ = spark.read.parquet(base)
+        .groupBy(date_trunc("hour", $"ts").as("h"))
+        .agg(sum($"x").as("sx"))
+      assert(hourQ.queryExecution.executedPlan.toString.contains(baseName),
+        "an hour query cannot be served by day-grain state")
+      // alias-only Project + two stacked filters on a (renamed) group
+      // column: still rewritten, predicate re-applied on the state
+      def renamed = spark.read.parquet(base)
+        .select($"g".as("grp"), $"x".as("xx"), $"ts")
+        .where($"grp" =!= "s0").where($"grp" =!= "s2")
+        .groupBy($"grp").agg(sum($"xx").as("sx"), max($"xx").as("mx"))
+        .orderBy($"grp")
+      assert(renamed.queryExecution.executedPlan.toString
+        .contains(stateName),
+        "alias-only rename + stacked filters must not refuse:\n" +
+          renamed.queryExecution.executedPlan)
+      assert(renamed.collect().map(_.toSeq).toSeq == baseline(renamed))
+    } finally GraftAggViews.drop(base)
+    // a MONTH-grain state must refuse a WEEK query (week boundaries
+    // cross months — re-truncation would be wrong, not just coarse)
+    val base2 = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_grain2").toString
+    val state2 = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_grainstate2").toString
+    rows.toDF("k", "g", "ts", "x").write.mode("overwrite").parquet(base2)
+    Materialize.aggregate(
+        spark.read.parquet(base2)
+          .withColumn("mon", date_trunc("MONTH", $"ts")),
+        Seq("mon"), Seq("x"))
+      .write.mode("overwrite").parquet(state2)
+    GraftAggViews.register(base2,
+      GraftAggViews.AggViewDef(state2, Seq("mon"), Seq("x"),
+        grainExprs = Map("mon" -> "date_trunc('MONTH', ts)")))
+    try {
+      val weekFromMonth = spark.read.parquet(base2)
+        .groupBy(date_trunc("week", $"ts").as("w"))
+        .agg(sum($"x").as("sx"))
+      assert(weekFromMonth.queryExecution.executedPlan.toString
+        .contains(new java.io.File(base2).getName),
+        "week from month-grain state must refuse (misaligned units)")
+      // ... while quarter/year from month state are aligned and serve
+      val qQ = spark.read.parquet(base2)
+        .groupBy(date_trunc("quarter", $"ts").as("q"))
+        .agg(sum($"x").as("sx")).orderBy($"q")
+      assert(qQ.queryExecution.executedPlan.toString
+        .contains(new java.io.File(state2).getName))
+      spark.conf.set(GraftAggViews.DisabledConf, "true")
+      val expect =
+        try qQ.collect().map(_.toSeq).toSeq
+        finally spark.conf.unset(GraftAggViews.DisabledConf)
+      assert(qQ.collect().map(_.toSeq).toSeq == expect)
+    } finally GraftAggViews.drop(base2)
+  }
+
   test("agg rewrite: non-deterministic residual refuses; scheme-" +
       "qualified registrations (file:///) key and resolve correctly") {
     import spark.implicits._
