@@ -66,9 +66,17 @@ case class KmvAgg(
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
-    if (hash.dataType == LongType) TypeCheckSuccess
-    else TypeCheckFailure("kmv_sketch takes a BIGINT hash — write " +
-      "kmv_sketch(xxhash64(key), k) so the hash type is explicit")
+    if (hash.dataType != LongType)
+      TypeCheckFailure("kmv_sketch takes a BIGINT hash — write " +
+        "kmv_sketch(xxhash64(key), k) so the hash type is explicit")
+    // k must be checkable at analysis time: a column reference would
+    // otherwise surface as an opaque eval() UnsupportedOperationException
+    // from deep inside planning instead of a typed analysis error
+    else if (!kExpr.foldable ||
+        !(kExpr.dataType == IntegerType || kExpr.dataType == LongType))
+      TypeCheckFailure("kmv_sketch k must be a foldable integer " +
+        "literal in [16, 2^20]")
+    else TypeCheckSuccess
   }
 
   override def createAggregationBuffer(): KmvAgg.Sketch =

@@ -44,6 +44,32 @@ object Pipeline {
       (b, m)
     }
 
+  /** Day-grain MV over events (grain column computed before the
+    * aggregate, registered as an expression over the base) — the
+    * time-bucket rollup is the most common real MV shape. */
+  private def mvTimegrainSetup(s: SparkSession, dir: String)
+      : (String, String) =
+    Artifacts.memoized(dir, "mv_timegrain_setup") {
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_mvtg").toString
+      val b = s"$tmp/fact"
+      val m = s"$tmp/state"
+      Tables.t(s, dir, "events")
+        .select($"event_id", $"event_type", $"ts", $"user_id")
+        .write.mode("overwrite").parquet(b)
+      graft.operators.Materialize
+        .aggregate(s.read.parquet(b)
+            .withColumn("day", date_trunc("DAY", col("ts"))),
+          Seq("event_type", "day"), Seq("user_id", "event_id"))
+        .write.mode("overwrite").parquet(m)
+      graft.plans.GraftAggViews.register(b,
+        graft.plans.GraftAggViews.AggViewDef(m, Seq("event_type", "day"),
+          Seq("user_id", "event_id"),
+          grainExprs = Map("day" -> "date_trunc('DAY', ts)")))
+      (b, m)
+    }
+
   private val ivmDirs =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivmWarehouse(dir: String): String = {
@@ -649,6 +675,32 @@ object Pipeline {
       q
     },
 
+    // EXPRESSION-grain MV rewrite under the hard oracle: a DAY-grain
+    // state (grain = date_trunc('DAY', ts), registered as an expression
+    // over the base) serves a MONTH-grain query by re-truncating the
+    // state's day column — the time-bucket rollup every metrics
+    // dashboard runs. Plan-pinned like q_mv_rewrite: throws unless the
+    // state (not the fact) is scanned; the oracle recomputes over the
+    // raw events, so a green row proves the coarser-grain fold is
+    // exact, not just plausible.
+    "q_mv_rewrite_timegrain" -> { (s, dir) =>
+      import s.implicits._
+      val (base, mv) = mvTimegrainSetup(s, dir)
+      val q = s.read.parquet(base)
+        .groupBy(date_trunc("month", $"ts").as("m"), $"event_type")
+        .agg(sum($"user_id").as("sum_uid"),
+          count($"event_id").as("cnt_eid"),
+          min($"event_id").as("min_eid"),
+          max($"event_id").as("max_eid"),
+          count(lit(1)).as("n"))
+        .orderBy($"m", $"event_type")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(mv) || plan.contains(base))
+        throw new IllegalStateException(
+          s"time-grain MV rewrite did not serve from the state:\n$plan")
+      q
+    },
+
     // Whole-doc BFD bin packing (no-split SFT layout). Rows-only driver
     // check — the per-partition best-fit loop is not SQL-expressible;
     // capacity, padding-vs-naive, and determinism are pinned in
@@ -1026,6 +1078,20 @@ object Pipeline {
         .orderBy($"source_a", $"source_b")
     },
 
+    // The SAME sketch pipeline in its EXACT regime, under the hard
+    // oracle: distinct users per event_type is far below k = 2^20, so
+    // every sketch retains its full set and the estimates are exact —
+    // DuckDB recomputes the pairwise distinct-user intersections
+    // directly. A green row proves the whole sketch path (build, union,
+    // intersect, jaccard) against ground truth, not just a tolerance
+    // band; the estimation regime keeps its ScalaTest bounds.
+    "q_overlap_sketch_exact" -> { (s, dir) =>
+      graft.operators.SetOps.approxSourceOverlap(
+          Tables.t(s, dir, "events"), "event_type",
+          xxhash64(col("user_id")), k = 1 << 20)
+        .orderBy(col("source_a"), col("source_b"))
+    },
+
     // Batch multi-query BM25 (serving pattern): a queries TABLE scored
     // against the postings in one job — per-query cost is its terms'
     // posting rows, per-query top-k via the bounded heap.
@@ -1268,6 +1334,18 @@ object Pipeline {
             .where(pmod(col("event_id") * 31 + col("user_id"), lit(59))
               === 0),
           "user_id", "ts", unit = "week", maxLag = 6)
+        .orderBy(col("period"), col("lag"))
+    },
+
+    // Return-rate sketch in its EXACT regime under the hard oracle:
+    // weekly distinct users are far below k = 2^20, so per-period
+    // sketches are complete and every intersection is exact — DuckDB
+    // recomputes the pairwise week overlaps directly. Full (unthinned)
+    // events: the point is ground truth, not the sketch tolerance.
+    "q_retention_sketch_exact" -> { (s, dir) =>
+      graft.operators.Temporal.returnRateSketch(
+          Tables.t(s, dir, "events"),
+          "user_id", "ts", unit = "week", maxLag = 4, k = 1 << 20)
         .orderBy(col("period"), col("lag"))
     },
 
@@ -1898,6 +1976,59 @@ object Pipeline {
         CAST(max(n_chars * 1000000000000 + doc_id) AS BIGINT) AS max_big,
         count(*) AS n
       FROM documents""",
+
+    "q_overlap_sketch_exact" -> """
+      WITH d AS (SELECT DISTINCT event_type, user_id FROM events),
+           n AS (SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+           i AS (SELECT a.event_type AS sa, b.event_type AS sb,
+                        count(*) AS ni
+                 FROM d a JOIN d b ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+                 GROUP BY 1, 2)
+      SELECT na.event_type AS source_a, nb.event_type AS source_b,
+        CAST(na.n AS DOUBLE) AS n_a, CAST(nb.n AS DOUBLE) AS n_b,
+        CAST(COALESCE(i.ni, 0) AS DOUBLE) AS n_shared_est,
+        CAST(COALESCE(i.ni, 0) AS DOUBLE)
+          / (na.n + nb.n - COALESCE(i.ni, 0)) AS jaccard_est
+      FROM n na JOIN n nb ON na.event_type < nb.event_type
+      LEFT JOIN i ON i.sa = na.event_type AND i.sb = nb.event_type
+      ORDER BY source_a, source_b""",
+
+    "q_retention_sketch_exact" -> """
+      WITH d AS (SELECT DISTINCT date_trunc('week', ts) AS period,
+                        user_id
+                 FROM events WHERE user_id IS NOT NULL),
+           n AS (SELECT period, count(*) AS n FROM d GROUP BY 1),
+           p AS (SELECT a.period AS period,
+                        CAST(date_diff('day', a.period, b.period) / 7
+                          AS INT) AS lag,
+                        a.n AS n_act
+                 FROM n a JOIN n b ON b.period > a.period
+                 WHERE date_diff('day', a.period, b.period) / 7
+                   BETWEEN 1 AND 4),
+           r AS (SELECT a.period AS period,
+                        CAST(date_diff('day', a.period, b.period) / 7
+                          AS INT) AS lag,
+                        count(*) AS ret
+                 FROM d a JOIN d b ON a.user_id = b.user_id
+                   AND b.period > a.period
+                 GROUP BY 1, 2)
+      SELECT p.period AS period, p.lag AS lag,
+        CAST(p.n_act AS DOUBLE) AS n_active,
+        CAST(COALESCE(r.ret, 0) AS DOUBLE) AS n_returned,
+        round(CAST(COALESCE(r.ret, 0) AS DOUBLE) / p.n_act, 8)
+          AS return_rate
+      FROM p LEFT JOIN r ON r.period = p.period AND r.lag = p.lag
+      ORDER BY p.period, p.lag""",
+
+    "q_mv_rewrite_timegrain" -> """
+      SELECT date_trunc('month', ts) AS m, event_type,
+        CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        count(event_id) AS cnt_eid,
+        min(event_id) AS min_eid,
+        max(event_id) AS max_eid,
+        count(*) AS n
+      FROM events GROUP BY 1, 2 ORDER BY m, event_type""",
 
     "q_split_leakage_safe" -> raw"""
       WITH f AS (SELECT doc_id,

@@ -145,8 +145,22 @@ object EventStreams {
     // chains into the dedup ingest gate, which needs the event-time
     // column for its watermark — dropping it here broke the documented
     // composition with an UNRESOLVED_COLUMN at the next stage
-    val passthrough = docs.columns.filterNot(c =>
+    val passthrough0 = docs.columns.filterNot(c =>
       c == idCol || c == textCol).toSeq
+    // the gate OWNS these output names (idCol is aliased to "id"): an
+    // input column with the same name would emit DUPLICATE columns and
+    // make every downstream reference ambiguous. Such inputs are
+    // dropped with a loud warning (corpora routinely arrive with their
+    // own `lang`; the gate's fresh value supersedes it) — rename before
+    // the gate to keep the original.
+    val reserved =
+      Set("id", "clean_text", "n_sentences", "lang", "blocked", "keep",
+        "has_lorem", "has_brace", "c4")
+    val (collisions, passthrough) = passthrough0.partition(reserved.contains)
+    if (collisions.nonEmpty) System.err.println(
+      s"[graft-stream] curateStream drops input column(s) " +
+        s"${collisions.mkString(", ")}: the gate owns these output " +
+        "names — rename them before the gate to keep the originals")
     docs
       .where(col(textCol).isNotNull)
       // struct projected ONCE, fields picked in the next select — the

@@ -1327,6 +1327,17 @@ class CatalogSpec extends AnyFunSuite {
       phrases = Seq("badword"))
     assert(out.columns.contains("ts"),
       s"event-time column must pass through: ${out.columns.mkString(",")}")
+    // a passthrough column colliding with a gate OUTPUT name (lang,
+    // clean_text, ...) is dropped (with a warning) — duplicate columns
+    // would make every downstream reference ambiguous
+    val colliding = Seq((1L, "xx", "One. Two. Three. Doc text here."))
+      .toDF("doc_id", "lang", "text")
+    val gated = EventStreams.curateStream(colliding, "text", "doc_id",
+      phrases = Seq("badword"))
+    assert(gated.columns.count(_ == "lang") == 1,
+      s"duplicate lang column: ${gated.columns.mkString(",")}")
+    assert(gated.collect().head.getAs[String]("lang") != "xx",
+      "the gate's computed lang must supersede the input's")
   }
 
   test("stateful sessionization: watermark-gated close, bridging, timeout") {

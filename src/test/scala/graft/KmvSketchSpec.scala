@@ -102,6 +102,25 @@ class KmvSketchSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv: a non-foldable k is a typed ANALYSIS error, not an " +
+      "opaque eval crash") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = Seq(("a", 64), ("b", 128)).toDF("s", "n")
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      df.groupBy().agg(expr("kmv_sketch(xxhash64(s), n)")).collect())
+    assert(e.getMessage.contains("foldable"),
+      s"expected the foldable-k contract in the error, got: " +
+        e.getMessage)
+    // ... and an out-of-range foldable k still errors with the range
+    val e2 = intercept[Exception](
+      df.groupBy().agg(expr("kmv_sketch(xxhash64(s), 4)")).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e2).exists(m => m.contains("[16, 2^20]") ||
+      m.contains("16")), s"expected the k range, got: ${msgs(e2)}")
+  }
+
   test("approxSourceOverlap agrees with the exact cross-source report " +
       "on the fixture and combines via broadcast") {
     import spark.implicits._
