@@ -41,13 +41,21 @@ object ScaleRehearsal {
     "q_bson_update", "q_pagerank", "q_dedup_spans_incremental",
     "q_pii_scrub", "q1_agg", "q_zorder_scan", "q_count_distinct",
     "q_sessionize", "q_dedup_cluster", "q_tpch_q3", "q_overlap_sketch")
-  // q_ivm_refresh is fixed-size by construction (it filters doc_id<380
-  // regardless of corpus size), so it is excluded: its rehearsal would
-  // measure nothing.
+  // q_ivm_refresh the QUERY is fixed-size by construction (it filters
+  // doc_id<380 regardless of corpus size); the refresh operator itself
+  // is rehearsed separately by ivmRefreshSeconds: a FIXED-size delta
+  // against a factor×-grown base table — the exponent measures whether
+  // refresh cost tracks the delta (flat) or the table/log (linear, the
+  // round-9 pre-fix behavior).
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factor = args.lift(1).map(_.toInt).getOrElse(10)
+    // optional third arg: comma-separated query subset (tail-focused
+    // 30× runs skip the cheap head); "ivm" selects the refresh rehearsal
+    val selected = args.lift(2)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Queries :+ "ivm")
     val spark = GraftSession.build("graft-scale-rehearsal")
     val out = java.nio.file.Files
       .createTempDirectory(s"graft_scale_x$factor").toString
@@ -71,7 +79,7 @@ object ScaleRehearsal {
       for (a <- once(); b <- once()) yield math.min(a, b)
     }
 
-    val rows = Queries.flatMap { q =>
+    val rows = selected.filterNot(Set("ivm", "cdc")).flatMap { q =>
       val t1 = timeBest2(q, base)
       val tN = timeBest2(q, out)
       (t1, tN) match {
@@ -82,12 +90,131 @@ object ScaleRehearsal {
           Some((q, a, b, exp))
         case _ => None
       }
-    }
+    } ++ (if (!selected.contains("ivm")) Nil else {
+      val a = ivmRefreshSeconds(spark, base)
+      val b = ivmRefreshSeconds(spark, out)
+      val exp = math.log(b / a) / math.log(factor.toDouble)
+      println(f"[scale] ivm_refresh_fixed_delta     base=$a%7.2fs " +
+        f"x$factor=$b%8.2fs exponent=$exp%5.2f")
+      Seq(("ivm_refresh_fixed_delta", a, b, exp))
+    }) ++ (if (!selected.contains("cdc")) Nil else {
+      val a = cdcMvFreshnessSeconds(spark, base)
+      val b = cdcMvFreshnessSeconds(spark, out)
+      val exp = math.log(b / a) / math.log(factor.toDouble)
+      println(f"[scale] cdc_mv_freshness_per_batch  base=$a%7.2fs " +
+        f"x$factor=$b%8.2fs exponent=$exp%5.2f")
+      Seq(("cdc_mv_freshness_per_batch", a, b, exp))
+    })
     val json = rows.map { case (q, a, b, e) =>
       f"""{"q":"$q","base_sec":$a%.3f,"scaled_sec":$b%.3f,"exponent":$e%.3f}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"scale_rehearsal","factor":$factor,"rows":$json}""")
     spark.stop()
+  }
+
+  /** Refresh seconds for a FIXED-size delta (100 updated + 100 new
+    * docs) against a base table built from `dir`'s documents — the
+    * operator-level rehearsal for [[graft.operators.Materialize
+    * .refresh]]. A delta-sized refresh (post round-10: the pre-image
+    * window's input is semi-join-pruned to delta PKs, the affected-
+    * group recompute was already pruned) stays ~flat as the base grows;
+    * the round-9 shape (lag window over the ENTIRE raw log) grew
+    * linearly with it. Build/ingest time is NOT counted — only the
+    * refresh call. */
+  private def ivmRefreshSeconds(spark: SparkSession, dir: String): Double = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_scale_ivm").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createTable("d", StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_chars", LongType))), pk = Seq("doc_id"))
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    cat.upsert("d", docs)
+    val mv = wh + "/mv"
+    graft.operators.Materialize.build(cat, "d",
+      Seq("source"), Seq("n_chars"), mv)
+    // fixed-size delta regardless of base size: 100 updates + 100 inserts
+    cat.upsert("d", docs.where(col("doc_id") < 100)
+      .withColumn("n_chars", col("n_chars") + 7))
+    cat.upsert("d", docs.where(col("doc_id") < 100)
+      .withColumn("doc_id", col("doc_id") + maxId + 1))
+    GraftSession.quiesce(spark)
+    val t0 = System.nanoTime()
+    graft.operators.Materialize.refresh(cat, "d", mv)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** CDC→MV freshness END TO END against `dir`'s documents: the
+    * Structured-Streaming ingest loop (foreachBatch: upsert + refresh)
+    * runs three micro-batches of fixed size (updates + inserts +
+    * fresh-source rows), and after EVERY batch the served state must
+    * equal the from-scratch batch recomputation over the current
+    * snapshot — a divergence throws inside foreachBatch and fails the
+    * rehearsal. Returns mean refresh+verify seconds per batch; the
+    * exponent vs a factor×-grown base measures that per-batch freshness
+    * cost tracks the DELTA under the round-10 delta-sized refresh plan,
+    * not the table. */
+  private def cdcMvFreshnessSeconds(spark: SparkSession,
+      dir: String): Double = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_scale_cdcmv").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createTable("d", StructType(Seq(
+      StructField("doc_id", LongType), StructField("source", StringType),
+      StructField("n_chars", LongType))), pk = Seq("doc_id"))
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val maxId = docs.agg(max(col("doc_id"))).head.getLong(0)
+    cat.upsert("d", docs)
+    val mv = wh + "/mv"
+    graft.operators.Materialize.build(cat, "d",
+      Seq("source"), Seq("n_chars"), mv)
+    // three fixed-size micro-batch files: updates (retractions for the
+    // MV), inserts, and rows under a brand-new grouping key
+    val in = java.nio.file.Files
+      .createTempDirectory("graft_scale_cdcin").toString
+    docs.where(col("doc_id") < 80)
+      .withColumn("n_chars", col("n_chars") + 13)
+      .coalesce(1).write.parquet(s"$in/b0")
+    docs.where(col("doc_id") < 80)
+      .withColumn("doc_id", col("doc_id") + maxId + 1)
+      .coalesce(1).write.parquet(s"$in/b1")
+    docs.where(col("doc_id") < 40)
+      .withColumn("doc_id", col("doc_id") + 2 * maxId + 2)
+      .withColumn("source", lit("live_feed"))
+      .coalesce(1).write.parquet(s"$in/b2")
+    val secs = scala.collection.mutable.ArrayBuffer[Double]()
+    val q = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+      .writeStream
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        cat.upsert("d", b)
+        val t0 = System.nanoTime()
+        graft.operators.Materialize.refresh(cat, "d", mv)
+        val served = graft.operators.Materialize.read(spark, mv)
+          .select(col("source"), col("cnt"), col("sum_n_chars"),
+            col("min_n_chars"), col("max_n_chars"))
+          .collect().map(_.toSeq).toSet
+        val expect = graft.operators.Materialize
+          .aggregate(cat.snapshot("d"), Seq("source"), Seq("n_chars"))
+          .select(col("source"), col("cnt"), col("sum_n_chars"),
+            col("min_n_chars"), col("max_n_chars"))
+          .collect().map(_.toSeq).toSet
+        if (served != expect) throw new IllegalStateException(
+          s"CDC->MV freshness diverged at micro-batch $id")
+        secs += (System.nanoTime() - t0) / 1e9
+        ()
+      }
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    require(secs.size == 3, s"expected 3 micro-batches, got ${secs.size}")
+    println(f"[scale] cdc_mv per-batch refresh+verify at $dir: " +
+      secs.map(s => f"$s%.2f").mkString("s, ") + "s")
+    secs.sum / secs.size
   }
 
   private[graft] def buildFixture(spark: SparkSession, base: String,
