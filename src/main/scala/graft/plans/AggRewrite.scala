@@ -94,6 +94,23 @@ object GraftAggViews {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, AggViewDef]()
 
+  /** Resolved grain expressions, keyed by (grain SQL, the base
+    * relation's attribute ids). The optimizer batch re-enters the rule
+    * up to fixedPoint times per query; without this cache a refused
+    * grain query re-paid parser + analyzer per iteration. Bounded: the
+    * key set grows one entry per distinct (registration, plan), so a
+    * long session clears rather than grows without bound. */
+  private[plans] val grainCache = new java.util.concurrent
+    .ConcurrentHashMap[String, Option[
+      org.apache.spark.sql.catalyst.expressions.Expression]]()
+  private[plans] def grainCached(key: String)(
+      compute: => Option[
+        org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    if (grainCache.size > 4096) grainCache.clear()
+    grainCache.computeIfAbsent(key, _ => compute)
+  }
+
   def register(basePath: String, view: AggViewDef): Unit =
     registry.put(norm(basePath), view)
   def drop(basePath: String): Unit = registry.remove(norm(basePath))
@@ -222,7 +239,9 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       : Option[(String, Expression, Option[String])] = e match {
     case t: TruncTimestamp => t.format match {
       case Literal(u, _) if u != null =>
-        canonUnit.get(u.toString.toLowerCase)
+        // Locale.ROOT: a Turkish-locale JVM lowercases "MINUTE" with a
+        // dotless i and the unit lookup would silently refuse the rewrite
+        canonUnit.get(u.toString.toLowerCase(java.util.Locale.ROOT))
           .map(cu => (cu, t.timestamp, t.timeZoneId))
       case _ => None
     }
@@ -247,20 +266,26 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => ""
     }
     // registered grain expressions resolved against THIS query's base
-    // relation attributes (exprIds are per-plan, so no cross-query
-    // cache); any parse/resolution failure refuses the grain, never
-    // crashes planning
-    lazy val grains: Seq[(String, Expression)] =
+    // relation attributes; cached by (sql, attribute ids) because the
+    // optimizer batch re-enters the rule up to fixedPoint times per
+    // query. Any parse/resolution failure refuses the grain (cached as
+    // None), never crashes planning.
+    lazy val grains: Seq[(String, Expression)] = {
+      val relKey = baseRel.output.map(_.exprId.id).mkString(",")
       view.grainExprs.toSeq.flatMap { case (colName, sqlText) =>
-        scala.util.Try {
-          val parsed = spark.sessionState.sqlParser.parseExpression(sqlText)
-          val analyzed = spark.sessionState.analyzer.execute(
-            Project(Seq(Alias(parsed, "__grain")()), baseRel))
-          analyzed.collectFirst {
-            case Project(Seq(Alias(e, "__grain")), _) => colName -> e
-          }
-        }.toOption.flatten
+        GraftAggViews.grainCached(s"$sqlText@$relKey") {
+          scala.util.Try {
+            val parsed =
+              spark.sessionState.sqlParser.parseExpression(sqlText)
+            val analyzed = spark.sessionState.analyzer.execute(
+              Project(Seq(Alias(parsed, "__grain")()), baseRel))
+            analyzed.collectFirst {
+              case Project(Seq(Alias(e, "__grain")), _) => e
+            }
+          }.toOption.flatten
+        }.map(colName -> _)
       }
+    }
     // state-side target for one query grouping expression, WITHOUT any
     // state I/O: (state column, optional (unit, tz) re-truncation) —
     // a plain view group column, an exact grain match, or an ALIGNED
@@ -359,8 +384,11 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val stateAttr: Map[String, Attribute] =
       state.output.map(a => a.name -> a).toMap
     // a stale/mismatched registration (state missing expected columns)
-    // must refuse the rewrite, never crash planning
-    val needed = view.groupCols ++ Seq("cnt") ++
+    // must refuse the rewrite, never crash planning — grain state
+    // columns included: a grainExprs key outside groupCols (or a state
+    // written without the grain column) would otherwise surface as a
+    // Map.apply crash in stateGroupExpr below
+    val needed = view.groupCols ++ view.grainExprs.keys ++ Seq("cnt") ++
       view.measures.flatMap(m =>
         Seq(s"cnt_$m", s"sum_$m", s"min_$m", s"max_$m"))
     if (!needed.forall(stateAttr.contains)) return None

@@ -1533,7 +1533,13 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
           if (close < 0) going = false // unbalanced: let the parser reject
           else {
             val arg = cur.substring(openIdx + 1, close)
-            if (arg.trim.toLowerCase.startsWith("select")) from = m.end
+            // subquery forms pass through to Spark's native quantified
+            // comparison — including parenthesized ones, (SELECT ...),
+            // which the balanced scan now captures whole
+            val inner = arg.trim.dropWhile(c => c == '(' ||
+              Character.isWhitespace(c))
+            if (inner.toLowerCase(java.util.Locale.ROOT)
+                .startsWith("select")) from = m.end
             else {
               val fn = if (m.group(3).equalsIgnoreCase("ANY")) "exists"
                        else "forall"
@@ -1601,8 +1607,9 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
             while (k < s.length && Character.isWhitespace(s.charAt(k))) {
               k += 1; moved = true
             }
-            if (k + 1 < s.length && s.charAt(k) == '-' &&
-                s.charAt(k + 1) == '-') {
+            if (k + 1 < s.length &&
+                ((s.charAt(k) == '-' && s.charAt(k + 1) == '-') ||
+                  (s.charAt(k) == '/' && s.charAt(k + 1) == '/'))) {
               k += 2
               while (k < s.length && s.charAt(k) != '\n') k += 1
               moved = true
@@ -1644,14 +1651,21 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
         }
         i = j
       }
+      else if ((c == '-' || c == '/') && i + 1 < s.length &&
+          (s.charAt(i + 1) == c ||
+            (c == '/' && s.charAt(i + 1) == '*'))) {
+        // comment openers consume BOTH chars, matching literalMask and
+        // normalizeQueryText — a one-char consume mis-lexed '/*/' as an
+        // open-and-immediately-closed comment. '//' is the reference's
+        // SL_COMMENT2 spelling: the SELECT pipeline normalizes it to
+        // '--' first, but the UPSERT/DELETE paths run on raw text.
+        if (s.charAt(i + 1) == '*') inBlock = true else inLine = true
+        sb.append(c).append(s.charAt(i + 1)); i += 2
+      }
       else {
         c match {
           case '\'' => inStr = true
           case '`' => inId = true
-          case '-' if i + 1 < s.length && s.charAt(i + 1) == '-' =>
-            inLine = true
-          case '/' if i + 1 < s.length && s.charAt(i + 1) == '*' =>
-            inBlock = true
           case _ =>
         }
         sb.append(c); i += 1

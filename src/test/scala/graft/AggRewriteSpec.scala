@@ -337,18 +337,50 @@ class AggRewriteSpec extends AnyFunSuite {
       assert(weekFromMonth.queryExecution.executedPlan.toString
         .contains(new java.io.File(base2).getName),
         "week from month-grain state must refuse (misaligned units)")
-      // ... while quarter/year from month state are aligned and serve
-      val qQ = spark.read.parquet(base2)
+      // ... while quarter/year from month state are aligned and serve.
+      // def, not val: a val Dataset caches its QueryExecution, so the
+      // disabled-conf baseline would re-run the SAME rewritten plan and
+      // the equality would be a tautology
+      def qQ = spark.read.parquet(base2)
         .groupBy(date_trunc("quarter", $"ts").as("q"))
         .agg(sum($"x").as("sx")).orderBy($"q")
       assert(qQ.queryExecution.executedPlan.toString
         .contains(new java.io.File(state2).getName))
+      val served = qQ.collect().map(_.toSeq).toSeq
       spark.conf.set(GraftAggViews.DisabledConf, "true")
       val expect =
-        try qQ.collect().map(_.toSeq).toSeq
-        finally spark.conf.unset(GraftAggViews.DisabledConf)
-      assert(qQ.collect().map(_.toSeq).toSeq == expect)
+        try {
+          val direct = qQ
+          assert(direct.queryExecution.executedPlan.toString
+            .contains(new java.io.File(base2).getName),
+            "baseline must scan the fact under the disabled conf")
+          direct.collect().map(_.toSeq).toSeq
+        } finally spark.conf.unset(GraftAggViews.DisabledConf)
+      assert(served == expect,
+        "quarter rollup from month-grain state diverged from the fact")
     } finally GraftAggViews.drop(base2)
+    // a grain registration whose state LACKS the grain column must
+    // refuse the rewrite (scan the fact), never crash planning with a
+    // Map.apply inside the optimizer rule
+    val base3 = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_grain3").toString
+    rows.toDF("k", "g", "ts", "x").write.mode("overwrite").parquet(base3)
+    val state3 = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_grainstate3").toString
+    Materialize.aggregate(spark.read.parquet(base3), Seq("g"), Seq("x"))
+      .write.mode("overwrite").parquet(state3) // no 'day' column!
+    GraftAggViews.register(base3,
+      GraftAggViews.AggViewDef(state3, Seq("g"), Seq("x"),
+        grainExprs = Map("day" -> "date_trunc('DAY', ts)")))
+    try {
+      val q3 = spark.read.parquet(base3)
+        .groupBy(date_trunc("day", $"ts").as("d"))
+        .agg(sum($"x").as("sx"))
+      assert(q3.queryExecution.executedPlan.toString
+        .contains(new java.io.File(base3).getName),
+        "missing grain state column must refuse, not crash")
+      q3.collect() // and execute cleanly
+    } finally GraftAggViews.drop(base3)
   }
 
   test("agg rewrite: non-deterministic residual refuses; scheme-" +

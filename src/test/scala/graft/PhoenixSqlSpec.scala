@@ -1001,6 +1001,36 @@ class PhoenixSqlSpec extends AnyFunSuite {
     px.execute("DELETE FROM BL WHERE V = x'01' '23 45'")
     assert(px.execute("SELECT K FROM BL").collect()
       .map(_.getLong(0)).toSeq == Seq(2L))
+    // the UPSERT path runs on RAW text, so the reference's '//' line
+    // comment (SL_COMMENT2) must separate continuations there too
+    px.execute("UPSERT INTO BL VALUES (3, x'0A' // c\n '0B')")
+    assert(px.execute("SELECT V FROM BL WHERE K = 3").collect()
+      .head.getAs[Array[Byte]](0).toSeq ==
+      Seq(0x0A.toByte, 0x0B.toByte))
+    // '/*/' is an OPEN comment ('/' after the opener is content, not a
+    // close): the scanner consumes both opener chars like literalMask/
+    // normalizeQueryText do — a one-char consume lexed the comment body
+    // as code and threw on the x'GG' inside it
+    assert(px.prepareQueryText("SELECT 1 /*/ x'GG' */ FROM t")
+      .contains("x'GG'"), "comment body must pass through unlexed")
+  }
+
+  test("ANY/ALL rewrite: nested calls rewrite via the balanced scan; " +
+      "parenthesized subqueries still pass through") {
+    val px = fresh()
+    // nested function argument (the old paren-free regex fell through)
+    val s1 = px.prepareQueryText(
+      "SELECT * FROM t WHERE v = ANY(array_distinct(tags))")
+    assert(s1.contains("exists(array_distinct(tags), __e -> v = __e)"),
+      s1)
+    // subquery forms are Spark-native quantified comparisons — bare AND
+    // parenthesized (the balanced scan captures the whole group now)
+    val s2 = px.prepareQueryText(
+      "SELECT * FROM t WHERE id = ANY(SELECT id FROM u)")
+    assert(s2.contains("ANY(SELECT id FROM u)"), s2)
+    val s3 = px.prepareQueryText(
+      "SELECT * FROM t WHERE id = ANY((SELECT id FROM u))")
+    assert(s3.contains("ANY((SELECT id FROM u))"), s3)
   }
 
   test("ragged multi-row VALUES arities fail cleanly") {
