@@ -233,20 +233,49 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       (fine == "month" && (coarse == "quarter" || coarse == "year")) ||
       (fine == "quarter" && coarse == "year")
 
-  /** `date_trunc(unit, ts)` deconstructed: (canonical unit, timestamp
-    * arg, timezone). */
-  private def truncOf(e: Expression)
-      : Option[(String, Expression, Option[String])] = e match {
+  /** A truncation deconstructed: canonical unit, truncated argument,
+    * kind tag (timestamp `date_trunc` vs date `trunc` — never
+    * cross-matched), and a rebuild for coarser re-truncation of a state
+    * column. */
+  private case class TruncInfo(unit: String, arg: Expression,
+      kind: String, rebuild: (String, Expression) => Expression)
+  private def truncOf(e: Expression): Option[TruncInfo] = e match {
     case t: TruncTimestamp => t.format match {
       case Literal(u, _) if u != null =>
         // Locale.ROOT: a Turkish-locale JVM lowercases "MINUTE" with a
         // dotless i and the unit lookup would silently refuse the rewrite
         canonUnit.get(u.toString.toLowerCase(java.util.Locale.ROOT))
-          .map(cu => (cu, t.timestamp, t.timeZoneId))
+          .map(cu => TruncInfo(cu, t.timestamp, "ts",
+            (nu, c) => TruncTimestamp(Literal(nu), c, t.timeZoneId)))
       case _ => None
     }
+    case t: org.apache.spark.sql.catalyst.expressions.TruncDate =>
+      t.format match {
+        case Literal(u, _) if u != null =>
+          canonUnit.get(u.toString.toLowerCase(java.util.Locale.ROOT))
+            .map(cu => TruncInfo(cu, t.date, "date",
+              (nu, c) => org.apache.spark.sql.catalyst.expressions
+                .TruncDate(c, Literal(nu))))
+        case _ => None
+      }
     case _ => None
   }
+
+  /** Equal-grain or ALIGNED-coarser match of a query truncation `e`
+    * against a resolved grain expression `ge`. Outer None = no match;
+    * Some(None) = equal grain (state column serves directly);
+    * Some(Some(f)) = coarser, serve f(stateColumn). */
+  private def grainMatch(e: Expression, ge: Expression)
+      : Option[Option[Expression => Expression]] =
+    if (e.semanticEquals(ge)) Some(None)
+    else (truncOf(e), truncOf(ge)) match {
+      case (Some(q), Some(g))
+          if q.kind == g.kind && q.arg.semanticEquals(g.arg) &&
+            alignedUnits(g.unit, q.unit) =>
+        if (q.unit == g.unit) Some(None)
+        else Some(Some(st => q.rebuild(q.unit, st)))
+      case _ => None
+    }
 
   private def rewrite(groupings: Seq[Expression],
       outputs: Seq[NamedExpression], child: LogicalPlan)
@@ -287,11 +316,11 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     }
     // state-side target for one query grouping expression, WITHOUT any
-    // state I/O: (state column, optional (unit, tz) re-truncation) —
-    // a plain view group column, an exact grain match, or an ALIGNED
-    // coarser date_trunc re-truncating the state's grain column
+    // state I/O: (state column, optional state-column transform) — a
+    // plain view group column, an exact grain match, or an ALIGNED
+    // coarser truncation re-truncating the state's grain column
     def groupKey(e0: Expression)
-        : Option[(String, Option[(String, Option[String])])] = {
+        : Option[(String, Option[Expression => Expression])] = {
       val e = deref(e0)
       e match {
         case a: AttributeReference if view.groupCols.contains(a.name) &&
@@ -299,14 +328,7 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           Some((a.name, None))
         case _ =>
           grains.collectFirst(Function.unlift { case (colName, ge) =>
-            if (e.semanticEquals(ge)) Some((colName, None))
-            else (truncOf(e), truncOf(ge)) match {
-              case (Some((uq, tq, tzq)), Some((ug, tg, _)))
-                  if tq.semanticEquals(tg) && alignedUnits(ug, uq) =>
-                if (uq == ug) Some((colName, None))
-                else Some((colName, Some((uq, tzq))))
-              case _ => None
-            }
+            grainMatch(e, ge).map(f => (colName, f))
           })
       }
     }
@@ -330,16 +352,38 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           strippedGroupings.indexWhere(g => deref(g).semanticEquals(d))
         if (idx >= 0) Some(idx) else None
     }
-    // a residual filter must touch only GROUP columns — a measure
-    // predicate filters individual fact rows, which the state can't
-    // see — and must be DETERMINISTIC: a reference-free predicate like
-    // rand() < p passes the subset check yet means "sample fact ROWS",
-    // which re-applied to one-row-per-group state keeps whole groups
-    if (!residual.forall(c => c.deterministic &&
-        c.references.toSeq.collect { case a: AttributeReference =>
-          baseName(a) }.toSet
-          .subsetOf(view.groupCols.toSet -- view.grainExprs.keySet)))
-      return None
+    // a residual filter must be expressible over the STATE's group
+    // columns — a measure predicate filters individual fact rows, which
+    // the state can't see — and must be DETERMINISTIC: a reference-free
+    // predicate like rand() < p passes the reference check yet means
+    // "sample fact ROWS", which re-applied to one-row-per-group state
+    // keeps whole groups. Grain expressions INSIDE the filter map onto
+    // the state's grain column ("WHERE date_trunc('day', ts) = D"
+    // serves as "WHERE day = D" — the dashboard shape; an aligned
+    // COARSER truncation re-truncates the grain column first).
+    val residualMapped: Option[Option[Expression]] = residual match {
+      case None => Some(None)
+      case Some(c0) if !c0.deterministic => None
+      case Some(c0) =>
+        val placeholders = scala.collection.mutable.Set[Long]()
+        val c = deref(c0).transformUp {
+          case e if grains.exists(g => grainMatch(e, g._2).isDefined) =>
+            val (colName, ge) =
+              grains.find(g => grainMatch(e, g._2).isDefined).get
+            val ph = AttributeReference(colName, ge.dataType)()
+            placeholders += ph.exprId.id
+            grainMatch(e, ge).get.map(f => f(ph)).getOrElse(ph)
+        }
+        val plainAllowed = view.groupCols.toSet -- view.grainExprs.keySet
+        val ok = c.references.toSeq.forall {
+          case a: AttributeReference =>
+            placeholders.contains(a.exprId.id) ||
+              plainAllowed.contains(baseName(a))
+          case _ => false
+        }
+        if (ok) Some(Some(c)) else None
+    }
+    if (residualMapped.isEmpty) return None
     // answerability PRE-CHECK before any state I/O: pattern-only, no
     // attributes needed — a bailing query (decimal avg, DISTINCT) must
     // not pay a parquet schema read per planning pass
@@ -401,11 +445,10 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // the state-side expression for a mapped grouping: the state column
     // itself, or a coarser re-truncation of the state's grain column
     def stateGroupExpr(
-        t: (String, Option[(String, Option[String])])): Expression =
+        t: (String, Option[Expression => Expression])): Expression =
       t match {
         case (c, None) => stateAttr(c)
-        case (c, Some((unit, tz))) =>
-          TruncTimestamp(Literal(unit), stateAttr(c), tz)
+        case (c, Some(f)) => f(stateAttr(c))
       }
 
     val newOutputs: Seq[NamedExpression] = outputs.map {
@@ -456,8 +499,10 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // row) — and the SAME shape serves the rollup case, so emit one
     // form: Aggregate over the (possibly filtered) state keyed by the
     // queried columns
-    val source = residual match {
+    val source = residualMapped.get match {
       case Some(cond) =>
+        // placeholders and plain group references both carry the state
+        // column's NAME — remap by name onto the state's attributes
         val remapped = cond.transformUp {
           case a: AttributeReference => stateAttr(a.name)
         }

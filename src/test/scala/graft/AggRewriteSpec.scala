@@ -383,6 +383,81 @@ class AggRewriteSpec extends AnyFunSuite {
     } finally GraftAggViews.drop(base3)
   }
 
+  test("agg rewrite: trunc(DATE) grain serves equal and coarser; " +
+      "grain-expression residual filters map onto the state's grain " +
+      "column") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_dgrain").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_dgrainstate").toString
+    val rows = (0 until 300).map { i =>
+      (i.toLong, s"s${i % 3}",
+        java.sql.Date.valueOf(
+          f"2024-${1 + i % 12}%02d-${1 + i % 27}%02d"),
+        (i * 17 % 89).toLong)
+    }
+    rows.toDF("k", "g", "d", "x").write.mode("overwrite").parquet(base)
+    Materialize.aggregate(
+        spark.read.parquet(base).withColumn("mon", trunc($"d", "MM")),
+        Seq("g", "mon"), Seq("x"))
+      .write.mode("overwrite").parquet(statePath)
+    GraftAggViews.register(base,
+      GraftAggViews.AggViewDef(statePath, Seq("g", "mon"), Seq("x"),
+        grainExprs = Map("mon" -> "trunc(d, 'MM')")))
+    val stateName = new java.io.File(statePath).getName
+    val baseName = new java.io.File(base).getName
+    def baseline(df: => org.apache.spark.sql.DataFrame) = {
+      spark.conf.set(GraftAggViews.DisabledConf, "true")
+      try df.collect().map(_.toSeq).toSeq
+      finally spark.conf.unset(GraftAggViews.DisabledConf)
+    }
+    try {
+      // equal DATE grain, different unit spelling ('mon' vs 'MM')
+      def monQ = spark.read.parquet(base)
+        .groupBy(trunc($"d", "mon").as("m"))
+        .agg(sum($"x").as("sx"), count(lit(1)).as("n")).orderBy($"m")
+      assert(monQ.queryExecution.executedPlan.toString.contains(stateName),
+        s"equal trunc(DATE) grain must scan the state:\n" +
+          monQ.queryExecution.executedPlan)
+      assert(monQ.collect().map(_.toSeq).toSeq == baseline(monQ))
+      // coarser DATE grain: year from month state
+      def yearQ = spark.read.parquet(base)
+        .groupBy(trunc($"d", "year").as("y"))
+        .agg(sum($"x").as("sx"), max($"x").as("mx")).orderBy($"y")
+      assert(yearQ.queryExecution.executedPlan.toString
+        .contains(stateName))
+      assert(yearQ.collect().map(_.toSeq).toSeq == baseline(yearQ))
+      // residual filter ON the grain expression: served as a state
+      // filter on the grain column (the dashboard shape)
+      def filtQ = spark.read.parquet(base)
+        .where(trunc($"d", "MM") === lit(
+          java.sql.Date.valueOf("2024-03-01")))
+        .groupBy($"g").agg(sum($"x").as("sx")).orderBy($"g")
+      assert(filtQ.queryExecution.executedPlan.toString
+        .contains(stateName),
+        s"grain-expression filter must not refuse:\n" +
+          filtQ.queryExecution.executedPlan)
+      assert(filtQ.collect().map(_.toSeq).toSeq == baseline(filtQ))
+      // COARSER truncation inside the filter: year predicate on month
+      // state re-truncates the grain column
+      def yfiltQ = spark.read.parquet(base)
+        .where(trunc($"d", "year") === lit(
+          java.sql.Date.valueOf("2024-01-01")))
+        .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+      assert(yfiltQ.queryExecution.executedPlan.toString
+        .contains(stateName))
+      assert(yfiltQ.collect().map(_.toSeq).toSeq == baseline(yfiltQ))
+      // a filter on the RAW date column (not through the grain) still
+      // refuses — the state cannot see sub-month date boundaries
+      val rawQ = spark.read.parquet(base)
+        .where($"d" >= lit(java.sql.Date.valueOf("2024-03-15")))
+        .groupBy($"g").agg(sum($"x").as("sx"))
+      assert(rawQ.queryExecution.executedPlan.toString.contains(baseName),
+        "raw date-column filter must refuse the rewrite")
+    } finally GraftAggViews.drop(base)
+  }
+
   test("agg rewrite: non-deterministic residual refuses; scheme-" +
       "qualified registrations (file:///) key and resolve correctly") {
     import spark.implicits._
