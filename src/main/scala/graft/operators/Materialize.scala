@@ -47,12 +47,32 @@ import graft.sources.GraftCatalog
   */
 object Materialize {
 
+  /** Derived GRAIN group columns (e.g. a daily rollup's
+    * `day = date_trunc('DAY', ts)`): computed from each row wherever
+    * rows are grouped — the snapshot build, the delta's post/pre
+    * images, the expiry slice, and the affected-group recompute — so
+    * the incremental fold algebra is untouched (a grain column is just
+    * a group column whose value is derivable from the row). Names must
+    * appear in `groupCols`; expressions are SQL over the table's
+    * columns and are persisted in the meta pointer so refresh re-derives
+    * them without the caller. */
+  private def withGrains(df: DataFrame,
+      grains: Seq[(String, String)]): DataFrame =
+    grains.foldLeft(df) { case (d, (c, sql)) => d.withColumn(c, expr(sql)) }
+
+  private def grainsOf(meta: org.apache.spark.sql.Row)
+      : Seq[(String, String)] =
+    if (!meta.schema.fieldNames.contains("grain_cols")) Seq.empty
+    else meta.getSeq[String](meta.fieldIndex("grain_cols"))
+      .zip(meta.getSeq[String](meta.fieldIndex("grain_sqls")))
+
   /** Full build: aggregate the current snapshot, persist it, record the
     * change-log high-water mark the state covers and the wall-clock
     * refresh point (the TTL expiry low-water mark for the next
     * incremental refresh). */
   def build(cat: GraftCatalog, table: String, groupCols: Seq[String],
-      measures: Seq[String], path: String): Long = {
+      measures: Seq[String], path: String,
+      grainExprs: Seq[(String, String)] = Seq.empty): Long = {
     val spark = cat.changeLog(table).sparkSession
     import spark.implicits._
     // sample the clock BEFORE constructing the snapshot: its TTL cutoff
@@ -78,12 +98,17 @@ object Materialize {
         if (cand == cur) s"${cand}n${System.nanoTime()}" else cand
       case None => s"state_v$v"
     }
-    aggregate(cat.snapshot(table), groupCols, measures)
+    require(grainExprs.map(_._1).forall(groupCols.contains),
+      s"grain columns ${grainExprs.map(_._1)} must appear in " +
+        s"groupCols $groupCols")
+    aggregate(withGrains(cat.snapshot(table), grainExprs),
+        groupCols, measures)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/$stateDirName")
     Seq((v, groupCols, measures, ts, stateDirName,
-        cat.ttlSeconds(table).getOrElse(-1L)))
+        cat.ttlSeconds(table).getOrElse(-1L),
+        grainExprs.map(_._1), grainExprs.map(_._2)))
       .toDF("last_version", "group_cols", "measures", "refresh_ts",
-        "state_dir", "ttl_at_refresh")
+        "state_dir", "ttl_at_refresh", "grain_cols", "grain_sqls")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     v
   }
@@ -133,6 +158,7 @@ object Materialize {
     val lastV = meta.getLong(0)
     val groupCols = meta.getSeq[String](1)
     val measures = meta.getSeq[String](2)
+    val grains = grainsOf(meta)
     val ttl = cat.ttlSeconds(table)
     val nowMs = cat.clock()
     val rawLog = cat.changeLogRaw(table)
@@ -165,7 +191,7 @@ object Materialize {
       !meta.schema.fieldNames.contains("ttl_at_refresh") ||
         meta.getAs[Long]("ttl_at_refresh") != ttl.getOrElse(-1L)
     if (minV > lastV || !hasRefreshTs || ttlChanged)
-      return build(cat, table, groupCols, measures, path)
+      return build(cat, table, groupCols, measures, path, grains)
     val lastRefreshMs = meta.getAs[Long]("refresh_ts")
     // alive-at-now cutoff for post images; None ⇒ no expiry
     val nowCut = ttl.map(t => new java.sql.Timestamp(nowMs - t * 1000L))
@@ -211,12 +237,12 @@ object Materialize {
     // guarantee depends on the delta and the build producing identical
     // widened sum types for the type-strict unionByName merge below
     val postRows = aggregate(
-        changes.where(!col("_deleted") && aliveNow)
-          .select(fields.map(col): _*),
+        withGrains(changes.where(!col("_deleted") && aliveNow)
+          .select(fields.map(col): _*), grains),
         groupCols, measures)
       .withColumn("retr", lit(0))
-    val preRows = changes.where(hasPrev)
-      .select(fields.map(f => col(s"_prev.$f").as(f)): _*)
+    val preRows = withGrains(changes.where(hasPrev)
+        .select(fields.map(f => col(s"_prev.$f").as(f)): _*), grains)
       .groupBy(groupCols.map(col): _*)
       .agg((-count(lit(1))).as("cnt"), zeroMeasures: _*)
       .withColumn("retr", lit(1))
@@ -226,9 +252,9 @@ object Materialize {
     // legacy NULL stamps never expire.
     val expRows = (nowCut, lastCut) match {
       case (Some(nc), Some(lc)) =>
-        rawLog.where(col("_version") <= lastV && !col("_deleted") &&
-            col("_ts").isNotNull &&
-            col("_ts") >= lit(lc) && col("_ts") < lit(nc))
+        withGrains(rawLog.where(col("_version") <= lastV &&
+            !col("_deleted") && col("_ts").isNotNull &&
+            col("_ts") >= lit(lc) && col("_ts") < lit(nc)), grains)
           .groupBy(groupCols.map(col): _*)
           .agg(lit(0L).as("cnt"), zeroMeasures: _*)
           .withColumn("retr", lit(1))
@@ -251,7 +277,8 @@ object Materialize {
     val affCond = groupCols.map(c => col(c) <=> col(s"__a_$c"))
       .reduce(_ && _) // null-safe: NULL groups recompute too
     val recomputed = aggregate(
-      cat.snapshot(table).join(affected, affCond, "left_semi"),
+      withGrains(cat.snapshot(table), grains)
+        .join(affected, affCond, "left_semi"),
       groupCols, measures)
     // a distinct target dir always — an expiry-only refresh keeps the
     // version number, so suffix it to avoid overwriting the state
@@ -263,9 +290,9 @@ object Materialize {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/$newDir")
     import spark.implicits._
     Seq((newV, groupCols, measures, nowMs, newDir,
-        ttl.getOrElse(-1L)))
+        ttl.getOrElse(-1L), grains.map(_._1), grains.map(_._2)))
       .toDF("last_version", "group_cols", "measures", "refresh_ts",
-        "state_dir", "ttl_at_refresh")
+        "state_dir", "ttl_at_refresh", "grain_cols", "grain_sqls")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     newV
   }

@@ -675,6 +675,42 @@ object Pipeline {
       q
     },
 
+    // GRAIN IVM under the hard oracle: a DAY-grain MV (grain column
+    // derived per row, not stored) built over the events catalog, then
+    // maintained through inserts, CROSS-GRAIN updates (ts moved a day
+    // forward — the pre-image must retract from the OLD day's group),
+    // and a whole-type delete, refreshed ONCE, state read. The oracle
+    // recomputes the same day-grain aggregate over the final logical
+    // table — equality proves the derived-grain fold including
+    // retractions that move rows between grain groups.
+    "q_ivm_timegrain" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+      val wh = ivmWarehouse(dir + "#timegrain")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      cat.createTable("e", StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("ts", TimestampType),
+        StructField("user_id", LongType))), pk = Seq("event_id"))
+      val ev = Tables.t(s, dir, "events")
+        .select($"event_id", $"event_type", $"ts", $"user_id")
+      cat.upsert("e", ev.where($"event_id" % 5 =!= 0))
+      val mv = wh + "/mv"
+      graft.operators.Materialize.build(cat, "e",
+        Seq("event_type", "day"), Seq("user_id"), mv,
+        grainExprs = Seq("day" -> "date_trunc('DAY', ts)"))
+      cat.upsert("e", ev.where($"event_id" % 5 === 0))
+      cat.upsert("e", ev.where($"event_id" % 7 === 0)
+        .withColumn("ts", $"ts" + expr("INTERVAL 1 DAY")))
+      cat.delete("e", $"event_type" === "click")
+      graft.operators.Materialize.refresh(cat, "e", mv)
+      graft.operators.Materialize.read(s, mv)
+        .select($"event_type", $"day", $"cnt", $"sum_user_id",
+          $"min_user_id", $"max_user_id")
+        .orderBy($"event_type", $"day")
+    },
+
     // EXPRESSION-grain MV rewrite under the hard oracle: a DAY-grain
     // state (grain = date_trunc('DAY', ts), registered as an expression
     // over the base) serves a MONTH-grain query by re-truncating the
@@ -2020,6 +2056,21 @@ object Pipeline {
           AS return_rate
       FROM p LEFT JOIN r ON r.period = p.period AND r.lag = p.lag
       ORDER BY p.period, p.lag""",
+
+    "q_ivm_timegrain" -> """
+      WITH final AS (
+        SELECT event_id, event_type,
+          CASE WHEN event_id % 7 = 0 THEN ts + INTERVAL 1 DAY
+               ELSE ts END AS ts,
+          user_id
+        FROM events)
+      SELECT event_type, date_trunc('day', ts) AS day,
+        count(*) AS cnt,
+        CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+        min(user_id) AS min_user_id,
+        max(user_id) AS max_user_id
+      FROM final WHERE event_type <> 'click'
+      GROUP BY 1, 2 ORDER BY event_type, day""",
 
     "q_mv_rewrite_timegrain" -> """
       SELECT date_trunc('month', ts) AS m, event_type,
