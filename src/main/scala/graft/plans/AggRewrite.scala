@@ -91,8 +91,11 @@ object GraftAggViews {
       measures: Seq[String],
       grainExprs: Map[String, String] = Map.empty)
 
-  private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, AggViewDef]()
+  // several views may serve one base (a per-source rollup AND a
+  // per-(source, day) grain, say) — the reference picks among multiple
+  // candidate indexes the same way (cc/optimize/QueryOptimizer.java)
+  private val registry = new java.util.concurrent
+    .ConcurrentHashMap[String, Seq[AggViewDef]]()
 
   /** Resolved grain expressions, keyed by (grain SQL, the base
     * relation's attribute ids). The optimizer batch re-enters the rule
@@ -111,11 +114,18 @@ object GraftAggViews {
     grainCache.computeIfAbsent(key, _ => compute)
   }
 
+  /** Adds (or replaces, keyed by statePath) a view for `basePath`. */
   def register(basePath: String, view: AggViewDef): Unit =
-    registry.put(norm(basePath), view)
+    registry.compute(norm(basePath), (_, cur) =>
+      Option(cur).getOrElse(Seq.empty)
+        .filterNot(_.statePath == view.statePath) :+ view)
   def drop(basePath: String): Unit = registry.remove(norm(basePath))
-  def lookup(basePath: String): Option[AggViewDef] =
-    Option(registry.get(norm(basePath)))
+  /** Candidate views, COARSEST first (fewest group columns = smallest
+    * state = cheapest scan) — the rewrite takes the first that answers,
+    * so ties in answerability resolve to the cheapest candidate. */
+  def lookup(basePath: String): Seq[AggViewDef] =
+    Option(registry.get(norm(basePath))).getOrElse(Seq.empty)
+      .sortBy(_.groupCols.size)
 
   // normalize through the Hadoop Path/URI machinery so every spelling
   // of the same location ("file:///data/fact", "hdfs://nn:8020/data/
@@ -282,7 +292,19 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       : Option[LogicalPlan] = {
     val (path, residual, baseRel, sub) =
       scannedPath(child).getOrElse(return None)
-    val view = GraftAggViews.lookup(path).getOrElse(return None)
+    // candidates coarsest-first; the first that ANSWERS serves the
+    // query — MV selection, the aggregate-side analog of the
+    // reference's multi-index choice
+    GraftAggViews.lookup(path).iterator
+      .flatMap(v => tryView(v, groupings, outputs, residual, baseRel,
+        sub).iterator)
+      .nextOption()
+  }
+
+  private def tryView(view: GraftAggViews.AggViewDef,
+      groupings: Seq[Expression], outputs: Seq[NamedExpression],
+      residual: Option[Expression], baseRel: LogicalPlan,
+      sub: Map[ExprId, Expression]): Option[LogicalPlan] = {
     // express everything over the BASE relation's attributes (alias-only
     // Projects between the aggregate and the scan are a pure rename)
     def deref(e: Expression): Expression = e.transformUp {

@@ -383,6 +383,67 @@ class AggRewriteSpec extends AnyFunSuite {
     } finally GraftAggViews.drop(base3)
   }
 
+  test("agg rewrite: MULTI-VIEW selection — several states per base, " +
+      "the coarsest answering one serves each query") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_multi").toString
+    val stateG = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_multi_g").toString
+    val stateGD = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_multi_gd").toString
+    val rows = (0 until 200).map { i =>
+      (i.toLong, s"s${i % 3}",
+        java.sql.Timestamp.valueOf(
+          f"2024-${1 + i % 6}%02d-${1 + i % 25}%02d 10:00:00"),
+        (i * 7 % 53).toLong)
+    }
+    rows.toDF("k", "g", "ts", "x").write.mode("overwrite").parquet(base)
+    val fact = spark.read.parquet(base)
+    Materialize.aggregate(fact, Seq("g"), Seq("x"))
+      .write.mode("overwrite").parquet(stateG)
+    Materialize.aggregate(
+        fact.withColumn("day", date_trunc("DAY", $"ts")),
+        Seq("g", "day"), Seq("x"))
+      .write.mode("overwrite").parquet(stateGD)
+    // registration order is the FINE one first — selection must still
+    // pick the coarser (cheaper) state when both answer
+    GraftAggViews.register(base,
+      GraftAggViews.AggViewDef(stateGD, Seq("g", "day"), Seq("x"),
+        grainExprs = Map("day" -> "date_trunc('DAY', ts)")))
+    GraftAggViews.register(base,
+      GraftAggViews.AggViewDef(stateG, Seq("g"), Seq("x")))
+    def baseline(df: => org.apache.spark.sql.DataFrame) = {
+      spark.conf.set(GraftAggViews.DisabledConf, "true")
+      try df.collect().map(_.toSeq).toSeq
+      finally spark.conf.unset(GraftAggViews.DisabledConf)
+    }
+    try {
+      // source-only query: BOTH views answer; the 1-column state must
+      // win (smallest scan)
+      def srcQ = spark.read.parquet(base).groupBy($"g")
+        .agg(sum($"x").as("sx"), count(lit(1)).as("n")).orderBy($"g")
+      val srcPlan = srcQ.queryExecution.executedPlan.toString
+      assert(srcPlan.contains(new java.io.File(stateG).getName),
+        s"coarsest answering view must serve:\n$srcPlan")
+      assert(!srcPlan.contains(new java.io.File(stateGD).getName))
+      assert(srcQ.collect().map(_.toSeq).toSeq == baseline(srcQ))
+      // day query: only the grain view answers
+      def dayQ = spark.read.parquet(base)
+        .groupBy(date_trunc("day", $"ts").as("d"))
+        .agg(sum($"x").as("sx")).orderBy($"d")
+      assert(dayQ.queryExecution.executedPlan.toString
+        .contains(new java.io.File(stateGD).getName),
+        "only the grain view answers the day query")
+      assert(dayQ.collect().map(_.toSeq).toSeq == baseline(dayQ))
+      // re-registering the same statePath replaces, not duplicates
+      GraftAggViews.register(base,
+        GraftAggViews.AggViewDef(stateG, Seq("g"), Seq("x")))
+      assert(GraftAggViews.lookup(base).size == 2,
+        "same-statePath re-registration must replace")
+    } finally GraftAggViews.drop(base)
+  }
+
   test("agg rewrite: trunc(DATE) grain serves equal and coarser; " +
       "grain-expression residual filters map onto the state's grain " +
       "column") {
