@@ -114,11 +114,18 @@ object GraftAggViews {
     grainCache.computeIfAbsent(key, _ => compute)
   }
 
-  /** Adds (or replaces, keyed by statePath) a view for `basePath`. */
+  /** Adds a view for `basePath`. Replaces an existing entry with the
+    * same normalized statePath OR the same SHAPE (groupCols +
+    * grainExprs): re-registering a rebuilt state for the same grain is
+    * the supersede idiom the single-view registry had — keeping the
+    * old entry would keep serving the stale (still-on-disk) state. A
+    * different shape ADDS a candidate. */
   def register(basePath: String, view: AggViewDef): Unit =
     registry.compute(norm(basePath), (_, cur) =>
       Option(cur).getOrElse(Seq.empty)
-        .filterNot(_.statePath == view.statePath) :+ view)
+        .filterNot(v => norm(v.statePath) == norm(view.statePath) ||
+          (v.groupCols == view.groupCols &&
+            v.grainExprs == view.grainExprs)) :+ view)
   def drop(basePath: String): Unit = registry.remove(norm(basePath))
   /** Candidate views, COARSEST first (fewest group columns = smallest
     * state = cheapest scan) — the rewrite takes the first that answers,
@@ -248,14 +255,15 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * cross-matched), and a rebuild for coarser re-truncation of a state
     * column. */
   private case class TruncInfo(unit: String, arg: Expression,
-      kind: String, rebuild: (String, Expression) => Expression)
+      kind: String, tz: Option[String],
+      rebuild: (String, Expression) => Expression)
   private def truncOf(e: Expression): Option[TruncInfo] = e match {
     case t: TruncTimestamp => t.format match {
       case Literal(u, _) if u != null =>
         // Locale.ROOT: a Turkish-locale JVM lowercases "MINUTE" with a
         // dotless i and the unit lookup would silently refuse the rewrite
         canonUnit.get(u.toString.toLowerCase(java.util.Locale.ROOT))
-          .map(cu => TruncInfo(cu, t.timestamp, "ts",
+          .map(cu => TruncInfo(cu, t.timestamp, "ts", t.timeZoneId,
             (nu, c) => TruncTimestamp(Literal(nu), c, t.timeZoneId)))
       case _ => None
     }
@@ -263,7 +271,7 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       t.format match {
         case Literal(u, _) if u != null =>
           canonUnit.get(u.toString.toLowerCase(java.util.Locale.ROOT))
-            .map(cu => TruncInfo(cu, t.date, "date",
+            .map(cu => TruncInfo(cu, t.date, "date", None,
               (nu, c) => org.apache.spark.sql.catalyst.expressions
                 .TruncDate(c, Literal(nu))))
         case _ => None
@@ -281,7 +289,13 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     else (truncOf(e), truncOf(ge)) match {
       case (Some(q), Some(g))
           if q.kind == g.kind && q.arg.semanticEquals(g.arg) &&
-            alignedUnits(g.unit, q.unit) =>
+            alignedUnits(g.unit, q.unit) &&
+            // timestamp truncation boundaries are timezone-dependent:
+            // a query expression analyzed under a different session tz
+            // than the (freshly resolved) grain must NOT match — the
+            // unit/arg fallback would otherwise serve state bucketed
+            // at the wrong wall-clock boundaries
+            q.tz == g.tz =>
         if (q.unit == g.unit) Some(None)
         else Some(Some(st => q.rebuild(q.unit, st)))
       case _ => None
@@ -322,7 +336,12 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // query. Any parse/resolution failure refuses the grain (cached as
     // None), never crashes planning.
     lazy val grains: Seq[(String, Expression)] = {
-      val relKey = baseRel.output.map(_.exprId.id).mkString(",")
+      // session tz in the key: the analyzer stamps TruncTimestamp with
+      // the session timezone, so a tz change must re-resolve (the tz
+      // guard in grainMatch would otherwise refuse forever off a stale
+      // cached resolution)
+      val relKey = baseRel.output.map(_.exprId.id).mkString(",") +
+        "@" + spark.sessionState.conf.sessionLocalTimeZone
       view.grainExprs.toSeq.flatMap { case (colName, sqlText) =>
         GraftAggViews.grainCached(s"$sqlText@$relKey") {
           scala.util.Try {
@@ -389,12 +408,13 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Some(c0) =>
         val placeholders = scala.collection.mutable.Set[Long]()
         val c = deref(c0).transformUp {
-          case e if grains.exists(g => grainMatch(e, g._2).isDefined) =>
-            val (colName, ge) =
-              grains.find(g => grainMatch(e, g._2).isDefined).get
-            val ph = AttributeReference(colName, ge.dataType)()
-            placeholders += ph.exprId.id
-            grainMatch(e, ge).get.map(f => f(ph)).getOrElse(ph)
+          case e => grains.collectFirst(Function.unlift {
+            case (colName, ge) => grainMatch(e, ge).map { m =>
+              val ph = AttributeReference(colName, ge.dataType)()
+              placeholders += ph.exprId.id
+              m.map(f => f(ph)).getOrElse(ph): Expression
+            }
+          }).getOrElse(e)
         }
         val plainAllowed = view.groupCols.toSet -- view.grainExprs.keySet
         val ok = c.references.toSeq.forall {

@@ -441,6 +441,21 @@ class AggRewriteSpec extends AnyFunSuite {
         GraftAggViews.AggViewDef(stateG, Seq("g"), Seq("x")))
       assert(GraftAggViews.lookup(base).size == 2,
         "same-statePath re-registration must replace")
+      // the SUPERSEDE idiom: registering a REBUILT state under a new
+      // directory for the SAME shape replaces the old entry — keeping
+      // it would keep serving the stale (still-on-disk) state
+      val stateG2 = java.nio.file.Files
+        .createTempDirectory("graft_aggrw_multi_g2").toString
+      Materialize.aggregate(fact, Seq("g"), Seq("x"))
+        .write.mode("overwrite").parquet(stateG2)
+      GraftAggViews.register(base,
+        GraftAggViews.AggViewDef(stateG2, Seq("g"), Seq("x")))
+      assert(GraftAggViews.lookup(base).size == 2,
+        "same-shape re-registration must supersede, not accumulate")
+      val srcPlan2 = srcQ.queryExecution.executedPlan.toString
+      assert(srcPlan2.contains(new java.io.File(stateG2).getName) &&
+        !srcPlan2.contains(new java.io.File(stateG).getName),
+        s"queries must serve from the superseding state:\n$srcPlan2")
     } finally GraftAggViews.drop(base)
   }
 
