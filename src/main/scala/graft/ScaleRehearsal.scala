@@ -153,7 +153,9 @@ object ScaleRehearsal {
     * fresh-source rows), and after EVERY batch the served state must
     * equal the from-scratch batch recomputation over the current
     * snapshot — a divergence throws inside foreachBatch and fails the
-    * rehearsal. Returns mean refresh+verify seconds per batch; the
+    * rehearsal. Returns mean refresh+read seconds per batch (the
+    * verify recompute runs OUTSIDE the timed window — it is O(table)
+    * by design and would confound the exponent); the
     * exponent vs a factor×-grown base measures that per-batch freshness
     * cost tracks the DELTA under the round-10 delta-sized refresh plan,
     * not the table. */
@@ -193,12 +195,18 @@ object ScaleRehearsal {
       .writeStream
       .foreachBatch { (b: DataFrame, id: Long) =>
         cat.upsert("d", b)
+        // timed window = refresh + state read ONLY. The correctness
+        // verify below recomputes from the full snapshot — O(table) by
+        // design — and timing it would make the exponent read ~1 at
+        // exactly the factor where a delta-sized refresh should read
+        // flat, confounding the conclusion this rehearsal exists for.
         val t0 = System.nanoTime()
         graft.operators.Materialize.refresh(cat, "d", mv)
         val served = graft.operators.Materialize.read(spark, mv)
           .select(col("source"), col("cnt"), col("sum_n_chars"),
             col("min_n_chars"), col("max_n_chars"))
           .collect().map(_.toSeq).toSet
+        secs += (System.nanoTime() - t0) / 1e9
         val expect = graft.operators.Materialize
           .aggregate(cat.snapshot("d"), Seq("source"), Seq("n_chars"))
           .select(col("source"), col("cnt"), col("sum_n_chars"),
@@ -206,13 +214,12 @@ object ScaleRehearsal {
           .collect().map(_.toSeq).toSet
         if (served != expect) throw new IllegalStateException(
           s"CDC->MV freshness diverged at micro-batch $id")
-        secs += (System.nanoTime() - t0) / 1e9
         ()
       }
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
     require(secs.size == 3, s"expected 3 micro-batches, got ${secs.size}")
-    println(f"[scale] cdc_mv per-batch refresh+verify at $dir: " +
+    println(f"[scale] cdc_mv per-batch refresh+read at $dir: " +
       secs.map(s => f"$s%.2f").mkString("s, ") + "s")
     secs.sum / secs.size
   }

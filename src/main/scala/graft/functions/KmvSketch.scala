@@ -122,8 +122,16 @@ object KmvAgg {
     * amortizes to nothing (the Apache DataSketches Theta update-sketch
     * design). */
   final class Sketch(val k: Int) {
-    private val cap = Integer.highestOneBit(math.max(64, 2 * k) - 1) << 1
-    private val table = new Array[Long](cap)
+    // table capacity GROWS geometrically toward capMax instead of
+    // preallocating 2k slots: an exact-regime k of 2^20 would otherwise
+    // pin a 16 MB buffer per group per task from the first row — per-
+    // period retention shapes hold #periods × tasks buffers at once,
+    // gigabytes of transient memory for sketches that may only ever see
+    // a few thousand values. Start at 8 KB and double on fill; only a
+    // sketch that genuinely approaches k distinct hashes reaches capMax.
+    private val capMax = Integer.highestOneBit(math.max(64, 2 * k) - 1) << 1
+    private var cap = math.min(capMax, 1024)
+    private var table = new Array[Long](cap)
     private var n = 0 // resident entries (incl. the tracked zero)
     private var hasZero = false
     private var saturated = false // θ valid only after first compaction
@@ -153,7 +161,27 @@ object KmvAgg {
     }
 
     private def maybeCompact(): Unit =
-      if (n >= (cap >> 2) * 3) compact()
+      if (n >= (cap >> 2) * 3) {
+        if (cap < capMax) grow() else compact()
+      }
+
+    // double the table and rehash — resident set unchanged, so the
+    // sketch's value semantics don't depend on the growth schedule
+    private def grow(): Unit = {
+      val old = table
+      cap = cap << 1
+      table = new Array[Long](cap)
+      var i = 0
+      while (i < old.length) {
+        val h = old(i)
+        if (h != 0L) {
+          var j = (scramble(h) & (cap - 1)).toInt
+          while (table(j) != 0L) j = (j + 1) & (cap - 1)
+          table(j) = h
+        }
+        i += 1
+      }
+    }
 
     private def compact(): Unit = {
       val kept = resident()

@@ -106,9 +106,11 @@ object Materialize {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/$stateDirName")
     Seq((v, groupCols, measures, ts, stateDirName,
         cat.ttlSeconds(table).getOrElse(-1L),
-        grainExprs.map(_._1), grainExprs.map(_._2)))
+        grainExprs.map(_._1), grainExprs.map(_._2),
+        spark.conf.get("spark.sql.session.timeZone")))
       .toDF("last_version", "group_cols", "measures", "refresh_ts",
-        "state_dir", "ttl_at_refresh", "grain_cols", "grain_sqls")
+        "state_dir", "ttl_at_refresh", "grain_cols", "grain_sqls",
+        "grain_tz")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     v
   }
@@ -190,7 +192,18 @@ object Materialize {
     val ttlChanged =
       !meta.schema.fieldNames.contains("ttl_at_refresh") ||
         meta.getAs[Long]("ttl_at_refresh") != ttl.getOrElse(-1L)
-    if (minV > lastV || !hasRefreshTs || ttlChanged)
+    // grain SQL (date_trunc over a timestamp) evaluates under the
+    // SESSION timezone: a refresh from a different-tz session would
+    // derive post/pre/expiry grain values at boundaries the persisted
+    // state's groups don't use — phantom negative groups, stale real
+    // ones, silently. The build tz rides the meta; any mismatch (or a
+    // grain meta predating the field) is only correct as a rebuild,
+    // which re-derives every group under the CURRENT session tz.
+    val sessionTz = spark.conf.get("spark.sql.session.timeZone")
+    val grainTzChanged = grains.nonEmpty &&
+      (!meta.schema.fieldNames.contains("grain_tz") ||
+        meta.getAs[String]("grain_tz") != sessionTz)
+    if (minV > lastV || !hasRefreshTs || ttlChanged || grainTzChanged)
       return build(cat, table, groupCols, measures, path, grains)
     val lastRefreshMs = meta.getAs[Long]("refresh_ts")
     // alive-at-now cutoff for post images; None ⇒ no expiry
@@ -290,9 +303,11 @@ object Materialize {
       .write.mode(SaveMode.Overwrite).parquet(s"$path/$newDir")
     import spark.implicits._
     Seq((newV, groupCols, measures, nowMs, newDir,
-        ttl.getOrElse(-1L), grains.map(_._1), grains.map(_._2)))
+        ttl.getOrElse(-1L), grains.map(_._1), grains.map(_._2),
+        sessionTz))
       .toDF("last_version", "group_cols", "measures", "refresh_ts",
-        "state_dir", "ttl_at_refresh", "grain_cols", "grain_sqls")
+        "state_dir", "ttl_at_refresh", "grain_cols", "grain_sqls",
+        "grain_tz")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     newV
   }

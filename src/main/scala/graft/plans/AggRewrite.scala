@@ -116,16 +116,20 @@ object GraftAggViews {
 
   /** Adds a view for `basePath`. Replaces an existing entry with the
     * same normalized statePath OR the same SHAPE (groupCols +
-    * grainExprs): re-registering a rebuilt state for the same grain is
-    * the supersede idiom the single-view registry had — keeping the
-    * old entry would keep serving the stale (still-on-disk) state. A
-    * different shape ADDS a candidate. */
+    * grainExprs + measure set): re-registering a rebuilt state for the
+    * same grain and measures is the supersede idiom the single-view
+    * registry had — keeping the old entry would keep serving the stale
+    * (still-on-disk) state. A different shape ADDS a candidate — in
+    * particular two views over the same grouping that cover DIFFERENT
+    * measure families coexist (each answers its own queries), which is
+    * why the measure set is part of the shape. */
   def register(basePath: String, view: AggViewDef): Unit =
     registry.compute(norm(basePath), (_, cur) =>
       Option(cur).getOrElse(Seq.empty)
         .filterNot(v => norm(v.statePath) == norm(view.statePath) ||
           (v.groupCols == view.groupCols &&
-            v.grainExprs == view.grainExprs)) :+ view)
+            v.grainExprs == view.grainExprs &&
+            v.measures.toSet == view.measures.toSet)) :+ view)
   def drop(basePath: String): Unit = registry.remove(norm(basePath))
   /** Candidate views, COARSEST first (fewest group columns = smallest
     * state = cheapest scan) — the rewrite takes the first that answers,

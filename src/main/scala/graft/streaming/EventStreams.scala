@@ -15,6 +15,27 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** Pass-through streams append gate-OWNED output columns to the input
+    * row; an input column with one of those names would emit duplicate/
+    * ambiguous columns downstream (or be silently clobbered by
+    * withColumn). One guard for all of them: drop the colliding input
+    * columns with a loud warning — rename before the gate to keep the
+    * originals. Comparison is CASE-INSENSITIVE to match Spark's default
+    * resolver (spark.sql.caseSensitive=false): an input `CLEAN_TEXT` is
+    * just as ambiguous against the gate's `clean_text` as an exact-case
+    * clash. */
+  private def guardReserved(fn: String, cols: Seq[String],
+      reserved: Set[String]): Seq[String] = {
+    val resLc = reserved.map(_.toLowerCase(java.util.Locale.ROOT))
+    val (collisions, passthrough) =
+      cols.partition(c => resLc.contains(c.toLowerCase(java.util.Locale.ROOT)))
+    if (collisions.nonEmpty) System.err.println(
+      s"[graft-stream] $fn drops input column(s) " +
+        s"${collisions.mkString(", ")}: the gate owns these output " +
+        "names — rename them before the gate to keep the originals")
+    passthrough
+  }
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -96,12 +117,15 @@ object EventStreams {
     * ingests a known duplicate in the first place. */
   def dedupIngestStream(docs: DataFrame, textCol: String,
       tsCol: String, corpusFps: DataFrame,
-      watermark: String = "2 hours"): DataFrame =
-    docs
+      watermark: String = "2 hours"): DataFrame = {
+    val kept = guardReserved("dedupIngestStream",
+      docs.columns.toSeq, Set("fp")).toSet
+    docs.select(docs.columns.filter(kept).map(col).toSeq: _*)
       .withColumn("fp", graft.operators.Dedup.fingerprint(col(textCol)))
       .join(corpusFps.select(col("fp")).distinct(), Seq("fp"), "left_anti")
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("fp")
+  }
 
   /** Streaming windowed active-user counts: watermarked tumbling
     * windows × approx_count_distinct(user) — the live form of the
@@ -147,20 +171,12 @@ object EventStreams {
     // composition with an UNRESOLVED_COLUMN at the next stage
     val passthrough0 = docs.columns.filterNot(c =>
       c == idCol || c == textCol).toSeq
-    // the gate OWNS these output names (idCol is aliased to "id"): an
-    // input column with the same name would emit DUPLICATE columns and
-    // make every downstream reference ambiguous. Such inputs are
-    // dropped with a loud warning (corpora routinely arrive with their
-    // own `lang`; the gate's fresh value supersedes it) — rename before
-    // the gate to keep the original.
-    val reserved =
+    // the gate OWNS these output names (idCol is aliased to "id"):
+    // corpora routinely arrive with their own `lang`; the gate's fresh
+    // value supersedes it — see guardReserved
+    val passthrough = guardReserved("curateStream", passthrough0,
       Set("id", "clean_text", "n_sentences", "lang", "blocked", "keep",
-        "has_lorem", "has_brace", "c4")
-    val (collisions, passthrough) = passthrough0.partition(reserved.contains)
-    if (collisions.nonEmpty) System.err.println(
-      s"[graft-stream] curateStream drops input column(s) " +
-        s"${collisions.mkString(", ")}: the gate owns these output " +
-        "names — rename them before the gate to keep the originals")
+        "has_lorem", "has_brace", "c4"))
     docs
       .where(col(textCol).isNotNull)
       // struct projected ONCE, fields picked in the next select — the
@@ -237,7 +253,15 @@ object EventStreams {
       }
       (lines.length.toLong, kept.length.toLong, kept.mkString(sep))
     })
-    docs
+    // drop (with a warning) input columns the filter owns — withColumn
+    // would silently CLOBBER them otherwise (same hazard class as
+    // curateStream's duplicate columns, different failure mode). The
+    // text column itself is exempt: naming it `text_clean` just means
+    // the cleaned text replaces the raw in place, which is coherent.
+    val kept = guardReserved("lineFilterStream",
+      docs.columns.toSeq.filterNot(_ == textCol),
+      Set("n_lines", "n_kept", "text_clean", "__c")).toSet + textCol
+    docs.select(docs.columns.filter(kept).map(col).toSeq: _*)
       .withColumn("__c", clean(coalesce(col(textCol), lit(""))))
       .withColumn("n_lines", col("__c._1"))
       .withColumn("n_kept", col("__c._2"))

@@ -456,6 +456,22 @@ class AggRewriteSpec extends AnyFunSuite {
       assert(srcPlan2.contains(new java.io.File(stateG2).getName) &&
         !srcPlan2.contains(new java.io.File(stateG).getName),
         s"queries must serve from the superseding state:\n$srcPlan2")
+      // same grouping, DIFFERENT measure set = a different shape: a
+      // per-measure-family split over one grouping must COEXIST, not
+      // evict — supersede used to match on (groupCols, grainExprs)
+      // alone and silently dropped the still-valid sibling
+      val stateGY = java.nio.file.Files
+        .createTempDirectory("graft_aggrw_multi_gy").toString
+      Materialize.aggregate(fact, Seq("g"), Seq("k"))
+        .write.mode("overwrite").parquet(stateGY)
+      GraftAggViews.register(base,
+        GraftAggViews.AggViewDef(stateGY, Seq("g"), Seq("k")))
+      assert(GraftAggViews.lookup(base).size == 3,
+        "a different measure set over the same grouping must ADD, " +
+          s"not supersede: ${GraftAggViews.lookup(base)}")
+      val srcPlan3 = srcQ.queryExecution.executedPlan.toString
+      assert(srcPlan3.contains(new java.io.File(stateG2).getName),
+        s"the x-measure query must still serve from its view:\n$srcPlan3")
     } finally GraftAggViews.drop(base)
   }
 

@@ -835,6 +835,53 @@ class CatalogSpec extends AnyFunSuite {
     } finally GraftAggViews.drop(facts)
   }
 
+  test("GRAIN IVM: a refresh from a DIFFERENT session timezone " +
+      "rebuilds instead of folding deltas into wrong-boundary groups") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val cat = freshCatalog()
+    cat.createTable("evz", StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType),
+      StructField("v", LongType))), pk = Seq("id"))
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // 02:00 UTC instants: under America/New_York they fall on the
+    // PREVIOUS calendar day — the exact divergence the tz guard exists
+    // for (date_trunc evaluates under the session tz)
+    cat.upsert("evz", Seq(
+      (1L, t("2024-03-01 02:00:00"), 5L),
+      (2L, t("2024-03-01 15:00:00"), 7L)).toDF("id", "ts", "v"))
+    val mv = java.nio.file.Files
+      .createTempDirectory("graft_mv_grain_tz").toString
+    Materialize.build(cat, "evz", Seq("day"), Seq("v"), mv,
+      grainExprs = Seq("day" -> "date_trunc('DAY', ts)"))
+    cat.upsert("evz",
+      Seq((3L, t("2024-03-02 02:00:00"), 11L)).toDF("id", "ts", "v"))
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      Materialize.refresh(cat, "evz", mv)
+      val got = Materialize.read(spark, mv)
+        .select($"day", $"cnt", $"sum_v")
+        .collect().map(_.toSeq).toSet
+      // correct answer = the aggregate derived UNDER THE CURRENT tz;
+      // a tz-blind incremental fold would have produced phantom
+      // NY-boundary groups alongside stale UTC-boundary ones
+      val expect = Materialize.aggregate(
+          cat.snapshot("evz").withColumn("day", date_trunc("DAY", $"ts")),
+          Seq("day"), Seq("v"))
+        .select($"day", $"cnt", $"sum_v")
+        .collect().map(_.toSeq).toSet
+      assert(got == expect,
+        s"tz-mismatched refresh must rebuild:\n got=$got\n exp=$expect")
+      // the fixture genuinely exercises the divergence: under NY the
+      // 02:00-UTC rows shift a day back, giving groups (Feb 29: id1)
+      // and (Mar 1: id2+id3) — sums 5 and 18. The UTC grouping would
+      // be 12 and 11; a corrupt fold, phantom negatives.
+      assert(got.exists(r => r(1) == 1L && r(2) == 5L) &&
+        got.exists(r => r(1) == 2L && r(2) == 18L),
+        s"NY day boundaries must regroup the rows: $got")
+    } finally spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   test("streaming ingest keeps the materialized aggregate current " +
       "per micro-batch") {
     import spark.implicits._
@@ -1402,6 +1449,27 @@ class CatalogSpec extends AnyFunSuite {
       s"duplicate lang column: ${gated.columns.mkString(",")}")
     assert(gated.collect().head.getAs[String]("lang") != "xx",
       "the gate's computed lang must supersede the input's")
+    // the guard matches Spark's CASE-INSENSITIVE resolver: an input
+    // `CLEAN_TEXT` is just as ambiguous against the gate's clean_text
+    // as an exact-case clash (it used to slip past a case-sensitive
+    // check and crash the very next withColumn with AMBIGUOUS_REFERENCE)
+    val caseVariant = Seq((1L, "raw", "One. Two. Three. Doc text here."))
+      .toDF("doc_id", "CLEAN_TEXT", "text")
+    val gated2 = EventStreams.curateStream(caseVariant, "text", "doc_id",
+      phrases = Seq("badword"))
+    assert(gated2.columns
+        .count(_.equalsIgnoreCase("clean_text")) == 1,
+      s"case-variant duplicate: ${gated2.columns.mkString(",")}")
+    assert(gated2.collect().nonEmpty)
+    // lineFilterStream has the same guard for ITS owned outputs — an
+    // input n_kept would otherwise be silently clobbered by withColumn
+    val lfIn = Seq((1L, 99L, "keep me\nkeep me too"))
+      .toDF("doc_id", "n_kept", "text")
+    val lf = EventStreams.lineFilterStream(lfIn,
+      Seq(12345L).toDF("lk"), "text")
+    assert(lf.columns.count(_.equalsIgnoreCase("n_kept")) == 1)
+    assert(lf.collect().head.getAs[Long]("n_kept") == 2L,
+      "the filter's computed n_kept must supersede the input's")
   }
 
   test("stateful sessionization: watermark-gated close, bridging, timeout") {

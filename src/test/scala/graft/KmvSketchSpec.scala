@@ -62,6 +62,28 @@ class KmvSketchSpec extends AnyFunSuite {
       s"estimate $est should be within ~3σ (σ≈1/√k≈3%) of 20000")
   }
 
+  test("kmv: the exact-regime k=2^20 buffer grows on demand — a small " +
+      "input stays exact and partition-invariant without preallocating " +
+      "the 16 MB table") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // 5000 distinct values force several table doublings (1024-slot
+    // start, 75% fill) but never reach saturation — the growth path,
+    // the merge-of-grown-tables path, and exactness all in one shape
+    def sketch(parts: Int): Array[Byte] =
+      (0L until 5000L).toDF("v").repartition(parts)
+        .agg(call_function("kmv_sketch", xxhash64($"v"), lit(1 << 20)))
+        .collect()(0).getAs[Array[Byte]](0)
+    val s1 = sketch(1)
+    val s7 = sketch(7)
+    assert(java.util.Arrays.equals(s1, s7),
+      "growth schedule must not leak into the sketch value")
+    val est = spark.sql("SELECT 1")
+      .select(call_function("kmv_estimate", lit(s1)))
+      .collect()(0).getDouble(0)
+    assert(est == 5000.0, s"below-k estimate must be exact, got $est")
+  }
+
   test("kmv: estimation regime — intersection and jaccard within " +
       "tolerance of truth") {
     import spark.implicits._
