@@ -331,6 +331,24 @@ object Pipeline {
       Similarity.ivfTopK(centroids, assigned, queryId = 0L, k = 10)
     },
 
+    // IVF in its EXACT regime (nprobe = nlist — the recall-calibration
+    // mode practitioners run to bound an index's loss): every cell is
+    // probed, so the result must equal brute-force cosine top-k
+    // EXACTLY, which puts the whole IVF plumbing — cell assignment,
+    // probe selection, cell-pruned scan, merge — under the DuckDB
+    // oracle. A lost vector (a row assigned to no cell, a probe set
+    // that misses a cell) breaks the hash match loudly.
+    "q_ann_ivf_exact" -> { (s, dir) =>
+      val (centroids, assigned) = Artifacts.memoized(dir, "ivf") {
+        val (ce, as) = Similarity.ivfIndex(
+          Tables.t(s, dir, "embeddings"), "embedding", "vec_id")
+        (ce, Artifacts.persisted(s, "ivf_cells")(as))
+      }
+      Similarity.ivfTopK(centroids, assigned, queryId = 0L, k = 20,
+          nprobe = centroids.length)
+        .select(col("id").as("vec_id"), col("sim"))
+    },
+
     // IVF-PQ combined index (the billion-scale ANN layout): coarse
     // cells + residual PQ codes, one fused encode scan; search reads
     // only the probed cells' 8-byte code column. Rows-only driver
@@ -1680,6 +1698,20 @@ object Pipeline {
       ORDER BY anchor, sim DESC, negative""",
 
     "q_knn_cosine" -> """
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        list_sum(list_transform(range(1, 65),
+          i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(qv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM embeddings, q
+      ORDER BY sim DESC, vec_id ASC LIMIT 20""",
+
+    // probing every cell makes IVF exhaustive — the oracle is the same
+    // brute-force cosine top-k as q_knn_cosine
+    "q_ann_ivf_exact" -> """
       WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
       SELECT vec_id,
         list_sum(list_transform(range(1, 65),
