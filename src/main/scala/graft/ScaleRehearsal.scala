@@ -55,7 +55,7 @@ object ScaleRehearsal {
     // 30× runs skip the cheap head); "ivm" selects the refresh rehearsal
     val selected = args.lift(2)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .getOrElse(Queries :+ "ivm")
+      .getOrElse(Queries ++ Seq("ivm", "ivmgrain"))
     val spark = GraftSession.build("graft-scale-rehearsal")
     val out = java.nio.file.Files
       .createTempDirectory(s"graft_scale_x$factor").toString
@@ -79,7 +79,8 @@ object ScaleRehearsal {
       for (a <- once(); b <- once()) yield math.min(a, b)
     }
 
-    val rows = selected.filterNot(Set("ivm", "cdc")).flatMap { q =>
+    val rows = selected.filterNot(Set("ivm", "ivmgrain", "cdc"))
+      .flatMap { q =>
       val t1 = timeBest2(q, base)
       val tN = timeBest2(q, out)
       (t1, tN) match {
@@ -97,6 +98,13 @@ object ScaleRehearsal {
       println(f"[scale] ivm_refresh_fixed_delta     base=$a%7.2fs " +
         f"x$factor=$b%8.2fs exponent=$exp%5.2f")
       Seq(("ivm_refresh_fixed_delta", a, b, exp))
+    }) ++ (if (!selected.contains("ivmgrain")) Nil else {
+      val a = ivmGrainRefreshSeconds(spark, base)
+      val b = ivmGrainRefreshSeconds(spark, out)
+      val exp = math.log(b / a) / math.log(factor.toDouble)
+      println(f"[scale] ivm_grain_refresh_fixed_delta base=$a%7.2fs " +
+        f"x$factor=$b%8.2fs exponent=$exp%5.2f")
+      Seq(("ivm_grain_refresh_fixed_delta", a, b, exp))
     }) ++ (if (!selected.contains("cdc")) Nil else {
       val a = cdcMvFreshnessSeconds(spark, base)
       val b = cdcMvFreshnessSeconds(spark, out)
@@ -144,6 +152,48 @@ object ScaleRehearsal {
     GraftSession.quiesce(spark)
     val t0 = System.nanoTime()
     graft.operators.Materialize.refresh(cat, "d", mv)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Refresh seconds for a FIXED-size delta against a DAY-GRAIN MV
+    * over `dir`'s events — the grain-IVM twin of [[ivmRefreshSeconds]]
+    * (the grain path shares `preImageChanges`, but its delta passes
+    * also re-derive the grain column and its retractions move rows
+    * ACROSS grain groups, so it earns its own exponent). Delta = the
+    * 100 first (event_id, user_id) rows updated with ts moved a day
+    * forward (cross-grain retraction + re-insert) plus 100 brand-new
+    * PKs. Only the refresh call is timed. */
+  private def ivmGrainRefreshSeconds(spark: SparkSession,
+      dir: String): Double = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType, TimestampType}
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_scale_ivmg").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    // composite PK: the scaled fixture replicates events shifting
+    // user_id only, so (event_id, user_id) is the unique key there
+    cat.createTable("e", StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("ts", TimestampType))), pk = Seq("event_id", "user_id"))
+    val ev = Tables.t(spark, dir, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"))
+    cat.upsert("e", ev)
+    val mv = wh + "/mv"
+    graft.operators.Materialize.build(cat, "e",
+      Seq("event_type", "day"), Seq("user_id"), mv,
+      grainExprs = Seq("day" -> "date_trunc('DAY', ts)"))
+    // fixed-size delta at ANY factor: the 100 first rows in PK order
+    val delta = ev.orderBy(col("event_id"), col("user_id")).limit(100)
+    cat.upsert("e", delta
+      .withColumn("ts", col("ts") + expr("INTERVAL 1 DAY")))
+    val maxEid = ev.agg(max(col("event_id"))).head.getLong(0)
+    cat.upsert("e", delta
+      .withColumn("event_id", col("event_id") + maxEid + 1))
+    GraftSession.quiesce(spark)
+    val t0 = System.nanoTime()
+    graft.operators.Materialize.refresh(cat, "e", mv)
     (System.nanoTime() - t0) / 1e9
   }
 
