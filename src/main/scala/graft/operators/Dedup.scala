@@ -942,12 +942,7 @@ object Dedup {
     * content rather than a fixed chunk width. */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 15,
-      s"maxHamming must be in [0, 15], got $maxHamming — above 15 the " +
-        "64-bit signature's chunks get too narrow to block on; use " +
-        "banded MinHash (nearDupPairs) for looser similarity")
     graft.functions.GraftFunctions.registerKernels(docs.sparkSession)
-    val nChunks = maxHamming + 1
     val sig = docs
       .select(col(idCol).as("id"),
         transform(split(lower(trim(col(textCol))), "\\s+"),
@@ -955,6 +950,27 @@ object Dedup {
           .as("hs"))
       .repartition(col("id"))
       .select(col("id"), call_function("simhash64", col("hs")).as("sig"))
+    hammingNearDups64(sig, maxHamming, maxBucket)
+  }
+
+  /** Pairs of 64-bit signatures within Hamming distance `maxHamming` —
+    * the chunk-blocking tail shared by [[simhashNearDups]] (text SimHash)
+    * and [[Multimodal.imageNearDups]] (perceptual image hashes): any
+    * 64-bit fingerprint family whose similarity contract is "few bits
+    * differ" blocks the same way. `sigs` must have exactly the columns
+    * (id: integral, sig: LONG). Same pigeonhole recall guarantee,
+    * degenerate-bucket cap, and exact post-join verify as documented
+    * above. */
+  def hammingNearDups64(sigs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming — above 15 the " +
+        "64-bit signature's chunks get too narrow to block on; use " +
+        "banded MinHash (nearDupPairs) for looser similarity")
+    require(sigs.columns.length == 2,
+      s"sigs must be exactly (id, sig), got ${sigs.columns.mkString(",")}")
+    val nChunks = maxHamming + 1
+    val sig = sigs.toDF("id", "sig")
     // chunk i covers bits [i*64/n, (i+1)*64/n) — as even as possible
     val chunkCols = (0 until nChunks).map { c =>
       val loBit = c * 64 / nChunks

@@ -215,4 +215,123 @@ object Multimodal {
       Array.tabulate(targetBytes)(i => payload((i * stride).toInt))
     }
   }
+
+  /** 64-bit difference hash (dHash) — the standard perceptual image
+    * fingerprint for web-scale image dedup (the pHash family; see
+    * Krawetz's "Kind of Like That" writeup and the LAION/DataComp
+    * pipelines): FULL pixel decode, Graphics2D bilinear re-render to a
+    * 9×8 grayscale grid, bit (r, c) = [px(r,c) < px(r,c+1)] over the 8
+    * horizontal neighbor pairs of each of the 8 rows. Robust to
+    * re-encoding (PNG↔JPEG), resizing, and small local edits — those
+    * flip few bits — while unrelated images land ~32 bits apart (each
+    * comparison is a fair coin). None for undecodable payloads (the
+    * no-task-kill contract). Pure JDK software raster: deterministic
+    * within a JVM, and the SAME pixels for the same image bytes
+    * regardless of source format. */
+  def dhash64(payload: Array[Byte]): Option[Long] = {
+    val img = try javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(
+        if (payload == null) Array.emptyByteArray else payload))
+    catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return None
+    val gray = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val g = gray.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, 9, 8, null)
+    } finally g.dispose()
+    val raster = gray.getRaster
+    var bits = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (raster.getSample(c, r, 0) < raster.getSample(c + 1, r, 0))
+          bits |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    Some(bits)
+  }
+
+  /** Per-image perceptual hashes: (id, sig LONG) via the partition-local
+    * decode loop (same mapPartitions shape as [[extractFeatures]] — the
+    * decode runs wherever the payloads live, nothing shuffles).
+    * Undecodable payloads DROP — a corrupt image can near-match nothing;
+    * audit the drop rate upstream via [[extractFeatures]]'s
+    * format = "unknown" rows if it matters. */
+  def imageHashes(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        dhash64(p).map(h => (id, h)) })
+      .toDF("id", "sig")
+  }
+
+  /** Image near-dup pairs — dHash + the shared 64-bit Hamming blocking
+    * ([[Dedup.hammingNearDups64]]: chunk-pigeonhole recall, capped
+    * degenerate buckets, exact post-join verify). The 100-TB shape:
+    * ONE scan-local pixel decode per image, then only 8-byte signatures
+    * ride the pair shuffle — image bytes never leave their partitions.
+    * maxHamming defaults looser than text SimHash (6 vs 3): re-encode /
+    * resize perturbations are pixel-level, not token-level.
+    * @return (id_a, id_b, dist) */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 6,
+      idCol: String = "media_id", payloadCol: String = "payload",
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    Dedup.hammingNearDups64(imageHashes(media, idCol, payloadCol),
+      maxHamming, maxBucket)
+
+  /** REAL synthetic image corpus from the documents fixture: each doc's
+    * text renders as an 8×8 grid of 4×4-px word-keyed color cells
+    * (cell i colored by a hash of the i-th word), encoded through the
+    * real javax.imageio codec (`format` = png/jpg/bmp/gif) — genuinely
+    * decodable payloads whose VISUAL similarity tracks text similarity:
+    * near-dup documents differing in a few words render images differing
+    * in a few cells, so their dHashes land within a small Hamming
+    * distance and the fixture's planted near-dup structure carries
+    * through the real decode path. Deterministic: MurmurHash3 word
+    * colors + the JDK software rasterizer. */
+  def syntheticImages(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", format: String = "png"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, renderTextImage(text, format)) })
+      .toDF("media_id", "payload")
+  }
+
+  /** Rendering rule shared by [[syntheticImages]] and its tests. */
+  private[graft] def renderTextImage(text0: String,
+      format: String = "png"): Array[Byte] = {
+    val text = if (text0 == null) "" else text0
+    val words = text.toLowerCase.trim.split("\\s+")
+    val img = new java.awt.image.BufferedImage(32, 32,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 64) {
+      val w = if (i < words.length) words(i) else ""
+      val rgb = scala.util.hashing.MurmurHash3.stringHash(w) & 0xFFFFFF
+      val x0 = (i % 8) * 4
+      val y0 = (i / 8) * 4
+      var d = 0
+      while (d < 16) {
+        img.setRGB(x0 + d % 4, y0 + d / 4, rgb)
+        d += 1
+      }
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    if (!javax.imageio.ImageIO.write(img, format, bos))
+      throw new IllegalArgumentException(
+        s"no JDK image writer for format '$format'")
+    bos.toByteArray
+  }
 }

@@ -1448,6 +1448,21 @@ object Pipeline {
         .toDF()
         .select(col("media_id"), col("frame_idx"), col("frame_digest"))
         .orderBy(col("media_id"), col("frame_idx"))
+    },
+
+    // Multimodal image near-dup through the REAL codec path: documents
+    // render to genuinely decodable 32×32 PNGs (near-dup texts →
+    // near-identical images), dHash via full ImageIO pixel decode +
+    // Graphics2D 9×8 grayscale downscale, then the shared 64-bit Hamming
+    // blocking with exact verify. No SQL oracle (the JDK codec is not
+    // expressible in DuckDB); hash invariances (resize / JPEG re-encode /
+    // unrelated images) and blocking completeness vs brute force are
+    // pinned in PipelineSpec.
+    "q_image_dedup" -> { (s, dir) =>
+      Multimodal.imageNearDups(
+          Multimodal.syntheticImages(Tables.t(s, dir, "documents")),
+          maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 

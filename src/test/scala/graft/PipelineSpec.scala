@@ -599,6 +599,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(metas(3L).format == "unknown" && metas(3L).frames == 0L)
   }
 
+  test("dHash: stable under resize and JPEG re-encode, far for unrelated") {
+    val base = Multimodal.renderTextImage(
+      (1 to 64).map(i => s"w$i").mkString(" "))
+    val h = Multimodal.dhash64(base).get
+    assert(Multimodal.dhash64(base).contains(h), "same bytes, same hash")
+    // dHash re-normalizes to 9x8, so a 4x upscale must land within a few
+    // bits — this is the resize-robustness contract of the fingerprint
+    val up = Multimodal.resizeImage(base, 128, 128)
+    assert(up.nonEmpty)
+    val hUp = Multimodal.dhash64(up).get
+    assert(java.lang.Long.bitCount(h ^ hUp) <= 6,
+      s"resize moved ${java.lang.Long.bitCount(h ^ hUp)} bits")
+    // lossy JPEG re-encode of the same pixels stays near
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(base))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val hJpg = Multimodal.dhash64(bos.toByteArray).get
+    assert(java.lang.Long.bitCount(h ^ hJpg) <= 10,
+      s"jpeg re-encode moved ${java.lang.Long.bitCount(h ^ hJpg)} bits")
+    // an unrelated image reads ~32 bits away (each bit a fair coin)
+    val other = Multimodal.dhash64(Multimodal.renderTextImage(
+      (1 to 64).map(i => s"z$i").mkString(" "))).get
+    assert(java.lang.Long.bitCount(h ^ other) >= 16,
+      s"unrelated images only ${java.lang.Long.bitCount(h ^ other)} apart")
+    // undecodable payloads drop instead of failing
+    assert(Multimodal.dhash64("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.dhash64(null).isEmpty)
+  }
+
+  test("image near-dup blocking is complete vs brute force on real PNGs") {
+    import spark.implicits._
+    // planted structure through the REAL codec path: a one-word edit
+    // renders one changed cell -> few dHash bits
+    val t1 = (1 to 64).map(i => s"w$i").mkString(" ")
+    val t2 = t1.replace(" w30 ", " changed ")
+    val t3 = (1 to 64).map(i => s"z$i").mkString(" ")
+    val planted = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+    val plantedPairs = Multimodal.imageNearDups(
+        Multimodal.syntheticImages(planted), maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plantedPairs.contains((1L, 2L)),
+      "one-word edit must surface as an image near-dup")
+    assert(!plantedPairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated image must not pair")
+    // blocking completeness: chunk-pigeonhole pairs == brute force over
+    // the fixture corpus (undecodables already dropped by imageHashes)
+    val media = Multimodal.syntheticImages(
+      Tables.t(spark, dir, "documents").limit(120))
+    val sigs = Multimodal.imageHashes(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 6
+    } yield (ia, ib, d)).toSet
+    val blocked = Multimodal.imageNearDups(media, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked === brute,
+      s"blocking lost/invented pairs: ${blocked.size} vs ${brute.size}")
+  }
+
   test("frame sampling explodes payloads into deterministic frame rows") {
     val docs = Tables.t(spark, dir, "documents").limit(10)
     val media = Multimodal.mediaTable(docs)
