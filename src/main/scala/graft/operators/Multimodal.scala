@@ -308,6 +308,145 @@ object Multimodal {
       .toDF("media_id", "payload")
   }
 
+  /** 64-bit energy-envelope audio fingerprint — the audio twin of
+    * [[dhash64]]: REAL PCM decode via javax.sound.sampled (WAV/AIFF/AU;
+    * non-PCM encodings the JDK can convert, e.g. μ-law, are converted),
+    * channels averaged to mono, the signal split into 65 equal windows,
+    * bit i = [RMS(window i) < RMS(window i+1)]. Invariant to uniform
+    * volume scaling (every RMS scales by the same factor, so the
+    * comparisons are unchanged) and to lossless container re-encoding
+    * (WAV↔AIFF carry the same PCM); near-identical signals differing in
+    * a short segment flip few bits, unrelated signals land ~32 apart.
+    * None for undecodable payloads (the no-task-kill contract). */
+  def audioFingerprint64(payload: Array[Byte]): Option[Long] = {
+    val samples = try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(
+          if (payload == null) Array.emptyByteArray else payload))
+      try {
+        val src = in.getFormat
+        val target = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          src.getSampleRate, 16, src.getChannels,
+          src.getChannels * 2, src.getSampleRate, false)
+        val pcm =
+          if (src.matches(target)) in
+          else javax.sound.sampled.AudioSystem
+            .getAudioInputStream(target, in)
+        try {
+          val bytes = pcm.readAllBytes()
+          val ch = math.max(target.getChannels, 1)
+          val n = bytes.length / (2 * ch)
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            var acc = 0.0
+            var c = 0
+            while (c < ch) {
+              val o = (i * ch + c) * 2
+              acc += ((bytes(o) & 0xFF) | (bytes(o + 1) << 8)).toShort
+              c += 1
+            }
+            out(i) = acc / ch
+            i += 1
+          }
+          out
+        } finally pcm.close()
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
+    if (samples == null || samples.length < 65) return None
+    val rms = new Array[Double](65)
+    var w = 0
+    while (w < 65) {
+      val lo = w * samples.length / 65
+      val hi = (w + 1) * samples.length / 65
+      var acc = 0.0
+      var i = lo
+      while (i < hi) { acc += samples(i) * samples(i); i += 1 }
+      rms(w) = acc / math.max(hi - lo, 1)
+      w += 1
+    }
+    var bits = 0L
+    var b = 0
+    while (b < 64) {
+      if (rms(b) < rms(b + 1)) bits |= 1L << b
+      b += 1
+    }
+    Some(bits)
+  }
+
+  /** Per-clip audio fingerprints: (id, sig LONG), partition-local decode
+    * (same shape as [[imageHashes]]); undecodable / sub-65-sample
+    * payloads drop. */
+  def audioHashes(media: DataFrame, idCol: String = "media_id",
+      payloadCol: String = "payload"): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, p) =>
+        audioFingerprint64(p).map(h => (id, h)) })
+      .toDF("id", "sig")
+  }
+
+  /** Audio near-dup pairs — envelope fingerprint + the shared 64-bit
+    * Hamming blocking ([[Dedup.hammingNearDups64]]). Scan-local PCM
+    * decode; only 8-byte signatures shuffle. @return (id_a, id_b, dist) */
+  def audioNearDups(media: DataFrame, maxHamming: Int = 6,
+      idCol: String = "media_id", payloadCol: String = "payload",
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    Dedup.hammingNearDups64(audioHashes(media, idCol, payloadCol),
+      maxHamming, maxBucket)
+
+  /** REAL synthetic audio corpus from the documents fixture: each doc's
+    * text renders as a tone sequence — word i contributes 100 samples of
+    * a 1 kHz sine at an amplitude keyed by the word's hash — written
+    * through the real javax.sound WAV encoder. Near-dup documents render
+    * near-identical energy envelopes, so the fixture's planted near-dup
+    * structure carries through the real audio codec path, exactly like
+    * [[syntheticImages]] does for images. */
+  def syntheticAudio(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol), col(textCol)).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        (id, renderTextAudio(text)) })
+      .toDF("media_id", "payload")
+  }
+
+  /** Rendering rule shared by [[syntheticAudio]] and its tests: 65
+    * word-keyed tone segments (so the 65 fingerprint windows align
+    * roughly one-per-word), 16-bit mono 8 kHz WAV. */
+  private[graft] def renderTextAudio(text0: String): Array[Byte] = {
+    val text = if (text0 == null) "" else text0
+    val words = text.toLowerCase.trim.split("\\s+")
+    val perWord = 100
+    val pcm = new Array[Byte](65 * perWord * 2)
+    var i = 0
+    while (i < 65) {
+      val w = if (i < words.length) words(i) else ""
+      val h = scala.util.hashing.MurmurHash3.stringHash(w)
+      val amp = 1000.0 + (math.abs(h.toLong) % 100000).toDouble * 0.3
+      var j = 0
+      while (j < perWord) {
+        val t = (i * perWord + j).toDouble
+        val s = (amp * math.sin(2 * math.Pi * t / 8.0)).toInt.toShort
+        pcm((i * perWord + j) * 2) = (s & 0xFF).toByte
+        pcm((i * perWord + j) * 2 + 1) = (s >> 8).toByte
+        j += 1
+      }
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, (65 * perWord).toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** Rendering rule shared by [[syntheticImages]] and its tests. */
   private[graft] def renderTextImage(text0: String,
       format: String = "png"): Array[Byte] = {

@@ -1463,6 +1463,18 @@ object Pipeline {
           Multimodal.syntheticImages(Tables.t(s, dir, "documents")),
           maxHamming = 6)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Audio near-dup through the REAL codec path: documents render as
+    // tone-sequence WAVs (javax.sound encoder), fingerprint = 64-bit
+    // energy-envelope difference hash over the decoded PCM (volume- and
+    // container-invariant), same shared Hamming blocking. No SQL oracle
+    // (JDK audio codec); invariances + completeness in PipelineSpec.
+    "q_audio_dedup" -> { (s, dir) =>
+      Multimodal.audioNearDups(
+          Multimodal.syntheticAudio(Tables.t(s, dir, "documents")),
+          maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 

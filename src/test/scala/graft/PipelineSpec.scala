@@ -660,6 +660,78 @@ class PipelineSpec extends AnyFunSuite {
       s"blocking lost/invented pairs: ${blocked.size} vs ${brute.size}")
   }
 
+  test("audio fingerprint: volume/container invariant, far for unrelated") {
+    val base = Multimodal.renderTextAudio(
+      (1 to 65).map(i => s"w$i").mkString(" "))
+    val h = Multimodal.audioFingerprint64(base).get
+    assert(Multimodal.audioFingerprint64(base).contains(h))
+    // uniform volume scaling preserves every RMS comparison
+    def rescale(wav: Array[Byte], gain: Double): Array[Byte] = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(wav))
+      val fmt = in.getFormat
+      val bytes = in.readAllBytes(); in.close()
+      var i = 0
+      while (i < bytes.length - 1) {
+        val s = (((bytes(i) & 0xFF) | (bytes(i + 1) << 8)).toShort * gain)
+          .toInt.toShort
+        bytes(i) = (s & 0xFF).toByte; bytes(i + 1) = (s >> 8).toByte
+        i += 2
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt,
+        bytes.length / fmt.getFrameSize)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val hQuiet = Multimodal.audioFingerprint64(rescale(base, 0.5)).get
+    assert(java.lang.Long.bitCount(h ^ hQuiet) <= 2,
+      s"volume scaling moved ${java.lang.Long.bitCount(h ^ hQuiet)} bits")
+    // lossless container re-encode (WAV -> AIFF, big-endian PCM) is exact
+    val in2 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(base))
+    val bos2 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in2,
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, bos2)
+    assert(Multimodal.audioFingerprint64(bos2.toByteArray).contains(h),
+      "AIFF re-encode must fingerprint identically")
+    // unrelated clip lands far away
+    val other = Multimodal.audioFingerprint64(Multimodal.renderTextAudio(
+      (1 to 65).map(i => s"z$i").mkString(" "))).get
+    assert(java.lang.Long.bitCount(h ^ other) >= 16)
+    // undecodable / too-short payloads drop
+    assert(Multimodal.audioFingerprint64("junk".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.audioFingerprint64(null).isEmpty)
+  }
+
+  test("audio near-dup blocking matches brute force; edits surface") {
+    import spark.implicits._
+    val t1 = (1 to 65).map(i => s"w$i").mkString(" ")
+    val t2 = t1.replace(" w30 ", " changed ")
+    val t3 = (1 to 65).map(i => s"z$i").mkString(" ")
+    val planted = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("doc_id", "text")
+    val pairs = Multimodal.audioNearDups(
+        Multimodal.syntheticAudio(planted), maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)),
+      "one-word edit must surface as an audio near-dup")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+    val media = Multimodal.syntheticAudio(
+      Tables.t(spark, dir, "documents").limit(120))
+    val sigs = Multimodal.audioHashes(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      d = java.lang.Long.bitCount(sa ^ sb) if d <= 6
+    } yield (ia, ib, d)).toSet
+    val blocked = Multimodal.audioNearDups(media, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked === brute,
+      s"blocking lost/invented pairs: ${blocked.size} vs ${brute.size}")
+  }
+
   test("frame sampling explodes payloads into deterministic frame rows") {
     val docs = Tables.t(spark, dir, "documents").limit(10)
     val media = Multimodal.mediaTable(docs)
