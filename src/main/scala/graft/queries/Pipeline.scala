@@ -265,13 +265,20 @@ object Pipeline {
 
     // Storage-path top-k over the int8-QUANTIZED corpus: the scan reads
     // the 4×-smaller code column and the kernel is integer-ALU only
-    // (per-vector scales cancel out of the cosine). No SQL oracle — the
-    // ranking-accuracy bound vs float cosine is ScalaTested.
+    // (per-vector scales cancel out of the cosine). Under the DuckDB
+    // oracle: the whole path is closed-form and engine-portable by
+    // design — scale = maxabs/127, q_i = floor(x_i/scale + 0.5)
+    // saturated to [-128, 127] (explicit half-up; engines disagree on
+    // round()'s tie rule), integer dot/norms, ONE double division — so
+    // the oracle re-derives the quantized codes in SQL and must match
+    // hash-exactly, pinning quantize + integer cosine end to end (the
+    // ranking-accuracy bound vs float cosine stays ScalaTested).
     "q_knn_cosine_int8" -> { (s, dir) =>
       Similarity.int8CosineTopK(
         Similarity.quantizeInt8(Tables.t(s, dir, "embeddings"),
           "embedding", "vec_id"),
         "q", "id", queryId = 0L, k = 20)
+        .select(col("id").as("vec_id"), col("sim"))
     },
 
     // Product-quantization top-k: the deep-storage path — 64 float dims
@@ -1734,6 +1741,36 @@ object Pipeline {
          * sqrt(list_sum(list_transform(qv,
              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
       FROM embeddings, q
+      ORDER BY sim DESC, vec_id ASC LIMIT 20""",
+
+    // re-derives the int8 codes in SQL (the quantization rule is
+    // engine-portable by design: doubles through maxabs/127 scale,
+    // explicit half-up floor, [-128,127] saturation), then integer
+    // dot/norms — exact integer sums, one IEEE double division at the
+    // end, so the sims hash-match bit-for-bit
+    "q_knn_cosine_int8" -> """
+      WITH quant AS (
+        SELECT vec_id,
+          CASE WHEN mx > 0 THEN list_transform(embedding, x ->
+              CAST(greatest(-128.0, least(127.0,
+                floor(CAST(x AS DOUBLE) / (mx / 127.0) + 0.5))) AS BIGINT))
+            ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+        FROM (SELECT vec_id, embedding,
+                list_max(list_transform(embedding,
+                  x -> abs(CAST(x AS DOUBLE)))) AS mx
+              FROM embeddings)),
+      qv AS (SELECT q AS qq FROM quant WHERE vec_id = 0)
+      SELECT vec_id,
+        CASE WHEN na = 0 OR nb = 0 THEN 0.0
+             ELSE CAST(dp AS DOUBLE)
+               / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+        END AS sim
+      FROM (
+        SELECT vec_id,
+          list_sum(list_transform(range(1, 65), i -> q[i] * qq[i])) AS dp,
+          list_sum(list_transform(q, x -> x * x)) AS na,
+          list_sum(list_transform(qq, x -> x * x)) AS nb
+        FROM quant, qv)
       ORDER BY sim DESC, vec_id ASC LIMIT 20""",
 
     // probing every cell makes IVF exhaustive — the oracle is the same
