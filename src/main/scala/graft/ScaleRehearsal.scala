@@ -40,7 +40,8 @@ object ScaleRehearsal {
     "q_jaccard_char", "q_gopher_repetition", "q_split_leakage_safe",
     "q_bson_update", "q_pagerank", "q_dedup_spans_incremental",
     "q_pii_scrub", "q1_agg", "q_zorder_scan", "q_count_distinct",
-    "q_sessionize", "q_dedup_cluster", "q_tpch_q3", "q_overlap_sketch")
+    "q_sessionize", "q_dedup_cluster", "q_tpch_q3", "q_overlap_sketch",
+    "q_image_dedup", "q_audio_dedup")
   // q_ivm_refresh the QUERY is fixed-size by construction (it filters
   // doc_id<380 regardless of corpus size); the refresh operator itself
   // is rehearsed separately by ivmRefreshSeconds: a FIXED-size delta

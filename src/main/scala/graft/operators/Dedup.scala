@@ -941,7 +941,8 @@ object Dedup {
     * ([[nearDupPairs]]), whose bucket keyspace scales with the signature
     * content rather than a fixed chunk width. */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket,
+      cleanChunks: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.registerKernels(docs.sparkSession)
     val sig = docs
       .select(col(idCol).as("id"),
@@ -950,7 +951,7 @@ object Dedup {
           .as("hs"))
       .repartition(col("id"))
       .select(col("id"), call_function("simhash64", col("hs")).as("sig"))
-    hammingNearDups64(sig, maxHamming, maxBucket)
+    hammingNearDups64(sig, maxHamming, maxBucket, cleanChunks)
   }
 
   /** Pairs of 64-bit signatures within Hamming distance `maxHamming` —
@@ -960,16 +961,38 @@ object Dedup {
     * differ" blocks the same way. `sigs` must have exactly the columns
     * (id: integral, sig: LONG). Same pigeonhole recall guarantee,
     * degenerate-bucket cap, and exact post-join verify as documented
-    * above. */
+    * above.
+    *
+    * `cleanChunks` picks the blocking key (the multi-index-hashing
+    * generalization, Norouzi et al. 2012): with `maxHamming +
+    * cleanChunks` chunks, a pair within distance `maxHamming` has at
+    * least `cleanChunks` IDENTICAL chunks — so blocking on every
+    * `cleanChunks`-subset of chunk indexes keeps the recall guarantee
+    * while raising the key space by a power. cleanChunks = 1 is the
+    * plain pigeonhole: cheapest explode (n rows/sig), but the per-chunk
+    * keyspace is only 2^(64/n) — at maxHamming 6 that is 9-bit chunks,
+    * 7 × 512 buckets total, and a few hundred thousand structured
+    * images (shared template regions → shared chunks) push the AVERAGE
+    * bucket past `maxBucket`: measured on the 30× rehearsal fixture,
+    * 68% of chunk rows sat in capped-and-dropped buckets — silent
+    * recall collapse. cleanChunks = 2 blocks on chunk PAIRS — key space
+    * squares (~65k per index pair at maxHamming 6) for a C(n,2)-row
+    * explode (28 vs 7 at maxHamming 6), and only populations agreeing
+    * on TWO chunks at once — genuine near-dup mass — can still
+    * saturate a bucket. Loose thresholds (≥ ~4) on clusterable
+    * fingerprint families (images, audio) want 2; tight thresholds on
+    * wide chunks (text SimHash at 3 → 16-bit chunks) stay fine at 1. */
   def hammingNearDups64(sigs: DataFrame, maxHamming: Int = 3,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket, cleanChunks: Int = 1): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15], got $maxHamming — above 15 the " +
         "64-bit signature's chunks get too narrow to block on; use " +
         "banded MinHash (nearDupPairs) for looser similarity")
+    require(cleanChunks == 1 || cleanChunks == 2,
+      s"cleanChunks must be 1 or 2, got $cleanChunks")
     require(sigs.columns.length == 2,
       s"sigs must be exactly (id, sig), got ${sigs.columns.mkString(",")}")
-    val nChunks = maxHamming + 1
+    val nChunks = maxHamming + cleanChunks
     val sig = sigs.toDF("id", "sig")
     // chunk i covers bits [i*64/n, (i+1)*64/n) — as even as possible
     val chunkCols = (0 until nChunks).map { c =>
@@ -978,8 +1001,21 @@ object Dedup {
       val mask = if (width == 64) -1L else (1L << width) - 1L
       shiftright(col("sig"), loBit).bitwiseAND(lit(mask))
     }
+    // blocking keys in a fixed order, so posexplode's position IS the
+    // key index: single chunks, or every (i < j) chunk pair with the
+    // two chunk values packed into one LONG (each chunk ≤ 32 bits for
+    // n ≥ 2, so two always fit without collision)
+    val keyCols: Seq[Column] =
+      if (cleanChunks == 1) chunkCols
+      else
+        for {
+          i <- 0 until nChunks; j <- (i + 1) until nChunks
+        } yield {
+          val widthJ = (j + 1) * 64 / nChunks - j * 64 / nChunks
+          shiftleft(chunkCols(i), widthJ).bitwiseOR(chunkCols(j))
+        }
     val chunked0 = sig.select(col("id"), col("sig"),
-      posexplode(array(chunkCols: _*)))
+      posexplode(array(keyCols: _*)))
       .toDF("id", "sig", "chunk_idx", "chunk")
     // ONE (chunk_idx, chunk)-keyed shuffle, same shape as bandedPairs:
     // each bucket's sorted (id, sig) list explodes into its pairs via

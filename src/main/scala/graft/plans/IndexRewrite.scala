@@ -50,6 +50,21 @@ object GraftIndexes {
     // full optimizer iteration budget
     require(norm(basePath) != norm(index.indexPath),
       s"index path must differ from the base path ($basePath)")
+    // same failure mode through a CYCLE (a→b registered, then b→a):
+    // the rule would ping-pong the relation between the two paths every
+    // optimizer iteration. Chains (a→b→c) are fine — they converge in
+    // ≤ chain-length rewrites — so walk the existing chain from the new
+    // index and refuse only if it leads back to the base.
+    var hop = GraftIndexes.lookup(index.indexPath)
+    var hops = 0
+    while (hop.isDefined) {
+      require(norm(hop.get.indexPath) != norm(basePath),
+        s"registering $basePath -> ${index.indexPath} closes an index " +
+          "cycle — the optimizer fixpoint would never converge")
+      hops += 1
+      require(hops <= registry.size, "index registry contains a cycle")
+      hop = GraftIndexes.lookup(hop.get.indexPath)
+    }
     registry.put(norm(basePath), index)
   }
   def drop(basePath: String): Unit = registry.remove(norm(basePath))

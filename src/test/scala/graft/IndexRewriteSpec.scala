@@ -106,4 +106,36 @@ class IndexRewriteSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("must differ"))
   }
+
+  test("an index-registration cycle is rejected; a chain is not") {
+    // a→b then b→a would ping-pong the relation between the two paths
+    // every optimizer iteration — same non-convergence as
+    // self-registration, one hop removed. a→b→c converges and stays
+    // legal.
+    GraftIndexes.register(baseDir,
+      GraftIndexes.IndexDef(idxDir, Seq("v")))
+    try {
+      val e = intercept[IllegalArgumentException] {
+        GraftIndexes.register(idxDir,
+          GraftIndexes.IndexDef(baseDir, Seq("k")))
+      }
+      assert(e.getMessage.contains("cycle"))
+      // chain: c (a fresh third projection) may index the index
+      val cDir = java.nio.file.Files
+        .createTempDirectory("graft_idx_chain").toString
+      spark.read.parquet(idxDir)
+        .write.mode("overwrite").parquet(cDir)
+      GraftIndexes.register(idxDir,
+        GraftIndexes.IndexDef(cDir, Seq("v")))
+      // and closing the 3-cycle c→a is still caught through the walk
+      val e3 = intercept[IllegalArgumentException] {
+        GraftIndexes.register(cDir,
+          GraftIndexes.IndexDef(baseDir, Seq("k")))
+      }
+      assert(e3.getMessage.contains("cycle"))
+    } finally {
+      GraftIndexes.drop(idxDir)
+      GraftIndexes.drop(baseDir)
+    }
+  }
 }

@@ -986,6 +986,66 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk-PAIR blocking recalls through dense marginals the " +
+      "single-chunk cap drops") {
+    import spark.implicits._
+    // The regime the 30x image rehearsal measured (68% of single-chunk
+    // rows in capped buckets): one chunk VALUE shared corpus-wide (a
+    // template region), so its single-chunk bucket is over cap and a
+    // near-pair whose only clean chunks are dense marginals is silently
+    // dropped — while the chunk-PAIR key (both clean chunks at once)
+    // isolates exactly the pair. Construction (8-bit chunks, byte k =
+    // bits [8k, 8k+8)):
+    //  - greedy byte codes, even (bit 8 of the sig must stay 0 so the
+    //    7-chunk single mode's chunk0 = bits [0,9) is one dense value),
+    //    pairwise AND vs-zero popcount >= 3;
+    //  - filler i: byte0 = 0, bytes1..7 = code_i -> pairwise dist >= 21,
+    //    never near-dups;
+    //  - P: bytes0..1 = 0, bytes2..7 = code_p; Q = P with ONE bit
+    //    flipped in each of bytes2..7 (dist exactly 6, bits 17..62
+    //    chosen to dirty all of the 7-chunk mode's chunks 1..6);
+    //  - every item shares chunk0 = 0 (the dense marginal), only P and
+    //    Q also share chunk1 = 0.
+    val codes = Iterator.from(2, 2).take(127)
+      .map(_.toLong).foldLeft(Vector.empty[Long]) { (acc, c) =>
+        if (java.lang.Long.bitCount(c) >= 3 &&
+          acc.forall(a => java.lang.Long.bitCount(a ^ c) >= 3)) acc :+ c
+        else acc
+      }
+    assert(codes.size >= 10, s"need >= 10 codes, got ${codes.size}")
+    val fillers = codes.dropRight(1)
+    val p = codes.last
+    val sigP = (2 to 7).map(k => p << (8 * k)).reduce(_ | _)
+    val sigQ = sigP ^ Seq(17, 26, 35, 44, 53, 62)
+      .map(1L << _).reduce(_ | _)
+    val sigs = fillers.zipWithIndex.map { case (c, i) =>
+      (i.toLong, (1 to 7).map(k => c << (8 * k)).reduce(_ | _)) } ++
+      Seq((100L, sigP), (101L, sigQ))
+    val df = sigs.toDF("id", "sig")
+    // ground truth: exactly the planted pair
+    val brute = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      if java.lang.Long.bitCount(sa ^ sb) <= 6
+    } yield (ia, ib)).toSet
+    assert(brute === Set((100L, 101L)), s"fixture broken: $brute")
+    val cap = sigs.size - 2 // the corpus-wide chunk0 bucket is over cap
+    val single = Dedup.hammingNearDups64(df, maxHamming = 6,
+        maxBucket = cap, cleanChunks = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single === Set.empty,
+      s"single-chunk mode should drop the pair via the cap, got $single")
+    val paired = Dedup.hammingNearDups64(df, maxHamming = 6,
+        maxBucket = cap, cleanChunks = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(paired === brute,
+      "pair blocking must recall through the dense marginals")
+    // and with no cap pressure both modes are complete
+    val singleUncapped = Dedup.hammingNearDups64(df, maxHamming = 6,
+        cleanChunks = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(singleUncapped === brute)
+  }
+
   test("bm25 ranks by term frequency, rarity, and length normalization") {
     import spark.implicits._
     val docs = Seq(
