@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+
+/** Shuffle-volume audit: execute selected battery queries and report the
+  * BYTES each one actually shuffles (summed over every shuffle exchange
+  * in the finalized adaptive plan, reused exchanges counted once).
+  *
+  * Why it exists: the scale design rests on claims of the form "only
+  * 8/16-byte digests ride the pair shuffle — the text/payload never
+  * leaves its scan partition". Plan pins prove the SHAPE (which operators
+  * exchange on which keys); this audit converts the claim into a
+  * NUMBER — shuffled bytes vs the table's on-disk input bytes — so a
+  * regression that starts shipping payloads through an exchange (a lost
+  * projection, a widened struct) shows up as a 100× byte jump even while
+  * the plan shape and the results stay green. Run ad hoc:
+  *
+  *   sbt "runMain graft.ShuffleAudit /root/testdata/sf0.1 [q1 q2 ...]"
+  *
+  * Measured numbers for the dedup/sketch tier are recorded in SCALE.md.
+  */
+object ShuffleAudit {
+
+  /** Default probe set: the queries whose docs claim digest/signature/
+    * sketch-sized shuffles over payload-sized inputs. */
+  private val Defaults = Seq(
+    "q1_agg", "q_dedup_exact", "q_dedup_fingerprint", "q_dedup_minhash",
+    "q_dedup_simhash", "q_line_dedup", "q_dedup_cross_source",
+    "q_image_dedup", "q_audio_dedup", "q_dau_mau", "q_cohort_retention",
+    "q_overlap_sketch", "q_retention_sketch", "q_knn_cosine_int8")
+
+  /** Every node of the finalized physical plan, through AQE wrappers and
+    * subqueries, deduped by REFERENCE (SparkPlan case-class equality is
+    * structural — two genuinely distinct but identical exchanges must
+    * both count). */
+  private def allNodes(root: SparkPlan): Seq[SparkPlan] = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+    def walk(p: SparkPlan): Seq[SparkPlan] =
+      if (!seen.add(p)) Seq.empty
+      else {
+        val inner: Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case _ => Seq.empty
+        }
+        p +: (inner ++ p.children.flatMap(walk) ++
+          p.subqueries.flatMap(walk))
+      }
+    walk(root)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq else Defaults
+    val spark = GraftSession.build("graft-shuffle-audit")
+    val inputBytes = Seq("documents", "events", "embeddings", "lineitem")
+      .map { t =>
+        val p = java.nio.file.Paths.get(dir, s"$t.parquet")
+        t -> (if (java.nio.file.Files.exists(p))
+          java.nio.file.Files.walk(p).filter(
+            java.nio.file.Files.isRegularFile(_))
+            .mapToLong(java.nio.file.Files.size(_)).sum
+        else 0L)
+      }
+    inputBytes.foreach { case (t, b) =>
+      println(f"[audit] input $t%-12s ${b / 1e6}%10.1f MB on disk") }
+    val rows = names.flatMap { n =>
+      GraftSession.quiesce(spark)
+      try {
+        val qe = SparkEntry.queries(n)(spark, dir).queryExecution
+        qe.toRdd.count()
+        // metric values are final once the job is done (local mode:
+        // DAGScheduler posts task-end metric updates before the job-end
+        // unblocks the caller)
+        val shuffles = allNodes(qe.executedPlan).collect {
+          case r: ReusedExchangeExec => (r, 0L) // bytes written once, at the original
+          case s: ShuffleExchangeLike =>
+            (s, s.metrics.get("shuffleBytesWritten")
+              .orElse(s.metrics.get("dataSize")).map(_.value).getOrElse(0L))
+        }
+        val bytes = shuffles.map(_._2).sum
+        println(f"[audit] $n%-28s ${shuffles.size}%2d exchanges " +
+          f"${bytes / 1e6}%10.2f MB shuffled")
+        Some(n -> bytes)
+      } catch { case e: Throwable =>
+        System.err.println(s"[audit] $n FAILED: ${e.getMessage}")
+        None
+      }
+    }
+    val json = rows.map { case (n, b) => s""""$n":$b""" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"shuffle_audit","sf":"$dir","bytes":$json}""")
+    spark.stop()
+  }
+}
