@@ -211,19 +211,30 @@ object Similarity {
   /** ANN top-k: restrict the scan to the query's LSH bucket plus all
     * buckets at Hamming distance 1 (multi-probe — recovers most of the
     * recall sign-LSH loses at bucket boundaries), then exact cosine within
-    * the probed set. Scan cost ~ (mBits+1)/2^mBits of the table. */
+    * the probed set. Scan cost ~ (mBits+1)/2^mBits of the table.
+    *
+    * `probeAll` probes every 2^mBits bucket — the exact regime (the
+    * recall-calibration mode practitioners run to bound an index's
+    * loss): the result must equal brute-force cosine top-k EXACTLY,
+    * which puts the LSH plumbing — every vector hashed into exactly one
+    * bucket, the probe join losing and duplicating nothing — under the
+    * DuckDB oracle (`q_ann_lsh_exact`), the same trick `q_ann_ivf_exact`
+    * plays on the IVF path. */
   def annTopK(emb: DataFrame, vecCol: String, idCol: String,
-      queryId: Long, k: Int, dim: Int = 64, mBits: Int = 4): DataFrame = {
+      queryId: Long, k: Int, dim: Int = 64, mBits: Int = 4,
+      probeAll: Boolean = false): DataFrame = {
     graft.functions.GraftFunctions.registerKernels(emb.sparkSession)
     val planes = hyperplanes(dim, mBits)
     val bucketed = emb.withColumn("bucket", lshBucket(col(vecCol), planes))
-    // query row exploded into its mBits+1 probe buckets
+    val probeBuckets: Seq[Column] =
+      if (probeAll) (0 until (1 << mBits)).map(b => lit(b.toLong))
+      else col("bucket") +:
+        (0 until mBits).map(i =>
+          col("bucket").bitwiseXOR(shiftleft(lit(1L), i)))
+    // query row exploded into its probe buckets
     val probes = bucketed.where(col(idCol) === queryId)
-      .select(col(vecCol).as("qv"), explode(array(
-        col("bucket") +:
-          (0 until mBits).map(i =>
-            col("bucket").bitwiseXOR(shiftleft(lit(1L), i))): _*))
-        .as("bucket"))
+      .select(col(vecCol).as("qv"),
+        explode(array(probeBuckets: _*)).as("bucket"))
     bucketed.join(broadcast(probes), "bucket")
       .select(col(idCol), cosine(col(vecCol), col("qv")).as("sim"))
       .where(!isnan(col("sim"))) // NaN sorts above every real sim

@@ -326,6 +326,16 @@ object Pipeline {
         "embedding", "vec_id", queryId = 0L, k = 10)
     },
 
+    // Sign-LSH in its EXACT regime (every bucket probed): must equal
+    // brute-force cosine top-k hash-exactly — pins that the plane
+    // hashing assigns every vector to exactly one bucket and the probe
+    // join loses/duplicates nothing (the LSH twin of q_ann_ivf_exact).
+    "q_ann_lsh_exact" -> { (s, dir) =>
+      Similarity.annTopK(Tables.t(s, dir, "embeddings"),
+          "embedding", "vec_id", queryId = 0L, k = 20, probeAll = true)
+        .select(col("vec_id"), col("sim"))
+    },
+
     // IVF ANN: k-means coarse quantizer + nprobe cell scan (the second
     // scale path beside sign-LSH; recall vs brute force is ScalaTested —
     // no SQL oracle, the quantizer is iterative).
@@ -1771,6 +1781,20 @@ object Pipeline {
           list_sum(list_transform(q, x -> x * x)) AS na,
           list_sum(list_transform(qq, x -> x * x)) AS nb
         FROM quant, qv)
+      ORDER BY sim DESC, vec_id ASC LIMIT 20""",
+
+    // probing every sign-LSH bucket makes the index exhaustive — the
+    // oracle is the same brute-force cosine top-k as q_knn_cosine
+    "q_ann_lsh_exact" -> """
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        list_sum(list_transform(range(1, 65),
+          i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(qv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM embeddings, q
       ORDER BY sim DESC, vec_id ASC LIMIT 20""",
 
     // probing every cell makes IVF exhaustive — the oracle is the same
