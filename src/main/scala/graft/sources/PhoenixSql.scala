@@ -1513,8 +1513,15 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     var going = true
     while (going) {
       val mask = literalMask(cur)
+      // the WHOLE construct must sit outside literals: the LHS
+      // alternative [\w.`]+ includes the backtick, so it can match from
+      // an OPENING backtick (which the mask deliberately leaves
+      // unmasked so whole-quoted operands rewrite) into an identifier's
+      // interior — `7 > ALL(xs)` as an IDENTIFIER would rewrite without
+      // the keyword-position check (caught by PhoenixSqlFuzzSpec P1)
       head.findAllMatchIn(cur)
-        .find(m => m.start >= from && !mask(m.start)) match {
+        .find(m => m.start >= from && !mask(m.start) &&
+          !mask(m.start(3))) match {
         case None => going = false
         case Some(m) =>
           val openIdx = m.end - 1
