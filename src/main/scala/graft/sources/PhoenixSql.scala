@@ -1202,14 +1202,20 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val cvRe = "(?i)CURRENT\\s+VALUE\\s+FOR\\s+([\\w.\"]+)".r
     val selectRows = tuples.map { tup =>
       val rawVals = splitTopLevel(tup.substring(1, tup.length - 1), ',')
+      // mask discipline: a VALUE that is a string literal containing
+      // the spelling ('NEXT VALUE FOR x' as data) must neither step the
+      // sequence nor have its content rewritten
       val nexts = rawVals
-        .flatMap(v =>
-          nvRe.findAllMatchIn(v).map(g => resolveTable(g.group(1))))
+        .flatMap { v =>
+          val m = literalMask(v)
+          nvRe.findAllMatchIn(v).filterNot(g => m(g.start))
+            .map(g => resolveTable(g.group(1)))
+        }
         .distinct.map(sq => sq -> nextValueFor(sq)).toMap
       val values = rawVals.map { v =>
-        val v1 = nvRe.replaceAllIn(v,
+        val v1 = replaceOutsideLiterals(v, nvRe)(
           g => nexts(resolveTable(g.group(1))).toString + "L")
-        val v2 = cvRe.replaceAllIn(v1,
+        val v2 = replaceOutsideLiterals(v1, cvRe)(
           g => currentValueFor(resolveTable(g.group(1))).toString + "L")
         "(?is)^ARRAY\\s*\\[(.*)\\]$".r.findFirstMatchIn(v2.trim)
           .map(g => s"array(${g.group(1)})").getOrElse(v2)
@@ -1727,15 +1733,19 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     // column natively. Caveat vs the reference: `SELECT *` in the SAME
     // statement also shows the column (Phoenix's * excludes it).
     val rowTsRe = "(?i)PHOENIX_ROW_TIMESTAMP\\s*\\(\\s*\\)".r
-    val s1 =
-      if (rowTsRe.findFirstIn(s).isEmpty) s
+    val s1 = {
+      // mask discipline: the spelling inside a string literal must not
+      // re-register snapshots nor have the literal's content rewritten
+      val m0 = literalMask(s)
+      if (!rowTsRe.findAllMatchIn(s).exists(x => !m0(x.start))) s
       else {
         tableNames.foreach(t =>
           catalog.snapshotWithRowTs(t).createOrReplaceTempView(t))
         dirty ++= tableNames
         viewsStale = true
-        rowTsRe.replaceAllIn(s, "phoenix_row_timestamp")
+        replaceOutsideLiterals(s, rowTsRe)(_ => "phoenix_row_timestamp")
       }
+    }
     // rewrite schema-qualified spellings to the flattened view names
     // boundaries + literal mask: a blanket replaceAll corrupted string
     // literals containing the dotted spelling and unrelated identifiers
@@ -1787,9 +1797,15 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val re = "(?i)\\b(FROM|JOIN)\\s+([A-Za-z_]\\w*)\\s*\\(".r
     val sb = new StringBuilder
     val created = scala.collection.mutable.ArrayBuffer[String]()
+    // a `FROM t (...)` SPELLING inside a string literal or comment must
+    // not rewrite — with an existing table t it would splice a temp-view
+    // name into the literal's CONTENT (SQL-text-as-data is a real corpus
+    // shape). Same mask discipline as every other rewrite pass; FROM
+    // starts with a word char, so the match-start check suffices.
+    val mask = literalMask(sql)
     var pos = 0
     var k = 0
-    for (m <- re.findAllMatchIn(sql) if m.start >= pos) {
+    for (m <- re.findAllMatchIn(sql) if m.start >= pos && !mask(m.start)) {
       val open = m.end - 1
       var depth = 0
       var i = open
@@ -1842,10 +1858,18 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
   private def sequenceSelect(s: String): Option[DataFrame] = {
     val nextRe = "(?i)NEXT\\s+VALUE\\s+FOR\\s+([\\w.\"]+)".r
     val curRe = "(?i)CURRENT\\s+VALUE\\s+FOR\\s+([\\w.\"]+)".r
-    if (nextRe.findFirstIn(s).isEmpty && curRe.findFirstIn(s).isEmpty)
+    // mask discipline like every rewrite pass: the SPELLING inside a
+    // string literal ('NEXT VALUE FOR x' as data) must neither trigger
+    // the sequence path, nor corrupt the literal through replaceAllIn,
+    // nor step/throw on a sequence the text merely mentions
+    val mask = literalMask(s)
+    def live(re: scala.util.matching.Regex, in: String,
+        m: Array[Boolean]): Seq[scala.util.matching.Regex.Match] =
+      re.findAllMatchIn(in).filterNot(x => m(x.start)).toSeq
+    if (live(nextRe, s, mask).isEmpty && live(curRe, s, mask).isEmpty)
       return None
-    val nextSeqs0 = nextRe.findAllMatchIn(s)
-      .map(m => resolveTable(m.group(1))).toSeq.distinct
+    val nextSeqs0 = live(nextRe, s, mask)
+      .map(m => resolveTable(m.group(1))).distinct
     def perRow(seq: String): String = {
       val st = seqOf(seq)
       val first = peekNext(st)
@@ -1857,15 +1881,15 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     // sequence reads the ROW's next value (reference SequenceManager
     // coalesces per row; the UPSERT path already worked this way) —
     // only CURRENT-only sequences read the stored last value
-    val withCur = curRe.replaceAllIn(s, m => {
+    val withCur = replaceOutsideLiterals(s, curRe) { m =>
       val seq = resolveTable(m.group(1))
       if (nextSeqs0.contains(seq)) perRow(seq)
       else currentValueFor(seq).toString + "L"
-    })
-    val nextSeqs = nextRe.findAllMatchIn(withCur)
-      .map(m => resolveTable(m.group(1))).toSeq.distinct
+    }
+    val nextSeqs = live(nextRe, withCur, literalMask(withCur))
+      .map(m => resolveTable(m.group(1))).distinct
     if (nextSeqs.isEmpty) return Some(spark.sql(withCur))
-    val rewritten = nextRe.replaceAllIn(withCur,
+    val rewritten = replaceOutsideLiterals(withCur, nextRe)(
       m => perRow(resolveTable(m.group(1))))
     val out = spark.sql(rewritten)
     // EXPLAIN must never execute: skip the eager consume and the state

@@ -1191,4 +1191,39 @@ class PhoenixSqlSpec extends AnyFunSuite {
       Map(1L -> "a2", 2L -> "b1", 3L -> "c2"))
     assert(vals("SELECT K, V FROM BIGK") == Map(2L -> "b1", 3L -> "c2"))
   }
+
+  test("rewrite spellings inside string literals are DATA: sequences, " +
+      "PHOENIX_ROW_TIMESTAMP, dynamic columns") {
+    val px = fresh()
+    px.execute("CREATE TABLE LITS (K BIGINT NOT NULL, V VARCHAR " +
+      "CONSTRAINT PK PRIMARY KEY (K))")
+    px.execute("CREATE SEQUENCE lit_seq START WITH 100")
+    // a SELECT whose only 'NEXT VALUE FOR' is a string literal must not
+    // step the sequence nor rewrite the literal's content
+    px.execute("UPSERT INTO LITS VALUES (1, 'a')")
+    val r1 = px.execute(
+      "SELECT K, 'NEXT VALUE FOR lit_seq' AS s FROM LITS").collect()
+    assert(r1.map(_.getString(1)).toSeq == Seq("NEXT VALUE FOR lit_seq"),
+      "literal content must survive")
+    // the sequence was never stepped: its first real NEXT is still 100
+    val r2 = px.execute("SELECT NEXT VALUE FOR lit_seq AS n FROM LITS")
+      .collect()
+    assert(r2.map(_.getLong(0)).toSeq == Seq(100L))
+    // UPSERT VALUES with the spelling as a string value: stored verbatim,
+    // sequence not stepped (next real step reads 101)
+    px.execute("UPSERT INTO LITS VALUES (2, 'CURRENT VALUE FOR lit_seq')")
+    val r3 = px.execute("SELECT V FROM LITS WHERE K = 2").collect()
+    assert(r3.head.getString(0) == "CURRENT VALUE FOR lit_seq")
+    // PHOENIX_ROW_TIMESTAMP() inside a literal stays data
+    val r4 = px.execute(
+      "SELECT 'PHOENIX_ROW_TIMESTAMP()' AS s FROM LITS WHERE K = 1")
+      .collect()
+    assert(r4.head.getString(0) == "PHOENIX_ROW_TIMESTAMP()")
+    // a dynamic-columns SPELLING naming an EXISTING table inside a
+    // literal must not splice a temp view into the string
+    val r5 = px.execute(
+      "SELECT 'FROM LITS (x INTEGER)' AS s FROM LITS WHERE K = 1")
+      .collect()
+    assert(r5.head.getString(0) == "FROM LITS (x INTEGER)")
+  }
 }
