@@ -725,14 +725,33 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     * toggles back immediately, which is equivalent to staying quoted). */
   private def splitTopLevel(s: String, sep: Char): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer[String]()
-    var depth = 0; var inQuote = false; val cur = new StringBuilder
-    s.foreach {
-      case '\'' => inQuote = !inQuote; cur += '\''
-      case c @ ('(' | '[') if !inQuote => depth += 1; cur += c
-      case c @ (')' | ']') if !inQuote => depth -= 1; cur += c
-      case c if c == sep && depth == 0 && !inQuote =>
-        out += cur.toString; cur.clear()
-      case c => cur += c
+    var depth = 0; var inQuote = false
+    var inLine = false; var inBlock = false
+    val cur = new StringBuilder
+    var i = 0
+    // comment-aware like every other front-end scanner: a separator or
+    // paren inside `-- c` / `/* c */` is comment text, not structure
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inQuote) { cur += c; if (c == '\'') inQuote = false }
+      else if (inLine) { cur += c; if (c == '\n') inLine = false }
+      else if (inBlock) {
+        if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+          cur ++= "*/"; i += 1; inBlock = false
+        } else cur += c
+      }
+      else if (c == '\'') { inQuote = true; cur += c }
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        inLine = true; cur ++= "--"; i += 1
+      }
+      else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        inBlock = true; cur ++= "/*"; i += 1
+      }
+      else if (c == '(' || c == '[') { depth += 1; cur += c }
+      else if (c == ')' || c == ']') { depth -= 1; cur += c }
+      else if (c == sep && depth == 0) { out += cur.toString; cur.clear() }
+      else cur += c
+      i += 1
     }
     if (cur.nonEmpty) out += cur.toString
     out.toSeq.map(_.trim).filter(_.nonEmpty)
@@ -740,20 +759,36 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
 
   /** Contents of the first balanced (...) group + the trailing text —
     * a greedy regex would swallow later parenthesized clauses like
-    * SPLIT ON ('a','b') into the column body. */
+    * SPLIT ON ('a','b') into the column body. Quote- and comment-aware:
+    * a paren inside a DEFAULT 'a)b' string or a comment must not close
+    * the group early and truncate the column body mid-literal. */
   private def firstBalancedGroup(s: String): (String, String) = {
     val open = s.indexOf('(')
     require(open >= 0, s"expected ( in: $s")
     var depth = 0
     var i = open
+    var inQuote = false; var inLine = false; var inBlock = false
     while (i < s.length) {
-      s.charAt(i) match {
-        case '(' => depth += 1
-        case ')' =>
-          depth -= 1
-          if (depth == 0)
-            return (s.substring(open + 1, i), s.substring(i + 1))
-        case _ =>
+      val c = s.charAt(i)
+      if (inQuote) { if (c == '\'') inQuote = false }
+      else if (inLine) { if (c == '\n') inLine = false }
+      else if (inBlock) {
+        if (c == '*' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+          i += 1; inBlock = false
+        }
+      }
+      else if (c == '\'') inQuote = true
+      else if (c == '-' && i + 1 < s.length && s.charAt(i + 1) == '-') {
+        inLine = true; i += 1
+      }
+      else if (c == '/' && i + 1 < s.length && s.charAt(i + 1) == '*') {
+        inBlock = true; i += 1
+      }
+      else if (c == '(') depth += 1
+      else if (c == ')') {
+        depth -= 1
+        if (depth == 0)
+          return (s.substring(open + 1, i), s.substring(i + 1))
       }
       i += 1
     }
@@ -1531,16 +1566,25 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
         case None => going = false
         case Some(m) =>
           val openIdx = m.end - 1
-          var depth = 0; var k = openIdx; var inQ = false; var close = -1
+          var depth = 0; var k = openIdx; var close = -1
+          var inQ = false; var inL = false; var inB = false
+          // quote- AND comment-aware: a paren inside 'a)b' or /* ) */
+          // within the argument must not close the group early
           while (k < cur.length && close < 0) {
             val ch = cur.charAt(k)
             if (inQ) { if (ch == '\'') inQ = false }
-            else ch match {
-              case '\'' => inQ = true
-              case '(' => depth += 1
-              case ')' => depth -= 1; if (depth == 0) close = k
-              case _ =>
+            else if (inL) { if (ch == '\n') inL = false }
+            else if (inB) {
+              if (ch == '*' && k + 1 < cur.length &&
+                  cur.charAt(k + 1) == '/') { k += 1; inB = false }
             }
+            else if (ch == '\'') inQ = true
+            else if (ch == '-' && k + 1 < cur.length &&
+                cur.charAt(k + 1) == '-') { inL = true; k += 1 }
+            else if (ch == '/' && k + 1 < cur.length &&
+                cur.charAt(k + 1) == '*') { inB = true; k += 1 }
+            else if (ch == '(') depth += 1
+            else if (ch == ')') { depth -= 1; if (depth == 0) close = k }
             k += 1
           }
           if (close < 0) going = false // unbalanced: let the parser reject

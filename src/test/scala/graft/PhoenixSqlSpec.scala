@@ -1226,4 +1226,29 @@ class PhoenixSqlSpec extends AnyFunSuite {
       .collect()
     assert(r5.head.getString(0) == "FROM LITS (x INTEGER)")
   }
+
+  test("structure scanners are quote- and comment-aware: DDL defaults " +
+      "with ')' and ',', tuple comments, ANY args") {
+    val px = fresh()
+    // a quoted ')' and ',' inside a DEFAULT string must not close the
+    // column-body group early or split the column list
+    px.execute("CREATE TABLE SCAN1 (K BIGINT NOT NULL, " +
+      "V VARCHAR DEFAULT 'a)b,c', W BIGINT " +
+      "CONSTRAINT PK PRIMARY KEY (K))")
+    px.execute("UPSERT INTO SCAN1 (K, W) VALUES (1, 7)")
+    val r1 = px.execute("SELECT V, W FROM SCAN1").collect()
+    assert(r1.head.getString(0) == "a)b,c" && r1.head.getLong(1) == 7L)
+    // a comma inside a block comment within a VALUES tuple is not a
+    // value separator
+    px.execute("UPSERT INTO SCAN1 VALUES (2 /* x,y */, 'v2', 8)")
+    val r2 = px.execute("SELECT V, W FROM SCAN1 WHERE K = 2").collect()
+    assert(r2.head.getString(0) == "v2" && r2.head.getLong(1) == 8L)
+    // a quoted ')' inside an ANY argument must not end the argument scan
+    px.execute("CREATE TABLE SCAN2 (K BIGINT NOT NULL, TAGS VARCHAR " +
+      "ARRAY CONSTRAINT PK PRIMARY KEY (K))")
+    px.execute("UPSERT INTO SCAN2 VALUES (1, ARRAY['x)y', 'z'])")
+    val r3 = px.execute(
+      "SELECT K FROM SCAN2 WHERE 'x)y' = ANY(TAGS)").collect()
+    assert(r3.map(_.getLong(0)).toSeq == Seq(1L))
+  }
 }
