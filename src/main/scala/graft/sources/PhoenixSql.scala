@@ -1449,6 +1449,17 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
         case _ => sb.append(c); i += 1
       }
     }
+    // unterminated tokens fail LOUDLY like the reference lexer: left to
+    // run on, an unpaired `"` swallows everything up to the next `"` —
+    // including a later string literal's content, which would then be
+    // rewritten as identifier text (caught by PhoenixSqlFuzzSpec P4). A
+    // line comment may legally end at EOF.
+    if (inStr) throw new IllegalArgumentException(
+      s"unterminated string literal in: $q")
+    if (inId) throw new IllegalArgumentException(
+      s"unterminated double-quoted identifier in: $q")
+    if (inBlock) throw new IllegalArgumentException(
+      s"unterminated block comment in: $q")
     val n = sb.toString
     val s1 = replaceOutsideLiterals(n,
       ("(?i)\\b(?:UNSIGNED_)?(?:DATE|TIME|TIMESTAMP)" +

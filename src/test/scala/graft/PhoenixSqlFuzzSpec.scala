@@ -108,6 +108,62 @@ class PhoenixSqlFuzzSpec extends AnyFunSuite {
     }
   }
 
+  test("P4: normalizeQueryText preserves single-quoted literal contents " +
+      "byte-for-byte (1500 seeded statements)") {
+    // normalize's own triggers — each must convert OUTSIDE literals and
+    // be inert INSIDE them
+    // Outside-position chunks must be WELL-FORMED (paired quotes): an
+    // unpaired `"` is an unterminated identifier and now fails loudly
+    // rather than silently swallowing a later literal.
+    val nTriggers = Seq("\"QuotedId\"", "// c", " ",
+      "DATE '2020-01-01'", "UNSIGNED_TIME '00:00:00'", "\"x y\"")
+    // payloads may be arbitrarily nasty INSIDE a literal, including the
+    // unpaired-quote spelling
+    val nPayloads = nTriggers :+ "x\"y"
+    for (i <- 1 to 1500) {
+      val payload = nPayloads(rng.nextInt(nPayloads.length))
+        .replace("'", "''")
+      val sentinel = s"'SENT$i $payload end'"
+      val s = (1 to (1 + rng.nextInt(6))).map { _ =>
+        if (rng.nextInt(3) == 0)
+          nTriggers(rng.nextInt(nTriggers.length)) + " "
+        else plainChunk()
+      }.mkString + sentinel + " " + plainChunk()
+      val n = px.normalizeQueryText(s)
+      assert(n.contains(sentinel),
+        s"literal must survive normalize:\n<$s>\n<$n>")
+    }
+  }
+
+  test("P5: normalizeQueryText and prepareQueryText are idempotent " +
+      "(1500 seeded statements)") {
+    for (_ <- 1 to 1500) {
+      val s = (1 to (2 + rng.nextInt(8))).map { _ =>
+        rng.nextInt(4) match {
+          case 0 => maskedChunk()
+          case 1 => Seq("\"Qid\" ", "// c\n", "DATE '2020-01-01' ",
+            "x'AB' ", "v = ANY(tags) ")(rng.nextInt(5))
+          case _ => plainChunk()
+        }
+      }.mkString
+      val n1 = px.normalizeQueryText(s)
+      assert(px.normalizeQueryText(n1) == n1,
+        s"normalize must be idempotent on:\n<$s>\ngot:\n<$n1>")
+      // the generator can compose dialect-INVALID text (an x'AB'
+      // followed by an ordinary string literal is a continuation and
+      // must be hex) — a loud typed rejection is correct behavior, and
+      // the property then is that it rejects CONSISTENTLY
+      val p1 = try px.prepareQueryText(s) catch {
+        case _: IllegalArgumentException =>
+          intercept[IllegalArgumentException](px.prepareQueryText(s))
+          null
+      }
+      if (p1 != null)
+        assert(px.prepareQueryText(p1) == p1,
+          s"prepare must be idempotent on:\n<$s>\ngot:\n<$p1>")
+    }
+  }
+
   test("P3: multi-part hex/bit literals collapse to the independently " +
       "computed X'digits' (1000 seeded runs)") {
     val hexChars = "0123456789abcdefABCDEF"
