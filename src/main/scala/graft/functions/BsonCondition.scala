@@ -145,9 +145,23 @@ object BsonConditionEval {
       while (consumeKeyword("AND")) cs += notExpr()
       if (cs.length == 1) cs.head else AndN(cs.toList)
     }
+    // recursion depth bound: the descent recurses per NOT / paren group,
+    // so a degenerate '((((...' input would StackOverflow — an Error,
+    // not an exception, killing the executor thread instead of failing
+    // the row's expression with a typed message. The reference service
+    // caps whole expressions at 4 KB; 400 nesting levels is far beyond
+    // any real condition.
+    private var depth = 0
+    private def descend[A](body: => A): A = {
+      depth += 1
+      if (depth > 400) err("expression nesting too deep (max 400)")
+      try body finally depth -= 1
+    }
     private def notExpr(): Cond =
-      if (consumeKeyword("NOT")) NotN(notExpr())
-      else if (tryConsume('(')) { val c = orExpr(); expect(')'); c }
+      if (consumeKeyword("NOT")) descend(NotN(notExpr()))
+      else if (tryConsume('(')) descend {
+        val c = orExpr(); expect(')'); c
+      }
       else booleanExpr()
 
     private def pathArg(): String = {

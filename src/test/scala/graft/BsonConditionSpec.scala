@@ -274,4 +274,39 @@ class BsonConditionSpec extends AnyFunSuite {
     fails("""{"$ADD": {"Id": "x"}}""") // ADD value neither number nor set
     fails("""{"$DELETE_FROM_SET": {"Id": {"$set": [1]}}}""") // not a set
   }
+
+  test("condition parser robustness: garbage throws TYPED errors, deep " +
+      "nesting is bounded (no StackOverflow), valid nesting still works") {
+    import graft.functions.BsonConditionEval
+    def exprJson(e: String): String = {
+      val esc = e.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"$$EXPR": "$esc", "$$VAL": {":v": 1}}"""
+    }
+    // 2000 seeded-random token soups: every outcome is either a parse
+    // or a typed IllegalArgumentException — never an NPE, ClassCast, or
+    // StackOverflowError escaping to the caller
+    val rng = new scala.util.Random(0xB50FF)
+    val tokens = Seq("field_exists", "(", ")", "AND", "OR", "NOT", "a.b",
+      ":v", "#k", "=", "<", ">=", "<>", "BETWEEN", "IN", ",", "size",
+      "begins_with", "!", "", " ")
+    for (_ <- 1 to 2000) {
+      val e = (1 to (1 + rng.nextInt(12)))
+        .map(_ => tokens(rng.nextInt(tokens.length))).mkString(" ")
+      try BsonConditionEval.compile(exprJson(e))
+      catch { case _: IllegalArgumentException => () }
+    }
+    // a degenerate '((((...' used to StackOverflow — an ERROR, killing
+    // the executor thread; now a typed depth error
+    val deep = "(" * 100000 + "field_exists(a)" + ")" * 100000
+    val eDeep = intercept[IllegalArgumentException] {
+      BsonConditionEval.compile(exprJson(deep))
+    }
+    assert(eDeep.getMessage.contains("nesting too deep"))
+    // legitimate nesting well under the bound still parses and evaluates
+    val ok = "(".*(50) + "field_exists(Id)" + ")".*(50)
+    val r = spark.sql(
+      s"""SELECT bson_condition_expression(to_bson('{"Id": 1}'),
+         |'${exprJson(ok).replace("'", "''")}')""".stripMargin).collect()
+    assert(r.head.getBoolean(0))
+  }
 }
