@@ -24,12 +24,17 @@ import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExcha
 object ShuffleAudit {
 
   /** Default probe set: the queries whose docs claim digest/signature/
-    * sketch-sized shuffles over payload-sized inputs. */
+    * sketch-sized shuffles over payload-sized inputs, plus the
+    * join/temporal tier whose claims are broadcast-dims / one-key-
+    * exchange / equi-shuffle-not-nested-loop (both SCALE.md tables). */
   private val Defaults = Seq(
     "q1_agg", "q_dedup_exact", "q_dedup_fingerprint", "q_dedup_minhash",
     "q_dedup_simhash", "q_line_dedup", "q_dedup_cross_source",
     "q_image_dedup", "q_audio_dedup", "q_dau_mau", "q_cohort_retention",
-    "q_overlap_sketch", "q_retention_sketch", "q_knn_cosine_int8")
+    "q_overlap_sketch", "q_retention_sketch", "q_knn_cosine_int8",
+    "q_asof_join", "q_asof_join_bucketed", "q_sessionize", "q_tpch_q5",
+    "q_tpch_q21", "q_range_join", "q_funnel", "q_star_join",
+    "q_epoch_shuffle")
 
   /** Every node of the finalized physical plan, through AQE wrappers and
     * subqueries, deduped by REFERENCE (SparkPlan case-class equality is
