@@ -80,15 +80,24 @@ object ShuffleAudit {
         // metric values are final once the job is done (local mode:
         // DAGScheduler posts task-end metric updates before the job-end
         // unblocks the caller)
+        // shuffleBytesWritten ONLY — dataSize is the pre-serialization
+        // in-memory row size, a different unit; mixing them in made a
+        // fallback row look like a measured one. An exchange missing
+        // the metric is counted as unmeasured and flagged, never
+        // silently estimated.
         val shuffles = allNodes(qe.executedPlan).collect {
-          case r: ReusedExchangeExec => (r, 0L) // bytes written once, at the original
+          case _: ReusedExchangeExec => (0L, false) // bytes written once, at the original
           case s: ShuffleExchangeLike =>
-            (s, s.metrics.get("shuffleBytesWritten")
-              .orElse(s.metrics.get("dataSize")).map(_.value).getOrElse(0L))
+            s.metrics.get("shuffleBytesWritten").map(m => (m.value, false))
+              .getOrElse((0L, true))
         }
-        val bytes = shuffles.map(_._2).sum
+        val bytes = shuffles.map(_._1).sum
+        val unmeasured = shuffles.count(_._2)
         println(f"[audit] $n%-28s ${shuffles.size}%2d exchanges " +
-          f"${bytes / 1e6}%10.2f MB shuffled")
+          f"${bytes / 1e6}%10.2f MB shuffled" +
+          (if (unmeasured > 0)
+            s"  [$unmeasured exchange(s) lack shuffleBytesWritten — " +
+              "not counted]" else ""))
         Some(n -> bytes)
       } catch { case e: Throwable =>
         System.err.println(s"[audit] $n FAILED: ${e.getMessage}")

@@ -153,9 +153,14 @@ object BsonConditionEval {
     // any real condition.
     private var depth = 0
     private def descend[A](body: => A): A = {
+      // increment INSIDE the try: the >400 err must unwind the counter
+      // too, or a caller that caught and resumed (or a reused Parser)
+      // would reject valid input against a stale depth
       depth += 1
-      if (depth > 400) err("expression nesting too deep (max 400)")
-      try body finally depth -= 1
+      try {
+        if (depth > 400) err("expression nesting too deep (max 400)")
+        body
+      } finally depth -= 1
     }
     private def notExpr(): Cond =
       if (consumeKeyword("NOT")) descend(NotN(notExpr()))

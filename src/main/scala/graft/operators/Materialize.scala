@@ -18,11 +18,17 @@ import graft.sources.GraftCatalog
   *  - COUNT and SUM are self-invertible: insertions add, retractions
   *    (the PRE image of an update, or a delete) subtract — delta-sized
   *    work, no base-table access;
-  *  - MIN / MAX are not invertible under retraction: a group that lost
-  *    a row is recomputed from the snapshot, but ONLY those groups (a
-  *    semi-join on the retraction-affected group keys). Insert-only
-  *    groups merge with least/greatest directly. An append-only corpus
-  *    (the common training-data shape) never pays the recompute.
+  *  - MIN / MAX are not invertible under retraction — but removing a
+  *    NON-extremal value cannot change an extremum, so retraction
+  *    groups are EXTREMUM-GATED: only a group where some retracted
+  *    value ties/crosses the prior state's min/max (or that the state
+  *    didn't hold at all) recomputes; every other retraction folds
+  *    purely algebraically with zero base access. The recompute itself
+  *    is pruned to the affected PKs' history (candidate-PK semi-join
+  *    BELOW the collapse — [[recomputePlan]]), so even an
+  *    extremum-losing refresh shuffles affected-group history, not the
+  *    keyspace. An append-only corpus (the common training-data shape)
+  *    never pays any of it.
   *
   * State typing is EXACT per measure — the whole point of serving a
   * 100 TB sum from the state is that the fact-table answer and the
@@ -231,21 +237,73 @@ object Materialize {
     val changes = preImageChanges(rawLog, fields, s.pk, lastV)
     val hasPrev = col("_prev").isNotNull && !col("_prev").getField("__del")
 
-    // typed zero/null contributions matching the persisted state schema
-    // exactly (unionByName is type-strict)
-    def zeroMeasures: Seq[Column] = measures.flatMap(m => Seq(
-      lit(null).cast(stT(s"cnt_$m")).as(s"cnt_$m"),
-      lit(null).cast(stT(s"sum_$m")).as(s"sum_$m"),
-      lit(null).cast(stT(s"min_$m")).as(s"min_$m"),
-      lit(null).cast(stT(s"max_$m")).as(s"max_$m")))
+    def aliveAt(cut: Option[java.sql.Timestamp], ts: Column): Column =
+      cut.map(c => ts.isNull || ts >= lit(c)).getOrElse(lit(true))
 
-    // union-merge instead of joins: groupBy treats NULL group values as
-    // an ordinary group, so NULL keys merge correctly (a join-based
-    // merge would never match them); `retr` marks groups that lost a
-    // row — their min/max (not invertible) recompute below, so their
-    // sum/min/max contributions here are irrelevant
+    // ---- exact retraction slice (row VALUES, not just group marks) ----
+    // A pre-image only retracts what was actually COUNTED: a pre-delta
+    // version (<= lastV) was in the state iff alive at the LAST refresh;
+    // a within-delta version (> lastV) is added by this refresh's own
+    // post fold iff alive NOW — subtracting anything else would retract
+    // a row that was never added.
+    val prevTs = col("_prev").getField("__ts")
+    val prevValid = hasPrev &&
+      when(col("_prev").getField("__v") <= lastV, aliveAt(lastCut, prevTs))
+        .otherwise(aliveAt(nowCut, prevTs))
+    val preVals = changes.where(prevValid)
+      .select(fields.map(f => col(s"_prev.$f").as(f)): _*)
+    // Newly-expired WINNERS (TTL): rows that were each PK's last-wins
+    // winner at the last refresh (collapse over the alive-at-last slice
+    // of the candidate PKs' history — candidate rows _ts-window-pruned
+    // via parquet stats), now past the cutoff. Delta-touched PKs are
+    // excluded: their retraction rides the pre-image path (counting
+    // both would subtract the row twice).
+    val expVals = (nowCut, lastCut) match {
+      case (Some(nc), Some(lc)) =>
+        val candPks = rawLog.where(col("_version") <= lastV &&
+            !col("_deleted") && col("_ts").isNotNull &&
+            col("_ts") >= lit(lc) && col("_ts") < lit(nc))
+          .select(s.pk.map(c => col(c).as(s"__e_$c")): _*).distinct()
+        val candCond = s.pk.map(c => col(c) <=> col(s"__e_$c"))
+          .reduce(_ && _)
+        val winners = cat.collapseKeepMeta(table,
+          rawLog.where(col("_version") <= lastV &&
+              (col("_ts").isNull || col("_ts") >= lit(lc)))
+            .join(candPks, candCond, "left_semi"))
+        val deltaPks = rawLog.where(col("_version") > lastV)
+          .select(s.pk.map(c => col(c).as(s"__d_$c")): _*).distinct()
+        val touched = s.pk.map(c => col(c) <=> col(s"__d_$c"))
+          .reduce(_ && _)
+        Some(winners.where(!col("_deleted") && col("_ts").isNotNull &&
+            col("_ts") < lit(nc))
+          .join(deltaPks, touched, "left_anti")
+          .select(fields.map(col): _*))
+      case _ => None
+    }
+    val retracted = withGrains(
+      expVals.foldLeft(preVals)(_ unionByName _), grains)
+
+    // ---- union-merge (not joins: NULL group values merge correctly) ----
+    // Each branch carries the full internal column set; measure-typed
+    // NULLs cast exactly to the persisted state schema (unionByName is
+    // type-strict). Internal carries: __retr (group lost a row),
+    // __instate (group existed in the prior state), __smin/__smax (the
+    // prior state's extrema — the gate's comparison point, kept separate
+    // because the merged min/max already folds post rows in), and
+    // __rmin/__rmax (the extrema of the RETRACTED values).
+    val mT: String => DataType = m => stT(s"min_$m")
+    def carry(smin: String => Column, rmin: String => Column,
+        smax: String => Column, rmax: String => Column): Seq[Column] =
+      measures.flatMap(m => Seq(
+        smin(m).cast(mT(m)).as(s"__smin_$m"),
+        smax(m).cast(mT(m)).as(s"__smax_$m"),
+        rmin(m).cast(mT(m)).as(s"__rmin_$m"),
+        rmax(m).cast(mT(m)).as(s"__rmax_$m")))
+    val nul: String => Column = _ => lit(null)
     val stateRows = state
-      .withColumn("retr", lit(0))
+      .withColumn("__retr", lit(0)).withColumn("__instate", lit(1))
+      .select(col("*") +: carry(m => col(s"min_$m"), nul,
+        m => col(s"max_$m"), nul): _*)
     // the SAME aggregate() the full build uses — the exactness
     // guarantee depends on the delta and the build producing identical
     // widened sum types for the type-strict unionByName merge below
@@ -253,29 +311,26 @@ object Materialize {
         withGrains(changes.where(!col("_deleted") && aliveNow)
           .select(fields.map(col): _*), grains),
         groupCols, measures)
-      .withColumn("retr", lit(0))
-    val preRows = withGrains(changes.where(hasPrev)
-        .select(fields.map(f => col(s"_prev.$f").as(f)): _*), grains)
+      .withColumn("__retr", lit(0)).withColumn("__instate", lit(0))
+      .select(col("*") +: carry(nul, nul, nul, nul): _*)
+    // negative contributions: cnt / per-measure cnt / sum fold
+    // algebraically (count and sum are self-invertible); min/max ride
+    // as __rmin/__rmax for the extremum gate instead
+    val retrRows = retracted
       .groupBy(groupCols.map(col): _*)
-      .agg((-count(lit(1))).as("cnt"), zeroMeasures: _*)
-      .withColumn("retr", lit(1))
-    // newly-expired slice: rows alive at the last refresh, expired now.
-    // Candidates (not winners — a superseded row merely over-marks its
-    // group for recompute, which is always correct) in the _ts window;
-    // legacy NULL stamps never expire.
-    val expRows = (nowCut, lastCut) match {
-      case (Some(nc), Some(lc)) =>
-        withGrains(rawLog.where(col("_version") <= lastV &&
-            !col("_deleted") && col("_ts").isNotNull &&
-            col("_ts") >= lit(lc) && col("_ts") < lit(nc)), grains)
-          .groupBy(groupCols.map(col): _*)
-          .agg(lit(0L).as("cnt"), zeroMeasures: _*)
-          .withColumn("retr", lit(1))
-      case _ => null
-    }
-    val unioned = Option(expRows)
-      .foldLeft(stateRows.unionByName(postRows).unionByName(preRows))(
-        _ unionByName _)
+      .agg((-count(lit(1))).as("cnt"),
+        measures.flatMap(m => Seq(
+          (-count(col(m))).cast(stT(s"cnt_$m")).as(s"cnt_$m"),
+          (-sum(col(m))).cast(stT(s"sum_$m")).as(s"sum_$m"),
+          lit(null).cast(stT(s"min_$m")).as(s"min_$m"),
+          lit(null).cast(stT(s"max_$m")).as(s"max_$m"),
+          min(col(m)).cast(mT(m)).as(s"__rmin_$m"),
+          max(col(m)).cast(mT(m)).as(s"__rmax_$m"))): _*)
+      .withColumn("__retr", lit(1)).withColumn("__instate", lit(0))
+      .select(col("*") +: measures.flatMap(m => Seq(
+        lit(null).cast(mT(m)).as(s"__smin_$m"),
+        lit(null).cast(mT(m)).as(s"__smax_$m"))): _*)
+    val unioned = stateRows.unionByName(postRows).unionByName(retrRows)
     val merged = unioned
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),
@@ -283,24 +338,53 @@ object Materialize {
           sum(col(s"cnt_$m")).as(s"cnt_$m"),
           sum(col(s"sum_$m")).as(s"sum_$m"),
           min(col(s"min_$m")).as(s"min_$m"),
-          max(col(s"max_$m")).as(s"max_$m"))) :+
-          max(col("retr")).as("retr"): _*)
-    val affected = merged.where(col("retr") > 0)
+          max(col(s"max_$m")).as(s"max_$m"))) ++
+          Seq(max(col("__retr")).as("__retr"),
+            max(col("__instate")).as("__instate")) ++
+          measures.flatMap(m => Seq(
+            min(col(s"__smin_$m")).as(s"__smin_$m"),
+            max(col(s"__smax_$m")).as(s"__smax_$m"),
+            min(col(s"__rmin_$m")).as(s"__rmin_$m"),
+            max(col(s"__rmax_$m")).as(s"__rmax_$m"))): _*)
+    // ---- extremum gate ----
+    // Removing a NON-extremal value can never change a group's min/max,
+    // and cnt/sum already folded algebraically — so a retraction group
+    // needs the snapshot recompute ONLY if some retracted value ties or
+    // crosses the prior state's extremum for some measure (<=/>= not ==:
+    // a within-delta churn value never in the state can sit outside its
+    // bounds), or the group wasn't in the state at all (its min/max
+    // would otherwise fold in values retracted in the same refresh).
+    // A state extremum that is NULL with a non-null retracted value is
+    // the same unknown-bounds case.
+    val needsRecompute = col("__instate") === 0 ||
+      measures.map(m =>
+        col(s"__rmin_$m").isNotNull && (col(s"__smin_$m").isNull ||
+          col(s"__rmin_$m") <= col(s"__smin_$m") ||
+          col(s"__rmax_$m") >= col(s"__smax_$m")))
+        .foldLeft(lit(false))(_ || _)
+    val internals = Seq("__retr", "__instate") ++ measures.flatMap(m =>
+      Seq(s"__smin_$m", s"__smax_$m", s"__rmin_$m", s"__rmax_$m"))
+    val kept = merged
+      .where((col("__retr") === 0 || !needsRecompute) && col("cnt") > 0)
+      .drop(internals: _*)
+    val affected = merged.where(col("__retr") > 0 && needsRecompute)
       .select(groupCols.map(c => col(c).as(s"__a_$c")): _*)
-    val affCond = groupCols.map(c => col(c) <=> col(s"__a_$c"))
-      .reduce(_ && _) // null-safe: NULL groups recompute too
-    val recomputed = aggregate(
-      withGrains(cat.snapshot(table), grains)
-        .join(affected, affCond, "left_semi"),
-      groupCols, measures)
+    // driver-side short-circuit: with no gated-in group there is NO
+    // recompute branch in the written plan at all — the common
+    // non-extremal-update refresh never touches the base history
+    // (delta-sized check: affected derives from state + delta only)
+    val affectedCount = affected.count()
+    LastRefresh.affectedGroups = affectedCount
+    LastRefresh.recomputeRan = affectedCount > 0
+    val out = if (affectedCount == 0) kept
+      else kept.unionByName(
+        recomputePlan(cat, table, groupCols, measures, grains, affected))
     // a distinct target dir always — an expiry-only refresh keeps the
     // version number, so suffix it to avoid overwriting the state
     // being read
     val newDir =
       if (newV > lastV) s"state_v$newV" else s"state_v${newV}e$nowMs"
-    merged.where(col("retr") === 0 && col("cnt") > 0).drop("retr")
-      .unionByName(recomputed)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/$newDir")
+    out.write.mode(SaveMode.Overwrite).parquet(s"$path/$newDir")
     import spark.implicits._
     Seq((newV, groupCols, measures, nowMs, newDir,
         ttl.getOrElse(-1L), grains.map(_._1), grains.map(_._2),
@@ -331,7 +415,11 @@ object Materialize {
     val nonPk = fields.filterNot(pk.contains)
     val ord = struct(col("_version") +: nonPk.map(col): _*)
     val w = Window.partitionBy(pk.map(col): _*).orderBy(ord.asc)
-    val rowS = struct(fields.map(col) :+ col("_deleted").as("__del"): _*)
+    // __v/__ts ride along so refresh can decide whether the pre-image
+    // was actually counted (in the state, or by this refresh's own post
+    // fold) before retracting it algebraically
+    val rowS = struct(fields.map(col) ++ Seq(col("_deleted").as("__del"),
+      col("_version").as("__v"), col("_ts").as("__ts")): _*)
     val deltaPks = rawLog.where(col("_version") > lastV)
       .select(pk.map(c => col(c).as(s"__d_$c")): _*).distinct()
     val touchedCond = pk.map(c => col(c) <=> col(s"__d_$c"))
@@ -339,6 +427,42 @@ object Materialize {
     rawLog.join(deltaPks, touchedCond, "left_semi")
       .withColumn("_prev", lag(rowS, 1).over(w))
       .where(col("_version") > lastV)
+  }
+
+  /** Test/diagnostic instrumentation: facts about the most recent
+    * [[refresh]] call (single-writer, same assumption as the catalog's
+    * version counter). `recomputeRan == false` means the written plan
+    * contained NO base-history access at all. */
+  private[graft] object LastRefresh {
+    @volatile var affectedGroups: Long = -1L
+    @volatile var recomputeRan: Boolean = false
+  }
+
+  /** Affected-group recompute, PRUNED to affected-PK history: instead of
+    * collapsing the FULL change log and semi-joining the result (the
+    * group semi-join cannot push below the PK-keyed collapse — group
+    * values live inside the max_by struct — so that shape scans and
+    * shuffles the keyspace per refresh), first find the PKs ANY of whose
+    * versions ever carried an affected group value (one log scan with a
+    * broadcast-sized semi-join — affected is retraction-group-sized),
+    * then collapse ONLY those PKs' history ([[GraftCatalog.snapshotForPks]]
+    * puts the LeftSemi BELOW the collapse aggregate), then filter the
+    * winners back to the affected groups (a pruned PK's current winner
+    * may have moved to an unaffected group, which the merged fold
+    * already covers — emitting it here would duplicate the group). */
+  private[graft] def recomputePlan(cat: GraftCatalog, table: String,
+      groupCols: Seq[String], measures: Seq[String],
+      grains: Seq[(String, String)], affected: DataFrame): DataFrame = {
+    val s = cat.spec(table)
+    val affCond = groupCols.map(c => col(c) <=> col(s"__a_$c"))
+      .reduce(_ && _) // null-safe: NULL groups recompute too
+    val candPks = withGrains(cat.changeLogRaw(table), grains)
+      .join(affected, affCond, "left_semi")
+      .select(s.pk.map(c => col(c).as(s"__p_$c")): _*).distinct()
+    aggregate(
+      withGrains(cat.snapshotForPks(table, candPks), grains)
+        .join(affected, affCond, "left_semi"),
+      groupCols, measures)
   }
 
   /** The grouped aggregate both the full build and the affected-group

@@ -24,11 +24,15 @@ object Multimodal {
   // in-memory payload creates (and deletes) a temp file before reading
   // a single pixel — pure syscall overhead per image, multiplied by
   // billions of rows at corpus scale. All payloads here are byte
-  // arrays already in memory, so use the memory-backed cache. JVM-wide
-  // and idempotent; runs once per executor JVM when the first decode
-  // task touches this object. Measured: q_image_dedup (two decodes per
-  // doc) 4.3 s → 1.4 s at sf0.1.
-  javax.imageio.ImageIO.setUseCache(false)
+  // arrays already in memory, so use the memory-backed cache.
+  // NOTE this mutates JVM-GLOBAL ImageIO state (documented in README):
+  // an embedding application sharing the JVM sees the memory cache too.
+  // Called from every decode entry point (not the object initializer)
+  // so it reliably takes effect on executors regardless of which class
+  // touched ImageIO first; idempotent and thread-safe (a volatile
+  // boolean write in ImageIO).
+  private[operators] def useMemoryCache(): Unit =
+    javax.imageio.ImageIO.setUseCache(false)
 
   /** One media item: opaque payload + source metadata. */
   case class MediaRow(media_id: Long, payload: Array[Byte], kind: String,
@@ -78,6 +82,7 @@ object Multimodal {
     * the task — a corrupt image must not kill a 100-TB scan. */
   object ImageIoDecoder extends Decoder {
     override def decode(id: Long, payload0: Array[Byte]): MediaFeatures = {
+      useMemoryCache()
       val payload =
         if (payload0 == null) Array.emptyByteArray else payload0
       val md = md5Hex(payload)
@@ -111,6 +116,7 @@ object Multimodal {
     * native state. */
   def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     require(w > 0 && h > 0, "target dimensions must be positive")
+    useMemoryCache()
     // full pixel decode — even more RuntimeException surface than the
     // header path; NonFatal keeps a corrupt payload from killing the task
     val img = try javax.imageio.ImageIO.read(
@@ -239,6 +245,7 @@ object Multimodal {
     * within a JVM, and the SAME pixels for the same image bytes
     * regardless of source format. */
   def dhash64(payload: Array[Byte]): Option[Long] = {
+    useMemoryCache()
     val img = try javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(
         if (payload == null) Array.emptyByteArray else payload))
@@ -470,6 +477,7 @@ object Multimodal {
   /** Rendering rule shared by [[syntheticImages]] and its tests. */
   private[graft] def renderTextImage(text0: String,
       format: String = "png"): Array[Byte] = {
+    useMemoryCache()
     val text = if (text0 == null) "" else text0
     val words = text.toLowerCase.trim.split("\\s+")
     val img = new java.awt.image.BufferedImage(32, 32,

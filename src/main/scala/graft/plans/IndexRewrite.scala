@@ -35,7 +35,12 @@ object GraftIndexes {
   private val registry =
     new java.util.concurrent.ConcurrentHashMap[String, IndexDef]()
 
-  def register(basePath: String, index: IndexDef): Unit = {
+  // synchronized: the cycle walk below is check-then-put — two
+  // concurrent register() calls (a→b and b→a) could each pass the walk
+  // before either put lands, creating exactly the ping-pong cycle the
+  // check exists to prevent. Registrations are rare control-plane
+  // calls; a lock costs nothing.
+  def register(basePath: String, index: IndexDef): Unit = synchronized {
     // validate HERE, not during planning: a malformed registration
     // (empty key, missing/empty index dir) would otherwise throw
     // inside the optimizer rule and fail EVERY query on the base table

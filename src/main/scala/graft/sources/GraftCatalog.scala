@@ -388,6 +388,19 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
 
   /** Last-wins collapse of a (possibly filtered) change log slice. */
   private def collapseLog(name: String, log: DataFrame): DataFrame = {
+    val fields = allFields(name)
+    collapseKeepMeta(name, log)
+      .where(!col("_deleted"))
+      .select(fields.map(f => col(f.name)): _*)
+  }
+
+  /** The ONE winner-per-PK collapse every read path derives from,
+    * KEEPING the winner's `_deleted` / `_ts` / `_version` — so the
+    * snapshot, row-ts read, compaction, and the MV expired-winner
+    * determination can never disagree on which version wins for the
+    * same log. Same map-side-combinable max_by shape as before. */
+  private[graft] def collapseKeepMeta(name: String,
+      log: DataFrame): DataFrame = {
     val s = spec(name)
     val fields = allFields(name)
     val nonPk = fields.map(_.name).filterNot(s.pk.contains)
@@ -395,10 +408,24 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     log
       .groupBy(s.pk.map(col): _*)
       .agg(max_by(
-        struct(fields.map(f => col(f.name)) :+ col("_deleted"): _*),
+        struct(fields.map(f => col(f.name)) ++
+          Seq(col("_deleted"), col("_ts"), col("_version")): _*),
         ord).as("_r"))
-      .where(!col("_r._deleted"))
-      .select(fields.map(f => col(s"_r.${f.name}").as(f.name)): _*)
+      .select(fields.map(f => col(s"_r.${f.name}").as(f.name)) ++
+        Seq(col("_r._deleted").as("_deleted"), col("_r._ts").as("_ts"),
+          col("_r._version").as("_version")): _*)
+  }
+
+  /** Snapshot restricted to the PKs present in `pks` (columns named
+    * `__p_<pk>`): the change log is semi-joined on the PK BEFORE the
+    * collapse, so the collapse shuffle carries only the matching PKs'
+    * history — [[graft.operators.Materialize.refresh]]'s affected-group
+    * recompute reads affected-PK history, not the keyspace. */
+  private[graft] def snapshotForPks(name: String, pks: DataFrame): DataFrame = {
+    val s = spec(name)
+    val cond = s.pk.map(c => col(c) <=> col(s"__p_$c")).reduce(_ && _)
+    collapseLog(name, changeLog(name).join(pks, cond, "left_semi"))
+      .select(s.schema.fieldNames.map(col): _*)
   }
 
   /** Point-in-time snapshot by write version — the engine's analog of
@@ -455,25 +482,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .select(spec(name).schema.fieldNames.map(col) :+
         col("_ts").as("phoenix_row_timestamp"): _*)
 
-  /** Last-wins collapse KEEPING each winner's batch stamp — the shared
-    * core of [[snapshotWithRowTs]] and [[compact]] (they were two
-    * hand-copied variants of [[collapseLog]]; a tie-break fix applied
-    * to one had to be re-applied to the others or the snapshot, row-ts
-    * read and compaction winners would diverge for the same log). */
+  /** Last-wins collapse KEEPING each winner's batch stamp — used by
+    * [[snapshotWithRowTs]] and [[compact]]; derives from
+    * [[collapseKeepMeta]] so a tie-break fix lands everywhere at once. */
   private def collapseLogWithTs(name: String, log: DataFrame): DataFrame = {
-    val s = spec(name)
     val fields = allFields(name)
-    val nonPk = fields.map(_.name).filterNot(s.pk.contains)
-    val ord = struct(col("_version") +: nonPk.map(col): _*)
-    log
-      .groupBy(s.pk.map(col): _*)
-      .agg(max_by(
-        struct(fields.map(f => col(f.name)) ++
-          Seq(col("_deleted"), col("_ts")): _*),
-        ord).as("_r"))
-      .where(!col("_r._deleted"))
-      .select(fields.map(f => col(s"_r.${f.name}").as(f.name)) :+
-        col("_r._ts").as("_ts"): _*)
+    collapseKeepMeta(name, log)
+      .where(!col("_deleted"))
+      .select(fields.map(f => col(f.name)) :+ col("_ts"): _*)
   }
 
   /** CDC view (reference: Phoenix CREATE CDC, CDCChangeScope CHANGE/PRE/

@@ -771,6 +771,132 @@ class CatalogSpec extends AnyFunSuite {
       Seq((2L, 20L)))
   }
 
+  test("IVM extremum gate: non-extremal retractions fold with ZERO " +
+      "base-history access; extremum-losing ones recompute only " +
+      "affected-PK history (LeftSemi below the collapse aggregate)") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val cat = freshCatalog()
+    cat.createTable("mg", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.upsert("mg", Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L),
+      (4L, "b", 5L), (5L, "b", 50L)).toDF("k", "g", "x"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_gate").toString
+    Materialize.build(cat, "mg", Seq("g"), Seq("x"), path)
+    def expected = Materialize
+      .aggregate(cat.snapshot("mg"), Seq("g"), Seq("x"))
+      .collect().map(_.toSeq).toSet
+    def actual = Materialize.read(spark, path)
+      .collect().map(_.toSeq).toSet
+
+    // non-extremal update: k=2 moves 20 -> 25 inside 'a' extrema (10, 30)
+    cat.upsert("mg", Seq((2L, "a", 25L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat, "mg", path)
+    assert(actual == expected, s"non-extremal fold diverged: $actual")
+    assert(!Materialize.LastRefresh.recomputeRan &&
+      Materialize.LastRefresh.affectedGroups == 0L,
+      "a non-extremal retraction must refresh without any base access")
+
+    // delete of a non-extremal row: still pure algebra
+    cat.upsert("mg", Seq((6L, "b", 30L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat, "mg", path)
+    cat.delete("mg", $"k" === 6L)
+    Materialize.refresh(cat, "mg", path)
+    assert(actual == expected, s"non-extremal delete diverged: $actual")
+    assert(!Materialize.LastRefresh.recomputeRan,
+      "deleting a non-extremal row must fold algebraically")
+
+    // extremal update: k=3 moves 30 (the max of 'a') down to 22 —
+    // exactly the one group recomputes
+    cat.upsert("mg", Seq((3L, "a", 22L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat, "mg", path)
+    assert(actual == expected, s"extremal refresh diverged: $actual")
+    assert(Materialize.LastRefresh.recomputeRan &&
+      Materialize.LastRefresh.affectedGroups == 1L,
+      "losing a max must recompute exactly the one affected group, got " +
+        s"${Materialize.LastRefresh.affectedGroups}")
+
+    // within-delta churn OUTSIDE the state's bounds: k=7 inserted at 1
+    // (below 'b' min 5) then updated to 8 in the SAME delta — the
+    // transient 1 was added by this refresh's own post fold, so the
+    // gate must catch it (rmin 1 <= smin 5) or min_x would leak to 1
+    cat.upsert("mg", Seq((7L, "b", 1L)).toDF("k", "g", "x"))
+    cat.upsert("mg", Seq((7L, "b", 8L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat, "mg", path)
+    assert(actual == expected, s"within-delta churn diverged: $actual")
+    assert(Materialize.LastRefresh.recomputeRan,
+      "transient below-min churn must trigger the gate")
+
+    // brand-new group with within-delta churn (never in the state):
+    // in_state = 0 must force its recompute
+    cat.upsert("mg", Seq((8L, "c", 3L), (9L, "c", 4L)).toDF("k", "g", "x"))
+    cat.upsert("mg", Seq((8L, "c", 9L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat, "mg", path)
+    assert(actual == expected, s"new-group churn diverged: $actual")
+
+    // plan pin for the pruned recompute: the collapse aggregate's input
+    // subtree must contain a LeftSemi (candidate-PK prune) — shuffling
+    // affected-PK history, not the keyspace
+    val affected = Seq("a").toDF("__a_g")
+    val rp = Materialize.recomputePlan(cat, "mg", Seq("g"), Seq("x"),
+      Seq.empty, affected)
+    val collapses = rp.queryExecution.optimizedPlan.collect {
+      case a: Aggregate
+        if a.aggregateExpressions.exists(_.toString.contains("max_by")) => a
+    }
+    assert(collapses.nonEmpty, "recompute plan lost the collapse aggregate")
+    assert(collapses.forall(_.collect {
+        case j: Join if j.joinType == LeftSemi => j
+      }.nonEmpty),
+      "collapse input must be semi-join-pruned to candidate PKs:\n" +
+        rp.queryExecution.optimizedPlan.treeString)
+    // and the pruned recompute returns exactly the direct aggregate
+    assert(rp.collect().map(_.toSeq).toSet ==
+      Materialize.aggregate(cat.snapshot("mg").where($"g" === "a"),
+        Seq("g"), Seq("x")).collect().map(_.toSeq).toSet)
+  }
+
+  test("IVM differential fuzz: random upsert/update/delete batches — " +
+      "state == full recompute after every refresh (seeded)") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val rnd = new scala.util.Random(4211)
+    val cat = freshCatalog()
+    cat.createTable("mf", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivm_fuzz").toString
+    val groups = Seq("a", "b", "c", null)
+    def randRows(n: Int) = (1 to n).map(_ =>
+      (rnd.nextInt(12).toLong, groups(rnd.nextInt(groups.length)),
+        // small value domain → extremum ties are COMMON, both gate
+        // branches exercised; occasional NULL measure
+        if (rnd.nextInt(8) == 0) null.asInstanceOf[java.lang.Long]
+        else java.lang.Long.valueOf(rnd.nextInt(7).toLong)))
+    cat.upsert("mf", randRows(6).toDF("k", "g", "x"))
+    Materialize.build(cat, "mf", Seq("g"), Seq("x"), path)
+    for (i <- 1 to 12) {
+      rnd.nextInt(3) match {
+        case 0 => cat.upsert("mf", randRows(1 + rnd.nextInt(4))
+          .toDF("k", "g", "x"))
+        case 1 => // two batches before one refresh: within-delta churn
+          cat.upsert("mf", randRows(2).toDF("k", "g", "x"))
+          cat.upsert("mf", randRows(2).toDF("k", "g", "x"))
+        case 2 => cat.delete("mf", col("k") === rnd.nextInt(12).toLong)
+      }
+      Materialize.refresh(cat, "mf", path)
+      val got = Materialize.read(spark, path).collect().map(_.toSeq).toSet
+      val want = Materialize.aggregate(cat.snapshot("mf"), Seq("g"),
+        Seq("x")).collect().map(_.toSeq).toSet
+      assert(got == want, s"fuzz step $i diverged:\n got=$got\n want=$want")
+    }
+  }
+
   test("GRAIN IVM: a day-grain MV refreshes incrementally (updates " +
       "move rows ACROSS grain groups) and serves coarser queries " +
       "through the rewrite") {
