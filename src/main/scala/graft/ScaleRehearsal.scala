@@ -106,6 +106,25 @@ object ScaleRehearsal {
       println(f"[scale] ivm_grain_refresh_fixed_delta base=$a%7.2fs " +
         f"x$factor=$b%8.2fs exponent=$exp%5.2f")
       Seq(("ivm_grain_refresh_fixed_delta", a, b, exp))
+    }) ++ (if (!selected.contains("ivmbig")) Nil else {
+      // big-base rehearsal: the fixture corpora are ~150k docs, where a
+      // hidden O(table) term costs milliseconds and reads "flat" no
+      // matter what. This one uses a 10M-row synthetic base (vs 30M)
+      // so an O(table) refresh term is actually measurable.
+      val n1 = 10L * 1000 * 1000
+      val bigF = 3
+      val (a1, a8, a64) = ivmBigSeconds(spark, n1)
+      val (b1, b8, b64) = ivmBigSeconds(spark, n1 * bigF)
+      def ex(a: Double, b: Double) = math.log(b / a) / math.log(bigF.toDouble)
+      println(f"[scale] ivm_big_nonextremal (10M vs 30M rows) " +
+        f"base=$a1%7.2fs x$bigF=$b1%8.2fs exponent=${ex(a1, b1)}%5.2f")
+      println(f"[scale] ivm_big_extremal_k8             " +
+        f"base=$a8%7.2fs x$bigF=$b8%8.2fs exponent=${ex(a8, b8)}%5.2f")
+      println(f"[scale] ivm_big_extremal_k64            " +
+        f"base=$a64%7.2fs x$bigF=$b64%8.2fs exponent=${ex(a64, b64)}%5.2f")
+      Seq(("ivm_big_nonextremal", a1, b1, ex(a1, b1)),
+        ("ivm_big_extremal_k8", a8, b8, ex(a8, b8)),
+        ("ivm_big_extremal_k64", a64, b64, ex(a64, b64)))
     }) ++ (if (!selected.contains("cdc")) Nil else {
       val a = cdcMvFreshnessSeconds(spark, base)
       val b = cdcMvFreshnessSeconds(spark, out)
@@ -196,6 +215,73 @@ object ScaleRehearsal {
     val t0 = System.nanoTime()
     graft.operators.Materialize.refresh(cat, "e", mv)
     (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Big-base IVM refresh rehearsal: a synthetic n-row catalog table
+    * (n/10000 group-clustered groups; per group min=10 / max=1009,
+    * each extremum present ~10 times) refreshed through three
+    * fixed-size deltas:
+    *  - 1000 NON-extremal updates (x 510 → 505, strictly inside the
+    *    bounds) — must fold with ZERO base-history access (asserted via
+    *    [[graft.operators.Materialize.LastRefresh]]: the extremum gate
+    *    admits no group, so the written plan has no recompute branch);
+    *  - K=8 then K=64 max-tying updates — the gate admits exactly K
+    *    groups and the recompute shuffles only their candidate-PK
+    *    history, so cost should track K (visible in t64 vs t8) with a
+    *    scan-only residual in the base size (the candidate-PK probe
+    *    reads the log once behind a broadcast semi-join).
+    * Returns (non-extremal sec, extremal K=8 sec, extremal K=64 sec);
+    * only the refresh calls are timed. */
+  private def ivmBigSeconds(spark: SparkSession,
+      n: Long): (Double, Double, Double) = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_scale_ivmbig").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createTable("b", StructType(Seq(
+      StructField("k", LongType), StructField("g", LongType),
+      StructField("x", LongType))), pk = Seq("k"))
+    // GROUP-CLUSTERED layout (g = k DIV 10000 over ordered ingest — the
+    // shape [[graft.operators.Layout]] z-order/bucketing produces):
+    // within every group, x cycles 10..1009, so each group's extrema
+    // are 10/1009 with multiple ties. Clustering is what lets the
+    // recompute's affected-group IN pushdown + candidate-PK zone bound
+    // actually prune at the parquet layer; a scattered layout pays one
+    // honest scan instead (shuffles stay affected-sized either way).
+    def rows(filter: org.apache.spark.sql.Column): DataFrame =
+      spark.range(n).where(filter)
+        .select(col("id").as("k"), expr("id DIV 10000").as("g"),
+          (col("id") % 1000 + 10).as("x"))
+    cat.upsert("b", rows(lit(true)))
+    val mv = wh + "/mv"
+    graft.operators.Materialize.build(cat, "b", Seq("g"), Seq("x"), mv)
+    def timedRefresh(expectRecompute: Boolean, what: String): Double = {
+      GraftSession.quiesce(spark)
+      val t0 = System.nanoTime()
+      graft.operators.Materialize.refresh(cat, "b", mv)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(graft.operators.Materialize.LastRefresh.recomputeRan ==
+        expectRecompute, s"$what: expected recomputeRan=$expectRecompute")
+      sec
+    }
+    // 100 NON-extremal updates (x 510 -> 505, strictly inside (10, 1009))
+    cat.upsert("b", rows(expr("id % 1000 = 500") && col("id") < 100000L)
+      .withColumn("x", lit(505L)))
+    val tNon = timedRefresh(expectRecompute = false, "non-extremal delta")
+    // one max-tying row (x = 1009) from each of K groups, updated down
+    cat.upsert("b", rows(expr("id % 10000 = 999") && col("id") < 80000L)
+      .withColumn("x", lit(500L)))
+    val t8 = timedRefresh(expectRecompute = true, "extremal K=8")
+    require(graft.operators.Materialize.LastRefresh.affectedGroups == 8,
+      s"K=8 delta must gate in exactly 8 groups, got " +
+        s"${graft.operators.Materialize.LastRefresh.affectedGroups}")
+    cat.upsert("b", rows(expr("id % 10000 = 1999") && col("id") < 640000L)
+      .withColumn("x", lit(500L)))
+    val t64 = timedRefresh(expectRecompute = true, "extremal K=64")
+    require(graft.operators.Materialize.LastRefresh.affectedGroups == 64,
+      s"K=64 delta must gate in exactly 64 groups, got " +
+        s"${graft.operators.Materialize.LastRefresh.affectedGroups}")
+    (tNon, t8, t64)
   }
 
   /** CDC→MV freshness END TO END against `dir`'s documents: the

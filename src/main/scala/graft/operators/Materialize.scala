@@ -346,6 +346,12 @@ object Materialize {
             max(col(s"__smax_$m")).as(s"__smax_$m"),
             min(col(s"__rmin_$m")).as(s"__rmin_$m"),
             max(col(s"__rmax_$m")).as(s"__rmax_$m"))): _*)
+      // state-sized (group cardinality), consumed twice — the gate
+      // count and the state write; persisting avoids re-running the
+      // whole state+delta+retraction fold per consumer (spills to disk
+      // if the group count outgrows memory)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val newDir = try {
     // ---- extremum gate ----
     // Removing a NON-extremal value can never change a group's min/max,
     // and cnt/sum already folded algebraically — so a retraction group
@@ -376,15 +382,26 @@ object Materialize {
     val affectedCount = affected.count()
     LastRefresh.affectedGroups = affectedCount
     LastRefresh.recomputeRan = affectedCount > 0
+    // collect the affected groups when few (the common case — a delta
+    // touches a handful of groups): enables scan-side IN pushdown and
+    // the candidate-PK zone bound in the recompute. Above the cap, the
+    // semi-join-only shape stands (still shuffle-bounded).
+    val affRows =
+      if (affectedCount > 0 && affectedCount <= 1024)
+        Some(affected.collect().toSeq)
+      else None
     val out = if (affectedCount == 0) kept
       else kept.unionByName(
-        recomputePlan(cat, table, groupCols, measures, grains, affected))
+        recomputePlan(cat, table, groupCols, measures, grains, affected,
+          affRows))
     // a distinct target dir always — an expiry-only refresh keeps the
     // version number, so suffix it to avoid overwriting the state
     // being read
-    val newDir =
+    val nd =
       if (newV > lastV) s"state_v$newV" else s"state_v${newV}e$nowMs"
-    out.write.mode(SaveMode.Overwrite).parquet(s"$path/$newDir")
+    out.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
+    nd
+    } finally merged.unpersist()
     import spark.implicits._
     Seq((newV, groupCols, measures, nowMs, newDir,
         ttl.getOrElse(-1L), grains.map(_._1), grains.map(_._2),
@@ -424,7 +441,25 @@ object Materialize {
       .select(pk.map(c => col(c).as(s"__d_$c")): _*).distinct()
     val touchedCond = pk.map(c => col(c) <=> col(s"__d_$c"))
       .reduce(_ && _) // null-safe: a NULL PK component still matches
-    rawLog.join(deltaPks, touchedCond, "left_semi")
+    // zone-map prune BEFORE the semi-join: a broadcast semi-join prunes
+    // the SHUFFLE to touched history but still READS the whole log —
+    // measured 8 s per 1000-row delta against a 10M-row base. For a
+    // single-column PK, bound the scan to the delta PKs' [min, max]
+    // (one delta-file-pruned driver job): under any PK-clustered layout
+    // (ordered ingest, bucketing, Z-order) parquet row-group stats then
+    // skip the untouched base. Always correct — the range is a superset
+    // of the semi-join — just less helpful when delta PKs scatter.
+    val pruned =
+      if (pk.size != 1) rawLog
+      else scala.util.Try {
+        val pkc = pk.head
+        val b = rawLog.where(col("_version") > lastV)
+          .agg(min(col(pkc)), max(col(pkc))).head
+        if (b.isNullAt(0)) rawLog
+        else rawLog.where(col(pkc).isNull ||
+          col(pkc).between(lit(b.get(0)), lit(b.get(1))))
+      }.getOrElse(rawLog) // un-orderable PK type: scan unpruned
+    pruned.join(deltaPks, touchedCond, "left_semi")
       .withColumn("_prev", lag(rowS, 1).over(w))
       .where(col("_version") > lastV)
   }
@@ -452,15 +487,57 @@ object Materialize {
     * already covers — emitting it here would duplicate the group). */
   private[graft] def recomputePlan(cat: GraftCatalog, table: String,
       groupCols: Seq[String], measures: Seq[String],
-      grains: Seq[(String, String)], affected: DataFrame): DataFrame = {
+      grains: Seq[(String, String)], affected: DataFrame,
+      affectedRows: Option[Seq[org.apache.spark.sql.Row]] = None)
+      : DataFrame = {
     val s = cat.spec(table)
     val affCond = groupCols.map(c => col(c) <=> col(s"__a_$c"))
       .reduce(_ && _) // null-safe: NULL groups recompute too
-    val candPks = withGrains(cat.changeLogRaw(table), grains)
+    // scan-side pruning when the affected set is driver-collected
+    // (refresh collects it below a size cap): the semi-joins bound the
+    // SHUFFLES but still read the whole log — under a group-clustered
+    // layout ([[Layout]] z-order / bucketing / ordered ingest), pushing
+    // the affected PLAIN group values as an IN filter lets parquet
+    // row-group stats skip the untouched base. Grain groups (derived
+    // expressions) are not pushable and fall back to the scan.
+    val plainCols = groupCols.filterNot(grains.map(_._1).toSet)
+    val prefilter: Column = affectedRows match {
+      case Some(rows) if plainCols.nonEmpty =>
+        plainCols.map { c =>
+          val idx = groupCols.indexOf(c)
+          val vs = rows.map(_.get(idx)).distinct
+          val nonNull = vs.filterNot(_ == null)
+          val base: Column =
+            if (nonNull.isEmpty) lit(false)
+            else col(c).isInCollection(nonNull)
+          if (vs.contains(null)) base || col(c).isNull else base
+        }.reduce(_ && _)
+      case _ => lit(true)
+    }
+    val pushdown = affectedRows.isDefined && plainCols.nonEmpty
+    // candidate-PK zone bound for the collapse scan: the candidate PKs
+    // are exactly the PKs of in-affected-group rows, so their [min,
+    // max] bounds every version of every candidate (all versions share
+    // the PK value) — one pruned scan, then parquet stats skip the
+    // rest of the log in the collapse read. Only worth the probe when
+    // the group pushdown applies (otherwise it would be a full scan
+    // itself).
+    val zonePrune: Column =
+      if (!pushdown || s.pk.size != 1) lit(true)
+      else scala.util.Try {
+        val pkc = s.pk.head
+        val b = cat.changeLogRaw(table).where(prefilter)
+          .agg(min(col(pkc)), max(col(pkc))).head
+        if (b.isNullAt(0)) lit(false) // no surviving rows in any group
+        else col(pkc).isNull ||
+          col(pkc).between(lit(b.get(0)), lit(b.get(1)))
+      }.getOrElse(lit(true))
+    val candPks = withGrains(cat.changeLogRaw(table).where(prefilter),
+        grains)
       .join(affected, affCond, "left_semi")
       .select(s.pk.map(c => col(c).as(s"__p_$c")): _*).distinct()
     aggregate(
-      withGrains(cat.snapshotForPks(table, candPks), grains)
+      withGrains(cat.snapshotForPks(table, candPks, zonePrune), grains)
         .join(affected, affCond, "left_semi"),
       groupCols, measures)
   }

@@ -772,6 +772,35 @@ object Pipeline {
       q
     },
 
+    // Grain-RANGE predicate through the MV rewrite — the dashboard
+    // shape "a two-week window at day grain": the WHERE carries
+    // date_trunc('day', ts) BETWEEN a AND b, which must map onto the
+    // state's grain column (day >= a AND day <= b over one-row-per-
+    // group state) and still serve from the state. Plan-pinned like
+    // q_mv_rewrite; the oracle recomputes over raw events, so a green
+    // row proves range predicates on the grain filter the state
+    // EXACTLY (a boundary error would shift a whole day in or out).
+    "q_mv_rewrite_timerange" -> { (s, dir) =>
+      import s.implicits._
+      val (base, mv) = mvTimegrainSetup(s, dir)
+      val lo = java.sql.Timestamp.valueOf("2024-01-08 00:00:00")
+      val hi = java.sql.Timestamp.valueOf("2024-01-21 00:00:00")
+      val q = s.read.parquet(base)
+        .where(date_trunc("day", $"ts").between(lit(lo), lit(hi)))
+        .groupBy(date_trunc("day", $"ts").as("d"), $"event_type")
+        .agg(sum($"user_id").as("sum_uid"),
+          count($"event_id").as("cnt_eid"),
+          min($"event_id").as("min_eid"),
+          max($"event_id").as("max_eid"),
+          count(lit(1)).as("n"))
+        .orderBy($"d", $"event_type")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(mv) || plan.contains(base))
+        throw new IllegalStateException(
+          s"grain-range MV rewrite did not serve from the state:\n$plan")
+      q
+    },
+
     // Whole-doc BFD bin packing (no-split SFT layout). Rows-only driver
     // check — the per-partition best-fit loop is not SQL-expressible;
     // capacity, padding-vs-naive, and determinism are pinned in
@@ -2200,6 +2229,19 @@ object Pipeline {
         max(event_id) AS max_eid,
         count(*) AS n
       FROM events GROUP BY 1, 2 ORDER BY m, event_type""",
+
+    "q_mv_rewrite_timerange" -> """
+      SELECT date_trunc('day', ts) AS d, event_type,
+        CAST(sum(user_id) AS BIGINT) AS sum_uid,
+        count(event_id) AS cnt_eid,
+        min(event_id) AS min_eid,
+        max(event_id) AS max_eid,
+        count(*) AS n
+      FROM events
+      WHERE date_trunc('day', ts)
+        BETWEEN TIMESTAMP '2024-01-08 00:00:00'
+            AND TIMESTAMP '2024-01-21 00:00:00'
+      GROUP BY 1, 2 ORDER BY d, event_type""",
 
     "q_split_leakage_safe" -> raw"""
       WITH f AS (SELECT doc_id,

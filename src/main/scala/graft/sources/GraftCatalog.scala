@@ -194,6 +194,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     spec(name) // throws on unknown table
     val data = new java.io.File(s"${dir(name)}/data")
     if (data.exists()) rmTree(data)
+    invalidateSnapCache(name) // a stale cache would resurrect every row
   }
 
   // Single-writer assumption: the version counter is a driver-side file,
@@ -282,6 +283,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           case None => lit(nowTs)
         })
       .write.mode(SaveMode.Append).parquet(s"${dir(name)}/data")
+    maybeRefreshSnapCache(name, v)
     v
   }
 
@@ -295,33 +297,52 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       .withColumn("_deleted", lit(true))
       .withColumn("_ts", lit(batchTs()))
       .write.mode(SaveMode.Append).parquet(s"${dir(name)}/data")
+    maybeRefreshSnapCache(name, v)
     v
   }
+
+  /** Auto-refresh policy (opt-in per table): with property
+    * `SNAPSHOT_CACHE_BATCHES=n`, a write that leaves ≥ n tail batches
+    * beyond the current cache (or since the table's first version when
+    * none exists) rebuilds the cache — the compaction-threshold idiom,
+    * minus the history loss. Versions are sequential per write, so the
+    * version delta IS the tail batch count. */
+  private def maybeRefreshSnapCache(name: String, justWrote: Long): Unit =
+    spec(name).props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("SNAPSHOT_CACHE_BATCHES") => v
+    }.flatMap(v => scala.util.Try(v.toLong).toOption).filter(_ > 0)
+      .foreach { n =>
+        if (!hasRowTimestamp(name) &&
+            justWrote - snapCacheVersion(name).getOrElse(-1L) >= n)
+          refreshSnapshotCache(name)
+      }
 
   /** Full change log (the CDC source): every write of every version. Reads
     * the physical schema (generation-suffixed columns) and renames back to
     * logical names. */
-  def changeLog(name: String): DataFrame = {
-    val logical = changeLogRaw(name)
+  def changeLog(name: String): DataFrame =
     // TTL table property (reference cc/schema/TableProperty.java TTL —
     // mapped onto the HBase column-family TTL, so expired cells vanish
     // from EVERY read path at scan time and are purged physically at
     // major compaction): rows whose batch stamp aged past TTL seconds
     // are filtered HERE, the single choke point every read flows
     // through — snapshot, as-of, views, CDC — and `compact` rewrites
-    // without them (the major-compaction purge). Legacy NULL stamps
-    // never expire. The cutoff comes from the injectable catalog
-    // [[clock]] (not `current_timestamp()`) so every read path — and
-    // [[graft.operators.Materialize.refresh]]'s expiry-retraction
-    // window — agrees on ONE notion of now; it folds to a literal, so
-    // the filter is scan-local and pushdown-eligible.
+    // without them (the major-compaction purge).
+    ttlFiltered(name, changeLogRaw(name))
+
+  /** The read-time TTL filter (shared by [[changeLog]] and the cached
+    * [[servingLog]]). Legacy NULL stamps never expire. The cutoff comes
+    * from the injectable catalog [[clock]] (not `current_timestamp()`)
+    * so every read path — and [[graft.operators.Materialize.refresh]]'s
+    * expiry-retraction window — agrees on ONE notion of now; it folds
+    * to a literal, so the filter is scan-local and pushdown-eligible. */
+  private def ttlFiltered(name: String, df: DataFrame): DataFrame =
     ttlSeconds(name) match {
       case Some(ttl) =>
         val cutoff = new java.sql.Timestamp(clock() - ttl * 1000L)
-        logical.where(col("_ts").isNull || col("_ts") >= lit(cutoff))
-      case None => logical
+        df.where(col("_ts").isNull || col("_ts") >= lit(cutoff))
+      case None => df
     }
-  }
 
   /** The change log BEFORE TTL filtering — the physical history.
     * Internal: [[graft.operators.Materialize.refresh]] needs expired
@@ -374,6 +395,89 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   private def batchTs(): java.sql.Timestamp =
     new java.sql.Timestamp(clock())
 
+  // ---------- snapshot-serving cache ----------
+  // Every snapshot read collapses the change log; map-side combining
+  // keeps the SHUFFLE key-space-sized, but the SCAN still reads the
+  // whole history — a 100-TB read-mostly table accumulating thousands
+  // of batches would re-read superseded versions on every query. The
+  // cache is a high-water-mark-keyed collapsed copy (alive winners
+  // only, ORIGINAL `_version` and `_ts` kept) at `_snapcache/v<V>`;
+  // serving reads then scan cache + only the tail batches (`_version >
+  // V`, file-pruned via parquet stats). The change log itself is
+  // UNTOUCHED — CDC, point-in-time reads and IVM keep full history
+  // (unlike `compact`, which discards it).
+  //
+  // Correctness bound: collapse-then-filter == filter-then-collapse
+  // requires `_ts` monotone in `_version` per PK (batch stamps are; a
+  // ROW_TIMESTAMP column carries arbitrary user values, so such tables
+  // refuse the cache). Tombstone winners are safe to drop: any tail
+  // row outranks every cached row, and a PK absent from both is absent
+  // from the snapshot either way.
+
+  private def snapCacheRoot(name: String) = s"${dir(name)}/_snapcache"
+
+  private def hasRowTimestamp(name: String): Boolean =
+    allFields(name).exists(_.metadata.contains(GraftCatalog.RowTimestampKey))
+
+  /** High-water version of the current cache, if one exists. */
+  private[graft] def snapCacheVersion(name: String): Option[Long] =
+    Option(new java.io.File(snapCacheRoot(name)).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName.drop(1).toLong).maxOption
+
+  /** Build/refresh the serving cache at the current high-water mark.
+    * Flip-don't-overwrite (same rule as compact/MV state): build under
+    * `_build_v<V>`, rename into place, then drop older cache versions.
+    * No-op (returns -1) on an empty log. */
+  def refreshSnapshotCache(name: String): Long = {
+    require(!hasRowTimestamp(name),
+      s"snapshot cache requires _ts monotone per PK; table $name " +
+        "declares a ROW_TIMESTAMP column (arbitrary user stamps)")
+    val v = changeLogRaw(name)
+      .agg(coalesce(max(col("_version")), lit(-1L))).head.getLong(0)
+    if (v < 0) return -1L
+    val winners = collapseKeepMeta(name, changeLogRaw(name))
+      .where(!col("_deleted"))
+    val cols = allFields(name).map(f => col(f.name)) ++
+      Seq(col("_version"), lit(false).as("_deleted"), col("_ts"))
+    val tmp = new java.io.File(s"${snapCacheRoot(name)}/_build_v$v")
+    toPhysical(name, winners.select(cols: _*))
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val dest = new java.io.File(s"${snapCacheRoot(name)}/v$v")
+    if (dest.exists()) rmTree(dest)
+    if (!tmp.renameTo(dest))
+      throw new java.io.IOException(
+        s"refreshSnapshotCache($name): cannot move cache into place")
+    Option(new java.io.File(snapCacheRoot(name)).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+") &&
+        f.getName.drop(1).toLong < v)
+      .foreach(rmTree)
+    v
+  }
+
+  /** Drop the cache (compact/truncate rewrite or erase the history the
+    * cache summarizes — a stale cache would resurrect rows). */
+  private def invalidateSnapCache(name: String): Unit = {
+    val d = new java.io.File(snapCacheRoot(name))
+    if (d.exists()) rmTree(d)
+  }
+
+  /** What collapsing reads flow through: the cached collapsed snapshot
+    * plus the uncompacted tail when a cache exists, the full change log
+    * otherwise. TTL-filtered HERE (cache rows keep `_ts`), so a later
+    * ALTER SET TTL governs cached rows exactly like logged ones. */
+  private[graft] def servingLog(name: String): DataFrame =
+    snapCacheVersion(name) match {
+      case Some(v) if !hasRowTimestamp(name) =>
+        val cache = toLogical(name,
+          spark.read.schema(physSchema(name))
+            .parquet(s"${snapCacheRoot(name)}/v$v"))
+        ttlFiltered(name,
+          cache.unionByName(changeLogRaw(name)
+            .where(col("_version") > v)))
+      case _ => changeLog(name)
+    }
+
   /** Snapshot with view-extension columns included (what views read).
     *
     * Latest-write-wins via groupBy + max_by on a (version, tie-break)
@@ -384,7 +488,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * Null tie-break fields order the same way in both forms (null loses
     * to any value, as with the window's DESC NULLS LAST). */
   def snapshotFull(name: String): DataFrame =
-    collapseLog(name, changeLog(name))
+    collapseLog(name, servingLog(name))
 
   /** Last-wins collapse of a (possibly filtered) change log slice. */
   private def collapseLog(name: String, log: DataFrame): DataFrame = {
@@ -421,10 +525,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * collapse, so the collapse shuffle carries only the matching PKs'
     * history — [[graft.operators.Materialize.refresh]]'s affected-group
     * recompute reads affected-PK history, not the keyspace. */
-  private[graft] def snapshotForPks(name: String, pks: DataFrame): DataFrame = {
+  /** `scanFilter` (optional) pre-filters the log BEFORE the semi-join —
+    * callers pass a proven superset of the pks' rows (e.g. a PK zone
+    * bound) so parquet row-group stats can prune the scan; `lit(true)`
+    * keeps the plain shape. */
+  private[graft] def snapshotForPks(name: String, pks: DataFrame,
+      scanFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     val s = spec(name)
     val cond = s.pk.map(c => col(c) <=> col(s"__p_$c")).reduce(_ && _)
-    collapseLog(name, changeLog(name).join(pks, cond, "left_semi"))
+    collapseLog(name,
+        servingLog(name).where(scanFilter).join(pks, cond, "left_semi"))
       .select(s.schema.fieldNames.map(col): _*)
   }
 
@@ -478,7 +588,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * map-side-combinable collapse as [[snapshotFull]]; NULL for rows whose
     * winning batch predates the `_ts` column. */
   def snapshotWithRowTs(name: String): DataFrame =
-    collapseLogWithTs(name, changeLog(name))
+    collapseLogWithTs(name, servingLog(name))
       .select(spec(name).schema.fieldNames.map(col) :+
         col("_ts").as("phoenix_row_timestamp"): _*)
 
@@ -597,6 +707,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           "previous data restored")
     }
     rmTree(old)
+    // compaction discards the history behind the cache's high-water
+    // mark: a cached winner whose PK was deleted pre-compaction has no
+    // tombstone in the rewritten log, so serving cache+tail would
+    // resurrect it. The compacted log IS a snapshot — drop the cache.
+    invalidateSnapCache(name)
   }
 
   /** Updatable-filter views over a base table (reference: Phoenix VIEW

@@ -611,4 +611,79 @@ class AggRewriteSpec extends AnyFunSuite {
       assert(q.collect().head.getLong(1) == 7L)
     } finally GraftAggViews.drop(facts)
   }
+
+  test("agg rewrite: grain-RANGE predicates (BETWEEN / >= / <) map " +
+      "onto the state's grain column; untruncated timestamp ranges " +
+      "refuse") {
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_range").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_rangestate").toString
+    val rows = (0 until 300).map { i =>
+      (i.toLong, s"s${i % 3}",
+        java.sql.Timestamp.valueOf(
+          f"2024-${1 + i % 6}%02d-${1 + i % 27}%02d ${i % 24}%02d:11:00"),
+        (i * 17 % 89).toLong)
+    }
+    rows.toDF("k", "g", "ts", "x").write.mode("overwrite").parquet(base)
+    Materialize.aggregate(
+        spark.read.parquet(base)
+          .withColumn("day", date_trunc("DAY", $"ts")),
+        Seq("g", "day"), Seq("x"))
+      .write.mode("overwrite").parquet(statePath)
+    GraftAggViews.register(base,
+      GraftAggViews.AggViewDef(statePath, Seq("g", "day"), Seq("x"),
+        grainExprs = Map("day" -> "date_trunc('DAY', ts)")))
+    val stateName = new java.io.File(statePath).getName
+    val baseName = new java.io.File(base).getName
+    def baseline(df: => org.apache.spark.sql.DataFrame) = {
+      spark.conf.set(GraftAggViews.DisabledConf, "true")
+      try df.collect().map(_.toSeq).toSeq
+      finally spark.conf.unset(GraftAggViews.DisabledConf)
+    }
+    def ts(sql: String) = lit(java.sql.Timestamp.valueOf(sql))
+    try {
+      // BETWEEN on the exact grain — "last N days at day grain"
+      def betweenQ = spark.read.parquet(base)
+        .where(date_trunc("day", $"ts")
+          .between(ts("2024-02-03 00:00:00"), ts("2024-04-20 00:00:00")))
+        .groupBy(date_trunc("day", $"ts").as("d"), $"g")
+        .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+        .orderBy($"d", $"g")
+      assert(betweenQ.queryExecution.executedPlan.toString
+        .contains(stateName),
+        "grain BETWEEN must serve from the state:\n" +
+          betweenQ.queryExecution.executedPlan)
+      assert(betweenQ.collect().map(_.toSeq).toSeq == baseline(betweenQ))
+      // open-ended >= on the grain, grouping by the plain column only
+      def geQ = spark.read.parquet(base)
+        .where(date_trunc("day", $"ts") >= ts("2024-03-01 00:00:00"))
+        .groupBy($"g").agg(sum($"x").as("sx"), max($"x").as("mx"))
+        .orderBy($"g")
+      assert(geQ.queryExecution.executedPlan.toString.contains(stateName),
+        "grain >= must serve from the state")
+      assert(geQ.collect().map(_.toSeq).toSeq == baseline(geQ))
+      // COARSER truncation range: month-window query over day state —
+      // the filter re-truncates the state's day column first
+      def monthRangeQ = spark.read.parquet(base)
+        .where(date_trunc("month", $"ts") < ts("2024-04-01 00:00:00"))
+        .groupBy(date_trunc("month", $"ts").as("m"))
+        .agg(sum($"x").as("sx"), count(lit(1)).as("n"))
+        .orderBy($"m")
+      assert(monthRangeQ.queryExecution.executedPlan.toString
+        .contains(stateName),
+        "coarser-grain range must re-truncate the state's grain column")
+      assert(monthRangeQ.collect().map(_.toSeq).toSeq ==
+        baseline(monthRangeQ))
+      // an UNTRUNCATED timestamp range references the raw ts column,
+      // which one-row-per-day state cannot filter exactly — must refuse
+      val rawQ = spark.read.parquet(base)
+        .where($"ts" >= ts("2024-03-01 06:30:00"))
+        .groupBy($"g").agg(sum($"x").as("sx"))
+      assert(rawQ.queryExecution.executedPlan.toString.contains(baseName),
+        "an untruncated ts range must refuse the rewrite:\n" +
+          rawQ.queryExecution.executedPlan)
+    } finally GraftAggViews.drop(base)
+  }
 }

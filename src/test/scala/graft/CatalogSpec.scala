@@ -771,6 +771,99 @@ class CatalogSpec extends AnyFunSuite {
       Seq((2L, 20L)))
   }
 
+  test("snapshot cache: serving reads scan the cached collapse plus " +
+      "only tail versions; updates/deletes/compact/truncate stay exact") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("sc", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))),
+      pk = Seq("k"), props = Map("SNAPSHOT_CACHE_BATCHES" -> "3"))
+    def snap = cat.snapshot("sc").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    cat.upsert("sc", Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("k", "g", "x"))
+    cat.upsert("sc", Seq((3L, "c", 3L)).toDF("k", "g", "x"))
+    assert(cat.snapCacheVersion("sc").isEmpty, "below threshold: no cache")
+    cat.upsert("sc", Seq((2L, "b", 22L)).toDF("k", "g", "x")) // v2 = 3rd
+    assert(cat.snapCacheVersion("sc").contains(2L),
+      "threshold reached: cache built at the high-water mark")
+    assert(snap == Set((1L, "a", 1L), (2L, "b", 22L), (3L, "c", 3L)))
+    // tail writes: an update, an insert, and a delete BEYOND the cache
+    cat.upsert("sc", Seq((1L, "a", 11L), (4L, "d", 4L)).toDF("k", "g", "x"))
+    // plan pin: the snapshot read must scan the cache dir AND push the
+    // tail version bound into the data scan
+    val plan = cat.snapshot("sc").queryExecution.executedPlan.toString
+    assert(plan.contains("_snapcache"),
+      s"serving read must scan the cache:\n$plan")
+    assert(plan.contains("GreaterThan(_version,2"),
+      s"tail scan must push _version > cacheV into parquet:\n$plan")
+    assert(snap == Set((1L, "a", 11L), (2L, "b", 22L), (3L, "c", 3L),
+      (4L, "d", 4L)), "tail update must outrank the cached winner")
+    cat.delete("sc", $"k" === 2L) // tombstone in the tail
+    assert(snap == Set((1L, "a", 11L), (3L, "c", 3L), (4L, "d", 4L)),
+      "a tail tombstone must kill the cached winner")
+    // third tail batch crosses the threshold -> auto-rebuild; the
+    // deleted PK must NOT be resurrected by the rebuilt cache
+    cat.upsert("sc", Seq((5L, "e", 5L)).toDF("k", "g", "x"))
+    assert(cat.snapCacheVersion("sc").exists(_ > 2L),
+      "threshold tail must auto-rebuild the cache")
+    assert(snap == Set((1L, "a", 11L), (3L, "c", 3L), (4L, "d", 4L),
+      (5L, "e", 5L)))
+    // phoenix_row_timestamp survives the cache (winner's original _ts)
+    assert(cat.snapshotWithRowTs("sc")
+      .where($"phoenix_row_timestamp".isNull).count() == 0)
+    // point-in-time reads bypass the cache: full history still serves
+    assert(cat.snapshotAsOf("sc", 1L).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L, 3L))
+    // compact discards history -> cache must be invalidated, snapshot
+    // unchanged
+    cat.compact("sc")
+    assert(cat.snapCacheVersion("sc").isEmpty,
+      "compaction must invalidate the cache (resurrection hazard)")
+    assert(snap == Set((1L, "a", 11L), (3L, "c", 3L), (4L, "d", 4L),
+      (5L, "e", 5L)))
+    // truncate drops the cache with the data
+    cat.truncate("sc")
+    assert(cat.snapCacheVersion("sc").isEmpty && snap.isEmpty)
+    // ROW_TIMESTAMP tables refuse the cache (non-monotone user stamps)
+    val rtField = StructField("ts", LongType,
+      nullable = true, new org.apache.spark.sql.types.MetadataBuilder()
+        .putBoolean(GraftCatalog.RowTimestampKey, true).build())
+    cat.createTable("rt", StructType(Seq(
+      StructField("id", LongType), rtField)), pk = Seq("id", "ts"))
+    cat.upsert("rt", Seq((1L, 5L)).toDF("id", "ts"))
+    intercept[IllegalArgumentException] {
+      cat.refreshSnapshotCache("rt")
+    }
+  }
+
+  test("snapshot cache: TTL filters cached rows at read time from the " +
+      "injectable clock, exactly like logged rows") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val t0 = System.currentTimeMillis()
+    var now = t0
+    cat.clock = () => now
+    cat.createTable("st", StructType(Seq(
+      StructField("k", LongType), StructField("x", LongType))),
+      pk = Seq("k"), props = Map("TTL" -> "60"))
+    cat.upsert("st", Seq((1L, 10L)).toDF("k", "x")) // written at t0
+    now = t0 + 30000
+    cat.upsert("st", Seq((2L, 20L)).toDF("k", "x")) // t0+30s
+    cat.refreshSnapshotCache("st")
+    def keys = cat.snapshot("st").collect().map(_.getLong(0)).toSet
+    assert(keys == Set(1L, 2L))
+    // advance past k=1's expiry: the CACHED row must vanish at read time
+    now = t0 + 70000
+    val plan = cat.snapshot("st").queryExecution.executedPlan.toString
+    assert(plan.contains("_snapcache"), "read must still serve the cache")
+    assert(keys == Set(2L), s"cached row must expire at read time")
+    // lengthening the TTL resurrects it (read-time semantics, cache
+    // stores raw winners with their stamps)
+    cat.alterSetProps("st", Map("TTL" -> "3600"))
+    assert(keys == Set(1L, 2L))
+  }
+
   test("IVM extremum gate: non-extremal retractions fold with ZERO " +
       "base-history access; extremum-losing ones recompute only " +
       "affected-PK history (LeftSemi below the collapse aggregate)") {
