@@ -41,7 +41,12 @@ object ScaleRehearsal {
     "q_bson_update", "q_pagerank", "q_dedup_spans_incremental",
     "q_pii_scrub", "q1_agg", "q_zorder_scan", "q_count_distinct",
     "q_sessionize", "q_dedup_cluster", "q_tpch_q3", "q_overlap_sketch",
-    "q_image_dedup", "q_audio_dedup")
+    "q_image_dedup", "q_audio_dedup",
+    // incremental tier: Artifacts-backed, so best-of-2 times the
+    // SERVING path (delta decode/hash + signature probe) — the corpus
+    // fingerprint build lands in run 1 and is excluded by the min
+    "q_image_dedup_incremental", "q_audio_dedup_incremental",
+    "q_dedup_simhash_incremental")
   // q_ivm_refresh the QUERY is fixed-size by construction (it filters
   // doc_id<380 regardless of corpus size); the refresh operator itself
   // is rehearsed separately by ivmRefreshSeconds: a FIXED-size delta

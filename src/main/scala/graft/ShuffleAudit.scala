@@ -29,12 +29,63 @@ object ShuffleAudit {
     * exchange / equi-shuffle-not-nested-loop (both SCALE.md tables). */
   private val Defaults = Seq(
     "q1_agg", "q_dedup_exact", "q_dedup_fingerprint", "q_dedup_minhash",
-    "q_dedup_simhash", "q_line_dedup", "q_dedup_cross_source",
-    "q_image_dedup", "q_audio_dedup", "q_dau_mau", "q_cohort_retention",
+    "q_dedup_simhash", "q_dedup_simhash_incremental", "q_line_dedup",
+    "q_dedup_cross_source",
+    "q_image_dedup", "q_audio_dedup", "q_image_dedup_incremental",
+    "q_audio_dedup_incremental", "q_dau_mau", "q_cohort_retention",
     "q_overlap_sketch", "q_retention_sketch", "q_knn_cosine_int8",
     "q_asof_join", "q_asof_join_bucketed", "q_sessionize", "q_tpch_q5",
     "q_tpch_q21", "q_range_join", "q_funnel", "q_star_join",
     "q_epoch_shuffle")
+
+  /** Committed per-query shuffle-byte BUDGETS (src/main/resources/
+    * shuffle_budgets.txt, `<sf-basename>/<query> <maxBytes>` — measured
+    * bytes × ~3 headroom): the audit run FAILS (exit 1) when a query
+    * shuffles past its budget, so a regression that starts shipping
+    * payloads through an exchange (a lost projection, a widened struct)
+    * trips a gate instead of waiting for a human to re-read the table.
+    * Queries/scales without a budget line report but don't gate. */
+  def budgets: Map[String, Long] = {
+    val in = getClass.getResourceAsStream("/shuffle_budgets.txt")
+    if (in == null) Map.empty
+    else try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val p = l.split("\\s+"); p(0) -> p(1).toLong }.toMap
+    finally in.close()
+  }
+
+  /** Budget check, pure so the trip-wire is unit-testable: returns one
+    * breach line per measured query whose bytes exceed its budget. */
+  def budgetBreaches(measured: Seq[(String, Long)],
+      budgets: Map[String, Long], sfBase: String): Seq[String] =
+    measured.flatMap { case (n, b) =>
+      budgets.get(s"$sfBase/$n").collect { case lim if b > lim =>
+        f"$n shuffled $b bytes > budget $lim (${b.toDouble / lim}%.1fx)" }
+    }
+
+  /** Execute a DataFrame and measure its finalized plan's shuffle
+    * exchanges: (exchange count, shuffleBytesWritten sum, exchanges
+    * lacking the metric). Shared by the audit loop and the trip-wire
+    * test. */
+  def measure(df: org.apache.spark.sql.DataFrame): (Int, Long, Int) = {
+    val qe = df.queryExecution
+    qe.toRdd.count()
+    // metric values are final once the job is done (local mode:
+    // DAGScheduler posts task-end metric updates before the job-end
+    // unblocks the caller)
+    // shuffleBytesWritten ONLY — dataSize is the pre-serialization
+    // in-memory row size, a different unit; mixing them in made a
+    // fallback row look like a measured one. An exchange missing
+    // the metric is counted as unmeasured and flagged, never
+    // silently estimated.
+    val shuffles = allNodes(qe.executedPlan).collect {
+      case _: ReusedExchangeExec => (0L, false) // bytes written once, at the original
+      case s: ShuffleExchangeLike =>
+        s.metrics.get("shuffleBytesWritten").map(m => (m.value, false))
+          .getOrElse((0L, true))
+    }
+    (shuffles.size, shuffles.map(_._1).sum, shuffles.count(_._2))
+  }
 
   /** Every node of the finalized physical plan, through AQE wrappers and
     * subqueries, deduped by REFERENCE (SparkPlan case-class equality is
@@ -72,28 +123,13 @@ object ShuffleAudit {
       }
     inputBytes.foreach { case (t, b) =>
       println(f"[audit] input $t%-12s ${b / 1e6}%10.1f MB on disk") }
+    var failed = 0
     val rows = names.flatMap { n =>
       GraftSession.quiesce(spark)
       try {
-        val qe = SparkEntry.queries(n)(spark, dir).queryExecution
-        qe.toRdd.count()
-        // metric values are final once the job is done (local mode:
-        // DAGScheduler posts task-end metric updates before the job-end
-        // unblocks the caller)
-        // shuffleBytesWritten ONLY — dataSize is the pre-serialization
-        // in-memory row size, a different unit; mixing them in made a
-        // fallback row look like a measured one. An exchange missing
-        // the metric is counted as unmeasured and flagged, never
-        // silently estimated.
-        val shuffles = allNodes(qe.executedPlan).collect {
-          case _: ReusedExchangeExec => (0L, false) // bytes written once, at the original
-          case s: ShuffleExchangeLike =>
-            s.metrics.get("shuffleBytesWritten").map(m => (m.value, false))
-              .getOrElse((0L, true))
-        }
-        val bytes = shuffles.map(_._1).sum
-        val unmeasured = shuffles.count(_._2)
-        println(f"[audit] $n%-28s ${shuffles.size}%2d exchanges " +
+        val (nEx, bytes, unmeasured) =
+          measure(SparkEntry.queries(n)(spark, dir))
+        println(f"[audit] $n%-28s $nEx%2d exchanges " +
           f"${bytes / 1e6}%10.2f MB shuffled" +
           (if (unmeasured > 0)
             s"  [$unmeasured exchange(s) lack shuffleBytesWritten — " +
@@ -101,12 +137,18 @@ object ShuffleAudit {
         Some(n -> bytes)
       } catch { case e: Throwable =>
         System.err.println(s"[audit] $n FAILED: ${e.getMessage}")
+        failed += 1
         None
       }
     }
+    val sfBase = java.nio.file.Paths.get(dir).getFileName.toString
+    val breaches = budgetBreaches(rows, budgets, sfBase)
+    breaches.foreach(b => System.err.println(s"[audit] BUDGET BREACH: $b"))
     val json = rows.map { case (n, b) => s""""$n":$b""" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"shuffle_audit","sf":"$dir","bytes":$json}""")
+    println(s"""{"metric":"shuffle_audit","sf":"$dir","bytes":$json,""" +
+      s""""breaches":${breaches.size},"failed":$failed}""")
     spark.stop()
+    if (breaches.nonEmpty || failed > 0) sys.exit(1)
   }
 }

@@ -11,14 +11,70 @@ import java.nio.file.{Files, Paths}
   * shape only stderr-logged, so a broken query simply vanished from the
   * correctness set — q_date_round was silently absent for two rounds.) */
 object Verify {
+  /** Codec-bound no-oracle queries whose output is nonetheless
+    * bit-stable (deterministic JDK render + decode): pinned against
+    * committed golden hashes (src/main/resources/goldens.txt, keyed
+    * `<sf-basename>/<query>`) so a codec/blocking regression fails the
+    * verify run loudly instead of hiding behind "no_oracle". An
+    * unpinned (sf, query) prints its hash for committing — regenerate
+    * by running Verify at the new scale and pasting the printed line.
+    * JVM caveat: the hash pins THIS container's JDK rasterizer/codec
+    * output; a JDK major bump may legitimately re-pin. */
+  private val goldenPinned = Set("q_image_dedup", "q_audio_dedup",
+    "q_image_dedup_incremental", "q_audio_dedup_incremental")
+
+  /** Order-insensitive canonical hash: rows rendered field-by-field
+    * (binary → hex), sorted, newline-joined, SHA-256. */
+  def resultHash(df: org.apache.spark.sql.DataFrame): String = {
+    val lines = df.collect().map(_.toSeq.map {
+      case null => "NULL"
+      case b: Array[Byte] => b.map(x => f"$x%02x").mkString
+      case x => x.toString
+    }.mkString("")).sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(lines.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+  }
+
+  def goldens: Map[String, String] = {
+    val in = getClass.getResourceAsStream("/goldens.txt")
+    if (in == null) Map.empty
+    else try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l => val parts = l.split("\\s+"); parts(0) -> parts(1) }.toMap
+    finally in.close()
+  }
+
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg "goldens-only": run just the golden-pinned
+    // queries (fast regeneration after an intentional codec change)
+    val (sfDir, outDir, goldensOnly) = args match {
+      case Array(a, b) => (a, b, false)
+      case Array(a, b, "goldens-only") => (a, b, true)
+    }
     val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    val pins = goldens
+    val sfBase = Paths.get(sfDir).getFileName.toString
+    val toRun =
+      if (goldensOnly) SparkEntry.queries.filter(q => goldenPinned(q._1))
+      else SparkEntry.queries
+    toRun.foreach { case (name, fn) =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        if (goldenPinned(name)) {
+          val key = s"$sfBase/$name"
+          val h = resultHash(spark.read.parquet(s"$outDir/$name"))
+          pins.get(key) match {
+            case Some(g) if g != h =>
+              System.err.println(s"[verify] $name GOLDEN MISMATCH: got $h want $g")
+              failures += name -> s"golden mismatch at $key: got $h want $g"
+            case Some(_) => println(s"[verify] $name golden ok")
+            case None => println(s"[verify] unpinned golden: $key $h")
+          }
+        }
+      }
       catch { case e: Throwable =>
         val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
         System.err.println(s"[verify] $name FAILED: $msg")

@@ -205,6 +205,9 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "kmv_union", e => KmvUnion(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction(
+      "kmv_union_agg", e => KmvUnionAgg(e.head).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "kmv_intersect_estimate",
       e => KmvIntersectEstimate(e(0), e(1)), "built-in")
     reg.createOrReplaceTempFunction(

@@ -110,6 +110,10 @@ case class KmvAgg(
 
 object KmvAgg {
 
+  /** Serialized empty sketch for k — what `kmv_sketch` returns over
+    * zero rows (the MV rewrite's zero-state-rows identity). */
+  def emptySketchBytes(k: Int): Array[Byte] = encode(k, Array.emptyLongArray)
+
   /** The k smallest DISTINCT hashes — primitive, allocation-free per
     * row (the finding that killed the first TreeSet draft: boxed Longs
     * and ~40-byte tree entries on a corpus-scan hot path). The state is
@@ -386,6 +390,73 @@ case class KmvEstimate(child: Expression)
 }
 
 /** KMV_UNION(a, b) → binary union sketch (k = min of the inputs'). */
+/** KMV_UNION_AGG(sketch) → BINARY: merges serialized KMV sketches
+  * across rows — the re-aggregation path (many per-group sketches →
+  * one coarser-group sketch). NULL inputs skip; all-NULL → NULL.
+  * Mixed-k inputs union at min(k) (the only sound θ), same as the
+  * scalar [[KmvUnion]]. Sum-mergeable by construction (union is
+  * commutative/associative/idempotent), so partial aggregation and
+  * any merge order give byte-identical results — the property the
+  * sketch-valued MV fold ([[graft.operators.Materialize]]) and
+  * coarser-grain rollup serving both lean on. */
+case class KmvUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvUnionAgg.Buf] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KmvSketchOps.requireBinary(children, prettyName)
+
+  override def createAggregationBuffer(): KmvUnionAgg.Buf =
+    new KmvUnionAgg.Buf(null)
+
+  override def update(buf: KmvUnionAgg.Buf, input: InternalRow)
+      : KmvUnionAgg.Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val in = KmvAgg.decode(v.asInstanceOf[Array[Byte]])
+      buf.cur = if (buf.cur == null) in else KmvAgg.union(buf.cur, in)
+    }
+    buf
+  }
+
+  override def merge(buf: KmvUnionAgg.Buf, other: KmvUnionAgg.Buf)
+      : KmvUnionAgg.Buf = {
+    if (other.cur != null)
+      buf.cur = if (buf.cur == null) other.cur
+        else KmvAgg.union(buf.cur, other.cur)
+    buf
+  }
+
+  override def eval(buf: KmvUnionAgg.Buf): Any =
+    if (buf.cur == null) null else KmvAgg.encode(buf.cur._1, buf.cur._2)
+
+  override def serialize(buf: KmvUnionAgg.Buf): Array[Byte] =
+    if (buf.cur == null) Array.emptyByteArray
+    else KmvAgg.encode(buf.cur._1, buf.cur._2)
+  override def deserialize(bytes: Array[Byte]): KmvUnionAgg.Buf =
+    if (bytes.isEmpty) new KmvUnionAgg.Buf(null)
+    else new KmvUnionAgg.Buf(KmvAgg.decode(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): KmvUnionAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KmvUnionAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): KmvUnionAgg = copy(child = cs.head)
+  override def prettyName: String = "kmv_union_agg"
+}
+
+object KmvUnionAgg {
+  /** Mutable holder: null until the first non-null input. */
+  final class Buf(var cur: (Int, Array[Long]))
+}
+
 case class KmvUnion(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType

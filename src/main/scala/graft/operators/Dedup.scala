@@ -942,17 +942,36 @@ object Dedup {
     * content rather than a fixed chunk width. */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = DefaultMaxBucket,
-      cleanChunks: Int = 1): DataFrame = {
+      cleanChunks: Int = 1): DataFrame =
+    hammingNearDups64(simhashSignatures(docs, textCol, idCol),
+      maxHamming, maxBucket, cleanChunks)
+
+  /** SimHash signature table (id, sig LONG) — the persistable artifact
+    * [[simhashNearDupsIncremental]] probes per ingest batch (the
+    * SimHash analog of [[signatureTable]]; 8 bytes per doc). */
+  def simhashSignatures(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
     graft.functions.GraftFunctions.registerKernels(docs.sparkSession)
-    val sig = docs
+    docs
       .select(col(idCol).as("id"),
         transform(split(lower(trim(col(textCol))), "\\s+"),
           w => xxhash64(w))
           .as("hs"))
       .repartition(col("id"))
       .select(col("id"), call_function("simhash64", col("hs")).as("sig"))
-    hammingNearDups64(sig, maxHamming, maxBucket, cleanChunks)
   }
+
+  /** [[simhashNearDups]] against a PERSISTED corpus signature table —
+    * the ingest shape: only the delta is hashed per batch, the corpus
+    * rides as stored 8-byte signatures, and only delta-touching pairs
+    * emit ([[hammingNearDups64Incremental]]). Append the delta's
+    * signatures to the artifact after reporting. */
+  def simhashNearDupsIncremental(corpusSig: DataFrame, delta: DataFrame,
+      textCol: String, idCol: String, maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket, cleanChunks: Int = 1): DataFrame =
+    hammingNearDups64Incremental(corpusSig,
+      simhashSignatures(delta, textCol, idCol),
+      maxHamming, maxBucket, cleanChunks)
 
   /** Pairs of 64-bit signatures within Hamming distance `maxHamming` —
     * the chunk-blocking tail shared by [[simhashNearDups]] (text SimHash)
@@ -984,16 +1003,47 @@ object Dedup {
     * wide chunks (text SimHash at 3 → 16-bit chunks) stay fine at 1. */
   def hammingNearDups64(sigs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = DefaultMaxBucket, cleanChunks: Int = 1): DataFrame = {
+    require(sigs.columns.length == 2,
+      s"sigs must be exactly (id, sig), got ${sigs.columns.mkString(",")}")
+    hammingCore64(sigs.toDF("id", "sig").withColumn("d", lit(1)),
+      maxHamming, maxBucket, cleanChunks)
+  }
+
+  /** [[hammingNearDups64]] against a PERSISTED corpus signature table —
+    * the ingest-batch shape shared with [[incrementalNearDupsPrepared]]:
+    * the corpus side's signatures were computed once (for multimodal
+    * fingerprints that means the corpus was DECODED once) and only the
+    * delta's signatures are fresh. Emits only pairs with at least one
+    * delta member — corpus-internal pairs were already reported when
+    * their batch arrived, so they drop inside the bucket explode before
+    * anything shuffles. Same pigeonhole recall, degenerate-bucket cap,
+    * and exact verify as the batch path; parameters must match the ones
+    * the corpus was built with. Both inputs must be exactly (id, sig).
+    * @return (id_a, id_b, dist) with id_a or id_b ∈ delta */
+  def hammingNearDups64Incremental(corpusSig: DataFrame,
+      deltaSig: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket, cleanChunks: Int = 1): DataFrame = {
+    require(corpusSig.columns.length == 2 && deltaSig.columns.length == 2,
+      "corpusSig and deltaSig must be exactly (id, sig)")
+    hammingCore64(
+      corpusSig.toDF("id", "sig").withColumn("d", lit(0))
+        .unionByName(deltaSig.toDF("id", "sig").withColumn("d", lit(1))),
+      maxHamming, maxBucket, cleanChunks)
+  }
+
+  /** Shared chunk-blocking kernel: input is (id, sig, d) where d = 1
+    * marks rows whose pairs should be emitted (batch mode marks
+    * everything; incremental marks the delta). The d-filter runs inside
+    * the bucket explode — map-side, before the distinct's shuffle. */
+  private def hammingCore64(sig: DataFrame, maxHamming: Int,
+      maxBucket: Int, cleanChunks: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15], got $maxHamming — above 15 the " +
         "64-bit signature's chunks get too narrow to block on; use " +
         "banded MinHash (nearDupPairs) for looser similarity")
     require(cleanChunks == 1 || cleanChunks == 2,
       s"cleanChunks must be 1 or 2, got $cleanChunks")
-    require(sigs.columns.length == 2,
-      s"sigs must be exactly (id, sig), got ${sigs.columns.mkString(",")}")
     val nChunks = maxHamming + cleanChunks
-    val sig = sigs.toDF("id", "sig")
     // chunk i covers bits [i*64/n, (i+1)*64/n) — as even as possible
     val chunkCols = (0 until nChunks).map { c =>
       val loBit = c * 64 / nChunks
@@ -1014,31 +1064,38 @@ object Dedup {
           val widthJ = (j + 1) * 64 / nChunks - j * 64 / nChunks
           shiftleft(chunkCols(i), widthJ).bitwiseOR(chunkCols(j))
         }
-    val chunked0 = sig.select(col("id"), col("sig"),
+    val chunked0 = sig.select(col("id"), col("sig"), col("d"),
       posexplode(array(keyCols: _*)))
-      .toDF("id", "sig", "chunk_idx", "chunk")
+      .toDF("id", "sig", "d", "chunk_idx", "chunk")
     // ONE (chunk_idx, chunk)-keyed shuffle, same shape as bandedPairs:
     // each bucket's sorted (id, sig) list explodes into its pairs via
     // nested transforms — no two-sided self-join exchange, and the
     // degenerate-bucket guard (a narrow chunk shared by boilerplate/empty
     // texts would go quadratic) is a free size() filter on the collected
     // list instead of a separate aggregate+join. Signatures ride the
-    // bucket rows (8 bytes each), so the Hamming check runs map-side on
-    // the exploded stream before anything else shuffles.
+    // bucket rows (8 bytes each), so the Hamming check AND the delta
+    // mark run map-side on the exploded stream before anything else
+    // shuffles.
     chunked0.groupBy(col("chunk_idx"), col("chunk"))
       .agg(sort_array(
-        cappedCollect(struct(col("id"), col("sig")), maxBucket)).as("xs"))
+        cappedCollect(struct(col("id"), col("sig"), col("d")), maxBucket))
+        .as("xs"))
       .where(col("xs").isNotNull && size(col("xs")) >= 2)
       .select(explode(flatten(transform(col("xs"), (a, i) =>
-        transform(slice(col("xs"), i + 2, size(col("xs"))), b =>
-          struct(a.getField("id").as("id_a"), b.getField("id").as("id_b"),
-            hamming64(a.getField("sig"), b.getField("sig")).as("dist"))))))
+        filter(
+          transform(slice(col("xs"), i + 2, size(col("xs"))), b =>
+            struct(a.getField("id").as("id_a"),
+              b.getField("id").as("id_b"),
+              hamming64(a.getField("sig"), b.getField("sig")).as("dist"),
+              (a.getField("d") === 1 || b.getField("d") === 1)
+                .as("keep"))),
+          // filter BEFORE the dedup: Hamming check and delta mark are
+          // deterministic per pair, so far-apart / corpus-internal
+          // chunk-sharing pairs drop here instead of riding the
+          // distinct()'s shuffle
+          p => p.getField("keep") && p.getField("dist") <= maxHamming))))
         .as("p"))
       .select(col("p.id_a"), col("p.id_b"), col("p.dist"))
-      // filter BEFORE the dedup: the Hamming check is deterministic per
-      // pair, so far-apart chunk-sharing pairs drop map-side instead of
-      // riding the distinct()'s shuffle
-      .where(col("dist") <= maxHamming)
       .distinct()
   }
 

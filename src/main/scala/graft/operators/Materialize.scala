@@ -28,7 +28,18 @@ import graft.sources.GraftCatalog
   *    BELOW the collapse — [[recomputePlan]]), so even an
   *    extremum-losing refresh shuffles affected-group history, not the
   *    keyspace. An append-only corpus (the common training-data shape)
-  *    never pays any of it.
+  *    never pays any of it;
+  *  - APPROX COUNT(DISTINCT) rides as an optional KMV-sketch measure
+  *    (`sketches = Seq(col -> k)` → a `kmv_<col>` BINARY state column,
+  *    read with `kmv_estimate` / rolled up with `kmv_union_agg`).
+  *    Insertions fold algebraically — sketch union is commutative,
+  *    associative and idempotent, so the incremental fold is
+  *    BYTE-IDENTICAL to a full rebuild (pinned in CatalogSpec), and
+  *    with k above a group's distinct count the estimate is exact
+  *    (the same exact-regime contract the KMV battery rows use).
+  *    Retractions cannot un-insert a hash, so retraction-bearing
+  *    groups take the pruned affected-group recompute — the same
+  *    path min/max retractions use, just gated unconditionally.
   *
   * State typing is EXACT per measure — the whole point of serving a
   * 100 TB sum from the state is that the fact-table answer and the
@@ -72,13 +83,20 @@ object Materialize {
     else meta.getSeq[String](meta.fieldIndex("grain_cols"))
       .zip(meta.getSeq[String](meta.fieldIndex("grain_sqls")))
 
+  private def sketchesOf(meta: org.apache.spark.sql.Row)
+      : Seq[(String, Int)] =
+    if (!meta.schema.fieldNames.contains("sketch_cols")) Seq.empty
+    else meta.getSeq[String](meta.fieldIndex("sketch_cols"))
+      .zip(meta.getSeq[Long](meta.fieldIndex("sketch_ks")).map(_.toInt))
+
   /** Full build: aggregate the current snapshot, persist it, record the
     * change-log high-water mark the state covers and the wall-clock
     * refresh point (the TTL expiry low-water mark for the next
     * incremental refresh). */
   def build(cat: GraftCatalog, table: String, groupCols: Seq[String],
       measures: Seq[String], path: String,
-      grainExprs: Seq[(String, String)] = Seq.empty): Long = {
+      grainExprs: Seq[(String, String)] = Seq.empty,
+      sketches: Seq[(String, Int)] = Seq.empty): Long = {
     val spark = cat.changeLog(table).sparkSession
     import spark.implicits._
     // sample the clock BEFORE constructing the snapshot: its TTL cutoff
@@ -108,15 +126,16 @@ object Materialize {
       s"grain columns ${grainExprs.map(_._1)} must appear in " +
         s"groupCols $groupCols")
     aggregate(withGrains(cat.snapshot(table), grainExprs),
-        groupCols, measures)
+        groupCols, measures, sketches)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/$stateDirName")
     Seq((v, groupCols, measures, ts, stateDirName,
         cat.ttlSeconds(table).getOrElse(-1L),
         grainExprs.map(_._1), grainExprs.map(_._2),
-        spark.conf.get("spark.sql.session.timeZone")))
+        spark.conf.get("spark.sql.session.timeZone"),
+        sketches.map(_._1), sketches.map(_._2.toLong)))
       .toDF("last_version", "group_cols", "measures", "refresh_ts",
         "state_dir", "ttl_at_refresh", "grain_cols", "grain_sqls",
-        "grain_tz")
+        "grain_tz", "sketch_cols", "sketch_ks")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     v
   }
@@ -167,6 +186,9 @@ object Materialize {
     val groupCols = meta.getSeq[String](1)
     val measures = meta.getSeq[String](2)
     val grains = grainsOf(meta)
+    val sketches = sketchesOf(meta)
+    if (sketches.nonEmpty)
+      graft.functions.GraftFunctions.registerKernels(spark)
     val ttl = cat.ttlSeconds(table)
     val nowMs = cat.clock()
     val rawLog = cat.changeLogRaw(table)
@@ -210,7 +232,7 @@ object Materialize {
       (!meta.schema.fieldNames.contains("grain_tz") ||
         meta.getAs[String]("grain_tz") != sessionTz)
     if (minV > lastV || !hasRefreshTs || ttlChanged || grainTzChanged)
-      return build(cat, table, groupCols, measures, path, grains)
+      return build(cat, table, groupCols, measures, path, grains, sketches)
     val lastRefreshMs = meta.getAs[Long]("refresh_ts")
     // alive-at-now cutoff for post images; None ⇒ no expiry
     val nowCut = ttl.map(t => new java.sql.Timestamp(nowMs - t * 1000L))
@@ -310,7 +332,7 @@ object Materialize {
     val postRows = aggregate(
         withGrains(changes.where(!col("_deleted") && aliveNow)
           .select(fields.map(col): _*), grains),
-        groupCols, measures)
+        groupCols, measures, sketches)
       .withColumn("__retr", lit(0)).withColumn("__instate", lit(0))
       .select(col("*") +: carry(nul, nul, nul, nul): _*)
     // negative contributions: cnt / per-measure cnt / sum fold
@@ -327,9 +349,13 @@ object Materialize {
           min(col(m)).cast(mT(m)).as(s"__rmin_$m"),
           max(col(m)).cast(mT(m)).as(s"__rmax_$m"))): _*)
       .withColumn("__retr", lit(1)).withColumn("__instate", lit(0))
-      .select(col("*") +: measures.flatMap(m => Seq(
+      .select(col("*") +: (measures.flatMap(m => Seq(
         lit(null).cast(mT(m)).as(s"__smin_$m"),
-        lit(null).cast(mT(m)).as(s"__smax_$m"))): _*)
+        lit(null).cast(mT(m)).as(s"__smax_$m"))) ++
+        // sketches cannot retract (a hash can't be un-inserted) — the
+        // NULL rides the union and the gate below recomputes the group
+        sketches.map { case (d, _) =>
+          lit(null).cast(BinaryType).as(s"kmv_$d") }): _*)
     val unioned = stateRows.unionByName(postRows).unionByName(retrRows)
     val merged = unioned
       .groupBy(groupCols.map(col): _*)
@@ -339,6 +365,12 @@ object Materialize {
           sum(col(s"sum_$m")).as(s"sum_$m"),
           min(col(s"min_$m")).as(s"min_$m"),
           max(col(s"max_$m")).as(s"max_$m"))) ++
+          // state ⊕ delta sketch union (commutative/associative — the
+          // merge order can't change the bytes); retraction rows carry
+          // NULL and are skipped
+          sketches.map { case (d, _) =>
+            call_function("kmv_union_agg", col(s"kmv_$d"))
+              .as(s"kmv_$d") } ++
           Seq(max(col("__retr")).as("__retr"),
             max(col("__instate")).as("__instate")) ++
           measures.flatMap(m => Seq(
@@ -362,7 +394,13 @@ object Materialize {
     // would otherwise fold in values retracted in the same refresh).
     // A state extremum that is NULL with a non-null retracted value is
     // the same unknown-bounds case.
+    // Sketch-valued measures force the recompute for EVERY retraction
+    // group: a KMV sketch is insert-only (a hash cannot be un-inserted,
+    // and whether the removed row was the last carrier of its value is
+    // unknowable from the state) — the insert-only fold stays algebraic
+    // and delta-sized, which is the dominant training-corpus shape.
     val needsRecompute = col("__instate") === 0 ||
+      lit(sketches.nonEmpty) ||
       measures.map(m =>
         col(s"__rmin_$m").isNotNull && (col(s"__smin_$m").isNull ||
           col(s"__rmin_$m") <= col(s"__smin_$m") ||
@@ -393,7 +431,7 @@ object Materialize {
     val out = if (affectedCount == 0) kept
       else kept.unionByName(
         recomputePlan(cat, table, groupCols, measures, grains, affected,
-          affRows))
+          affRows, sketches))
     // a distinct target dir always — an expiry-only refresh keeps the
     // version number, so suffix it to avoid overwriting the state
     // being read
@@ -405,10 +443,10 @@ object Materialize {
     import spark.implicits._
     Seq((newV, groupCols, measures, nowMs, newDir,
         ttl.getOrElse(-1L), grains.map(_._1), grains.map(_._2),
-        sessionTz))
+        sessionTz, sketches.map(_._1), sketches.map(_._2.toLong)))
       .toDF("last_version", "group_cols", "measures", "refresh_ts",
         "state_dir", "ttl_at_refresh", "grain_cols", "grain_sqls",
-        "grain_tz")
+        "grain_tz", "sketch_cols", "sketch_ks")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
     newV
   }
@@ -488,8 +526,8 @@ object Materialize {
   private[graft] def recomputePlan(cat: GraftCatalog, table: String,
       groupCols: Seq[String], measures: Seq[String],
       grains: Seq[(String, String)], affected: DataFrame,
-      affectedRows: Option[Seq[org.apache.spark.sql.Row]] = None)
-      : DataFrame = {
+      affectedRows: Option[Seq[org.apache.spark.sql.Row]] = None,
+      sketches: Seq[(String, Int)] = Seq.empty): DataFrame = {
     val s = cat.spec(table)
     val affCond = groupCols.map(c => col(c) <=> col(s"__a_$c"))
       .reduce(_ && _) // null-safe: NULL groups recompute too
@@ -539,7 +577,7 @@ object Materialize {
     aggregate(
       withGrains(cat.snapshotForPks(table, candPks, zonePrune), grains)
         .join(affected, affCond, "left_semi"),
-      groupCols, measures)
+      groupCols, measures, sketches)
   }
 
   /** The grouped aggregate both the full build and the affected-group
@@ -550,14 +588,25 @@ object Materialize {
     * — exact where the direct aggregate is exact), and native-typed
     * `min_m` / `max_m`. */
   def aggregate(df: DataFrame, groupCols: Seq[String],
-      measures: Seq[String]): DataFrame =
+      measures: Seq[String],
+      sketches: Seq[(String, Int)] = Seq.empty): DataFrame = {
+    if (sketches.nonEmpty)
+      graft.functions.GraftFunctions.registerKernels(df.sparkSession)
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
         measures.flatMap(m => Seq(
           count(col(m)).as(s"cnt_$m"),
           sum(col(m)).as(s"sum_$m"),
           min(col(m)).as(s"min_$m"),
-          max(col(m)).as(s"max_$m"))): _*)
+          max(col(m)).as(s"max_$m"))) ++
+        // distinct sketches: kmv over the column's xxhash64 (NULLs
+        // skip, matching COUNT(DISTINCT col)); deterministic bytes, so
+        // "incremental fold == full rebuild" is byte-checkable
+        sketches.map { case (d, k) =>
+          call_function("kmv_sketch",
+            when(col(d).isNotNull, xxhash64(col(d))), lit(k))
+            .as(s"kmv_$d") }: _*)
+  }
 
   private def highWater(cat: GraftCatalog, table: String): Long =
     cat.changeLog(table).agg(coalesce(max(col("_version")), lit(-1L)))

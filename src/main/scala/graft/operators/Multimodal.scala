@@ -312,6 +312,25 @@ object Multimodal {
     Dedup.hammingNearDups64(imageHashes(media, idCol, payloadCol),
       maxHamming, maxBucket, cleanChunks = 2)
 
+  /** [[imageNearDups]] against a PERSISTED corpus fingerprint table —
+    * the production ingest shape: real pipelines decode each image ONCE,
+    * persist its 8-byte dHash ([[imageHashes]] is the artifact), and
+    * every later delta batch decodes only its own payloads and probes
+    * the stored signatures ([[Dedup.hammingNearDups64Incremental]]:
+    * delta-touching pairs only, corpus-internal pairs never emitted).
+    * Per-batch cost is delta decode + a signature-only blocking join —
+    * independent of corpus size up to bucket collision mass — vs the
+    * batch path's full-corpus re-decode per run. After reporting,
+    * append the delta's hashes to the artifact for the next batch.
+    * @return (id_a, id_b, dist) with at least one delta member */
+  def imageNearDupsIncremental(corpusSig: DataFrame, deltaMedia: DataFrame,
+      maxHamming: Int = 6, idCol: String = "media_id",
+      payloadCol: String = "payload",
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    Dedup.hammingNearDups64Incremental(corpusSig,
+      imageHashes(deltaMedia, idCol, payloadCol),
+      maxHamming, maxBucket, cleanChunks = 2)
+
   /** REAL synthetic image corpus from the documents fixture: each doc's
     * text renders as an 8×8 grid of 4×4-px word-keyed color cells
     * (cell i colored by a hash of the i-th word), encoded through the
@@ -423,6 +442,18 @@ object Multimodal {
       idCol: String = "media_id", payloadCol: String = "payload",
       maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
     Dedup.hammingNearDups64(audioHashes(media, idCol, payloadCol),
+      maxHamming, maxBucket, cleanChunks = 2)
+
+  /** [[audioNearDups]] against a persisted [[audioHashes]] artifact —
+    * same decode-once ingest shape as [[imageNearDupsIncremental]]:
+    * only the delta's PCM is decoded per batch; the corpus rides as
+    * 8-byte fingerprints. @return (id_a, id_b, dist), delta-touching */
+  def audioNearDupsIncremental(corpusSig: DataFrame, deltaMedia: DataFrame,
+      maxHamming: Int = 6, idCol: String = "media_id",
+      payloadCol: String = "payload",
+      maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame =
+    Dedup.hammingNearDups64Incremental(corpusSig,
+      audioHashes(deltaMedia, idCol, payloadCol),
       maxHamming, maxBucket, cleanChunks = 2)
 
   /** REAL synthetic audio corpus from the documents fixture: each doc's

@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, Cast, Coalesce, Divide, ExprId, Expression, Literal, NamedExpression, TruncTimestamp}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, CaseWhen, Cast, Coalesce, Divide, ExprId, Expression, IsNotNull, Literal, NamedExpression, TruncTimestamp, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -87,9 +87,25 @@ object GraftAggViews {
     * answer is the more accurate one. Callers needing bit-parity with
     * the direct scan beyond 2^53 should compute sum/count explicitly
     * rather than AVG. */
+  /** @param sketches KMV sketch measures in the state (column → k,
+    *                  from [[graft.operators.Materialize]]'s
+    *                  `sketches`): lets the rewrite serve
+    *                  `kmv_sketch(...)` aggregates from the `kmv_<col>`
+    *                  state column (rolled up with `kmv_union_agg` —
+    *                  byte-identical to the direct sketch, since KMV
+    *                  union is associative/idempotent). The query's
+    *                  hash argument must match state semantics: either
+    *                  the NULL-guarded `CASE WHEN c IS NOT NULL THEN
+    *                  xxhash64(c) END` Materialize writes, or a plain
+    *                  `xxhash64(c)` over a provably non-nullable
+    *                  column, and the query's k must equal the state's
+    *                  k — anything else refuses (a plain hash over a
+    *                  nullable column would count NULL as a value,
+    *                  which the state doesn't). */
   case class AggViewDef(statePath: String, groupCols: Seq[String],
       measures: Seq[String],
-      grainExprs: Map[String, String] = Map.empty)
+      grainExprs: Map[String, String] = Map.empty,
+      sketches: Map[String, Int] = Map.empty)
 
   // several views may serve one base (a per-source rollup AND a
   // per-(source, day) grain, say) — the reference picks among multiple
@@ -433,6 +449,30 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // answerability PRE-CHECK before any state I/O: pattern-only, no
     // attributes needed — a bailing query (decimal avg, DISTINCT) must
     // not pay a parquet schema read per planning pass
+    // kmv_sketch(...) served from the state's kmv_<col> — accepted
+    // only when the hash argument has the state's NULL semantics
+    // (NULL-guarded, or plain xxhash64 over a non-nullable column) and
+    // the query's k equals the state's k (a different k is a different
+    // sketch, not a rollup of this one)
+    def sketchColOf(fn: org.apache.spark.sql.catalyst.expressions
+        .aggregate.AggregateFunction): Option[String] = fn match {
+      case graft.functions.KmvAgg(h, kE, _, _) =>
+        val k = kE match {
+          case Literal(i: Int, _) => i
+          case Literal(l: Long, _) => l.toInt
+          case _ => return None
+        }
+        val arOpt = h match {
+          case CaseWhen(Seq((IsNotNull(g: AttributeReference),
+              XxHash64(Seq(v: AttributeReference), 42L))), None)
+            if baseName(g) == baseName(v) => Some(v)
+          case XxHash64(Seq(v: AttributeReference), 42L)
+            if !v.nullable => Some(v)
+          case _ => None
+        }
+        arOpt.map(baseName).filter(n => view.sketches.get(n).contains(k))
+      case _ => None
+    }
     def answerableFn(
         fn: org.apache.spark.sql.catalyst.expressions.aggregate
           .AggregateFunction): Boolean = fn match {
@@ -453,15 +493,26 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Average(ar: AttributeReference, _) =>
         view.measures.contains(baseName(ar)) &&
           !ar.dataType.isInstanceOf[DecimalType]
+      case k: graft.functions.KmvAgg => sketchColOf(k).isDefined
       case _ => false
+    }
+    // grouping references OUTSIDE any aggregate call (scalar wrappers
+    // like kmv_estimate(kmv_sketch(...)) or sum(x) + g collapse into
+    // the Aggregate's output expressions — CollapseProject — so an
+    // output can mix both)
+    def nonAggRefs(x: Expression): Seq[AttributeReference] = x match {
+      case _: AggregateExpression => Seq.empty
+      case a: AttributeReference => Seq(a)
+      case o => o.children.flatMap(nonAggRefs)
     }
     val answerable = outputs.forall {
       case a: AttributeReference => groupIdxOf(a).isDefined
-      case Alias(ae: AggregateExpression, _) =>
-        !ae.isDistinct && ae.filter.isEmpty &&
-          answerableFn(ae.aggregateFunction)
-      case Alias(e, _) if !e.isInstanceOf[AggregateExpression] =>
-        groupIdxOf(e).isDefined
+      case Alias(e, _) if e.exists(_.isInstanceOf[AggregateExpression]) =>
+        e.collect { case ae: AggregateExpression => ae }.forall(ae =>
+          !ae.isDistinct && ae.filter.isEmpty &&
+            answerableFn(ae.aggregateFunction)) &&
+          nonAggRefs(e).forall(groupIdxOf(_).isDefined)
+      case Alias(e, _) => groupIdxOf(e).isDefined
       case _ => false
     }
     if (!answerable) return None
@@ -480,7 +531,8 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // Map.apply crash in stateGroupExpr below
     val needed = view.groupCols ++ view.grainExprs.keys ++ Seq("cnt") ++
       view.measures.flatMap(m =>
-        Seq(s"cnt_$m", s"sum_$m", s"min_$m", s"max_$m"))
+        Seq(s"cnt_$m", s"sum_$m", s"min_$m", s"max_$m")) ++
+      view.sketches.keys.map(d => s"kmv_$d")
     if (!needed.forall(stateAttr.contains)) return None
 
     def merged(fnCol: Attribute,
@@ -497,12 +549,8 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case (c, Some(f)) => f(stateAttr(c))
       }
 
-    val newOutputs: Seq[NamedExpression] = outputs.map {
-      case a: AttributeReference =>
-        Alias(stateGroupExpr(groupTargets(groupIdxOf(a).get)), a.name)(
-          exprId = a.exprId)
-      case al @ Alias(ae: AggregateExpression, name) =>
-        val e: Expression = ae.aggregateFunction match {
+    def servedAgg(ae: AggregateExpression): Expression =
+      ae.aggregateFunction match {
           // count(col) BEFORE the count(*) catch-all — both are Count
           case Count(Seq(ar: AttributeReference)) =>
             Coalesce(Seq(
@@ -528,10 +576,39 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                 DoubleType),
               Cast(merged(stateAttr(s"cnt_${baseName(ar)}"), Sum(_)),
                 DoubleType)), ae.dataType)
+          case kfn: graft.functions.KmvAgg =>
+            // union of per-state-row sketches == the direct sketch
+            // (associative + idempotent, so a rollup is byte-exact);
+            // zero state rows must yield the EMPTY sketch like a
+            // direct kmv_sketch over no rows, not kmv_union_agg's NULL
+            val d = sketchColOf(kfn).get
+            Coalesce(Seq(
+              merged(stateAttr(s"kmv_$d"),
+                graft.functions.KmvUnionAgg(_)),
+              Literal.create(
+                graft.functions.KmvAgg.emptySketchBytes(view.sketches(d)),
+                org.apache.spark.sql.types.BinaryType)))
           case other => throw new IllegalStateException(
             s"unreachable: pre-checked aggregate $other")
         }
-        Alias(e, name)(exprId = al.exprId, qualifier = al.qualifier,
+    // replace every aggregate CALL with its state-serving form and
+    // every grouping reference OUTSIDE an aggregate with the state's
+    // group column — scalar wrappers (casts, kmv_estimate, arithmetic
+    // over sums) carry over unchanged around the swapped aggregates
+    def serveExpr(x: Expression): Expression = x match {
+      case ae: AggregateExpression => servedAgg(ae)
+      case a: AttributeReference =>
+        stateGroupExpr(groupTargets(groupIdxOf(a).get))
+      case o => o.mapChildren(serveExpr)
+    }
+    val newOutputs: Seq[NamedExpression] = outputs.map {
+      case a: AttributeReference =>
+        Alias(stateGroupExpr(groupTargets(groupIdxOf(a).get)), a.name)(
+          exprId = a.exprId)
+      case al @ Alias(e, name)
+          if e.exists(_.isInstanceOf[AggregateExpression]) =>
+        Alias(serveExpr(e), name)(exprId = al.exprId,
+          qualifier = al.qualifier,
           explicitMetadata = al.explicitMetadata)
       case al @ Alias(e, name) =>
         Alias(stateGroupExpr(groupTargets(groupIdxOf(e).get)), name)(

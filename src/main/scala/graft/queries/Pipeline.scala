@@ -44,6 +44,31 @@ object Pipeline {
       (b, m)
     }
 
+  /** Sketch-valued MV over events: per-type state carrying a KMV
+    * distinct-users sketch (k = 2^17 — exact regime at every fixture
+    * scale), registered so the rewrite serves `kmv_sketch` aggregates
+    * from the 5-row state instead of the fact scan. */
+  private def mvSketchSetup(s: SparkSession, dir: String)
+      : (String, String) =
+    Artifacts.memoized(dir, "mv_sketch_setup") {
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_mvsk").toString
+      val b = s"$tmp/fact"
+      val m = s"$tmp/state"
+      Tables.t(s, dir, "events")
+        .select($"event_id", $"event_type", $"user_id")
+        .write.mode("overwrite").parquet(b)
+      graft.operators.Materialize
+        .aggregate(s.read.parquet(b), Seq("event_type"), Seq("user_id"),
+          sketches = Seq("user_id" -> 131072))
+        .write.mode("overwrite").parquet(m)
+      graft.plans.GraftAggViews.register(b,
+        graft.plans.GraftAggViews.AggViewDef(m, Seq("event_type"),
+          Seq("user_id"), sketches = Map("user_id" -> 131072)))
+      (b, m)
+    }
+
   /** Day-grain MV over events (grain column computed before the
     * aggregate, registered as an expression over the base) — the
     * time-bucket rollup is the most common real MV shape. */
@@ -235,6 +260,23 @@ object Pipeline {
     "q_dedup_simhash" -> { (s, dir) =>
       Dedup.simhashNearDups(Tables.t(s, dir, "documents"), "text", "doc_id",
         maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Incremental SimHash near-dup over a persisted 8-byte-signature
+    // artifact — same fixed-ingest-batch shape as
+    // q_dedup_incremental_lsh (delta = first 100 doc ids); only the
+    // delta is hashed per batch, only delta-touching pairs emit. No SQL
+    // oracle (simhash); incremental == delta-touching-subset-of-batch
+    // is ScalaTested in DedupSpec.
+    "q_dedup_simhash_incremental" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val corpusSig = Artifacts.one(s, dir, "simhash_sig") {
+        Dedup.simhashSignatures(docs.where(col("doc_id") >= 100),
+          "text", "doc_id")
+      }
+      Dedup.simhashNearDupsIncremental(corpusSig,
+          docs.where(col("doc_id") < 100), "text", "doc_id", maxHamming = 8)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -744,6 +786,70 @@ object Pipeline {
         .select($"event_type", $"day", $"cnt", $"sum_user_id",
           $"min_user_id", $"max_user_id")
         .orderBy($"event_type", $"day")
+    },
+
+    // Sketch-valued IVM under the HARD oracle: an approx-distinct MV
+    // (KMV k = 2^17, far above the fixture's per-type distinct users →
+    // exact regime, so DuckDB's count(DISTINCT) is the oracle) built
+    // once, then maintained through an insert-only refresh (sketch
+    // union folds algebraically — no base access) AND a delete refresh
+    // (sketches can't retract → the affected groups take the pruned
+    // recompute). A green row proves the maintained sketch state gives
+    // the same distinct count a full scan would — the 100-TB shape:
+    // "distinct users per segment, kept current, without re-scanning
+    // the fact table".
+    "q_ivm_sketch" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val wh = ivmWarehouse(dir + "#sketch")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      cat.createTable("e", StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("user_id", LongType))), pk = Seq("event_id"))
+      val ev = Tables.t(s, dir, "events")
+        .select($"event_id", $"event_type", $"user_id")
+      cat.upsert("e", ev.where($"event_id" % 4 =!= 0))
+      val mv = wh + "/mv"
+      graft.operators.Materialize.build(cat, "e", Seq("event_type"),
+        Seq("user_id"), mv, sketches = Seq("user_id" -> (1 << 17)))
+      cat.upsert("e", ev.where($"event_id" % 4 === 0))
+      graft.operators.Materialize.refresh(cat, "e", mv)
+      cat.delete("e", $"event_type" === "purchase")
+      graft.operators.Materialize.refresh(cat, "e", mv)
+      graft.functions.GraftFunctions.registerKernels(s)
+      graft.operators.Materialize.read(s, mv)
+        .select($"event_type", $"cnt",
+          round(call_function("kmv_estimate", $"kmv_user_id"))
+            .cast("long").as("distinct_users"))
+        .orderBy($"event_type")
+    },
+
+    // Sketch-serving MV rewrite under the hard oracle: the query runs
+    // a kmv_sketch aggregate over the FACT table; AggRewriteRule must
+    // swap it onto the 5-row state's kmv_user_id column (plan-pinned).
+    // k = 2^17 puts the sketch in the exact regime, so the DuckDB
+    // oracle is a plain count(DISTINCT) — a green row proves the
+    // served sketch is byte-for-byte the full-scan sketch. The 100-TB
+    // point: "distinct users per segment" answered from KBs of state.
+    "q_mv_rewrite_sketch" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.registerKernels(s)
+      val (base, mv) = mvSketchSetup(s, dir)
+      val q = s.read.parquet(base).groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          call_function("kmv_sketch",
+            when($"user_id".isNotNull, xxhash64($"user_id")),
+            lit(131072)).as("sk"))
+        .select($"event_type", $"n",
+          round(call_function("kmv_estimate", $"sk")).cast("long")
+            .as("distinct_users"))
+        .orderBy($"event_type")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(mv) || plan.contains(base))
+        throw new IllegalStateException(
+          s"sketch MV rewrite did not serve from the state:\n$plan")
+      q
     },
 
     // EXPRESSION-grain MV rewrite under the hard oracle: a DAY-grain
@@ -1521,6 +1627,40 @@ object Pipeline {
           Multimodal.syntheticAudio(Tables.t(s, dir, "documents")),
           maxHamming = 6)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Incremental image near-dup, PRODUCTION SHAPE (the multimodal twin
+    // of q_dedup_incremental_lsh): the corpus is decoded ONCE into a
+    // persisted 8-byte dHash artifact; the timed query decodes only the
+    // fixed-size ingest batch (first 100 doc ids) and probes the stored
+    // fingerprints — per-batch cost stays delta-sized while the corpus
+    // side grows with the fixture. Delta-touching pairs only. No SQL
+    // oracle (JDK codec); incremental-vs-batch equivalence is
+    // ScalaTested and the output is golden-pinned in Verify.
+    "q_image_dedup_incremental" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val corpusSig = Artifacts.one(s, dir, "image_dhash") {
+        Multimodal.imageHashes(
+          Multimodal.syntheticImages(docs.where(col("doc_id") >= 100)))
+      }
+      Multimodal.imageNearDupsIncremental(corpusSig,
+          Multimodal.syntheticImages(docs.where(col("doc_id") < 100)),
+          maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Incremental audio near-dup: same decode-once ingest shape over
+    // the persisted envelope-fingerprint artifact.
+    "q_audio_dedup_incremental" -> { (s, dir) =>
+      val docs = Tables.t(s, dir, "documents")
+      val corpusSig = Artifacts.one(s, dir, "audio_fp") {
+        Multimodal.audioHashes(
+          Multimodal.syntheticAudio(docs.where(col("doc_id") >= 100)))
+      }
+      Multimodal.audioNearDupsIncremental(corpusSig,
+          Multimodal.syntheticAudio(docs.where(col("doc_id") < 100)),
+          maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 
@@ -2220,6 +2360,17 @@ object Pipeline {
         max(user_id) AS max_user_id
       FROM final WHERE event_type <> 'click'
       GROUP BY 1, 2 ORDER BY event_type, day""",
+
+    "q_ivm_sketch" -> """
+      SELECT event_type, count(*) AS cnt,
+        count(DISTINCT user_id) AS distinct_users
+      FROM events WHERE event_type <> 'purchase'
+      GROUP BY event_type ORDER BY event_type""",
+
+    "q_mv_rewrite_sketch" -> """
+      SELECT event_type, count(*) AS n,
+        count(DISTINCT user_id) AS distinct_users
+      FROM events GROUP BY event_type ORDER BY event_type""",
 
     "q_mv_rewrite_timegrain" -> """
       SELECT date_trunc('month', ts) AS m, event_type,

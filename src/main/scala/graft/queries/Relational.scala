@@ -774,15 +774,22 @@ object Relational {
     },
 
     // §2.4 FIRST_VALUE / LAST_VALUE as *ordered aggregates* (Phoenix
-    // FirstValueFunction — aggregate with ORDER BY arg, not a window fn):
-    // value of the measure at the min/max of a unique ordering key.
+    // FirstValueFunction — aggregate with ORDER BY arg, not a window fn).
+    // The fixture's (l_orderkey, l_linenumber) is NOT unique (duplicate
+    // pairs exist at every sf — caught at sf0.001 in r11, where the two
+    // max-ord rows carry different prices and the engines tie-broke
+    // differently), so the ordering key is the lexicographic
+    // (ord, price) STRUCT: ties on ord resolve to the smaller/larger
+    // price deterministically on both engines.
     "q_first_last_value" -> { (s, dir) =>
       import s.implicits._
       Tables.t(s, dir, "lineitem")
         .withColumn("ord", $"l_orderkey" * 10 + $"l_linenumber")
         .groupBy($"l_returnflag")
-        .agg(min_by($"l_extendedprice", $"ord").as("first_price"),
-          max_by($"l_extendedprice", $"ord").as("last_price"),
+        .agg(min_by($"l_extendedprice", struct($"ord", $"l_extendedprice"))
+            .as("first_price"),
+          max_by($"l_extendedprice", struct($"ord", $"l_extendedprice"))
+            .as("last_price"),
           count(lit(1)).as("n"))
         .orderBy($"l_returnflag")
     },
@@ -1288,11 +1295,17 @@ object Relational {
       HAVING count(*) >= 8 ORDER BY o_custkey""",
 
     "q_first_last_value" -> """
-      SELECT l_returnflag,
-             arg_min(l_extendedprice, l_orderkey * 10 + l_linenumber) AS first_price,
-             arg_max(l_extendedprice, l_orderkey * 10 + l_linenumber) AS last_price,
+      WITH t AS (SELECT l_returnflag,
+                   l_orderkey * 10 + l_linenumber AS ord,
+                   l_extendedprice AS p FROM lineitem),
+           b AS (SELECT l_returnflag, min(ord) AS mn, max(ord) AS mx
+                 FROM t GROUP BY 1)
+      SELECT t.l_returnflag,
+             min(CASE WHEN ord = mn THEN p END) AS first_price,
+             max(CASE WHEN ord = mx THEN p END) AS last_price,
              count(*) AS n
-      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+      FROM t JOIN b USING (l_returnflag)
+      GROUP BY t.l_returnflag ORDER BY t.l_returnflag""",
 
     "q_union_all" -> """
       SELECT o_orderkey AS k, 'hi' AS bucket FROM orders

@@ -686,4 +686,63 @@ class AggRewriteSpec extends AnyFunSuite {
           rawQ.queryExecution.executedPlan)
     } finally GraftAggViews.drop(base)
   }
+
+  test("agg rewrite: kmv sketch serving — exact grain, rollup union, " +
+      "k-mismatch and nullable-unguarded-hash refusals") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerKernels(spark)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_aggsk_base").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_aggsk_state").toString
+    // u nullable with a real NULL (count-distinct must skip it);
+    // value 7 shared across groups (rollup union must dedup it)
+    Seq((1L, "a", Some(7L)), (2L, "a", Some(8L)), (3L, "a", Some(7L)),
+      (4L, "b", Some(7L)), (5L, "b", Some(9L)), (6L, "b", None))
+      .toDF("k", "g", "u")
+      .write.mode("overwrite").parquet(base)
+    val fact = spark.read.parquet(base)
+    Materialize.aggregate(fact, Seq("g"), Seq("u"),
+        sketches = Seq("u" -> 1024))
+      .write.mode("overwrite").parquet(statePath)
+    GraftAggViews.register(base,
+      GraftAggViews.AggViewDef(statePath, Seq("g"), Seq("u"),
+        sketches = Map("u" -> 1024)))
+    val stateName = new java.io.File(statePath).getName
+    val baseName = new java.io.File(base).getName
+    def sketchAgg(k: Int) = call_function("kmv_sketch",
+      when($"u".isNotNull, xxhash64($"u")), lit(k))
+    def est(c: org.apache.spark.sql.Column) =
+      round(call_function("kmv_estimate", c)).cast("long")
+    try {
+      // exact grain: per-group distinct from the state's kmv_u
+      val exact = spark.read.parquet(base).groupBy($"g")
+        .agg(sketchAgg(1024).as("sk"))
+        .select($"g", est($"sk").as("du")).orderBy($"g")
+      assert(exact.queryExecution.executedPlan.toString.contains(stateName),
+        "sketch aggregate must serve from the state")
+      assert(exact.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq == Seq(("a", 2L), ("b", 2L)))
+      // rollup: GLOBAL distinct = union of per-group sketches, byte-
+      // equal to the direct sketch (7 shared across groups dedups)
+      val roll = spark.read.parquet(base)
+        .agg(sketchAgg(1024).as("sk")).select(est($"sk").as("du"))
+      assert(roll.queryExecution.executedPlan.toString.contains(stateName),
+        "rollup sketch must re-union the state")
+      assert(roll.collect()(0).getLong(0) == 3L)
+      // k mismatch is a DIFFERENT sketch — must refuse, not mis-serve
+      val wrongK = spark.read.parquet(base).groupBy($"g")
+        .agg(sketchAgg(512).as("sk"))
+      assert(wrongK.queryExecution.executedPlan.toString.contains(baseName),
+        "a different k must refuse the rewrite")
+      // plain xxhash64 over a NULLABLE column counts NULL as a value —
+      // state semantics differ, must refuse
+      val unguarded = spark.read.parquet(base).groupBy($"g")
+        .agg(call_function("kmv_sketch", xxhash64($"u"), lit(1024))
+          .as("sk"))
+      assert(unguarded.queryExecution.executedPlan.toString
+        .contains(baseName),
+        "an unguarded hash over a nullable column must refuse")
+    } finally GraftAggViews.drop(base)
+  }
 }

@@ -953,6 +953,67 @@ class CatalogSpec extends AnyFunSuite {
         Seq("g"), Seq("x")).collect().map(_.toSeq).toSet)
   }
 
+  test("IVM sketch measure: insert-only folds algebraically (byte-exact, " +
+      "no base access); retractions gate the pruned recompute; exact-" +
+      "regime estimates equal COUNT DISTINCT") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val cat = freshCatalog()
+    cat.createTable("sk", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("u", LongType))), pk = Seq("k"))
+    cat.upsert("sk", Seq((1L, "a", 10L), (2L, "a", 11L), (3L, "a", 10L),
+      (4L, "b", 7L)).toDF("k", "g", "u"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sk").toString
+    val sk = Seq("u" -> 1024)
+    Materialize.build(cat, "sk", Seq("g"), Seq("u"), path, sketches = sk)
+    // byte-level compare incl. the serialized sketch: the incremental
+    // fold must be IDENTICAL to a from-scratch aggregate, not just
+    // estimate-equivalent (union is order-insensitive by construction)
+    def canon(r: org.apache.spark.sql.Row) =
+      r.toSeq.map { case b: Array[Byte] => b.toSeq; case x => x }
+    def expected = Materialize
+      .aggregate(cat.snapshot("sk"), Seq("g"), Seq("u"), sk)
+      .collect().map(canon).toSet
+    def actual = Materialize.read(spark, path).collect().map(canon).toSet
+    graft.functions.GraftFunctions.registerKernels(spark)
+    def est = Materialize.read(spark, path)
+      .select($"g", call_function("kmv_estimate", $"kmv_u")
+        .cast("long").as("du"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+
+    // insert-only delta: a new value for 'a' and a DUPLICATE value for
+    // 'b' (idempotent union — the dup must not change b's sketch)
+    cat.upsert("sk", Seq((5L, "a", 12L), (6L, "b", 7L)).toDF("k", "g", "u"))
+    Materialize.refresh(cat, "sk", path)
+    assert(actual == expected, "insert-only sketch fold diverged")
+    assert(!Materialize.LastRefresh.recomputeRan,
+      "an insert-only delta must fold sketches with zero base access")
+    assert(est == Map("a" -> 3L, "b" -> 1L), s"exact-regime estimate: $est")
+
+    // updates that retire value 10 from 'a' entirely (k=1 and k=3 both
+    // move to 11): distinct drops 3 -> 2 — only a recompute can know
+    // that, so the gate must fire and the recomputed sketch must match
+    cat.upsert("sk", Seq((1L, "a", 11L), (3L, "a", 11L)).toDF("k", "g", "u"))
+    Materialize.refresh(cat, "sk", path)
+    assert(Materialize.LastRefresh.recomputeRan,
+      "a sketch-bearing retraction must take the recompute path")
+    assert(actual == expected, "retraction recompute diverged")
+    assert(est == Map("a" -> 2L, "b" -> 1L), s"post-update estimate: $est")
+
+    // delete the duplicate carrier: distinct unchanged, bytes must
+    // still equal the rebuild; delete the last 'b' row: group drops
+    cat.delete("sk", $"k" === 6L)
+    Materialize.refresh(cat, "sk", path)
+    assert(actual == expected && est("b") == 1L,
+      "dup-carrier delete must keep b's distinct at 1")
+    cat.delete("sk", $"k" === 4L)
+    Materialize.refresh(cat, "sk", path)
+    assert(actual == expected, "emptied group must drop from the state")
+    assert(!est.contains("b") && est("a") == 2L)
+  }
+
   test("IVM differential fuzz: random upsert/update/delete batches — " +
       "state == full recompute after every refresh (seeded)") {
     import spark.implicits._

@@ -62,6 +62,51 @@ class KmvSketchSpec extends AnyFunSuite {
       s"estimate $est should be within ~3σ (σ≈1/√k≈3%) of 20000")
   }
 
+  test("kmv_union_agg: re-aggregation equals a direct sketch over the " +
+      "union, is partition-invariant, skips NULLs, min-k on mixed k") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    // per-group sketches (the MV-state shape), then rolled up: the
+    // re-aggregated sketch must BYTE-equal a sketch built directly
+    // over all values — the property coarser-grain serving rests on
+    val df = ((0L until 800L).map(("a", _)) ++
+      (400L until 1200L).map(("b", _)) ++
+      (0L until 300L).map(("c", _))).toDF("s", "v")
+    val perGroup = df.groupBy($"s")
+      .agg(call_function("kmv_sketch", xxhash64($"v"), lit(512)).as("sk"))
+    def rollup(parts: Int): Array[Byte] = perGroup.repartition(parts)
+      .agg(call_function("kmv_union_agg", $"sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val direct = df.agg(
+        call_function("kmv_sketch", xxhash64($"v"), lit(512)))
+      .collect()(0).getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(rollup(1), direct),
+      "union-agg of per-group sketches must equal the direct sketch")
+    assert(java.util.Arrays.equals(rollup(1), rollup(7)),
+      "union-agg must be merge-order/partitioning invariant")
+    // NULL rows skip; all-NULL aggregates to NULL
+    val withNull = perGroup.select($"sk")
+      .unionByName(Seq(1).toDF("x").select(lit(null).cast("binary").as("sk")))
+    assert(java.util.Arrays.equals(
+      withNull.agg(call_function("kmv_union_agg", $"sk"))
+        .collect()(0).getAs[Array[Byte]](0), direct))
+    assert(Seq(1, 2).toDF("x").select(lit(null).cast("binary").as("sk"))
+      .agg(call_function("kmv_union_agg", $"sk"))
+      .collect()(0).isNullAt(0), "all-NULL input must yield NULL")
+    // mixed k unions at min(k) — the only θ both sketches can support
+    val k256 = df.where($"s" === "a").agg(
+        call_function("kmv_sketch", xxhash64($"v"), lit(256)).as("sk"))
+    val mixed = perGroup.where($"s" === "b").select($"sk")
+      .unionByName(k256)
+      .agg(call_function("kmv_union_agg", $"sk"))
+      .collect()(0).getAs[Array[Byte]](0)
+    val estK = spark.sql("SELECT 1").select(
+      call_function("kmv_estimate", lit(mixed))).collect()(0).getDouble(0)
+    // 1200 distinct total > 256: estimation regime under the min k
+    assert(math.abs(estK - 1200.0) / 1200.0 < 0.25,
+      s"mixed-k union estimate $estK should approximate 1200")
+  }
+
   test("kmv: the exact-regime k=2^20 buffer grows on demand — a small " +
       "input stays exact and partition-invariant without preallocating " +
       "the 16 MB table") {

@@ -300,6 +300,17 @@ class PipelineSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
+    // HLL++ has NO exact regime in Spark (no sparse mode — registers +
+    // linear counting even at tiny cardinality; see COVERAGE.md), so
+    // the hard invariant pinned instead is DETERMINISM: register
+    // max-merge is commutative/associative, so the estimate must be
+    // bit-identical across partitionings and merge orders.
+    val byPart = Seq(1, 7, 32).map(n =>
+      li.repartition(n).select(approx_count_distinct(col("l_partkey")))
+        .collect()(0).getLong(0))
+    assert(byPart.distinct.size == 1,
+      s"estimate must be partitioning-invariant: $byPart")
+    assert(byPart.head == approx, "and equal to the unrepartitioned run")
   }
 
   test("first_values/last_values bounded-heap agg matches sort+slice") {
@@ -658,6 +669,52 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(blocked === brute,
       s"blocking lost/invented pairs: ${blocked.size} vs ${brute.size}")
+  }
+
+  test("incremental simhash dedup == delta-touching subset of batch") {
+    val docs = Tables.t(spark, dir, "documents").limit(400)
+    val batch = Dedup.simhashNearDups(docs, "text", "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val inc = Dedup.simhashNearDupsIncremental(
+        Dedup.simhashSignatures(docs.where(col("doc_id") >= 100),
+          "text", "doc_id"),
+        docs.where(col("doc_id") < 100), "text", "doc_id", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(inc === batch.filter(p => p._1 < 100 || p._2 < 100),
+      s"inc ${inc.size} vs batch-delta " +
+        s"${batch.count(p => p._1 < 100 || p._2 < 100)}")
+    assert(inc.nonEmpty, "fixture must plant delta-touching near-dups")
+  }
+
+  test("incremental multimodal dedup == delta-touching subset of batch") {
+    // the prepared path must report exactly the batch pairs that touch
+    // the delta — nothing lost (recall), nothing corpus-internal
+    // re-reported (the ingest contract)
+    val docs = Tables.t(spark, dir, "documents").limit(300)
+    val corpusDocs = docs.where(col("doc_id") >= 100)
+    val deltaDocs = docs.where(col("doc_id") < 100)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val imgBatch = pairSet(Multimodal.imageNearDups(
+      Multimodal.syntheticImages(docs), maxHamming = 6))
+    val imgInc = pairSet(Multimodal.imageNearDupsIncremental(
+      Multimodal.imageHashes(Multimodal.syntheticImages(corpusDocs)),
+      Multimodal.syntheticImages(deltaDocs), maxHamming = 6))
+    assert(imgInc === imgBatch.filter(p => p._1 < 100 || p._2 < 100),
+      s"image: inc ${imgInc.size} vs batch-delta " +
+        s"${imgBatch.count(p => p._1 < 100 || p._2 < 100)}")
+    assert(imgInc.nonEmpty, "fixture must plant delta-touching image dups")
+
+    val audBatch = pairSet(Multimodal.audioNearDups(
+      Multimodal.syntheticAudio(docs), maxHamming = 6))
+    val audInc = pairSet(Multimodal.audioNearDupsIncremental(
+      Multimodal.audioHashes(Multimodal.syntheticAudio(corpusDocs)),
+      Multimodal.syntheticAudio(deltaDocs), maxHamming = 6))
+    assert(audInc === audBatch.filter(p => p._1 < 100 || p._2 < 100),
+      s"audio: inc ${audInc.size} vs batch-delta " +
+        s"${audBatch.count(p => p._1 < 100 || p._2 < 100)}")
+    assert(audInc.nonEmpty, "fixture must plant delta-touching audio dups")
   }
 
   test("audio fingerprint: volume/container invariant, far for unrelated") {
