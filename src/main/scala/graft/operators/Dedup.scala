@@ -1025,48 +1025,165 @@ object Dedup {
       maxBucket: Int = DefaultMaxBucket, cleanChunks: Int = 1): DataFrame = {
     require(corpusSig.columns.length == 2 && deltaSig.columns.length == 2,
       "corpusSig and deltaSig must be exactly (id, sig)")
-    hammingCore64(
-      corpusSig.toDF("id", "sig").withColumn("d", lit(0))
-        .unionByName(deltaSig.toDF("id", "sig").withColumn("d", lit(1))),
-      maxHamming, maxBucket, cleanChunks)
+    requireHammingParams(maxHamming, cleanChunks)
+    // checkpointed: consumed twice (its bucket-key set + the pair
+    // core), and the delta side may carry a decode (imageHashes)
+    // worth running once
+    val delta = deltaSig.toDF("id", "sig").localCheckpoint(false)
+    // Bucket-prune the corpus BEFORE the blocking shuffle: a pair only
+    // ever forms inside one shared bucket, so corpus rows in buckets
+    // the DELTA does not occupy are dead weight. The delta's occupied
+    // bucket set is tiny (|delta| × #keys) — broadcast it and the
+    // corpus-side keyed rows are filtered MAP-SIDE, so the per-batch
+    // exchange carries only the delta's collision neighborhood, not
+    // the corpus. (Prune selectivity is the bucket keyspace ratio:
+    // strong for chunk-PAIR keys — ~65k values per index — weaker for
+    // the 1-chunk narrow-key regime where a small delta can occupy
+    // most of a 6-bit chunk's buckets.) Exact at the bucket level:
+    // capped buckets see the same delta-bucket membership either way.
+    val keyed: DataFrame => DataFrame = df =>
+      df.select(col("id"), col("sig"), col("d"), posexplode(array(
+        chunkKeys64(col("sig"), maxHamming, cleanChunks): _*)))
+        .toDF("id", "sig", "d", "chunk_idx", "chunk")
+    val deltaKeyed = keyed(delta.withColumn("d", lit(1)))
+    val deltaBuckets = deltaKeyed.select(col("chunk_idx"), col("chunk"))
+      .distinct()
+    val corpusKeyed = keyed(corpusSig.toDF("id", "sig")
+        .withColumn("d", lit(0)))
+      .join(broadcast(deltaBuckets), Seq("chunk_idx", "chunk"),
+        "left_semi")
+    pairsFromKeyed(corpusKeyed.unionByName(deltaKeyed),
+      maxHamming, maxBucket)
   }
 
   /** Shared chunk-blocking kernel: input is (id, sig, d) where d = 1
     * marks rows whose pairs should be emitted (batch mode marks
     * everything; incremental marks the delta). The d-filter runs inside
     * the bucket explode — map-side, before the distinct's shuffle. */
-  private def hammingCore64(sig: DataFrame, maxHamming: Int,
-      maxBucket: Int, cleanChunks: Int): DataFrame = {
+  private def requireHammingParams(maxHamming: Int, cleanChunks: Int)
+      : Unit = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15], got $maxHamming — above 15 the " +
         "64-bit signature's chunks get too narrow to block on; use " +
         "banded MinHash (nearDupPairs) for looser similarity")
     require(cleanChunks == 1 || cleanChunks == 2,
       s"cleanChunks must be 1 or 2, got $cleanChunks")
+  }
+
+  /** The blocking-key columns for a 64-bit signature under the given
+    * (maxHamming, cleanChunks) — shared by the batch/incremental core
+    * and the persisted bucket artifact, so a streaming probe keys
+    * exactly like the table it probes. */
+  private[graft] def chunkKeys64(sig: Column, maxHamming: Int,
+      cleanChunks: Int): Seq[Column] = {
     val nChunks = maxHamming + cleanChunks
     // chunk i covers bits [i*64/n, (i+1)*64/n) — as even as possible
     val chunkCols = (0 until nChunks).map { c =>
       val loBit = c * 64 / nChunks
       val width = (c + 1) * 64 / nChunks - loBit
       val mask = if (width == 64) -1L else (1L << width) - 1L
-      shiftright(col("sig"), loBit).bitwiseAND(lit(mask))
+      shiftright(sig, loBit).bitwiseAND(lit(mask))
     }
     // blocking keys in a fixed order, so posexplode's position IS the
     // key index: single chunks, or every (i < j) chunk pair with the
     // two chunk values packed into one LONG (each chunk ≤ 32 bits for
     // n ≥ 2, so two always fit without collision)
-    val keyCols: Seq[Column] =
-      if (cleanChunks == 1) chunkCols
-      else
-        for {
-          i <- 0 until nChunks; j <- (i + 1) until nChunks
-        } yield {
-          val widthJ = (j + 1) * 64 / nChunks - j * 64 / nChunks
-          shiftleft(chunkCols(i), widthJ).bitwiseOR(chunkCols(j))
-        }
-    val chunked0 = sig.select(col("id"), col("sig"), col("d"),
-      posexplode(array(keyCols: _*)))
+    if (cleanChunks == 1) chunkCols
+    else
+      for {
+        i <- 0 until nChunks; j <- (i + 1) until nChunks
+      } yield {
+        val widthJ = (j + 1) * 64 / nChunks - j * 64 / nChunks
+        shiftleft(chunkCols(i), widthJ).bitwiseOR(chunkCols(j))
+      }
+  }
+
+  /** Persisted chunk-key bucket table for STREAMING Hamming near-dup
+    * probes ([[graft.streaming.EventStreams.hammingNearDupStream]]):
+    * one row per (corpus signature, blocking key), carrying the
+    * signature for the exact post-join verify — the Hamming analog of
+    * [[signatureBuckets]]. Parameters must match the stream side.
+    * @return (corpus_id, c_sig, chunk_idx, chunk) */
+  def hammingBuckets64(sigs: DataFrame, maxHamming: Int = 3,
+      cleanChunks: Int = 1): DataFrame = {
+    requireHammingParams(maxHamming, cleanChunks)
+    require(sigs.columns.length == 2,
+      s"sigs must be exactly (id, sig), got ${sigs.columns.mkString(",")}")
+    sigs.toDF("id", "sig")
+      .select(col("id").as("corpus_id"), col("sig").as("c_sig"),
+        posexplode(array(
+          chunkKeys64(col("sig"), maxHamming, cleanChunks): _*)))
+      .toDF("corpus_id", "c_sig", "chunk_idx", "chunk")
+  }
+
+  private def hammingCore64(sig: DataFrame, maxHamming: Int,
+      maxBucket: Int, cleanChunks: Int): DataFrame = {
+    requireHammingParams(maxHamming, cleanChunks)
+    pairsFromKeyed(
+      sig.select(col("id"), col("sig"), col("d"),
+        posexplode(array(
+          chunkKeys64(col("sig"), maxHamming, cleanChunks): _*)))
+        .toDF("id", "sig", "d", "chunk_idx", "chunk"),
+      maxHamming, maxBucket)
+  }
+
+  /** [[hammingNearDups64Incremental]] against a PERSISTED
+    * [[hammingBuckets64]] bucket table — the INDEX-SERVED ingest shape:
+    * the corpus's keyed rows live on disk (write them
+    * `sortWithinPartitions("chunk_idx", "chunk")` so parquet row-group
+    * stats can prune), the delta's occupied bucket keys are
+    * driver-collected (bounded: |delta| × #keys 8-byte values) and
+    * pushed into the scan as an `(chunk_idx, chunk) IN` predicate, so
+    * a batch probe can skip non-colliding row groups without scanning
+    * the corpus. Measured tradeoff (SCALE.md, 30× rehearsal): the
+    * bucket table is #keys× larger than the signature table (28× at
+    * maxHamming 6 / cleanChunks 2), and pruning only bites when a row
+    * group's chunk span is NARROW relative to the probe key density —
+    * at the rehearsal scale each ~128 MB row group spanned ~16k of the
+    * 65k chunk values, nearly every group survived the probe, and this
+    * path measured SLOWER than [[hammingNearDups64Incremental]]'s
+    * compact-sig scan + broadcast bucket prune. Prefer this form only
+    * when the corpus is large enough (or row groups small enough) that
+    * per-group key spans are dense — billions of fingerprints with
+    * page-index-sized groups — and measure first.
+    * Same pair semantics (delta-touching only, capped buckets, exact
+    * verify); parameters must match the bucket build.
+    * @param corpusBuckets (corpus_id, c_sig, chunk_idx, chunk) */
+  def hammingNearDups64Indexed(corpusBuckets: DataFrame,
+      deltaSig: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = DefaultMaxBucket, cleanChunks: Int = 1): DataFrame = {
+    requireHammingParams(maxHamming, cleanChunks)
+    require(deltaSig.columns.length == 2,
+      "deltaSig must be exactly (id, sig)")
+    val delta = deltaSig.toDF("id", "sig").localCheckpoint(false)
+    val deltaKeyed = delta.withColumn("d", lit(1))
+      .select(col("id"), col("sig"), col("d"), posexplode(array(
+        chunkKeys64(col("sig"), maxHamming, cleanChunks): _*)))
       .toDF("id", "sig", "d", "chunk_idx", "chunk")
+    // per-index IN lists → Or(And(chunk_idx = i, chunk In (...)))
+    // — a shape the parquet filter translator pushes down whole, so
+    // sorted bucket files prune at the row-group level
+    val keys = deltaKeyed.select(col("chunk_idx"), col("chunk"))
+      .distinct().collect()
+      .groupBy(_.getInt(0)).map { case (ki, rs) =>
+        (col("chunk_idx") === ki) &&
+          col("chunk").isInCollection(rs.map(_.getLong(1)).toSeq)
+      }.toSeq
+    val cand =
+      if (keys.isEmpty) corpusBuckets.limit(0)
+      else corpusBuckets.where(keys.reduce(_ || _))
+    pairsFromKeyed(
+      cand.select(col("corpus_id").as("id"), col("c_sig").as("sig"),
+          lit(0).as("d"), col("chunk_idx"), col("chunk"))
+        .unionByName(deltaKeyed),
+      maxHamming, maxBucket)
+  }
+
+  /** The bucket-collect + in-bucket pair explode over pre-keyed rows
+    * (id, sig, d, chunk_idx, chunk) — shared by the batch core and the
+    * bucket-pruned incremental path. */
+  private def pairsFromKeyed(chunked0: DataFrame, maxHamming: Int,
+      maxBucket: Int): DataFrame = {
     // ONE (chunk_idx, chunk)-keyed shuffle, same shape as bandedPairs:
     // each bucket's sorted (id, sig) list explodes into its pairs via
     // nested transforms — no two-sided self-join exchange, and the

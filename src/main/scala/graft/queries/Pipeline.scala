@@ -1633,10 +1633,14 @@ object Pipeline {
     // of q_dedup_incremental_lsh): the corpus is decoded ONCE into a
     // persisted 8-byte dHash artifact; the timed query decodes only the
     // fixed-size ingest batch (first 100 doc ids) and probes the stored
-    // fingerprints — per-batch cost stays delta-sized while the corpus
-    // side grows with the fixture. Delta-touching pairs only. No SQL
-    // oracle (JDK codec); incremental-vs-batch equivalence is
-    // ScalaTested and the output is golden-pinned in Verify.
+    // fingerprints — the delta's occupied BUCKET set is broadcast so
+    // corpus keyed rows filter map-side, and only the collision
+    // neighborhood rides the exchange (30× rehearsal: exponent 0.31,
+    // 0.30 MB shuffled; the alternative hammingNearDups64Indexed
+    // bucket-table probe MEASURED SLOWER at this scale — tradeoff
+    // recorded in SCALE.md). Delta-touching pairs only. No SQL oracle
+    // (JDK codec); incremental-vs-batch equivalence and indexed-path
+    // equivalence are ScalaTested; output golden-pinned in Verify.
     "q_image_dedup_incremental" -> { (s, dir) =>
       val docs = Tables.t(s, dir, "documents")
       val corpusSig = Artifacts.one(s, dir, "image_dhash") {

@@ -315,6 +315,33 @@ object EventStreams {
       .select(col("id"), col("corpus_id"), col("jac"))
   }
 
+  /** Streaming 64-bit-fingerprint near-dup matches against a PERSISTED
+    * corpus bucket table ([[graft.operators.Dedup.hammingBuckets64]] —
+    * build once from the corpus's signatures, e.g.
+    * [[graft.operators.Multimodal.imageHashes]], persist, reuse every
+    * micro-batch): the ingest-time form of the incremental Hamming
+    * path. Input is a stream of (id, sig LONG) — for media, map the
+    * payload stream through the scan-local fingerprint kernel first
+    * (decode never shuffles). Stateless: chunk-key explode →
+    * stream-static equi-join → exact Hamming verify, so there is no
+    * watermark/state-store cost; a pair sharing several blocking keys
+    * emits once per shared key (same documented per-band multiplicity
+    * as [[nearDupPairsStream]] — DISTINCT at the sink if needed).
+    * Parameters must match the bucket build.
+    * @return (id, corpus_id, dist ≤ maxHamming) */
+  def hammingNearDupStream(sigs: DataFrame, corpusBuckets: DataFrame,
+      maxHamming: Int = 6, cleanChunks: Int = 2): DataFrame =
+    sigs.toDF("id", "sig")
+      .select(col("id"), col("sig"), posexplode(array(
+        graft.operators.Dedup.chunkKeys64(
+          col("sig"), maxHamming, cleanChunks): _*)))
+      .toDF("id", "sig", "chunk_idx", "chunk")
+      .join(corpusBuckets, Seq("chunk_idx", "chunk"))
+      .withColumn("dist",
+        graft.operators.Dedup.hamming64(col("sig"), col("c_sig")))
+      .where(col("dist") <= maxHamming && col("id") =!= col("corpus_id"))
+      .select(col("id"), col("corpus_id"), col("dist"))
+
   /** Streaming as-of enrichment against a STATIC dimension: each stream
     * row picks up the latest static row with the same key at-or-before
     * its event time (the ingest-time form of

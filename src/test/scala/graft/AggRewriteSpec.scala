@@ -745,4 +745,51 @@ class AggRewriteSpec extends AnyFunSuite {
         "an unguarded hash over a nullable column must refuse")
     } finally GraftAggViews.drop(base)
   }
+
+  test("agg rewrite: kmv sketch rolls up through an expression grain " +
+      "(day state serves monthly distinct users)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerKernels(spark)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_aggskg_base").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_aggskg_state").toString
+    // users recur across days and months, so the month rollup must
+    // DEDUP across the unioned day sketches, not sum their counts
+    val rows = (0 until 300).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-${1 + i % 3}%02d-${1 + i % 27}%02d 10:00:00"),
+        (i % 40).toLong)
+    }
+    rows.toDF("k", "ts", "u").write.mode("overwrite").parquet(base)
+    Materialize.aggregate(
+        spark.read.parquet(base).withColumn("day", date_trunc("DAY", $"ts")),
+        Seq("day"), Seq("u"), sketches = Seq("u" -> 2048))
+      .write.mode("overwrite").parquet(statePath)
+    GraftAggViews.register(base,
+      GraftAggViews.AggViewDef(statePath, Seq("day"), Seq("u"),
+        grainExprs = Map("day" -> "date_trunc('DAY', ts)"),
+        sketches = Map("u" -> 2048)))
+    val stateName = new java.io.File(statePath).getName
+    def baseline(df: => org.apache.spark.sql.DataFrame) = {
+      spark.conf.set(GraftAggViews.DisabledConf, "true")
+      try df.collect().map(_.toSeq).toSeq
+      finally spark.conf.unset(GraftAggViews.DisabledConf)
+    }
+    try {
+      def monQ = spark.read.parquet(base)
+        .groupBy(date_trunc("month", $"ts").as("m"))
+        .agg(call_function("kmv_sketch",
+          when($"u".isNotNull, xxhash64($"u")), lit(2048)).as("sk"))
+        .select($"m",
+          round(call_function("kmv_estimate", $"sk")).cast("long")
+            .as("du"))
+        .orderBy($"m")
+      assert(monQ.queryExecution.executedPlan.toString.contains(stateName),
+        "monthly sketch query must roll up the day-grain state:\n" +
+          monQ.queryExecution.executedPlan)
+      assert(monQ.collect().map(_.toSeq).toSeq == baseline(monQ),
+        "served monthly distinct must equal the fact-scan answer")
+    } finally GraftAggViews.drop(base)
+  }
 }

@@ -484,6 +484,53 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming image near-dup (fingerprint stream vs persisted " +
+      "bucket table) matches the batch incremental path") {
+    import graft.operators.{Dedup, Multimodal}
+    val all = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .limit(200)
+    val corpusDocs = all.where(col("doc_id") >= 100)
+    val deltaDocs = all.where(col("doc_id") < 100)
+    // corpus decoded ONCE into signatures, exploded into the persisted
+    // bucket artifact the stream probes
+    val corpusSig = Multimodal.imageHashes(
+      Multimodal.syntheticImages(corpusDocs)).localCheckpoint()
+    val buckets = Dedup.hammingBuckets64(corpusSig,
+      maxHamming = 6, cleanChunks = 2)
+    val mediaDir = java.nio.file.Files
+      .createTempDirectory("graft_media_nd").toString
+    Multimodal.syntheticImages(deltaDocs)
+      .write.mode("overwrite").parquet(mediaDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(mediaDir).schema).parquet(mediaDir)
+    // decode stays scan-local on the stream side too: the payload
+    // never reaches the join, only (id, 8-byte sig)
+    val q = EventStreams.hammingNearDupStream(
+        Multimodal.imageHashes(stream), buckets,
+        maxHamming = 6, cleanChunks = 2)
+      .writeStream.format("memory").queryName("img_nd_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql(
+          "SELECT DISTINCT id, corpus_id, dist FROM img_nd_out").collect()
+        .map(r => (math.min(r.getLong(0), r.getLong(1)),
+          math.max(r.getLong(0), r.getLong(1)), r.getInt(2))).toSet
+      // batch truth: the incremental path's CROSS pairs (the stream
+      // probes corpus buckets only, so delta-delta pairs are out of
+      // scope by design)
+      val batch = Multimodal.imageNearDupsIncremental(corpusSig,
+          Multimodal.syntheticImages(deltaDocs), maxHamming = 6)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .filter { case (a, b, _) => (a < 100) != (b < 100) }
+        .map { case (a, b, d) => (math.min(a, b), math.max(a, b), d) }
+        .toSet
+      assert(got == batch,
+        s"stream pairs must equal batch cross pairs: $got vs $batch")
+      assert(got.nonEmpty, "fixture should contain cross image near-dups")
+    } finally q.stop()
+  }
+
   test("streaming phrase filter matches the batch filter") {
     val docDir = java.nio.file.Files.createTempDirectory("graft_docs_pf")
     java.nio.file.Files.copy(

@@ -705,6 +705,35 @@ class PipelineSpec extends AnyFunSuite {
       s"image: inc ${imgInc.size} vs batch-delta " +
         s"${imgBatch.count(p => p._1 < 100 || p._2 < 100)}")
     assert(imgInc.nonEmpty, "fixture must plant delta-touching image dups")
+    // the index-served path (persisted bucket table, pushed key
+    // predicate) must give the identical pair set
+    val imgIdx = pairSet(Dedup.hammingNearDups64Indexed(
+      Dedup.hammingBuckets64(
+        Multimodal.imageHashes(Multimodal.syntheticImages(corpusDocs)),
+        maxHamming = 6, cleanChunks = 2),
+      Multimodal.imageHashes(Multimodal.syntheticImages(deltaDocs)),
+      maxHamming = 6, cleanChunks = 2))
+    assert(imgIdx === imgInc,
+      "indexed probe must equal the signature-table incremental path")
+    // pushdown pin: against a PERSISTED bucket table the delta's
+    // occupied-key predicate must reach the parquet scan (row-group
+    // pruning is the reason the indexed path is sub-linear)
+    val bdir = java.nio.file.Files
+      .createTempDirectory("graft_idx_push").toString
+    Dedup.hammingBuckets64(
+        Multimodal.imageHashes(Multimodal.syntheticImages(corpusDocs)),
+        maxHamming = 6, cleanChunks = 2)
+      .repartition(col("chunk_idx"))
+      .sortWithinPartitions("chunk_idx", "chunk")
+      .write.mode("overwrite").parquet(bdir)
+    val idxPlan = Dedup.hammingNearDups64Indexed(
+        spark.read.parquet(bdir),
+        Multimodal.imageHashes(Multimodal.syntheticImages(deltaDocs)),
+        maxHamming = 6, cleanChunks = 2)
+      .queryExecution.executedPlan.toString
+    assert(idxPlan.contains("PushedFilters: [Or(") ||
+      idxPlan.contains("PushedFilters: [And("),
+      s"delta bucket keys must push into the bucket-table scan:\n$idxPlan")
 
     val audBatch = pairSet(Multimodal.audioNearDups(
       Multimodal.syntheticAudio(docs), maxHamming = 6))
