@@ -56,6 +56,20 @@ import graft.sources.GraftCatalog
   * so it never overwrites an input it is reading (same policy as the
   * ANN index persistence) and past states remain queryable.
   *
+  * At scale, pass `buckets = B` to [[build]] for BUCKET-MANIFESTED
+  * state: groups route to `pmod(xxhash64(groupCols), B)` partition
+  * dirs, the meta carries a manifest (bucket → state dir), and each
+  * refresh reads + rewrites ONLY the buckets holding a delta- or
+  * expiry-touched group — the single-dir layout rewrites the WHOLE
+  * state (O(groups) write) on every refresh, which at a billion-group
+  * 100 TB MV dwarfs the delta-sized fold this class exists for.
+  * Untouched buckets keep their pinned dir (still
+  * flip-don't-overwrite: a reader of the previous meta sees a complete
+  * old state), and serving reads the manifest's leaf-dir union. Size B
+  * so a bucket is a few parquet row groups (e.g. a billion groups at
+  * B = 8192 → ~120k-group buckets); per-refresh cost is then
+  * O(delta + touched-groups × groups/B) independent of refresh count.
+  *
   * Scale: refresh cost is O(delta) + a state-sized merge join keyed on
   * the group columns + (only under retractions) a snapshot pass
   * filtered to affected groups — under a group-clustered layout
@@ -89,6 +103,66 @@ object Materialize {
     else meta.getSeq[String](meta.fieldIndex("sketch_cols"))
       .zip(meta.getSeq[Long](meta.fieldIndex("sketch_ks")).map(_.toInt))
 
+  private def bucketsOf(meta: org.apache.spark.sql.Row): Int =
+    if (!meta.schema.fieldNames.contains("state_buckets")) 0
+    else meta.getAs[Long]("state_buckets").toInt
+
+  private def bucketDirsOf(meta: org.apache.spark.sql.Row): Seq[String] =
+    if (!meta.schema.fieldNames.contains("bucket_dirs")) Seq.empty
+    else meta.getSeq[String](meta.fieldIndex("bucket_dirs"))
+
+  /** Deterministic group→bucket routing for bucket-manifested state:
+    * `pmod(xxhash64(groupCols), B)`. Floating group columns are
+    * canonicalized first (-0.0 → 0.0, one NaN bit pattern) — groupBy
+    * normalizes floats before hashing, so without this a group's
+    * rows could route to a different bucket than its state row. */
+  private def bucketCol(df: DataFrame, groupCols: Seq[String],
+      buckets: Int): Column = {
+    val normed = groupCols.map { c =>
+      df.schema(c).dataType match {
+        case FloatType => when(isnan(col(c)), lit(Float.NaN))
+          .otherwise(when(col(c) === lit(0f), lit(0f)).otherwise(col(c)))
+        case DoubleType => when(isnan(col(c)), lit(Double.NaN))
+          .otherwise(when(col(c) === lit(0d), lit(0d)).otherwise(col(c)))
+        case _ => col(c)
+      }
+    }
+    pmod(xxhash64(normed: _*), lit(buckets.toLong)).cast(IntegerType)
+  }
+
+  /** The bucket partition dirs actually present under a just-written
+    * bucketed state directory. */
+  private def presentBuckets(spark: SparkSession, dir: String)
+      : Set[Int] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("__b=") => n.drop(4).toInt }
+      .toSet
+  }
+
+  /** Current state leaf paths for a bucketed meta: one `__b=<i>` dir
+    * per non-empty bucket, each pinned to the state version that last
+    * rewrote it (the manifest) — multiple provided roots disable
+    * Spark's partition discovery, so the read yields exactly the data
+    * schema. Empty (no surviving bucket) falls back to the `_schema`
+    * slice every bucketed write leaves behind. */
+  private[graft] def statePathsOf(path: String,
+      meta: org.apache.spark.sql.Row): Seq[String] = {
+    val b = bucketsOf(meta)
+    if (b == 0) Seq(s"$path/${stateDir(meta)}")
+    else {
+      val leafs = bucketDirsOf(meta).zipWithIndex
+        .collect { case (d, i) if d.nonEmpty => s"$path/$d/__b=$i" }
+      if (leafs.nonEmpty) leafs
+      else Seq(s"$path/${stateDir(meta)}/_schema")
+    }
+  }
+
+  private def stateDf(spark: SparkSession, path: String,
+      meta: org.apache.spark.sql.Row): DataFrame =
+    spark.read.parquet(statePathsOf(path, meta): _*)
+
   /** Full build: aggregate the current snapshot, persist it, record the
     * change-log high-water mark the state covers and the wall-clock
     * refresh point (the TTL expiry low-water mark for the next
@@ -96,7 +170,8 @@ object Materialize {
   def build(cat: GraftCatalog, table: String, groupCols: Seq[String],
       measures: Seq[String], path: String,
       grainExprs: Seq[(String, String)] = Seq.empty,
-      sketches: Seq[(String, Int)] = Seq.empty): Long = {
+      sketches: Seq[(String, Int)] = Seq.empty,
+      buckets: Int = 0): Long = {
     val spark = cat.changeLog(table).sparkSession
     import spark.implicits._
     // sample the clock BEFORE constructing the snapshot: its TTL cutoff
@@ -125,19 +200,54 @@ object Materialize {
     require(grainExprs.map(_._1).forall(groupCols.contains),
       s"grain columns ${grainExprs.map(_._1)} must appear in " +
         s"groupCols $groupCols")
-    aggregate(withGrains(cat.snapshot(table), grainExprs),
-        groupCols, measures, sketches)
-      .write.mode(SaveMode.Overwrite).parquet(s"$path/$stateDirName")
-    Seq((v, groupCols, measures, ts, stateDirName,
-        cat.ttlSeconds(table).getOrElse(-1L),
-        grainExprs.map(_._1), grainExprs.map(_._2),
+    require(buckets >= 0, s"buckets must be >= 0, got $buckets")
+    require(buckets == 0 || !groupCols.contains("__b"),
+      "bucketed state reserves the __b column name")
+    val agg = aggregate(withGrains(cat.snapshot(table), grainExprs),
+      groupCols, measures, sketches)
+    val bucketDirs: Seq[String] =
+      if (buckets == 0) {
+        agg.write.mode(SaveMode.Overwrite).parquet(s"$path/$stateDirName")
+        Seq.empty
+      } else {
+        writeBucketed(agg, groupCols, buckets, s"$path/$stateDirName")
+        val present = presentBuckets(spark, s"$path/$stateDirName")
+        (0 until buckets).map(i =>
+          if (present.contains(i)) stateDirName else "")
+      }
+    writeMeta(spark, path, v, groupCols, measures, ts, stateDirName,
+      cat.ttlSeconds(table).getOrElse(-1L), grainExprs, sketches,
+      buckets, bucketDirs)
+    v
+  }
+
+  /** Bucketed state write: rows routed by [[bucketCol]] into `__b=<i>`
+    * partition dirs, plus an always-present empty `_schema` slice (the
+    * typed-schema anchor for reads when every bucket is empty —
+    * `limit(0)` folds to an empty relation, so the write is free). */
+  private def writeBucketed(df: DataFrame, groupCols: Seq[String],
+      buckets: Int, dir: String): Unit = {
+    df.withColumn("__b", bucketCol(df, groupCols, buckets))
+      .write.mode(SaveMode.Overwrite).partitionBy("__b").parquet(dir)
+    df.limit(0).write.mode(SaveMode.Overwrite).parquet(s"$dir/_schema")
+  }
+
+  private def writeMeta(spark: SparkSession, path: String, v: Long,
+      groupCols: Seq[String], measures: Seq[String], ts: Long,
+      stateDirName: String, ttl: Long, grains: Seq[(String, String)],
+      sketches: Seq[(String, Int)], buckets: Int,
+      bucketDirs: Seq[String]): Unit = {
+    import spark.implicits._
+    Seq((v, groupCols, measures, ts, stateDirName, ttl,
+        grains.map(_._1), grains.map(_._2),
         spark.conf.get("spark.sql.session.timeZone"),
-        sketches.map(_._1), sketches.map(_._2.toLong)))
+        sketches.map(_._1), sketches.map(_._2.toLong),
+        buckets.toLong, bucketDirs))
       .toDF("last_version", "group_cols", "measures", "refresh_ts",
         "state_dir", "ttl_at_refresh", "grain_cols", "grain_sqls",
-        "grain_tz", "sketch_cols", "sketch_ks")
+        "grain_tz", "sketch_cols", "sketch_ks",
+        "state_buckets", "bucket_dirs")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
-    v
   }
 
   /** The current state directory per the meta pointer. An expiry-only
@@ -149,10 +259,11 @@ object Materialize {
       meta.getAs[String]("state_dir")
     else s"state_v${meta.getLong(0)}"
 
-  /** The maintained aggregate as a DataFrame (current persisted state). */
+  /** The maintained aggregate as a DataFrame (current persisted state).
+    * Bucketed state reads the manifest's current leaf dir per bucket. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val m = spark.read.parquet(s"$path/meta").head()
-    spark.read.parquet(s"$path/${stateDir(m)}")
+    stateDf(spark, path, m)
   }
 
   /** Fold writes since the last refresh into the persisted state.
@@ -232,7 +343,8 @@ object Materialize {
       (!meta.schema.fieldNames.contains("grain_tz") ||
         meta.getAs[String]("grain_tz") != sessionTz)
     if (minV > lastV || !hasRefreshTs || ttlChanged || grainTzChanged)
-      return build(cat, table, groupCols, measures, path, grains, sketches)
+      return build(cat, table, groupCols, measures, path, grains,
+        sketches, bucketsOf(meta))
     val lastRefreshMs = meta.getAs[Long]("refresh_ts")
     // alive-at-now cutoff for post images; None ⇒ no expiry
     val nowCut = ttl.map(t => new java.sql.Timestamp(nowMs - t * 1000L))
@@ -251,8 +363,10 @@ object Materialize {
     val aliveNow: Column = nowCut
       .map(c => col("_ts").isNull || col("_ts") >= lit(c))
       .getOrElse(lit(true))
-    val state = spark.read.parquet(s"$path/${stateDir(meta)}")
-    val stT: String => DataType = c => state.schema(c).dataType
+    // full-manifest read: the legacy fold input, and (bucketed) the
+    // typed-schema source — the fold itself slices to touched buckets
+    val stateAll = stateDf(spark, path, meta)
+    val stT: String => DataType = c => stateAll.schema(c).dataType
 
     val s = cat.spec(table)
     val fields = s.schema.fieldNames.toSeq
@@ -304,6 +418,44 @@ object Materialize {
     }
     val retracted = withGrains(
       expVals.foldLeft(preVals)(_ unionByName _), grains)
+
+    // ---- bucket-manifested state: slice the fold to touched buckets ----
+    // Only a bucket holding a delta-inserted or retraction/expiry group
+    // can change, so the merge fold reads — and the write below
+    // rewrites — exactly those `__b=` partitions; every other bucket's
+    // file is untouched and stays pinned in the manifest. Per-refresh
+    // cost is O(delta + touched-buckets × bucket-size) instead of
+    // O(groups): size `buckets` so a bucket is a few row groups and a
+    // small delta against a billion-group state rewrites megabytes.
+    // The delta subplans are consumed twice in this mode (the bucket
+    // probe + the fold) — both delta-sized, so they ride a persist.
+    val buckets = bucketsOf(meta)
+    if (buckets > 0) {
+      changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      retracted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    val touched: Option[Set[Int]] =
+      if (buckets == 0) None
+      else {
+        val tg = withGrains(changes.where(!col("_deleted") && aliveNow)
+            .select(fields.map(col): _*), grains)
+          .select(groupCols.map(col): _*)
+          .unionByName(retracted.select(groupCols.map(col): _*))
+        Some(tg.select(bucketCol(tg, groupCols, buckets).as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSet)
+      }
+    LastRefresh.bucketsTouched = touched.map(_.size).getOrElse(-1)
+    LastRefresh.bucketsTotal = buckets
+    val state = touched match {
+      case None => stateAll
+      case Some(tb) =>
+        val dirs = bucketDirsOf(meta)
+        val paths = tb.toSeq.sorted.collect {
+          case i if dirs(i).nonEmpty => s"$path/${dirs(i)}/__b=$i" }
+        if (paths.isEmpty)
+          spark.read.parquet(s"$path/${stateDir(meta)}/_schema")
+        else spark.read.parquet(paths: _*)
+    }
 
     // ---- union-merge (not joins: NULL group values merge correctly) ----
     // Each branch carries the full internal column set; measure-typed
@@ -437,17 +589,30 @@ object Materialize {
     // being read
     val nd =
       if (newV > lastV) s"state_v$newV" else s"state_v${newV}e$nowMs"
-    out.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
+    if (buckets == 0)
+      out.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
+    else writeBucketed(out, groupCols, buckets, s"$path/$nd")
     nd
-    } finally merged.unpersist()
-    import spark.implicits._
-    Seq((newV, groupCols, measures, nowMs, newDir,
-        ttl.getOrElse(-1L), grains.map(_._1), grains.map(_._2),
-        sessionTz, sketches.map(_._1), sketches.map(_._2.toLong)))
-      .toDF("last_version", "group_cols", "measures", "refresh_ts",
-        "state_dir", "ttl_at_refresh", "grain_cols", "grain_sqls",
-        "grain_tz", "sketch_cols", "sketch_ks")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    } finally {
+      merged.unpersist()
+      if (buckets > 0) { changes.unpersist(); retracted.unpersist() }
+    }
+    // manifest flip: touched buckets point at the new dir (or vanish if
+    // emptied), untouched buckets keep their pinned dir — readers of the
+    // PREVIOUS meta still see a complete, consistent old state
+    val newBucketDirs: Seq[String] =
+      if (buckets == 0) Seq.empty
+      else {
+        val present = presentBuckets(spark, s"$path/$newDir")
+        val old = bucketDirsOf(meta)
+        (0 until buckets).map { i =>
+          if (touched.exists(_.contains(i)))
+            (if (present.contains(i)) newDir else "")
+          else old(i)
+        }
+      }
+    writeMeta(spark, path, newV, groupCols, measures, nowMs, newDir,
+      ttl.getOrElse(-1L), grains, sketches, buckets, newBucketDirs)
     newV
   }
 
@@ -509,6 +674,10 @@ object Materialize {
   private[graft] object LastRefresh {
     @volatile var affectedGroups: Long = -1L
     @volatile var recomputeRan: Boolean = false
+    /** Bucketed refreshes only: how many `__b=` partitions this refresh
+      * read + rewrote (-1 = legacy single-dir state), of how many. */
+    @volatile var bucketsTouched: Int = -1
+    @volatile var bucketsTotal: Int = -1
   }
 
   /** Affected-group recompute, PRUNED to affected-PK history: instead of

@@ -179,7 +179,7 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * when one exists (MV-root registration); a concrete state dir is
     * used as-is. Any read failure refuses the rewrite — planning must
     * never crash on a stale registration. */
-  private def resolveState(p: String): Option[String] = scala.util.Try {
+  private def resolveState(p: String): Option[Seq[String]] = scala.util.Try {
     // probe through the Hadoop FileSystem of the PATH's scheme, not
     // java.io.File — an MV root on hdfs:///s3a:// (or spelled file:///)
     // is invisible to the local-FS File API, which silently degraded
@@ -187,10 +187,13 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // rewrite forever
     val meta = new org.apache.hadoop.fs.Path(p, "meta")
     val fs = meta.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(meta)) p
+    if (!fs.exists(meta)) Seq(p)
     else {
       val m = spark.read.parquet(meta.toString).head()
-      s"$p/${graft.operators.Materialize.stateDir(m)}"
+      // one dir (legacy) or the manifest's per-bucket leaf dirs
+      // (bucket-manifested state — refresh rewrites only touched
+      // buckets, so the current state is the union of pinned leafs)
+      graft.operators.Materialize.statePathsOf(p, m)
     }
   }.toOption
 
@@ -519,8 +522,8 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // a registered MV ROOT resolves to its current state_v dir through
     // the meta pointer — refresh rotates directories, and serving a
     // stale pinned dir would return pre-refresh aggregates forever
-    val statePath = resolveState(view.statePath).getOrElse(return None)
-    val state = scala.util.Try(spark.read.parquet(statePath)
+    val statePaths = resolveState(view.statePath).getOrElse(return None)
+    val state = scala.util.Try(spark.read.parquet(statePaths: _*)
       .queryExecution.analyzed).getOrElse(return None)
     val stateAttr: Map[String, Attribute] =
       state.output.map(a => a.name -> a).toMap

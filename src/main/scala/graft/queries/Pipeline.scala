@@ -702,6 +702,44 @@ object Pipeline {
         .orderBy($"source")
     },
 
+    // BUCKET-MANIFESTED IVM state under the hard oracle: same
+    // end-to-end lifecycle, but the state is hash-bucketed (B = 32)
+    // and each refresh rewrites ONLY the buckets holding touched
+    // groups — the 100-TB layout, where a single-dir state would pay
+    // an O(groups) rewrite per delta. The query body PINS the partial
+    // rewrite (throws unless the refresh touched a strict subset of
+    // the manifest), so a green row proves the bucket slice both ran
+    // and landed exactly.
+    "q_ivm_bucketed" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val wh = ivmWarehouse(dir)
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      cat.createTable("db", StructType(Seq(
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("n_chars", LongType))), pk = Seq("doc_id"))
+      val docs = Tables.t(s, dir, "documents")
+        .select($"doc_id", $"source", $"n_chars")
+      cat.upsert("db", docs.where($"doc_id" < 250))
+      val mv = wh + "/mvb"
+      graft.operators.Materialize.build(cat, "db",
+        Seq("source"), Seq("n_chars"), mv, buckets = 32)
+      cat.upsert("db", docs.where($"doc_id" >= 250 && $"doc_id" < 330))
+      cat.upsert("db", docs.where($"doc_id" < 30)
+        .withColumn("n_chars", $"n_chars" + 11))
+      cat.delete("db", $"source" === "src2")
+      graft.operators.Materialize.refresh(cat, "db", mv)
+      val lr = graft.operators.Materialize.LastRefresh
+      require(lr.bucketsTotal == 32 && lr.bucketsTouched > 0 &&
+        lr.bucketsTouched < 32,
+        s"refresh must rewrite a strict subset of the manifest, " +
+          s"touched ${lr.bucketsTouched}/${lr.bucketsTotal}")
+      graft.operators.Materialize.read(s, mv)
+        .select($"source", $"cnt", $"sum_n_chars",
+          $"min_n_chars", $"max_n_chars")
+        .orderBy($"source")
+    },
+
     // The MV-selection rewrite UNDER THE HARD ORACLE: persist a fact
     // table, build the typed aggregate state, register it, and run a
     // plain fact-table aggregate — AggRewriteRule must swap the scan
@@ -2284,6 +2322,19 @@ object Pipeline {
         min(n_chars) AS min_n_chars,
         max(n_chars) AS max_n_chars
       FROM final WHERE source <> 'src1'
+      GROUP BY source ORDER BY source""",
+
+    "q_ivm_bucketed" -> """
+      WITH final AS (
+        SELECT doc_id, source,
+          CASE WHEN doc_id < 30 THEN n_chars + 11 ELSE n_chars END
+            AS n_chars
+        FROM documents WHERE doc_id < 330)
+      SELECT source, count(*) AS cnt,
+        CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+        min(n_chars) AS min_n_chars,
+        max(n_chars) AS max_n_chars
+      FROM final WHERE source <> 'src2'
       GROUP BY source ORDER BY source""",
 
     "q_mv_rewrite" -> """

@@ -197,6 +197,44 @@ class AggRewriteSpec extends AnyFunSuite {
     } finally GraftAggViews.drop(base)
   }
 
+  test("agg rewrite: a BUCKET-MANIFESTED MV root serves through the " +
+      "manifest's leaf dirs across partial refreshes") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_broot").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createTable("fb", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.upsert("fb", Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("k", "g", "x"))
+    val mvRoot = s"$wh/mv"
+    Materialize.build(cat, "fb", Seq("g"), Seq("x"), mvRoot, buckets = 16)
+    val base = s"$wh/fact_export_b"
+    cat.snapshot("fb").write.mode("overwrite").parquet(base)
+    GraftAggViews.register(base,
+      GraftAggViews.AggViewDef(mvRoot, Seq("g"), Seq("x")))
+    try {
+      def q = spark.read.parquet(base).groupBy($"g")
+        .agg(sum($"x").as("sx")).orderBy($"g")
+      assert(q.queryExecution.executedPlan.toString.contains("__b="),
+        "bucketed root must resolve to the manifest's leaf dirs:\n" +
+          q.queryExecution.executedPlan)
+      assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("a" -> 10L, "b" -> 20L))
+      // a delta touching only 'a' rewrites only its bucket; the SAME
+      // registration must serve the MIXED state — the new dir's 'a'
+      // bucket plus the original dir's untouched 'b' bucket
+      cat.upsert("fb", Seq((3L, "a", 5L)).toDF("k", "g", "x"))
+      Materialize.refresh(cat, "fb", mvRoot)
+      cat.snapshot("fb").write.mode("overwrite").parquet(base)
+      assert(q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("a" -> 15L, "b" -> 20L),
+        "a partially-rewritten manifest must serve the merged state")
+    } finally GraftAggViews.drop(base)
+  }
+
   test("agg rewrite: decimal sums serve exactly; decimal avg refuses") {
     import spark.implicits._
     val base = java.nio.file.Files

@@ -784,6 +784,177 @@ class CatalogSpec extends AnyFunSuite {
     assert(actual == expected, s"post-compaction refresh diverged: $actual")
   }
 
+  test("bucket-manifested state: refresh reads and rewrites only " +
+      "touched buckets, exactly") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val cat = freshCatalog()
+    cat.createTable("mb", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.upsert("mb", Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L))
+      .toDF("k", "g", "x"))
+    val B = 16
+    def bucketOf(g: String): Int = spark.range(1)
+      .select(pmod(xxhash64(lit(g)), lit(B.toLong)).cast("int"))
+      .head.getInt(0)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivm_b").toString
+    def expected = Materialize
+      .aggregate(cat.snapshot("mb"), Seq("g"), Seq("x"))
+      .collect().map(_.toSeq).toSet
+    def actual = Materialize.read(spark, path)
+      .collect().map(_.toSeq).toSet
+    def manifest: Seq[String] = {
+      val m = spark.read.parquet(s"$path/meta").head()
+      m.getSeq[String](m.fieldIndex("bucket_dirs"))
+    }
+    def partsOf(dir: String): Set[Int] =
+      new java.io.File(s"$path/$dir").listFiles().toSeq
+        .map(_.getName).collect {
+          case n if n.startsWith("__b=") => n.drop(4).toInt }.toSet
+    Materialize.build(cat, "mb", Seq("g"), Seq("x"), path, buckets = B)
+    assert(actual == expected)
+    assert(manifest.count(_.nonEmpty) ==
+      Set(bucketOf("a"), bucketOf("b")).size)
+    val dirA0 = manifest(bucketOf("a"))
+    // insert-only delta into groups b and c: only their buckets change
+    cat.upsert("mb", Seq((4L, "b", 5L), (5L, "c", 7L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat, "mb", path)
+    assert(actual == expected)
+    val tb = Set(bucketOf("b"), bucketOf("c"))
+    assert(Materialize.LastRefresh.bucketsTouched == tb.size &&
+      Materialize.LastRefresh.bucketsTotal == B,
+      s"refresh must touch exactly ${tb.size} of $B buckets, " +
+        s"got ${Materialize.LastRefresh.bucketsTouched}")
+    // the new state dir holds EXACTLY the touched bucket partitions —
+    // the on-disk witness that untouched buckets were not rewritten
+    assert(partsOf(manifest(bucketOf("b"))) == tb,
+      s"new dir must contain only touched buckets $tb")
+    if (!tb.contains(bucketOf("a")))
+      assert(manifest(bucketOf("a")) == dirA0,
+        "an untouched bucket must keep its pinned dir")
+    // retraction churn: 'a' loses its min (extremum recompute), 'b'
+    // loses a row — both fold through the bucket SLICE, not the state
+    cat.upsert("mb", Seq((1L, "a", 99L)).toDF("k", "g", "x"))
+    cat.delete("mb", col("k") === 3L)
+    Materialize.refresh(cat, "mb", path)
+    assert(actual == expected,
+      s"bucketed churn diverged: $actual vs $expected")
+    // empty a whole group: its bucket vanishes from the manifest
+    cat.delete("mb", col("g") === "c")
+    Materialize.refresh(cat, "mb", path)
+    assert(actual == expected)
+    if (!Set(bucketOf("a"), bucketOf("b")).contains(bucketOf("c")))
+      assert(manifest(bucketOf("c")).isEmpty,
+        "an emptied bucket must vanish from the manifest")
+    // NULL group key routes deterministically and retracts in place
+    cat.upsert("mb", Seq((10L, null.asInstanceOf[String], 5L))
+      .toDF("k", "g", "x"))
+    Materialize.refresh(cat, "mb", path)
+    assert(actual == expected)
+    cat.upsert("mb", Seq((10L, null.asInstanceOf[String], 8L))
+      .toDF("k", "g", "x"))
+    Materialize.refresh(cat, "mb", path)
+    assert(actual == expected,
+      s"NULL-group retraction diverged (bucketed): $actual")
+    // compaction forces a rebuild — which must KEEP the bucket layout
+    cat.compact("mb")
+    cat.upsert("mb", Seq((12L, "d", 3L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat, "mb", path)
+    assert(actual == expected,
+      s"post-compaction bucketed refresh diverged: $actual")
+    val m2 = spark.read.parquet(s"$path/meta").head()
+    assert(m2.getAs[Long]("state_buckets") == B.toLong,
+      "rebuild must preserve the bucket layout")
+  }
+
+  test("bucket-manifested state: TTL expiry retracts through the " +
+      "touched-bucket slice only") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_ttlmvb").toString
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("eb", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"),
+      props = Map("TTL" -> "60"))
+    val B = 16
+    def bucketOf(g: String): Int = spark.range(1)
+      .select(pmod(xxhash64(lit(g)), lit(B.toLong)).cast("int"))
+      .head.getInt(0)
+    // distinct buckets required for the touched-set assertion to bite
+    assume(bucketOf("exp") != bucketOf("g0"))
+    val t0 = System.currentTimeMillis()
+    cat.clock = () => t0 - 50000L // alive at build, expired at refresh
+    cat.upsert("eb", Seq((3L, "exp", 7L)).toDF("k", "g", "x"))
+    cat.clock = () => t0 - 5000L
+    cat.upsert("eb", Seq((1L, "g0", 100L), (2L, "g0", 50L))
+      .toDF("k", "g", "x"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivm_bttl").toString
+    cat.clock = () => t0 - 4000L
+    Materialize.build(cat, "eb", Seq("g"), Seq("x"), path, buckets = B)
+    // advance past 'exp''s expiry (t0-50s + 60s = t0+10s)
+    cat.clock = () => t0 + 20000L
+    Materialize.refresh(cat, "eb", path)
+    val got = Materialize.read(spark, path)
+      .select(col("g"), col("cnt")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("g0", 2L)),
+      s"expired group must retract from the bucketed state: $got")
+    // the expiry-only refresh touched ONLY the expired group's bucket
+    assert(Materialize.LastRefresh.bucketsTouched == 1 &&
+      Materialize.LastRefresh.bucketsTotal == B,
+      s"expiry must touch 1 bucket, got " +
+        s"${Materialize.LastRefresh.bucketsTouched}")
+  }
+
+  test("bucket-manifested state with grain + sketch measures equals " +
+      "a full rebuild") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    graft.functions.GraftFunctions.registerKernels(spark)
+    val cat = freshCatalog()
+    cat.createTable("gsb", StructType(Seq(
+      StructField("k", LongType), StructField("ts", TimestampType),
+      StructField("u", LongType))), pk = Seq("k"))
+    def rows(lo: Int, hi: Int) = (lo until hi).map { i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-01-${1 + i % 9}%02d 10:00:00"), (i % 25).toLong)
+    }.toDF("k", "ts", "u")
+    cat.upsert("gsb", rows(0, 300))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivm_bgs").toString
+    val grains = Seq("day" -> "date_trunc('DAY', ts)")
+    val sketches = Seq("u" -> 2048)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq.map {
+        case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+        case v => v
+      }).toSet
+    def expected = norm(Materialize.aggregate(
+      cat.snapshot("gsb").withColumn("day", expr("date_trunc('DAY', ts)")),
+      Seq("day"), Seq("u"), sketches))
+    def actual = norm(Materialize.read(spark, path))
+    Materialize.build(cat, "gsb", Seq("day"), Seq("u"), path,
+      grainExprs = grains, sketches = sketches, buckets = 8)
+    assert(actual == expected)
+    // insert-only: sketch union fold, byte-identical to the rebuild
+    cat.upsert("gsb", rows(300, 400))
+    Materialize.refresh(cat, "gsb", path)
+    assert(actual == expected,
+      "bucketed insert-only sketch fold must equal the rebuild")
+    // retraction (update moves a row across days): sketch groups take
+    // the pruned recompute — still equal, still through the slice
+    cat.upsert("gsb", Seq((5L, java.sql.Timestamp.valueOf(
+      "2024-01-09 10:00:00"), 99L)).toDF("k", "ts", "u"))
+    Materialize.refresh(cat, "gsb", path)
+    assert(actual == expected,
+      "bucketed cross-grain sketch retraction must equal the rebuild")
+  }
+
   test("IVM pre-image window reads only delta-touched PKs, " +
       "not the full change log") {
     import spark.implicits._
