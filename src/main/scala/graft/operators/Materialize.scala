@@ -236,11 +236,11 @@ object Materialize {
       groupCols: Seq[String], measures: Seq[String], ts: Long,
       stateDirName: String, ttl: Long, grains: Seq[(String, String)],
       sketches: Seq[(String, Int)], buckets: Int,
-      bucketDirs: Seq[String]): Unit = {
+      bucketDirs: Seq[String], grainTz: Option[String] = None): Unit = {
     import spark.implicits._
     Seq((v, groupCols, measures, ts, stateDirName, ttl,
         grains.map(_._1), grains.map(_._2),
-        spark.conf.get("spark.sql.session.timeZone"),
+        grainTz.getOrElse(spark.conf.get("spark.sql.session.timeZone")),
         sketches.map(_._1), sketches.map(_._2.toLong),
         buckets.toLong, bucketDirs))
       .toDF("last_version", "group_cols", "measures", "refresh_ts",
@@ -264,6 +264,71 @@ object Materialize {
   def read(spark: SparkSession, path: String): DataFrame = {
     val m = spark.read.parquet(s"$path/meta").head()
     stateDf(spark, path, m)
+  }
+
+  /** Rewrite the CURRENT state into one fresh directory and drop every
+    * state directory the new meta no longer references. Each refresh
+    * leaves a new dir (bucketed manifests deliberately pin untouched
+    * buckets in OLDER dirs), so a long-maintained MV accumulates one
+    * dir per refresh: reads list more and more roots and dead dirs
+    * hold reclaimable bytes. This is an O(state) rewrite — state-sized,
+    * never base-table-sized — that resets the manifest to a single dir;
+    * the fold algebra, version mark and TTL window carry over exactly,
+    * so the next refresh is an ordinary incremental one. Same caller
+    * contract as [[GraftCatalog.compact]]: run it when no reader of a
+    * PAST state remains (the current state stays readable throughout —
+    * the new dir is written before the meta flips, and the old dirs
+    * are only deleted after).
+    * @return bytes reclaimed by [[vacuum]] */
+  def compactState(spark: SparkSession, path: String): Long = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val buckets = bucketsOf(meta)
+    val groupCols = meta.getSeq[String](1)
+    val cur = stateDf(spark, path, meta)
+    // never a live dir name: refresh dirs are state_v<n>[e<ms>]
+    val nd = s"${stateDir(meta)}c${System.nanoTime()}"
+    val bucketDirs: Seq[String] =
+      if (buckets == 0) {
+        cur.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
+        Seq.empty
+      } else {
+        writeBucketed(cur, groupCols, buckets, s"$path/$nd")
+        val present = presentBuckets(spark, s"$path/$nd")
+        (0 until buckets).map(i => if (present.contains(i)) nd else "")
+      }
+    val f = meta.schema.fieldNames.toSet
+    writeMeta(spark, path, meta.getLong(0), groupCols,
+      meta.getSeq[String](2),
+      if (f.contains("refresh_ts")) meta.getAs[Long]("refresh_ts") else 0L,
+      nd,
+      if (f.contains("ttl_at_refresh")) meta.getAs[Long]("ttl_at_refresh")
+      else -1L,
+      grainsOf(meta), sketchesOf(meta), buckets, bucketDirs,
+      grainTz = if (f.contains("grain_tz"))
+        Some(meta.getAs[String]("grain_tz")) else None)
+    vacuum(spark, path)
+  }
+
+  /** Delete every `state_v*` directory the CURRENT meta does not
+    * reference (neither as the state dir nor through the bucket
+    * manifest). Safe against the live state by construction; unsafe
+    * only for a reader deliberately pinned to a PAST state dir.
+    * @return bytes reclaimed */
+  def vacuum(spark: SparkSession, path: String): Long = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val referenced: Set[String] =
+      bucketDirsOf(meta).filter(_.nonEmpty).toSet + stateDir(meta)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory &&
+        s.getPath.getName.startsWith("state_v") &&
+        !referenced.contains(s.getPath.getName))
+      .map { s =>
+        val bytes = fs.getContentSummary(s.getPath).getLength
+        fs.delete(s.getPath, true)
+        bytes
+      }.sum
   }
 
   /** Fold writes since the last refresh into the persisted state.

@@ -315,6 +315,35 @@ object EventStreams {
       .select(col("id"), col("corpus_id"), col("jac"))
   }
 
+  /** Maintain a [[graft.operators.Materialize]] aggregate FROM A
+    * STREAM: each micro-batch upserts into the catalog table and folds
+    * the delta into the persisted state — the ingest-time form of the
+    * IVM loop the batch entries pin, and the 100-TB dashboard shape
+    * when the state is bucket-manifested (`build(..., buckets = B)`:
+    * per-batch write cost is touched-buckets-sized) and/or
+    * sketch-valued (`sketches = col -> k`: distinct counts serve from
+    * KBs of state). Build the state FIRST; this attaches the
+    * maintenance loop — set trigger/checkpoint on the returned writer
+    * and `.start()`.
+    *
+    * Exactly-once: upsert + refresh are two non-atomic writes, but the
+    * pair is self-healing — a crash between them is absorbed by the
+    * next refresh (the high-water mark makes refresh idempotent over
+    * unfolded versions), and a REPLAYED micro-batch re-upserts the
+    * same rows under a new version, which the refresh folds as
+    * value-identical updates (pre-image retraction + identical post:
+    * a no-op per group). Single maintainer per MV path, same as
+    * [[graft.operators.Materialize.refresh]]. */
+  def maintainAggregate(stream: DataFrame,
+      cat: graft.sources.GraftCatalog, table: String, mvPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      cat.upsert(table, b)
+      graft.operators.Materialize.refresh(cat, table, mvPath)
+      ()
+    }
+
   /** Streaming 64-bit-fingerprint near-dup matches against a PERSISTED
     * corpus bucket table ([[graft.operators.Dedup.hammingBuckets64]] —
     * build once from the corpus's signatures, e.g.

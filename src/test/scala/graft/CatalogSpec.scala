@@ -869,6 +869,115 @@ class CatalogSpec extends AnyFunSuite {
       "rebuild must preserve the bucket layout")
   }
 
+  test("maintainAggregate: a stream maintains a bucketed, " +
+      "sketch-valued MV exactly, batch by batch") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    graft.functions.GraftFunctions.registerKernels(spark)
+    val cat = freshCatalog()
+    cat.createTable("sm", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("u", LongType))), pk = Seq("k"))
+    cat.upsert("sm", Seq((1L, "a", 10L), (2L, "a", 11L), (3L, "b", 10L))
+      .toDF("k", "g", "u"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivm_stream").toString
+    Materialize.build(cat, "sm", Seq("g"), Seq("u"), path,
+      sketches = Seq("u" -> 4096), buckets = 8)
+    // three micro-batch files: inserts, a retracting update, a new group
+    val in = java.nio.file.Files
+      .createTempDirectory("graft_ivm_streamin").toString
+    Seq((4L, "a", 12L), (5L, "b", 13L)).toDF("k", "g", "u")
+      .coalesce(1).write.parquet(s"$in/b0")
+    Seq((1L, "a", 77L)).toDF("k", "g", "u")
+      .coalesce(1).write.parquet(s"$in/b1")
+    Seq((6L, "c", 10L)).toDF("k", "g", "u")
+      .coalesce(1).write.parquet(s"$in/b2")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("k", LongType),
+        StructField("g", StringType), StructField("u", LongType))))
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+    val q = EventStreams.maintainAggregate(stream, cat, "sm", path)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def served = Materialize.read(spark, path)
+      .select(col("g"), col("cnt"), col("sum_u"),
+        round(call_function("kmv_estimate", col("kmv_u"))).cast("long")
+          .as("du"))
+      .collect().map(_.toSeq).toSet
+    val truth = cat.snapshot("sm").groupBy(col("g"))
+      .agg(count(lit(1)).as("cnt"), sum(col("u")).as("sum_u"),
+        countDistinct(col("u")).as("du"))
+      .collect().map(_.toSeq).toSet
+    assert(served == truth,
+      s"stream-maintained MV diverged: $served vs $truth")
+  }
+
+  test("state compaction + vacuum: one dir serves all buckets, dead " +
+      "dirs reclaimed, incremental refresh continues") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val cat = freshCatalog()
+    cat.createTable("mc", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.upsert("mc", Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "g", "x"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivm_vac").toString
+    def expected = Materialize
+      .aggregate(cat.snapshot("mc"), Seq("g"), Seq("x"))
+      .collect().map(_.toSeq).toSet
+    def actual = Materialize.read(spark, path)
+      .collect().map(_.toSeq).toSet
+    def stateDirs: Set[String] =
+      new java.io.File(path).listFiles().toSeq.map(_.getName)
+        .filter(_.startsWith("state_v")).toSet
+    Materialize.build(cat, "mc", Seq("g"), Seq("x"), path, buckets = 8)
+    // three refreshes scatter current buckets across several dirs
+    cat.upsert("mc", Seq((4L, "a", 5L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat, "mc", path)
+    cat.upsert("mc", Seq((5L, "b", 7L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat, "mc", path)
+    cat.upsert("mc", Seq((6L, "d", 9L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat, "mc", path)
+    assert(stateDirs.size >= 3, s"refreshes should leave dirs: $stateDirs")
+    assert(actual == expected)
+    val reclaimed = Materialize.compactState(spark, path)
+    assert(reclaimed > 0L, "vacuum must reclaim the dead dirs' bytes")
+    assert(stateDirs.size == 1,
+      s"compaction must leave exactly one state dir: $stateDirs")
+    assert(actual == expected, "compacted state must serve unchanged")
+    val m = spark.read.parquet(s"$path/meta").head()
+    val dirs = m.getSeq[String](m.fieldIndex("bucket_dirs"))
+    assert(dirs.filter(_.nonEmpty).distinct.size == 1,
+      s"manifest must point at the single compacted dir: $dirs")
+    // the version mark carried over: the next refresh is incremental
+    cat.upsert("mc", Seq((1L, "a", 99L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat, "mc", path)
+    assert(actual == expected,
+      "post-compaction incremental refresh must stay exact")
+    assert(Materialize.LastRefresh.bucketsTouched == 1,
+      "post-compaction refresh must still slice to touched buckets")
+    // legacy (single-dir) layout: compaction + vacuum also reclaims
+    val cat2 = freshCatalog()
+    cat2.createTable("ml", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat2.upsert("ml", Seq((1L, "a", 10L)).toDF("k", "g", "x"))
+    val path2 = java.nio.file.Files
+      .createTempDirectory("graft_ivm_vac2").toString
+    Materialize.build(cat2, "ml", Seq("g"), Seq("x"), path2)
+    cat2.upsert("ml", Seq((2L, "b", 20L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat2, "ml", path2)
+    assert(Materialize.compactState(spark, path2) > 0L)
+    val got2 = Materialize.read(spark, path2)
+      .collect().map(_.toSeq).toSet
+    assert(got2 == Materialize
+      .aggregate(cat2.snapshot("ml"), Seq("g"), Seq("x"))
+      .collect().map(_.toSeq).toSet)
+  }
+
   test("bucket-manifested state: TTL expiry retracts through the " +
       "touched-bucket slice only") {
     import spark.implicits._
