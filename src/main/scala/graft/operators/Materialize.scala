@@ -91,6 +91,32 @@ object Materialize {
       grains: Seq[(String, String)]): DataFrame =
     grains.foldLeft(df) { case (d, (c, sql)) => d.withColumn(c, expr(sql)) }
 
+  /** The `derive` STAR-SCHEMA enrichment hook (this value = identity,
+    * no enrichment): every row the fold algebra touches —
+    * the snapshot build, the delta's post rows, the retraction
+    * pre-images, the expiry slice, the affected-group recompute — is
+    * routed through `derive` BEFORE grains are added and groups/
+    * measures are read, so an MV can group by (or measure) DIMENSION
+    * attributes: `derive = _.join(broadcast(dim), fk, "left")`.
+    *
+    * Contract (the caller's side of the exactness guarantee):
+    *  - ROW-PRESERVING 1:1 — no filtering, no multiplication (use a
+    *    LEFT join against a unique-keyed dim; a missing dim row groups
+    *    under NULL attributes rather than silently dropping facts);
+    *  - DETERMINISTIC and STABLE across build and every refresh — the
+    *    retraction algebra reconstructs a pre-image row and must land
+    *    it in the SAME group the original insert folded into, so a
+    *    CHANGED dimension requires a rebuild ([[build]] again), exactly
+    *    like ALTER SET TTL. Slowly-changing dims at 100 TB: version the
+    *    dim and join the version the MV was built against;
+    *  - must PRESERVE input columns (it may add, not drop/rename).
+    *
+    * A function cannot ride the meta pointer, so `derive` is an API
+    * argument the caller passes to BOTH build and refresh; forgetting
+    * it fails loudly at plan time (the persisted groupCols reference
+    * columns the underived rows don't have). */
+  val NoDerive: DataFrame => DataFrame = identity
+
   private def grainsOf(meta: org.apache.spark.sql.Row)
       : Seq[(String, String)] =
     if (!meta.schema.fieldNames.contains("grain_cols")) Seq.empty
@@ -171,7 +197,8 @@ object Materialize {
       measures: Seq[String], path: String,
       grainExprs: Seq[(String, String)] = Seq.empty,
       sketches: Seq[(String, Int)] = Seq.empty,
-      buckets: Int = 0): Long = {
+      buckets: Int = 0,
+      derive: DataFrame => DataFrame = NoDerive): Long = {
     val spark = cat.changeLog(table).sparkSession
     import spark.implicits._
     // sample the clock BEFORE constructing the snapshot: its TTL cutoff
@@ -203,7 +230,8 @@ object Materialize {
     require(buckets >= 0, s"buckets must be >= 0, got $buckets")
     require(buckets == 0 || !groupCols.contains("__b"),
       "bucketed state reserves the __b column name")
-    val agg = aggregate(withGrains(cat.snapshot(table), grainExprs),
+    val agg = aggregate(
+      withGrains(derive(cat.snapshot(table)), grainExprs),
       groupCols, measures, sketches)
     val bucketDirs: Seq[String] =
       if (buckets == 0) {
@@ -355,7 +383,8 @@ object Materialize {
     * sample and the affected-group snapshot read land on whichever
     * side the snapshot's own cutoff picks — any refresh-based MV has
     * this boundary, it just has to pick one. */
-  def refresh(cat: GraftCatalog, table: String, path: String): Long = {
+  def refresh(cat: GraftCatalog, table: String, path: String,
+      derive: DataFrame => DataFrame = NoDerive): Long = {
     val spark = cat.changeLog(table).sparkSession
     val meta = spark.read.parquet(s"$path/meta").head()
     val lastV = meta.getLong(0)
@@ -409,7 +438,7 @@ object Materialize {
         meta.getAs[String]("grain_tz") != sessionTz)
     if (minV > lastV || !hasRefreshTs || ttlChanged || grainTzChanged)
       return build(cat, table, groupCols, measures, path, grains,
-        sketches, bucketsOf(meta))
+        sketches, bucketsOf(meta), derive)
     val lastRefreshMs = meta.getAs[Long]("refresh_ts")
     // alive-at-now cutoff for post images; None ⇒ no expiry
     val nowCut = ttl.map(t => new java.sql.Timestamp(nowMs - t * 1000L))
@@ -482,7 +511,7 @@ object Materialize {
       case _ => None
     }
     val retracted = withGrains(
-      expVals.foldLeft(preVals)(_ unionByName _), grains)
+      derive(expVals.foldLeft(preVals)(_ unionByName _)), grains)
 
     // ---- bucket-manifested state: slice the fold to touched buckets ----
     // Only a bucket holding a delta-inserted or retraction/expiry group
@@ -502,8 +531,9 @@ object Materialize {
     val touched: Option[Set[Int]] =
       if (buckets == 0) None
       else {
-        val tg = withGrains(changes.where(!col("_deleted") && aliveNow)
-            .select(fields.map(col): _*), grains)
+        val tg = withGrains(derive(
+            changes.where(!col("_deleted") && aliveNow)
+              .select(fields.map(col): _*)), grains)
           .select(groupCols.map(col): _*)
           .unionByName(retracted.select(groupCols.map(col): _*))
         Some(tg.select(bucketCol(tg, groupCols, buckets).as("__b"))
@@ -547,8 +577,8 @@ object Materialize {
     // guarantee depends on the delta and the build producing identical
     // widened sum types for the type-strict unionByName merge below
     val postRows = aggregate(
-        withGrains(changes.where(!col("_deleted") && aliveNow)
-          .select(fields.map(col): _*), grains),
+        withGrains(derive(changes.where(!col("_deleted") && aliveNow)
+          .select(fields.map(col): _*)), grains),
         groupCols, measures, sketches)
       .withColumn("__retr", lit(0)).withColumn("__instate", lit(0))
       .select(col("*") +: carry(nul, nul, nul, nul): _*)
@@ -648,7 +678,7 @@ object Materialize {
     val out = if (affectedCount == 0) kept
       else kept.unionByName(
         recomputePlan(cat, table, groupCols, measures, grains, affected,
-          affRows, sketches))
+          affRows, sketches, derive))
     // a distinct target dir always — an expiry-only refresh keeps the
     // version number, so suffix it to avoid overwriting the state
     // being read
@@ -761,7 +791,8 @@ object Materialize {
       groupCols: Seq[String], measures: Seq[String],
       grains: Seq[(String, String)], affected: DataFrame,
       affectedRows: Option[Seq[org.apache.spark.sql.Row]] = None,
-      sketches: Seq[(String, Int)] = Seq.empty): DataFrame = {
+      sketches: Seq[(String, Int)] = Seq.empty,
+      derive: DataFrame => DataFrame = NoDerive): DataFrame = {
     val s = cat.spec(table)
     val affCond = groupCols.map(c => col(c) <=> col(s"__a_$c"))
       .reduce(_ && _) // null-safe: NULL groups recompute too
@@ -771,8 +802,12 @@ object Materialize {
     // layout ([[Layout]] z-order / bucketing / ordered ingest), pushing
     // the affected PLAIN group values as an IN filter lets parquet
     // row-group stats skip the untouched base. Grain groups (derived
-    // expressions) are not pushable and fall back to the scan.
+    // expressions) and derive-produced columns (dimension attributes —
+    // not in the base schema at all) are not pushable and fall back to
+    // the scan.
+    val baseCols = s.schema.fieldNames.toSet
     val plainCols = groupCols.filterNot(grains.map(_._1).toSet)
+      .filter(baseCols.contains)
     val prefilter: Column = affectedRows match {
       case Some(rows) if plainCols.nonEmpty =>
         plainCols.map { c =>
@@ -804,12 +839,13 @@ object Materialize {
         else col(pkc).isNull ||
           col(pkc).between(lit(b.get(0)), lit(b.get(1)))
       }.getOrElse(lit(true))
-    val candPks = withGrains(cat.changeLogRaw(table).where(prefilter),
-        grains)
+    val candPks = withGrains(
+        derive(cat.changeLogRaw(table).where(prefilter)), grains)
       .join(affected, affCond, "left_semi")
       .select(s.pk.map(c => col(c).as(s"__p_$c")): _*).distinct()
     aggregate(
-      withGrains(cat.snapshotForPks(table, candPks, zonePrune), grains)
+      withGrains(derive(cat.snapshotForPks(table, candPks, zonePrune)),
+          grains)
         .join(affected, affCond, "left_semi"),
       groupCols, measures, sketches)
   }

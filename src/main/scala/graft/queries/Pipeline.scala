@@ -740,6 +740,50 @@ object Pipeline {
         .orderBy($"source")
     },
 
+    // STAR-SCHEMA IVM under the hard oracle: the MV groups the orders
+    // FACT by a CUSTOMER DIMENSION attribute via the `derive` hook (a
+    // broadcast left join applied to every row the fold touches — post
+    // rows, retraction pre-images, the affected-group recompute), over
+    // bucket-manifested state. Churn: inserts, extremum-churning
+    // updates (+55), and a delete crossing every segment. The oracle
+    // recomputes the join-then-aggregate over the final logical table;
+    // decimal discipline on both sides (double sums are not bit-stable
+    // across engines), final projection cast to DOUBLE on both.
+    "q_ivm_star" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+      val wh = ivmWarehouse(dir)
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      cat.createTable("fo", StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("price", DecimalType(18, 2)))), pk = Seq("o_orderkey"))
+      val orders = Tables.t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey",
+          $"o_totalprice".cast("decimal(18,2)").as("price"))
+      val dim = Tables.t(s, dir, "customer")
+        .select($"c_custkey".as("o_custkey"),
+          $"c_mktsegment".as("segment"))
+      val derive: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.DataFrame =
+        _.join(broadcast(dim), Seq("o_custkey"), "left")
+      cat.upsert("fo", orders.where($"o_orderkey" % 3 =!= 0))
+      val mv = wh + "/mvstar"
+      graft.operators.Materialize.build(cat, "fo",
+        Seq("segment"), Seq("price"), mv, buckets = 16, derive = derive)
+      cat.upsert("fo", orders.where($"o_orderkey" % 3 === 0))
+      cat.upsert("fo", orders.where($"o_orderkey" % 10 === 1)
+        .withColumn("price", ($"price" + 55).cast("decimal(18,2)")))
+      cat.delete("fo", $"o_custkey" % 5 === 2)
+      graft.operators.Materialize.refresh(cat, "fo", mv, derive = derive)
+      graft.operators.Materialize.read(s, mv)
+        .select($"segment", $"cnt",
+          $"sum_price".cast("double").as("sum_price"),
+          $"min_price".cast("double").as("min_price"),
+          $"max_price".cast("double").as("max_price"))
+        .orderBy($"segment")
+    },
+
     // The MV-selection rewrite UNDER THE HARD ORACLE: persist a fact
     // table, build the typed aggregate state, register it, and run a
     // plain fact-table aggregate — AggRewriteRule must swap the scan
@@ -2336,6 +2380,20 @@ object Pipeline {
         max(n_chars) AS max_n_chars
       FROM final WHERE source <> 'src2'
       GROUP BY source ORDER BY source""",
+
+    "q_ivm_star" -> """
+      WITH final AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 10 = 1
+            THEN CAST(o_totalprice AS DECIMAL(18,2)) + 55
+            ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        FROM orders WHERE o_custkey % 5 <> 2)
+      SELECT c.c_mktsegment AS segment, count(*) AS cnt,
+        CAST(sum(f.price) AS DOUBLE) AS sum_price,
+        CAST(min(f.price) AS DOUBLE) AS min_price,
+        CAST(max(f.price) AS DOUBLE) AS max_price
+      FROM final f LEFT JOIN customer c ON f.o_custkey = c.c_custkey
+      GROUP BY 1 ORDER BY 1""",
 
     "q_mv_rewrite" -> """
       SELECT source,

@@ -869,6 +869,67 @@ class CatalogSpec extends AnyFunSuite {
       "rebuild must preserve the bucket layout")
   }
 
+  test("star-schema IVM: dimension-derived groups fold exactly " +
+      "through insert/update/delete/group-move churn") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val cat = freshCatalog()
+    cat.createTable("fact", StructType(Seq(
+      StructField("k", LongType), StructField("fk", LongType),
+      StructField("x", LongType))), pk = Seq("k"))
+    // dim: unique-keyed, one attribute the MV groups by; fk=99 has NO
+    // dim row — its facts must group under NULL, not vanish
+    val dim = Seq((1L, "red"), (2L, "blue"), (3L, "red"))
+      .toDF("fk", "color").localCheckpoint()
+    val derive: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+      _.join(broadcast(dim), Seq("fk"), "left")
+    cat.upsert("fact", Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L),
+      (4L, 99L, 40L)).toDF("k", "fk", "x"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivm_star").toString
+    def expected = Materialize.aggregate(
+        cat.snapshot("fact").join(broadcast(dim), Seq("fk"), "left"),
+        Seq("color"), Seq("x"))
+      .collect().map(_.toSeq).toSet
+    def actual = Materialize.read(spark, path)
+      .collect().map(_.toSeq).toSet
+    Materialize.build(cat, "fact", Seq("color"), Seq("x"), path,
+      buckets = 8, derive = derive)
+    assert(actual == expected)
+    assert(actual.exists(_.head == null),
+      "facts without a dim row must group under NULL")
+    // insert-only: folds without touching the dim-join recompute
+    cat.upsert("fact", Seq((5L, 1L, 5L)).toDF("k", "fk", "x"))
+    Materialize.refresh(cat, "fact", path, derive = derive)
+    assert(actual == expected)
+    // update that MOVES a fact across dim groups (fk 2->3 = blue->red):
+    // the pre-image must retract from 'blue' via the SAME derive
+    cat.upsert("fact", Seq((2L, 3L, 20L)).toDF("k", "fk", "x"))
+    Materialize.refresh(cat, "fact", path, derive = derive)
+    assert(actual == expected,
+      s"dim-group move diverged: $actual vs $expected")
+    assert(!actual.exists(_.head == "blue"),
+      "emptied dim group must vanish")
+    // extremum churn inside a dim group: 'red' loses its max
+    cat.upsert("fact", Seq((3L, 3L, 1L)).toDF("k", "fk", "x"))
+    Materialize.refresh(cat, "fact", path, derive = derive)
+    assert(actual == expected,
+      s"dim-group extremum retraction diverged: $actual vs $expected")
+    // delete the NULL-group fact
+    cat.delete("fact", col("k") === 4L)
+    Materialize.refresh(cat, "fact", path, derive = derive)
+    assert(actual == expected)
+    // compaction rebuild: derive rides through the fallback
+    cat.compact("fact")
+    cat.upsert("fact", Seq((6L, 2L, 7L)).toDF("k", "fk", "x"))
+    Materialize.refresh(cat, "fact", path, derive = derive)
+    assert(actual == expected,
+      s"post-compaction star rebuild diverged: $actual vs $expected")
+    // a refresh MISSING the derive must fail loudly, never fold wrong
+    cat.upsert("fact", Seq((7L, 1L, 3L)).toDF("k", "fk", "x"))
+    intercept[Exception] { Materialize.refresh(cat, "fact", path) }
+  }
+
   test("maintainAggregate: a stream maintains a bucketed, " +
       "sketch-valued MV exactly, batch by batch") {
     import spark.implicits._
