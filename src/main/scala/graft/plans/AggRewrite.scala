@@ -1,9 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, CaseWhen, Cast, Coalesce, Divide, ExprId, Expression, IsNotNull, Literal, NamedExpression, TruncTimestamp, XxHash64}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, CaseWhen, Cast, Coalesce, Divide, EqualTo, ExprId, Expression, IsNotNull, Literal, NamedExpression, TruncTimestamp, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, ResolvedHint}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
@@ -102,10 +103,38 @@ object GraftAggViews {
     *                  k — anything else refuses (a plain hash over a
     *                  nullable column would count NULL as a value,
     *                  which the state doesn't). */
+  /** One dimension of a STAR view (a state built with a
+    * [[graft.operators.Materialize]] `derive` broadcast join): the
+    * rewrite serves an Aggregate-over-Join query when the query's join
+    * MATCHES a registered dim — same dim path, same (factKey, dimKey)
+    * equality pairs, LEFT OUTER type (the derive contract; an INNER
+    * join only when `innerSafe` asserts referential integrity, i.e.
+    * every fact key is non-null and present in the dim — otherwise
+    * inner drops fact rows the state counted). `dimAttrs` maps each
+    * dim OUTPUT name the state groups/measures by to the dim table's
+    * BASE column (e.g. "segment" -> "c_mktsegment"): the rewrite
+    * verifies every referenced dim-side attribute resolves to exactly
+    * that base column, so a query aliasing a DIFFERENT dim column
+    * under the same name refuses instead of serving wrong data.
+    * `dimKeys` are dim BASE column names; `factKeys` fact base names. */
+  case class DimJoinDef(dimPath: String, factKeys: Seq[String],
+      dimKeys: Seq[String], dimAttrs: Map[String, String] = Map.empty,
+      innerSafe: Boolean = false)
+
+  /** A query-side join captured by the plan walk: the dim scan's path,
+    * whether the plan's join is INNER, the join condition, the
+    * dim-side output attribute ids mapped to dim BASE column names,
+    * and any dim-side filter conjuncts (tolerated only as IsNotNull
+    * over join keys — semantics-free under equality matching). */
+  private[plans] case class QueryJoin(dimPath: String, inner: Boolean,
+      cond: Expression, dimBase: Map[ExprId, String],
+      dimFilters: Seq[Expression])
+
   case class AggViewDef(statePath: String, groupCols: Seq[String],
       measures: Seq[String],
       grainExprs: Map[String, String] = Map.empty,
-      sketches: Map[String, Int] = Map.empty)
+      sketches: Map[String, Int] = Map.empty,
+      dims: Seq[DimJoinDef] = Seq.empty)
 
   // several views may serve one base (a per-source rollup AND a
   // per-(source, day) grain, say) — the reference picks among multiple
@@ -160,7 +189,7 @@ object GraftAggViews {
   // side (HadoopFsRelation rootPaths.head.toUri.getPath) yields the
   // scheme-less path, and a string-stripped "file:" left "///path"
   // that could never match it
-  private def norm(p: String) = scala.util.Try(
+  private[plans] def norm(p: String) = scala.util.Try(
       new org.apache.hadoop.fs.Path(p).toUri.getPath)
     .toOption.filter(_.nonEmpty).getOrElse(p).stripSuffix("/")
 
@@ -209,11 +238,14 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     * conjunction — group-column predicates ("the sum for source X")
     * are the most common MV hit. */
   private def scannedPath(plan: LogicalPlan): Option[
-      (String, Option[Expression], LogicalPlan, Map[ExprId, Expression])] = {
+      (String, Option[Expression], LogicalPlan, Map[ExprId, Expression],
+        Seq[GraftAggViews.QueryJoin])] = {
     @scala.annotation.tailrec
     def loop(cur: LogicalPlan, cond: Option[Expression],
-        sub: Map[ExprId, Expression]): Option[
-        (String, Option[Expression], LogicalPlan, Map[ExprId, Expression])] =
+        sub: Map[ExprId, Expression],
+        joins: Seq[GraftAggViews.QueryJoin]): Option[
+        (String, Option[Expression], LogicalPlan, Map[ExprId, Expression],
+          Seq[GraftAggViews.QueryJoin])] =
       cur match {
         case Project(list, child) if list.forall {
             case _: Attribute => true
@@ -232,25 +264,79 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           val sub2 = sub.map { case (k, v) => k -> through(v) } ++ thisMap
           val cond2 = cond.map(through)
-          loop(child, cond2, sub2)
+          loop(child, cond2, sub2, joins)
         case Filter(c, child) =>
-          loop(child, Some(cond.map(And(_, c)).getOrElse(c)), sub)
+          loop(child, Some(cond.map(And(_, c)).getOrElse(c)), sub, joins)
+        // STAR shape: fact on the left, a dimension scan on the right —
+        // capture the join for per-view verification (path, keys, type,
+        // attribute soundness) and keep walking the fact side. Only
+        // LEFT OUTER / INNER can possibly serve (derive's contract);
+        // anything else refuses here.
+        case Join(l, r, jt, Some(jc), _)
+            if jt == LeftOuter || jt == Inner =>
+          resolveDimSide(r) match {
+            case Some((dimPath, dimBase, dimFilters)) =>
+              loop(l, cond, sub, joins :+ GraftAggViews.QueryJoin(
+                dimPath, jt == Inner, jc, dimBase, dimFilters))
+            case None => None
+          }
         case lr: LogicalRelation =>
           lr.relation match {
             case fs: org.apache.spark.sql.execution.datasources
                 .HadoopFsRelation if fs.location.rootPaths.size == 1 =>
-              Some((fs.location.rootPaths.head.toUri.getPath, cond, lr, sub))
+              Some((fs.location.rootPaths.head.toUri.getPath, cond, lr,
+                sub, joins))
             case _ => None
           }
         case rel: DataSourceV2Relation =>
           rel.table match {
             case t: graft.sources.GraftPkTable =>
-              Some((t.name().stripPrefix("graftpk:"), cond, rel, sub))
+              Some((t.name().stripPrefix("graftpk:"), cond, rel, sub,
+                joins))
             case _ => None
           }
         case _ => None
       }
-    loop(plan, None, Map.empty)
+    loop(plan, None, Map.empty, Seq.empty)
+  }
+
+  /** Resolve a join's DIM side down to a single-path scan: alias-only
+    * Projects compose into an (output attr id → dim BASE column name)
+    * map; Filters are collected for the caller to vet (only IsNotNull
+    * over join keys is semantics-free); computed projections or any
+    * other node refuse — a transformed dimension is not the dimension
+    * the state was built against. */
+  private def resolveDimSide(p: LogicalPlan): Option[
+      (String, Map[ExprId, String], Seq[Expression])] = p match {
+    case ResolvedHint(child, _) => resolveDimSide(child)
+    case Project(list, child) =>
+      resolveDimSide(child).flatMap { case (path, inner, fs) =>
+        val mapped = list.map {
+          case a: AttributeReference =>
+            inner.get(a.exprId).map(a.exprId -> _)
+          case al @ Alias(c: AttributeReference, _) =>
+            inner.get(c.exprId).map(al.exprId -> _)
+          case _ => None
+        }
+        if (mapped.exists(_.isEmpty)) None
+        else Some((path, mapped.flatten.toMap, fs))
+      }
+    case Filter(c, child) =>
+      resolveDimSide(child).map { case (path, inner, fs) =>
+        def conj(e: Expression): Seq[Expression] = e match {
+          case And(a, b) => conj(a) ++ conj(b)
+          case o => Seq(o)
+        }
+        (path, inner, fs ++ conj(c))
+      }
+    case lr: LogicalRelation => lr.relation match {
+      case hfs: org.apache.spark.sql.execution.datasources
+          .HadoopFsRelation if hfs.location.rootPaths.size == 1 =>
+        Some((hfs.location.rootPaths.head.toUri.getPath,
+          lr.output.map(a => a.exprId -> a.name).toMap, Seq.empty))
+      case _ => None
+    }
+    case _ => None
   }
 
   // date_trunc unit lattice: truncating twice is exact when the finer
@@ -327,21 +413,22 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(groupings: Seq[Expression],
       outputs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
-    val (path, residual, baseRel, sub) =
+    val (path, residual, baseRel, sub, joins) =
       scannedPath(child).getOrElse(return None)
     // candidates coarsest-first; the first that ANSWERS serves the
     // query — MV selection, the aggregate-side analog of the
     // reference's multi-index choice
     GraftAggViews.lookup(path).iterator
       .flatMap(v => tryView(v, groupings, outputs, residual, baseRel,
-        sub).iterator)
+        sub, joins).iterator)
       .nextOption()
   }
 
   private def tryView(view: GraftAggViews.AggViewDef,
       groupings: Seq[Expression], outputs: Seq[NamedExpression],
       residual: Option[Expression], baseRel: LogicalPlan,
-      sub: Map[ExprId, Expression]): Option[LogicalPlan] = {
+      sub: Map[ExprId, Expression],
+      joins: Seq[GraftAggViews.QueryJoin]): Option[LogicalPlan] = {
     // express everything over the BASE relation's attributes (alias-only
     // Projects between the aggregate and the scan are a pure rename)
     def deref(e: Expression): Expression = e.transformUp {
@@ -353,6 +440,66 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case b: AttributeReference => b.name
       case _ => ""
     }
+    // ---- star-join verification ----
+    // Every query join must MATCH a registered dim: same (normalized)
+    // dim path, the exact registered (factKey = dimKey) equality
+    // conjunction, LEFT OUTER type (INNER only under the registrant's
+    // innerSafe referential-integrity assertion), and dim-side filters
+    // limited to IsNotNull over join keys (null keys never match an
+    // equality join, so that filter cannot change the result). A query
+    // may join a SUBSET of the registered dims (unreferenced dim
+    // attributes just roll up); an unmatched join refuses.
+    val dimIds: Map[ExprId, String] = joins.flatMap(_.dimBase).toMap
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case o => Seq(o)
+    }
+    val matchedDims: Seq[GraftAggViews.DimJoinDef] = joins.map { qj =>
+      view.dims.find { d =>
+        GraftAggViews.norm(d.dimPath) == GraftAggViews.norm(qj.dimPath) && {
+          // each conjunct: equality between one FACT base column and
+          // one dim column of THIS join, nothing else
+          def factName(a: AttributeReference): Option[String] =
+            deref(a) match {
+              case b: AttributeReference if !dimIds.contains(b.exprId) =>
+                Some(b.name)
+              case _ => None
+            }
+          val pairs = conjuncts(qj.cond).map {
+            case EqualTo(x: AttributeReference, y: AttributeReference) =>
+              (qj.dimBase.get(x.exprId), qj.dimBase.get(y.exprId)) match {
+                case (Some(dk), None) => factName(y).map((_, dk))
+                case (None, Some(dk)) => factName(x).map((_, dk))
+                case _ => None
+              }
+            case _ => None
+          }
+          (!qj.inner || d.innerSafe) &&
+            qj.dimFilters.forall {
+              case IsNotNull(a: AttributeReference) =>
+                qj.dimBase.get(a.exprId).exists(d.dimKeys.contains)
+              case _ => false
+            } &&
+            pairs.forall(_.isDefined) &&
+            pairs.flatten.toSet == d.factKeys.zip(d.dimKeys).toSet
+        }
+      }.getOrElse(return None)
+    }
+    // soundness: every dim-side attribute the query references must be
+    // the REGISTERED base column for its name — a query aliasing a
+    // different dim column under a served name must refuse, not serve
+    // wrong data
+    def dimRefsSound(e: Expression): Boolean =
+      (e.references.toSeq ++ deref(e).references.toSeq).forall {
+        case a: AttributeReference => dimIds.get(a.exprId) match {
+          case Some(baseCol) => matchedDims.exists(
+            _.dimAttrs.get(a.name).contains(baseCol))
+          case None => true
+        }
+        case _ => true
+      }
+    if (!(groupings ++ outputs ++ residual.toSeq).forall(dimRefsSound))
+      return None
     // registered grain expressions resolved against THIS query's base
     // relation attributes; cached by (sql, attribute ids) because the
     // optimizer batch re-enters the rule up to fixedPoint times per

@@ -44,6 +44,45 @@ object Pipeline {
       (b, m)
     }
 
+  /** STAR MV: orders fact × customer dim, per-segment decimal-priced
+    * state; the dim registration (path + key pairs + attribute map +
+    * innerSafe under TPC-H referential integrity) lets the rewrite
+    * serve the aggregate-over-JOIN dashboard query from the tiny
+    * state. */
+  private def mvStarSetup(s: SparkSession, dir: String)
+      : (String, String, String) =
+    Artifacts.memoized(dir, "mv_star_setup") {
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_mvstar").toString
+      val b = s"$tmp/fact"
+      val d = s"$tmp/dim"
+      val m = s"$tmp/state"
+      Tables.t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey",
+          $"o_totalprice".cast("decimal(18,2)").as("price"))
+        .write.mode("overwrite").parquet(b)
+      Tables.t(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment")
+        .write.mode("overwrite").parquet(d)
+      val dimDf = s.read.parquet(d)
+        .select($"c_custkey".as("o_custkey"),
+          $"c_mktsegment".as("segment"))
+      graft.operators.Materialize.aggregate(
+          s.read.parquet(b)
+            .join(broadcast(dimDf), Seq("o_custkey"), "left"),
+          Seq("segment"), Seq("price"))
+        .write.mode("overwrite").parquet(m)
+      graft.plans.GraftAggViews.register(b,
+        graft.plans.GraftAggViews.AggViewDef(m, Seq("segment"),
+          Seq("price"),
+          dims = Seq(graft.plans.GraftAggViews.DimJoinDef(d,
+            factKeys = Seq("o_custkey"), dimKeys = Seq("c_custkey"),
+            dimAttrs = Map("segment" -> "c_mktsegment"),
+            innerSafe = true))))
+      (b, d, m)
+    }
+
   /** Sketch-valued MV over events: per-type state carrying a KMV
     * distinct-users sketch (k = 2^17 — exact regime at every fixture
     * scale), registered so the rewrite serves `kmv_sketch` aggregates
@@ -809,6 +848,37 @@ object Pipeline {
       if (!plan.contains(mv) || plan.contains(base))
         throw new IllegalStateException(
           s"MV rewrite did not serve this query from the state:\n$plan")
+      q
+    },
+
+    // STAR MV SERVING under the hard oracle: the aggregate-over-JOIN
+    // dashboard query (orders ⋈ customer, grouped by the dim's
+    // segment) is answered from the per-segment state — the rewrite
+    // verifies the join before swapping the scan (dim path, the exact
+    // key-equality pairs, inner-vs-left type under the registered
+    // innerSafe integrity assertion, and attribute soundness: a query
+    // aliasing a DIFFERENT dim column under the served name refuses).
+    // In-query plan pin: throws unless the state — and neither the
+    // fact nor the dim — is scanned.
+    "q_mv_rewrite_star" -> { (s, dir) =>
+      import s.implicits._
+      val (base, dimP, mv) = mvStarSetup(s, dir)
+      val dimDf = s.read.parquet(dimP)
+        .select($"c_custkey".as("o_custkey"),
+          $"c_mktsegment".as("segment"))
+      val q = s.read.parquet(base)
+        .join(broadcast(dimDf), Seq("o_custkey"), "inner")
+        .groupBy($"segment")
+        .agg(count(lit(1)).as("cnt"),
+          sum($"price").cast("double").as("sum_price"),
+          min($"price").cast("double").as("min_price"),
+          max($"price").cast("double").as("max_price"))
+        .orderBy($"segment")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(mv) || plan.contains(base))
+        throw new IllegalStateException(
+          s"star MV rewrite did not serve the join query from the " +
+            s"state:\n$plan")
       q
     },
 
@@ -2404,6 +2474,17 @@ object Pipeline {
         CAST(max(n_chars * 1000000000000 + doc_id) AS BIGINT) AS max_big,
         count(*) AS n
       FROM documents GROUP BY source ORDER BY source""",
+
+    "q_mv_rewrite_star" -> """
+      SELECT c.c_mktsegment AS segment, count(*) AS cnt,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS min_price,
+        CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS max_price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1 ORDER BY 1""",
 
     "q_mv_rewrite_rollup" -> """
       SELECT

@@ -235,6 +235,130 @@ class AggRewriteSpec extends AnyFunSuite {
     } finally GraftAggViews.drop(base)
   }
 
+  test("agg rewrite: a STAR view serves aggregate-over-join queries " +
+      "from the state; mismatched joins refuse") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_star").toString
+    val base = s"$dir/fact"
+    val dimPath = s"$dir/dim"
+    val statePath = s"$dir/state"
+    // fact: fk=99 has no dim row (left join groups it under NULL)
+    Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L), (4L, 99L, 40L),
+      (5L, 1L, 5L))
+      .toDF("k", "fk", "x").write.mode("overwrite").parquet(base)
+    Seq((1L, "red", "big"), (2L, "blue", "small"), (3L, "red", "small"))
+      .toDF("c_k", "c_seg", "c_size")
+      .write.mode("overwrite").parquet(dimPath)
+    def dimDf = spark.read.parquet(dimPath)
+      .select(col("c_k").as("fk"), col("c_seg").as("segment"))
+    def joined = spark.read.parquet(base)
+      .join(broadcast(dimDf), Seq("fk"), "left")
+    Materialize.aggregate(joined, Seq("segment"), Seq("x"))
+      .write.mode("overwrite").parquet(statePath)
+    GraftAggViews.register(base,
+      GraftAggViews.AggViewDef(statePath, Seq("segment"), Seq("x"),
+        dims = Seq(GraftAggViews.DimJoinDef(dimPath,
+          factKeys = Seq("fk"), dimKeys = Seq("c_k"),
+          dimAttrs = Map("segment" -> "c_seg")))))
+    val stateName = new java.io.File(statePath).getName
+    def servedBy(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains(stateName)
+    def baseline(df: => org.apache.spark.sql.DataFrame) = {
+      spark.conf.set(GraftAggViews.DisabledConf, "true")
+      try df.collect().map(_.toSeq).toSet
+      finally spark.conf.unset(GraftAggViews.DisabledConf)
+    }
+    try {
+      // the dashboard query: join + group by dim attribute
+      def q = joined.groupBy($"segment")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"),
+          min($"x").as("mn"))
+      assert(servedBy(q), "join+group-by-dim must serve from state:\n" +
+        q.queryExecution.executedPlan)
+      assert(q.collect().map(_.toSeq).toSet == baseline(q))
+      assert(q.collect().exists(_.get(0) == null),
+        "NULL-dim facts must survive (left-join semantics)")
+      // residual filter on the dim attribute — the optimizer
+      // null-rejects the left join into an INNER one and pushes the
+      // predicate into the dim side; the rewrite must still serve it
+      def qf = joined.where($"segment" === "red")
+        .groupBy($"segment").agg(sum($"x").as("sx"))
+      assert(servedBy(qf),
+        "the filtered dashboard query must serve from state:\n" +
+          qf.queryExecution.optimizedPlan)
+      assert(qf.collect().map(_.toSeq).toSet == baseline(qf),
+        "filtered star query must serve exactly")
+      // global rollup over the join serves too (sum of state cnt)
+      def qg = joined.agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+      assert(servedBy(qg) &&
+        qg.collect().map(_.toSeq).toSet == baseline(qg))
+      // REFUSALS, each must hit the fact scan and stay correct:
+      // (a) inner join without innerSafe (drops the fk=99 fact)
+      def qInner = spark.read.parquet(base)
+        .join(broadcast(dimDf), Seq("fk"), "inner")
+        .groupBy($"segment").agg(sum($"x").as("sx"))
+      assert(!servedBy(qInner),
+        "inner join without innerSafe must refuse:\n" +
+          qInner.queryExecution.executedPlan)
+      // (b) a DIFFERENT dim column aliased under the served name
+      def qWrong = spark.read.parquet(base)
+        .join(broadcast(spark.read.parquet(dimPath)
+          .select(col("c_k").as("fk"), col("c_size").as("segment"))),
+          Seq("fk"), "left")
+        .groupBy($"segment").agg(sum($"x").as("sx"))
+      assert(!servedBy(qWrong),
+        "aliasing a different dim column must refuse")
+      assert(qWrong.collect().map(_.toSeq).toSet == baseline(qWrong))
+      // (c) join on the wrong key
+      def qKey = spark.read.parquet(base)
+        .join(broadcast(spark.read.parquet(dimPath)
+          .select(col("c_k").as("k"), col("c_seg").as("segment"))),
+          Seq("k"), "left")
+        .groupBy($"segment").agg(sum($"x").as("sx"))
+      assert(!servedBy(qKey), "a wrong-key join must refuse")
+    } finally GraftAggViews.drop(base)
+  }
+
+  test("agg rewrite: innerSafe serves an inner star join when every " +
+      "fact key resolves") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_star_in").toString
+    val base = s"$dir/fact"
+    val dimPath = s"$dir/dim"
+    val statePath = s"$dir/state"
+    // referential integrity holds: every fk has a dim row
+    Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 1L, 30L))
+      .toDF("k", "fk", "x").write.mode("overwrite").parquet(base)
+    Seq((1L, "red"), (2L, "blue")).toDF("c_k", "c_seg")
+      .write.mode("overwrite").parquet(dimPath)
+    def dimDf = spark.read.parquet(dimPath)
+      .select(col("c_k").as("fk"), col("c_seg").as("segment"))
+    Materialize.aggregate(
+        spark.read.parquet(base).join(broadcast(dimDf), Seq("fk"), "left"),
+        Seq("segment"), Seq("x"))
+      .write.mode("overwrite").parquet(statePath)
+    GraftAggViews.register(base,
+      GraftAggViews.AggViewDef(statePath, Seq("segment"), Seq("x"),
+        dims = Seq(GraftAggViews.DimJoinDef(dimPath,
+          factKeys = Seq("fk"), dimKeys = Seq("c_k"),
+          dimAttrs = Map("segment" -> "c_seg"), innerSafe = true))))
+    val stateName = new java.io.File(statePath).getName
+    try {
+      def q = spark.read.parquet(base)
+        .join(broadcast(dimDf), Seq("fk"), "inner")
+        .groupBy($"segment").agg(sum($"x").as("sx"))
+      assert(q.queryExecution.executedPlan.toString.contains(stateName),
+        "innerSafe must serve the inner join:\n" +
+          q.queryExecution.executedPlan)
+      spark.conf.set(GraftAggViews.DisabledConf, "true")
+      val want = try q.collect().map(_.toSeq).toSet
+        finally spark.conf.unset(GraftAggViews.DisabledConf)
+      assert(q.collect().map(_.toSeq).toSet == want)
+    } finally GraftAggViews.drop(base)
+  }
+
   test("agg rewrite: decimal sums serve exactly; decimal avg refuses") {
     import spark.implicits._
     val base = java.nio.file.Files
