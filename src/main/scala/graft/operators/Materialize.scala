@@ -255,7 +255,13 @@ object Materialize {
     * `limit(0)` folds to an empty relation, so the write is free). */
   private def writeBucketed(df: DataFrame, groupCols: Seq[String],
       buckets: Int, dir: String): Unit = {
+    // repartition ON the bucket id before the partitioned write: each
+    // bucket then lives in exactly one task → ONE file per bucket dir
+    // (without it every upstream task writes a sliver into every
+    // bucket it holds — up to tasks × buckets tiny files, poison for
+    // both the write and every later leaf read)
     df.withColumn("__b", bucketCol(df, groupCols, buckets))
+      .repartition(col("__b"))
       .write.mode(SaveMode.Overwrite).partitionBy("__b").parquet(dir)
     df.limit(0).write.mode(SaveMode.Overwrite).parquet(s"$dir/_schema")
   }

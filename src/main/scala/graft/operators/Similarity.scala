@@ -290,6 +290,30 @@ object Similarity {
     (centroids.zipWithIndex.map { case (c, i) => (i, c) }, assigned)
   }
 
+  /** Append a DELTA of vectors to an EXISTING IVF index without
+    * re-clustering: the delta is assigned to the nearest FROZEN
+    * centroid by the same fused kernel (one delta-sized scan) and the
+    * caller unions it with the persisted cell table — the standard ANN
+    * ingest path (an index rebuild per batch is O(corpus); this is
+    * O(delta)). The frozen quantizer means recall drifts only if the
+    * delta's distribution shifts away from the training corpus —
+    * re-train + rebuild on drift, the ANN analog of the MV
+    * rebuild-on-dim-change contract. Exactness is provable in the
+    * nprobe = nlist regime: probing every cell makes search over
+    * persisted ∪ appended identical to brute force over the full
+    * corpus, which is the oracle `q_ann_ivf_incremental` runs under.
+    * @return (id, v, cell) rows, schema-identical to [[ivfIndex]]'s
+    *         assignment output */
+  def ivfAppend(centroids: Array[(Int, Array[Double])],
+      deltaEmb: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    graft.functions.GraftFunctions.registerKernels(deltaEmb.sparkSession)
+    val dim = centroids.head._2.length
+    val flat = centroids.sortBy(_._1).flatMap(_._2).toSeq
+    deltaEmb.select(col(idCol).as("id"), col(vecCol).as("v"),
+      call_function("ivf_cell", col(vecCol), typedlit(flat), lit(dim))
+        .as("cell"))
+  }
+
   /** ANN top-k over an IVF index: pick the query's `nprobe` nearest cells
     * (tiny driver-side centroid compare), scan only those cells with
     * exact cosine. Scan cost ~ nprobe/nlist of the table. */

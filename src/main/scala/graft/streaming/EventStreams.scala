@@ -335,12 +335,14 @@ object EventStreams {
     * a no-op per group). Single maintainer per MV path, same as
     * [[graft.operators.Materialize.refresh]]. */
   def maintainAggregate(stream: DataFrame,
-      cat: graft.sources.GraftCatalog, table: String, mvPath: String)
+      cat: graft.sources.GraftCatalog, table: String, mvPath: String,
+      derive: DataFrame => DataFrame =
+        graft.operators.Materialize.NoDerive)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
       cat.upsert(table, b)
-      graft.operators.Materialize.refresh(cat, table, mvPath)
+      graft.operators.Materialize.refresh(cat, table, mvPath, derive)
       ()
     }
 

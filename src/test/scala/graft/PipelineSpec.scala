@@ -85,6 +85,42 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"IVF recall@10 $recall too low")
   }
 
+  test("incremental IVF: frozen-centroid append loses/moves no vector " +
+      "and searches exactly in the all-probe regime") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val corpus = emb.where(col("vec_id") >= 50)
+    val delta = emb.where(col("vec_id") < 50)
+    val (centroids, assigned) =
+      Similarity.ivfIndex(corpus, "embedding", "vec_id", nlist = 8)
+    val appended = Similarity.ivfAppend(centroids, delta,
+      "embedding", "vec_id")
+    // appended assignment == assigning the FULL set under the same
+    // frozen centroids, restricted to the delta (no vector lost, none
+    // double-assigned, none in a different cell than a full pass)
+    val fullPass = Similarity.ivfAppend(centroids, emb,
+        "embedding", "vec_id")
+      .where(col("id") < 50)
+      .select(col("id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val inc = appended.select(col("id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(inc == fullPass, "delta assignment must match a full pass")
+    assert(inc.size == 50)
+    // all-probe search over persisted ∪ appended == brute force over
+    // the full corpus (query vector from the APPENDED side)
+    val union = assigned.unionByName(appended)
+    val got = Similarity.ivfTopK(centroids, union, 7L, 12,
+        nprobe = centroids.length)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val brute = Similarity.cosineTopK(emb, "embedding", "vec_id", 7L, 12)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == brute.map(_._1).toSeq,
+      s"all-probe incremental search must equal brute force: " +
+        s"${got.toSeq} vs ${brute.toSeq}")
+    got.zip(brute).foreach { case ((_, a), (_, b)) =>
+      assert(math.abs(a - b) < 1e-9) }
+  }
+
   test("PQ codes: 32x compression, deterministic, ADC recall vs exact") {
     val emb = Tables.t(spark, dir, "embeddings")
     val n = emb.count().toInt
