@@ -346,6 +346,38 @@ object EventStreams {
       ()
     }
 
+  /** Streaming ANN candidate generation against a PERSISTED IVF cell
+    * table ([[graft.operators.Similarity.ivfIndex]] — build once,
+    * extend per ingest batch with `ivfAppend`): each query vector
+    * soft-probes its TWO nearest cells (the same fused `ivf_cells`
+    * kernel the batch paths use) and joins only those cells' vectors,
+    * scoring exact cosine on the candidates. Stateless stream-static
+    * equi-join on the cell id — no watermark or state store, and the
+    * per-batch scan cost is the probed cells' share of the corpus, not
+    * the corpus. A candidate emits once (corpus vectors are
+    * hard-assigned to one cell). Top-k per query is a sink-side
+    * concern (a global per-query sort inside the stream would need
+    * state).
+    * @param queries streaming (qid, qv) rows
+    * @param cells   persisted (id, v, cell) assignment table
+    * @return (qid, id, sim ≥ minSim), self-matches dropped */
+  def annCandidatesStream(queries: DataFrame,
+      centroids: Array[(Int, Array[Double])], cells: DataFrame,
+      minSim: Double = 0.0): DataFrame = {
+    graft.functions.GraftFunctions.registerKernels(queries.sparkSession)
+    val dim = centroids.head._2.length
+    val flat = centroids.sortBy(_._1).flatMap(_._2).toSeq
+    queries.toDF("qid", "qv")
+      .select(col("qid"), col("qv"),
+        explode(call_function("ivf_cells",
+          col("qv"), typedlit(flat), lit(dim))).as("cell"))
+      .join(cells, Seq("cell"))
+      .withColumn("sim",
+        call_function("cosine_sim", col("qv"), col("v")))
+      .where(col("sim") >= minSim && col("qid") =!= col("id"))
+      .select(col("qid"), col("id"), col("sim"))
+  }
+
   /** Streaming 64-bit-fingerprint near-dup matches against a PERSISTED
     * corpus bucket table ([[graft.operators.Dedup.hammingBuckets64]] —
     * build once from the corpus's signatures, e.g.

@@ -531,6 +531,44 @@ class CatalogSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming ANN probe (query-vector stream vs persisted IVF " +
+      "cells) matches the batch candidate set") {
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val (centroids, assigned) =
+      Similarity.ivfIndex(emb, "embedding", "vec_id", nlist = 8)
+    val cells = assigned.localCheckpoint()
+    val qDir = java.nio.file.Files
+      .createTempDirectory("graft_ann_stream").toString
+    emb.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .write.mode("overwrite").parquet(qDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(qDir).schema).parquet(qDir)
+    val q = EventStreams.annCandidatesStream(stream, centroids, cells,
+        minSim = 0.2)
+      .writeStream.format("memory").queryName("ann_stream_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT qid, id, sim FROM ann_stream_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9))).toSet
+      val batch = EventStreams.annCandidatesStream(
+          spark.read.parquet(qDir), centroids, cells, minSim = 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.rint(r.getDouble(2) * 1e9))).toSet
+      assert(got == batch, s"stream ANN probe must equal batch: " +
+        s"${got.size} vs ${batch.size}")
+      assert(got.nonEmpty, "probed cells should yield candidates")
+      // every query's probed cells include its OWN cell, so its true
+      // near-neighborhood is represented: each query with any
+      // candidate has one at sim >= its cell's population floor
+      assert(got.map(_._1).toSet.size >= 10,
+        "most queries should surface candidates")
+    } finally q.stop()
+  }
+
   test("streaming phrase filter matches the batch filter") {
     val docDir = java.nio.file.Files.createTempDirectory("graft_docs_pf")
     java.nio.file.Files.copy(
