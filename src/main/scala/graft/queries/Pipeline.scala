@@ -786,15 +786,15 @@ object Pipeline {
       cat.upsert("db", docs.where($"doc_id" < 250))
       val mv = wh + "/mvb"
       graft.operators.Materialize.build(cat, "db",
-        Seq("source"), Seq("n_chars"), mv, buckets = 32)
+        Seq("source"), Seq("n_chars"), mv, buckets = 8)
       cat.upsert("db", docs.where($"doc_id" >= 250 && $"doc_id" < 330))
       cat.upsert("db", docs.where($"doc_id" < 30)
         .withColumn("n_chars", $"n_chars" + 11))
       cat.delete("db", $"source" === "src2")
       graft.operators.Materialize.refresh(cat, "db", mv)
       val lr = graft.operators.Materialize.LastRefresh
-      require(lr.bucketsTotal == 32 && lr.bucketsTouched > 0 &&
-        lr.bucketsTouched < 32,
+      require(lr.bucketsTotal == 8 && lr.bucketsTouched > 0 &&
+        lr.bucketsTouched < 8,
         s"refresh must rewrite a strict subset of the manifest, " +
           s"touched ${lr.bucketsTouched}/${lr.bucketsTotal}")
       graft.operators.Materialize.read(s, mv)
