@@ -1012,6 +1012,52 @@ class CatalogSpec extends AnyFunSuite {
       s"stream-maintained MV diverged: $served vs $truth")
   }
 
+  test("maintainAggregate with derive: a fact stream maintains a " +
+      "star MV (dim-grouped) exactly") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val cat = freshCatalog()
+    cat.createTable("sf", StructType(Seq(
+      StructField("k", LongType), StructField("fk", LongType),
+      StructField("x", LongType))), pk = Seq("k"))
+    val dim = Seq((1L, "red"), (2L, "blue")).toDF("fk", "color")
+      .localCheckpoint()
+    val derive: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame =
+      _.join(broadcast(dim), Seq("fk"), "left")
+    cat.upsert("sf", Seq((1L, 1L, 10L), (2L, 2L, 20L))
+      .toDF("k", "fk", "x"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivm_starstream").toString
+    Materialize.build(cat, "sf", Seq("color"), Seq("x"), path,
+      buckets = 8, derive = derive)
+    val in = java.nio.file.Files
+      .createTempDirectory("graft_ivm_starstream_in").toString
+    Seq((3L, 1L, 5L)).toDF("k", "fk", "x")
+      .coalesce(1).write.parquet(s"$in/b0")
+    // a dim-group move: fact 2 flips blue -> red
+    Seq((2L, 1L, 20L)).toDF("k", "fk", "x")
+      .coalesce(1).write.parquet(s"$in/b1")
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("k", LongType),
+        StructField("fk", LongType), StructField("x", LongType))))
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+    val q = EventStreams.maintainAggregate(stream, cat, "sf", path,
+      derive = derive).start()
+    try q.processAllAvailable() finally q.stop()
+    val served = Materialize.read(spark, path)
+      .select(col("color"), col("cnt"), col("sum_x"))
+      .collect().map(_.toSeq).toSet
+    val truth = cat.snapshot("sf").join(broadcast(dim), Seq("fk"), "left")
+      .groupBy(col("color"))
+      .agg(count(lit(1)).as("cnt"), sum(col("x")).as("sum_x"))
+      .collect().map(_.toSeq).toSet
+    assert(served == truth,
+      s"stream-maintained star MV diverged: $served vs $truth")
+    assert(!served.exists(_.head == "blue"),
+      "the group-move must empty 'blue' through the streamed derive")
+  }
+
   test("state compaction + vacuum: one dir serves all buckets, dead " +
       "dirs reclaimed, incremental refresh continues") {
     import spark.implicits._
