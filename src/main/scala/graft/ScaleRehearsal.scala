@@ -250,7 +250,7 @@ object ScaleRehearsal {
     * (n/10000 group-clustered groups; per group min=10 / max=1009,
     * each extremum present ~10 times) refreshed through three
     * fixed-size deltas:
-    *  - 1000 NON-extremal updates (x 510 → 505, strictly inside the
+    *  - 100 NON-extremal updates (x 510 → 505, strictly inside the
     *    bounds) — must fold with ZERO base-history access (asserted via
     *    [[graft.operators.Materialize.LastRefresh]]: the extremum gate
     *    admits no group, so the written plan has no recompute branch);
@@ -388,7 +388,7 @@ object ScaleRehearsal {
     val (tBucketed, mbBucketed) = best2(cb, mb)
     require(graft.operators.Materialize.LastRefresh.bucketsTouched <= 8 &&
       graft.operators.Materialize.LastRefresh.bucketsTotal == buckets,
-      s"bucketed refresh must touch <=100 of $buckets buckets, got " +
+      s"bucketed refresh must touch <=8 of $buckets buckets, got " +
         s"${graft.operators.Materialize.LastRefresh.bucketsTouched}")
     (tLegacy, tBucketed, mbLegacy, mbBucketed)
   }

@@ -124,6 +124,7 @@ object ShuffleAudit {
     inputBytes.foreach { case (t, b) =>
       println(f"[audit] input $t%-12s ${b / 1e6}%10.1f MB on disk") }
     var failed = 0
+    val sfBase = java.nio.file.Paths.get(dir).getFileName.toString
     val rows = names.flatMap { n =>
       GraftSession.quiesce(spark)
       try {
@@ -134,6 +135,15 @@ object ShuffleAudit {
           (if (unmeasured > 0)
             s"  [$unmeasured exchange(s) lack shuffleBytesWritten — " +
               "not counted]" else ""))
+        // a GATE cannot pass on unmeasured shuffles: a budgeted query
+        // whose exchanges lost the metric (plan-node change, metric
+        // rename) would otherwise compare 0 against its budget and
+        // exit green — the exact regression class the gate exists for
+        if (unmeasured > 0 && budgets.contains(s"$sfBase/$n")) {
+          System.err.println(s"[audit] $n: $unmeasured unmeasured " +
+            "exchange(s) on a budgeted query — counted as failure")
+          failed += 1
+        }
         Some(n -> bytes)
       } catch { case e: Throwable =>
         System.err.println(s"[audit] $n FAILED: ${e.getMessage}")
@@ -141,7 +151,6 @@ object ShuffleAudit {
         None
       }
     }
-    val sfBase = java.nio.file.Paths.get(dir).getFileName.toString
     val breaches = budgetBreaches(rows, budgets, sfBase)
     breaches.foreach(b => System.err.println(s"[audit] BUDGET BREACH: $b"))
     val json = rows.map { case (n, b) => s""""$n":$b""" }

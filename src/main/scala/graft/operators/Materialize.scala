@@ -319,8 +319,13 @@ object Materialize {
     val buckets = bucketsOf(meta)
     val groupCols = meta.getSeq[String](1)
     val cur = stateDf(spark, path, meta)
-    // never a live dir name: refresh dirs are state_v<n>[e<ms>]
-    val nd = s"${stateDir(meta)}c${System.nanoTime()}"
+    // never a live dir name: refresh dirs are state_v<n>[e<ms>] and the
+    // fresh nano suffix dodges prior compactions. Derive from the
+    // VERSION, not stateDir(meta) — suffixing the current name would
+    // accrete one "c<nanos>" per compaction until the leaf name
+    // outgrows the filesystem's 255-byte limit on a periodically
+    // compacted, read-mostly MV.
+    val nd = s"state_v${meta.getLong(0)}c${System.nanoTime()}"
     val bucketDirs: Seq[String] =
       if (buckets == 0) {
         cur.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
@@ -841,7 +846,10 @@ object Materialize {
         val pkc = s.pk.head
         val b = cat.changeLogRaw(table).where(prefilter)
           .agg(min(col(pkc)), max(col(pkc))).head
-        if (b.isNullAt(0)) lit(false) // no surviving rows in any group
+        // min(pk) NULL means no rows with a NON-NULL pk — an affected
+        // group living entirely on NULL-pk rows must still recompute
+        // (lit(false) here silently erased it from the state)
+        if (b.isNullAt(0)) col(pkc).isNull
         else col(pkc).isNull ||
           col(pkc).between(lit(b.get(0)), lit(b.get(1)))
       }.getOrElse(lit(true))

@@ -822,6 +822,39 @@ class CatalogSpec extends AnyFunSuite {
     assert(actual == expected, s"post-compaction refresh diverged: $actual")
   }
 
+  test("IVM: an extremum retraction in a group living entirely on " +
+      "NULL-pk rows recomputes instead of vanishing") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val cat = freshCatalog()
+    cat.createTable("mn", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.upsert("mn", Seq((Option(1L), "a", 5L),
+      (Option.empty[Long], "n", 30L)).toDF("k", "g", "x"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivm_nullpk").toString
+    Materialize.build(cat, "mn", Seq("g"), Seq("x"), path)
+    // update the NULL-pk row 30 -> 10: retracts group n's max, so the
+    // gate fires and the recompute runs with an affected set whose
+    // rows ALL have NULL pks — the zone-prune probe sees min(pk) =
+    // NULL, which must fall back to the NULL-pk slice, not to
+    // lit(false) (which silently erased the group from the state)
+    cat.upsert("mn", Seq((Option.empty[Long], "n", 10L))
+      .toDF("k", "g", "x"))
+    Materialize.refresh(cat, "mn", path)
+    assert(Materialize.LastRefresh.recomputeRan,
+      "the extremum gate must fire for the retracted max")
+    val got = Materialize.read(spark, path)
+      .collect().map(_.toSeq).toSet
+    val want = Materialize
+      .aggregate(cat.snapshot("mn"), Seq("g"), Seq("x"))
+      .collect().map(_.toSeq).toSet
+    assert(got == want, s"NULL-pk group diverged: $got vs $want")
+    assert(got.exists(r => r.head == "n" && r(1) == 1L),
+      s"group n must survive with its recomputed extrema: $got")
+  }
+
   test("bucket-manifested state: refresh reads and rewrites only " +
       "touched buckets, exactly") {
     import spark.implicits._
