@@ -215,8 +215,15 @@ object Materialize {
     // stranding the pointer on a crash mid-write. Suffix with the
     // refresh stamp instead (the same flip-don't-overwrite rule the
     // expiry-only refresh path follows).
-    val stateDirName = scala.util.Try(
-        stateDir(spark.read.parquet(s"$path/meta").head())).toOption match {
+    // existence-probe the FileSystem before reading: the Try alone is
+    // correct, but Spark ERROR-logs the caught FileNotFound on every
+    // fresh build — log noise in every rehearsal and ingest pipeline
+    val metaPath = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val metaExists = scala.util.Try(metaPath
+      .getFileSystem(spark.sessionState.newHadoopConf())
+      .exists(metaPath)).getOrElse(false)
+    val stateDirName = (if (!metaExists) None else scala.util.Try(
+        stateDir(spark.read.parquet(s"$path/meta").head())).toOption) match {
       case Some(cur) =>
         val cand = s"state_v${v}r$ts"
         // an injectable test clock can repeat a stamp — never reuse the
