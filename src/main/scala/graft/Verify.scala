@@ -24,13 +24,16 @@ object Verify {
     "q_image_dedup_incremental", "q_audio_dedup_incremental")
 
   /** Order-insensitive canonical hash: rows rendered field-by-field
-    * (binary → hex), sorted, newline-joined, SHA-256. */
+    * (binary → hex), fields \u0001-joined (an unambiguous separator
+    * — spelled as an ESCAPE, not a raw control byte, so reviewers and
+    * diffs can see it; plain concatenation would render ("1","23") and
+    * ("12","3") identically), rows sorted, newline-joined, SHA-256. */
   def resultHash(df: org.apache.spark.sql.DataFrame): String = {
     val lines = df.collect().map(_.toSeq.map {
       case null => "NULL"
       case b: Array[Byte] => b.map(x => f"$x%02x").mkString
       case x => x.toString
-    }.mkString("")).sorted.mkString("\n")
+    }.mkString("\u0001")).sorted.mkString("\n")
     java.security.MessageDigest.getInstance("SHA-256")
       .digest(lines.getBytes("UTF-8")).map(b => f"$b%02x").mkString
   }
@@ -45,12 +48,15 @@ object Verify {
   }
 
   def main(args: Array[String]): Unit = {
-    // optional 3rd arg "goldens-only": run just the golden-pinned
-    // queries (fast regeneration after an intentional codec change)
-    val (sfDir, outDir, goldensOnly) = args match {
-      case Array(a, b) => (a, b, false)
-      case Array(a, b, "goldens-only") => (a, b, true)
-    }
+    // optional trailing args: "goldens-only" runs just the golden-pinned
+    // queries (fast regeneration after an intentional codec change);
+    // any other names run just those queries (local iteration — the
+    // driver always runs the full battery)
+    val (sfDir, outDir) = (args(0), args(1))
+    val rest = args.drop(2).toSeq
+    val goldensOnly = rest == Seq("goldens-only")
+    val only: Option[Set[String]] =
+      if (rest.nonEmpty && !goldensOnly) Some(rest.toSet) else None
     val spark = GraftSession.build("graft-verify")
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
@@ -58,7 +64,10 @@ object Verify {
     val sfBase = Paths.get(sfDir).getFileName.toString
     val toRun =
       if (goldensOnly) SparkEntry.queries.filter(q => goldenPinned(q._1))
-      else SparkEntry.queries
+      else only match {
+        case Some(names) => SparkEntry.queries.filter(q => names(q._1))
+        case None => SparkEntry.queries
+      }
     toRun.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

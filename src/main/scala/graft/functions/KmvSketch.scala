@@ -389,7 +389,6 @@ case class KmvEstimate(child: Expression)
   override def prettyName: String = "kmv_estimate"
 }
 
-/** KMV_UNION(a, b) → binary union sketch (k = min of the inputs'). */
 /** KMV_UNION_AGG(sketch) → BINARY: merges serialized KMV sketches
   * across rows — the re-aggregation path (many per-group sketches →
   * one coarser-group sketch). NULL inputs skip; all-NULL → NULL.
@@ -457,6 +456,7 @@ object KmvUnionAgg {
   final class Buf(var cur: (Int, Array[Long]))
 }
 
+/** KMV_UNION(a, b) → binary union sketch (k = min of the inputs'). */
 case class KmvUnion(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = BinaryType

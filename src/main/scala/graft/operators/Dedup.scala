@@ -1103,17 +1103,35 @@ object Dedup {
     * one row per (corpus signature, blocking key), carrying the
     * signature for the exact post-join verify — the Hamming analog of
     * [[signatureBuckets]]. Parameters must match the stream side.
+    *
+    * DEGENERATE buckets (a boilerplate chunk value shared by a huge
+    * corpus slice — e.g. an all-zero chunk from uniform image borders)
+    * are DROPPED at build time when they exceed `maxBucket` members:
+    * the stateless stream probe has no per-batch cap, so one such
+    * bucket would join every probing row against the whole slice (the
+    * quadratic blow-up the batch/incremental paths cap inside
+    * [[graft.functions.CappedCollect]]). Dropping matches the batch
+    * semantics (over-cap buckets contribute NO pairs there either); a
+    * true near-dup sharing ONLY a degenerate key is missed on all
+    * paths alike — the documented banded-blocking recall tradeoff.
     * @return (corpus_id, c_sig, chunk_idx, chunk) */
   def hammingBuckets64(sigs: DataFrame, maxHamming: Int = 3,
-      cleanChunks: Int = 1): DataFrame = {
+      cleanChunks: Int = 1,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
     requireHammingParams(maxHamming, cleanChunks)
     require(sigs.columns.length == 2,
       s"sigs must be exactly (id, sig), got ${sigs.columns.mkString(",")}")
-    sigs.toDF("id", "sig")
+    val keyed = sigs.toDF("id", "sig")
       .select(col("id").as("corpus_id"), col("sig").as("c_sig"),
         posexplode(array(
           chunkKeys64(col("sig"), maxHamming, cleanChunks): _*)))
       .toDF("corpus_id", "c_sig", "chunk_idx", "chunk")
+    // one artifact-build-time shuffle (the table is built once, probed
+    // every batch); the anti-join keys are 8-byte (idx, chunk) pairs
+    val overCap = keyed.groupBy(col("chunk_idx"), col("chunk"))
+      .agg(count(lit(1)).as("__n")).where(col("__n") > maxBucket)
+      .drop("__n")
+    keyed.join(overCap, Seq("chunk_idx", "chunk"), "left_anti")
   }
 
   private def hammingCore64(sig: DataFrame, maxHamming: Int,

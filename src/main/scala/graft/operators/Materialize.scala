@@ -114,8 +114,110 @@ object Materialize {
     * A function cannot ride the meta pointer, so `derive` is an API
     * argument the caller passes to BOTH build and refresh; forgetting
     * it fails loudly at plan time (the persisted groupCols reference
-    * columns the underived rows don't have). */
+    * columns the underived rows don't have).
+    *
+    * A bare function cannot be VERIFIED stable, so prefer [[StarDerive]]
+    * — the declarative spelling of the same broadcast left join — which
+    * persists a dimension fingerprint in the MV meta at build and makes
+    * every refresh re-check it: a changed dim then REFUSES (or rebuilds,
+    * with `rebuildOnDimChange = true`) instead of silently folding
+    * retraction pre-images into the wrong group. */
   val NoDerive: DataFrame => DataFrame = identity
+
+  /** Declarative star-schema derive: a broadcast LEFT join of the fact
+    * rows against a unique-keyed dimension, exposing `attrs` as
+    * groupable/measurable columns. IS a `DataFrame => DataFrame`, so it
+    * drops into every `derive` parameter ([[build]], [[refresh]],
+    * streaming maintenance) — but unlike a bare function its dimension
+    * content is FINGERPRINTABLE, which is what makes the stability
+    * contract enforceable rather than documentation:
+    *
+    *  - [[build]] persists `xxhash64`-sum over the dim's (key ++ attrs)
+    *    rows in the MV meta (order-independent, one tiny aggregate —
+    *    the dim is broadcast-sized by contract) and REQUIRES the key
+    *    to be unique (the row-preserving 1:1 half of the contract);
+    *  - [[refresh]] recomputes the fingerprint and REFUSES on mismatch
+    *    ("dim changed: rebuild required") — the failure mode a bare
+    *    function leaves silent is a retraction pre-image landing in the
+    *    NEW dim value's group while the state holds the old. With
+    *    `rebuildOnDimChange = true` the mismatch triggers a full
+    *    rebuild under the current dim instead (always correct — a
+    *    rebuild never mixes old state with new dim values).
+    *
+    * Slowly-changing dims at 100 TB: [[StarDerive.pinned]] joins a
+    * VERSION-PINNED catalog snapshot of the dim (the SCD-2 shape — the
+    * MV keeps grouping under the dim version it was built against no
+    * matter how the live dim churns; the pin rides the meta for
+    * discoverability, and the fingerprint still guards against the
+    * pinned snapshot itself changing, e.g. catalog compaction
+    * discarding the pinned history).
+    *
+    * @param dim   the dimension table (broadcast-sized)
+    * @param keys  fact-FK column -> dim-key column pairs
+    * @param attrs dim attribute columns exposed on the derived rows
+    */
+  final case class StarDerive(
+      dim: DataFrame,
+      keys: Seq[(String, String)],
+      attrs: Seq[String],
+      rebuildOnDimChange: Boolean = false,
+      pin: String = "") extends (DataFrame => DataFrame) {
+    require(keys.nonEmpty, "StarDerive needs at least one join key")
+    require(attrs.nonEmpty, "StarDerive needs at least one attribute")
+
+    def apply(df: DataFrame): DataFrame = {
+      val projected = dim.select(
+        keys.map { case (f, d) => col(d).as(f) } ++ attrs.map(col): _*)
+      df.join(broadcast(projected), keys.map(_._1), "left")
+    }
+
+    /** Deterministic content hash of the dim restricted to the columns
+      * the derive reads (key ++ attrs): bitwise XOR of per-row xxhash64
+      * — commutative, so row order can't change it, and overflow-free
+      * under ANSI mode (a sum of 64-bit hashes throws). XOR's
+      * even-multiplicity blind spot needs the SAME (key, attrs) row
+      * twice, which the uniqueness check below rules out. The same
+      * aggregate verifies key uniqueness (count == countDistinct over
+      * the key struct; struct() is never NULL, so NULL key components
+      * count). */
+    private[graft] def fingerprint(): Long = {
+      val cols = (keys.map(_._2) ++ attrs).distinct
+      val proj = dim.select(cols.map(col): _*)
+      val r = proj.agg(
+        coalesce(bit_xor(xxhash64(cols.map(col): _*)), lit(0L)),
+        count(lit(1)),
+        countDistinct(struct(keys.map(k => col(k._2)): _*))).head()
+      require(r.getLong(1) == r.getLong(2),
+        s"StarDerive dim is not unique on key ${keys.map(_._2)}: " +
+          s"${r.getLong(1)} rows, ${r.getLong(2)} distinct keys — a " +
+          "duplicate key multiplies fact rows, breaking the " +
+          "row-preserving 1:1 contract")
+      r.getLong(0)
+    }
+  }
+
+  object StarDerive {
+    /** SCD-2 helper: derive against a VERSION-PINNED snapshot of a
+      * catalog dim table — the MV's grouping stays stable across live
+      * dim churn because every build and refresh reconstructs the dim
+      * as of the same write version ([[GraftCatalog.snapshotAsOf]]).
+      * The pin string rides the MV meta; the fingerprint check still
+      * runs (it catches the pinned history itself changing — e.g.
+      * [[GraftCatalog.compact]] discards the versions the pin needs). */
+    def pinned(cat: GraftCatalog, dimTable: String, asOfVersion: Long,
+        keys: Seq[(String, String)], attrs: Seq[String],
+        rebuildOnDimChange: Boolean = false): StarDerive =
+      StarDerive(cat.snapshotAsOf(dimTable, asOfVersion), keys, attrs,
+        rebuildOnDimChange, pin = s"$dimTable@v$asOfVersion")
+  }
+
+  private def dimFpOf(meta: org.apache.spark.sql.Row): Option[Long] =
+    if (!meta.schema.fieldNames.contains("dim_fp")) None
+    else meta.getSeq[Long](meta.fieldIndex("dim_fp")).headOption
+
+  private def dimPinOf(meta: org.apache.spark.sql.Row): String =
+    if (!meta.schema.fieldNames.contains("dim_pin")) ""
+    else meta.getAs[String]("dim_pin")
 
   private def grainsOf(meta: org.apache.spark.sql.Row)
       : Seq[(String, String)] =
@@ -150,6 +252,16 @@ object Materialize {
           .otherwise(when(col(c) === lit(0f), lit(0f)).otherwise(col(c)))
         case DoubleType => when(isnan(col(c)), lit(Double.NaN))
           .otherwise(when(col(c) === lit(0d), lit(0d)).otherwise(col(c)))
+        // the normalization above only reaches TOP-LEVEL floats: a
+        // float nested in a struct/array/map would hash its raw bit
+        // pattern (-0.0 != 0.0, many NaNs) while groupBy normalizes it
+        // — the group's delta rows would route to a DIFFERENT bucket
+        // than its state row and the group silently duplicates. Refuse
+        // nested group types outright rather than hash them wrong.
+        case t @ (_: StructType | _: ArrayType | _: MapType) =>
+          throw new IllegalArgumentException(
+            s"bucket-manifested state requires atomic group column " +
+              s"types; '$c' is ${t.simpleString}")
         case _ => col(c)
       }
     }
@@ -237,6 +349,13 @@ object Materialize {
     require(buckets >= 0, s"buckets must be >= 0, got $buckets")
     require(buckets == 0 || !groupCols.contains("__b"),
       "bucketed state reserves the __b column name")
+    // a StarDerive build stamps the dim fingerprint into the meta (and
+    // enforces the key-uniqueness half of the contract right here);
+    // refresh re-checks it before any fold (see there)
+    val (dimFp, dimPin) = derive match {
+      case sd: StarDerive => (Seq(sd.fingerprint()), sd.pin)
+      case _ => (Seq.empty[Long], "")
+    }
     val agg = aggregate(
       withGrains(derive(cat.snapshot(table)), grainExprs),
       groupCols, measures, sketches)
@@ -252,7 +371,7 @@ object Materialize {
       }
     writeMeta(spark, path, v, groupCols, measures, ts, stateDirName,
       cat.ttlSeconds(table).getOrElse(-1L), grainExprs, sketches,
-      buckets, bucketDirs)
+      buckets, bucketDirs, dimFp = dimFp, dimPin = dimPin)
     v
   }
 
@@ -277,17 +396,18 @@ object Materialize {
       groupCols: Seq[String], measures: Seq[String], ts: Long,
       stateDirName: String, ttl: Long, grains: Seq[(String, String)],
       sketches: Seq[(String, Int)], buckets: Int,
-      bucketDirs: Seq[String], grainTz: Option[String] = None): Unit = {
+      bucketDirs: Seq[String], grainTz: Option[String] = None,
+      dimFp: Seq[Long] = Seq.empty, dimPin: String = ""): Unit = {
     import spark.implicits._
     Seq((v, groupCols, measures, ts, stateDirName, ttl,
         grains.map(_._1), grains.map(_._2),
         grainTz.getOrElse(spark.conf.get("spark.sql.session.timeZone")),
         sketches.map(_._1), sketches.map(_._2.toLong),
-        buckets.toLong, bucketDirs))
+        buckets.toLong, bucketDirs, dimFp, dimPin))
       .toDF("last_version", "group_cols", "measures", "refresh_ts",
         "state_dir", "ttl_at_refresh", "grain_cols", "grain_sqls",
         "grain_tz", "sketch_cols", "sketch_ks",
-        "state_buckets", "bucket_dirs")
+        "state_buckets", "bucket_dirs", "dim_fp", "dim_pin")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
@@ -351,7 +471,8 @@ object Materialize {
       else -1L,
       grainsOf(meta), sketchesOf(meta), buckets, bucketDirs,
       grainTz = if (f.contains("grain_tz"))
-        Some(meta.getAs[String]("grain_tz")) else None)
+        Some(meta.getAs[String]("grain_tz")) else None,
+      dimFp = dimFpOf(meta).toSeq, dimPin = dimPinOf(meta))
     vacuum(spark, path)
   }
 
@@ -471,6 +592,45 @@ object Materialize {
           col("_ts") >= lit(lastCut.get) && col("_ts") < lit(nowCut.get))
         .limit(1).count()
       if (crossed == 0) return lastV
+    }
+    // ---- star-derive dim-stability gate ----
+    // The retraction algebra reconstructs pre-image rows and folds them
+    // into the group the ORIGINAL insert landed in — which is only the
+    // group `derive` produces NOW if the dim hasn't changed. A bare
+    // function can't be checked (documented contract only); a
+    // StarDerive can, so: mismatch REFUSES (or rebuilds on opt-in, which
+    // is always correct — a rebuild never mixes old state with new dim),
+    // and a fingerprinted state refuses a bare-function refresh rather
+    // than silently dropping the enforcement it was built with.
+    derive match {
+      case sd: StarDerive => dimFpOf(meta) match {
+        case None => throw new IllegalStateException(
+          "this MV state was built without a dim fingerprint (bare " +
+            "derive function); rebuild with the StarDerive to enable " +
+            "dim-stability enforcement")
+        case Some(fp) =>
+          val cur = sd.fingerprint()
+          if (cur != fp) {
+            if (sd.rebuildOnDimChange)
+              return build(cat, table, groupCols, measures, path,
+                grains, sketches, bucketsOf(meta), derive)
+            val pin = dimPinOf(meta)
+            throw new IllegalStateException(
+              s"dim changed since this MV was built (fingerprint $fp " +
+                s"-> $cur${if (pin.nonEmpty) s", pinned $pin" else ""})" +
+                ": rebuild required — an incremental refresh would " +
+                "fold retraction pre-images into the NEW dim value's " +
+                "group while the state holds the old. Rebuild with " +
+                "Materialize.build, pass rebuildOnDimChange = true, " +
+                "or pin the dim version (StarDerive.pinned)")
+          }
+      }
+      case _ if dimFpOf(meta).isDefined =>
+        throw new IllegalStateException(
+          "this MV state was built with a StarDerive dim fingerprint; " +
+            "pass the StarDerive to refresh so dim stability can be " +
+            "verified (a bare function would bypass the gate)")
+      case _ => ()
     }
     val aliveNow: Column = nowCut
       .map(c => col("_ts").isNull || col("_ts") >= lit(c))
@@ -725,7 +885,8 @@ object Materialize {
         }
       }
     writeMeta(spark, path, newV, groupCols, measures, nowMs, newDir,
-      ttl.getOrElse(-1L), grains, sketches, buckets, newBucketDirs)
+      ttl.getOrElse(-1L), grains, sketches, buckets, newBucketDirs,
+      dimFp = dimFpOf(meta).toSeq, dimPin = dimPinOf(meta))
     newV
   }
 

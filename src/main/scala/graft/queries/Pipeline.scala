@@ -824,12 +824,13 @@ object Pipeline {
       val orders = Tables.t(s, dir, "orders")
         .select($"o_orderkey", $"o_custkey",
           $"o_totalprice".cast("decimal(18,2)").as("price"))
-      val dim = Tables.t(s, dir, "customer")
-        .select($"c_custkey".as("o_custkey"),
-          $"c_mktsegment".as("segment"))
-      val derive: org.apache.spark.sql.DataFrame =>
-          org.apache.spark.sql.DataFrame =
-        _.join(broadcast(dim), Seq("o_custkey"), "left")
+      // the ENFORCED star derive: build stamps the dim fingerprint into
+      // the MV meta (and proves key uniqueness); refresh re-checks it —
+      // a churned dim would refuse instead of mis-grouping retractions
+      val derive = graft.operators.Materialize.StarDerive(
+        Tables.t(s, dir, "customer")
+          .select($"c_custkey", $"c_mktsegment".as("segment")),
+        keys = Seq("o_custkey" -> "c_custkey"), attrs = Seq("segment"))
       // a 3/8 slice of orders keeps the lifecycle end-to-end while
       // bounding the parquet-write cost that dominates this entry
       val slice = orders.where($"o_orderkey" % 8 < 3)
@@ -842,6 +843,54 @@ object Pipeline {
         .withColumn("price", ($"price" + 55).cast("decimal(18,2)")))
       cat.delete("fo", $"o_custkey" % 5 === 2)
       graft.operators.Materialize.refresh(cat, "fo", mv, derive = derive)
+      graft.operators.Materialize.read(s, mv)
+        .select($"segment", $"cnt",
+          $"sum_price".cast("double").as("sum_price"),
+          $"min_price".cast("double").as("min_price"),
+          $"max_price".cast("double").as("max_price"))
+        .orderBy($"segment")
+    },
+
+    // SCD-2 STAR IVM under the hard oracle: the MV derives through a
+    // VERSION-PINNED dim snapshot (StarDerive.pinned), the LIVE dim
+    // then churns (a third of the customers move to a new segment —
+    // the normal state of a dimension), and refresh keeps folding
+    // incrementally because the pinned snapshot is unchanged. The
+    // oracle joins the ORIGINAL customer table, so a green row proves
+    // the pin held: serving from the live dim would surface 'CHURNED'
+    // groups and hash-mismatch.
+    "q_ivm_star_scd" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+      val wh = ivmWarehouse(dir)
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      cat.createTable("fs", StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("price", DecimalType(18, 2)))), pk = Seq("o_orderkey"))
+      cat.createTable("dc", StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("segment", StringType))), pk = Seq("c_custkey"))
+      val dimV0 = cat.upsert("dc", Tables.t(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment".as("segment")))
+      def pinned = graft.operators.Materialize.StarDerive.pinned(
+        cat, "dc", dimV0,
+        keys = Seq("o_custkey" -> "c_custkey"), attrs = Seq("segment"))
+      val orders = Tables.t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey",
+          $"o_totalprice".cast("decimal(18,2)").as("price"))
+      val slice = orders.where($"o_orderkey" % 16 < 2)
+      cat.upsert("fs", slice.where($"o_orderkey" % 16 === 0))
+      val mv = wh + "/mvscd"
+      graft.operators.Materialize.build(cat, "fs",
+        Seq("segment"), Seq("price"), mv, buckets = 8, derive = pinned)
+      // live dim churn BETWEEN refreshes — invisible to the pinned MV
+      cat.upsert("dc", Tables.t(s, dir, "customer")
+        .where($"c_custkey" % 3 === 0)
+        .select($"c_custkey", lit("CHURNED").as("segment")))
+      cat.upsert("fs", slice.where($"o_orderkey" % 16 === 1))
+      cat.delete("fs", $"o_custkey" % 7 === 3)
+      graft.operators.Materialize.refresh(cat, "fs", mv, derive = pinned)
       graft.operators.Materialize.read(s, mv)
         .select($"segment", $"cnt",
           $"sum_price".cast("double").as("sum_price"),
@@ -902,7 +951,7 @@ object Pipeline {
           max($"price").cast("double").as("max_price"))
         .orderBy($"segment")
       val plan = q.queryExecution.executedPlan.toString
-      if (!plan.contains(mv) || plan.contains(base))
+      if (!plan.contains(mv) || plan.contains(base) || plan.contains(dimP))
         throw new IllegalStateException(
           s"star MV rewrite did not serve the join query from the " +
             s"state:\n$plan")
@@ -2497,6 +2546,18 @@ object Pipeline {
             THEN CAST(o_totalprice AS DECIMAL(18,2)) + 55
             ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
         FROM orders WHERE o_orderkey % 8 < 3 AND o_custkey % 5 <> 2)
+      SELECT c.c_mktsegment AS segment, count(*) AS cnt,
+        CAST(sum(f.price) AS DOUBLE) AS sum_price,
+        CAST(min(f.price) AS DOUBLE) AS min_price,
+        CAST(max(f.price) AS DOUBLE) AS max_price
+      FROM final f LEFT JOIN customer c ON f.o_custkey = c.c_custkey
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_ivm_star_scd" -> """
+      WITH final AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 16 < 2 AND o_custkey % 7 <> 3)
       SELECT c.c_mktsegment AS segment, count(*) AS cnt,
         CAST(sum(f.price) AS DOUBLE) AS sum_price,
         CAST(min(f.price) AS DOUBLE) AS min_price,

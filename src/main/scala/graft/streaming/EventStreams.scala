@@ -390,7 +390,13 @@ object EventStreams {
     * watermark/state-store cost; a pair sharing several blocking keys
     * emits once per shared key (same documented per-band multiplicity
     * as [[nearDupPairsStream]] — DISTINCT at the sink if needed).
-    * Parameters must match the bucket build.
+    * Parameters must match the bucket build. Degenerate (boilerplate)
+    * buckets are handled at ARTIFACT BUILD time — [[graft.operators
+    * .Dedup.hammingBuckets64]] drops buckets over its maxBucket, so a
+    * chunk value shared by a huge corpus slice cannot fan one stream
+    * row out against the slice (the stateless probe itself has no
+    * per-batch cap); match the build's maxBucket to the batch paths'
+    * for stream == batch pair sets.
     * @return (id, corpus_id, dist ≤ maxHamming) */
   def hammingNearDupStream(sigs: DataFrame, corpusBuckets: DataFrame,
       maxHamming: Int = 6, cleanChunks: Int = 2): DataFrame =

@@ -1001,6 +1001,166 @@ class CatalogSpec extends AnyFunSuite {
     intercept[Exception] { Materialize.refresh(cat, "fact", path) }
   }
 
+  test("StarDerive: a changed dim makes refresh REFUSE instead of " +
+      "silently mis-grouping retractions; rebuildOnDimChange rebuilds") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    import graft.operators.Materialize.StarDerive
+    val cat = freshCatalog()
+    cat.createTable("fact", StructType(Seq(
+      StructField("k", LongType), StructField("fk", LongType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.createTable("dim", StructType(Seq(
+      StructField("dk", LongType), StructField("color", StringType))),
+      pk = Seq("dk"))
+    cat.upsert("dim", Seq((1L, "red"), (2L, "blue"), (3L, "red"))
+      .toDF("dk", "color"))
+    // the derive reads the LIVE dim snapshot — exactly the unsafe shape
+    // the fingerprint gate exists for. Reconstructed per use (def):
+    // a long-lived snapshot DataFrame pins its file listing, which
+    // would hide the churn from both the join and the fingerprint.
+    def derive = StarDerive(cat.snapshot("dim"),
+      keys = Seq("fk" -> "dk"), attrs = Seq("color"))
+    cat.upsert("fact", Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 3L, 30L))
+      .toDF("k", "fk", "x"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivm_sd").toString
+    def expected = Materialize.aggregate(
+        derive(cat.snapshot("fact")), Seq("color"), Seq("x"))
+      .collect().map(_.toSeq).toSet
+    def actual = Materialize.read(spark, path)
+      .collect().map(_.toSeq).toSet
+    Materialize.build(cat, "fact", Seq("color"), Seq("x"), path,
+      buckets = 4, derive = derive)
+    assert(actual == expected)
+    // stable dim: inserts, a group-move update, a delete all fold green
+    cat.upsert("fact", Seq((4L, 1L, 5L), (2L, 3L, 20L))
+      .toDF("k", "fk", "x"))
+    cat.delete("fact", col("k") === 3L)
+    Materialize.refresh(cat, "fact", path, derive = derive)
+    assert(actual == expected)
+    // dim churn (blue -> green on dk=2): today's silent-corruption case
+    // — the gate must throw, and the state must be untouched
+    cat.upsert("dim", Seq((2L, "green")).toDF("dk", "color"))
+    cat.upsert("fact", Seq((5L, 2L, 50L)).toDF("k", "fk", "x"))
+    val before = actual
+    val ex = intercept[IllegalStateException] {
+      Materialize.refresh(cat, "fact", path, derive = derive)
+    }
+    assert(ex.getMessage.contains("dim changed"))
+    assert(actual == before, "a refused refresh must not touch state")
+    // a bare function must not bypass the gate the state was built with
+    val bare: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame = derive.apply
+    val ex2 = intercept[IllegalStateException] {
+      Materialize.refresh(cat, "fact", path, derive = bare)
+    }
+    assert(ex2.getMessage.contains("StarDerive"))
+    // opt-in convenience path: the mismatch triggers a full rebuild
+    // under the CURRENT dim — always correct, never mixed
+    val rebuilding = derive.copy(rebuildOnDimChange = true)
+    Materialize.refresh(cat, "fact", path, derive = rebuilding)
+    assert(actual == expected)
+    assert(actual.exists(_.head == "green"),
+      "the rebuild must group under the NEW dim value")
+    // and the rebuild restamped the fingerprint: further stable-dim
+    // refreshes fold incrementally again
+    cat.upsert("fact", Seq((6L, 2L, 6L)).toDF("k", "fk", "x"))
+    Materialize.refresh(cat, "fact", path, derive = derive)
+    assert(actual == expected)
+  }
+
+  test("StarDerive.pinned (SCD-2): a version-pinned dim keeps the MV " +
+      "stable across live dim churn; compaction of the pinned history " +
+      "is caught") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    import graft.operators.Materialize.StarDerive
+    val cat = freshCatalog()
+    cat.createTable("fact", StructType(Seq(
+      StructField("k", LongType), StructField("fk", LongType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.createTable("dim", StructType(Seq(
+      StructField("dk", LongType), StructField("color", StringType))),
+      pk = Seq("dk"))
+    val v0 = cat.upsert("dim", Seq((1L, "red"), (2L, "blue"))
+      .toDF("dk", "color"))
+    def pinnedDerive = StarDerive.pinned(cat, "dim", v0,
+      keys = Seq("fk" -> "dk"), attrs = Seq("color"))
+    cat.upsert("fact", Seq((1L, 1L, 10L), (2L, 2L, 20L))
+      .toDF("k", "fk", "x"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivm_scd").toString
+    Materialize.build(cat, "fact", Seq("color"), Seq("x"), path,
+      derive = pinnedDerive)
+    // live dim churns (the NORMAL state of a dimension) — the pinned
+    // snapshot is unaffected, so refresh keeps folding incrementally
+    // and groups stay under the dim version the MV was built against
+    cat.upsert("dim", Seq((2L, "green"), (3L, "black"))
+      .toDF("dk", "color"))
+    cat.upsert("fact", Seq((3L, 2L, 30L), (4L, 3L, 40L))
+      .toDF("k", "fk", "x"))
+    Materialize.refresh(cat, "fact", path, derive = pinnedDerive)
+    val actual = Materialize.read(spark, path)
+      .collect().map(_.toSeq).toSet
+    val expected = Materialize.aggregate(
+        pinnedDerive(cat.snapshot("fact")), Seq("color"), Seq("x"))
+      .collect().map(_.toSeq).toSet
+    assert(actual == expected)
+    assert(actual.exists(_.head == "blue"),
+      "fk=2 facts must still group under the PINNED value")
+    assert(!actual.exists(_.head == "green"))
+    assert(actual.exists(_.head == null),
+      "fk=3 has no row in the pinned version — NULL group, not 'black'")
+    // compaction discards the history the pin reads — snapshotAsOf(v0)
+    // now reconstructs a DIFFERENT (empty) dim, which the fingerprint
+    // catches instead of silently regrouping everything under NULL
+    cat.compact("dim")
+    cat.upsert("fact", Seq((5L, 1L, 5L)).toDF("k", "fk", "x"))
+    val ex = intercept[IllegalStateException] {
+      Materialize.refresh(cat, "fact", path, derive = pinnedDerive)
+    }
+    assert(ex.getMessage.contains("dim changed") &&
+      ex.getMessage.contains(s"dim@v$v0"))
+  }
+
+  test("StarDerive enforces the 1:1 contract: a duplicate-keyed dim " +
+      "refuses at build; bucketed state refuses nested group types") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    import graft.operators.Materialize.StarDerive
+    val cat = freshCatalog()
+    cat.createTable("fact", StructType(Seq(
+      StructField("k", LongType), StructField("fk", LongType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.upsert("fact", Seq((1L, 1L, 10L)).toDF("k", "fk", "x"))
+    val dupDim = Seq((1L, "red"), (1L, "blue")).toDF("dk", "color")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivm_dup").toString
+    val ex = intercept[IllegalArgumentException] {
+      Materialize.build(cat, "fact", Seq("color"), Seq("x"), path,
+        derive = StarDerive(dupDim, Seq("fk" -> "dk"), Seq("color")))
+    }
+    assert(ex.getMessage.contains("not unique"))
+    // ADVICE r11: a struct/array group column would hash nested floats
+    // raw while groupBy normalizes them — bucket routing must refuse
+    cat.createTable("fs", StructType(Seq(
+      StructField("k", LongType),
+      StructField("g", ArrayType(DoubleType)),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.upsert("fs", Seq((1L, Seq(1.0), 10L)).toDF("k", "g", "x"))
+    val p2 = java.nio.file.Files
+      .createTempDirectory("graft_ivm_nested").toString
+    val ex2 = intercept[IllegalArgumentException] {
+      Materialize.build(cat, "fs", Seq("g"), Seq("x"), p2, buckets = 4)
+    }
+    assert(ex2.getMessage.contains("atomic group column"))
+    // unbucketed state still supports the nested group (groupBy's own
+    // normalization applies end-to-end there)
+    Materialize.build(cat, "fs", Seq("g"), Seq("x"), p2)
+    assert(Materialize.read(spark, p2).count() == 1)
+  }
+
   test("maintainAggregate: a stream maintains a bucketed, " +
       "sketch-valued MV exactly, batch by batch") {
     import spark.implicits._

@@ -782,6 +782,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(audInc.nonEmpty, "fixture must plant delta-touching audio dups")
   }
 
+  test("hammingBuckets64 drops degenerate buckets at build, so the " +
+      "stream probe can't fan out against a boilerplate slice") {
+    import spark.implicits._
+    // 20 boilerplate corpus signatures (sig = 0: every blocking key
+    // identical) + one genuine near-dup pair with distinctive low bits
+    val sigs = ((1L to 20L).map(i => (i, 0L)) ++
+      Seq((100L, 0x0F0FL), (101L, 0x0F0EL))).toDF("id", "sig")
+    val buckets = Dedup.hammingBuckets64(sigs, maxHamming = 6,
+      cleanChunks = 2, maxBucket = 8).localCheckpoint()
+    // the boilerplate slice's keys are all over-cap → dropped entirely
+    assert(buckets.where(col("corpus_id") <= 20L).count() == 0,
+      "degenerate buckets must not survive the build")
+    // the genuine pair's DISTINCTIVE keys survive (their all-zero
+    // chunk-pair keys are shared with the boilerplate and drop — the
+    // same recall tradeoff the batch cap takes)
+    assert(buckets.where(col("corpus_id") >= 100L).count() > 0)
+    // probe: finds the genuine near-dups only, once per shared key
+    val probe = Seq((200L, 0x0F0EL)).toDF("id", "sig")
+    val hits = graft.streaming.EventStreams
+      .hammingNearDupStream(probe, buckets, maxHamming = 6,
+        cleanChunks = 2)
+      .select("id", "corpus_id").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits == Set((200L, 100L), (200L, 101L)))
+  }
+
   test("audio fingerprint: volume/container invariant, far for unrelated") {
     val base = Multimodal.renderTextAudio(
       (1 to 65).map(i => s"w$i").mkString(" "))
