@@ -420,6 +420,39 @@ object Materialize {
       meta.getAs[String]("state_dir")
     else s"state_v${meta.getLong(0)}"
 
+  /** Register this MV with [[graft.plans.GraftAggViews]] keyed on the
+    * CATALOG TABLE, so SQL-front-end aggregates over the table's served
+    * snapshot ([[GraftCatalog.snapshotServed]], which [[graft.sources
+    * .PhoenixSql]] SELECTs read through) are answered from the state:
+    * `SELECT source, SUM(x) FROM t GROUP BY source` through PhoenixSql
+    * scans KBs of state instead of the fact table. The view definition
+    * (groups, measures, grains, sketches) derives from the MV meta —
+    * no caller-side duplication — and the registration is the MV ROOT,
+    * so refreshes are picked up through the meta pointer without
+    * re-registering. Star MVs (derive-built) are refused: the serving
+    * scan is the bare fact table, which cannot answer dim-attribute
+    * groups (register the dim join explicitly via [[graft.plans
+    * .GraftAggViews.DimJoinDef]] over parquet paths for that shape).
+    *
+    * Serving requires BOTH freshness legs the caller already owns:
+    * refresh the MV after mutations (the usual MV contract) and keep
+    * the snapshot cache current ([[GraftCatalog.refreshSnapshotCache]]
+    * or the SNAPSHOT_CACHE_BATCHES table property) — a stale cache
+    * falls back to the collapse plan, which is correct but unservable. */
+  def registerForRewrite(cat: GraftCatalog, table: String,
+      path: String): Unit = {
+    val spark = cat.changeLog(table).sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    require(dimFpOf(meta).isEmpty,
+      s"MV at $path was built with a StarDerive: its groups are dim " +
+        "attributes the table scan cannot answer — register a " +
+        "DimJoinDef-bearing AggViewDef explicitly instead")
+    graft.plans.GraftAggViews.register(cat.tablePath(table),
+      graft.plans.GraftAggViews.AggViewDef(path,
+        meta.getSeq[String](1), meta.getSeq[String](2),
+        grainsOf(meta).toMap, sketchesOf(meta).toMap))
+  }
+
   /** The maintained aggregate as a DataFrame (current persisted state).
     * Bucketed state reads the manifest's current leaf dir per bucket. */
   def read(spark: SparkSession, path: String): DataFrame = {

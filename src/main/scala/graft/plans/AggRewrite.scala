@@ -194,6 +194,11 @@ object GraftAggViews {
     .toOption.filter(_.nonEmpty).getOrElse(p).stripSuffix("/")
 
   val DisabledConf = "spark.graft.aggRewrite.disabled"
+
+  /** A [[graft.sources.GraftCatalog]] snapshot-cache leaf path
+    * (`<tableRoot>/_snapcache/v<N>`): group 1 is the table root the
+    * registration keys on. */
+  private[plans] val snapCacheRe = "^(.*)/_snapcache/v\\d+$".r
 }
 
 case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
@@ -413,8 +418,15 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(groupings: Seq[Expression],
       outputs: Seq[NamedExpression], child: LogicalPlan)
       : Option[LogicalPlan] = {
-    val (path, residual, baseRel, sub, joins) =
+    val (path0, residual, baseRel, sub, joins) =
       scannedPath(child).getOrElse(return None)
+    // a GraftCatalog SERVING scan reads the table's snapshot cache leaf
+    // (`<table>/_snapcache/v<N>`, rotating per cache refresh) — map it
+    // back to the STABLE table root so registrations key on the table,
+    // not on a directory that changes under them. Only the exact cache
+    // shape maps; any other path is used as-is.
+    val path = GraftAggViews.snapCacheRe.findFirstMatchIn(path0)
+      .map(_.group(1)).getOrElse(path0)
     // candidates coarsest-first; the first that ANSWERS serves the
     // query — MV selection, the aggregate-side analog of the
     // reference's multi-index choice
@@ -440,6 +452,17 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case b: AttributeReference => b.name
       case _ => ""
     }
+    // the session resolver (case-insensitive by default): a SQL
+    // front-end query spells `SUM(X)` while the registration (and the
+    // state's columns) carry the table's declared `x` — name matches
+    // against the view definition must resolve like the analyzer does,
+    // then CANONICALIZE to the registered spelling (state column names
+    // derive from it: sum_x, not sum_X)
+    val resolver = spark.sessionState.conf.resolver
+    def measureOf(n: String): Option[String] =
+      if (n.isEmpty) None else view.measures.find(resolver(_, n))
+    def groupColOf(n: String): Option[String] =
+      view.groupCols.find(resolver(_, n))
     // ---- star-join verification ----
     // Every query join must MATCH a registered dim: same (normalized)
     // dim path, the exact registered (factKey = dimKey) equality
@@ -534,9 +557,13 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         : Option[(String, Option[Expression => Expression])] = {
       val e = deref(e0)
       e match {
-        case a: AttributeReference if view.groupCols.contains(a.name) &&
-            !view.grainExprs.contains(a.name) =>
-          Some((a.name, None))
+        case a: AttributeReference =>
+          groupColOf(a.name).filterNot(view.grainExprs.contains)
+            .map(c => (c, None))
+            .orElse(grains.collectFirst(Function.unlift {
+              case (colName, ge) =>
+                grainMatch(e, ge).map(f => (colName, f))
+            }))
         case _ =>
           grains.collectFirst(Function.unlift { case (colName, ge) =>
             grainMatch(e, ge).map(f => (colName, f))
@@ -590,7 +617,7 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val ok = c.references.toSeq.forall {
           case a: AttributeReference =>
             placeholders.contains(a.exprId.id) ||
-              plainAllowed.contains(baseName(a))
+              plainAllowed.exists(resolver(_, baseName(a)))
           case _ => false
         }
         if (ok) Some(Some(c)) else None
@@ -620,7 +647,9 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             if !v.nullable => Some(v)
           case _ => None
         }
-        arOpt.map(baseName).filter(n => view.sketches.get(n).contains(k))
+        arOpt.map(baseName).flatMap(n =>
+          view.sketches.keys.find(resolver(_, n))
+            .filter(c => view.sketches(c) == k))
       case _ => None
     }
     def answerableFn(
@@ -631,17 +660,17 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case Count(Seq(Literal(v, _))) => v != null
       // count(col) = non-null count: served by the state's cnt_m
       case Count(Seq(ar: AttributeReference)) =>
-        view.measures.contains(baseName(ar))
+        measureOf(baseName(ar)).isDefined
       case Sum(ar: AttributeReference, _) =>
-        view.measures.contains(baseName(ar))
+        measureOf(baseName(ar)).isDefined
       case Min(ar: AttributeReference) =>
-        view.measures.contains(baseName(ar))
+        measureOf(baseName(ar)).isDefined
       case Max(ar: AttributeReference) =>
-        view.measures.contains(baseName(ar))
+        measureOf(baseName(ar)).isDefined
       // avg = sum/cnt, both exact in the state; decimal refused (see
       // the scaladoc — Spark's decimal-division scale rules)
       case Average(ar: AttributeReference, _) =>
-        view.measures.contains(baseName(ar)) &&
+        measureOf(baseName(ar)).isDefined &&
           !ar.dataType.isInstanceOf[DecimalType]
       case k: graft.functions.KmvAgg => sketchColOf(k).isDefined
       case _ => false
@@ -699,32 +728,35 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         case (c, Some(f)) => f(stateAttr(c))
       }
 
+    // the registered (canonical) spelling of a measure reference —
+    // state column names derive from it
+    def m(ar: AttributeReference): String = measureOf(baseName(ar)).get
     def servedAgg(ae: AggregateExpression): Expression =
       ae.aggregateFunction match {
           // count(col) BEFORE the count(*) catch-all — both are Count
           case Count(Seq(ar: AttributeReference)) =>
             Coalesce(Seq(
-              merged(stateAttr(s"cnt_${baseName(ar)}"), Sum(_)),
+              merged(stateAttr(s"cnt_${m(ar)}"), Sum(_)),
               Literal(0L)))
           case Count(_) =>
             // COUNT over zero state rows must stay 0, not SUM's NULL
             Coalesce(Seq(merged(stateAttr("cnt"), Sum(_)), Literal(0L)))
           case Sum(ar: AttributeReference, _) =>
-            Cast(merged(stateAttr(s"sum_${baseName(ar)}"), Sum(_)),
+            Cast(merged(stateAttr(s"sum_${m(ar)}"), Sum(_)),
               ae.dataType)
           case Min(ar: AttributeReference) =>
-            Cast(merged(stateAttr(s"min_${baseName(ar)}"), Min(_)),
+            Cast(merged(stateAttr(s"min_${m(ar)}"), Min(_)),
               ae.dataType)
           case Max(ar: AttributeReference) =>
-            Cast(merged(stateAttr(s"max_${baseName(ar)}"), Max(_)),
+            Cast(merged(stateAttr(s"max_${m(ar)}"), Max(_)),
               ae.dataType)
           case Average(ar: AttributeReference, _) =>
             // exact sum / exact count, one double division — all-NULL
             // groups yield NULL (null sum propagates), like direct avg
             Cast(Divide(
-              Cast(merged(stateAttr(s"sum_${baseName(ar)}"), Sum(_)),
+              Cast(merged(stateAttr(s"sum_${m(ar)}"), Sum(_)),
                 DoubleType),
-              Cast(merged(stateAttr(s"cnt_${baseName(ar)}"), Sum(_)),
+              Cast(merged(stateAttr(s"cnt_${m(ar)}"), Sum(_)),
                 DoubleType)), ae.dataType)
           case kfn: graft.functions.KmvAgg =>
             // union of per-state-row sketches == the direct sketch
@@ -775,9 +807,13 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val source = residualMapped.get match {
       case Some(cond) =>
         // placeholders and plain group references both carry the state
-        // column's NAME — remap by name onto the state's attributes
+        // column's NAME — remap by name (resolver-matched: a SQL query
+        // may spell a group column in a different case) onto the
+        // state's attributes
         val remapped = cond.transformUp {
-          case a: AttributeReference => stateAttr(a.name)
+          case a: AttributeReference =>
+            state.output.find(o => resolver(o.name, a.name))
+              .getOrElse(stateAttr(a.name))
         }
         org.apache.spark.sql.catalyst.plans.logical.Filter(remapped, state)
       case None => state

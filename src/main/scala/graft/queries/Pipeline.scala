@@ -958,6 +958,42 @@ object Pipeline {
       q
     },
 
+    // MV SERVING THROUGH THE SQL FRONT-END under the hard oracle: a
+    // Phoenix-dialect user types a plain GROUP BY over a catalog
+    // table; the select path registers the table's SERVED snapshot (a
+    // pure parquet scan of the fresh snapshot cache — no collapse
+    // shuffle), and AggRewriteRule swaps that scan onto the registered
+    // MV state (registerForRewrite derives the view def from the MV
+    // meta). In-query pin: the plan must scan the state and neither
+    // the snapshot cache nor the change log.
+    "q_mv_rewrite_sql" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val wh = ivmWarehouse(dir)
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      val px = new graft.sources.PhoenixSql(s, cat)
+      px.execute("CREATE TABLE md (doc_id BIGINT NOT NULL, " +
+        "source VARCHAR, n_chars BIGINT " +
+        "CONSTRAINT pk PRIMARY KEY (doc_id))")
+      cat.upsert("md", Tables.t(s, dir, "documents")
+        .select($"doc_id", $"source", $"n_chars"))
+      cat.refreshSnapshotCache("md")
+      val mv = wh + "/mvsql"
+      graft.operators.Materialize.build(cat, "md",
+        Seq("source"), Seq("n_chars"), mv)
+      graft.operators.Materialize.registerForRewrite(cat, "md", mv)
+      val q = px.execute("SELECT source, COUNT(*) AS cnt, " +
+        "SUM(n_chars) AS sum_n_chars, MIN(n_chars) AS min_n_chars, " +
+        "MAX(n_chars) AS max_n_chars, AVG(n_chars) AS avg_n_chars " +
+        "FROM md GROUP BY source ORDER BY source")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(mv) || plan.contains("_snapcache") ||
+          plan.contains(s"$wh/md/data"))
+        throw new IllegalStateException(
+          s"front-end MV rewrite did not serve from the state:\n$plan")
+      q
+    },
+
     // The rewrite's ROLLUP path under the same hard oracle: a GLOBAL
     // aggregate (grouping = {} ⊂ {source}) over the same fact must be
     // answered by re-aggregating the per-source state — sums of sums,
@@ -2585,6 +2621,14 @@ object Pipeline {
           AS max_price
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1 ORDER BY 1""",
+
+    "q_mv_rewrite_sql" -> """
+      SELECT source, count(*) AS cnt,
+        CAST(sum(n_chars) AS BIGINT) AS sum_n_chars,
+        min(n_chars) AS min_n_chars,
+        max(n_chars) AS max_n_chars,
+        avg(n_chars) AS avg_n_chars
+      FROM documents GROUP BY source ORDER BY source""",
 
     "q_mv_rewrite_rollup" -> """
       SELECT

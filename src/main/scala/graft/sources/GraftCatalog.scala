@@ -455,6 +455,43 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     v
   }
 
+  /** The version counter's current value (the log's high-water mark)
+    * without a data scan — upsert/delete bump the counter file, so a
+    * freshness probe is one tiny local read, not a footer sweep. */
+  private[graft] def currentVersion(name: String): Long = {
+    val f = versionFile(name)
+    if (f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
+    else -1L
+  }
+
+  /** Snapshot for SERVING reads: when the snapshot cache is EXACTLY
+    * fresh (cache high-water == the version counter) the snapshot IS
+    * the cache, so return a PURE parquet scan of it (TTL filter only —
+    * no collapse shuffle at all). Two wins at once: the per-query
+    * collapse disappears, and an Aggregate over this plan sits directly
+    * on a scan, which is what lets [[graft.plans.AggRewriteRule]] swap
+    * registered MV state under SQL front-end queries
+    * ([[PhoenixSql]] registers its table snapshots through here). A
+    * stale/absent cache (or a ROW_TIMESTAMP table) falls back to the
+    * ordinary [[snapshot]] collapse — always correct, just not
+    * rewrite-servable. */
+  def snapshotServed(name: String): DataFrame =
+    snapCacheVersion(name) match {
+      case Some(v) if !hasRowTimestamp(name) && v == currentVersion(name) =>
+        val cache = toLogical(name, spark.read.schema(physSchema(name))
+          .parquet(s"${snapCacheRoot(name)}/v$v"))
+        ttlFiltered(name, cache)
+          .select(spec(name).schema.fieldNames.map(col): _*)
+      case _ => snapshot(name)
+    }
+
+  /** The table's root directory — the stable registration key for
+    * [[graft.plans.GraftAggViews]] over catalog tables (the serving
+    * scan's cache leaf rotates per refresh; the rewrite maps it back
+    * to this root). */
+  private[graft] def tablePath(name: String): String = dir(name)
+
   /** Drop the cache (compact/truncate rewrite or erase the history the
     * cache summarizes — a stale cache would resurrect rows). */
   private def invalidateSnapCache(name: String): Unit = {

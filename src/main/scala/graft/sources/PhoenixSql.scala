@@ -1760,9 +1760,15 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     // that have since aged out.
     val ttlStale = tableNames.filter(t => catalog.ttlSeconds(t).isDefined)
     if (dirty.nonEmpty || viewsStale || cdcStale || ttlStale.nonEmpty) {
+      // snapshotServed, not snapshot: with a FRESH snapshot cache the
+      // registered view is a pure parquet scan (no per-query collapse
+      // shuffle) — and an Aggregate over a scan is what AggRewriteRule
+      // can swap onto registered MV state
+      // ([[graft.operators.Materialize.registerForRewrite]]), so the
+      // dashboard GROUP BY through this front-end reads KBs of state
       (dirty ++ ttlStale).filter(tableNames.contains).foreach(t =>
         currentScn.map(catalog.snapshotAsOfTime(t, _))
-          .getOrElse(catalog.snapshot(t)).createOrReplaceTempView(t))
+          .getOrElse(catalog.snapshotServed(t)).createOrReplaceTempView(t))
       viewNames.foreach(v =>
         catalog.view(v, currentScn).createOrReplaceTempView(v))
       cdcDefs.foreach { case (n, (t, scopes)) =>

@@ -1251,4 +1251,48 @@ class PhoenixSqlSpec extends AnyFunSuite {
       "SELECT K FROM SCAN2 WHERE 'x)y' = ANY(TAGS)").collect()
     assert(r3.map(_.getLong(0)).toSeq == Seq(1L))
   }
+
+  test("a registered MV serves a front-end GROUP BY from state when " +
+      "the snapshot cache is fresh; a stale cache falls back FRESH") {
+    import graft.operators.Materialize
+    val px = fresh()
+    val cat = px.catalog
+    px.execute("CREATE TABLE MVT (K BIGINT NOT NULL, SRC VARCHAR, " +
+      "X BIGINT CONSTRAINT PK PRIMARY KEY (K))")
+    px.execute("UPSERT INTO MVT VALUES (1, 'a', 10)")
+    px.execute("UPSERT INTO MVT VALUES (2, 'a', 20)")
+    px.execute("UPSERT INTO MVT VALUES (3, 'b', 5)")
+    cat.refreshSnapshotCache("mvt")
+    val mv = java.nio.file.Files
+      .createTempDirectory("graft_mvsql").toString
+    Materialize.build(cat, "mvt", Seq("src"), Seq("x"), mv)
+    Materialize.registerForRewrite(cat, "mvt", mv)
+    def run(expectServed: Boolean) = {
+      val q = px.execute("SELECT SRC, SUM(X) AS sum_x, COUNT(*) AS n " +
+        "FROM MVT GROUP BY SRC ORDER BY SRC")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(mv) == expectServed,
+        s"expected served=$expectServed:\n$plan")
+      if (expectServed) assert(!plan.contains("_snapcache"),
+        s"a served query must not also scan the snapshot:\n$plan")
+      q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    }
+    assert(run(expectServed = true) ==
+      Seq(("a", 30L), ("b", 5L)).map(t => (t._1, t._2,
+        if (t._1 == "a") 2L else 1L)))
+    // mutation → cache stale → the front-end view is the collapse plan
+    // again: NO state serve (which would be stale), fresh answer
+    px.execute("UPSERT INTO MVT VALUES (4, 'b', 100)")
+    assert(run(expectServed = false) ==
+      Seq(("a", 30L, 2L), ("b", 105L, 2L)))
+    // refresh both legs → served again with the new numbers
+    cat.refreshSnapshotCache("mvt")
+    Materialize.refresh(cat, "mvt", mv)
+    px.execute("UPSERT INTO MVT VALUES (4, 'b', 100)") // same row, re-dirty
+    cat.refreshSnapshotCache("mvt")
+    Materialize.refresh(cat, "mvt", mv)
+    assert(run(expectServed = true) ==
+      Seq(("a", 30L, 2L), ("b", 105L, 2L)))
+  }
 }
