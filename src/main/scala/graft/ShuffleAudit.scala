@@ -110,7 +110,14 @@ object ShuffleAudit {
 
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (args.length > 1) args.drop(1).toSeq else Defaults
+    // "all" audits the ENTIRE battery (budget coverage measurement);
+    // explicit names audit those; no extra args audit the curated
+    // digest/join probe set
+    val names =
+      if (args.length > 1 && args(1) == "all")
+        SparkEntry.queries.keys.toSeq.sorted
+      else if (args.length > 1) args.drop(1).toSeq
+      else Defaults
     val spark = GraftSession.build("graft-shuffle-audit")
     val inputBytes = Seq("documents", "events", "embeddings", "lineitem")
       .map { t =>

@@ -735,6 +735,14 @@ object Similarity {
       .toDF("cell", "centroid")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(path + "/meta")
+    // drift baseline: the training corpus's mean squared distance to
+    // its cells, read back by [[appendIvfIndex]]'s re-train signal.
+    // Computed from the JUST-WRITTEN cells (not `assigned` — its plan
+    // may be expensive), one save-time scan.
+    val b = meanCellDist(centroids, spark.read.parquet(path + "/cells")
+      .select(col("id"), col("v"), col("cell")))
+    Seq(b).toDF("mean_dist").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(driftPath(path))
   }
 
   /** Load an IVF index saved by [[saveIvfIndex]]: (centroids,
@@ -747,6 +755,104 @@ object Similarity {
         r.getSeq[Double](r.fieldIndex("centroid")).toArray)
       .sortBy(_._1)
     (cents, spark.read.parquet(path + "/cells"))
+  }
+
+  /** Mean squared L2 distance to the assigned (unit) centroid over an
+    * assignment table — the per-corpus "how well do the cells fit"
+    * statistic the drift signal compares. |v−c|² = v·v − 2 v·c + 1. */
+  private def meanCellDist(cents: Array[(Int, Array[Double])],
+      assigned: DataFrame): Double = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    val cdf = broadcast(cents.toSeq.map { case (i, c) => (i, c.toSeq) }
+      .toDF("cell", "__cent"))
+    val r = assigned.join(cdf, "cell")
+      .agg(avg(dot(col("v"), col("v")) -
+        lit(2.0) * dot(col("v"), col("__cent")) + lit(1.0))).head()
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  private def driftPath(path: String) = path + "/drift"
+
+  private def readDriftBaseline(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+      : Option[Double] = scala.util.Try(
+    spark.read.parquet(driftPath(path)).head().getDouble(0)).toOption
+
+  /** Append a delta batch INTO a persisted IVF index ([[saveIvfIndex]]
+    * layout): frozen-centroid assignment (O(delta), one scan — no
+    * re-clustering, no corpus read for the data path), written straight
+    * into the `cells/cell=<i>` partition dirs, so subsequent searches
+    * see one index — not index-plus-loose-fragments the caller must
+    * union ([[ivfAppend]] returns rows and leaves the bookkeeping to
+    * the caller; repeated ingest batches through THAT shape accumulate
+    * outside the persisted index).
+    *
+    * Drift signal (the re-train trigger the frozen-quantizer contract
+    * names): returns the ratio of the DELTA's mean squared distance to
+    * its assigned centroids over the index's persisted baseline (the
+    * corpus-at-save statistic under `drift/`; a legacy save without one
+    * gets it backfilled from the persisted cells — one corpus scan,
+    * once). A ratio near 1 means the delta looks like the training
+    * corpus; past `driftWarnRatio` the append still lands (it is
+    * CORRECT — every vector is in its nearest frozen cell) but logs a
+    * loud warning: recall at fixed nprobe degrades when the data moves
+    * away from the centroids, and the fix is re-train + rebuild.
+    *
+    * Single-writer, like every persisted-artifact mutator here. Many
+    * small appends accumulate files per cell dir —
+    * [[compactIvfIndex]] rewrites one file per cell. */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, deltaEmb: DataFrame, vecCol: String, idCol: String,
+      driftWarnRatio: Double = 1.5): Double = {
+    import spark.implicits._
+    val (cents, persisted) = loadIvfIndex(spark, path)
+    val baseline = readDriftBaseline(spark, path).getOrElse {
+      val b = meanCellDist(cents,
+        persisted.select(col("id"), col("v"), col("cell")))
+      Seq(b).toDF("mean_dist").coalesce(1)
+        .write.mode(SaveMode.Overwrite).parquet(driftPath(path))
+      b
+    }
+    val delta = ivfAppend(cents, deltaEmb, vecCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val deltaMean = meanCellDist(cents, delta)
+      delta.write.mode(SaveMode.Append).partitionBy("cell")
+        .parquet(path + "/cells")
+      val ratio = if (baseline <= 0.0) 1.0 else deltaMean / baseline
+      if (ratio > driftWarnRatio)
+        java.lang.System.err.println(
+          f"[graft] IVF DRIFT at $path: delta mean cell distance " +
+            f"$deltaMean%.4f vs baseline $baseline%.4f " +
+            f"(${ratio}%.2fx > ${driftWarnRatio}%.2fx) — recall at " +
+            "fixed nprobe degrades; re-train + rebuild the index")
+      ratio
+    } finally delta.unpersist()
+  }
+
+  /** Rewrite the persisted cell table to ONE file per cell (repartition
+    * on the cell id before the partitioned write — the same
+    * one-file-per-bucket discipline as
+    * [[graft.operators.Materialize]]'s state write): appended batches
+    * each leave a file per touched cell, and a long-ingesting index
+    * degrades every probe into a many-small-files listing. Same caller
+    * contract as compactState: run when no concurrent reader/writer of
+    * the index remains (the swap is delete-then-rename).
+    * Centroids and the drift baseline are untouched. */
+  def compactIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val cellsDir = new org.apache.hadoop.fs.Path(path + "/cells")
+    val tmp = new org.apache.hadoop.fs.Path(
+      path + s"/cells_c${System.nanoTime()}")
+    spark.read.parquet(cellsDir.toString)
+      .repartition(col("cell"))
+      .write.partitionBy("cell").parquet(tmp.toString)
+    val fs = cellsDir.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(cellsDir, true)
+    if (!fs.rename(tmp, cellsDir))
+      throw new java.io.IOException(
+        s"compactIvfIndex($path): cannot move compacted cells into place")
   }
 
   /** Persist a PQ index: the coded corpus as parquet under

@@ -324,7 +324,12 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           case _ => None
         }
         if (mapped.exists(_.isEmpty)) None
-        else Some((path, mapped.flatten.toMap, fs))
+        // keep the inner entries too: a Filter BELOW this Project (the
+        // pushed-predicate shape) references pre-Project exprIds, which
+        // the caller must still resolve to dim base columns. Those ids
+        // are invisible ABOVE the Project, so they can never satisfy an
+        // outer reference they shouldn't.
+        else Some((path, inner ++ mapped.flatten.toMap, fs))
       }
     case Filter(c, child) =>
       resolveDimSide(child).map { case (path, inner, fs) =>
@@ -497,17 +502,57 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               }
             case _ => None
           }
+          // dim-side filters: IsNotNull over a join key is semantics-
+          // free under equality matching (any join type). A predicate
+          // over SERVED dim attributes (the dashboard shape "revenue
+          // for segment='BUILDING'", which Catalyst pushes below the
+          // join — converting the LEFT join to INNER on the way) is
+          // servable by RE-APPLYING it on the state's group column
+          // (collected below as dimStateFilters): sound because under
+          // key-equality + unique dim, every fact in a group carries
+          // exactly the group's attribute value. INNER-only — under a
+          // surviving LEFT join a filtered-out dim row NULLs the
+          // fact's attributes instead of dropping the fact, which a
+          // state-side filter cannot reproduce.
+          def servedGroupAttr(baseCol: String): Option[String] =
+            d.dimAttrs.collectFirst { case (served, b) if b == baseCol &&
+              view.groupCols.contains(served) => served }
           (!qj.inner || d.innerSafe) &&
             qj.dimFilters.forall {
               case IsNotNull(a: AttributeReference) =>
-                qj.dimBase.get(a.exprId).exists(d.dimKeys.contains)
-              case _ => false
+                qj.dimBase.get(a.exprId).exists(c =>
+                  d.dimKeys.contains(c) ||
+                    (qj.inner && servedGroupAttr(c).isDefined))
+              case f => qj.inner && f.deterministic &&
+                f.references.toSeq.forall {
+                  case a: AttributeReference => qj.dimBase.get(a.exprId)
+                    .exists(c => servedGroupAttr(c).isDefined)
+                  case _ => false
+                }
             } &&
             pairs.forall(_.isDefined) &&
             pairs.flatten.toSet == d.factKeys.zip(d.dimKeys).toSet
         }
       }.getOrElse(return None)
     }
+    // dim-attribute filter conjuncts vetted above, rewritten onto the
+    // state's group columns (name placeholders; the source build below
+    // remaps names onto state attributes)
+    val dimStateFilters: Seq[Expression] =
+      joins.zip(matchedDims).flatMap { case (qj, d) =>
+        qj.dimFilters.flatMap {
+          case IsNotNull(a: AttributeReference)
+              if qj.dimBase.get(a.exprId).exists(d.dimKeys.contains) =>
+            None // join-key null filter: semantics-free, nothing to apply
+          case f => Some(f.transformUp {
+            case a: AttributeReference =>
+              val base = qj.dimBase(a.exprId)
+              val served = d.dimAttrs
+                .collectFirst { case (s, b) if b == base => s }.get
+              AttributeReference(served, a.dataType)()
+          })
+        }
+      }
     // soundness: every dim-side attribute the query references must be
     // the REGISTERED base column for its name — a query aliasing a
     // different dim column under a served name must refuse, not serve
@@ -804,7 +849,8 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // row) — and the SAME shape serves the rollup case, so emit one
     // form: Aggregate over the (possibly filtered) state keyed by the
     // queried columns
-    val source = residualMapped.get match {
+    val source = (residualMapped.get.toSeq ++ dimStateFilters)
+        .reduceOption(And) match {
       case Some(cond) =>
         // placeholders and plain group references both carry the state
         // column's NAME — remap by name (resolver-matched: a SQL query

@@ -958,6 +958,33 @@ object Pipeline {
       q
     },
 
+    // The FILTERED dashboard shape under the hard oracle: "revenue for
+    // segment = 'BUILDING'" — a dim-ATTRIBUTE predicate the optimizer
+    // pushes below the join (and which null-rejects the join to
+    // INNER); the rewrite re-applies it on the state's group column,
+    // so the whole answer is one filtered state row re-aggregated.
+    // Same in-query pin: state scanned, neither fact nor dim.
+    "q_mv_rewrite_star_filtered" -> { (s, dir) =>
+      import s.implicits._
+      val (base, dimP, mv) = mvStarSetup(s, dir)
+      val dimDf = s.read.parquet(dimP)
+        .select($"c_custkey".as("o_custkey"),
+          $"c_mktsegment".as("segment"))
+      val q = s.read.parquet(base)
+        .join(broadcast(dimDf), Seq("o_custkey"), "inner")
+        .where($"segment" === "BUILDING")
+        .groupBy($"segment")
+        .agg(count(lit(1)).as("cnt"),
+          sum($"price").cast("double").as("sum_price"),
+          min($"price").cast("double").as("min_price"),
+          max($"price").cast("double").as("max_price"))
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(mv) || plan.contains(base) || plan.contains(dimP))
+        throw new IllegalStateException(
+          s"filtered star MV rewrite did not serve from the state:\n$plan")
+      q
+    },
+
     // MV SERVING THROUGH THE SQL FRONT-END under the hard oracle: a
     // Phoenix-dialect user types a plain GROUP BY over a catalog
     // table; the select path registers the table's SERVED snapshot (a
@@ -2629,6 +2656,18 @@ object Pipeline {
         max(n_chars) AS max_n_chars,
         avg(n_chars) AS avg_n_chars
       FROM documents GROUP BY source ORDER BY source""",
+
+    "q_mv_rewrite_star_filtered" -> """
+      SELECT c.c_mktsegment AS segment, count(*) AS cnt,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS sum_price,
+        CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS min_price,
+        CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          AS max_price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+      GROUP BY 1""",
 
     "q_mv_rewrite_rollup" -> """
       SELECT

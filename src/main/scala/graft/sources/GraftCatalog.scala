@@ -476,7 +476,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * stale/absent cache (or a ROW_TIMESTAMP table) falls back to the
     * ordinary [[snapshot]] collapse — always correct, just not
     * rewrite-servable. */
-  def snapshotServed(name: String): DataFrame =
+  def snapshotServed(name: String): DataFrame = {
+    autoRefreshSnapCache(name)
     snapCacheVersion(name) match {
       case Some(v) if !hasRowTimestamp(name) && v == currentVersion(name) =>
         val cache = toLogical(name, spark.read.schema(physSchema(name))
@@ -485,6 +486,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           .select(spec(name).schema.fieldNames.map(col): _*)
       case _ => snapshot(name)
     }
+  }
 
   /** The table's root directory — the stable registration key for
     * [[graft.plans.GraftAggViews]] over catalog tables (the serving
@@ -503,7 +505,26 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * plus the uncompacted tail when a cache exists, the full change log
     * otherwise. TTL-filtered HERE (cache rows keep `_ts`), so a later
     * ALTER SET TTL governs cached rows exactly like logged ones. */
-  private[graft] def servingLog(name: String): DataFrame =
+  /** READ-path auto-refresh (the write-side hook only sees writes THIS
+    * process performs with the property already set): a table whose
+    * SNAPSHOT_CACHE_BATCHES threshold is exceeded by the uncached tail
+    * rebuilds the cache once at the next read, so subsequent reads scan
+    * cache + empty tail instead of re-collapsing an ever-growing tail
+    * forever. The probe is O(1) (version-counter file + cache dir
+    * listing); single-writer contract, like every cache mutation. */
+  private def autoRefreshSnapCache(name: String): Unit =
+    spec(name).props.collectFirst {
+      case (k, v) if k.equalsIgnoreCase("SNAPSHOT_CACHE_BATCHES") => v
+    }.flatMap(v => scala.util.Try(v.toLong).toOption).filter(_ > 0)
+      .foreach { n =>
+        if (!hasRowTimestamp(name) &&
+            currentVersion(name) -
+              snapCacheVersion(name).getOrElse(-1L) >= n)
+          refreshSnapshotCache(name)
+      }
+
+  private[graft] def servingLog(name: String): DataFrame = {
+    autoRefreshSnapCache(name)
     snapCacheVersion(name) match {
       case Some(v) if !hasRowTimestamp(name) =>
         val cache = toLogical(name,
@@ -514,6 +535,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             .where(col("_version") > v)))
       case _ => changeLog(name)
     }
+  }
 
   /** Snapshot with view-extension columns included (what views read).
     *

@@ -526,6 +526,88 @@ object EventStreams {
       }
   }
 
+  /** One served ANN result row: a query's rank-ordered neighbor. */
+  case class AnnMatch(qid: Long, id: Long, sim: Double)
+
+  /** One entry of a query's bounded best-k. */
+  case class AnnTop(id: Long, sim: Double)
+
+  /** Bounded per-query top-k state: the query's event-time (seal
+    * point) and its current best-k (sim desc, id asc). */
+  case class AnnTopKState(tsMs: Long, top: List[AnnTop])
+
+  /** Streaming ANN with IN-STREAM per-query top-k: the
+    * [[annCandidatesStream]] soft-probe (two nearest cells,
+    * stream-static equi-join, exact cosine — per-batch cost is the
+    * probed cells' share of the corpus) feeding a BOUNDED per-query
+    * heap via flatMapGroupsWithState — the serving shape, where the
+    * sink receives final ranked neighbors instead of raw candidates it
+    * must re-sort. State is O(active queries × k): each query keeps
+    * only its best k (merged incrementally, so a replayed or
+    * re-probed candidate folds idempotently), and emission is
+    * WATERMARK-GATED on the query's event time (the sessionize
+    * pattern) — a query's top-k emits exactly once, after no on-time
+    * probe of that query can still arrive, then leaves the store.
+    * @param queries streaming (qid, qv, ts) rows; ts drives the
+    *                watermark gate
+    * @param cells   persisted (id, v, cell) assignment table
+    * @return rank-complete [[AnnMatch]] rows per sealed query */
+  def annTopKStream(queries: DataFrame,
+      centroids: Array[(Int, Array[Double])], cells: DataFrame, k: Int,
+      minSim: Double = 0.0, watermark: String = "2 hours")
+      : Dataset[AnnMatch] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerKernels(spark)
+    require(k > 0, s"k must be positive, got $k")
+    val dim = centroids.head._2.length
+    val flat = centroids.sortBy(_._1).flatMap(_._2).toSeq
+    def better(a: (Long, Double), b: (Long, Double)): Boolean =
+      a._2 > b._2 || (a._2 == b._2 && a._1 < b._1)
+    queries.toDF("qid", "qv", "ts")
+      .where(col("qid").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", watermark)
+      .select(col("qid"), col("ts"), col("qv"),
+        explode(call_function("ivf_cells",
+          col("qv"), typedlit(flat), lit(dim))).as("cell"))
+      .join(cells, Seq("cell"))
+      .withColumn("sim",
+        call_function("cosine_sim", col("qv"), col("v")))
+      .where(col("sim") >= minSim && !isnan(col("sim")) &&
+        col("qid") =!= col("id"))
+      .select(col("qid"), col("ts"), col("id"), col("sim"))
+      .as[(Long, java.sql.Timestamp, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[AnnTopKState, AnnMatch](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (qid: Long,
+         rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+         state: GroupState[AnnTopKState]) =>
+          val prev = state.getOption.getOrElse(AnnTopKState(0L, Nil))
+          var tsMs = prev.tsMs
+          // merge-by-id (a candidate can re-arrive on replay), then
+          // keep the best k — bounded work per trigger, bounded state
+          val byId = scala.collection.mutable.HashMap
+            .from(prev.top.map(t => t.id -> t.sim))
+          rows.foreach { case (_, ts, id, sim) =>
+            tsMs = math.max(tsMs, ts.getTime)
+            if (byId.get(id).forall(_ < sim)) byId(id) = sim
+          }
+          val top = byId.toList
+            .sortWith((a, b) => better(a, b)).take(k)
+            .map { case (id, sim) => AnnTop(id, sim) }
+          val wm = state.getCurrentWatermarkMs()
+          if (tsMs < wm) { // sealed: no on-time probe can still arrive
+            if (state.exists) state.remove()
+            top.map(t => AnnMatch(qid, t.id, t.sim)).iterator
+          } else {
+            state.update(AnnTopKState(tsMs, top))
+            state.setTimeoutTimestamp(math.max(tsMs + 1, wm + 1))
+            Iterator.empty
+          }
+      }
+  }
+
   /** Stream-stream inner join with watermarks and a time-range condition
     * (e.g. attribute each right-side event to the left-side event it
     * follows within `window`). The range bound plus the watermarks let

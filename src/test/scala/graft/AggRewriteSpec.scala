@@ -352,10 +352,35 @@ class AggRewriteSpec extends AnyFunSuite {
       assert(q.queryExecution.executedPlan.toString.contains(stateName),
         "innerSafe must serve the inner join:\n" +
           q.queryExecution.executedPlan)
-      spark.conf.set(GraftAggViews.DisabledConf, "true")
-      val want = try q.collect().map(_.toSeq).toSet
+      def baseline(df: => org.apache.spark.sql.DataFrame) = {
+        spark.conf.set(GraftAggViews.DisabledConf, "true")
+        try df.collect().map(_.toSeq).toSet
         finally spark.conf.unset(GraftAggViews.DisabledConf)
-      assert(q.collect().map(_.toSeq).toSet == want)
+      }
+      assert(q.collect().map(_.toSeq).toSet == baseline(q))
+      // dim-ATTRIBUTE filter written BELOW the join (the shape predicate
+      // pushdown produces): served by re-applying the predicate on the
+      // state's group column — "revenue for segment='red'"
+      def qf = spark.read.parquet(base)
+        .join(broadcast(dimDf.where($"segment" === "red")),
+          Seq("fk"), "inner")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+      assert(qf.queryExecution.executedPlan.toString.contains(stateName),
+        "a served-attribute dim filter must serve from state:\n" +
+          qf.queryExecution.executedPlan)
+      assert(qf.collect().map(_.toSeq).toSet == baseline(qf) &&
+        qf.collect().head.getLong(0) == 2L)
+      // a filter over a dim column the state does NOT group by cannot
+      // be re-applied — must refuse (and stay correct off the fact)
+      def qn = spark.read.parquet(base)
+        .join(broadcast(spark.read.parquet(dimPath)
+            .where($"c_k" > 1L)
+            .select(col("c_k").as("fk"), col("c_seg").as("segment"))),
+          Seq("fk"), "inner")
+        .groupBy($"segment").agg(sum($"x").as("sx"))
+      assert(!qn.queryExecution.executedPlan.toString.contains(stateName),
+        "a non-served dim filter must refuse")
+      assert(qn.collect().map(_.toSeq).toSet == baseline(qn))
     } finally GraftAggViews.drop(base)
   }
 

@@ -1529,6 +1529,43 @@ class CatalogSpec extends AnyFunSuite {
     assert(keys == Set(1L, 2L))
   }
 
+  test("snapshot cache READ-path auto-refresh: a read past the tail " +
+      "threshold rebuilds the cache once; subsequent reads scan cache " +
+      "+ empty tail") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    // no property yet: writes cannot trigger the write-side hook
+    cat.createTable("rc", StructType(Seq(
+      StructField("k", LongType), StructField("x", LongType))),
+      pk = Seq("k"))
+    cat.upsert("rc", Seq((1L, 1L)).toDF("k", "x"))   // v0
+    cat.refreshSnapshotCache("rc")                    // cache @ v0
+    cat.upsert("rc", Seq((2L, 2L)).toDF("k", "x"))   // v1 (tail 1)
+    cat.upsert("rc", Seq((1L, 11L)).toDF("k", "x"))  // v2 (tail 2)
+    assert(cat.snapCacheVersion("rc").contains(0L))
+    // below a threshold of 3 the read leaves the cache alone
+    cat.alterSetProps("rc", Map("SNAPSHOT_CACHE_BATCHES" -> "3"))
+    assert(cat.snapshot("rc").count() == 2)
+    assert(cat.snapCacheVersion("rc").contains(0L),
+      "below threshold: the read must not rebuild")
+    // lowering the threshold puts the existing tail past it — the NEXT
+    // READ (no write involved) rebuilds exactly once
+    cat.alterSetProps("rc", Map("SNAPSHOT_CACHE_BATCHES" -> "2"))
+    val rows = cat.snapshot("rc").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 11L), (2L, 2L)))
+    assert(cat.snapCacheVersion("rc").contains(2L),
+      "read past threshold must rebuild the cache at the high-water mark")
+    // subsequent reads: cache + EMPTY tail (the pushed bound excludes
+    // every file), and the served snapshot is now a pure cache scan
+    val plan = cat.snapshot("rc").queryExecution.executedPlan.toString
+    assert(plan.contains("_snapcache/v2"), s"must scan the new cache:\n$plan")
+    val served = cat.snapshotServed("rc").queryExecution
+      .executedPlan.toString
+    assert(served.contains("_snapcache/v2") && !served.contains("/data"),
+      s"fresh cache must serve as a pure scan:\n$served")
+  }
+
   test("IVM extremum gate: non-extremal retractions fold with ZERO " +
       "base-history access; extremum-losing ones recompute only " +
       "affected-PK history (LeftSemi below the collapse aggregate)") {
@@ -2459,6 +2496,60 @@ class CatalogSpec extends AnyFunSuite {
       val bridged = all.find(s => s.user_id == 3L).get
       assert(bridged.session_start == hours(12.0) &&
         bridged.session_end == hours(13.0))
+    } finally q.stop()
+  }
+
+  test("streaming ANN top-k: watermark-gated per-query heap emits " +
+      "exactly the batch two-cell-probe top-k, once, after sealing") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val (cents, assigned) =
+      Similarity.ivfIndex(emb, "embedding", "vec_id", nlist = 8)
+    val cells = assigned.localCheckpoint()
+    def hours(h: Double) = new java.sql.Timestamp((h * 3600000L).toLong)
+    val qDir = java.nio.file.Files.createTempDirectory("graft_ann_topk")
+    def qrows(ids: Seq[Long], ts: java.sql.Timestamp) =
+      emb.where(col("vec_id").isInCollection(ids))
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          lit(ts).as("ts"))
+    qrows(Seq(3L, 7L), hours(10.0)).repartition(1)
+      .write.parquet(s"$qDir/b1")
+    // batch 2 carries one more query and the flush row whose late ts
+    // pushes the watermark past every real query's seal point
+    qrows(Seq(11L), hours(10.5))
+      .unionByName(emb.where(col("vec_id") === 0L)
+        .select(lit(999L).as("qid"), col("embedding").as("qv"),
+          lit(hours(20.0)).as("ts")))
+      .repartition(1).write.parquet(s"$qDir/b2")
+    val schema = qrows(Seq(3L), hours(10.0)).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$qDir/*")
+    val q = EventStreams.annTopKStream(src, cents, cells, k = 5,
+        watermark = "1 hour")
+      .writeStream.format("memory").queryName("ann_topk_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.sql("SELECT * FROM ann_topk_out")
+        .as[EventStreams.AnnMatch].collect()
+        .groupBy(_.qid).map { case (qid, ms) =>
+          qid -> ms.sortBy(m => (-m.sim, m.id)).map(_.id).toSeq }
+      // the flush query (999) is unsealed — pending state, no emission
+      assert(got.keySet == Set(3L, 7L, 11L), s"sealed set: ${got.keySet}")
+      // batch comparator: the SAME two-cell probe (annCandidatesStream
+      // is plain DataFrame ops), ranked per query
+      val batch = EventStreams.annCandidatesStream(
+          qrows(Seq(3L, 7L, 11L), hours(10.0))
+            .select(col("qid"), col("qv")), cents, cells)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (qid, cs) =>
+          qid -> cs.sortBy(c => (-c._3, c._2)).take(5).map(_._2).toSeq }
+      assert(got == batch, s"stream $got vs batch $batch")
+      // exactly-once: a further empty pass adds nothing
+      q.processAllAvailable()
+      assert(spark.sql("SELECT * FROM ann_topk_out").count() ==
+        got.values.map(_.size).sum)
     } finally q.stop()
   }
 

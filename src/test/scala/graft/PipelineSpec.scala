@@ -121,6 +121,57 @@ class PipelineSpec extends AnyFunSuite {
       assert(math.abs(a - b) < 1e-9) }
   }
 
+  test("appendIvfIndex: batches land INSIDE the persisted cell dirs, " +
+      "search equals brute force, drift signals, compaction one-files") {
+    val emb = Tables.t(spark, dir, "embeddings")
+    val corpus = emb.where(col("vec_id") >= 50)
+    val (centroids, assigned) =
+      Similarity.ivfIndex(corpus, "embedding", "vec_id", nlist = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_append").toString
+    Similarity.saveIvfIndex(path, centroids, assigned)
+    // two ingest batches, written INTO the index (no caller-side union)
+    val r1 = Similarity.appendIvfIndex(spark, path,
+      emb.where(col("vec_id") < 25), "embedding", "vec_id")
+    val r2 = Similarity.appendIvfIndex(spark, path,
+      emb.where(col("vec_id") >= 25 && col("vec_id") < 50),
+      "embedding", "vec_id")
+    // in-distribution deltas: drift ratio near 1 (same generator)
+    assert(r1 < 1.5 && r2 < 1.5, s"unexpected drift: $r1 / $r2")
+    // the reloaded index IS the full corpus: all-probe search == brute
+    val (cents2, all) = Similarity.loadIvfIndex(spark, path)
+    assert(all.count() == emb.count())
+    def searchIds() = Similarity.ivfTopK(cents2, all, 7L, 12,
+        nprobe = cents2.length)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.cosineTopK(emb, "embedding", "vec_id", 7L, 12)
+      .collect().map(_.getLong(0)).toSeq
+    assert(searchIds() == brute)
+    // an OUT-of-distribution delta trips the drift warning ratio
+    import spark.implicits._
+    val far = (1000L to 1019L).map(i =>
+      (i, Array.fill(64)(if (i % 2 == 0) 40.0f else -40.0f)
+        .zipWithIndex.map { case (v, d) => v * (d + 1) })).toDF(
+      "vec_id", "embedding")
+    val r3 = Similarity.appendIvfIndex(spark, path, far,
+      "embedding", "vec_id")
+    assert(r3 > 1.5, s"far-off delta must read as drift, got $r3")
+    // compaction: one file per cell dir, results unchanged
+    Similarity.compactIvfIndex(spark, path)
+    val cellDirs = Option(new java.io.File(s"$path/cells").listFiles())
+      .toSeq.flatten.filter(f => f.isDirectory &&
+        f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { d =>
+      val parts = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts == 1, s"${d.getName} holds $parts files after compact")
+    }
+    val (cents3, all3) = Similarity.loadIvfIndex(spark, path)
+    assert(Similarity.ivfTopK(cents3, all3, 7L, 12,
+        nprobe = cents3.length)
+      .collect().map(_.getLong(0)).toSeq == brute)
+  }
+
   test("PQ codes: 32x compression, deterministic, ADC recall vs exact") {
     val emb = Tables.t(spark, dir, "embeddings")
     val n = emb.count().toInt
