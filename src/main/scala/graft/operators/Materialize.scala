@@ -156,12 +156,22 @@ object Materialize {
     * @param keys  fact-FK column -> dim-key column pairs
     * @param attrs dim attribute columns exposed on the derived rows
     */
+  /** A derive whose dimension content can be FINGERPRINTED — the hook
+    * the build/refresh stability gate keys on. [[StarDerive]] is the
+    * one-dim form; [[StarDerives]] composes several (snowflake /
+    * multi-dim MVs) with per-dim fingerprints. */
+  sealed trait EnforcedDerive extends (DataFrame => DataFrame) {
+    private[graft] def fingerprints(): Seq[Long]
+    private[graft] def pinOf: String
+    private[graft] def rebuildOnDimChangeOf: Boolean
+  }
+
   final case class StarDerive(
       dim: DataFrame,
       keys: Seq[(String, String)],
       attrs: Seq[String],
       rebuildOnDimChange: Boolean = false,
-      pin: String = "") extends (DataFrame => DataFrame) {
+      pin: String = "") extends EnforcedDerive {
     require(keys.nonEmpty, "StarDerive needs at least one join key")
     require(attrs.nonEmpty, "StarDerive needs at least one attribute")
 
@@ -194,6 +204,30 @@ object Materialize {
           "row-preserving 1:1 contract")
       r.getLong(0)
     }
+
+    private[graft] def fingerprints(): Seq[Long] = Seq(fingerprint())
+    private[graft] def pinOf: String = pin
+    private[graft] def rebuildOnDimChangeOf: Boolean = rebuildOnDimChange
+  }
+
+  /** Several [[StarDerive]]s composed in order — the multi-dimension /
+    * snowflake MV shape (`fact ⋈ dim1 ⋈ dim2 ...` with groups drawn
+    * from several dims' attributes). Enforcement composes too: the
+    * meta carries ONE fingerprint PER dim, so a refresh pinpoints
+    * which dimension churned, and a later derive may join on an
+    * attribute an earlier one produced (a snowflake chain) because
+    * application order is the declaration order. `rebuildOnDimChange`
+    * is a property of the composition (any changed dim ⇒ rebuild). */
+  final case class StarDerives(derives: Seq[StarDerive],
+      rebuildOnDimChange: Boolean = false) extends EnforcedDerive {
+    require(derives.nonEmpty, "StarDerives needs at least one derive")
+    def apply(df: DataFrame): DataFrame =
+      derives.foldLeft(df)((d, sd) => sd(d))
+    private[graft] def fingerprints(): Seq[Long] =
+      derives.map(_.fingerprint())
+    private[graft] def pinOf: String =
+      derives.map(_.pin).filter(_.nonEmpty).mkString(";")
+    private[graft] def rebuildOnDimChangeOf: Boolean = rebuildOnDimChange
   }
 
   object StarDerive {
@@ -211,9 +245,9 @@ object Materialize {
         rebuildOnDimChange, pin = s"$dimTable@v$asOfVersion")
   }
 
-  private def dimFpOf(meta: org.apache.spark.sql.Row): Option[Long] =
-    if (!meta.schema.fieldNames.contains("dim_fp")) None
-    else meta.getSeq[Long](meta.fieldIndex("dim_fp")).headOption
+  private def dimFpsOf(meta: org.apache.spark.sql.Row): Seq[Long] =
+    if (!meta.schema.fieldNames.contains("dim_fp")) Seq.empty
+    else meta.getSeq[Long](meta.fieldIndex("dim_fp"))
 
   private def dimPinOf(meta: org.apache.spark.sql.Row): String =
     if (!meta.schema.fieldNames.contains("dim_pin")) ""
@@ -353,7 +387,7 @@ object Materialize {
     // enforces the key-uniqueness half of the contract right here);
     // refresh re-checks it before any fold (see there)
     val (dimFp, dimPin) = derive match {
-      case sd: StarDerive => (Seq(sd.fingerprint()), sd.pin)
+      case ed: EnforcedDerive => (ed.fingerprints(), ed.pinOf)
       case _ => (Seq.empty[Long], "")
     }
     val agg = aggregate(
@@ -443,7 +477,7 @@ object Materialize {
       path: String): Unit = {
     val spark = cat.changeLog(table).sparkSession
     val meta = spark.read.parquet(s"$path/meta").head()
-    require(dimFpOf(meta).isEmpty,
+    require(dimFpsOf(meta).isEmpty,
       s"MV at $path was built with a StarDerive: its groups are dim " +
         "attributes the table scan cannot answer — register a " +
         "DimJoinDef-bearing AggViewDef explicitly instead")
@@ -505,7 +539,7 @@ object Materialize {
       grainsOf(meta), sketchesOf(meta), buckets, bucketDirs,
       grainTz = if (f.contains("grain_tz"))
         Some(meta.getAs[String]("grain_tz")) else None,
-      dimFp = dimFpOf(meta).toSeq, dimPin = dimPinOf(meta))
+      dimFp = dimFpsOf(meta), dimPin = dimPinOf(meta))
     vacuum(spark, path)
   }
 
@@ -636,33 +670,39 @@ object Materialize {
     // and a fingerprinted state refuses a bare-function refresh rather
     // than silently dropping the enforcement it was built with.
     derive match {
-      case sd: StarDerive => dimFpOf(meta) match {
-        case None => throw new IllegalStateException(
+      case ed: EnforcedDerive =>
+        val stamped = dimFpsOf(meta)
+        if (stamped.isEmpty) throw new IllegalStateException(
           "this MV state was built without a dim fingerprint (bare " +
-            "derive function); rebuild with the StarDerive to enable " +
-            "dim-stability enforcement")
-        case Some(fp) =>
-          val cur = sd.fingerprint()
-          if (cur != fp) {
-            if (sd.rebuildOnDimChange)
-              return build(cat, table, groupCols, measures, path,
-                grains, sketches, bucketsOf(meta), derive)
-            val pin = dimPinOf(meta)
-            throw new IllegalStateException(
-              s"dim changed since this MV was built (fingerprint $fp " +
-                s"-> $cur${if (pin.nonEmpty) s", pinned $pin" else ""})" +
-                ": rebuild required — an incremental refresh would " +
-                "fold retraction pre-images into the NEW dim value's " +
-                "group while the state holds the old. Rebuild with " +
-                "Materialize.build, pass rebuildOnDimChange = true, " +
-                "or pin the dim version (StarDerive.pinned)")
-          }
-      }
-      case _ if dimFpOf(meta).isDefined =>
+            "derive function); rebuild with the StarDerive(s) to " +
+            "enable dim-stability enforcement")
+        val cur = ed.fingerprints()
+        if (cur != stamped) {
+          if (ed.rebuildOnDimChangeOf)
+            return build(cat, table, groupCols, measures, path,
+              grains, sketches, bucketsOf(meta), derive)
+          val pin = dimPinOf(meta)
+          val which =
+            if (stamped.size == cur.size)
+              stamped.zip(cur).zipWithIndex
+                .collect { case ((a, b), i) if a != b => i }
+                .mkString("dim(s) ", ",", " of")
+            else "the dim set of"
+          throw new IllegalStateException(
+            s"dim changed since this MV was built ($which fingerprints " +
+              s"$stamped -> $cur" +
+              s"${if (pin.nonEmpty) s", pinned $pin" else ""})" +
+              ": rebuild required — an incremental refresh would " +
+              "fold retraction pre-images into the NEW dim value's " +
+              "group while the state holds the old. Rebuild with " +
+              "Materialize.build, pass rebuildOnDimChange = true, " +
+              "or pin the dim version (StarDerive.pinned)")
+        }
+      case _ if dimFpsOf(meta).nonEmpty =>
         throw new IllegalStateException(
           "this MV state was built with a StarDerive dim fingerprint; " +
-            "pass the StarDerive to refresh so dim stability can be " +
-            "verified (a bare function would bypass the gate)")
+            "pass the StarDerive(s) to refresh so dim stability can " +
+            "be verified (a bare function would bypass the gate)")
       case _ => ()
     }
     val aliveNow: Column = nowCut
@@ -919,7 +959,7 @@ object Materialize {
       }
     writeMeta(spark, path, newV, groupCols, measures, nowMs, newDir,
       ttl.getOrElse(-1L), grains, sketches, buckets, newBucketDirs,
-      dimFp = dimFpOf(meta).toSeq, dimPin = dimPinOf(meta))
+      dimFp = dimFpsOf(meta), dimPin = dimPinOf(meta))
     newV
   }
 

@@ -799,12 +799,21 @@ object Similarity {
     * loud warning: recall at fixed nprobe degrades when the data moves
     * away from the centroids, and the fix is re-train + rebuild.
     *
+    * `dedupeIds = true` makes the append IDEMPOTENT: delta ids already
+    * present in the index are dropped before the write (an anti-join
+    * against ONLY the delta's own cells — partition pruning keeps the
+    * probe touched-cells-sized, so the append stays O(delta + touched
+    * cells), never O(corpus)). That is what makes a REPLAYED ingest
+    * batch safe ([[graft.streaming.EventStreams.maintainIvfIndex]]
+    * turns it on): a blind re-append would double every replayed
+    * vector in its cell.
+    *
     * Single-writer, like every persisted-artifact mutator here. Many
     * small appends accumulate files per cell dir —
     * [[compactIvfIndex]] rewrites one file per cell. */
   def appendIvfIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, deltaEmb: DataFrame, vecCol: String, idCol: String,
-      driftWarnRatio: Double = 1.5): Double = {
+      driftWarnRatio: Double = 1.5, dedupeIds: Boolean = false): Double = {
     import spark.implicits._
     val (cents, persisted) = loadIvfIndex(spark, path)
     val baseline = readDriftBaseline(spark, path).getOrElse {
@@ -814,8 +823,18 @@ object Similarity {
         .write.mode(SaveMode.Overwrite).parquet(driftPath(path))
       b
     }
-    val delta = ivfAppend(cents, deltaEmb, vecCol, idCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assignedDelta = ivfAppend(cents, deltaEmb, vecCol, idCol)
+    val delta = (if (!dedupeIds) assignedDelta else {
+      // prune to the delta's own cells FIRST (driver-collected cell
+      // set: bounded by nlist) so the existing-id probe reads only the
+      // touched `cell=` partition dirs
+      val touched = assignedDelta.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val existing = persisted
+        .where(col("cell").isInCollection(touched))
+        .select(col("id"))
+      assignedDelta.join(existing, Seq("id"), "left_anti")
+    }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val deltaMean = meanCellDist(cents, delta)
       delta.write.mode(SaveMode.Append).partitionBy("cell")

@@ -899,6 +899,58 @@ object Pipeline {
         .orderBy($"segment")
     },
 
+    // SNOWFLAKE (multi-dim chained) IVM under the hard oracle: the MV
+    // groups order facts by TWO chained dimensions' attributes —
+    // customer segment, then NATION NAME reached THROUGH the customer
+    // dim (the second StarDerive joins on `cnation`, a column the
+    // first derive produced: the snowflake chain StarDerives exists
+    // for). Per-dim fingerprints ride the meta, so churn in either
+    // dim would refuse the refresh instead of mis-grouping. (The
+    // lineitem table is NOT usable as this fact: the fixture has
+    // duplicate (l_orderkey, l_linenumber) pairs — the round-11
+    // q_first_last_value finding — so a PK ingest dedupes rows the
+    // oracle keeps.) Oracle: the chained join-then-aggregate.
+    "q_ivm_star_multi" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType}
+      val wh = ivmWarehouse(dir)
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      cat.createTable("fm", StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_custkey", LongType),
+        StructField("price", DecimalType(18, 2)))), pk = Seq("o_orderkey"))
+      val orders = Tables.t(s, dir, "orders")
+        .select($"o_orderkey", $"o_custkey",
+          $"o_totalprice".cast("decimal(18,2)").as("price"))
+      val slice = orders.where($"o_orderkey" % 16 >= 14)
+      val derive = graft.operators.Materialize.StarDerives(Seq(
+        graft.operators.Materialize.StarDerive(
+          Tables.t(s, dir, "customer")
+            .select($"c_custkey", $"c_mktsegment".as("segment"),
+              $"c_nationkey".as("cnation")),
+          Seq("o_custkey" -> "c_custkey"), Seq("segment", "cnation")),
+        graft.operators.Materialize.StarDerive(
+          Tables.t(s, dir, "nation")
+            .select($"n_nationkey", $"n_name".as("nation_name")),
+          Seq("cnation" -> "n_nationkey"), Seq("nation_name"))))
+      cat.upsert("fm", slice.where($"o_orderkey" % 16 === 14))
+      val mv = wh + "/mvmulti"
+      graft.operators.Materialize.build(cat, "fm",
+        Seq("segment", "nation_name"), Seq("price"), mv, buckets = 16,
+        derive = derive)
+      cat.upsert("fm", slice.where($"o_orderkey" % 16 === 15))
+      cat.upsert("fm", slice.where($"o_orderkey" % 50 === 30)
+        .withColumn("price", ($"price" + 19).cast("decimal(18,2)")))
+      cat.delete("fm", $"o_custkey" % 6 === 1)
+      graft.operators.Materialize.refresh(cat, "fm", mv, derive = derive)
+      graft.operators.Materialize.read(s, mv)
+        .select($"segment", $"nation_name", $"cnt",
+          $"sum_price".cast("double").as("sum_price"),
+          $"min_price".cast("double").as("min_price"),
+          $"max_price".cast("double").as("max_price"))
+        .orderBy($"segment", $"nation_name")
+    },
+
     // The MV-selection rewrite UNDER THE HARD ORACLE: persist a fact
     // table, build the typed aggregate state, register it, and run a
     // plain fact-table aggregate — AggRewriteRule must swap the scan
@@ -2648,6 +2700,24 @@ object Pipeline {
           AS max_price
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1 ORDER BY 1""",
+
+    "q_ivm_star_multi" -> """
+      WITH final AS (
+        SELECT o_orderkey, o_custkey,
+          CASE WHEN o_orderkey % 50 = 30
+            THEN CAST(o_totalprice AS DECIMAL(18,2)) + 19
+            ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS price
+        FROM orders
+        WHERE o_orderkey % 16 >= 14 AND o_custkey % 6 <> 1)
+      SELECT c.c_mktsegment AS segment, n.n_name AS nation_name,
+        count(*) AS cnt,
+        CAST(sum(f.price) AS DOUBLE) AS sum_price,
+        CAST(min(f.price) AS DOUBLE) AS min_price,
+        CAST(max(f.price) AS DOUBLE) AS max_price
+      FROM final f
+      LEFT JOIN customer c ON f.o_custkey = c.c_custkey
+      LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_mv_rewrite_sql" -> """
       SELECT source, count(*) AS cnt,

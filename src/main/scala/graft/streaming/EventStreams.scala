@@ -526,6 +526,30 @@ object EventStreams {
       }
   }
 
+  /** Maintain a persisted IVF index FROM A STREAM of (id, vector)
+    * rows: each micro-batch appends into the index's cell partitions
+    * via [[graft.operators.Similarity.appendIvfIndex]] with
+    * `dedupeIds = true`, so a REPLAYED batch folds idempotently (the
+    * already-present ids anti-join away against only the touched
+    * cells) — the ANN analog of [[maintainAggregate]]'s self-healing
+    * upsert+refresh loop, closing the ingest triple: stream →
+    * maintained index → [[annTopKStream]] serving. The per-batch
+    * drift ratio rides the index's persisted baseline; past
+    * `driftWarnRatio` the batch still lands but logs the re-train
+    * warning. Build + [[graft.operators.Similarity.saveIvfIndex]]
+    * FIRST; single maintainer per index path. Run
+    * [[graft.operators.Similarity.compactIvfIndex]] periodically —
+    * each batch leaves a file per touched cell. */
+  def maintainIvfIndex(stream: DataFrame, path: String,
+      vecCol: String, idCol: String, driftWarnRatio: Double = 1.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      graft.operators.Similarity.appendIvfIndex(b.sparkSession, path,
+        b, vecCol, idCol, driftWarnRatio, dedupeIds = true)
+      ()
+    }
+
   /** One served ANN result row: a query's rank-ordered neighbor. */
   case class AnnMatch(qid: Long, id: Long, sim: Double)
 

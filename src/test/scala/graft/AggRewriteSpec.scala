@@ -384,6 +384,76 @@ class AggRewriteSpec extends AnyFunSuite {
     } finally GraftAggViews.drop(base)
   }
 
+  test("agg rewrite: a MULTI-DIM star view serves two-join queries " +
+      "and single-join rollups from the same state") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_mdim").toString
+    val base = s"$dir/fact"
+    val d1P = s"$dir/d1"
+    val d2P = s"$dir/d2"
+    val statePath = s"$dir/state"
+    Seq((1L, 1L, 10L, 1L), (2L, 2L, 20L, 2L), (3L, 1L, 20L, 4L),
+      (4L, 2L, 10L, 8L))
+      .toDF("k", "f1", "f2", "x").write.mode("overwrite").parquet(base)
+    Seq((1L, "red"), (2L, "blue")).toDF("d1k", "color")
+      .write.mode("overwrite").parquet(d1P)
+    Seq((10L, "big"), (20L, "small")).toDF("d2k", "size")
+      .write.mode("overwrite").parquet(d2P)
+    def dim1 = spark.read.parquet(d1P)
+      .select(col("d1k").as("f1"), col("color"))
+    def dim2 = spark.read.parquet(d2P)
+      .select(col("d2k").as("f2"), col("size"))
+    def joined = spark.read.parquet(base)
+      .join(broadcast(dim1), Seq("f1"), "left")
+      .join(broadcast(dim2), Seq("f2"), "left")
+    Materialize.aggregate(joined, Seq("color", "size"), Seq("x"))
+      .write.mode("overwrite").parquet(statePath)
+    GraftAggViews.register(base,
+      GraftAggViews.AggViewDef(statePath, Seq("color", "size"), Seq("x"),
+        dims = Seq(
+          GraftAggViews.DimJoinDef(d1P, factKeys = Seq("f1"),
+            dimKeys = Seq("d1k"), dimAttrs = Map("color" -> "color")),
+          GraftAggViews.DimJoinDef(d2P, factKeys = Seq("f2"),
+            dimKeys = Seq("d2k"), dimAttrs = Map("size" -> "size")))))
+    val stateName = new java.io.File(statePath).getName
+    def servedBy(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains(stateName)
+    def baseline(df: => org.apache.spark.sql.DataFrame) = {
+      spark.conf.set(GraftAggViews.DisabledConf, "true")
+      try df.collect().map(_.toSeq).toSet
+      finally spark.conf.unset(GraftAggViews.DisabledConf)
+    }
+    try {
+      // both dims joined, both attributes grouped
+      def q = joined.groupBy($"color", $"size")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+      assert(servedBy(q), "two-dim star query must serve:\n" +
+        q.queryExecution.executedPlan)
+      assert(q.collect().map(_.toSeq).toSet == baseline(q))
+      // a SUBSET of the dims joined: the unreferenced dim's attribute
+      // rolls up (sums of sums across size)
+      def q1 = spark.read.parquet(base)
+        .join(broadcast(dim1), Seq("f1"), "left")
+        .groupBy($"color").agg(sum($"x").as("sx"))
+      assert(servedBy(q1), "single-dim rollup must serve:\n" +
+        q1.queryExecution.executedPlan)
+      assert(q1.collect().map(_.toSeq).toSet == baseline(q1))
+      // a join against an UNREGISTERED, row-MULTIPLYING side must
+      // refuse (a provably row-preserving unreferenced join is
+      // eliminated by Catalyst before the rule — that serve is sound)
+      val zP = s"$dir/z"
+      Seq((1L, "z1"), (1L, "z2")).toDF("zk", "zz")
+        .write.mode("overwrite").parquet(zP)
+      def qx = joined.join(
+          broadcast(spark.read.parquet(zP).select(col("zk").as("f1"),
+            col("zz"))), Seq("f1"), "left")
+        .groupBy($"color").agg(sum($"x").as("sx"))
+      assert(!servedBy(qx), "an unregistered multiplying join must refuse")
+      assert(qx.collect().map(_.toSeq).toSet == baseline(qx))
+    } finally GraftAggViews.drop(base)
+  }
+
   test("agg rewrite: decimal sums serve exactly; decimal avg refuses") {
     import spark.implicits._
     val base = java.nio.file.Files

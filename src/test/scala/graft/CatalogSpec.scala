@@ -1124,6 +1124,98 @@ class CatalogSpec extends AnyFunSuite {
       ex.getMessage.contains(s"dim@v$v0"))
   }
 
+  test("StarDerives (multi-dim): groups drawn from two dims fold " +
+      "exactly; churn in EITHER dim refuses with the dim pinpointed") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    import graft.operators.Materialize.{StarDerive, StarDerives}
+    val cat = freshCatalog()
+    cat.createTable("fact", StructType(Seq(
+      StructField("k", LongType), StructField("f1", LongType),
+      StructField("f2", LongType), StructField("x", LongType))),
+      pk = Seq("k"))
+    cat.createTable("d1", StructType(Seq(
+      StructField("dk", LongType), StructField("color", StringType))),
+      pk = Seq("dk"))
+    cat.createTable("d2", StructType(Seq(
+      StructField("dk", LongType), StructField("size", StringType))),
+      pk = Seq("dk"))
+    cat.upsert("d1", Seq((1L, "red"), (2L, "blue")).toDF("dk", "color"))
+    cat.upsert("d2", Seq((10L, "big"), (20L, "small")).toDF("dk", "size"))
+    def derive = StarDerives(Seq(
+      StarDerive(cat.snapshot("d1"), Seq("f1" -> "dk"), Seq("color")),
+      StarDerive(cat.snapshot("d2"), Seq("f2" -> "dk"), Seq("size"))))
+    cat.upsert("fact", Seq((1L, 1L, 10L, 1L), (2L, 2L, 20L, 2L),
+      (3L, 1L, 20L, 4L), (4L, 2L, 10L, 8L)).toDF("k", "f1", "f2", "x"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivm_mdim").toString
+    def expected = Materialize.aggregate(
+        derive(cat.snapshot("fact")), Seq("color", "size"), Seq("x"))
+      .collect().map(_.toSeq).toSet
+    def actual = Materialize.read(spark, path)
+      .collect().map(_.toSeq).toSet
+    Materialize.build(cat, "fact", Seq("color", "size"), Seq("x"), path,
+      buckets = 4, derive = derive)
+    assert(actual == expected)
+    // churn folding through BOTH dims: group-move update + delete
+    cat.upsert("fact", Seq((1L, 2L, 20L, 1L), (5L, 1L, 10L, 16L))
+      .toDF("k", "f1", "f2", "x"))
+    cat.delete("fact", col("k") === 4L)
+    Materialize.refresh(cat, "fact", path, derive = derive)
+    assert(actual == expected)
+    // churn the SECOND dim only: the refusal names dim index 1
+    cat.upsert("d2", Seq((20L, "tiny")).toDF("dk", "size"))
+    cat.upsert("fact", Seq((6L, 1L, 20L, 32L)).toDF("k", "f1", "f2", "x"))
+    val ex = intercept[IllegalStateException] {
+      Materialize.refresh(cat, "fact", path, derive = derive)
+    }
+    assert(ex.getMessage.contains("dim changed") &&
+      ex.getMessage.contains("dim(s) 1 of"), ex.getMessage)
+    // composite rebuild opt-in recovers under the new dims
+    Materialize.refresh(cat, "fact", path,
+      derive = derive.copy(rebuildOnDimChange = true))
+    assert(actual == expected)
+    assert(actual.exists(_.toSeq.take(2) == Seq("blue", "tiny")))
+  }
+
+  test("maintainIvfIndex: an embedding stream maintains the persisted " +
+      "IVF index batch by batch; replay folds idempotently") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val emb = Tables.t(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.where(col("vec_id") >= 60)
+    val (cents, assigned) =
+      Similarity.ivfIndex(corpus, "embedding", "vec_id", nlist = 8)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivf_stream").toString
+    Similarity.saveIvfIndex(path, cents, assigned)
+    val sDir = java.nio.file.Files.createTempDirectory("graft_ivf_src")
+    emb.where(col("vec_id") < 30).repartition(1)
+      .write.parquet(s"$sDir/b1")
+    emb.where(col("vec_id") >= 30 && col("vec_id") < 60).repartition(1)
+      .write.parquet(s"$sDir/b2")
+    val src = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$sDir/*")
+    val q = EventStreams.maintainIvfIndex(src, path,
+      "embedding", "vec_id").start()
+    try q.processAllAvailable() finally q.stop()
+    val (cents2, all) = Similarity.loadIvfIndex(spark, path)
+    assert(all.count() == emb.count(),
+      "every streamed vector must land in the index exactly once")
+    // a replayed batch (crash-before-checkpoint shape) changes nothing
+    Similarity.appendIvfIndex(spark, path,
+      emb.where(col("vec_id") < 30), "embedding", "vec_id",
+      dedupeIds = true)
+    assert(Similarity.loadIvfIndex(spark, path)._2.count() == emb.count())
+    // all-probe search over the maintained index == brute force
+    val got = Similarity.ivfTopK(cents2, all, 7L, 12,
+        nprobe = cents2.length)
+      .collect().map(_.getLong(0)).toSeq
+    val brute = Similarity.cosineTopK(emb, "embedding", "vec_id", 7L, 12)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == brute)
+  }
+
   test("StarDerive enforces the 1:1 contract: a duplicate-keyed dim " +
       "refuses at build; bucketed state refuses nested group types") {
     import spark.implicits._

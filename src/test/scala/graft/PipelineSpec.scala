@@ -156,6 +156,15 @@ class PipelineSpec extends AnyFunSuite {
     val r3 = Similarity.appendIvfIndex(spark, path, far,
       "embedding", "vec_id")
     assert(r3 > 1.5, s"far-off delta must read as drift, got $r3")
+    // idempotent replay: re-appending an already-ingested batch with
+    // dedupeIds drops every duplicate id (anti-join against only the
+    // delta's own cells), so the index is unchanged
+    val before = Similarity.loadIvfIndex(spark, path)._2.count()
+    Similarity.appendIvfIndex(spark, path,
+      emb.where(col("vec_id") < 25), "embedding", "vec_id",
+      dedupeIds = true)
+    assert(Similarity.loadIvfIndex(spark, path)._2.count() == before,
+      "a replayed batch must fold idempotently under dedupeIds")
     // compaction: one file per cell dir, results unchanged
     Similarity.compactIvfIndex(spark, path)
     val cellDirs = Option(new java.io.File(s"$path/cells").listFiles())
