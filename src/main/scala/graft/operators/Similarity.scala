@@ -806,7 +806,11 @@ object Similarity {
     * cells), never O(corpus)). That is what makes a REPLAYED ingest
     * batch safe ([[graft.streaming.EventStreams.maintainIvfIndex]]
     * turns it on): a blind re-append would double every replayed
-    * vector in its cell.
+    * vector in its cell. Caveat: dedupe is by ID — a re-sent id
+    * carrying a DIFFERENT vector is treated as a replay and IGNORED
+    * (an index has no in-place update; delete + rebuild or re-id to
+    * mutate a vector). NULL-celled ids (empty index edge) never match
+    * the anti-join and append normally.
     *
     * Single-writer, like every persisted-artifact mutator here. Many
     * small appends accumulate files per cell dir —
