@@ -474,17 +474,27 @@ object Materialize {
     * or the SNAPSHOT_CACHE_BATCHES table property) — a stale cache
     * falls back to the collapse plan, which is correct but unservable. */
   def registerForRewrite(cat: GraftCatalog, table: String,
-      path: String): Unit = {
+      path: String,
+      dims: Seq[graft.plans.GraftAggViews.DimJoinDef] = Seq.empty)
+      : Unit = {
     val spark = cat.changeLog(table).sparkSession
     val meta = spark.read.parquet(s"$path/meta").head()
-    require(dimFpsOf(meta).isEmpty,
-      s"MV at $path was built with a StarDerive: its groups are dim " +
-        "attributes the table scan cannot answer — register a " +
-        "DimJoinDef-bearing AggViewDef explicitly instead")
+    val fps = dimFpsOf(meta)
+    // a star MV's groups are dim attributes the bare table scan cannot
+    // answer — serving it requires the query to JOIN the same dims, so
+    // the registration must carry one DimJoinDef per derive (for a
+    // catalog dim: dimPath = cat.tablePath(dimTable); dim-side serving
+    // scans map back to that root like the fact side). A non-star MV
+    // must not register phantom joins.
+    require(fps.size == dims.size,
+      s"MV at $path was built with ${fps.size} StarDerive dim(s); " +
+        s"registerForRewrite got ${dims.size} DimJoinDef(s) — a star " +
+        "MV serves only queries joining the same dims, so the " +
+        "registration must describe each join")
     graft.plans.GraftAggViews.register(cat.tablePath(table),
       graft.plans.GraftAggViews.AggViewDef(path,
         meta.getSeq[String](1), meta.getSeq[String](2),
-        grainsOf(meta).toMap, sketchesOf(meta).toMap))
+        grainsOf(meta).toMap, sketchesOf(meta).toMap, dims = dims))
   }
 
   /** The maintained aggregate as a DataFrame (current persisted state).

@@ -483,8 +483,13 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case o => Seq(o)
     }
     val matchedDims: Seq[GraftAggViews.DimJoinDef] = joins.map { qj =>
+      // a catalog dim served through its snapshot cache scans
+      // `<dimRoot>/_snapcache/v<N>` — map back to the stable root, the
+      // same normalization the fact side gets in rewrite()
+      val qjPath = GraftAggViews.snapCacheRe.findFirstMatchIn(qj.dimPath)
+        .map(_.group(1)).getOrElse(qj.dimPath)
       view.dims.find { d =>
-        GraftAggViews.norm(d.dimPath) == GraftAggViews.norm(qj.dimPath) && {
+        GraftAggViews.norm(d.dimPath) == GraftAggViews.norm(qjPath) && {
           // each conjunct: equality between one FACT base column and
           // one dim column of THIS join, nothing else
           def factName(a: AttributeReference): Option[String] =

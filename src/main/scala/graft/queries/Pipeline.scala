@@ -1073,6 +1073,58 @@ object Pipeline {
       q
     },
 
+    // The STAR dashboard THROUGH THE SQL FRONT-END under the hard
+    // oracle: fact and dim are catalog tables served as pure snapshot-
+    // cache scans; the user's JOIN + GROUP BY over the dim attribute is
+    // answered from the star MV state (registerForRewrite with the
+    // DimJoinDef keyed by the dim's catalog root — the dim-side
+    // _snapcache leaf maps back to it like the fact side). In-query
+    // pin: state scanned, no snapshot cache, no change log.
+    "q_mv_rewrite_star_sql" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{DecimalType, LongType, StringType, StructField, StructType}
+      val wh = ivmWarehouse(dir)
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      val px = new graft.sources.PhoenixSql(s, cat)
+      px.execute("CREATE TABLE fo2 (o_orderkey BIGINT NOT NULL, " +
+        "o_custkey BIGINT, price DECIMAL(18,2) " +
+        "CONSTRAINT pk PRIMARY KEY (o_orderkey))")
+      px.execute("CREATE TABLE dc2 (c_custkey BIGINT NOT NULL, " +
+        "c_mktsegment VARCHAR CONSTRAINT pk PRIMARY KEY (c_custkey))")
+      cat.upsert("dc2", Tables.t(s, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment"))
+      cat.upsert("fo2", Tables.t(s, dir, "orders")
+        .where($"o_orderkey" % 16 === 4 || $"o_orderkey" % 16 === 5)
+        .select($"o_orderkey", $"o_custkey",
+          $"o_totalprice".cast("decimal(18,2)").as("price")))
+      cat.refreshSnapshotCache("fo2")
+      cat.refreshSnapshotCache("dc2")
+      val derive = graft.operators.Materialize.StarDerive(
+        cat.snapshot("dc2"),
+        keys = Seq("o_custkey" -> "c_custkey"), attrs = Seq("c_mktsegment"))
+      val mv = wh + "/mvstarsql"
+      graft.operators.Materialize.build(cat, "fo2",
+        Seq("c_mktsegment"), Seq("price"), mv, derive = derive)
+      graft.operators.Materialize.registerForRewrite(cat, "fo2", mv,
+        dims = Seq(graft.plans.GraftAggViews.DimJoinDef(
+          cat.tablePath("dc2"),
+          factKeys = Seq("o_custkey"), dimKeys = Seq("c_custkey"),
+          dimAttrs = Map("c_mktsegment" -> "c_mktsegment"),
+          innerSafe = true)))
+      val q = px.execute("SELECT c_mktsegment AS segment, " +
+        "COUNT(*) AS cnt, CAST(SUM(price) AS DOUBLE) AS sum_price, " +
+        "CAST(MIN(price) AS DOUBLE) AS min_price, " +
+        "CAST(MAX(price) AS DOUBLE) AS max_price " +
+        "FROM fo2 JOIN dc2 ON fo2.o_custkey = dc2.c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(mv) || plan.contains("_snapcache") ||
+          plan.contains(s"$wh/fo2/data") || plan.contains(s"$wh/dc2/data"))
+        throw new IllegalStateException(
+          s"front-end STAR MV rewrite did not serve from the state:\n$plan")
+      q
+    },
+
     // The rewrite's ROLLUP path under the same hard oracle: a GLOBAL
     // aggregate (grouping = {} ⊂ {source}) over the same fact must be
     // answered by re-aggregating the per-source state — sums of sums,
@@ -2738,6 +2790,18 @@ object Pipeline {
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       WHERE c.c_mktsegment = 'BUILDING'
       GROUP BY 1""",
+
+    "q_mv_rewrite_star_sql" -> """
+      WITH final AS (
+        SELECT o_orderkey, o_custkey,
+          CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders WHERE o_orderkey % 16 IN (4, 5))
+      SELECT c.c_mktsegment AS segment, count(*) AS cnt,
+        CAST(sum(f.price) AS DOUBLE) AS sum_price,
+        CAST(min(f.price) AS DOUBLE) AS min_price,
+        CAST(max(f.price) AS DOUBLE) AS max_price
+      FROM final f JOIN customer c ON f.o_custkey = c.c_custkey
+      GROUP BY 1 ORDER BY 1""",
 
     "q_mv_rewrite_rollup" -> """
       SELECT

@@ -1252,6 +1252,73 @@ class PhoenixSqlSpec extends AnyFunSuite {
     assert(r3.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("a STAR MV serves the front-end JOIN dashboard from state; a " +
+      "churned dim makes it fall back fresh (stale MV cannot serve)") {
+    import graft.operators.Materialize
+    import graft.operators.Materialize.StarDerive
+    import graft.plans.GraftAggViews
+    val px = fresh()
+    val cat = px.catalog
+    px.execute("CREATE TABLE fo (k BIGINT NOT NULL, ck BIGINT, " +
+      "price BIGINT CONSTRAINT pk PRIMARY KEY (k))")
+    px.execute("CREATE TABLE dc (ck BIGINT NOT NULL, seg VARCHAR " +
+      "CONSTRAINT pk PRIMARY KEY (ck))")
+    px.execute("UPSERT INTO dc VALUES (1, 'a')")
+    px.execute("UPSERT INTO dc VALUES (2, 'b')")
+    px.execute("UPSERT INTO fo VALUES (1, 1, 10)")
+    px.execute("UPSERT INTO fo VALUES (2, 2, 20)")
+    px.execute("UPSERT INTO fo VALUES (3, 1, 40)")
+    cat.refreshSnapshotCache("fo")
+    cat.refreshSnapshotCache("dc")
+    def derive = StarDerive(cat.snapshot("dc"),
+      keys = Seq("ck" -> "ck"), attrs = Seq("seg"))
+    val mv = java.nio.file.Files
+      .createTempDirectory("graft_mvsql_star").toString
+    Materialize.build(cat, "fo", Seq("seg"), Seq("price"), mv,
+      derive = derive)
+    // one DimJoinDef per derive: the dim keyed by its CATALOG ROOT
+    // (the serving scan's _snapcache leaf maps back to it), innerSafe
+    // asserted (every fo.ck resolves in dc)
+    Materialize.registerForRewrite(cat, "fo", mv, dims = Seq(
+      GraftAggViews.DimJoinDef(cat.tablePath("dc"),
+        factKeys = Seq("ck"), dimKeys = Seq("ck"),
+        dimAttrs = Map("seg" -> "seg"), innerSafe = true)))
+    def run(expectServed: Boolean) = {
+      val q = px.execute("SELECT seg, SUM(price) AS sp, COUNT(*) AS n " +
+        "FROM fo JOIN dc ON fo.ck = dc.ck GROUP BY seg ORDER BY seg")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(mv) == expectServed,
+        s"expected served=$expectServed:\n$plan")
+      if (expectServed) assert(!plan.contains("_snapcache"), plan)
+      q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    }
+    assert(run(expectServed = true) == Seq(("a", 50L, 2L), ("b", 20L, 1L)))
+    // dim churn: the dim's cache goes stale -> its serving view is the
+    // collapse plan -> the star match refuses -> fresh join answer
+    // (which the stale MV could NOT have produced)
+    px.execute("UPSERT INTO dc VALUES (2, 'c')")
+    assert(run(expectServed = false) == Seq(("a", 50L, 2L), ("c", 20L, 1L)))
+    // both legs refreshed: a refresh that would FOLD (new fact write)
+    // REFUSES under the enforced derive (dim changed) until rebuilt;
+    // after the rebuild it serves
+    cat.refreshSnapshotCache("dc")
+    px.execute("UPSERT INTO fo VALUES (4, 2, 5)")
+    intercept[IllegalStateException] {
+      Materialize.refresh(cat, "fo", mv, derive = derive)
+    }
+    Materialize.build(cat, "fo", Seq("seg"), Seq("price"), mv,
+      derive = derive)
+    // the caches were refreshed OUTSIDE the front-end, so mark both
+    // tables dirty through it (value-identical upsert) and re-cache —
+    // the next SELECT re-registers both as pure serving scans
+    px.execute("UPSERT INTO dc VALUES (2, 'c')")
+    cat.refreshSnapshotCache("dc")
+    cat.refreshSnapshotCache("fo")
+    assert(run(expectServed = true) ==
+      Seq(("a", 50L, 2L), ("c", 25L, 2L)))
+  }
+
   test("a registered MV serves a front-end GROUP BY from state when " +
       "the snapshot cache is fresh; a stale cache falls back FRESH") {
     import graft.operators.Materialize
