@@ -185,6 +185,18 @@ object GraftFunctions {
       "approx_top_terms",
       e => TopTermsAgg(asString(e(0)), e(1)).toAggregateExpression(),
       "built-in")
+    // binary SpaceSaving state-column trio: the persistable /
+    // re-mergeable spelling of approx_top_terms for maintained
+    // heavy-hitter MVs (Materialize `topks`) and coarser rollups
+    reg.createOrReplaceTempFunction(
+      "top_terms_sketch",
+      e => TopTermsSketchAgg(asString(e(0)), e(1)).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "top_terms_union_agg",
+      e => TopTermsUnionAgg(e.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction(
+      "top_terms_entries", e => TopTermsEntries(e.head), "built-in")
     reg.createOrReplaceTempFunction(
       "top_scored_id",
       e => TopScoredIdAgg(e(0), asDouble(e(1)), e(2))

@@ -219,5 +219,201 @@ object TopTermsAgg {
       }
       s
     }
+
+    /** Canonical serialization: entries sorted (est desc, term asc)
+      * before encoding, so EQUAL summaries are EQUAL bytes regardless
+      * of the heap order insertion history left behind. In the
+      * no-eviction regime (distinct terms ≤ cap in every partial
+      * buffer) the summary itself is merge-order-independent — exact
+      * counts, err = 0 — so canonical bytes make "incremental fold ==
+      * full rebuild" byte-checkable, the same contract the KMV state
+      * column pins. Past eviction the CONTENT is inherently
+      * order-sensitive (SpaceSaving merge is not idempotent); the
+      * bounds est-err ≤ true ≤ est still hold, the bytes just stop
+      * being replay-stable. */
+    def canonicalBytes(s: Sketch): Array[Byte] = {
+      val entries = s.sortedEntries
+      val termBytes = entries.map(_._1.getBytes(StandardCharsets.UTF_8))
+      val total = 8 + termBytes.map(_.length + 20).sum
+      val bb = ByteBuffer.allocate(total)
+      bb.putInt(s.cap); bb.putInt(entries.length)
+      var i = 0
+      while (i < entries.length) {
+        bb.putInt(termBytes(i).length); bb.put(termBytes(i))
+        bb.putLong(entries(i)._2); bb.putLong(entries(i)._3); i += 1
+      }
+      bb.array()
+    }
+
+    /** Canonical bytes of the EMPTY cap-`cap` sketch — what a direct
+      * `top_terms_sketch` emits over zero rows. The MV-rewrite serving
+      * path coalesces [[TopTermsUnionAgg]]'s all-NULL NULL onto this so
+      * a served aggregate over an empty state slice reads back as an
+      * empty entry list, exactly like the direct aggregate. */
+    def emptySketchBytes(cap: Int): Array[Byte] =
+      canonicalBytes(new Sketch(cap))
+
+    /** Union at min(cap) — the only sound capacity when inputs differ
+      * (a wider sketch folded into a narrower one must obey the
+      * narrower error budget), mirroring KMV_UNION's min(k). Equal-cap
+      * inputs (the MV fold) skip the re-cap. */
+    def union(a: Sketch, b: Sketch): Sketch = {
+      if (a.cap <= b.cap) { a.mergeFrom(b); a }
+      else { val s = new Sketch(b.cap); s.mergeFrom(a); s.mergeFrom(b); s }
+    }
   }
+}
+
+/** TOP_TERMS_SKETCH(term, capacity) → BINARY: the [[TopTermsAgg]]
+  * SpaceSaving summary in canonical serialized form
+  * ([[TopTermsAgg.Sketch.canonicalBytes]]) — the STATE-COLUMN spelling
+  * for maintained heavy-hitter MVs ([[graft.operators.Materialize]]
+  * `topks = col -> cap`), where the per-group sketch must persist,
+  * re-merge on refresh ([[TopTermsUnionAgg]]) and read back
+  * ([[TopTermsEntries]]). NULL terms skip; a group with only NULL
+  * terms yields an EMPTY sketch (not NULL — the state row still
+  * exists and must merge). */
+case class TopTermsSketchAgg(
+    term: Expression,
+    capExpr: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopTermsAgg.Sketch] {
+
+  private lazy val cap: Int = capExpr.eval() match {
+    case i: Int if i >= 1 => i
+    case l: Long if l >= 1 => l.toInt
+    case i @ (_: Int | _: Long) => throw new IllegalArgumentException(
+      s"top_terms_sketch capacity must be >= 1, got $i")
+    case other => throw new IllegalArgumentException(
+      s"capacity must be a foldable integer literal, got $other")
+  }
+
+  override def children: Seq[Expression] = Seq(term, capExpr)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): TopTermsAgg.Sketch =
+    new TopTermsAgg.Sketch(cap)
+
+  override def update(buf: TopTermsAgg.Sketch, input: InternalRow)
+      : TopTermsAgg.Sketch = {
+    val t = term.eval(input)
+    if (t != null) buf.add(t.asInstanceOf[UTF8String].toString, 1L, 0L)
+    buf
+  }
+
+  override def merge(buf: TopTermsAgg.Sketch, other: TopTermsAgg.Sketch)
+      : TopTermsAgg.Sketch = { buf.mergeFrom(other); buf }
+
+  override def eval(buf: TopTermsAgg.Sketch): Any =
+    TopTermsAgg.Sketch.canonicalBytes(buf)
+
+  override def serialize(buf: TopTermsAgg.Sketch): Array[Byte] =
+    buf.toBytes
+  override def deserialize(bytes: Array[Byte]): TopTermsAgg.Sketch =
+    TopTermsAgg.Sketch.fromBytes(bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): TopTermsSketchAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopTermsSketchAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): TopTermsSketchAgg =
+    copy(term = c(0), capExpr = c(1))
+  override def prettyName: String = "top_terms_sketch"
+}
+
+/** TOP_TERMS_UNION_AGG(sketch) → BINARY: merges serialized SpaceSaving
+  * sketches across rows — the MV-fold / coarser-rollup path (state
+  * sketch ⊕ delta sketch per group). NULL inputs skip; all-NULL →
+  * NULL. Upper bounds (est) and slacks (err) ADD through the merge, so
+  * the bound est-err ≤ true ≤ est survives any merge tree; in the
+  * no-eviction regime counts stay exact and the canonical output is
+  * byte-identical to a single-pass rebuild. Mixed-cap inputs merge at
+  * min(cap) ([[TopTermsAgg.Sketch.union]]). */
+case class TopTermsUnionAgg(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopTermsUnionAgg.Buf] {
+
+  override def children: Seq[Expression] = Seq(child)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KmvSketchOps.requireBinary(children, prettyName)
+
+  override def createAggregationBuffer(): TopTermsUnionAgg.Buf =
+    new TopTermsUnionAgg.Buf(null)
+
+  override def update(buf: TopTermsUnionAgg.Buf, input: InternalRow)
+      : TopTermsUnionAgg.Buf = {
+    val v = child.eval(input)
+    if (v != null) {
+      val in = TopTermsAgg.Sketch.fromBytes(v.asInstanceOf[Array[Byte]])
+      buf.cur = if (buf.cur == null) in
+        else TopTermsAgg.Sketch.union(buf.cur, in)
+    }
+    buf
+  }
+
+  override def merge(buf: TopTermsUnionAgg.Buf, other: TopTermsUnionAgg.Buf)
+      : TopTermsUnionAgg.Buf = {
+    if (other.cur != null)
+      buf.cur = if (buf.cur == null) other.cur
+        else TopTermsAgg.Sketch.union(buf.cur, other.cur)
+    buf
+  }
+
+  override def eval(buf: TopTermsUnionAgg.Buf): Any =
+    if (buf.cur == null) null
+    else TopTermsAgg.Sketch.canonicalBytes(buf.cur)
+
+  override def serialize(buf: TopTermsUnionAgg.Buf): Array[Byte] =
+    if (buf.cur == null) Array.emptyByteArray
+    else TopTermsAgg.Sketch.canonicalBytes(buf.cur)
+  override def deserialize(bytes: Array[Byte]): TopTermsUnionAgg.Buf =
+    if (bytes.isEmpty) new TopTermsUnionAgg.Buf(null)
+    else new TopTermsUnionAgg.Buf(TopTermsAgg.Sketch.fromBytes(bytes))
+
+  override def withNewMutableAggBufferOffset(o: Int): TopTermsUnionAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopTermsUnionAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      cs: IndexedSeq[Expression]): TopTermsUnionAgg = copy(child = cs.head)
+  override def prettyName: String = "top_terms_union_agg"
+}
+
+object TopTermsUnionAgg {
+  /** Mutable holder: null until the first non-null input. */
+  final class Buf(var cur: TopTermsAgg.Sketch)
+}
+
+/** TOP_TERMS_ENTRIES(sketch) → array<struct<term,est,err>> sorted est
+  * desc, term asc — the read side of the binary SpaceSaving state
+  * column ([[TopTermsSketchAgg]]); `slice(..., 1, k)` of it is the
+  * top-k. */
+case class TopTermsEntries(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = false),
+    StructField("est", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    KmvSketchOps.requireBinary(children, prettyName)
+  override def nullSafeEval(v: Any): Any = {
+    val s = TopTermsAgg.Sketch.fromBytes(v.asInstanceOf[Array[Byte]])
+    val rows = s.sortedEntries.map { case (t, est, err) =>
+      InternalRow(UTF8String.fromString(t), est, err)
+    }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : TopTermsEntries = copy(child = c)
+  override def prettyName: String = "top_terms_entries"
 }

@@ -40,6 +40,15 @@ import graft.sources.GraftCatalog
   *    Retractions cannot un-insert a hash, so retraction-bearing
   *    groups take the pruned affected-group recompute — the same
   *    path min/max retractions use, just gated unconditionally.
+  *  - HEAVY HITTERS ride as an optional SpaceSaving-sketch measure
+  *    (`topks = Seq(col -> cap)` → a `topk_<col>` BINARY state
+  *    column, read with `top_terms_entries`, rolled up with
+  *    `top_terms_union_agg`). Insert-only refreshes fold by sketch
+  *    merge — upper bounds and slacks ADD, so est-err ≤ true ≤ est
+  *    survives maintenance, and below the no-eviction threshold
+  *    (distinct terms per group ≤ cap) counts are EXACT and the
+  *    fold is byte-identical to a rebuild. Retraction-bearing groups
+  *    recompute, exactly like the KMV path.
   *
   * State typing is EXACT per measure — the whole point of serving a
   * 100 TB sum from the state is that the fact-table answer and the
@@ -265,6 +274,12 @@ object Materialize {
     else meta.getSeq[String](meta.fieldIndex("sketch_cols"))
       .zip(meta.getSeq[Long](meta.fieldIndex("sketch_ks")).map(_.toInt))
 
+  private def topksOf(meta: org.apache.spark.sql.Row)
+      : Seq[(String, Int)] =
+    if (!meta.schema.fieldNames.contains("topk_cols")) Seq.empty
+    else meta.getSeq[String](meta.fieldIndex("topk_cols"))
+      .zip(meta.getSeq[Long](meta.fieldIndex("topk_caps")).map(_.toInt))
+
   private def bucketsOf(meta: org.apache.spark.sql.Row): Int =
     if (!meta.schema.fieldNames.contains("state_buckets")) 0
     else meta.getAs[Long]("state_buckets").toInt
@@ -344,7 +359,8 @@ object Materialize {
       grainExprs: Seq[(String, String)] = Seq.empty,
       sketches: Seq[(String, Int)] = Seq.empty,
       buckets: Int = 0,
-      derive: DataFrame => DataFrame = NoDerive): Long = {
+      derive: DataFrame => DataFrame = NoDerive,
+      topks: Seq[(String, Int)] = Seq.empty): Long = {
     val spark = cat.changeLog(table).sparkSession
     import spark.implicits._
     // sample the clock BEFORE constructing the snapshot: its TTL cutoff
@@ -392,7 +408,7 @@ object Materialize {
     }
     val agg = aggregate(
       withGrains(derive(cat.snapshot(table)), grainExprs),
-      groupCols, measures, sketches)
+      groupCols, measures, sketches, topks)
     val bucketDirs: Seq[String] =
       if (buckets == 0) {
         agg.write.mode(SaveMode.Overwrite).parquet(s"$path/$stateDirName")
@@ -405,7 +421,7 @@ object Materialize {
       }
     writeMeta(spark, path, v, groupCols, measures, ts, stateDirName,
       cat.ttlSeconds(table).getOrElse(-1L), grainExprs, sketches,
-      buckets, bucketDirs, dimFp = dimFp, dimPin = dimPin)
+      buckets, bucketDirs, dimFp = dimFp, dimPin = dimPin, topks = topks)
     v
   }
 
@@ -431,17 +447,20 @@ object Materialize {
       stateDirName: String, ttl: Long, grains: Seq[(String, String)],
       sketches: Seq[(String, Int)], buckets: Int,
       bucketDirs: Seq[String], grainTz: Option[String] = None,
-      dimFp: Seq[Long] = Seq.empty, dimPin: String = ""): Unit = {
+      dimFp: Seq[Long] = Seq.empty, dimPin: String = "",
+      topks: Seq[(String, Int)] = Seq.empty): Unit = {
     import spark.implicits._
     Seq((v, groupCols, measures, ts, stateDirName, ttl,
         grains.map(_._1), grains.map(_._2),
         grainTz.getOrElse(spark.conf.get("spark.sql.session.timeZone")),
         sketches.map(_._1), sketches.map(_._2.toLong),
-        buckets.toLong, bucketDirs, dimFp, dimPin))
+        buckets.toLong, bucketDirs, dimFp, dimPin,
+        topks.map(_._1), topks.map(_._2.toLong)))
       .toDF("last_version", "group_cols", "measures", "refresh_ts",
         "state_dir", "ttl_at_refresh", "grain_cols", "grain_sqls",
         "grain_tz", "sketch_cols", "sketch_ks",
-        "state_buckets", "bucket_dirs", "dim_fp", "dim_pin")
+        "state_buckets", "bucket_dirs", "dim_fp", "dim_pin",
+        "topk_cols", "topk_caps")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
@@ -494,7 +513,8 @@ object Materialize {
     graft.plans.GraftAggViews.register(cat.tablePath(table),
       graft.plans.GraftAggViews.AggViewDef(path,
         meta.getSeq[String](1), meta.getSeq[String](2),
-        grainsOf(meta).toMap, sketchesOf(meta).toMap, dims = dims))
+        grainsOf(meta).toMap, sketchesOf(meta).toMap, dims = dims,
+        topks = topksOf(meta).toMap))
   }
 
   /** The maintained aggregate as a DataFrame (current persisted state).
@@ -549,7 +569,8 @@ object Materialize {
       grainsOf(meta), sketchesOf(meta), buckets, bucketDirs,
       grainTz = if (f.contains("grain_tz"))
         Some(meta.getAs[String]("grain_tz")) else None,
-      dimFp = dimFpsOf(meta), dimPin = dimPinOf(meta))
+      dimFp = dimFpsOf(meta), dimPin = dimPinOf(meta),
+      topks = topksOf(meta))
     vacuum(spark, path)
   }
 
@@ -608,7 +629,8 @@ object Materialize {
     val measures = meta.getSeq[String](2)
     val grains = grainsOf(meta)
     val sketches = sketchesOf(meta)
-    if (sketches.nonEmpty)
+    val topks = topksOf(meta)
+    if (sketches.nonEmpty || topks.nonEmpty)
       graft.functions.GraftFunctions.registerKernels(spark)
     val ttl = cat.ttlSeconds(table)
     val nowMs = cat.clock()
@@ -654,7 +676,7 @@ object Materialize {
         meta.getAs[String]("grain_tz") != sessionTz)
     if (minV > lastV || !hasRefreshTs || ttlChanged || grainTzChanged)
       return build(cat, table, groupCols, measures, path, grains,
-        sketches, bucketsOf(meta), derive)
+        sketches, bucketsOf(meta), derive, topks)
     val lastRefreshMs = meta.getAs[Long]("refresh_ts")
     // alive-at-now cutoff for post images; None ⇒ no expiry
     val nowCut = ttl.map(t => new java.sql.Timestamp(nowMs - t * 1000L))
@@ -690,7 +712,7 @@ object Materialize {
         if (cur != stamped) {
           if (ed.rebuildOnDimChangeOf)
             return build(cat, table, groupCols, measures, path,
-              grains, sketches, bucketsOf(meta), derive)
+              grains, sketches, bucketsOf(meta), derive, topks)
           val pin = dimPinOf(meta)
           val which =
             if (stamped.size == cur.size)
@@ -840,7 +862,7 @@ object Materialize {
     val postRows = aggregate(
         withGrains(derive(changes.where(!col("_deleted") && aliveNow)
           .select(fields.map(col): _*)), grains),
-        groupCols, measures, sketches)
+        groupCols, measures, sketches, topks)
       .withColumn("__retr", lit(0)).withColumn("__instate", lit(0))
       .select(col("*") +: carry(nul, nul, nul, nul): _*)
     // negative contributions: cnt / per-measure cnt / sum fold
@@ -860,10 +882,13 @@ object Materialize {
       .select(col("*") +: (measures.flatMap(m => Seq(
         lit(null).cast(mT(m)).as(s"__smin_$m"),
         lit(null).cast(mT(m)).as(s"__smax_$m"))) ++
-        // sketches cannot retract (a hash can't be un-inserted) — the
-        // NULL rides the union and the gate below recomputes the group
+        // sketches cannot retract (a hash can't be un-inserted, a
+        // SpaceSaving count can't be un-counted) — the NULL rides the
+        // union and the gate below recomputes the group
         sketches.map { case (d, _) =>
-          lit(null).cast(BinaryType).as(s"kmv_$d") }): _*)
+          lit(null).cast(BinaryType).as(s"kmv_$d") } ++
+        topks.map { case (t, _) =>
+          lit(null).cast(BinaryType).as(s"topk_$t") }): _*)
     val unioned = stateRows.unionByName(postRows).unionByName(retrRows)
     val merged = unioned
       .groupBy(groupCols.map(col): _*)
@@ -879,6 +904,9 @@ object Materialize {
           sketches.map { case (d, _) =>
             call_function("kmv_union_agg", col(s"kmv_$d"))
               .as(s"kmv_$d") } ++
+          topks.map { case (t, _) =>
+            call_function("top_terms_union_agg", col(s"topk_$t"))
+              .as(s"topk_$t") } ++
           Seq(max(col("__retr")).as("__retr"),
             max(col("__instate")).as("__instate")) ++
           measures.flatMap(m => Seq(
@@ -908,7 +936,7 @@ object Materialize {
     // unknowable from the state) — the insert-only fold stays algebraic
     // and delta-sized, which is the dominant training-corpus shape.
     val needsRecompute = col("__instate") === 0 ||
-      lit(sketches.nonEmpty) ||
+      lit(sketches.nonEmpty || topks.nonEmpty) ||
       measures.map(m =>
         col(s"__rmin_$m").isNotNull && (col(s"__smin_$m").isNull ||
           col(s"__rmin_$m") <= col(s"__smin_$m") ||
@@ -939,7 +967,7 @@ object Materialize {
     val out = if (affectedCount == 0) kept
       else kept.unionByName(
         recomputePlan(cat, table, groupCols, measures, grains, affected,
-          affRows, sketches, derive))
+          affRows, sketches, derive, topks))
     // a distinct target dir always — an expiry-only refresh keeps the
     // version number, so suffix it to avoid overwriting the state
     // being read
@@ -969,7 +997,7 @@ object Materialize {
       }
     writeMeta(spark, path, newV, groupCols, measures, nowMs, newDir,
       ttl.getOrElse(-1L), grains, sketches, buckets, newBucketDirs,
-      dimFp = dimFpsOf(meta), dimPin = dimPinOf(meta))
+      dimFp = dimFpsOf(meta), dimPin = dimPinOf(meta), topks = topks)
     newV
   }
 
@@ -1054,7 +1082,8 @@ object Materialize {
       grains: Seq[(String, String)], affected: DataFrame,
       affectedRows: Option[Seq[org.apache.spark.sql.Row]] = None,
       sketches: Seq[(String, Int)] = Seq.empty,
-      derive: DataFrame => DataFrame = NoDerive): DataFrame = {
+      derive: DataFrame => DataFrame = NoDerive,
+      topks: Seq[(String, Int)] = Seq.empty): DataFrame = {
     val s = cat.spec(table)
     val affCond = groupCols.map(c => col(c) <=> col(s"__a_$c"))
       .reduce(_ && _) // null-safe: NULL groups recompute too
@@ -1112,7 +1141,7 @@ object Materialize {
       withGrains(derive(cat.snapshotForPks(table, candPks, zonePrune)),
           grains)
         .join(affected, affCond, "left_semi"),
-      groupCols, measures, sketches)
+      groupCols, measures, sketches, topks)
   }
 
   /** The grouped aggregate both the full build and the affected-group
@@ -1124,8 +1153,9 @@ object Materialize {
     * `min_m` / `max_m`. */
   def aggregate(df: DataFrame, groupCols: Seq[String],
       measures: Seq[String],
-      sketches: Seq[(String, Int)] = Seq.empty): DataFrame = {
-    if (sketches.nonEmpty)
+      sketches: Seq[(String, Int)] = Seq.empty,
+      topks: Seq[(String, Int)] = Seq.empty): DataFrame = {
+    if (sketches.nonEmpty || topks.nonEmpty)
       graft.functions.GraftFunctions.registerKernels(df.sparkSession)
     df.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
@@ -1137,10 +1167,17 @@ object Materialize {
         // distinct sketches: kmv over the column's xxhash64 (NULLs
         // skip, matching COUNT(DISTINCT col)); deterministic bytes, so
         // "incremental fold == full rebuild" is byte-checkable
-        sketches.map { case (d, k) =>
+        (sketches.map { case (d, k) =>
           call_function("kmv_sketch",
             when(col(d).isNotNull, xxhash64(col(d))), lit(k))
-            .as(s"kmv_$d") }: _*)
+            .as(s"kmv_$d") } ++
+        // heavy-hitter sketches: SpaceSaving over the column's string
+        // form (NULLs skip); canonical bytes, so "incremental fold ==
+        // full rebuild" is byte-checkable in the no-eviction regime
+        topks.map { case (t, c) =>
+          call_function("top_terms_sketch",
+            when(col(t).isNotNull, col(t).cast(StringType)), lit(c))
+            .as(s"topk_$t") }): _*)
   }
 
   private def highWater(cat: GraftCatalog, table: String): Long =

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, Log
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
 
 /** Materialized-aggregate rewrite — the MV-selection step classical
   * engines pair with incremental view maintenance (our
@@ -130,11 +130,27 @@ object GraftAggViews {
       cond: Expression, dimBase: Map[ExprId, String],
       dimFilters: Seq[Expression])
 
+  /** @param topks SpaceSaving heavy-hitter measures in the state
+    *               (column → capacity, from
+    *               [[graft.operators.Materialize]]'s `topks`): lets
+    *               the rewrite serve `approx_top_terms(c, cap)` from
+    *               the `topk_<col>` state column (rolled up with
+    *               `top_terms_union_agg`, read via
+    *               `top_terms_entries`). The query's capacity must
+    *               EQUAL the state's (a different cap is a different
+    *               error budget, not a rollup of this one) and the
+    *               term must be the registered column — bare, cast to
+    *               string, or NULL-guarded, all of which match the
+    *               NULL-skipping state semantics. Served results obey
+    *               est−err ≤ true ≤ est like the direct aggregate; in
+    *               the no-eviction regime (group distinct ≤ cap) they
+    *               are byte-identical to it. */
   case class AggViewDef(statePath: String, groupCols: Seq[String],
       measures: Seq[String],
       grainExprs: Map[String, String] = Map.empty,
       sketches: Map[String, Int] = Map.empty,
-      dims: Seq[DimJoinDef] = Seq.empty)
+      dims: Seq[DimJoinDef] = Seq.empty,
+      topks: Map[String, Int] = Map.empty)
 
   // several views may serve one base (a per-source rollup AND a
   // per-(source, day) grain, say) — the reference picks among multiple
@@ -702,6 +718,37 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             .filter(c => view.sketches(c) == k))
       case _ => None
     }
+    // approx_top_terms(c, cap) served from the state's topk_<col> —
+    // accepted when the term resolves to the registered column (bare
+    // string column, cast-to-string, or the NULL-guarded cast the
+    // state writes: all NULL-skip identically inside the aggregate)
+    // and the query's capacity equals the state's
+    def topkColOf(fn: org.apache.spark.sql.catalyst.expressions
+        .aggregate.AggregateFunction): Option[String] = fn match {
+      case graft.functions.TopTermsAgg(t, capE, _, _) =>
+        val cap = capE match {
+          case Literal(i: Int, _) => i
+          case Literal(l: Long, _) => l.toInt
+          case _ => return None
+        }
+        val arOpt = t match {
+          case v: AttributeReference if v.dataType == StringType =>
+            Some(v)
+          case Cast(v: AttributeReference, StringType, _, _) => Some(v)
+          case CaseWhen(Seq((IsNotNull(g: AttributeReference),
+              Cast(v: AttributeReference, StringType, _, _))), None)
+            if baseName(g) == baseName(v) => Some(v)
+          case CaseWhen(Seq((IsNotNull(g: AttributeReference),
+              v: AttributeReference)), None)
+            if baseName(g) == baseName(v) &&
+              v.dataType == StringType => Some(v)
+          case _ => None
+        }
+        arOpt.map(baseName).flatMap(n =>
+          view.topks.keys.find(resolver(_, n))
+            .filter(c => view.topks(c) == cap))
+      case _ => None
+    }
     def answerableFn(
         fn: org.apache.spark.sql.catalyst.expressions.aggregate
           .AggregateFunction): Boolean = fn match {
@@ -723,6 +770,7 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         measureOf(baseName(ar)).isDefined &&
           !ar.dataType.isInstanceOf[DecimalType]
       case k: graft.functions.KmvAgg => sketchColOf(k).isDefined
+      case t: graft.functions.TopTermsAgg => topkColOf(t).isDefined
       case _ => false
     }
     // grouping references OUTSIDE any aggregate call (scalar wrappers
@@ -761,7 +809,8 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     val needed = view.groupCols ++ view.grainExprs.keys ++ Seq("cnt") ++
       view.measures.flatMap(m =>
         Seq(s"cnt_$m", s"sum_$m", s"min_$m", s"max_$m")) ++
-      view.sketches.keys.map(d => s"kmv_$d")
+      view.sketches.keys.map(d => s"kmv_$d") ++
+      view.topks.keys.map(t => s"topk_$t")
     if (!needed.forall(stateAttr.contains)) return None
 
     def merged(fnCol: Attribute,
@@ -820,6 +869,19 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               Literal.create(
                 graft.functions.KmvAgg.emptySketchBytes(view.sketches(d)),
                 org.apache.spark.sql.types.BinaryType)))
+          case tfn: graft.functions.TopTermsAgg =>
+            // union of per-state-row summaries, read back as the
+            // entry list; zero state rows must yield the EMPTY list
+            // like a direct approx_top_terms over no rows, not
+            // top_terms_union_agg's NULL
+            val t = topkColOf(tfn).get
+            graft.functions.TopTermsEntries(Coalesce(Seq(
+              merged(stateAttr(s"topk_$t"),
+                graft.functions.TopTermsUnionAgg(_)),
+              Literal.create(
+                graft.functions.TopTermsAgg.Sketch
+                  .emptySketchBytes(view.topks(t)),
+                org.apache.spark.sql.types.BinaryType))))
           case other => throw new IllegalStateException(
             s"unreachable: pre-checked aggregate $other")
         }

@@ -108,6 +108,30 @@ object Pipeline {
       (b, m)
     }
 
+  /** Heavy-hitter MV over events: a per-event-type SpaceSaving
+    * top-terms state column, registered so `approx_top_terms` queries
+    * over the fact serve from KBs of state. */
+  private def mvTopkSetup(s: SparkSession, dir: String)
+      : (String, String) =
+    Artifacts.memoized(dir, "mv_topk_setup") {
+      import s.implicits._
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_mvtk").toString
+      val b = s"$tmp/fact"
+      val m = s"$tmp/state"
+      Tables.t(s, dir, "events")
+        .select($"event_id", $"event_type", $"user_id")
+        .write.mode("overwrite").parquet(b)
+      graft.operators.Materialize
+        .aggregate(s.read.parquet(b), Seq("event_type"), Seq("user_id"),
+          topks = Seq("user_id" -> 8192))
+        .write.mode("overwrite").parquet(m)
+      graft.plans.GraftAggViews.register(b,
+        graft.plans.GraftAggViews.AggViewDef(m, Seq("event_type"),
+          Seq("user_id"), topks = Map("user_id" -> 8192)))
+      (b, m)
+    }
+
   /** Day-grain MV over events (grain column computed before the
     * aggregate, registered as an expression over the base) — the
     * time-bucket rollup is the most common real MV shape. */
@@ -1220,6 +1244,111 @@ object Pipeline {
         .orderBy($"event_type")
     },
 
+    // Heavy-hitter sketch-valued IVM under the HARD oracle: a
+    // SpaceSaving top-terms MV (cap = 8192, far above the fixture's
+    // per-type distinct users → no-eviction regime, so every (term,
+    // est) is an EXACT count and DuckDB's GROUP BY user count is the
+    // oracle) built once, then maintained through an insert-only
+    // refresh (sketch merge folds algebraically — the in-query pin
+    // throws if the written plan touched the base), a CROSS-GROUP
+    // update (the pre-image group takes the pruned recompute) and a
+    // whole-group delete. The 100-TB shape: "top user_ids per event
+    // type, kept current, without re-scanning the fact table" — the
+    // per-group state is CAPPED at `cap` entries no matter how large
+    // the corpus grows.
+    "q_ivm_topk" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val wh = ivmWarehouse(dir + "#topk")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      cat.createTable("e", StructType(Seq(
+        StructField("event_id", LongType),
+        StructField("event_type", StringType),
+        StructField("user_id", LongType))), pk = Seq("event_id"))
+      val ev = Tables.t(s, dir, "events")
+        .select($"event_id", $"event_type", $"user_id")
+      cat.upsert("e", ev.where($"event_id" % 4 =!= 0))
+      val mv = wh + "/mv"
+      graft.operators.Materialize.build(cat, "e", Seq("event_type"),
+        Seq("user_id"), mv, topks = Seq("user_id" -> 8192))
+      cat.upsert("e", ev.where($"event_id" % 4 === 0))
+      graft.operators.Materialize.refresh(cat, "e", mv)
+      if (graft.operators.Materialize.LastRefresh.recomputeRan)
+        throw new IllegalStateException(
+          "insert-only top-terms refresh must fold algebraically " +
+            "(sketch merge) with ZERO base access")
+      cat.upsert("e", ev.where($"event_id" % 7 === 0)
+        .withColumn("event_type", lit("moved")))
+      cat.delete("e", $"event_type" === "purchase")
+      graft.operators.Materialize.refresh(cat, "e", mv)
+      graft.functions.GraftFunctions.registerKernels(s)
+      graft.operators.Materialize.read(s, mv)
+        .select($"event_type",
+          explode(call_function("top_terms_entries", $"topk_user_id"))
+            .as("e"))
+        .select($"event_type", $"e.term".as("term"),
+          $"e.est".as("occurrences"))
+        .orderBy($"event_type", $"term")
+    },
+
+    // BINARY-JOIN IVM under the hard oracle: γ(lineitem ⋈ orders)
+    // maintained while BOTH tables mutate — the signed delta rule
+    // Δ(R⋈S) = ΔR⋈S_old ∪ R_new⋈ΔS, each leg semi-join + zone-prune
+    // bounded to the delta's join keys (never O(R)+O(S) per refresh).
+    // Lifecycle: the fact side starts with DANGLING rows (their order
+    // keys arrive only in the post-build right-side insert — the
+    // R_new⋈ΔS term against old R rows), the insert-only refresh is
+    // pinned to fold with zero recompute, then measure churn (+7),
+    // dimension-side regrouping ('MOVED' — the case the star derive
+    // deliberately refuses) and a fact delete all fold in one more
+    // refresh. Oracle recomputes join-then-aggregate over the final
+    // logical tables.
+    "q_ivm_join" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+      val wh = ivmWarehouse(dir + "#join")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      cat.createTable("jl", StructType(Seq(
+        StructField("okey", LongType), StructField("ln", IntegerType),
+        StructField("qty", LongType))), pk = Seq("okey", "ln"))
+      cat.createTable("jo", StructType(Seq(
+        StructField("okey", LongType),
+        StructField("priority", StringType))), pk = Seq("okey"))
+      // the synthetic lineitem has DUPLICATE (l_orderkey,
+      // l_linenumber) pairs — pre-aggregate to the declared PK so the
+      // catalog's last-wins collapse and the oracle see the same rows
+      val li = Tables.t(s, dir, "lineitem")
+        .where($"l_orderkey" % 16 < 3)
+        .groupBy($"l_orderkey".as("okey"), $"l_linenumber".as("ln"))
+        .agg(sum($"l_quantity".cast("long")).as("qty"))
+      val ord = Tables.t(s, dir, "orders")
+        .select($"o_orderkey".as("okey"),
+          $"o_orderpriority".as("priority"))
+        .where($"okey" % 16 < 3)
+      cat.upsert("jl", li)
+      cat.upsert("jo", ord.where($"okey" % 16 < 2))
+      val mv = wh + "/mvj"
+      val js = graft.operators.MaterializeJoin.JoinSpec(
+        "jl", "jo", Seq("okey"))
+      graft.operators.MaterializeJoin.build(cat, js,
+        Seq("priority"), Seq("qty"), mv)
+      cat.upsert("jo", ord.where($"okey" % 16 === 2))
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      if (graft.operators.MaterializeJoin.LastRefresh.recomputeRan)
+        throw new IllegalStateException(
+          "insert-only join delta must fold with zero recompute")
+      cat.upsert("jl", li.where($"okey" % 100 === 1)
+        .withColumn("qty", $"qty" + 7L))
+      cat.upsert("jo", ord.where($"okey" % 50 === 1)
+        .withColumn("priority", lit("MOVED")))
+      cat.delete("jl", $"okey" % 10 === 3)
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      graft.operators.MaterializeJoin.read(s, mv)
+        .select($"priority", $"cnt", $"sum_qty",
+          $"min_qty", $"max_qty")
+        .orderBy($"priority")
+    },
+
     // Sketch-serving MV rewrite under the hard oracle: the query runs
     // a kmv_sketch aggregate over the FACT table; AggRewriteRule must
     // swap it onto the 5-row state's kmv_user_id column (plan-pinned).
@@ -1244,6 +1373,32 @@ object Pipeline {
       if (!plan.contains(mv) || plan.contains(base))
         throw new IllegalStateException(
           s"sketch MV rewrite did not serve from the state:\n$plan")
+      q
+    },
+
+    // Heavy-hitter-serving MV rewrite under the hard oracle: the query
+    // runs approx_top_terms over the FACT table; AggRewriteRule must
+    // swap it onto the state's topk_user_id SpaceSaving column
+    // (top_terms_union_agg rollup, plan-pinned). Capacity 8192 is far
+    // above the per-type distinct users, so the no-eviction regime
+    // holds: every (term, est) is an exact count and DuckDB's GROUP BY
+    // count is the oracle — "top users per event type from KBs of
+    // state, not a fact scan", the dashboard shape.
+    "q_mv_rewrite_topk" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.registerKernels(s)
+      val (base, mv) = mvTopkSetup(s, dir)
+      val q = s.read.parquet(base).groupBy($"event_type")
+        .agg(call_function("approx_top_terms", $"user_id", lit(8192))
+          .as("tt"))
+        .select($"event_type", explode($"tt").as("e"))
+        .select($"event_type", $"e.term".as("term"),
+          $"e.est".as("occurrences"))
+        .orderBy($"event_type", $"term")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(mv) || plan.contains(base))
+        throw new IllegalStateException(
+          s"top-terms MV rewrite did not serve from the state:\n$plan")
       q
     },
 
@@ -2878,10 +3033,46 @@ object Pipeline {
       FROM events WHERE event_type <> 'purchase'
       GROUP BY event_type ORDER BY event_type""",
 
+    "q_ivm_topk" -> """
+      SELECT event_type, CAST(user_id AS VARCHAR) AS term,
+        count(*) AS occurrences
+      FROM (SELECT CASE WHEN event_id % 7 = 0 THEN 'moved'
+                        ELSE event_type END AS event_type, user_id
+            FROM events)
+      WHERE event_type <> 'purchase' AND user_id IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_ivm_join" -> """
+      WITH base AS (
+        SELECT l_orderkey AS okey, l_linenumber AS ln,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty0
+        FROM lineitem WHERE l_orderkey % 16 < 3
+        GROUP BY 1, 2),
+      l AS (
+        SELECT okey,
+          CASE WHEN okey % 100 = 1 THEN qty0 + 7 ELSE qty0 END AS qty
+        FROM base WHERE okey % 10 <> 3),
+      o AS (
+        SELECT o_orderkey AS okey,
+          CASE WHEN o_orderkey % 50 = 1 THEN 'MOVED'
+               ELSE o_orderpriority END AS priority
+        FROM orders WHERE o_orderkey % 16 < 3)
+      SELECT priority, count(*) AS cnt,
+        CAST(sum(qty) AS BIGINT) AS sum_qty,
+        min(qty) AS min_qty, max(qty) AS max_qty
+      FROM l JOIN o USING (okey)
+      GROUP BY 1 ORDER BY 1""",
+
     "q_mv_rewrite_sketch" -> """
       SELECT event_type, count(*) AS n,
         count(DISTINCT user_id) AS distinct_users
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_mv_rewrite_topk" -> """
+      SELECT event_type, CAST(user_id AS VARCHAR) AS term,
+        count(*) AS occurrences
+      FROM events WHERE user_id IS NOT NULL
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_mv_rewrite_timegrain" -> """
       SELECT date_trunc('month', ts) AS m, event_type,

@@ -32,6 +32,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
 
   private val specs = scala.collection.mutable.Map[String, TableSpec]()
 
+  /** The session this catalog reads/writes through — for operators
+    * whose entry point is a state PATH rather than a table name (e.g.
+    * [[graft.operators.MaterializeJoin.refresh]], which must read the
+    * MV meta before it knows which tables are involved). */
+  private[graft] def session: SparkSession = spark
+
   private def dir(name: String) = s"$warehouse/$name"
   private def versionFile(name: String) =
     new java.io.File(s"${dir(name)}/_latest_version")

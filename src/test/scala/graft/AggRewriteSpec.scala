@@ -1049,4 +1049,77 @@ class AggRewriteSpec extends AnyFunSuite {
         "served monthly distinct must equal the fact-scan answer")
     } finally GraftAggViews.drop(base)
   }
+
+  test("agg rewrite: approx_top_terms serving — exact grain, rollup " +
+      "union, cap-mismatch and wrong-column refusals, empty-state " +
+      "empty list") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerKernels(spark)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_aggtk_base").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_aggtk_state").toString
+    // u nullable with a real NULL (both agg paths skip it); term "x"
+    // recurs across groups so the rollup union must ADD counts
+    Seq((1L, "a", Some("x")), (2L, "a", Some("x")), (3L, "a", Some("y")),
+      (4L, "b", Some("x")), (5L, "b", Some("z")), (6L, "b", None))
+      .toDF("k", "g", "u")
+      .write.mode("overwrite").parquet(base)
+    Materialize.aggregate(spark.read.parquet(base), Seq("g"), Seq("k"),
+        topks = Seq("u" -> 64))
+      .write.mode("overwrite").parquet(statePath)
+    GraftAggViews.register(base,
+      GraftAggViews.AggViewDef(statePath, Seq("g"), Seq("k"),
+        topks = Map("u" -> 64)))
+    val stateName = new java.io.File(statePath).getName
+    val baseName = new java.io.File(base).getName
+    def tt(cap: Int, c: org.apache.spark.sql.Column = $"u") =
+      call_function("approx_top_terms", c, lit(cap))
+    try {
+      // exact grain: per-group heavy hitters from the state's topk_u
+      val exact = spark.read.parquet(base).groupBy($"g")
+        .agg(tt(64).as("tt"))
+        .select($"g", explode($"tt").as("e"))
+        .select($"g", $"e.term", $"e.est").orderBy($"g", $"term")
+      assert(exact.queryExecution.executedPlan.toString
+        .contains(stateName),
+        "top-terms aggregate must serve from the state")
+      assert(exact.collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2))).toSeq ==
+        Seq(("a", "x", 2L), ("a", "y", 1L), ("b", "x", 1L),
+          ("b", "z", 1L)))
+      // rollup: GLOBAL heavy hitters = union of per-group summaries —
+      // exact regime, so "x" sums to 3 across groups
+      val roll = spark.read.parquet(base).agg(tt(64).as("tt"))
+        .select(explode($"tt").as("e"))
+        .select($"e.term", $"e.est").orderBy($"term")
+      assert(roll.queryExecution.executedPlan.toString
+        .contains(stateName),
+        "rollup top-terms must re-union the state")
+      assert(roll.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSeq == Seq(("x", 3L), ("y", 1L), ("z", 1L)))
+      // cap mismatch is a DIFFERENT error budget — refuse, not
+      // mis-serve
+      val wrongCap = spark.read.parquet(base).groupBy($"g")
+        .agg(tt(32).as("tt"))
+      assert(wrongCap.queryExecution.executedPlan.toString
+        .contains(baseName),
+        "a different capacity must refuse the rewrite")
+      // a different term column than the registered one must refuse
+      val wrongCol = spark.read.parquet(base).groupBy($"g")
+        .agg(call_function("approx_top_terms", $"k", lit(64)).as("tt"))
+      assert(wrongCol.queryExecution.executedPlan.toString
+        .contains(baseName),
+        "an unregistered term column must refuse the rewrite")
+      // a group filter selecting NO state rows must read back as the
+      // empty entry list (the direct aggregate's zero-row answer),
+      // not NULL
+      val empty = spark.read.parquet(base).where($"g" === "zzz")
+        .groupBy($"g").agg(tt(64).as("tt"))
+        .select(size($"tt").as("n"))
+      assert(empty.queryExecution.executedPlan.toString
+        .contains(stateName))
+      assert(empty.collect().isEmpty)
+    } finally GraftAggViews.drop(base)
+  }
 }

@@ -1808,6 +1808,76 @@ class CatalogSpec extends AnyFunSuite {
     assert(!est.contains("b") && est("a") == 2L)
   }
 
+  test("IVM top-terms measure: insert-only folds by sketch merge " +
+      "(byte-exact, no base access); retractions gate the recompute; " +
+      "no-eviction-regime counts are exact; compaction preserves the " +
+      "topk meta") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val cat = freshCatalog()
+    cat.createTable("tk", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("u", StringType), StructField("x", LongType))),
+      pk = Seq("k"))
+    cat.upsert("tk", Seq((1L, "a", "x", 5L), (2L, "a", "x", 6L),
+      (3L, "a", "y", 7L), (4L, "b", "z", 8L)).toDF("k", "g", "u", "x"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_tk").toString
+    val tks = Seq("u" -> 64)
+    Materialize.build(cat, "tk", Seq("g"), Seq("x"), path, topks = tks)
+    def canon(r: org.apache.spark.sql.Row) =
+      r.toSeq.map { case b: Array[Byte] => b.toSeq; case x => x }
+    def expected = Materialize
+      .aggregate(cat.snapshot("tk"), Seq("g"), Seq("x"), topks = tks)
+      .collect().map(canon).toSet
+    def actual = Materialize.read(spark, path).collect().map(canon).toSet
+    graft.functions.GraftFunctions.registerKernels(spark)
+    def counts = Materialize.read(spark, path)
+      .select($"g", explode(
+        call_function("top_terms_entries", $"topk_u")).as("e"))
+      .select($"g", $"e.term", $"e.est", $"e.err")
+      .collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+
+    // insert-only: counts ADD through the merge (x again for 'a', a
+    // new term for 'b') — byte-identical to the rebuild, zero base
+    // access, exact counts below the eviction threshold
+    cat.upsert("tk", Seq((5L, "a", "x", 9L), (6L, "b", "w", 2L))
+      .toDF("k", "g", "u", "x"))
+    Materialize.refresh(cat, "tk", path)
+    assert(actual == expected, "insert-only top-terms fold diverged")
+    assert(!Materialize.LastRefresh.recomputeRan,
+      "an insert-only delta must fold top-terms with zero base access")
+    assert(counts == Map(("a", "x") -> (3L, 0L), ("a", "y") -> (1L, 0L),
+      ("b", "z") -> (1L, 0L), ("b", "w") -> (1L, 0L)),
+      s"exact-regime counts: $counts")
+
+    // update k=1 to term y: x loses a count — only a recompute can
+    // un-count, so the gate must fire and match the rebuild
+    cat.upsert("tk", Seq((1L, "a", "y", 5L)).toDF("k", "g", "u", "x"))
+    Materialize.refresh(cat, "tk", path)
+    assert(Materialize.LastRefresh.recomputeRan,
+      "a top-terms-bearing retraction must take the recompute path")
+    assert(actual == expected, "retraction recompute diverged")
+    assert(counts(("a", "x")) == (2L, 0L) && counts(("a", "y")) == (2L, 0L))
+
+    // group-emptying delete drops the state row
+    cat.delete("tk", $"g" === "b")
+    Materialize.refresh(cat, "tk", path)
+    assert(actual == expected, "emptied group must drop from the state")
+    assert(!counts.keySet.exists(_._1 == "b"))
+
+    // compactState must carry topk_cols/topk_caps through its meta
+    // rewrite — a dropped field would make the NEXT refresh fold
+    // without the sketch column and fail the type-strict union
+    Materialize.compactState(spark, path)
+    cat.upsert("tk", Seq((9L, "a", "q", 1L)).toDF("k", "g", "u", "x"))
+    Materialize.refresh(cat, "tk", path)
+    assert(actual == expected, "post-compaction top-terms fold diverged")
+    assert(counts(("a", "q")) == (1L, 0L))
+  }
+
   test("IVM differential fuzz: random upsert/update/delete batches — " +
       "state == full recompute after every refresh (seeded)") {
     import spark.implicits._

@@ -1,0 +1,215 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Materialize, MaterializeJoin}
+import graft.sources.GraftCatalog
+
+/** Binary-join IVM: V = γ(R ⋈ S) maintained while BOTH sides mutate.
+  * Every scenario cross-checks the folded state against a full
+  * recompute of the joined current snapshots — the differential
+  * correctness contract the single-table IVM specs use. */
+class MaterializeJoinSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def freshCatalog(): GraftCatalog = {
+    val wh = java.nio.file.Files.createTempDirectory("graft_jwh").toString
+    new GraftCatalog(spark, wh)
+  }
+
+  private val ordersSchema = StructType(Seq(
+    StructField("ok", LongType), StructField("ck", LongType),
+    StructField("price", LongType)))
+  private val custSchema = StructType(Seq(
+    StructField("ck", LongType), StructField("seg", StringType)))
+
+  private def mkTables(cat: GraftCatalog): Unit = {
+    import spark.implicits._
+    cat.createTable("o", ordersSchema, pk = Seq("ok"))
+    cat.createTable("c", custSchema, pk = Seq("ck"))
+    cat.upsert("o", Seq((1L, 10L, 100L), (2L, 10L, 200L),
+      (3L, 20L, 300L), (4L, 30L, 400L)).toDF("ok", "ck", "price"))
+    cat.upsert("c", Seq((10L, "a"), (20L, "b"), (30L, "a"))
+      .toDF("ck", "seg"))
+  }
+
+  private val js = MaterializeJoin.JoinSpec("o", "c", Seq("ck"))
+
+  private def canon(r: org.apache.spark.sql.Row) =
+    r.toSeq.map { case b: Array[Byte] => b.toSeq; case x => x }
+
+  private def expected(cat: GraftCatalog): Set[Seq[Any]] =
+    Materialize.aggregate(
+      cat.snapshot("o").join(cat.snapshot("c"), Seq("ck")),
+      Seq("seg"), Seq("price")).collect().map(canon).toSet
+
+  private def actual(path: String): Set[Seq[Any]] =
+    MaterializeJoin.read(spark, path).collect().map(canon).toSet
+
+  test("build + read: state equals the joined-snapshot aggregate") {
+    val cat = freshCatalog(); mkTables(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, js, Seq("seg"), Seq("price"), path)
+    assert(actual(path) == expected(cat))
+  }
+
+  test("insert-only on both sides folds algebraically — no recompute, " +
+      "new join matches materialize lazily") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkTables(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, js, Seq("seg"), Seq("price"), path)
+    // new fact rows against existing dims + a brand-new key on BOTH
+    // sides (ck=40 exists only after this delta — the ΔR ⋈ ΔS cross
+    // term, which must land exactly once)
+    cat.upsert("o", Seq((5L, 20L, 500L), (6L, 40L, 600L))
+      .toDF("ok", "ck", "price"))
+    cat.upsert("c", Seq((40L, "c")).toDF("ck", "seg"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expected(cat))
+    assert(!MaterializeJoin.LastRefresh.recomputeRan,
+      "insert-only deltas must fold with no recompute")
+  }
+
+  test("right-side (dim) churn: an updated attribute regroups every " +
+      "joined fact row — the case the star path refuses") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkTables(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, js, Seq("seg"), Seq("price"), path)
+    // ck=10 moves a→b: both its fact rows (fan-out 2) must leave 'a'
+    // and land in 'b'
+    cat.upsert("c", Seq((10L, "b")).toDF("ck", "seg"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expected(cat))
+  }
+
+  test("left update + delete, group-emptying: emptied group drops") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkTables(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, js, Seq("seg"), Seq("price"), path)
+    // ok=3 is seg b's ONLY row: delete it → 'b' must vanish
+    cat.delete("o", col("ok") === 3L)
+    cat.upsert("o", Seq((1L, 10L, 150L)).toDF("ok", "ck", "price"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expected(cat))
+    assert(!actual(path).exists(_.head == "b"))
+  }
+
+  test("extremum gate: a non-extremal retraction folds with zero " +
+      "recompute; an extremum-crossing one gates in") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkTables(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, js, Seq("seg"), Seq("price"), path)
+    // seg a holds prices {100, 200, 400}; retracting 200 (ok=2 →
+    // 201) neither ties nor crosses min=100/max=400... but the +201
+    // post RAISES nothing either — strictly interior both ways
+    cat.upsert("o", Seq((2L, 10L, 201L)).toDF("ok", "ck", "price"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expected(cat))
+    assert(!MaterializeJoin.LastRefresh.recomputeRan,
+      "an interior retraction must fold algebraically")
+    // retract the max (400 → 50): only a recompute can lower max
+    cat.upsert("o", Seq((4L, 30L, 50L)).toDF("ok", "ck", "price"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expected(cat))
+    assert(MaterializeJoin.LastRefresh.recomputeRan,
+      "retracting the group max must take the recompute path")
+  }
+
+  test("no-op refresh returns the stored marks and rewrites nothing") {
+    val cat = freshCatalog(); mkTables(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    val (vl, vr) = MaterializeJoin.build(cat, js, Seq("seg"),
+      Seq("price"), path)
+    val before = actual(path)
+    assert(MaterializeJoin.refresh(cat, path) == (vl, vr))
+    assert(actual(path) == before)
+  }
+
+  test("log compaction past the fold point forces a rebuild — still " +
+      "exact") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkTables(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, js, Seq("seg"), Seq("price"), path)
+    cat.upsert("o", Seq((7L, 20L, 700L)).toDF("ok", "ck", "price"))
+    cat.compact("o") // history before the new high-water is GONE
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expected(cat))
+  }
+
+  test("TTL tables are refused (joined-row expiry is not maintainable)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("o", ordersSchema, pk = Seq("ok"),
+      props = Map("TTL" -> "3600"))
+    cat.createTable("c", custSchema, pk = Seq("ck"))
+    cat.upsert("o", Seq((1L, 10L, 100L)).toDF("ok", "ck", "price"))
+    cat.upsert("c", Seq((10L, "a")).toDF("ck", "seg"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    val e = intercept[IllegalArgumentException] {
+      MaterializeJoin.build(cat, js, Seq("seg"), Seq("price"), path)
+    }
+    assert(e.getMessage.contains("TTL"))
+  }
+
+  test("ambiguous non-key column names are refused at build") {
+    val cat = freshCatalog()
+    cat.createTable("o", ordersSchema, pk = Seq("ok"))
+    cat.createTable("c", StructType(Seq(
+      StructField("ck", LongType), StructField("price", LongType))),
+      pk = Seq("ck"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    val e = intercept[IllegalArgumentException] {
+      MaterializeJoin.build(cat, js, Seq("ck"), Seq("price"), path)
+    }
+    assert(e.getMessage.contains("unique"))
+  }
+
+  test("differential fuzz: random interleaved upsert/update/delete on " +
+      "BOTH sides — state == full recompute after every refresh " +
+      "(seeded)") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkTables(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, js, Seq("seg"), Seq("price"), path)
+    val rnd = new scala.util.Random(20260816L)
+    val segs = Vector("a", "b", "c", "d")
+    for (step <- 1 to 8) {
+      // 1–3 random ops per step, either side
+      for (_ <- 0 until 1 + rnd.nextInt(3)) rnd.nextInt(5) match {
+        case 0 => // fact insert/update (possibly dangling ck)
+          cat.upsert("o", Seq((rnd.nextInt(12).toLong,
+            (rnd.nextInt(6) * 10 + 10).toLong,
+            rnd.nextInt(1000).toLong)).toDF("ok", "ck", "price"))
+        case 1 => // dim insert/update (regroups its fan-out)
+          cat.upsert("c", Seq(((rnd.nextInt(6) * 10 + 10).toLong,
+            segs(rnd.nextInt(segs.size)))).toDF("ck", "seg"))
+        case 2 => cat.delete("o", col("ok") === rnd.nextInt(12).toLong)
+        case 3 => cat.delete("c",
+          col("ck") === (rnd.nextInt(6) * 10 + 10).toLong)
+        case 4 => // batch of fact rows
+          cat.upsert("o", (0 until 3).map(i =>
+            ((rnd.nextInt(12) + 12 * i).toLong,
+              (rnd.nextInt(6) * 10 + 10).toLong,
+              rnd.nextInt(1000).toLong)).toDF("ok", "ck", "price"))
+      }
+      MaterializeJoin.refresh(cat, path)
+      assert(actual(path) == expected(cat), s"diverged at step $step")
+    }
+  }
+}

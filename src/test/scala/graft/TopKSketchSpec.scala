@@ -103,6 +103,57 @@ class TopKSketchSpec extends AnyFunSuite {
     assert(rt.cap == 2 && rt.entryCount == 2)
   }
 
+  test("binary trio: top_terms_sketch is canonical bytes; union_agg " +
+      "re-merges partial sketches (bounds survive eviction); entries " +
+      "reads back; all-NULL unions to NULL") {
+    import spark.implicits._
+    GraftFunctions.register(spark)
+    val df = skewed(1000, 50)
+    // canonical bytes: two different partitionings of the SAME rows
+    // produce identical sketch bytes in the no-eviction regime
+    def bytesOf(parts: Int): Seq[Byte] = df.repartition(parts)
+      .agg(call_function("top_terms_sketch", $"term", lit(256)).as("sk"))
+      .head.getAs[Array[Byte]](0).toSeq
+    assert(bytesOf(3) == bytesOf(11),
+      "no-eviction sketch bytes must be partition-shape invariant")
+    // union_agg over per-slice sketches == sketch over all rows
+    // (exact regime), read back through top_terms_entries
+    val perSlice = df.withColumn("s", xxhash64($"term") % 5)
+      .groupBy($"s")
+      .agg(call_function("top_terms_sketch", $"term", lit(256)).as("sk"))
+    val merged = perSlice
+      .agg(call_function("top_terms_union_agg", $"sk").as("sk"))
+      .select(explode(
+        call_function("top_terms_entries", $"sk")).as("e"))
+      .select($"e.term", $"e.est", $"e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val exact = df.groupBy($"term").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged.length == 50)
+    merged.foreach { case (t, est, err) =>
+      assert(err == 0L && est == exact(t), s"$t: est=$est err=$err")
+    }
+    // past eviction the union must keep est-err <= true <= est
+    val tight = df.withColumn("s", xxhash64($"term") % 7)
+      .groupBy($"s")
+      .agg(call_function("top_terms_sketch", $"term", lit(8)).as("sk"))
+      .agg(call_function("top_terms_union_agg", $"sk").as("sk"))
+      .select(explode(
+        call_function("top_terms_entries", $"sk")).as("e"))
+      .select($"e.term", $"e.est", $"e.err")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    tight.foreach { case (t, est, err) =>
+      val truth = exact.getOrElse(t, 0L)
+      assert(est - err <= truth && truth <= est,
+        s"$t: bound [${est - err}, $est] missed true $truth")
+    }
+    // all-NULL input -> NULL (mirrors kmv_union_agg)
+    val nullOut = Seq(Option.empty[Array[Byte]]).toDF("sk")
+      .agg(call_function("top_terms_union_agg", $"sk").as("sk"))
+      .head
+    assert(nullOut.isNullAt(0), "all-NULL union must be NULL")
+  }
+
   test("plan: sketch aggregate is a partial/final ObjectHashAggregate") {
     import spark.implicits._
     GraftFunctions.register(spark)
