@@ -65,8 +65,13 @@ object ScaleRehearsal {
     val spark = GraftSession.build("graft-scale-rehearsal")
     val out = java.nio.file.Files
       .createTempDirectory(s"graft_scale_x$factor").toString
-    println(s"[scale] building ${factor}x fixture from $base at $out")
-    buildFixture(spark, base, out, factor)
+    // the big-base sections synthesize their own tables — skip the
+    // fixture replication when nothing selected reads it
+    val selfSynth = Set("ivmbig", "ivmbucket", "joinivm")
+    if (!selected.forall(selfSynth.contains)) {
+      println(s"[scale] building ${factor}x fixture from $base at $out")
+      buildFixture(spark, base, out, factor)
+    }
 
     def timeBest2(name: String, dir: String): Option[Double] = {
       def once(): Option[Double] = {
@@ -86,7 +91,8 @@ object ScaleRehearsal {
     }
 
     val rows = selected
-      .filterNot(Set("ivm", "ivmgrain", "ivmbig", "ivmbucket", "cdc"))
+      .filterNot(Set("ivm", "ivmgrain", "ivmbig", "ivmbucket", "cdc",
+        "joinivm"))
       .flatMap { q =>
       val t1 = timeBest2(q, base)
       val tN = timeBest2(q, out)
@@ -154,6 +160,26 @@ object ScaleRehearsal {
         ("ivm_state_write_legacy_mb", lm1, lm5, ex(lm1, lm5)),
         ("ivm_state_write_bucketed_sec", b1, b5, ex(b1, b5)),
         ("ivm_state_write_bucketed_mb", bm1, bm5, ex(bm1, bm5)))
+    }) ++ (if (!selected.contains("joinivm")) Nil else {
+      // binary-join IVM: fixed-size deltas on EACH side of a fact ⋈
+      // dim MV as the fact grows 10M → 30M rows. The contract under
+      // test is O(delta × fan-out) per refresh, NOT O(R) + O(S): the
+      // fact side declares its FK immutable, so both legs' "other
+      // side" reads are zone-bounded below the collapse.
+      val n1 = 10L * 1000 * 1000
+      val bigF = 3
+      val (aR, aS, aF) = joinIvmSeconds(spark, n1)
+      val (bR, bS, bF) = joinIvmSeconds(spark, n1 * bigF)
+      def ex(a: Double, b: Double) = math.log(b / a) / math.log(bigF.toDouble)
+      println(f"[scale] joinivm_fact_delta (10M vs 30M rows) " +
+        f"base=$aR%7.2fs x$bigF=$bR%8.2fs exponent=${ex(aR, bR)}%5.2f")
+      println(f"[scale] joinivm_dim_delta              " +
+        f"base=$aS%7.2fs x$bigF=$bS%8.2fs exponent=${ex(aS, bS)}%5.2f")
+      println(f"[scale] joinivm_dim_delta_fullscan     " +
+        f"base=$aF%7.2fs x$bigF=$bF%8.2fs exponent=${ex(aF, bF)}%5.2f")
+      Seq(("joinivm_fact_delta", aR, bR, ex(aR, bR)),
+        ("joinivm_dim_delta", aS, bS, ex(aS, bS)),
+        ("joinivm_dim_delta_fullscan", aF, bF, ex(aF, bF)))
     }) ++ (if (!selected.contains("cdc")) Nil else {
       val a = cdcMvFreshnessSeconds(spark, base)
       val b = cdcMvFreshnessSeconds(spark, out)
@@ -311,6 +337,69 @@ object ScaleRehearsal {
       s"K=64 delta must gate in exactly 64 groups, got " +
         s"${graft.operators.Materialize.LastRefresh.affectedGroups}")
     (tNon, t8, t64)
+  }
+
+  /** Binary-join IVM refresh seconds for FIXED-size deltas as the fact
+    * grows: fact R(k PK, jk FK = k DIV 100, x = k % 1000 + 10) joined
+    * to dim S(jk PK, seg = jk % 64), MV = γ_seg(SUM/MIN/MAX x). Both
+    * deltas are strictly non-extremal (every seg holds x ties at
+    * 10/1009 from other rows), so the refreshes measured here are the
+    * pure algebraic fold — zero recompute, asserted. The fact declares
+    * `leftKeysImmutable` (jk fixed at insert), so the ΔS leg's fact
+    * read is zone-bounded BELOW the collapse; the ΔR leg's dim read
+    * bounds via the dim PK. Returns (factDeltaSec, dimDeltaSec). */
+  private def joinIvmSeconds(spark: SparkSession, n: Long)
+      : (Double, Double, Double) = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_scale_joinivm").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createTable("r", StructType(Seq(
+      StructField("k", LongType), StructField("jk", LongType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.createTable("s", StructType(Seq(
+      StructField("jk", LongType), StructField("seg", LongType))),
+      pk = Seq("jk"))
+    def facts(filter: org.apache.spark.sql.Column): DataFrame =
+      spark.range(n).where(filter)
+        .select(col("id").as("k"), expr("id DIV 100").as("jk"),
+          (col("id") % 1000 + 10).as("x"))
+    cat.upsert("r", facts(lit(true)))
+    cat.upsert("s", spark.range(n / 100)
+      .select(col("id").as("jk"), (col("id") % 64).as("seg")))
+    val mv = wh + "/mv"
+    val mvScan = wh + "/mv_fullscan"
+    val js = graft.operators.MaterializeJoin.JoinSpec("r", "s",
+      Seq("jk"), leftKeysImmutable = true)
+    graft.operators.MaterializeJoin.build(cat, js, Seq("seg"),
+      Seq("x"), mv)
+    // control MV WITHOUT the immutable-FK declaration: its ΔS leg
+    // falls back to the above-collapse filter (full fact read)
+    graft.operators.MaterializeJoin.build(cat,
+      js.copy(leftKeysImmutable = false), Seq("seg"), Seq("x"), mvScan)
+    def timedRefresh(path: String, what: String): Double = {
+      GraftSession.quiesce(spark)
+      val t0 = System.nanoTime()
+      graft.operators.MaterializeJoin.refresh(cat, path)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(!graft.operators.MaterializeJoin.LastRefresh.recomputeRan,
+        s"$what: non-extremal delta must fold with zero recompute")
+      sec
+    }
+    // 100 fact-price updates, x 510 -> 505 (strictly inside (10, 1009))
+    cat.upsert("r", facts(expr("id % 1000 = 500") && col("id") < 100000L)
+      .withColumn("x", lit(505L)))
+    val tFact = timedRefresh(mv, "fact delta")
+    // 100 dim regroupings whose fan-out rows carry x in 310..409 only
+    // (jk % 10 = 3 → k % 1000 in 300..399), far from either extremum
+    cat.upsert("s", spark.range(n / 100)
+      .where(expr("id % 10 = 3") && col("id") < 1000L)
+      .select(col("id").as("jk"), ((col("id") + 17) % 64).as("seg")))
+    val tDim = timedRefresh(mv, "dim delta")
+    // the control folds BOTH deltas in one refresh; its dominant term
+    // is the ΔS leg's un-prefiltered fact read, which is the point
+    val tScan = timedRefresh(mvScan, "combined delta, fallback")
+    (tFact, tDim, tScan)
   }
 
   /** Single-dir vs BUCKET-MANIFESTED state write cost as the GROUP

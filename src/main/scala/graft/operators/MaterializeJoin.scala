@@ -60,9 +60,25 @@ object MaterializeJoin {
 
   /** Equi-join spec: same-named `keys` in both tables; every non-key
     * column name must be unique across the two tables (the joined row
-    * is R's columns ++ S's non-key columns). */
+    * is R's columns ++ S's non-key columns).
+    *
+    * `leftKeysImmutable` / `rightKeysImmutable` declare that a side's
+    * join-key VALUES never change across versions of a PK (the
+    * FK-never-rewritten shape — a lineitem's orderkey is fixed at
+    * insert). Under that contract the refresh reads that side's
+    * delta-bounded slice through a raw-log prefilter BELOW the
+    * last-wins collapse ([[GraftCatalog.snapshotPrefiltered]]), where
+    * parquet row-group stats prune the untouched base — without it,
+    * a non-PK join key can only filter ABOVE the collapse and the
+    * leg's "other side" pays a full scan per refresh (shuffle still
+    * delta-bounded, read not). Keys that ARE the side's PK need no
+    * declaration: a grouping-key filter pushes below the collapse
+    * already. Declaring immutability for a key that mutates yields
+    * SILENTLY WRONG winners — it is a contract, not a hint. */
   final case class JoinSpec(left: String, right: String,
-      keys: Seq[String])
+      keys: Seq[String],
+      leftKeysImmutable: Boolean = false,
+      rightKeysImmutable: Boolean = false)
 
   /** Test/diagnostic instrumentation, single-writer (same contract as
     * [[Materialize.LastRefresh]]). */
@@ -109,9 +125,9 @@ object MaterializeJoin {
       measures: Seq[String], stateDirName: String): Unit = {
     import spark.implicits._
     Seq((js.left, js.right, js.keys, vL, vR, groupCols, measures,
-        stateDirName))
+        stateDirName, js.leftKeysImmutable, js.rightKeysImmutable))
       .toDF("left", "right", "keys", "last_vl", "last_vr",
-        "group_cols", "measures", "state_dir")
+        "group_cols", "measures", "state_dir", "left_imm", "right_imm")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
@@ -121,7 +137,11 @@ object MaterializeJoin {
 
   private def specOf(m: org.apache.spark.sql.Row): JoinSpec =
     JoinSpec(m.getAs[String]("left"), m.getAs[String]("right"),
-      m.getSeq[String](m.fieldIndex("keys")))
+      m.getSeq[String](m.fieldIndex("keys")),
+      leftKeysImmutable = m.schema.fieldNames.contains("left_imm") &&
+        m.getAs[Boolean]("left_imm"),
+      rightKeysImmutable = m.schema.fieldNames.contains("right_imm") &&
+        m.getAs[Boolean]("right_imm"))
 
   /** Full build: aggregate the joined current snapshots, persist,
     * record BOTH change-log high-water marks. */
@@ -147,6 +167,35 @@ object MaterializeJoin {
     spark.read.parquet(s"$path/${m.getAs[String]("state_dir")}")
   }
 
+  /** Register the join MV so [[graft.plans.AggRewriteRule]] serves a
+    * matching aggregate-over-INNER-join query from the state — the
+    * `DimJoinDef.innerState` contract: INNER joins of exactly these
+    * tables on exactly these keys serve; LEFT joins and un-joined
+    * bare-fact aggregates refuse (the state never counted unmatched
+    * fact rows). Staleness safety is the snapshot-cache design's: the
+    * rewrite only fires on PURE cache scans of BOTH tables, and any
+    * mutation to either makes its cache stale, reverting the query to
+    * the collapse plan. Refresh both snapshot caches after
+    * [[refresh]]. */
+  def registerForRewrite(cat: GraftCatalog, path: String): Unit = {
+    val spark = cat.session
+    val m = meta(spark, path)
+    val js = specOf(m)
+    val groupCols = m.getSeq[String](m.fieldIndex("group_cols"))
+    val measures = m.getSeq[String](m.fieldIndex("measures"))
+    val rf = cat.spec(js.right).schema.fieldNames.toSet
+    // state columns living on the RIGHT side serve through the dim
+    // join — identity-mapped, the state stores the dim's own names
+    val attrs = (groupCols ++ measures)
+      .filter(c => rf.contains(c) && !js.keys.contains(c))
+      .map(c => c -> c).toMap
+    graft.plans.GraftAggViews.register(cat.tablePath(js.left),
+      graft.plans.GraftAggViews.AggViewDef(path, groupCols, measures,
+        dims = Seq(graft.plans.GraftAggViews.DimJoinDef(
+          cat.tablePath(js.right), factKeys = js.keys,
+          dimKeys = js.keys, dimAttrs = attrs, innerState = true))))
+  }
+
   /** Signed row-level delta of `table` since `lastV`: post images
     * weight +1, valid retraction pre-images weight −1 (the chain
     * telescopes for multi-version churn within one delta, exactly
@@ -169,26 +218,46 @@ object MaterializeJoin {
     posts.unionByName(pres)
   }
 
-  /** Bound `other` (the non-delta side of one delta-join leg) to the
-    * delta's join keys: a distinct-key semi-join caps the SHUFFLE, and
-    * for a single-column key the [min, max] zone filter reaches the
-    * scan — a filter on a collapse GROUPING column pushes below the
-    * snapshot's last-wins aggregate, so when the key is the other
-    * table's PK (the FK-join shape) parquet row-group stats skip the
-    * untouched base. */
-  private def keyPruned(other: DataFrame, delta: DataFrame,
-      keys: Seq[String]): DataFrame = {
+  /** The non-delta side of one delta-join leg, bounded to the delta's
+    * join keys: a distinct-key semi-join caps the SHUFFLE, and for a
+    * single-column key the delta's [min, max] zone filter bounds the
+    * READ — below the last-wins collapse when that is sound (the key
+    * is the side's PK, so a grouping-key filter pushes past the
+    * aggregate on its own; or the spec declares the key immutable and
+    * [[GraftCatalog.snapshotPrefiltered]] filters the raw log), where
+    * parquet row-group stats skip the untouched base under any
+    * key-clustered layout. Mutable non-PK keys keep the filter above
+    * the collapse: still delta-bounded shuffle, full-scan read — the
+    * honest fallback. */
+  private def boundedSide(cat: GraftCatalog, table: String,
+      asOf: Option[Long], delta: DataFrame, keys: Seq[String],
+      immutable: Boolean): DataFrame = {
+    def plain: DataFrame = asOf match {
+      case Some(v) => cat.snapshotAsOf(table, v)
+      case None => cat.snapshot(table)
+    }
+    val zone: Option[Option[(Any, Any)]] =
+      if (keys.size != 1) None
+      else scala.util.Try {
+        val b = delta.agg(min(col(keys.head)), max(col(keys.head))).head
+        if (b.isNullAt(0)) Some(None) // delta keys all NULL: no match
+        else Some(Some((b.get(0), b.get(1))))
+      }.getOrElse(None) // un-orderable key type: semi-join only
+    val pkIsKey = keys.toSet == cat.spec(table).pk.toSet
+    val ranged = zone match {
+      case Some(None) => plain.where(lit(false))
+      case Some(Some((lo, hi))) =>
+        val cond = col(keys.head).between(lit(lo), lit(hi))
+        // below-collapse read bound when sound; the PK case gets it
+        // from Catalyst's grouping-key pushdown on the plain snapshot
+        if (immutable && !pkIsKey)
+          cat.snapshotPrefiltered(table, cond, asOf)
+        else plain.where(cond)
+      case None => plain
+    }
     val dk = delta.select(keys.map(c => col(c).as(s"__k_$c")): _*)
       .distinct()
     val cond = keys.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
-    val ranged =
-      if (keys.size != 1) other
-      else scala.util.Try {
-        val k = keys.head
-        val b = delta.agg(min(col(k)), max(col(k))).head
-        if (b.isNullAt(0)) other.where(lit(false))
-        else other.where(col(k).between(lit(b.get(0)), lit(b.get(1))))
-      }.getOrElse(other) // un-orderable key type: semi-join only
     ranged.join(dk, cond, "left_semi")
   }
 
@@ -227,10 +296,12 @@ object MaterializeJoin {
     // (the snapshot side is all +1).
     val dL = signedDelta(cat, js.left, lastVL)
     val dR = signedDelta(cat, js.right, lastVR)
-    val sOld = cat.snapshotAsOf(js.right, lastVR)
-    val rNew = cat.snapshot(js.left)
-    val legL = dL.join(keyPruned(sOld, dL, js.keys), js.keys)
-    val legR = keyPruned(rNew, dR, js.keys).join(dR, js.keys)
+    val sOld = boundedSide(cat, js.right, Some(lastVR), dL, js.keys,
+      js.rightKeysImmutable)
+    val rNew = boundedSide(cat, js.left, None, dR, js.keys,
+      js.leftKeysImmutable)
+    val legL = dL.join(sOld, js.keys)
+    val legR = rNew.join(dR, js.keys)
     val delta = legL.unionByName(legR, allowMissingColumns = false)
 
     val state = read(spark, path)

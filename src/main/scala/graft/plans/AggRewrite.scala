@@ -117,9 +117,18 @@ object GraftAggViews {
     * that base column, so a query aliasing a DIFFERENT dim column
     * under the same name refuses instead of serving wrong data.
     * `dimKeys` are dim BASE column names; `factKeys` fact base names. */
+  /** `innerState` flips the join-type contract: the registered state
+    * aggregated an INNER join ([[graft.operators.MaterializeJoin]]'s
+    * layout — unmatched fact rows were never counted), so the rewrite
+    * serves INNER queries regardless of referential integrity, REFUSES
+    * LEFT OUTER (the state cannot resurrect the dropped facts), and
+    * requires the query to actually JOIN this dim (an un-joined query
+    * over the bare fact includes rows the state dropped). Mutually
+    * exclusive with `innerSafe`, which asserts inner == left for a
+    * LEFT-counted state. */
   case class DimJoinDef(dimPath: String, factKeys: Seq[String],
       dimKeys: Seq[String], dimAttrs: Map[String, String] = Map.empty,
-      innerSafe: Boolean = false)
+      innerSafe: Boolean = false, innerState: Boolean = false)
 
   /** A query-side join captured by the plan walk: the dim scan's path,
     * whether the plan's join is INNER, the join condition, the
@@ -538,7 +547,10 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           def servedGroupAttr(baseCol: String): Option[String] =
             d.dimAttrs.collectFirst { case (served, b) if b == baseCol &&
               view.groupCols.contains(served) => served }
-          (!qj.inner || d.innerSafe) &&
+          // LEFT-counted state: LEFT always serves, INNER only under
+          // innerSafe. INNER-counted state (innerState): INNER only —
+          // a LEFT query keeps fact rows the state never counted.
+          (if (d.innerState) qj.inner else !qj.inner || d.innerSafe) &&
             qj.dimFilters.forall {
               case IsNotNull(a: AttributeReference) =>
                 qj.dimBase.get(a.exprId).exists(c =>
@@ -556,6 +568,12 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         }
       }.getOrElse(return None)
     }
+    // an INNER-counted state requires its join to be PRESENT in the
+    // query: a bare-fact aggregate (or one omitting this dim) covers
+    // rows the state dropped at build — un-joined subsets only roll
+    // up safely for LEFT-counted dims
+    if (view.dims.exists(d => d.innerState && !matchedDims.contains(d)))
+      return None
     // dim-attribute filter conjuncts vetted above, rewritten onto the
     // state's group columns (name placeholders; the source build below
     // remaps names onto state attributes)

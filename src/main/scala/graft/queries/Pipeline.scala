@@ -1149,6 +1149,54 @@ object Pipeline {
       q
     },
 
+    // The BINARY-JOIN MV through the SQL front-end under the hard
+    // oracle: both sides of a fact-to-fact equi-join are catalog
+    // tables served as pure snapshot-cache scans; the user's INNER
+    // JOIN + GROUP BY is answered from the MaterializeJoin state
+    // (DimJoinDef.innerState — INNER serves, LEFT or un-joined
+    // refuses, since the state never counted unmatched fact rows).
+    // In-query pin: state scanned, no snapshot cache, no change log.
+    "q_mv_rewrite_join" -> { (s, dir) =>
+      import s.implicits._
+      val wh = ivmWarehouse(dir + "#mvjoin")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      val px = new graft.sources.PhoenixSql(s, cat)
+      px.execute("CREATE TABLE jl3 (okey BIGINT NOT NULL, " +
+        "ln INTEGER NOT NULL, qty BIGINT " +
+        "CONSTRAINT pk PRIMARY KEY (okey, ln))")
+      px.execute("CREATE TABLE jo3 (okey BIGINT NOT NULL, " +
+        "priority VARCHAR CONSTRAINT pk PRIMARY KEY (okey))")
+      // pre-aggregate lineitem to its declared PK (the synthetic
+      // fixture carries duplicate (orderkey, linenumber) pairs)
+      cat.upsert("jl3", Tables.t(s, dir, "lineitem")
+        .where($"l_orderkey" % 16 === 6)
+        .groupBy($"l_orderkey".as("okey"), $"l_linenumber".as("ln"))
+        .agg(sum($"l_quantity".cast("long")).as("qty")))
+      cat.upsert("jo3", Tables.t(s, dir, "orders")
+        .where($"o_orderkey" % 16 === 6)
+        .select($"o_orderkey".as("okey"),
+          $"o_orderpriority".as("priority")))
+      cat.refreshSnapshotCache("jl3")
+      cat.refreshSnapshotCache("jo3")
+      val mv = wh + "/mvjoin"
+      graft.operators.MaterializeJoin.build(cat,
+        graft.operators.MaterializeJoin.JoinSpec("jl3", "jo3",
+          Seq("okey"), leftKeysImmutable = true),
+        Seq("priority"), Seq("qty"), mv)
+      graft.operators.MaterializeJoin.registerForRewrite(cat, mv)
+      val q = px.execute("SELECT priority, COUNT(*) AS cnt, " +
+        "SUM(qty) AS sum_qty, MIN(qty) AS min_qty, " +
+        "MAX(qty) AS max_qty " +
+        "FROM jl3 JOIN jo3 ON jl3.okey = jo3.okey " +
+        "GROUP BY priority ORDER BY priority")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(mv) || plan.contains("_snapcache") ||
+          plan.contains(s"$wh/jl3/data") || plan.contains(s"$wh/jo3/data"))
+        throw new IllegalStateException(
+          s"join MV rewrite did not serve from the state:\n$plan")
+      q
+    },
+
     // The rewrite's ROLLUP path under the same hard oracle: a GLOBAL
     // aggregate (grouping = {} ⊂ {source}) over the same fact must be
     // answered by re-aggregating the per-source state — sums of sums,
@@ -3067,6 +3115,21 @@ object Pipeline {
       SELECT event_type, count(*) AS n,
         count(DISTINCT user_id) AS distinct_users
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_mv_rewrite_join" -> """
+      WITH base AS (
+        SELECT l_orderkey AS okey, l_linenumber AS ln,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem WHERE l_orderkey % 16 = 6
+        GROUP BY 1, 2),
+      o AS (
+        SELECT o_orderkey AS okey, o_orderpriority AS priority
+        FROM orders WHERE o_orderkey % 16 = 6)
+      SELECT priority, count(*) AS cnt,
+        CAST(sum(qty) AS BIGINT) AS sum_qty,
+        min(qty) AS min_qty, max(qty) AS max_qty
+      FROM base b JOIN o USING (okey)
+      GROUP BY 1 ORDER BY 1""",
 
     "q_mv_rewrite_topk" -> """
       SELECT event_type, CAST(user_id AS VARCHAR) AS term,

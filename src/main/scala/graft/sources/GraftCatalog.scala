@@ -646,6 +646,28 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   def snapshot(name: String): DataFrame =
     snapshotFull(name).select(spec(name).schema.fieldNames.map(col): _*)
 
+  /** Snapshot with `cond` applied BELOW the last-wins collapse — on the
+    * raw change log, where parquet row-group stats can prune the scan.
+    * SOUND ONLY when `cond` references columns whose values are
+    * constant across every version of a PK (PK columns always qualify;
+    * other columns only under a caller-declared immutability contract,
+    * e.g. [[graft.operators.MaterializeJoin.JoinSpec]]'s immutable join
+    * keys): then the filter keeps ALL of a PK's history or NONE of it,
+    * so the per-PK winner — tombstones included (deletes log the full
+    * pre-image row, so a tombstone carries the same immutable values) —
+    * is exactly the plain snapshot's. A mutable column here would
+    * surface a stale version as the winner. `asOf` bounds the read
+    * point like [[snapshotAsOf]]. */
+  private[graft] def snapshotPrefiltered(name: String,
+      cond: org.apache.spark.sql.Column,
+      asOf: Option[Long] = None): DataFrame = {
+    val log0 = changeLog(name).where(cond)
+    val log = asOf.map(v => log0.where(col("_version") <= v))
+      .getOrElse(log0)
+    collapseLog(name, log)
+      .select(spec(name).schema.fieldNames.map(col): _*)
+  }
+
   /** Snapshot plus `phoenix_row_timestamp` — the winning write's batch
     * stamp, the engine's analog of the row's HBase cell timestamp
     * (reference cc/expression/function/PhoenixRowTimestampFunction.java:42,

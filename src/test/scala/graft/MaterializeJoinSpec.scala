@@ -179,6 +179,75 @@ class MaterializeJoinSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unique"))
   }
 
+  test("immutable-FK prefilter: refresh stays exact through updates, " +
+      "dim churn and deletes when the fact's join key never mutates " +
+      "(the below-collapse read-bound path)") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkTables(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    val ijs = js.copy(leftKeysImmutable = true)
+    MaterializeJoin.build(cat, ijs, Seq("seg"), Seq("price"), path)
+    // fact updates change PRICE only (ck immutable per the contract),
+    // plus a fact delete and dim churn — every delta leg takes the
+    // prefiltered read on the left side (flag persisted in the meta)
+    cat.upsert("o", Seq((2L, 10L, 999L), (5L, 20L, 500L))
+      .toDF("ok", "ck", "price"))
+    cat.upsert("c", Seq((10L, "c"), (40L, "d")).toDF("ck", "seg"))
+    cat.delete("o", col("ok") === 4L)
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expected(cat))
+    // second round: dangling key materializes via a dim insert
+    cat.upsert("o", Seq((6L, 40L, 600L)).toDF("ok", "ck", "price"))
+    MaterializeJoin.refresh(cat, path)
+    cat.upsert("c", Seq((20L, "a")).toDF("ck", "seg"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expected(cat))
+  }
+
+  test("registerForRewrite: INNER join serves from state; LEFT join " +
+      "and un-joined bare-fact aggregates refuse (innerState contract)") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkTables(cat)
+    // o has a DANGLING fact row? give it one: ck=99 has no dim row, so
+    // inner != left and a mis-served LEFT would be numerically wrong
+    cat.upsert("o", Seq((9L, 99L, 900L)).toDF("ok", "ck", "price"))
+    cat.refreshSnapshotCache("o"); cat.refreshSnapshotCache("c")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, js, Seq("seg"), Seq("price"), path)
+    MaterializeJoin.registerForRewrite(cat, path)
+    val stateName = new java.io.File(path).getName
+    try {
+      val inner = cat.snapshotServed("o")
+        .join(cat.snapshotServed("c"), Seq("ck"))
+        .groupBy($"seg").agg(sum($"price").as("sp"),
+          count(lit(1)).as("cnt")).orderBy($"seg")
+      val innerPlan = inner.queryExecution.executedPlan.toString
+      assert(innerPlan.contains(stateName),
+        s"INNER join must serve from the join-MV state:\n$innerPlan")
+      assert(inner.collect().map(_.toSeq).toSeq ==
+        cat.snapshot("o").join(cat.snapshot("c"), Seq("ck"))
+          .groupBy($"seg").agg(sum($"price").as("sp"),
+            count(lit(1)).as("cnt")).orderBy($"seg")
+          .collect().map(_.toSeq).toSeq)
+      // LEFT join keeps the dangling ck=99 row the state never
+      // counted — must refuse
+      val left = cat.snapshotServed("o")
+        .join(cat.snapshotServed("c"), Seq("ck"), "left")
+        .groupBy($"seg").agg(count(lit(1)).as("cnt"))
+      assert(!left.queryExecution.executedPlan.toString
+        .contains(stateName),
+        "a LEFT join must refuse the INNER-counted state")
+      // bare-fact aggregate covers the dangling row too — must refuse
+      val bare = cat.snapshotServed("o")
+        .groupBy($"ck").agg(count(lit(1)).as("cnt"))
+      assert(!bare.queryExecution.executedPlan.toString
+        .contains(stateName),
+        "an un-joined aggregate must refuse the INNER-counted state")
+    } finally graft.plans.GraftAggViews.drop(cat.tablePath("o"))
+  }
+
   test("differential fuzz: random interleaved upsert/update/delete on " +
       "BOTH sides — state == full recompute after every refresh " +
       "(seeded)") {
