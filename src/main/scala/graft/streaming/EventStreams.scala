@@ -346,6 +346,27 @@ object EventStreams {
       ()
     }
 
+  /** Streaming maintenance of a BINARY-JOIN MV
+    * ([[graft.operators.MaterializeJoin]]): each micro-batch upserts
+    * into `table` (either side of the registered join) and folds ONE
+    * incremental refresh — which also absorbs any out-of-band writes
+    * to the OTHER side since the last batch (the refresh reads both
+    * change logs' high-water marks, so a dimension mutated between
+    * micro-batches lands in the same fold, delta-bounded on both
+    * legs). Exactly-once story is [[maintainAggregate]]'s: the
+    * high-water PAIR makes refresh idempotent, and a replayed
+    * micro-batch re-upserts value-identical rows whose retraction +
+    * post cancel through the join. */
+  def maintainJoinAggregate(stream: DataFrame,
+      cat: graft.sources.GraftCatalog, table: String, mvPath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+      cat.upsert(table, b)
+      graft.operators.MaterializeJoin.refresh(cat, mvPath)
+      ()
+    }
+
   /** Streaming ANN candidate generation against a PERSISTED IVF cell
     * table ([[graft.operators.Similarity.ivfIndex]] — build once,
     * extend per ingest batch with `ivfAppend`): each query vector

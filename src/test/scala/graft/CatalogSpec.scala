@@ -1297,6 +1297,57 @@ class CatalogSpec extends AnyFunSuite {
       s"stream-maintained MV diverged: $served vs $truth")
   }
 
+  test("maintainJoinAggregate: a fact stream maintains a binary-join " +
+      "MV while the dim mutates out-of-band between micro-batches") {
+    import spark.implicits._
+    import graft.operators.MaterializeJoin
+    val cat = freshCatalog()
+    cat.createTable("sjf", StructType(Seq(
+      StructField("k", LongType), StructField("ck", LongType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.createTable("sjd", StructType(Seq(
+      StructField("ck", LongType), StructField("seg", StringType))),
+      pk = Seq("ck"))
+    cat.upsert("sjf", Seq((1L, 10L, 100L), (2L, 20L, 200L))
+      .toDF("k", "ck", "x"))
+    cat.upsert("sjd", Seq((10L, "a"), (20L, "b"), (30L, "c"))
+      .toDF("ck", "seg"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jivm_stream").toString
+    MaterializeJoin.build(cat,
+      MaterializeJoin.JoinSpec("sjf", "sjd", Seq("ck"),
+        leftKeysImmutable = true),
+      Seq("seg"), Seq("x"), path)
+    // three micro-batches: inserts (one initially dangling ck=40), a
+    // retracting measure update, a row for the dim key churned below
+    val in = java.nio.file.Files
+      .createTempDirectory("graft_jivm_streamin").toString
+    Seq((3L, 30L, 300L), (4L, 40L, 400L)).toDF("k", "ck", "x")
+      .coalesce(1).write.parquet(s"$in/b0")
+    Seq((1L, 10L, 150L)).toDF("k", "ck", "x")
+      .coalesce(1).write.parquet(s"$in/b1")
+    Seq((5L, 20L, 500L)).toDF("k", "ck", "x")
+      .coalesce(1).write.parquet(s"$in/b2")
+    // out-of-band DIM churn the stream's next refresh must absorb:
+    // ck=40 materializes (the dangling insert joins late), ck=20
+    // regroups b -> a
+    cat.upsert("sjd", Seq((40L, "d"), (20L, "a")).toDF("ck", "seg"))
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("k", LongType),
+        StructField("ck", LongType), StructField("x", LongType))))
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+    val q = EventStreams.maintainJoinAggregate(stream, cat, "sjf", path)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val served = MaterializeJoin.read(spark, path)
+      .collect().map(_.toSeq).toSet
+    val truth = graft.operators.Materialize.aggregate(
+      cat.snapshot("sjf").join(cat.snapshot("sjd"), Seq("ck")),
+      Seq("seg"), Seq("x")).collect().map(_.toSeq).toSet
+    assert(served == truth,
+      s"stream-maintained join MV diverged: $served vs $truth")
+  }
+
   test("maintainAggregate with derive: a fact stream maintains a " +
       "star MV (dim-grouped) exactly") {
     import spark.implicits._
