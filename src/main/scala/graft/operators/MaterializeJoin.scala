@@ -5,49 +5,49 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.sources.GraftCatalog
 
-/** Incremental maintenance of an aggregate over a TWO-TABLE equi-join
-  * where BOTH sides mutate — the general binary-join IVM the star path
-  * deliberately excludes (a [[Materialize.StarDerive]] dimension is
-  * fingerprint-FROZEN; here the "dimension" side may churn freely and
-  * the fold stays exact).
+/** Incremental maintenance of an aggregate over an equi-join of a FACT
+  * table and N side tables where EVERY table mutates — the general
+  * join IVM the star path deliberately excludes (a
+  * [[Materialize.StarDerive]] dimension is fingerprint-FROZEN; here
+  * every side may churn freely and the fold stays exact).
   *
-  * V = γ_G(R ⋈ₖ S), INNER equi-join on same-named key columns.
-  * The delta rule is the classic signed (counting) form (Griffin &
-  * Libkin, SIGMOD 1995; Blakeley et al., SIGMOD 1986):
+  * V = γ_G(F ⋈ₖ₁ S₁ ⋈ₖ₂ … ⋈ₖₙ Sₙ), INNER equi-joins on same-named key
+  * columns, each side's keys living on the FACT (the star/galaxy
+  * shape). The delta rule is the signed (counting) telescoping
+  * expansion (Blakeley et al., SIGMOD 1986; Griffin & Libkin, SIGMOD
+  * 1995) — for two sides:
   *
-  *   Δ(R ⋈ S) = ΔR ⋈ S_old  ∪  R_new ⋈ ΔS
+  *   Δ(F⋈S₁⋈S₂) = ΔF ⋈ S₁_old ⋈ S₂_old
+  *              ∪ F_new ⋈ ΔS₁ ⋈ S₂_old
+  *              ∪ F_new ⋈ S₁_new ⋈ ΔS₂
   *
-  * with R_new = R_old + ΔR absorbing the ΔR ⋈ ΔS cross term into the
-  * second leg. Each signed delta row (insert +1, retraction pre-image
-  * −1, reconstructed from the change log exactly like
-  * [[Materialize.refresh]]'s retraction slice) joins the OTHER side at
-  * the right point in time: S_old is the catalog's as-of read at the
-  * version the state last folded ([[GraftCatalog.snapshotAsOf]]), so
-  * no change is double-counted however the two logs interleave.
+  * — sides BEFORE the delta factor read NEW, sides AFTER read OLD
+  * (as-of the version the state last folded,
+  * [[GraftCatalog.snapshotAsOf]]), so every cross term lands exactly
+  * once however the logs interleave. Each signed delta row (insert +1,
+  * retraction pre-image −1, reconstructed from the change log exactly
+  * like [[Materialize.refresh]]'s retraction slice) carries its weight
+  * through the joins (snapshots are all +1).
   *
-  * Per-refresh cost is O(delta × join fan-out), NOT O(R) + O(S): each
-  * leg's "other side" scan is semi-join-bounded to the delta's join
-  * keys, and for a single-column key the scan also gets the delta
-  * keys' [min, max] zone filter — when the key is the other table's PK
-  * or its layout is key-clustered ([[Layout]]), parquet row-group
-  * stats skip the untouched base, the same pruning discipline the
-  * single-table refresh applies to its own log
-  * ([[Materialize.preImageChanges]]). COUNT/SUM fold algebraically
+  * Per-refresh cost is O(delta × join fan-out), NOT O(F) + Σ O(Sᵢ):
+  * every leg's non-delta reads are key-bounded — a distinct-key
+  * semi-join caps the SHUFFLE, and the delta's [min, max] key zone
+  * bounds the READ below the last-wins collapse (PK keys via
+  * Catalyst's grouping-key pushdown; non-PK fact FKs under the
+  * declared-immutability contract via
+  * [[GraftCatalog.snapshotPrefiltered]]). COUNT/SUM fold algebraically
   * through the signed weights; MIN/MAX retraction groups ride the same
-  * extremum gate as the single-table fold (a retracted joined value
-  * that neither ties nor crosses the state's extremum proves NO
-  * recompute is needed), and the gated-in groups recompute from the
-  * joined snapshots restricted to those groups with IN-pushdown on the
-  * plain group columns.
+  * extremum gate as the single-table fold, and gated-in groups
+  * recompute from the joined current snapshots restricted to those
+  * groups with IN-pushdown on the plain group columns.
   *
-  * Scope guard: both tables must be TTL-free (time-based expiry of
-  * JOINED rows needs both sides' expiry windows crossed — refused, not
-  * silently wrong); either table compacting since the last fold
-  * (history discarded) forces a full rebuild, detected exactly like
-  * the single-table path. State layout matches
+  * Scope guard: every table must be TTL-free (time-based expiry of
+  * JOINED rows needs all sides' expiry windows crossed — refused, not
+  * silently wrong); any table compacting since the last fold (history
+  * discarded) forces a full rebuild. State layout matches
   * [[Materialize.aggregate]] (cnt / cnt_m / sum_m / min_m / max_m), so
-  * everything downstream of a single-table MV (serving, reads) works
-  * unchanged.
+  * everything downstream of a single-table MV (serving, reads,
+  * rewrite) works unchanged.
   *
   * Reference: apache/phoenix maintains only single-table secondary
   * indexes and has no join-view maintenance
@@ -58,27 +58,35 @@ import graft.sources.GraftCatalog
   */
 object MaterializeJoin {
 
-  /** Equi-join spec: same-named `keys` in both tables; every non-key
-    * column name must be unique across the two tables (the joined row
-    * is R's columns ++ S's non-key columns).
-    *
-    * `leftKeysImmutable` / `rightKeysImmutable` declare that a side's
-    * join-key VALUES never change across versions of a PK (the
-    * FK-never-rewritten shape — a lineitem's orderkey is fixed at
-    * insert). Under that contract the refresh reads that side's
-    * delta-bounded slice through a raw-log prefilter BELOW the
-    * last-wins collapse ([[GraftCatalog.snapshotPrefiltered]]), where
-    * parquet row-group stats prune the untouched base — without it,
-    * a non-PK join key can only filter ABOVE the collapse and the
-    * leg's "other side" pays a full scan per refresh (shuffle still
-    * delta-bounded, read not). Keys that ARE the side's PK need no
-    * declaration: a grouping-key filter pushes below the collapse
-    * already. Declaring immutability for a key that mutates yields
+  /** One side of the chain: same-named `keys` in the fact and this
+    * table. `sideKeysImmutable` / `factKeysImmutable` declare that the
+    * key VALUES never change across versions of a PK on that side
+    * (the FK-fixed-at-insert shape) — under the contract the refresh
+    * zone-filters that side's RAW log below the last-wins collapse
+    * ([[GraftCatalog.snapshotPrefiltered]]), where parquet row-group
+    * stats prune the untouched base; without it a non-PK key only
+    * filters ABOVE the collapse and the leg pays a full read (shuffle
+    * still delta-bounded). Keys that ARE the table's PK need no
+    * declaration. Declaring immutability for a key that mutates yields
     * SILENTLY WRONG winners — it is a contract, not a hint. */
+  final case class SideSpec(table: String, keys: Seq[String],
+      sideKeysImmutable: Boolean = false,
+      factKeysImmutable: Boolean = false)
+
+  /** Fact ⋈ N mutating sides, every side's keys on the fact. */
+  final case class ChainSpec(fact: String, sides: Seq[SideSpec])
+
+  /** The binary special case, kept as the primary API: `keys` exist in
+    * both tables; see [[SideSpec]] for the immutability contract. */
   final case class JoinSpec(left: String, right: String,
       keys: Seq[String],
       leftKeysImmutable: Boolean = false,
-      rightKeysImmutable: Boolean = false)
+      rightKeysImmutable: Boolean = false) {
+    private[operators] def chain: ChainSpec =
+      ChainSpec(left, Seq(SideSpec(right, keys,
+        sideKeysImmutable = rightKeysImmutable,
+        factKeysImmutable = leftKeysImmutable)))
+  }
 
   /** Test/diagnostic instrumentation, single-writer (same contract as
     * [[Materialize.LastRefresh]]). */
@@ -90,28 +98,39 @@ object MaterializeJoin {
   private def requireNoTtl(cat: GraftCatalog, table: String): Unit =
     require(cat.ttlSeconds(table).isEmpty,
       s"join-MV maintenance requires TTL-free tables; '$table' has a " +
-        "TTL (joined-row expiry would need both sides' windows crossed)")
+        "TTL (joined-row expiry would need all sides' windows crossed)")
 
-  private def joinedSnapshot(cat: GraftCatalog, js: JoinSpec)
+  private def joinedSnapshot(cat: GraftCatalog, cs: ChainSpec)
       : DataFrame =
-    cat.snapshot(js.left).join(cat.snapshot(js.right), js.keys)
-
-  private def validate(cat: GraftCatalog, js: JoinSpec,
-      groupCols: Seq[String], measures: Seq[String]): Unit = {
-    requireNoTtl(cat, js.left); requireNoTtl(cat, js.right)
-    val lf = cat.spec(js.left).schema.fieldNames.toSeq
-    val rf = cat.spec(js.right).schema.fieldNames.toSeq
-    js.keys.foreach { k =>
-      require(lf.contains(k) && rf.contains(k),
-        s"join key '$k' must exist in both '${js.left}' and " +
-          s"'${js.right}'")
+    cs.sides.foldLeft(cat.snapshot(cs.fact)) { (acc, s) =>
+      acc.join(cat.snapshot(s.table), s.keys)
     }
-    val dup = (lf.filterNot(js.keys.contains) intersect
-      rf.filterNot(js.keys.contains))
+
+  private def validate(cat: GraftCatalog, cs: ChainSpec,
+      groupCols: Seq[String], measures: Seq[String]): Unit = {
+    require(cs.sides.nonEmpty, "a join MV needs at least one side")
+    requireNoTtl(cat, cs.fact)
+    val ff = cat.spec(cs.fact).schema.fieldNames.toSeq
+    val allKeys = cs.sides.flatMap(_.keys).toSet
+    cs.sides.foreach { s =>
+      requireNoTtl(cat, s.table)
+      val sf = cat.spec(s.table).schema.fieldNames.toSeq
+      s.keys.foreach { k =>
+        require(ff.contains(k) && sf.contains(k),
+          s"join key '$k' must exist in both '${cs.fact}' (fact) and " +
+            s"'${s.table}'")
+      }
+    }
+    // every non-key column name unique across ALL tables (the joined
+    // row is fact columns ++ each side's non-key columns)
+    val perTable = (cs.fact +: cs.sides.map(_.table)).map(t =>
+      t -> cat.spec(t).schema.fieldNames.toSeq.filterNot(allKeys.contains))
+    val dup = perTable.flatMap(_._2).groupBy(identity)
+      .collect { case (c, vs) if vs.size > 1 => c }
     require(dup.isEmpty,
-      s"non-key columns must be unique across the join: $dup appear " +
-        "in both tables (rename at the catalog schema)")
-    val joined = (lf ++ rf).distinct
+      s"non-key columns must be unique across the join: ${dup.toSeq} " +
+        "appear in more than one table (rename at the catalog schema)")
+    val joined = perTable.flatMap(_._2) ++ allKeys
     (groupCols ++ measures).foreach(c => require(joined.contains(c),
       s"column '$c' not present in the joined schema $joined"))
   }
@@ -121,13 +140,16 @@ object MaterializeJoin {
       .agg(coalesce(max(col("_version")), lit(-1L))).head.getLong(0)
 
   private def writeMeta(spark: SparkSession, path: String,
-      js: JoinSpec, vL: Long, vR: Long, groupCols: Seq[String],
+      cs: ChainSpec, vF: Long, vS: Seq[Long], groupCols: Seq[String],
       measures: Seq[String], stateDirName: String): Unit = {
     import spark.implicits._
-    Seq((js.left, js.right, js.keys, vL, vR, groupCols, measures,
-        stateDirName, js.leftKeysImmutable, js.rightKeysImmutable))
-      .toDF("left", "right", "keys", "last_vl", "last_vr",
-        "group_cols", "measures", "state_dir", "left_imm", "right_imm")
+    Seq((cs.fact, cs.sides.map(_.table), cs.sides.map(_.keys),
+        cs.sides.map(_.sideKeysImmutable),
+        cs.sides.map(_.factKeysImmutable),
+        vF, vS, groupCols, measures, stateDirName))
+      .toDF("fact", "side_tables", "side_keys", "side_imms",
+        "fact_imms", "last_vf", "last_vs", "group_cols", "measures",
+        "state_dir")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
@@ -135,29 +157,40 @@ object MaterializeJoin {
       : org.apache.spark.sql.Row =
     spark.read.parquet(s"$path/meta").head()
 
-  private def specOf(m: org.apache.spark.sql.Row): JoinSpec =
-    JoinSpec(m.getAs[String]("left"), m.getAs[String]("right"),
-      m.getSeq[String](m.fieldIndex("keys")),
-      leftKeysImmutable = m.schema.fieldNames.contains("left_imm") &&
-        m.getAs[Boolean]("left_imm"),
-      rightKeysImmutable = m.schema.fieldNames.contains("right_imm") &&
-        m.getAs[Boolean]("right_imm"))
+  private def specOf(m: org.apache.spark.sql.Row): ChainSpec = {
+    val tables = m.getSeq[String](m.fieldIndex("side_tables"))
+    // nested parquet arrays deserialize as mutable.ArraySeq — convert
+    val keys = m.getSeq[scala.collection.Seq[String]](
+      m.fieldIndex("side_keys")).map(_.toSeq)
+    val sImm = m.getSeq[Boolean](m.fieldIndex("side_imms"))
+    val fImm = m.getSeq[Boolean](m.fieldIndex("fact_imms"))
+    ChainSpec(m.getAs[String]("fact"),
+      tables.indices.map(i =>
+        SideSpec(tables(i), keys(i), sImm(i), fImm(i))))
+  }
 
   /** Full build: aggregate the joined current snapshots, persist,
-    * record BOTH change-log high-water marks. */
-  def build(cat: GraftCatalog, js: JoinSpec, groupCols: Seq[String],
-      measures: Seq[String], path: String): (Long, Long) = {
-    val spark = cat.changeLog(js.left).sparkSession
-    validate(cat, js, groupCols, measures)
-    val vL = highWater(cat, js.left)
-    val vR = highWater(cat, js.right)
-    val agg = Materialize.aggregate(joinedSnapshot(cat, js), groupCols,
+    * record EVERY table's change-log high-water mark. */
+  def build(cat: GraftCatalog, cs: ChainSpec, groupCols: Seq[String],
+      measures: Seq[String], path: String): (Long, Seq[Long]) = {
+    val spark = cat.session
+    validate(cat, cs, groupCols, measures)
+    val vF = highWater(cat, cs.fact)
+    val vS = cs.sides.map(s => highWater(cat, s.table))
+    val agg = Materialize.aggregate(joinedSnapshot(cat, cs), groupCols,
       measures)
     // flip-don't-overwrite: same naming discipline as Materialize
-    val nd = s"state_v${vL}_$vR"
+    val nd = s"state_v${vF}_${vS.mkString("_")}"
     agg.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
-    writeMeta(spark, path, js, vL, vR, groupCols, measures, nd)
-    (vL, vR)
+    writeMeta(spark, path, cs, vF, vS, groupCols, measures, nd)
+    (vF, vS)
+  }
+
+  /** Binary sugar for [[build]]. */
+  def build(cat: GraftCatalog, js: JoinSpec, groupCols: Seq[String],
+      measures: Seq[String], path: String): (Long, Long) = {
+    val (vF, vS) = build(cat, js.chain, groupCols, measures, path)
+    (vF, vS.head)
   }
 
   /** The maintained aggregate as a DataFrame (current persisted
@@ -168,32 +201,35 @@ object MaterializeJoin {
   }
 
   /** Register the join MV so [[graft.plans.AggRewriteRule]] serves a
-    * matching aggregate-over-INNER-join query from the state — the
-    * `DimJoinDef.innerState` contract: INNER joins of exactly these
-    * tables on exactly these keys serve; LEFT joins and un-joined
-    * bare-fact aggregates refuse (the state never counted unmatched
-    * fact rows). Staleness safety is the snapshot-cache design's: the
-    * rewrite only fires on PURE cache scans of BOTH tables, and any
-    * mutation to either makes its cache stale, reverting the query to
-    * the collapse plan. Refresh both snapshot caches after
+    * matching aggregate-over-INNER-join query from the state — one
+    * `DimJoinDef.innerState` per side: INNER joins of exactly these
+    * tables on exactly these keys serve; LEFT joins, or a query
+    * omitting ANY side, refuse (the state never counted unmatched fact
+    * rows). Staleness safety is the snapshot-cache design's: the
+    * rewrite only fires on PURE cache scans of every table, and any
+    * mutation to any of them makes its cache stale, reverting the
+    * query to the collapse plan. Refresh every snapshot cache after
     * [[refresh]]. */
   def registerForRewrite(cat: GraftCatalog, path: String): Unit = {
     val spark = cat.session
     val m = meta(spark, path)
-    val js = specOf(m)
+    val cs = specOf(m)
     val groupCols = m.getSeq[String](m.fieldIndex("group_cols"))
     val measures = m.getSeq[String](m.fieldIndex("measures"))
-    val rf = cat.spec(js.right).schema.fieldNames.toSet
-    // state columns living on the RIGHT side serve through the dim
-    // join — identity-mapped, the state stores the dim's own names
-    val attrs = (groupCols ++ measures)
-      .filter(c => rf.contains(c) && !js.keys.contains(c))
-      .map(c => c -> c).toMap
-    graft.plans.GraftAggViews.register(cat.tablePath(js.left),
+    val dims = cs.sides.map { s =>
+      val sf = cat.spec(s.table).schema.fieldNames.toSet
+      // state columns living on THIS side serve through its join —
+      // identity-mapped, the state stores the side's own names
+      val attrs = (groupCols ++ measures)
+        .filter(c => sf.contains(c) && !s.keys.contains(c))
+        .map(c => c -> c).toMap
+      graft.plans.GraftAggViews.DimJoinDef(cat.tablePath(s.table),
+        factKeys = s.keys, dimKeys = s.keys, dimAttrs = attrs,
+        innerState = true)
+    }
+    graft.plans.GraftAggViews.register(cat.tablePath(cs.fact),
       graft.plans.GraftAggViews.AggViewDef(path, groupCols, measures,
-        dims = Seq(graft.plans.GraftAggViews.DimJoinDef(
-          cat.tablePath(js.right), factKeys = js.keys,
-          dimKeys = js.keys, dimAttrs = attrs, innerState = true))))
+        dims = dims))
   }
 
   /** Signed row-level delta of `table` since `lastV`: post images
@@ -218,11 +254,11 @@ object MaterializeJoin {
     posts.unionByName(pres)
   }
 
-  /** The non-delta side of one delta-join leg, bounded to the delta's
-    * join keys: a distinct-key semi-join caps the SHUFFLE, and for a
-    * single-column key the delta's [min, max] zone filter bounds the
-    * READ — below the last-wins collapse when that is sound (the key
-    * is the side's PK, so a grouping-key filter pushes past the
+  /** The non-delta factor of one delta-join leg, bounded to the
+    * delta's join keys: a distinct-key semi-join caps the SHUFFLE, and
+    * for a single-column key the delta's [min, max] zone filter bounds
+    * the READ — below the last-wins collapse when that is sound (the
+    * key is the table's PK, so a grouping-key filter pushes past the
     * aggregate on its own; or the spec declares the key immutable and
     * [[GraftCatalog.snapshotPrefiltered]] filters the raw log), where
     * parquet row-group stats skip the untouched base under any
@@ -243,7 +279,9 @@ object MaterializeJoin {
         if (b.isNullAt(0)) Some(None) // delta keys all NULL: no match
         else Some(Some((b.get(0), b.get(1))))
       }.getOrElse(None) // un-orderable key type: semi-join only
-    val pkIsKey = keys.toSet == cat.spec(table).pk.toSet
+    // a key that is a SUBSET of the PK still pushes below the collapse
+    // (any grouping-column filter does) — no prefilter needed
+    val pkIsKey = keys.toSet.subsetOf(cat.spec(table).pk.toSet)
     val ranged = zone match {
       case Some(None) => plain.where(lit(false))
       case Some(Some((lo, hi))) =>
@@ -261,16 +299,24 @@ object MaterializeJoin {
     ranged.join(dk, cond, "left_semi")
   }
 
-  /** Fold both tables' writes since the last refresh into the
-    * persisted joined-aggregate state. Returns the new (leftV, rightV)
-    * high-water pair (== the old pair when neither table changed). */
-  def refresh(cat: GraftCatalog, path: String): (Long, Long) = {
+  /** Binary sugar for `refresh` returning the (left, right)
+    * high-water pair. */
+  def refreshBinary(cat: GraftCatalog, path: String): (Long, Long) = {
+    val (vF, vS) = refresh(cat, path)
+    (vF, vS.head)
+  }
+
+  /** Fold every table's writes since the last refresh into the
+    * persisted joined-aggregate state. Returns the new (factV, sideVs)
+    * high-water marks (== the stored ones when nothing changed). */
+  def refresh(cat: GraftCatalog, path: String): (Long, Seq[Long]) = {
     val spark = cat.session
     val m = meta(spark, path)
-    val js = specOf(m)
-    requireNoTtl(cat, js.left); requireNoTtl(cat, js.right)
-    val lastVL = m.getAs[Long]("last_vl")
-    val lastVR = m.getAs[Long]("last_vr")
+    val cs = specOf(m)
+    requireNoTtl(cat, cs.fact)
+    cs.sides.foreach(s => requireNoTtl(cat, s.table))
+    val lastVF = m.getAs[Long]("last_vf")
+    val lastVS = m.getSeq[Long](m.fieldIndex("last_vs"))
     val groupCols = m.getSeq[String](m.fieldIndex("group_cols"))
     val measures = m.getSeq[String](m.fieldIndex("measures"))
     val marksOf: String => (Long, Long) = t =>
@@ -279,30 +325,39 @@ object MaterializeJoin {
         coalesce(min(col("_version")), lit(Long.MaxValue))).head match {
         case r => (r.getLong(0), r.getLong(1))
       }
-    val (newVL, minVL) = marksOf(js.left)
-    val (newVR, minVR) = marksOf(js.right)
-    if (newVL == lastVL && newVR == lastVR) return (lastVL, lastVR)
-    // either log compacted past the fold point → only a rebuild is
+    val (newVF, minVF) = marksOf(cs.fact)
+    val sideMarks = cs.sides.map(s => marksOf(s.table))
+    val newVS = sideMarks.map(_._1)
+    if (newVF == lastVF && newVS == lastVS) return (lastVF, lastVS)
+    // any log compacted past the fold point → only a rebuild is
     // correct (the history the state summarizes is gone)
-    if (minVL > lastVL || minVR > lastVR) {
-      build(cat, js, groupCols, measures, path)
-      return (highWater(cat, js.left), highWater(cat, js.right))
-    }
+    val compacted = minVF > lastVF ||
+      sideMarks.map(_._2).zip(lastVS).exists { case (mn, lv) => mn > lv }
+    if (compacted) return build(cat, cs, groupCols, measures, path)
 
-    //   Δ(R ⋈ S) = ΔR ⋈ S_old  ∪  R_new ⋈ ΔS
-    // S_old is the as-of read at the RIGHT's fold point; R_new the
-    // current left snapshot — the cross term ΔR ⋈ ΔS lands exactly
-    // once (in the second leg). Joined weight = the delta row's sign
-    // (the snapshot side is all +1).
-    val dL = signedDelta(cat, js.left, lastVL)
-    val dR = signedDelta(cat, js.right, lastVR)
-    val sOld = boundedSide(cat, js.right, Some(lastVR), dL, js.keys,
-      js.rightKeysImmutable)
-    val rNew = boundedSide(cat, js.left, None, dR, js.keys,
-      js.leftKeysImmutable)
-    val legL = dL.join(sOld, js.keys)
-    val legR = rNew.join(dR, js.keys)
-    val delta = legL.unionByName(legR, allowMissingColumns = false)
+    // telescoping legs: Δfact against every side OLD; per side i,
+    // fact NEW ⋈ sides<i NEW ⋈ Δside_i ⋈ sides>i OLD — each leg's
+    // non-delta factors key-bounded by the accumulated signed join
+    val factLeg = cs.sides.zipWithIndex
+      .foldLeft(signedDelta(cat, cs.fact, lastVF)) {
+        case (acc, (s, j)) =>
+          acc.join(boundedSide(cat, s.table, Some(lastVS(j)), acc,
+            s.keys, s.sideKeysImmutable), s.keys)
+      }
+    val sideLegs = cs.sides.indices.map { i =>
+      val si = cs.sides(i)
+      val d = signedDelta(cat, si.table, lastVS(i))
+      val withFact = d.join(boundedSide(cat, cs.fact, None, d, si.keys,
+        si.factKeysImmutable), si.keys)
+      cs.sides.zipWithIndex.filterNot(_._2 == i)
+        .foldLeft(withFact) { case (acc, (s, j)) =>
+          val asOf = if (j < i) None else Some(lastVS(j))
+          acc.join(boundedSide(cat, s.table, asOf, acc, s.keys,
+            s.sideKeysImmutable), s.keys)
+        }
+    }
+    val delta = sideLegs.foldLeft(factLeg)(
+      _.unionByName(_, allowMissingColumns = false))
 
     val state = read(spark, path)
     val stT: String => DataType = c => state.schema(c).dataType
@@ -386,21 +441,21 @@ object MaterializeJoin {
           Some(affected.collect().toSeq)
         else None
       val out = if (affectedCount == 0) kept
-        else kept.unionByName(recomputeJoined(cat, js, groupCols,
+        else kept.unionByName(recomputeJoined(cat, cs, groupCols,
           measures, affected, affRows))
-      val nd = s"state_v${newVL}_$newVR"
+      val nd = s"state_v${newVF}_${newVS.mkString("_")}"
       out.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
-      writeMeta(spark, path, js, newVL, newVR, groupCols, measures, nd)
-      (newVL, newVR)
+      writeMeta(spark, path, cs, newVF, newVS, groupCols, measures, nd)
+      (newVF, newVS)
     } finally merged.unpersist()
   }
 
   /** Affected-group recompute over the CURRENT joined snapshots,
     * bounded to the gated-in groups: an IN prefilter on each plain
-    * group column reaches its owning side's scan (below the join), and
-    * the affected semi-join caps the aggregate itself — delta-group-
-    * sized work against the join, never the full γ(R ⋈ S). */
-  private def recomputeJoined(cat: GraftCatalog, js: JoinSpec,
+    * group column reaches its owning table's scan (below the joins),
+    * and the affected semi-join caps the aggregate itself —
+    * delta-group-sized work against the join, never the full γ. */
+  private def recomputeJoined(cat: GraftCatalog, cs: ChainSpec,
       groupCols: Seq[String], measures: Seq[String],
       affected: DataFrame,
       affRows: Option[Seq[org.apache.spark.sql.Row]]): DataFrame = {
@@ -420,7 +475,7 @@ object MaterializeJoin {
       case _ => lit(true)
     }
     Materialize.aggregate(
-      joinedSnapshot(cat, js).where(prefilter)
+      joinedSnapshot(cat, cs).where(prefilter)
         .join(affected, affCond, "left_semi"),
       groupCols, measures)
   }

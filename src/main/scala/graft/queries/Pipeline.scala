@@ -1397,6 +1397,66 @@ object Pipeline {
         .orderBy($"priority")
     },
 
+    // N-WAY CHAIN IVM under the hard oracle: γ(orders ⋈ lineitem ⋈
+    // customer) — "revenue by customer segment, kept current" — with
+    // ALL THREE tables mutating through one maintenance window. The
+    // telescoping legs each stay delta-bounded: lineitem reads bound
+    // via okey ⊂ its PK (grouping-key pushdown), customer via its PK,
+    // and the fact's o_custkey read via the declared-immutable
+    // prefilter. The insert-only first refresh is pinned to fold with
+    // zero recompute; the second absorbs a measure update, a
+    // cross-segment dim move, and a lineitem delete. Oracle recomputes
+    // the 3-way join-then-aggregate over the final logical tables.
+    "q_ivm_chain" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+      val wh = ivmWarehouse(dir + "#chain")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      cat.createTable("co", StructType(Seq(
+        StructField("okey", LongType),
+        StructField("ckey", LongType))), pk = Seq("okey"))
+      cat.createTable("cl", StructType(Seq(
+        StructField("okey", LongType), StructField("ln", IntegerType),
+        StructField("qty", LongType))), pk = Seq("okey", "ln"))
+      cat.createTable("cc", StructType(Seq(
+        StructField("ckey", LongType),
+        StructField("seg", StringType))), pk = Seq("ckey"))
+      val li = Tables.t(s, dir, "lineitem")
+        .where($"l_orderkey" % 16 < 3)
+        .groupBy($"l_orderkey".as("okey"), $"l_linenumber".as("ln"))
+        .agg(sum($"l_quantity".cast("long")).as("qty"))
+      val ord = Tables.t(s, dir, "orders")
+        .select($"o_orderkey".as("okey"), $"o_custkey".as("ckey"))
+        .where($"okey" % 16 < 3)
+      cat.upsert("cl", li)
+      cat.upsert("co", ord.where($"okey" % 16 < 2))
+      cat.upsert("cc", Tables.t(s, dir, "customer")
+        .select($"c_custkey".as("ckey"), $"c_mktsegment".as("seg")))
+      val mv = wh + "/mvchain"
+      val cs = graft.operators.MaterializeJoin.ChainSpec("co", Seq(
+        graft.operators.MaterializeJoin.SideSpec("cl", Seq("okey"),
+          sideKeysImmutable = true),
+        graft.operators.MaterializeJoin.SideSpec("cc", Seq("ckey"),
+          factKeysImmutable = true)))
+      graft.operators.MaterializeJoin.build(cat, cs,
+        Seq("seg"), Seq("qty"), mv)
+      cat.upsert("co", ord.where($"okey" % 16 === 2))
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      if (graft.operators.MaterializeJoin.LastRefresh.recomputeRan)
+        throw new IllegalStateException(
+          "insert-only chain delta must fold with zero recompute")
+      cat.upsert("cl", li.where($"okey" % 100 === 2)
+        .withColumn("qty", $"qty" + 5L))
+      cat.upsert("cc", Tables.t(s, dir, "customer")
+        .select($"c_custkey".as("ckey"), lit("MOVED").as("seg"))
+        .where($"ckey" % 40 === 1))
+      cat.delete("cl", $"okey" % 10 === 7)
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      graft.operators.MaterializeJoin.read(s, mv)
+        .select($"seg", $"cnt", $"sum_qty", $"min_qty", $"max_qty")
+        .orderBy($"seg")
+    },
+
     // Sketch-serving MV rewrite under the hard oracle: the query runs
     // a kmv_sketch aggregate over the FACT table; AggRewriteRule must
     // swap it onto the 5-row state's kmv_user_id column (plan-pinned).
@@ -3115,6 +3175,29 @@ object Pipeline {
       SELECT event_type, count(*) AS n,
         count(DISTINCT user_id) AS distinct_users
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_ivm_chain" -> """
+      WITH l AS (
+        SELECT okey,
+          CASE WHEN okey % 100 = 2 THEN qty0 + 5 ELSE qty0 END AS qty
+        FROM (SELECT l_orderkey AS okey, l_linenumber AS ln,
+                CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty0
+              FROM lineitem WHERE l_orderkey % 16 < 3
+              GROUP BY 1, 2)
+        WHERE okey % 10 <> 7),
+      o AS (
+        SELECT o_orderkey AS okey, o_custkey AS ckey
+        FROM orders WHERE o_orderkey % 16 < 3),
+      c AS (
+        SELECT c_custkey AS ckey,
+          CASE WHEN c_custkey % 40 = 1 THEN 'MOVED'
+               ELSE c_mktsegment END AS seg
+        FROM customer)
+      SELECT seg, count(*) AS cnt,
+        CAST(sum(qty) AS BIGINT) AS sum_qty,
+        min(qty) AS min_qty, max(qty) AS max_qty
+      FROM o JOIN l USING (okey) JOIN c USING (ckey)
+      GROUP BY 1 ORDER BY 1""",
 
     "q_mv_rewrite_join" -> """
       WITH base AS (

@@ -132,7 +132,7 @@ class MaterializeJoinSpec extends AnyFunSuite {
     val (vl, vr) = MaterializeJoin.build(cat, js, Seq("seg"),
       Seq("price"), path)
     val before = actual(path)
-    assert(MaterializeJoin.refresh(cat, path) == (vl, vr))
+    assert(MaterializeJoin.refreshBinary(cat, path) == (vl, vr))
     assert(actual(path) == before)
   }
 
@@ -203,6 +203,110 @@ class MaterializeJoinSpec extends AnyFunSuite {
     cat.upsert("c", Seq((20L, "a")).toDF("ck", "seg"))
     MaterializeJoin.refresh(cat, path)
     assert(actual(path) == expected(cat))
+  }
+
+  test("N-way chain: fact ⋈ two mutating sides — every table churns, " +
+      "state == joined recompute after every refresh; omitted-side " +
+      "queries refuse the rewrite") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("f", StructType(Seq(
+      StructField("ok", LongType), StructField("ck", LongType),
+      StructField("pk2", LongType), StructField("price", LongType))),
+      pk = Seq("ok"))
+    cat.createTable("c", custSchema, pk = Seq("ck"))
+    cat.createTable("p", StructType(Seq(
+      StructField("pk2", LongType), StructField("brand", StringType))),
+      pk = Seq("pk2"))
+    cat.upsert("f", Seq((1L, 10L, 100L, 5L), (2L, 10L, 101L, 6L),
+      (3L, 20L, 100L, 7L), (4L, 30L, 101L, 8L))
+      .toDF("ok", "ck", "pk2", "price"))
+    cat.upsert("c", Seq((10L, "a"), (20L, "b"), (30L, "a"))
+      .toDF("ck", "seg"))
+    cat.upsert("p", Seq((100L, "x"), (101L, "y")).toDF("pk2", "brand"))
+    // NO immutability declarations: the fuzz below MUTATES fact join
+    // keys (ok=2's pk2 moves 101 → 103), which the contract forbids —
+    // declaring it here would (correctly, and silently) surface stale
+    // winners, exactly the failure mode the scaladoc warns about
+    val cs = MaterializeJoin.ChainSpec("f", Seq(
+      MaterializeJoin.SideSpec("c", Seq("ck")),
+      MaterializeJoin.SideSpec("p", Seq("pk2"))))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmvn").toString
+    MaterializeJoin.build(cat, cs, Seq("seg", "brand"), Seq("price"),
+      path)
+    def expectedN: Set[Seq[Any]] = Materialize.aggregate(
+      cat.snapshot("f").join(cat.snapshot("c"), Seq("ck"))
+        .join(cat.snapshot("p"), Seq("pk2")),
+      Seq("seg", "brand"), Seq("price")).collect().map(canon).toSet
+    assert(actual(path) == expectedN, "after build")
+
+    // one delta touching ALL THREE tables at once: fact insert with an
+    // initially-dangling part key, fact measure update, dim regroup,
+    // part rebrand, fact delete
+    cat.upsert("f", Seq((5L, 20L, 102L, 9L), (1L, 10L, 100L, 55L))
+      .toDF("ok", "ck", "pk2", "price"))
+    cat.upsert("c", Seq((20L, "c")).toDF("ck", "seg"))
+    cat.upsert("p", Seq((101L, "z")).toDF("pk2", "brand"))
+    cat.delete("f", col("ok") === 4L)
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expectedN, "after 3-table combined churn")
+
+    // the dangling part key materializes late — only the part delta
+    // leg can pick the waiting fact row up
+    cat.upsert("p", Seq((102L, "w")).toDF("pk2", "brand"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expectedN, "after late part materialization")
+
+    // chain fuzz: random ops on any of the three tables
+    val rnd = new scala.util.Random(81520268L)
+    val segs = Vector("a", "b", "c")
+    val brands = Vector("x", "y", "z", "w")
+    for (step <- 1 to 6) {
+      for (_ <- 0 until 1 + rnd.nextInt(3)) rnd.nextInt(5) match {
+        case 0 => cat.upsert("f", Seq((rnd.nextInt(10).toLong,
+          (rnd.nextInt(4) * 10 + 10).toLong,
+          (100 + rnd.nextInt(4)).toLong,
+          rnd.nextInt(100).toLong)).toDF("ok", "ck", "pk2", "price"))
+        case 1 => cat.upsert("c", Seq(((rnd.nextInt(4) * 10 + 10).toLong,
+          segs(rnd.nextInt(segs.size)))).toDF("ck", "seg"))
+        case 2 => cat.upsert("p", Seq(((100 + rnd.nextInt(4)).toLong,
+          brands(rnd.nextInt(brands.size)))).toDF("pk2", "brand"))
+        case 3 => cat.delete("f", col("ok") === rnd.nextInt(10).toLong)
+        case 4 => cat.delete("p",
+          col("pk2") === (100 + rnd.nextInt(4)).toLong)
+      }
+      MaterializeJoin.refresh(cat, path)
+      assert(actual(path) == expectedN, s"chain fuzz diverged at $step")
+    }
+
+    // rewrite: a query omitting the part join must refuse (the state
+    // never counted part-unmatched fact rows)
+    cat.refreshSnapshotCache("f"); cat.refreshSnapshotCache("c")
+    cat.refreshSnapshotCache("p")
+    MaterializeJoin.registerForRewrite(cat, path)
+    val stateName = new java.io.File(path).getName
+    try {
+      val full = cat.snapshotServed("f")
+        .join(cat.snapshotServed("c"), Seq("ck"))
+        .join(cat.snapshotServed("p"), Seq("pk2"))
+        .groupBy($"seg", $"brand").agg(sum($"price").as("sp"))
+        .orderBy($"seg", $"brand")
+      assert(full.queryExecution.executedPlan.toString
+        .contains(stateName),
+        "the full 3-way INNER join must serve from the chain state")
+      assert(full.collect().map(_.toSeq).toSeq ==
+        cat.snapshot("f").join(cat.snapshot("c"), Seq("ck"))
+          .join(cat.snapshot("p"), Seq("pk2"))
+          .groupBy($"seg", $"brand").agg(sum($"price").as("sp"))
+          .orderBy($"seg", $"brand").collect().map(_.toSeq).toSeq)
+      val partial = cat.snapshotServed("f")
+        .join(cat.snapshotServed("c"), Seq("ck"))
+        .groupBy($"seg").agg(sum($"price").as("sp"))
+      assert(!partial.queryExecution.executedPlan.toString
+        .contains(stateName),
+        "omitting the part join must refuse the chain state")
+    } finally graft.plans.GraftAggViews.drop(cat.tablePath("f"))
   }
 
   test("registerForRewrite: INNER join serves from state; LEFT join " +
