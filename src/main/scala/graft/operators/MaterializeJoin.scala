@@ -67,8 +67,11 @@ object MaterializeJoin {
     * stats prune the untouched base; without it a non-PK key only
     * filters ABOVE the collapse and the leg pays a full read (shuffle
     * still delta-bounded). Keys that ARE the table's PK need no
-    * declaration. Declaring immutability for a key that mutates yields
-    * SILENTLY WRONG winners — it is a contract, not a hint. */
+    * declaration. The contract is ENFORCED: build sweeps the full
+    * history and every refresh sweeps its delta window, REFUSING on an
+    * unsafe key mutation (a change without an intervening tombstone —
+    * delete-then-reinsert under a new key is provably safe and stays
+    * allowed) instead of surfacing stale winners. */
   final case class SideSpec(table: String, keys: Seq[String],
       sideKeysImmutable: Boolean = false,
       factKeysImmutable: Boolean = false)
@@ -139,6 +142,54 @@ object MaterializeJoin {
     cat.changeLog(table)
       .agg(coalesce(max(col("_version")), lit(-1L))).head.getLong(0)
 
+  /** table → join-key columns the spec declares immutable on it. */
+  private def declaredImmutable(cs: ChainSpec)
+      : Map[String, Seq[String]] = {
+    val fact = cs.sides.filter(_.factKeysImmutable)
+      .flatMap(_.keys).distinct
+    val entries =
+      (if (fact.nonEmpty) Seq(cs.fact -> fact) else Nil) ++
+        cs.sides.filter(_.sideKeysImmutable).map(s => s.table -> s.keys)
+    entries.groupBy(_._1)
+      .map { case (t, vs) => t -> vs.flatMap(_._2).distinct }
+  }
+
+  /** ENFORCE the declared-immutability contract over `table`'s history
+    * since `sinceV` (−1 = all of it, the build-time sweep): a declared
+    * key whose value differs from the row's immediately-previous LIVE
+    * version is the unsafe mutation — [[GraftCatalog
+    * .snapshotPrefiltered]] would surface the stale version as a
+    * phantom winner. A key change ACROSS A TOMBSTONE (delete, then
+    * re-insert under a new key) is provably safe — the tombstone wins
+    * any slice that keeps only the old key's history, so the row is
+    * correctly absent there — and stays allowed. Build sweeps the full
+    * log and every refresh sweeps its own delta window (whose lag
+    * pre-images cross the window boundary), so any unsafe mutation is
+    * caught at the first fold that could read it wrong; compaction
+    * discards history but also forces a rebuild, which re-sweeps. */
+  private def requireImmutable(cat: GraftCatalog, table: String,
+      immKeys0: Seq[String], sinceV: Long): Unit = {
+    // PK components are constant per row by construction — only
+    // genuinely mutable columns need the sweep
+    val immKeys = immKeys0.filterNot(cat.spec(table).pk.contains)
+    if (immKeys.isEmpty) return
+    val s = cat.spec(table)
+    val changes = Materialize.preImageChanges(cat.changeLogRaw(table),
+      s.schema.fieldNames.toSeq, s.pk, sinceV)
+    val hasPrev =
+      col("_prev").isNotNull && !col("_prev").getField("__del")
+    val mutated = immKeys
+      .map(k => !(col(k) <=> col(s"_prev.$k"))).reduce(_ || _)
+    val bad = changes.where(hasPrev && mutated).limit(1).count()
+    require(bad == 0,
+      s"join key(s) ${immKeys.mkString(", ")} of '$table' are declared " +
+        "immutable but changed across row versions — the declaration " +
+        "is a correctness contract (a prefiltered read would surface " +
+        "a stale version as the winner). Rebuild the MV without the " +
+        "declaration, or delete-then-reinsert instead of overwriting " +
+        "the key")
+  }
+
   private def writeMeta(spark: SparkSession, path: String,
       cs: ChainSpec, vF: Long, vS: Seq[Long], groupCols: Seq[String],
       measures: Seq[String], stateDirName: String): Unit = {
@@ -175,6 +226,11 @@ object MaterializeJoin {
       measures: Seq[String], path: String): (Long, Seq[Long]) = {
     val spark = cat.session
     validate(cat, cs, groupCols, measures)
+    // contract sweep over the FULL history: a pre-build unsafe key
+    // mutation would corrupt every future prefiltered read
+    declaredImmutable(cs).foreach { case (t, ks) =>
+      requireImmutable(cat, t, ks, sinceV = -1L)
+    }
     val vF = highWater(cat, cs.fact)
     val vS = cs.sides.map(s => highWater(cat, s.table))
     val agg = Materialize.aggregate(joinedSnapshot(cat, cs), groupCols,
@@ -338,6 +394,16 @@ object MaterializeJoin {
     // telescoping legs: Δfact against every side OLD; per side i,
     // fact NEW ⋈ sides<i NEW ⋈ Δside_i ⋈ sides>i OLD — each leg's
     // non-delta factors key-bounded by the accumulated signed join
+    // contract sweep over THIS delta window (lag pre-images cross the
+    // window boundary, so a mutation of a declared-immutable key is
+    // caught at the first fold that could read it wrong)
+    val imm = declaredImmutable(cs)
+    imm.get(cs.fact).foreach(ks =>
+      requireImmutable(cat, cs.fact, ks, lastVF))
+    cs.sides.zipWithIndex.foreach { case (s, j) =>
+      imm.get(s.table).foreach(ks =>
+        requireImmutable(cat, s.table, ks, lastVS(j)))
+    }
     val factLeg = cs.sides.zipWithIndex
       .foldLeft(signedDelta(cat, cs.fact, lastVF)) {
         case (acc, (s, j)) =>

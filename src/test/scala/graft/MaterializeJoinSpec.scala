@@ -352,6 +352,51 @@ class MaterializeJoinSpec extends AnyFunSuite {
     } finally graft.plans.GraftAggViews.drop(cat.tablePath("o"))
   }
 
+  test("immutability contract is ENFORCED: build refuses pre-mutated " +
+      "history, refresh refuses a delta mutation, tombstone-separated " +
+      "re-keys stay allowed and exact") {
+    import spark.implicits._
+    val ijs = js.copy(leftKeysImmutable = true)
+    // (a) history already violates at build time → build refuses
+    locally {
+      val cat = freshCatalog(); mkTables(cat)
+      cat.upsert("o", Seq((1L, 20L, 100L)).toDF("ok", "ck", "price"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_jmv").toString
+      val e = intercept[IllegalArgumentException] {
+        MaterializeJoin.build(cat, ijs, Seq("seg"), Seq("price"), path)
+      }
+      assert(e.getMessage.contains("declared"))
+    }
+    // (b) a post-build delta mutates the declared key → refresh
+    // refuses instead of folding a phantom
+    locally {
+      val cat = freshCatalog(); mkTables(cat)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_jmv").toString
+      MaterializeJoin.build(cat, ijs, Seq("seg"), Seq("price"), path)
+      cat.upsert("o", Seq((1L, 20L, 100L)).toDF("ok", "ck", "price"))
+      val e = intercept[IllegalArgumentException] {
+        MaterializeJoin.refresh(cat, path)
+      }
+      assert(e.getMessage.contains("declared"))
+    }
+    // (c) delete then re-insert under a NEW key: the tombstone makes
+    // any key-sliced read correct, so the contract allows it — and
+    // the fold stays exact
+    locally {
+      val cat = freshCatalog(); mkTables(cat)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_jmv").toString
+      MaterializeJoin.build(cat, ijs, Seq("seg"), Seq("price"), path)
+      cat.delete("o", col("ok") === 1L)
+      cat.upsert("o", Seq((1L, 20L, 123L)).toDF("ok", "ck", "price"))
+      MaterializeJoin.refresh(cat, path)
+      assert(actual(path) == expected(cat),
+        "tombstone-separated re-key must fold exactly")
+    }
+  }
+
   test("differential fuzz: random interleaved upsert/update/delete on " +
       "BOTH sides — state == full recompute after every refresh " +
       "(seeded)") {
