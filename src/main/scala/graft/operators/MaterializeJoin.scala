@@ -192,17 +192,30 @@ object MaterializeJoin {
 
   private def writeMeta(spark: SparkSession, path: String,
       cs: ChainSpec, vF: Long, vS: Seq[Long], groupCols: Seq[String],
-      measures: Seq[String], stateDirName: String): Unit = {
+      measures: Seq[String], stateDirName: String,
+      sketches: Seq[(String, Int)], topks: Seq[(String, Int)]): Unit = {
     import spark.implicits._
     Seq((cs.fact, cs.sides.map(_.table), cs.sides.map(_.keys),
         cs.sides.map(_.sideKeysImmutable),
         cs.sides.map(_.factKeysImmutable),
-        vF, vS, groupCols, measures, stateDirName))
+        vF, vS, groupCols, measures, stateDirName,
+        sketches.map(_._1), sketches.map(_._2.toLong),
+        topks.map(_._1), topks.map(_._2.toLong)))
       .toDF("fact", "side_tables", "side_keys", "side_imms",
         "fact_imms", "last_vf", "last_vs", "group_cols", "measures",
-        "state_dir")
+        "state_dir", "sketch_cols", "sketch_ks", "topk_cols",
+        "topk_caps")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
+
+  private def sketchesOf(m: org.apache.spark.sql.Row)
+      : Seq[(String, Int)] =
+    m.getSeq[String](m.fieldIndex("sketch_cols"))
+      .zip(m.getSeq[Long](m.fieldIndex("sketch_ks")).map(_.toInt))
+
+  private def topksOf(m: org.apache.spark.sql.Row): Seq[(String, Int)] =
+    m.getSeq[String](m.fieldIndex("topk_cols"))
+      .zip(m.getSeq[Long](m.fieldIndex("topk_caps")).map(_.toInt))
 
   private def meta(spark: SparkSession, path: String)
       : org.apache.spark.sql.Row =
@@ -223,9 +236,12 @@ object MaterializeJoin {
   /** Full build: aggregate the joined current snapshots, persist,
     * record EVERY table's change-log high-water mark. */
   def build(cat: GraftCatalog, cs: ChainSpec, groupCols: Seq[String],
-      measures: Seq[String], path: String): (Long, Seq[Long]) = {
+      measures: Seq[String], path: String,
+      sketches: Seq[(String, Int)] = Seq.empty,
+      topks: Seq[(String, Int)] = Seq.empty): (Long, Seq[Long]) = {
     val spark = cat.session
-    validate(cat, cs, groupCols, measures)
+    validate(cat, cs, groupCols,
+      measures ++ sketches.map(_._1) ++ topks.map(_._1))
     // contract sweep over the FULL history: a pre-build unsafe key
     // mutation would corrupt every future prefiltered read
     declaredImmutable(cs).foreach { case (t, ks) =>
@@ -234,11 +250,12 @@ object MaterializeJoin {
     val vF = highWater(cat, cs.fact)
     val vS = cs.sides.map(s => highWater(cat, s.table))
     val agg = Materialize.aggregate(joinedSnapshot(cat, cs), groupCols,
-      measures)
+      measures, sketches, topks)
     // flip-don't-overwrite: same naming discipline as Materialize
     val nd = s"state_v${vF}_${vS.mkString("_")}"
     agg.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
-    writeMeta(spark, path, cs, vF, vS, groupCols, measures, nd)
+    writeMeta(spark, path, cs, vF, vS, groupCols, measures, nd,
+      sketches, topks)
     (vF, vS)
   }
 
@@ -285,7 +302,8 @@ object MaterializeJoin {
     }
     graft.plans.GraftAggViews.register(cat.tablePath(cs.fact),
       graft.plans.GraftAggViews.AggViewDef(path, groupCols, measures,
-        dims = dims))
+        sketches = sketchesOf(m).toMap, dims = dims,
+        topks = topksOf(m).toMap))
   }
 
   /** Signed row-level delta of `table` since `lastV`: post images
@@ -375,6 +393,10 @@ object MaterializeJoin {
     val lastVS = m.getSeq[Long](m.fieldIndex("last_vs"))
     val groupCols = m.getSeq[String](m.fieldIndex("group_cols"))
     val measures = m.getSeq[String](m.fieldIndex("measures"))
+    val sketches = sketchesOf(m)
+    val topks = topksOf(m)
+    if (sketches.nonEmpty || topks.nonEmpty)
+      graft.functions.GraftFunctions.registerKernels(spark)
     val marksOf: String => (Long, Long) = t =>
       cat.changeLogRaw(t).agg(
         coalesce(max(col("_version")), lit(-1L)),
@@ -389,7 +411,8 @@ object MaterializeJoin {
     // correct (the history the state summarizes is gone)
     val compacted = minVF > lastVF ||
       sideMarks.map(_._2).zip(lastVS).exists { case (mn, lv) => mn > lv }
-    if (compacted) return build(cat, cs, groupCols, measures, path)
+    if (compacted)
+      return build(cat, cs, groupCols, measures, path, sketches, topks)
 
     // telescoping legs: Δfact against every side OLD; per side i,
     // fact NEW ⋈ sides<i NEW ⋈ Δside_i ⋈ sides>i OLD — each leg's
@@ -444,7 +467,8 @@ object MaterializeJoin {
         mm => col(s"max_$mm"), nul): _*)
     // the SAME aggregate layout the build uses (type-strict union)
     val postRows = Materialize.aggregate(
-        delta.where(col("__w") > 0).drop("__w"), groupCols, measures)
+        delta.where(col("__w") > 0).drop("__w"), groupCols, measures,
+        sketches, topks)
       .withColumn("__retr", lit(0)).withColumn("__instate", lit(0))
       .select(col("*") +: carry(nul, nul, nul, nul): _*)
     val retr = delta.where(col("__w") < 0).drop("__w")
@@ -459,9 +483,16 @@ object MaterializeJoin {
           min(col(mm)).cast(mT(mm)).as(s"__rmin_$mm"),
           max(col(mm)).cast(mT(mm)).as(s"__rmax_$mm"))): _*)
       .withColumn("__retr", lit(1)).withColumn("__instate", lit(0))
-      .select(col("*") +: measures.flatMap(mm => Seq(
+      .select(col("*") +: (measures.flatMap(mm => Seq(
         lit(null).cast(mT(mm)).as(s"__smin_$mm"),
-        lit(null).cast(mT(mm)).as(s"__smax_$mm"))): _*)
+        lit(null).cast(mT(mm)).as(s"__smax_$mm"))) ++
+        // sketches cannot retract (a hash can't be un-inserted, a
+        // SpaceSaving count can't be un-counted) — the NULL rides the
+        // union and the gate below recomputes the group
+        sketches.map { case (d, _) =>
+          lit(null).cast(BinaryType).as(s"kmv_$d") } ++
+        topks.map { case (t, _) =>
+          lit(null).cast(BinaryType).as(s"topk_$t") }): _*)
 
     val merged = stateRows.unionByName(postRows).unionByName(retrRows)
       .groupBy(groupCols.map(col): _*)
@@ -471,6 +502,12 @@ object MaterializeJoin {
           sum(col(s"sum_$mm")).as(s"sum_$mm"),
           min(col(s"min_$mm")).as(s"min_$mm"),
           max(col(s"max_$mm")).as(s"max_$mm"))) ++
+          sketches.map { case (d, _) =>
+            call_function("kmv_union_agg", col(s"kmv_$d"))
+              .as(s"kmv_$d") } ++
+          topks.map { case (t, _) =>
+            call_function("top_terms_union_agg", col(s"topk_$t"))
+              .as(s"topk_$t") } ++
           Seq(max(col("__retr")).as("__retr"),
             max(col("__instate")).as("__instate")) ++
           measures.flatMap(mm => Seq(
@@ -485,6 +522,7 @@ object MaterializeJoin {
       // or crosses the prior state's min/max (or that the state never
       // held) recomputes; every other group folded algebraically.
       val needsRecompute = col("__instate") === 0 ||
+        lit(sketches.nonEmpty || topks.nonEmpty) ||
         measures.map(mm =>
           col(s"__rmin_$mm").isNotNull && (col(s"__smin_$mm").isNull ||
             col(s"__rmin_$mm") <= col(s"__smin_$mm") ||
@@ -508,10 +546,11 @@ object MaterializeJoin {
         else None
       val out = if (affectedCount == 0) kept
         else kept.unionByName(recomputeJoined(cat, cs, groupCols,
-          measures, affected, affRows))
+          measures, affected, affRows, sketches, topks))
       val nd = s"state_v${newVF}_${newVS.mkString("_")}"
       out.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
-      writeMeta(spark, path, cs, newVF, newVS, groupCols, measures, nd)
+      writeMeta(spark, path, cs, newVF, newVS, groupCols, measures, nd,
+        sketches, topks)
       (newVF, newVS)
     } finally merged.unpersist()
   }
@@ -524,7 +563,9 @@ object MaterializeJoin {
   private def recomputeJoined(cat: GraftCatalog, cs: ChainSpec,
       groupCols: Seq[String], measures: Seq[String],
       affected: DataFrame,
-      affRows: Option[Seq[org.apache.spark.sql.Row]]): DataFrame = {
+      affRows: Option[Seq[org.apache.spark.sql.Row]],
+      sketches: Seq[(String, Int)] = Seq.empty,
+      topks: Seq[(String, Int)] = Seq.empty): DataFrame = {
     val affCond = groupCols.map(c => col(c) <=> col(s"__a_$c"))
       .reduce(_ && _)
     val prefilter: Column = affRows match {
@@ -543,6 +584,6 @@ object MaterializeJoin {
     Materialize.aggregate(
       joinedSnapshot(cat, cs).where(prefilter)
         .join(affected, affCond, "left_semi"),
-      groupCols, measures)
+      groupCols, measures, sketches, topks)
   }
 }

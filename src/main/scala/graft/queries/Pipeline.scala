@@ -1397,6 +1397,58 @@ object Pipeline {
         .orderBy($"priority")
     },
 
+    // SKETCH-VALUED JOIN IVM under the hard oracle: a maintained
+    // "distinct suppliers per order priority" over lineitem ⋈ orders —
+    // the KMV distinct state rides the join fold (insert-only unions,
+    // pinned recompute-free; the retraction-bearing second window
+    // gates to the pruned recompute), read back through kmv_estimate
+    // at k = 2^17 (exact regime, so DuckDB count(DISTINCT) is the
+    // oracle).
+    "q_ivm_join_sketch" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+      val wh = ivmWarehouse(dir + "#joinsk")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      cat.createTable("jl4", StructType(Seq(
+        StructField("okey", LongType), StructField("ln", IntegerType),
+        StructField("skey", LongType), StructField("qty", LongType))),
+        pk = Seq("okey", "ln"))
+      cat.createTable("jo4", StructType(Seq(
+        StructField("okey", LongType),
+        StructField("priority", StringType))), pk = Seq("okey"))
+      val li = Tables.t(s, dir, "lineitem")
+        .where($"l_orderkey" % 16 < 3)
+        .groupBy($"l_orderkey".as("okey"), $"l_linenumber".as("ln"))
+        .agg(max($"l_suppkey").as("skey"),
+          sum($"l_quantity".cast("long")).as("qty"))
+      val ord = Tables.t(s, dir, "orders")
+        .select($"o_orderkey".as("okey"),
+          $"o_orderpriority".as("priority"))
+        .where($"okey" % 16 < 3)
+      cat.upsert("jl4", li)
+      cat.upsert("jo4", ord.where($"okey" % 16 < 2))
+      val mv = wh + "/mvjsk"
+      val cs = graft.operators.MaterializeJoin.ChainSpec("jl4", Seq(
+        graft.operators.MaterializeJoin.SideSpec("jo4", Seq("okey"),
+          factKeysImmutable = true)))
+      graft.operators.MaterializeJoin.build(cat, cs,
+        Seq("priority"), Seq("qty"), mv,
+        sketches = Seq("skey" -> 131072))
+      cat.upsert("jo4", ord.where($"okey" % 16 === 2))
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      if (graft.operators.MaterializeJoin.LastRefresh.recomputeRan)
+        throw new IllegalStateException(
+          "insert-only join-sketch delta must fold with zero recompute")
+      cat.delete("jl4", $"okey" % 10 === 3)
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      graft.functions.GraftFunctions.registerKernels(s)
+      graft.operators.MaterializeJoin.read(s, mv)
+        .select($"priority", $"cnt", $"sum_qty",
+          round(call_function("kmv_estimate", $"kmv_skey")).cast("long")
+            .as("distinct_suppliers"))
+        .orderBy($"priority")
+    },
+
     // N-WAY CHAIN IVM under the hard oracle: γ(orders ⋈ lineitem ⋈
     // customer) — "revenue by customer segment, kept current" — with
     // ALL THREE tables mutating through one maintenance window. The
@@ -3175,6 +3227,23 @@ object Pipeline {
       SELECT event_type, count(*) AS n,
         count(DISTINCT user_id) AS distinct_users
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_ivm_join_sketch" -> """
+      WITH base AS (
+        SELECT l_orderkey AS okey, l_linenumber AS ln,
+          max(l_suppkey) AS skey,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem WHERE l_orderkey % 16 < 3
+        GROUP BY 1, 2),
+      l AS (SELECT okey, skey, qty FROM base WHERE okey % 10 <> 3),
+      o AS (
+        SELECT o_orderkey AS okey, o_orderpriority AS priority
+        FROM orders WHERE o_orderkey % 16 < 3)
+      SELECT priority, count(*) AS cnt,
+        CAST(sum(qty) AS BIGINT) AS sum_qty,
+        count(DISTINCT skey) AS distinct_suppliers
+      FROM l JOIN o USING (okey)
+      GROUP BY 1 ORDER BY 1""",
 
     "q_ivm_chain" -> """
       WITH l AS (

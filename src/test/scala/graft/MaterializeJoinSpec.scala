@@ -352,6 +352,48 @@ class MaterializeJoinSpec extends AnyFunSuite {
     } finally graft.plans.GraftAggViews.drop(cat.tablePath("o"))
   }
 
+  test("sketch + top-terms measures over the join: insert-only folds " +
+      "by union merge (no recompute), retractions gate; state equals " +
+      "rebuild through churn on both sides") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.registerKernels(spark)
+    val cat = freshCatalog(); mkTables(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmvsk").toString
+    val cs = MaterializeJoin.ChainSpec("o",
+      Seq(MaterializeJoin.SideSpec("c", Seq("ck"))))
+    val sks = Seq("ok" -> 4096)
+    val tks = Seq("ok" -> 64)
+    def expectedSk: Set[Seq[Any]] = Materialize.aggregate(
+      cat.snapshot("o").join(cat.snapshot("c"), Seq("ck")),
+      Seq("seg"), Seq("price"), sks, tks).collect().map(canon).toSet
+    def actualSk: Set[Seq[Any]] = MaterializeJoin.read(spark, path)
+      .collect().map(canon).toSet
+    MaterializeJoin.build(cat, cs, Seq("seg"), Seq("price"), path,
+      sketches = sks, topks = tks)
+    assert(actualSk == expectedSk, "after build")
+    // insert-only on both sides: union folds, byte-identical, no
+    // recompute
+    cat.upsert("o", Seq((5L, 20L, 500L), (6L, 30L, 600L))
+      .toDF("ok", "ck", "price"))
+    cat.upsert("c", Seq((40L, "d")).toDF("ck", "seg"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actualSk == expectedSk, "insert-only sketch fold diverged")
+    assert(!MaterializeJoin.LastRefresh.recomputeRan,
+      "insert-only deltas must fold sketches with zero recompute")
+    // dim regroup: the pre-image groups carry sketch state only a
+    // recompute can shrink — the gate must fire and match the rebuild
+    cat.upsert("c", Seq((10L, "b")).toDF("ck", "seg"))
+    MaterializeJoin.refresh(cat, path)
+    assert(MaterializeJoin.LastRefresh.recomputeRan,
+      "a sketch-bearing retraction must take the recompute path")
+    assert(actualSk == expectedSk, "post-regroup sketch state diverged")
+    // fact delete emptying nothing but shrinking a group
+    cat.delete("o", col("ok") === 3L)
+    MaterializeJoin.refresh(cat, path)
+    assert(actualSk == expectedSk, "post-delete sketch state diverged")
+  }
+
   test("immutability contract is ENFORCED: build refuses pre-mutated " +
       "history, refresh refuses a delta mutation, tombstone-separated " +
       "re-keys stay allowed and exact") {
