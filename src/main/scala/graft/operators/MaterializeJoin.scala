@@ -273,6 +273,27 @@ object MaterializeJoin {
     spark.read.parquet(s"$path/${m.getAs[String]("state_dir")}")
   }
 
+  /** Delete every `state_v*` dir the current meta no longer references
+    * and return the bytes reclaimed — the flip-don't-overwrite
+    * discipline leaves one dir per refresh behind, so a long-maintained
+    * join MV accumulates dead state. Same caller contract as
+    * [[Materialize.vacuum]]: run when no reader of a superseded dir is
+    * in flight. */
+  def vacuum(spark: SparkSession, path: String): Long = {
+    val live = meta(spark, path).getAs[String]("state_dir")
+    def size(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
+      else f.length()
+    def del(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(del)); f.delete()
+    }
+    Option(new java.io.File(path).listFiles).toSeq.flatten
+      .filter(d => d.isDirectory && d.getName.startsWith("state_v") &&
+        d.getName != live)
+      .map { d => val b = size(d); del(d); b }.sum
+  }
+
   /** Register the join MV so [[graft.plans.AggRewriteRule]] serves a
     * matching aggregate-over-INNER-join query from the state — one
     * `DimJoinDef.innerState` per side: INNER joins of exactly these
@@ -289,11 +310,15 @@ object MaterializeJoin {
     val cs = specOf(m)
     val groupCols = m.getSeq[String](m.fieldIndex("group_cols"))
     val measures = m.getSeq[String](m.fieldIndex("measures"))
+    val served = groupCols ++ measures ++
+      sketchesOf(m).map(_._1) ++ topksOf(m).map(_._1)
     val dims = cs.sides.map { s =>
       val sf = cat.spec(s.table).schema.fieldNames.toSet
       // state columns living on THIS side serve through its join —
       // identity-mapped, the state stores the side's own names
-      val attrs = (groupCols ++ measures)
+      // (sketch/top-terms argument columns included, so a dim-side
+      // distinct-count serves too)
+      val attrs = served
         .filter(c => sf.contains(c) && !s.keys.contains(c))
         .map(c => c -> c).toMap
       graft.plans.GraftAggViews.DimJoinDef(cat.tablePath(s.table),
@@ -427,22 +452,31 @@ object MaterializeJoin {
       imm.get(s.table).foreach(ks =>
         requireImmutable(cat, s.table, ks, lastVS(j)))
     }
+    // each delta / accumulated leg is read SEVERAL times (its zone
+    // bound, its distinct-key set, the join itself, and the two-pass
+    // post/retraction fold below) — cache them, they are delta-sized
+    val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    def cache(df: DataFrame): DataFrame = {
+      val c = df.persist(
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += c; c
+    }
     val factLeg = cs.sides.zipWithIndex
-      .foldLeft(signedDelta(cat, cs.fact, lastVF)) {
+      .foldLeft(cache(signedDelta(cat, cs.fact, lastVF))) {
         case (acc, (s, j)) =>
-          acc.join(boundedSide(cat, s.table, Some(lastVS(j)), acc,
-            s.keys, s.sideKeysImmutable), s.keys)
+          cache(acc.join(boundedSide(cat, s.table, Some(lastVS(j)),
+            acc, s.keys, s.sideKeysImmutable), s.keys))
       }
     val sideLegs = cs.sides.indices.map { i =>
       val si = cs.sides(i)
-      val d = signedDelta(cat, si.table, lastVS(i))
-      val withFact = d.join(boundedSide(cat, cs.fact, None, d, si.keys,
-        si.factKeysImmutable), si.keys)
+      val d = cache(signedDelta(cat, si.table, lastVS(i)))
+      val withFact = cache(d.join(boundedSide(cat, cs.fact, None, d,
+        si.keys, si.factKeysImmutable), si.keys))
       cs.sides.zipWithIndex.filterNot(_._2 == i)
         .foldLeft(withFact) { case (acc, (s, j)) =>
           val asOf = if (j < i) None else Some(lastVS(j))
-          acc.join(boundedSide(cat, s.table, asOf, acc, s.keys,
-            s.sideKeysImmutable), s.keys)
+          cache(acc.join(boundedSide(cat, s.table, asOf, acc, s.keys,
+            s.sideKeysImmutable), s.keys))
         }
     }
     val delta = sideLegs.foldLeft(factLeg)(
@@ -552,7 +586,10 @@ object MaterializeJoin {
       writeMeta(spark, path, cs, newVF, newVS, groupCols, measures, nd,
         sketches, topks)
       (newVF, newVS)
-    } finally merged.unpersist()
+    } finally {
+      merged.unpersist()
+      cached.foreach(_.unpersist())
+    }
   }
 
   /** Affected-group recompute over the CURRENT joined snapshots,

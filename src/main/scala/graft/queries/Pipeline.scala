@@ -1366,21 +1366,21 @@ object Pipeline {
       // l_linenumber) pairs — pre-aggregate to the declared PK so the
       // catalog's last-wins collapse and the oracle see the same rows
       val li = Tables.t(s, dir, "lineitem")
-        .where($"l_orderkey" % 16 < 3)
+        .where($"l_orderkey" % 32 < 3)
         .groupBy($"l_orderkey".as("okey"), $"l_linenumber".as("ln"))
         .agg(sum($"l_quantity".cast("long")).as("qty"))
       val ord = Tables.t(s, dir, "orders")
         .select($"o_orderkey".as("okey"),
           $"o_orderpriority".as("priority"))
-        .where($"okey" % 16 < 3)
+        .where($"okey" % 32 < 3)
       cat.upsert("jl", li)
-      cat.upsert("jo", ord.where($"okey" % 16 < 2))
+      cat.upsert("jo", ord.where($"okey" % 32 < 2))
       val mv = wh + "/mvj"
       val js = graft.operators.MaterializeJoin.JoinSpec(
         "jl", "jo", Seq("okey"))
       graft.operators.MaterializeJoin.build(cat, js,
         Seq("priority"), Seq("qty"), mv)
-      cat.upsert("jo", ord.where($"okey" % 16 === 2))
+      cat.upsert("jo", ord.where($"okey" % 32 === 2))
       graft.operators.MaterializeJoin.refresh(cat, mv)
       if (graft.operators.MaterializeJoin.LastRefresh.recomputeRan)
         throw new IllegalStateException(
@@ -1417,16 +1417,16 @@ object Pipeline {
         StructField("okey", LongType),
         StructField("priority", StringType))), pk = Seq("okey"))
       val li = Tables.t(s, dir, "lineitem")
-        .where($"l_orderkey" % 16 < 3)
+        .where($"l_orderkey" % 32 < 3)
         .groupBy($"l_orderkey".as("okey"), $"l_linenumber".as("ln"))
         .agg(max($"l_suppkey").as("skey"),
           sum($"l_quantity".cast("long")).as("qty"))
       val ord = Tables.t(s, dir, "orders")
         .select($"o_orderkey".as("okey"),
           $"o_orderpriority".as("priority"))
-        .where($"okey" % 16 < 3)
+        .where($"okey" % 32 < 3)
       cat.upsert("jl4", li)
-      cat.upsert("jo4", ord.where($"okey" % 16 < 2))
+      cat.upsert("jo4", ord.where($"okey" % 32 < 2))
       val mv = wh + "/mvjsk"
       val cs = graft.operators.MaterializeJoin.ChainSpec("jl4", Seq(
         graft.operators.MaterializeJoin.SideSpec("jo4", Seq("okey"),
@@ -1434,7 +1434,7 @@ object Pipeline {
       graft.operators.MaterializeJoin.build(cat, cs,
         Seq("priority"), Seq("qty"), mv,
         sketches = Seq("skey" -> 131072))
-      cat.upsert("jo4", ord.where($"okey" % 16 === 2))
+      cat.upsert("jo4", ord.where($"okey" % 32 === 2))
       graft.operators.MaterializeJoin.refresh(cat, mv)
       if (graft.operators.MaterializeJoin.LastRefresh.recomputeRan)
         throw new IllegalStateException(
@@ -1474,14 +1474,14 @@ object Pipeline {
         StructField("ckey", LongType),
         StructField("seg", StringType))), pk = Seq("ckey"))
       val li = Tables.t(s, dir, "lineitem")
-        .where($"l_orderkey" % 16 < 3)
+        .where($"l_orderkey" % 32 < 3)
         .groupBy($"l_orderkey".as("okey"), $"l_linenumber".as("ln"))
         .agg(sum($"l_quantity".cast("long")).as("qty"))
       val ord = Tables.t(s, dir, "orders")
         .select($"o_orderkey".as("okey"), $"o_custkey".as("ckey"))
-        .where($"okey" % 16 < 3)
+        .where($"okey" % 32 < 3)
       cat.upsert("cl", li)
-      cat.upsert("co", ord.where($"okey" % 16 < 2))
+      cat.upsert("co", ord.where($"okey" % 32 < 2))
       cat.upsert("cc", Tables.t(s, dir, "customer")
         .select($"c_custkey".as("ckey"), $"c_mktsegment".as("seg")))
       val mv = wh + "/mvchain"
@@ -1492,7 +1492,7 @@ object Pipeline {
           factKeysImmutable = true)))
       graft.operators.MaterializeJoin.build(cat, cs,
         Seq("seg"), Seq("qty"), mv)
-      cat.upsert("co", ord.where($"okey" % 16 === 2))
+      cat.upsert("co", ord.where($"okey" % 32 === 2))
       graft.operators.MaterializeJoin.refresh(cat, mv)
       if (graft.operators.MaterializeJoin.LastRefresh.recomputeRan)
         throw new IllegalStateException(
@@ -3206,7 +3206,7 @@ object Pipeline {
       WITH base AS (
         SELECT l_orderkey AS okey, l_linenumber AS ln,
           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty0
-        FROM lineitem WHERE l_orderkey % 16 < 3
+        FROM lineitem WHERE l_orderkey % 32 < 3
         GROUP BY 1, 2),
       l AS (
         SELECT okey,
@@ -3216,7 +3216,7 @@ object Pipeline {
         SELECT o_orderkey AS okey,
           CASE WHEN o_orderkey % 50 = 1 THEN 'MOVED'
                ELSE o_orderpriority END AS priority
-        FROM orders WHERE o_orderkey % 16 < 3)
+        FROM orders WHERE o_orderkey % 32 < 3)
       SELECT priority, count(*) AS cnt,
         CAST(sum(qty) AS BIGINT) AS sum_qty,
         min(qty) AS min_qty, max(qty) AS max_qty
@@ -3233,12 +3233,12 @@ object Pipeline {
         SELECT l_orderkey AS okey, l_linenumber AS ln,
           max(l_suppkey) AS skey,
           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
-        FROM lineitem WHERE l_orderkey % 16 < 3
+        FROM lineitem WHERE l_orderkey % 32 < 3
         GROUP BY 1, 2),
       l AS (SELECT okey, skey, qty FROM base WHERE okey % 10 <> 3),
       o AS (
         SELECT o_orderkey AS okey, o_orderpriority AS priority
-        FROM orders WHERE o_orderkey % 16 < 3)
+        FROM orders WHERE o_orderkey % 32 < 3)
       SELECT priority, count(*) AS cnt,
         CAST(sum(qty) AS BIGINT) AS sum_qty,
         count(DISTINCT skey) AS distinct_suppliers
@@ -3251,12 +3251,12 @@ object Pipeline {
           CASE WHEN okey % 100 = 2 THEN qty0 + 5 ELSE qty0 END AS qty
         FROM (SELECT l_orderkey AS okey, l_linenumber AS ln,
                 CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty0
-              FROM lineitem WHERE l_orderkey % 16 < 3
+              FROM lineitem WHERE l_orderkey % 32 < 3
               GROUP BY 1, 2)
         WHERE okey % 10 <> 7),
       o AS (
         SELECT o_orderkey AS okey, o_custkey AS ckey
-        FROM orders WHERE o_orderkey % 16 < 3),
+        FROM orders WHERE o_orderkey % 32 < 3),
       c AS (
         SELECT c_custkey AS ckey,
           CASE WHEN c_custkey % 40 = 1 THEN 'MOVED'

@@ -125,6 +125,31 @@ class MaterializeJoinSpec extends AnyFunSuite {
       "retracting the group max must take the recompute path")
   }
 
+  test("vacuum reclaims superseded state dirs; the live state and " +
+      "subsequent refreshes are untouched") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkTables(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, js, Seq("seg"), Seq("price"), path)
+    cat.upsert("o", Seq((7L, 20L, 700L)).toDF("ok", "ck", "price"))
+    MaterializeJoin.refresh(cat, path)
+    cat.upsert("o", Seq((8L, 30L, 800L)).toDF("ok", "ck", "price"))
+    MaterializeJoin.refresh(cat, path)
+    def stateDirs = new java.io.File(path).listFiles
+      .count(d => d.isDirectory && d.getName.startsWith("state_v"))
+    assert(stateDirs == 3, s"expected 3 accumulated dirs, got $stateDirs")
+    val before = actual(path)
+    assert(MaterializeJoin.vacuum(spark, path) > 0L,
+      "vacuum must reclaim bytes from the two dead dirs")
+    assert(stateDirs == 1)
+    assert(actual(path) == before, "live state must survive vacuum")
+    cat.upsert("o", Seq((9L, 10L, 900L)).toDF("ok", "ck", "price"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expected(cat),
+      "post-vacuum refresh must stay exact")
+  }
+
   test("no-op refresh returns the stored marks and rewrites nothing") {
     val cat = freshCatalog(); mkTables(cat)
     val path = java.nio.file.Files
