@@ -360,6 +360,21 @@ class MaterializeJoinSpec extends AnyFunSuite {
           .groupBy($"seg").agg(sum($"price").as("sp"),
             count(lit(1)).as("cnt")).orderBy($"seg")
           .collect().map(_.toSeq).toSeq)
+      // dim-ATTRIBUTE filter (the dashboard shape "sum for segment
+      // 'a'", pushed below the join by the optimizer): re-applies on
+      // the state's group column and still serves
+      val filtered = cat.snapshotServed("o")
+        .join(cat.snapshotServed("c"), Seq("ck"))
+        .where($"seg" === "a")
+        .groupBy($"seg").agg(sum($"price").as("sp")).orderBy($"seg")
+      assert(filtered.queryExecution.executedPlan.toString
+        .contains(stateName),
+        "a served-group dim filter must still serve from state")
+      assert(filtered.collect().map(_.toSeq).toSeq ==
+        cat.snapshot("o").join(cat.snapshot("c"), Seq("ck"))
+          .where($"seg" === "a")
+          .groupBy($"seg").agg(sum($"price").as("sp")).orderBy($"seg")
+          .collect().map(_.toSeq).toSeq)
       // LEFT join keeps the dangling ck=99 row the state never
       // counted — must refuse
       val left = cat.snapshotServed("o")
