@@ -1197,6 +1197,61 @@ object Pipeline {
       q
     },
 
+    // The 3-WAY CHAIN MV through the SQL front-end under the hard
+    // oracle: a Phoenix-dialect SELECT joining orders ⋈ lineitem ⋈
+    // customer with GROUP BY on the customer attribute is answered
+    // from the chain state (one innerState DimJoinDef per side — the
+    // query must join BOTH sides to serve). In-query pin: state
+    // scanned, no snapshot cache, no change log.
+    "q_mv_rewrite_chain" -> { (s, dir) =>
+      import s.implicits._
+      val wh = ivmWarehouse(dir + "#mvchain")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      val px = new graft.sources.PhoenixSql(s, cat)
+      px.execute("CREATE TABLE co5 (okey BIGINT NOT NULL, " +
+        "ckey BIGINT CONSTRAINT pk PRIMARY KEY (okey))")
+      px.execute("CREATE TABLE cl5 (okey BIGINT NOT NULL, " +
+        "ln INTEGER NOT NULL, qty BIGINT " +
+        "CONSTRAINT pk PRIMARY KEY (okey, ln))")
+      px.execute("CREATE TABLE cc5 (ckey BIGINT NOT NULL, " +
+        "seg VARCHAR CONSTRAINT pk PRIMARY KEY (ckey))")
+      cat.upsert("co5", Tables.t(s, dir, "orders")
+        .where($"o_orderkey" % 32 < 2)
+        .select($"o_orderkey".as("okey"), $"o_custkey".as("ckey")))
+      cat.upsert("cl5", Tables.t(s, dir, "lineitem")
+        .where($"l_orderkey" % 32 < 2)
+        .groupBy($"l_orderkey".as("okey"), $"l_linenumber".as("ln"))
+        .agg(sum($"l_quantity".cast("long")).as("qty")))
+      cat.upsert("cc5", Tables.t(s, dir, "customer")
+        .select($"c_custkey".as("ckey"), $"c_mktsegment".as("seg")))
+      cat.refreshSnapshotCache("co5")
+      cat.refreshSnapshotCache("cl5")
+      cat.refreshSnapshotCache("cc5")
+      val mv = wh + "/mvchain5"
+      graft.operators.MaterializeJoin.build(cat,
+        graft.operators.MaterializeJoin.ChainSpec("co5", Seq(
+          graft.operators.MaterializeJoin.SideSpec("cl5", Seq("okey"),
+            sideKeysImmutable = true),
+          graft.operators.MaterializeJoin.SideSpec("cc5", Seq("ckey"),
+            factKeysImmutable = true))),
+        Seq("seg"), Seq("qty"), mv)
+      graft.operators.MaterializeJoin.registerForRewrite(cat, mv)
+      val q = px.execute("SELECT seg, COUNT(*) AS cnt, " +
+        "SUM(qty) AS sum_qty, MIN(qty) AS min_qty, " +
+        "MAX(qty) AS max_qty " +
+        "FROM co5 JOIN cl5 ON co5.okey = cl5.okey " +
+        "JOIN cc5 ON co5.ckey = cc5.ckey " +
+        "GROUP BY seg ORDER BY seg")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(mv) || plan.contains("_snapcache") ||
+          plan.contains(s"$wh/co5/data") ||
+          plan.contains(s"$wh/cl5/data") ||
+          plan.contains(s"$wh/cc5/data"))
+        throw new IllegalStateException(
+          s"chain MV rewrite did not serve from the state:\n$plan")
+      q
+    },
+
     // The rewrite's ROLLUP path under the same hard oracle: a GLOBAL
     // aggregate (grouping = {} ⊂ {source}) over the same fact must be
     // answered by re-aggregating the per-source state — sums of sums,
@@ -3227,6 +3282,23 @@ object Pipeline {
       SELECT event_type, count(*) AS n,
         count(DISTINCT user_id) AS distinct_users
       FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "q_mv_rewrite_chain" -> """
+      WITH l AS (
+        SELECT l_orderkey AS okey, l_linenumber AS ln,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem WHERE l_orderkey % 32 < 2
+        GROUP BY 1, 2),
+      o AS (
+        SELECT o_orderkey AS okey, o_custkey AS ckey
+        FROM orders WHERE o_orderkey % 32 < 2),
+      c AS (SELECT c_custkey AS ckey, c_mktsegment AS seg
+            FROM customer)
+      SELECT seg, count(*) AS cnt,
+        CAST(sum(qty) AS BIGINT) AS sum_qty,
+        min(qty) AS min_qty, max(qty) AS max_qty
+      FROM o JOIN l USING (okey) JOIN c USING (ckey)
+      GROUP BY 1 ORDER BY 1""",
 
     "q_ivm_join_sketch" -> """
       WITH base AS (

@@ -479,6 +479,64 @@ class MaterializeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("enforcement under fuzz: with a declared-immutable fact key, " +
+      "random churn either folds exactly or REFUSES at the violating " +
+      "refresh — the state is never silently wrong (seeded)") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkTables(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, js.copy(leftKeysImmutable = true),
+      Seq("seg"), Seq("price"), path)
+    val rnd = new scala.util.Random(12082026L)
+    val segs = Vector("a", "b", "c")
+    var refused = 0
+    for (step <- 1 to 10) {
+      for (_ <- 0 until 1 + rnd.nextInt(2)) rnd.nextInt(4) match {
+        // fact upserts pick a RANDOM ck per ok — some will mutate an
+        // existing row's join key, the contract violation
+        case 0 => cat.upsert("o", Seq((rnd.nextInt(8).toLong,
+          (rnd.nextInt(4) * 10 + 10).toLong,
+          rnd.nextInt(1000).toLong)).toDF("ok", "ck", "price"))
+        case 1 => cat.upsert("c", Seq(((rnd.nextInt(4) * 10 + 10).toLong,
+          segs(rnd.nextInt(segs.size)))).toDF("ck", "seg"))
+        case 2 => cat.delete("o", col("ok") === rnd.nextInt(8).toLong)
+        case 3 => cat.delete("c",
+          col("ck") === (rnd.nextInt(4) * 10 + 10).toLong)
+      }
+      try {
+        MaterializeJoin.refresh(cat, path)
+        assert(actual(path) == expected(cat),
+          s"a refresh that did not refuse must be exact (step $step)")
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage.contains("declared") =>
+          refused += 1
+          // the violation poisons the prefiltered read permanently —
+          // rebuild under the same declaration only after compacting
+          // the offending history away, or rebuild flags-off; here we
+          // just verify the refusal repeats rather than corrupting
+          intercept[IllegalArgumentException] {
+            MaterializeJoin.refresh(cat, path)
+          }
+      }
+    }
+    // deterministic tail: if the seed's churn never mutated a live
+    // key, force the violation — a fresh row folded in one window,
+    // its join key overwritten in the next
+    if (refused == 0) {
+      cat.upsert("o", Seq((100L, 10L, 1L)).toDF("ok", "ck", "price"))
+      MaterializeJoin.refresh(cat, path)
+      cat.upsert("o", Seq((100L, 20L, 1L)).toDF("ok", "ck", "price"))
+      val e = intercept[IllegalArgumentException] {
+        MaterializeJoin.refresh(cat, path)
+      }
+      assert(e.getMessage.contains("declared"))
+      refused += 1
+    }
+    assert(refused > 0)
+  }
+
   test("differential fuzz: random interleaved upsert/update/delete on " +
       "BOTH sides — state == full recompute after every refresh " +
       "(seeded)") {
