@@ -96,7 +96,7 @@ object Materialize {
     * appear in `groupCols`; expressions are SQL over the table's
     * columns and are persisted in the meta pointer so refresh re-derives
     * them without the caller. */
-  private def withGrains(df: DataFrame,
+  private[operators] def withGrains(df: DataFrame,
       grains: Seq[(String, String)]): DataFrame =
     grains.foldLeft(df) { case (d, (c, sql)) => d.withColumn(c, expr(sql)) }
 

@@ -110,7 +110,8 @@ object MaterializeJoin {
     }
 
   private def validate(cat: GraftCatalog, cs: ChainSpec,
-      groupCols: Seq[String], measures: Seq[String]): Unit = {
+      groupCols: Seq[String], measures: Seq[String],
+      grains: Seq[(String, String)] = Seq.empty): Unit = {
     require(cs.sides.nonEmpty, "a join MV needs at least one side")
     requireNoTtl(cat, cs.fact)
     val ff = cat.spec(cs.fact).schema.fieldNames.toSeq
@@ -134,8 +135,10 @@ object MaterializeJoin {
       s"non-key columns must be unique across the join: ${dup.toSeq} " +
         "appear in more than one table (rename at the catalog schema)")
     val joined = perTable.flatMap(_._2) ++ allKeys
-    (groupCols ++ measures).foreach(c => require(joined.contains(c),
-      s"column '$c' not present in the joined schema $joined"))
+    val grainNames = grains.map(_._1).toSet
+    (groupCols ++ measures).filterNot(grainNames.contains)
+      .foreach(c => require(joined.contains(c),
+        s"column '$c' not present in the joined schema $joined"))
   }
 
   private def highWater(cat: GraftCatalog, table: String): Long =
@@ -193,20 +196,28 @@ object MaterializeJoin {
   private def writeMeta(spark: SparkSession, path: String,
       cs: ChainSpec, vF: Long, vS: Seq[Long], groupCols: Seq[String],
       measures: Seq[String], stateDirName: String,
-      sketches: Seq[(String, Int)], topks: Seq[(String, Int)]): Unit = {
+      sketches: Seq[(String, Int)], topks: Seq[(String, Int)],
+      grains: Seq[(String, String)]): Unit = {
     import spark.implicits._
     Seq((cs.fact, cs.sides.map(_.table), cs.sides.map(_.keys),
         cs.sides.map(_.sideKeysImmutable),
         cs.sides.map(_.factKeysImmutable),
         vF, vS, groupCols, measures, stateDirName,
         sketches.map(_._1), sketches.map(_._2.toLong),
-        topks.map(_._1), topks.map(_._2.toLong)))
+        topks.map(_._1), topks.map(_._2.toLong),
+        grains.map(_._1), grains.map(_._2),
+        spark.conf.get("spark.sql.session.timeZone")))
       .toDF("fact", "side_tables", "side_keys", "side_imms",
         "fact_imms", "last_vf", "last_vs", "group_cols", "measures",
         "state_dir", "sketch_cols", "sketch_ks", "topk_cols",
-        "topk_caps")
+        "topk_caps", "grain_cols", "grain_sqls", "grain_tz")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
+
+  private def grainsOf(m: org.apache.spark.sql.Row)
+      : Seq[(String, String)] =
+    m.getSeq[String](m.fieldIndex("grain_cols"))
+      .zip(m.getSeq[String](m.fieldIndex("grain_sqls")))
 
   private def sketchesOf(m: org.apache.spark.sql.Row)
       : Seq[(String, Int)] =
@@ -238,10 +249,12 @@ object MaterializeJoin {
   def build(cat: GraftCatalog, cs: ChainSpec, groupCols: Seq[String],
       measures: Seq[String], path: String,
       sketches: Seq[(String, Int)] = Seq.empty,
-      topks: Seq[(String, Int)] = Seq.empty): (Long, Seq[Long]) = {
+      topks: Seq[(String, Int)] = Seq.empty,
+      grainExprs: Seq[(String, String)] = Seq.empty)
+      : (Long, Seq[Long]) = {
     val spark = cat.session
     validate(cat, cs, groupCols,
-      measures ++ sketches.map(_._1) ++ topks.map(_._1))
+      measures ++ sketches.map(_._1) ++ topks.map(_._1), grainExprs)
     // contract sweep over the FULL history: a pre-build unsafe key
     // mutation would corrupt every future prefiltered read
     declaredImmutable(cs).foreach { case (t, ks) =>
@@ -249,13 +262,14 @@ object MaterializeJoin {
     }
     val vF = highWater(cat, cs.fact)
     val vS = cs.sides.map(s => highWater(cat, s.table))
-    val agg = Materialize.aggregate(joinedSnapshot(cat, cs), groupCols,
-      measures, sketches, topks)
+    val agg = Materialize.aggregate(
+      Materialize.withGrains(joinedSnapshot(cat, cs), grainExprs),
+      groupCols, measures, sketches, topks)
     // flip-don't-overwrite: same naming discipline as Materialize
     val nd = s"state_v${vF}_${vS.mkString("_")}"
     agg.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
     writeMeta(spark, path, cs, vF, vS, groupCols, measures, nd,
-      sketches, topks)
+      sketches, topks, grainExprs)
     (vF, vS)
   }
 
@@ -420,8 +434,15 @@ object MaterializeJoin {
     val measures = m.getSeq[String](m.fieldIndex("measures"))
     val sketches = sketchesOf(m)
     val topks = topksOf(m)
+    val grains = grainsOf(m)
     if (sketches.nonEmpty || topks.nonEmpty)
       graft.functions.GraftFunctions.registerKernels(spark)
+    // a grain expression (date_trunc et al.) is evaluated under the
+    // SESSION time zone — folding new deltas under a different tz than
+    // the state's would split/merge grain groups wrongly: rebuild
+    val grainTzChanged = grains.nonEmpty &&
+      m.getAs[String]("grain_tz") !=
+        spark.conf.get("spark.sql.session.timeZone")
     val marksOf: String => (Long, Long) = t =>
       cat.changeLogRaw(t).agg(
         coalesce(max(col("_version")), lit(-1L)),
@@ -436,8 +457,9 @@ object MaterializeJoin {
     // correct (the history the state summarizes is gone)
     val compacted = minVF > lastVF ||
       sideMarks.map(_._2).zip(lastVS).exists { case (mn, lv) => mn > lv }
-    if (compacted)
-      return build(cat, cs, groupCols, measures, path, sketches, topks)
+    if (compacted || grainTzChanged)
+      return build(cat, cs, groupCols, measures, path, sketches, topks,
+        grains)
 
     // telescoping legs: Δfact against every side OLD; per side i,
     // fact NEW ⋈ sides<i NEW ⋈ Δside_i ⋈ sides>i OLD — each leg's
@@ -479,8 +501,12 @@ object MaterializeJoin {
             s.sideKeysImmutable), s.keys))
         }
     }
-    val delta = sideLegs.foldLeft(factLeg)(
-      _.unionByName(_, allowMissingColumns = false))
+    // grain columns derive per JOINED row (fact/side columns are in
+    // every leg), so one withGrains over the unioned delta covers
+    // post rows and retraction pre-images alike
+    val delta = Materialize.withGrains(
+      sideLegs.foldLeft(factLeg)(
+        _.unionByName(_, allowMissingColumns = false)), grains)
 
     val state = read(spark, path)
     val stT: String => DataType = c => state.schema(c).dataType
@@ -580,11 +606,11 @@ object MaterializeJoin {
         else None
       val out = if (affectedCount == 0) kept
         else kept.unionByName(recomputeJoined(cat, cs, groupCols,
-          measures, affected, affRows, sketches, topks))
+          measures, affected, affRows, sketches, topks, grains))
       val nd = s"state_v${newVF}_${newVS.mkString("_")}"
       out.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
       writeMeta(spark, path, cs, newVF, newVS, groupCols, measures, nd,
-        sketches, topks)
+        sketches, topks, grains)
       (newVF, newVS)
     } finally {
       merged.unpersist()
@@ -602,12 +628,18 @@ object MaterializeJoin {
       affected: DataFrame,
       affRows: Option[Seq[org.apache.spark.sql.Row]],
       sketches: Seq[(String, Int)] = Seq.empty,
-      topks: Seq[(String, Int)] = Seq.empty): DataFrame = {
+      topks: Seq[(String, Int)] = Seq.empty,
+      grains: Seq[(String, String)] = Seq.empty): DataFrame = {
     val affCond = groupCols.map(c => col(c) <=> col(s"__a_$c"))
       .reduce(_ && _)
+    val grainNames = grains.map(_._1).toSet
+    val plainCols = groupCols.filterNot(grainNames.contains)
+    // IN-prefilter only over PLAIN group columns — grain columns do
+    // not exist below withGrains; the affected semi-join (over ALL
+    // group columns, after grains derive) carries exactness
     val prefilter: Column = affRows match {
-      case Some(rows) if groupCols.nonEmpty =>
-        groupCols.map { c =>
+      case Some(rows) if plainCols.nonEmpty =>
+        plainCols.map { c =>
           val idx = groupCols.indexOf(c)
           val vs = rows.map(_.get(idx)).distinct
           val nonNull = vs.filterNot(_ == null)
@@ -619,7 +651,8 @@ object MaterializeJoin {
       case _ => lit(true)
     }
     Materialize.aggregate(
-      joinedSnapshot(cat, cs).where(prefilter)
+      Materialize.withGrains(joinedSnapshot(cat, cs).where(prefilter),
+          grains)
         .join(affected, affCond, "left_semi"),
       groupCols, measures, sketches, topks)
   }

@@ -1452,6 +1452,59 @@ object Pipeline {
         .orderBy($"priority")
     },
 
+    // TIME-GRAIN JOIN IVM under the hard oracle: "quantity by order
+    // priority × month" maintained over lineitem ⋈ orders — the grain
+    // column derives per JOINED row (date_trunc over the orders-side
+    // timestamp), so a cross-month date move retracts the pre-image
+    // from the OLD month's group through the join. Churn: late dim
+    // insert (dangling facts materialize), a 45-day date shift
+    // crossing month boundaries, and a fact delete, folded in two
+    // refreshes (the first pinned recompute-free).
+    "q_ivm_join_timegrain" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType, TimestampType}
+      val wh = ivmWarehouse(dir + "#jointg")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      cat.createTable("jl6", StructType(Seq(
+        StructField("okey", LongType), StructField("ln", IntegerType),
+        StructField("qty", LongType))), pk = Seq("okey", "ln"))
+      cat.createTable("jo6", StructType(Seq(
+        StructField("okey", LongType),
+        StructField("priority", StringType),
+        StructField("odate", TimestampType))), pk = Seq("okey"))
+      val li = Tables.t(s, dir, "lineitem")
+        .where($"l_orderkey" % 32 < 3)
+        .groupBy($"l_orderkey".as("okey"), $"l_linenumber".as("ln"))
+        .agg(sum($"l_quantity".cast("long")).as("qty"))
+      val ord = Tables.t(s, dir, "orders")
+        .select($"o_orderkey".as("okey"),
+          $"o_orderpriority".as("priority"),
+          $"o_orderdate".cast("timestamp").as("odate"))
+        .where($"okey" % 32 < 3)
+      cat.upsert("jl6", li)
+      cat.upsert("jo6", ord.where($"okey" % 32 < 2))
+      val mv = wh + "/mvjtg"
+      graft.operators.MaterializeJoin.build(cat,
+        graft.operators.MaterializeJoin.ChainSpec("jl6", Seq(
+          graft.operators.MaterializeJoin.SideSpec("jo6", Seq("okey"),
+            factKeysImmutable = true))),
+        Seq("priority", "mon"), Seq("qty"), mv,
+        grainExprs = Seq("mon" -> "date_trunc('MONTH', odate)"))
+      cat.upsert("jo6", ord.where($"okey" % 32 === 2))
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      if (graft.operators.MaterializeJoin.LastRefresh.recomputeRan)
+        throw new IllegalStateException(
+          "insert-only grain-join delta must fold with zero recompute")
+      cat.upsert("jo6", ord.where($"okey" % 50 === 4)
+        .withColumn("odate", $"odate" + expr("INTERVAL 45 DAYS")))
+      cat.delete("jl6", $"okey" % 10 === 1)
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      graft.operators.MaterializeJoin.read(s, mv)
+        .select($"priority", $"mon", $"cnt", $"sum_qty",
+          $"min_qty", $"max_qty")
+        .orderBy($"priority", $"mon")
+    },
+
     // SKETCH-VALUED JOIN IVM under the hard oracle: a maintained
     // "distinct suppliers per order priority" over lineitem ⋈ orders —
     // the KMV distinct state rides the join fold (insert-only unions,
@@ -3299,6 +3352,25 @@ object Pipeline {
         min(qty) AS min_qty, max(qty) AS max_qty
       FROM o JOIN l USING (okey) JOIN c USING (ckey)
       GROUP BY 1 ORDER BY 1""",
+
+    "q_ivm_join_timegrain" -> """
+      WITH base AS (
+        SELECT l_orderkey AS okey, l_linenumber AS ln,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem WHERE l_orderkey % 32 < 3
+        GROUP BY 1, 2),
+      l AS (SELECT okey, qty FROM base WHERE okey % 10 <> 1),
+      o AS (
+        SELECT o_orderkey AS okey, o_orderpriority AS priority,
+          CASE WHEN o_orderkey % 50 = 4
+               THEN o_orderdate + INTERVAL 45 DAY
+               ELSE o_orderdate END AS odate
+        FROM orders WHERE o_orderkey % 32 < 3)
+      SELECT priority, date_trunc('month', odate) AS mon,
+        count(*) AS cnt, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        min(qty) AS min_qty, max(qty) AS max_qty
+      FROM l JOIN o USING (okey)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "q_ivm_join_sketch" -> """
       WITH base AS (

@@ -479,6 +479,60 @@ class MaterializeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("expression grains over the join: month-grain state folds " +
+      "inserts, CROSS-GRAIN ts moves (pre-image retracts from the OLD " +
+      "month) and dim churn; session-tz change forces a rebuild") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val cat = freshCatalog()
+    cat.createTable("go", StructType(Seq(
+      StructField("ok", LongType), StructField("ck", LongType),
+      StructField("ts", org.apache.spark.sql.types.TimestampType),
+      StructField("price", LongType))), pk = Seq("ok"))
+    cat.createTable("gc", custSchema, pk = Seq("ck"))
+    def t(s: String) = Timestamp.valueOf(s)
+    cat.upsert("go", Seq(
+      (1L, 10L, t("2024-01-05 10:00:00"), 100L),
+      (2L, 10L, t("2024-01-20 10:00:00"), 200L),
+      (3L, 20L, t("2024-02-03 10:00:00"), 300L))
+      .toDF("ok", "ck", "ts", "price"))
+    cat.upsert("gc", Seq((10L, "a"), (20L, "b")).toDF("ck", "seg"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmvg").toString
+    val cs = MaterializeJoin.ChainSpec("go",
+      Seq(MaterializeJoin.SideSpec("gc", Seq("ck"))))
+    val grains = Seq("mon" -> "date_trunc('MONTH', ts)")
+    MaterializeJoin.build(cat, cs, Seq("seg", "mon"), Seq("price"),
+      path, grainExprs = grains)
+    def expectedG: Set[Seq[Any]] = Materialize.aggregate(
+      cat.snapshot("go").join(cat.snapshot("gc"), Seq("ck"))
+        .withColumn("mon", date_trunc("MONTH", $"ts")),
+      Seq("seg", "mon"), Seq("price")).collect().map(canon).toSet
+    assert(actual(path) == expectedG, "after build")
+    // insert into a NEW month + a dim regroup
+    cat.upsert("go", Seq((4L, 20L, t("2024-03-10 10:00:00"), 400L))
+      .toDF("ok", "ck", "ts", "price"))
+    cat.upsert("gc", Seq((10L, "c")).toDF("ck", "seg"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expectedG, "after insert + dim churn")
+    // CROSS-GRAIN move: ok=2 jumps Jan -> Feb; its pre-image must
+    // retract from (seg, Jan), not Feb
+    cat.upsert("go", Seq((2L, 10L, t("2024-02-15 10:00:00"), 200L))
+      .toDF("ok", "ck", "ts", "price"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expectedG, "after cross-grain ts move")
+    // session-tz change: grain boundaries shift — refresh must REBUILD
+    // (correctly) instead of folding mixed-tz grains
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "Australia/Sydney")
+      cat.upsert("go", Seq((5L, 20L, t("2024-01-31 23:00:00"), 500L))
+        .toDF("ok", "ck", "ts", "price"))
+      MaterializeJoin.refresh(cat, path)
+      assert(actual(path) == expectedG, "post-tz-change state diverged")
+    } finally spark.conf.set("spark.sql.session.timeZone", tz)
+  }
+
   test("enforcement under fuzz: with a declared-immutable fact key, " +
       "random churn either folds exactly or REFUSES at the violating " +
       "refresh — the state is never silently wrong (seeded)") {
