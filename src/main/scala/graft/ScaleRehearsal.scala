@@ -67,7 +67,7 @@ object ScaleRehearsal {
       .createTempDirectory(s"graft_scale_x$factor").toString
     // the big-base sections synthesize their own tables — skip the
     // fixture replication when nothing selected reads it
-    val selfSynth = Set("ivmbig", "ivmbucket", "joinivm")
+    val selfSynth = Set("ivmbig", "ivmbucket", "joinivm", "chainivm")
     if (!selected.forall(selfSynth.contains)) {
       println(s"[scale] building ${factor}x fixture from $base at $out")
       buildFixture(spark, base, out, factor)
@@ -92,7 +92,7 @@ object ScaleRehearsal {
 
     val rows = selected
       .filterNot(Set("ivm", "ivmgrain", "ivmbig", "ivmbucket", "cdc",
-        "joinivm"))
+        "joinivm", "chainivm"))
       .flatMap { q =>
       val t1 = timeBest2(q, base)
       val tN = timeBest2(q, out)
@@ -180,6 +180,25 @@ object ScaleRehearsal {
       Seq(("joinivm_fact_delta", aR, bR, ex(aR, bR)),
         ("joinivm_dim_delta", aS, bS, ex(aS, bS)),
         ("joinivm_dim_delta_fullscan", aF, bF, ex(aF, bF)))
+    }) ++ (if (!selected.contains("chainivm")) Nil else {
+      // 3-table chain: the N-way telescoping legs at 10M vs 30M fact
+      // rows — fact and dim deltas assert the recompute-free fold;
+      // the part leg's retraction can tie group extrema (its fan-out
+      // spans the x range), so it times the gated path honestly.
+      val n1 = 10L * 1000 * 1000
+      val bigF = 3
+      val (aR, aS, aP) = chainIvmSeconds(spark, n1)
+      val (bR, bS, bP) = chainIvmSeconds(spark, n1 * bigF)
+      def ex(a: Double, b: Double) = math.log(b / a) / math.log(bigF.toDouble)
+      println(f"[scale] chainivm_fact_delta (10M vs 30M rows) " +
+        f"base=$aR%7.2fs x$bigF=$bR%8.2fs exponent=${ex(aR, bR)}%5.2f")
+      println(f"[scale] chainivm_dim_delta             " +
+        f"base=$aS%7.2fs x$bigF=$bS%8.2fs exponent=${ex(aS, bS)}%5.2f")
+      println(f"[scale] chainivm_part_delta            " +
+        f"base=$aP%7.2fs x$bigF=$bP%8.2fs exponent=${ex(aP, bP)}%5.2f")
+      Seq(("chainivm_fact_delta", aR, bR, ex(aR, bR)),
+        ("chainivm_dim_delta", aS, bS, ex(aS, bS)),
+        ("chainivm_part_delta", aP, bP, ex(aP, bP)))
     }) ++ (if (!selected.contains("cdc")) Nil else {
       val a = cdcMvFreshnessSeconds(spark, base)
       val b = cdcMvFreshnessSeconds(spark, out)
@@ -400,6 +419,81 @@ object ScaleRehearsal {
     // is the ΔS leg's un-prefiltered fact read, which is the point
     val tScan = timedRefresh(mvScan, "combined delta, fallback")
     (tFact, tDim, tScan)
+  }
+
+  /** 3-table chain refresh seconds for FIXED-size deltas as the fact
+    * grows: fact R(k PK, jk = k DIV 100, pk2 = k % 4096, x) ⋈ dim
+    * S(jk PK, seg) ⋈ part P(pk2 PK, brand) — the N-way telescoping
+    * legs, each key-bounded (jk via the immutable-FK prefilter, pk2
+    * semi-join-bounded only: its values SCATTER across the fact, the
+    * honest no-zone case). All deltas non-extremal (asserted).
+    * Returns (factDeltaSec, dimDeltaSec, partDeltaSec). */
+  private def chainIvmSeconds(spark: SparkSession, n: Long)
+      : (Double, Double, Double) = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_scale_chainivm").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createTable("r", StructType(Seq(
+      StructField("k", LongType), StructField("jk", LongType),
+      StructField("pk2", LongType), StructField("x", LongType))),
+      pk = Seq("k"))
+    cat.createTable("s", StructType(Seq(
+      StructField("jk", LongType), StructField("seg", LongType))),
+      pk = Seq("jk"))
+    cat.createTable("p", StructType(Seq(
+      StructField("pk2", LongType), StructField("brand", LongType))),
+      pk = Seq("pk2"))
+    def facts(filter: org.apache.spark.sql.Column): DataFrame =
+      spark.range(n).where(filter)
+        .select(col("id").as("k"), expr("id DIV 100").as("jk"),
+          (col("id") % 4096).as("pk2"),
+          (col("id") % 1000 + 10).as("x"))
+    cat.upsert("r", facts(lit(true)))
+    cat.upsert("s", spark.range(n / 100)
+      .select(col("id").as("jk"), (col("id") % 64).as("seg")))
+    cat.upsert("p", spark.range(4096)
+      .select(col("id").as("pk2"), (col("id") % 16).as("brand")))
+    val mv = wh + "/mv"
+    val cs = graft.operators.MaterializeJoin.ChainSpec("r", Seq(
+      graft.operators.MaterializeJoin.SideSpec("s", Seq("jk"),
+        factKeysImmutable = true),
+      graft.operators.MaterializeJoin.SideSpec("p", Seq("pk2"),
+        factKeysImmutable = true)))
+    graft.operators.MaterializeJoin.build(cat, cs,
+      Seq("seg", "brand"), Seq("x"), mv)
+    def timedRefresh(what: String): Double = {
+      GraftSession.quiesce(spark)
+      val t0 = System.nanoTime()
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(!graft.operators.MaterializeJoin.LastRefresh.recomputeRan,
+        s"$what: non-extremal delta must fold with zero recompute")
+      sec
+    }
+    // 100 fact-measure updates, x 510 -> 505 (strictly interior)
+    cat.upsert("r", facts(expr("id % 1000 = 500") && col("id") < 100000L)
+      .withColumn("x", lit(505L)))
+    val tFact = timedRefresh("fact delta")
+    // 100 dim regroupings, fan-out x in 310..409 (interior)
+    cat.upsert("s", spark.range(n / 100)
+      .where(expr("id % 10 = 3") && col("id") < 1000L)
+      .select(col("id").as("jk"), ((col("id") + 17) % 64).as("seg")))
+    val tDim = timedRefresh("dim delta")
+    // 8 part rebrands — each retracts n/4096 scattered fact rows
+    // whose x values span the full range, so ties against the group
+    // extrema are expected and the gate legitimately fires: this leg
+    // times the GATED path (retraction + pruned recompute) on the
+    // scattered-key side, deliberately without the recompute-free
+    // assert the other two legs carry.
+    cat.upsert("p", spark.range(4096)
+      .where(expr("id % 512 = 7") && col("id") < 4096L)
+      .select(col("id").as("pk2"), ((col("id") + 5) % 16).as("brand")))
+    GraftSession.quiesce(spark)
+    val t0 = System.nanoTime()
+    graft.operators.MaterializeJoin.refresh(cat, mv)
+    val tPart = (System.nanoTime() - t0) / 1e9
+    (tFact, tDim, tPart)
   }
 
   /** Single-dir vs BUCKET-MANIFESTED state write cost as the GROUP
