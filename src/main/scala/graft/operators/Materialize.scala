@@ -406,8 +406,12 @@ object Materialize {
       case ed: EnforcedDerive => (ed.fingerprints(), ed.pinOf)
       case _ => (Seq.empty[Long], "")
     }
+    // read AS OF the sampled mark: a write landing mid-build is then
+    // excluded from both the state and the recorded high-water, so the
+    // first refresh folds it exactly once (an unbounded snapshot could
+    // include it while the meta says it wasn't folded → double count)
     val agg = aggregate(
-      withGrains(derive(cat.snapshot(table)), grainExprs),
+      withGrains(derive(cat.snapshotUpTo(table, v)), grainExprs),
       groupCols, measures, sketches, topks)
     val bucketDirs: Seq[String] =
       if (buckets == 0) {
@@ -491,7 +495,17 @@ object Materialize {
     * refresh the MV after mutations (the usual MV contract) and keep
     * the snapshot cache current ([[GraftCatalog.refreshSnapshotCache]]
     * or the SNAPSHOT_CACHE_BATCHES table property) — a stale cache
-    * falls back to the collapse plan, which is correct but unservable. */
+    * falls back to the collapse plan, which is correct but unservable.
+    *
+    * The MV leg is ENFORCED, not assumed: the registration carries a
+    * freshness probe re-read per serve attempt — the meta's folded
+    * high-water mark must equal the table's current version counter
+    * (an O(1) file read), and a finite-TTL table never serves (pure
+    * time retracts rows the version counter can't see). A
+    * failed probe refuses the rewrite; the fallback plan is correct,
+    * so the gate costs no availability — it closes the hole where
+    * SNAPSHOT_CACHE_BATCHES un-refreshed upserts + any read rebuilt
+    * the snapshot cache and served version-stale state silently. */
   def registerForRewrite(cat: GraftCatalog, table: String,
       path: String,
       dims: Seq[graft.plans.GraftAggViews.DimJoinDef] = Seq.empty)
@@ -510,11 +524,25 @@ object Materialize {
         s"registerForRewrite got ${dims.size} DimJoinDef(s) — a star " +
         "MV serves only queries joining the same dims, so the " +
         "registration must describe each join")
+    // The probe covers the FACT leg (meta high-water == version
+    // counter) and refuses finite-TTL tables (pure time retracts rows
+    // no counter records). Dim freshness is NOT version-pinned here:
+    // a rebuild under a churned dim yields a state that IS fresh
+    // without re-registration, and an SCD-2 pinned derive
+    // ([[StarDerive.pinned]]) intentionally serves across live dim
+    // churn — the dim leg stays governed by the fingerprint gate
+    // (refresh under a churned dim REFUSES or rebuilds, so the state
+    // never silently mixes dim versions) plus the front-end's
+    // dirty-tracking re-registration of mutated dims.
+    val fresh: () => Boolean = () =>
+      cat.ttlSeconds(table).isEmpty &&
+        spark.read.parquet(s"$path/meta").head()
+          .getAs[Long]("last_version") == cat.currentVersion(table)
     graft.plans.GraftAggViews.register(cat.tablePath(table),
       graft.plans.GraftAggViews.AggViewDef(path,
         meta.getSeq[String](1), meta.getSeq[String](2),
         grainsOf(meta).toMap, sketchesOf(meta).toMap, dims = dims,
-        topks = topksOf(meta).toMap))
+        topks = topksOf(meta).toMap, fresh = fresh))
   }
 
   /** The maintained aggregate as a DataFrame (current persisted state).
@@ -647,9 +675,17 @@ object Materialize {
       .getOrElse(lit(true))
     val marks = rawLog.agg(
       coalesce(max(when(aliveForHw, col("_version"))), lit(-1L)),
-      coalesce(min(col("_version")), lit(Long.MaxValue))).head
+      coalesce(min(col("_version")), lit(Long.MaxValue)),
+      coalesce(max(col("_version")), lit(-1L))).head
     val newV = marks.getLong(0)
     val minV = marks.getLong(1)
+    // the RAW high-water sampled in the same pass: every log read below
+    // is bounded at it, so a write landing while this refresh runs is
+    // excluded from the fold (and from the recorded marks) and folds
+    // exactly once in the next refresh — the same consistent-window
+    // rule the join fold enforces
+    val rawMax = marks.getLong(2)
+    val log = rawLog.where(col("_version") <= rawMax)
     // expiry writes nothing to the log, so under a TTL an unchanged
     // high-water mark does NOT mean an unchanged table — time alone
     // retracts rows, and an early return here would serve them forever
@@ -747,7 +783,7 @@ object Materialize {
 
     val s = cat.spec(table)
     val fields = s.schema.fieldNames.toSeq
-    val changes = preImageChanges(rawLog, fields, s.pk, lastV)
+    val changes = preImageChanges(log, fields, s.pk, lastV)
     val hasPrev = col("_prev").isNotNull && !col("_prev").getField("__del")
 
     def aliveAt(cut: Option[java.sql.Timestamp], ts: Column): Column =
@@ -783,7 +819,7 @@ object Materialize {
           rawLog.where(col("_version") <= lastV &&
               (col("_ts").isNull || col("_ts") >= lit(lc)))
             .join(candPks, candCond, "left_semi"))
-        val deltaPks = rawLog.where(col("_version") > lastV)
+        val deltaPks = log.where(col("_version") > lastV)
           .select(s.pk.map(c => col(c).as(s"__d_$c")): _*).distinct()
         val touched = s.pk.map(c => col(c) <=> col(s"__d_$c"))
           .reduce(_ && _)
@@ -967,7 +1003,7 @@ object Materialize {
     val out = if (affectedCount == 0) kept
       else kept.unionByName(
         recomputePlan(cat, table, groupCols, measures, grains, affected,
-          affRows, sketches, derive, topks))
+          affRows, sketches, derive, topks, uptoV = Some(rawMax)))
     // a distinct target dir always — an expiry-only refresh keeps the
     // version number, so suffix it to avoid overwriting the state
     // being read
@@ -1083,8 +1119,15 @@ object Materialize {
       affectedRows: Option[Seq[org.apache.spark.sql.Row]] = None,
       sketches: Seq[(String, Int)] = Seq.empty,
       derive: DataFrame => DataFrame = NoDerive,
-      topks: Seq[(String, Int)] = Seq.empty): DataFrame = {
+      topks: Seq[(String, Int)] = Seq.empty,
+      uptoV: Option[Long] = None): DataFrame = {
     val s = cat.spec(table)
+    // version-bound every log read at the refresh's sampled raw mark —
+    // the consistent-window rule (see refresh): recompute must rebuild
+    // affected groups as of the state the meta records, not as of
+    // whatever landed mid-refresh
+    val verBound: Column = uptoV.map(v => col("_version") <= lit(v))
+      .getOrElse(lit(true))
     val affCond = groupCols.map(c => col(c) <=> col(s"__a_$c"))
       .reduce(_ && _) // null-safe: NULL groups recompute too
     // scan-side pruning when the affected set is driver-collected
@@ -1124,7 +1167,7 @@ object Materialize {
       if (!pushdown || s.pk.size != 1) lit(true)
       else scala.util.Try {
         val pkc = s.pk.head
-        val b = cat.changeLogRaw(table).where(prefilter)
+        val b = cat.changeLogRaw(table).where(prefilter && verBound)
           .agg(min(col(pkc)), max(col(pkc))).head
         // min(pk) NULL means no rows with a NON-NULL pk — an affected
         // group living entirely on NULL-pk rows must still recompute
@@ -1134,12 +1177,13 @@ object Materialize {
           col(pkc).between(lit(b.get(0)), lit(b.get(1)))
       }.getOrElse(lit(true))
     val candPks = withGrains(
-        derive(cat.changeLogRaw(table).where(prefilter)), grains)
+        derive(cat.changeLogRaw(table).where(prefilter && verBound)),
+        grains)
       .join(affected, affCond, "left_semi")
       .select(s.pk.map(c => col(c).as(s"__p_$c")): _*).distinct()
     aggregate(
-      withGrains(derive(cat.snapshotForPks(table, candPks, zonePrune)),
-          grains)
+      withGrains(derive(
+          cat.snapshotForPks(table, candPks, zonePrune, uptoV)), grains)
         .join(affected, affCond, "left_semi"),
       groupCols, measures, sketches, topks)
   }

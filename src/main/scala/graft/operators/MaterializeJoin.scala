@@ -21,10 +21,16 @@ import graft.sources.GraftCatalog
   *              ∪ F_new ⋈ ΔS₁ ⋈ S₂_old
   *              ∪ F_new ⋈ S₁_new ⋈ ΔS₂
   *
-  * — sides BEFORE the delta factor read NEW, sides AFTER read OLD
-  * (as-of the version the state last folded,
-  * [[GraftCatalog.snapshotAsOf]]), so every cross term lands exactly
-  * once however the logs interleave. Each signed delta row (insert +1,
+  * — sides BEFORE the delta factor read NEW, sides AFTER read OLD.
+  * Every read is version-bounded to ONE consistent window: refresh
+  * samples each table's high-water mark up front, deltas cover exactly
+  * (last, new], OLD factors read as of the last fold's marks and NEW
+  * factors as of the sampled ones ([[GraftCatalog.snapshotUpTo]]) —
+  * so every cross term lands exactly once however the logs interleave,
+  * and a write landing on ANY table while the refresh runs is excluded
+  * now and folded exactly once by the next refresh (an unbounded NEW
+  * read would fold it while the recorded marks say it wasn't —
+  * double-counted on the next fold). Each signed delta row (insert +1,
   * retraction pre-image −1, reconstructed from the change log exactly
   * like [[Materialize.refresh]]'s retraction slice) carries its weight
   * through the joins (snapshots are all +1).
@@ -76,19 +82,35 @@ object MaterializeJoin {
       sideKeysImmutable: Boolean = false,
       factKeysImmutable: Boolean = false)
 
-  /** Fact ⋈ N mutating sides, every side's keys on the fact. */
-  final case class ChainSpec(fact: String, sides: Seq[SideSpec])
+  /** Fact ⋈ N mutating sides, every side's keys on the fact.
+    *
+    * `leftOuter = true` maintains γ(F ⟕ S₁ ⟕ … ⟕ Sₙ) instead: an
+    * unmatched fact row joins NULL side attributes (and a NULL join
+    * key on the fact is permanently unmatched), a side insert MOVES
+    * facts out of the NULL group, a side's last-row delete moves them
+    * back. Incrementally this is the null-extension delta rule
+    * (Griffin & Libkin's outer-join variants; Larson & Zhou, ICDE
+    * 2007): each side factor is modeled as the EXTENDED relation
+    * Ŝ = S ∪ {⟨k, NULL attrs⟩ : S has no row with key k}, turning the
+    * left join into an inner join F ⋈ Ŝ — so the same telescoping
+    * legs apply, with ΔŜ = ΔS plus a ±1 synthetic NULL row per
+    * delta-touched key whose match count crossed zero (computed from
+    * two delta-key-bounded count probes, never a side scan). */
+  final case class ChainSpec(fact: String, sides: Seq[SideSpec],
+      leftOuter: Boolean = false)
 
   /** The binary special case, kept as the primary API: `keys` exist in
-    * both tables; see [[SideSpec]] for the immutability contract. */
+    * both tables; see [[SideSpec]] for the immutability contract and
+    * [[ChainSpec]] for `leftOuter`. */
   final case class JoinSpec(left: String, right: String,
       keys: Seq[String],
       leftKeysImmutable: Boolean = false,
-      rightKeysImmutable: Boolean = false) {
+      rightKeysImmutable: Boolean = false,
+      leftOuter: Boolean = false) {
     private[operators] def chain: ChainSpec =
       ChainSpec(left, Seq(SideSpec(right, keys,
         sideKeysImmutable = rightKeysImmutable,
-        factKeysImmutable = leftKeysImmutable)))
+        factKeysImmutable = leftKeysImmutable)), leftOuter = leftOuter)
   }
 
   /** Test/diagnostic instrumentation, single-writer (same contract as
@@ -103,10 +125,17 @@ object MaterializeJoin {
       s"join-MV maintenance requires TTL-free tables; '$table' has a " +
         "TTL (joined-row expiry would need all sides' windows crossed)")
 
-  private def joinedSnapshot(cat: GraftCatalog, cs: ChainSpec)
-      : DataFrame =
-    cs.sides.foldLeft(cat.snapshot(cs.fact)) { (acc, s) =>
-      acc.join(cat.snapshot(s.table), s.keys)
+  /** The joined snapshot AS OF one consistent set of version marks —
+    * every factor read version-bounded ([[GraftCatalog.snapshotUpTo]]),
+    * so a write landing on any involved table while this plan runs is
+    * excluded here and folded exactly once by the refresh that records
+    * a mark past it. */
+  private def joinedSnapshotAt(cat: GraftCatalog, cs: ChainSpec,
+      vF: Long, vS: Seq[Long]): DataFrame =
+    cs.sides.zipWithIndex.foldLeft(cat.snapshotUpTo(cs.fact, vF)) {
+      case (acc, (s, i)) =>
+        acc.join(cat.snapshotUpTo(s.table, vS(i)), s.keys,
+          if (cs.leftOuter) "left" else "inner")
     }
 
   private def validate(cat: GraftCatalog, cs: ChainSpec,
@@ -125,25 +154,42 @@ object MaterializeJoin {
             s"'${s.table}'")
       }
     }
-    // every non-key column name unique across ALL tables (the joined
-    // row is fact columns ++ each side's non-key columns)
-    val perTable = (cs.fact +: cs.sides.map(_.table)).map(t =>
-      t -> cat.spec(t).schema.fieldNames.toSeq.filterNot(allKeys.contains))
-    val dup = perTable.flatMap(_._2).groupBy(identity)
-      .collect { case (c, vs) if vs.size > 1 => c }
+    // a column name may be shared across tables ONLY as a join key by
+    // the tables that actually join on it: for every name held by more
+    // than one table, each SIDE holding it must have it among its OWN
+    // keys (the fact holds keys legitimately). This catches both the
+    // plain duplicate (a non-key column in two tables) and the shadow
+    // case — a regular column on one side sharing a name with ANOTHER
+    // side's join key — which otherwise surfaced as an
+    // ambiguous-column analysis error deep inside the first refresh
+    val tableCols = (cs.fact +: cs.sides.map(_.table))
+      .map(t => t -> cat.spec(t).schema.fieldNames.toSeq)
+    val keysOf: Map[String, Set[String]] =
+      cs.sides.map(s => s.table -> s.keys.toSet).toMap
+        .withDefaultValue(Set.empty)
+    val dup = tableCols.flatMap { case (t, cols) => cols.map(t -> _) }
+      .groupBy(_._2)
+      .collect { case (c, owners) if owners.size > 1 &&
+        !owners.forall { case (t, n) =>
+          t == cs.fact || keysOf(t).contains(n) } => c }
     require(dup.isEmpty,
       s"non-key columns must be unique across the join: ${dup.toSeq} " +
         "appear in more than one table (rename at the catalog schema)")
-    val joined = perTable.flatMap(_._2) ++ allKeys
+    val joined = tableCols.flatMap(_._2).distinct
     val grainNames = grains.map(_._1).toSet
     (groupCols ++ measures).filterNot(grainNames.contains)
       .foreach(c => require(joined.contains(c),
         s"column '$c' not present in the joined schema $joined"))
   }
 
+  /** The fold marks are the table's VERSION COUNTER, not a log scan:
+    * O(1) to sample, and — unlike the log's max — it moves on EVERY
+    * write including one that lands zero rows (a no-match DELETE), so
+    * the freshness probe `meta marks == counters` can never stick
+    * false on an empty write. As an upper version bound the counter is
+    * equivalent to the log max (no row carries a version above it). */
   private def highWater(cat: GraftCatalog, table: String): Long =
-    cat.changeLog(table)
-      .agg(coalesce(max(col("_version")), lit(-1L))).head.getLong(0)
+    cat.currentVersion(table)
 
   /** table → join-key columns the spec declares immutable on it. */
   private def declaredImmutable(cs: ChainSpec)
@@ -171,13 +217,17 @@ object MaterializeJoin {
     * caught at the first fold that could read it wrong; compaction
     * discards history but also forces a rebuild, which re-sweeps. */
   private def requireImmutable(cat: GraftCatalog, table: String,
-      immKeys0: Seq[String], sinceV: Long): Unit = {
+      immKeys0: Seq[String], sinceV: Long, uptoV: Long): Unit = {
     // PK components are constant per row by construction — only
     // genuinely mutable columns need the sweep
     val immKeys = immKeys0.filterNot(cat.spec(table).pk.contains)
     if (immKeys.isEmpty) return
     val s = cat.spec(table)
-    val changes = Materialize.preImageChanges(cat.changeLogRaw(table),
+    // the sweep covers exactly this fold's (sinceV, uptoV] window —
+    // versions past the sampled mark belong to the NEXT refresh's
+    // window and are swept there
+    val changes = Materialize.preImageChanges(
+      cat.changeLogRaw(table).where(col("_version") <= uptoV),
       s.schema.fieldNames.toSeq, s.pk, sinceV)
     val hasPrev =
       col("_prev").isNotNull && !col("_prev").getField("__del")
@@ -206,11 +256,12 @@ object MaterializeJoin {
         sketches.map(_._1), sketches.map(_._2.toLong),
         topks.map(_._1), topks.map(_._2.toLong),
         grains.map(_._1), grains.map(_._2),
-        spark.conf.get("spark.sql.session.timeZone")))
+        spark.conf.get("spark.sql.session.timeZone"), cs.leftOuter))
       .toDF("fact", "side_tables", "side_keys", "side_imms",
         "fact_imms", "last_vf", "last_vs", "group_cols", "measures",
         "state_dir", "sketch_cols", "sketch_ks", "topk_cols",
-        "topk_caps", "grain_cols", "grain_sqls", "grain_tz")
+        "topk_caps", "grain_cols", "grain_sqls", "grain_tz",
+        "left_outer")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
@@ -241,7 +292,9 @@ object MaterializeJoin {
     val fImm = m.getSeq[Boolean](m.fieldIndex("fact_imms"))
     ChainSpec(m.getAs[String]("fact"),
       tables.indices.map(i =>
-        SideSpec(tables(i), keys(i), sImm(i), fImm(i))))
+        SideSpec(tables(i), keys(i), sImm(i), fImm(i))),
+      leftOuter = m.schema.fieldNames.contains("left_outer") &&
+        m.getAs[Boolean]("left_outer"))
   }
 
   /** Full build: aggregate the joined current snapshots, persist,
@@ -255,15 +308,23 @@ object MaterializeJoin {
     val spark = cat.session
     validate(cat, cs, groupCols,
       measures ++ sketches.map(_._1) ++ topks.map(_._1), grainExprs)
-    // contract sweep over the FULL history: a pre-build unsafe key
-    // mutation would corrupt every future prefiltered read
-    declaredImmutable(cs).foreach { case (t, ks) =>
-      requireImmutable(cat, t, ks, sinceV = -1L)
-    }
+    // sample every mark FIRST, then sweep and aggregate AS OF the
+    // marks: a write landing on any table mid-build is excluded from
+    // the state and from the recorded high-water, so the first refresh
+    // folds it exactly once
     val vF = highWater(cat, cs.fact)
     val vS = cs.sides.map(s => highWater(cat, s.table))
+    // contract sweep over the FULL history up to the marks: a
+    // pre-build unsafe key mutation would corrupt every future
+    // prefiltered read
+    declaredImmutable(cs).foreach { case (t, ks) =>
+      requireImmutable(cat, t, ks, sinceV = -1L,
+        uptoV = if (t == cs.fact) vF
+          else vS(cs.sides.indexWhere(_.table == t)))
+    }
     val agg = Materialize.aggregate(
-      Materialize.withGrains(joinedSnapshot(cat, cs), grainExprs),
+      Materialize.withGrains(joinedSnapshotAt(cat, cs, vF, vS),
+        grainExprs),
       groupCols, measures, sketches, topks)
     // flip-don't-overwrite: same naming discipline as Materialize
     val nd = s"state_v${vF}_${vS.mkString("_")}"
@@ -309,15 +370,21 @@ object MaterializeJoin {
   }
 
   /** Register the join MV so [[graft.plans.AggRewriteRule]] serves a
-    * matching aggregate-over-INNER-join query from the state — one
-    * `DimJoinDef.innerState` per side: INNER joins of exactly these
-    * tables on exactly these keys serve; LEFT joins, or a query
-    * omitting ANY side, refuse (the state never counted unmatched fact
-    * rows). Staleness safety is the snapshot-cache design's: the
-    * rewrite only fires on PURE cache scans of every table, and any
-    * mutation to any of them makes its cache stale, reverting the
-    * query to the collapse plan. Refresh every snapshot cache after
-    * [[refresh]]. */
+    * matching aggregate-over-join query from the state — one
+    * `DimJoinDef` per side carrying the state's join-type contract
+    * (`innerState` for the INNER chain: INNER queries serve, LEFT or
+    * un-joined refuse, the state never counted unmatched fact rows;
+    * `leftState` for a `leftOuter` chain: LEFT queries serve, INNER
+    * or un-joined refuse, the state counted NULL-extended facts a
+    * tighter query would drop). Staleness safety is ENFORCED per serve attempt: the
+    * registration carries a freshness probe comparing the MV meta's
+    * folded `(last_vf, last_vs)` marks against EVERY involved table's
+    * current version counter (O(1) file reads) — cache-scan matching
+    * alone is NOT sufficient, because the snapshot-cache auto-refresh
+    * (SNAPSHOT_CACHE_BATCHES) can hand the rewrite a perfectly fresh
+    * cache over a stale MV state. A failed probe refuses the serve;
+    * the collapse/cache plan is correct. Refresh every snapshot cache
+    * after [[refresh]]. */
   def registerForRewrite(cat: GraftCatalog, path: String): Unit = {
     val spark = cat.session
     val m = meta(spark, path)
@@ -337,12 +404,19 @@ object MaterializeJoin {
         .map(c => c -> c).toMap
       graft.plans.GraftAggViews.DimJoinDef(cat.tablePath(s.table),
         factKeys = s.keys, dimKeys = s.keys, dimAttrs = attrs,
-        innerState = true)
+        innerState = !cs.leftOuter, leftState = cs.leftOuter)
+    }
+    val fresh: () => Boolean = () => {
+      val cur = meta(spark, path)
+      cur.getAs[Long]("last_vf") == cat.currentVersion(cs.fact) &&
+        cur.getSeq[Long](cur.fieldIndex("last_vs"))
+          .zip(cs.sides)
+          .forall { case (v, s) => v == cat.currentVersion(s.table) }
     }
     graft.plans.GraftAggViews.register(cat.tablePath(cs.fact),
       graft.plans.GraftAggViews.AggViewDef(path, groupCols, measures,
         sketches = sketchesOf(m).toMap, dims = dims,
-        topks = topksOf(m).toMap))
+        topks = topksOf(m).toMap, fresh = fresh))
   }
 
   /** Signed row-level delta of `table` since `lastV`: post images
@@ -352,10 +426,16 @@ object MaterializeJoin {
     * is +1, so every within-delta pre-image was counted and retracts).
     * TTL-free tables only (enforced at build/refresh). */
   private def signedDelta(cat: GraftCatalog, table: String,
-      lastV: Long): DataFrame = {
+      lastV: Long, uptoV: Long): DataFrame = {
     val s = cat.spec(table)
     val fields = s.schema.fieldNames.toSeq
-    val changes = Materialize.preImageChanges(cat.changeLogRaw(table),
+    // consistent (lastV, uptoV] window: a write landing past the
+    // sampled mark while this refresh runs is NOT folded now — the
+    // recorded meta stops at the mark, so the next refresh folds it
+    // exactly once (unbounded, the same write folded here AND again
+    // next time: the double-count the window exists to prevent)
+    val changes = Materialize.preImageChanges(
+      cat.changeLogRaw(table).where(col("_version") <= uptoV),
       fields, s.pk, lastV)
     val hasPrev =
       col("_prev").isNotNull && !col("_prev").getField("__del")
@@ -379,12 +459,14 @@ object MaterializeJoin {
     * the collapse: still delta-bounded shuffle, full-scan read — the
     * honest fallback. */
   private def boundedSide(cat: GraftCatalog, table: String,
-      asOf: Option[Long], delta: DataFrame, keys: Seq[String],
+      asOfV: Long, delta: DataFrame, keys: Seq[String],
       immutable: Boolean): DataFrame = {
-    def plain: DataFrame = asOf match {
-      case Some(v) => cat.snapshotAsOf(table, v)
-      case None => cat.snapshot(table)
-    }
+    // ALWAYS version-bounded — NEW factors read as of the refresh's
+    // sampled mark (snapshotUpTo rides the snapshot cache when it
+    // can), OLD factors as of the last fold's mark; an unbounded
+    // current-snapshot read would fold a mid-refresh write into a
+    // state whose meta doesn't cover it
+    def plain: DataFrame = cat.snapshotUpTo(table, asOfV)
     val zone: Option[Option[(Any, Any)]] =
       if (keys.size != 1) None
       else scala.util.Try {
@@ -402,7 +484,7 @@ object MaterializeJoin {
         // below-collapse read bound when sound; the PK case gets it
         // from Catalyst's grouping-key pushdown on the plain snapshot
         if (immutable && !pkIsKey)
-          cat.snapshotPrefiltered(table, cond, asOf)
+          cat.snapshotPrefiltered(table, cond, Some(asOfV))
         else plain.where(cond)
       case None => plain
     }
@@ -410,6 +492,38 @@ object MaterializeJoin {
       .distinct()
     val cond = keys.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
     ranged.join(dk, cond, "left_semi")
+  }
+
+  /** LEFT-outer only: the ±1 synthetic NULL-extension rows of one
+    * side's delta — for each key the delta touches, if the side's
+    * match count crossed zero between the OLD and NEW marks, the
+    * extended relation Ŝ gained (+1, last row deleted) or lost (−1,
+    * first row inserted) its all-NULL-attribute row for that key.
+    * Both count probes are delta-key-bounded [[boundedSide]] reads
+    * (semi-join + zone, never a side scan), so the leg stays
+    * delta-sized. Keys untouched by the delta cannot cross zero;
+    * NULL keys never match any fact row under the equality join, so
+    * their (harmless) rows are dropped by the inner fact join. */
+  private def nullExtensionDelta(cat: GraftCatalog, side: SideSpec,
+      d: DataFrame, lastV: Long, newV: Long): DataFrame = {
+    val s = cat.spec(side.table)
+    val fields = s.schema.fields.toSeq
+    val keys = side.keys
+    def cnt(v: Long, as: String): DataFrame =
+      boundedSide(cat, side.table, v, d, keys, side.sideKeysImmutable)
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
+    val w = when(col("__cold") > 0 && col("__cnew") === 0, lit(1L))
+      .when(col("__cold") === 0 && col("__cnew") > 0, lit(-1L))
+    d.select(keys.map(col): _*).distinct()
+      .join(cnt(lastV, "__cold"), keys, "left")
+      .join(cnt(newV, "__cnew"), keys, "left")
+      .withColumn("__cold", coalesce(col("__cold"), lit(0L)))
+      .withColumn("__cnew", coalesce(col("__cnew"), lit(0L)))
+      .withColumn("__w", w)
+      .where(col("__w").isNotNull)
+      .select(fields.map(f =>
+        if (keys.contains(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)) :+ col("__w"): _*)
   }
 
   /** Binary sugar for `refresh` returning the (left, right)
@@ -443,62 +557,87 @@ object MaterializeJoin {
     val grainTzChanged = grains.nonEmpty &&
       m.getAs[String]("grain_tz") !=
         spark.conf.get("spark.sql.session.timeZone")
+    // high-water from the O(1) version counter (see highWater); the
+    // log's MINIMUM still needs a (footer-pruned) scan — it is the
+    // compaction detector's signal
     val marksOf: String => (Long, Long) = t =>
-      cat.changeLogRaw(t).agg(
-        coalesce(max(col("_version")), lit(-1L)),
-        coalesce(min(col("_version")), lit(Long.MaxValue))).head match {
-        case r => (r.getLong(0), r.getLong(1))
-      }
+      (cat.currentVersion(t),
+        cat.changeLogRaw(t)
+          .agg(coalesce(min(col("_version")), lit(Long.MaxValue)))
+          .head.getLong(0))
     val (newVF, minVF) = marksOf(cs.fact)
     val sideMarks = cs.sides.map(s => marksOf(s.table))
     val newVS = sideMarks.map(_._1)
     if (newVF == lastVF && newVS == lastVS) return (lastVF, lastVS)
     // any log compacted past the fold point → only a rebuild is
-    // correct (the history the state summarizes is gone)
-    val compacted = minVF > lastVF ||
-      sideMarks.map(_._2).zip(lastVS).exists { case (mn, lv) => mn > lv }
+    // correct (the history the state summarizes is gone). An EMPTY log
+    // (min == MaxValue sentinel) has lost nothing — without the guard
+    // a never-written table (MV built before its fact receives data)
+    // forced a full rebuild on every refresh while its log stayed empty
+    val compacted =
+      (minVF != Long.MaxValue && minVF > lastVF) ||
+        sideMarks.map(_._2).zip(lastVS).exists { case (mn, lv) =>
+          mn != Long.MaxValue && mn > lv }
     if (compacted || grainTzChanged)
       return build(cat, cs, groupCols, measures, path, sketches, topks,
         grains)
 
-    // telescoping legs: Δfact against every side OLD; per side i,
-    // fact NEW ⋈ sides<i NEW ⋈ Δside_i ⋈ sides>i OLD — each leg's
-    // non-delta factors key-bounded by the accumulated signed join
-    // contract sweep over THIS delta window (lag pre-images cross the
-    // window boundary, so a mutation of a declared-immutable key is
-    // caught at the first fold that could read it wrong)
-    val imm = declaredImmutable(cs)
-    imm.get(cs.fact).foreach(ks =>
-      requireImmutable(cat, cs.fact, ks, lastVF))
-    cs.sides.zipWithIndex.foreach { case (s, j) =>
-      imm.get(s.table).foreach(ks =>
-        requireImmutable(cat, s.table, ks, lastVS(j)))
-    }
     // each delta / accumulated leg is read SEVERAL times (its zone
     // bound, its distinct-key set, the join itself, and the two-pass
-    // post/retraction fold below) — cache them, they are delta-sized
+    // post/retraction fold below) — cache them, they are delta-sized.
+    // The try opens BEFORE the first cache() call so a failure while
+    // the legs are still being BUILT (state read, schema drift, grain
+    // analysis error) unpersists everything cached so far
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var merged: DataFrame = null
+    try {
     def cache(df: DataFrame): DataFrame = {
       val c = df.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached += c; c
     }
+    // telescoping legs over the consistent (last, new] window: Δfact
+    // against every side OLD; per side i, fact NEW ⋈ sides<i NEW ⋈
+    // Δside_i ⋈ sides>i OLD — every delta bounded at its table's
+    // sampled mark and every non-delta factor read AS OF its mark
+    // (OLD = the last fold's, NEW = this fold's), so the cross terms
+    // tile the state transition exactly however writers interleave.
+    // contract sweep over THIS delta window (lag pre-images cross the
+    // window boundary, so a mutation of a declared-immutable key is
+    // caught at the first fold that could read it wrong)
+    val imm = declaredImmutable(cs)
+    imm.get(cs.fact).foreach(ks =>
+      requireImmutable(cat, cs.fact, ks, lastVF, newVF))
+    cs.sides.zipWithIndex.foreach { case (s, j) =>
+      imm.get(s.table).foreach(ks =>
+        requireImmutable(cat, s.table, ks, lastVS(j), newVS(j)))
+    }
+    // LEFT chains join side factors with "left" (the extended-Ŝ inner
+    // join IS the left join against the raw side) and each side's
+    // delta gains its ±1 null-extension rows; the fact factor stays
+    // INNER in the side legs either way (a side change only touches
+    // fact rows carrying its keys)
+    val sideJt = if (cs.leftOuter) "left" else "inner"
     val factLeg = cs.sides.zipWithIndex
-      .foldLeft(cache(signedDelta(cat, cs.fact, lastVF))) {
+      .foldLeft(cache(signedDelta(cat, cs.fact, lastVF, newVF))) {
         case (acc, (s, j)) =>
-          cache(acc.join(boundedSide(cat, s.table, Some(lastVS(j)),
-            acc, s.keys, s.sideKeysImmutable), s.keys))
+          cache(acc.join(boundedSide(cat, s.table, lastVS(j),
+            acc, s.keys, s.sideKeysImmutable), s.keys, sideJt))
       }
     val sideLegs = cs.sides.indices.map { i =>
       val si = cs.sides(i)
-      val d = cache(signedDelta(cat, si.table, lastVS(i)))
-      val withFact = cache(d.join(boundedSide(cat, cs.fact, None, d,
+      val dReal = cache(signedDelta(cat, si.table, lastVS(i), newVS(i)))
+      val d =
+        if (!cs.leftOuter) dReal
+        else cache(dReal.unionByName(
+          nullExtensionDelta(cat, si, dReal, lastVS(i), newVS(i))))
+      val withFact = cache(d.join(boundedSide(cat, cs.fact, newVF, d,
         si.keys, si.factKeysImmutable), si.keys))
       cs.sides.zipWithIndex.filterNot(_._2 == i)
         .foldLeft(withFact) { case (acc, (s, j)) =>
-          val asOf = if (j < i) None else Some(lastVS(j))
+          val asOf = if (j < i) newVS(j) else lastVS(j)
           cache(acc.join(boundedSide(cat, s.table, asOf, acc, s.keys,
-            s.sideKeysImmutable), s.keys))
+            s.sideKeysImmutable), s.keys, sideJt))
         }
     }
     // grain columns derive per JOINED row (fact/side columns are in
@@ -554,7 +693,7 @@ object MaterializeJoin {
         topks.map { case (t, _) =>
           lit(null).cast(BinaryType).as(s"topk_$t") }): _*)
 
-    val merged = stateRows.unionByName(postRows).unionByName(retrRows)
+    merged = stateRows.unionByName(postRows).unionByName(retrRows)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),
         measures.flatMap(mm => Seq(
@@ -576,7 +715,6 @@ object MaterializeJoin {
             min(col(s"__rmin_$mm")).as(s"__rmin_$mm"),
             max(col(s"__rmax_$mm")).as(s"__rmax_$mm"))): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
       // extremum gate — identical algebra to the single-table fold:
       // only a retraction group where some retracted joined value ties
       // or crosses the prior state's min/max (or that the state never
@@ -605,25 +743,30 @@ object MaterializeJoin {
           Some(affected.collect().toSeq)
         else None
       val out = if (affectedCount == 0) kept
-        else kept.unionByName(recomputeJoined(cat, cs, groupCols,
-          measures, affected, affRows, sketches, topks, grains))
+        else kept.unionByName(recomputeJoined(cat, cs, newVF, newVS,
+          groupCols, measures, affected, affRows, sketches, topks,
+          grains))
       val nd = s"state_v${newVF}_${newVS.mkString("_")}"
       out.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
       writeMeta(spark, path, cs, newVF, newVS, groupCols, measures, nd,
         sketches, topks, grains)
       (newVF, newVS)
     } finally {
-      merged.unpersist()
+      if (merged != null) merged.unpersist()
       cached.foreach(_.unpersist())
     }
   }
 
-  /** Affected-group recompute over the CURRENT joined snapshots,
-    * bounded to the gated-in groups: an IN prefilter on each plain
-    * group column reaches its owning table's scan (below the joins),
-    * and the affected semi-join caps the aggregate itself —
-    * delta-group-sized work against the join, never the full γ. */
+  /** Affected-group recompute over the joined snapshots AS OF the
+    * refresh's sampled marks (the state the fold is transitioning TO —
+    * a current-snapshot read here would leak a mid-refresh write into
+    * groups the recorded marks don't cover), bounded to the gated-in
+    * groups: an IN prefilter on each plain group column reaches its
+    * owning table's scan (below the joins), and the affected semi-join
+    * caps the aggregate itself — delta-group-sized work against the
+    * join, never the full γ. */
   private def recomputeJoined(cat: GraftCatalog, cs: ChainSpec,
+      vF: Long, vS: Seq[Long],
       groupCols: Seq[String], measures: Seq[String],
       affected: DataFrame,
       affRows: Option[Seq[org.apache.spark.sql.Row]],
@@ -651,8 +794,8 @@ object MaterializeJoin {
       case _ => lit(true)
     }
     Materialize.aggregate(
-      Materialize.withGrains(joinedSnapshot(cat, cs).where(prefilter),
-          grains)
+      Materialize.withGrains(
+          joinedSnapshotAt(cat, cs, vF, vS).where(prefilter), grains)
         .join(affected, affCond, "left_semi"),
       groupCols, measures, sketches, topks)
   }

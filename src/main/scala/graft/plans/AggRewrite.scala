@@ -53,10 +53,17 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
   * replicating Spark's decimal-division scale rules bit-for-bit is not
   * worth a plausible-but-off-by-ULP answer.
   *
-  * Staleness contract: the registrant guarantees the state covers the
-  * base (register an MV root, or refresh before querying; drop before
-  * mutating without refresh) — the same freshness contract every
-  * refresh-based MV system has.
+  * Staleness contract — CHECKED, not just documented, for catalog
+  * registrations: every [[AggViewDef]] carries a `fresh` probe the
+  * rewrite consults before serving, and the catalog registrants
+  * ([[graft.operators.Materialize.registerForRewrite]] and the join
+  * variant) install one comparing the MV meta's folded high-water
+  * mark against the table's O(1) version counter — a stale state then
+  * REFUSES the rewrite (the direct plan is correct, so enforcement
+  * costs no availability) instead of silently serving pre-mutation
+  * aggregates. Raw-path registrations without a probe keep the
+  * documented contract (refresh before querying; drop before mutating
+  * without refresh).
   */
 object GraftAggViews {
   /** @param statePath a concrete [[graft.operators.Materialize]]-layout
@@ -126,9 +133,19 @@ object GraftAggViews {
     * over the bare fact includes rows the state dropped). Mutually
     * exclusive with `innerSafe`, which asserts inner == left for a
     * LEFT-counted state. */
+  /** `leftState`: the state aggregated a maintained LEFT join
+    * ([[graft.operators.MaterializeJoin]] with `leftOuter` — unmatched
+    * facts counted under NULL side attributes), so the rewrite serves
+    * LEFT OUTER queries only: INNER refuses (it drops the NULL-group
+    * rows the state counted), and — unlike a derive-built LEFT star,
+    * whose unique-keyed dim makes un-joined rollups sound — the join
+    * must be PRESENT in the query, because a join-MV side may carry
+    * duplicate keys that multiplied fact rows. Mutually exclusive
+    * with `innerSafe`/`innerState`. */
   case class DimJoinDef(dimPath: String, factKeys: Seq[String],
       dimKeys: Seq[String], dimAttrs: Map[String, String] = Map.empty,
-      innerSafe: Boolean = false, innerState: Boolean = false)
+      innerSafe: Boolean = false, innerState: Boolean = false,
+      leftState: Boolean = false)
 
   /** A query-side join captured by the plan walk: the dim scan's path,
     * whether the plan's join is INNER, the join condition, the
@@ -154,12 +171,30 @@ object GraftAggViews {
     *               est−err ≤ true ≤ est like the direct aggregate; in
     *               the no-eviction regime (group distinct ≤ cap) they
     *               are byte-identical to it. */
+  /** @param fresh freshness gate, probed (only) when the view is about
+    *               to serve: `false` REFUSES the rewrite, so the query
+    *               falls back to the direct plan — which is always
+    *               correct, just unserved. Registrants over a
+    *               [[graft.sources.GraftCatalog]] table install a probe
+    *               comparing the MV meta's folded high-water mark
+    *               against the table's O(1) version counter
+    *               ([[graft.operators.Materialize.registerForRewrite]] /
+    *               [[graft.operators.MaterializeJoin.registerForRewrite]]),
+    *               closing the silent-staleness hole: ≥
+    *               SNAPSHOT_CACHE_BATCHES un-refreshed upserts followed
+    *               by any read used to auto-rebuild the snapshot cache,
+    *               hand the rewrite a pure cache scan, and serve
+    *               version-stale state with no error. The default
+    *               (always true) keeps the documented
+    *               refresh-before-query contract for raw-path
+    *               registrations the rule cannot probe. */
   case class AggViewDef(statePath: String, groupCols: Seq[String],
       measures: Seq[String],
       grainExprs: Map[String, String] = Map.empty,
       sketches: Map[String, Int] = Map.empty,
       dims: Seq[DimJoinDef] = Seq.empty,
-      topks: Map[String, Int] = Map.empty)
+      topks: Map[String, Int] = Map.empty,
+      fresh: () => Boolean = () => true)
 
   // several views may serve one base (a per-source rollup AND a
   // per-(source, day) grain, say) — the reference picks among multiple
@@ -550,7 +585,11 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // LEFT-counted state: LEFT always serves, INNER only under
           // innerSafe. INNER-counted state (innerState): INNER only —
           // a LEFT query keeps fact rows the state never counted.
-          (if (d.innerState) qj.inner else !qj.inner || d.innerSafe) &&
+          // LEFT-maintained join state (leftState): LEFT only — an
+          // INNER query drops the NULL-group rows the state counted.
+          (if (d.innerState) qj.inner
+           else if (d.leftState) !qj.inner
+           else !qj.inner || d.innerSafe) &&
             qj.dimFilters.forall {
               case IsNotNull(a: AttributeReference) =>
                 qj.dimBase.get(a.exprId).exists(c =>
@@ -563,16 +602,29 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
                   case _ => false
                 }
             } &&
-            pairs.forall(_.isDefined) &&
-            pairs.flatten.toSet == d.factKeys.zip(d.dimKeys).toSet
+            pairs.forall(_.isDefined) && {
+              // fact-side names carry the QUERY's spelling (an attr
+              // ref keeps the case the SQL used) — match them against
+              // the registered keys with the session resolver, exactly
+              // like measure/group names; dim-side names come from the
+              // relation output and already match the registration
+              val reg = d.factKeys.zip(d.dimKeys)
+              val matched = pairs.flatten.flatMap { case (fn, dn) =>
+                reg.find { case (fk, dk) => resolver(fk, fn) && dk == dn }
+              }
+              matched.size == pairs.size && matched.toSet == reg.toSet
+            }
         }
       }.getOrElse(return None)
     }
     // an INNER-counted state requires its join to be PRESENT in the
     // query: a bare-fact aggregate (or one omitting this dim) covers
-    // rows the state dropped at build — un-joined subsets only roll
-    // up safely for LEFT-counted dims
-    if (view.dims.exists(d => d.innerState && !matchedDims.contains(d)))
+    // rows the state dropped at build. A LEFT-maintained join state
+    // requires presence too: its side may carry duplicate keys, so an
+    // un-joined rollup could double-count facts — un-joined subsets
+    // only roll up safely for derive-built (unique-keyed) LEFT dims.
+    if (view.dims.exists(d => (d.innerState || d.leftState) &&
+        !matchedDims.contains(d)))
       return None
     // dim-attribute filter conjuncts vetted above, rewritten onto the
     // state's group columns (name placeholders; the source build below
@@ -600,7 +652,9 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       (e.references.toSeq ++ deref(e).references.toSeq).forall {
         case a: AttributeReference => dimIds.get(a.exprId) match {
           case Some(baseCol) => matchedDims.exists(
-            _.dimAttrs.get(a.name).contains(baseCol))
+            // resolver-matched: the attr keeps the query's spelling
+            _.dimAttrs.exists { case (served, b) =>
+              resolver(served, a.name) && b == baseCol })
           case None => true
         }
         case _ => true
@@ -683,12 +737,29 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // the state's grain column ("WHERE date_trunc('day', ts) = D"
     // serves as "WHERE day = D" — the dashboard shape; an aligned
     // COARSER truncation re-truncates the grain column first).
-    val residualMapped: Option[Option[Expression]] = residual match {
+    // fact-side IsNotNull over an INNER-matched dim's fact key is
+    // semantics-free (a NULL key never matches the equality join, and
+    // the state counted only matched rows) — Catalyst pushes exactly
+    // this conjunct for a NULLABLE fact FK, and without stripping it
+    // the residual check refused every such serve. LEFT joins keep it:
+    // there it genuinely drops unmatched facts the state counted.
+    val innerFactKeys: Set[String] = joins.zip(matchedDims)
+      .collect { case (qj, d) if qj.inner => d.factKeys }
+      .flatten.toSet
+    def strippable(e: Expression): Boolean = e match {
+      case IsNotNull(a: AttributeReference) =>
+        innerFactKeys.exists(resolver(_, baseName(a)))
+      case _ => false
+    }
+    val residualKept: Option[Expression] = residual.flatMap { c0 =>
+      conjuncts(deref(c0)).filterNot(strippable).reduceOption(And)
+    }
+    val residualMapped: Option[Option[Expression]] = residualKept match {
       case None => Some(None)
       case Some(c0) if !c0.deterministic => None
       case Some(c0) =>
         val placeholders = scala.collection.mutable.Set[Long]()
-        val c = deref(c0).transformUp {
+        val c = c0.transformUp {
           case e => grains.collectFirst(Function.unlift {
             case (colName, ge) => grainMatch(e, ge).map { m =>
               val ph = AttributeReference(colName, ge.dataType)()
@@ -811,6 +882,12 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case _ => false
     }
     if (!answerable) return None
+    // freshness gate, LAST among the no-I/O checks: the state must
+    // cover the base as of NOW — a probe failure (or a stale state)
+    // refuses, and the fallback plan is correct, so enforcement costs
+    // no availability. Guarded by Try: planning must never crash on a
+    // probe whose catalog/meta has been dropped under it.
+    if (!scala.util.Try(view.fresh()).getOrElse(false)) return None
     // a registered MV ROOT resolves to its current state_v dir through
     // the meta pointer — refresh rotates directories, and serving a
     // stale pinned dir would return pre-refresh aggregates forever

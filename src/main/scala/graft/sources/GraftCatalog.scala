@@ -500,6 +500,16 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * to this root). */
   private[graft] def tablePath(name: String): String = dir(name)
 
+  /** Reverse of [[tablePath]]: the catalog table whose root directory
+    * is `p` (path-normalized), if any — lets a registration over a
+    * parquet path discover it is catalog-backed and pin versions. */
+  private[graft] def tableForPath(p: String): Option[String] = {
+    def n(x: String) = scala.util.Try(
+        new org.apache.hadoop.fs.Path(x).toUri.getPath)
+      .toOption.filter(_.nonEmpty).getOrElse(x).stripSuffix("/")
+    specs.keys.find(t => n(dir(t)) == n(p))
+  }
+
   /** Drop the cache (compact/truncate rewrite or erase the history the
     * cache summarizes — a stale cache would resurrect rows). */
   private def invalidateSnapCache(name: String): Unit = {
@@ -594,12 +604,19 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * callers pass a proven superset of the pks' rows (e.g. a PK zone
     * bound) so parquet row-group stats can prune the scan; `lit(true)`
     * keeps the plain shape. */
+  /** `uptoV` (optional) bounds the read at a sampled version mark
+    * ([[servingLogUpTo]]) — the consistent-window IVM recompute reads
+    * affected groups as of the marks it records, so a write landing
+    * mid-refresh folds exactly once in the next one. */
   private[graft] def snapshotForPks(name: String, pks: DataFrame,
-      scanFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+      scanFilter: org.apache.spark.sql.Column = lit(true),
+      uptoV: Option[Long] = None): DataFrame = {
     val s = spec(name)
     val cond = s.pk.map(c => col(c) <=> col(s"__p_$c")).reduce(_ && _)
+    val log = uptoV.map(servingLogUpTo(name, _))
+      .getOrElse(servingLog(name))
     collapseLog(name,
-        servingLog(name).where(scanFilter).join(pks, cond, "left_semi"))
+        log.where(scanFilter).join(pks, cond, "left_semi"))
       .select(s.schema.fieldNames.map(col): _*)
   }
 
@@ -620,6 +637,37 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     collapseLog(name,
         changeLog(name).where(col("_version") <= asOfVersion))
       .select(spec(name).schema.fieldNames.map(col): _*)
+
+  /** [[snapshotAsOf]] accelerated through the snapshot cache when the
+    * cache's high-water mark is AT OR BELOW the read point (cache rows
+    * keep their original `_version`, so `cache ∪ tail(cacheV, v]`
+    * collapses to exactly the full log's `<= v` slice — a cache AHEAD
+    * of the read point may have discarded versions the slice needs and
+    * falls back to the full-log collapse). This is the read the
+    * consistent-window IVM fold uses for its NEW factors: refresh
+    * samples every table's high-water mark ONCE, then reads every
+    * factor as of those marks, so a write landing mid-refresh is
+    * excluded now and folded exactly once by the next refresh (which
+    * starts from the recorded marks). Unlike [[snapshotServed]] this
+    * never auto-refreshes the cache — a refresh mid-plan could rotate
+    * the cache PAST the read point. */
+  private[graft] def snapshotUpTo(name: String, v: Long): DataFrame =
+    collapseLog(name, servingLogUpTo(name, v))
+      .select(spec(name).schema.fieldNames.map(col): _*)
+
+  /** The `_version <= v` slice of the change log, served through the
+    * snapshot cache when the cache's mark is at or below `v` (see
+    * [[snapshotUpTo]] for why a cache AHEAD of the read point cannot
+    * serve the slice). Never auto-refreshes the cache. */
+  private[graft] def servingLogUpTo(name: String, v: Long): DataFrame =
+    snapCacheVersion(name) match {
+      case Some(cv) if !hasRowTimestamp(name) && cv <= v =>
+        val cache = toLogical(name, spark.read.schema(physSchema(name))
+          .parquet(s"${snapCacheRoot(name)}/v$cv"))
+        ttlFiltered(name, cache.unionByName(changeLogRaw(name)
+          .where(col("_version") > cv && col("_version") <= v)))
+      case _ => changeLog(name).where(col("_version") <= v)
+    }
 
   /** Point-in-time snapshot by wall-clock batch stamp — the timestamp
     * spelling of [[snapshotAsOf]] (the reference's SCN IS an HBase

@@ -624,4 +624,259 @@ class MaterializeJoinSpec extends AnyFunSuite {
       assert(actual(path) == expected(cat), s"diverged at step $step")
     }
   }
+
+  // ---- LEFT-outer join IVM (null-extension delta rule) ----
+
+  private val ljs =
+    MaterializeJoin.JoinSpec("o", "c", Seq("ck"), leftOuter = true)
+
+  private def expectedLeft(cat: GraftCatalog): Set[Seq[Any]] =
+    Materialize.aggregate(
+      cat.snapshot("o").join(cat.snapshot("c"), Seq("ck"), "left"),
+      Seq("seg"), Seq("price")).collect().map(canon).toSet
+
+  test("LEFT build + read: unmatched facts count under NULL side " +
+      "attributes (incl. a NULL fact key)") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkTables(cat)
+    // ok=5 dangles (no ck=99 customer); ok=6 has a NULL key — both
+    // must land in the NULL-seg group
+    cat.upsert("o", Seq((5L, 99L, 500L)).toDF("ok", "ck", "price"))
+    cat.upsert("o", spark.sql(
+      "SELECT 6L AS ok, CAST(NULL AS BIGINT) AS ck, 600L AS price"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, ljs, Seq("seg"), Seq("price"), path)
+    val exp = expectedLeft(cat)
+    assert(actual(path) == exp)
+    assert(exp.exists(_.head == null), "fixture must have a NULL group")
+  }
+
+  test("LEFT refresh: dangling→matched (side insert pulls facts out " +
+      "of the NULL group) and matched→dangling (last side row " +
+      "deleted) both fold exactly") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkTables(cat)
+    cat.upsert("o", Seq((5L, 99L, 500L), (6L, 99L, 600L))
+      .toDF("ok", "ck", "price"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, ljs, Seq("seg"), Seq("price"), path)
+    // dangling → matched: ck=99 appears on the side, both facts must
+    // MOVE from the NULL group into seg 'z'
+    cat.upsert("c", Seq((99L, "z")).toDF("ck", "seg"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expectedLeft(cat), "dangling -> matched")
+    // matched → dangling: the ONLY row for ck=20 dies; its facts must
+    // move back into the NULL group
+    cat.delete("c", col("ck") === 20L)
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expectedLeft(cat), "matched -> dangling")
+    // a delete of ONE of two duplicate side rows is NOT a transition
+    cat.upsert("c", Seq((99L, "z2")).toDF("ck", "seg")) // update, not dup
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expectedLeft(cat), "side update regroups")
+  }
+
+  test("LEFT differential fuzz: random interleaved churn on BOTH " +
+      "sides — state == full LEFT recompute after every refresh " +
+      "(seeded)") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkTables(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, ljs, Seq("seg"), Seq("price"), path)
+    val rnd = new scala.util.Random(20260817L)
+    val segs = Vector("a", "b", "c", "d")
+    for (step <- 1 to 8) {
+      for (_ <- 0 until 1 + rnd.nextInt(3)) rnd.nextInt(5) match {
+        case 0 => // fact insert/update, often DANGLING (ck up to 90)
+          cat.upsert("o", Seq((rnd.nextInt(12).toLong,
+            (rnd.nextInt(9) * 10 + 10).toLong,
+            rnd.nextInt(1000).toLong)).toDF("ok", "ck", "price"))
+        case 1 => cat.upsert("c", Seq(((rnd.nextInt(9) * 10 + 10).toLong,
+            segs(rnd.nextInt(segs.size)))).toDF("ck", "seg"))
+        case 2 => cat.delete("o", col("ok") === rnd.nextInt(12).toLong)
+        case 3 => cat.delete("c",
+          col("ck") === (rnd.nextInt(9) * 10 + 10).toLong)
+        case 4 =>
+          cat.upsert("o", (0 until 3).map(i =>
+            ((rnd.nextInt(12) + 12 * i).toLong,
+              (rnd.nextInt(9) * 10 + 10).toLong,
+              rnd.nextInt(1000).toLong)).toDF("ok", "ck", "price"))
+      }
+      MaterializeJoin.refresh(cat, path)
+      assert(actual(path) == expectedLeft(cat), s"diverged at step $step")
+    }
+  }
+
+  test("LEFT chain (two sides): independent NULL extensions per side " +
+      "fold through churn on all three tables") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("f", StructType(Seq(
+      StructField("fk", LongType), StructField("ck", LongType),
+      StructField("pk2", LongType), StructField("x", LongType))),
+      pk = Seq("fk"))
+    cat.createTable("cd", custSchema, pk = Seq("ck"))
+    cat.createTable("pd", StructType(Seq(
+      StructField("pk2", LongType), StructField("grp", StringType))),
+      pk = Seq("pk2"))
+    cat.upsert("f", Seq((1L, 10L, 100L, 5L), (2L, 10L, 999L, 7L),
+      (3L, 99L, 100L, 11L)).toDF("fk", "ck", "pk2", "x"))
+    cat.upsert("cd", Seq((10L, "a")).toDF("ck", "seg"))
+    cat.upsert("pd", Seq((100L, "g1")).toDF("pk2", "grp"))
+    val cs = MaterializeJoin.ChainSpec("f", Seq(
+      MaterializeJoin.SideSpec("cd", Seq("ck")),
+      MaterializeJoin.SideSpec("pd", Seq("pk2"))), leftOuter = true)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, cs, Seq("seg", "grp"), Seq("x"), path)
+    def exp: Set[Seq[Any]] = Materialize.aggregate(
+      cat.snapshot("f").join(cat.snapshot("cd"), Seq("ck"), "left")
+        .join(cat.snapshot("pd"), Seq("pk2"), "left"),
+      Seq("seg", "grp"), Seq("x")).collect().map(canon).toSet
+    assert(actual(path) == exp)
+    // churn all three: new dangling fact, cd gains the 99 key
+    // (partial un-dangle), pd loses its only row (everything
+    // pk2-dangles)
+    cat.upsert("f", Seq((4L, 50L, 999L, 13L)).toDF("fk", "ck", "pk2", "x"))
+    cat.upsert("cd", Seq((99L, "b")).toDF("ck", "seg"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == exp, "after fact+cd churn")
+    cat.delete("pd", col("pk2") === 100L)
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == exp, "after pd emptied")
+    cat.upsert("pd", Seq((999L, "g2"), (100L, "g3"))
+      .toDF("pk2", "grp"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == exp, "after pd repopulated")
+  }
+
+  test("consistent fold window: an out-of-band writer racing refresh " +
+      "never double-counts — every write folds exactly once") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkTables(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, js, Seq("seg"), Seq("price"), path)
+    // a second thread churns the DIM side (the out-of-band writer
+    // EventStreams.maintainJoinAggregate advertises absorbing) while
+    // the main thread churns the fact and refreshes concurrently; the
+    // interleave is nondeterministic, but with every leg read bounded
+    // at the refresh's sampled marks each write folds exactly once —
+    // the unbounded shape folded a mid-refresh write AND re-folded it
+    // next refresh (recorded marks stopped before it)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val segs = Vector("a", "b", "c", "d", "e")
+    val writer = new Thread(() => {
+      val rnd = new scala.util.Random(13L)
+      var i = 0
+      while (!stop.get()) {
+        cat.upsert("c", Seq(((rnd.nextInt(6) * 10 + 10).toLong,
+          segs(rnd.nextInt(segs.size)))).toDF("ck", "seg"))
+        i += 1
+        if (i % 3 == 0) Thread.sleep(5)
+      }
+    })
+    writer.start()
+    try {
+      val rnd = new scala.util.Random(31L)
+      for (_ <- 1 to 4) {
+        cat.upsert("o", Seq((rnd.nextInt(40).toLong,
+          (rnd.nextInt(6) * 10 + 10).toLong,
+          rnd.nextInt(1000).toLong)).toDF("ok", "ck", "price"))
+        MaterializeJoin.refresh(cat, path)
+      }
+    } finally { stop.set(true); writer.join() }
+    // quiesced: one final refresh must land the state EXACTLY on the
+    // joined-snapshot aggregate — any double-folded mid-refresh write
+    // shows up here as an inflated cnt/sum
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expected(cat),
+      "a write that raced a refresh was folded more than once")
+  }
+
+  test("an EMPTY side log is not a compaction: fact-only churn takes " +
+      "the incremental path while the side stays unwritten") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("o", ordersSchema, pk = Seq("ok"))
+    cat.createTable("c", custSchema, pk = Seq("ck"))
+    cat.upsert("o", Seq((1L, 10L, 100L)).toDF("ok", "ck", "price"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    // side 'c' never written: its marks are (max=-1, min=MaxValue) —
+    // the unguarded detector read min > lastV as "history lost" and
+    // forced a full rebuild on EVERY refresh
+    MaterializeJoin.build(cat, js, Seq("seg"), Seq("price"), path)
+    cat.upsert("o", Seq((2L, 20L, 200L)).toDF("ok", "ck", "price"))
+    MaterializeJoin.LastRefresh.affectedGroups = -99L
+    MaterializeJoin.refresh(cat, path)
+    assert(MaterializeJoin.LastRefresh.affectedGroups != -99L,
+      "refresh with an empty side log must take the incremental " +
+        "path, not rebuild (empty ≠ compacted)")
+    assert(actual(path) == expected(cat))
+    // and once the side DOES get data, the fold is still exact
+    cat.upsert("c", Seq((10L, "a"), (20L, "b")).toDF("ck", "seg"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expected(cat))
+  }
+
+  test("a non-key column shadowing ANOTHER side's join key refuses at " +
+      "build with the catalog-level rename message") {
+    val cat = freshCatalog()
+    cat.createTable("f", StructType(Seq(
+      StructField("fk", LongType), StructField("k1", LongType),
+      StructField("k2", LongType))), pk = Seq("fk"))
+    cat.createTable("s1", StructType(Seq(
+      StructField("k1", LongType),
+      // regular column on s1 that collides with s2's JOIN KEY name —
+      // the all-keys exclusion let this through to a deep
+      // ambiguous-column analysis error at first refresh
+      StructField("k2", LongType),
+      StructField("a1", StringType))), pk = Seq("k1"))
+    cat.createTable("s2", StructType(Seq(
+      StructField("k2", LongType), StructField("a2", StringType))),
+      pk = Seq("k2"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    val e = intercept[IllegalArgumentException] {
+      MaterializeJoin.build(cat,
+        MaterializeJoin.ChainSpec("f", Seq(
+          MaterializeJoin.SideSpec("s1", Seq("k1")),
+          MaterializeJoin.SideSpec("s2", Seq("k2")))),
+        Seq("a1"), Seq("k2"), path)
+    }
+    assert(e.getMessage.contains("rename at the catalog schema"))
+  }
+
+  test("snapshotUpTo == snapshotAsOf at every mark, with and without " +
+      "a cache, including a cache AHEAD of the read point") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("t", StructType(Seq(
+      StructField("k", LongType), StructField("x", LongType))),
+      pk = Seq("k"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(canon).toSet
+    val v0 = cat.upsert("t", Seq((1L, 10L), (2L, 20L)).toDF("k", "x"))
+    val v1 = cat.upsert("t", Seq((1L, 11L), (3L, 30L)).toDF("k", "x"))
+    val v2 = cat.delete("t", col("k") === 2L)
+    val v3 = cat.upsert("t", Seq((2L, 22L)).toDF("k", "x"))
+    for (v <- Seq(v0, v1, v2, v3))
+      assert(rows(cat.snapshotUpTo("t", v)) ==
+        rows(cat.snapshotAsOf("t", v)), s"no cache, v=$v")
+    cat.refreshSnapshotCache("t") // cache at v3
+    // cache at-or-below the mark serves through cache+tail; a cache
+    // AHEAD of the mark (v0..v2 here) must fall back to the full-log
+    // collapse — its collapsed rows have discarded the history the
+    // slice needs
+    for (v <- Seq(v0, v1, v2, v3))
+      assert(rows(cat.snapshotUpTo("t", v)) ==
+        rows(cat.snapshotAsOf("t", v)), s"cache@$v3, v=$v")
+    val v4 = cat.upsert("t", Seq((4L, 44L)).toDF("k", "x"))
+    assert(rows(cat.snapshotUpTo("t", v4)) ==
+      rows(cat.snapshotAsOf("t", v4)), "cache + tail")
+  }
 }

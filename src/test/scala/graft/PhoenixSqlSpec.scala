@@ -1362,4 +1362,92 @@ class PhoenixSqlSpec extends AnyFunSuite {
     assert(run(expectServed = true) ==
       Seq(("a", 30L, 2L), ("b", 105L, 2L)))
   }
+
+  test("freshness gate: SNAPSHOT_CACHE_BATCHES auto-refresh cannot " +
+      "make a stale MV serve — un-refreshed upserts + a read fall " +
+      "back to the FRESH collapse/cache plan") {
+    import graft.operators.Materialize
+    val px = fresh()
+    val cat = px.catalog
+    // auto-refresh threshold 2: two un-refreshed writes re-arm the
+    // read-path cache rebuild — the exact sequence that used to serve
+    // stale state (fresh cache ⇒ pure scan ⇒ AggRewrite fires ⇒
+    // version-v state over a version-v+2 table, silently)
+    px.execute("CREATE TABLE FG (K BIGINT NOT NULL, SRC VARCHAR, " +
+      "X BIGINT CONSTRAINT PK PRIMARY KEY (K)) " +
+      "SNAPSHOT_CACHE_BATCHES=2")
+    px.execute("UPSERT INTO FG VALUES (1, 'a', 10)")
+    px.execute("UPSERT INTO FG VALUES (2, 'b', 5)")
+    cat.refreshSnapshotCache("fg")
+    val mv = java.nio.file.Files
+      .createTempDirectory("graft_mvsql_fresh").toString
+    Materialize.build(cat, "fg", Seq("src"), Seq("x"), mv)
+    Materialize.registerForRewrite(cat, "fg", mv)
+    def run(expectServed: Boolean) = {
+      val q = px.execute("SELECT SRC, SUM(X) AS sum_x FROM FG " +
+        "GROUP BY SRC ORDER BY SRC")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(mv) == expectServed,
+        s"expected served=$expectServed:\n$plan")
+      q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    assert(run(expectServed = true) == Seq(("a", 10L), ("b", 5L)))
+    // >= threshold upserts WITHOUT an MV refresh: the write hook (and
+    // any read) rebuilds the snapshot cache to exactly-fresh, so the
+    // front-end sees a pure cache scan — the MV state is now two
+    // versions behind, and ONLY the version probe stands between the
+    // query and stale numbers
+    px.execute("UPSERT INTO FG VALUES (3, 'a', 100)")
+    px.execute("UPSERT INTO FG VALUES (4, 'b', 200)")
+    assert(cat.snapCacheVersion("fg").contains(cat.currentVersion("fg")),
+      "precondition: the auto-refresh must have made the cache " +
+        "exactly fresh (otherwise this test isn't exercising the gate)")
+    assert(run(expectServed = false) == Seq(("a", 110L), ("b", 205L)),
+      "a fresh snapshot cache over a stale MV state must fall back " +
+        "to the cache-scan plan with FRESH numbers")
+    // refresh the MV → the marks line up again → served, new numbers
+    Materialize.refresh(cat, "fg", mv)
+    assert(run(expectServed = true) == Seq(("a", 110L), ("b", 205L)))
+  }
+
+  test("freshness gate, join MV: out-of-band churn on EITHER chain " +
+      "table refuses the serve until refresh") {
+    import graft.operators.MaterializeJoin
+    val px = fresh()
+    val cat = px.catalog
+    px.execute("CREATE TABLE JF (OK BIGINT NOT NULL, CK BIGINT, " +
+      "PRICE BIGINT CONSTRAINT PK PRIMARY KEY (OK)) " +
+      "SNAPSHOT_CACHE_BATCHES=1")
+    px.execute("CREATE TABLE JD (CK BIGINT NOT NULL, SEG VARCHAR " +
+      "CONSTRAINT PK PRIMARY KEY (CK)) SNAPSHOT_CACHE_BATCHES=1")
+    px.execute("UPSERT INTO JF VALUES (1, 10, 100)")
+    px.execute("UPSERT INTO JF VALUES (2, 20, 50)")
+    px.execute("UPSERT INTO JD VALUES (10, 'a')")
+    px.execute("UPSERT INTO JD VALUES (20, 'b')")
+    cat.refreshSnapshotCache("jf"); cat.refreshSnapshotCache("jd")
+    val mv = java.nio.file.Files
+      .createTempDirectory("graft_mvsql_jfresh").toString
+    MaterializeJoin.build(cat,
+      MaterializeJoin.JoinSpec("jf", "jd", Seq("ck")),
+      Seq("seg"), Seq("price"), mv)
+    MaterializeJoin.registerForRewrite(cat, mv)
+    def run(expectServed: Boolean) = {
+      val q = px.execute("SELECT SEG, SUM(PRICE) AS rev FROM JF " +
+        "JOIN JD ON JF.CK = JD.CK GROUP BY SEG ORDER BY SEG")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(mv) == expectServed,
+        s"expected served=$expectServed:\n$plan")
+      q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    assert(run(expectServed = true) == Seq(("a", 100L), ("b", 50L)))
+    // churn the DIM side only (threshold 1 ⇒ cache exactly fresh
+    // immediately): the fact's marks still line up, the dim's don't —
+    // the probe must catch the side mark
+    px.execute("UPSERT INTO JD VALUES (20, 'a')")
+    assert(run(expectServed = false) == Seq(("a", 150L)),
+      "dim churn without an MV refresh must refuse the serve and " +
+        "return fresh numbers")
+    MaterializeJoin.refresh(cat, mv)
+    assert(run(expectServed = true) == Seq(("a", 150L)))
+  }
 }
