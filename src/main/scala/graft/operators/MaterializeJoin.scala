@@ -82,7 +82,17 @@ object MaterializeJoin {
       sideKeysImmutable: Boolean = false,
       factKeysImmutable: Boolean = false)
 
-  /** Fact ⋈ N mutating sides, every side's keys on the fact.
+  /** Fact ⋈ N mutating sides. Each side's keys live on the FACT (the
+    * star/galaxy shape) or on ONE side declared EARLIER (the SNOWFLAKE
+    * shape — e.g. orders ⋈ customer ⋈ nation with `nationkey` on
+    * customer): the join graph must be a TREE rooted at the fact, and
+    * a key set spanning several tables refuses. The telescoping delta
+    * algebra is key-topology-agnostic (it is the product rule over
+    * join factors); what the tree buys is BOUNDED legs — each side's
+    * delta leg joins outward from the delta along tree edges, every
+    * factor key-bounded by what the accumulated join already holds,
+    * so an INTERMEDIATE side churning (the case the fingerprint-frozen
+    * star derives refuse) folds delta-sized.
     *
     * `leftOuter = true` maintains γ(F ⟕ S₁ ⟕ … ⟕ Sₙ) instead: an
     * unmatched fact row joins NULL side attributes (and a NULL join
@@ -138,40 +148,72 @@ object MaterializeJoin {
           if (cs.leftOuter) "left" else "inner")
     }
 
+  /** Parent node per side: −1 = the fact, j ≥ 0 = side j. Resolution:
+    * a side whose keys all live on the fact parents there; otherwise
+    * they must all live on exactly the same EARLIER side. Enforces the
+    * tree shape (and, transitively, that parents are declared before
+    * children, so the declaration-order fold always has each side's
+    * keys available). */
+  private def parentsOf(cat: GraftCatalog, cs: ChainSpec): Seq[Int] = {
+    val ff = cat.spec(cs.fact).schema.fieldNames.toSet
+    cs.sides.zipWithIndex.map { case (s, i) =>
+      if (s.keys.forall(ff.contains)) -1
+      else {
+        val cand = (0 until i).filter { j =>
+          val sf = cat.spec(cs.sides(j).table).schema.fieldNames.toSet
+          s.keys.forall(sf.contains)
+        }
+        require(cand.nonEmpty,
+          s"side '${s.table}' keys ${s.keys} must all live on the " +
+            "fact or on ONE side declared earlier (the join graph " +
+            "must be a tree; a key set spanning tables is not " +
+            "supported)")
+        cand.head
+      }
+    }
+  }
+
+  private def parentTable(cs: ChainSpec, parents: Seq[Int], i: Int)
+      : String =
+    if (parents(i) == -1) cs.fact else cs.sides(parents(i)).table
+
   private def validate(cat: GraftCatalog, cs: ChainSpec,
       groupCols: Seq[String], measures: Seq[String],
       grains: Seq[(String, String)] = Seq.empty): Unit = {
     require(cs.sides.nonEmpty, "a join MV needs at least one side")
     requireNoTtl(cat, cs.fact)
-    val ff = cat.spec(cs.fact).schema.fieldNames.toSeq
     val allKeys = cs.sides.flatMap(_.keys).toSet
     cs.sides.foreach { s =>
       requireNoTtl(cat, s.table)
       val sf = cat.spec(s.table).schema.fieldNames.toSeq
-      s.keys.foreach { k =>
-        require(ff.contains(k) && sf.contains(k),
-          s"join key '$k' must exist in both '${cs.fact}' (fact) and " +
-            s"'${s.table}'")
-      }
+      s.keys.foreach(k => require(sf.contains(k),
+        s"join key '$k' must exist in '${s.table}'"))
     }
-    // a column name may be shared across tables ONLY as a join key by
-    // the tables that actually join on it: for every name held by more
-    // than one table, each SIDE holding it must have it among its OWN
-    // keys (the fact holds keys legitimately). This catches both the
-    // plain duplicate (a non-key column in two tables) and the shadow
-    // case — a regular column on one side sharing a name with ANOTHER
-    // side's join key — which otherwise surfaced as an
+    val parents = parentsOf(cat, cs) // enforces the tree shape
+    require(!cs.leftOuter || parents.forall(_ == -1),
+      "leftOuter chains require every side keyed on the FACT (the " +
+        "null-extension algebra is defined per fact row; LEFT " +
+        "snowflake legs do not commute)")
+    // a column name may be shared across tables ONLY as a join key,
+    // and only between a side and its PARENT (the two tables that
+    // edge actually joins). This catches the plain duplicate (a
+    // non-key column in two tables), the shadow case (a regular
+    // column sharing a name with another side's join key), and the
+    // snowflake-ambiguity case (the fact carrying a column named like
+    // a side-on-side key) — all of which otherwise surfaced as an
     // ambiguous-column analysis error deep inside the first refresh
     val tableCols = (cs.fact +: cs.sides.map(_.table))
       .map(t => t -> cat.spec(t).schema.fieldNames.toSeq)
-    val keysOf: Map[String, Set[String]] =
-      cs.sides.map(s => s.table -> s.keys.toSet).toMap
-        .withDefaultValue(Set.empty)
+    val legitHolders: Map[String, Set[String]] =
+      cs.sides.zipWithIndex.flatMap { case (s, i) =>
+        s.keys.map(k => k -> Set(s.table, parentTable(cs, parents, i)))
+      }.groupBy(_._1)
+        .map { case (k, vs) => k -> vs.flatMap(_._2).toSet }
     val dup = tableCols.flatMap { case (t, cols) => cols.map(t -> _) }
       .groupBy(_._2)
       .collect { case (c, owners) if owners.size > 1 &&
         !owners.forall { case (t, n) =>
-          t == cs.fact || keysOf(t).contains(n) } => c }
+          legitHolders.getOrElse(n, Set.empty).contains(t) } => c }
     require(dup.isEmpty,
       s"non-key columns must be unique across the join: ${dup.toSeq} " +
         "appear in more than one table (rename at the catalog schema)")
@@ -191,14 +233,17 @@ object MaterializeJoin {
   private def highWater(cat: GraftCatalog, table: String): Long =
     cat.currentVersion(table)
 
-  /** table → join-key columns the spec declares immutable on it. */
-  private def declaredImmutable(cs: ChainSpec)
+  /** table → join-key columns the spec declares immutable on it.
+    * `factKeysImmutable` binds to the side's PARENT table — the fact
+    * in a star chain, the carrying side in a snowflake one. */
+  private def declaredImmutable(cat: GraftCatalog, cs: ChainSpec)
       : Map[String, Seq[String]] = {
-    val fact = cs.sides.filter(_.factKeysImmutable)
-      .flatMap(_.keys).distinct
-    val entries =
-      (if (fact.nonEmpty) Seq(cs.fact -> fact) else Nil) ++
-        cs.sides.filter(_.sideKeysImmutable).map(s => s.table -> s.keys)
+    val parents = parentsOf(cat, cs)
+    val entries = cs.sides.zipWithIndex.flatMap { case (s, i) =>
+      (if (s.sideKeysImmutable) Seq(s.table -> s.keys) else Nil) ++
+        (if (s.factKeysImmutable)
+          Seq(parentTable(cs, parents, i) -> s.keys) else Nil)
+    }
     entries.groupBy(_._1)
       .map { case (t, vs) => t -> vs.flatMap(_._2).distinct }
   }
@@ -317,7 +362,7 @@ object MaterializeJoin {
     // contract sweep over the FULL history up to the marks: a
     // pre-build unsafe key mutation would corrupt every future
     // prefiltered read
-    declaredImmutable(cs).foreach { case (t, ks) =>
+    declaredImmutable(cat, cs).foreach { case (t, ks) =>
       requireImmutable(cat, t, ks, sinceV = -1L,
         uptoV = if (t == cs.fact) vF
           else vS(cs.sides.indexWhere(_.table == t)))
@@ -605,7 +650,7 @@ object MaterializeJoin {
     // contract sweep over THIS delta window (lag pre-images cross the
     // window boundary, so a mutation of a declared-immutable key is
     // caught at the first fold that could read it wrong)
-    val imm = declaredImmutable(cs)
+    val imm = declaredImmutable(cat, cs)
     imm.get(cs.fact).foreach(ks =>
       requireImmutable(cat, cs.fact, ks, lastVF, newVF))
     cs.sides.zipWithIndex.foreach { case (s, j) =>
@@ -624,21 +669,58 @@ object MaterializeJoin {
           cache(acc.join(boundedSide(cat, s.table, lastVS(j),
             acc, s.keys, s.sideKeysImmutable), s.keys, sideJt))
       }
+    // per-side legs walk OUTWARD from the delta along the join tree
+    // (parents resolved once): each crossed edge joins one more table,
+    // key-bounded by what the accumulated leg already holds — which is
+    // what keeps an INTERMEDIATE snowflake side's churn delta-sized.
+    // Telescoping versions stay indexed by declaration order: node
+    // j < i reads NEW (this refresh's mark), j > i reads OLD, the fact
+    // reads NEW in every side leg.
+    val parents = parentsOf(cat, cs)
     val sideLegs = cs.sides.indices.map { i =>
       val si = cs.sides(i)
       val dReal = cache(signedDelta(cat, si.table, lastVS(i), newVS(i)))
-      val d =
+      var acc =
         if (!cs.leftOuter) dReal
         else cache(dReal.unionByName(
           nullExtensionDelta(cat, si, dReal, lastVS(i), newVS(i))))
-      val withFact = cache(d.join(boundedSide(cat, cs.fact, newVF, d,
-        si.keys, si.factKeysImmutable), si.keys))
-      cs.sides.zipWithIndex.filterNot(_._2 == i)
-        .foldLeft(withFact) { case (acc, (s, j)) =>
-          val asOf = if (j < i) newVS(j) else lastVS(j)
-          cache(acc.join(boundedSide(cat, s.table, asOf, acc, s.keys,
-            s.sideKeysImmutable), s.keys, sideJt))
-        }
+      val visited = scala.collection.mutable.Set[Int](i)
+      val remaining = scala.collection.mutable.Set[Int](
+        (-1 +: cs.sides.indices.filterNot(_ == i)): _*)
+      while (remaining.nonEmpty) {
+        // next tree edge with one endpoint visited: DOWN to a side
+        // whose parent is in the leg, or UP to a visited side's parent
+        val (node, viaChild) =
+          cs.sides.indices
+            .find(j => remaining.contains(j) && visited.contains(parents(j)))
+            .map(j => (j, j))
+            .orElse(cs.sides.indices
+              .find(j => visited.contains(j) && remaining.contains(parents(j)))
+              .map(j => (parents(j), j)))
+            .getOrElse(throw new IllegalStateException(
+              s"disconnected join tree: visited $visited, " +
+                s"remaining $remaining"))
+        val edgeKeys = cs.sides(viaChild).keys
+        val (table, asOfV, immKeys) =
+          if (node == -1)
+            (cs.fact, newVF, cs.sides(viaChild).factKeysImmutable)
+          else if (node == viaChild)
+            (cs.sides(node).table,
+              if (node < i) newVS(node) else lastVS(node),
+              cs.sides(node).sideKeysImmutable)
+          else // UP into a snowflake parent side via the child's keys
+            (cs.sides(node).table,
+              if (node < i) newVS(node) else lastVS(node),
+              cs.sides(viaChild).factKeysImmutable)
+        // LEFT chains (star-shaped by validation) join side factors
+        // with "left"; the move UP to the fact stays INNER
+        val jt = if (cs.leftOuter && node == viaChild) "left"
+          else "inner"
+        acc = cache(acc.join(boundedSide(cat, table, asOfV, acc,
+          edgeKeys, immKeys), edgeKeys, jt))
+        visited += node; remaining -= node
+      }
+      acc
     }
     // grain columns derive per JOINED row (fact/side columns are in
     // every leg), so one withGrains over the unioned delta covers

@@ -550,12 +550,17 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         .map(_.group(1)).getOrElse(qj.dimPath)
       view.dims.find { d =>
         GraftAggViews.norm(d.dimPath) == GraftAggViews.norm(qjPath) && {
-          // each conjunct: equality between one FACT base column and
-          // one dim column of THIS join, nothing else
+          // each conjunct: equality between one dim column of THIS
+          // join and one column NOT of this join — a fact base column,
+          // or (the snowflake shape) a base column of ANOTHER joined
+          // dim (orders ⋈ customer ⋈ nation joins nation on
+          // customer.nationkey); either way the registration names the
+          // key by that carrying table's base column
           def factName(a: AttributeReference): Option[String] =
             deref(a) match {
-              case b: AttributeReference if !dimIds.contains(b.exprId) =>
-                Some(b.name)
+              case b: AttributeReference
+                  if !qj.dimBase.contains(b.exprId) =>
+                Some(dimIds.getOrElse(b.exprId, b.name))
               case _ => None
             }
           val pairs = conjuncts(qj.cond).map {

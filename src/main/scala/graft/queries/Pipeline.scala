@@ -1617,6 +1617,115 @@ object Pipeline {
         .orderBy($"seg")
     },
 
+    // LEFT-OUTER JOIN IVM under the hard oracle: γ(lineitem ⟕ orders)
+    // maintained while BOTH tables mutate. Unmatched facts count under
+    // a NULL priority group; the delta rule is the null-extension form
+    // (±1 synthetic NULL rows on match-count zero crossings). Lifecycle
+    // drives BOTH transitions: the build leaves a third of the fact
+    // DANGLING, a later order insert moves those facts out of the NULL
+    // group (dangling→matched), an order delete moves its facts back
+    // (matched→dangling), plus measure churn and a fact delete. Oracle
+    // recomputes LEFT JOIN-then-aggregate over the final tables.
+    "q_ivm_join_left" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+      val wh = ivmWarehouse(dir + "#joinleft")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      cat.createTable("jl5", StructType(Seq(
+        StructField("okey", LongType), StructField("ln", IntegerType),
+        StructField("qty", LongType))), pk = Seq("okey", "ln"))
+      cat.createTable("jo5", StructType(Seq(
+        StructField("okey", LongType),
+        StructField("priority", StringType))), pk = Seq("okey"))
+      val li = Tables.t(s, dir, "lineitem")
+        .where($"l_orderkey" % 32 < 3)
+        .groupBy($"l_orderkey".as("okey"), $"l_linenumber".as("ln"))
+        .agg(sum($"l_quantity".cast("long")).as("qty"))
+      val ord = Tables.t(s, dir, "orders")
+        .select($"o_orderkey".as("okey"),
+          $"o_orderpriority".as("priority"))
+        .where($"okey" % 32 < 3)
+      cat.upsert("jl5", li)
+      cat.upsert("jo5", ord.where($"okey" % 32 < 2)) // %32=2 dangles
+      val mv = wh + "/mvjl"
+      graft.operators.MaterializeJoin.build(cat,
+        graft.operators.MaterializeJoin.JoinSpec("jl5", "jo5",
+          Seq("okey"), leftOuter = true),
+        Seq("priority"), Seq("qty"), mv)
+      // dangling → matched: the missing orders arrive
+      cat.upsert("jo5", ord.where($"okey" % 32 === 2))
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      // matched → dangling: a slice of orders dies; churn + delete
+      cat.delete("jo5", $"okey" % 20 === 5)
+      cat.upsert("jl5", li.where($"okey" % 100 === 1)
+        .withColumn("qty", $"qty" + 7L))
+      cat.delete("jl5", $"okey" % 10 === 3)
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      graft.operators.MaterializeJoin.read(s, mv)
+        .select($"priority", $"cnt", $"sum_qty",
+          $"min_qty", $"max_qty")
+        .orderBy($"priority")
+    },
+
+    // SNOWFLAKE-CHAIN IVM under the hard oracle: γ(orders ⋈ customer
+    // ⋈ nation) with nation keyed on CUSTOMER's nationkey — the
+    // side-on-side tree shape a fingerprint-frozen StarDerive refuses
+    // to maintain. The INTERMEDIATE side churns (customers move
+    // nations), the leaf churns (nation renames), and the fact churns
+    // (insert + delete) — every leg walks outward from its delta along
+    // the join tree, key-bounded. Oracle recomputes the 3-way join
+    // over the final logical tables.
+    "q_ivm_snowflake" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val wh = ivmWarehouse(dir + "#snowflake")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      cat.createTable("co6", StructType(Seq(
+        StructField("okey", LongType), StructField("ckey", LongType),
+        StructField("m", LongType))), pk = Seq("okey"))
+      cat.createTable("cc6", StructType(Seq(
+        StructField("ckey", LongType), StructField("nkey", LongType),
+        StructField("seg", StringType))), pk = Seq("ckey"))
+      cat.createTable("nn6", StructType(Seq(
+        StructField("nkey", LongType),
+        StructField("nname", StringType))), pk = Seq("nkey"))
+      val ord = Tables.t(s, dir, "orders")
+        .where($"o_orderkey" % 16 === 3)
+        .select($"o_orderkey".as("okey"), $"o_custkey".as("ckey"),
+          ($"o_orderkey" % 97).cast("long").as("m"))
+      val cust = Tables.t(s, dir, "customer")
+        .select($"c_custkey".as("ckey"),
+          $"c_nationkey".cast("long").as("nkey"),
+          $"c_mktsegment".as("seg"))
+      cat.upsert("co6", ord.where($"okey" % 32 === 3)) // half first
+      cat.upsert("cc6", cust)
+      cat.upsert("nn6", Tables.t(s, dir, "nation")
+        .select($"n_nationkey".cast("long").as("nkey"),
+          $"n_name".as("nname")))
+      val mv = wh + "/mvsnow"
+      graft.operators.MaterializeJoin.build(cat,
+        graft.operators.MaterializeJoin.ChainSpec("co6", Seq(
+          graft.operators.MaterializeJoin.SideSpec("cc6", Seq("ckey")),
+          graft.operators.MaterializeJoin.SideSpec("nn6", Seq("nkey")))),
+        Seq("nname"), Seq("m"), mv)
+      // the other fact half + INTERMEDIATE churn: customers change
+      // nation — revenue regroups across nname with no nn6/co6 write
+      cat.upsert("co6", ord.where($"okey" % 32 === 19))
+      cat.upsert("cc6", cust.where($"ckey" % 30 === 2)
+        .withColumn("nkey", ($"nkey" + 1L) % 25L))
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      // leaf rename + fact delete
+      cat.upsert("nn6", Tables.t(s, dir, "nation")
+        .where($"n_nationkey" % 5 === 0)
+        .select($"n_nationkey".cast("long").as("nkey"),
+          concat($"n_name", lit("_X")).as("nname")))
+      cat.delete("co6", $"okey" % 10 === 4)
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      graft.operators.MaterializeJoin.read(s, mv)
+        .select($"nname", $"cnt", $"sum_m", $"min_m", $"max_m")
+        .orderBy($"nname")
+    },
+
     // Sketch-serving MV rewrite under the hard oracle: the query runs
     // a kmv_sketch aggregate over the FACT table; AggRewriteRule must
     // swap it onto the 5-row state's kmv_user_id column (plan-pinned).
@@ -3329,6 +3438,47 @@ object Pipeline {
         CAST(sum(qty) AS BIGINT) AS sum_qty,
         min(qty) AS min_qty, max(qty) AS max_qty
       FROM l JOIN o USING (okey)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_ivm_join_left" -> """
+      WITH base AS (
+        SELECT l_orderkey AS okey, l_linenumber AS ln,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty0
+        FROM lineitem WHERE l_orderkey % 32 < 3
+        GROUP BY 1, 2),
+      l AS (
+        SELECT okey,
+          CASE WHEN okey % 100 = 1 THEN qty0 + 7 ELSE qty0 END AS qty
+        FROM base WHERE okey % 10 <> 3),
+      o AS (
+        SELECT o_orderkey AS okey, o_orderpriority AS priority
+        FROM orders
+        WHERE o_orderkey % 32 < 3 AND o_orderkey % 20 <> 5)
+      SELECT priority, count(*) AS cnt,
+        CAST(sum(qty) AS BIGINT) AS sum_qty,
+        min(qty) AS min_qty, max(qty) AS max_qty
+      FROM l LEFT JOIN o USING (okey)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_ivm_snowflake" -> """
+      WITH f AS (
+        SELECT o_orderkey AS okey, o_custkey AS ckey,
+          o_orderkey % 97 AS m
+        FROM orders
+        WHERE o_orderkey % 16 = 3 AND o_orderkey % 10 <> 4),
+      c AS (
+        SELECT c_custkey AS ckey,
+          CASE WHEN c_custkey % 30 = 2 THEN (c_nationkey + 1) % 25
+               ELSE c_nationkey END AS nkey
+        FROM customer),
+      n AS (
+        SELECT n_nationkey AS nkey,
+          CASE WHEN n_nationkey % 5 = 0 THEN n_name || '_X'
+               ELSE n_name END AS nname
+        FROM nation)
+      SELECT nname, count(*) AS cnt, CAST(sum(m) AS BIGINT) AS sum_m,
+        min(m) AS min_m, max(m) AS max_m
+      FROM f JOIN c USING (ckey) JOIN n USING (nkey)
       GROUP BY 1 ORDER BY 1""",
 
     "q_mv_rewrite_sketch" -> """

@@ -753,6 +753,114 @@ class MaterializeJoinSpec extends AnyFunSuite {
     assert(actual(path) == exp, "after pd repopulated")
   }
 
+  // ---- snowflake chains: a side keyed on ANOTHER side ----
+
+  private def mkSnowflake(cat: GraftCatalog): Unit = {
+    import spark.implicits._
+    cat.createTable("so", ordersSchema, pk = Seq("ok"))
+    cat.createTable("sc", StructType(Seq(
+      StructField("ck", LongType), StructField("nk", LongType),
+      StructField("seg", StringType))), pk = Seq("ck"))
+    cat.createTable("sn", StructType(Seq(
+      StructField("nk", LongType), StructField("nname", StringType))),
+      pk = Seq("nk"))
+    cat.upsert("so", Seq((1L, 10L, 100L), (2L, 10L, 200L),
+      (3L, 20L, 300L), (4L, 30L, 400L)).toDF("ok", "ck", "price"))
+    cat.upsert("sc", Seq((10L, 1L, "a"), (20L, 2L, "b"), (30L, 1L, "a"))
+      .toDF("ck", "nk", "seg"))
+    cat.upsert("sn", Seq((1L, "de"), (2L, "fr")).toDF("nk", "nname"))
+  }
+
+  private val snowCs = MaterializeJoin.ChainSpec("so", Seq(
+    MaterializeJoin.SideSpec("sc", Seq("ck")),
+    MaterializeJoin.SideSpec("sn", Seq("nk")))) // nk lives on sc
+
+  private def expectedSnow(cat: GraftCatalog): Set[Seq[Any]] =
+    Materialize.aggregate(
+      cat.snapshot("so").join(cat.snapshot("sc"), Seq("ck"))
+        .join(cat.snapshot("sn"), Seq("nk")),
+      Seq("nname"), Seq("price")).collect().map(canon).toSet
+
+  test("snowflake chain: build + refresh with the INTERMEDIATE side " +
+      "churning — the case the fingerprint-frozen star derives refuse") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkSnowflake(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, snowCs, Seq("nname"), Seq("price"), path)
+    assert(actual(path) == expectedSnow(cat), "build")
+    // churn the INTERMEDIATE dim: ck=10 moves nation 1 -> 2, so 300 of
+    // revenue regroups from 'de' to 'fr' without any orders/sn write
+    cat.upsert("sc", Seq((10L, 2L, "a2")).toDF("ck", "nk", "seg"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expectedSnow(cat), "intermediate churn")
+    // churn the LEAF and the FACT in one window
+    cat.upsert("sn", Seq((2L, "fr2"), (3L, "it")).toDF("nk", "nname"))
+    cat.upsert("so", Seq((5L, 20L, 500L)).toDF("ok", "ck", "price"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expectedSnow(cat), "leaf+fact churn")
+    // delete the intermediate row entirely: its orders drop from the
+    // inner chain
+    cat.delete("sc", col("ck") === 20L)
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expectedSnow(cat), "intermediate delete")
+  }
+
+  test("snowflake differential fuzz: random churn on all three " +
+      "levels — state == full recompute after every refresh (seeded)") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkSnowflake(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, snowCs, Seq("nname"), Seq("price"), path)
+    val rnd = new scala.util.Random(20260818L)
+    for (step <- 1 to 8) {
+      for (_ <- 0 until 1 + rnd.nextInt(3)) rnd.nextInt(6) match {
+        case 0 => cat.upsert("so", Seq((rnd.nextInt(12).toLong,
+          (rnd.nextInt(5) * 10 + 10).toLong,
+          rnd.nextInt(1000).toLong)).toDF("ok", "ck", "price"))
+        case 1 => cat.upsert("sc", Seq((
+          (rnd.nextInt(5) * 10 + 10).toLong,
+          (rnd.nextInt(4) + 1).toLong,
+          s"s${rnd.nextInt(3)}")).toDF("ck", "nk", "seg"))
+        case 2 => cat.upsert("sn", Seq((
+          (rnd.nextInt(4) + 1).toLong,
+          s"n${rnd.nextInt(3)}")).toDF("nk", "nname"))
+        case 3 => cat.delete("so", col("ok") === rnd.nextInt(12).toLong)
+        case 4 => cat.delete("sc",
+          col("ck") === (rnd.nextInt(5) * 10 + 10).toLong)
+        case 5 => cat.delete("sn",
+          col("nk") === (rnd.nextInt(4) + 1).toLong)
+      }
+      MaterializeJoin.refresh(cat, path)
+      assert(actual(path) == expectedSnow(cat), s"diverged at step $step")
+    }
+  }
+
+  test("snowflake refusals: keys spanning tables, and leftOuter over " +
+      "a side-on-side key") {
+    val cat = freshCatalog(); mkSnowflake(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    // a side whose keys span fact + another side is not a tree edge
+    // (ok, nk) spans the fact (ok) and sc (nk) — no single parent
+    cat.createTable("sx", StructType(Seq(
+      StructField("ok", LongType), StructField("nk", LongType),
+      StructField("z", LongType))), pk = Seq("z"))
+    val spanning = MaterializeJoin.ChainSpec("so", Seq(
+      MaterializeJoin.SideSpec("sc", Seq("ck")),
+      MaterializeJoin.SideSpec("sx", Seq("ok", "nk"))))
+    val e1 = intercept[IllegalArgumentException] {
+      MaterializeJoin.build(cat, spanning, Seq("seg"), Seq("price"), path)
+    }
+    assert(e1.getMessage.contains("tree"))
+    val e2 = intercept[IllegalArgumentException] {
+      MaterializeJoin.build(cat, snowCs.copy(leftOuter = true),
+        Seq("nname"), Seq("price"), path)
+    }
+    assert(e2.getMessage.contains("keyed on the FACT"))
+  }
+
   test("consistent fold window: an out-of-band writer racing refresh " +
       "never double-counts — every write folds exactly once") {
     import spark.implicits._

@@ -1410,6 +1410,49 @@ class PhoenixSqlSpec extends AnyFunSuite {
     assert(run(expectServed = true) == Seq(("a", 110L), ("b", 205L)))
   }
 
+  test("LEFT-join MV serving matrix: a LEFT OUTER front-end query " +
+      "serves from the leftState; INNER and bare-fact refuse") {
+    import graft.operators.MaterializeJoin
+    val px = fresh()
+    val cat = px.catalog
+    px.execute("CREATE TABLE LF (OK BIGINT NOT NULL, CK BIGINT, " +
+      "PRICE BIGINT CONSTRAINT PK PRIMARY KEY (OK))")
+    px.execute("CREATE TABLE LD (CK BIGINT NOT NULL, SEG VARCHAR " +
+      "CONSTRAINT PK PRIMARY KEY (CK))")
+    px.execute("UPSERT INTO LF VALUES (1, 10, 100)")
+    px.execute("UPSERT INTO LF VALUES (2, 99, 50)") // dangling
+    px.execute("UPSERT INTO LD VALUES (10, 'a')")
+    cat.refreshSnapshotCache("lf"); cat.refreshSnapshotCache("ld")
+    val mv = java.nio.file.Files
+      .createTempDirectory("graft_mvsql_left").toString
+    MaterializeJoin.build(cat,
+      MaterializeJoin.JoinSpec("lf", "ld", Seq("ck"),
+        leftOuter = true),
+      Seq("seg"), Seq("price"), mv)
+    MaterializeJoin.registerForRewrite(cat, mv)
+    def run(sql: String, expectServed: Boolean) = {
+      val q = px.execute(sql)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(mv) == expectServed,
+        s"expected served=$expectServed:\n$plan")
+      q.collect().map(r => (Option(r.getString(0)).orNull,
+        r.getLong(1))).toSeq
+    }
+    // LEFT query: serves, NULL group included
+    assert(run("SELECT SEG, SUM(PRICE) AS rev FROM LF LEFT JOIN LD " +
+      "ON LF.CK = LD.CK GROUP BY SEG ORDER BY SEG",
+      expectServed = true).toSet == Set((null, 50L), ("a", 100L)))
+    // INNER query: refuses (it would drop the NULL group the state
+    // counted), falls back to a correct direct plan
+    assert(run("SELECT SEG, SUM(PRICE) AS rev FROM LF JOIN LD " +
+      "ON LF.CK = LD.CK GROUP BY SEG ORDER BY SEG",
+      expectServed = false) == Seq(("a", 100L)))
+    // bare-fact aggregate: refuses (the side may carry duplicate keys)
+    val q3 = px.execute("SELECT SUM(PRICE) AS rev FROM LF")
+    assert(!q3.queryExecution.executedPlan.toString.contains(mv))
+    assert(q3.collect().head.getLong(0) == 150L)
+  }
+
   test("freshness gate, join MV: out-of-band churn on EITHER chain " +
       "table refuses the serve until refresh") {
     import graft.operators.MaterializeJoin
