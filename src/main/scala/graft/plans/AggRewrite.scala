@@ -236,6 +236,15 @@ object GraftAggViews {
             v.grainExprs == view.grainExprs &&
             v.measures.toSet == view.measures.toSet)) :+ view)
   def drop(basePath: String): Unit = registry.remove(norm(basePath))
+  /** Remove ONE view (by its state path) from a base's candidate list
+    * — DROP MATERIALIZED VIEW must not take sibling MVs of the same
+    * table down with it. */
+  def dropView(basePath: String, statePath: String): Unit =
+    registry.computeIfPresent(norm(basePath), (_, cur) =>
+      cur.filterNot(v => norm(v.statePath) == norm(statePath)) match {
+        case s if s.isEmpty => null
+        case s => s
+      })
   /** Candidate views, COARSEST first (fewest group columns = smallest
     * state = cheapest scan) — the rewrite takes the first that answers,
     * so ties in answerability resolve to the cheapest candidate. */

@@ -1726,6 +1726,56 @@ object Pipeline {
         .orderBy($"nname")
     },
 
+    // MATERIALIZED-VIEW DDL under the hard oracle: the entire MV
+    // lifecycle — CREATE MATERIALIZED VIEW over a join, churn on both
+    // tables, REFRESH MATERIALIZED VIEW, serve — driven through SQL
+    // TEXT only (the reference has no MV surface at all; this is the
+    // engine-surface spelling of the MaterializeJoin layer). In-query
+    // pin: the final front-end SELECT must scan the MV state, not the
+    // snapshot cache or the change logs.
+    "q_mv_ddl_sql" -> { (s, dir) =>
+      import s.implicits._
+      val wh = ivmWarehouse(dir + "#mvddl")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      val px = new graft.sources.PhoenixSql(s, cat)
+      px.execute("CREATE TABLE jl7 (okey BIGINT NOT NULL, " +
+        "ln INTEGER NOT NULL, qty BIGINT " +
+        "CONSTRAINT pk PRIMARY KEY (okey, ln))")
+      px.execute("CREATE TABLE jo7 (okey BIGINT NOT NULL, " +
+        "priority VARCHAR CONSTRAINT pk PRIMARY KEY (okey))")
+      val li = Tables.t(s, dir, "lineitem")
+        .where($"l_orderkey" % 16 === 9)
+        .groupBy($"l_orderkey".as("okey"), $"l_linenumber".as("ln"))
+        .agg(sum($"l_quantity".cast("long")).as("qty"))
+      val ord = Tables.t(s, dir, "orders")
+        .where($"o_orderkey" % 16 === 9)
+        .select($"o_orderkey".as("okey"),
+          $"o_orderpriority".as("priority"))
+      cat.upsert("jl7", li)
+      cat.upsert("jo7", ord.where($"okey" % 32 === 9))
+      px.execute("CREATE MATERIALIZED VIEW mv7 AS SELECT priority, " +
+        "COUNT(*), SUM(qty), MIN(qty), MAX(qty) " +
+        "FROM jl7 JOIN jo7 ON jl7.okey = jo7.okey GROUP BY priority")
+      // churn BOTH tables out-of-band, then refresh through SQL
+      cat.upsert("jo7", ord.where($"okey" % 32 === 25))
+      cat.upsert("jl7", li.where($"okey" % 100 === 9)
+        .withColumn("qty", $"qty" + 3L))
+      cat.delete("jl7", $"okey" % 10 === 5)
+      px.execute("REFRESH MATERIALIZED VIEW mv7")
+      val q = px.execute("SELECT priority, COUNT(*) AS cnt, " +
+        "SUM(qty) AS sum_qty, MIN(qty) AS min_qty, " +
+        "MAX(qty) AS max_qty " +
+        "FROM jl7 JOIN jo7 ON jl7.okey = jo7.okey " +
+        "GROUP BY priority ORDER BY priority")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(cat.mvPath("mv7")) ||
+          plan.contains("_snapcache") ||
+          plan.contains(s"$wh/jl7/data") || plan.contains(s"$wh/jo7/data"))
+        throw new IllegalStateException(
+          s"DDL-created MV did not serve from its state:\n$plan")
+      q
+    },
+
     // Sketch-serving MV rewrite under the hard oracle: the query runs
     // a kmv_sketch aggregate over the FACT table; AggRewriteRule must
     // swap it onto the 5-row state's kmv_user_id column (plan-pinned).
@@ -3458,6 +3508,27 @@ object Pipeline {
         CAST(sum(qty) AS BIGINT) AS sum_qty,
         min(qty) AS min_qty, max(qty) AS max_qty
       FROM l LEFT JOIN o USING (okey)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_mv_ddl_sql" -> """
+      WITH base AS (
+        SELECT l_orderkey AS okey, l_linenumber AS ln,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty0
+        FROM lineitem WHERE l_orderkey % 16 = 9
+        GROUP BY 1, 2),
+      l AS (
+        SELECT okey,
+          CASE WHEN okey % 100 = 9 THEN qty0 + 3 ELSE qty0 END AS qty
+        FROM base WHERE okey % 10 <> 5),
+      o AS (
+        SELECT o_orderkey AS okey, o_orderpriority AS priority
+        FROM orders
+        WHERE o_orderkey % 16 = 9
+          AND (o_orderkey % 32 = 9 OR o_orderkey % 32 = 25))
+      SELECT priority, count(*) AS cnt,
+        CAST(sum(qty) AS BIGINT) AS sum_qty,
+        min(qty) AS min_qty, max(qty) AS max_qty
+      FROM l JOIN o USING (okey)
       GROUP BY 1 ORDER BY 1""",
 
     "q_ivm_snowflake" -> """

@@ -500,6 +500,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * to this root). */
   private[graft] def tablePath(name: String): String = dir(name)
 
+  /** State root for a SQL-DDL materialized view
+    * ([[PhoenixSql]] CREATE MATERIALIZED VIEW): outside every table's
+    * directory, keyed by the MV's own name. */
+  private[graft] def mvPath(name: String): String =
+    s"$warehouse/_mv/$name"
+
   /** Reverse of [[tablePath]]: the catalog table whose root directory
     * is `p` (path-normalized), if any — lets a registration over a
     * parquet path discover it is catalog-backed and pin versions. */

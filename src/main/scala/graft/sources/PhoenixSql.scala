@@ -50,6 +50,12 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val s = sql.trim.stripSuffix(";").trim
     val up = s.toUpperCase
     if (up.startsWith("CREATE TABLE")) createTable(s)
+    else if (up.startsWith("CREATE MATERIALIZED VIEW"))
+      createMaterializedView(s)
+    else if (up.startsWith("REFRESH MATERIALIZED VIEW"))
+      refreshMaterializedView(s)
+    else if (up.startsWith("DROP MATERIALIZED VIEW"))
+      dropMaterializedView(s)
     else if (up.startsWith("CREATE VIEW")) createView(s)
     else if (up.startsWith("CREATE SEQUENCE")) createSequence(s)
     else if (up.startsWith("DROP SEQUENCE")) dropSequence(s)
@@ -877,6 +883,183 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     * (so the row is visible through the view). */
   private val viewDefaults =
     scala.collection.mutable.Map[String, Map[String, String]]()
+
+  // ---- materialized views (engine surface with no reference analog:
+  // Phoenix recomputes joins per query — cc/compile/JoinCompiler.java
+  // — and has no MV system; here CREATE MATERIALIZED VIEW compiles the
+  // aggregate shape onto the incremental-maintenance layer
+  // (Materialize / MaterializeJoin), REFRESH folds the tables' change
+  // logs into the state, and the registration lets AggRewriteRule
+  // serve matching SELECTs from KBs of state instead of fact scans) --
+
+  private case class MvDef(path: String, tables: Seq[String],
+      singleTable: Option[String])
+  private val mvDefs = scala.collection.mutable.Map[String, MvDef]()
+
+  private def stripQual(c: String): String = {
+    val bare = c.trim.replaceAll("\"", "")
+    bare.substring(bare.lastIndexOf('.') + 1).toLowerCase
+  }
+
+  /** `CREATE MATERIALIZED VIEW [IF NOT EXISTS] name AS SELECT <groups
+    * and aggregates> FROM fact [[LEFT] JOIN side ON fact.k = side.k |
+    * USING (k)]* GROUP BY ...` — groups are plain columns or
+    * `DATE_TRUNC('unit', col) AS alias` grains; aggregates are plain
+    * COUNT(*) / COUNT / SUM / MIN / MAX / AVG over a column. Joins
+    * must be same-named-key equi-joins (the MaterializeJoin model);
+    * all-INNER or all-LEFT. State lands under the catalog warehouse's
+    * `_mv/<name>` and the MV is immediately registered for rewrite
+    * (with the freshness probe), so the SAME SELECT through this
+    * front-end serves from the state. */
+  private def createMaterializedView(s: String): DataFrame = {
+    val m = ("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.\"]+)\\s+AS\\s+(SELECT\\b.*)$").r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val name = resolveTable(m.group(2))
+    if (mvDefs.contains(name)) {
+      if (m.group(1) != null) return spark.emptyDataFrame
+      throw new IllegalArgumentException(
+        s"materialized view $name already exists")
+    }
+    val sel = ("(?is)^SELECT\\s+(.*?)\\s+FROM\\s+([\\w.\"]+)" +
+      "(.*?)\\s+GROUP\\s+BY\\s+(.*)$").r
+      .findFirstMatchIn(m.group(3))
+      .getOrElse(throw new IllegalArgumentException(
+        "CREATE MATERIALIZED VIEW requires the aggregate shape " +
+          "SELECT ... FROM t [JOIN ...] GROUP BY ..."))
+    val fact = resolveTable(sel.group(2))
+    require(catalog.hasTable(fact), s"unknown table $fact")
+    // joins: [LEFT [OUTER]] JOIN side (ON a.k = b.k [AND ...] | USING (k,..))
+    case class JoinPart(table: String, keys: Seq[String], left: Boolean)
+    val joinRe = ("(?is)(LEFT\\s+(?:OUTER\\s+)?)?JOIN\\s+([\\w.\"]+)\\s+" +
+      "(?:USING\\s*\\(([^)]*)\\)|ON\\s+(.+?))\\s*" +
+      "(?=(?:LEFT\\s+(?:OUTER\\s+)?)?JOIN\\b|$)").r
+    val joinText = sel.group(3).trim
+    val joins = joinRe.findAllMatchIn(joinText).map { jm =>
+      val table = resolveTable(jm.group(2))
+      require(catalog.hasTable(table), s"unknown table $table")
+      val keys =
+        if (jm.group(3) != null)
+          splitTopLevel(jm.group(3), ',').map(stripQual)
+        else jm.group(4).split("(?i)\\s+AND\\s+").toSeq.map { c =>
+          val eq = "^\\s*([\\w.\"]+)\\s*=\\s*([\\w.\"]+)\\s*$".r
+            .findFirstMatchIn(c).getOrElse(
+              throw new IllegalArgumentException(
+                s"unsupported join condition '$c': only equi-joins " +
+                  "on same-named columns maintain incrementally"))
+          val (a, b) = (stripQual(eq.group(1)), stripQual(eq.group(2)))
+          require(a == b, s"join keys must be same-named columns " +
+            s"(got '$a' = '$b'); rename at the catalog schema")
+          a
+        }
+      JoinPart(table, keys, jm.group(1) != null)
+    }.toSeq
+    require(
+      (if (joins.isEmpty) joinText
+       else joinText
+         .replaceAll("(?is)(LEFT\\s+(?:OUTER\\s+)?)?JOIN\\b.*$", "")
+         .trim).isEmpty,
+      s"cannot parse FROM clause tail: '$joinText' (no WHERE/alias " +
+        "support in CREATE MATERIALIZED VIEW)")
+    // select list: plain group columns, DATE_TRUNC grains, aggregates
+    val aggRe = ("(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*" +
+      "(\\*|[\\w.\"]+)\\s*\\)(?:\\s+AS\\s+([\\w\"]+))?$").r
+    val grainRe = ("(?is)^DATE_TRUNC\\s*\\(\\s*'(\\w+)'\\s*,\\s*" +
+      "([\\w.\"]+)\\s*\\)\\s+AS\\s+([\\w\"]+)$").r
+    val plainRe = "(?is)^([\\w.\"]+)(?:\\s+AS\\s+([\\w\"]+))?$".r
+    val groupCols = scala.collection.mutable.ArrayBuffer[String]()
+    val grains = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val measures = scala.collection.mutable.ArrayBuffer[String]()
+    splitTopLevel(sel.group(1), ',').map(_.trim).foreach {
+      case aggRe(_, arg, _) =>
+        if (arg != "*") measures += stripQual(arg)
+      case grainRe(unit, colName, alias) =>
+        val g = stripQual(alias)
+        grains += g -> s"date_trunc('$unit', ${stripQual(colName)})"
+        groupCols += g
+      case plainRe(colName, _) => groupCols += stripQual(colName)
+      case other => throw new IllegalArgumentException(
+        s"unsupported select item '$other': a materialized view " +
+          "takes plain group columns, DATE_TRUNC grains, and plain " +
+          "COUNT/SUM/MIN/MAX/AVG aggregates (no DISTINCT/FILTER)")
+    }
+    require(groupCols.nonEmpty, "a materialized view needs at least " +
+      "one group column (ungrouped rollups: keep the fact's aggregate)")
+    val path = catalog.mvPath(name)
+    if (joins.isEmpty) {
+      graft.operators.Materialize.build(catalog, fact,
+        groupCols.toSeq, measures.distinct.toSeq, path,
+        grainExprs = grains.toSeq)
+      graft.operators.Materialize.registerForRewrite(catalog, fact, path)
+    } else {
+      val leftCount = joins.count(_.left)
+      require(leftCount == 0 || leftCount == joins.size,
+        "mixed INNER/LEFT joins are not supported in one materialized " +
+          "view (the maintained state is all-inner or all-left)")
+      graft.operators.MaterializeJoin.build(catalog,
+        graft.operators.MaterializeJoin.ChainSpec(fact,
+          joins.map(j => graft.operators.MaterializeJoin.SideSpec(
+            j.table, j.keys)),
+          leftOuter = leftCount > 0),
+        groupCols.toSeq, measures.distinct.toSeq, path,
+        grainExprs = grains.toSeq)
+      graft.operators.MaterializeJoin.registerForRewrite(catalog, path)
+    }
+    mvDefs(name) = MvDef(path, fact +: joins.map(_.table),
+      if (joins.isEmpty) Some(fact) else None)
+    // serving needs pure cache scans of every involved table — bring
+    // the caches current so the NEXT select serves (ROW_TIMESTAMP
+    // tables refuse the cache; their MVs maintain but don't serve)
+    mvDefs(name).tables.foreach(t =>
+      scala.util.Try(catalog.refreshSnapshotCache(t)))
+    dirty ++= mvDefs(name).tables.filter(tableNames.contains)
+    spark.emptyDataFrame
+  }
+
+  /** `REFRESH MATERIALIZED VIEW name`: fold every involved table's
+    * writes since the last refresh into the state (delta-sized), then
+    * re-cache the tables so the front-end serves the new numbers. */
+  private def refreshMaterializedView(s: String): DataFrame = {
+    val name = resolveTable(
+      "(?is)^REFRESH\\s+MATERIALIZED\\s+VIEW\\s+([\\w.\"]+)$".r
+        .findFirstMatchIn(s)
+        .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+        .group(1))
+    val d = mvDefs.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown materialized view $name"))
+    d.singleTable match {
+      case Some(t) => graft.operators.Materialize.refresh(catalog, t, d.path)
+      case None => graft.operators.MaterializeJoin.refresh(catalog, d.path)
+    }
+    d.tables.foreach(t =>
+      scala.util.Try(catalog.refreshSnapshotCache(t)))
+    dirty ++= d.tables.filter(tableNames.contains)
+    spark.emptyDataFrame
+  }
+
+  /** `DROP MATERIALIZED VIEW [IF EXISTS] name`: deregister (siblings
+    * of the same base table stay registered) and delete the state. */
+  private def dropMaterializedView(s: String): DataFrame = {
+    val m = ("(?is)^DROP\\s+MATERIALIZED\\s+VIEW\\s+" +
+      "(IF\\s+EXISTS\\s+)?([\\w.\"]+)$").r.findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val name = resolveTable(m.group(2))
+    mvDefs.remove(name) match {
+      case None =>
+        if (m.group(1) != null) spark.emptyDataFrame
+        else throw new IllegalArgumentException(
+          s"unknown materialized view $name")
+      case Some(d) =>
+        graft.plans.GraftAggViews.dropView(
+          catalog.tablePath(d.tables.head), d.path)
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+        }
+        rm(new java.io.File(d.path))
+        spark.emptyDataFrame
+    }
+  }
 
   private def createView(s: String): DataFrame = {
     // the added-column list may contain PARENTHESIZED types

@@ -1410,6 +1410,107 @@ class PhoenixSqlSpec extends AnyFunSuite {
     assert(run(expectServed = true) == Seq(("a", 110L), ("b", 205L)))
   }
 
+  test("CREATE/REFRESH/DROP MATERIALIZED VIEW: the full lifecycle " +
+      "through SQL text only — create, serve, churn, refresh, drop") {
+    val px = fresh()
+    px.execute("CREATE TABLE MT (K BIGINT NOT NULL, SRC VARCHAR, " +
+      "X BIGINT CONSTRAINT PK PRIMARY KEY (K))")
+    px.execute("UPSERT INTO MT VALUES (1, 'a', 10)")
+    px.execute("UPSERT INTO MT VALUES (2, 'a', 20)")
+    px.execute("UPSERT INTO MT VALUES (3, 'b', 5)")
+    px.execute("CREATE MATERIALIZED VIEW MV1 AS SELECT SRC, " +
+      "COUNT(*), SUM(X), MIN(X), MAX(X) FROM MT GROUP BY SRC")
+    val mvPath = px.catalog.mvPath("mv1")
+    def run(expectServed: Boolean) = {
+      val q = px.execute("SELECT SRC, SUM(X) AS sum_x, COUNT(*) AS n " +
+        "FROM MT GROUP BY SRC ORDER BY SRC")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(mvPath) == expectServed,
+        s"expected served=$expectServed:\n$plan")
+      q.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    }
+    assert(run(expectServed = true) == Seq(("a", 30L, 2L), ("b", 5L, 1L)))
+    // churn WITHOUT refresh: the freshness probe refuses, fresh answer
+    px.execute("UPSERT INTO MT VALUES (4, 'b', 100)")
+    assert(run(expectServed = false) ==
+      Seq(("a", 30L, 2L), ("b", 105L, 2L)))
+    // REFRESH folds the delta and re-arms serving
+    px.execute("REFRESH MATERIALIZED VIEW MV1")
+    assert(run(expectServed = true) ==
+      Seq(("a", 30L, 2L), ("b", 105L, 2L)))
+    // duplicate create refuses; IF NOT EXISTS is silent
+    intercept[IllegalArgumentException] {
+      px.execute("CREATE MATERIALIZED VIEW MV1 AS SELECT SRC, " +
+        "COUNT(*) FROM MT GROUP BY SRC")
+    }
+    px.execute("CREATE MATERIALIZED VIEW IF NOT EXISTS MV1 AS " +
+      "SELECT SRC, COUNT(*) FROM MT GROUP BY SRC")
+    // DROP deregisters and deletes state; queries fall back, correct
+    px.execute("DROP MATERIALIZED VIEW MV1")
+    assert(run(expectServed = false) ==
+      Seq(("a", 30L, 2L), ("b", 105L, 2L)))
+    assert(!new java.io.File(mvPath).exists)
+    px.execute("DROP MATERIALIZED VIEW IF EXISTS MV1")
+    intercept[IllegalArgumentException] {
+      px.execute("DROP MATERIALIZED VIEW MV1")
+    }
+  }
+
+  test("CREATE MATERIALIZED VIEW over a JOIN + DATE_TRUNC grain: " +
+      "chain state maintains and serves through SQL only") {
+    val px = fresh()
+    px.execute("CREATE TABLE MF (OK BIGINT NOT NULL, CK BIGINT, " +
+      "PRICE BIGINT CONSTRAINT PK PRIMARY KEY (OK))")
+    px.execute("CREATE TABLE MD (CK BIGINT NOT NULL, SEG VARCHAR " +
+      "CONSTRAINT PK PRIMARY KEY (CK))")
+    px.execute("UPSERT INTO MF VALUES (1, 10, 100)")
+    px.execute("UPSERT INTO MF VALUES (2, 20, 50)")
+    px.execute("UPSERT INTO MD VALUES (10, 'a')")
+    px.execute("UPSERT INTO MD VALUES (20, 'b')")
+    px.execute("CREATE MATERIALIZED VIEW MVJ AS SELECT SEG, " +
+      "COUNT(*), SUM(PRICE) FROM MF JOIN MD ON MF.CK = MD.CK " +
+      "GROUP BY SEG")
+    val mvPath = px.catalog.mvPath("mvj")
+    def run(expectServed: Boolean) = {
+      val q = px.execute("SELECT SEG, SUM(PRICE) AS rev FROM MF " +
+        "JOIN MD ON MF.CK = MD.CK GROUP BY SEG ORDER BY SEG")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(mvPath) == expectServed,
+        s"expected served=$expectServed:\n$plan")
+      q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    assert(run(expectServed = true) == Seq(("a", 100L), ("b", 50L)))
+    // churn the DIM through SQL, refresh through SQL, serve again
+    px.execute("UPSERT INTO MD VALUES (20, 'a')")
+    assert(run(expectServed = false) == Seq(("a", 150L)))
+    px.execute("REFRESH MATERIALIZED VIEW MVJ")
+    assert(run(expectServed = true) == Seq(("a", 150L)))
+    // DATE_TRUNC grain through the DDL: a day-grain single-table MV
+    // parses, builds with the grain expression, and serves the same
+    // date_trunc grouping
+    px.execute("CREATE TABLE ME (K BIGINT NOT NULL, TS TIMESTAMP, " +
+      "X BIGINT CONSTRAINT PK PRIMARY KEY (K))")
+    px.execute("UPSERT INTO ME VALUES (1, " +
+      "TO_TIMESTAMP('2026-01-03 10:00:00'), 7)")
+    px.execute("UPSERT INTO ME VALUES (2, " +
+      "TO_TIMESTAMP('2026-01-03 23:00:00'), 5)")
+    px.execute("UPSERT INTO ME VALUES (3, " +
+      "TO_TIMESTAMP('2026-02-04 00:30:00'), 11)")
+    px.execute("CREATE MATERIALIZED VIEW MVG AS SELECT " +
+      "DATE_TRUNC('day', TS) AS D, COUNT(*), SUM(X) FROM ME " +
+      "GROUP BY D")
+    val qg = px.execute("SELECT DATE_TRUNC('day', TS) AS D, " +
+      "SUM(X) AS sum_x FROM ME GROUP BY DATE_TRUNC('day', TS) " +
+      "ORDER BY D")
+    val pg = qg.queryExecution.executedPlan.toString
+    assert(pg.contains(px.catalog.mvPath("mvg")),
+      s"grain MV did not serve:\n$pg")
+    assert(qg.collect().map(r => (r.getTimestamp(0).toString,
+      r.getLong(1))).toSeq ==
+      Seq(("2026-01-03 00:00:00.0", 12L), ("2026-02-04 00:00:00.0", 11L)))
+  }
+
   test("LEFT-join MV serving matrix: a LEFT OUTER front-end query " +
       "serves from the leftState; INNER and bare-fact refuse") {
     import graft.operators.MaterializeJoin
