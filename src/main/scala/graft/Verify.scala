@@ -21,7 +21,12 @@ object Verify {
     * JVM caveat: the hash pins THIS container's JDK rasterizer/codec
     * output; a JDK major bump may legitimately re-pin. */
   private val goldenPinned = Set("q_image_dedup", "q_audio_dedup",
-    "q_image_dedup_incremental", "q_audio_dedup_incremental")
+    "q_image_dedup_incremental", "q_audio_dedup_incremental",
+    // seeded-hash text dedups: batch outputs are deterministic (the
+    // MinHash permutations, SimHash feature hashes and LSH bands are
+    // all fixed-seed), so a hash/banding regression is pinnable even
+    // though bucket membership has no SQL spelling
+    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_incremental_lsh")
 
   /** Order-insensitive canonical hash: rows rendered field-by-field
     * (binary → hex), fields \u0001-joined (an unambiguous separator

@@ -510,6 +510,27 @@ object Pipeline {
         "vec_id", queryId = 0L, k = 10, nprobe = 4)
     },
 
+    // IVF-PQ in its EXACT regime: every cell probed (nprobe = nlist)
+    // and the refine shortlist covers the WHOLE pool, so the two-stage
+    // search (ADC shortlist → exact cosine re-rank,
+    // Similarity.ivfPqTopKRefined) must equal brute-force cosine top-k
+    // EXACTLY — putting the full IVF-PQ plumbing (encode, cell routing,
+    // ADC ranking, float re-rank join) under the DuckDB oracle the way
+    // q_ann_ivf_exact does for plain IVF. A vector lost by encoding or
+    // the semi-join breaks the hash match loudly.
+    "q_ann_ivfpq_exact" -> { (s, dir) =>
+      val emb = Tables.t(s, dir, "embeddings")
+      val (cents, book, coded) = Artifacts.memoized(dir, "ivfpq") {
+        val (ce, bo, co) = Similarity.ivfPqIndex(
+          emb, "embedding", "vec_id", nlist = 8, ks = 256)
+        (ce, bo, Artifacts.persisted(s, "ivfpq_codes")(co))
+      }
+      val pool = coded.count().toInt
+      Similarity.ivfPqTopKRefined(cents, book, coded, emb, "embedding",
+          "vec_id", queryId = 0L, k = 20, nprobe = 8, shortlist = pool)
+        .select(col("id").as("vec_id"), col("sim"))
+    },
+
     // Embedding near-dup at scale: LSH-bucketed k-NN self-join + threshold
     // over the FULL table — shuffle on bucket, no cross join. This is the
     // graded 100 TB entry; q_dedup_embedding above is the bounded exact
@@ -2950,6 +2971,18 @@ object Pipeline {
     // probing every cell makes IVF exhaustive — the oracle is the same
     // brute-force cosine top-k as q_knn_cosine
     "q_ann_ivf_exact" -> """
+      WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id,
+        list_sum(list_transform(range(1, 65),
+          i -> CAST(embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        / (sqrt(list_sum(list_transform(embedding,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+         * sqrt(list_sum(list_transform(qv,
+             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+      FROM embeddings, q
+      ORDER BY sim DESC, vec_id ASC LIMIT 20""",
+
+    "q_ann_ivfpq_exact" -> """
       WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
       SELECT vec_id,
         list_sum(list_transform(range(1, 65),
