@@ -67,7 +67,8 @@ object ScaleRehearsal {
       .createTempDirectory(s"graft_scale_x$factor").toString
     // the big-base sections synthesize their own tables — skip the
     // fixture replication when nothing selected reads it
-    val selfSynth = Set("ivmbig", "ivmbucket", "joinivm", "chainivm")
+    val selfSynth =
+      Set("ivmbig", "ivmbucket", "joinivm", "chainivm", "deepchain")
     if (!selected.forall(selfSynth.contains)) {
       println(s"[scale] building ${factor}x fixture from $base at $out")
       buildFixture(spark, base, out, factor)
@@ -92,7 +93,7 @@ object ScaleRehearsal {
 
     val rows = selected
       .filterNot(Set("ivm", "ivmgrain", "ivmbig", "ivmbucket", "cdc",
-        "joinivm", "chainivm"))
+        "joinivm", "chainivm", "deepchain"))
       .flatMap { q =>
       val t1 = timeBest2(q, base)
       val tN = timeBest2(q, out)
@@ -199,6 +200,25 @@ object ScaleRehearsal {
       Seq(("chainivm_fact_delta", aR, bR, ex(aR, bR)),
         ("chainivm_dim_delta", aS, bS, ex(aS, bS)),
         ("chainivm_part_delta", aP, bP, ex(aP, bP)))
+    }) ++ (if (!selected.contains("deepchain")) Nil else {
+      // 5-table chain (fact + 4 sides): leg COUNT grows linearly with
+      // chain depth — each of the 5 legs joins all 5 tables — and
+      // every leg's cache/read bound must hold at depth, so fixed-size
+      // deltas must stay flat as the fact grows 10M → 30M rows.
+      val n1 = 10L * 1000 * 1000
+      val bigF = 3
+      val (aR, aS, aT) = deepChainIvmSeconds(spark, n1)
+      val (bR, bS, bT) = deepChainIvmSeconds(spark, n1 * bigF)
+      def ex(a: Double, b: Double) = math.log(b / a) / math.log(bigF.toDouble)
+      println(f"[scale] deepchain_fact_delta (10M vs 30M rows) " +
+        f"base=$aR%7.2fs x$bigF=$bR%8.2fs exponent=${ex(aR, bR)}%5.2f")
+      println(f"[scale] deepchain_dim_delta            " +
+        f"base=$aS%7.2fs x$bigF=$bS%8.2fs exponent=${ex(aS, bS)}%5.2f")
+      println(f"[scale] deepchain_tail_delta           " +
+        f"base=$aT%7.2fs x$bigF=$bT%8.2fs exponent=${ex(aT, bT)}%5.2f")
+      Seq(("deepchain_fact_delta", aR, bR, ex(aR, bR)),
+        ("deepchain_dim_delta", aS, bS, ex(aS, bS)),
+        ("deepchain_tail_delta", aT, bT, ex(aT, bT)))
     }) ++ (if (!selected.contains("cdc")) Nil else {
       val a = cdcMvFreshnessSeconds(spark, base)
       val b = cdcMvFreshnessSeconds(spark, out)
@@ -494,6 +514,96 @@ object ScaleRehearsal {
     graft.operators.MaterializeJoin.refresh(cat, mv)
     val tPart = (System.nanoTime() - t0) / 1e9
     (tFact, tDim, tPart)
+  }
+
+  /** 5-table chain (fact + 4 sides) refresh seconds for FIXED deltas
+    * as the fact grows — the DEPTH rehearsal: refresh builds one leg
+    * per table (5 legs, linear in chain depth), and EVERY leg joins
+    * all 5 tables, so each leg's key-bounded reads must hold for the
+    * total to stay flat. Same group/measure/gate construction as
+    * [[chainIvmSeconds]] (groups (seg, brand) over sides 1–2, fact
+    * and dim deltas assert the recompute-free fold, the tail-side
+    * churn times the gated path); sides 3–4 carry no group attribute
+    * — they exercise LEG COUNT and per-leg read bounds, not gate
+    * variety. All four sides declare the fact FK immutable.
+    * Returns (factDeltaSec, dimDeltaSec, tailDeltaSec). */
+  private def deepChainIvmSeconds(spark: SparkSession, n: Long)
+      : (Double, Double, Double) = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_scale_deepchain").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createTable("r", StructType(Seq(
+      StructField("k", LongType), StructField("jk", LongType),
+      StructField("pk2", LongType), StructField("jk3", LongType),
+      StructField("jk4", LongType), StructField("x", LongType))),
+      pk = Seq("k"))
+    cat.createTable("s", StructType(Seq(
+      StructField("jk", LongType), StructField("seg", LongType))),
+      pk = Seq("jk"))
+    cat.createTable("p", StructType(Seq(
+      StructField("pk2", LongType), StructField("brand", LongType))),
+      pk = Seq("pk2"))
+    cat.createTable("u", StructType(Seq(
+      StructField("jk3", LongType), StructField("a3", LongType))),
+      pk = Seq("jk3"))
+    cat.createTable("w", StructType(Seq(
+      StructField("jk4", LongType), StructField("a4", LongType))),
+      pk = Seq("jk4"))
+    def facts(filter: org.apache.spark.sql.Column): DataFrame =
+      spark.range(n).where(filter)
+        .select(col("id").as("k"), expr("id DIV 100").as("jk"),
+          (col("id") % 4096).as("pk2"),
+          expr("id DIV 800").as("jk3"),
+          (col("id") % 9973).as("jk4"),
+          (col("id") % 1000 + 10).as("x"))
+    cat.upsert("r", facts(lit(true)))
+    cat.upsert("s", spark.range(n / 100)
+      .select(col("id").as("jk"), (col("id") % 64).as("seg")))
+    cat.upsert("p", spark.range(4096)
+      .select(col("id").as("pk2"), (col("id") % 16).as("brand")))
+    cat.upsert("u", spark.range(n / 800)
+      .select(col("id").as("jk3"), (col("id") % 32).as("a3")))
+    cat.upsert("w", spark.range(9973)
+      .select(col("id").as("jk4"), (col("id") % 8).as("a4")))
+    val mv = wh + "/mv"
+    import graft.operators.MaterializeJoin.{ChainSpec, SideSpec}
+    graft.operators.MaterializeJoin.build(cat,
+      ChainSpec("r", Seq(
+        SideSpec("s", Seq("jk"), factKeysImmutable = true),
+        SideSpec("p", Seq("pk2"), factKeysImmutable = true),
+        SideSpec("u", Seq("jk3"), factKeysImmutable = true),
+        SideSpec("w", Seq("jk4"), factKeysImmutable = true))),
+      Seq("seg", "brand"), Seq("x"), mv)
+    def timedRefresh(what: String, assertNoRecompute: Boolean)
+        : Double = {
+      GraftSession.quiesce(spark)
+      val t0 = System.nanoTime()
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (assertNoRecompute)
+        require(
+          !graft.operators.MaterializeJoin.LastRefresh.recomputeRan,
+          s"$what: non-extremal delta must fold with zero recompute")
+      sec
+    }
+    // 100 fact-measure updates, x 510 -> 505 (strictly interior)
+    cat.upsert("r", facts(expr("id % 1000 = 500") && col("id") < 100000L)
+      .withColumn("x", lit(505L)))
+    val tFact = timedRefresh("fact delta", assertNoRecompute = true)
+    // 100 dim regroupings, fan-out x in 310..409 (interior)
+    cat.upsert("s", spark.range(n / 100)
+      .where(expr("id % 10 = 3") && col("id") < 1000L)
+      .select(col("id").as("jk"), ((col("id") + 17) % 64).as("seg")))
+    val tDim = timedRefresh("dim delta", assertNoRecompute = true)
+    // 8 tail-side updates (a4 is not a group column, so the net group
+    // change is zero, but the retraction slice still rides the gate:
+    // this times the deepest leg's gated path on scattered keys)
+    cat.upsert("w", spark.range(9973)
+      .where(expr("id % 1024 = 7"))
+      .select(col("id").as("jk4"), ((col("id") + 5) % 8).as("a4")))
+    val tTail = timedRefresh("tail delta", assertNoRecompute = false)
+    (tFact, tDim, tTail)
   }
 
   /** Single-dir vs BUCKET-MANIFESTED state write cost as the GROUP
