@@ -106,8 +106,19 @@ object MaterializeJoin {
     * legs apply, with ΔŜ = ΔS plus a ±1 synthetic NULL row per
     * delta-touched key whose match count crossed zero (computed from
     * two delta-key-bounded count probes, never a side scan). */
+  /** `fullOuter = true` (BINARY only) maintains γ(F ⟗ S): the full
+    * join decomposes as (F ⟕ S) ⊎ (S ▷ F × NULL_F) — the left part
+    * rides the `leftOuter` machinery unchanged, and the side-dangling
+    * part gets two more telescoping legs over the FACT's
+    * null-extension indicator F̂n (one NULL-fact row per key the fact
+    * does not hold): ΔF̂n ⋈ S_old (fact-count zero crossings,
+    * delta-key-bounded) and F̂n_new ⋈ ΔS (side-delta rows whose key
+    * has no fact match at the new mark — a NULL side key never
+    * matches, so such rows are permanently dangling and fold here
+    * too). Serving is read()/API only (the rewrite does not capture
+    * FULL OUTER query plans); registerForRewrite refuses. */
   final case class ChainSpec(fact: String, sides: Seq[SideSpec],
-      leftOuter: Boolean = false)
+      leftOuter: Boolean = false, fullOuter: Boolean = false)
 
   /** The binary special case, kept as the primary API: `keys` exist in
     * both tables; see [[SideSpec]] for the immutability contract and
@@ -116,11 +127,13 @@ object MaterializeJoin {
       keys: Seq[String],
       leftKeysImmutable: Boolean = false,
       rightKeysImmutable: Boolean = false,
-      leftOuter: Boolean = false) {
+      leftOuter: Boolean = false,
+      fullOuter: Boolean = false) {
     private[operators] def chain: ChainSpec =
       ChainSpec(left, Seq(SideSpec(right, keys,
         sideKeysImmutable = rightKeysImmutable,
-        factKeysImmutable = leftKeysImmutable)), leftOuter = leftOuter)
+        factKeysImmutable = leftKeysImmutable)), leftOuter = leftOuter,
+        fullOuter = fullOuter)
   }
 
   /** Test/diagnostic instrumentation, single-writer (same contract as
@@ -145,7 +158,8 @@ object MaterializeJoin {
     cs.sides.zipWithIndex.foldLeft(cat.snapshotUpTo(cs.fact, vF)) {
       case (acc, (s, i)) =>
         acc.join(cat.snapshotUpTo(s.table, vS(i)), s.keys,
-          if (cs.leftOuter) "left" else "inner")
+          if (cs.fullOuter) "full"
+          else if (cs.leftOuter) "left" else "inner")
     }
 
   /** Parent node per side: −1 = the fact, j ≥ 0 = side j. Resolution:
@@ -194,6 +208,11 @@ object MaterializeJoin {
       "leftOuter chains require every side keyed on the FACT (the " +
         "null-extension algebra is defined per fact row; LEFT " +
         "snowflake legs do not commute)")
+    require(!(cs.leftOuter && cs.fullOuter),
+      "leftOuter and fullOuter are mutually exclusive")
+    require(!cs.fullOuter || cs.sides.size == 1,
+      "fullOuter join MVs are BINARY (one side): an N-way full outer " +
+        "is not associatively decomposable into per-side legs")
     // a column name may be shared across tables ONLY as a join key,
     // and only between a side and its PARENT (the two tables that
     // edge actually joins). This catches the plain duplicate (a
@@ -301,12 +320,13 @@ object MaterializeJoin {
         sketches.map(_._1), sketches.map(_._2.toLong),
         topks.map(_._1), topks.map(_._2.toLong),
         grains.map(_._1), grains.map(_._2),
-        spark.conf.get("spark.sql.session.timeZone"), cs.leftOuter))
+        spark.conf.get("spark.sql.session.timeZone"), cs.leftOuter,
+        cs.fullOuter))
       .toDF("fact", "side_tables", "side_keys", "side_imms",
         "fact_imms", "last_vf", "last_vs", "group_cols", "measures",
         "state_dir", "sketch_cols", "sketch_ks", "topk_cols",
         "topk_caps", "grain_cols", "grain_sqls", "grain_tz",
-        "left_outer")
+        "left_outer", "full_outer")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
@@ -339,7 +359,9 @@ object MaterializeJoin {
       tables.indices.map(i =>
         SideSpec(tables(i), keys(i), sImm(i), fImm(i))),
       leftOuter = m.schema.fieldNames.contains("left_outer") &&
-        m.getAs[Boolean]("left_outer"))
+        m.getAs[Boolean]("left_outer"),
+      fullOuter = m.schema.fieldNames.contains("full_outer") &&
+        m.getAs[Boolean]("full_outer"))
   }
 
   /** Full build: aggregate the joined current snapshots, persist,
@@ -434,6 +456,10 @@ object MaterializeJoin {
     val spark = cat.session
     val m = meta(spark, path)
     val cs = specOf(m)
+    require(!cs.fullOuter,
+      "a FULL-outer join MV cannot register for rewrite: the rule " +
+        "does not capture FULL OUTER query joins — read the state " +
+        "via MaterializeJoin.read")
     val groupCols = m.getSeq[String](m.fieldIndex("group_cols"))
     val measures = m.getSeq[String](m.fieldIndex("measures"))
     val served = groupCols ++ measures ++
@@ -539,8 +565,10 @@ object MaterializeJoin {
     ranged.join(dk, cond, "left_semi")
   }
 
-  /** LEFT-outer only: the ±1 synthetic NULL-extension rows of one
-    * side's delta — for each key the delta touches, if the side's
+  /** LEFT/FULL-outer: the ±1 synthetic NULL-extension rows of one
+    * side's delta (for FULL, also applied to the FACT via a
+    * fact-as-side spec — the F̂n indicator of the side-dangling
+    * part) — for each key the delta touches, if the table's
     * match count crossed zero between the OLD and NEW marks, the
     * extended relation Ŝ gained (+1, last row deleted) or lost (−1,
     * first row inserted) its all-NULL-attribute row for that key.
@@ -657,14 +685,18 @@ object MaterializeJoin {
       imm.get(s.table).foreach(ks =>
         requireImmutable(cat, s.table, ks, lastVS(j), newVS(j)))
     }
-    // LEFT chains join side factors with "left" (the extended-Ŝ inner
-    // join IS the left join against the raw side) and each side's
-    // delta gains its ±1 null-extension rows; the fact factor stays
-    // INNER in the side legs either way (a side change only touches
-    // fact rows carrying its keys)
-    val sideJt = if (cs.leftOuter) "left" else "inner"
+    // LEFT (and the left part of FULL) chains join side factors with
+    // "left" (the extended-Ŝ inner join IS the left join against the
+    // raw side) and each side's delta gains its ±1 null-extension
+    // rows; the fact factor stays INNER in the side legs either way
+    // (a side change only touches fact rows carrying its keys)
+    val extended = cs.leftOuter || cs.fullOuter
+    val sideJt = if (extended) "left" else "inner"
+    val dFact = cache(signedDelta(cat, cs.fact, lastVF, newVF))
+    val sideDeltas = cs.sides.indices.map(i =>
+      cache(signedDelta(cat, cs.sides(i).table, lastVS(i), newVS(i))))
     val factLeg = cs.sides.zipWithIndex
-      .foldLeft(cache(signedDelta(cat, cs.fact, lastVF, newVF))) {
+      .foldLeft(dFact) {
         case (acc, (s, j)) =>
           cache(acc.join(boundedSide(cat, s.table, lastVS(j),
             acc, s.keys, s.sideKeysImmutable), s.keys, sideJt))
@@ -679,9 +711,9 @@ object MaterializeJoin {
     val parents = parentsOf(cat, cs)
     val sideLegs = cs.sides.indices.map { i =>
       val si = cs.sides(i)
-      val dReal = cache(signedDelta(cat, si.table, lastVS(i), newVS(i)))
+      val dReal = sideDeltas(i)
       var acc =
-        if (!cs.leftOuter) dReal
+        if (!extended) dReal
         else cache(dReal.unionByName(
           nullExtensionDelta(cat, si, dReal, lastVS(i), newVS(i))))
       val visited = scala.collection.mutable.Set[Int](i)
@@ -712,9 +744,9 @@ object MaterializeJoin {
             (cs.sides(node).table,
               if (node < i) newVS(node) else lastVS(node),
               cs.sides(viaChild).factKeysImmutable)
-        // LEFT chains (star-shaped by validation) join side factors
-        // with "left"; the move UP to the fact stays INNER
-        val jt = if (cs.leftOuter && node == viaChild) "left"
+        // LEFT/FULL chains (star-shaped by validation) join side
+        // factors with "left"; the move UP to the fact stays INNER
+        val jt = if (extended && node == viaChild) "left"
           else "inner"
         acc = cache(acc.join(boundedSide(cat, table, asOfV, acc,
           edgeKeys, immKeys), edgeKeys, jt))
@@ -722,11 +754,43 @@ object MaterializeJoin {
       }
       acc
     }
+    // FULL OUTER only — the side-dangling part D = S ▷ F × NULL_F,
+    // two more telescoping legs over the FACT's null-extension
+    // indicator F̂n (a NULL-fact row per key the fact does NOT hold):
+    //   ΔD = ΔF̂n ⋈ S_old  ∪  F̂n_new ⋈ ΔS
+    // Leg A's ΔF̂n is the fact-count zero-crossing set (delta-key-
+    // bounded probes); leg B keeps the signed side-delta rows whose
+    // key finds NO fact match at the new mark — a NULL side key never
+    // matches (null-unsafe using-join), so permanently-dangling rows
+    // ride leg B too. Both legs emit joined-schema rows (fact fields
+    // NULL except the shared keys) and fold through the same signed
+    // union as every other leg.
+    val fullLegs: Seq[DataFrame] = if (!cs.fullOuter) Nil else {
+      val si = cs.sides.head
+      val factFields = cat.spec(cs.fact).schema.fields.toSeq
+      val factAsSide = SideSpec(cs.fact, si.keys,
+        sideKeysImmutable = si.factKeysImmutable)
+      val aNull = cache(nullExtensionDelta(cat, factAsSide, dFact,
+        lastVF, newVF))
+      val legA = cache(aNull.join(boundedSide(cat, si.table,
+        lastVS(0), aNull, si.keys, si.sideKeysImmutable), si.keys))
+      val dS = sideDeltas(0)
+      val cntF = boundedSide(cat, cs.fact, newVF, dS, si.keys,
+          si.factKeysImmutable)
+        .groupBy(si.keys.map(col): _*).agg(count(lit(1)).as("__cf"))
+      val legB = cache(dS.join(cntF, si.keys, "left")
+        .where(coalesce(col("__cf"), lit(0L)) === 0)
+        .drop("__cf")
+        .select(factFields.filterNot(f => si.keys.contains(f.name))
+          .map(f => lit(null).cast(f.dataType).as(f.name)) ++
+          dS.columns.map(col): _*))
+      Seq(legA, legB)
+    }
     // grain columns derive per JOINED row (fact/side columns are in
     // every leg), so one withGrains over the unioned delta covers
     // post rows and retraction pre-images alike
     val delta = Materialize.withGrains(
-      sideLegs.foldLeft(factLeg)(
+      (sideLegs ++ fullLegs).foldLeft(factLeg)(
         _.unionByName(_, allowMissingColumns = false)), grains)
 
     val state = read(spark, path)

@@ -1688,6 +1688,57 @@ object Pipeline {
         .orderBy($"priority")
     },
 
+    // FULL-OUTER JOIN IVM under the hard oracle: γ(lineitem ⟗ orders)
+    // maintained while BOTH tables mutate — fact-dangling rows count
+    // under NULL priority, side-dangling orders count with NULL
+    // measures, and keys cross BOTH zero boundaries during the
+    // lifecycle (orders arrive for dangling lineitems; lineitems are
+    // deleted out from under orders). Oracle recomputes FULL JOIN-
+    // then-aggregate over the final tables.
+    "q_ivm_join_full" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+      val wh = ivmWarehouse(dir + "#joinfull")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      cat.createTable("jl8", StructType(Seq(
+        StructField("okey", LongType), StructField("ln", IntegerType),
+        StructField("qty", LongType))), pk = Seq("okey", "ln"))
+      cat.createTable("jo8", StructType(Seq(
+        StructField("okey", LongType),
+        StructField("priority", StringType))), pk = Seq("okey"))
+      val li = Tables.t(s, dir, "lineitem")
+        .where($"l_orderkey" % 32 < 3)
+        .groupBy($"l_orderkey".as("okey"), $"l_linenumber".as("ln"))
+        .agg(sum($"l_quantity".cast("long")).as("qty"))
+      // orders cover %32 < 4: the %32=3 slice is side-dangling (no
+      // lineitems), the %32=2 lineitems are fact-dangling until build+1
+      val ord = Tables.t(s, dir, "orders")
+        .select($"o_orderkey".as("okey"),
+          $"o_orderpriority".as("priority"))
+        .where($"okey" % 32 < 4)
+      cat.upsert("jl8", li)
+      cat.upsert("jo8", ord.where($"okey" % 32 =!= 2))
+      val mv = wh + "/mvjf"
+      graft.operators.MaterializeJoin.build(cat,
+        graft.operators.MaterializeJoin.JoinSpec("jl8", "jo8",
+          Seq("okey"), fullOuter = true),
+        Seq("priority"), Seq("qty"), mv)
+      // dangling facts gain their orders; some lineitems die under
+      // their orders (matched order -> side-dangling)
+      cat.upsert("jo8", ord.where($"okey" % 32 === 2))
+      cat.delete("jl8", $"okey" % 10 === 3)
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      // order deletes re-dangle facts; measure churn
+      cat.delete("jo8", $"okey" % 20 === 5)
+      cat.upsert("jl8", li.where($"okey" % 100 === 1)
+        .withColumn("qty", $"qty" + 7L))
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      graft.operators.MaterializeJoin.read(s, mv)
+        .select($"priority", $"cnt", $"sum_qty",
+          $"min_qty", $"max_qty")
+        .orderBy($"priority")
+    },
+
     // SNOWFLAKE-CHAIN IVM under the hard oracle: γ(orders ⋈ customer
     // ⋈ nation) with nation keyed on CUSTOMER's nationkey — the
     // side-on-side tree shape a fingerprint-frozen StarDerive refuses
@@ -3541,6 +3592,26 @@ object Pipeline {
         CAST(sum(qty) AS BIGINT) AS sum_qty,
         min(qty) AS min_qty, max(qty) AS max_qty
       FROM l LEFT JOIN o USING (okey)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_ivm_join_full" -> """
+      WITH base AS (
+        SELECT l_orderkey AS okey, l_linenumber AS ln,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty0
+        FROM lineitem WHERE l_orderkey % 32 < 3
+        GROUP BY 1, 2),
+      l AS (
+        SELECT okey,
+          CASE WHEN okey % 100 = 1 THEN qty0 + 7 ELSE qty0 END AS qty
+        FROM base WHERE okey % 10 <> 3),
+      o AS (
+        SELECT o_orderkey AS okey, o_orderpriority AS priority
+        FROM orders
+        WHERE o_orderkey % 32 < 4 AND o_orderkey % 20 <> 5)
+      SELECT priority, count(*) AS cnt,
+        CAST(sum(qty) AS BIGINT) AS sum_qty,
+        min(qty) AS min_qty, max(qty) AS max_qty
+      FROM l FULL JOIN o USING (okey)
       GROUP BY 1 ORDER BY 1""",
 
     "q_mv_ddl_sql" -> """

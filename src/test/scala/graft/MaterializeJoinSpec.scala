@@ -753,6 +753,110 @@ class MaterializeJoinSpec extends AnyFunSuite {
     assert(actual(path) == exp, "after pd repopulated")
   }
 
+  // ---- FULL-outer binary join IVM ----
+
+  private val fjs =
+    MaterializeJoin.JoinSpec("o", "c", Seq("ck"), fullOuter = true)
+
+  private def expectedFull(cat: GraftCatalog): Set[Seq[Any]] =
+    Materialize.aggregate(
+      cat.snapshot("o").join(cat.snapshot("c"), Seq("ck"), "full"),
+      Seq("seg"), Seq("price")).collect().map(canon).toSet
+
+  test("FULL build + read: fact-dangling rows count under NULL seg, " +
+      "side-dangling rows count with NULL measures") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkTables(cat)
+    cat.upsert("o", Seq((5L, 99L, 500L)).toDF("ok", "ck", "price"))
+    cat.upsert("c", Seq((77L, "lonely")).toDF("ck", "seg")) // no orders
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, fjs, Seq("seg"), Seq("price"), path)
+    val exp = expectedFull(cat)
+    assert(actual(path) == exp)
+    assert(exp.exists(_.head == null), "fact-dangling NULL group")
+    assert(exp.exists(_.head == "lonely"), "side-dangling group")
+  }
+
+  test("FULL refresh: all four transition shapes fold exactly " +
+      "(fact gains a dangling side's key, side gains a dangling " +
+      "fact's key, last-row deletes on both sides)") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkTables(cat)
+    cat.upsert("o", Seq((5L, 99L, 500L)).toDF("ok", "ck", "price"))
+    cat.upsert("c", Seq((77L, "lonely")).toDF("ck", "seg"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, fjs, Seq("seg"), Seq("price"), path)
+    // fact gains the side-dangling key 77: the (lonely, NULL-measure)
+    // row must become a real joined row
+    cat.upsert("o", Seq((6L, 77L, 700L)).toDF("ok", "ck", "price"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expectedFull(cat), "side-dangling -> matched")
+    // side gains the fact-dangling key 99 in the same window as a
+    // side delete that re-dangles key 20's facts AND orphans nothing
+    cat.upsert("c", Seq((99L, "z")).toDF("ck", "seg"))
+    cat.delete("c", col("ck") === 20L)
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expectedFull(cat), "both transitions")
+    // both sides of key 77 die in ONE window — the group must vanish
+    // entirely (no phantom NULL-extension row may survive)
+    cat.delete("o", col("ok") === 6L)
+    cat.delete("c", col("ck") === 77L)
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == expectedFull(cat), "both-side delete")
+  }
+
+  test("FULL differential fuzz: random churn on both sides — state " +
+      "== full-outer recompute after every refresh (seeded)") {
+    import spark.implicits._
+    val cat = freshCatalog(); mkTables(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    MaterializeJoin.build(cat, fjs, Seq("seg"), Seq("price"), path)
+    val rnd = new scala.util.Random(20260819L)
+    val segs = Vector("a", "b", "c", "d")
+    for (step <- 1 to 8) {
+      for (_ <- 0 until 1 + rnd.nextInt(3)) rnd.nextInt(4) match {
+        case 0 => cat.upsert("o", Seq((rnd.nextInt(12).toLong,
+          (rnd.nextInt(9) * 10 + 10).toLong,
+          rnd.nextInt(1000).toLong)).toDF("ok", "ck", "price"))
+        case 1 => cat.upsert("c", Seq(((rnd.nextInt(9) * 10 + 10).toLong,
+          segs(rnd.nextInt(segs.size)))).toDF("ck", "seg"))
+        case 2 => cat.delete("o", col("ok") === rnd.nextInt(12).toLong)
+        case 3 => cat.delete("c",
+          col("ck") === (rnd.nextInt(9) * 10 + 10).toLong)
+      }
+      MaterializeJoin.refresh(cat, path)
+      assert(actual(path) == expectedFull(cat), s"diverged at step $step")
+    }
+  }
+
+  test("FULL refusals: N-way chains, leftOuter combination, rewrite " +
+      "registration") {
+    val cat = freshCatalog(); mkTables(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv").toString
+    intercept[IllegalArgumentException] {
+      MaterializeJoin.build(cat, MaterializeJoin.ChainSpec("o",
+        Seq(MaterializeJoin.SideSpec("c", Seq("ck")),
+          MaterializeJoin.SideSpec("c", Seq("ck"))), fullOuter = true),
+        Seq("seg"), Seq("price"), path)
+    }
+    intercept[IllegalArgumentException] {
+      MaterializeJoin.build(cat,
+        MaterializeJoin.ChainSpec("o",
+          Seq(MaterializeJoin.SideSpec("c", Seq("ck"))),
+          leftOuter = true, fullOuter = true),
+        Seq("seg"), Seq("price"), path)
+    }
+    MaterializeJoin.build(cat, fjs, Seq("seg"), Seq("price"), path)
+    val e = intercept[IllegalArgumentException] {
+      MaterializeJoin.registerForRewrite(cat, path)
+    }
+    assert(e.getMessage.contains("FULL-outer"))
+  }
+
   // ---- snowflake chains: a side keyed on ANOTHER side ----
 
   private def mkSnowflake(cat: GraftCatalog): Unit = {
