@@ -68,6 +68,13 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       requireNoScn("TRUNCATE"); truncateTable(s)
     }
     else if (up.startsWith("SHOW CREATE TABLE")) showCreateTable(s)
+    else if (up.startsWith("SHOW MATERIALIZED VIEWS")) {
+      import spark.implicits._
+      mvDefs.toSeq.sortBy(_._1).map { case (n, d) =>
+        (n, d.tables.mkString(","),
+          if (d.singleTable.isDefined) "single" else "join", d.path)
+      }.toDF("name", "tables", "kind", "state_path")
+    }
     else if (up.startsWith("SHOW ")) show(s)
     else if (up.startsWith("SET CURRENT_SCN")) setScn(s)
     // a hint may sit between UPSERT and INTO (reference g: upsert_node
@@ -931,10 +938,12 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val fact = resolveTable(sel.group(2))
     require(catalog.hasTable(fact), s"unknown table $fact")
     // joins: [LEFT [OUTER]] JOIN side (ON a.k = b.k [AND ...] | USING (k,..))
-    case class JoinPart(table: String, keys: Seq[String], left: Boolean)
-    val joinRe = ("(?is)(LEFT\\s+(?:OUTER\\s+)?)?JOIN\\s+([\\w.\"]+)\\s+" +
+    case class JoinPart(table: String, keys: Seq[String], left: Boolean,
+        full: Boolean)
+    val joinRe = ("(?is)(LEFT\\s+(?:OUTER\\s+)?|FULL\\s+(?:OUTER\\s+)?)?" +
+      "JOIN\\s+([\\w.\"]+)\\s+" +
       "(?:USING\\s*\\(([^)]*)\\)|ON\\s+(.+?))\\s*" +
-      "(?=(?:LEFT\\s+(?:OUTER\\s+)?)?JOIN\\b|$)").r
+      "(?=(?:LEFT\\s+(?:OUTER\\s+)?|FULL\\s+(?:OUTER\\s+)?)?JOIN\\b|$)").r
     val joinText = sel.group(3).trim
     val joins = joinRe.findAllMatchIn(joinText).map { jm =>
       val table = resolveTable(jm.group(2))
@@ -953,12 +962,16 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
             s"(got '$a' = '$b'); rename at the catalog schema")
           a
         }
-      JoinPart(table, keys, jm.group(1) != null)
+      val mod = Option(jm.group(1)).map(_.trim.toUpperCase).getOrElse("")
+      JoinPart(table, keys, mod.startsWith("LEFT"),
+        mod.startsWith("FULL"))
     }.toSeq
     require(
       (if (joins.isEmpty) joinText
        else joinText
-         .replaceAll("(?is)(LEFT\\s+(?:OUTER\\s+)?)?JOIN\\b.*$", "")
+         .replaceAll(
+           "(?is)(LEFT\\s+(?:OUTER\\s+)?|FULL\\s+(?:OUTER\\s+)?)?JOIN\\b.*$",
+           "")
          .trim).isEmpty,
       s"cannot parse FROM clause tail: '$joinText' (no WHERE/alias " +
         "support in CREATE MATERIALIZED VIEW)")
@@ -994,17 +1007,27 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       graft.operators.Materialize.registerForRewrite(catalog, fact, path)
     } else {
       val leftCount = joins.count(_.left)
-      require(leftCount == 0 || leftCount == joins.size,
-        "mixed INNER/LEFT joins are not supported in one materialized " +
-          "view (the maintained state is all-inner or all-left)")
+      val fullCount = joins.count(_.full)
+      require((leftCount == 0 || leftCount == joins.size) &&
+          (fullCount == 0 || fullCount == joins.size),
+        "mixed join types are not supported in one materialized " +
+          "view (the maintained state is all-inner, all-left, or " +
+          "binary full)")
       graft.operators.MaterializeJoin.build(catalog,
         graft.operators.MaterializeJoin.ChainSpec(fact,
           joins.map(j => graft.operators.MaterializeJoin.SideSpec(
             j.table, j.keys)),
-          leftOuter = leftCount > 0),
+          leftOuter = leftCount > 0, fullOuter = fullCount > 0),
         groupCols.toSeq, measures.distinct.toSeq, path,
         grainExprs = grains.toSeq)
-      graft.operators.MaterializeJoin.registerForRewrite(catalog, path)
+      // FULL-outer states maintain but cannot serve through the
+      // rewrite (the rule does not capture FULL OUTER plans) — the
+      // MV is still refreshable and readable
+      if (fullCount == 0)
+        graft.operators.MaterializeJoin.registerForRewrite(catalog, path)
+      else System.err.println("[graft-sql] full-outer materialized " +
+        s"view $name maintains incrementally but does not serve " +
+        "SELECTs (read its state directly)")
     }
     mvDefs(name) = MvDef(path, fact +: joins.map(_.table),
       if (joins.isEmpty) Some(fact) else None)

@@ -1457,6 +1457,37 @@ class PhoenixSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("SHOW MATERIALIZED VIEWS + FULL JOIN DDL: a full-outer MV " +
+      "maintains through SQL but does not register for serving") {
+    import graft.operators.MaterializeJoin
+    val px = fresh()
+    px.execute("CREATE TABLE FA (OK BIGINT NOT NULL, CK BIGINT, " +
+      "X BIGINT CONSTRAINT PK PRIMARY KEY (OK))")
+    px.execute("CREATE TABLE FB (CK BIGINT NOT NULL, SEG VARCHAR " +
+      "CONSTRAINT PK PRIMARY KEY (CK))")
+    px.execute("UPSERT INTO FA VALUES (1, 10, 100)")
+    px.execute("UPSERT INTO FB VALUES (10, 'a')")
+    px.execute("UPSERT INTO FB VALUES (20, 'orphan')")
+    px.execute("CREATE MATERIALIZED VIEW FMV AS SELECT SEG, " +
+      "COUNT(*), SUM(X) FROM FA FULL JOIN FB ON FA.CK = FB.CK " +
+      "GROUP BY SEG")
+    val shown = px.execute("SHOW MATERIALIZED VIEWS")
+      .collect().map(r => (r.getString(0), r.getString(2)))
+    assert(shown.toSeq == Seq(("fmv", "join")))
+    // churn + REFRESH through SQL; read the state directly
+    px.execute("UPSERT INTO FA VALUES (2, 99, 7)") // fact-dangling
+    px.execute("DELETE FROM FB WHERE CK = 20")
+    px.execute("REFRESH MATERIALIZED VIEW FMV")
+    val rows = MaterializeJoin.read(px.catalog.session,
+        px.catalog.mvPath("fmv"))
+      .collect().map(r => (Option(r.getString(0)).orNull,
+        r.getLong(1))).toMap
+    assert(rows == Map(("a", 1L), (null, 1L)),
+      s"full-outer state after churn: $rows")
+    px.execute("DROP MATERIALIZED VIEW FMV")
+    assert(px.execute("SHOW MATERIALIZED VIEWS").count() == 0)
+  }
+
   test("CREATE MATERIALIZED VIEW over a JOIN + DATE_TRUNC grain: " +
       "chain state maintains and serves through SQL only") {
     val px = fresh()
