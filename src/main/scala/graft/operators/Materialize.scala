@@ -534,10 +534,24 @@ object Materialize {
     // (refresh under a churned dim REFUSES or rebuilds, so the state
     // never silently mixes dim versions) plus the front-end's
     // dirty-tracking re-registration of mutated dims.
+    // POSITIVE probes memoize per counter value: the optimizer
+    // re-enters the rule up to fixedPoint times per query, and a fresh
+    // dashboard would otherwise pay a meta parquet read per iteration.
+    // Sound because with the counter unchanged a refresh can only move
+    // the meta's mark TOWARD the counter; negative results are never
+    // cached, so a refresh re-arms serving without re-registration.
+    val lastFresh =
+      new java.util.concurrent.atomic.AtomicLong(Long.MinValue)
     val fresh: () => Boolean = () =>
-      cat.ttlSeconds(table).isEmpty &&
-        spark.read.parquet(s"$path/meta").head()
-          .getAs[Long]("last_version") == cat.currentVersion(table)
+      cat.ttlSeconds(table).isEmpty && {
+        val cur = cat.currentVersion(table)
+        lastFresh.get() == cur || {
+          val ok = spark.read.parquet(s"$path/meta").head()
+            .getAs[Long]("last_version") == cur
+          if (ok) lastFresh.set(cur)
+          ok
+        }
+      }
     graft.plans.GraftAggViews.register(cat.tablePath(table),
       graft.plans.GraftAggViews.AggViewDef(path,
         meta.getSeq[String](1), meta.getSeq[String](2),

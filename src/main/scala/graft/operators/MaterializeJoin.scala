@@ -477,12 +477,23 @@ object MaterializeJoin {
         factKeys = s.keys, dimKeys = s.keys, dimAttrs = attrs,
         innerState = !cs.leftOuter, leftState = cs.leftOuter)
     }
+    // positive-probe memo keyed by the full counter vector — same
+    // soundness argument as the single-table registrant's (a refresh
+    // only moves meta marks toward the counters; negatives re-check)
+    val lastFresh = new java.util.concurrent.atomic
+      .AtomicReference[Seq[Long]](null)
     val fresh: () => Boolean = () => {
-      val cur = meta(spark, path)
-      cur.getAs[Long]("last_vf") == cat.currentVersion(cs.fact) &&
-        cur.getSeq[Long](cur.fieldIndex("last_vs"))
-          .zip(cs.sides)
-          .forall { case (v, s) => v == cat.currentVersion(s.table) }
+      val counters = cat.currentVersion(cs.fact) +:
+        cs.sides.map(s => cat.currentVersion(s.table))
+      counters == lastFresh.get() || {
+        val cur = meta(spark, path)
+        val ok =
+          cur.getAs[Long]("last_vf") == counters.head &&
+            cur.getSeq[Long](cur.fieldIndex("last_vs")) ==
+              counters.tail
+        if (ok) lastFresh.set(counters)
+        ok
+      }
     }
     graft.plans.GraftAggViews.register(cat.tablePath(cs.fact),
       graft.plans.GraftAggViews.AggViewDef(path, groupCols, measures,
