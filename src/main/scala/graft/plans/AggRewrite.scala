@@ -608,7 +608,15 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
               case IsNotNull(a: AttributeReference) =>
                 qj.dimBase.get(a.exprId).exists(c =>
                   d.dimKeys.contains(c) ||
-                    (qj.inner && servedGroupAttr(c).isDefined))
+                    (qj.inner && (servedGroupAttr(c).isDefined ||
+                      // a SNOWFLAKE key: this dim carries another
+                      // registered join's key (customer.nationkey) —
+                      // Catalyst pushes IsNotNull on it for the inner
+                      // join to nation, and dropping null-key rows is
+                      // semantics-free there (they never match, and
+                      // the nation join's presence is enforced for
+                      // inner/left-counted states)
+                      view.dims.exists(_.factKeys.contains(c)))))
               case f => qj.inner && f.deterministic &&
                 f.references.toSeq.forall {
                   case a: AttributeReference => qj.dimBase.get(a.exprId)

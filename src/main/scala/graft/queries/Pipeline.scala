@@ -1848,6 +1848,55 @@ object Pipeline {
       q
     },
 
+    // SNOWFLAKE MV through the SQL front-end under the hard oracle:
+    // the query joins nation on CUSTOMER's nationkey (a dim-on-dim
+    // key the rewrite resolves through the other matched join) and
+    // must serve from the snowflake chain state — including the
+    // IsNotNull(nationkey) filter Catalyst pushes on the intermediate
+    // side, which is semantics-free under the enforced inner joins.
+    // In-query pin: state scanned, no snapshot cache, no change log.
+    "q_mv_rewrite_snowflake" -> { (s, dir) =>
+      import s.implicits._
+      val wh = ivmWarehouse(dir + "#mvsnow")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      val px = new graft.sources.PhoenixSql(s, cat)
+      px.execute("CREATE TABLE co9 (okey BIGINT NOT NULL, " +
+        "ckey BIGINT, m BIGINT CONSTRAINT pk PRIMARY KEY (okey))")
+      px.execute("CREATE TABLE cc9 (ckey BIGINT NOT NULL, " +
+        "nkey BIGINT CONSTRAINT pk PRIMARY KEY (ckey))")
+      px.execute("CREATE TABLE nn9 (nkey BIGINT NOT NULL, " +
+        "nname VARCHAR CONSTRAINT pk PRIMARY KEY (nkey))")
+      cat.upsert("co9", Tables.t(s, dir, "orders")
+        .where($"o_orderkey" % 16 === 11)
+        .select($"o_orderkey".as("okey"), $"o_custkey".as("ckey"),
+          ($"o_orderkey" % 97).cast("long").as("m")))
+      cat.upsert("cc9", Tables.t(s, dir, "customer")
+        .select($"c_custkey".as("ckey"),
+          $"c_nationkey".cast("long").as("nkey")))
+      cat.upsert("nn9", Tables.t(s, dir, "nation")
+        .select($"n_nationkey".cast("long").as("nkey"),
+          $"n_name".as("nname")))
+      Seq("co9", "cc9", "nn9").foreach(cat.refreshSnapshotCache)
+      val mv = wh + "/mvsnow9"
+      graft.operators.MaterializeJoin.build(cat,
+        graft.operators.MaterializeJoin.ChainSpec("co9", Seq(
+          graft.operators.MaterializeJoin.SideSpec("cc9", Seq("ckey")),
+          graft.operators.MaterializeJoin.SideSpec("nn9", Seq("nkey")))),
+        Seq("nname"), Seq("m"), mv)
+      graft.operators.MaterializeJoin.registerForRewrite(cat, mv)
+      val q = px.execute("SELECT nname, COUNT(*) AS cnt, " +
+        "SUM(m) AS sum_m, MIN(m) AS min_m, MAX(m) AS max_m " +
+        "FROM co9 JOIN cc9 ON co9.ckey = cc9.ckey " +
+        "JOIN nn9 ON cc9.nkey = nn9.nkey " +
+        "GROUP BY nname ORDER BY nname")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(mv) || plan.contains("_snapcache") ||
+          plan.contains(s"$wh/co9/data"))
+        throw new IllegalStateException(
+          s"snowflake MV rewrite did not serve from the state:\n$plan")
+      q
+    },
+
     // Sketch-serving MV rewrite under the hard oracle: the query runs
     // a kmv_sketch aggregate over the FACT table; AggRewriteRule must
     // swap it onto the 5-row state's kmv_user_id column (plan-pinned).
@@ -3651,6 +3700,19 @@ object Pipeline {
           CASE WHEN n_nationkey % 5 = 0 THEN n_name || '_X'
                ELSE n_name END AS nname
         FROM nation)
+      SELECT nname, count(*) AS cnt, CAST(sum(m) AS BIGINT) AS sum_m,
+        min(m) AS min_m, max(m) AS max_m
+      FROM f JOIN c USING (ckey) JOIN n USING (nkey)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_mv_rewrite_snowflake" -> """
+      WITH f AS (
+        SELECT o_orderkey AS okey, o_custkey AS ckey,
+          o_orderkey % 97 AS m
+        FROM orders WHERE o_orderkey % 16 = 11),
+      c AS (SELECT c_custkey AS ckey, c_nationkey AS nkey
+            FROM customer),
+      n AS (SELECT n_nationkey AS nkey, n_name AS nname FROM nation)
       SELECT nname, count(*) AS cnt, CAST(sum(m) AS BIGINT) AS sum_m,
         min(m) AS min_m, max(m) AS max_m
       FROM f JOIN c USING (ckey) JOIN n USING (nkey)

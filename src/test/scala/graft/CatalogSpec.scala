@@ -1348,6 +1348,56 @@ class CatalogSpec extends AnyFunSuite {
       s"stream-maintained join MV diverged: $served vs $truth")
   }
 
+  test("maintainJoinAggregate over a LEFT-outer MV: dangling facts " +
+      "stream into the NULL group and move out when the dim arrives " +
+      "between micro-batches") {
+    import spark.implicits._
+    import graft.operators.MaterializeJoin
+    val cat = freshCatalog()
+    cat.createTable("ljf", StructType(Seq(
+      StructField("k", LongType), StructField("ck", LongType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.createTable("ljd", StructType(Seq(
+      StructField("ck", LongType), StructField("seg", StringType))),
+      pk = Seq("ck"))
+    cat.upsert("ljf", Seq((1L, 10L, 100L)).toDF("k", "ck", "x"))
+    cat.upsert("ljd", Seq((10L, "a")).toDF("ck", "seg"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ljivm_stream").toString
+    MaterializeJoin.build(cat,
+      MaterializeJoin.JoinSpec("ljf", "ljd", Seq("ck"),
+        leftOuter = true),
+      Seq("seg"), Seq("x"), path)
+    val in = java.nio.file.Files
+      .createTempDirectory("graft_ljivm_streamin").toString
+    // b0 inserts a DANGLING fact (ck=40: NULL group); b1 another
+    Seq((2L, 40L, 400L)).toDF("k", "ck", "x")
+      .coalesce(1).write.parquet(s"$in/b0")
+    Seq((3L, 40L, 40L), (4L, 50L, 500L)).toDF("k", "ck", "x")
+      .coalesce(1).write.parquet(s"$in/b1")
+    // out-of-band dim churn absorbed by a later batch's refresh:
+    // ck=40 materializes (both its facts must LEAVE the NULL group),
+    // ck=10's only dim row dies (fact k=1 moves INTO the NULL group)
+    cat.upsert("ljd", Seq((40L, "z")).toDF("ck", "seg"))
+    cat.delete("ljd", col("ck") === 10L)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("k", LongType),
+        StructField("ck", LongType), StructField("x", LongType))))
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+    val q = EventStreams.maintainJoinAggregate(stream, cat, "ljf", path)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val served = MaterializeJoin.read(spark, path)
+      .collect().map(_.toSeq).toSet
+    val truth = graft.operators.Materialize.aggregate(
+      cat.snapshot("ljf").join(cat.snapshot("ljd"), Seq("ck"), "left"),
+      Seq("seg"), Seq("x")).collect().map(_.toSeq).toSet
+    assert(served == truth,
+      s"stream-maintained LEFT join MV diverged: $served vs $truth")
+    assert(truth.exists(_.head == null),
+      "fixture must end with a non-empty NULL group")
+  }
+
   test("maintainAggregate with derive: a fact stream maintains a " +
       "star MV (dim-grouped) exactly") {
     import spark.implicits._

@@ -1542,6 +1542,48 @@ class PhoenixSqlSpec extends AnyFunSuite {
       Seq(("2026-01-03 00:00:00.0", 12L), ("2026-02-04 00:00:00.0", 11L)))
   }
 
+  test("SNOWFLAKE MV serving: fact ⋈ dim ⋈ dim-on-dim front-end " +
+      "query serves from chain state (nullable keys incl. the " +
+      "intermediate snowflake key)") {
+    import graft.operators.MaterializeJoin
+    val px = fresh()
+    val cat = px.catalog
+    px.execute("CREATE TABLE SF (OK BIGINT NOT NULL, CK BIGINT, " +
+      "X BIGINT CONSTRAINT PK PRIMARY KEY (OK))")
+    px.execute("CREATE TABLE SC (CK BIGINT NOT NULL, NK BIGINT " +
+      "CONSTRAINT PK PRIMARY KEY (CK))")
+    px.execute("CREATE TABLE SN (NK BIGINT NOT NULL, NNAME VARCHAR " +
+      "CONSTRAINT PK PRIMARY KEY (NK))")
+    px.execute("UPSERT INTO SF VALUES (1, 10, 100)")
+    px.execute("UPSERT INTO SF VALUES (2, 20, 50)")
+    px.execute("UPSERT INTO SC VALUES (10, 1)")
+    px.execute("UPSERT INTO SC VALUES (20, 2)")
+    px.execute("UPSERT INTO SN VALUES (1, 'de')")
+    px.execute("UPSERT INTO SN VALUES (2, 'fr')")
+    Seq("sf", "sc", "sn").foreach(cat.refreshSnapshotCache)
+    val mv = java.nio.file.Files
+      .createTempDirectory("graft_mvsql_snow").toString
+    MaterializeJoin.build(cat,
+      MaterializeJoin.ChainSpec("sf", Seq(
+        MaterializeJoin.SideSpec("sc", Seq("ck")),
+        MaterializeJoin.SideSpec("sn", Seq("nk")))),
+      Seq("nname"), Seq("x"), mv)
+    MaterializeJoin.registerForRewrite(cat, mv)
+    val q = px.execute("SELECT NNAME, SUM(X) AS sx FROM SF " +
+      "JOIN SC ON SF.CK = SC.CK JOIN SN ON SC.NK = SN.NK " +
+      "GROUP BY NNAME ORDER BY NNAME")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains(mv), s"snowflake query did not serve:\n$plan")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("de", 100L), ("fr", 50L)))
+    // omitting the LEAF join refuses (innerState presence) but stays
+    // correct via the direct plan
+    val q2 = px.execute("SELECT SUM(X) AS sx FROM SF " +
+      "JOIN SC ON SF.CK = SC.CK")
+    assert(!q2.queryExecution.executedPlan.toString.contains(mv))
+    assert(q2.collect().head.getLong(0) == 150L)
+  }
+
   test("LEFT-join MV serving matrix: a LEFT OUTER front-end query " +
       "serves from the leftState; INNER and bare-fact refuse") {
     import graft.operators.MaterializeJoin
