@@ -369,7 +369,16 @@ object Materialize {
     // rows that expired during the build — they would be counted in
     // this state yet never retracted
     val ts = cat.clock()
-    val v = highWater(cat, table)
+    // TTL-free tables mark with the VERSION COUNTER (O(1), and it
+    // moves on EVERY write including one that lands zero rows — a
+    // no-match DELETE — so the serving-freshness probe `meta mark ==
+    // counter` can never stick false); as an upper read bound the
+    // counter equals the log max (no row sits above it). TTL tables
+    // keep the alive-max mark (their expiry algebra needs it, and
+    // they never serve through the probe anyway).
+    val v =
+      if (cat.ttlSeconds(table).isEmpty) cat.currentVersion(table)
+      else highWater(cat, table)
     // NEVER overwrite the directory the live meta points to: a rebuild
     // triggered by ALTER SET TTL (or a legacy meta) keeps the
     // high-water mark, so the default name collides with the state
@@ -691,7 +700,11 @@ object Materialize {
       coalesce(max(when(aliveForHw, col("_version"))), lit(-1L)),
       coalesce(min(col("_version")), lit(Long.MaxValue)),
       coalesce(max(col("_version")), lit(-1L))).head
-    val newV = marks.getLong(0)
+    // TTL-free: mark with the version counter (see build — the probe
+    // contract plus zero-row-write robustness; as a bound it covers
+    // the same rows). TTL: the alive-max drives the expiry algebra.
+    val newV =
+      if (ttl.isEmpty) cat.currentVersion(table) else marks.getLong(0)
     val minV = marks.getLong(1)
     // the RAW high-water sampled in the same pass: every log read below
     // is bounded at it, so a write landing while this refresh runs is

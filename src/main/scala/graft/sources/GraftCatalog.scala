@@ -439,8 +439,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     require(!hasRowTimestamp(name),
       s"snapshot cache requires _ts monotone per PK; table $name " +
         "declares a ROW_TIMESTAMP column (arbitrary user stamps)")
-    val v = changeLogRaw(name)
-      .agg(coalesce(max(col("_version")), lit(-1L))).head.getLong(0)
+    // the cache's high-water mark is the VERSION COUNTER, not the
+    // log's max version: a write that lands zero rows (a no-match
+    // DELETE) bumps the counter without log rows, and a log-max-keyed
+    // cache could then never read "exactly fresh" again (serving and
+    // the MV freshness probe both compare against the counter). The
+    // collapse below still sees every row — none sits above the
+    // counter.
+    val v = currentVersion(name)
     if (v < 0) return -1L
     val winners = collapseKeepMeta(name, changeLogRaw(name))
       .where(!col("_deleted"))

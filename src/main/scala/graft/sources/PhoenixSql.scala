@@ -1055,6 +1055,14 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       case Some(t) => graft.operators.Materialize.refresh(catalog, t, d.path)
       case None => graft.operators.MaterializeJoin.refresh(catalog, d.path)
     }
+    // flip-don't-overwrite leaves one superseded state dir per refresh
+    // — reclaim it here (safe under the front-end's single-statement
+    // contract: no reader of a PAST state is in flight between
+    // statements), so a DDL-managed MV never needs a manual vacuum
+    d.singleTable match {
+      case Some(_) => graft.operators.Materialize.vacuum(spark, d.path)
+      case None => graft.operators.MaterializeJoin.vacuum(spark, d.path)
+    }
     d.tables.foreach(t =>
       scala.util.Try(catalog.refreshSnapshotCache(t)))
     dirty ++= d.tables.filter(tableNames.contains)

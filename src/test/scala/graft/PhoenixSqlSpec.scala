@@ -1408,6 +1408,22 @@ class PhoenixSqlSpec extends AnyFunSuite {
     // refresh the MV → the marks line up again → served, new numbers
     Materialize.refresh(cat, "fg", mv)
     assert(run(expectServed = true) == Seq(("a", 110L), ("b", 205L)))
+    // the zero-row-write corner: a DELETE matching NOTHING bumps the
+    // version counter without log rows — the probe refuses (safe) and
+    // a refresh must RE-ARM serving (counter-based marks; a log-max
+    // mark could never catch up and refused forever)
+    px.execute("DELETE FROM FG WHERE K = 99999")
+    assert(run(expectServed = false) == Seq(("a", 110L), ("b", 205L)))
+    // a SECOND empty write re-dirties the front-end view (the log max
+    // never moves: counter-only growth is exactly the corner), then
+    // refresh both legs — counter-keyed marks and a counter-keyed
+    // cache must line back up; log-max keying on either leg refused
+    // forever here
+    px.execute("DELETE FROM FG WHERE K = 99998")
+    Materialize.refresh(cat, "fg", mv)
+    cat.refreshSnapshotCache("fg")
+    assert(run(expectServed = true) == Seq(("a", 110L), ("b", 205L)),
+      "an empty write must not permanently desync the freshness probe")
   }
 
   test("CREATE/REFRESH/DROP MATERIALIZED VIEW: the full lifecycle " +
