@@ -67,8 +67,8 @@ object ScaleRehearsal {
       .createTempDirectory(s"graft_scale_x$factor").toString
     // the big-base sections synthesize their own tables — skip the
     // fixture replication when nothing selected reads it
-    val selfSynth =
-      Set("ivmbig", "ivmbucket", "joinivm", "chainivm", "deepchain")
+    val selfSynth = Set("ivmbig", "ivmbucket", "joinivm", "chainivm",
+      "deepchain", "leftivm")
     if (!selected.forall(selfSynth.contains)) {
       println(s"[scale] building ${factor}x fixture from $base at $out")
       buildFixture(spark, base, out, factor)
@@ -93,7 +93,7 @@ object ScaleRehearsal {
 
     val rows = selected
       .filterNot(Set("ivm", "ivmgrain", "ivmbig", "ivmbucket", "cdc",
-        "joinivm", "chainivm", "deepchain"))
+        "joinivm", "chainivm", "deepchain", "leftivm"))
       .flatMap { q =>
       val t1 = timeBest2(q, base)
       val tN = timeBest2(q, out)
@@ -219,6 +219,21 @@ object ScaleRehearsal {
       Seq(("deepchain_fact_delta", aR, bR, ex(aR, bR)),
         ("deepchain_dim_delta", aS, bS, ex(aS, bS)),
         ("deepchain_tail_delta", aT, bT, ex(aT, bT)))
+    }) ++ (if (!selected.contains("leftivm")) Nil else {
+      // LEFT-outer binary join: the null-extension delta algebra —
+      // fixed interior fact updates and a fixed dangling→matched
+      // transition batch must both stay flat as the fact grows.
+      val n1 = 10L * 1000 * 1000
+      val bigF = 3
+      val (aR, aT) = leftIvmSeconds(spark, n1)
+      val (bR, bT) = leftIvmSeconds(spark, n1 * bigF)
+      def ex(a: Double, b: Double) = math.log(b / a) / math.log(bigF.toDouble)
+      println(f"[scale] leftivm_fact_delta (10M vs 30M rows) " +
+        f"base=$aR%7.2fs x$bigF=$bR%8.2fs exponent=${ex(aR, bR)}%5.2f")
+      println(f"[scale] leftivm_transitions           " +
+        f"base=$aT%7.2fs x$bigF=$bT%8.2fs exponent=${ex(aT, bT)}%5.2f")
+      Seq(("leftivm_fact_delta", aR, bR, ex(aR, bR)),
+        ("leftivm_transitions", aT, bT, ex(aT, bT)))
     }) ++ (if (!selected.contains("cdc")) Nil else {
       val a = cdcMvFreshnessSeconds(spark, base)
       val b = cdcMvFreshnessSeconds(spark, out)
@@ -514,6 +529,66 @@ object ScaleRehearsal {
     graft.operators.MaterializeJoin.refresh(cat, mv)
     val tPart = (System.nanoTime() - t0) / 1e9
     (tFact, tDim, tPart)
+  }
+
+  /** LEFT-outer binary-join IVM refresh seconds for FIXED deltas as
+    * the fact grows: fact R(k PK, jk = k DIV 100, x = k%1000+10) ⟕
+    * dim S covering only HALF the key space (jk < n/200), so half the
+    * fact sits in the NULL-extension group. Leg 1: 100 interior fact
+    * updates (recompute-free, asserted — the NULL group holds ties at
+    * both extremes from untouched rows). Leg 2: 50 NEW dim keys
+    * arrive (dangling→matched transitions: the null-extension delta
+    * retracts 5 000 NULL-group rows and inserts them matched) — keys
+    * chosen ≡3 (mod 10) so every moved x is interior and the fold
+    * stays recompute-free (asserted): the transition algebra itself,
+    * not a group recompute, is what gets timed. Both legs must stay
+    * flat in base size. Returns (factDeltaSec, transitionDeltaSec). */
+  private def leftIvmSeconds(spark: SparkSession, n: Long)
+      : (Double, Double) = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_scale_leftivm").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createTable("r", StructType(Seq(
+      StructField("k", LongType), StructField("jk", LongType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.createTable("s", StructType(Seq(
+      StructField("jk", LongType), StructField("seg", LongType))),
+      pk = Seq("jk"))
+    def facts(filter: org.apache.spark.sql.Column): DataFrame =
+      spark.range(n).where(filter)
+        .select(col("id").as("k"), expr("id DIV 100").as("jk"),
+          (col("id") % 1000 + 10).as("x"))
+    cat.upsert("r", facts(lit(true)))
+    cat.upsert("s", spark.range(n / 200)
+      .select(col("id").as("jk"), (col("id") % 64).as("seg")))
+    val mv = wh + "/mv"
+    graft.operators.MaterializeJoin.build(cat,
+      graft.operators.MaterializeJoin.ChainSpec("r", Seq(
+        graft.operators.MaterializeJoin.SideSpec("s", Seq("jk"),
+          factKeysImmutable = true)), leftOuter = true),
+      Seq("seg"), Seq("x"), mv)
+    def timedRefresh(what: String): Double = {
+      GraftSession.quiesce(spark)
+      val t0 = System.nanoTime()
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      val sec = (System.nanoTime() - t0) / 1e9
+      require(!graft.operators.MaterializeJoin.LastRefresh.recomputeRan,
+        s"$what: interior delta must fold with zero recompute")
+      sec
+    }
+    // 100 interior fact updates, split across matched and NULL groups
+    cat.upsert("r", facts(expr("id % 1000 = 500") && col("id") < 100000L)
+      .withColumn("x", lit(505L)))
+    val tFact = timedRefresh("left fact delta")
+    // 50 dangling keys materialize: jk in [n/200, n/100), ≡3 (mod 10)
+    // so the 5 000 moved rows' x values are interior on both sides
+    cat.upsert("s", spark.range(n / 200, n / 100)
+      .where(expr("id % 10 = 3"))
+      .limit(50)
+      .select(col("id").as("jk"), (col("id") % 64).as("seg")))
+    val tTrans = timedRefresh("dangling->matched transitions")
+    (tFact, tTrans)
   }
 
   /** 5-table chain (fact + 4 sides) refresh seconds for FIXED deltas

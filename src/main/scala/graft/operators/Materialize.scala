@@ -293,7 +293,7 @@ object Materialize {
     * canonicalized first (-0.0 → 0.0, one NaN bit pattern) — groupBy
     * normalizes floats before hashing, so without this a group's
     * rows could route to a different bucket than its state row. */
-  private def bucketCol(df: DataFrame, groupCols: Seq[String],
+  private[operators] def bucketCol(df: DataFrame, groupCols: Seq[String],
       buckets: Int): Column = {
     val normed = groupCols.map { c =>
       df.schema(c).dataType match {
@@ -319,7 +319,7 @@ object Materialize {
 
   /** The bucket partition dirs actually present under a just-written
     * bucketed state directory. */
-  private def presentBuckets(spark: SparkSession, dir: String)
+  private[operators] def presentBuckets(spark: SparkSession, dir: String)
       : Set[Int] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -442,7 +442,7 @@ object Materialize {
     * partition dirs, plus an always-present empty `_schema` slice (the
     * typed-schema anchor for reads when every bucket is empty —
     * `limit(0)` folds to an empty relation, so the write is free). */
-  private def writeBucketed(df: DataFrame, groupCols: Seq[String],
+  private[operators] def writeBucketed(df: DataFrame, groupCols: Seq[String],
       buckets: Int, dir: String): Unit = {
     // repartition ON the bucket id before the partitioned write: each
     // bucket then lives in exactly one task → ONE file per bucket dir

@@ -141,6 +141,9 @@ object MaterializeJoin {
   private[graft] object LastRefresh {
     @volatile var affectedGroups: Long = -1L
     @volatile var recomputeRan: Boolean = false
+    /** Bucketed refreshes only: `__b=` partitions read + rewritten by
+      * the last refresh (-1 = single-dir state). */
+    @volatile var bucketsTouched: Int = -1
   }
 
   private def requireNoTtl(cat: GraftCatalog, table: String): Unit =
@@ -311,7 +314,8 @@ object MaterializeJoin {
       cs: ChainSpec, vF: Long, vS: Seq[Long], groupCols: Seq[String],
       measures: Seq[String], stateDirName: String,
       sketches: Seq[(String, Int)], topks: Seq[(String, Int)],
-      grains: Seq[(String, String)]): Unit = {
+      grains: Seq[(String, String)], buckets: Int = 0,
+      bucketDirs: Seq[String] = Seq.empty): Unit = {
     import spark.implicits._
     Seq((cs.fact, cs.sides.map(_.table), cs.sides.map(_.keys),
         cs.sides.map(_.sideKeysImmutable),
@@ -321,14 +325,25 @@ object MaterializeJoin {
         topks.map(_._1), topks.map(_._2.toLong),
         grains.map(_._1), grains.map(_._2),
         spark.conf.get("spark.sql.session.timeZone"), cs.leftOuter,
-        cs.fullOuter))
+        cs.fullOuter, buckets.toLong, bucketDirs))
       .toDF("fact", "side_tables", "side_keys", "side_imms",
         "fact_imms", "last_vf", "last_vs", "group_cols", "measures",
         "state_dir", "sketch_cols", "sketch_ks", "topk_cols",
         "topk_caps", "grain_cols", "grain_sqls", "grain_tz",
-        "left_outer", "full_outer")
+        "left_outer", "full_outer", "state_buckets", "bucket_dirs")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
+
+  private def stateDir0(m: org.apache.spark.sql.Row): String =
+    m.getAs[String]("state_dir")
+
+  private def bucketsOf(m: org.apache.spark.sql.Row): Int =
+    if (!m.schema.fieldNames.contains("state_buckets")) 0
+    else m.getAs[Long]("state_buckets").toInt
+
+  private def bucketDirsOf(m: org.apache.spark.sql.Row): Seq[String] =
+    if (!m.schema.fieldNames.contains("bucket_dirs")) Seq.empty
+    else m.getSeq[String](m.fieldIndex("bucket_dirs"))
 
   private def grainsOf(m: org.apache.spark.sql.Row)
       : Seq[(String, String)] =
@@ -366,11 +381,19 @@ object MaterializeJoin {
 
   /** Full build: aggregate the joined current snapshots, persist,
     * record EVERY table's change-log high-water mark. */
+  /** `buckets > 0` lays the state out BUCKET-MANIFESTED exactly like
+    * [[Materialize.build]]'s `buckets`: groups route to
+    * `pmod(xxhash64(groupCols), B)` partition dirs, the meta carries a
+    * per-bucket manifest, and each refresh reads + rewrites ONLY the
+    * delta-touched buckets — the single-dir layout rewrites the whole
+    * O(groups) state per refresh, which at a billion-group 100 TB join
+    * MV dwarfs the delta-sized fold. */
   def build(cat: GraftCatalog, cs: ChainSpec, groupCols: Seq[String],
       measures: Seq[String], path: String,
       sketches: Seq[(String, Int)] = Seq.empty,
       topks: Seq[(String, Int)] = Seq.empty,
-      grainExprs: Seq[(String, String)] = Seq.empty)
+      grainExprs: Seq[(String, String)] = Seq.empty,
+      buckets: Int = 0)
       : (Long, Seq[Long]) = {
     val spark = cat.session
     validate(cat, cs, groupCols,
@@ -389,15 +412,26 @@ object MaterializeJoin {
         uptoV = if (t == cs.fact) vF
           else vS(cs.sides.indexWhere(_.table == t)))
     }
+    require(buckets >= 0, s"buckets must be >= 0, got $buckets")
+    require(buckets == 0 || !groupCols.contains("__b"),
+      "bucketed state reserves the __b column name")
     val agg = Materialize.aggregate(
       Materialize.withGrains(joinedSnapshotAt(cat, cs, vF, vS),
         grainExprs),
       groupCols, measures, sketches, topks)
     // flip-don't-overwrite: same naming discipline as Materialize
     val nd = s"state_v${vF}_${vS.mkString("_")}"
-    agg.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
+    val bucketDirs: Seq[String] =
+      if (buckets == 0) {
+        agg.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
+        Seq.empty
+      } else {
+        Materialize.writeBucketed(agg, groupCols, buckets, s"$path/$nd")
+        val present = Materialize.presentBuckets(spark, s"$path/$nd")
+        (0 until buckets).map(i => if (present.contains(i)) nd else "")
+      }
     writeMeta(spark, path, cs, vF, vS, groupCols, measures, nd,
-      sketches, topks, grainExprs)
+      sketches, topks, grainExprs, buckets, bucketDirs)
     (vF, vS)
   }
 
@@ -412,7 +446,9 @@ object MaterializeJoin {
     * state). */
   def read(spark: SparkSession, path: String): DataFrame = {
     val m = meta(spark, path)
-    spark.read.parquet(s"$path/${m.getAs[String]("state_dir")}")
+    // bucket-manifested metas resolve to the per-bucket leaf dirs
+    // (Materialize's resolver reads the same field names)
+    spark.read.parquet(Materialize.statePathsOf(path, m): _*)
   }
 
   /** Delete every `state_v*` dir the current meta no longer references
@@ -422,7 +458,11 @@ object MaterializeJoin {
     * [[Materialize.vacuum]]: run when no reader of a superseded dir is
     * in flight. */
   def vacuum(spark: SparkSession, path: String): Long = {
-    val live = meta(spark, path).getAs[String]("state_dir")
+    val m = meta(spark, path)
+    // a bucket manifest deliberately pins untouched buckets in OLDER
+    // dirs — every dir it references is live
+    val live = bucketDirsOf(m).filter(_.nonEmpty).toSet +
+      m.getAs[String]("state_dir")
     def size(f: java.io.File): Long =
       if (f.isDirectory)
         Option(f.listFiles).map(_.map(size).sum).getOrElse(0L)
@@ -432,7 +472,7 @@ object MaterializeJoin {
     }
     Option(new java.io.File(path).listFiles).toSeq.flatten
       .filter(d => d.isDirectory && d.getName.startsWith("state_v") &&
-        d.getName != live)
+        !live.contains(d.getName))
       .map { d => val b = size(d); del(d); b }.sum
   }
 
@@ -664,7 +704,7 @@ object MaterializeJoin {
           mn != Long.MaxValue && mn > lv }
     if (compacted || grainTzChanged)
       return build(cat, cs, groupCols, measures, path, sketches, topks,
-        grains)
+        grains, bucketsOf(m))
 
     // each delta / accumulated leg is read SEVERAL times (its zone
     // bound, its distinct-key set, the join itself, and the two-pass
@@ -804,8 +844,36 @@ object MaterializeJoin {
       (sideLegs ++ fullLegs).foldLeft(factLeg)(
         _.unionByName(_, allowMissingColumns = false)), grains)
 
-    val state = read(spark, path)
-    val stT: String => DataType = c => state.schema(c).dataType
+    // bucket-manifested state: slice the fold to the buckets the
+    // delta's groups touch (post rows AND retraction pre-images — any
+    // signed row can change its group's bucket), exactly like the
+    // single-table fold; untouched buckets keep their pinned dirs.
+    // The distinct-bucket probe is one delta-sized job over the
+    // already-cached legs.
+    val buckets = bucketsOf(m)
+    val stateAll = read(spark, path)
+    val touched: Option[Set[Int]] =
+      if (buckets == 0) None
+      else {
+        val tg = delta.select(groupCols.map(col): _*)
+        Some(tg
+          .select(Materialize.bucketCol(tg, groupCols, buckets)
+            .as("__b"))
+          .distinct().collect().map(_.getInt(0)).toSet)
+      }
+    LastRefresh.bucketsTouched = touched.map(_.size).getOrElse(-1)
+    val state = touched match {
+      case None => stateAll
+      case Some(tb) =>
+        val dirs = bucketDirsOf(m)
+        val paths = tb.toSeq.sorted.collect {
+          case i if dirs(i).nonEmpty =>
+            s"$path/${dirs(i)}/__b=$i" }
+        if (paths.isEmpty)
+          spark.read.parquet(s"$path/${stateDir0(m)}/_schema")
+        else spark.read.parquet(paths: _*)
+    }
+    val stT: String => DataType = c => stateAll.schema(c).dataType
     val mT: String => DataType = mm => stT(s"min_$mm")
 
     def carry(smin: String => Column, rmin: String => Column,
@@ -904,9 +972,27 @@ object MaterializeJoin {
           groupCols, measures, affected, affRows, sketches, topks,
           grains))
       val nd = s"state_v${newVF}_${newVS.mkString("_")}"
-      out.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
+      val newBucketDirs: Seq[String] =
+        if (buckets == 0) {
+          out.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
+          Seq.empty
+        } else {
+          // manifest flip: touched buckets point at the new dir (or
+          // vanish if emptied), untouched buckets keep their pinned
+          // dir — a reader of the PREVIOUS meta still sees a complete
+          // consistent old state
+          Materialize.writeBucketed(out, groupCols, buckets,
+            s"$path/$nd")
+          val present = Materialize.presentBuckets(spark, s"$path/$nd")
+          val old = bucketDirsOf(m)
+          (0 until buckets).map { i =>
+            if (touched.exists(_.contains(i)))
+              (if (present.contains(i)) nd else "")
+            else old(i)
+          }
+        }
       writeMeta(spark, path, cs, newVF, newVS, groupCols, measures, nd,
-        sketches, topks, grains)
+        sketches, topks, grains, buckets, newBucketDirs)
       (newVF, newVS)
     } finally {
       if (merged != null) merged.unpersist()

@@ -753,6 +753,56 @@ class MaterializeJoinSpec extends AnyFunSuite {
     assert(actual(path) == exp, "after pd repopulated")
   }
 
+  test("bucket-manifested join-MV state: a refresh reads + rewrites " +
+      "only delta-touched buckets, untouched buckets stay pinned, " +
+      "vacuum respects the manifest") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("bo", ordersSchema, pk = Seq("ok"))
+    cat.createTable("bc", custSchema, pk = Seq("ck"))
+    // 64 segments -> 64 groups spread over 16 buckets
+    cat.upsert("bo", spark.range(2000).select(col("id").as("ok"),
+      (col("id") % 640).as("ck"), (col("id") % 97).as("price")))
+    cat.upsert("bc", spark.range(640).select(col("id").as("ck"),
+      concat(lit("s"), (col("id") % 64).cast("string")).as("seg")))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmv_bk").toString
+    val bcs = MaterializeJoin.ChainSpec("bo", Seq(
+      MaterializeJoin.SideSpec("bc", Seq("ck"),
+        factKeysImmutable = true)))
+    MaterializeJoin.build(cat, bcs, Seq("seg"), Seq("price"),
+      path, buckets = 16)
+    def exp: Set[Seq[Any]] = Materialize.aggregate(
+      cat.snapshot("bo").join(cat.snapshot("bc"), Seq("ck")),
+      Seq("seg"), Seq("price")).collect().map(canon).toSet
+    assert(actual(path) == exp, "bucketed build")
+    // one fact update touching ONE segment's group
+    cat.upsert("bo", Seq((1L, 1L, 50L)).toDF("ok", "ck", "price"))
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == exp, "after fact churn")
+    assert(MaterializeJoin.LastRefresh.bucketsTouched > 0 &&
+      MaterializeJoin.LastRefresh.bucketsTouched <= 2,
+      s"a one-group delta must touch ~1 bucket of 16, " +
+        s"got ${MaterializeJoin.LastRefresh.bucketsTouched}")
+    // dim regroup (a group moves buckets: retraction in one bucket,
+    // insert in another) + a delete, then vacuum — the manifest's
+    // pinned old dirs must survive, the superseded ones go
+    cat.upsert("bc", Seq((5L, "zz")).toDF("ck", "seg"))
+    cat.delete("bo", col("ok") === 7L)
+    MaterializeJoin.refresh(cat, path)
+    assert(actual(path) == exp, "after dim churn + delete")
+    val reclaimed = MaterializeJoin.vacuum(spark, path)
+    assert(actual(path) == exp, "after vacuum")
+    assert(reclaimed >= 0L)
+    // the manifest still references MULTIPLE dirs (untouched buckets
+    // pinned in older ones) — that is the layout's whole point
+    val m = spark.read.parquet(s"$path/meta").head()
+    val dirs = m.getSeq[String](m.fieldIndex("bucket_dirs"))
+      .filter(_.nonEmpty).toSet
+    assert(dirs.size >= 2,
+      s"expected pinned old dirs + the new one, got $dirs")
+  }
+
   // ---- FULL-outer binary join IVM ----
 
   private val fjs =

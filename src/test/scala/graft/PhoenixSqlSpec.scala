@@ -1558,6 +1558,42 @@ class PhoenixSqlSpec extends AnyFunSuite {
       Seq(("2026-01-03 00:00:00.0", 12L), ("2026-02-04 00:00:00.0", 11L)))
   }
 
+  test("CREATE MATERIALIZED VIEW over a SNOWFLAKE join: a dim-on-dim " +
+      "ON clause parses, builds the tree chain, and serves") {
+    val px = fresh()
+    px.execute("CREATE TABLE DF (OK BIGINT NOT NULL, CK BIGINT, " +
+      "X BIGINT CONSTRAINT PK PRIMARY KEY (OK))")
+    px.execute("CREATE TABLE DC (CK BIGINT NOT NULL, NK BIGINT " +
+      "CONSTRAINT PK PRIMARY KEY (CK))")
+    px.execute("CREATE TABLE DN (NK BIGINT NOT NULL, NNAME VARCHAR " +
+      "CONSTRAINT PK PRIMARY KEY (NK))")
+    px.execute("UPSERT INTO DF VALUES (1, 10, 100)")
+    px.execute("UPSERT INTO DF VALUES (2, 20, 50)")
+    px.execute("UPSERT INTO DC VALUES (10, 1)")
+    px.execute("UPSERT INTO DC VALUES (20, 2)")
+    px.execute("UPSERT INTO DN VALUES (1, 'de')")
+    px.execute("UPSERT INTO DN VALUES (2, 'fr')")
+    px.execute("CREATE MATERIALIZED VIEW DMV AS SELECT NNAME, " +
+      "COUNT(*), SUM(X) FROM DF JOIN DC ON DF.CK = DC.CK " +
+      "JOIN DN ON DC.NK = DN.NK GROUP BY NNAME")
+    def run(expectServed: Boolean) = {
+      val q = px.execute("SELECT NNAME, SUM(X) AS sx FROM DF " +
+        "JOIN DC ON DF.CK = DC.CK JOIN DN ON DC.NK = DN.NK " +
+        "GROUP BY NNAME ORDER BY NNAME")
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains(px.catalog.mvPath("dmv")) == expectServed,
+        s"expected served=$expectServed:\n$plan")
+      q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    assert(run(expectServed = true) == Seq(("de", 100L), ("fr", 50L)))
+    // INTERMEDIATE dim churn through SQL: customer 20 moves to nation
+    // 1 — refresh folds it through the tree legs and re-serves
+    px.execute("UPSERT INTO DC VALUES (20, 1)")
+    assert(run(expectServed = false) == Seq(("de", 150L)))
+    px.execute("REFRESH MATERIALIZED VIEW DMV")
+    assert(run(expectServed = true) == Seq(("de", 150L)))
+  }
+
   test("SNOWFLAKE MV serving: fact ⋈ dim ⋈ dim-on-dim front-end " +
       "query serves from chain state (nullable keys incl. the " +
       "intermediate snowflake key)") {
