@@ -26,7 +26,15 @@ object Verify {
     // MinHash permutations, SimHash feature hashes and LSH bands are
     // all fixed-seed), so a hash/banding regression is pinnable even
     // though bucket membership has no SQL spelling
-    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_incremental_lsh")
+    "q_dedup_minhash", "q_dedup_simhash", "q_dedup_incremental_lsh",
+    // deterministic sequential/derived outputs with no SQL spelling:
+    // greedy MMR selection, best-fit-decreasing packing, the
+    // histogram-trained BPE merge table, zlib ratio buckets, and
+    // centroid-seeded semantic dedup are all fixed-seed functions of
+    // the fixture — pinnable end to end
+    "q_mmr_select", "q_pack_bins", "q_bpe_tokens",
+    "q_compression_ratio", "q_dedup_semantic",
+    "q_dedup_simhash_incremental", "q_dedup_embedding_lsh")
 
   /** Order-insensitive canonical hash: rows rendered field-by-field
     * (binary → hex), fields \u0001-joined (an unambiguous separator

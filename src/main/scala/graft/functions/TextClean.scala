@@ -336,3 +336,77 @@ case class C4LineStats(child: Expression) extends UnaryExpression {
     copy(child = c)
   override def prettyName: String = "c4_line_stats"
 }
+
+/** Immutable line-blocklist probe: drop lines whose XXH64 (seed 42, the
+  * SAME hash [[graft.operators.Dedup]]'s `lineFreqTable` keys `lk` by)
+  * sits in a blocked set. The set rides the kernel as a SORTED long
+  * array probed by binary search — zero boxing, no per-row closure
+  * state, serializable once per plan instead of once per task. Built
+  * for [[graft.streaming.EventStreams.lineFilterStream]]'s bounded
+  * boilerplate set; the batch path keeps its anti-join form. */
+final class LineBlocklistKernel(hashes0: Array[Long], sep: String)
+    extends Serializable {
+  private val hashes: Array[Long] = {
+    val h = hashes0.clone(); java.util.Arrays.sort(h); h
+  }
+  private val sepPat = java.util.regex.Pattern
+    .compile(java.util.regex.Pattern.quote(sep))
+
+  def filter(text: UTF8String): InternalRow = {
+    // -1 limit keeps trailing empty lines, matching SQL split()
+    val lines = sepPat.split(text.toString, -1)
+    val kept = new java.lang.StringBuilder
+    var nKept = 0L
+    var i = 0
+    while (i < lines.length) {
+      val b = lines(i)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(b,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          b.length, 42L)
+      if (java.util.Arrays.binarySearch(hashes, h) < 0) {
+        if (nKept > 0) kept.append(sep)
+        kept.append(lines(i))
+        nKept += 1L
+      }
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](lines.length.toLong, nKept,
+      UTF8String.fromString(kept.toString)))
+  }
+}
+
+/** LINE_BLOCKLIST_FILTER(text) → struct<n_lines:long, n_kept:long,
+  * text_clean:string> over a plan-bound [[LineBlocklistKernel]]. The
+  * codegen'd form keeps the streaming boilerplate filter inside the
+  * whole-stage span — the Scala `udf` it replaced serialized a closure
+  * per task and boxed every line. Null in → null struct. */
+case class LineBlocklistFilter(child: Expression,
+    kernel: LineBlocklistKernel) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", LongType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("text_clean", StringType, nullable = false)))
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType == StringType) TypeCheckSuccess
+    else TypeCheckFailure(
+      s"line_blocklist_filter requires a STRING column, got " +
+        child.dataType.catalogString)
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    kernel.filter(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode)
+      : ExprCode = {
+    val ref = ctx.addReferenceObj("lineBlocklistKernel", kernel,
+      classOf[LineBlocklistKernel].getName)
+    defineCodeGen(ctx, ev, a => s"$ref.filter($a)")
+  }
+  override protected def withNewChildInternal(c: Expression)
+      : LineBlocklistFilter = copy(child = c)
+  override def prettyName: String = "line_blocklist_filter"
+}

@@ -284,6 +284,15 @@ object Materialize {
     if (!meta.schema.fieldNames.contains("state_buckets")) 0
     else meta.getAs[Long]("state_buckets").toInt
 
+  /** WHERE-filtered MV: the row predicate (SQL text over base columns)
+    * the state was built under. First-class in the meta — refresh
+    * re-reads it from there, so an API refresh of a DDL-created
+    * filtered MV can never silently fold unfiltered deltas. */
+  private[graft] def filterOf(meta: org.apache.spark.sql.Row)
+      : Option[String] =
+    if (!meta.schema.fieldNames.contains("filter_sql")) None
+    else Option(meta.getAs[String]("filter_sql")).filter(_.nonEmpty)
+
   private def bucketDirsOf(meta: org.apache.spark.sql.Row): Seq[String] =
     if (!meta.schema.fieldNames.contains("bucket_dirs")) Seq.empty
     else meta.getSeq[String](meta.fieldIndex("bucket_dirs"))
@@ -360,7 +369,8 @@ object Materialize {
       sketches: Seq[(String, Int)] = Seq.empty,
       buckets: Int = 0,
       derive: DataFrame => DataFrame = NoDerive,
-      topks: Seq[(String, Int)] = Seq.empty): Long = {
+      topks: Seq[(String, Int)] = Seq.empty,
+      filterSql: Option[String] = None): Long = {
     val spark = cat.changeLog(table).sparkSession
     import spark.implicits._
     // sample the clock BEFORE constructing the snapshot: its TTL cutoff
@@ -419,8 +429,13 @@ object Materialize {
     // excluded from both the state and the recorded high-water, so the
     // first refresh folds it exactly once (an unbounded snapshot could
     // include it while the meta says it wasn't folded → double count)
+    // WHERE-filtered MV: the predicate applies BELOW derive on the base
+    // rows — the fold reads carry it into the scan, and refresh reads
+    // the same text back from the meta
+    val flt: DataFrame => DataFrame = df =>
+      filterSql.map(f => df.where(expr(f))).getOrElse(df)
     val agg = aggregate(
-      withGrains(derive(cat.snapshotUpTo(table, v)), grainExprs),
+      withGrains(derive(flt(cat.snapshotUpTo(table, v))), grainExprs),
       groupCols, measures, sketches, topks)
     val bucketDirs: Seq[String] =
       if (buckets == 0) {
@@ -434,7 +449,8 @@ object Materialize {
       }
     writeMeta(spark, path, v, groupCols, measures, ts, stateDirName,
       cat.ttlSeconds(table).getOrElse(-1L), grainExprs, sketches,
-      buckets, bucketDirs, dimFp = dimFp, dimPin = dimPin, topks = topks)
+      buckets, bucketDirs, dimFp = dimFp, dimPin = dimPin,
+      topks = topks, filterSql = filterSql)
     v
   }
 
@@ -461,19 +477,21 @@ object Materialize {
       sketches: Seq[(String, Int)], buckets: Int,
       bucketDirs: Seq[String], grainTz: Option[String] = None,
       dimFp: Seq[Long] = Seq.empty, dimPin: String = "",
-      topks: Seq[(String, Int)] = Seq.empty): Unit = {
+      topks: Seq[(String, Int)] = Seq.empty,
+      filterSql: Option[String] = None): Unit = {
     import spark.implicits._
     Seq((v, groupCols, measures, ts, stateDirName, ttl,
         grains.map(_._1), grains.map(_._2),
         grainTz.getOrElse(spark.conf.get("spark.sql.session.timeZone")),
         sketches.map(_._1), sketches.map(_._2.toLong),
         buckets.toLong, bucketDirs, dimFp, dimPin,
-        topks.map(_._1), topks.map(_._2.toLong)))
+        topks.map(_._1), topks.map(_._2.toLong),
+        filterSql.getOrElse("")))
       .toDF("last_version", "group_cols", "measures", "refresh_ts",
         "state_dir", "ttl_at_refresh", "grain_cols", "grain_sqls",
         "grain_tz", "sketch_cols", "sketch_ks",
         "state_buckets", "bucket_dirs", "dim_fp", "dim_pin",
-        "topk_cols", "topk_caps")
+        "topk_cols", "topk_caps", "filter_sql")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
@@ -565,7 +583,8 @@ object Materialize {
       graft.plans.GraftAggViews.AggViewDef(path,
         meta.getSeq[String](1), meta.getSeq[String](2),
         grainsOf(meta).toMap, sketchesOf(meta).toMap, dims = dims,
-        topks = topksOf(meta).toMap, fresh = fresh))
+        topks = topksOf(meta).toMap, fresh = fresh,
+        filterSql = filterOf(meta)))
   }
 
   /** The maintained aggregate as a DataFrame (current persisted state).
@@ -621,7 +640,7 @@ object Materialize {
       grainTz = if (f.contains("grain_tz"))
         Some(meta.getAs[String]("grain_tz")) else None,
       dimFp = dimFpsOf(meta), dimPin = dimPinOf(meta),
-      topks = topksOf(meta))
+      topks = topksOf(meta), filterSql = filterOf(meta))
     vacuum(spark, path)
   }
 
@@ -651,12 +670,15 @@ object Materialize {
     * Returns the new high-water version (== old one when nothing
     * changed, in which case no new state is written).
     *
-    * Incremental folding requires the change log to still CONTAIN the
-    * history the state summarizes: after [[GraftCatalog.compact]]
-    * (history discarded, rows rewritten under one new version) the
+    * Incremental folding requires the change log to still REPLAY the
+    * history the state summarizes: after a history discard past the
+    * fold mark ([[GraftCatalog.compact]] full form, or a truncate) the
     * delta-since-lastV would re-count every surviving row — detected
-    * via the RAW log's minimum version and handled with a full rebuild
-    * at the new mark, which is always correct.
+    * via the catalog's replayability floor (an O(1) marker read) and
+    * handled with a full rebuild at the new mark, which is always
+    * correct. A FLOORED compaction (`compact(name, keepAfter)`) at or
+    * below the fold mark preserves bounded-collapse exactness there,
+    * so refresh stays incremental across routine log maintenance.
     *
     * A finite TTL does NOT force a rebuild: rows whose `_ts` crossed
     * the TTL boundary since the last refresh (alive then, expired now)
@@ -673,6 +695,7 @@ object Materialize {
     * this boundary, it just has to pick one. */
   def refresh(cat: GraftCatalog, table: String, path: String,
       derive: DataFrame => DataFrame = NoDerive): Long = {
+    LastRefresh.rebuildRan = false
     val spark = cat.changeLog(table).sparkSession
     val meta = spark.read.parquet(s"$path/meta").head()
     val lastV = meta.getLong(0)
@@ -683,35 +706,50 @@ object Materialize {
     val topks = topksOf(meta)
     if (sketches.nonEmpty || topks.nonEmpty)
       graft.functions.GraftFunctions.registerKernels(spark)
+    // WHERE-filtered MV: the predicate rides the meta, so EVERY fold
+    // read below — post rows, retraction pre-images, expiry winners,
+    // the affected-group recompute — filters exactly like the build
+    // did, whoever triggers the refresh
+    val filterSql = filterOf(meta)
+    val fd: DataFrame => DataFrame = df =>
+      derive(filterSql.map(f => df.where(expr(f))).getOrElse(df))
     val ttl = cat.ttlSeconds(table)
     val nowMs = cat.clock()
     val rawLog = cat.changeLogRaw(table)
-    // ONE raw-log scan serves both marks (previously two full log scans
-    // per refresh): the TTL-alive maximum version — the same cutoff
-    // algebra the filtered changeLog applies, sampled from the SAME
-    // nowMs the expiry window below uses — and the RAW minimum (the
-    // compaction detector; the filtered minimum rises as rows expire,
-    // which is not a compaction)
-    val aliveForHw: Column = ttl.map(t =>
-        col("_ts").isNull ||
-          col("_ts") >= lit(new java.sql.Timestamp(nowMs - t * 1000L)))
-      .getOrElse(lit(true))
-    val marks = rawLog.agg(
-      coalesce(max(when(aliveForHw, col("_version"))), lit(-1L)),
-      coalesce(min(col("_version")), lit(Long.MaxValue)),
-      coalesce(max(col("_version")), lit(-1L))).head
-    // TTL-free: mark with the version counter (see build — the probe
-    // contract plus zero-row-write robustness; as a bound it covers
-    // the same rows). TTL: the alive-max drives the expiry algebra.
-    val newV =
-      if (ttl.isEmpty) cat.currentVersion(table) else marks.getLong(0)
-    val minV = marks.getLong(1)
-    // the RAW high-water sampled in the same pass: every log read below
-    // is bounded at it, so a write landing while this refresh runs is
-    // excluded from the fold (and from the recorded marks) and folds
-    // exactly once in the next refresh — the same consistent-window
-    // rule the join fold enforces
-    val rawMax = marks.getLong(2)
+    // TTL-free: mark AND bound with the version counter, sampled BEFORE
+    // any log read (see build — the probe contract plus zero-row-write
+    // robustness). The counter is a valid upper bound at sample time —
+    // the write protocol publishes it only after a version's rows have
+    // fully landed — and sampling it FIRST is what makes the window
+    // consistent: a write landing while this refresh runs has a version
+    // above the sample, is excluded from every bounded read below AND
+    // from the recorded mark, and folds exactly once in the next
+    // refresh (the order MaterializeJoin.refresh's marksOf uses).
+    // Sampling after a bounded scan instead would leave versions in
+    // (scan-max, counter] covered by the mark but never folded — a
+    // silently lost update. No log scan is needed in this mode.
+    //
+    // TTL: the expiry algebra needs the TTL-alive maximum version (the
+    // same cutoff the filtered changeLog applies, from the SAME nowMs
+    // the expiry window below uses) plus the raw maximum as the fold
+    // bound — both from ONE scan, so they are mutually consistent.
+    val ctr = if (ttl.isEmpty) cat.currentVersion(table) else -1L
+    val marks =
+      if (ttl.isEmpty) null
+      else {
+        val aliveForHw: Column = col("_ts").isNull ||
+          col("_ts") >= lit(new java.sql.Timestamp(
+            nowMs - ttl.get * 1000L))
+        rawLog.agg(
+          coalesce(max(when(aliveForHw, col("_version"))), lit(-1L)),
+          coalesce(max(col("_version")), lit(-1L))).head
+      }
+    val newV = if (ttl.isEmpty) ctr else marks.getLong(0)
+    // the replayability floor (O(1) marker read) replaces the old
+    // min-version scan as the compaction/truncate detector: a fold
+    // mark below it summarizes history the log can no longer replay
+    val floor = cat.compactionFloor(table)
+    val rawMax = if (ttl.isEmpty) ctr else marks.getLong(1)
     val log = rawLog.where(col("_version") <= rawMax)
     // expiry writes nothing to the log, so under a TTL an unchanged
     // high-water mark does NOT mean an unchanged table — time alone
@@ -737,9 +775,12 @@ object Materialize {
     val grainTzChanged = grains.nonEmpty &&
       (!meta.schema.fieldNames.contains("grain_tz") ||
         meta.getAs[String]("grain_tz") != sessionTz)
-    if (minV > lastV || !hasRefreshTs || ttlChanged || grainTzChanged)
+    if (floor > lastV || !hasRefreshTs || ttlChanged || grainTzChanged) {
+      LastRefresh.rebuildRan = true
       return build(cat, table, groupCols, measures, path, grains,
-        sketches, bucketsOf(meta), derive, topks)
+        sketches, bucketsOf(meta), derive, topks,
+        filterSql = filterSql)
+    }
     val lastRefreshMs = meta.getAs[Long]("refresh_ts")
     // alive-at-now cutoff for post images; None ⇒ no expiry
     val nowCut = ttl.map(t => new java.sql.Timestamp(nowMs - t * 1000L))
@@ -773,9 +814,12 @@ object Materialize {
             "enable dim-stability enforcement")
         val cur = ed.fingerprints()
         if (cur != stamped) {
-          if (ed.rebuildOnDimChangeOf)
+          if (ed.rebuildOnDimChangeOf) {
+            LastRefresh.rebuildRan = true
             return build(cat, table, groupCols, measures, path,
-              grains, sketches, bucketsOf(meta), derive, topks)
+              grains, sketches, bucketsOf(meta), derive, topks,
+              filterSql = filterSql)
+          }
           val pin = dimPinOf(meta)
           val which =
             if (stamped.size == cur.size)
@@ -857,7 +901,7 @@ object Materialize {
       case _ => None
     }
     val retracted = withGrains(
-      derive(expVals.foldLeft(preVals)(_ unionByName _)), grains)
+      fd(expVals.foldLeft(preVals)(_ unionByName _)), grains)
 
     // ---- bucket-manifested state: slice the fold to touched buckets ----
     // Only a bucket holding a delta-inserted or retraction/expiry group
@@ -877,7 +921,7 @@ object Materialize {
     val touched: Option[Set[Int]] =
       if (buckets == 0) None
       else {
-        val tg = withGrains(derive(
+        val tg = withGrains(fd(
             changes.where(!col("_deleted") && aliveNow)
               .select(fields.map(col): _*)), grains)
           .select(groupCols.map(col): _*)
@@ -923,7 +967,7 @@ object Materialize {
     // guarantee depends on the delta and the build producing identical
     // widened sum types for the type-strict unionByName merge below
     val postRows = aggregate(
-        withGrains(derive(changes.where(!col("_deleted") && aliveNow)
+        withGrains(fd(changes.where(!col("_deleted") && aliveNow)
           .select(fields.map(col): _*)), grains),
         groupCols, measures, sketches, topks)
       .withColumn("__retr", lit(0)).withColumn("__instate", lit(0))
@@ -1030,7 +1074,7 @@ object Materialize {
     val out = if (affectedCount == 0) kept
       else kept.unionByName(
         recomputePlan(cat, table, groupCols, measures, grains, affected,
-          affRows, sketches, derive, topks, uptoV = Some(rawMax)))
+          affRows, sketches, fd, topks, uptoV = Some(rawMax)))
     // a distinct target dir always — an expiry-only refresh keeps the
     // version number, so suffix it to avoid overwriting the state
     // being read
@@ -1122,6 +1166,11 @@ object Materialize {
   private[graft] object LastRefresh {
     @volatile var affectedGroups: Long = -1L
     @volatile var recomputeRan: Boolean = false
+    /** True when the last refresh() fell back to a FULL REBUILD
+      * (history discarded past the fold mark, TTL/tz change, dim-churn
+      * opt-in) instead of folding incrementally — what the floored-
+      * compaction specs pin on. */
+    @volatile var rebuildRan: Boolean = false
     /** Bucketed refreshes only: how many `__b=` partitions this refresh
       * read + rewrote (-1 = legacy single-dir state), of how many. */
     @volatile var bucketsTouched: Int = -1

@@ -106,17 +106,21 @@ object MaterializeJoin {
     * legs apply, with ΔŜ = ΔS plus a ±1 synthetic NULL row per
     * delta-touched key whose match count crossed zero (computed from
     * two delta-key-bounded count probes, never a side scan). */
-  /** `fullOuter = true` (BINARY only) maintains γ(F ⟗ S): the full
-    * join decomposes as (F ⟕ S) ⊎ (S ▷ F × NULL_F) — the left part
-    * rides the `leftOuter` machinery unchanged, and the side-dangling
-    * part gets two more telescoping legs over the FACT's
-    * null-extension indicator F̂n (one NULL-fact row per key the fact
-    * does not hold): ΔF̂n ⋈ S_old (fact-count zero crossings,
-    * delta-key-bounded) and F̂n_new ⋈ ΔS (side-delta rows whose key
+  /** `fullOuter = true` (star-shaped chains: every side keyed on the
+    * FACT) maintains γ(F ⟗ S₁ ⟗ … ⟗ Sₙ): the sequential full join
+    * decomposes as (F ⟕ S₁ ⟕ … ⟕ Sₙ) ⊎ ⊎ᵢ(Sᵢ ▷ F × NULL_rest) — the
+    * left part rides the `leftOuter` machinery unchanged (a
+    * side-i-dangling row's NULL fact keys never match the other
+    * sides, so each dangling part is independent), and each side's
+    * dangling part gets two more telescoping legs over the FACT's
+    * null-extension indicator F̂nᵢ (one NULL-fact row per keyᵢ the
+    * fact does not hold): ΔF̂nᵢ ⋈ Sᵢ_old (fact-count zero crossings,
+    * delta-key-bounded) and F̂nᵢ_new ⋈ ΔSᵢ (side-delta rows whose key
     * has no fact match at the new mark — a NULL side key never
     * matches, so such rows are permanently dangling and fold here
-    * too). Serving is read()/API only (the rewrite does not capture
-    * FULL OUTER query plans); registerForRewrite refuses. */
+    * too). Serving: FULL OUTER queries through the rewrite
+    * (`fullState` contract — INNER/LEFT/un-joined refuse), or
+    * read()/API. */
   final case class ChainSpec(fact: String, sides: Seq[SideSpec],
       leftOuter: Boolean = false, fullOuter: Boolean = false)
 
@@ -144,6 +148,10 @@ object MaterializeJoin {
     /** Bucketed refreshes only: `__b=` partitions read + rewritten by
       * the last refresh (-1 = single-dir state). */
     @volatile var bucketsTouched: Int = -1
+    /** True when the last refresh() fell back to a FULL REBUILD (some
+      * log's replayability floor rose past its fold mark, or a grain-tz
+      * change) instead of folding incrementally. */
+    @volatile var rebuildRan: Boolean = false
   }
 
   private def requireNoTtl(cat: GraftCatalog, table: String): Unit =
@@ -213,9 +221,11 @@ object MaterializeJoin {
         "snowflake legs do not commute)")
     require(!(cs.leftOuter && cs.fullOuter),
       "leftOuter and fullOuter are mutually exclusive")
-    require(!cs.fullOuter || cs.sides.size == 1,
-      "fullOuter join MVs are BINARY (one side): an N-way full outer " +
-        "is not associatively decomposable into per-side legs")
+    require(!cs.fullOuter || parents.forall(_ == -1),
+      "fullOuter chains require every side keyed on the FACT: the " +
+        "sequential full join then decomposes as the LEFT part plus " +
+        "one independent side-dangling part per side (a snowflake " +
+        "edge's null-extension does not commute through the chain)")
     // a column name may be shared across tables ONLY as a join key,
     // and only between a side and its PARENT (the two tables that
     // edge actually joins). This catches the plain duplicate (a
@@ -483,7 +493,9 @@ object MaterializeJoin {
     * un-joined refuse, the state never counted unmatched fact rows;
     * `leftState` for a `leftOuter` chain: LEFT queries serve, INNER
     * or un-joined refuse, the state counted NULL-extended facts a
-    * tighter query would drop). Staleness safety is ENFORCED per serve attempt: the
+    * tighter query would drop; `fullState` for a `fullOuter` chain:
+    * FULL OUTER queries serve, everything tighter refuses — the state
+    * counted dangling rows on BOTH sides). Staleness safety is ENFORCED per serve attempt: the
     * registration carries a freshness probe comparing the MV meta's
     * folded `(last_vf, last_vs)` marks against EVERY involved table's
     * current version counter (O(1) file reads) — cache-scan matching
@@ -496,10 +508,6 @@ object MaterializeJoin {
     val spark = cat.session
     val m = meta(spark, path)
     val cs = specOf(m)
-    require(!cs.fullOuter,
-      "a FULL-outer join MV cannot register for rewrite: the rule " +
-        "does not capture FULL OUTER query joins — read the state " +
-        "via MaterializeJoin.read")
     val groupCols = m.getSeq[String](m.fieldIndex("group_cols"))
     val measures = m.getSeq[String](m.fieldIndex("measures"))
     val served = groupCols ++ measures ++
@@ -515,7 +523,8 @@ object MaterializeJoin {
         .map(c => c -> c).toMap
       graft.plans.GraftAggViews.DimJoinDef(cat.tablePath(s.table),
         factKeys = s.keys, dimKeys = s.keys, dimAttrs = attrs,
-        innerState = !cs.leftOuter, leftState = cs.leftOuter)
+        innerState = !cs.leftOuter && !cs.fullOuter,
+        leftState = cs.leftOuter, fullState = cs.fullOuter)
     }
     // positive-probe memo keyed by the full counter vector — same
     // soundness argument as the single-table registrant's (a refresh
@@ -580,9 +589,17 @@ object MaterializeJoin {
     * key-clustered layout. Mutable non-PK keys keep the filter above
     * the collapse: still delta-bounded shuffle, full-scan read — the
     * honest fallback. */
+  /** Per-refresh zone-probe memo: (delta plan identity, key) → probed
+    * bounds. The same cached delta is probed from several legs (the
+    * null-extension count pair probes it twice back-to-back), and each
+    * probe is a serial DRIVER JOB — the memo collapses the duplicates,
+    * and the parallel leg builders share it safely. */
+  private type ZoneMemo = scala.collection.concurrent.TrieMap[
+    (Int, Seq[String]), Option[Option[(Any, Any)]]]
+
   private def boundedSide(cat: GraftCatalog, table: String,
       asOfV: Long, delta: DataFrame, keys: Seq[String],
-      immutable: Boolean): DataFrame = {
+      immutable: Boolean, memo: ZoneMemo = new ZoneMemo): DataFrame = {
     // ALWAYS version-bounded — NEW factors read as of the refresh's
     // sampled mark (snapshotUpTo rides the snapshot cache when it
     // can), OLD factors as of the last fold's mark; an unbounded
@@ -591,11 +608,14 @@ object MaterializeJoin {
     def plain: DataFrame = cat.snapshotUpTo(table, asOfV)
     val zone: Option[Option[(Any, Any)]] =
       if (keys.size != 1) None
-      else scala.util.Try {
-        val b = delta.agg(min(col(keys.head)), max(col(keys.head))).head
-        if (b.isNullAt(0)) Some(None) // delta keys all NULL: no match
-        else Some(Some((b.get(0), b.get(1))))
-      }.getOrElse(None) // un-orderable key type: semi-join only
+      else memo.getOrElseUpdate(
+        (System.identityHashCode(delta), keys),
+        scala.util.Try {
+          val b =
+            delta.agg(min(col(keys.head)), max(col(keys.head))).head
+          if (b.isNullAt(0)) Some(None) // delta keys all NULL: no match
+          else Some(Some((b.get(0), b.get(1))))
+        }.getOrElse(None)) // un-orderable key type: semi-join only
     // a key that is a SUBSET of the PK still pushes below the collapse
     // (any grouping-column filter does) — no prefilter needed
     val pkIsKey = keys.toSet.subsetOf(cat.spec(table).pk.toSet)
@@ -629,12 +649,14 @@ object MaterializeJoin {
     * NULL keys never match any fact row under the equality join, so
     * their (harmless) rows are dropped by the inner fact join. */
   private def nullExtensionDelta(cat: GraftCatalog, side: SideSpec,
-      d: DataFrame, lastV: Long, newV: Long): DataFrame = {
+      d: DataFrame, lastV: Long, newV: Long,
+      memo: ZoneMemo = new ZoneMemo): DataFrame = {
     val s = cat.spec(side.table)
     val fields = s.schema.fields.toSeq
     val keys = side.keys
     def cnt(v: Long, as: String): DataFrame =
-      boundedSide(cat, side.table, v, d, keys, side.sideKeysImmutable)
+      boundedSide(cat, side.table, v, d, keys, side.sideKeysImmutable,
+          memo)
         .groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
     val w = when(col("__cold") > 0 && col("__cnew") === 0, lit(1L))
       .when(col("__cold") === 0 && col("__cnew") > 0, lit(-1L))
@@ -661,6 +683,7 @@ object MaterializeJoin {
     * persisted joined-aggregate state. Returns the new (factV, sideVs)
     * high-water marks (== the stored ones when nothing changed). */
   def refresh(cat: GraftCatalog, path: String): (Long, Seq[Long]) = {
+    LastRefresh.rebuildRan = false
     val spark = cat.session
     val m = meta(spark, path)
     val cs = specOf(m)
@@ -681,30 +704,28 @@ object MaterializeJoin {
     val grainTzChanged = grains.nonEmpty &&
       m.getAs[String]("grain_tz") !=
         spark.conf.get("spark.sql.session.timeZone")
-    // high-water from the O(1) version counter (see highWater); the
-    // log's MINIMUM still needs a (footer-pruned) scan — it is the
-    // compaction detector's signal
+    // high-water from the O(1) version counter (see highWater) paired
+    // with the table's replayability floor (an O(1) marker read —
+    // previously a footer-pruned min-version scan PER TABLE PER
+    // refresh, a real driver-latency term on deep chains): the floor
+    // is the compaction/truncate detector's signal
     val marksOf: String => (Long, Long) = t =>
-      (cat.currentVersion(t),
-        cat.changeLogRaw(t)
-          .agg(coalesce(min(col("_version")), lit(Long.MaxValue)))
-          .head.getLong(0))
-    val (newVF, minVF) = marksOf(cs.fact)
+      (cat.currentVersion(t), cat.compactionFloor(t))
+    val (newVF, floorF) = marksOf(cs.fact)
     val sideMarks = cs.sides.map(s => marksOf(s.table))
     val newVS = sideMarks.map(_._1)
     if (newVF == lastVF && newVS == lastVS) return (lastVF, lastVS)
-    // any log compacted past the fold point → only a rebuild is
-    // correct (the history the state summarizes is gone). An EMPTY log
-    // (min == MaxValue sentinel) has lost nothing — without the guard
-    // a never-written table (MV built before its fact receives data)
-    // forced a full rebuild on every refresh while its log stayed empty
-    val compacted =
-      (minVF != Long.MaxValue && minVF > lastVF) ||
-        sideMarks.map(_._2).zip(lastVS).exists { case (mn, lv) =>
-          mn != Long.MaxValue && mn > lv }
-    if (compacted || grainTzChanged)
+    // any log with history discarded past the fold point → only a
+    // rebuild is correct (the rows the state summarizes can no longer
+    // be retraced). A FLOORED compaction at or below the fold mark
+    // keeps bounded reads exact, so it deliberately does NOT trip this
+    val compacted = floorF > lastVF ||
+      sideMarks.map(_._2).zip(lastVS).exists { case (fl, lv) => fl > lv }
+    if (compacted || grainTzChanged) {
+      LastRefresh.rebuildRan = true
       return build(cat, cs, groupCols, measures, path, sketches, topks,
         grains, bucketsOf(m))
+    }
 
     // each delta / accumulated leg is read SEVERAL times (its zone
     // bound, its distinct-key set, the join itself, and the two-pass
@@ -718,8 +739,11 @@ object MaterializeJoin {
     def cache(df: DataFrame): DataFrame = {
       val c = df.persist(
         org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached += c; c
+      cached.synchronized { cached += c }; c
     }
+    // one zone-probe memo for the whole refresh (see ZoneMemo) — the
+    // parallel leg builders below share it
+    val zoneMemo = new ZoneMemo
     // telescoping legs over the consistent (last, new] window: Δfact
     // against every side OLD; per side i, fact NEW ⋈ sides<i NEW ⋈
     // Δside_i ⋈ sides>i OLD — every delta bounded at its table's
@@ -750,7 +774,8 @@ object MaterializeJoin {
       .foldLeft(dFact) {
         case (acc, (s, j)) =>
           cache(acc.join(boundedSide(cat, s.table, lastVS(j),
-            acc, s.keys, s.sideKeysImmutable), s.keys, sideJt))
+            acc, s.keys, s.sideKeysImmutable, zoneMemo), s.keys,
+            sideJt))
       }
     // per-side legs walk OUTWARD from the delta along the join tree
     // (parents resolved once): each crossed edge joins one more table,
@@ -760,13 +785,23 @@ object MaterializeJoin {
     // j < i reads NEW (this refresh's mark), j > i reads OLD, the fact
     // reads NEW in every side leg.
     val parents = parentsOf(cat, cs)
-    val sideLegs = cs.sides.indices.map { i =>
+    // LEG-PARALLEL construction: each side's leg is independent of the
+    // others (cached deltas + version-bounded factor reads, no shared
+    // mutable state beyond the synchronized cache list and the probe
+    // memo), but BUILDING one runs its serial zone-probe driver jobs —
+    // a depth-4 chain pays ~25 of them, a 10+-second fixed floor when
+    // sequential. Building the legs on a small pool overlaps the probe
+    // jobs (Spark schedules concurrent actions fine on local[n] and on
+    // a cluster), cutting the per-refresh floor roughly by the leg
+    // count without touching the algebra.
+    def buildSideLeg(i: Int): DataFrame = {
       val si = cs.sides(i)
       val dReal = sideDeltas(i)
       var acc =
         if (!extended) dReal
         else cache(dReal.unionByName(
-          nullExtensionDelta(cat, si, dReal, lastVS(i), newVS(i))))
+          nullExtensionDelta(cat, si, dReal, lastVS(i), newVS(i),
+            zoneMemo)))
       val visited = scala.collection.mutable.Set[Int](i)
       val remaining = scala.collection.mutable.Set[Int](
         (-1 +: cs.sides.indices.filterNot(_ == i)): _*)
@@ -800,11 +835,26 @@ object MaterializeJoin {
         val jt = if (extended && node == viaChild) "left"
           else "inner"
         acc = cache(acc.join(boundedSide(cat, table, asOfV, acc,
-          edgeKeys, immKeys), edgeKeys, jt))
+          edgeKeys, immKeys, zoneMemo), edgeKeys, jt))
         visited += node; remaining -= node
       }
       acc
     }
+    def inParallel[T](n: Int)(work: Int => T): Seq[T] =
+      if (n <= 1) (0 until n).map(work)
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(n, 8))
+        try {
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutor(pool)
+          scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence(
+              (0 until n).map(i => scala.concurrent.Future(work(i)))),
+            scala.concurrent.duration.Duration.Inf)
+        } finally pool.shutdown()
+      }
+    val sideLegs = inParallel(cs.sides.size)(buildSideLeg)
     // FULL OUTER only — the side-dangling part D = S ▷ F × NULL_F,
     // two more telescoping legs over the FACT's null-extension
     // indicator F̂n (a NULL-fact row per key the fact does NOT hold):
@@ -817,25 +867,40 @@ object MaterializeJoin {
     // NULL except the shared keys) and fold through the same signed
     // union as every other leg.
     val fullLegs: Seq[DataFrame] = if (!cs.fullOuter) Nil else {
-      val si = cs.sides.head
       val factFields = cat.spec(cs.fact).schema.fields.toSeq
-      val factAsSide = SideSpec(cs.fact, si.keys,
-        sideKeysImmutable = si.factKeysImmutable)
-      val aNull = cache(nullExtensionDelta(cat, factAsSide, dFact,
-        lastVF, newVF))
-      val legA = cache(aNull.join(boundedSide(cat, si.table,
-        lastVS(0), aNull, si.keys, si.sideKeysImmutable), si.keys))
-      val dS = sideDeltas(0)
-      val cntF = boundedSide(cat, cs.fact, newVF, dS, si.keys,
-          si.factKeysImmutable)
-        .groupBy(si.keys.map(col): _*).agg(count(lit(1)).as("__cf"))
-      val legB = cache(dS.join(cntF, si.keys, "left")
-        .where(coalesce(col("__cf"), lit(0L)) === 0)
-        .drop("__cf")
-        .select(factFields.filterNot(f => si.keys.contains(f.name))
-          .map(f => lit(null).cast(f.dataType).as(f.name)) ++
-          dS.columns.map(col): _*))
-      Seq(legA, legB)
+      // star shape (validated): the sequential full join decomposes as
+      // the LEFT part plus ONE INDEPENDENT side-dangling part per side
+      // — a side-i-dangling row carries side i's attributes, its keys,
+      // and NULL for every fact field and every OTHER side's field (a
+      // NULL fact key never matches the other sides)
+      inParallel(cs.sides.size) { i =>
+        val si = cs.sides(i)
+        val otherNulls = cs.sides.indices.filterNot(_ == i).flatMap {
+          j =>
+            cat.spec(cs.sides(j).table).schema.fields.toSeq
+              .filterNot(f => cs.sides(j).keys.contains(f.name))
+              .map(f => lit(null).cast(f.dataType).as(f.name))
+        }
+        val factAsSide = SideSpec(cs.fact, si.keys,
+          sideKeysImmutable = si.factKeysImmutable)
+        val aNull = cache(nullExtensionDelta(cat, factAsSide, dFact,
+          lastVF, newVF, zoneMemo))
+        val legA = cache(aNull.join(boundedSide(cat, si.table,
+            lastVS(i), aNull, si.keys, si.sideKeysImmutable, zoneMemo),
+            si.keys)
+          .select(col("*") +: otherNulls: _*))
+        val dS = sideDeltas(i)
+        val cntF = boundedSide(cat, cs.fact, newVF, dS, si.keys,
+            si.factKeysImmutable, zoneMemo)
+          .groupBy(si.keys.map(col): _*).agg(count(lit(1)).as("__cf"))
+        val legB = cache(dS.join(cntF, si.keys, "left")
+          .where(coalesce(col("__cf"), lit(0L)) === 0)
+          .drop("__cf")
+          .select(factFields.filterNot(f => si.keys.contains(f.name))
+            .map(f => lit(null).cast(f.dataType).as(f.name)) ++
+            dS.columns.map(col) ++ otherNulls: _*))
+        Seq(legA, legB)
+      }.flatten
     }
     // grain columns derive per JOINED row (fact/side columns are in
     // every leg), so one withGrains over the unioned delta covers

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, CaseWhen, Cast, Coalesce, Divide, EqualTo, ExprId, Expression, IsNotNull, Literal, NamedExpression, TruncTimestamp, XxHash64}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Complete, Count, Max, Min, Sum}
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project, ResolvedHint}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -142,10 +142,19 @@ object GraftAggViews {
     * must be PRESENT in the query, because a join-MV side may carry
     * duplicate keys that multiplied fact rows. Mutually exclusive
     * with `innerSafe`/`innerState`. */
+  /** `fullState`: the state aggregated a maintained FULL OUTER join
+    * ([[graft.operators.MaterializeJoin]] with `fullOuter` — unmatched
+    * facts counted under NULL side attributes AND unmatched side rows
+    * counted under NULL fact attributes), so the rewrite serves FULL
+    * OUTER queries only: INNER and LEFT refuse (each drops dangling
+    * rows the state counted), the join must be PRESENT, and no
+    * dim-side filter is tolerated (even an IsNotNull on the join key
+    * drops dangling rows under FULL). Mutually exclusive with the
+    * other contracts. */
   case class DimJoinDef(dimPath: String, factKeys: Seq[String],
       dimKeys: Seq[String], dimAttrs: Map[String, String] = Map.empty,
       innerSafe: Boolean = false, innerState: Boolean = false,
-      leftState: Boolean = false)
+      leftState: Boolean = false, fullState: Boolean = false)
 
   /** A query-side join captured by the plan walk: the dim scan's path,
     * whether the plan's join is INNER, the join condition, the
@@ -154,7 +163,7 @@ object GraftAggViews {
     * over join keys — semantics-free under equality matching). */
   private[plans] case class QueryJoin(dimPath: String, inner: Boolean,
       cond: Expression, dimBase: Map[ExprId, String],
-      dimFilters: Seq[Expression])
+      dimFilters: Seq[Expression], full: Boolean = false)
 
   /** @param topks SpaceSaving heavy-hitter measures in the state
     *               (column → capacity, from
@@ -188,13 +197,22 @@ object GraftAggViews {
     *               (always true) keeps the documented
     *               refresh-before-query contract for raw-path
     *               registrations the rule cannot probe. */
+  /** @param filterSql WHERE-filtered MV: the predicate (SQL text over
+    *                   base columns) the state was built under. Serving
+    *                   requires the query's filter to CONTAIN each of
+    *                   the predicate's conjuncts (semantically, resolved
+    *                   against the query's own base relation) — they are
+    *                   stripped before the residual maps onto state
+    *                   group columns; a query missing any conjunct
+    *                   would read rows the state dropped and refuses. */
   case class AggViewDef(statePath: String, groupCols: Seq[String],
       measures: Seq[String],
       grainExprs: Map[String, String] = Map.empty,
       sketches: Map[String, Int] = Map.empty,
       dims: Seq[DimJoinDef] = Seq.empty,
       topks: Map[String, Int] = Map.empty,
-      fresh: () => Boolean = () => true)
+      fresh: () => Boolean = () => true,
+      filterSql: Option[String] = None)
 
   // several views may serve one base (a per-source rollup AND a
   // per-(source, day) grain, say) — the reference picks among multiple
@@ -234,7 +252,10 @@ object GraftAggViews {
         .filterNot(v => norm(v.statePath) == norm(view.statePath) ||
           (v.groupCols == view.groupCols &&
             v.grainExprs == view.grainExprs &&
-            v.measures.toSet == view.measures.toSet)) :+ view)
+            v.measures.toSet == view.measures.toSet &&
+            // differently-FILTERED views of one shape coexist: each
+            // answers only queries carrying its own predicate
+            v.filterSql == view.filterSql)) :+ view)
   def drop(basePath: String): Unit = registry.remove(norm(basePath))
   /** Remove ONE view (by its state path) from a base's candidate list
     * — DROP MATERIALIZED VIEW must not take sibling MVs of the same
@@ -317,7 +338,8 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     @scala.annotation.tailrec
     def loop(cur: LogicalPlan, cond: Option[Expression],
         sub: Map[ExprId, Expression],
-        joins: Seq[GraftAggViews.QueryJoin]): Option[
+        joins: Seq[GraftAggViews.QueryJoin],
+        belowFull: Boolean = false): Option[
         (String, Option[Expression], LogicalPlan, Map[ExprId, Expression],
           Seq[GraftAggViews.QueryJoin])] =
       cur match {
@@ -338,20 +360,32 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           val sub2 = sub.map { case (k, v) => k -> through(v) } ++ thisMap
           val cond2 = cond.map(through)
-          loop(child, cond2, sub2, joins)
+          loop(child, cond2, sub2, joins, belowFull)
+        // a Filter BELOW a FULL OUTER join is not re-expressible over
+        // the state: it removes fact rows BEFORE the join, turning
+        // their side matches into dangling rows — applying the same
+        // predicate to state rows (which is all the rewrite can do)
+        // keeps/drops whole joined rows instead. Catalyst never pushes
+        // filters below a full join, so this only refuses explicit
+        // filtered-subquery shapes — correctly.
+        case Filter(_, _) if belowFull => None
         case Filter(c, child) =>
-          loop(child, Some(cond.map(And(_, c)).getOrElse(c)), sub, joins)
+          loop(child, Some(cond.map(And(_, c)).getOrElse(c)), sub,
+            joins, belowFull)
         // STAR shape: fact on the left, a dimension scan on the right —
         // capture the join for per-view verification (path, keys, type,
         // attribute soundness) and keep walking the fact side. Only
-        // LEFT OUTER / INNER can possibly serve (derive's contract);
-        // anything else refuses here.
+        // LEFT OUTER / INNER / FULL OUTER can possibly serve (derive's
+        // contract, or a maintained join state's); anything else
+        // refuses here.
         case Join(l, r, jt, Some(jc), _)
-            if jt == LeftOuter || jt == Inner =>
+            if jt == LeftOuter || jt == Inner || jt == FullOuter =>
           resolveDimSide(r) match {
             case Some((dimPath, dimBase, dimFilters)) =>
               loop(l, cond, sub, joins :+ GraftAggViews.QueryJoin(
-                dimPath, jt == Inner, jc, dimBase, dimFilters))
+                dimPath, jt == Inner, jc, dimBase, dimFilters,
+                full = jt == FullOuter),
+                belowFull || jt == FullOuter)
             case None => None
           }
         case lr: LogicalRelation =>
@@ -601,9 +635,15 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
           // a LEFT query keeps fact rows the state never counted.
           // LEFT-maintained join state (leftState): LEFT only — an
           // INNER query drops the NULL-group rows the state counted.
-          (if (d.innerState) qj.inner
-           else if (d.leftState) !qj.inner
-           else !qj.inner || d.innerSafe) &&
+          // FULL-maintained state (fullState): FULL only, and FULL
+          // queries serve ONLY from a fullState (every other contract
+          // is missing the side-dangling rows); no dim filter is
+          // tolerated under FULL — even a join-key IsNotNull drops
+          // dangling rows the state counted.
+          (if (d.fullState) qj.full && qj.dimFilters.isEmpty
+           else if (d.innerState) qj.inner
+           else if (d.leftState) !qj.inner && !qj.full
+           else !qj.full && (!qj.inner || d.innerSafe)) &&
             qj.dimFilters.forall {
               case IsNotNull(a: AttributeReference) =>
                 qj.dimBase.get(a.exprId).exists(c =>
@@ -645,8 +685,9 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
     // requires presence too: its side may carry duplicate keys, so an
     // un-joined rollup could double-count facts — un-joined subsets
     // only roll up safely for derive-built (unique-keyed) LEFT dims.
-    if (view.dims.exists(d => (d.innerState || d.leftState) &&
-        !matchedDims.contains(d)))
+    if (view.dims.exists(d =>
+        (d.innerState || d.leftState || d.fullState) &&
+          !matchedDims.contains(d)))
       return None
     // dim-attribute filter conjuncts vetted above, rewritten onto the
     // state's group columns (name placeholders; the source build below
@@ -773,9 +814,77 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
         innerFactKeys.exists(resolver(_, baseName(a)))
       case _ => false
     }
-    val residualKept: Option[Expression] = residual.flatMap { c0 =>
-      conjuncts(deref(c0)).filterNot(strippable).reduceOption(And)
+    val residualConjs0: Seq[Expression] = residual.toSeq
+      .flatMap(c0 => conjuncts(deref(c0))).filterNot(strippable)
+    // WHERE-filtered state: each of the registration's predicate
+    // conjuncts (resolved against THIS query's base relation, cached
+    // like grain expressions) must appear semantically in the query's
+    // residual — matched conjuncts are consumed (the state already
+    // applied them to fact ROWS; re-applying over one-row-per-group
+    // state would be wrong for any non-group predicate), the remainder
+    // maps onto state group columns below. A query missing any
+    // conjunct reads rows the state dropped: refuse.
+    val residualConjs: Option[Seq[Expression]] = view.filterSql match {
+      case None => Some(residualConjs0)
+      case Some(sql) =>
+        val relKey = baseRel.output.map(_.exprId.id).mkString(",") +
+          "@" + spark.sessionState.conf.sessionLocalTimeZone
+        GraftAggViews.grainCached(s"filter:$sql@$relKey") {
+          scala.util.Try {
+            val parsed =
+              spark.sessionState.sqlParser.parseExpression(sql)
+            val analyzed = spark.sessionState.analyzer.execute(
+              Project(Seq(Alias(parsed, "__vf")()), baseRel))
+            analyzed.collectFirst {
+              case Project(Seq(Alias(e, "__vf")), _) => e
+            }
+          }.toOption.flatten
+        } match {
+          case None => None // unresolvable predicate: never serve
+          case Some(vf0) =>
+            // constant-fold the parsed side: the query's conjuncts
+            // arrive optimizer-folded (`m > CAST(40 AS BIGINT)` is
+            // already `m > 40L` there), so fold foldable subtrees here
+            // or semantic equality never fires
+            val vf = vf0.transformUp {
+              case e if e.foldable && !e.isInstanceOf[Literal] =>
+                Literal.create(
+                  e.eval(org.apache.spark.sql.catalyst.InternalRow
+                    .empty), e.dataType)
+            }
+            val vcs = conjuncts(vf)
+            var rem = residualConjs0
+            val all = vcs.forall { vc =>
+              val i = rem.indexWhere(rc =>
+                rc.semanticEquals(vc) || deref(rc).semanticEquals(vc))
+              if (i >= 0) { rem = rem.patch(i, Nil, 1); true }
+              else false
+            }
+            if (!all) None
+            else {
+              // a null-rejecting consumed conjunct (any comparison)
+              // already excluded NULL rows from the state — drop the
+              // IsNotNulls Catalyst infers from the query's matching
+              // WHERE, or they'd demand a state column that isn't a
+              // group column and refuse every filtered serve
+              val impliedNotNull: Set[String] = vcs.collect {
+                case bc: org.apache.spark.sql.catalyst.expressions
+                    .BinaryComparison =>
+                  bc.references.toSeq.collect {
+                    case a: AttributeReference => a.name }
+              }.flatten.toSet
+              def implied(rc: Expression): Boolean = deref(rc) match {
+                case IsNotNull(a: AttributeReference) =>
+                  impliedNotNull.exists(resolver(_, baseName(a)))
+                case _ => false
+              }
+              Some(rem.filterNot(implied))
+            }
+        }
     }
+    if (residualConjs.isEmpty) return None
+    val residualKept: Option[Expression] =
+      residualConjs.get.reduceOption(And)
     val residualMapped: Option[Option[Expression]] = residualKept match {
       case None => Some(None)
       case Some(c0) if !c0.deterministic => None

@@ -1739,6 +1739,72 @@ object Pipeline {
         .orderBy($"priority")
     },
 
+    // FULL-outer N-WAY STAR chain IVM under the hard oracle:
+    // γ(lineitem-slice ⟗ orders ⟗ part) with both side keys on the
+    // fact — the sequential full join decomposes as the LEFT part plus
+    // one independent dangling part per side, and every transition
+    // shape is driven: fact-dangling facts gain their orders,
+    // order deletes re-dangle facts, part deletes NULL the brand AND
+    // kill part-dangling rows, measure churn retracts. The oracle
+    // recomputes (l FULL JOIN o) FULL JOIN p over the final tables.
+    "q_ivm_full_chain" -> { (s, dir) =>
+      import s.implicits._
+      import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+      val wh = ivmWarehouse(dir + "#fullchain")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      cat.createTable("fl9", StructType(Seq(
+        StructField("okey", LongType), StructField("ln", IntegerType),
+        StructField("pkey", LongType), StructField("qty", LongType))),
+        pk = Seq("okey", "ln"))
+      cat.createTable("fo9", StructType(Seq(
+        StructField("okey", LongType),
+        StructField("priority", StringType))), pk = Seq("okey"))
+      cat.createTable("fp9", StructType(Seq(
+        StructField("pkey", LongType),
+        StructField("brand", StringType))), pk = Seq("pkey"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // fixture — group to the PK grain so the catalog's last-wins
+      // collapse and the oracle see the same rows
+      val li = Tables.t(s, dir, "lineitem")
+        .where($"l_orderkey" % 32 < 3)
+        .groupBy($"l_orderkey".as("okey"), $"l_linenumber".as("ln"))
+        .agg(max($"l_partkey".cast("long")).as("pkey"),
+          sum($"l_quantity".cast("long")).as("qty"))
+      val ord = Tables.t(s, dir, "orders")
+        .select($"o_orderkey".as("okey"),
+          $"o_orderpriority".as("priority"))
+        .where($"okey" % 32 < 4) // %32=3 side-dangling (no lineitems)
+      val prt = Tables.t(s, dir, "part")
+        .select($"p_partkey".cast("long").as("pkey"),
+          $"p_brand".as("brand")) // uncovered pkeys side-dangling
+      cat.upsert("fl9", li)
+      cat.upsert("fo9", ord.where($"okey" % 32 =!= 2))
+      cat.upsert("fp9", prt)
+      val mv = wh + "/mvfc"
+      graft.operators.MaterializeJoin.build(cat,
+        graft.operators.MaterializeJoin.ChainSpec("fl9", Seq(
+          graft.operators.MaterializeJoin.SideSpec("fo9", Seq("okey")),
+          graft.operators.MaterializeJoin.SideSpec("fp9", Seq("pkey"))),
+          fullOuter = true),
+        Seq("priority", "brand"), Seq("qty"), mv)
+      // dangling facts gain their orders; facts die under their
+      // orders/parts (matched -> side-dangling)
+      cat.upsert("fo9", ord.where($"okey" % 32 === 2))
+      cat.delete("fl9", $"okey" % 10 === 3)
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      // order deletes re-dangle facts; part deletes NULL the brand;
+      // measure churn retracts and re-adds
+      cat.delete("fo9", $"okey" % 20 === 5)
+      cat.delete("fp9", $"pkey" % 50 === 7)
+      cat.upsert("fl9", li.where($"okey" % 100 === 1)
+        .withColumn("qty", $"qty" + 7L))
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      graft.operators.MaterializeJoin.read(s, mv)
+        .select($"priority", $"brand", $"cnt", $"sum_qty",
+          $"min_qty", $"max_qty")
+        .orderBy($"priority", $"brand")
+    },
+
     // SNOWFLAKE-CHAIN IVM under the hard oracle: γ(orders ⋈ customer
     // ⋈ nation) with nation keyed on CUSTOMER's nationkey — the
     // side-on-side tree shape a fingerprint-frozen StarDerive refuses
@@ -1848,6 +1914,104 @@ object Pipeline {
       q
     },
 
+    // SKETCH-MEASURE MV through SQL DDL under the hard oracle:
+    // `KMV_SKETCH(col, k)` / `APPROX_TOP_TERMS(col, cap)` in CREATE
+    // MATERIALIZED VIEW land distinct-count / heavy-hitter state the
+    // rewrite serves. k = 2^17 puts the sketch in the exact regime, so
+    // DuckDB's count(DISTINCT) is the oracle — a green row proves the
+    // DDL-built, SQL-refreshed, rewrite-served sketch is byte-exact.
+    // The top-terms serve is plan-pinned in-entry (no-eviction regime).
+    "q_mv_ddl_sketch" -> { (s, dir) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.registerKernels(s)
+      val wh = ivmWarehouse(dir + "#mvddlsk")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      val px = new graft.sources.PhoenixSql(s, cat)
+      px.execute("CREATE TABLE et7 (okey BIGINT NOT NULL, " +
+        "priority VARCHAR, ckey BIGINT, status VARCHAR " +
+        "CONSTRAINT pk PRIMARY KEY (okey))")
+      val ord = Tables.t(s, dir, "orders")
+        .where($"o_orderkey" % 8 === 1)
+        .select($"o_orderkey".as("okey"),
+          $"o_orderpriority".as("priority"),
+          $"o_custkey".cast("long").as("ckey"),
+          $"o_orderstatus".as("status"))
+      cat.upsert("et7", ord.where($"okey" % 16 === 1))
+      px.execute("CREATE MATERIALIZED VIEW mvs7 AS SELECT priority, " +
+        "COUNT(*), KMV_SKETCH(ckey, 131072), " +
+        "APPROX_TOP_TERMS(status, 8192) FROM et7 GROUP BY priority")
+      // insert-only churn (sketch state is insert-only), SQL refresh
+      cat.upsert("et7", ord.where($"okey" % 16 === 9))
+      px.execute("REFRESH MATERIALIZED VIEW mvs7")
+      val q = px.execute("SELECT priority, COUNT(*) AS cnt, " +
+        "CAST(ROUND(KMV_ESTIMATE(KMV_SKETCH(CASE WHEN ckey IS NOT " +
+        "NULL THEN XXHASH64(ckey) END, 131072))) AS BIGINT) " +
+        "AS distinct_ckey FROM et7 GROUP BY priority ORDER BY priority")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(cat.mvPath("mvs7")) ||
+          plan.contains("_snapcache") || plan.contains(s"$wh/et7/data"))
+        throw new IllegalStateException(
+          s"DDL sketch MV did not serve the kmv aggregate:\n$plan")
+      val tq = px.execute("SELECT priority, " +
+        "EXPLODE(APPROX_TOP_TERMS(status, 8192)) AS t " +
+        "FROM et7 GROUP BY priority")
+      if (!tq.queryExecution.executedPlan.toString
+          .contains(cat.mvPath("mvs7")))
+        throw new IllegalStateException(
+          "DDL sketch MV did not serve the top-terms aggregate:\n" +
+            tq.queryExecution.executedPlan.toString)
+      q
+    },
+
+    // WHERE-FILTERED MV through SQL DDL under the hard oracle: the
+    // CREATE's WHERE builds a filtered state, the predicate rides the
+    // meta through churn + REFRESH (pre-images filter exactly like
+    // the build — a measure crossing the boundary is an insert or a
+    // retraction, not a corruption), and the rewrite serves ONLY the
+    // query carrying the same conjunct — which, being a MEASURE
+    // predicate, could never serve from an unfiltered state at all.
+    "q_mv_ddl_filtered" -> { (s, dir) =>
+      import s.implicits._
+      val wh = ivmWarehouse(dir + "#mvddlf")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      val px = new graft.sources.PhoenixSql(s, cat)
+      px.execute("CREATE TABLE ft7 (okey BIGINT NOT NULL, " +
+        "seg VARCHAR, m BIGINT CONSTRAINT pk PRIMARY KEY (okey))")
+      val ord = Tables.t(s, dir, "orders")
+        .where($"o_orderkey" % 16 === 13)
+        .select($"o_orderkey".as("okey"),
+          $"o_orderpriority".as("seg"),
+          ($"o_orderkey" % 97).cast("long").as("m"))
+      cat.upsert("ft7", ord)
+      px.execute("CREATE MATERIALIZED VIEW mvf7 AS SELECT seg, " +
+        "COUNT(*), SUM(m), MIN(m), MAX(m) FROM ft7 " +
+        "WHERE m > 40 GROUP BY seg")
+      // measure churn ACROSS the filter boundary (rows enter/leave the
+      // filtered state), then a delete slice; refresh through SQL
+      cat.upsert("ft7", ord.where($"okey" % 100 === 13)
+        .withColumn("m", $"m" + 50L))
+      cat.delete("ft7", $"okey" % 10 === 3)
+      px.execute("REFRESH MATERIALIZED VIEW mvf7")
+      val q = px.execute("SELECT seg, COUNT(*) AS cnt, " +
+        "SUM(m) AS sum_m, MIN(m) AS min_m, MAX(m) AS max_m " +
+        "FROM ft7 WHERE m > 40 GROUP BY seg ORDER BY seg")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(cat.mvPath("mvf7")) ||
+          plan.contains("_snapcache") || plan.contains(s"$wh/ft7/data"))
+        throw new IllegalStateException(
+          s"DDL filtered MV did not serve from its state:\n$plan")
+      // the predicate-less rollup must NOT serve from the filtered
+      // state (it needs the rows the state dropped) — and must still
+      // answer correctly through the fallback
+      val bare = px.execute(
+        "SELECT seg, COUNT(*) AS cnt FROM ft7 GROUP BY seg")
+      if (bare.queryExecution.executedPlan.toString
+          .contains(cat.mvPath("mvf7")))
+        throw new IllegalStateException(
+          "a filter-less query must refuse the filtered state")
+      q
+    },
+
     // SNOWFLAKE MV through the SQL front-end under the hard oracle:
     // the query joins nation on CUSTOMER's nationkey (a dim-on-dim
     // key the rewrite resolves through the other matched join) and
@@ -1894,6 +2058,49 @@ object Pipeline {
           plan.contains(s"$wh/co9/data"))
         throw new IllegalStateException(
           s"snowflake MV rewrite did not serve from the state:\n$plan")
+      q
+    },
+
+    // FULL-OUTER MV serving under the hard oracle: a maintained
+    // γ(orders-slice ⟗ customer) state serves a FULL OUTER aggregate
+    // through the SQL front-end under the fullState contract —
+    // fact-dangling orders counted under NULL seg, order-less
+    // customers counted with NULL measures, plan-pinned to the state
+    // (an INNER/LEFT query refuses; FULL queries never served before
+    // this state existed). The oracle recomputes the full join.
+    "q_mv_rewrite_full" -> { (s, dir) =>
+      import s.implicits._
+      val wh = ivmWarehouse(dir + "#mvfull")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      val px = new graft.sources.PhoenixSql(s, cat)
+      px.execute("CREATE TABLE fa0 (okey BIGINT NOT NULL, " +
+        "ckey BIGINT, m BIGINT CONSTRAINT pk PRIMARY KEY (okey))")
+      px.execute("CREATE TABLE fb0 (ckey BIGINT NOT NULL, " +
+        "seg VARCHAR CONSTRAINT pk PRIMARY KEY (ckey))")
+      cat.upsert("fa0", Tables.t(s, dir, "orders")
+        .where($"o_orderkey" % 16 === 7)
+        .select($"o_orderkey".as("okey"), $"o_custkey".as("ckey"),
+          ($"o_orderkey" % 97).cast("long").as("m")))
+      cat.upsert("fb0", Tables.t(s, dir, "customer")
+        .where($"c_custkey" % 3 =!= 1) // %3=1 facts stay dangling
+        .select($"c_custkey".as("ckey"), $"c_mktsegment".as("seg")))
+      Seq("fa0", "fb0").foreach(cat.refreshSnapshotCache)
+      val mv = wh + "/mvfull0"
+      graft.operators.MaterializeJoin.build(cat,
+        graft.operators.MaterializeJoin.ChainSpec("fa0", Seq(
+          graft.operators.MaterializeJoin.SideSpec("fb0", Seq("ckey"))),
+          fullOuter = true),
+        Seq("seg"), Seq("m"), mv)
+      graft.operators.MaterializeJoin.registerForRewrite(cat, mv)
+      val q = px.execute("SELECT seg, COUNT(*) AS cnt, " +
+        "SUM(m) AS sum_m, MIN(m) AS min_m, MAX(m) AS max_m " +
+        "FROM fa0 FULL JOIN fb0 ON fa0.ckey = fb0.ckey " +
+        "GROUP BY seg ORDER BY seg")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(mv) || plan.contains("_snapcache") ||
+          plan.contains(s"$wh/fa0/data"))
+        throw new IllegalStateException(
+          s"full-outer MV rewrite did not serve from the state:\n$plan")
       q
     },
 
@@ -3663,6 +3870,43 @@ object Pipeline {
       FROM l FULL JOIN o USING (okey)
       GROUP BY 1 ORDER BY 1""",
 
+    "q_ivm_full_chain" -> """
+      WITH base AS (
+        SELECT l_orderkey AS okey, l_linenumber AS ln,
+          CAST(max(l_partkey) AS BIGINT) AS pkey,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty0
+        FROM lineitem WHERE l_orderkey % 32 < 3
+        GROUP BY 1, 2),
+      l AS (
+        SELECT okey, pkey,
+          CASE WHEN okey % 100 = 1 THEN qty0 + 7 ELSE qty0 END AS qty
+        FROM base WHERE okey % 10 <> 3),
+      o AS (
+        SELECT o_orderkey AS okey, o_orderpriority AS priority
+        FROM orders
+        WHERE o_orderkey % 32 < 4 AND o_orderkey % 20 <> 5),
+      p AS (
+        SELECT CAST(p_partkey AS BIGINT) AS pkey, p_brand AS brand
+        FROM part WHERE p_partkey % 50 <> 7)
+      SELECT priority, brand, count(*) AS cnt,
+        CAST(sum(qty) AS BIGINT) AS sum_qty,
+        min(qty) AS min_qty, max(qty) AS max_qty
+      FROM l FULL JOIN o USING (okey) FULL JOIN p USING (pkey)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_mv_rewrite_full" -> """
+      WITH f AS (
+        SELECT o_orderkey AS okey, o_custkey AS ckey,
+          o_orderkey % 97 AS m
+        FROM orders WHERE o_orderkey % 16 = 7),
+      c AS (
+        SELECT c_custkey AS ckey, c_mktsegment AS seg
+        FROM customer WHERE c_custkey % 3 <> 1)
+      SELECT seg, count(*) AS cnt, CAST(sum(m) AS BIGINT) AS sum_m,
+        min(m) AS min_m, max(m) AS max_m
+      FROM f FULL JOIN c USING (ckey)
+      GROUP BY 1 ORDER BY 1""",
+
     "q_mv_ddl_sql" -> """
       WITH base AS (
         SELECT l_orderkey AS okey, l_linenumber AS ln,
@@ -3683,6 +3927,27 @@ object Pipeline {
         min(qty) AS min_qty, max(qty) AS max_qty
       FROM l JOIN o USING (okey)
       GROUP BY 1 ORDER BY 1""",
+
+    "q_mv_ddl_sketch" -> """
+      WITH f AS (
+        SELECT o_orderkey AS okey, o_orderpriority AS priority,
+          o_custkey AS ckey
+        FROM orders WHERE o_orderkey % 8 = 1)
+      SELECT priority, count(*) AS cnt,
+        count(DISTINCT ckey) AS distinct_ckey
+      FROM f GROUP BY 1 ORDER BY 1""",
+
+    "q_mv_ddl_filtered" -> """
+      WITH f AS (
+        SELECT o_orderkey AS okey, o_orderpriority AS seg,
+          CASE WHEN o_orderkey % 100 = 13
+               THEN o_orderkey % 97 + 50
+               ELSE o_orderkey % 97 END AS m
+        FROM orders
+        WHERE o_orderkey % 16 = 13 AND o_orderkey % 10 <> 3)
+      SELECT seg, count(*) AS cnt, CAST(sum(m) AS BIGINT) AS sum_m,
+        min(m) AS min_m, max(m) AS max_m
+      FROM f WHERE m > 40 GROUP BY 1 ORDER BY 1""",
 
     "q_ivm_snowflake" -> """
       WITH f AS (

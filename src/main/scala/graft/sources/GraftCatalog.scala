@@ -201,19 +201,120 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val data = new java.io.File(s"${dir(name)}/data")
     if (data.exists()) rmTree(data)
     invalidateSnapCache(name) // a stale cache would resurrect every row
+    // truncation is a history discard like compaction: consume one
+    // version (so freshness probes keyed on the counter observe the
+    // change — an MV would otherwise serve the vanished rows as
+    // "fresh") and raise the replayability floor past every earlier
+    // fold mark, forcing the rebuild that is the only correct refresh
+    versionedWrite(name)(v => setCompactionFloor(name, v))
   }
 
-  // Single-writer assumption: the version counter is a driver-side file,
-  // fine for one writing session (this sandbox, or one Spark driver per
-  // table). Concurrent writers would need a coordination service —
-  // Phoenix delegates the same problem to HBase's row-level atomicity.
-  private def nextVersion(name: String): Long = {
-    val f = versionFile(name)
-    val v = if (f.exists()) new String(
-      java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong + 1 else 0L
-    java.nio.file.Files.write(f.toPath, v.toString.getBytes)
+  // Version-counter protocol. The counter is what every mark-sampling
+  // read (MV refresh fold windows, snapshot-cache keys, freshness
+  // probes) trusts, so it must satisfy ONE invariant at all times:
+  // `v <= counter  ⇒  every row of version v is fully visible in the
+  // log`. That forces the write order REServe → APPEND → PUBLISH —
+  // persisting the counter before the append (the old order) let a
+  // refresh sample a version whose rows were still in flight, cache a
+  // delta that missed them, and record a mark covering rows it never
+  // folded (a silently lost update). Writers in THIS catalog instance
+  // coordinate through `versionLock` (one driver JVM can host racing
+  // writer threads — e.g. a maintenance stream racing ad-hoc upserts);
+  // versions are reserved in memory, and the persisted counter only
+  // advances to v once every reservation ≤ v has completed, so a
+  // fast-finishing later batch never publishes over a slower earlier
+  // one. A SECOND catalog instance (another process/driver) racing the
+  // same table is detected at publish time — the counter file moved
+  // beyond what this instance published — and refused loudly rather
+  // than silently interleaving; true multi-driver writes need a
+  // coordination service, as Phoenix delegates to HBase's atomicity.
+  private val versionLock = new Object
+  private val reservedHigh = scala.collection.mutable.Map[String, Long]()
+  private val inFlight =
+    scala.collection.mutable.Map[String, scala.collection.mutable.SortedSet[Long]]()
+  private val publishedByUs = scala.collection.mutable.Map[String, Long]()
+
+  private def reserveVersion(name: String): Long = versionLock.synchronized {
+    val onDisk = currentVersion(name)
+    val fl = inFlight.getOrElseUpdate(
+      name, scala.collection.mutable.SortedSet.empty[Long])
+    // with no write of ours in flight, a counter that moved is a
+    // SEQUENTIAL handoff from another instance (a reopened warehouse,
+    // one writer at a time) — adopt it as the new baseline. With
+    // reservations in flight it is a CONCURRENT foreign writer about
+    // to interleave versions with ours: refuse loudly (see
+    // foreignBumpCheck).
+    if (fl.isEmpty)
+      publishedByUs(name) =
+        math.max(onDisk, publishedByUs.getOrElse(name, -1L))
+    else foreignBumpCheck(name, onDisk)
+    val v = math.max(onDisk, reservedHigh.getOrElse(name, -1L)) + 1L
+    reservedHigh(name) = v
+    fl += v
     v
   }
+
+  /** Refuse loudly when the persisted counter moved under our feet: a
+    * writer from ANOTHER catalog instance raced this one and may have
+    * stamped the same version on different rows. Detect-and-refuse is
+    * the contract — the counter file is driver-side state with no
+    * cross-process coordination service behind it (Phoenix delegates
+    * the same problem to HBase's row-level atomicity), so the honest
+    * failure is an exception, never silent interleaving. */
+  private def foreignBumpCheck(name: String, onDisk: Long): Unit =
+    if (onDisk > publishedByUs.getOrElse(name, -1L))
+      throw new IllegalStateException(
+        s"version counter for '$name' advanced to $onDisk by another " +
+          s"writer while this catalog instance holds in-flight writes " +
+          s"at ${publishedByUs(name)} — concurrent writers from " +
+          "separate catalog instances are not coordinated; refusing " +
+          "rather than interleaving versions")
+
+  /** Advance the persisted counter after version `v`'s append landed
+    * (or was abandoned: a failed Spark write aborts its task files, so
+    * the version is an empty gap the counter may step over — gaps only
+    * overestimate the tail-batch count the cache threshold reads).
+    * Publishes the highest version with no smaller reservation still
+    * in flight; written temp-then-atomic-move so a reader never sees a
+    * torn counter file. */
+  private def publishVersion(name: String, v: Long): Unit =
+    versionLock.synchronized {
+      val fl = inFlight(name)
+      fl -= v
+      // a foreign bump between our reserve and this publish means the
+      // other writer may have stamped OUR version on its rows — the
+      // append already landed, so the duplicate cannot be unwound, but
+      // it must never be silent
+      foreignBumpCheck(name, currentVersion(name))
+      val publishable = if (fl.isEmpty) reservedHigh(name) else fl.head - 1L
+      if (publishable > currentVersion(name)) {
+        val f = versionFile(name)
+        val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
+        java.nio.file.Files.write(tmp.toPath, publishable.toString.getBytes)
+        java.nio.file.Files.move(tmp.toPath, f.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        publishedByUs(name) = publishable
+      }
+    }
+
+  /** Reserve → append (`write`) → publish; abandon on failure. The
+    * whole sequence holds a PER-TABLE lock: two Spark jobs appending
+    * into one parquet directory share its `_temporary` staging dir, so
+    * the first job's commit-time cleanup can delete the second's
+    * in-flight task files — racing writer threads on the SAME table
+    * must take turns (writes to different tables stay concurrent). */
+  private val tableWriteLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private def versionedWrite(name: String)(write: Long => Unit): Long =
+    tableWriteLocks.computeIfAbsent(name, _ => new Object).synchronized {
+      val v = reserveVersion(name)
+      try write(v)
+      catch { case e: Throwable => publishVersion(name, v); throw e }
+      publishVersion(name, v)
+      v
+    }
 
   /** UPSERT a batch: append rows stamped with the next version. Missing
     * columns take their declared DEFAULT expression when one exists
@@ -221,7 +322,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * OMITS the column; an explicit NULL in the batch stores NULL),
     * otherwise NULL. */
   def upsert(name: String, df: DataFrame): Long = {
-    val v = nextVersion(name)
+    val v = versionedWrite(name)(appendUpsert(name, df, _))
+    maybeRefreshSnapCache(name, v)
+    v
+  }
+
+  private def appendUpsert(name: String, df: DataFrame, v: Long): Unit = {
     val fields = allFields(name)
     // one clock sample per batch: the ROW_TIMESTAMP fill and the `_ts`
     // stamp must agree (Phoenix commits a mutation batch at one server
@@ -289,20 +395,19 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           case None => lit(nowTs)
         })
       .write.mode(SaveMode.Append).parquet(s"${dir(name)}/data")
-    maybeRefreshSnapCache(name, v)
-    v
   }
 
   /** DELETE by predicate: tombstone the matching PKs as of now. */
   def delete(name: String, predicate: org.apache.spark.sql.Column): Long = {
-    val v = nextVersion(name)
     val fields = allFields(name)
-    toPhysical(name, snapshotFull(name).where(predicate)
-        .select(fields.map(f => col(f.name)): _*))
-      .withColumn("_version", lit(v))
-      .withColumn("_deleted", lit(true))
-      .withColumn("_ts", lit(batchTs()))
-      .write.mode(SaveMode.Append).parquet(s"${dir(name)}/data")
+    val v = versionedWrite(name) { v =>
+      toPhysical(name, snapshotFull(name).where(predicate)
+          .select(fields.map(f => col(f.name)): _*))
+        .withColumn("_version", lit(v))
+        .withColumn("_deleted", lit(true))
+        .withColumn("_ts", lit(batchTs()))
+        .write.mode(SaveMode.Append).parquet(s"${dir(name)}/data")
+    }
     maybeRefreshSnapCache(name, v)
     v
   }
@@ -448,7 +553,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // counter.
     val v = currentVersion(name)
     if (v < 0) return -1L
-    val winners = collapseKeepMeta(name, changeLogRaw(name))
+    // collapse BOUNDED at the sampled mark: a write landing between the
+    // counter sample and this scan would otherwise leak rows with
+    // `_version > v` into the cache directory labeled v — and
+    // servingLogUpTo's cache-plus-tail union relies on "no cache row
+    // sits above the cache's mark" for its consistent-window reads
+    val winners = collapseKeepMeta(name,
+        changeLogRaw(name).where(col("_version") <= v))
       .where(!col("_deleted"))
     val cols = allFields(name).map(f => col(f.name)) ++
       Seq(col("_version"), lit(false).as("_deleted"), col("_ts"))
@@ -512,16 +623,6 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   private[graft] def mvPath(name: String): String =
     s"$warehouse/_mv/$name"
 
-  /** Reverse of [[tablePath]]: the catalog table whose root directory
-    * is `p` (path-normalized), if any — lets a registration over a
-    * parquet path discover it is catalog-backed and pin versions. */
-  private[graft] def tableForPath(p: String): Option[String] = {
-    def n(x: String) = scala.util.Try(
-        new org.apache.hadoop.fs.Path(x).toUri.getPath)
-      .toOption.filter(_.nonEmpty).getOrElse(x).stripSuffix("/")
-    specs.keys.find(t => n(dir(t)) == n(p))
-  }
-
   /** Drop the cache (compact/truncate rewrite or erase the history the
     * cache summarizes — a stale cache would resurrect rows). */
   private def invalidateSnapCache(name: String): Unit = {
@@ -558,9 +659,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         val cache = toLogical(name,
           spark.read.schema(physSchema(name))
             .parquet(s"${snapCacheRoot(name)}/v$v"))
+        // defensive `<= v` bound, same reason as [[servingLogUpTo]]: a
+        // cache row above its own label would double-count against the
+        // tail this union appends
         ttlFiltered(name,
-          cache.unionByName(changeLogRaw(name)
-            .where(col("_version") > v)))
+          cache.where(col("_version") <= lit(v))
+            .unionByName(changeLogRaw(name)
+              .where(col("_version") > v)))
       case _ => changeLog(name)
     }
   }
@@ -676,8 +781,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       case Some(cv) if !hasRowTimestamp(name) && cv <= v =>
         val cache = toLogical(name, spark.read.schema(physSchema(name))
           .parquet(s"${snapCacheRoot(name)}/v$cv"))
-        ttlFiltered(name, cache.unionByName(changeLogRaw(name)
-          .where(col("_version") > cv && col("_version") <= v)))
+        // `_version <= v` on the cache side too: the build now bounds
+        // its collapse at the labeled mark, but a cache written by an
+        // earlier generation could carry rows above it — a literal
+        // filter costs nothing and keeps the window sound either way
+        ttlFiltered(name, cache.where(col("_version") <= lit(v))
+          .unionByName(changeLogRaw(name)
+            .where(col("_version") > cv && col("_version") <= v)))
       case _ => changeLog(name).where(col("_version") <= v)
     }
 
@@ -821,25 +931,44 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
             .as("cdc_op")) ++: imageCols: _*)
   }
 
-  /** Compaction: rewrite the change log as a single batch holding the
-    * current snapshot (same version counter, history discarded). At scale
-    * this is the periodic job that keeps snapshot reads from re-collapsing
-    * an ever-growing log; CDC consumers must be past sinceVersion before
-    * compacting (compaction drops the per-version history). */
-  def compact(name: String): Unit = {
-    // collapse keeping view-extension columns AND each winning row's
-    // batch stamp — dropping _ts here would NULL phoenix_row_timestamp
-    // for the whole table after compaction
-    val collapsed = collapseLogWithTs(name, changeLog(name))
-    val v = nextVersion(name)
-    val snap = toPhysical(name, collapsed)
-      .withColumn("_version", lit(v))
-      .withColumn("_deleted", lit(false))
-    val tmp = s"${dir(name)}/data_compacting"
-    snap.write.mode(SaveMode.Overwrite).parquet(tmp)
-    // swap, never delete-then-rename: the live data must not be gone
-    // while the compacted copy could still fail to land (renameTo
-    // signals failure by RETURN VALUE, not exception)
+  // ---------- compaction + the replayability floor ----------
+  // The floor records how far back the change log can still be REPLAYED:
+  // a last-wins collapse bounded at any mark >= floor is exact; marks
+  // BELOW it summarize history a compaction/truncate has discarded. It
+  // is the O(1) signal the MV refreshes consult instead of scanning the
+  // log's minimum version (a footer sweep per refresh per table), and —
+  // unlike the minimum — it cannot false-positive a rebuild when every
+  // pre-fold-mark row happens to have been superseded by later churn.
+
+  private def floorFile(name: String) =
+    new java.io.File(s"${dir(name)}/_compacted_below")
+
+  /** Lowest version mark at which bounded collapse reads are exact;
+    * -1 when the full history is intact. An MV whose fold mark sits
+    * below this must rebuild — the rows its state summarizes can no
+    * longer be retraced. */
+  private[graft] def compactionFloor(name: String): Long = {
+    val f = floorFile(name)
+    if (f.exists())
+      new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
+    else -1L
+  }
+
+  private def setCompactionFloor(name: String, v: Long): Unit =
+    if (v > compactionFloor(name)) {
+      val f = floorFile(name)
+      val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
+      java.nio.file.Files.write(tmp.toPath, v.toString.getBytes)
+      java.nio.file.Files.move(tmp.toPath, f.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+
+  /** Swap a freshly-written log rewrite into place. Swap, never
+    * delete-then-rename: the live data must not be gone while the
+    * rewritten copy could still fail to land (renameTo signals failure
+    * by RETURN VALUE, not exception). */
+  private def swapDataDir(name: String, tmp: String): Unit = {
     val dataDir = new java.io.File(s"${dir(name)}/data")
     val old = new java.io.File(s"${dir(name)}/data_old")
     if (old.exists()) rmTree(old)
@@ -854,11 +983,83 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
           "previous data restored")
     }
     rmTree(old)
+  }
+
+  /** Full compaction: rewrite the change log as a single batch holding
+    * the current snapshot (all history discarded). At scale this is the
+    * periodic job that keeps snapshot reads from re-collapsing an
+    * ever-growing log; CDC consumers must be past sinceVersion before
+    * compacting, and every registered MV over the table is forced into
+    * a one-time rebuild (the floor rises past its fold mark). When MVs
+    * should stay incremental across routine compaction, use the floored
+    * variant [[compact(name:String,keepAfter:Long)*]] instead. */
+  def compact(name: String): Unit = {
+    // collapse keeping view-extension columns AND each winning row's
+    // batch stamp — dropping _ts here would NULL phoenix_row_timestamp
+    // for the whole table after compaction
+    val collapsed = collapseLogWithTs(name, changeLog(name))
+    versionedWrite(name) { v =>
+      val snap = toPhysical(name, collapsed)
+        .withColumn("_version", lit(v))
+        .withColumn("_deleted", lit(false))
+      val tmp = s"${dir(name)}/data_compacting"
+      snap.write.mode(SaveMode.Overwrite).parquet(tmp)
+      swapDataDir(name, tmp)
+      setCompactionFloor(name, v)
+    }
     // compaction discards the history behind the cache's high-water
     // mark: a cached winner whose PK was deleted pre-compaction has no
     // tombstone in the rewritten log, so serving cache+tail would
     // resurrect it. The compacted log IS a snapshot — drop the cache.
     invalidateSnapCache(name)
+  }
+
+  /** FLOORED compaction — routine log maintenance that coexists with
+    * incremental MV refresh. History at versions <= `keepAfter` is
+    * collapsed to one winner row per PK (tombstones and TTL-expired
+    * rows INCLUDED — an MV fold may still need them as retractions),
+    * each keeping its ORIGINAL `_version`/`_ts`/`_deleted`; versions
+    * above `keepAfter` are kept raw. A bounded collapse at any mark
+    * >= keepAfter reads exactly what it read before — so every MV whose
+    * fold mark is at or above the floor refreshes incrementally as if
+    * nothing happened, while superseded-version bulk below the floor is
+    * physically gone. Callers pass `keepAfter = min(fold marks of the
+    * MVs they maintain)` (each refresh returns its mark). Refuses
+    * loudly when the floor cannot be honored: beyond the log's
+    * high-water counter, or below a floor already set (history there
+    * is gone; re-compacting at a lower mark cannot restore it). */
+  def compact(name: String, keepAfter: Long): Unit = {
+    val ctr = currentVersion(name)
+    require(keepAfter <= ctr,
+      s"compact($name, keepAfter=$keepAfter): floor is beyond the " +
+        s"version counter ($ctr) — cannot declare unwritten history " +
+        "compacted")
+    val floor = compactionFloor(name)
+    require(keepAfter >= floor,
+      s"compact($name, keepAfter=$keepAfter): history below the " +
+        s"existing floor ($floor) is already discarded — a lower " +
+        "floor cannot be honored")
+    // RAW collapse (no TTL filter): an expired winner below the floor
+    // is a retraction a registered MV's next refresh must still see;
+    // expired-row purge is the FULL compaction's job, where the MV
+    // rebuild re-derives from the purged snapshot anyway.
+    val fields = allFields(name)
+    val winners = collapseKeepMeta(name,
+        changeLogRaw(name).where(col("_version") <= keepAfter))
+      .select(fields.map(f => col(f.name)) ++
+        Seq(col("_version"), col("_deleted"), col("_ts")): _*)
+    val tail = changeLogRaw(name).where(col("_version") > keepAfter)
+      .select(fields.map(f => col(f.name)) ++
+        Seq(col("_version"), col("_deleted"), col("_ts")): _*)
+    val tmp = s"${dir(name)}/data_compacting"
+    toPhysical(name, winners.unionByName(tail))
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    swapDataDir(name, tmp)
+    setCompactionFloor(name, keepAfter)
+    // the snapshot cache stays VALID: cache rows keep original versions
+    // and the rewrite preserves the per-PK winner at every mark >= the
+    // floor — including tombstone winners, which full compaction drops
+    // (the resurrection hazard that forces it to invalidate).
   }
 
   /** Updatable-filter views over a base table (reference: Phoenix VIEW

@@ -908,19 +908,32 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     bare.substring(bare.lastIndexOf('.') + 1).toLowerCase
   }
 
-  /** `CREATE MATERIALIZED VIEW [IF NOT EXISTS] name AS SELECT <groups
-    * and aggregates> FROM fact [[LEFT] JOIN side ON fact.k = side.k |
-    * USING (k)]* GROUP BY ...` — groups are plain columns or
-    * `DATE_TRUNC('unit', col) AS alias` grains; aggregates are plain
-    * COUNT(*) / COUNT / SUM / MIN / MAX / AVG over a column. Joins
-    * must be same-named-key equi-joins (the MaterializeJoin model);
-    * all-INNER or all-LEFT. State lands under the catalog warehouse's
-    * `_mv/<name>` and the MV is immediately registered for rewrite
-    * (with the freshness probe), so the SAME SELECT through this
-    * front-end serves from the state. */
+  /** `CREATE MATERIALIZED VIEW [IF NOT EXISTS] name
+    * [WITH (BUCKETS = n [, IMMUTABLE KEYS (k, ...)])]
+    * AS SELECT <groups and aggregates> FROM fact [[LEFT|FULL] JOIN
+    * side ON fact.k = side.k | USING (k)]* [WHERE <pred>] GROUP BY
+    * ...` — groups are plain columns or `DATE_TRUNC('unit', col) AS
+    * alias` grains; aggregates are plain COUNT(*) / COUNT / SUM / MIN
+    * / MAX / AVG over a column, `KMV_SKETCH(col, k)` (distinct-count
+    * sketch state, serves `kmv_sketch` aggregates), or
+    * `APPROX_TOP_TERMS(col, cap)` (SpaceSaving heavy-hitter state).
+    * Joins must be same-named-key equi-joins (the MaterializeJoin
+    * model); all-INNER, all-LEFT, or all-FULL. Options: `BUCKETS = n`
+    * lands bucket-manifested state (refreshes rewrite only touched
+    * buckets); `IMMUTABLE KEYS (k, ...)` declares those join keys
+    * value-immutable per PK on both tables of their edge (enforced by
+    * the maintenance layer; bounds delta reads below the collapse).
+    * `WHERE` (single-table MVs) builds a FILTERED state — the
+    * predicate rides the meta through every refresh, and the rewrite
+    * serves only queries carrying the same conjuncts. State lands
+    * under the catalog warehouse's `_mv/<name>` and the MV is
+    * immediately registered for rewrite (with the freshness probe),
+    * so the SAME SELECT through this front-end serves from the
+    * state. */
   private def createMaterializedView(s: String): DataFrame = {
     val m = ("(?is)^CREATE\\s+MATERIALIZED\\s+VIEW\\s+" +
-      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.\"]+)\\s+AS\\s+(SELECT\\b.*)$").r
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([\\w.\"]+)\\s+" +
+      "(?:WITH\\s*\\((.*?)\\)\\s+)?AS\\s+(SELECT\\b.*)$").r
       .findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
     val name = resolveTable(m.group(2))
@@ -929,12 +942,27 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       throw new IllegalArgumentException(
         s"materialized view $name already exists")
     }
+    // WITH options: BUCKETS = n, IMMUTABLE KEYS (k, ...)
+    var buckets = 0
+    var immutableKeys = Set.empty[String]
+    Option(m.group(3)).foreach(opts =>
+      splitTopLevel(opts, ',').map(_.trim).filter(_.nonEmpty).foreach {
+        case o if o.matches("(?is)^BUCKETS\\s*=\\s*\\d+$") =>
+          buckets = o.replaceAll("(?is)^BUCKETS\\s*=\\s*", "").toInt
+        case o if o.matches(
+            "(?is)^IMMUTABLE\\s+KEYS\\s*\\([^)]*\\)$") =>
+          immutableKeys = "\\(([^)]*)\\)".r.findFirstMatchIn(o).get
+            .group(1).split(',').map(k => stripQual(k)).toSet
+        case o => throw new IllegalArgumentException(
+          s"unsupported materialized-view option '$o': WITH takes " +
+            "BUCKETS = n and IMMUTABLE KEYS (k, ...)")
+      })
     val sel = ("(?is)^SELECT\\s+(.*?)\\s+FROM\\s+([\\w.\"]+)" +
       "(.*?)\\s+GROUP\\s+BY\\s+(.*)$").r
-      .findFirstMatchIn(m.group(3))
+      .findFirstMatchIn(m.group(4))
       .getOrElse(throw new IllegalArgumentException(
         "CREATE MATERIALIZED VIEW requires the aggregate shape " +
-          "SELECT ... FROM t [JOIN ...] GROUP BY ..."))
+          "SELECT ... FROM t [JOIN ...] [WHERE ...] GROUP BY ..."))
     val fact = resolveTable(sel.group(2))
     require(catalog.hasTable(fact), s"unknown table $fact")
     // joins: [LEFT [OUTER]] JOIN side (ON a.k = b.k [AND ...] | USING (k,..))
@@ -944,7 +972,14 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       "JOIN\\s+([\\w.\"]+)\\s+" +
       "(?:USING\\s*\\(([^)]*)\\)|ON\\s+(.+?))\\s*" +
       "(?=(?:LEFT\\s+(?:OUTER\\s+)?|FULL\\s+(?:OUTER\\s+)?)?JOIN\\b|$)").r
-    val joinText = sel.group(3).trim
+    // trailing WHERE (single-table filtered MVs): split it off before
+    // join parsing so the ON-condition tail regex never swallows it
+    val (joinText, whereSql) = {
+      val t = sel.group(3).trim
+      "(?is)^(.*?)\\s*\\bWHERE\\s+(.+)$".r.findFirstMatchIn(t)
+        .map(x => (x.group(1).trim, Some(x.group(2).trim)))
+        .getOrElse((t, None))
+    }
     val joins = joinRe.findAllMatchIn(joinText).map { jm =>
       val table = resolveTable(jm.group(2))
       require(catalog.hasTable(table), s"unknown table $table")
@@ -973,20 +1008,30 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
            "(?is)(LEFT\\s+(?:OUTER\\s+)?|FULL\\s+(?:OUTER\\s+)?)?JOIN\\b.*$",
            "")
          .trim).isEmpty,
-      s"cannot parse FROM clause tail: '$joinText' (no WHERE/alias " +
+      s"cannot parse FROM clause tail: '$joinText' (no alias " +
         "support in CREATE MATERIALIZED VIEW)")
     // select list: plain group columns, DATE_TRUNC grains, aggregates
     val aggRe = ("(?is)^(COUNT|SUM|MIN|MAX|AVG)\\s*\\(\\s*" +
       "(\\*|[\\w.\"]+)\\s*\\)(?:\\s+AS\\s+([\\w\"]+))?$").r
     val grainRe = ("(?is)^DATE_TRUNC\\s*\\(\\s*'(\\w+)'\\s*,\\s*" +
       "([\\w.\"]+)\\s*\\)\\s+AS\\s+([\\w\"]+)$").r
+    val sketchRe = ("(?is)^KMV_SKETCH\\s*\\(\\s*([\\w.\"]+)\\s*,\\s*" +
+      "(\\d+)\\s*\\)(?:\\s+AS\\s+([\\w\"]+))?$").r
+    val topkRe = ("(?is)^APPROX_TOP_TERMS\\s*\\(\\s*([\\w.\"]+)\\s*," +
+      "\\s*(\\d+)\\s*\\)(?:\\s+AS\\s+([\\w\"]+))?$").r
     val plainRe = "(?is)^([\\w.\"]+)(?:\\s+AS\\s+([\\w\"]+))?$".r
     val groupCols = scala.collection.mutable.ArrayBuffer[String]()
     val grains = scala.collection.mutable.ArrayBuffer[(String, String)]()
     val measures = scala.collection.mutable.ArrayBuffer[String]()
+    val sketches = scala.collection.mutable.ArrayBuffer[(String, Int)]()
+    val topks = scala.collection.mutable.ArrayBuffer[(String, Int)]()
     splitTopLevel(sel.group(1), ',').map(_.trim).foreach {
       case aggRe(_, arg, _) =>
         if (arg != "*") measures += stripQual(arg)
+      case sketchRe(colName, k, _) =>
+        sketches += stripQual(colName) -> k.toInt
+      case topkRe(colName, cap, _) =>
+        topks += stripQual(colName) -> cap.toInt
       case grainRe(unit, colName, alias) =>
         val g = stripQual(alias)
         grains += g -> s"date_trunc('$unit', ${stripQual(colName)})"
@@ -994,40 +1039,52 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
       case plainRe(colName, _) => groupCols += stripQual(colName)
       case other => throw new IllegalArgumentException(
         s"unsupported select item '$other': a materialized view " +
-          "takes plain group columns, DATE_TRUNC grains, and plain " +
-          "COUNT/SUM/MIN/MAX/AVG aggregates (no DISTINCT/FILTER)")
+          "takes plain group columns, DATE_TRUNC grains, plain " +
+          "COUNT/SUM/MIN/MAX/AVG aggregates (no DISTINCT/FILTER), " +
+          "KMV_SKETCH(col, k), and APPROX_TOP_TERMS(col, cap)")
     }
     require(groupCols.nonEmpty, "a materialized view needs at least " +
       "one group column (ungrouped rollups: keep the fact's aggregate)")
     val path = catalog.mvPath(name)
     if (joins.isEmpty) {
+      require(immutableKeys.isEmpty,
+        "IMMUTABLE KEYS declares join-key immutability — it needs a " +
+          "JOIN in the materialized view")
       graft.operators.Materialize.build(catalog, fact,
         groupCols.toSeq, measures.distinct.toSeq, path,
-        grainExprs = grains.toSeq)
+        grainExprs = grains.toSeq, sketches = sketches.toSeq,
+        buckets = buckets, topks = topks.toSeq,
+        filterSql = whereSql)
       graft.operators.Materialize.registerForRewrite(catalog, fact, path)
     } else {
+      require(whereSql.isEmpty,
+        "WHERE-filtered materialized views are single-table: thread " +
+          "the filter into the fact before joining (filter the join " +
+          "MV's fact table, or materialize the filtered fact first)")
+      require(immutableKeys.subsetOf(joins.flatMap(_.keys).toSet),
+        s"IMMUTABLE KEYS ${immutableKeys.mkString("(", ", ", ")")} " +
+          "must all be join keys of this view")
       val leftCount = joins.count(_.left)
       val fullCount = joins.count(_.full)
       require((leftCount == 0 || leftCount == joins.size) &&
           (fullCount == 0 || fullCount == joins.size),
         "mixed join types are not supported in one materialized " +
           "view (the maintained state is all-inner, all-left, or " +
-          "binary full)")
+          "all-full)")
       graft.operators.MaterializeJoin.build(catalog,
         graft.operators.MaterializeJoin.ChainSpec(fact,
           joins.map(j => graft.operators.MaterializeJoin.SideSpec(
-            j.table, j.keys)),
+            j.table, j.keys,
+            sideKeysImmutable = j.keys.forall(immutableKeys.contains),
+            factKeysImmutable = j.keys.forall(immutableKeys.contains))),
           leftOuter = leftCount > 0, fullOuter = fullCount > 0),
         groupCols.toSeq, measures.distinct.toSeq, path,
-        grainExprs = grains.toSeq)
-      // FULL-outer states maintain but cannot serve through the
-      // rewrite (the rule does not capture FULL OUTER plans) — the
-      // MV is still refreshable and readable
-      if (fullCount == 0)
-        graft.operators.MaterializeJoin.registerForRewrite(catalog, path)
-      else System.err.println("[graft-sql] full-outer materialized " +
-        s"view $name maintains incrementally but does not serve " +
-        "SELECTs (read its state directly)")
+        sketches = sketches.toSeq, topks = topks.toSeq,
+        grainExprs = grains.toSeq, buckets = buckets)
+      // every join shape registers — INNER/LEFT/FULL each carry their
+      // own serving contract (a FULL MV serves only FULL OUTER
+      // queries, via the fullState dims)
+      graft.operators.MaterializeJoin.registerForRewrite(catalog, path)
     }
     mvDefs(name) = MvDef(path, fact +: joins.map(_.table),
       if (joins.isEmpty) Some(fact) else None)

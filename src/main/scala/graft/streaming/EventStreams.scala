@@ -238,21 +238,17 @@ object EventStreams {
     require(hs.length <= maxBoiler,
       s"boilerplate set exceeds maxBoiler=$maxBoiler entries; use the " +
         "stream-static join form instead of the in-closure set")
-    val set = hs.toSet
-    val sepPat = java.util.regex.Pattern
-      .compile(java.util.regex.Pattern.quote(sep))
-    val clean = udf((text: String) => {
-      // -1 limit keeps trailing empty lines, matching SQL split()
-      val lines = sepPat.split(text, -1)
-      val kept = lines.filterNot { l =>
-        val b = l.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        set.contains(org.apache.spark.sql.catalyst.expressions.XXH64
-          .hashUnsafeBytes(b,
-            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
-            b.length, 42L))
-      }
-      (lines.length.toLong, kept.length.toLong, kept.mkString(sep))
-    })
+    // codegen'd literal-probe kernel (sorted-array binary search, one
+    // reference object per plan) — the Scala udf it replaced was the
+    // last serialized-closure hot loop in src/main; same hash (XXH64
+    // seed 42 over UTF-8 bytes) as the batch lineFreqTable keys, so
+    // stream and batch agree bit-for-bit
+    val kernel = new graft.functions.LineBlocklistKernel(hs, sep)
+    val clean = (c: org.apache.spark.sql.Column) =>
+      org.apache.spark.sql.graftbridge.ColumnBridge.toColumn(
+        graft.functions.LineBlocklistFilter(
+          org.apache.spark.sql.graftbridge.ColumnBridge.toExpression(c),
+          kernel))
     // drop (with a warning) input columns the filter owns — withColumn
     // would silently CLOBBER them otherwise (same hazard class as
     // curateStream's duplicate columns, different failure mode). The
@@ -263,9 +259,9 @@ object EventStreams {
       Set("n_lines", "n_kept", "text_clean", "__c")).toSet + textCol
     docs.select(docs.columns.filter(kept).map(col).toSeq: _*)
       .withColumn("__c", clean(coalesce(col(textCol), lit(""))))
-      .withColumn("n_lines", col("__c._1"))
-      .withColumn("n_kept", col("__c._2"))
-      .withColumn("text_clean", col("__c._3"))
+      .withColumn("n_lines", col("__c.n_lines"))
+      .withColumn("n_kept", col("__c.n_kept"))
+      .withColumn("text_clean", col("__c.text_clean"))
       .drop("__c")
   }
 

@@ -2842,4 +2842,187 @@ class CatalogSpec extends AnyFunSuite {
     val na = snap.find(_.getAs[String]("host") == "NA").get
     assert(na.getAs[Long]("core") == 100L, "second CSV batch wins the PK")
   }
+
+  test("floored compaction: superseded history below the fold mark is " +
+      "physically discarded while MV refresh stays incremental — no " +
+      "rebuild, no lost reads; a floor past the mark still rebuilds") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val cat = freshCatalog()
+    cat.createTable("fc", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"))
+    // heavy superseded churn — the bulk a routine compaction reclaims
+    cat.upsert("fc", Seq((1L, "a", 1L), (2L, "b", 2L), (3L, "b", 3L))
+      .toDF("k", "g", "x"))
+    (1 to 5).foreach(i => cat.upsert("fc",
+      Seq((1L, "a", 10L + i), (2L, "b", 20L + i)).toDF("k", "g", "x")))
+    cat.delete("fc", col("k") === 3L) // tombstone winner must SURVIVE
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_fc").toString
+    Materialize.build(cat, "fc", Seq("g"), Seq("x"), path)
+    cat.upsert("fc", Seq((4L, "a", 7L)).toDF("k", "g", "x"))
+    val mark = Materialize.refresh(cat, "fc", path)
+    def expected = Materialize
+      .aggregate(cat.snapshot("fc"), Seq("g"), Seq("x"))
+      .collect().map(_.toSeq).toSet
+    def actual = Materialize.read(spark, path)
+      .collect().map(_.toSeq).toSet
+    // churn ABOVE the mark too — the raw tail the rewrite must keep
+    cat.upsert("fc", Seq((1L, "a", 100L)).toDF("k", "g", "x"))
+    val snapAtMark = cat.snapshotAsOf("fc", mark)
+      .collect().map(_.toSeq).toSet
+    val rawBefore = cat.changeLogRaw("fc").count()
+    cat.compact("fc", keepAfter = mark)
+    val rawAfter = cat.changeLogRaw("fc").count()
+    assert(rawAfter < rawBefore,
+      s"floored compaction must physically drop superseded versions " +
+        s"($rawBefore -> $rawAfter)")
+    assert(cat.snapshotAsOf("fc", mark).collect().map(_.toSeq).toSet ==
+      snapAtMark, "bounded reads AT the floor must stay exact")
+    assert(cat.snapshot("fc").where(col("k") === 3L).isEmpty,
+      "the tombstone winner must survive the rewrite (resurrection)")
+    // post-compaction refresh: incremental (the whole point), exact
+    cat.upsert("fc", Seq((2L, "c", 9L)).toDF("k", "g", "x")) // regroup
+    Materialize.refresh(cat, "fc", path)
+    assert(!Materialize.LastRefresh.rebuildRan,
+      "a floor at the fold mark must NOT force a rebuild")
+    assert(actual == expected,
+      s"post-floored-compaction refresh diverged: $actual vs $expected")
+    // refusal: a floor beyond the counter, or below the existing floor
+    val e1 = intercept[IllegalArgumentException](
+      cat.compact("fc", keepAfter = cat.changeLog("fc")
+        .agg(max(col("_version"))).head.getLong(0) + 100L))
+    assert(e1.getMessage.contains("beyond the version counter"))
+    val e2 = intercept[IllegalArgumentException](
+      cat.compact("fc", keepAfter = mark - 1L))
+    assert(e2.getMessage.contains("already discarded"))
+    // FULL compaction rises past the fold mark: rebuild, still exact
+    cat.compact("fc")
+    cat.upsert("fc", Seq((5L, "c", 11L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat, "fc", path)
+    assert(Materialize.LastRefresh.rebuildRan,
+      "full compaction discards the fold history — rebuild required")
+    assert(actual == expected)
+  }
+
+  test("truncate raises the replayability floor: an MV over the " +
+      "truncated table rebuilds to empty instead of serving the " +
+      "vanished rows as fresh") {
+    import spark.implicits._
+    import graft.operators.Materialize
+    val cat = freshCatalog()
+    cat.createTable("tr", StructType(Seq(
+      StructField("k", LongType), StructField("g", StringType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.upsert("tr", Seq((1L, "a", 10L), (2L, "b", 20L))
+      .toDF("k", "g", "x"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_tr").toString
+    Materialize.build(cat, "tr", Seq("g"), Seq("x"), path)
+    assert(Materialize.read(spark, path).count() == 2)
+    cat.truncate("tr")
+    // the version counter moved, so a freshness probe keyed on it goes
+    // stale — the silent path used to be: counter unchanged, refresh
+    // early-returns, state serves rows that no longer exist
+    Materialize.refresh(cat, "tr", path)
+    assert(Materialize.LastRefresh.rebuildRan,
+      "truncate discards history — only a rebuild is correct")
+    assert(Materialize.read(spark, path).isEmpty,
+      "post-truncate state must be empty, not the vanished rows")
+    // writes after the truncate fold normally again
+    cat.upsert("tr", Seq((5L, "c", 50L)).toDF("k", "g", "x"))
+    Materialize.refresh(cat, "tr", path)
+    assert(Materialize.read(spark, path).collect().map(_.toSeq).toSet ==
+      Materialize.aggregate(cat.snapshot("tr"), Seq("g"), Seq("x"))
+        .collect().map(_.toSeq).toSet)
+  }
+
+  test("racing writer threads in one catalog: every batch lands exactly " +
+      "once under a distinct version; the counter never covers an " +
+      "un-landed write") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("rw", StructType(Seq(StructField("k", LongType),
+      StructField("x", LongType))), pk = Seq("k"))
+    val n = 6
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        try (0 until n).foreach { i =>
+          val k = (t * 1000 + i).toLong
+          cat.upsert("rw", Seq((k, k)).toDF("k", "x"))
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty,
+      s"two writer threads in ONE catalog instance must both succeed: " +
+        s"${errs.toArray.mkString(", ")}")
+    val vers = cat.changeLog("rw").select("_version")
+      .collect().map(_.getLong(0)).sorted
+    assert(vers.length == 2 * n && vers.distinct.length == 2 * n,
+      s"every batch must land exactly once under its own version: $vers")
+    assert(cat.snapshot("rw").count() == 2 * n)
+    assert(cat.currentVersion("rw") == vers.max,
+      "the published counter must equal the highest LANDED version " +
+        "(publish-after-append invariant)")
+  }
+
+  test("a second catalog instance racing an in-flight write is refused " +
+      "loudly; a sequential handoff between instances is fine") {
+    import spark.implicits._
+    import java.util.concurrent.TimeUnit
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val cat = new GraftCatalog(spark, wh)
+    val schema = StructType(Seq(StructField("k", LongType),
+      StructField("x", LongType)))
+    cat.createTable("fw", schema, pk = Seq("k"))
+    cat.upsert("fw", Seq((1L, 1L)).toDF("k", "x"))
+    // SEQUENTIAL handoff: another instance writes while this one has
+    // nothing in flight — supported (a reopened warehouse), both ways
+    val cat2 = new GraftCatalog(spark, wh)
+    cat2.createTable("fw", schema, pk = Seq("k")) // re-register spec
+    cat2.upsert("fw", Seq((2L, 2L)).toDF("k", "x"))
+    cat.upsert("fw", Seq((3L, 3L)).toDF("k", "x"))
+    assert(cat.snapshot("fw").count() == 3)
+    // CONCURRENT: cat holds a reservation mid-append (the UDF below
+    // blocks its write job) while cat2 lands a write and bumps the
+    // counter — cat must refuse loudly, never silently interleave
+    CatalogSpecGates.reset()
+    val slow = udf { (x: Long) =>
+      CatalogSpecGates.started.countDown()
+      CatalogSpecGates.gate.await(30, TimeUnit.SECONDS)
+      x
+    }
+    val blocked = spark.range(1)
+      .select((col("id") + 100L).as("k"), slow(col("id")).as("x"))
+    @volatile var thrown: Throwable = null
+    val a = new Thread(() => {
+      try cat.upsert("fw", blocked)
+      catch { case e: Throwable => thrown = e }
+    })
+    a.start()
+    assert(CatalogSpecGates.started.await(30, TimeUnit.SECONDS),
+      "the blocked write never started")
+    cat2.upsert("fw", Seq((4L, 4L)).toDF("k", "x"))
+    CatalogSpecGates.gate.countDown()
+    a.join()
+    assert(thrown != null &&
+      thrown.getMessage.contains("another writer"),
+      s"a foreign counter bump under an in-flight write must refuse " +
+        s"loudly, got: $thrown")
+  }
+}
+
+/** Static latches for the foreign-writer test: referenced from inside a
+  * UDF lambda, so they must resolve statically (a captured field would
+  * drag the suite into the closure). */
+object CatalogSpecGates {
+  @volatile var gate = new java.util.concurrent.CountDownLatch(1)
+  @volatile var started = new java.util.concurrent.CountDownLatch(1)
+  def reset(): Unit = {
+    gate = new java.util.concurrent.CountDownLatch(1)
+    started = new java.util.concurrent.CountDownLatch(1)
+  }
 }

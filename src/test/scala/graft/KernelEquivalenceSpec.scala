@@ -244,4 +244,39 @@ class KernelEquivalenceSpec extends AnyFunSuite {
       assert(m.getBoolean(5) == r.getBoolean(6), s"has_brace on $r")
     }
   }
+
+  test("line_blocklist_filter == the closure udf it replaced, " +
+      "bit-exact on corpus text + adversarial edges") {
+    import spark.implicits._
+    import graft.functions.{LineBlocklistFilter, LineBlocklistKernel}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val corpus = Tables.t(spark, "/root/testdata/sf0.001", "documents")
+      .select($"text").as[String].collect().toList
+    val texts = corpus ++ List("", "\n", "a\n\nb\n", "solo",
+      "dup\ndup\nkeep", "tail\n")
+    // blocked set: every line occurring >= 2 times across the inputs
+    // (the boilerplate definition), hashed exactly like lineFreqTable
+    def h(l: String): Long = {
+      val b = l.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+        b.length, 42L)
+    }
+    val blocked = texts.flatMap(_.split("\n", -1)).groupBy(identity)
+      .collect { case (l, o) if o.size >= 2 => h(l) }.toArray
+    val kernel = new LineBlocklistKernel(blocked, "\n")
+    val set = blocked.toSet
+    val rows = texts.toDF("t")
+      .select(ColumnBridge.toColumn(LineBlocklistFilter(
+        ColumnBridge.toExpression($"t"), kernel)).as("m"), $"t")
+      .collect()
+    rows.foreach { r =>
+      val m = r.getStruct(0)
+      val lines = r.getString(1).split("\n", -1)
+      val kept = lines.filterNot(l => set.contains(h(l)))
+      assert(m.getLong(0) == lines.length.toLong, s"n_lines on $r")
+      assert(m.getLong(1) == kept.length.toLong, s"n_kept on $r")
+      assert(m.getString(2) == kept.mkString("\n"), s"text_clean on $r")
+    }
+  }
 }

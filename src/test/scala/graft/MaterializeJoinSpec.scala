@@ -882,17 +882,19 @@ class MaterializeJoinSpec extends AnyFunSuite {
     }
   }
 
-  test("FULL refusals: N-way chains, leftOuter combination, rewrite " +
-      "registration") {
-    val cat = freshCatalog(); mkTables(cat)
+  test("FULL refusals: snowflake-keyed full chains and the leftOuter " +
+      "combination refuse; the binary full state registers for " +
+      "rewrite under the fullState contract") {
+    val cat = freshCatalog(); mkTables(cat); mkSnowflake(cat)
     val path = java.nio.file.Files
       .createTempDirectory("graft_jmv").toString
-    intercept[IllegalArgumentException] {
-      MaterializeJoin.build(cat, MaterializeJoin.ChainSpec("o",
-        Seq(MaterializeJoin.SideSpec("c", Seq("ck")),
-          MaterializeJoin.SideSpec("c", Seq("ck"))), fullOuter = true),
-        Seq("seg"), Seq("price"), path)
+    // a side keyed on an EARLIER SIDE under FULL: the per-side
+    // dangling decomposition needs every side keyed on the fact
+    val e1 = intercept[IllegalArgumentException] {
+      MaterializeJoin.build(cat, snowCs.copy(fullOuter = true),
+        Seq("nname"), Seq("price"), path)
     }
+    assert(e1.getMessage.contains("keyed on the FACT"))
     intercept[IllegalArgumentException] {
       MaterializeJoin.build(cat,
         MaterializeJoin.ChainSpec("o",
@@ -901,10 +903,62 @@ class MaterializeJoinSpec extends AnyFunSuite {
         Seq("seg"), Seq("price"), path)
     }
     MaterializeJoin.build(cat, fjs, Seq("seg"), Seq("price"), path)
-    val e = intercept[IllegalArgumentException] {
-      MaterializeJoin.registerForRewrite(cat, path)
+    MaterializeJoin.registerForRewrite(cat, path) // fullState serves
+  }
+
+  test("FULL N-way star chain: per-side dangling parts fold exactly " +
+      "under random churn on all three tables (seeded differential " +
+      "fuzz vs the sequential full-outer recompute)") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("f", StructType(Seq(
+      StructField("ok", LongType), StructField("ck", LongType),
+      StructField("pk2", LongType), StructField("price", LongType))),
+      pk = Seq("ok"))
+    cat.createTable("c", custSchema, pk = Seq("ck"))
+    cat.createTable("p", StructType(Seq(
+      StructField("pk2", LongType), StructField("brand", StringType))),
+      pk = Seq("pk2"))
+    cat.upsert("f", Seq((1L, 10L, 100L, 5L), (2L, 10L, 101L, 6L))
+      .toDF("ok", "ck", "pk2", "price"))
+    cat.upsert("c", Seq((10L, "a"), (77L, "cdangle")).toDF("ck", "seg"))
+    cat.upsert("p", Seq((100L, "x"), (88L, "pdangle"))
+      .toDF("pk2", "brand"))
+    val cs = MaterializeJoin.ChainSpec("f", Seq(
+      MaterializeJoin.SideSpec("c", Seq("ck")),
+      MaterializeJoin.SideSpec("p", Seq("pk2"))), fullOuter = true)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jfull").toString
+    MaterializeJoin.build(cat, cs, Seq("seg", "brand"), Seq("price"),
+      path)
+    def expectedN: Set[Seq[Any]] = Materialize.aggregate(
+      cat.snapshot("f").join(cat.snapshot("c"), Seq("ck"), "full")
+        .join(cat.snapshot("p"), Seq("pk2"), "full"),
+      Seq("seg", "brand"), Seq("price")).collect().map(canon).toSet
+    assert(actual(path) == expectedN, "after build (both dangling " +
+      "kinds present)")
+    val rnd = new scala.util.Random(20260816L)
+    val segs = Vector("a", "b", "cdangle")
+    val brands = Vector("x", "y", "pdangle")
+    for (step <- 1 to 8) {
+      for (_ <- 0 until 1 + rnd.nextInt(3)) rnd.nextInt(6) match {
+        case 0 => cat.upsert("f", Seq((rnd.nextInt(8).toLong,
+          (rnd.nextInt(5) * 10 + 10).toLong,
+          (100 + rnd.nextInt(5)).toLong,
+          rnd.nextInt(100).toLong)).toDF("ok", "ck", "pk2", "price"))
+        case 1 => cat.upsert("c", Seq(((rnd.nextInt(5) * 10 + 10).toLong,
+          segs(rnd.nextInt(segs.size)))).toDF("ck", "seg"))
+        case 2 => cat.upsert("p", Seq(((100 + rnd.nextInt(5)).toLong,
+          brands(rnd.nextInt(brands.size)))).toDF("pk2", "brand"))
+        case 3 => cat.delete("f", col("ok") === rnd.nextInt(8).toLong)
+        case 4 => cat.delete("c",
+          col("ck") === (rnd.nextInt(5) * 10 + 10).toLong)
+        case 5 => cat.delete("p",
+          col("pk2") === (100 + rnd.nextInt(5)).toLong)
+      }
+      MaterializeJoin.refresh(cat, path)
+      assert(actual(path) == expectedN, s"diverged at step $step")
     }
-    assert(e.getMessage.contains("FULL-outer"))
   }
 
   // ---- snowflake chains: a side keyed on ANOTHER side ----
@@ -1031,8 +1085,12 @@ class MaterializeJoinSpec extends AnyFunSuite {
     // next refresh (recorded marks stopped before it)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val segs = Vector("a", "b", "c", "d", "e")
-    val writer = new Thread(() => {
-      val rnd = new scala.util.Random(13L)
+    // a racing writer PAIR on the same dim table: the catalog's
+    // per-table write protocol (reserve → append → publish, serialized
+    // per table) must land each batch exactly once under its own
+    // version even when two threads contend, while refreshes interleave
+    def mkWriter(seed: Long) = new Thread(() => {
+      val rnd = new scala.util.Random(seed)
       var i = 0
       while (!stop.get()) {
         cat.upsert("c", Seq(((rnd.nextInt(6) * 10 + 10).toLong,
@@ -1041,7 +1099,8 @@ class MaterializeJoinSpec extends AnyFunSuite {
         if (i % 3 == 0) Thread.sleep(5)
       }
     })
-    writer.start()
+    val writers = Seq(mkWriter(13L), mkWriter(47L))
+    writers.foreach(_.start())
     try {
       val rnd = new scala.util.Random(31L)
       for (_ <- 1 to 4) {
@@ -1050,13 +1109,21 @@ class MaterializeJoinSpec extends AnyFunSuite {
           rnd.nextInt(1000).toLong)).toDF("ok", "ck", "price"))
         MaterializeJoin.refresh(cat, path)
       }
-    } finally { stop.set(true); writer.join() }
+    } finally { stop.set(true); writers.foreach(_.join()) }
     // quiesced: one final refresh must land the state EXACTLY on the
     // joined-snapshot aggregate — any double-folded mid-refresh write
     // shows up here as an inflated cnt/sum
     MaterializeJoin.refresh(cat, path)
     assert(actual(path) == expected(cat),
       "a write that raced a refresh was folded more than once")
+    // exactly-once landing under the writer pair: every racing batch is
+    // a single row, so a shared version would show as a version with
+    // more than one row (version 0 is the 3-row fixture batch)
+    val perV = cat.changeLog("c").where(col("_version") > 0)
+      .groupBy("_version").count().collect()
+    assert(perV.forall(_.getLong(1) == 1L),
+      s"two racing writers shared a version: " +
+        s"${perV.filter(_.getLong(1) > 1L).mkString(", ")}")
   }
 
   test("an EMPTY side log is not a compaction: fact-only churn takes " +
@@ -1140,5 +1207,73 @@ class MaterializeJoinSpec extends AnyFunSuite {
     val v4 = cat.upsert("t", Seq((4L, 44L)).toDF("k", "x"))
     assert(rows(cat.snapshotUpTo("t", v4)) ==
       rows(cat.snapshotAsOf("t", v4)), "cache + tail")
+  }
+
+  test("floored compaction of every chain table at its fold mark keeps " +
+      "the chain refresh incremental and exact; a full compaction of " +
+      "any one table still forces the rebuild") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("f", StructType(Seq(
+      StructField("ok", LongType), StructField("ck", LongType),
+      StructField("pk2", LongType), StructField("price", LongType))),
+      pk = Seq("ok"))
+    cat.createTable("c", custSchema, pk = Seq("ck"))
+    cat.createTable("p", StructType(Seq(
+      StructField("pk2", LongType), StructField("brand", StringType))),
+      pk = Seq("pk2"))
+    cat.upsert("f", Seq((1L, 10L, 100L, 5L), (2L, 10L, 101L, 6L),
+      (3L, 20L, 100L, 7L), (4L, 30L, 101L, 8L))
+      .toDF("ok", "ck", "pk2", "price"))
+    cat.upsert("c", Seq((10L, "a"), (20L, "b"), (30L, "a"))
+      .toDF("ck", "seg"))
+    cat.upsert("p", Seq((100L, "x"), (101L, "y")).toDF("pk2", "brand"))
+    val cs = MaterializeJoin.ChainSpec("f", Seq(
+      MaterializeJoin.SideSpec("c", Seq("ck")),
+      MaterializeJoin.SideSpec("p", Seq("pk2"))))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jfc").toString
+    MaterializeJoin.build(cat, cs, Seq("seg", "brand"), Seq("price"),
+      path)
+    def expectedN: Set[Seq[Any]] = Materialize.aggregate(
+      cat.snapshot("f").join(cat.snapshot("c"), Seq("ck"))
+        .join(cat.snapshot("p"), Seq("pk2")),
+      Seq("seg", "brand"), Seq("price")).collect().map(canon).toSet
+    // churn everything, refresh — the fold marks routine compaction
+    // must keep replayable
+    cat.upsert("f", Seq((1L, 10L, 100L, 55L), (5L, 20L, 101L, 9L))
+      .toDF("ok", "ck", "pk2", "price"))
+    cat.upsert("c", Seq((10L, "c")).toDF("ck", "seg"))
+    cat.upsert("p", Seq((101L, "z")).toDF("pk2", "brand"))
+    val (vf, vs) = MaterializeJoin.refresh(cat, path)
+    // floored compaction at each table's own fold mark — the routine
+    // maintenance job, MVs registered and all
+    val before = Seq("f", "c", "p").map(cat.changeLogRaw(_).count()).sum
+    cat.compact("f", keepAfter = vf)
+    cat.compact("c", keepAfter = vs(0))
+    cat.compact("p", keepAfter = vs(1))
+    val after = Seq("f", "c", "p").map(cat.changeLogRaw(_).count()).sum
+    assert(after < before,
+      s"floored compaction must drop superseded versions ($before -> " +
+        s"$after)")
+    // post-compaction churn on all three tables folds INCREMENTALLY
+    cat.upsert("f", Seq((2L, 10L, 101L, 66L)).toDF(
+      "ok", "ck", "pk2", "price"))
+    cat.upsert("c", Seq((20L, "d")).toDF("ck", "seg"))
+    cat.delete("p", col("pk2") === 100L)
+    MaterializeJoin.refresh(cat, path)
+    assert(!MaterializeJoin.LastRefresh.rebuildRan,
+      "floors at the fold marks must NOT force a rebuild")
+    assert(actual(path) == expectedN,
+      "post-floored-compaction chain refresh diverged")
+    // FULL compaction of one side rises past its fold mark: rebuild
+    cat.compact("p")
+    cat.upsert("f", Seq((6L, 30L, 101L, 3L)).toDF(
+      "ok", "ck", "pk2", "price"))
+    MaterializeJoin.refresh(cat, path)
+    assert(MaterializeJoin.LastRefresh.rebuildRan,
+      "full compaction of a chain table discards its fold history — " +
+        "rebuild required")
+    assert(actual(path) == expectedN)
   }
 }

@@ -1474,7 +1474,8 @@ class PhoenixSqlSpec extends AnyFunSuite {
   }
 
   test("SHOW MATERIALIZED VIEWS + FULL JOIN DDL: a full-outer MV " +
-      "maintains through SQL but does not register for serving") {
+      "maintains through SQL and serves FULL OUTER queries only " +
+      "(INNER refuses — it would drop the dangling rows)") {
     import graft.operators.MaterializeJoin
     val px = fresh()
     px.execute("CREATE TABLE FA (OK BIGINT NOT NULL, CK BIGINT, " +
@@ -1490,18 +1491,117 @@ class PhoenixSqlSpec extends AnyFunSuite {
     val shown = px.execute("SHOW MATERIALIZED VIEWS")
       .collect().map(r => (r.getString(0), r.getString(2)))
     assert(shown.toSeq == Seq(("fmv", "join")))
-    // churn + REFRESH through SQL; read the state directly
+    // churn + REFRESH through SQL
     px.execute("UPSERT INTO FA VALUES (2, 99, 7)") // fact-dangling
     px.execute("DELETE FROM FB WHERE CK = 20")
     px.execute("REFRESH MATERIALIZED VIEW FMV")
-    val rows = MaterializeJoin.read(px.catalog.session,
-        px.catalog.mvPath("fmv"))
-      .collect().map(r => (Option(r.getString(0)).orNull,
-        r.getLong(1))).toMap
+    val mvPath = px.catalog.mvPath("fmv")
+    // the SAME full-outer aggregate through the front-end serves from
+    // the state (fullState contract), plan-pinned
+    val served = px.execute("SELECT SEG, COUNT(*) AS C, SUM(X) AS S " +
+      "FROM FA FULL JOIN FB ON FA.CK = FB.CK GROUP BY SEG")
+    assert(served.queryExecution.executedPlan.toString.contains(mvPath),
+      s"a FULL OUTER aggregate must serve from the full-outer state:\n" +
+        served.queryExecution.executedPlan.toString)
+    val rows = served.collect()
+      .map(r => (Option(r.getString(0)).orNull, r.getLong(1))).toMap
     assert(rows == Map(("a", 1L), (null, 1L)),
-      s"full-outer state after churn: $rows")
+      s"full-outer serve after churn: $rows")
+    // an INNER query must NOT serve from the full state — and must
+    // still be answered correctly by the fallback plan
+    val inner = px.execute("SELECT SEG, COUNT(*) AS C FROM FA " +
+      "JOIN FB ON FA.CK = FB.CK GROUP BY SEG")
+    assert(!inner.queryExecution.executedPlan.toString.contains(mvPath),
+      "an INNER aggregate must refuse the full-outer state")
+    assert(inner.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("a", 1L)))
     px.execute("DROP MATERIALIZED VIEW FMV")
     assert(px.execute("SHOW MATERIALIZED VIEWS").count() == 0)
+  }
+
+  test("CREATE MATERIALIZED VIEW WITH (BUCKETS, IMMUTABLE KEYS): " +
+      "bucket-manifested state refreshes only touched buckets and the " +
+      "immutability declaration is ENFORCED at refresh") {
+    import graft.operators.MaterializeJoin
+    val px = fresh()
+    px.execute("CREATE TABLE BF (OK BIGINT NOT NULL, CK BIGINT, " +
+      "X BIGINT CONSTRAINT PK PRIMARY KEY (OK))")
+    px.execute("CREATE TABLE BD (CK BIGINT NOT NULL, SEG VARCHAR " +
+      "CONSTRAINT PK PRIMARY KEY (CK))")
+    (1 to 6).foreach(i => px.execute(
+      s"UPSERT INTO BF VALUES ($i, ${i % 3 * 10 + 10}, ${i * 100})"))
+    Seq(10 -> "a", 20 -> "b", 30 -> "c").foreach { case (k, s) =>
+      px.execute(s"UPSERT INTO BD VALUES ($k, '$s')") }
+    px.execute("CREATE MATERIALIZED VIEW BMV WITH (BUCKETS = 8, " +
+      "IMMUTABLE KEYS (CK)) AS SELECT SEG, COUNT(*), SUM(X) " +
+      "FROM BF JOIN BD ON BF.CK = BD.CK GROUP BY SEG")
+    // one-segment churn touches a strict subset of the 8 buckets
+    px.execute("UPSERT INTO BF VALUES (100, 10, 5)")
+    px.execute("REFRESH MATERIALIZED VIEW BMV")
+    assert(MaterializeJoin.LastRefresh.bucketsTouched >= 1 &&
+      MaterializeJoin.LastRefresh.bucketsTouched < 8,
+      s"expected a touched-bucket slice, got " +
+        s"${MaterializeJoin.LastRefresh.bucketsTouched}/8")
+    val served = px.execute("SELECT SEG, SUM(X) AS SX FROM BF " +
+      "JOIN BD ON BF.CK = BD.CK GROUP BY SEG ORDER BY SEG")
+    assert(served.queryExecution.executedPlan.toString
+      .contains(px.catalog.mvPath("bmv")))
+    assert(served.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("a", 905L), ("b", 500L), ("c", 700L)))
+    // IMMUTABLE KEYS is a CONTRACT: mutating an existing fact PK's CK
+    // refuses the refresh loudly instead of surfacing stale winners
+    px.execute("UPSERT INTO BF VALUES (100, 20, 5)") // ck 10 -> 20
+    val e = intercept[Exception] {
+      px.execute("REFRESH MATERIALIZED VIEW BMV")
+    }
+    assert(e.getMessage.contains("immutable"),
+      s"expected the immutability refusal, got: ${e.getMessage}")
+  }
+
+  test("CREATE MATERIALIZED VIEW ... WHERE: the filtered state " +
+      "refreshes under the meta-carried predicate and serves only " +
+      "the matching query") {
+    import graft.operators.Materialize
+    val px = fresh()
+    px.execute("CREATE TABLE WT (K BIGINT NOT NULL, G VARCHAR, " +
+      "M BIGINT CONSTRAINT PK PRIMARY KEY (K))")
+    (1 to 8).foreach(i => px.execute(
+      s"UPSERT INTO WT VALUES ($i, '${if (i % 2 == 0) "e" else "o"}', " +
+        s"${i * 10})"))
+    px.execute("CREATE MATERIALIZED VIEW WMV AS SELECT G, COUNT(*), " +
+      "SUM(M) FROM WT WHERE M > 30 GROUP BY G")
+    // boundary churn: k=1 (m=10, outside) moves inside; k=8 (m=80,
+    // inside) moves outside; k=6 deleted (retraction inside)
+    px.execute("UPSERT INTO WT VALUES (1, 'o', 99)")
+    px.execute("UPSERT INTO WT VALUES (8, 'e', 5)")
+    px.execute("DELETE FROM WT WHERE K = 6")
+    px.execute("REFRESH MATERIALIZED VIEW WMV")
+    val q = px.execute("SELECT G, COUNT(*) AS C, SUM(M) AS S " +
+      "FROM WT WHERE M > 30 GROUP BY G ORDER BY G")
+    assert(q.queryExecution.executedPlan.toString
+      .contains(px.catalog.mvPath("wmv")),
+      "the matching filtered query must serve from the state:\n" +
+        q.queryExecution.executedPlan.toString)
+    // o: k=1(99), k=5(50), k=7(70); e: k=4(40)
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq == Seq(("e", 1L, 40L), ("o", 3L, 219L)))
+    // the filter-less rollup refuses the filtered state and still
+    // answers exactly through the fallback
+    val bare = px.execute(
+      "SELECT G, SUM(M) AS S FROM WT GROUP BY G ORDER BY G")
+    assert(!bare.queryExecution.executedPlan.toString
+      .contains(px.catalog.mvPath("wmv")))
+    assert(bare.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSeq == Seq(("e", 65L), ("o", 249L)))
+    // an API refresh with no filter in hand stays correct: the
+    // predicate rides the META, not the caller
+    px.execute("UPSERT INTO WT VALUES (9, 'o', 31)")
+    Materialize.refresh(px.catalog, "wt", px.catalog.mvPath("wmv"))
+    val rows = Materialize.read(px.catalog.session,
+        px.catalog.mvPath("wmv"))
+      .collect().map(r => (r.getString(0), r.getAs[Long]("cnt"))).toMap
+    assert(rows == Map("e" -> 1L, "o" -> 4L),
+      s"meta-carried filter must govern API refreshes too: $rows")
   }
 
   test("CREATE MATERIALIZED VIEW over a JOIN + DATE_TRUNC grain: " +
