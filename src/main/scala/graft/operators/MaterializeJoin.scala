@@ -589,13 +589,16 @@ object MaterializeJoin {
     * key-clustered layout. Mutable non-PK keys keep the filter above
     * the collapse: still delta-bounded shuffle, full-scan read — the
     * honest fallback. */
-  /** Per-refresh zone-probe memo: (delta plan identity, key) → probed
-    * bounds. The same cached delta is probed from several legs (the
+  /** Per-refresh zone-probe memo: (delta frame, key) → probed bounds.
+    * The same cached delta is probed from several legs (the
     * null-extension count pair probes it twice back-to-back), and each
     * probe is a serial DRIVER JOB — the memo collapses the duplicates,
-    * and the parallel leg builders share it safely. */
+    * and the parallel leg builders share it safely. Keyed by the
+    * DataFrame REFERENCE (Dataset keeps default identity equals/
+    * hashCode) — an identityHashCode key would collide across distinct
+    * frames and serve the wrong bounds. */
   private type ZoneMemo = scala.collection.concurrent.TrieMap[
-    (Int, Seq[String]), Option[Option[(Any, Any)]]]
+    (DataFrame, Seq[String]), Option[Option[(Any, Any)]]]
 
   private def boundedSide(cat: GraftCatalog, table: String,
       asOfV: Long, delta: DataFrame, keys: Seq[String],
@@ -609,7 +612,7 @@ object MaterializeJoin {
     val zone: Option[Option[(Any, Any)]] =
       if (keys.size != 1) None
       else memo.getOrElseUpdate(
-        (System.identityHashCode(delta), keys),
+        (delta, keys),
         scala.util.Try {
           val b =
             delta.agg(min(col(keys.head)), max(col(keys.head))).head

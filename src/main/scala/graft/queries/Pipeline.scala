@@ -1914,6 +1914,61 @@ object Pipeline {
       q
     },
 
+    // FLOORED COMPACTION through SQL under the hard oracle:
+    // `COMPACT TABLE` derives its floor from the registered MV's fold
+    // marks, physically reclaims superseded-version bulk on BOTH
+    // tables, and the next refresh still folds INCREMENTALLY
+    // (rebuildRan pinned in-entry) and serves exactly — the
+    // operational cliff (routine compaction forcing O(table) MV
+    // rebuilds) closed end to end in SQL.
+    "q_mv_compact_sql" -> { (s, dir) =>
+      import s.implicits._
+      val wh = ivmWarehouse(dir + "#mvcompact")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      val px = new graft.sources.PhoenixSql(s, cat)
+      px.execute("CREATE TABLE kf (okey BIGINT NOT NULL, " +
+        "ckey BIGINT, m BIGINT CONSTRAINT pk PRIMARY KEY (okey))")
+      px.execute("CREATE TABLE kd (ckey BIGINT NOT NULL, " +
+        "seg VARCHAR CONSTRAINT pk PRIMARY KEY (ckey))")
+      val f0 = Tables.t(s, dir, "orders")
+        .where($"o_orderkey" % 16 === 3)
+        .select($"o_orderkey".as("okey"), $"o_custkey".as("ckey"),
+          ($"o_orderkey" % 97).cast("long").as("m"))
+      cat.upsert("kf", f0)
+      cat.upsert("kd", Tables.t(s, dir, "customer")
+        .select($"c_custkey".as("ckey"), $"c_mktsegment".as("seg")))
+      px.execute("CREATE MATERIALIZED VIEW kmv AS SELECT seg, " +
+        "COUNT(*), SUM(m), MIN(m), MAX(m) FROM kf " +
+        "JOIN kd ON kf.ckey = kd.ckey GROUP BY seg")
+      // churn past the fold marks, refresh, then compact at the marks
+      cat.upsert("kf", f0.where($"okey" % 10 === 7)
+        .withColumn("m", $"m" + 50L))
+      px.execute("REFRESH MATERIALIZED VIEW kmv")
+      val modes = Seq("kf", "kd").map(t =>
+        px.execute(s"COMPACT TABLE $t").collect().head.getString(1))
+      if (modes != Seq("floored", "floored"))
+        throw new IllegalStateException(
+          s"COMPACT TABLE must derive a floor from the MV: $modes")
+      // post-compaction churn folds incrementally and serves exactly
+      cat.upsert("kf", f0.where($"okey" % 10 === 1)
+        .withColumn("m", $"m" + 9L))
+      cat.delete("kf", $"okey" % 20 === 13)
+      px.execute("REFRESH MATERIALIZED VIEW kmv")
+      if (graft.operators.MaterializeJoin.LastRefresh.rebuildRan)
+        throw new IllegalStateException(
+          "post-COMPACT refresh must stay incremental, not rebuild")
+      val q = px.execute("SELECT seg, COUNT(*) AS cnt, " +
+        "SUM(m) AS sum_m, MIN(m) AS min_m, MAX(m) AS max_m " +
+        "FROM kf JOIN kd ON kf.ckey = kd.ckey " +
+        "GROUP BY seg ORDER BY seg")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(cat.mvPath("kmv")) ||
+          plan.contains("_snapcache") || plan.contains(s"$wh/kf/data"))
+        throw new IllegalStateException(
+          s"post-COMPACT MV did not serve from its state:\n$plan")
+      q
+    },
+
     // SKETCH-MEASURE MV through SQL DDL under the hard oracle:
     // `KMV_SKETCH(col, k)` / `APPROX_TOP_TERMS(col, cap)` in CREATE
     // MATERIALIZED VIEW land distinct-count / heavy-hitter state the
@@ -3926,6 +3981,21 @@ object Pipeline {
         CAST(sum(qty) AS BIGINT) AS sum_qty,
         min(qty) AS min_qty, max(qty) AS max_qty
       FROM l JOIN o USING (okey)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_mv_compact_sql" -> """
+      WITH f AS (
+        SELECT o_orderkey AS okey, o_custkey AS ckey,
+          CASE WHEN o_orderkey % 10 = 7 THEN o_orderkey % 97 + 50
+               WHEN o_orderkey % 10 = 1 THEN o_orderkey % 97 + 9
+               ELSE o_orderkey % 97 END AS m
+        FROM orders
+        WHERE o_orderkey % 16 = 3 AND o_orderkey % 20 <> 13),
+      c AS (SELECT c_custkey AS ckey, c_mktsegment AS seg
+            FROM customer)
+      SELECT seg, count(*) AS cnt, CAST(sum(m) AS BIGINT) AS sum_m,
+        min(m) AS min_m, max(m) AS max_m
+      FROM f JOIN c USING (ckey)
       GROUP BY 1 ORDER BY 1""",
 
     "q_mv_ddl_sketch" -> """

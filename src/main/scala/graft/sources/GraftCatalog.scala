@@ -196,7 +196,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * row, keep the table): drops the data directory; the spec and the
     * version counter survive, so versions stay monotone across a truncate
     * and CDC consumers can't see a version reused. */
-  def truncate(name: String): Unit = {
+  def truncate(name: String): Unit = tableLock(name).synchronized {
     spec(name) // throws on unknown table
     val data = new java.io.File(s"${dir(name)}/data")
     if (data.exists()) rmTree(data)
@@ -205,7 +205,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // version (so freshness probes keyed on the counter observe the
     // change — an MV would otherwise serve the vanished rows as
     // "fresh") and raise the replayability floor past every earlier
-    // fold mark, forcing the rebuild that is the only correct refresh
+    // fold mark, forcing the rebuild that is the only correct refresh.
+    // The whole sequence holds the table's write lock (reentrant into
+    // versionedWrite), so a racing append can't land rows between the
+    // tree delete and the floor bump.
     versionedWrite(name)(v => setCompactionFloor(name, v))
   }
 
@@ -307,11 +310,21 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   private val tableWriteLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  private def tableLock(name: String): Object =
+    tableWriteLocks.computeIfAbsent(name, _ => new Object)
+
   private def versionedWrite(name: String)(write: Long => Unit): Long =
-    tableWriteLocks.computeIfAbsent(name, _ => new Object).synchronized {
+    tableLock(name).synchronized {
       val v = reserveVersion(name)
       try write(v)
-      catch { case e: Throwable => publishVersion(name, v); throw e }
+      catch {
+        case e: Throwable =>
+          // abandon the reservation; a secondary failure here must not
+          // MASK the append's own error
+          try publishVersion(name, v)
+          catch { case e2: Throwable => e.addSuppressed(e2) }
+          throw e
+      }
       publishVersion(name, v)
       v
     }
@@ -1028,7 +1041,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * loudly when the floor cannot be honored: beyond the log's
     * high-water counter, or below a floor already set (history there
     * is gone; re-compacting at a lower mark cannot restore it). */
-  def compact(name: String, keepAfter: Long): Unit = {
+  def compact(name: String, keepAfter: Long): Unit =
+      tableLock(name).synchronized {
     val ctr = currentVersion(name)
     require(keepAfter <= ctr,
       s"compact($name, keepAfter=$keepAfter): floor is beyond the " +

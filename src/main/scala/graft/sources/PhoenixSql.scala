@@ -67,6 +67,9 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     else if (up.startsWith("TRUNCATE TABLE")) {
       requireNoScn("TRUNCATE"); truncateTable(s)
     }
+    else if (up.startsWith("COMPACT TABLE")) {
+      requireNoScn("COMPACT"); compactTable(s)
+    }
     else if (up.startsWith("SHOW CREATE TABLE")) showCreateTable(s)
     else if (up.startsWith("SHOW MATERIALIZED VIEWS")) {
       import spark.implicits._
@@ -312,6 +315,48 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
 
   // ---- TRUNCATE / SHOW (reference: truncate_table_node:502,
   // show_node:546, show_create_table_node:551) --------------------------
+
+  /** `COMPACT TABLE t [KEEP HISTORY AFTER <version>]` — the
+    * operational statement for routine log maintenance (the
+    * reference's analog is an HBase major compaction; here the log is
+    * parquet, so the rewrite is explicit). Without the clause the
+    * floor derives from the REGISTERED materialized views over `t`:
+    * `keepAfter = min(their fold marks for t)`, so compaction reclaims
+    * superseded-version bulk while every MV keeps refreshing
+    * incrementally (the round-14 floored form). With no MV registered
+    * — nothing needs the history — the compaction is FULL (history
+    * discarded, TTL-expired rows purged). An explicit version
+    * overrides the derivation (an MV folded below it will rebuild
+    * once, detected via the replayability floor — correct, just
+    * O(table)). Returns one row (table, mode, kept_after). */
+  private def compactTable(s: String): DataFrame = {
+    import spark.implicits._
+    val m = ("(?is)^COMPACT\\s+TABLE\\s+([\\w.\"]+)" +
+      "(?:\\s+KEEP\\s+HISTORY\\s+AFTER\\s+(\\d+))?\\s*$").r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val t = resolveTable(m.group(1))
+    require(catalog.hasTable(t), s"unknown table $t")
+    val explicit = Option(m.group(2)).map(_.toLong)
+    val mvMarks = mvDefs.values.filter(_.tables.contains(t)).map { d =>
+      val meta = spark.read.parquet(s"${d.path}/meta").head()
+      d.singleTable match {
+        case Some(_) => meta.getAs[Long]("last_version")
+        case None => // chain meta: tables = fact +: sides, positionally
+          val idx = d.tables.indexOf(t)
+          if (idx == 0) meta.getAs[Long]("last_vf")
+          else meta.getSeq[Long](meta.fieldIndex("last_vs"))(idx - 1)
+      }
+    }
+    val keepAfter = explicit.orElse(mvMarks.minOption)
+    keepAfter match {
+      case Some(v) => catalog.compact(t, keepAfter = v)
+      case None => catalog.compact(t)
+    }
+    dirty += t
+    Seq((t, if (keepAfter.isDefined) "floored" else "full",
+      keepAfter.getOrElse(-1L))).toDF("table", "mode", "kept_after")
+  }
 
   private def truncateTable(s: String): DataFrame = {
     val m = ("(?is)TRUNCATE TABLE ([\\w.\"]+)" +

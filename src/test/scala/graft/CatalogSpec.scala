@@ -1398,6 +1398,58 @@ class CatalogSpec extends AnyFunSuite {
       "fixture must end with a non-empty NULL group")
   }
 
+  test("maintainJoinAggregate over a FULL-outer MV: both dangling " +
+      "kinds maintain across micro-batches with out-of-band side " +
+      "churn") {
+    import spark.implicits._
+    import graft.operators.MaterializeJoin
+    val cat = freshCatalog()
+    cat.createTable("fjf", StructType(Seq(
+      StructField("k", LongType), StructField("ck", LongType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.createTable("fjd", StructType(Seq(
+      StructField("ck", LongType), StructField("seg", StringType))),
+      pk = Seq("ck"))
+    cat.upsert("fjf", Seq((1L, 10L, 100L)).toDF("k", "ck", "x"))
+    // ck=77 is SIDE-dangling from the start (no fact carries it)
+    cat.upsert("fjd", Seq((10L, "a"), (77L, "orphan"))
+      .toDF("ck", "seg"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_fjivm_stream").toString
+    MaterializeJoin.build(cat,
+      MaterializeJoin.JoinSpec("fjf", "fjd", Seq("ck"),
+        fullOuter = true),
+      Seq("seg"), Seq("x"), path)
+    val in = java.nio.file.Files
+      .createTempDirectory("graft_fjivm_streamin").toString
+    // b0: a FACT-dangling insert (ck=40); b1: a fact claiming the
+    // side-dangling ck=77 (that side row must LEAVE its dangling part)
+    Seq((2L, 40L, 400L)).toDF("k", "ck", "x")
+      .coalesce(1).write.parquet(s"$in/b0")
+    Seq((3L, 77L, 7L)).toDF("k", "ck", "x")
+      .coalesce(1).write.parquet(s"$in/b1")
+    // out-of-band between batches: ck=40 materializes, ck=10's dim
+    // dies (fact k=1 re-dangles AND the dim row stops counting)
+    cat.upsert("fjd", Seq((40L, "z")).toDF("ck", "seg"))
+    cat.delete("fjd", col("ck") === 10L)
+    val stream = spark.readStream
+      .schema(StructType(Seq(StructField("k", LongType),
+        StructField("ck", LongType), StructField("x", LongType))))
+      .option("maxFilesPerTrigger", 1).parquet(s"$in/*")
+    val q = EventStreams.maintainJoinAggregate(stream, cat, "fjf", path)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val served = MaterializeJoin.read(spark, path)
+      .collect().map(_.toSeq).toSet
+    val truth = graft.operators.Materialize.aggregate(
+      cat.snapshot("fjf").join(cat.snapshot("fjd"), Seq("ck"), "full"),
+      Seq("seg"), Seq("x")).collect().map(_.toSeq).toSet
+    assert(served == truth,
+      s"stream-maintained FULL join MV diverged: $served vs $truth")
+    assert(truth.exists(_.head == null),
+      "fixture must end with a fact-dangling NULL group")
+  }
+
   test("maintainAggregate with derive: a fact stream maintains a " +
       "star MV (dim-grouped) exactly") {
     import spark.implicits._

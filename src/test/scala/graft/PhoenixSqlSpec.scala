@@ -1558,6 +1558,52 @@ class PhoenixSqlSpec extends AnyFunSuite {
       s"expected the immutability refusal, got: ${e.getMessage}")
   }
 
+  test("COMPACT TABLE derives its floor from the registered MVs " +
+      "(refresh stays incremental); with no MV it compacts fully") {
+    import graft.operators.MaterializeJoin
+    val px = fresh()
+    px.execute("CREATE TABLE CF (OK BIGINT NOT NULL, CK BIGINT, " +
+      "X BIGINT CONSTRAINT PK PRIMARY KEY (OK))")
+    px.execute("CREATE TABLE CD (CK BIGINT NOT NULL, SEG VARCHAR " +
+      "CONSTRAINT PK PRIMARY KEY (CK))")
+    // superseded churn — the bulk compaction reclaims
+    (1 to 5).foreach(v => (1 to 4).foreach(i => px.execute(
+      s"UPSERT INTO CF VALUES ($i, ${i % 2 * 10 + 10}, ${v * 100 + i})")))
+    Seq(10 -> "a", 20 -> "b").foreach { case (k, s) =>
+      px.execute(s"UPSERT INTO CD VALUES ($k, '$s')") }
+    px.execute("CREATE MATERIALIZED VIEW CMV AS SELECT SEG, COUNT(*), " +
+      "SUM(X) FROM CF JOIN CD ON CF.CK = CD.CK GROUP BY SEG")
+    // churn past the MV's fold marks, then compact WITHOUT a version:
+    // the floor must sit at the marks, not at the head
+    px.execute("UPSERT INTO CF VALUES (9, 10, 7)")
+    val before = px.catalog.changeLogRaw("cf").count()
+    val row = px.execute("COMPACT TABLE CF").collect().head
+    assert(row.getString(1) == "floored", s"expected floored: $row")
+    assert(px.catalog.changeLogRaw("cf").count() < before,
+      "superseded versions must be physically reclaimed")
+    // post-compaction churn folds INCREMENTALLY and serves exactly
+    px.execute("UPSERT INTO CF VALUES (2, 20, 55)")
+    px.execute("REFRESH MATERIALIZED VIEW CMV")
+    assert(!MaterializeJoin.LastRefresh.rebuildRan,
+      "COMPACT TABLE must keep registered MVs incremental")
+    val served = px.execute("SELECT SEG, SUM(X) AS SX FROM CF " +
+      "JOIN CD ON CF.CK = CD.CK GROUP BY SEG ORDER BY SEG")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // ck = i%2*10+10 → odd i lands ck=20 (b), even ck=10 (a); k2 moved
+    // to ck=20 with x=55. seg a: k4=504, k9=7; seg b: k1=501, k3=503,
+    // k2=55
+    assert(served == Seq(("a", 511L), ("b", 1059L)),
+      s"post-compaction serve diverged: $served")
+    // MV-less table: full compaction (history discarded)
+    px.execute("CREATE TABLE CN (K BIGINT NOT NULL, X BIGINT " +
+      "CONSTRAINT PK PRIMARY KEY (K))")
+    px.execute("UPSERT INTO CN VALUES (1, 1)")
+    px.execute("UPSERT INTO CN VALUES (1, 2)")
+    val r2 = px.execute("COMPACT TABLE CN").collect().head
+    assert(r2.getString(1) == "full")
+    assert(px.catalog.changeLogRaw("cn").count() == 1)
+  }
+
   test("CREATE MATERIALIZED VIEW ... WHERE: the filtered state " +
       "refreshes under the meta-carried predicate and serves only " +
       "the matching query") {
