@@ -320,6 +320,92 @@ class AggRewriteSpec extends AnyFunSuite {
     } finally GraftAggViews.drop(base)
   }
 
+  test("agg rewrite: fullState contract — FULL OUTER queries serve " +
+      "only from a full-outer state; every tighter combination " +
+      "refuses both ways; a filter below the full join refuses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_aggrw_full").toString
+    val base = s"$dir/fact"
+    val dimPath = s"$dir/dim"
+    val fullState = s"$dir/state_full"
+    val leftState = s"$dir/state_left"
+    // fk=99 fact-dangling; c_k=7 side-dangling
+    Seq((1L, 1L, 10L), (2L, 2L, 20L), (3L, 99L, 30L))
+      .toDF("k", "fk", "x").write.mode("overwrite").parquet(base)
+    Seq((1L, "red"), (2L, "blue"), (7L, "orphan"))
+      .toDF("c_k", "segment")
+      .write.mode("overwrite").parquet(dimPath)
+    def dimDf = spark.read.parquet(dimPath)
+      .select(col("c_k").as("fk"), col("segment"))
+    def joinedFull = spark.read.parquet(base)
+      .join(dimDf, Seq("fk"), "full")
+    def joinedLeft = spark.read.parquet(base)
+      .join(dimDf, Seq("fk"), "left")
+    Materialize.aggregate(joinedFull, Seq("segment"), Seq("x"))
+      .write.mode("overwrite").parquet(fullState)
+    Materialize.aggregate(joinedLeft, Seq("segment"), Seq("x"))
+      .write.mode("overwrite").parquet(leftState)
+    def register(state: String, full: Boolean): Unit =
+      GraftAggViews.register(base,
+        GraftAggViews.AggViewDef(state, Seq("segment"), Seq("x"),
+          dims = Seq(GraftAggViews.DimJoinDef(dimPath,
+            factKeys = Seq("fk"), dimKeys = Seq("c_k"),
+            dimAttrs = Map("segment" -> "segment"),
+            leftState = !full, fullState = full))))
+    def servedBy(df: org.apache.spark.sql.DataFrame,
+        state: String): Boolean =
+      df.queryExecution.executedPlan.toString
+        .contains(new java.io.File(state).getName)
+    def baseline(df: => org.apache.spark.sql.DataFrame) = {
+      spark.conf.set(GraftAggViews.DisabledConf, "true")
+      try df.collect().map(_.toSeq).toSet
+      finally spark.conf.unset(GraftAggViews.DisabledConf)
+    }
+    def qFull = joinedFull.groupBy($"segment")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+    def qLeft = joinedLeft.groupBy($"segment")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+    def qInner = spark.read.parquet(base)
+      .join(dimDf, Seq("fk"), "inner").groupBy($"segment")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+    try {
+      register(fullState, full = true)
+      assert(servedBy(qFull, fullState),
+        "a FULL query must serve from the full state:\n" +
+          qFull.queryExecution.executedPlan)
+      assert(qFull.collect().map(_.toSeq).toSet == baseline(qFull))
+      assert(qFull.collect().count(r =>
+          r.get(0) == null || r.getLong(1) == 1L) >= 2,
+        "both dangling kinds must be in the served result")
+      // tighter queries must NOT read the full state (it counted
+      // dangling rows they drop) — and must still answer exactly
+      assert(!servedBy(qLeft, fullState),
+        "a LEFT query must refuse the full state")
+      assert(qLeft.collect().map(_.toSeq).toSet == baseline(qLeft))
+      assert(!servedBy(qInner, fullState),
+        "an INNER query must refuse the full state")
+      assert(qInner.collect().map(_.toSeq).toSet == baseline(qInner))
+      // a filter BELOW the full join is not re-expressible over the
+      // state: refuse (fallback stays exact)
+      def qSub = spark.read.parquet(base).where($"x" > 15L)
+        .join(dimDf, Seq("fk"), "full").groupBy($"segment")
+        .agg(count(lit(1)).as("n"), sum($"x").as("sx"))
+      assert(!servedBy(qSub, fullState),
+        "a fact filter below the full join must refuse")
+      assert(qSub.collect().map(_.toSeq).toSet == baseline(qSub))
+      GraftAggViews.drop(base)
+      // the inverse: a FULL query must not serve from a LEFT state
+      // (it is missing the side-dangling rows)
+      register(leftState, full = false)
+      assert(!servedBy(qFull, leftState),
+        "a FULL query must refuse a left-maintained state")
+      assert(qFull.collect().map(_.toSeq).toSet == baseline(qFull))
+      assert(servedBy(qLeft, leftState),
+        "the LEFT query still serves from the left state")
+    } finally GraftAggViews.drop(base)
+  }
+
   test("agg rewrite: innerSafe serves an inner star join when every " +
       "fact key resolves") {
     import spark.implicits._
