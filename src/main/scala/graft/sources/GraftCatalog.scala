@@ -762,7 +762,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * vanish. The version filter prunes the log BEFORE the collapse
     * shuffle (and under a version-partitioned physical layout it
     * becomes partition pruning). Version numbers come from the `upsert`
-    * / `delete` return value. */
+    * / `delete` return value. Read points BELOW the table's
+    * [[compactionFloor]] are not replayable — compaction collapsed
+    * that history to per-PK winners, so the read returns the
+    * floor-collapsed approximation (the same forfeiture full
+    * compaction always implied); the StarDerive pin fingerprints catch
+    * the one consumer for whom that silently mattered. */
   def snapshotAsOf(name: String, asOfVersion: Long): DataFrame =
     collapseLog(name,
         changeLog(name).where(col("_version") <= asOfVersion))

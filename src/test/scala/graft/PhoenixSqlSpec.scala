@@ -1558,6 +1558,59 @@ class PhoenixSqlSpec extends AnyFunSuite {
       s"expected the immutability refusal, got: ${e.getMessage}")
   }
 
+  test("CREATE MATERIALIZED VIEW over an N-WAY FULL JOIN: the star " +
+      "full chain maintains through SQL and serves the 3-way FULL " +
+      "query from state") {
+    import spark.implicits._
+    import graft.operators.{Materialize, MaterializeJoin}
+    val px = fresh()
+    px.execute("CREATE TABLE GA (OK BIGINT NOT NULL, CK BIGINT, " +
+      "PK2 BIGINT, X BIGINT CONSTRAINT PK PRIMARY KEY (OK))")
+    px.execute("CREATE TABLE GB (CK BIGINT NOT NULL, SEG VARCHAR " +
+      "CONSTRAINT PK PRIMARY KEY (CK))")
+    px.execute("CREATE TABLE GC (PK2 BIGINT NOT NULL, BRAND VARCHAR " +
+      "CONSTRAINT PK PRIMARY KEY (PK2))")
+    px.execute("UPSERT INTO GA VALUES (1, 10, 100, 5)")
+    px.execute("UPSERT INTO GA VALUES (2, 99, 101, 6)") // ck-dangling
+    px.execute("UPSERT INTO GA VALUES (3, 20, 88, 7)") // pk2-dangling
+    px.execute("UPSERT INTO GB VALUES (10, 'a')")
+    px.execute("UPSERT INTO GB VALUES (20, 'b')")
+    px.execute("UPSERT INTO GB VALUES (77, 'orphanb')") // side-dangling
+    px.execute("UPSERT INTO GC VALUES (100, 'x')")
+    px.execute("UPSERT INTO GC VALUES (101, 'y')")
+    px.execute("UPSERT INTO GC VALUES (66, 'orphanc')") // side-dangling
+    px.execute("CREATE MATERIALIZED VIEW GMV AS SELECT SEG, BRAND, " +
+      "COUNT(*), SUM(X) FROM GA FULL JOIN GB ON GA.CK = GB.CK " +
+      "FULL JOIN GC ON GA.PK2 = GC.PK2 GROUP BY SEG, BRAND")
+    // churn all three tables out-of-band, refresh through SQL
+    px.execute("UPSERT INTO GA VALUES (4, 77, 66, 9)") // claims both orphans
+    px.execute("DELETE FROM GB WHERE CK = 10") // fact 1 re-dangles
+    px.execute("UPSERT INTO GC VALUES (101, 'z')")
+    px.execute("REFRESH MATERIALIZED VIEW GMV")
+    val q = px.execute("SELECT SEG, BRAND, COUNT(*) AS C, " +
+      "SUM(X) AS S FROM GA FULL JOIN GB ON GA.CK = GB.CK " +
+      "FULL JOIN GC ON GA.PK2 = GC.PK2 " +
+      "GROUP BY SEG, BRAND ORDER BY SEG, BRAND")
+    assert(q.queryExecution.executedPlan.toString
+      .contains(px.catalog.mvPath("gmv")),
+      "the 3-way FULL aggregate must serve from the chain state:\n" +
+        q.queryExecution.executedPlan.toString)
+    val truth = Materialize.aggregate(
+        px.catalog.snapshot("ga")
+          .join(px.catalog.snapshot("gb"), Seq("ck"), "full")
+          .join(px.catalog.snapshot("gc"), Seq("pk2"), "full"),
+        Seq("seg", "brand"), Seq("x"))
+      .select($"seg", $"brand", $"cnt", $"sum_x")
+      .collect().map(_.toSeq).toSet
+    assert(q.collect().map(_.toSeq).toSet == truth,
+      "served 3-way FULL result must equal the sequential recompute")
+    // and the maintained state equals the recompute directly
+    assert(MaterializeJoin.read(px.catalog.session,
+        px.catalog.mvPath("gmv"))
+      .select($"seg", $"brand", $"cnt", $"sum_x")
+      .collect().map(_.toSeq).toSet == truth)
+  }
+
   test("COMPACT TABLE derives its floor from the registered MVs " +
       "(refresh stays incremental); with no MV it compacts fully") {
     import graft.operators.MaterializeJoin
