@@ -121,8 +121,20 @@ object MaterializeJoin {
     * too). Serving: FULL OUTER queries through the rewrite
     * (`fullState` contract — INNER/LEFT/un-joined refuse), or
     * read()/API. */
+  /** `factFilterSql`: WHERE-filtered join MV — a row predicate (SQL
+    * text over FACT columns only) applied to every fact read of the
+    * build and every refresh fold (deltas, fact factors, recomputes).
+    * For INNER and LEFT chains filtering the fact BELOW the join
+    * equals filtering the joined rows on the same fact columns (every
+    * output row carries real fact values), so the state answers the
+    * post-join WHERE exactly; FULL chains refuse (a post-join fact
+    * filter drops side-dangling rows — that query is the LEFT MV of
+    * the filtered fact, not a filtered FULL join). The text rides the
+    * meta, so API refreshes stay correct without the caller holding
+    * the filter. */
   final case class ChainSpec(fact: String, sides: Seq[SideSpec],
-      leftOuter: Boolean = false, fullOuter: Boolean = false)
+      leftOuter: Boolean = false, fullOuter: Boolean = false,
+      factFilterSql: Option[String] = None)
 
   /** The binary special case, kept as the primary API: `keys` exist in
     * both tables; see [[SideSpec]] for the immutability contract and
@@ -166,12 +178,19 @@ object MaterializeJoin {
     * a mark past it. */
   private def joinedSnapshotAt(cat: GraftCatalog, cs: ChainSpec,
       vF: Long, vS: Seq[Long]): DataFrame =
-    cs.sides.zipWithIndex.foldLeft(cat.snapshotUpTo(cs.fact, vF)) {
+    cs.sides.zipWithIndex.foldLeft(
+        factFiltered(cs, cat.snapshotUpTo(cs.fact, vF))) {
       case (acc, (s, i)) =>
         acc.join(cat.snapshotUpTo(s.table, vS(i)), s.keys,
           if (cs.fullOuter) "full"
           else if (cs.leftOuter) "left" else "inner")
     }
+
+  /** The fact filter of a WHERE-filtered chain applied to a frame of
+    * fact ROW VALUES (snapshot winners, signed-delta rows — anything
+    * carrying the fact columns). Identity when unfiltered. */
+  private def factFiltered(cs: ChainSpec, df: DataFrame): DataFrame =
+    cs.factFilterSql.map(f => df.where(expr(f))).getOrElse(df)
 
   /** Parent node per side: −1 = the fact, j ≥ 0 = side j. Resolution:
     * a side whose keys all live on the fact parents there; otherwise
@@ -221,6 +240,16 @@ object MaterializeJoin {
         "snowflake legs do not commute)")
     require(!(cs.leftOuter && cs.fullOuter),
       "leftOuter and fullOuter are mutually exclusive")
+    require(cs.factFilterSql.isEmpty || !cs.fullOuter,
+      "a WHERE-filtered FULL-outer MV is not what the post-join WHERE " +
+        "means (it would drop the side-dangling rows — that query is " +
+        "the LEFT MV of the filtered fact); filter an INNER or LEFT " +
+        "chain instead")
+    // fact-only reference check, eager and loud: resolving the
+    // predicate against the BARE fact snapshot throws the analyzer's
+    // unresolved-column error for anything else
+    cs.factFilterSql.foreach(f =>
+      cat.snapshot(cs.fact).limit(0).where(expr(f)))
     require(!cs.fullOuter || parents.forall(_ == -1),
       "fullOuter chains require every side keyed on the FACT: the " +
         "sequential full join then decomposes as the LEFT part plus " +
@@ -335,12 +364,14 @@ object MaterializeJoin {
         topks.map(_._1), topks.map(_._2.toLong),
         grains.map(_._1), grains.map(_._2),
         spark.conf.get("spark.sql.session.timeZone"), cs.leftOuter,
-        cs.fullOuter, buckets.toLong, bucketDirs))
+        cs.fullOuter, buckets.toLong, bucketDirs,
+        cs.factFilterSql.getOrElse("")))
       .toDF("fact", "side_tables", "side_keys", "side_imms",
         "fact_imms", "last_vf", "last_vs", "group_cols", "measures",
         "state_dir", "sketch_cols", "sketch_ks", "topk_cols",
         "topk_caps", "grain_cols", "grain_sqls", "grain_tz",
-        "left_outer", "full_outer", "state_buckets", "bucket_dirs")
+        "left_outer", "full_outer", "state_buckets", "bucket_dirs",
+        "fact_filter")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
   }
 
@@ -386,7 +417,10 @@ object MaterializeJoin {
       leftOuter = m.schema.fieldNames.contains("left_outer") &&
         m.getAs[Boolean]("left_outer"),
       fullOuter = m.schema.fieldNames.contains("full_outer") &&
-        m.getAs[Boolean]("full_outer"))
+        m.getAs[Boolean]("full_outer"),
+      factFilterSql =
+        if (!m.schema.fieldNames.contains("fact_filter")) None
+        else Option(m.getAs[String]("fact_filter")).filter(_.nonEmpty))
   }
 
   /** Full build: aggregate the joined current snapshots, persist,
@@ -547,7 +581,8 @@ object MaterializeJoin {
     graft.plans.GraftAggViews.register(cat.tablePath(cs.fact),
       graft.plans.GraftAggViews.AggViewDef(path, groupCols, measures,
         sketches = sketchesOf(m).toMap, dims = dims,
-        topks = topksOf(m).toMap, fresh = fresh))
+        topks = topksOf(m).toMap, fresh = fresh,
+        filterSql = cs.factFilterSql))
   }
 
   /** Signed row-level delta of `table` since `lastV`: post images
@@ -770,7 +805,12 @@ object MaterializeJoin {
     // (a side change only touches fact rows carrying its keys)
     val extended = cs.leftOuter || cs.fullOuter
     val sideJt = if (extended) "left" else "inner"
-    val dFact = cache(signedDelta(cat, cs.fact, lastVF, newVF))
+    // WHERE-filtered chain: the fact predicate applies to SIGNED row
+    // values — a post row failing it was never counted, a pre-image
+    // failing it never needs retracting — and to every fact FACTOR
+    // read below (the factFiltered wraps at the BFS fact edges)
+    val dFact = cache(factFiltered(cs,
+      signedDelta(cat, cs.fact, lastVF, newVF)))
     val sideDeltas = cs.sides.indices.map(i =>
       cache(signedDelta(cat, cs.sides(i).table, lastVS(i), newVS(i))))
     val factLeg = cs.sides.zipWithIndex
@@ -837,8 +877,11 @@ object MaterializeJoin {
         // factors with "left"; the move UP to the fact stays INNER
         val jt = if (extended && node == viaChild) "left"
           else "inner"
-        acc = cache(acc.join(boundedSide(cat, table, asOfV, acc,
-          edgeKeys, immKeys, zoneMemo), edgeKeys, jt))
+        val factor0 = boundedSide(cat, table, asOfV, acc,
+          edgeKeys, immKeys, zoneMemo)
+        val factor =
+          if (node == -1) factFiltered(cs, factor0) else factor0
+        acc = cache(acc.join(factor, edgeKeys, jt))
         visited += node; remaining -= node
       }
       acc

@@ -1969,6 +1969,47 @@ object Pipeline {
       q
     },
 
+    // WHERE-FILTERED JOIN MV through SQL DDL under the hard oracle:
+    // the fact predicate rides the chain meta through churn that
+    // CROSSES the filter boundary both ways plus a delete slice, and
+    // the rewrite serves the same filtered join query from state —
+    // a fact-measure predicate over a join that no unfiltered state
+    // could answer.
+    "q_mv_ddl_filtered_join" -> { (s, dir) =>
+      import s.implicits._
+      val wh = ivmWarehouse(dir + "#mvddlfj")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      val px = new graft.sources.PhoenixSql(s, cat)
+      px.execute("CREATE TABLE fj7 (okey BIGINT NOT NULL, " +
+        "ckey BIGINT, m BIGINT CONSTRAINT pk PRIMARY KEY (okey))")
+      px.execute("CREATE TABLE fd7 (ckey BIGINT NOT NULL, " +
+        "seg VARCHAR CONSTRAINT pk PRIMARY KEY (ckey))")
+      val f0 = Tables.t(s, dir, "orders")
+        .where($"o_orderkey" % 16 === 5)
+        .select($"o_orderkey".as("okey"), $"o_custkey".as("ckey"),
+          ($"o_orderkey" % 97).cast("long").as("m"))
+      cat.upsert("fj7", f0)
+      cat.upsert("fd7", Tables.t(s, dir, "customer")
+        .select($"c_custkey".as("ckey"), $"c_mktsegment".as("seg")))
+      px.execute("CREATE MATERIALIZED VIEW mvfj7 AS SELECT seg, " +
+        "COUNT(*), SUM(m), MIN(m), MAX(m) FROM fj7 " +
+        "JOIN fd7 ON fj7.ckey = fd7.ckey WHERE m > 40 GROUP BY seg")
+      cat.upsert("fj7", f0.where($"okey" % 100 === 5)
+        .withColumn("m", $"m" + 50L))
+      cat.delete("fj7", $"okey" % 20 === 9)
+      px.execute("REFRESH MATERIALIZED VIEW mvfj7")
+      val q = px.execute("SELECT seg, COUNT(*) AS cnt, " +
+        "SUM(m) AS sum_m, MIN(m) AS min_m, MAX(m) AS max_m " +
+        "FROM fj7 JOIN fd7 ON fj7.ckey = fd7.ckey WHERE m > 40 " +
+        "GROUP BY seg ORDER BY seg")
+      val plan = q.queryExecution.executedPlan.toString
+      if (!plan.contains(cat.mvPath("mvfj7")) ||
+          plan.contains("_snapcache") || plan.contains(s"$wh/fj7/data"))
+        throw new IllegalStateException(
+          s"DDL filtered JOIN MV did not serve from its state:\n$plan")
+      q
+    },
+
     // SKETCH-MEASURE MV through SQL DDL under the hard oracle:
     // `KMV_SKETCH(col, k)` / `APPROX_TOP_TERMS(col, cap)` in CREATE
     // MATERIALIZED VIEW land distinct-count / heavy-hitter state the
@@ -3996,6 +4037,21 @@ object Pipeline {
       SELECT seg, count(*) AS cnt, CAST(sum(m) AS BIGINT) AS sum_m,
         min(m) AS min_m, max(m) AS max_m
       FROM f JOIN c USING (ckey)
+      GROUP BY 1 ORDER BY 1""",
+
+    "q_mv_ddl_filtered_join" -> """
+      WITH f AS (
+        SELECT o_orderkey AS okey, o_custkey AS ckey,
+          CASE WHEN o_orderkey % 100 = 5
+               THEN o_orderkey % 97 + 50
+               ELSE o_orderkey % 97 END AS m
+        FROM orders
+        WHERE o_orderkey % 16 = 5 AND o_orderkey % 20 <> 9),
+      c AS (SELECT c_custkey AS ckey, c_mktsegment AS seg
+            FROM customer)
+      SELECT seg, count(*) AS cnt, CAST(sum(m) AS BIGINT) AS sum_m,
+        min(m) AS min_m, max(m) AS max_m
+      FROM f JOIN c USING (ckey) WHERE m > 40
       GROUP BY 1 ORDER BY 1""",
 
     "q_mv_ddl_sketch" -> """

@@ -1102,15 +1102,14 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
         filterSql = whereSql)
       graft.operators.Materialize.registerForRewrite(catalog, fact, path)
     } else {
-      require(whereSql.isEmpty,
-        "WHERE-filtered materialized views are single-table: thread " +
-          "the filter into the fact before joining (filter the join " +
-          "MV's fact table, or materialize the filtered fact first)")
       require(immutableKeys.subsetOf(joins.flatMap(_.keys).toSet),
         s"IMMUTABLE KEYS ${immutableKeys.mkString("(", ", ", ")")} " +
           "must all be join keys of this view")
       val leftCount = joins.count(_.left)
       val fullCount = joins.count(_.full)
+      // WHERE over a join MV: fact-column predicates only, INNER/LEFT
+      // chains only — enforced below (MaterializeJoin.validate throws
+      // on FULL and on non-fact references)
       require((leftCount == 0 || leftCount == joins.size) &&
           (fullCount == 0 || fullCount == joins.size),
         "mixed join types are not supported in one materialized " +
@@ -1122,7 +1121,8 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
             j.table, j.keys,
             sideKeysImmutable = j.keys.forall(immutableKeys.contains),
             factKeysImmutable = j.keys.forall(immutableKeys.contains))),
-          leftOuter = leftCount > 0, fullOuter = fullCount > 0),
+          leftOuter = leftCount > 0, fullOuter = fullCount > 0,
+          factFilterSql = whereSql),
         groupCols.toSeq, measures.distinct.toSeq, path,
         sketches = sketches.toSeq, topks = topks.toSeq,
         grainExprs = grains.toSeq, buckets = buckets)

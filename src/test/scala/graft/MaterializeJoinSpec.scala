@@ -882,6 +882,67 @@ class MaterializeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("WHERE-filtered join MV: the fact predicate rides the meta " +
+      "through every fold read — seeded differential fuzz with " +
+      "boundary-crossing churn vs the filtered-join recompute, INNER " +
+      "and LEFT; FULL and non-fact references refuse") {
+    import spark.implicits._
+    for (left <- Seq(false, true)) {
+      val cat = freshCatalog(); mkTables(cat)
+      val cs = MaterializeJoin.ChainSpec("o",
+        Seq(MaterializeJoin.SideSpec("c", Seq("ck"))),
+        leftOuter = left, factFilterSql = Some("price > 150"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_jmvf").toString
+      MaterializeJoin.build(cat, cs, Seq("seg"), Seq("price"), path)
+      def expectedF: Set[Seq[Any]] = Materialize.aggregate(
+        cat.snapshot("o").where(col("price") > 150)
+          .join(cat.snapshot("c"), Seq("ck"),
+            if (left) "left" else "inner"),
+        Seq("seg"), Seq("price")).collect().map(canon).toSet
+      assert(actual(path) == expectedF, s"left=$left after build")
+      val rnd = new scala.util.Random(1416L)
+      val segs = Vector("a", "b", "c")
+      for (step <- 1 to 8) {
+        for (_ <- 0 until 1 + rnd.nextInt(3)) rnd.nextInt(5) match {
+          // price churn CROSSES the 150 boundary both ways (the
+          // filtered-state insert/retract paths)
+          case 0 => cat.upsert("o", Seq((rnd.nextInt(10).toLong,
+            (rnd.nextInt(5) * 10 + 10).toLong,
+            (50 + rnd.nextInt(200)).toLong)).toDF("ok", "ck", "price"))
+          case 1 => cat.upsert("c", Seq(((rnd.nextInt(5) * 10 + 10).toLong,
+            segs(rnd.nextInt(segs.size)))).toDF("ck", "seg"))
+          case 2 => cat.delete("o", col("ok") === rnd.nextInt(10).toLong)
+          case 3 => cat.delete("c",
+            col("ck") === (rnd.nextInt(5) * 10 + 10).toLong)
+          case 4 => cat.upsert("o", Seq((rnd.nextInt(10).toLong,
+            (rnd.nextInt(5) * 10 + 10).toLong,
+            rnd.nextInt(160).toLong)).toDF("ok", "ck", "price"))
+        }
+        MaterializeJoin.refresh(cat, path)
+        assert(actual(path) == expectedF,
+          s"left=$left diverged at step $step")
+      }
+    }
+    // refusals
+    val cat = freshCatalog(); mkTables(cat)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_jmvf").toString
+    val e1 = intercept[IllegalArgumentException] {
+      MaterializeJoin.build(cat, MaterializeJoin.ChainSpec("o",
+        Seq(MaterializeJoin.SideSpec("c", Seq("ck"))),
+        fullOuter = true, factFilterSql = Some("price > 150")),
+        Seq("seg"), Seq("price"), path)
+    }
+    assert(e1.getMessage.contains("LEFT MV of the filtered fact"))
+    intercept[Exception] { // seg lives on the SIDE, not the fact
+      MaterializeJoin.build(cat, MaterializeJoin.ChainSpec("o",
+        Seq(MaterializeJoin.SideSpec("c", Seq("ck"))),
+        factFilterSql = Some("seg = 'a'")),
+        Seq("seg"), Seq("price"), path)
+    }
+  }
+
   test("FULL refusals: snowflake-keyed full chains and the leftOuter " +
       "combination refuse; the binary full state registers for " +
       "rewrite under the fullState contract") {

@@ -1611,6 +1611,46 @@ class PhoenixSqlSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet == truth)
   }
 
+  test("CREATE MATERIALIZED VIEW over a JOIN with WHERE: the " +
+      "fact-filtered chain maintains through SQL and serves the " +
+      "same filtered query; the unfiltered join refuses") {
+    val px = fresh()
+    px.execute("CREATE TABLE WF (OK BIGINT NOT NULL, CK BIGINT, " +
+      "PRICE BIGINT CONSTRAINT PK PRIMARY KEY (OK))")
+    px.execute("CREATE TABLE WD (CK BIGINT NOT NULL, SEG VARCHAR " +
+      "CONSTRAINT PK PRIMARY KEY (CK))")
+    (1 to 6).foreach(i => px.execute(
+      s"UPSERT INTO WF VALUES ($i, ${i % 2 * 10 + 10}, ${i * 40})"))
+    Seq(10 -> "a", 20 -> "b").foreach { case (k, s) =>
+      px.execute(s"UPSERT INTO WD VALUES ($k, '$s')") }
+    px.execute("CREATE MATERIALIZED VIEW WJV AS SELECT SEG, " +
+      "COUNT(*), SUM(PRICE) FROM WF JOIN WD ON WF.CK = WD.CK " +
+      "WHERE PRICE > 100 GROUP BY SEG")
+    // boundary churn both ways + a delete, refresh through SQL
+    px.execute("UPSERT INTO WF VALUES (1, 20, 999)") // 40 -> inside
+    px.execute("UPSERT INTO WF VALUES (6, 10, 50)") // 240 -> outside
+    px.execute("DELETE FROM WF WHERE OK = 5")
+    px.execute("REFRESH MATERIALIZED VIEW WJV")
+    val q = px.execute("SELECT SEG, COUNT(*) AS C, SUM(PRICE) AS S " +
+      "FROM WF JOIN WD ON WF.CK = WD.CK WHERE PRICE > 100 " +
+      "GROUP BY SEG ORDER BY SEG")
+    assert(q.queryExecution.executedPlan.toString
+      .contains(px.catalog.mvPath("wjv")),
+      "the filtered join query must serve from the state:\n" +
+        q.queryExecution.executedPlan.toString)
+    // rows > 100: a(ck10): k2=80? no (80<100? 80 -> out), k4=160;
+    // b(ck20): k1=999, k3=120
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getLong(2))).toSeq == Seq(("a", 1L, 160L), ("b", 2L, 1119L)))
+    val bare = px.execute("SELECT SEG, COUNT(*) AS C FROM WF " +
+      "JOIN WD ON WF.CK = WD.CK GROUP BY SEG")
+    assert(!bare.queryExecution.executedPlan.toString
+      .contains(px.catalog.mvPath("wjv")),
+      "the unfiltered join must refuse the filtered state")
+    assert(bare.collect().map(r => (r.getString(0), r.getLong(1)))
+      .toSet == Set(("a", 3L), ("b", 2L)))
+  }
+
   test("COMPACT TABLE derives its floor from the registered MVs " +
       "(refresh stays incremental); with no MV it compacts fully") {
     import graft.operators.MaterializeJoin
