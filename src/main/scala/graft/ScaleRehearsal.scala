@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale rehearsal: self-scale the sf fixture ~`factor`× into a temp
@@ -68,7 +68,7 @@ object ScaleRehearsal {
     // the big-base sections synthesize their own tables — skip the
     // fixture replication when nothing selected reads it
     val selfSynth = Set("ivmbig", "ivmbucket", "joinivm", "chainivm",
-      "deepchain", "leftivm")
+      "deepchain", "leftivm", "fullivm")
     if (!selected.forall(selfSynth.contains)) {
       println(s"[scale] building ${factor}x fixture from $base at $out")
       buildFixture(spark, base, out, factor)
@@ -93,7 +93,7 @@ object ScaleRehearsal {
 
     val rows = selected
       .filterNot(Set("ivm", "ivmgrain", "ivmbig", "ivmbucket", "cdc",
-        "joinivm", "chainivm", "deepchain", "leftivm"))
+        "joinivm", "chainivm", "deepchain", "leftivm", "fullivm"))
       .flatMap { q =>
       val t1 = timeBest2(q, base)
       val tN = timeBest2(q, out)
@@ -234,6 +234,27 @@ object ScaleRehearsal {
         f"base=$aT%7.2fs x$bigF=$bT%8.2fs exponent=${ex(aT, bT)}%5.2f")
       Seq(("leftivm_fact_delta", aR, bR, ex(aR, bR)),
         ("leftivm_transitions", aT, bT, ex(aT, bT)))
+    }) ++ (if (!selected.contains("fullivm")) Nil else {
+      // FULL-outer N-way star chain: the r14 decomposition (LEFT part
+      // + one independent side-dangling part per side, each riding two
+      // telescoping legs over the fact's null-extension indicator) —
+      // fixed deltas drive every transition shape while the fact grows
+      // 10M → 30M rows, proving the per-side dangling parts pick up no
+      // O(table) term.
+      val n1 = 10L * 1000 * 1000
+      val bigF = 3
+      val (aI, aT, aD) = fullIvmSeconds(spark, n1)
+      val (bI, bT, bD) = fullIvmSeconds(spark, n1 * bigF)
+      def ex(a: Double, b: Double) = math.log(b / a) / math.log(bigF.toDouble)
+      println(f"[scale] fullivm_fact_delta (10M vs 30M rows) " +
+        f"base=$aI%7.2fs x$bigF=$bI%8.2fs exponent=${ex(aI, bI)}%5.2f")
+      println(f"[scale] fullivm_transitions           " +
+        f"base=$aT%7.2fs x$bigF=$bT%8.2fs exponent=${ex(aT, bT)}%5.2f")
+      println(f"[scale] fullivm_redangle              " +
+        f"base=$aD%7.2fs x$bigF=$bD%8.2fs exponent=${ex(aD, bD)}%5.2f")
+      Seq(("fullivm_fact_delta", aI, bI, ex(aI, bI)),
+        ("fullivm_transitions", aT, bT, ex(aT, bT)),
+        ("fullivm_redangle", aD, bD, ex(aD, bD)))
     }) ++ (if (!selected.contains("cdc")) Nil else {
       val a = cdcMvFreshnessSeconds(spark, base)
       val b = cdcMvFreshnessSeconds(spark, out)
@@ -589,6 +610,99 @@ object ScaleRehearsal {
       .select(col("id").as("jk"), (col("id") % 64).as("seg")))
     val tTrans = timedRefresh("dangling->matched transitions")
     (tFact, tTrans)
+  }
+
+  /** FULL-outer N-way star chain refresh seconds for FIXED deltas as
+    * the fact grows — the scale rehearsal for the r14 decomposition:
+    * fact R(k PK, jk = k DIV 100, pk2 = k DIV 800, x = k%1000+10)
+    * ⟗ S(jk PK, seg) ⟗ P(pk2 PK, brand), both side keys on the fact
+    * and declared immutable. S covers HALF the fact's jk range plus a
+    * fact-free band (so fact-dangling AND side-dangling rows exist
+    * from the start); P likewise on pk2. Three timed refreshes:
+    *  - 100 interior fact-measure updates (recompute-free, asserted —
+    *    no null-extension crossing anywhere);
+    *  - 50 dangling S keys materialize (dangling→matched: the S
+    *    null-extension retracts ~5 000 NULL-seg rows and re-inserts
+    *    them matched; keys ≡3 (mod 10) keep every moved x interior,
+    *    recompute-free asserted);
+    *  - both-side re-dangling churn: 5 000 NEW fact rows land under
+    *    side-only S/P keys (the FACT null-extension indicator loses
+    *    those keys — side-dangling rows transition to matched, the
+    *    per-side dangling parts retract them) while 50 matched S keys
+    *    DELETE (their facts re-dangle into the NULL-seg group). The
+    *    gated path runs honestly, no recompute assert.
+    * Each leg must stay flat as the fact grows 10M → 30M — the
+    * per-side dangling parts' count probes and legs are delta-key-
+    * bounded below the collapse, never a side scan.
+    * Returns (factDeltaSec, transitionsSec, redangleSec). */
+  private def fullIvmSeconds(spark: SparkSession, n: Long)
+      : (Double, Double, Double) = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val wh = java.nio.file.Files
+      .createTempDirectory("graft_scale_fullivm").toString
+    val cat = new graft.sources.GraftCatalog(spark, wh)
+    cat.createTable("r", StructType(Seq(
+      StructField("k", LongType), StructField("jk", LongType),
+      StructField("pk2", LongType), StructField("x", LongType))),
+      pk = Seq("k"))
+    cat.createTable("s", StructType(Seq(
+      StructField("jk", LongType), StructField("seg", LongType))),
+      pk = Seq("jk"))
+    cat.createTable("p", StructType(Seq(
+      StructField("pk2", LongType), StructField("brand", LongType))),
+      pk = Seq("pk2"))
+    def facts(ids: Dataset[java.lang.Long]): DataFrame =
+      ids.select(col("id").as("k"), expr("id DIV 100").as("jk"),
+        expr("id DIV 800").as("pk2"),
+        (col("id") % 1000 + 10).as("x"))
+    cat.upsert("r", facts(spark.range(n)))
+    // half-covering sides + a fact-free side-only band each: dangling
+    // rows on BOTH ends of the full join from the start
+    cat.upsert("s", spark.range(n / 200)
+      .unionByName(spark.range(n / 100, n / 100 + 5000))
+      .select(col("id").as("jk"), (col("id") % 64).as("seg")))
+    cat.upsert("p", spark.range(n / 1600)
+      .unionByName(spark.range(n / 800, n / 800 + 5000))
+      .select(col("id").as("pk2"), (col("id") % 16).as("brand")))
+    val mv = wh + "/mv"
+    import graft.operators.MaterializeJoin.{ChainSpec, SideSpec}
+    graft.operators.MaterializeJoin.build(cat,
+      ChainSpec("r", Seq(
+        SideSpec("s", Seq("jk"), factKeysImmutable = true),
+        SideSpec("p", Seq("pk2"), factKeysImmutable = true)),
+        fullOuter = true),
+      Seq("seg", "brand"), Seq("x"), mv)
+    def timedRefresh(what: String, assertNoRecompute: Boolean)
+        : Double = {
+      GraftSession.quiesce(spark)
+      val t0 = System.nanoTime()
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (assertNoRecompute)
+        require(
+          !graft.operators.MaterializeJoin.LastRefresh.recomputeRan,
+          s"$what: interior delta must fold with zero recompute")
+      sec
+    }
+    // 100 interior fact updates (matched on both sides, x 510 -> 505)
+    cat.upsert("r", facts(spark.range(n)
+      .where(expr("id % 1000 = 500") && col("id") < 100000L))
+      .withColumn("x", lit(505L)))
+    val tFact = timedRefresh("full fact delta", assertNoRecompute = true)
+    // 50 dangling S keys materialize; ≡3 (mod 10) keeps moved x interior
+    cat.upsert("s", spark.range(n / 200, n / 100)
+      .where(expr("id % 10 = 3")).limit(50)
+      .select(col("id").as("jk"), (col("id") % 64).as("seg")))
+    val tTrans =
+      timedRefresh("dangling->matched transitions", assertNoRecompute = true)
+    // both-side re-dangling churn: new facts under side-only keys
+    // (side-dangling -> matched on S AND P) + matched S keys delete
+    // (their facts re-dangle)
+    cat.upsert("r", facts(spark.range(n, n + 5000L)))
+    cat.delete("s", col("jk") % 10 === 3 && col("jk") < 500L)
+    val tRedangle =
+      timedRefresh("re-dangling churn", assertNoRecompute = false)
+    (tFact, tTrans, tRedangle)
   }
 
   /** 5-table chain (fact + 4 sides) refresh seconds for FIXED deltas

@@ -585,6 +585,10 @@ object Materialize {
         grainsOf(meta).toMap, sketchesOf(meta).toMap, dims = dims,
         topks = topksOf(meta).toMap, fresh = fresh,
         filterSql = filterOf(meta)))
+    // dependency ledger: DROP TABLE refuses while this MV exists, and
+    // COMPACT TABLE derives its keep-history floor from this MV's fold
+    // mark (previously only SQL-DDL MVs were visible to either)
+    cat.recordMvDependency(path, Seq(table))
   }
 
   /** The maintained aggregate as a DataFrame (current persisted state).

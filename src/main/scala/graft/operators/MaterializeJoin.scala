@@ -166,6 +166,18 @@ object MaterializeJoin {
     @volatile var rebuildRan: Boolean = false
   }
 
+  /** Opt-in phase timing (`GRAFT_IVM_TIMING=1`): prints each refresh
+    * stage's wall seconds — the floor-hunting instrument, zero cost
+    * when unset. */
+  private def dbg[T](what: => String)(f: => T): T =
+    if (!sys.env.contains("GRAFT_IVM_TIMING")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[ivm] $what%-34s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+      r
+    }
+
   private def requireNoTtl(cat: GraftCatalog, table: String): Unit =
     require(cat.ttlSeconds(table).isEmpty,
       s"join-MV maintenance requires TTL-free tables; '$table' has a " +
@@ -176,12 +188,19 @@ object MaterializeJoin {
     * so a write landing on any involved table while this plan runs is
     * excluded here and folded exactly once by the refresh that records
     * a mark past it. */
+  /** `tableFilter` pre-filters each table's snapshot read BELOW the
+    * joins — identity by default; [[recomputeJoined]] passes its
+    * soundness-checked affected-group pushdown (Catalyst cannot push a
+    * post-join filter through a FULL/LEFT join on its own). */
   private def joinedSnapshotAt(cat: GraftCatalog, cs: ChainSpec,
-      vF: Long, vS: Seq[Long]): DataFrame =
+      vF: Long, vS: Seq[Long],
+      tableFilter: String => Column = _ => lit(true)): DataFrame =
     cs.sides.zipWithIndex.foldLeft(
-        factFiltered(cs, cat.snapshotUpTo(cs.fact, vF))) {
+        factFiltered(cs, cat.snapshotUpTo(cs.fact, vF)
+          .where(tableFilter(cs.fact)))) {
       case (acc, (s, i)) =>
-        acc.join(cat.snapshotUpTo(s.table, vS(i)), s.keys,
+        acc.join(cat.snapshotUpTo(s.table, vS(i))
+            .where(tableFilter(s.table)), s.keys,
           if (cs.fullOuter) "full"
           else if (cs.leftOuter) "left" else "inner")
     }
@@ -583,6 +602,10 @@ object MaterializeJoin {
         sketches = sketchesOf(m).toMap, dims = dims,
         topks = topksOf(m).toMap, fresh = fresh,
         filterSql = cs.factFilterSql))
+    // dependency ledger: DROP TABLE on the fact OR any side refuses
+    // while this MV exists, and COMPACT TABLE on any of them derives
+    // its keep-history floor from this MV's fold mark for that table
+    cat.recordMvDependency(path, cs.fact +: cs.sides.map(_.table))
   }
 
   /** Signed row-level delta of `table` since `lastV`: post images
@@ -635,6 +658,23 @@ object MaterializeJoin {
   private type ZoneMemo = scala.collection.concurrent.TrieMap[
     (DataFrame, Seq[String]), Option[Option[(Any, Any)]]]
 
+  /** The delta's [min, max] zone on a single-column key, memoized per
+    * (delta, keys): `Some(None)` = every delta key NULL (no match
+    * possible), `None` = no usable zone (multi-column or un-orderable
+    * key). The probe is a serial driver job — the memo collapses
+    * duplicate probes across legs. */
+  private def zoneOf(delta: DataFrame, keys: Seq[String],
+      memo: ZoneMemo): Option[Option[(Any, Any)]] =
+    if (keys.size != 1) None
+    else memo.getOrElseUpdate(
+      (delta, keys),
+      scala.util.Try {
+        val b = dbg(s"zone probe ${keys.head}") {
+          delta.agg(min(col(keys.head)), max(col(keys.head))).head }
+        if (b.isNullAt(0)) Some(None) // delta keys all NULL: no match
+        else Some(Some((b.get(0), b.get(1))))
+      }.getOrElse(None)) // un-orderable key type: semi-join only
+
   private def boundedSide(cat: GraftCatalog, table: String,
       asOfV: Long, delta: DataFrame, keys: Seq[String],
       immutable: Boolean, memo: ZoneMemo = new ZoneMemo): DataFrame = {
@@ -644,16 +684,7 @@ object MaterializeJoin {
     // current-snapshot read would fold a mid-refresh write into a
     // state whose meta doesn't cover it
     def plain: DataFrame = cat.snapshotUpTo(table, asOfV)
-    val zone: Option[Option[(Any, Any)]] =
-      if (keys.size != 1) None
-      else memo.getOrElseUpdate(
-        (delta, keys),
-        scala.util.Try {
-          val b =
-            delta.agg(min(col(keys.head)), max(col(keys.head))).head
-          if (b.isNullAt(0)) Some(None) // delta keys all NULL: no match
-          else Some(Some((b.get(0), b.get(1))))
-        }.getOrElse(None)) // un-orderable key type: semi-join only
+    val zone = zoneOf(delta, keys, memo)
     // a key that is a SUBSET of the PK still pushes below the collapse
     // (any grouping-column filter does) — no prefilter needed
     val pkIsKey = keys.toSet.subsetOf(cat.spec(table).pk.toSet)
@@ -674,6 +705,63 @@ object MaterializeJoin {
     ranged.join(dk, cond, "left_semi")
   }
 
+  /** Per-key live-row counts of `table` at the OLD and NEW marks from
+    * ONE bounded job — the fused form of the two per-mark
+    * count-snapshot reads the null-extension rule needs (two
+    * [[boundedSide]] collapses at different marks cannot share a scan;
+    * this reads the log once, takes both marks' per-PK winners in one
+    * struct-max pass ([[GraftCatalog.pairWinners]]), and counts both
+    * sides of the zero-crossing in one aggregation). Key bounds follow
+    * [[boundedSide]]'s soundness rule: below the collapse when the key
+    * is a PK subset or declared immutable (zone + distinct-key
+    * semi-join prune the SCAN), above it otherwise (delta-bounded
+    * shuffle, honest full read). Returns one row per key value that is
+    * live at either mark: (keys..., __cold, __cnew). */
+  private def pairCounts(cat: GraftCatalog, table: String,
+      lastV: Long, newV: Long, delta: DataFrame, keys: Seq[String],
+      immutable: Boolean, memo: ZoneMemo): DataFrame = {
+    val pkIsKey = keys.toSet.subsetOf(cat.spec(table).pk.toSet)
+    val soundBelow = immutable || pkIsKey
+    val zone = zoneOf(delta, keys, memo)
+    val zoneCond: Option[Column] = zone match {
+      case Some(None) => Some(lit(false))
+      case Some(Some((lo, hi))) =>
+        Some(col(keys.head).between(lit(lo), lit(hi)))
+      case None => None
+    }
+    val dk = delta.select(keys.map(c => col(c).as(s"__k_$c")): _*)
+      .distinct()
+    val joinCond =
+      keys.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
+    val winners0 = cat.pairWinners(table, lastV, newV, keys,
+      scanFilter = if (soundBelow) zoneCond.getOrElse(lit(true))
+        else lit(true))
+    // the semi-join caps the collapse SHUFFLE when sound below; above
+    // the collapse it (plus the zone) bounds only what flows onward
+    val winners =
+      if (soundBelow) winners0.join(dk, joinCond, "left_semi")
+      else winners0
+    // two tagged rows per PK (the winner's key values AT EACH MARK —
+    // they may differ when the key is mutable), live winners only,
+    // then one conditional count per mark
+    val tagged = Seq("_wo" -> 0, "_wn" -> 1).map { case (w, m) =>
+      struct((lit(m).as("__m") +:
+        keys.map(k => col(s"$w.__p_$k").as(k))) :+
+        (col(w).isNotNull && !col(s"$w.__del")).as("__alive"): _*)
+    }
+    val ex0 = winners
+      .select(explode(array(tagged: _*)).as("e"))
+      .where(col("e.__alive"))
+      .select(keys.map(k => col(s"e.$k")) :+ col("e.__m").as("__m"): _*)
+    val ex =
+      if (soundBelow) ex0
+      else zoneCond.map(ex0.where).getOrElse(ex0)
+        .join(dk, joinCond, "left_semi")
+    ex.groupBy(keys.map(col): _*)
+      .agg(count(when(col("__m") === 0, 1)).as("__cold"),
+        count(when(col("__m") === 1, 1)).as("__cnew"))
+  }
+
   /** LEFT/FULL-outer: the ±1 synthetic NULL-extension rows of one
     * side's delta (for FULL, also applied to the FACT via a
     * fact-as-side spec — the F̂n indicator of the side-dangling
@@ -681,26 +769,25 @@ object MaterializeJoin {
     * match count crossed zero between the OLD and NEW marks, the
     * extended relation Ŝ gained (+1, last row deleted) or lost (−1,
     * first row inserted) its all-NULL-attribute row for that key.
-    * Both count probes are delta-key-bounded [[boundedSide]] reads
-    * (semi-join + zone, never a side scan), so the leg stays
-    * delta-sized. Keys untouched by the delta cannot cross zero;
-    * NULL keys never match any fact row under the equality join, so
-    * their (harmless) rows are dropped by the inner fact join. */
+    * The OLD/NEW count pair comes from ONE delta-key-bounded
+    * [[pairCounts]] job (semi-join + zone, never a side scan — and
+    * fused: the log is read and collapsed once, not once per mark),
+    * so the leg stays delta-sized. Keys untouched by the delta cannot
+    * cross zero; NULL keys never match any fact row under the
+    * equality join, so their (harmless) rows are dropped by the inner
+    * fact join. */
   private def nullExtensionDelta(cat: GraftCatalog, side: SideSpec,
       d: DataFrame, lastV: Long, newV: Long,
       memo: ZoneMemo = new ZoneMemo): DataFrame = {
     val s = cat.spec(side.table)
     val fields = s.schema.fields.toSeq
     val keys = side.keys
-    def cnt(v: Long, as: String): DataFrame =
-      boundedSide(cat, side.table, v, d, keys, side.sideKeysImmutable,
-          memo)
-        .groupBy(keys.map(col): _*).agg(count(lit(1)).as(as))
+    val counts = pairCounts(cat, side.table, lastV, newV, d, keys,
+      side.sideKeysImmutable, memo)
     val w = when(col("__cold") > 0 && col("__cnew") === 0, lit(1L))
       .when(col("__cold") === 0 && col("__cnew") > 0, lit(-1L))
     d.select(keys.map(col): _*).distinct()
-      .join(cnt(lastV, "__cold"), keys, "left")
-      .join(cnt(newV, "__cnew"), keys, "left")
+      .join(counts, keys, "left")
       .withColumn("__cold", coalesce(col("__cold"), lit(0L)))
       .withColumn("__cnew", coalesce(col("__cnew"), lit(0L)))
       .withColumn("__w", w)
@@ -708,6 +795,33 @@ object MaterializeJoin {
       .select(fields.map(f =>
         if (keys.contains(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)) :+ col("__w"): _*)
+  }
+
+  /** Retention roll for a maintained join MV — the first-class form of
+    * the recorded TTL-on-join-tables guidance. TTL on any chain table
+    * REFUSES (clock-driven expiry is invisible to the fold: joined-row
+    * expiry needs every side's window crossed), and the maintainable
+    * spelling is an EXPLICIT window delete: expire every row of the
+    * chain table holding `column` where `column < cutoff` via an
+    * ordinary tombstone write — the expiry IS a logged delta — then
+    * fold it incrementally ([[refresh]]). A time-grained MV retracts
+    * exactly the expired grain groups (emptied groups drop from the
+    * state); no rebuild, no O(table) term beyond the delete's own
+    * snapshot scan. Returns the refreshed (factV, sideVs) marks.
+    * The SQL spelling is the equivalent `DELETE FROM t WHERE col <
+    * cutoff` + `REFRESH MATERIALIZED VIEW` through [[graft.sources
+    * .PhoenixSql]]. */
+  def expireBefore(cat: GraftCatalog, path: String, column: String,
+      cutoff: Column): (Long, Seq[Long]) = {
+    val m = meta(cat.session, path)
+    val cs = specOf(m)
+    val holder = (cs.fact +: cs.sides.map(_.table))
+      .find(t => cat.spec(t).schema.fieldNames.contains(column))
+      .getOrElse(throw new IllegalArgumentException(
+        s"expireBefore: no chain table of the MV at $path carries " +
+          s"column '$column'"))
+    cat.delete(holder, col(column) < cutoff)
+    refresh(cat, path)
   }
 
   /** Binary sugar for `refresh` returning the (left, right)
@@ -723,7 +837,7 @@ object MaterializeJoin {
   def refresh(cat: GraftCatalog, path: String): (Long, Seq[Long]) = {
     LastRefresh.rebuildRan = false
     val spark = cat.session
-    val m = meta(spark, path)
+    val m = dbg("meta read")(meta(spark, path))
     val cs = specOf(m)
     requireNoTtl(cat, cs.fact)
     cs.sides.foreach(s => requireNoTtl(cat, s.table))
@@ -782,6 +896,21 @@ object MaterializeJoin {
     // one zone-probe memo for the whole refresh (see ZoneMemo) — the
     // parallel leg builders below share it
     val zoneMemo = new ZoneMemo
+    // factor memo: several legs request the IDENTICAL bounded factor —
+    // the factLeg's star edges and legA both bound side reads by
+    // dFact; a side's BFS fact edge and its dangling part's count
+    // probe both bound the fact by that side's raw delta. Memoizing by
+    // (table, mark, bounding-delta REFERENCE, keys, immutable) and
+    // CACHING the frame collapses those into one scan+collapse each,
+    // shared across every job of this refresh. Thread-safe (TrieMap),
+    // shared by the parallel leg pool.
+    val factorMemo = new scala.collection.concurrent.TrieMap[
+      (String, Long, DataFrame, Seq[String], Boolean), DataFrame]
+    def boundedShared(table: String, asOfV: Long, delta: DataFrame,
+        keys: Seq[String], immutable: Boolean): DataFrame =
+      factorMemo.getOrElseUpdate((table, asOfV, delta, keys, immutable),
+        cache(boundedSide(cat, table, asOfV, delta, keys, immutable,
+          zoneMemo)))
     // telescoping legs over the consistent (last, new] window: Δfact
     // against every side OLD; per side i, fact NEW ⋈ sides<i NEW ⋈
     // Δside_i ⋈ sides>i OLD — every delta bounded at its table's
@@ -809,15 +938,28 @@ object MaterializeJoin {
     // values — a post row failing it was never counted, a pre-image
     // failing it never needs retracting — and to every fact FACTOR
     // read below (the factFiltered wraps at the BFS fact edges)
-    val dFact = cache(factFiltered(cs,
-      signedDelta(cat, cs.fact, lastVF, newVF)))
-    val sideDeltas = cs.sides.indices.map(i =>
-      cache(signedDelta(cat, cs.sides(i).table, lastVS(i), newVS(i))))
-    val factLeg = cs.sides.zipWithIndex
+    val (dFact, sideDeltas) = dbg("delta construction") { (
+      cache(factFiltered(cs,
+        signedDelta(cat, cs.fact, lastVF, newVF))),
+      cs.sides.indices.map(i =>
+        cache(signedDelta(cat, cs.sides(i).table, lastVS(i),
+          newVS(i))))) }
+    // parents resolved once, up front — the factLeg bound below and
+    // the BFS both need the tree
+    val parents = parentsOf(cat, cs)
+    def buildFactLeg(): DataFrame = cs.sides.zipWithIndex
       .foldLeft(dFact) {
         case (acc, (s, j)) =>
-          cache(acc.join(boundedSide(cat, s.table, lastVS(j),
-            acc, s.keys, s.sideKeysImmutable, zoneMemo), s.keys,
+          // STAR edges (side j keyed on the fact): every fact row in
+          // acc came from dFact, so dFact's key set is a sound
+          // SUPERSET bound for the factor (the join itself restricts
+          // to acc's keys) — and its zone probe is memoized once per
+          // key, instead of one fresh accumulated-leg probe per edge.
+          // Snowflake edges key on an earlier side's columns, which
+          // dFact does not carry — they keep the acc bound.
+          val bound = if (parents(j) == -1) dFact else acc
+          cache(acc.join(boundedShared(s.table, lastVS(j),
+            bound, s.keys, s.sideKeysImmutable), s.keys,
             sideJt))
       }
     // per-side legs walk OUTWARD from the delta along the join tree
@@ -827,16 +969,18 @@ object MaterializeJoin {
     // Telescoping versions stay indexed by declaration order: node
     // j < i reads NEW (this refresh's mark), j > i reads OLD, the fact
     // reads NEW in every side leg.
-    val parents = parentsOf(cat, cs)
-    // LEG-PARALLEL construction: each side's leg is independent of the
-    // others (cached deltas + version-bounded factor reads, no shared
-    // mutable state beyond the synchronized cache list and the probe
-    // memo), but BUILDING one runs its serial zone-probe driver jobs —
-    // a depth-4 chain pays ~25 of them, a 10+-second fixed floor when
-    // sequential. Building the legs on a small pool overlaps the probe
-    // jobs (Spark schedules concurrent actions fine on local[n] and on
-    // a cluster), cutting the per-refresh floor roughly by the leg
-    // count without touching the algebra.
+    // LEG-PARALLEL construction: each leg is independent of the others
+    // (cached deltas + version-bounded factor reads, no shared mutable
+    // state beyond the synchronized cache list and the probe memo),
+    // but BUILDING one runs its serial zone-probe driver jobs — a
+    // depth-4 chain pays ~25 of them, a 10+-second fixed floor when
+    // sequential. ONE pool builds everything concurrently — the fact
+    // leg, every side leg, and (FULL chains) each side's two dangling
+    // legs ride the same pool task as their side, so the dangling
+    // parts' probes overlap the chain legs' instead of serializing
+    // after them. Spark schedules concurrent actions fine on local[n]
+    // and on a cluster; the pool cuts the per-refresh floor roughly by
+    // the leg count without touching the algebra.
     def buildSideLeg(i: Int): DataFrame = {
       val si = cs.sides(i)
       val dReal = sideDeltas(i)
@@ -877,8 +1021,14 @@ object MaterializeJoin {
         // factors with "left"; the move UP to the fact stays INNER
         val jt = if (extended && node == viaChild) "left"
           else "inner"
-        val factor0 = boundedSide(cat, table, asOfV, acc,
-          edgeKeys, immKeys, zoneMemo)
+        // first edge out of the delta: acc is dReal (or, extended,
+        // dReal plus its synthetic null-extension rows, whose key set
+        // equals dReal's) — bounding by the RAW delta reuses the
+        // memoized pairCounts zone probe instead of probing the
+        // unioned frame
+        val bound = if (visited.size == 1) dReal else acc
+        val factor0 = boundedShared(table, asOfV, bound,
+          edgeKeys, immKeys)
         val factor =
           if (node == -1) factFiltered(cs, factor0) else factor0
         acc = cache(acc.join(factor, edgeKeys, jt))
@@ -900,60 +1050,70 @@ object MaterializeJoin {
             scala.concurrent.duration.Duration.Inf)
         } finally pool.shutdown()
       }
-    val sideLegs = inParallel(cs.sides.size)(buildSideLeg)
     // FULL OUTER only — the side-dangling part D = S ▷ F × NULL_F,
     // two more telescoping legs over the FACT's null-extension
     // indicator F̂n (a NULL-fact row per key the fact does NOT hold):
     //   ΔD = ΔF̂n ⋈ S_old  ∪  F̂n_new ⋈ ΔS
-    // Leg A's ΔF̂n is the fact-count zero-crossing set (delta-key-
-    // bounded probes); leg B keeps the signed side-delta rows whose
-    // key finds NO fact match at the new mark — a NULL side key never
-    // matches (null-unsafe using-join), so permanently-dangling rows
-    // ride leg B too. Both legs emit joined-schema rows (fact fields
-    // NULL except the shared keys) and fold through the same signed
-    // union as every other leg.
-    val fullLegs: Seq[DataFrame] = if (!cs.fullOuter) Nil else {
+    // Leg A's ΔF̂n is the fact-count zero-crossing set (ONE fused
+    // delta-key-bounded OLD/NEW count job, see pairCounts); leg B
+    // keeps the signed side-delta rows whose key finds NO fact match
+    // at the new mark — a NULL side key never matches (null-unsafe
+    // using-join), so permanently-dangling rows ride leg B too. Both
+    // legs emit joined-schema rows (fact fields NULL except the shared
+    // keys) and fold through the same signed union as every other leg.
+    // Star shape (validated): the sequential full join decomposes as
+    // the LEFT part plus ONE INDEPENDENT side-dangling part per side —
+    // a side-i-dangling row carries side i's attributes, its keys, and
+    // NULL for every fact field and every OTHER side's field (a NULL
+    // fact key never matches the other sides).
+    def fullLegsFor(i: Int): Seq[DataFrame] = {
       val factFields = cat.spec(cs.fact).schema.fields.toSeq
-      // star shape (validated): the sequential full join decomposes as
-      // the LEFT part plus ONE INDEPENDENT side-dangling part per side
-      // — a side-i-dangling row carries side i's attributes, its keys,
-      // and NULL for every fact field and every OTHER side's field (a
-      // NULL fact key never matches the other sides)
-      inParallel(cs.sides.size) { i =>
-        val si = cs.sides(i)
-        val otherNulls = cs.sides.indices.filterNot(_ == i).flatMap {
-          j =>
-            cat.spec(cs.sides(j).table).schema.fields.toSeq
-              .filterNot(f => cs.sides(j).keys.contains(f.name))
-              .map(f => lit(null).cast(f.dataType).as(f.name))
-        }
-        val factAsSide = SideSpec(cs.fact, si.keys,
-          sideKeysImmutable = si.factKeysImmutable)
-        val aNull = cache(nullExtensionDelta(cat, factAsSide, dFact,
-          lastVF, newVF, zoneMemo))
-        val legA = cache(aNull.join(boundedSide(cat, si.table,
-            lastVS(i), aNull, si.keys, si.sideKeysImmutable, zoneMemo),
-            si.keys)
-          .select(col("*") +: otherNulls: _*))
-        val dS = sideDeltas(i)
-        val cntF = boundedSide(cat, cs.fact, newVF, dS, si.keys,
-            si.factKeysImmutable, zoneMemo)
-          .groupBy(si.keys.map(col): _*).agg(count(lit(1)).as("__cf"))
-        val legB = cache(dS.join(cntF, si.keys, "left")
-          .where(coalesce(col("__cf"), lit(0L)) === 0)
-          .drop("__cf")
-          .select(factFields.filterNot(f => si.keys.contains(f.name))
-            .map(f => lit(null).cast(f.dataType).as(f.name)) ++
-            dS.columns.map(col) ++ otherNulls: _*))
-        Seq(legA, legB)
-      }.flatten
+      val si = cs.sides(i)
+      val otherNulls = cs.sides.indices.filterNot(_ == i).flatMap {
+        j =>
+          cat.spec(cs.sides(j).table).schema.fields.toSeq
+            .filterNot(f => cs.sides(j).keys.contains(f.name))
+            .map(f => lit(null).cast(f.dataType).as(f.name))
+      }
+      val factAsSide = SideSpec(cs.fact, si.keys,
+        sideKeysImmutable = si.factKeysImmutable)
+      val aNull = cache(nullExtensionDelta(cat, factAsSide, dFact,
+        lastVF, newVF, zoneMemo))
+      // aNull's keys come from dFact (the zero-crossing set is built
+      // from the fact delta's keys), so dFact is a sound superset
+      // bound whose zone probe pairCounts already memoized
+      val legA = cache(aNull.join(boundedShared(si.table,
+          lastVS(i), dFact, si.keys, si.sideKeysImmutable),
+          si.keys)
+        .select(col("*") +: otherNulls: _*))
+      val dS = sideDeltas(i)
+      val cntF = boundedShared(cs.fact, newVF, dS, si.keys,
+          si.factKeysImmutable)
+        .groupBy(si.keys.map(col): _*).agg(count(lit(1)).as("__cf"))
+      val legB = cache(dS.join(cntF, si.keys, "left")
+        .where(coalesce(col("__cf"), lit(0L)) === 0)
+        .drop("__cf")
+        .select(factFields.filterNot(f => si.keys.contains(f.name))
+          .map(f => lit(null).cast(f.dataType).as(f.name)) ++
+          dS.columns.map(col) ++ otherNulls: _*))
+      Seq(legA, legB)
     }
+    // one pool task per side (its chain leg + its dangling legs), plus
+    // the fact leg's own task
+    val legTasks: Seq[() => Seq[DataFrame]] =
+      (() => Seq(buildFactLeg())) +:
+        cs.sides.indices.map(i => () =>
+          buildSideLeg(i) +:
+            (if (cs.fullOuter) fullLegsFor(i) else Nil))
+    val legs = dbg("leg pool (all legs)") {
+      inParallel(legTasks.size)(i =>
+        dbg(s"leg task $i")(legTasks(i)())).flatten }
     // grain columns derive per JOINED row (fact/side columns are in
     // every leg), so one withGrains over the unioned delta covers
     // post rows and retraction pre-images alike
     val delta = Materialize.withGrains(
-      (sideLegs ++ fullLegs).foldLeft(factLeg)(
-        _.unionByName(_, allowMissingColumns = false)), grains)
+      legs.reduce(_.unionByName(_, allowMissingColumns = false)),
+      grains)
 
     // bucket-manifested state: slice the fold to the buckets the
     // delta's groups touch (post rows AND retraction pre-images — any
@@ -962,7 +1122,7 @@ object MaterializeJoin {
     // The distinct-bucket probe is one delta-sized job over the
     // already-cached legs.
     val buckets = bucketsOf(m)
-    val stateAll = read(spark, path)
+    val stateAll = dbg("state read")(read(spark, path))
     val touched: Option[Set[Int]] =
       if (buckets == 0) None
       else {
@@ -1000,36 +1160,77 @@ object MaterializeJoin {
       .withColumn("__retr", lit(0)).withColumn("__instate", lit(1))
       .select(col("*") +: carry(mm => col(s"min_$mm"), nul,
         mm => col(s"max_$mm"), nul): _*)
-    // the SAME aggregate layout the build uses (type-strict union)
-    val postRows = Materialize.aggregate(
-        delta.where(col("__w") > 0).drop("__w"), groupCols, measures,
-        sketches, topks)
-      .withColumn("__retr", lit(0)).withColumn("__instate", lit(0))
-      .select(col("*") +: carry(nul, nul, nul, nul): _*)
-    val retr = delta.where(col("__w") < 0).drop("__w")
-    val retrRows = retr
-      .groupBy(groupCols.map(col): _*)
-      .agg((-count(lit(1))).as("cnt"),
-        measures.flatMap(mm => Seq(
-          (-count(col(mm))).cast(stT(s"cnt_$mm")).as(s"cnt_$mm"),
-          (-sum(col(mm))).cast(stT(s"sum_$mm")).as(s"sum_$mm"),
-          lit(null).cast(stT(s"min_$mm")).as(s"min_$mm"),
-          lit(null).cast(stT(s"max_$mm")).as(s"max_$mm"),
-          min(col(mm)).cast(mT(mm)).as(s"__rmin_$mm"),
-          max(col(mm)).cast(mT(mm)).as(s"__rmax_$mm"))): _*)
-      .withColumn("__retr", lit(1)).withColumn("__instate", lit(0))
-      .select(col("*") +: (measures.flatMap(mm => Seq(
-        lit(null).cast(mT(mm)).as(s"__smin_$mm"),
-        lit(null).cast(mT(mm)).as(s"__smax_$mm"))) ++
-        // sketches cannot retract (a hash can't be un-inserted, a
-        // SpaceSaving count can't be un-counted) — the NULL rides the
-        // union and the gate below recomputes the group
-        sketches.map { case (d, _) =>
-          lit(null).cast(BinaryType).as(s"kmv_$d") } ++
-        topks.map { case (t, _) =>
-          lit(null).cast(BinaryType).as(s"topk_$t") }): _*)
+    // plain-measure chains fold the signed delta in ONE pass: the
+    // post-row and retraction aggregates are conditional on the sign,
+    // so one groupBy emits both halves' fields per group (post min/max
+    // over __w > 0, the retraction gate's cnt/sum negation via the
+    // weight itself, __rmin/__rmax over __w < 0) — half the union
+    // scans and one shuffle instead of two per refresh. Sketch/top-k
+    // chains keep the two-pass shape: their kernels fold inserted
+    // VALUES (a sign-conditional input would insert NULLs) and cannot
+    // retract, so the separate retraction slice is load-bearing there.
+    val deltaRows: DataFrame =
+      if (sketches.isEmpty && topks.isEmpty)
+        delta.groupBy(groupCols.map(col): _*)
+          .agg(sum(col("__w")).cast(stT("cnt")).as("cnt"),
+            measures.flatMap(mm => Seq(
+              // coalesce: an all-NULL-measure group (a dangling row
+              // under an outer chain) must carry cnt_m = 0, as the
+              // two-pass count(col) did — a NULL here would survive
+              // the merge for groups with no state row
+              coalesce(sum(when(col(mm).isNotNull, col("__w"))),
+                  lit(0L))
+                .cast(stT(s"cnt_$mm")).as(s"cnt_$mm"),
+              sum(col(mm) * col("__w"))
+                .cast(stT(s"sum_$mm")).as(s"sum_$mm"),
+              min(when(col("__w") > 0, col(mm)))
+                .cast(stT(s"min_$mm")).as(s"min_$mm"),
+              max(when(col("__w") > 0, col(mm)))
+                .cast(stT(s"max_$mm")).as(s"max_$mm"),
+              min(when(col("__w") < 0, col(mm)))
+                .cast(mT(mm)).as(s"__rmin_$mm"),
+              max(when(col("__w") < 0, col(mm)))
+                .cast(mT(mm)).as(s"__rmax_$mm"))) :+
+            max(when(col("__w") < 0, lit(1)).otherwise(lit(0)))
+              .as("__retr"): _*)
+          .withColumn("__instate", lit(0))
+          .select(col("*") +: measures.flatMap(mm => Seq(
+            lit(null).cast(mT(mm)).as(s"__smin_$mm"),
+            lit(null).cast(mT(mm)).as(s"__smax_$mm"))): _*)
+      else {
+        // the SAME aggregate layout the build uses (type-strict union)
+        val postRows = Materialize.aggregate(
+            delta.where(col("__w") > 0).drop("__w"), groupCols,
+            measures, sketches, topks)
+          .withColumn("__retr", lit(0)).withColumn("__instate", lit(0))
+          .select(col("*") +: carry(nul, nul, nul, nul): _*)
+        val retr = delta.where(col("__w") < 0).drop("__w")
+        val retrRows = retr
+          .groupBy(groupCols.map(col): _*)
+          .agg((-count(lit(1))).as("cnt"),
+            measures.flatMap(mm => Seq(
+              (-count(col(mm))).cast(stT(s"cnt_$mm")).as(s"cnt_$mm"),
+              (-sum(col(mm))).cast(stT(s"sum_$mm")).as(s"sum_$mm"),
+              lit(null).cast(stT(s"min_$mm")).as(s"min_$mm"),
+              lit(null).cast(stT(s"max_$mm")).as(s"max_$mm"),
+              min(col(mm)).cast(mT(mm)).as(s"__rmin_$mm"),
+              max(col(mm)).cast(mT(mm)).as(s"__rmax_$mm"))): _*)
+          .withColumn("__retr", lit(1)).withColumn("__instate", lit(0))
+          .select(col("*") +: (measures.flatMap(mm => Seq(
+            lit(null).cast(mT(mm)).as(s"__smin_$mm"),
+            lit(null).cast(mT(mm)).as(s"__smax_$mm"))) ++
+            // sketches cannot retract (a hash can't be un-inserted, a
+            // SpaceSaving count can't be un-counted) — the NULL rides
+            // the union and the gate below recomputes the group
+            sketches.map { case (d, _) =>
+              lit(null).cast(BinaryType).as(s"kmv_$d") } ++
+            topks.map { case (t, _) =>
+              lit(null).cast(BinaryType).as(s"topk_$t") }): _*)
+        postRows.unionByName(retrRows)
+      }
 
-    merged = stateRows.unionByName(postRows).unionByName(retrRows)
+    merged = dbg("merged construction done")(
+      stateRows.unionByName(deltaRows))
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),
         measures.flatMap(mm => Seq(
@@ -1071,12 +1272,19 @@ object MaterializeJoin {
         .drop(internals: _*)
       val affected = merged.where(col("__retr") > 0 && needsRecompute)
         .select(groupCols.map(c => col(c).as(s"__a_$c")): _*)
-      val affectedCount = affected.count()
+      dbg("merged planning") { merged.queryExecution.executedPlan }
+      // one job serves both the gate count and the IN-pushdown rows:
+      // collect at most 1025 — 1025 means "more than the pushdown
+      // cap", and only then is the exact count worth a second job
+      val affHead = dbg("merged fold + affected probe") {
+        affected.limit(1025).collect().toSeq }
+      val affectedCount =
+        if (affHead.size <= 1024) affHead.size.toLong
+        else dbg("affected count")(affected.count())
       LastRefresh.affectedGroups = affectedCount
       LastRefresh.recomputeRan = affectedCount > 0
       val affRows =
-        if (affectedCount > 0 && affectedCount <= 1024)
-          Some(affected.collect().toSeq)
+        if (affectedCount > 0 && affectedCount <= 1024) Some(affHead)
         else None
       val out = if (affectedCount == 0) kept
         else kept.unionByName(recomputeJoined(cat, cs, newVF, newVS,
@@ -1085,7 +1293,9 @@ object MaterializeJoin {
       val nd = s"state_v${newVF}_${newVS.mkString("_")}"
       val newBucketDirs: Seq[String] =
         if (buckets == 0) {
-          out.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
+          dbg("out planning") { out.queryExecution.executedPlan }
+          dbg("state write") {
+            out.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd") }
           Seq.empty
         } else {
           // manifest flip: touched buckets point at the new dir (or
@@ -1102,12 +1312,15 @@ object MaterializeJoin {
             else old(i)
           }
         }
-      writeMeta(spark, path, cs, newVF, newVS, groupCols, measures, nd,
-        sketches, topks, grains, buckets, newBucketDirs)
+      dbg("write meta") {
+        writeMeta(spark, path, cs, newVF, newVS, groupCols, measures,
+          nd, sketches, topks, grains, buckets, newBucketDirs) }
       (newVF, newVS)
     } finally {
-      if (merged != null) merged.unpersist()
-      cached.foreach(_.unpersist())
+      dbg("unpersist") {
+        if (merged != null) merged.unpersist()
+        cached.foreach(_.unpersist())
+      }
     }
   }
 
@@ -1131,25 +1344,63 @@ object MaterializeJoin {
       .reduce(_ && _)
     val grainNames = grains.map(_._1).toSet
     val plainCols = groupCols.filterNot(grainNames.contains)
+    // per-column affected VALUES (null flag tracked separately) — the
+    // post-join prefilter and the per-table pushdown both derive from
+    // these
+    val colVals: Map[String, (Seq[Any], Boolean)] = affRows match {
+      case Some(rows) if plainCols.nonEmpty =>
+        plainCols.map { c =>
+          val vs = rows.map(_.get(groupCols.indexOf(c))).distinct
+          c -> (vs.filterNot(_ == null), vs.contains(null))
+        }.toMap
+      case _ => Map.empty
+    }
+    def colFilter(c: String): Column = {
+      val (nonNull, hasNull) = colVals(c)
+      val base: Column =
+        if (nonNull.isEmpty) lit(false)
+        else col(c).isInCollection(nonNull)
+      if (hasNull) base || col(c).isNull else base
+    }
     // IN-prefilter only over PLAIN group columns — grain columns do
     // not exist below withGrains; the affected semi-join (over ALL
     // group columns, after grains derive) carries exactness
-    val prefilter: Column = affRows match {
-      case Some(rows) if plainCols.nonEmpty =>
-        plainCols.map { c =>
-          val idx = groupCols.indexOf(c)
-          val vs = rows.map(_.get(idx)).distinct
-          val nonNull = vs.filterNot(_ == null)
-          val base: Column =
-            if (nonNull.isEmpty) lit(false)
-            else col(c).isInCollection(nonNull)
-          if (vs.contains(null)) base || col(c).isNull else base
-        }.reduce(_ && _)
-      case _ => lit(true)
+    val prefilter: Column =
+      if (colVals.isEmpty) lit(true)
+      else plainCols.map(colFilter).reduce(_ && _)
+    // Per-TABLE pushdown BELOW the joins. Catalyst pushes the
+    // post-join prefilter through INNER joins on its own, but a
+    // FULL/LEFT join blocks it — so without this the extended-chain
+    // recompute joins the FULL snapshots and filters after, an
+    // O(table × table) term at exactly the moment the gate fires.
+    // Soundness: filtering table T on its own group attributes only
+    // (a) drops T rows whose attribute values are not affected — every
+    // joined row through them carries those values, so their groups
+    // are never affected; and (b) re-labels T's dropped-row join
+    // partners into groups that are NULL on ALL of T's attributes
+    // (outer joins NULL-extend them; under INNER they just vanish).
+    // (b) is the hazard: it is sound iff some attribute of T has no
+    // NULL among the affected values (then every re-labeled group is
+    // unaffected and the semi-join drops it). Join-key group columns
+    // are excluded — the joined key is COALESCEd across tables, so a
+    // per-table filter on it is not a filter on the output value.
+    val allKeys = cs.sides.flatMap(_.keys).toSet
+    val tablePush: String => Column = { t =>
+      if (colVals.isEmpty) lit(true)
+      else {
+        val fieldsT = cat.spec(t).schema.fieldNames.toSet
+        val attrs = plainCols.filter(c =>
+          fieldsT.contains(c) && !allKeys.contains(c))
+        val extended = cs.leftOuter || cs.fullOuter
+        val sound = attrs.nonEmpty &&
+          (!extended || attrs.exists(c => !colVals(c)._2))
+        if (sound) attrs.map(colFilter).reduce(_ && _) else lit(true)
+      }
     }
     Materialize.aggregate(
       Materialize.withGrains(
-          joinedSnapshotAt(cat, cs, vF, vS).where(prefilter), grains)
+          joinedSnapshotAt(cat, cs, vF, vS, tablePush).where(prefilter),
+          grains)
         .join(affected, affCond, "left_semi"),
       groupCols, measures, sketches, topks)
   }

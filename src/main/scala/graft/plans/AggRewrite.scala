@@ -862,14 +862,20 @@ case class AggRewriteRule(spark: SparkSession) extends Rule[LogicalPlan] {
             }
             if (!all) None
             else {
-              // a null-rejecting consumed conjunct (any comparison)
-              // already excluded NULL rows from the state — drop the
-              // IsNotNulls Catalyst infers from the query's matching
-              // WHERE, or they'd demand a state column that isn't a
-              // group column and refuse every filtered serve
+              // a null-rejecting consumed conjunct already excluded
+              // NULL rows from the state — drop the IsNotNulls Catalyst
+              // infers from the query's matching WHERE, or they'd
+              // demand a state column that isn't a group column and
+              // refuse every filtered serve. Null-INTOLERANT
+              // comparisons only: `a <=> NULL` holds exactly the NULL-a
+              // rows, so treating <=> as null-rejecting would drop a
+              // query's real `a IS NOT NULL` conjunct and serve it
+              // non-empty from a state that contributes nothing
               val impliedNotNull: Set[String] = vcs.collect {
                 case bc: org.apache.spark.sql.catalyst.expressions
-                    .BinaryComparison =>
+                    .BinaryComparison
+                    if !bc.isInstanceOf[org.apache.spark.sql.catalyst
+                      .expressions.EqualNullSafe] =>
                   bc.references.toSeq.collect {
                     case a: AttributeReference => a.name }
               }.flatten.toSet

@@ -1526,6 +1526,63 @@ object Pipeline {
         .orderBy($"priority", $"mon")
     },
 
+    // JOIN-MV RETENTION WINDOW under the hard oracle: the first-class
+    // spelling of the recorded TTL-on-join-tables guidance — a
+    // month-grain join MV whose fact expires old months via explicit
+    // window deletes (expireBefore API for the first roll, DELETE FROM
+    // through the SQL front-end for the second), interleaved with
+    // insert/update churn that RESURRECTS some expired PKs. Both rolls
+    // fold incrementally (rebuildRan == false pinned in-entry); the
+    // oracle recomputes the surviving window from the final tables.
+    "q_ivm_join_retention" -> { (s, dir) =>
+      import s.implicits._
+      val wh = ivmWarehouse(dir + "#jointret")
+      val cat = new graft.sources.GraftCatalog(s, wh)
+      val px = new graft.sources.PhoenixSql(s, cat)
+      px.execute("CREATE TABLE lr (okey BIGINT NOT NULL, " +
+        "ln INTEGER NOT NULL, odate TIMESTAMP, qty BIGINT " +
+        "CONSTRAINT pk PRIMARY KEY (okey, ln))")
+      px.execute("CREATE TABLE orr (okey BIGINT NOT NULL, " +
+        "priority VARCHAR CONSTRAINT pk PRIMARY KEY (okey))")
+      val li = Tables.t(s, dir, "lineitem")
+        .where($"l_orderkey" % 32 === 3)
+        .groupBy($"l_orderkey".as("okey"), $"l_linenumber".as("ln"))
+        .agg(max($"l_shipdate").cast("timestamp").as("odate"),
+          sum($"l_quantity".cast("long")).as("qty"))
+      cat.upsert("lr", li)
+      cat.upsert("orr", Tables.t(s, dir, "orders")
+        .where($"o_orderkey" % 32 === 3)
+        .select($"o_orderkey".as("okey"),
+          $"o_orderpriority".as("priority")))
+      val mv = wh + "/mvret"
+      graft.operators.MaterializeJoin.build(cat,
+        graft.operators.MaterializeJoin.ChainSpec("lr", Seq(
+          graft.operators.MaterializeJoin.SideSpec("orr", Seq("okey"),
+            factKeysImmutable = true))),
+        Seq("mon", "priority"), Seq("qty"), mv,
+        grainExprs = Seq("mon" -> "date_trunc('MONTH', odate)"))
+      // roll 1: expire the oldest window (API helper), with churn that
+      // updates survivors AND resurrects some expired PKs
+      graft.operators.MaterializeJoin.expireBefore(cat, mv, "odate",
+        lit(java.sql.Timestamp.valueOf("1994-01-01 00:00:00")))
+      if (graft.operators.MaterializeJoin.LastRefresh.rebuildRan)
+        throw new IllegalStateException(
+          "retention roll 1 must fold incrementally, not rebuild")
+      cat.upsert("lr", li.where($"okey" % 100 === 3)
+        .withColumn("qty", $"qty" + 7L))
+      // roll 2: the SQL spelling — DELETE FROM + API refresh
+      px.execute(
+        "DELETE FROM lr WHERE odate < TIMESTAMP '1996-01-01 00:00:00'")
+      graft.operators.MaterializeJoin.refresh(cat, mv)
+      if (graft.operators.MaterializeJoin.LastRefresh.rebuildRan)
+        throw new IllegalStateException(
+          "retention roll 2 must fold incrementally, not rebuild")
+      graft.operators.MaterializeJoin.read(s, mv)
+        .select($"mon", $"priority", $"cnt", $"sum_qty",
+          $"min_qty", $"max_qty")
+        .orderBy($"mon", $"priority")
+    },
+
     // SKETCH-VALUED JOIN IVM under the hard oracle: a maintained
     // "distinct suppliers per order priority" over lineitem ⋈ orders —
     // the KMV distinct state rides the join fold (insert-only unions,
@@ -4145,6 +4202,30 @@ object Pipeline {
                ELSE o_orderdate END AS odate
         FROM orders WHERE o_orderkey % 32 < 3)
       SELECT priority, date_trunc('month', odate) AS mon,
+        count(*) AS cnt, CAST(sum(qty) AS BIGINT) AS sum_qty,
+        min(qty) AS min_qty, max(qty) AS max_qty
+      FROM l JOIN o USING (okey)
+      GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q_ivm_join_retention" -> """
+      WITH base AS (
+        SELECT l_orderkey AS okey, l_linenumber AS ln,
+          CAST(max(l_shipdate) AS TIMESTAMP) AS odate,
+          CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty0
+        FROM lineitem WHERE l_orderkey % 32 = 3
+        GROUP BY 1, 2),
+      -- roll 1 expired odate < 1994-01-01; the churn upsert then
+      -- resurrected every okey % 100 = 3 PK with qty0 + 7; roll 2
+      -- expired odate < 1996-01-01 over that snapshot — net survivors
+      -- are the odate >= 1996-01-01 rows, churned where okey matches
+      l AS (
+        SELECT okey, odate,
+          qty0 + CASE WHEN okey % 100 = 3 THEN 7 ELSE 0 END AS qty
+        FROM base WHERE odate >= TIMESTAMP '1996-01-01 00:00:00'),
+      o AS (
+        SELECT o_orderkey AS okey, o_orderpriority AS priority
+        FROM orders WHERE o_orderkey % 32 = 3)
+      SELECT date_trunc('month', odate) AS mon, priority,
         count(*) AS cnt, CAST(sum(qty) AS BIGINT) AS sum_qty,
         min(qty) AS min_qty, max(qty) AS max_qty
       FROM l JOIN o USING (okey)

@@ -64,6 +64,14 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     val spec = TableSpec(name, schema, pk, props)
     specs(name) = spec
     new java.io.File(dir(name)).mkdirs()
+    // stamp "full history intact" on a FRESH table (no data yet, no
+    // marker) so [[compactionFloor]]'s legacy-fallback scan never runs
+    // for tables this generation creates; a re-registered EXISTING dir
+    // keeps its state — absent marker there means a pre-floor
+    // generation may have compacted it, and the fallback derives that
+    if (!new java.io.File(s"${dir(name)}/data").exists() &&
+        !floorFile(name).exists())
+      writeFloorFile(name, -1L)
     spec
   }
 
@@ -186,11 +194,86 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     f.delete()
   }
 
-  def dropTable(name: String): Unit = {
+  /** Drop a table. REFUSES while registered MVs depend on it (their
+    * states and rewrite registrations would point at a missing log —
+    * the next refresh would error on a vanished directory and the
+    * rewrite registry would keep a dead candidate for the session);
+    * same discipline as the reference refusing to drop a table with
+    * child views (cc/schema/MetaDataClient). `cascade = true` tears
+    * the dependents down FIRST — every dependent MV is deregistered
+    * from the rewrite (from ALL of its tables, not just this one) and
+    * its state deleted — then drops the table. */
+  def dropTable(name: String, cascade: Boolean = false): Unit = {
+    val deps = mvDependents(name)
+    if (deps.nonEmpty && !cascade)
+      throw new IllegalStateException(
+        s"cannot drop table '$name': registered materialized views " +
+          s"depend on it (${deps.mkString(", ")}) — drop them first " +
+          "or use cascade")
+    if (cascade) deps.foreach(dropMv)
     specs.remove(name)
     extensions.remove(name)
     rmTree(new java.io.File(dir(name)))
   }
+
+  // ---------- registered-MV dependency registry ----------
+  // table → MV state roots registered over it, fed by EVERY
+  // registration path (the Materialize/MaterializeJoin API registrants
+  // and, through them, the SQL DDL): dropTable refuses while entries
+  // exist, and COMPACT TABLE derives its keep-history floor from every
+  // entry's fold mark — previously only DDL-created MVs were visible
+  // to the derivation, so an API-registered MV was silently
+  // full-compacted into an O(table) rebuild.
+  private val mvDeps =
+    scala.collection.mutable.Map[String, Seq[String]]()
+
+  /** Record that the MV state at `path` folds `tables` (fact first for
+    * chains). Idempotent; re-registration overwrites. */
+  private[graft] def recordMvDependency(path: String,
+      tables: Seq[String]): Unit =
+    mvDeps.synchronized { mvDeps(normPath(path)) = tables }
+
+  /** Forget the MV at `path` (DROP MATERIALIZED VIEW / cascade). */
+  private[graft] def releaseMvDependency(path: String): Unit =
+    mvDeps.synchronized { mvDeps.remove(normPath(path)) }
+
+  /** State roots of registered MVs that fold `table`. */
+  private[graft] def mvDependents(table: String): Seq[String] =
+    mvDeps.synchronized {
+      mvDeps.collect { case (p, ts) if ts.contains(table) => p }
+        .toSeq.sorted
+    }
+
+  /** Every registered MV's fold mark for `table` — what COMPACT TABLE
+    * needs: `compact(table, keepAfter = min(marks))` keeps every
+    * registered MV incrementally refreshable. Reads each state's meta
+    * (self-describing: single-table metas carry `last_version`, chain
+    * metas `fact`/`side_tables` + `last_vf`/`last_vs`). */
+  private[graft] def mvFoldMarks(table: String): Seq[Long] =
+    mvDependents(table).map { p =>
+      val m = spark.read.parquet(s"$p/meta").head()
+      if (m.schema.fieldNames.contains("last_version"))
+        m.getAs[Long]("last_version")
+      else if (m.getAs[String]("fact") == table)
+        m.getAs[Long]("last_vf")
+      else {
+        val sides = m.getSeq[String](m.fieldIndex("side_tables"))
+        m.getSeq[Long](m.fieldIndex("last_vs"))(sides.indexOf(table))
+      }
+    }
+
+  /** Tear one registered MV down: deregister its rewrite candidates
+    * from every table it folds, forget the dependency, delete the
+    * state. */
+  private[graft] def dropMv(path: String): Unit = {
+    val p = normPath(path)
+    mvDeps.synchronized { mvDeps.get(p) }.foreach(_.foreach(t =>
+      graft.plans.GraftAggViews.dropView(tablePath(t), p)))
+    releaseMvDependency(p)
+    rmTree(new java.io.File(p))
+  }
+
+  private def normPath(p: String): String = p.stripSuffix("/")
 
   /** TRUNCATE TABLE (reference: truncate_table_node g:502 — delete every
     * row, keep the table): drops the data directory; the spec and the
@@ -480,7 +563,19 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         spark.read.schema(physSchema(name)).parquet(s"${dir(name)}/data")
       else spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physSchema(name))
-    toLogical(name, base)
+    // bound at the PUBLISHED counter — the write protocol's invariant
+    // is `v <= counter ⇒ rows visible`, and its contrapositive must
+    // hold too: rows a refused/crashed writer left in the log dir
+    // ABOVE the counter (publish refuses after the append already
+    // landed — the orphans cannot be unwound) are invisible to every
+    // read path until [[vacuumOrphans]] reclaims them. The counter is
+    // sampled at PLAN time, so a frame built before a concurrent
+    // append reads the pre-append state even if executed after — the
+    // same consistent-window discipline the MV folds rely on. Also
+    // closes the in-flight window: rows of a mid-append version are
+    // unreadable until that version publishes. The filter is a
+    // literal, so parquet row-group stats prune it for free.
+    toLogical(name, base.where(col("_version") <= currentVersion(name)))
   }
 
   /** TTL seconds if the table declares a finite one (`TTL=<seconds>`;
@@ -790,6 +885,42 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     collapseLog(name, servingLogUpTo(name, v))
       .select(spec(name).schema.fieldNames.map(col): _*)
 
+  /** Per-PK collapse winners at TWO version marks (`lo <= hi`) from ONE
+    * pass over a single bounded log read — the fused form of two
+    * [[snapshotUpTo]] collapses at different marks, which cannot share
+    * a scan. Returns one row per PK carrying two nullable structs:
+    * `_wo` (the winner at `lo`) and `_wn` (at `hi`), each holding the
+    * requested `cols` as `__p_<col>` plus `__del`; a NULL struct means
+    * the PK has no row at that mark. The winner ordering is exactly
+    * [[collapseKeepMeta]]'s `(_version, nonPk...)` — the payload rides
+    * BEHIND the ord fields in one struct-max, and a full-ord tie is a
+    * same-batch duplicate whose payload fields tie too, so the two
+    * forms can never disagree. `scanFilter` pre-filters the log below
+    * the collapse — callers must pass a condition that keeps all of a
+    * PK's history or none of it (PK columns, or declared-immutable
+    * ones), exactly the [[snapshotPrefiltered]] soundness contract.
+    * The cache serves only when its mark sits at or below `lo`
+    * (winners at `lo` are not reconstructible from a cache collapsed
+    * past it). Used by [[graft.operators.MaterializeJoin]]'s
+    * null-extension count probes. */
+  private[graft] def pairWinners(name: String, lo: Long, hi: Long,
+      cols: Seq[String],
+      scanFilter: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    val s = spec(name)
+    val nonPk = allFields(name).map(_.name).filterNot(s.pk.contains)
+    val log = (snapCacheVersion(name) match {
+      case Some(cv) if !hasRowTimestamp(name) && cv <= lo =>
+        servingLogUpTo(name, hi)
+      case _ => changeLog(name).where(col("_version") <= hi)
+    }).where(scanFilter)
+    val ordPay = struct((col("_version") +: nonPk.map(col)) ++
+      cols.map(c => col(c).as(s"__p_$c")) :+
+      col("_deleted").as("__del"): _*)
+    log.groupBy(s.pk.map(col): _*)
+      .agg(max(when(col("_version") <= lo, ordPay)).as("_wo"),
+        max(ordPay).as("_wn"))
+  }
+
   /** The `_version <= v` slice of the change log, served through the
     * snapshot cache when the cache's mark is at or below `v` (see
     * [[snapshotUpTo]] for why a cache AHEAD of the read point cannot
@@ -896,10 +1027,30 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
         .as("cdc_post_image"))
   }
 
-  def cdc(name: String, sinceVersion: Long = -1L): DataFrame =
+  /** A consumer positioned BELOW the table's replayability floor has
+    * lost history: compaction collapsed versions <= floor to one
+    * winner per PK, so the per-version changes in (sinceVersion, floor]
+    * no longer exist — resuming there would silently skip them. Refuse
+    * the explicit resume point; the bootstrap read (sinceVersion = -1)
+    * stays allowed and reads the collapsed winners as its initial
+    * image, which is the correct bootstrap semantic either way. */
+  private def requireAboveFloor(name: String, sinceVersion: Long): Unit = {
+    if (sinceVersion < 0L) return
+    val floor = compactionFloor(name)
+    require(sinceVersion >= floor,
+      s"cdc($name, sinceVersion=$sinceVersion): history at or below " +
+        s"the replayability floor ($floor) was compacted away — the " +
+        "per-version changes this consumer would resume from no " +
+        "longer exist. Re-bootstrap (sinceVersion = -1) or resume at " +
+        "or above the floor")
+  }
+
+  def cdc(name: String, sinceVersion: Long = -1L): DataFrame = {
+    requireAboveFloor(name, sinceVersion)
     changeLog(name)
       .where(col("_version") > sinceVersion)
       .select(cdcCols(name): _*)
+  }
 
   /** CDC view with image scopes (reference PTable.CDCChangeScope CHANGE /
     * PRE / POST; CDCGlobalIndexRegionScanner builds the same three images
@@ -915,6 +1066,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
       scopes: Set[String] = Set("PRE", "POST", "CHANGE")): DataFrame = {
     require(scopes.nonEmpty && scopes.subsetOf(Set("PRE", "POST", "CHANGE")),
       s"scopes must be among PRE/POST/CHANGE, got $scopes")
+    requireAboveFloor(name, sinceVersion)
     val s = spec(name)
     val fields = s.schema.fieldNames.toSeq
     val nonPk = fields.filterNot(s.pk.contains)
@@ -964,23 +1116,53 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   /** Lowest version mark at which bounded collapse reads are exact;
     * -1 when the full history is intact. An MV whose fold mark sits
     * below this must rebuild — the rows its state summarizes can no
-    * longer be retraced. */
+    * longer be retraced.
+    *
+    * Legacy fallback: warehouses compacted/truncated BEFORE the floor
+    * marker existed have no `_compacted_below` file — returning -1
+    * there would let an MV refresh treat the old compaction's rewrite
+    * batch as an ordinary delta (no pre-images survive) and silently
+    * double-count every surviving row. When the file is absent, fall
+    * back ONCE to the footer-pruned min(`_version`) scan: a minimum
+    * above 0 implies discarded history (versions start at 0), so the
+    * derived floor is persisted and trips the rebuild path exactly
+    * like a marker written at compaction time. The derivation is
+    * conservative — an empty version-0 batch (a no-match DELETE)
+    * also raises the minimum, costing at most one unnecessary
+    * rebuild — and intact tables (min == 0, nothing persisted) memoize
+    * the -1 per catalog instance so the scan runs once per process. */
   private[graft] def compactionFloor(name: String): Long = {
     val f = floorFile(name)
     if (f.exists())
       new String(java.nio.file.Files.readAllBytes(f.toPath)).trim.toLong
-    else -1L
+    else Option(floorScanned.get(name)).map(_.longValue).getOrElse {
+      val mn = changeLogRaw(name).agg(min(col("_version"))).head()
+      val derived =
+        if (mn.isNullAt(0)) -1L // empty log: nothing discarded
+        else if (mn.getLong(0) > 0L) mn.getLong(0)
+        else -1L
+      // write DIRECTLY — setCompactionFloor's max-guard re-reads this
+      // very function while the marker is still absent (recursion)
+      if (derived >= 0L) writeFloorFile(name, derived)
+      floorScanned.put(name, java.lang.Long.valueOf(derived))
+      derived
+    }
   }
 
+  private val floorScanned =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def setCompactionFloor(name: String, v: Long): Unit =
-    if (v > compactionFloor(name)) {
-      val f = floorFile(name)
-      val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
-      java.nio.file.Files.write(tmp.toPath, v.toString.getBytes)
-      java.nio.file.Files.move(tmp.toPath, f.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    if (v > compactionFloor(name)) writeFloorFile(name, v)
+
+  private def writeFloorFile(name: String, v: Long): Unit = {
+    val f = floorFile(name)
+    val tmp = new java.io.File(f.getParentFile, s".${f.getName}.tmp")
+    java.nio.file.Files.write(tmp.toPath, v.toString.getBytes)
+    java.nio.file.Files.move(tmp.toPath, f.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Swap a freshly-written log rewrite into place. Swap, never
     * delete-then-rename: the live data must not be gone while the
@@ -1045,7 +1227,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * MVs they maintain)` (each refresh returns its mark). Refuses
     * loudly when the floor cannot be honored: beyond the log's
     * high-water counter, or below a floor already set (history there
-    * is gone; re-compacting at a lower mark cannot restore it). */
+    * is gone; re-compacting at a lower mark cannot restore it).
+    * CDC consumers share the full-compact caveat: per-version history
+    * at or below `keepAfter` is collapsed, so a consumer must be past
+    * the floor before compacting — [[cdc]]/[[cdcImages]] refuse an
+    * explicit resume point below it rather than silently skipping the
+    * vanished changes. */
   def compact(name: String, keepAfter: Long): Unit =
       tableLock(name).synchronized {
     val ctr = currentVersion(name)
@@ -1079,6 +1266,33 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // and the rewrite preserves the per-PK winner at every mark >= the
     // floor — including tombstone winners, which full compaction drops
     // (the resurrection hazard that forces it to invalidate).
+  }
+
+  /** Reclaim ORPHAN rows — rows sitting in the log dir ABOVE the
+    * published version counter. A writer refused at publish time (a
+    * foreign counter bump was detected after its append already
+    * landed) or a crashed writer leaves such rows behind; every read
+    * path already excludes them ([[changeLogRaw]] bounds at the
+    * counter), so they are invisible — but they bloat the log and
+    * every scan's footer set until physically removed. Rewrites the
+    * log without them (temp-write + dir swap, like [[compact]]) under
+    * the table write lock, so no append can interleave; the counter,
+    * the floor, and the snapshot cache are all untouched (cache rows
+    * sit at or below the counter by construction). Returns the number
+    * of orphan rows reclaimed; no-op (0) when the log is clean. */
+  def vacuumOrphans(name: String): Long = tableLock(name).synchronized {
+    val ctr = currentVersion(name)
+    val data = new java.io.File(s"${dir(name)}/data")
+    if (!data.exists()) return 0L
+    val raw = spark.read.schema(physSchema(name))
+      .parquet(s"${dir(name)}/data")
+    val orphans = raw.where(col("_version") > ctr).count()
+    if (orphans == 0L) return 0L
+    val tmp = s"${dir(name)}/data_vacuuming"
+    raw.where(col("_version") <= ctr)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    swapDataDir(name, tmp)
+    orphans
   }
 
   /** Updatable-filter views over a base table (reference: Phoenix VIEW

@@ -220,6 +220,12 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
             "use DROP SCHEMA ... CASCADE")
       owned.foreach { t =>
         if (tableNames.contains(t)) {
+          // schema-level CASCADE subsumes the per-table one: MVs over
+          // the dropped tables tear down with them
+          catalog.mvDependents(t).foreach { p =>
+            mvDefs.filterInPlace((_, d) => d.path.stripSuffix("/") != p)
+            catalog.dropMv(p)
+          }
           catalog.dropTable(t); tableNames -= t
           spark.catalog.dropTempView(t)
           // CDC objects riding a dropped table die with it
@@ -338,17 +344,11 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     val t = resolveTable(m.group(1))
     require(catalog.hasTable(t), s"unknown table $t")
     val explicit = Option(m.group(2)).map(_.toLong)
-    val mvMarks = mvDefs.values.filter(_.tables.contains(t)).map { d =>
-      val meta = spark.read.parquet(s"${d.path}/meta").head()
-      d.singleTable match {
-        case Some(_) => meta.getAs[Long]("last_version")
-        case None => // chain meta: tables = fact +: sides, positionally
-          val idx = d.tables.indexOf(t)
-          if (idx == 0) meta.getAs[Long]("last_vf")
-          else meta.getSeq[Long](meta.fieldIndex("last_vs"))(idx - 1)
-      }
-    }
-    val keepAfter = explicit.orElse(mvMarks.minOption)
+    // the catalog-level dependency ledger covers EVERY registered MV —
+    // DDL-created and Scala-API-registered alike (the DDL-only mvDefs
+    // derivation silently full-compacted API-registered MVs into an
+    // O(table) rebuild)
+    val keepAfter = explicit.orElse(catalog.mvFoldMarks(t).minOption)
     keepAfter match {
       case Some(v) => catalog.compact(t, keepAfter = v)
       case None => catalog.compact(t)
@@ -1184,12 +1184,9 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
         else throw new IllegalArgumentException(
           s"unknown materialized view $name")
       case Some(d) =>
-        graft.plans.GraftAggViews.dropView(
-          catalog.tablePath(d.tables.head), d.path)
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
-        }
-        rm(new java.io.File(d.path))
+        // deregisters the rewrite candidate from EVERY table the MV
+        // folds, forgets the drop/compact dependency, deletes the state
+        catalog.dropMv(d.path)
         spark.emptyDataFrame
     }
   }
@@ -1292,18 +1289,43 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
   }
 
   private def dropTable(s: String): DataFrame = {
-    val m = "(?is)DROP TABLE (?:IF EXISTS )?([\\w.\"]+)\\s*$".r
+    val m = ("(?is)DROP TABLE (?:IF EXISTS )?([\\w.\"]+)" +
+      "(\\s+CASCADE)?\\s*$").r
       .findFirstMatchIn(s)
       .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
     val name = resolveTable(m.group(1))
+    val cascade = m.group(2) != null
     if (catalog.hasTable(name)) {
       // the reference refuses to drop a table with child views; a
       // silent drop here left orphaned view definitions whose
       // re-registration failed EVERY later SELECT on the session
       val deps = catalog.dependentViews(name)
-      if (deps.nonEmpty) throw new IllegalArgumentException(
+      if (deps.nonEmpty && !cascade) throw new IllegalArgumentException(
         s"cannot drop table $name: dependent views exist " +
           s"(${deps.mkString(", ")}) — drop them first")
+      // registered MVs folding this table refuse the same way (their
+      // state and rewrite registration would point at a missing log);
+      // CASCADE tears them down first. Name DDL-created MVs by their
+      // DDL name, API-registered ones by state path.
+      val mvPaths = catalog.mvDependents(name)
+      if (mvPaths.nonEmpty && !cascade) {
+        val names = mvPaths.map(p =>
+          mvDefs.collectFirst { case (n, d)
+            if d.path.stripSuffix("/") == p => n }.getOrElse(p))
+        throw new IllegalArgumentException(
+          s"cannot drop table $name: registered materialized views " +
+            s"depend on it (${names.mkString(", ")}) — DROP " +
+            "MATERIALIZED VIEW them first, or DROP TABLE ... CASCADE")
+      }
+      if (cascade) {
+        deps.foreach { v =>
+          catalog.dropView(v); spark.catalog.dropTempView(v)
+        }
+        mvPaths.foreach { p =>
+          mvDefs.filterInPlace((_, d) => d.path.stripSuffix("/") != p)
+          catalog.dropMv(p)
+        }
+      }
       catalog.dropTable(name)
       tableNames -= name
       schemaOf -= name

@@ -3065,6 +3065,146 @@ class CatalogSpec extends AnyFunSuite {
       s"a foreign counter bump under an in-flight write must refuse " +
         s"loudly, got: $thrown")
   }
+
+  test("orphan rows above the published counter are invisible to every " +
+      "read path and reclaimed by vacuumOrphans") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("t", StructType(Seq(
+      StructField("id", LongType), StructField("x", LongType))),
+      pk = Seq("id"))
+    cat.upsert("t", Seq((1L, 10L), (2L, 20L)).toDF("id", "x"))
+    val ctr = cat.upsert("t", Seq((2L, 25L)).toDF("id", "x"))
+    // simulate a refused/crashed writer: its append landed in the log
+    // dir stamped ABOVE the published counter (publish refused after
+    // the rows were already down — they cannot be unwound)
+    Seq((99L, 999L)).toDF("id", "x")
+      .withColumn("_version", lit(ctr + 5L))
+      .withColumn("_deleted", lit(false))
+      .withColumn("_ts", lit(new java.sql.Timestamp(0L)))
+      .write.mode("append").parquet(
+        s"${cat.tablePath("t")}/data")
+    // invisible everywhere: snapshot, change log, CDC
+    assert(cat.snapshot("t").collect().map(_.getLong(0)).toSet ==
+      Set(1L, 2L), "an orphan row above the counter leaked into the " +
+        "snapshot")
+    assert(cat.changeLog("t").where(col("id") === 99L).count() == 0,
+      "an orphan row leaked into the change log")
+    assert(cat.cdc("t").where(col("id") === 99L).count() == 0,
+      "an orphan row leaked into CDC")
+    // physically reclaimed; live rows and the counter untouched
+    assert(cat.vacuumOrphans("t") == 1L)
+    assert(cat.vacuumOrphans("t") == 0L) // idempotent no-op
+    assert(cat.currentVersion("t") == ctr)
+    assert(cat.snapshot("t").collect().map(r =>
+      (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L), (2L, 25L)))
+    // and a later write resumes normally past the vacuum
+    cat.upsert("t", Seq((3L, 30L)).toDF("id", "x"))
+    assert(cat.snapshot("t").count() == 3)
+  }
+
+  test("legacy compaction floor: a pre-marker warehouse derives its " +
+      "floor from the log minimum once, persists it, and the first " +
+      "post-upgrade MV refresh rebuilds instead of double-counting") {
+    import spark.implicits._
+    val wh = java.nio.file.Files.createTempDirectory("graft_wh").toString
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType),
+      StructField("x", LongType)))
+    val cat = new GraftCatalog(spark, wh)
+    cat.createTable("t", schema, pk = Seq("id"))
+    cat.upsert("t", Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 5L))
+      .toDF("id", "g", "x"))
+    val mv = s"$wh/mv"
+    graft.operators.Materialize.build(cat, "t", Seq("g"), Seq("x"), mv)
+    cat.upsert("t", Seq((2L, "a", 99L)).toDF("id", "g", "x"))
+    cat.compact("t") // full: history collapsed, floor marker written
+    // simulate the pre-marker generation: the marker never existed
+    assert(new java.io.File(s"${cat.tablePath("t")}/_compacted_below")
+      .delete(), "fixture: the floor marker must exist after compact")
+    // a FRESH catalog instance (fresh memo) over the same warehouse:
+    // the fallback derives the floor from min(_version) > 0 and
+    // persists it
+    val cat2 = new GraftCatalog(spark, wh)
+    cat2.createTable("t", schema, pk = Seq("id"))
+    val derived = cat2.compactionFloor("t")
+    assert(derived > 0,
+      s"legacy compacted table must derive a positive floor, got " +
+        s"$derived")
+    assert(new java.io.File(s"${cat2.tablePath("t")}/_compacted_below")
+      .exists(), "the derived floor must persist")
+    // the first post-upgrade refresh must REBUILD (the compaction's
+    // rewrite batch has no pre-images — folding it as a delta would
+    // double-count every surviving row) and land exactly
+    graft.operators.Materialize.refresh(cat2, "t", mv)
+    assert(graft.operators.Materialize.LastRefresh.rebuildRan,
+      "the post-upgrade refresh over a legacy-compacted log must " +
+        "rebuild")
+    val got = graft.operators.Materialize.read(spark, mv)
+      .select(col("g"), col("cnt"), col("sum_x"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(("a", 2L, 109L), ("b", 1L, 5L)),
+      s"post-rebuild state diverged: $got")
+    // an INTACT table (min version 0) derives no floor and persists
+    // nothing — the scan memoizes per instance
+    val cat3 = new GraftCatalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    cat3.createTable("u", schema, pk = Seq("id"))
+    cat3.upsert("u", Seq((1L, "a", 1L)).toDF("id", "g", "x"))
+    new java.io.File(s"${cat3.tablePath("u")}/_compacted_below").delete()
+    assert(cat3.compactionFloor("u") == -1L)
+    assert(!new java.io.File(s"${cat3.tablePath("u")}/_compacted_below")
+      .exists(), "an intact table must not persist a false floor")
+  }
+
+  test("CDC consumers below the replayability floor refuse; at or " +
+      "above it (and the bootstrap read) stay served") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("t", StructType(Seq(
+      StructField("id", LongType), StructField("x", LongType))),
+      pk = Seq("id"))
+    cat.upsert("t", Seq((1L, 10L)).toDF("id", "x")) // v0
+    cat.upsert("t", Seq((1L, 11L)).toDF("id", "x")) // v1
+    cat.upsert("t", Seq((2L, 20L)).toDF("id", "x")) // v2
+    cat.compact("t", keepAfter = 1L)
+    val e = intercept[IllegalArgumentException](cat.cdc("t", 0L))
+    assert(e.getMessage.contains("replayability floor"),
+      s"a resume point below the floor must refuse, got: $e")
+    val e2 = intercept[IllegalArgumentException](
+      cat.cdcImages("t", sinceVersion = 0L))
+    assert(e2.getMessage.contains("replayability floor"))
+    // at the floor and above: exact; bootstrap (-1) reads the
+    // collapsed winners as its initial image
+    assert(cat.cdc("t", 1L).collect().map(_.getLong(0)).toSeq ==
+      Seq(2L))
+    assert(cat.cdc("t").count() >= 2)
+  }
+
+  test("dropTable refuses while registered MVs depend on the table; " +
+      "cascade deregisters and deletes the MV state first") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("g", StringType),
+      StructField("x", LongType)))
+    cat.createTable("t", schema, pk = Seq("id"))
+    cat.upsert("t", Seq((1L, "a", 10L)).toDF("id", "g", "x"))
+    val mv = s"${cat.tablePath("t")}_mvdrop"
+    graft.operators.Materialize.build(cat, "t", Seq("g"), Seq("x"), mv)
+    graft.operators.Materialize.registerForRewrite(cat, "t", mv)
+    val e = intercept[IllegalStateException](cat.dropTable("t"))
+    assert(e.getMessage.contains("materialized views") &&
+      e.getMessage.contains(mv.stripSuffix("/")),
+      s"the refusal must name the dependent MV, got: $e")
+    assert(cat.hasTable("t"), "a refused drop must leave the table")
+    cat.dropTable("t", cascade = true)
+    assert(!cat.hasTable("t"))
+    assert(cat.mvDependents("t").isEmpty)
+    assert(!new java.io.File(mv).exists(),
+      "cascade must delete the MV state")
+  }
 }
 
 /** Static latches for the foreign-writer test: referenced from inside a

@@ -1958,4 +1958,64 @@ class PhoenixSqlSpec extends AnyFunSuite {
     MaterializeJoin.refresh(cat, mv)
     assert(run(expectServed = true) == Seq(("a", 150L)))
   }
+
+  test("DROP TABLE refuses under registered MVs (typed, naming them); " +
+      "CASCADE tears the MVs down first; a post-CASCADE SELECT plans " +
+      "without the dead registration; COMPACT TABLE's derived floor " +
+      "covers API-registered MVs too") {
+    import spark.implicits._
+    val px = fresh()
+    val cat = px.catalog
+    px.execute("CREATE TABLE MT (ID BIGINT NOT NULL PRIMARY KEY, " +
+      "G VARCHAR, X BIGINT)")
+    px.execute("UPSERT INTO MT VALUES (1, 'a', 10)")
+    px.execute("UPSERT INTO MT VALUES (2, 'b', 20)")
+    px.execute("CREATE MATERIALIZED VIEW MMV AS SELECT G, COUNT(*), " +
+      "SUM(X) FROM MT GROUP BY G")
+    val e = intercept[IllegalArgumentException](px.execute("DROP TABLE MT"))
+    assert(e.getMessage.contains("materialized views") &&
+      e.getMessage.contains("mmv"),
+      s"the refusal must be typed and name the MV, got: $e")
+    assert(cat.hasTable("mt"), "a refused drop must leave the table")
+    // COMPACT TABLE floors from an MV registered through the SCALA API
+    // (no DDL definition) — the DDL-only derivation silently
+    // full-compacted these
+    px.execute("CREATE TABLE AT2 (ID BIGINT NOT NULL PRIMARY KEY, " +
+      "G VARCHAR, X BIGINT)")
+    cat.upsert("at2",
+      Seq((1L, "a", 5L), (2L, "b", 6L)).toDF("id", "g", "x"))
+    val mv2 = s"${cat.tablePath("at2")}_apimv"
+    graft.operators.Materialize.build(cat, "at2", Seq("g"), Seq("x"), mv2)
+    graft.operators.Materialize.registerForRewrite(cat, "at2", mv2)
+    cat.upsert("at2", Seq((1L, "a", 7L)).toDF("id", "g", "x"))
+    graft.operators.Materialize.refresh(cat, "at2", mv2)
+    val mode = px.execute("COMPACT TABLE AT2").collect().head
+    assert(mode.getString(1) == "floored",
+      s"an API-registered MV must floor the compaction, got $mode")
+    cat.upsert("at2", Seq((3L, "c", 8L)).toDF("id", "g", "x"))
+    graft.operators.Materialize.refresh(cat, "at2", mv2)
+    assert(!graft.operators.Materialize.LastRefresh.rebuildRan,
+      "post-COMPACT refresh over an API-registered MV must stay " +
+        "incremental — the derived floor covered its fold mark")
+    // CASCADE: MV state + registration + dependency ledger + table
+    px.execute("DROP TABLE MT CASCADE")
+    assert(!cat.hasTable("mt"))
+    assert(cat.mvDependents("mt").isEmpty)
+    assert(!new java.io.File(cat.mvPath("mmv")).exists(),
+      "CASCADE must delete the MV state")
+    // a re-created table of the same name plans WITHOUT the dead
+    // registration (and DROP MATERIALIZED VIEW on it says unknown)
+    val gone = intercept[IllegalArgumentException](
+      px.execute("DROP MATERIALIZED VIEW MMV"))
+    assert(gone.getMessage.contains("unknown materialized view"))
+    px.execute("CREATE TABLE MT (ID BIGINT NOT NULL PRIMARY KEY, " +
+      "G VARCHAR, X BIGINT)")
+    px.execute("UPSERT INTO MT VALUES (5, 'z', 1)")
+    val q = px.execute("SELECT G, COUNT(*) AS cnt FROM MT GROUP BY G")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("_mv/mmv"),
+      s"a dead MV registration leaked into the plan:\n$plan")
+    assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("z", 1L)))
+  }
 }
