@@ -733,17 +733,16 @@ object MaterializeJoin {
       .distinct()
     val joinCond =
       keys.map(c => col(c) <=> col(s"__k_$c")).reduce(_ && _)
-    val winners0 = cat.pairWinners(table, lastV, newV, keys,
+    // the zone prunes the collapse SCAN below when sound (the same
+    // contract as boundedSide's prefilter: a PK-subset or declared-
+    // immutable key keeps all of a PK's history or none of it); the
+    // winners frame itself carries only PK columns + the two winner
+    // structs, so ALL key-level bounding happens above the collapse —
+    // on the exploded per-mark rows, where the winner's key values
+    // exist (they may differ between marks when the key is mutable)
+    val winners = cat.pairWinners(table, lastV, newV, keys,
       scanFilter = if (soundBelow) zoneCond.getOrElse(lit(true))
         else lit(true))
-    // the semi-join caps the collapse SHUFFLE when sound below; above
-    // the collapse it (plus the zone) bounds only what flows onward
-    val winners =
-      if (soundBelow) winners0.join(dk, joinCond, "left_semi")
-      else winners0
-    // two tagged rows per PK (the winner's key values AT EACH MARK —
-    // they may differ when the key is mutable), live winners only,
-    // then one conditional count per mark
     val tagged = Seq("_wo" -> 0, "_wn" -> 1).map { case (w, m) =>
       struct((lit(m).as("__m") +:
         keys.map(k => col(s"$w.__p_$k").as(k))) :+
@@ -754,8 +753,8 @@ object MaterializeJoin {
       .where(col("e.__alive"))
       .select(keys.map(k => col(s"e.$k")) :+ col("e.__m").as("__m"): _*)
     val ex =
-      if (soundBelow) ex0
-      else zoneCond.map(ex0.where).getOrElse(ex0)
+      (if (soundBelow) ex0
+       else zoneCond.map(ex0.where).getOrElse(ex0))
         .join(dk, joinCond, "left_semi")
     ex.groupBy(keys.map(col): _*)
       .agg(count(when(col("__m") === 0, 1)).as("__cold"),
@@ -1036,18 +1035,31 @@ object MaterializeJoin {
       }
       acc
     }
+    // invokeAll DRAINS: it returns only after every task finished,
+    // even when some failed — so a failing leg can never leave a
+    // sibling still appending to the cache list while the caller's
+    // finally iterates it (the Future.sequence form failed fast and
+    // did exactly that, masking the root error with a
+    // ConcurrentModificationException). The first real cause rethrows.
     def inParallel[T](n: Int)(work: Int => T): Seq[T] =
       if (n <= 1) (0 until n).map(work)
       else {
         val pool = java.util.concurrent.Executors
           .newFixedThreadPool(math.min(n, 8))
         try {
-          implicit val ec: scala.concurrent.ExecutionContext =
-            scala.concurrent.ExecutionContext.fromExecutor(pool)
-          scala.concurrent.Await.result(
-            scala.concurrent.Future.sequence(
-              (0 until n).map(i => scala.concurrent.Future(work(i)))),
-            scala.concurrent.duration.Duration.Inf)
+          import scala.jdk.CollectionConverters._
+          val tasks: Seq[java.util.concurrent.Callable[T]] =
+            (0 until n).map(i =>
+              new java.util.concurrent.Callable[T] {
+                def call(): T = work(i)
+              })
+          pool.invokeAll(tasks.asJava).asScala.toSeq.map { f =>
+            try f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          }
         } finally pool.shutdown()
       }
     // FULL OUTER only — the side-dangling part D = S ▷ F × NULL_F,
@@ -1319,7 +1331,10 @@ object MaterializeJoin {
     } finally {
       dbg("unpersist") {
         if (merged != null) merged.unpersist()
-        cached.foreach(_.unpersist())
+        // snapshot under the append lock — the pool drains before the
+        // try exits, but the discipline costs nothing and survives a
+        // future caller that doesn't
+        cached.synchronized(cached.toList).foreach(_.unpersist())
       }
     }
   }

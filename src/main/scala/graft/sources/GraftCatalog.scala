@@ -1375,7 +1375,11 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   /** Streaming CDC: the same change log as a Structured Streaming source
     * (consumers get each batch's changes incrementally). Reads the physical
     * (generation-suffixed) schema and renames back, like [[changeLog]] —
-    * otherwise a DROP + re-ADD column would resurface dropped data. */
+    * otherwise a DROP + re-ADD column would resurface dropped data.
+    * Unlike the batch paths this does NOT bound at the version counter
+    * (a static literal can't bound an unbounded stream): a refused
+    * foreign writer's orphan rows WOULD stream — run [[vacuumOrphans]]
+    * before starting a stream over a log that may carry them. */
   def cdcStream(name: String): DataFrame = {
     // a created-but-never-written table has no data dir yet; the batch
     // changeLog guards this — the stream must too (an empty dir streams
