@@ -967,40 +967,53 @@ object Materialize {
       .withColumn("__retr", lit(0)).withColumn("__instate", lit(1))
       .select(col("*") +: carry(m => col(s"min_$m"), nul,
         m => col(s"max_$m"), nul): _*)
-    // the SAME aggregate() the full build uses — the exactness
-    // guarantee depends on the delta and the build producing identical
-    // widened sum types for the type-strict unionByName merge below
-    val postRows = aggregate(
-        withGrains(fd(changes.where(!col("_deleted") && aliveNow)
-          .select(fields.map(col): _*)), grains),
-        groupCols, measures, sketches, topks)
-      .withColumn("__retr", lit(0)).withColumn("__instate", lit(0))
-      .select(col("*") +: carry(nul, nul, nul, nul): _*)
-    // negative contributions: cnt / per-measure cnt / sum fold
-    // algebraically (count and sum are self-invertible); min/max ride
-    // as __rmin/__rmax for the extremum gate instead
-    val retrRows = retracted
-      .groupBy(groupCols.map(col): _*)
-      .agg((-count(lit(1))).as("cnt"),
-        measures.flatMap(m => Seq(
-          (-count(col(m))).cast(stT(s"cnt_$m")).as(s"cnt_$m"),
-          (-sum(col(m))).cast(stT(s"sum_$m")).as(s"sum_$m"),
-          lit(null).cast(stT(s"min_$m")).as(s"min_$m"),
-          lit(null).cast(stT(s"max_$m")).as(s"max_$m"),
-          min(col(m)).cast(mT(m)).as(s"__rmin_$m"),
-          max(col(m)).cast(mT(m)).as(s"__rmax_$m"))): _*)
-      .withColumn("__retr", lit(1)).withColumn("__instate", lit(0))
-      .select(col("*") +: (measures.flatMap(m => Seq(
-        lit(null).cast(mT(m)).as(s"__smin_$m"),
-        lit(null).cast(mT(m)).as(s"__smax_$m"))) ++
-        // sketches cannot retract (a hash can't be un-inserted, a
-        // SpaceSaving count can't be un-counted) — the NULL rides the
-        // union and the gate below recomputes the group
-        sketches.map { case (d, _) =>
-          lit(null).cast(BinaryType).as(s"kmv_$d") } ++
-        topks.map { case (t, _) =>
-          lit(null).cast(BinaryType).as(s"topk_$t") }): _*)
-    val unioned = stateRows.unionByName(postRows).unionByName(retrRows)
+    val posts = withGrains(fd(changes.where(!col("_deleted") && aliveNow)
+      .select(fields.map(col): _*)), grains)
+    // plain-measure MVs fold the signed delta in ONE pass (see
+    // signedFold); sketch/top-k MVs keep the two-pass shape — their
+    // kernels fold inserted VALUES and cannot retract
+    val deltaRows: DataFrame =
+      if (sketches.isEmpty && topks.isEmpty)
+        signedFold(
+          posts.withColumn("__w", lit(1L))
+            .unionByName(retracted.withColumn("__w", lit(-1L))),
+          groupCols, measures, stT, mT)
+      else {
+        // the SAME aggregate() the full build uses — the exactness
+        // guarantee depends on the delta and the build producing
+        // identical widened sum types for the type-strict unionByName
+        // merge below
+        val postRows = aggregate(posts,
+            groupCols, measures, sketches, topks)
+          .withColumn("__retr", lit(0)).withColumn("__instate", lit(0))
+          .select(col("*") +: carry(nul, nul, nul, nul): _*)
+        // negative contributions: cnt / per-measure cnt / sum fold
+        // algebraically (count and sum are self-invertible); min/max
+        // ride as __rmin/__rmax for the extremum gate instead
+        val retrRows = retracted
+          .groupBy(groupCols.map(col): _*)
+          .agg((-count(lit(1))).as("cnt"),
+            measures.flatMap(m => Seq(
+              (-count(col(m))).cast(stT(s"cnt_$m")).as(s"cnt_$m"),
+              (-sum(col(m))).cast(stT(s"sum_$m")).as(s"sum_$m"),
+              lit(null).cast(stT(s"min_$m")).as(s"min_$m"),
+              lit(null).cast(stT(s"max_$m")).as(s"max_$m"),
+              min(col(m)).cast(mT(m)).as(s"__rmin_$m"),
+              max(col(m)).cast(mT(m)).as(s"__rmax_$m"))): _*)
+          .withColumn("__retr", lit(1)).withColumn("__instate", lit(0))
+          .select(col("*") +: (measures.flatMap(m => Seq(
+            lit(null).cast(mT(m)).as(s"__smin_$m"),
+            lit(null).cast(mT(m)).as(s"__smax_$m"))) ++
+            // sketches cannot retract (a hash can't be un-inserted, a
+            // SpaceSaving count can't be un-counted) — the NULL rides
+            // the union and the gate below recomputes the group
+            sketches.map { case (d, _) =>
+              lit(null).cast(BinaryType).as(s"kmv_$d") } ++
+            topks.map { case (t, _) =>
+              lit(null).cast(BinaryType).as(s"topk_$t") }): _*)
+        postRows.unionByName(retrRows)
+      }
+    val unioned = stateRows.unionByName(deltaRows)
     val merged = unioned
       .groupBy(groupCols.map(col): _*)
       .agg(sum(col("cnt")).as("cnt"),
@@ -1267,6 +1280,45 @@ object Materialize {
         .join(affected, affCond, "left_semi"),
       groupCols, measures, sketches, topks)
   }
+
+  /** One-pass SIGNED delta fold for plain-measure MVs — the fused form
+    * of the separate post-row and retraction aggregates (one shuffle
+    * and one union scan instead of two per refresh). Input: field rows
+    * carrying `__w` (+1 post, −1 retraction pre-image/expiry). Output:
+    * one row per group in the merge-union layout (net cnt/cnt_m/sum_m
+    * via the weight, post-only min/max, retraction-only __rmin/__rmax
+    * for the extremum gate, `__retr` set iff the group retracted,
+    * `__instate` 0, NULL __smin/__smax). cnt_m coalesces to 0: an
+    * all-NULL-measure group (outer-join dangling rows) must carry the
+    * count the two-pass count(col) produced, or the NULL would survive
+    * the merge for groups with no state row. Sketch/top-k chains keep
+    * the two-pass shape — their kernels fold inserted VALUES and
+    * cannot take sign-conditional input. Shared by the single-table
+    * and join folds, so a fix lands in both at once. */
+  private[operators] def signedFold(signed: DataFrame,
+      groupCols: Seq[String], measures: Seq[String],
+      stT: String => DataType, mT: String => DataType): DataFrame =
+    signed.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("__w")).cast(stT("cnt")).as("cnt"),
+        measures.flatMap(m => Seq(
+          coalesce(sum(when(col(m).isNotNull, col("__w"))), lit(0L))
+            .cast(stT(s"cnt_$m")).as(s"cnt_$m"),
+          sum(col(m) * col("__w"))
+            .cast(stT(s"sum_$m")).as(s"sum_$m"),
+          min(when(col("__w") > 0, col(m)))
+            .cast(stT(s"min_$m")).as(s"min_$m"),
+          max(when(col("__w") > 0, col(m)))
+            .cast(stT(s"max_$m")).as(s"max_$m"),
+          min(when(col("__w") < 0, col(m)))
+            .cast(mT(m)).as(s"__rmin_$m"),
+          max(when(col("__w") < 0, col(m)))
+            .cast(mT(m)).as(s"__rmax_$m"))) :+
+        max(when(col("__w") < 0, lit(1)).otherwise(lit(0)))
+          .as("__retr"): _*)
+      .withColumn("__instate", lit(0))
+      .select(col("*") +: measures.flatMap(m => Seq(
+        lit(null).cast(mT(m)).as(s"__smin_$m"),
+        lit(null).cast(mT(m)).as(s"__smax_$m"))): _*)
 
   /** The grouped aggregate both the full build and the affected-group
     * recompute use: per group, `cnt` (row count) and per measure the

@@ -1111,15 +1111,23 @@ object MaterializeJoin {
       Seq(legA, legB)
     }
     // one pool task per side (its chain leg + its dangling legs), plus
-    // the fact leg's own task
+    // the fact leg's own task. Each task FORCES its cached legs
+    // (count() materializes the persist) before returning: leg
+    // computation then overlaps across the pool threads, and the
+    // merge fold below reads cached blocks only — without the force,
+    // every un-probed leg's first computation lands inside the single
+    // fold job, serial behind one scheduler.
     val legTasks: Seq[() => Seq[DataFrame]] =
       (() => Seq(buildFactLeg())) +:
         cs.sides.indices.map(i => () =>
           buildSideLeg(i) +:
             (if (cs.fullOuter) fullLegsFor(i) else Nil))
     val legs = dbg("leg pool (all legs)") {
-      inParallel(legTasks.size)(i =>
-        dbg(s"leg task $i")(legTasks(i)())).flatten }
+      inParallel(legTasks.size) { i =>
+        val built = dbg(s"leg task $i")(legTasks(i)())
+        dbg(s"leg force $i")(built.foreach(_.count()))
+        built
+      }.flatten }
     // grain columns derive per JOINED row (fact/side columns are in
     // every leg), so one withGrains over the unioned delta covers
     // post rows and retraction pre-images alike
@@ -1172,43 +1180,16 @@ object MaterializeJoin {
       .withColumn("__retr", lit(0)).withColumn("__instate", lit(1))
       .select(col("*") +: carry(mm => col(s"min_$mm"), nul,
         mm => col(s"max_$mm"), nul): _*)
-    // plain-measure chains fold the signed delta in ONE pass: the
-    // post-row and retraction aggregates are conditional on the sign,
-    // so one groupBy emits both halves' fields per group (post min/max
-    // over __w > 0, the retraction gate's cnt/sum negation via the
-    // weight itself, __rmin/__rmax over __w < 0) — half the union
-    // scans and one shuffle instead of two per refresh. Sketch/top-k
-    // chains keep the two-pass shape: their kernels fold inserted
-    // VALUES (a sign-conditional input would insert NULLs) and cannot
-    // retract, so the separate retraction slice is load-bearing there.
+    // plain-measure chains fold the signed delta in ONE pass
+    // ([[Materialize.signedFold]] — one groupBy emits both halves'
+    // fields per group: half the union scans and one shuffle instead
+    // of two per refresh). Sketch/top-k chains keep the two-pass
+    // shape: their kernels fold inserted VALUES (a sign-conditional
+    // input would insert NULLs) and cannot retract, so the separate
+    // retraction slice is load-bearing there.
     val deltaRows: DataFrame =
       if (sketches.isEmpty && topks.isEmpty)
-        delta.groupBy(groupCols.map(col): _*)
-          .agg(sum(col("__w")).cast(stT("cnt")).as("cnt"),
-            measures.flatMap(mm => Seq(
-              // coalesce: an all-NULL-measure group (a dangling row
-              // under an outer chain) must carry cnt_m = 0, as the
-              // two-pass count(col) did — a NULL here would survive
-              // the merge for groups with no state row
-              coalesce(sum(when(col(mm).isNotNull, col("__w"))),
-                  lit(0L))
-                .cast(stT(s"cnt_$mm")).as(s"cnt_$mm"),
-              sum(col(mm) * col("__w"))
-                .cast(stT(s"sum_$mm")).as(s"sum_$mm"),
-              min(when(col("__w") > 0, col(mm)))
-                .cast(stT(s"min_$mm")).as(s"min_$mm"),
-              max(when(col("__w") > 0, col(mm)))
-                .cast(stT(s"max_$mm")).as(s"max_$mm"),
-              min(when(col("__w") < 0, col(mm)))
-                .cast(mT(mm)).as(s"__rmin_$mm"),
-              max(when(col("__w") < 0, col(mm)))
-                .cast(mT(mm)).as(s"__rmax_$mm"))) :+
-            max(when(col("__w") < 0, lit(1)).otherwise(lit(0)))
-              .as("__retr"): _*)
-          .withColumn("__instate", lit(0))
-          .select(col("*") +: measures.flatMap(mm => Seq(
-            lit(null).cast(mT(mm)).as(s"__smin_$mm"),
-            lit(null).cast(mT(mm)).as(s"__smax_$mm"))): _*)
+        Materialize.signedFold(delta, groupCols, measures, stT, mT)
       else {
         // the SAME aggregate layout the build uses (type-strict union)
         val postRows = Materialize.aggregate(
