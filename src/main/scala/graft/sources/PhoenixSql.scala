@@ -70,6 +70,9 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     else if (up.startsWith("COMPACT TABLE")) {
       requireNoScn("COMPACT"); compactTable(s)
     }
+    else if (up.startsWith("VACUUM TABLE")) {
+      requireNoScn("VACUUM"); vacuumTable(s)
+    }
     else if (up.startsWith("SHOW CREATE TABLE")) showCreateTable(s)
     else if (up.startsWith("SHOW MATERIALIZED VIEWS")) {
       import spark.implicits._
@@ -356,6 +359,23 @@ class PhoenixSql(spark: SparkSession, val catalog: GraftCatalog) {
     dirty += t
     Seq((t, if (keepAfter.isDefined) "floored" else "full",
       keepAfter.getOrElse(-1L))).toDF("table", "mode", "kept_after")
+  }
+
+  /** `VACUUM TABLE t` — reclaim orphan rows a refused/crashed writer
+    * left above the published version counter
+    * ([[GraftCatalog.vacuumOrphans]]; reads already exclude them, this
+    * removes the physical bloat). Returns one row
+    * (table, orphan_rows_reclaimed). */
+  private def vacuumTable(s: String): DataFrame = {
+    import spark.implicits._
+    val m = "(?is)^VACUUM\\s+TABLE\\s+([\\w.\"]+)\\s*$".r
+      .findFirstMatchIn(s)
+      .getOrElse(throw new IllegalArgumentException(s"cannot parse: $s"))
+    val t = resolveTable(m.group(1))
+    require(catalog.hasTable(t), s"unknown table $t")
+    val reclaimed = catalog.vacuumOrphans(t)
+    if (reclaimed > 0) dirty += t
+    Seq((t, reclaimed)).toDF("table", "orphan_rows_reclaimed")
   }
 
   private def truncateTable(s: String): DataFrame = {

@@ -3182,6 +3182,67 @@ class CatalogSpec extends AnyFunSuite {
     assert(cat.cdc("t").count() >= 2)
   }
 
+  test("pairWinners == two independent bounded collapses at every " +
+      "mark pair (seeded random log: multi-version churn, deletes, " +
+      "within-batch duplicate PKs)") {
+    // the fused dual-mark winner pass is the primitive under the r15
+    // null-extension count probes; its tie-break argument (ord fields
+    // prefix a struct-max, full-ord ties are same-batch duplicates
+    // whose payload ties too) is subtle enough to deserve a direct
+    // equivalence property against the reference collapse
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("t", StructType(Seq(
+      StructField("id", LongType), StructField("jk", LongType),
+      StructField("x", LongType))), pk = Seq("id"))
+    val rng = new scala.util.Random(0xC0FFEE)
+    var hi = -1L
+    (0 until 6).foreach { _ =>
+      val ids = (0 until 30).map(_ => rng.nextInt(40).toLong).distinct
+      if (rng.nextInt(4) == 0 && hi >= 0)
+        hi = cat.delete("t", col("id").isInCollection(ids))
+      else {
+        // within-batch duplicate PKs: two rows for some ids (the
+        // lexicographically-greatest payload must win identically)
+        val rows = ids.map(i =>
+          (i, rng.nextInt(5).toLong, rng.nextInt(100).toLong)) ++
+          ids.take(5).map(i =>
+            (i, rng.nextInt(5).toLong, rng.nextInt(100).toLong))
+        hi = cat.upsert("t", rows.toDF("id", "jk", "x"))
+      }
+    }
+    val refs: Map[Long, Map[Long, (Long, Boolean)]] =
+      (0L to hi).map(v => v ->
+        cat.collapseKeepMeta("t",
+            cat.changeLog("t").where(col("_version") <= v))
+          .select(col("id"), col("jk"), col("_deleted"))
+          .collect().map(r => r.getLong(0) ->
+            (r.getLong(1), r.getBoolean(2))).toMap).toMap
+    for (lo <- 0L to hi; hiM <- lo to hi) {
+      val fused = cat.pairWinners("t", lo, hiM, Seq("jk"))
+        .collect().map { r =>
+          def side(w: String): Option[(Long, Boolean)] = {
+            val s = r.getAs[Row](w)
+            if (s == null) None
+            else Some((s.getAs[Long]("__p_jk"),
+              s.getAs[Boolean]("__del")))
+          }
+          r.getLong(0) -> (side("_wo"), side("_wn"))
+        }.toMap
+      val refLo = refs(lo)
+      val refHi = refs(hiM)
+      fused.foreach { case (id, (wo, wn)) =>
+        assert(wo == refLo.get(id),
+          s"lo=$lo hi=$hiM id=$id: _wo $wo != reference ${refLo.get(id)}")
+        assert(wn == refHi.get(id),
+          s"lo=$lo hi=$hiM id=$id: _wn $wn != reference ${refHi.get(id)}")
+      }
+      // and no PK the reference holds is missing from the fused pass
+      assert(refHi.keySet.subsetOf(fused.keySet),
+        s"lo=$lo hi=$hiM: fused pass lost PKs ${refHi.keySet -- fused.keySet}")
+    }
+  }
+
   test("dropTable refuses while registered MVs depend on the table; " +
       "cascade deregisters and deletes the MV state first") {
     import spark.implicits._

@@ -2018,4 +2018,30 @@ class PhoenixSqlSpec extends AnyFunSuite {
     assert(q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
       Seq(("z", 1L)))
   }
+
+  test("VACUUM TABLE reclaims orphan rows above the published counter") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.lit
+    val px = fresh()
+    val cat = px.catalog
+    px.execute("CREATE TABLE VT (ID BIGINT NOT NULL PRIMARY KEY, " +
+      "X BIGINT)")
+    px.execute("UPSERT INTO VT VALUES (1, 10)")
+    // a refused/crashed writer's append: physically in the log dir,
+    // stamped above the published counter
+    Seq((9L, 99L)).toDF("id", "x")
+      .withColumn("_version", lit(100L))
+      .withColumn("_deleted", lit(false))
+      .withColumn("_ts", lit(new java.sql.Timestamp(0L)))
+      .write.mode("append").parquet(s"${cat.tablePath("vt")}/data")
+    assert(px.execute("SELECT COUNT(*) AS c FROM VT")
+      .collect().head.getLong(0) == 1L,
+      "orphans must be invisible to SQL reads before the vacuum too")
+    val r = px.execute("VACUUM TABLE VT").collect().head
+    assert(r.getString(0) == "vt" && r.getLong(1) == 1L,
+      s"one orphan row must be reclaimed, got $r")
+    assert(px.execute("VACUUM TABLE VT").collect().head.getLong(1) == 0L)
+    assert(px.execute("SELECT ID, X FROM VT").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 10L)))
+  }
 }
