@@ -661,6 +661,13 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // counter.
     val v = currentVersion(name)
     if (v < 0) return -1L
+    // already EXACTLY fresh → no-op: the cache at mark v IS the
+    // collapse of everything at or below v, and nothing newer exists.
+    // DDL flows re-cache every involved table per statement (CREATE/
+    // REFRESH MATERIALIZED VIEW bring serving caches current), so an
+    // unchanged side table otherwise pays a full collapse + write per
+    // statement for an identical result.
+    if (snapCacheVersion(name).contains(v)) return v
     // collapse BOUNDED at the sampled mark: a write landing between the
     // counter sample and this scan would otherwise leak rows with
     // `_version > v` into the cache directory labeled v — and
