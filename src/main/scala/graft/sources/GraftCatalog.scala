@@ -1285,7 +1285,10 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * log without them (temp-write + dir swap, like [[compact]]) under
     * the table write lock, so no append can interleave; the counter,
     * the floor, and the snapshot cache are all untouched (cache rows
-    * sit at or below the counter by construction). Returns the number
+    * sit at or below the counter by construction). Same caller
+    * contract as [[compact]]: run when no reader of the log is in
+    * flight — the dir swap can fail a concurrently executing scan
+    * (results stay correct; the reader retries). Returns the number
     * of orphan rows reclaimed; no-op (0) when the log is clean. */
   def vacuumOrphans(name: String): Long = tableLock(name).synchronized {
     val ctr = currentVersion(name)
