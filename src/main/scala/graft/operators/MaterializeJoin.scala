@@ -164,6 +164,11 @@ object MaterializeJoin {
       * log's replayability floor rose past its fold mark, or a grain-tz
       * change) instead of folding incrementally. */
     @volatile var rebuildRan: Boolean = false
+    /** Tables whose snapshot reads the last gated recompute bounded
+      * with a below-join affected-group IN-filter (empty when the gate
+      * did not fire, when >1024 groups disabled the pushdown, or when
+      * the soundness rule held it back — see recomputeJoined). */
+    @volatile var recomputePushdown: Seq[String] = Nil
   }
 
   /** Opt-in phase timing (`GRAFT_IVM_TIMING=1`): prints each refresh
@@ -835,6 +840,7 @@ object MaterializeJoin {
     * high-water marks (== the stored ones when nothing changed). */
   def refresh(cat: GraftCatalog, path: String): (Long, Seq[Long]) = {
     LastRefresh.rebuildRan = false
+    LastRefresh.recomputePushdown = Nil
     val spark = cat.session
     val m = dbg("meta read")(meta(spark, path))
     val cs = specOf(m)
@@ -1381,18 +1387,21 @@ object MaterializeJoin {
     // are excluded — the joined key is COALESCEd across tables, so a
     // per-table filter on it is not a filter on the output value.
     val allKeys = cs.sides.flatMap(_.keys).toSet
-    val tablePush: String => Column = { t =>
-      if (colVals.isEmpty) lit(true)
-      else {
+    val pushes: Map[String, Column] =
+      if (colVals.isEmpty) Map.empty
+      else (cs.fact +: cs.sides.map(_.table)).flatMap { t =>
         val fieldsT = cat.spec(t).schema.fieldNames.toSet
         val attrs = plainCols.filter(c =>
           fieldsT.contains(c) && !allKeys.contains(c))
         val extended = cs.leftOuter || cs.fullOuter
         val sound = attrs.nonEmpty &&
           (!extended || attrs.exists(c => !colVals(c)._2))
-        if (sound) attrs.map(colFilter).reduce(_ && _) else lit(true)
-      }
-    }
+        if (sound) Some(t -> attrs.map(colFilter).reduce(_ && _))
+        else None
+      }.toMap
+    LastRefresh.recomputePushdown = pushes.keys.toSeq.sorted
+    val tablePush: String => Column =
+      t => pushes.getOrElse(t, lit(true))
     Materialize.aggregate(
       Materialize.withGrains(
           joinedSnapshotAt(cat, cs, vF, vS, tablePush).where(prefilter),

@@ -1337,4 +1337,61 @@ class MaterializeJoinSpec extends AnyFunSuite {
         "rebuild required")
     assert(actual(path) == expectedN)
   }
+
+  test("recompute pushdown fires below a FULL join exactly when sound " +
+      "(no NULL among the affected values of the table's attr) and " +
+      "holds back when a NULL-attr group is affected") {
+    import spark.implicits._
+    val cat = freshCatalog()
+    cat.createTable("fo", StructType(Seq(
+      StructField("k", LongType), StructField("jk", LongType),
+      StructField("x", LongType))), pk = Seq("k"))
+    cat.createTable("so", StructType(Seq(
+      StructField("jk", LongType), StructField("seg", StringType))),
+      pk = Seq("jk"))
+    // facts 1-4 matched (segs a/b), fact 9 dangling (NULL-seg group);
+    // so 99 side-dangling
+    cat.upsert("fo", Seq((1L, 10L, 5L), (2L, 10L, 50L), (3L, 20L, 7L),
+      (4L, 20L, 70L), (9L, 77L, 30L)).toDF("k", "jk", "x"))
+    cat.upsert("so", Seq((10L, "a"), (20L, "b"), (99L, "z"))
+      .toDF("jk", "seg"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_push").toString + "/mv"
+    MaterializeJoin.build(cat,
+      MaterializeJoin.ChainSpec("fo",
+        Seq(MaterializeJoin.SideSpec("so", Seq("jk"))),
+        fullOuter = true),
+      Seq("seg"), Seq("x"), path)
+    def served = MaterializeJoin.read(spark, path)
+      .select(col("seg"), col("cnt"), col("sum_x"))
+      .collect().map(canon).toSet
+    def expected = cat.snapshot("fo")
+      .join(cat.snapshot("so"), Seq("jk"), "full")
+      .groupBy(col("seg"))
+      .agg(count(lit(1)).as("cnt"), sum(col("x")).as("sum_x"))
+      .collect().map(canon).toSet
+    // delete the max of group 'a' (matched, non-NULL seg): the gate
+    // fires for exactly {a} — no NULL among V_seg, so the side's read
+    // must carry the below-join IN-filter
+    cat.delete("fo", col("k") === 2L)
+    MaterializeJoin.refresh(cat, path)
+    assert(MaterializeJoin.LastRefresh.recomputeRan,
+      "the max-crossing retraction must gate a recompute")
+    assert(MaterializeJoin.LastRefresh.recomputePushdown == Seq("so"),
+      "a fully-non-NULL affected set must push the IN-filter into " +
+        s"the side's read, got " +
+        s"${MaterializeJoin.LastRefresh.recomputePushdown}")
+    assert(served == expected, "pushed recompute diverged")
+    // delete the dangling fact (its group is NULL-seg): NULL is among
+    // the affected seg values — re-labeling hazard — so the pushdown
+    // must HOLD BACK
+    cat.delete("fo", col("k") === 9L)
+    MaterializeJoin.refresh(cat, path)
+    assert(MaterializeJoin.LastRefresh.recomputeRan,
+      "the NULL-group max retraction must gate a recompute")
+    assert(MaterializeJoin.LastRefresh.recomputePushdown.isEmpty,
+      "a NULL-attr affected group must hold the pushdown back, got " +
+        s"${MaterializeJoin.LastRefresh.recomputePushdown}")
+    assert(served == expected, "held-back recompute diverged")
+  }
 }
