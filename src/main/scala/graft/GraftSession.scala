@@ -22,6 +22,15 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // size post-shuffle partitions by BYTES (advisory 64m default),
+      // not by the core count: with the default parallelismFirst=true
+      // every small shuffle fans out to exactly `cpus` reduce tasks
+      // (task-scheduling overhead ×32 here; ×10k on a cluster), and at
+      // scale the partition count derives from input size instead of a
+      // constant — the scale-adaptive shape the optimization guide §2
+      // prescribes. Overridable for A/B via env.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PARALLELISM_FIRST", "false"))
       // pin runtime skew-join splitting (hot keys at 100 TB); salted
       // aggregation for skewed groupBys lives in operators.Skew
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

@@ -326,6 +326,18 @@ object Materialize {
     pmod(xxhash64(normed: _*), lit(buckets.toLong)).cast(IntegerType)
   }
 
+  /** Deterministically free a localCheckpoint-ed frame's RDD blocks.
+    * Dataset.unpersist is a CacheManager no-op for checkpointed frames
+    * (their blocks are RDD-level, which is exactly why refresh uses
+    * them — invisible to a racing writer's recache-by-path); without
+    * this the blocks linger until the ContextCleaner GCs the RDD. */
+  private[operators] def freeLocal(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => df.unpersist()
+    }
+
   /** The bucket partition dirs actually present under a just-written
     * bucketed state directory. */
   private[operators] def presentBuckets(spark: SparkSession, dir: String)
@@ -858,7 +870,7 @@ object Materialize {
 
     val s = cat.spec(table)
     val fields = s.schema.fieldNames.toSeq
-    val changes = preImageChanges(log, fields, s.pk, lastV)
+    val changes0 = preImageChanges(log, fields, s.pk, lastV)
     val hasPrev = col("_prev").isNotNull && !col("_prev").getField("__del")
 
     def aliveAt(cut: Option[java.sql.Timestamp], ts: Column): Column =
@@ -874,7 +886,7 @@ object Materialize {
     val prevValid = hasPrev &&
       when(col("_prev").getField("__v") <= lastV, aliveAt(lastCut, prevTs))
         .otherwise(aliveAt(nowCut, prevTs))
-    val preVals = changes.where(prevValid)
+    val preVals = changes0.where(prevValid)
       .select(fields.map(f => col(s"_prev.$f").as(f)): _*)
     // Newly-expired WINNERS (TTL): rows that were each PK's last-wins
     // winner at the last refresh (collapse over the alive-at-last slice
@@ -904,7 +916,7 @@ object Materialize {
           .select(fields.map(col): _*))
       case _ => None
     }
-    val retracted = withGrains(
+    val retracted0 = withGrains(
       fd(expVals.foldLeft(preVals)(_ unionByName _)), grains)
 
     // ---- bucket-manifested state: slice the fold to touched buckets ----
@@ -916,12 +928,19 @@ object Materialize {
     // O(groups): size `buckets` so a bucket is a few row groups and a
     // small delta against a billion-group state rewrites megabytes.
     // The delta subplans are consumed twice in this mode (the bucket
-    // probe + the fold) — both delta-sized, so they ride a persist.
+    // probe + the fold) — both delta-sized, so they ride a
+    // localCheckpoint, NOT a persist: a persisted frame is a
+    // CacheManager entry keyed by plan, and a concurrent writer's
+    // INSERT into this table's log path recaches-by-path and drops the
+    // in-flight blocks mid-job ("Block rdd_N does not exist").
+    // Checkpointed frames are plain RDD blocks, invisible to
+    // recache-by-path (the Dedup.scala iterative pattern); lazy, so
+    // the first consumer materializes them.
     val buckets = bucketsOf(meta)
-    if (buckets > 0) {
-      changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      retracted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    }
+    val (changes, retracted) =
+      if (buckets > 0)
+        (changes0.localCheckpoint(false), retracted0.localCheckpoint(false))
+      else (changes0, retracted0)
     val touched: Option[Set[Int]] =
       if (buckets == 0) None
       else {
@@ -1039,10 +1058,11 @@ object Materialize {
             min(col(s"__rmin_$m")).as(s"__rmin_$m"),
             max(col(s"__rmax_$m")).as(s"__rmax_$m"))): _*)
       // state-sized (group cardinality), consumed twice — the gate
-      // count and the state write; persisting avoids re-running the
+      // count and the state write; checkpointing avoids re-running the
       // whole state+delta+retraction fold per consumer (spills to disk
-      // if the group count outgrows memory)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // if the group count outgrows memory). localCheckpoint, not
+      // persist — see the changes/retracted note above.
+      .localCheckpoint(false)
     val newDir = try {
     // ---- extremum gate ----
     // Removing a NON-extremal value can never change a group's min/max,
@@ -1076,17 +1096,19 @@ object Materialize {
     // driver-side short-circuit: with no gated-in group there is NO
     // recompute branch in the written plan at all — the common
     // non-extremal-update refresh never touches the base history
-    // (delta-sized check: affected derives from state + delta only)
-    val affectedCount = affected.count()
+    // (delta-sized check: affected derives from state + delta only).
+    // ONE job serves both the gate count and the IN-pushdown rows (the
+    // join path's shape): collect at most 1025 — 1025 means "more than
+    // the pushdown cap", and only then is the exact count worth a
+    // second job. Above the cap, the semi-join-only shape stands
+    // (still shuffle-bounded).
+    val affHead = affected.limit(1025).collect().toSeq
+    val affectedCount =
+      if (affHead.size <= 1024) affHead.size.toLong else affected.count()
     LastRefresh.affectedGroups = affectedCount
     LastRefresh.recomputeRan = affectedCount > 0
-    // collect the affected groups when few (the common case — a delta
-    // touches a handful of groups): enables scan-side IN pushdown and
-    // the candidate-PK zone bound in the recompute. Above the cap, the
-    // semi-join-only shape stands (still shuffle-bounded).
     val affRows =
-      if (affectedCount > 0 && affectedCount <= 1024)
-        Some(affected.collect().toSeq)
+      if (affectedCount > 0 && affectedCount <= 1024) Some(affHead)
       else None
     val out = if (affectedCount == 0) kept
       else kept.unionByName(
@@ -1102,8 +1124,8 @@ object Materialize {
     else writeBucketed(out, groupCols, buckets, s"$path/$nd")
     nd
     } finally {
-      merged.unpersist()
-      if (buckets > 0) { changes.unpersist(); retracted.unpersist() }
+      freeLocal(merged)
+      if (buckets > 0) { freeLocal(changes); freeLocal(retracted) }
     }
     // manifest flip: touched buckets point at the new dir (or vanish if
     // emptied), untouched buckets keep their pinned dir — readers of the

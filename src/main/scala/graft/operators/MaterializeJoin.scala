@@ -893,9 +893,15 @@ object MaterializeJoin {
     val cached = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var merged: DataFrame = null
     try {
+    // localCheckpoint, NOT persist: a persisted leg is a CacheManager
+    // entry keyed by plan, and a concurrent INSERT into a folded
+    // table's path recaches-by-path and drops the in-flight blocks
+    // mid-job ("Block rdd_N does not exist" — the refresh-vs-writer
+    // crash). Checkpointed legs are plain RDD blocks, invisible to
+    // recache-by-path (the Dedup.scala iterative pattern); lazy, so
+    // the leg pool's force count() below still does the materializing.
     def cache(df: DataFrame): DataFrame = {
-      val c = df.persist(
-        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val c = df.localCheckpoint(false)
       cached.synchronized { cached += c }; c
     }
     // one zone-probe memo for the whole refresh (see ZoneMemo) — the
@@ -1118,7 +1124,7 @@ object MaterializeJoin {
     }
     // one pool task per side (its chain leg + its dangling legs), plus
     // the fact leg's own task. Each task FORCES its cached legs
-    // (count() materializes the persist) before returning: leg
+    // (count() materializes the checkpoint) before returning: leg
     // computation then overlaps across the pool threads, and the
     // merge fold below reads cached blocks only — without the force,
     // every un-probed leg's first computation lands inside the single
@@ -1250,7 +1256,8 @@ object MaterializeJoin {
             max(col(s"__smax_$mm")).as(s"__smax_$mm"),
             min(col(s"__rmin_$mm")).as(s"__rmin_$mm"),
             max(col(s"__rmax_$mm")).as(s"__rmax_$mm"))): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // localCheckpoint, not persist — see the cache() note above
+      .localCheckpoint(false)
       // extremum gate — identical algebra to the single-table fold:
       // only a retraction group where some retracted joined value ties
       // or crosses the prior state's min/max (or that the state never
@@ -1317,11 +1324,12 @@ object MaterializeJoin {
       (newVF, newVS)
     } finally {
       dbg("unpersist") {
-        if (merged != null) merged.unpersist()
+        if (merged != null) Materialize.freeLocal(merged)
         // snapshot under the append lock — the pool drains before the
         // try exits, but the discipline costs nothing and survives a
         // future caller that doesn't
-        cached.synchronized(cached.toList).foreach(_.unpersist())
+        cached.synchronized(cached.toList)
+          .foreach(Materialize.freeLocal)
       }
     }
   }
