@@ -1,0 +1,33 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+/** Plan-evidence dump (not part of the driver contract):
+  * `sbt "runMain graft.ExplainDump <outDir> <suffix> <sfDir> <q1> [q2 ...]"`
+  * writes `<outDir>/<query>_<suffix>.txt` holding the FORMATTED
+  * pre-execution plan followed by the FINAL adaptive executed plan
+  * (executed first, so AQE's re-optimized shape — coalesced
+  * AQEShuffleReads, runtime join changes — is what lands in the file).
+  * Used for the optimization rounds' committed before/after plan
+  * evidence under plans/rNN/. */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0); val suffix = args(1); val sfDir = args(2)
+    val names = args.drop(3).toSeq
+    Files.createDirectories(Paths.get(outDir))
+    val spark = GraftSession.build("graft-explain-dump")
+    names.foreach { n =>
+      val df = SparkEntry.queries(n)(spark, sfDir)
+      val formatted = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      df.queryExecution.toRdd.count()
+      val fin = df.queryExecution.executedPlan.toString
+      Files.writeString(Paths.get(outDir, s"${n}_$suffix.txt"),
+        s"=== $n ($suffix) — explain(formatted), pre-execution ===\n" +
+          formatted +
+          s"\n=== $n ($suffix) — final adaptive executed plan ===\n" + fin)
+      println(s"[explain] wrote ${n}_$suffix.txt")
+    }
+    spark.stop()
+  }
+}

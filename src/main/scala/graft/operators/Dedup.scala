@@ -128,7 +128,15 @@ object Dedup {
     // DuckDB oracles already tokenize lower(trim(text)))
     docs.select(col(idCol).as("id") +: passthrough.map(col) :+
         split(lower(trim(col(textCol))), "\\s+").as("w"): _*)
-      .repartition(col("id"))
+      // EXPLICIT partition count: this exchange exists to win CPU
+      // parallelism for the per-row shingle/signature work, not to
+      // move bytes — AQE's byte-based coalescing (advisory 64m) would
+      // fold a small-but-compute-heavy corpus into one task. A
+      // user-specified count is AQE-respected; defaultParallelism
+      // scales with the cluster, so this is cores-adaptive, not a
+      // constant.
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("id"))
       .select(col("id") +: passthrough.map(col) :+
         call_function("word_shingles", col("w"), lit(n)).as("sh"): _*)
       .withColumn("sz", size(col("sh")))
@@ -957,7 +965,11 @@ object Dedup {
         transform(split(lower(trim(col(textCol))), "\\s+"),
           w => xxhash64(w))
           .as("hs"))
-      .repartition(col("id"))
+      // explicit count for the same reason as shingleTable: the
+      // exchange buys CPU parallelism for the simhash kernel, and
+      // byte-based AQE coalescing would serialize it
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("id"))
       .select(col("id"), call_function("simhash64", col("hs")).as("sig"))
   }
 

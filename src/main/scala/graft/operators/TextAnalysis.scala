@@ -482,10 +482,16 @@ object TextAnalysis {
   def buildInvertedIndex(df: DataFrame, textCol: String,
       idCol: String): DataFrame =
     df.where(col(textCol).isNotNull)
+      // tokenize ONCE: posexplode's generator input and the dl
+      // projection are separate expression trees, so spelling
+      // split(...) in both ran the regex twice over every document —
+      // materializing the token array in a projection below the
+      // Generate halves the scan stage's work (same tokens, same
+      // positions, same dl)
       .select(col(idCol).as("doc"),
-        posexplode(split(lower(trim(col(textCol))), "\\s+"))
-          .as(Seq("pos", "term")),
-        size(split(lower(trim(col(textCol))), "\\s+")).as("dl"))
+        split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+      .select(col("doc"), posexplode(col("__toks")).as(Seq("pos", "term")),
+        size(col("__toks")).as("dl"))
       .groupBy(col("term"), col("doc"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"),
         sort_array(collect_list(col("pos"))).as("positions"))

@@ -2709,16 +2709,24 @@ object Pipeline {
     // Cross-source overlap matrix: how many distinct word 5-grams each
     // source pair shares (the between-sources contamination report a
     // curation run logs). One gram-keyed shuffle; the per-gram source
-    // set stays tiny (≤ #sources), so the pair expansion is bounded.
+    // set stays tiny (≤ #sources), so the pair expansion happens
+    // IN-ROW over the collected set — the prior self-join spelling
+    // executed the scan+shingle+distinct subtree twice (once per join
+    // side) and shuffled every gram a second time for the join.
     "q_dedup_cross_source" -> { (s, dir) =>
       import s.implicits._
       val g = Tables.t(s, dir, "documents")
         .select($"source", split(lower(trim($"text")), "\\s+").as("w"))
         .select($"source", explode(Dedup.shinglesFromWords($"w", 5)).as("g"))
         .distinct() // one row per (source, gram)
-      val a = g.toDF("source_a", "g")
-      val b = g.toDF("source_b", "g")
-      a.join(b, "g").where($"source_a" < $"source_b")
+      // sort_array gives source_a < source_b (same UTF8 ordering as
+      // the old `<` predicate); each gram contributes each unordered
+      // source pair exactly once — identical matrix to the self-join
+      g.groupBy($"g").agg(sort_array(collect_set($"source")).as("ss"))
+        .select(explode(flatten(transform($"ss", (a, i) =>
+          transform(slice($"ss", i + lit(2), size($"ss")),
+            b => struct(a.as("source_a"), b.as("source_b")))))).as("p"))
+        .select($"p.source_a", $"p.source_b")
         .groupBy($"source_a", $"source_b")
         .agg(count(lit(1)).as("n_shared"))
         .orderBy($"source_a", $"source_b")
