@@ -922,22 +922,42 @@ object MaterializeJoin {
       factorMemo.getOrElseUpdate((table, asOfV, delta, keys, immutable),
         cache(boundedSide(cat, table, asOfV, delta, keys, immutable,
           zoneMemo)))
+    // invokeAll DRAINS: it returns only after every task finished,
+    // even when some failed — so a failing task can never leave a
+    // sibling still appending to the cache list while the caller's
+    // finally iterates it (the Future.sequence form failed fast and
+    // did exactly that, masking the root error with a
+    // ConcurrentModificationException). The first real cause rethrows.
+    // Shared by the delta-construction batch here and the leg pool
+    // below.
+    def inParallel[T](n: Int)(work: Int => T): Seq[T] =
+      if (n <= 1) (0 until n).map(work)
+      else {
+        val pool = java.util.concurrent.Executors
+          .newFixedThreadPool(math.min(n, 8))
+        try {
+          import scala.jdk.CollectionConverters._
+          val tasks: Seq[java.util.concurrent.Callable[T]] =
+            (0 until n).map(i =>
+              new java.util.concurrent.Callable[T] {
+                def call(): T = work(i)
+              })
+          pool.invokeAll(tasks.asJava).asScala.toSeq.map { f =>
+            try f.get()
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                throw e.getCause
+            }
+          }
+        } finally pool.shutdown()
+      }
     // telescoping legs over the consistent (last, new] window: Δfact
     // against every side OLD; per side i, fact NEW ⋈ sides<i NEW ⋈
     // Δside_i ⋈ sides>i OLD — every delta bounded at its table's
     // sampled mark and every non-delta factor read AS OF its mark
     // (OLD = the last fold's, NEW = this fold's), so the cross terms
     // tile the state transition exactly however writers interleave.
-    // contract sweep over THIS delta window (lag pre-images cross the
-    // window boundary, so a mutation of a declared-immutable key is
-    // caught at the first fold that could read it wrong)
     val imm = declaredImmutable(cat, cs)
-    imm.get(cs.fact).foreach(ks =>
-      requireImmutable(cat, cs.fact, ks, lastVF, newVF))
-    cs.sides.zipWithIndex.foreach { case (s, j) =>
-      imm.get(s.table).foreach(ks =>
-        requireImmutable(cat, s.table, ks, lastVS(j), newVS(j)))
-    }
     // LEFT (and the left part of FULL) chains join side factors with
     // "left" (the extended-Ŝ inner join IS the left join against the
     // raw side) and each side's delta gains its ±1 null-extension
@@ -948,13 +968,32 @@ object MaterializeJoin {
     // WHERE-filtered chain: the fact predicate applies to SIGNED row
     // values — a post row failing it was never counted, a pre-image
     // failing it never needs retracting — and to every fact FACTOR
-    // read below (the factFiltered wraps at the BFS fact edges)
-    val (dFact, sideDeltas) = dbg("delta construction") { (
-      cache(factFiltered(cs,
-        signedDelta(cat, cs.fact, lastVF, newVF))),
-      cs.sides.indices.map(i =>
-        cache(signedDelta(cat, cs.sides(i).table, lastVS(i),
-          newVS(i))))) }
+    // read below (the factFiltered wraps at the BFS fact edges).
+    // ONE pool task per table: each delta's cache() plans eagerly
+    // (localCheckpoint) and each declared-immutable contract sweep
+    // (lag pre-images cross the window boundary, so a mutation of a
+    // declared-immutable key is caught at the first fold that could
+    // read it wrong) runs a bounded driver job — all independent, so
+    // the per-table planning/driver latency overlaps instead of
+    // serializing before the leg pool.
+    val (dFact, sideDeltas) = dbg("delta construction") {
+      val all = inParallel(1 + cs.sides.size) { i =>
+        if (i == 0) {
+          imm.get(cs.fact).foreach(ks =>
+            requireImmutable(cat, cs.fact, ks, lastVF, newVF))
+          cache(factFiltered(cs,
+            signedDelta(cat, cs.fact, lastVF, newVF)))
+        } else {
+          val j = i - 1
+          imm.get(cs.sides(j).table).foreach(ks =>
+            requireImmutable(cat, cs.sides(j).table, ks,
+              lastVS(j), newVS(j)))
+          cache(signedDelta(cat, cs.sides(j).table, lastVS(j),
+            newVS(j)))
+        }
+      }
+      (all.head, all.tail.toIndexedSeq)
+    }
     // parents resolved once, up front — the factLeg bound below and
     // the BFS both need the tree
     val parents = parentsOf(cat, cs)
@@ -1047,33 +1086,6 @@ object MaterializeJoin {
       }
       acc
     }
-    // invokeAll DRAINS: it returns only after every task finished,
-    // even when some failed — so a failing leg can never leave a
-    // sibling still appending to the cache list while the caller's
-    // finally iterates it (the Future.sequence form failed fast and
-    // did exactly that, masking the root error with a
-    // ConcurrentModificationException). The first real cause rethrows.
-    def inParallel[T](n: Int)(work: Int => T): Seq[T] =
-      if (n <= 1) (0 until n).map(work)
-      else {
-        val pool = java.util.concurrent.Executors
-          .newFixedThreadPool(math.min(n, 8))
-        try {
-          import scala.jdk.CollectionConverters._
-          val tasks: Seq[java.util.concurrent.Callable[T]] =
-            (0 until n).map(i =>
-              new java.util.concurrent.Callable[T] {
-                def call(): T = work(i)
-              })
-          pool.invokeAll(tasks.asJava).asScala.toSeq.map { f =>
-            try f.get()
-            catch {
-              case e: java.util.concurrent.ExecutionException =>
-                throw e.getCause
-            }
-          }
-        } finally pool.shutdown()
-      }
     // FULL OUTER only — the side-dangling part D = S ▷ F × NULL_F,
     // two more telescoping legs over the FACT's null-extension
     // indicator F̂n (a NULL-fact row per key the fact does NOT hold):
@@ -1090,7 +1102,7 @@ object MaterializeJoin {
     // a side-i-dangling row carries side i's attributes, its keys, and
     // NULL for every fact field and every OTHER side's field (a NULL
     // fact key never matches the other sides).
-    def fullLegsFor(i: Int): Seq[DataFrame] = {
+    def fullLegTasksFor(i: Int): Seq[() => DataFrame] = {
       val factFields = cat.spec(cs.fact).schema.fields.toSeq
       val si = cs.sides(i)
       val otherNulls = cs.sides.indices.filterNot(_ == i).flatMap {
@@ -1101,45 +1113,52 @@ object MaterializeJoin {
       }
       val factAsSide = SideSpec(cs.fact, si.keys,
         sideKeysImmutable = si.factKeysImmutable)
-      val aNull = cache(nullExtensionDelta(cat, factAsSide, dFact,
-        lastVF, newVF, zoneMemo))
-      // aNull's keys come from dFact (the zero-crossing set is built
-      // from the fact delta's keys), so dFact is a sound superset
-      // bound whose zone probe pairCounts already memoized
-      val legA = cache(aNull.join(boundedShared(si.table,
-          lastVS(i), dFact, si.keys, si.sideKeysImmutable),
-          si.keys)
-        .select(col("*") +: otherNulls: _*))
-      val dS = sideDeltas(i)
-      val cntF = boundedShared(cs.fact, newVF, dS, si.keys,
-          si.factKeysImmutable)
-        .groupBy(si.keys.map(col): _*).agg(count(lit(1)).as("__cf"))
-      val legB = cache(dS.join(cntF, si.keys, "left")
-        .where(coalesce(col("__cf"), lit(0L)) === 0)
-        .drop("__cf")
-        .select(factFields.filterNot(f => si.keys.contains(f.name))
-          .map(f => lit(null).cast(f.dataType).as(f.name)) ++
-          dS.columns.map(col) ++ otherNulls: _*))
+      val legA = () => {
+        val aNull = cache(nullExtensionDelta(cat, factAsSide, dFact,
+          lastVF, newVF, zoneMemo))
+        // aNull's keys come from dFact (the zero-crossing set is built
+        // from the fact delta's keys), so dFact is a sound superset
+        // bound whose zone probe pairCounts already memoized
+        cache(aNull.join(boundedShared(si.table,
+            lastVS(i), dFact, si.keys, si.sideKeysImmutable),
+            si.keys)
+          .select(col("*") +: otherNulls: _*))
+      }
+      val legB = () => {
+        val dS = sideDeltas(i)
+        val cntF = boundedShared(cs.fact, newVF, dS, si.keys,
+            si.factKeysImmutable)
+          .groupBy(si.keys.map(col): _*).agg(count(lit(1)).as("__cf"))
+        cache(dS.join(cntF, si.keys, "left")
+          .where(coalesce(col("__cf"), lit(0L)) === 0)
+          .drop("__cf")
+          .select(factFields.filterNot(f => si.keys.contains(f.name))
+            .map(f => lit(null).cast(f.dataType).as(f.name)) ++
+            dS.columns.map(col) ++ otherNulls: _*))
+      }
       Seq(legA, legB)
     }
-    // one pool task per side (its chain leg + its dangling legs), plus
-    // the fact leg's own task. Each task FORCES its cached legs
-    // (count() materializes the checkpoint) before returning: leg
-    // computation then overlaps across the pool threads, and the
-    // merge fold below reads cached blocks only — without the force,
-    // every un-probed leg's first computation lands inside the single
-    // fold job, serial behind one scheduler.
-    val legTasks: Seq[() => Seq[DataFrame]] =
-      (() => Seq(buildFactLeg())) +:
-        cs.sides.indices.map(i => () =>
-          buildSideLeg(i) +:
-            (if (cs.fullOuter) fullLegsFor(i) else Nil))
+    // one pool task per LEG — the fact leg, each side's chain leg,
+    // and (FULL chains) each side's two dangling legs each get their
+    // own task, so a side's dangling parts overlap its chain leg
+    // instead of serializing after it inside one task. Each task
+    // FORCES its cached leg (count() materializes the checkpoint)
+    // before returning: leg computation then overlaps across the pool
+    // threads, and the merge fold below reads cached blocks only —
+    // without the force, every un-probed leg's first computation lands
+    // inside the single fold job, serial behind one scheduler.
+    val legTasks: Seq[() => DataFrame] =
+      (() => buildFactLeg()) +:
+        (cs.sides.indices.map(i => () => buildSideLeg(i)) ++
+          (if (cs.fullOuter)
+            cs.sides.indices.flatMap(fullLegTasksFor)
+          else Nil))
     val legs = dbg("leg pool (all legs)") {
       inParallel(legTasks.size) { i =>
         val built = dbg(s"leg task $i")(legTasks(i)())
-        dbg(s"leg force $i")(built.foreach(_.count()))
+        dbg(s"leg force $i")(built.count())
         built
-      }.flatten }
+      } }
     // grain columns derive per JOINED row (fact/side columns are in
     // every leg), so one withGrains over the unioned delta covers
     // post rows and retraction pre-images alike
