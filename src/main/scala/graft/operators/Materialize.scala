@@ -338,6 +338,38 @@ object Materialize {
       case _ => df.unpersist()
     }
 
+  // (path → (file-listing stamp, row)): see metaRow
+  private val metaMemo = new scala.collection.concurrent.TrieMap[
+    String, (String, org.apache.spark.sql.Row)]()
+
+  /** One-row MV meta read, memoized on the meta dir's exact file
+    * listing (Spark's overwrite writes fresh task-UUID part names, so
+    * ANY rewrite changes the stamp): re-reading an unchanged 1-row
+    * parquet was a ~0.1-0.3s driver job per refresh/serve across the
+    * whole MV battery. The directory is re-listed on every call — a
+    * concurrent writer's rewrite is picked up exactly as the plain
+    * read would see it; a non-local path (no listable java.io dir)
+    * falls through to the plain read uncached. */
+  private[graft] def metaRow(spark: SparkSession,
+      path: String): org.apache.spark.sql.Row = {
+    val dir = new java.io.File(path, "meta")
+    def readPlain() = spark.read.parquet(s"$path/" + "meta").head()
+    Option(dir.listFiles()) match {
+      case None => readPlain()
+      case Some(fs) =>
+        val stamp = fs.toSeq.map(f => s"${f.getName}:${f.length}")
+          .sorted.mkString(",")
+        val key = dir.getAbsolutePath
+        metaMemo.get(key) match {
+          case Some((s, r)) if s == stamp => r
+          case _ =>
+            val r = readPlain()
+            metaMemo.put(key, (stamp, r))
+            r
+        }
+    }
+  }
+
   /** The bucket partition dirs actually present under a just-written
     * bucketed state directory. */
   private[operators] def presentBuckets(spark: SparkSession, dir: String)
@@ -416,7 +448,7 @@ object Materialize {
       .getFileSystem(spark.sessionState.newHadoopConf())
       .exists(metaPath)).getOrElse(false)
     val stateDirName = (if (!metaExists) None else scala.util.Try(
-        stateDir(spark.read.parquet(s"$path/meta").head())).toOption) match {
+        stateDir(metaRow(spark, path))).toOption) match {
       case Some(cur) =>
         val cand = s"state_v${v}r$ts"
         // an injectable test clock can repeat a stamp — never reuse the
@@ -550,7 +582,7 @@ object Materialize {
       dims: Seq[graft.plans.GraftAggViews.DimJoinDef] = Seq.empty)
       : Unit = {
     val spark = cat.changeLog(table).sparkSession
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = metaRow(spark, path)
     val fps = dimFpsOf(meta)
     // a star MV's groups are dim attributes the bare table scan cannot
     // answer — serving it requires the query to JOIN the same dims, so
@@ -585,7 +617,7 @@ object Materialize {
       cat.ttlSeconds(table).isEmpty && {
         val cur = cat.currentVersion(table)
         lastFresh.get() == cur || {
-          val ok = spark.read.parquet(s"$path/meta").head()
+          val ok = metaRow(spark, path)
             .getAs[Long]("last_version") == cur
           if (ok) lastFresh.set(cur)
           ok
@@ -606,7 +638,7 @@ object Materialize {
   /** The maintained aggregate as a DataFrame (current persisted state).
     * Bucketed state reads the manifest's current leaf dir per bucket. */
   def read(spark: SparkSession, path: String): DataFrame = {
-    val m = spark.read.parquet(s"$path/meta").head()
+    val m = metaRow(spark, path)
     stateDf(spark, path, m)
   }
 
@@ -625,7 +657,7 @@ object Materialize {
     * are only deleted after).
     * @return bytes reclaimed by [[vacuum]] */
   def compactState(spark: SparkSession, path: String): Long = {
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = metaRow(spark, path)
     val buckets = bucketsOf(meta)
     val groupCols = meta.getSeq[String](1)
     val cur = stateDf(spark, path, meta)
@@ -666,7 +698,7 @@ object Materialize {
     * only for a reader deliberately pinned to a PAST state dir.
     * @return bytes reclaimed */
   def vacuum(spark: SparkSession, path: String): Long = {
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = metaRow(spark, path)
     val referenced: Set[String] =
       bucketDirsOf(meta).filter(_.nonEmpty).toSet + stateDir(meta)
     val root = new org.apache.hadoop.fs.Path(path)
@@ -713,7 +745,7 @@ object Materialize {
       derive: DataFrame => DataFrame = NoDerive): Long = {
     LastRefresh.rebuildRan = false
     val spark = cat.changeLog(table).sparkSession
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val meta = metaRow(spark, path)
     val lastV = meta.getLong(0)
     val groupCols = meta.getSeq[String](1)
     val measures = meta.getSeq[String](2)

@@ -426,7 +426,7 @@ object MaterializeJoin {
 
   private def meta(spark: SparkSession, path: String)
       : org.apache.spark.sql.Row =
-    spark.read.parquet(s"$path/meta").head()
+    Materialize.metaRow(spark, path)
 
   private def specOf(m: org.apache.spark.sql.Row): ChainSpec = {
     val tables = m.getSeq[String](m.fieldIndex("side_tables"))

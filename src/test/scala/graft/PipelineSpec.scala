@@ -2818,4 +2818,54 @@ class PipelineSpec extends AnyFunSuite {
         "empty text must yield NULL ratios, not DIVIDE_BY_ZERO")
     } finally spark.conf.unset("spark.sql.ansi.enabled")
   }
+
+  test("cross-source overlap: in-row pair expansion equals the self-join " +
+      "spelling (r16 optimization equivalence pin)") {
+    import spark.implicits._
+    val docs = Tables.t(spark, dir, "documents")
+    val g = docs
+      .select($"source", split(lower(trim($"text")), "\\s+").as("w"))
+      .select($"source", explode(Dedup.shinglesFromWords($"w", 5)).as("g"))
+      .distinct()
+    // the pre-r16 spelling: (source, gram)-distinct self-join
+    val a = g.toDF("source_a", "g"); val b = g.toDF("source_b", "g")
+    val viaJoin = a.join(b, "g").where($"source_a" < $"source_b")
+      .groupBy($"source_a", $"source_b").agg(count(lit(1)).as("n_shared"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // the shipped spelling: per-gram source set + in-row pair expansion
+    val viaSet = g.groupBy($"g")
+      .agg(sort_array(collect_set($"source")).as("ss"))
+      .select(explode(flatten(transform($"ss", (x, i) =>
+        transform(slice($"ss", i + lit(2), size($"ss")),
+          y => struct(x.as("source_a"), y.as("source_b")))))).as("p"))
+      .select($"p.source_a", $"p.source_b")
+      .groupBy($"source_a", $"source_b").agg(count(lit(1)).as("n_shared"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    assert(viaSet == viaJoin,
+      s"pair-expansion and self-join matrices diverge: " +
+        s"only-set=${viaSet -- viaJoin}, only-join=${viaJoin -- viaSet}")
+    assert(viaSet.nonEmpty, "fixture should share grams across sources")
+  }
+
+  test("metaRow memo: a meta rewrite invalidates the cached row " +
+      "(file-listing stamp), repeated reads serve from the memo") {
+    import spark.implicits._
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_metarow").toString
+    Seq((1L, "a")).toDF("last_version", "x")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val r1 = graft.operators.Materialize.metaRow(spark, path)
+    assert(r1.getAs[Long]("last_version") == 1L)
+    // unchanged listing -> memoized row is the same object (no re-read)
+    val r2 = graft.operators.Materialize.metaRow(spark, path)
+    assert(r1 eq r2, "unchanged meta must serve from the memo")
+    // overwrite writes fresh task-UUID part names -> stamp changes
+    Seq((2L, "b")).toDF("last_version", "x")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val r3 = graft.operators.Materialize.metaRow(spark, path)
+    assert(r3.getAs[Long]("last_version") == 2L,
+      "a rewritten meta must be re-read, never served stale")
+  }
 }
