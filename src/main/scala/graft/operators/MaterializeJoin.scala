@@ -913,15 +913,17 @@ object MaterializeJoin {
     // probe both bound the fact by that side's raw delta. Memoizing by
     // (table, mark, bounding-delta REFERENCE, keys, immutable) and
     // CACHING the frame collapses those into one scan+collapse each,
-    // shared across every job of this refresh. Thread-safe (TrieMap),
-    // shared by the parallel leg pool.
-    val factorMemo = new scala.collection.concurrent.TrieMap[
+    // shared across every job of this refresh. computeIfAbsent (not
+    // TrieMap.getOrElseUpdate): the warm-up tasks below race the legs
+    // for the same keys, and the atomic compute guarantees each
+    // factor's plan is built (and checkpointed) exactly once.
+    val factorMemo = new java.util.concurrent.ConcurrentHashMap[
       (String, Long, DataFrame, Seq[String], Boolean), DataFrame]
     def boundedShared(table: String, asOfV: Long, delta: DataFrame,
         keys: Seq[String], immutable: Boolean): DataFrame =
-      factorMemo.getOrElseUpdate((table, asOfV, delta, keys, immutable),
-        cache(boundedSide(cat, table, asOfV, delta, keys, immutable,
-          zoneMemo)))
+      factorMemo.computeIfAbsent((table, asOfV, delta, keys, immutable),
+        _ => cache(boundedSide(cat, table, asOfV, delta, keys,
+          immutable, zoneMemo)))
     // invokeAll DRAINS: it returns only after every task finished,
     // even when some failed — so a failing task can never leave a
     // sibling still appending to the cache list while the caller's
@@ -1141,24 +1143,40 @@ object MaterializeJoin {
     // one pool task per LEG — the fact leg, each side's chain leg,
     // and (FULL chains) each side's two dangling legs each get their
     // own task, so a side's dangling parts overlap its chain leg
-    // instead of serializing after it inside one task. Each task
+    // instead of serializing after it inside one task. Each leg task
     // FORCES its cached leg (count() materializes the checkpoint)
     // before returning: leg computation then overlaps across the pool
     // threads, and the merge fold below reads cached blocks only —
     // without the force, every un-probed leg's first computation lands
     // inside the single fold job, serial behind one scheduler.
-    val legTasks: Seq[() => DataFrame] =
-      (() => buildFactLeg()) +:
-        (cs.sides.indices.map(i => () => buildSideLeg(i)) ++
+    // WARM-UP tasks (None-returning) additionally pre-plan the fact
+    // leg's star-edge factors: buildFactLeg folds its joins
+    // sequentially, so without them each factor's zone probe +
+    // plan + checkpoint serialized inside that one task — the factors
+    // are dFact-bounded and independent, and computeIfAbsent hands the
+    // fact leg the already-built frame.
+    val warmTasks: Seq[() => Option[DataFrame]] =
+      cs.sides.zipWithIndex.collect {
+        case (s, j) if parents(j) == -1 => () => {
+          boundedShared(s.table, lastVS(j), dFact, s.keys,
+            s.sideKeysImmutable)
+          None
+        }
+      }
+    val legTasks: Seq[() => Option[DataFrame]] =
+      ((() => Some(buildFactLeg())): () => Option[DataFrame]) +:
+        (cs.sides.indices.map(i =>
+          (() => Some(buildSideLeg(i))): () => Option[DataFrame]) ++
           (if (cs.fullOuter)
-            cs.sides.indices.flatMap(fullLegTasksFor)
-          else Nil))
+            cs.sides.indices.flatMap(fullLegTasksFor).map(t =>
+              (() => Some(t())): () => Option[DataFrame])
+          else Nil) ++ warmTasks)
     val legs = dbg("leg pool (all legs)") {
       inParallel(legTasks.size) { i =>
         val built = dbg(s"leg task $i")(legTasks(i)())
-        dbg(s"leg force $i")(built.count())
+        built.foreach(l => dbg(s"leg force $i")(l.count()))
         built
-      } }
+      }.flatten }
     // grain columns derive per JOINED row (fact/side columns are in
     // every leg), so one withGrains over the unioned delta covers
     // post rows and retraction pre-images alike
