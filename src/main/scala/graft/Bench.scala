@@ -71,11 +71,13 @@ object Bench {
       }
     }
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    // descending by time (failures first as null): the driver keeps only
-    // a ~4 KB log tail, so the expensive queries — the ones worth
-    // comparing round-over-round — must survive truncation
+    // ASCENDING by time (failures last, next to the total line): the
+    // driver keeps only a ~4 KB log tail, so whatever ends the line
+    // survives truncation — the descending order used through r16 kept
+    // the CHEAP entries and truncated the expensive ones, the exact
+    // opposite of the intent (two rounds of empty per_query in PERF)
     val qs = results
-      .sortBy { case (_, v) => -v.getOrElse(Double.MaxValue) }
+      .sortBy { case (_, v) => v.getOrElse(Double.MaxValue) }
       .map { case (k, v) => "\"" + k + "\":" + v.map(fmt).getOrElse("null") }
       .mkString("{", ",", "}")
     val failed = results.count(_._2.isEmpty)
@@ -94,6 +96,12 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"artifact_build":$builds,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), full + "\n")
+    // per-core-count archive: the driver runs the bench at two core
+    // counts back-to-back, and bench_out.json alone kept only the last
+    // run's map (r16's 32-core per-query map was lost to it)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors.toString)
+    Files.writeString(Paths.get(s"bench_out.c$cpus.json"), full + "\n")
     println(full)
     // driver-parseable summary: MUST be the last stdout line (fits the tail)
     println(

@@ -357,7 +357,11 @@ object Materialize {
     Option(dir.listFiles()) match {
       case None => readPlain()
       case Some(fs) =>
-        val stamp = fs.toSeq.map(f => s"${f.getName}:${f.length}")
+        // name:length:mtime — Spark overwrite always produces fresh
+        // task-UUID names, but the mtime keeps the stamp sound under
+        // any deterministic-filename writer too (ADVICE r16)
+        val stamp = fs.toSeq
+          .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
           .sorted.mkString(",")
         val key = dir.getAbsolutePath
         metaMemo.get(key) match {
@@ -466,7 +470,8 @@ object Materialize {
     // enforces the key-uniqueness half of the contract right here);
     // refresh re-checks it before any fold (see there)
     val (dimFp, dimPin) = derive match {
-      case ed: EnforcedDerive => (ed.fingerprints(), ed.pinOf)
+      case ed: EnforcedDerive =>
+        (dbg("build dim fingerprint")(ed.fingerprints()), ed.pinOf)
       case _ => (Seq.empty[Long], "")
     }
     // read AS OF the sampled mark: a write landing mid-build is then
@@ -481,7 +486,7 @@ object Materialize {
     val agg = aggregate(
       withGrains(derive(flt(cat.snapshotUpTo(table, v))), grainExprs),
       groupCols, measures, sketches, topks)
-    val bucketDirs: Seq[String] =
+    val bucketDirs: Seq[String] = dbg("build state write") {
       if (buckets == 0) {
         agg.write.mode(SaveMode.Overwrite).parquet(s"$path/$stateDirName")
         Seq.empty
@@ -491,6 +496,7 @@ object Materialize {
         (0 until buckets).map(i =>
           if (present.contains(i)) stateDirName else "")
       }
+    }
     writeMeta(spark, path, v, groupCols, measures, ts, stateDirName,
       cat.ttlSeconds(table).getOrElse(-1L), grainExprs, sketches,
       buckets, bucketDirs, dimFp = dimFp, dimPin = dimPin,
@@ -503,7 +509,15 @@ object Materialize {
     * typed-schema anchor for reads when every bucket is empty —
     * `limit(0)` folds to an empty relation, so the write is free). */
   private[operators] def writeBucketed(df: DataFrame, groupCols: Seq[String],
-      buckets: Int, dir: String): Unit = {
+      buckets: Int, dir: String, tryDirect: Boolean = false): Unit = {
+    // row-count-gated DIRECT layout (guide §1.2): refresh passes
+    // tryDirect when df is a cheap re-read (a filter over the
+    // checkpointed fold), so a small refresh lays the buckets out on
+    // the driver — no exchange, no job, no commit. Over the cap (or
+    // for expensive inputs like the build aggregate) the distributed
+    // write below runs exactly as before.
+    if (tryDirect && DriverParquet.writeBucketedIfSmall(df,
+        bucketCol(df, groupCols, buckets), dir)) return
     // repartition ON the bucket id before the partitioned write: each
     // bucket then lives in exactly one task → ONE file per bucket dir
     // (without it every upstream task writes a sliver into every
@@ -512,7 +526,10 @@ object Materialize {
     df.withColumn("__b", bucketCol(df, groupCols, buckets))
       .repartition(col("__b"))
       .write.mode(SaveMode.Overwrite).partitionBy("__b").parquet(dir)
-    df.limit(0).write.mode(SaveMode.Overwrite).parquet(s"$dir/_schema")
+    // footer-only schema anchor, written on the driver: an empty
+    // distributed write job produced the identical file (guide §1.2)
+    DriverParquet.writeRows(df, df.schema, Iterator.empty,
+      s"$dir/_schema")
   }
 
   private def writeMeta(spark: SparkSession, path: String, v: Long,
@@ -524,7 +541,7 @@ object Materialize {
       topks: Seq[(String, Int)] = Seq.empty,
       filterSql: Option[String] = None): Unit = {
     import spark.implicits._
-    Seq((v, groupCols, measures, ts, stateDirName, ttl,
+    val metaDf = Seq((v, groupCols, measures, ts, stateDirName, ttl,
         grains.map(_._1), grains.map(_._2),
         grainTz.getOrElse(spark.conf.get("spark.sql.session.timeZone")),
         sketches.map(_._1), sketches.map(_._2.toLong),
@@ -536,7 +553,9 @@ object Materialize {
         "grain_tz", "sketch_cols", "sketch_ks",
         "state_buckets", "bucket_dirs", "dim_fp", "dim_pin",
         "topk_cols", "topk_caps", "filter_sql")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    // one-row local relation: the driver-local writer replaces a full
+    // distributed job + commit protocol per meta flip (guide §1.2)
+    DriverParquet.overwriteSmall(metaDf, s"$path/meta")
   }
 
   /** The current state directory per the meta pointer. An expiry-only
@@ -742,6 +761,69 @@ object Materialize {
     * side the snapshot's own cutoff picks — any refresh-based MV has
     * this boundary, it just has to pick one. */
   def refresh(cat: GraftCatalog, table: String, path: String,
+      derive: DataFrame => DataFrame = NoDerive): Long =
+    try refreshOnce(cat, table, path, derive)
+    catch { case e: Throwable if isLostCheckpointBlock(e) =>
+      // One-shot mark-bounded retry (VERDICT r16 #4): locally-
+      // checkpointed legs are unreplicated with truncated lineage, so
+      // on a real cluster an executor loss (or dynamic-allocation
+      // decommission) makes their blocks unrecoverable mid-fold.
+      // Every read in refreshOnce is version-/mark-bounded and the
+      // meta only flips at the very end, so rerunning the whole fold
+      // from the unchanged meta is exact — same window, same result.
+      refreshOnce(cat, table, path, derive)
+    }
+
+  /** The lost-localCheckpoint-block failure signature: lineage is
+    * truncated, so Spark cannot recompute — only a full mark-bounded
+    * retry of the fold is sound. Shared with [[MaterializeJoin]]. */
+  private[operators] def isLostCheckpointBlock(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      val m = t.getMessage
+      if (m != null && (m.contains("Checkpoint block") ||
+          (m.contains("Block rdd_") &&
+            (m.contains("not found") || m.contains("does not exist")))))
+        return true
+      t = t.getCause
+    }
+    false
+  }
+
+  /** Test seam for the lost-block retry: invoked once right before the
+    * fold's first consuming job, AFTER the checkpoints are planned —
+    * a spec swaps in a block-dropping hook to simulate executor loss. */
+  private[graft] var testFoldHook: () => Unit = () => ()
+
+  /** Opt-in phase timing (`GRAFT_IVM_TIMING=1`) — the single-table
+    * twin of [[MaterializeJoin]]'s dbg: zero cost when unset. */
+  private[operators] def dbg[T](what: => String)(f: => T): T =
+    if (!sys.env.contains("GRAFT_IVM_TIMING")) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[ivm1] $what%-34s ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+      r
+    }
+
+  /** Refresh-phase plan evidence (`GRAFT_IVM_PLANDUMP=<dir>`): writes
+    * each tagged refresh-internal frame's formatted plan to a numbered
+    * file — the committed plans/rNN evidence for refresh-side changes,
+    * which the serve-plan dumps cannot show (VERDICT r16 #8). Zero
+    * cost when unset. */
+  private[operators] def planDump(tag: String, df: DataFrame): Unit =
+    sys.env.get("GRAFT_IVM_PLANDUMP").foreach { dir =>
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(p)
+      val n = Option(p.toFile.list()).map(_.length).getOrElse(0)
+      java.nio.file.Files.writeString(
+        p.resolve(f"$n%03d_$tag.txt"),
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode
+            .fromString("formatted")))
+    }
+
+  private def refreshOnce(cat: GraftCatalog, table: String, path: String,
       derive: DataFrame => DataFrame = NoDerive): Long = {
     LastRefresh.rebuildRan = false
     val spark = cat.changeLog(table).sparkSession
@@ -860,7 +942,7 @@ object Materialize {
           "this MV state was built without a dim fingerprint (bare " +
             "derive function); rebuild with the StarDerive(s) to " +
             "enable dim-stability enforcement")
-        val cur = ed.fingerprints()
+        val cur = dbg("dim fingerprint gate")(ed.fingerprints())
         if (cur != stamped) {
           if (ed.rebuildOnDimChangeOf) {
             LastRefresh.rebuildRan = true
@@ -902,7 +984,20 @@ object Materialize {
 
     val s = cat.spec(table)
     val fields = s.schema.fieldNames.toSeq
+    val buckets = bucketsOf(meta)
+    // Bucketed state consumes the delta subplans twice (bucket probe +
+    // fold), so they ride a lazy localCheckpoint, NOT a persist: a
+    // persisted frame is a CacheManager entry keyed by plan, and a
+    // concurrent writer's INSERT into this table's log path
+    // recaches-by-path and drops the in-flight blocks mid-job ("Block
+    // rdd_N does not exist"). Checkpointed frames are plain RDD
+    // blocks, invisible to recache-by-path. The changes frame is
+    // checkpointed FIRST, so the retraction slice derived from it
+    // below reads its blocks instead of re-executing the whole
+    // pre-image subtree per consumer (ADVICE r16).
     val changes0 = preImageChanges(log, fields, s.pk, lastV)
+    val changes =
+      if (buckets > 0) changes0.localCheckpoint(false) else changes0
     val hasPrev = col("_prev").isNotNull && !col("_prev").getField("__del")
 
     def aliveAt(cut: Option[java.sql.Timestamp], ts: Column): Column =
@@ -918,7 +1013,7 @@ object Materialize {
     val prevValid = hasPrev &&
       when(col("_prev").getField("__v") <= lastV, aliveAt(lastCut, prevTs))
         .otherwise(aliveAt(nowCut, prevTs))
-    val preVals = changes0.where(prevValid)
+    val preVals = changes.where(prevValid)
       .select(fields.map(f => col(s"_prev.$f").as(f)): _*)
     // Newly-expired WINNERS (TTL): rows that were each PK's last-wins
     // winner at the last refresh (collapse over the alive-at-last slice
@@ -959,20 +1054,10 @@ object Materialize {
     // cost is O(delta + touched-buckets × bucket-size) instead of
     // O(groups): size `buckets` so a bucket is a few row groups and a
     // small delta against a billion-group state rewrites megabytes.
-    // The delta subplans are consumed twice in this mode (the bucket
-    // probe + the fold) — both delta-sized, so they ride a
-    // localCheckpoint, NOT a persist: a persisted frame is a
-    // CacheManager entry keyed by plan, and a concurrent writer's
-    // INSERT into this table's log path recaches-by-path and drops the
-    // in-flight blocks mid-job ("Block rdd_N does not exist").
-    // Checkpointed frames are plain RDD blocks, invisible to
-    // recache-by-path (the Dedup.scala iterative pattern); lazy, so
-    // the first consumer materializes them.
-    val buckets = bucketsOf(meta)
-    val (changes, retracted) =
-      if (buckets > 0)
-        (changes0.localCheckpoint(false), retracted0.localCheckpoint(false))
-      else (changes0, retracted0)
+    // (checkpoint rationale at the changes frame above; lazy, so the
+    // first consumer materializes them)
+    val retracted =
+      if (buckets > 0) retracted0.localCheckpoint(false) else retracted0
     val touched: Option[Set[Int]] =
       if (buckets == 0) None
       else {
@@ -981,8 +1066,9 @@ object Materialize {
               .select(fields.map(col): _*)), grains)
           .select(groupCols.map(col): _*)
           .unionByName(retracted.select(groupCols.map(col): _*))
-        Some(tg.select(bucketCol(tg, groupCols, buckets).as("__b"))
-          .distinct().collect().map(_.getInt(0)).toSet)
+        Some(dbg("bucket probe") {
+          tg.select(bucketCol(tg, groupCols, buckets).as("__b"))
+            .distinct().collect().map(_.getInt(0)).toSet })
       }
     LastRefresh.bucketsTouched = touched.map(_.size).getOrElse(-1)
     LastRefresh.bucketsTotal = buckets
@@ -1134,7 +1220,14 @@ object Materialize {
     // the pushdown cap", and only then is the exact count worth a
     // second job. Above the cap, the semi-join-only shape stands
     // (still shuffle-bounded).
-    val affHead = affected.limit(1025).collect().toSeq
+    planDump("single_changes", changes)
+    planDump("single_retracted", retracted)
+    planDump("single_merged", merged)
+    val affHead = dbg("merged fold + affected probe") {
+      affected.limit(1025).collect().toSeq }
+    // executor-loss seam: the fold is materialized, the write below
+    // still has to read its blocks — the spec drops them here
+    testFoldHook()
     val affectedCount =
       if (affHead.size <= 1024) affHead.size.toLong else affected.count()
     LastRefresh.affectedGroups = affectedCount
@@ -1151,9 +1244,22 @@ object Materialize {
     // being read
     val nd =
       if (newV > lastV) s"state_v$newV" else s"state_v${newV}e$nowMs"
-    if (buckets == 0)
-      out.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
-    else writeBucketed(out, groupCols, buckets, s"$path/$nd")
+    // Row-count-gated DIRECT state write: with no recompute branch the
+    // out frame is a pure filter over the checkpointed merged fold, so
+    // the probe collect re-reads cached blocks — a small refresh then
+    // writes its state on the driver (one file, no job+commit), the
+    // dominant fixed cost of the small-delta refresh floor (guide
+    // §1.2). A recompute-bearing out would execute its (uncached)
+    // recompute subtree twice under the probe; those refreshes — and
+    // any state over the cap — take the distributed write as before.
+    dbg("state write") {
+      if (buckets == 0) {
+        if (affectedCount > 0 ||
+            !DriverParquet.writeIfSmall(out, s"$path/$nd"))
+          out.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
+      } else writeBucketed(out, groupCols, buckets, s"$path/$nd",
+        tryDirect = affectedCount == 0)
+    }
     nd
     } finally {
       freeLocal(merged)
@@ -1173,9 +1279,10 @@ object Materialize {
           else old(i)
         }
       }
-    writeMeta(spark, path, newV, groupCols, measures, nowMs, newDir,
-      ttl.getOrElse(-1L), grains, sketches, buckets, newBucketDirs,
-      dimFp = dimFpsOf(meta), dimPin = dimPinOf(meta), topks = topks)
+    dbg("write meta") {
+      writeMeta(spark, path, newV, groupCols, measures, nowMs, newDir,
+        ttl.getOrElse(-1L), grains, sketches, buckets, newBucketDirs,
+        dimFp = dimFpsOf(meta), dimPin = dimPinOf(meta), topks = topks) }
     newV
   }
 

@@ -380,7 +380,7 @@ object MaterializeJoin {
       grains: Seq[(String, String)], buckets: Int = 0,
       bucketDirs: Seq[String] = Seq.empty): Unit = {
     import spark.implicits._
-    Seq((cs.fact, cs.sides.map(_.table), cs.sides.map(_.keys),
+    val metaDf = Seq((cs.fact, cs.sides.map(_.table), cs.sides.map(_.keys),
         cs.sides.map(_.sideKeysImmutable),
         cs.sides.map(_.factKeysImmutable),
         vF, vS, groupCols, measures, stateDirName,
@@ -396,7 +396,8 @@ object MaterializeJoin {
         "topk_caps", "grain_cols", "grain_sqls", "grain_tz",
         "left_outer", "full_outer", "state_buckets", "bucket_dirs",
         "fact_filter")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/meta")
+    // one-row local relation: driver-local write, no job (guide §1.2)
+    DriverParquet.overwriteSmall(metaDf, s"$path/meta")
   }
 
   private def stateDir0(m: org.apache.spark.sql.Row): String =
@@ -838,7 +839,19 @@ object MaterializeJoin {
   /** Fold every table's writes since the last refresh into the
     * persisted joined-aggregate state. Returns the new (factV, sideVs)
     * high-water marks (== the stored ones when nothing changed). */
-  def refresh(cat: GraftCatalog, path: String): (Long, Seq[Long]) = {
+  def refresh(cat: GraftCatalog, path: String): (Long, Seq[Long]) =
+    try refreshOnce(cat, path)
+    catch { case e: Throwable
+        if Materialize.isLostCheckpointBlock(e) =>
+      // one-shot mark-bounded retry on lost localCheckpoint blocks —
+      // rationale at [[Materialize.refresh]] (VERDICT r16 #4): every
+      // read is version-bounded and the meta flips last, so a rerun
+      // from the unchanged meta folds the identical window
+      refreshOnce(cat, path)
+    }
+
+  private def refreshOnce(cat: GraftCatalog, path: String)
+      : (Long, Seq[Long]) = {
     LastRefresh.rebuildRan = false
     LastRefresh.recomputePushdown = Nil
     val spark = cat.session
@@ -917,13 +930,39 @@ object MaterializeJoin {
     // TrieMap.getOrElseUpdate): the warm-up tasks below race the legs
     // for the same keys, and the atomic compute guarantees each
     // factor's plan is built (and checkpointed) exactly once.
+    // The memo holds lazily-completed promises, not values:
+    // computeIfAbsent would run the mapping (a zone-probe driver job +
+    // plan + checkpoint, seconds) inside the map's bin lock, so
+    // UNRELATED factor keys hashing to the same bin serialized behind
+    // it — putIfAbsent of a promise keeps the lock window to a map
+    // insert, and only same-key callers block on the future (ADVICE
+    // r16). A failed compute completes the promise exceptionally and
+    // removes it, so waiters see the root cause and nothing poisons
+    // the memo.
     val factorMemo = new java.util.concurrent.ConcurrentHashMap[
-      (String, Long, DataFrame, Seq[String], Boolean), DataFrame]
+      (String, Long, DataFrame, Seq[String], Boolean),
+      java.util.concurrent.CompletableFuture[DataFrame]]
     def boundedShared(table: String, asOfV: Long, delta: DataFrame,
-        keys: Seq[String], immutable: Boolean): DataFrame =
-      factorMemo.computeIfAbsent((table, asOfV, delta, keys, immutable),
-        _ => cache(boundedSide(cat, table, asOfV, delta, keys,
-          immutable, zoneMemo)))
+        keys: Seq[String], immutable: Boolean): DataFrame = {
+      val key = (table, asOfV, delta, keys, immutable)
+      val fresh = new java.util.concurrent.CompletableFuture[DataFrame]()
+      val prior = factorMemo.putIfAbsent(key, fresh)
+      if (prior != null)
+        try prior.join()
+        catch { case e: java.util.concurrent.CompletionException =>
+          throw e.getCause }
+      else
+        try {
+          val df = cache(boundedSide(cat, table, asOfV, delta, keys,
+            immutable, zoneMemo))
+          fresh.complete(df)
+          df
+        } catch { case e: Throwable =>
+          fresh.completeExceptionally(e)
+          factorMemo.remove(key, fresh)
+          throw e
+        }
+    }
     // invokeAll DRAINS: it returns only after every task finished,
     // even when some failed — so a failing task can never leave a
     // sibling still appending to the cache list while the caller's
@@ -1163,17 +1202,23 @@ object MaterializeJoin {
           None
         }
       }
+    // warm-ups ride directly behind the fact leg: appended LAST they
+    // missed the capped pool (min(n, 8)) on wide chains — exactly the
+    // case they exist for — and the fact leg serialized through its
+    // star factors anyway (ADVICE r16)
     val legTasks: Seq[() => Option[DataFrame]] =
-      ((() => Some(buildFactLeg())): () => Option[DataFrame]) +:
+      (((() => Some(buildFactLeg())): () => Option[DataFrame]) +:
+        warmTasks) ++
         (cs.sides.indices.map(i =>
           (() => Some(buildSideLeg(i))): () => Option[DataFrame]) ++
           (if (cs.fullOuter)
             cs.sides.indices.flatMap(fullLegTasksFor).map(t =>
               (() => Some(t())): () => Option[DataFrame])
-          else Nil) ++ warmTasks)
+          else Nil))
     val legs = dbg("leg pool (all legs)") {
       inParallel(legTasks.size) { i =>
         val built = dbg(s"leg task $i")(legTasks(i)())
+        built.foreach(l => Materialize.planDump(s"join_leg_$i", l))
         built.foreach(l => dbg(s"leg force $i")(l.count()))
         built
       }.flatten }
@@ -1319,8 +1364,11 @@ object MaterializeJoin {
       // one job serves both the gate count and the IN-pushdown rows:
       // collect at most 1025 — 1025 means "more than the pushdown
       // cap", and only then is the exact count worth a second job
+      Materialize.planDump("join_merged", merged)
       val affHead = dbg("merged fold + affected probe") {
         affected.limit(1025).collect().toSeq }
+      // executor-loss seam — see Materialize.testFoldHook
+      Materialize.testFoldHook()
       val affectedCount =
         if (affHead.size <= 1024) affHead.size.toLong
         else dbg("affected count")(affected.count())
@@ -1337,8 +1385,15 @@ object MaterializeJoin {
       val newBucketDirs: Seq[String] =
         if (buckets == 0) {
           dbg("out planning") { out.queryExecution.executedPlan }
+          // row-count-gated direct state write — same gate and
+          // rationale as the single-table fold (see Materialize
+          // .refresh): recompute-free outs are filters over the
+          // checkpointed merged fold, so small refreshes skip the
+          // distributed write job + commit entirely (guide §1.2)
           dbg("state write") {
-            out.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd") }
+            if (affectedCount > 0 ||
+                !DriverParquet.writeIfSmall(out, s"$path/$nd"))
+              out.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd") }
           Seq.empty
         } else {
           // manifest flip: touched buckets point at the new dir (or
@@ -1346,7 +1401,7 @@ object MaterializeJoin {
           // dir — a reader of the PREVIOUS meta still sees a complete
           // consistent old state
           Materialize.writeBucketed(out, groupCols, buckets,
-            s"$path/$nd")
+            s"$path/$nd", tryDirect = affectedCount == 0)
           val present = Materialize.presentBuckets(spark, s"$path/$nd")
           val old = bucketDirsOf(m)
           (0 until buckets).map { i =>

@@ -667,14 +667,34 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     // REFRESH MATERIALIZED VIEW bring serving caches current), so an
     // unchanged side table otherwise pays a full collapse + write per
     // statement for an identical result.
-    if (snapCacheVersion(name).contains(v)) return v
+    val prior = snapCacheVersion(name)
+    if (prior.contains(v)) return v
     // collapse BOUNDED at the sampled mark: a write landing between the
     // counter sample and this scan would otherwise leak rows with
     // `_version > v` into the cache directory labeled v — and
     // servingLogUpTo's cache-plus-tail union relies on "no cache row
-    // sits above the cache's mark" for its consistent-window reads
-    val winners = collapseKeepMeta(name,
-        changeLogRaw(name).where(col("_version") <= v))
+    // sits above the cache's mark" for its consistent-window reads.
+    //
+    // INCREMENTAL rebuild (guide §1.2; VERDICT r16 #3): with a prior
+    // cache at V0 < v, the new cache is collapse(cache_V0 ∪ tail
+    // (V0, v]) — last-wins collapse is associative (the cached winner
+    // IS the max-by-(version, tiebreak) of its slice, and every tail
+    // row outranks it), and a PK whose ≤V0 winner was a TOMBSTONE is
+    // absent from the cache and stays absent unless the tail
+    // resurrects it, exactly as the full collapse would conclude. So
+    // a tail-batch refresh re-collapses cache+delta instead of the
+    // whole history — the deep-log case this cache exists for.
+    val source = prior match {
+      case Some(v0) if v0 < v =>
+        val cached = toLogical(name,
+          spark.read.schema(physSchema(name))
+            .parquet(s"${snapCacheRoot(name)}/v$v0"))
+        cached.unionByName(
+          changeLogRaw(name).where(col("_version") > v0 &&
+            col("_version") <= v))
+      case _ => changeLogRaw(name).where(col("_version") <= v)
+    }
+    val winners = collapseKeepMeta(name, source)
       .where(!col("_deleted"))
     val cols = allFields(name).map(f => col(f.name)) ++
       Seq(col("_version"), lit(false).as("_deleted"), col("_ts"))
