@@ -40,12 +40,24 @@ object Bench {
     // a failed query records None — NOT a phantom sub-second "timing" of
     // the failure path (that shape hid q_date_round's crash for two
     // rounds); failures surface as null in the map + a "failed" count
+    // catalog mutation ops (createTable/upsert/delete) per run —
+    // reported additively as fixture_ops WITHOUT changing any
+    // per-query number: the MV-family entries are fixture-ingest
+    // bound, and this makes serve/refresh regressions visible under
+    // the ingest cost instead of hidden by it
+    val fixtureSecs =
+      scala.collection.mutable.Map.empty[String, Double]
     def timeOnce(name: String): Option[Double] = {
+      graft.sources.GraftCatalog.OpTiming.reset()
       val t0 = System.nanoTime()
       try { execute(name); Some((System.nanoTime() - t0) / 1e9) }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         None
+      } finally {
+        val f = graft.sources.GraftCatalog.OpTiming.get
+        if (f > 0) fixtureSecs(name) =
+          math.min(f, fixtureSecs.getOrElse(name, Double.MaxValue))
       }
     }
     val results = names.sorted.map { name =>
@@ -93,8 +105,14 @@ object Bench {
       .collect { case ((n, d), v) if d == sfDir => n -> v }.sorted
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    // additive serve-vs-fixture split (min across the query's runs,
+    // mirroring the reported min time); the driver total-line and the
+    // per-query numbers are untouched
+    val fixtures = fixtureSecs.toSeq.sorted
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"artifact_build":$builds,"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","failed":$failed,"artifact_build":$builds,"fixture_ops":$fixtures,"queries":$qs,"sf":"$sfDir"}"""
     Files.writeString(Paths.get("bench_out.json"), full + "\n")
     // per-core-count archive: the driver runs the bench at two core
     // counts back-to-back, and bench_out.json alone kept only the last

@@ -5,9 +5,11 @@ import java.util.UUID
 import org.apache.hadoop.fs.Path
 import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
 import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
 import org.apache.spark.sql.execution.datasources.parquet.{ParquetOptions, ParquetUtils}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.StructType
 
 /** Driver-local parquet writes for provably SMALL frames.
@@ -68,52 +70,73 @@ object DriverParquet {
     try rows.foreach(writer.write) finally writer.close()
   }
 
-  /** Probe-and-write: collect up to cap+1 rows of `df`; within the cap,
-    * write them as one file under `dir` and return true. Over the cap
-    * (or with the cap disabled) return false with NOTHING written —
-    * the caller runs its usual distributed write. `dir` must be a
-    * fresh directory (the flip-don't-overwrite state contract). */
-  def writeIfSmall(df: DataFrame, dir: String): Boolean =
-    cap > 0 && {
-      val rows =
-        df.limit(cap + 1).queryExecution.executedPlan.executeCollect()
-      rows.length <= cap && {
-        writeRows(df, df.schema, rows.iterator, dir)
-        true
-      }
+  /** Direct write of a refresh's out = kept ∪ recompute state.
+    *
+    *  - `kept` is PROBED with `limit(cap+1)`: it is a filter over the
+    *    refresh's checkpointed merged fold, so the probe re-reads
+    *    cached blocks; over the cap nothing is written, the bounded
+    *    branch is NOT executed, and the caller falls back to the
+    *    distributed write (then the only execution of that branch).
+    *  - `bounded` (the extremum-gated recompute) is collected FULLY,
+    *    exactly once: the caller only passes it when its row count is
+    *    provably capped (≤ one row per affected group under the ≤1024
+    *    IN-pushdown gate), and collecting it runs the same single
+    *    execution the distributed write job would have — minus the
+    *    job + commit (guide §1.2). Its columns are aligned to kept's
+    *    order by NAME; a type mismatch falls back before anything
+    *    executes.
+    *  - `bucketId` (bucket-manifested state): the id is APPENDED, so
+    *    the data schema's ordinals 0..n-1 are untouched; rows land one
+    *    file per `__b=<i>` dir plus the `_schema` anchor — the exact
+    *    layout the repartition + partitionBy write job produces.
+    *
+    * The written schema takes the union's nullability (nullable iff
+    * either branch is), matching what the distributed unionByName
+    * write stamps into the files. */
+  def writeFoldIfSmall(kept: DataFrame, bounded: Option[DataFrame],
+      bucketId: Option[DataFrame => Column], dir: String): Boolean = {
+    if (cap <= 0) return false
+    val keptCols = kept.columns.toIndexedSeq
+    val aligned = bounded.map(_.select(keptCols.map(col): _*))
+    val keptTypes = kept.schema.map(f => (f.name, f.dataType))
+    if (aligned.exists(_.schema.map(f => (f.name, f.dataType))
+        != keptTypes)) return false
+    val schema = StructType(kept.schema.fields.zip(
+      aligned.map(_.schema.fields).getOrElse(kept.schema.fields))
+      .map { case (k, b) => k.copy(nullable = k.nullable || b.nullable) })
+    def collectRows(df: DataFrame, limit: Option[Int])
+        : Array[InternalRow] = {
+      val withB =
+        bucketId.map(f => df.withColumn("__b", f(df))).getOrElse(df)
+      val lim = limit.map(withB.limit).getOrElse(withB)
+      lim.queryExecution.executedPlan.executeCollect()
     }
-
-  /** Bucket-manifested variant of [[writeIfSmall]]: probe `df` with
-    * the bucket id APPENDED (ordinal = df's field count, so the data
-    * schema's ordinals 0..n-1 are untouched and the writer simply
-    * never reads the id); within the cap, write one file per present
-    * `__b=<i>` dir plus the `_schema` anchor — the exact layout
-    * `Materialize.writeBucketed`'s repartition + partitionBy job
-    * produces, without the exchange, the job, or the commit. */
-  def writeBucketedIfSmall(df: DataFrame,
-      bucketId: org.apache.spark.sql.Column, dir: String): Boolean =
-    cap > 0 && {
-      val withB = df.withColumn("__b", bucketId)
-      val rows =
-        withB.limit(cap + 1).queryExecution.executedPlan.executeCollect()
-      rows.length <= cap && {
-        val n = df.schema.length
+    val keptRows = collectRows(kept, Some(cap + 1))
+    if (keptRows.length > cap) return false
+    val all = keptRows ++
+      aligned.map(collectRows(_, None)).getOrElse(Array.empty)
+    bucketId match {
+      case None => writeRows(kept, schema, all.iterator, dir)
+      case Some(_) =>
+        val n = kept.schema.length
         // the writer consumes row.numFields, so strip the appended
         // bucket id with a prefix projection (each row is fully
         // serialized before the next apply — buffer reuse is safe)
-        val proj = org.apache.spark.sql.catalyst.expressions
-          .UnsafeProjection.create(
-            df.schema.fields.zipWithIndex.map { case (f, i) =>
-              org.apache.spark.sql.catalyst.expressions
-                .BoundReference(i, f.dataType, f.nullable)
-            }.toSeq)
-        rows.groupBy(_.getInt(n)).foreach { case (b, rs) =>
-          writeRows(df, df.schema, rs.iterator.map(proj(_)),
+        val proj = UnsafeProjection.create(
+          schema.fields.zipWithIndex.map { case (f, i) =>
+            BoundReference(i, f.dataType, f.nullable) }.toSeq)
+        all.groupBy(_.getInt(n)).foreach { case (b, rs) =>
+          writeRows(kept, schema, rs.iterator.map(proj(_)),
             s"$dir/__b=$b") }
-        writeRows(df, df.schema, Iterator.empty, s"$dir/_schema")
-        true
-      }
+        writeRows(kept, schema, Iterator.empty, s"$dir/_schema")
     }
+    true
+  }
+
+  /** Probe-and-write of a single frame — [[writeFoldIfSmall]] with no
+    * bounded branch and no bucket layout. */
+  def writeIfSmall(df: DataFrame, dir: String): Boolean =
+    writeFoldIfSmall(df, None, None, dir)
 
   /** Overwrite `dir` with `df`'s rows (must be tiny — the MV meta
     * shape: a one-row local relation). Replaces SaveMode.Overwrite's

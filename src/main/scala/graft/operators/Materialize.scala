@@ -342,6 +342,23 @@ object Materialize {
   private val metaMemo = new scala.collection.concurrent.TrieMap[
     String, (String, org.apache.spark.sql.Row)]()
 
+  private def metaStamp(fs: Seq[java.io.File]): String =
+    fs.map(f => s"${f.getName}:${f.length}:${f.lastModified}")
+      .sorted.mkString(",")
+
+  /** Prime the meta memo right after a meta write: the writer holds
+    * the row it just wrote, so the next read (every refresh/serve
+    * starts with one) costs a directory listing instead of a Spark
+    * job. Same stamp function as [[metaRow]] — a concurrent writer's
+    * later rewrite still invalidates exactly as before. */
+  private[operators] def primeMetaMemo(path: String,
+      row: org.apache.spark.sql.Row): Unit = {
+    val dir = new java.io.File(path, "meta")
+    Option(dir.listFiles()).foreach { fs =>
+      metaMemo.put(dir.getAbsolutePath, (metaStamp(fs.toSeq), row))
+    }
+  }
+
   /** One-row MV meta read, memoized on the meta dir's exact file
     * listing (Spark's overwrite writes fresh task-UUID part names, so
     * ANY rewrite changes the stamp): re-reading an unchanged 1-row
@@ -360,9 +377,7 @@ object Materialize {
         // name:length:mtime — Spark overwrite always produces fresh
         // task-UUID names, but the mtime keeps the stamp sound under
         // any deterministic-filename writer too (ADVICE r16)
-        val stamp = fs.toSeq
-          .map(f => s"${f.getName}:${f.length}:${f.lastModified}")
-          .sorted.mkString(",")
+        val stamp = metaStamp(fs.toSeq)
         val key = dir.getAbsolutePath
         metaMemo.get(key) match {
           case Some((s, r)) if s == stamp => r
@@ -516,8 +531,9 @@ object Materialize {
     // the driver — no exchange, no job, no commit. Over the cap (or
     // for expensive inputs like the build aggregate) the distributed
     // write below runs exactly as before.
-    if (tryDirect && DriverParquet.writeBucketedIfSmall(df,
-        bucketCol(df, groupCols, buckets), dir)) return
+    if (tryDirect && DriverParquet.writeFoldIfSmall(df, None,
+        Some((d: DataFrame) => bucketCol(d, groupCols, buckets)), dir))
+      return
     // repartition ON the bucket id before the partitioned write: each
     // bucket then lives in exactly one task → ONE file per bucket dir
     // (without it every upstream task writes a sliver into every
@@ -554,8 +570,11 @@ object Materialize {
         "state_buckets", "bucket_dirs", "dim_fp", "dim_pin",
         "topk_cols", "topk_caps", "filter_sql")
     // one-row local relation: the driver-local writer replaces a full
-    // distributed job + commit protocol per meta flip (guide §1.2)
+    // distributed job + commit protocol per meta flip (guide §1.2);
+    // the memo is primed with the just-written row so the next
+    // refresh/serve skips the read-back job too
     DriverParquet.overwriteSmall(metaDf, s"$path/meta")
+    primeMetaMemo(path, metaDf.head())
   }
 
   /** The current state directory per the meta pointer. An expiry-only
@@ -687,12 +706,17 @@ object Materialize {
     // outgrows the filesystem's 255-byte limit on a periodically
     // compacted, read-mostly MV.
     val nd = s"state_v${meta.getLong(0)}c${System.nanoTime()}"
+    // the compaction input is a plain state scan, so the direct-write
+    // probe is a cheap limit-take even over a huge state (falls back
+    // to the distributed rewrite above the cap) — guide §1.2
     val bucketDirs: Seq[String] =
       if (buckets == 0) {
-        cur.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
+        if (!DriverParquet.writeIfSmall(cur, s"$path/$nd"))
+          cur.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
         Seq.empty
       } else {
-        writeBucketed(cur, groupCols, buckets, s"$path/$nd")
+        writeBucketed(cur, groupCols, buckets, s"$path/$nd",
+          tryDirect = true)
         val present = presentBuckets(spark, s"$path/$nd")
         (0 until buckets).map(i => if (present.contains(i)) nd else "")
       }
@@ -812,7 +836,8 @@ object Materialize {
     * which the serve-plan dumps cannot show (VERDICT r16 #8). Zero
     * cost when unset. */
   private[operators] def planDump(tag: String, df: DataFrame): Unit =
-    sys.env.get("GRAFT_IVM_PLANDUMP").foreach { dir =>
+    sys.props.get("graft.ivm.plandump")
+      .orElse(sys.env.get("GRAFT_IVM_PLANDUMP")).foreach { dir =>
       val p = java.nio.file.Paths.get(dir)
       java.nio.file.Files.createDirectories(p)
       val n = Option(p.toFile.list()).map(_.length).getOrElse(0)
@@ -1235,30 +1260,36 @@ object Materialize {
     val affRows =
       if (affectedCount > 0 && affectedCount <= 1024) Some(affHead)
       else None
-    val out = if (affectedCount == 0) kept
-      else kept.unionByName(
-        recomputePlan(cat, table, groupCols, measures, grains, affected,
-          affRows, sketches, fd, topks, uptoV = Some(rawMax)))
+    val rec =
+      if (affectedCount == 0) None
+      else Some(recomputePlan(cat, table, groupCols, measures, grains,
+        affected, affRows, sketches, fd, topks, uptoV = Some(rawMax)))
+    val out = rec.map(kept.unionByName(_)).getOrElse(kept)
     // a distinct target dir always — an expiry-only refresh keeps the
     // version number, so suffix it to avoid overwriting the state
     // being read
     val nd =
       if (newV > lastV) s"state_v$newV" else s"state_v${newV}e$nowMs"
-    // Row-count-gated DIRECT state write: with no recompute branch the
-    // out frame is a pure filter over the checkpointed merged fold, so
-    // the probe collect re-reads cached blocks — a small refresh then
-    // writes its state on the driver (one file, no job+commit), the
-    // dominant fixed cost of the small-delta refresh floor (guide
-    // §1.2). A recompute-bearing out would execute its (uncached)
-    // recompute subtree twice under the probe; those refreshes — and
-    // any state over the cap — take the distributed write as before.
+    // Row-count-gated DIRECT state write (guide §1.2 — the dominant
+    // fixed cost of the small-delta refresh floor): kept probes the
+    // checkpointed merged fold's cached blocks; the recompute branch
+    // is passed only under the ≤1024 IN-pushdown gate, where its
+    // output is provably ≤ one row per affected group, so collecting
+    // it IS the single execution the write job would have run. Any
+    // overflow (or >1024 affected groups, or a type drift) falls back
+    // to the distributed write with the recompute still executed
+    // exactly once.
     dbg("state write") {
-      if (buckets == 0) {
-        if (affectedCount > 0 ||
-            !DriverParquet.writeIfSmall(out, s"$path/$nd"))
+      val direct = affectedCount <= 1024 &&
+        DriverParquet.writeFoldIfSmall(kept, rec,
+          if (buckets == 0) None
+          else Some((d: DataFrame) => bucketCol(d, groupCols, buckets)),
+          s"$path/$nd")
+      if (!direct) {
+        if (buckets == 0)
           out.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd")
-      } else writeBucketed(out, groupCols, buckets, s"$path/$nd",
-        tryDirect = affectedCount == 0)
+        else writeBucketed(out, groupCols, buckets, s"$path/$nd")
+      }
     }
     nd
     } finally {

@@ -396,8 +396,11 @@ object MaterializeJoin {
         "topk_caps", "grain_cols", "grain_sqls", "grain_tz",
         "left_outer", "full_outer", "state_buckets", "bucket_dirs",
         "fact_filter")
-    // one-row local relation: driver-local write, no job (guide §1.2)
+    // one-row local relation: driver-local write, no job (guide §1.2);
+    // prime the memo with the written row — the next refresh/serve
+    // then skips the read-back job (see Materialize.primeMetaMemo)
     DriverParquet.overwriteSmall(metaDf, s"$path/meta")
+    Materialize.primeMetaMemo(path, metaDf.head())
   }
 
   private def stateDir0(m: org.apache.spark.sql.Row): String =
@@ -1377,22 +1380,29 @@ object MaterializeJoin {
       val affRows =
         if (affectedCount > 0 && affectedCount <= 1024) Some(affHead)
         else None
-      val out = if (affectedCount == 0) kept
-        else kept.unionByName(recomputeJoined(cat, cs, newVF, newVS,
+      val rec =
+        if (affectedCount == 0) None
+        else Some(recomputeJoined(cat, cs, newVF, newVS,
           groupCols, measures, affected, affRows, sketches, topks,
           grains))
+      val out = rec.map(kept.unionByName(_)).getOrElse(kept)
       val nd = s"state_v${newVF}_${newVS.mkString("_")}"
+      // row-count-gated direct state write — same gates and rationale
+      // as the single-table fold (see Materialize.refresh): kept
+      // probes the checkpointed fold's blocks, and the recompute
+      // branch rides along only under the ≤1024 pushdown gate where
+      // collecting it is its single execution (guide §1.2)
+      def directWrite(): Boolean = affectedCount <= 1024 &&
+        DriverParquet.writeFoldIfSmall(kept, rec,
+          if (buckets == 0) None
+          else Some((d: org.apache.spark.sql.DataFrame) =>
+            Materialize.bucketCol(d, groupCols, buckets)),
+          s"$path/$nd")
       val newBucketDirs: Seq[String] =
         if (buckets == 0) {
           dbg("out planning") { out.queryExecution.executedPlan }
-          // row-count-gated direct state write — same gate and
-          // rationale as the single-table fold (see Materialize
-          // .refresh): recompute-free outs are filters over the
-          // checkpointed merged fold, so small refreshes skip the
-          // distributed write job + commit entirely (guide §1.2)
           dbg("state write") {
-            if (affectedCount > 0 ||
-                !DriverParquet.writeIfSmall(out, s"$path/$nd"))
+            if (!directWrite())
               out.write.mode(SaveMode.Overwrite).parquet(s"$path/$nd") }
           Seq.empty
         } else {
@@ -1400,8 +1410,10 @@ object MaterializeJoin {
           // vanish if emptied), untouched buckets keep their pinned
           // dir — a reader of the PREVIOUS meta still sees a complete
           // consistent old state
-          Materialize.writeBucketed(out, groupCols, buckets,
-            s"$path/$nd", tryDirect = affectedCount == 0)
+          dbg("state write") {
+            if (!directWrite())
+              Materialize.writeBucketed(out, groupCols, buckets,
+                s"$path/$nd") }
           val present = Materialize.presentBuckets(spark, s"$path/$nd")
           val old = bucketDirsOf(m)
           (0 until buckets).map { i =>

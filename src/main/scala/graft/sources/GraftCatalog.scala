@@ -55,7 +55,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   }
 
   def createTable(name: String, schema: StructType, pk: Seq[String],
-      props: Map[String, String] = Map.empty): TableSpec = {
+      props: Map[String, String] = Map.empty): TableSpec =
+    GraftCatalog.OpTiming.timed {
     require(pk.nonEmpty, "primary key required")
     require(pk.forall(c => schema.fieldNames.contains(c)),
       s"pk columns $pk must exist in schema")
@@ -417,11 +418,12 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     * (reference DefaultValueExpression — applied only when the write
     * OMITS the column; an explicit NULL in the batch stores NULL),
     * otherwise NULL. */
-  def upsert(name: String, df: DataFrame): Long = {
-    val v = versionedWrite(name)(appendUpsert(name, df, _))
-    maybeRefreshSnapCache(name, v)
-    v
-  }
+  def upsert(name: String, df: DataFrame): Long =
+    GraftCatalog.OpTiming.timed {
+      val v = versionedWrite(name)(appendUpsert(name, df, _))
+      maybeRefreshSnapCache(name, v)
+      v
+    }
 
   private def appendUpsert(name: String, df: DataFrame, v: Long): Unit = {
     val fields = allFields(name)
@@ -494,7 +496,8 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
   }
 
   /** DELETE by predicate: tombstone the matching PKs as of now. */
-  def delete(name: String, predicate: org.apache.spark.sql.Column): Long = {
+  def delete(name: String, predicate: org.apache.spark.sql.Column): Long =
+    GraftCatalog.OpTiming.timed {
     val fields = allFields(name)
     val v = versionedWrite(name) { v =>
       toPhysical(name, snapshotFull(name).where(predicate)
@@ -506,7 +509,7 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
     }
     maybeRefreshSnapCache(name, v)
     v
-  }
+    }
 
   /** Auto-refresh policy (opt-in per table): with property
     * `SNAPSHOT_CACHE_BATCHES=n`, a write that leaves ≥ n tail batches
@@ -1437,6 +1440,24 @@ class GraftCatalog(spark: SparkSession, warehouse: String) {
 }
 
 object GraftCatalog {
+  /** Opt-in catalog MUTATION-op timing (createTable/upsert/delete):
+    * the bench resets this around each query and reports the seconds
+    * additively (`fixture_ops` in bench_out.json), so fixture ingest
+    * is visible SEPARATELY from operator serve/refresh work without
+    * removing it from any per-query number (the bench stays honest —
+    * VERDICT r16 #7). Single bench thread; synchronized adds cover
+    * any pooled caller. */
+  private[graft] object OpTiming {
+    private var secs = 0.0
+    def reset(): Unit = synchronized { secs = 0.0 }
+    def get: Double = synchronized { secs }
+    private[sources] def timed[T](f: => T): T = {
+      val t0 = System.nanoTime()
+      try f
+      finally synchronized { secs += (System.nanoTime() - t0) / 1e9 }
+    }
+  }
+
   /** StructField metadata key marking a numeric UNSIGNED_* column whose
     * CHECK ≥ 0 is enforced on write (SURVEY §1.2). */
   val UnsignedKey = "graft.unsigned"
